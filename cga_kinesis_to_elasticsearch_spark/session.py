@@ -1,0 +1,75 @@
+"""SparkSession factory tuned for this engine.
+
+Mirrors the env-var configuration surface of the reference's ``main()``
+(/root/reference/main.go:537-569) where it still makes sense on Spark;
+cluster-sizing knobs replace the reference's single-process model.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "tune_session"]
+
+
+def get_spark(
+    app_name: str = "cga-kinesis-to-elasticsearch-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    local[$SPARK_GRAFT_CPUS] in this environment; on a real cluster the
+    master/conf come from spark-submit and the builder settings merge.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else 32),
+        )
+    )
+    for k, v in _engine_conf().items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune_session(spark)
+    return spark
+
+
+def _engine_conf() -> dict[str, str]:
+    return {
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # scale path for 100 TB (skewed route/app keys, §2.7).
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Dimension tables (cf_apps/spaces/orgs analogues) are small;
+        # broadcast aggressively (replaces the reference's per-record
+        # lookup cache, caching_lazyfill.go:87-127).
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Arrow for the few pandas-UDF operators (multimodal decode).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    Used inside declared queries: the correctness driver owns the
+    session, so we only touch confs that are settable at runtime.
+    UTC matters because the DuckDB oracle reads parquet timestamps as
+    naive UTC.
+    """
+    for k, v in _engine_conf().items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # static conf on this session — keep going
+            pass
+    return spark
