@@ -1,0 +1,58 @@
+"""Table loading for the driver-generated testdata (TESTDATA.md).
+
+The driver's parquet files carry INT64 TIMESTAMP(NANOS) columns, which
+Spark refuses outright ([PARQUET_TYPE_ILLEGAL]). We flip the legacy
+``nanosAsLong`` conf and rebuild proper TimestampType columns
+(truncating to micros — the same truncation DuckDB applies when casting
+TIMESTAMP_NS to its micros-native TIMESTAMP, so both engines agree).
+
+Nanos columns are detected from the parquet footer via pyarrow — a
+metadata-only read, no data scanned.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["load_table", "TABLES"]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    out = []
+    for field in schema:
+        t = field.type
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            out.append(field.name)
+    return tuple(out)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``<sf_dir>/<name>.parquet`` with nanos-timestamp repair."""
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df

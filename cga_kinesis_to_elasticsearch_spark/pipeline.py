@@ -1,0 +1,118 @@
+"""The parity pipeline: decode -> filter -> route -> grok -> enrich ->
+computed columns (SURVEY §3.1), as one pure DataFrame -> DataFrame
+function.
+
+Physical shape (SURVEY §4): scan -> narrow codegen-fused ops ->
+ONE broadcast join -> sink. No shuffle anywhere on the hot path; the
+plan survives a 100x scale-up because the only wide dependency is the
+broadcast of a small dimension snapshot.
+
+Runs identically in batch (DuckDB-oracle testable) and inside a
+Structured Streaming micro-batch (streaming/job.py wraps it).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .grok import Grok, default_grok, grok_struct
+from .operators.computed import with_computed_columns
+from .operators.enrichment import enrich
+from .operators.routing import ROUTE_TABLE, filter_log_messages, route
+
+__all__ = ["PipelineConfig", "run_pipeline", "DOC_COLUMNS"]
+
+# Stable output column order for the document (SURVEY §1.1 'Document').
+DOC_COLUMNS = [
+    "es_index",
+    "index_class",
+    "event_date",
+    "timestamp",
+    "file_path",
+    "@cf.env",
+    "@cf.app",
+    "@cf.app_id",
+    "@cf.space",
+    "@cf.space_id",
+    "@cf.org",
+    "@cf.org_id",
+    "doc_id",
+]
+
+
+@dataclass
+class PipelineConfig:
+    """Mirrors the env-var surface of main.go:537-569 where relevant."""
+
+    allowed_origins: list[str] = field(default_factory=lambda: ["env1", "env2"])
+    enable_disabled_routes: bool = False
+    days_to_keep: int = 3  # DAYS_TO_KEEP, main.go:553
+
+
+def run_pipeline(
+    records: DataFrame,
+    dim: DataFrame,
+    config: PipelineConfig | None = None,
+    grok: Grok | None = None,
+) -> DataFrame:
+    """records (RECORD_SCHEMA, decoded) + flattened dim -> documents.
+
+    Output: one row per indexed document with parsed struct columns
+    (``parsed_<pattern>``), the six @cf.* enrichment columns, computed
+    columns and the day-partitioned ``es_index`` routing key, plus a
+    deterministic ``doc_id`` (sha1 of shard+sequence — the
+    effectively-once upgrade over the reference's auto-generated ids,
+    T1).
+    """
+    cfg = config or PipelineConfig()
+    g = grok or default_grok()
+
+    # F1 -> F2: filter to LogMessage, then the route switch.
+    df = route(filter_log_messages(records), cfg.enable_disabled_routes)
+
+    # G4/G5: one struct column per pattern in use; rows routed to a
+    # different pattern carry NULL. The pattern set is static at plan
+    # time, so the schema is static.
+    patterns_in_use = sorted(
+        {
+            r.pattern
+            for _, r in ROUTE_TABLE
+            if r.enabled or cfg.enable_disabled_routes
+        }
+    )
+    line = F.col("log_message.message")
+    for p in patterns_in_use:
+        df = df.withColumn(
+            f"parsed_{p.lower()}",
+            F.when(F.col("grok_pattern") == p, grok_struct(g, line, p)),
+        )
+
+    # F3: identifiability — app_id from the envelope, else the
+    # ROUTERACCESS rtr_app_id capture when that route is live
+    # (main.go:414-430).
+    rtr = (
+        F.col("parsed_routeraccess.rtr_app_id")
+        if "ROUTERACCESS" in patterns_in_use
+        else F.lit("")
+    )
+    app_guid = F.when(
+        F.coalesce(F.col("log_message.app_id"), F.lit("")) != "",
+        F.col("log_message.app_id"),
+    ).otherwise(F.coalesce(rtr, F.lit("")))
+    df = df.filter(app_guid != "")
+
+    # J1-J4: broadcast enrichment join.
+    df = enrich(df, dim, cfg.allowed_origins, app_guid=app_guid)
+
+    # Computed columns + P1 routing key.
+    df = with_computed_columns(df)
+
+    # T1: deterministic doc id -> replays overwrite instead of duplicate.
+    df = df.withColumn(
+        "doc_id", F.sha1(F.concat_ws("|", "shard_id", "sequence_number"))
+    )
+    parsed_cols = [f"parsed_{p.lower()}" for p in patterns_in_use]
+    quoted = [f"`{c}`" if "." in c else c for c in DOC_COLUMNS]
+    return df.select(*quoted, *parsed_cols, "arrival_ts", "log_message")

@@ -1,0 +1,174 @@
+"""Envelope sources.
+
+``synthesize_envelopes`` deterministically maps the driver's ``events``
+table (TESTDATA.md) into Kinesis-record-shaped envelope rows covering
+every arm of the route switch and the enrichment edge cases demanded by
+FIXTURES.md A1 — all with built-in column expressions (no Python row
+code), so the same frame serves batch tests and, via
+``spark.readStream``, streaming tests.
+
+``synthesize_cf_dimensions`` builds matching cf_apps/cf_spaces/cf_orgs
+snapshots (FIXTURES.md A3) including suffix-strip, missing-space/org
+and opt-out rows.
+
+In production the source is a Kinesis connector
+(``spark.readStream.format("kinesis")``, one input partition per shard
+— consumer.go:103-145's goroutine-per-shard made declarative) with the
+payload decoded by ``from_protobuf`` against the Envelope descriptor
+(S7); neither AWS nor a protobuf runtime exists in this container, so
+the synthesizer stands in as the test-mode source behind the same
+RECORD_SCHEMA contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["synthesize_envelopes", "synthesize_cf_dimensions", "ALLOWED_ORIGINS", "N_APPS"]
+
+ALLOWED_ORIGINS = ["env1", "env2"]  # ALLOWED_ORIGINS env var, main.go:556
+UNKNOWN_ORIGIN = "envX"  # origin not in allowed list -> enrichment skipped
+N_APPS = 40  # dim rows; guids 40..49 stay unknown (missing-key path)
+GUID_PREFIX = "00000000-0000-4000-8000-"
+
+
+def _guid(n) -> "F.Column":
+    return F.concat(F.lit(GUID_PREFIX), F.lpad(n.cast("string"), 12, "0"))
+
+
+def synthesize_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet -> RECORD_SCHEMA-shaped DataFrame.
+
+    Row mix by event_id % 10 (FIXTURES.md A1 coverage matrix):
+      0    non-LogMessage (HttpStartStop) ......... dropped by F1
+      1    /var/log/... prefix ..................... disabled route
+      2    gorouter access.log + ROUTERACCESS line . disabled route (rich parse)
+      3    /var/vcap/sys/log/director/ ............. disabled route
+      4    /var/vcap/sys/log/ prefix ............... disabled route
+      5,6  tags[source_id]=gorouter ................ kept, class gorouter
+      7    source_type APP/PROC/WEB ................ kept, class gorouter
+      8    APP/PROC/WEB but empty app_id ........... dropped by F3
+      9    unroutable source ....................... default drop
+    Mixed-case guids exercise canonicalization; user_id%7==0 rows carry
+    an unknown origin (enrichment skipped).
+    """
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.col("event_id") % 10
+    # event_id spans the full range at every SF (user_id does not):
+    # indices 40..49 have no dim row -> unknown-app path
+    user_mod = (F.col("event_id") / 10).cast("long") % F.lit(N_APPS + 10)
+    guid = _guid(user_mod)
+    # mixed-case guid for one arm to exercise lower() canonicalization
+    guid_mixed = F.when(arm == 6, F.upper(guid)).otherwise(guid)
+    origin = (
+        F.when(F.col("user_id") % 7 == 0, F.lit(UNKNOWN_ORIGIN))
+        .when(F.col("user_id") % 3 == 0, F.lit("env2"))
+        .otherwise(F.lit("env1"))
+    )
+    router_line = F.format_string(
+        'host-%d.example.com - [2024-01-01T00:00:00+0000] "GET /p/%d HTTP/1.1" '
+        '%d 10 200 "-" "UA" "10.0.0.1:1234" "10.0.1.2:61001" '
+        'x_forwarded_for:"1.2.3.4" x_forwarded_proto:"https" '
+        'vcap_request_id:"req-%d" response_time:0.012 app_id:"%s" '
+        'app_index:"0" x_b3_traceid:"t" x_b3_spanid:"s" x_b3_parentspanid:"-"',
+        F.col("user_id"),
+        F.col("event_id"),
+        (F.col("event_id") % 5 * 100 + 200).cast("int"),
+        F.col("event_id"),
+        guid,
+    )
+    plain_line = F.format_string(
+        "evt=%s value=%s props=%s",
+        F.col("event_type"),
+        F.round("value", 2).cast("string"),
+        F.col("props"),
+    )
+    message = F.when(arm == 2, router_line).otherwise(plain_line)
+    source_instance = (
+        F.when(arm == 1, F.lit("/var/log/syslog"))
+        .when(arm == 2, F.lit("/var/vcap/sys/log/gorouter/access.log"))
+        .when(arm == 3, F.lit("/var/vcap/sys/log/director/director.stdout.log"))
+        .when(arm == 4, F.lit("/var/vcap/sys/log/other/app.log"))
+        .otherwise(F.lit("APP/0"))
+    )
+    # arm 3 (director) also carries an app_id so the resurrected route
+    # survives F3; arms 1 and 4 don't -> F3 drops them even when routed
+    app_id = F.when(arm.isin(3, 5, 6, 7), guid_mixed).otherwise(F.lit(""))
+    source_type = (
+        F.when(arm.isin(7, 8), F.lit("APP/PROC/WEB"))
+        .when(arm == 9, F.lit("OTHER"))
+        .otherwise(F.lit("LOG"))
+    )
+    tags = F.when(
+        arm.isin(5, 6), F.create_map(F.lit("source_id"), F.lit("gorouter"))
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    return ev.select(
+        F.concat(F.lit("shard-"), (F.col("event_id") % 4).cast("string")).alias(
+            "shard_id"
+        ),
+        F.col("event_id").cast("string").alias("sequence_number"),
+        F.col("user_id").cast("string").alias("partition_key"),
+        F.col("ts").alias("arrival_ts"),
+        origin.alias("origin"),
+        F.when(arm == 0, F.lit(4)).otherwise(F.lit(5)).alias("event_type"),
+        F.unix_micros("ts").alias("timestamp") * 1000,
+        F.lit("cf").alias("deployment"),
+        F.lit("job").alias("job"),
+        F.lit("0").alias("index"),
+        F.lit("10.0.0.1").alias("ip"),
+        tags.alias("tags"),
+        F.struct(
+            message.alias("message"),
+            F.lit(1).alias("message_type"),
+            (F.unix_micros("ts") * 1000).alias("timestamp"),
+            app_id.alias("app_id"),
+            source_type.alias("source_type"),
+            source_instance.alias("source_instance"),
+        ).alias("log_message"),
+    )
+
+
+def synthesize_cf_dimensions(
+    spark: SparkSession,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """cf_apps / cf_spaces / cf_orgs snapshots for ALLOWED_ORIGINS.
+
+    Coverage (FIXTURES.md A3): suffix-stripped names (-venerable/-blue/
+    -green), apps with missing space (n%10==9 -> space guid unknown),
+    spaces with missing org (space n%5==4), opt-out env flag rows,
+    UPPERCASE stored guids for env2 (canonicalization both sides).
+    """
+    apps = []
+    spaces = []
+    orgs = []
+    for env in ALLOWED_ORIGINS:
+        for n in range(N_APPS):
+            suffix = {0: "-venerable", 1: "-blue", 2: "-green"}.get(n % 4, "")
+            guid = f"{GUID_PREFIX}{n:012d}"
+            if env == "env2":
+                guid = guid.upper()  # stored mixed-case; join must lower()
+            space_n = n % 8
+            space_guid = (
+                f"{GUID_PREFIX}{space_n + 100:012d}" if n % 10 != 9 else f"{GUID_PREFIX}{999:012d}"
+            )
+            env_json = (
+                {"F2S_DISABLE_LOGGING": "true"} if n % 11 == 10 else {}
+            )
+            apps.append((env, guid, f"app-{env}-{n}{suffix}", space_guid, env_json))
+        for s in range(8):
+            org_n = s % 4
+            org_guid = (
+                f"{GUID_PREFIX}{org_n + 200:012d}" if s % 5 != 4 else f"{GUID_PREFIX}{998:012d}"
+            )
+            spaces.append((env, f"{GUID_PREFIX}{s + 100:012d}", f"space-{env}-{s}", org_guid))
+        for o in range(4):
+            orgs.append((env, f"{GUID_PREFIX}{o + 200:012d}", f"org-{env}-{o}"))
+    from ..schemas import CF_APPS_SCHEMA, CF_ORGS_SCHEMA, CF_SPACES_SCHEMA
+
+    return (
+        spark.createDataFrame(apps, CF_APPS_SCHEMA),
+        spark.createDataFrame(spaces, CF_SPACES_SCHEMA),
+        spark.createDataFrame(orgs, CF_ORGS_SCHEMA),
+    )
