@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``: flagship parity pipeline (decode -> filter -> route -> grok
+-> broadcast enrichment -> computed columns) over envelopes synthesized
+from the sf0.001 events table.
+
+``queries`` / ``oracle_sql``: the declared-query surface — one entry
+per implemented SURVEY §2 operator / north-star extension, each with a
+DuckDB oracle (cga_kinesis_to_elasticsearch_spark/plans/declared.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+        flatten_dimensions,
+    )
+    from cga_kinesis_to_elasticsearch_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from cga_kinesis_to_elasticsearch_spark.session import tune_session
+    from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+        ALLOWED_ORIGINS,
+        synthesize_cf_dimensions,
+        synthesize_envelopes,
+    )
+
+    tune_session(spark)
+    records = synthesize_envelopes(spark, "/root/testdata/sf0.001")
+    dim = flatten_dimensions(*synthesize_cf_dimensions(spark))
+    cfg = PipelineConfig(
+        allowed_origins=ALLOWED_ORIGINS, enable_disabled_routes=True
+    )
+    docs = run_pipeline(records, dim, cfg)
+    # stable, driver-friendly schema: drop nested structs
+    return docs.drop("log_message", "arrival_ts")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cga_kinesis_to_elasticsearch_spark.plans import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cga_kinesis_to_elasticsearch_spark.plans import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,6 @@
+"""Declared queries: the engine's public query surface, one entry per
+SURVEY §2 operator + north-star extension, each with a DuckDB oracle."""
+
+from .declared import QUERY_REGISTRY, oracle_sql, queries
+
+__all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]
