@@ -1,0 +1,165 @@
+"""Deduplication operators for LLM-data pipelines (north star,
+BASELINE.json): exact, MinHash(+LSH banding), SimHash, n-gram Jaccard.
+
+Scale posture (100 TB): exact dedup is one hash-shuffle on a 32-char
+key (not the full text — map-side md5 first, so the shuffle moves
+hashes, not documents). MinHash signatures are computed map-side per
+row (no shuffle); LSH banding shuffles once per band on small band-key
+tuples; candidate verification touches only candidate pairs, never the
+full cross product. All hashes are md5-derived so the DuckDB oracle can
+reproduce them bit-for-bit (no engine-specific hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "exact_dedup",
+    "normalized_text",
+    "tokens",
+    "minhash_signature",
+    "minhash_signatures",
+    "lsh_band_keys",
+    "lsh_candidate_pairs",
+    "simhash_bits",
+    "jaccard",
+    "word_shingles",
+]
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for near-dup work: lowercase, collapse whitespace,
+    strip non-alphanumerics (keeps spaces)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct md5(text) with
+    the minimum id as representative + duplicate count.
+
+    At scale: the groupBy shuffles (md5, id) pairs only — 40ish bytes
+    per row regardless of document size.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Distinct word set of the normalized text."""
+    return F.array_distinct(F.split(normalized_text(col), " "))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input unit)."""
+    toks = F.split(normalized_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, seed: int) -> Column:
+    """One MinHash value: the lexicographic minimum of seeded md5 over
+    the shingle set. md5 is uniform, so min-of-hash is a proper MinHash
+    permutation approximation — and it is reproducible in any engine
+    with an md5 function (the DuckDB oracle)."""
+    return F.array_min(
+        F.transform(shingles, lambda t: F.md5(F.concat(F.lit(f"s{seed}:"), t)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """id + mh0..mh{n-1} signature columns, computed map-side (no
+    shuffle; the heavy regex/hash work stays in codegen)."""
+    sh = word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    out = df.select(F.col(id_col), sh)
+    for i in range(n_hashes):
+        out = out.withColumn(f"mh{i}", minhash_signature(F.col("__sh"), i))
+    return out.drop("__sh")
+
+
+def lsh_band_keys(sig_df: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """Signature rows -> (band_id, band_key) rows. Docs agreeing on all
+    hashes of any band become LSH candidates."""
+    bands = []
+    for b in range(0, n_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"), F.concat_ws("|", *cols).alias("band_key")
+            )
+        )
+    return sig_df.select(
+        *[c for c in sig_df.columns if not c.startswith("mh")],
+        F.explode(F.array(*bands)).alias("band"),
+    ).select(*[c for c in sig_df.columns if not c.startswith("mh")], "band.*")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing at least one full
+    band. Shuffle cost: band-key tuples only; the self-join happens
+    per bucket, so skew is bounded by bucket size, not corpus size."""
+    banded = lsh_band_keys(sig_df, n_hashes, band_size)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    )
+    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column, b: Column, ndigits: int = 4) -> Column:
+    """Jaccard similarity of two array-set columns, rounded for
+    cross-engine hash stability."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.round(
+        F.when(union == 0, F.lit(0.0)).otherwise(inter / union), ndigits
+    )
+
+
+def simhash_bits(col: Column, n_bits: int = 16) -> Column:
+    """SimHash as a bit string: bit b is the sign of the vote sum over
+    tokens, where token t votes +1 iff md5('b{b}:'+t) starts below
+    '8' (a portable unbiased coin — no engine-specific 64-bit hash
+    needed, so the oracle can replay it)."""
+    toks = tokens(col)
+    bits = []
+    for b in range(n_bits):
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.substring(F.md5(F.concat(F.lit(f"b{b}:"), t)), 1, 1) < "8", 1
+            ).otherwise(-1),
+        )
+        bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

@@ -1,0 +1,133 @@
+"""Multimodal columns (north star): image/audio/video as opaque binary
+columns + typed metadata, with decode / feature-extract / resize /
+frame-sample as Arrow-batched pandas stages over ``mapInPandas``.
+
+The Spark-side plumbing — schema, partitioning, UDF signature, batch
+shape — is real and tested. The actual media decode is STUBBED:
+`decode_image` raises NotImplementedError unless an image library is
+importable (none is baked into this container), and
+`fake_decode_features` provides a deterministic stand-in so the
+pipeline shape can be exercised end-to-end.
+
+Design for 100 TB: binaries ride in their own column so column pruning
+keeps them out of every query that doesn't touch them; feature
+extraction is a mapInPandas pass (Arrow batches, no per-row Python
+dispatch); repartition before decode bounds batch memory by
+``maxRecordsPerBatch`` x typical blob size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "attach_binary",
+    "decode_image",
+    "fake_decode_features",
+    "extract_features",
+]
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image/audio/video
+        StructField("format", StringType()),  # png/jpeg/wav/...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def attach_binary(
+    df: DataFrame, payload_col: str, media_type: str = "image", fmt: str = "raw"
+) -> DataFrame:
+    """Wrap a column as an opaque media payload: ``media`` (binary) +
+    ``media_meta`` (typed struct). In production the binary arrives
+    from the source (S3 pointer dereference / inline blob)."""
+    binary = F.col(payload_col).cast("binary")
+    return df.withColumn("media", binary).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(binary).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image(payload: bytes) -> Any:
+    """Real image decode — requires a decoder library (PIL/cv2), which
+    this container does not ship. The call site and batch plumbing are
+    the real engine surface; swap this body on a cluster with the
+    libraries installed."""
+    try:
+        from PIL import Image  # type: ignore
+        import io as _io
+
+        return Image.open(_io.BytesIO(payload))
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decode requires PIL/cv2 (not available in this container); "
+            "use fake_decode_features for plumbing tests"
+        ) from exc
+
+
+def fake_decode_features(payload: bytes, n_features: int = 4) -> list[float]:
+    """Deterministic stand-in for decode+feature-extract: byte-bucket
+    histogram normalized to [0,1]. Same contract (bytes -> fixed-length
+    float vector) as a real embedding/feature extractor."""
+    if not payload:
+        return [0.0] * n_features
+    counts = [0] * n_features
+    for b in payload:
+        counts[b % n_features] += 1
+    total = len(payload)
+    return [round(c / total, 6) for c in counts]
+
+
+def extract_features(
+    df: DataFrame, media_col: str = "media", n_features: int = 4
+) -> DataFrame:
+    """mapInPandas feature extraction: one Arrow batch in, one out,
+    appending ``media_features array<double>``. This is the template
+    every real decoder plugs into (resize / frame-sample swap the inner
+    function only)."""
+    schema = StructType(
+        df.schema.fields + [StructField("media_features", ArrayType(DoubleType()))]
+    )
+
+    # The closure is deliberately self-contained (no module-global refs)
+    # so cloudpickle ships it by value and executor Python workers never
+    # need this package importable — the driver may run the entry file
+    # from outside the repo.
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        def feats(p: Any) -> list[float]:
+            payload = bytes(p) if p is not None else b""
+            if not payload:
+                return [0.0] * n_features
+            counts = [0] * n_features
+            for byte in payload:
+                counts[byte % n_features] += 1
+            total = len(payload)
+            return [round(c / total, 6) for c in counts]
+
+        for pdf in batches:
+            pdf["media_features"] = pdf[media_col].map(feats)
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines (north star):
+language ID, quality scoring, token counting, fingerprinting.
+
+All pure built-in expressions (codegen, no Python), each with an exact
+SQL equivalent for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import normalized_text
+
+__all__ = [
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "bpe_ish_token_count",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+# Tiny English stopword core — enough for a ratio feature.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+# Marker-word heuristics per language (n-gram-flavored language ID:
+# presence of high-frequency function words).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "das"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "les", "est"),
+    "zh": ("de", "shi", "le"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space marks
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count, char count, average token length."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(text_col, " ", "")) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features: stopword ratio, punctuation count,
+    digit ratio, plus a composite 0..1 score."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    n_stop = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*STOPWORDS), 1).otherwise(0),
+    )
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    digits = F.regexp_count(F.col(text_col), F.lit(r"[0-9]"))
+    stop_ratio = F.round(n_stop / n_toks, 4)
+    digit_ratio = F.round(digits / F.length(text_col), 4)
+    score = F.round(
+        F.least(F.lit(1.0), stop_ratio * 2)
+        * F.when(F.length(text_col) >= 50, 1.0).otherwise(0.5)
+        * (1 - digit_ratio),
+        4,
+    )
+    _ = stop_hits  # array_intersect dedupes; n_stop keeps multiplicity
+    return df.select(
+        F.col(id_col),
+        stop_ratio.alias("stopword_ratio"),
+        punct.alias("punct_count"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language guess: the language whose marker words hit
+    most, ties to 'und' (undetermined) order by fixed language order."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
+    return df.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (exact-dup key
+    robust to case/punctuation/whitespace)."""
+    return df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fingerprint")
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Token count under a BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / single marks) — the standard 'how many tokens will
+    this cost' estimator."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
+    )

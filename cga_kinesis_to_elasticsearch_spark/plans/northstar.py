@@ -1,0 +1,402 @@
+"""North-star declared queries: dedup, similarity search, text
+analysis, multimodal plumbing, full-pipeline e2e (BASELINE.json).
+
+Oracle construction notes:
+- all hashes are md5-based so DuckDB reproduces them exactly;
+- DuckDB regexp_replace needs the 'g' flag to match Spark's
+  replace-all default;
+- embeddings are cast to DOUBLE[] on both sides before any arithmetic
+  (DuckDB's list_cosine_similarity on FLOAT[] computes in float32 and
+  would diverge);
+- DuckDB lists are 1-indexed; Spark element_at is also 1-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from .declared import QUERY_REGISTRY, _t, q
+
+# --- shared SQL fragments --------------------------------------------------
+
+# normalized_text() in SQL (dedup.normalized_text)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _norm_sql(col: str) -> str:
+    return _NORM.format(col=col)
+
+
+def _shingle_sql(norm: str, n: int = 3) -> str:
+    """Distinct word-3-gram shingles of a normalized text expression —
+    mirrors dedup.word_shingles (concat_ws on both sides so short docs
+    agree)."""
+    toks = f"string_split({norm}, ' ')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n}, 0) + 2), "
+        f"i -> concat_ws(' ', "
+        + ", ".join(f"list_extract({toks}, i + {j})" for j in range(n))
+        + ")))"
+    )
+
+
+def _minhash_sql(shingles: str, seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform({shingles}, "
+        f"x -> md5('s{seed}:' || x)), 'min')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS representative_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id")
+
+
+@q(
+    "dedup_fingerprint",
+    f"SELECT doc_id, md5({_norm_sql('text')}) AS fingerprint FROM documents",
+)
+def _dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.fingerprint(docs, "text", "doc_id")
+
+
+_MH_N = 4
+
+
+@q(
+    "minhash_signatures",
+    "SELECT doc_id, "
+    + ", ".join(
+        f"{_minhash_sql(_shingle_sql(_norm_sql('text')), i)} AS mh{i}"
+        for i in range(_MH_N)
+    )
+    + " FROM documents",
+)
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, "text", "doc_id", n_hashes=_MH_N)
+
+
+@q(
+    "minhash_lsh_candidates",
+    f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_minhash_sql(_shingle_sql(_norm_sql('text')), 0)} AS mh0,
+             {_minhash_sql(_shingle_sql(_norm_sql('text')), 1)} AS mh1,
+             {_minhash_sql(_shingle_sql(_norm_sql('text')), 2)} AS mh2,
+             {_minhash_sql(_shingle_sql(_norm_sql('text')), 3)} AS mh3
+      FROM documents),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def _minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, "text", "doc_id", n_hashes=_MH_N)
+    return D.lsh_candidate_pairs(sig, "doc_id", n_hashes=_MH_N, band_size=2)
+
+
+@q(
+    "ngram_jaccard_adjacent",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split({_norm_sql('text')}, ' ')) AS toks
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                      THEN 0.0
+                      ELSE len(list_intersect(a.toks, b.toks))
+                           / len(list_distinct(list_concat(a.toks, b.toks)))
+                 END, 4) AS jaccard
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def _ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", D.tokens(F.col("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            D.jaccard(F.col("toks_a"), F.col("toks_b")).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_bit_sql(toks: str, b: int) -> str:
+    return (
+        f"CASE WHEN list_aggregate(list_transform({toks}, "
+        f"t -> CASE WHEN substr(md5('b{b}:' || t), 1, 1) < '8' "
+        f"THEN 1 ELSE -1 END), 'sum') >= 0 THEN '1' ELSE '0' END"
+    )
+
+
+@q(
+    "simhash_docs",
+    "WITH t AS (SELECT doc_id, "
+    f"list_distinct(string_split({_norm_sql('text')}, ' ')) AS toks "
+    "FROM documents) SELECT doc_id, "
+    + " || ".join(_simhash_bit_sql("toks", b) for b in range(_SIMHASH_BITS))
+    + " AS simhash FROM t",
+)
+def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash_bits(F.col("text"), _SIMHASH_BITS).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 8
+_TOPK = 5
+
+
+@q(
+    "embedding_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sims AS (
+      SELECT query_id, vec_id,
+             round(list_cosine_similarity(qv, cv), 4) AS sim
+      FROM q JOIN c ON query_id <> vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM sims)
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def _embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk(emb, queries, k=_TOPK)
+
+
+def _bucket_sql(col: str = "embedding") -> str:
+    return " || ".join(
+        f"CASE WHEN {col}[{i + 1}] > {col}[{j + 1}] THEN '1' ELSE '0' END"
+        for i, j in S.LSH_PAIRS
+    )
+
+
+@q(
+    "embedding_lsh_buckets",
+    f"SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings",
+)
+def _embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.lsh_buckets(emb)
+
+
+@q(
+    "embedding_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings),
+    q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
+          FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+          WHERE e.vec_id < {_N_QUERIES}),
+    c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, b.bucket
+          FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+    sims AS (
+      SELECT query_id, c.vec_id,
+             round(list_cosine_similarity(qv, cv), 4) AS sim
+      FROM q JOIN c ON q.bucket = c.bucket AND query_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM sims)
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def _embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.lsh_topk(emb, queries, k=_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           round(length(replace(text, ' ', ''))
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.token_stats(docs, "text", "doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id, text, len(toks) AS n_toks,
+             list_aggregate(list_transform(toks,
+               x -> CASE WHEN x IN ({_STOP_SQL}) THEN 1 ELSE 0 END), 'sum') AS n_stop,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_count,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits
+      FROM t)
+    SELECT doc_id,
+           round(n_stop / n_toks, 4) AS stopword_ratio,
+           punct_count,
+           round(n_digits / length(text), 4) AS digit_ratio,
+           round(least(1.0, round(n_stop / n_toks, 4) * 2)
+                 * (CASE WHEN length(text) >= 50 THEN 1.0 ELSE 0.5 END)
+                 * (1 - round(n_digits / length(text), 4)), 4) AS quality
+    FROM m
+    """,
+)
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.quality_score(docs, "text", "doc_id")
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    score_cols = []
+    for lang, markers in T.LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(f"len(list_intersect(toks, [{arr}])) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in T.LANG_MARKERS) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in T.LANG_MARKERS:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return ", ".join(score_cols), case
+
+
+_LANG_SCORES, _LANG_CASE = _lang_scores_sql()
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      FROM documents),
+    s AS (SELECT doc_id, {_LANG_SCORES} FROM t)
+    SELECT doc_id, {_LANG_CASE} AS lang_guess FROM s
+    """,
+)
+def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.lang_id(docs, "text", "doc_id")
+
+
+@q(
+    "text_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{T.BPE_ISH_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def _text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return T.bpe_ish_token_count(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + full-pipeline e2e (rows-only: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@q("multimodal_features", None)
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + Arrow-batched feature extraction via
+    mapInPandas (decode stubbed deterministically — no media libs in
+    this container)."""
+    from ..operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    with_media = M.attach_binary(docs.select("doc_id", "text"), "text")
+    feats = M.extract_features(with_media)
+    return feats.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        "media_features",
+    )
+
+
+@q("pipeline_e2e", None)
+def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parity pipeline (SURVEY §3.1) over synthesized envelopes —
+    covers decode, F1/F2/F3, grok G1-G5, J1-J4, computed columns, P1.
+    Streaming equivalence is asserted in tests/test_streaming.py."""
+    from ..operators.enrichment import flatten_dimensions
+    from ..pipeline import PipelineConfig, run_pipeline
+    from ..sources.envelopes import (
+        ALLOWED_ORIGINS,
+        synthesize_cf_dimensions,
+        synthesize_envelopes,
+    )
+
+    records = synthesize_envelopes(spark, sf_dir)
+    dim = flatten_dimensions(*synthesize_cf_dimensions(spark))
+    cfg = PipelineConfig(allowed_origins=ALLOWED_ORIGINS, enable_disabled_routes=True)
+    docs = run_pipeline(records, dim, cfg)
+    return docs.select(
+        "doc_id",
+        "es_index",
+        "index_class",
+        "event_date",
+        "timestamp",
+        "`@cf.app`",
+        "`@cf.org`",
+        F.col("parsed_generic.log_event").alias("log_event"),
+        F.col("parsed_routeraccess.rtr_status").alias("rtr_status"),
+    )

@@ -7,11 +7,16 @@ cluster-sizing knobs replace the reference's single-process model.
 
 from __future__ import annotations
 
+import hashlib
+import io
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "tune_session"]
+__all__ = ["get_spark", "tune_session", "ship_package"]
 
 
 def get_spark(
@@ -72,4 +77,46 @@ def tune_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # static conf on this session — keep going
             pass
+    ship_package(spark)
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers via
+    ``addPyFile`` — required for any pandas-UDF/mapInPandas operator
+    whose closure references package code, when the session was created
+    by a driver that has the repo on ``sys.path`` but not on
+    ``PYTHONPATH`` (executors inherit only the latter)."""
+    sc = spark.sparkContext
+    if sc.applicationId in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_name = f"{pkg_dir.name}.zip"
+    if zip_name in {Path(p).name for p in getattr(sc, "_python_includes", [])}:
+        _SHIPPED.add(sc.applicationId)
+        return
+    # Deterministic bytes (fixed mtime, sorted entries): repeated adds of
+    # the "same" zip must be byte-identical or Spark's file server rejects
+    # them as a conflicting update.
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            info = zipfile.ZipInfo(
+                f"{pkg_dir.name}/{py.relative_to(pkg_dir)}", (1980, 1, 1, 0, 0, 0)
+            )
+            zf.writestr(info, py.read_bytes())
+    payload = buf.getvalue()
+    # Stable content-addressed path, kept alive for the session: Spark's
+    # file server serves the source path lazily at task-fetch time, so it
+    # must outlive this call.
+    digest = hashlib.md5(payload).hexdigest()[:12]
+    staging = Path(tempfile.gettempdir()) / f"cga-spark-pkg-{digest}"
+    staging.mkdir(exist_ok=True)
+    zip_path = staging / zip_name
+    if not zip_path.exists():
+        zip_path.write_bytes(payload)
+    sc.addPyFile(str(zip_path))
+    _SHIPPED.add(sc.applicationId)
