@@ -113,7 +113,7 @@ def synthesize_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("arrival_ts"),
         origin.alias("origin"),
         F.when(arm == 0, F.lit(4)).otherwise(F.lit(5)).alias("event_type"),
-        F.unix_micros("ts").alias("timestamp") * 1000,
+        (F.unix_micros("ts") * 1000).alias("timestamp"),
         F.lit("cf").alias("deployment"),
         F.lit("job").alias("job"),
         F.lit("0").alias("index"),

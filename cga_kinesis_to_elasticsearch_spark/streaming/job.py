@@ -1,0 +1,145 @@
+"""The streaming job: readStream -> decode -> pipeline -> bulk sink
+(SURVEY §3.1 Spark shape, §2.9 T1-T7).
+
+Maps the reference's RunForever loop (main.go:111-212) onto Structured
+Streaming:
+
+- micro-batch trigger 15 s  <- BulkProcessor FlushInterval (main.go:189)
+- checkpointLocation        <- Postgres/DynamoDB sequence store (S2-S4);
+  offset+commit logs give the same resume-after-crash, with a tighter
+  replay window than the reference's 60 s write-behind flush (T1)
+- per-batch dimension refresh <- TTL'd lazy-fill cache (J5): the dim
+  provider is called once per micro-batch on the driver and broadcast
+  into the join — row-level TTL/jitter disappears because the whole
+  snapshot refreshes atomically
+- poison records -> error bucket + counter <- checkpoint-then-abort
+  skip (T2, consumer.go:213-232): same observable outcome (record
+  skipped, error counted), no process restart
+- sent/error counters       <- Prometheus counters (A1, main.go:41-47),
+  exposed in Prometheus text format (K5)
+
+Everything inside ``foreachBatch`` is the SAME pure batch code the
+DuckDB oracle checks (pipeline.run_pipeline) — batch/stream parity by
+construction.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..pipeline import PipelineConfig, run_pipeline
+from ..sinks.bulk import ParquetIndexSink
+from ..sources.records import decode_records
+
+__all__ = ["StreamConfig", "StreamMetrics", "run_stream"]
+
+
+@dataclass
+class StreamMetrics:
+    """A1: the two monotonic counters (main.go:41-47)."""
+
+    sent_count: int = 0
+    errors_count: int = 0
+
+    def prometheus_text(self) -> str:
+        """K5: Prometheus exposition format, as served on /metrics
+        (main.go:181-187)."""
+        return (
+            "# TYPE app_kinesis_to_es_sent_count counter\n"
+            f"app_kinesis_to_es_sent_count {self.sent_count}\n"
+            "# TYPE app_kinesis_to_es_errors_count counter\n"
+            f"app_kinesis_to_es_errors_count {self.errors_count}\n"
+        )
+
+
+@dataclass
+class StreamConfig:
+    checkpoint_location: str = ""
+    trigger_seconds: int = 15  # FlushInterval, main.go:189
+    available_now: bool = False  # drain-and-stop, for tests/backfills
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    days_to_keep: int = 3  # DAYS_TO_KEEP, main.go:553
+    retention_every_batches: int = 0  # 0 = off; reference runs 24-hourly
+
+
+def run_stream(
+    spark: SparkSession,
+    raw_stream: DataFrame,
+    dim_provider: Callable[[SparkSession], DataFrame],
+    sink: ParquetIndexSink,
+    cfg: StreamConfig,
+    metrics: StreamMetrics | None = None,
+):
+    """Start the streaming query; returns (query, metrics).
+
+    ``raw_stream``: RAW_RECORD_SCHEMA streaming DataFrame (file source
+    in tests, Kinesis connector in production — same columns).
+    ``dim_provider``: called per micro-batch; returns the flattened
+    dimension snapshot (operators.enrichment.flatten_dimensions).
+    """
+    m = metrics if metrics is not None else StreamMetrics()
+    batch_counter = {"n": 0}
+
+    def process_batch(raw: DataFrame, batch_id: int) -> None:
+        records = decode_records(raw)
+        # One pass over the batch: cache so the good/poison split and
+        # the two counter reads don't rescan the source (the batch is
+        # micro — bounded by trigger x arrival rate — so it fits; at
+        # the 100 TB backfill scale availableNow caps each batch at
+        # maxFilesPerTrigger).
+        records.persist()
+        try:
+            poison = records.filter(F.col("decode_error"))
+            good = records.filter(~F.col("decode_error")).drop(
+                "decode_error", "data"
+            )
+            dim = dim_provider(spark)
+            docs = run_pipeline(good, dim, cfg.pipeline)
+            docs = docs.drop("log_message", "arrival_ts").persist()
+            try:
+                sink.ensure_indices(
+                    [r.es_index for r in docs.select("es_index").distinct().collect()]
+                )
+                sink.write(docs)
+                m.sent_count += docs.count()
+            finally:
+                docs.unpersist()
+            n_poison = poison.count()
+            if n_poison:
+                sink.write_errors(poison.drop("decode_error"), batch_id)
+                m.errors_count += n_poison
+        finally:
+            records.unpersist()
+        batch_counter["n"] += 1
+        if (
+            cfg.retention_every_batches
+            and batch_counter["n"] % cfg.retention_every_batches == 0
+        ):
+            sink.drop_expired(cfg.days_to_keep)
+
+    writer = raw_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", cfg.checkpoint_location
+    )
+    if cfg.available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{cfg.trigger_seconds} seconds")
+    query = writer.start()
+    return query, m
+
+
+def drain(query, timeout_s: float = 120.0) -> None:
+    """Await an availableNow query (tests/backfills); graceful-shutdown
+    analogue of the reference's SIGTERM -> flush path (T6)."""
+    deadline = time.time() + timeout_s
+    while query.isActive and time.time() < deadline:
+        query.awaitTermination(1)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError("streaming query did not drain in time")
+    if query.exception() is not None:
+        raise query.exception()
