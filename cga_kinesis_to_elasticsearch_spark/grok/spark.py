@@ -36,6 +36,8 @@ __all__ = [
     "grok_struct",
     "grok_match",
     "grok_schema",
+    "grok_parse_into",
+    "grok_parse_many",
     "grok_parse_pandas",
     "duckdb_exprs",
 ]
@@ -103,6 +105,94 @@ def grok_match(
     cp = _resolve(grok, pattern)
     col = F.col(col) if isinstance(col, str) else col
     return col.rlike(cp.regex)
+
+
+_SEP = "\x01"  # capture delimiter: control chars never occur in log lines
+_SENTINEL = "\x02"  # marks "regex matched"; non-match keeps the raw line
+
+
+def grok_parse_into(
+    grok: Grok,
+    df: "DataFrame",
+    col: Column | str,
+    pattern: str | CompiledPattern,
+    out_col: str,
+    condition: Column | None = None,
+) -> "DataFrame":
+    """Append ``out_col`` (nullable struct of typed captures) with ONE
+    regex evaluation per row.
+
+    ``grok_struct`` evaluates the compiled regex once per capture
+    (+once for the match predicate) — 24 passes of a ~1 KB regex per
+    ROUTERACCESS row. Here a single ``regexp_replace`` rewrites the
+    matched line to ``SENTINEL + $g1 SEP $g2 ...`` (Java replacement
+    group references), then one split + element_at per field unpacks
+    it. Non-matching lines come back without the sentinel -> NULL
+    struct, preserving grok_struct's null_on_nonmatch semantics
+    (grok.go:211-214: no match -> empty capture map).
+
+    Three staged projections keep each intermediate an attribute, so
+    Catalyst cannot inline the regex into every field (CollapseProject
+    re-evaluates non-attribute subexpressions per reference).
+
+    ``condition``: only parse rows satisfying it (rows routed to this
+    pattern); others get NULL without touching the regex.
+    """
+    return grok_parse_many(grok, df, col, [(out_col, pattern, condition)])
+
+
+def grok_parse_many(
+    grok: Grok,
+    df: "DataFrame",
+    col: Column | str,
+    specs: list[tuple[str, "str | CompiledPattern", Column | None]],
+) -> "DataFrame":
+    """Parse one line column under several patterns in THREE projections
+    total (raw -> array -> structs), however many patterns there are.
+
+    A per-pattern withColumn chain costs one analysis pass over an
+    ever-growing plan per call (driver-side seconds for a 6-pattern
+    pipeline) and nests 3N projections; batching keeps plan depth and
+    analysis cost constant in the number of patterns.
+    """
+    line = F.col(col) if isinstance(col, str) else col
+    base_cols = list(df.columns)
+    raws, arrs, structs = [], [], []
+    for out_col, pattern, condition in specs:
+        cp = _resolve(grok, pattern)
+        # Reluctant prefix = leftmost match, same as an unanchored
+        # search; (?s) keeps the wrapper safe for embedded newlines.
+        wrapped = "(?s)^.*?(?:" + cp.regex + ").*$"
+        repl = _SENTINEL + _SEP.join(f"${c.group}" for c in cp.fields)
+        raw = F.regexp_replace(line, wrapped, repl)
+        if condition is not None:
+            raw = F.when(condition, raw)
+        raws.append(raw.alias(f"__graw_{out_col}"))
+        arrs.append(
+            F.when(
+                F.col(f"__graw_{out_col}").startswith(_SENTINEL),
+                F.split(
+                    F.expr(f"substring(__graw_{out_col}, 2)"), _SEP, -1
+                ),
+            ).alias(f"__garr_{out_col}")
+        )
+        fields = []
+        for i, c in enumerate(cp.fields):
+            e = F.element_at(F.col(f"__garr_{out_col}"), i + 1)
+            if c.type == "int":
+                e = e.try_cast("int")
+            elif c.type == "float":
+                e = e.try_cast("double")
+            fields.append(e.alias(c.name))
+        structs.append(
+            F.when(
+                F.col(f"__garr_{out_col}").isNotNull(), F.struct(*fields)
+            ).alias(out_col)
+        )
+    df = df.select("*", *raws)
+    df = df.select("*", *arrs)
+    quoted = [F.col(f"`{c}`") for c in base_cols]
+    return df.select(*quoted, *structs)
 
 
 def grok_parse_pandas(

@@ -59,9 +59,17 @@ def tokens(col: Column) -> Column:
     return F.array_distinct(F.split(normalized_text(col), " "))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the MinHash input unit)."""
-    toks = F.split(normalized_text(col), " ")
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the MinHash input unit) from a
+    token-array column.
+
+    IMPORTANT: pass a *materialized* token column (a prior projection's
+    attribute), not an inline ``split(normalize(...))`` expression —
+    this expression references ``toks`` ~array-size times, and Catalyst
+    inlines (re-evaluates) non-attribute subexpressions at every
+    reference site, turning O(W) into O(W * regex) per row (measured
+    20x slowdown). ``minhash_signatures`` stages the projections
+    correctly."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(
@@ -91,12 +99,23 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """id + mh0..mh{n-1} signature columns, computed map-side (no
-    shuffle; the heavy regex/hash work stays in codegen)."""
-    sh = word_shingles(F.col(text_col), shingle_n).alias("__sh")
-    out = df.select(F.col(id_col), sh)
-    for i in range(n_hashes):
-        out = out.withColumn(f"mh{i}", minhash_signature(F.col("__sh"), i))
-    return out.drop("__sh")
+    shuffle; the heavy regex/hash work stays in codegen).
+
+    Three staged projections (tokens -> shingles -> signatures) so each
+    expensive intermediate is an attribute computed once per row; the
+    multi-reference aliases block Catalyst's CollapseProject from
+    inlining them back into every use site."""
+    out = df.select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
+    )
+    out = out.select(
+        F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("__sh")
+    )
+    return out.select(
+        F.col(id_col),
+        *[minhash_signature(F.col("__sh"), i).alias(f"mh{i}") for i in range(n_hashes)],
+    )
 
 
 def lsh_band_keys(sig_df: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
@@ -120,17 +139,25 @@ def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, n_hashes: int = 8, band_size: int = 2
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing at least one full
-    band. Shuffle cost: band-key tuples only; the self-join happens
-    per bucket, so skew is bounded by bucket size, not corpus size."""
+    band.
+
+    Shape chosen for scale: groupBy band key -> in-bucket pair
+    expansion, NOT a self-join. A self-join would evaluate the whole
+    signature pipeline twice (once per join side) and shuffle it twice;
+    here signatures are computed once, ONE shuffle moves (band_key, id)
+    tuples, and pair blow-up is bounded by bucket size (quadratic only
+    within a bucket — the premise of LSH banding). The final distinct
+    dedups pairs that collide in several bands."""
     banded = lsh_band_keys(sig_df, n_hashes, band_size)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_key")
     return (
-        a.join(b, ["band_id", "band_key"])
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -145,12 +172,13 @@ def jaccard(a: Column, b: Column, ndigits: int = 4) -> Column:
     )
 
 
-def simhash_bits(col: Column, n_bits: int = 16) -> Column:
-    """SimHash as a bit string: bit b is the sign of the vote sum over
+def simhash_bits(toks: Column, n_bits: int = 16) -> Column:
+    """SimHash as a bit string from a *materialized* token-array column
+    (see word_shingles on why an inline expression here re-evaluates
+    normalization once per bit): bit b is the sign of the vote sum over
     tokens, where token t votes +1 iff md5('b{b}:'+t) starts below
     '8' (a portable unbiased coin — no engine-specific 64-bit hash
     needed, so the oracle can replay it)."""
-    toks = tokens(col)
     bits = []
     for b in range(n_bits):
         vote = F.aggregate(

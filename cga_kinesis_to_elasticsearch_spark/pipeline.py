@@ -17,7 +17,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from .grok import Grok, default_grok, grok_struct
+from .grok import Grok, default_grok
+from .grok.spark import grok_parse_many
 from .operators.computed import with_computed_columns
 from .operators.enrichment import enrich
 from .operators.routing import ROUTE_TABLE, filter_log_messages, route
@@ -83,11 +84,17 @@ def run_pipeline(
         }
     )
     line = F.col("log_message.message")
-    for p in patterns_in_use:
-        df = df.withColumn(
-            f"parsed_{p.lower()}",
-            F.when(F.col("grok_pattern") == p, grok_struct(g, line, p)),
-        )
+    # single-pass parse (one regex eval/row, grok_parse_many) gated per
+    # row on the pattern the route switch assigned; 3 projections total
+    df = grok_parse_many(
+        g,
+        df,
+        line,
+        [
+            (f"parsed_{p.lower()}", p, F.col("grok_pattern") == p)
+            for p in patterns_in_use
+        ],
+    )
 
     # F3: identifiability — app_id from the envelope, else the
     # ROUTERACCESS rtr_app_id capture when that route is live

@@ -20,6 +20,18 @@ from ..operators import similarity as S
 from ..operators import text as T
 from .declared import QUERY_REGISTRY, _t, q
 
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and spread it across the cluster before heavy
+    per-row compute. The driver's documents/embeddings parquet is one
+    tiny row group -> one input partition; without this, every md5 /
+    shingle / cosine below runs on a single core. At real scale inputs
+    arrive pre-partitioned and this hash repartition is a no-op choice;
+    keying on the stable id keeps the layout deterministic."""
+    df = _t(spark, sf_dir, name)
+    key = "doc_id" if "doc_id" in df.columns else df.columns[0]
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
 # --- shared SQL fragments --------------------------------------------------
 
 # normalized_text() in SQL (dedup.normalized_text)
@@ -69,7 +81,7 @@ def _minhash_sql(shingles: str, seed: int) -> str:
     """,
 )
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return D.exact_dedup(docs, "text", "doc_id")
 
 
@@ -78,7 +90,7 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT doc_id, md5({_norm_sql('text')}) AS fingerprint FROM documents",
 )
 def _dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return T.fingerprint(docs, "text", "doc_id")
 
 
@@ -95,7 +107,7 @@ _MH_N = 4
     + " FROM documents",
 )
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return D.minhash_signatures(docs, "text", "doc_id", n_hashes=_MH_N)
 
 
@@ -120,7 +132,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, "text", "doc_id", n_hashes=_MH_N)
     return D.lsh_candidate_pairs(sig, "doc_id", n_hashes=_MH_N, band_size=2)
 
@@ -142,7 +154,7 @@ def _minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = docs.select("doc_id", D.tokens(F.col("text")).alias("toks"))
     a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
     b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
@@ -176,9 +188,10 @@ def _simhash_bit_sql(toks: str, b: int) -> str:
     + " AS simhash FROM t",
 )
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", D.simhash_bits(F.col("text"), _SIMHASH_BITS).alias("simhash")
+    docs = _tp(spark, sf_dir, "documents")
+    t = docs.select("doc_id", D.tokens(F.col("text")).alias("__toks"))
+    return t.select(
+        "doc_id", D.simhash_bits(F.col("__toks"), _SIMHASH_BITS).alias("simhash")
     )
 
 
@@ -208,7 +221,7 @@ _TOPK = 5
     """,
 )
 def _embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(emb, queries, k=_TOPK)
 
@@ -225,7 +238,7 @@ def _bucket_sql(col: str = "embedding") -> str:
     f"SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings",
 )
 def _embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return S.lsh_buckets(emb)
 
 
@@ -250,7 +263,7 @@ def _embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.lsh_topk(emb, queries, k=_TOPK)
 
@@ -272,7 +285,7 @@ def _embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return T.token_stats(docs, "text", "doc_id")
 
 
@@ -302,7 +315,7 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in T.STOPWORDS)
     """,
 )
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return T.quality_score(docs, "text", "doc_id")
 
 
@@ -333,7 +346,7 @@ _LANG_SCORES, _LANG_CASE = _lang_scores_sql()
     """,
 )
 def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return T.lang_id(docs, "text", "doc_id")
 
 
@@ -346,7 +359,7 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return T.bpe_ish_token_count(docs, "text", "doc_id")
 
 
@@ -362,7 +375,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     this container)."""
     from ..operators import multimodal as M
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     with_media = M.attach_binary(docs.select("doc_id", "text"), "text")
     feats = M.extract_features(with_media)
     return feats.select(
@@ -385,7 +398,12 @@ def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_envelopes,
     )
 
-    records = synthesize_envelopes(spark, sf_dir)
+    # The driver's events.parquet is one row group -> one partition; a
+    # real Kinesis source delivers one partition per shard. Spread the
+    # raw rows pre-synthesis so the grok/enrich hot path uses every core.
+    records = synthesize_envelopes(
+        spark, sf_dir, partitions=spark.sparkContext.defaultParallelism
+    )
     dim = flatten_dimensions(*synthesize_cf_dimensions(spark))
     cfg = PipelineConfig(allowed_origins=ALLOWED_ORIGINS, enable_disabled_routes=True)
     docs = run_pipeline(records, dim, cfg)

@@ -36,7 +36,9 @@ def _guid(n) -> "F.Column":
     return F.concat(F.lit(GUID_PREFIX), F.lpad(n.cast("string"), 12, "0"))
 
 
-def synthesize_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synthesize_envelopes(
+    spark: SparkSession, sf_dir: str, partitions: int | None = None
+) -> DataFrame:
     """events.parquet -> RECORD_SCHEMA-shaped DataFrame.
 
     Row mix by event_id % 10 (FIXTURES.md A1 coverage matrix):
@@ -55,6 +57,12 @@ def synthesize_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..io import load_table
 
     ev = load_table(spark, sf_dir, "events")
+    if partitions:
+        # The driver's events.parquet is ONE row group -> one scan
+        # task. Shuffle the narrow raw columns FIRST so the envelope
+        # synthesis below (format_string et al.) runs on every core;
+        # shuffling after synthesis would leave it single-threaded.
+        ev = ev.repartition(partitions, "event_id")
     arm = F.col("event_id") % 10
     # event_id spans the full range at every SF (user_id does not):
     # indices 40..49 have no dim row -> unknown-app path
@@ -167,8 +175,16 @@ def synthesize_cf_dimensions(
             orgs.append((env, f"{GUID_PREFIX}{o + 200:012d}", f"org-{env}-{o}"))
     from ..schemas import CF_APPS_SCHEMA, CF_ORGS_SCHEMA, CF_SPACES_SCHEMA
 
+    # parallelize(.., 1): createDataFrame slices a local list across
+    # defaultParallelism partitions; for a few-hundred-row dimension
+    # that schedules 32 near-empty Python tasks per stage of the
+    # flatten join — and the subtree re-executes inside every broadcast
+    # build. One explicit slice = one task per broadcast refresh.
+    # (coalesce(1) is NOT equivalent: it merges the 32 Python slice
+    # evaluations into one task and runs ~10x slower.)
+    sc = spark.sparkContext
     return (
-        spark.createDataFrame(apps, CF_APPS_SCHEMA),
-        spark.createDataFrame(spaces, CF_SPACES_SCHEMA),
-        spark.createDataFrame(orgs, CF_ORGS_SCHEMA),
+        spark.createDataFrame(sc.parallelize(apps, 1), CF_APPS_SCHEMA),
+        spark.createDataFrame(sc.parallelize(spaces, 1), CF_SPACES_SCHEMA),
+        spark.createDataFrame(sc.parallelize(orgs, 1), CF_ORGS_SCHEMA),
     )
