@@ -38,6 +38,7 @@ __all__ = [
     "grok_schema",
     "grok_parse_into",
     "grok_parse_many",
+    "grok_multimap",
     "grok_parse_pandas",
     "duckdb_exprs",
 ]
@@ -193,6 +194,46 @@ def grok_parse_many(
     df = df.select("*", *arrs)
     quoted = [F.col(f"`{c}`") for c in base_cols]
     return df.select(*quoted, *structs)
+
+
+def grok_multimap(
+    grok: Grok,
+    df: "DataFrame",
+    col: Column | str,
+    pattern: str | CompiledPattern,
+    suffix: str = "_values",
+) -> "DataFrame":
+    """G6 (grok ParseToMultiMap, grok.go:264-283): duplicate capture
+    names accumulate. Appends one ``<name><suffix>`` ARRAY<STRING>
+    column per distinct capture name, values in textual order; NULL
+    arrays on non-match. Same single-pass regexp_replace trick as
+    grok_parse_many, over ALL captures (duplicates included)."""
+    cp = _resolve(grok, pattern)
+    line = F.col(col) if isinstance(col, str) else col
+    wrapped = "(?s)^.*?(?:" + cp.regex + ").*$"
+    repl = _SENTINEL + _SEP.join(f"${c.group}" for c in cp.captures)
+    df = df.withColumn("__graw", F.regexp_replace(line, wrapped, repl))
+    df = df.withColumn(
+        "__garr",
+        F.when(
+            F.col("__graw").startswith(_SENTINEL),
+            F.split(F.expr("substring(__graw, 2)"), _SEP, -1),
+        ),
+    )
+    by_name: dict[str, list[int]] = {}
+    for i, c in enumerate(cp.captures):
+        by_name.setdefault(c.name, []).append(i + 1)
+    outs = [
+        F.when(
+            F.col("__garr").isNotNull(),
+            F.array(*[F.element_at(F.col("__garr"), i) for i in idxs]),
+        ).alias(name + suffix)
+        for name, idxs in by_name.items()
+    ]
+    return df.select(
+        *[F.col(f"`{c}`") for c in df.columns if c not in ("__graw", "__garr")],
+        *outs,
+    )
 
 
 def grok_parse_pandas(

@@ -21,7 +21,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
-__all__ = ["cosine_similarity", "cosine_topk", "lsh_buckets", "lsh_topk", "LSH_PAIRS"]
+__all__ = [
+    "cosine_similarity",
+    "cosine_topk",
+    "lsh_buckets",
+    "lsh_topk",
+    "ivf_cells",
+    "ivf_topk",
+    "LSH_PAIRS",
+]
 
 # Fixed coordinate pairs for the sign-bit sketch (deterministic; chosen
 # spread across the 64-dim embedding space).
@@ -106,6 +114,79 @@ def lsh_buckets(
         for i, j in pairs
     ]
     return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+
+
+def ivf_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF cell assignment: (id, cell_id, cell_rank<=nprobe) by cosine
+    to the (broadcast) centroid set; ties broken by centroid id.
+
+    The scale path of an IVF index: centroids are tiny (broadcast), the
+    corpus streams through one narrow pass; the downstream candidate
+    join is per-cell, so search cost divides by #cells. Centroid
+    *training* (k-means) is out of scope here — any fixed snapshot
+    works, and the assignment/probe machinery is identical.
+    """
+    cen = centroids.select(
+        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("__cen")
+    )
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    sim = cosine_similarity(F.col("__v"), F.col("__cen"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cell_id"))
+    return (
+        v.crossJoin(broadcast(cen))
+        .select(id_col, "cell_id", sim.alias("__csim"))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(id_col, "cell_id", "cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via inverted-file probing: corpus vectors live
+    in their nearest cell; each query probes its ``nprobe`` nearest
+    cells and ranks only those candidates. (query_id, vec_id, sim, rank)."""
+    c_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        id_col, "cell_id"
+    )
+    q_cells = ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "cell_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")).join(
+        c_cells, id_col
+    )
+    # each corpus vector lives in exactly one cell (nprobe=1 above) and
+    # the query's probed cells are distinct, so (query_id, vec_id)
+    # pairs are already unique — no dedup shuffle needed
+    cand = (
+        c.join(broadcast(q_cells), "cell_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, "__cv")
+    )
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.join(broadcast(q), "query_id")
+        .select("query_id", id_col, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def lsh_topk(

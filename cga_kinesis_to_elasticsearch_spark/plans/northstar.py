@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as T
-from .declared import QUERY_REGISTRY, _t, q
+from .declared import QUERY_REGISTRY, _GROK, _t, q
 
 
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -268,6 +268,55 @@ def _embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, queries, k=_TOPK)
 
 
+_IVF_NCENT = 8
+_IVF_NPROBE = 2
+
+
+@q(
+    "embedding_ivf_topk",
+    f"""
+    WITH cen AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + _IVF_NCENT}),
+    asgn AS (
+      SELECT vec_id, cell_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(list_cosine_similarity(v, cv), 4) DESC,
+                                         cell_id ASC) AS cell_rank
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      CROSS JOIN cen),
+    c_cells AS (SELECT vec_id, cell_id FROM asgn WHERE cell_rank = 1),
+    q_cells AS (SELECT vec_id AS query_id, cell_id FROM asgn
+                WHERE cell_rank <= {_IVF_NPROBE} AND vec_id < {_N_QUERIES}),
+    cand AS (
+      SELECT q.query_id, c.vec_id
+      FROM c_cells c JOIN q_cells q ON c.cell_id = q.cell_id
+      WHERE q.query_id <> c.vec_id),
+    sims AS (
+      SELECT cand.query_id, cand.vec_id,
+             round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                          ce.embedding::DOUBLE[]), 4) AS sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM sims)
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {_TOPK}
+    """,
+)
+def _embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: fixed centroid snapshot (vec_ids 100..107 stand in
+    for a trained codebook), nprobe=2 cell probing, per-cell candidate
+    join — the cost divides by #cells at scale."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _IVF_NCENT)
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(emb, queries, centroids, k=_TOPK, nprobe=_IVF_NPROBE)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -361,6 +410,59 @@ def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     return T.bpe_ish_token_count(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Grok multimap (G6) + opt-out flag (F6) parity extras
+# ---------------------------------------------------------------------------
+
+_GROK.add_pattern("TRIWORD", r"^%{WORD:w} %{WORD:w} %{WORD:w}")
+_TRIWORD_RX = _GROK.compile("TRIWORD").regex.replace("'", "''")
+
+
+@q(
+    "grok_multimap_words",
+    f"""
+    SELECT doc_id,
+           [struct_extract(r, 'w1'), struct_extract(r, 'w2'),
+            struct_extract(r, 'w3')] AS w_values
+    FROM (SELECT doc_id,
+                 regexp_extract(text, '{_TRIWORD_RX}', ['w1','w2','w3']) AS r
+          FROM documents
+          WHERE regexp_matches(text, '{_TRIWORD_RX}'))
+    """,
+)
+def _grok_multimap_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 (ParseToMultiMap, grok.go:264-283): duplicate capture names
+    accumulate into an array instead of last-wins."""
+    from ..grok.spark import grok_match, grok_multimap
+
+    docs = _tp(spark, sf_dir, "documents")
+    matched = docs.filter(grok_match(_GROK, F.col("text"), "TRIWORD"))
+    return grok_multimap(_GROK, matched, "text", "TRIWORD").select(
+        "doc_id", "w_values"
+    )
+
+
+@q(
+    "optout_flag_json",
+    """
+    SELECT event_id,
+           coalesce(json_extract_string(props, '$.k'), '') = '20' AS opted_out
+    FROM events
+    """,
+)
+def _optout_flag_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (IgnoredApp, caching_lazyfill.go:21-23): a flag computed from
+    a JSON env blob by key lookup — here over events.props, the same
+    environment_json["F2S_DISABLE_LOGGING"]=="true" shape."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (
+            F.coalesce(F.get_json_object("props", "$.k"), F.lit("")) == "20"
+        ).alias("opted_out"),
+    )
 
 
 # ---------------------------------------------------------------------------
