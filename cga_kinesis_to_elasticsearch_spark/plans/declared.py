@@ -641,3 +641,28 @@ def _tumbling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "event_type",
     ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@q(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS side, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS side, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def _semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS) — absent from
+    the reference (SURVEY §2.11), free on the Spark surface."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    cond = c.c_custkey == F.col("o_custkey")
+    semi = c.join(o, cond, "left_semi").agg(F.count("*").alias("n")).select(
+        F.lit("with_orders").alias("side"), "n"
+    )
+    anti = c.join(o, cond, "left_anti").agg(F.count("*").alias("n")).select(
+        F.lit("without_orders").alias("side"), "n"
+    )
+    return semi.unionAll(anti)
