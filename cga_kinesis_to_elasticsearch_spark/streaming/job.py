@@ -35,7 +35,63 @@ from ..pipeline import PipelineConfig, run_pipeline
 from ..sinks.bulk import ParquetIndexSink
 from ..sources.records import decode_records
 
-__all__ = ["StreamConfig", "StreamMetrics", "run_stream"]
+__all__ = [
+    "StreamConfig",
+    "StreamMetrics",
+    "ObservedCounters",
+    "run_stream",
+]
+
+
+class ObservedCounters:
+    """A1 via the Spark-native path: ``df.observe`` on the source +
+    a StreamingQueryListener reading ``progress.observedMetrics`` —
+    per-batch record counts with zero extra actions (the metric rides
+    the existing job). Complements StreamMetrics (which counts the
+    pipeline's sent/error outcomes inside foreachBatch).
+
+    Use: ``listener = ObservedCounters.install(spark)``; pass
+    ``observe_records=True`` to run_stream; read
+    ``listener.records_in``. Remove with ``uninstall``.
+    """
+
+    OBSERVATION = "records_in"
+
+    def __init__(self) -> None:
+        self.records_in = 0
+        self._listener = None
+
+    @classmethod
+    def install(cls, spark: SparkSession) -> "ObservedCounters":
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self = cls()
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(inner, event) -> None:  # noqa: N805
+                pass
+
+            def onQueryProgress(inner, event) -> None:  # noqa: N805
+                om = event.progress.observedMetrics
+                row = om.get(cls.OBSERVATION)
+                if row is not None:
+                    self.records_in += row["n"] or 0
+
+            def onQueryIdle(inner, event) -> None:  # noqa: N805
+                pass
+
+            def onQueryTerminated(inner, event) -> None:  # noqa: N805
+                pass
+
+        self._listener = _L()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+        return self
+
+    def uninstall(self) -> None:
+        if self._listener is not None:
+            self._spark.streams.removeListener(self._listener)
+            self._listener = None
 
 
 @dataclass
@@ -73,6 +129,7 @@ def run_stream(
     sink: ParquetIndexSink,
     cfg: StreamConfig,
     metrics: StreamMetrics | None = None,
+    observe_records: bool = False,
 ):
     """Start the streaming query; returns (query, metrics).
 
@@ -82,6 +139,10 @@ def run_stream(
     dimension snapshot (operators.enrichment.flatten_dimensions).
     """
     m = metrics if metrics is not None else StreamMetrics()
+    if observe_records:
+        raw_stream = raw_stream.observe(
+            ObservedCounters.OBSERVATION, F.count(F.lit(1)).alias("n")
+        )
     batch_counter = {"n": 0}
 
     def process_batch(raw: DataFrame, batch_id: int) -> None:
