@@ -175,6 +175,21 @@ class Grok:
             if name and body:
                 self.add_pattern(name, body)
 
+    def add_patterns_from_path(self, path: "str | object") -> int:
+        """Load every pattern file under a directory (or a single file)
+        — the PatternsDir surface (grok.go:150-184; AddPatternsFromPath
+        walks the dir and parses ``NAME regex`` lines). Returns the
+        number of files loaded."""
+        from pathlib import Path as _P
+
+        p = _P(str(path))
+        files = sorted(f for f in p.rglob("*") if f.is_file()) if p.is_dir() else [p]
+        if not files or not p.exists():
+            raise GrokError(f"no pattern files at {p}")
+        for f in files:
+            self.add_patterns_from_text(f.read_text())
+        return len(files)
+
     def pattern_names(self) -> list[str]:
         return sorted(self._lib)
 

@@ -38,6 +38,8 @@ __all__ = [
     "decode_image",
     "fake_decode_features",
     "extract_features",
+    "resize_media",
+    "sample_frames",
 ]
 
 MEDIA_META_SCHEMA = StructType(
@@ -128,6 +130,76 @@ def extract_features(
 
         for pdf in batches:
             pdf["media_features"] = pdf[media_col].map(feats)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+) -> DataFrame:
+    """Resize stage: rewrites ``media`` and stamps the new dimensions
+    into ``media_meta``. The pixel work is STUBBED deterministically
+    (payload truncated/padded to width*height bytes — a stand-in with
+    the same bytes->bytes contract a PIL/cv2 resize has); the Spark
+    plumbing (mapInPandas batch shape, schema preservation, meta
+    update) is the real surface.
+    """
+    schema = df.schema
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        target = width * height
+
+        def rz(p: Any) -> bytes:
+            payload = bytes(p) if p is not None else b""
+            if len(payload) >= target:
+                return payload[:target]
+            return payload + b"\x00" * (target - len(payload))
+
+        for pdf in batches:
+            pdf[media_col] = pdf[media_col].map(rz)
+            pdf["media_meta"] = pdf["media_meta"].map(
+                lambda meta: {
+                    **(dict(meta) if meta is not None else {}),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": target,
+                }
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    media_col: str = "media",
+    out_col: str = "frames",
+) -> DataFrame:
+    """Frame-sampling stage for video payloads: emits ``out_col`` as
+    ARRAY<BINARY>, one entry per sampled frame. Sampling is uniform
+    over the payload (deterministic byte-slice stand-in for a real
+    keyframe decoder — same contract: bytes -> K frame blobs)."""
+    from pyspark.sql.types import BinaryType
+
+    schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(BinaryType()))]
+    )
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        def frames(p: Any) -> list[bytes]:
+            payload = bytes(p) if p is not None else b""
+            if not payload:
+                return []
+            step = max(1, len(payload) // n_frames)
+            return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+        for pdf in batches:
+            pdf[out_col] = pdf[media_col].map(frames)
             yield pdf
 
     return df.mapInPandas(run, schema)

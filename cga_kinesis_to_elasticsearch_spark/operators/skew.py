@@ -1,0 +1,72 @@
+"""Skew-aware aggregation: two-phase salted groupBy.
+
+At 100 TB a handful of hot keys (one chatty app, one route class) can
+pin a groupBy's shuffle on a single reducer. AQE splits skewed JOIN
+partitions but a skewed AGGREGATION key still lands on one task unless
+the map side pre-splits it. The classic fix: salt the key into S
+sub-keys, aggregate partially per (key, salt), then aggregate the S
+partials — two small shuffles instead of one stuck one.
+
+Results are EXACTLY equal to the unsalted groupBy for any
+decomposable aggregate (sum/count/min/max); the declared query's
+oracle is therefore the plain GROUP BY.
+
+The salt is deterministic (hash of a stable column mod S, not rand())
+so replays and retries stay idempotent and the DuckDB oracle can
+reproduce intermediate states if ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["salted_agg"]
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_col: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over ``key_cols``.
+
+    ``aggs``: output_name -> (function, input_col) with function in
+    {sum, count, min, max} (the decomposable set; avg = sum/count at
+    the call site).
+    ``salt_col``: any stable, roughly-uniform column (an id, a
+    sequence number) — hashed mod ``n_salts`` for the phase-1 split.
+    """
+    salt = (
+        F.abs(F.hash(F.col(salt_col) if isinstance(salt_col, str) else salt_col))
+        % n_salts
+    )
+
+    phase1_exprs = []
+    phase2_exprs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "sum":
+            phase1_exprs.append(F.sum(col).alias(f"__p_{out}"))
+            phase2_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "count":
+            phase1_exprs.append(F.count(col).alias(f"__p_{out}"))
+            phase2_exprs.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            phase1_exprs.append(F.min(col).alias(f"__p_{out}"))
+            phase2_exprs.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            phase1_exprs.append(F.max(col).alias(f"__p_{out}"))
+            phase2_exprs.append(F.max(f"__p_{out}").alias(out))
+        else:
+            raise ValueError(
+                f"non-decomposable aggregate {fn!r}; salted_agg supports "
+                "sum/count/min/max"
+            )
+
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(*phase1_exprs)
+    )
+    return partial.groupBy(*key_cols).agg(*phase2_exprs)

@@ -666,3 +666,52 @@ def _semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("without_orders").alias("side"), "n"
     )
     return semi.unionAll(anti)
+
+
+@q(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def _salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (operators/skew.py):
+    identical results to the plain GROUP BY oracle, but hot keys split
+    across 16 sub-aggregations before the final combine."""
+    from ..operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("count", "event_id"), "__sum_value": ("sum", "value")},
+        salt_col="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n", F.round("__sum_value", 2).alias("total_value")
+    )
+
+
+@q(
+    "windowed_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def _windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-ready windowed aggregation (streaming/windows.py)
+    run in batch mode — same code path Structured Streaming executes
+    with withWatermark, degenerate to date_trunc bucketing here."""
+    from ..streaming.windows import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_counts(ev, ts_col="ts", key_col="event_type")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )

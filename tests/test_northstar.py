@@ -279,3 +279,48 @@ class TestProperties:
         ).collect()
         for r in rows:
             assert r.got == pytest.approx(r.expected, abs=1e-9)
+
+
+class TestMultimodalStages:
+    def test_resize_rewrites_payload_and_meta(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators import multimodal as MM
+
+        df = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "xy")], "doc_id int, payload string"
+        )
+        out = MM.resize_media(MM.attach_binary(df, "payload"), width=2, height=3)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(bytes(rows[1].media)) == 6  # truncated
+        assert len(bytes(rows[2].media)) == 6  # zero-padded
+        assert rows[1].media_meta["width"] == 2
+        assert rows[1].media_meta["height"] == 3
+        assert rows[1].media_meta["n_bytes"] == 6
+        assert rows[1].media_meta["media_type"] == "image"  # preserved
+
+    def test_sample_frames_uniform(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators import multimodal as MM
+
+        df = spark.createDataFrame([(1, "abcdefgh"), (2, "")], "doc_id int, p string")
+        out = MM.sample_frames(MM.attach_binary(df, "p", media_type="video"), 4)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert [bytes(f) for f in rows[1].frames] == [b"ab", b"cd", b"ef", b"gh"]
+        assert rows[2].frames == []
+
+
+class TestGrokPatternPath:
+    def test_load_directory(self, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.grok import Grok
+
+        (tmp_path / "a.grok").write_text("MYWORD \\w+\n# comment\n")
+        (tmp_path / "b.grok").write_text("MYLINE %{MYWORD:first} rest\n")
+        g = Grok()
+        assert g.add_patterns_from_path(tmp_path) == 2
+        cp = g.compile("MYLINE")
+        assert cp.parse("hello rest") == {"first": "hello"}
+
+    def test_missing_path_raises(self, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.grok import Grok
+        from cga_kinesis_to_elasticsearch_spark.grok.compiler import GrokError
+
+        with pytest.raises(GrokError):
+            Grok().add_patterns_from_path(tmp_path / "nope")
