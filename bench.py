@@ -35,6 +35,8 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash_docs",
     "embedding_cosine_topk",
+    "embedding_ivf_topk",
+    "salted_hot_key_agg",
     "text_quality",
 ]
 

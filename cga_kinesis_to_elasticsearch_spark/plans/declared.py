@@ -715,3 +715,20 @@ def _windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+@q("approx_distinct_users", None)
+def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (absent from the reference, SURVEY §2.11):
+    HLL++ distinct-user counts per event type. No SQL oracle — DuckDB's
+    approx_count_distinct uses a different sketch; rows-only here, and
+    tests/test_sql_surface.py asserts <5% relative error vs exact."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
