@@ -135,7 +135,7 @@ _MATCH_RX = _GROK.compile("%{WORD} (join|scan)").regex
     f"""
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN regexp_matches(text, '{_MATCH_RX}') THEN 1 ELSE 0 END) AS n_match
+           CAST(sum(CASE WHEN regexp_matches(text, '{_MATCH_RX}') THEN 1 ELSE 0 END) AS BIGINT) AS n_match
     FROM documents GROUP BY lang
     """,
 )
@@ -602,7 +602,7 @@ def _distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
 )
@@ -731,4 +731,114 @@ def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@q(
+    "asof_last_click",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, epoch_ms(ts) AS ts_ms FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, c.ts_ms AS asof_ts_ms
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def _asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for each purchase, the latest
+    click by the same user at or before it — union-sort formulation,
+    one key shuffle, no pair blow-up. Oracle: DuckDB's native ASOF
+    LEFT JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ts_ms")
+    )
+    out = asof_join(
+        probes, clicks, key="user_id", probe_ts="ts", event_ts="ts",
+        value_cols=["ts_ms"],
+    )
+    return out.select("event_id", "user_id", F.col("asof_ts_ms"))
+
+
+@q(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_linestatus
+    """,
+)
+def _q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: join + conditional aggregation (CASE inside
+    SUM compiles to map-side partial aggregates — no extra pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q14_promo_revenue_share",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def _q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: broadcast dim join + conditional revenue ratio."""
+    from pyspark.sql.functions import broadcast
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+    return (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
+        )
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    HAVING sum(l_quantity) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: agg + HAVING + global top-k (TakeOrderedAndProject
+    — no full sort materialization)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
     )
