@@ -842,3 +842,44 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
     )
+
+
+@q(
+    "range_join_ship_windows",
+    """
+    WITH iv AS (
+      SELECT o_orderkey,
+             epoch(o_orderdate) AS w_start,
+             epoch(o_orderdate) + 3 * 86400 AS w_end
+      FROM orders WHERE o_orderkey % 997 = 0)
+    SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey,
+           CAST(epoch(l.l_shipdate) AS BIGINT) AS ship_epoch
+    FROM lineitem l JOIN iv
+      ON epoch(l.l_shipdate) >= iv.w_start AND epoch(l.l_shipdate) <= iv.w_end
+    """,
+)
+def _range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): lineitems shipped inside a
+    3-day window after sampled orders — bucketed-bin equi-join instead
+    of the quadratic inequality join the oracle runs."""
+    from ..operators.rangejoin import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_timestamp("l_shipdate").alias("ship_epoch"),
+    )
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("w_start"),
+            (F.unix_timestamp("o_orderdate") + 3 * 86400).alias("w_end"),
+        )
+    )
+    out = range_join(
+        li, iv, point_col="ship_epoch", start_col="w_start", end_col="w_end",
+        bin_width=4 * 86400,
+    )
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey", "ship_epoch")
