@@ -883,3 +883,39 @@ def _range_join_ship_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=4 * 86400,
     )
     return out.select("l_orderkey", "l_linenumber", "o_orderkey", "ship_epoch")
+
+
+@q(
+    "session_window_stats",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def _session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in F.session_window (gap 30 min) — the Catalyst-native
+    session operator (streams unchanged with a watermark); oracle is
+    the classic gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )

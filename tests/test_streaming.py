@@ -209,3 +209,52 @@ class TestSinkLayoutAndRetention:
         assert sink.indices() == [i for i in idx if i[-10:] >= newest]
         for i in dropped:
             assert not (sink.root / "_mappings" / f"{i}.json").exists()
+
+
+class TestResumeWithNewData:
+    def test_restart_processes_only_new_files(
+        self, spark, dim, streamed, tmp_path
+    ):
+        """S2: after a restart with the same checkpoint, only
+        newly-arrived files are read; already-committed offsets are
+        skipped (the AFTER_SEQUENCE_NUMBER resume, consumer.go:149-169)."""
+        import pyspark.sql.functions as F
+
+        sink, metrics, cfg, ck, fixture_dir = streamed
+        before_docs = sink.read_index(spark).count()
+        sent_before = metrics.sent_count
+        # new arrivals: clone a small slice of records with fresh
+        # sequence numbers (fresh doc ids)
+        new = (
+            spark.read.parquet(fixture_dir)
+            .filter(F.col("sequence_number").rlike("^[0-9]+$"))
+            .limit(40)
+            .withColumn(
+                "sequence_number",
+                F.concat(F.lit("resume-"), F.col("sequence_number")),
+            )
+        )
+        new.coalesce(1).write.mode("append").parquet(fixture_dir)
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            read_raw_record_stream,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+
+        query, _ = run_stream(
+            spark,
+            read_raw_record_stream(spark, fixture_dir),
+            lambda s: dim,
+            sink,
+            StreamConfig(
+                checkpoint_location=ck, available_now=True, pipeline=cfg.pipeline
+            ),
+            metrics,
+        )
+        drain(query)
+        newly_sent = metrics.sent_count - sent_before
+        assert 0 < newly_sent <= 40  # only the new records, not a replay
+        assert sink.read_index(spark).count() == before_docs + newly_sent
