@@ -258,3 +258,66 @@ class TestResumeWithNewData:
         newly_sent = metrics.sent_count - sent_before
         assert 0 < newly_sent <= 40  # only the new records, not a replay
         assert sink.read_index(spark).count() == before_docs + newly_sent
+
+
+class TestErrorReplay:
+    def test_fixed_payloads_replay_into_index(
+        self, spark, records, dim, tmp_path
+    ):
+        """Poison rows whose payloads later turn out valid are indexed
+        by replay_errors; truly-corrupt rows stay parked."""
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            encode_records,
+            read_raw_record_stream,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.replay import (
+            replay_errors,
+        )
+
+        d = tmp_path / "raw"
+        # mangle 30 valid payloads so they fail decode on first pass:
+        # prepend junk that a "fixed decoder" — here, nothing, they stay
+        # broken — plus 5 rows that are valid-but-misrouted to errors
+        good_subset = encode_records(records.limit(30))
+        broken = good_subset.withColumn(
+            "data",
+            F.concat(F.lit(b"\x00junk"), F.col("data")),
+        )
+        broken.coalesce(1).write.mode("append").parquet(str(d))
+        sink_dir = tmp_path / "sink"
+        sink = __import__(
+            "cga_kinesis_to_elasticsearch_spark.sinks.bulk", fromlist=["b"]
+        ).ParquetIndexSink(sink_dir)
+        cfg = StreamConfig(
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+        )
+        query, metrics = run_stream(
+            spark, read_raw_record_stream(spark, str(d)), lambda s: dim, sink, cfg
+        )
+        drain(query)
+        assert metrics.errors_count == 30
+        assert metrics.sent_count == 0
+        # "fix" the payloads in the bucket: strip the junk prefix
+        errs = spark.read.parquet(str(sink.root / "_errors"))
+        fixed = errs.withColumn(
+            "data", F.expr("substring(data, 6, 10000000)")
+        )
+        fixed_pd = fixed.toPandas()  # materialize BEFORE clobbering source
+        import shutil
+
+        shutil.rmtree(sink.root / "_errors")
+        spark.createDataFrame(fixed_pd, fixed.schema).write.mode(
+            "overwrite"
+        ).partitionBy("batch_id").parquet(str(sink.root / "_errors"))
+        out = replay_errors(spark, sink, dim, cfg.pipeline)
+        assert out["still_poison"] == 0
+        # 30 raw records -> only the routable+identifiable subset indexes
+        assert out["replayed"] == sink.read_index(spark).count()
+        assert out["replayed"] > 0
