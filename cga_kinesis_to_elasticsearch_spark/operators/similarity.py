@@ -28,6 +28,7 @@ __all__ = [
     "lsh_topk",
     "ivf_cells",
     "ivf_topk",
+    "near_dup_pairs",
     "LSH_PAIRS",
 ]
 
@@ -221,4 +222,42 @@ def lsh_topk(
         .select("query_id", id_col, sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: tuple[tuple[int, int], ...] = LSH_PAIRS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, sim) for
+    same-LSH-bucket pairs with cosine >= threshold, id_a < id_b.
+
+    The dedup counterpart of ``lsh_topk``: the all-pairs O(N^2) cosine
+    is cut to per-bucket self-joins (the only shuffle is on the bucket
+    key, and what shuffles is (id, vector), never pairs). True near-dups
+    agree on most sign bits, so recall is high exactly where it matters
+    — at similarity near 1 a pair disagrees on few coordinate-order
+    comparisons. Multi-band variants (re-run with a second ``pairs``
+    set, union) buy more recall at 2x cost; thresholds in production
+    dedup sit at 0.9+ where single-band recall is already near-perfect.
+    """
+    b = lsh_buckets(df, id_col, vec_col, pairs)
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")).join(
+        b, id_col
+    )
+    left = v.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "bucket"
+    )
+    right = v.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "bucket"
+    )
+    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )

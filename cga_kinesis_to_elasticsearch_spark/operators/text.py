@@ -116,3 +116,23 @@ def bpe_ish_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.regexp_count(F.col(text_col), F.lit(BPE_ISH_RE)).alias("n_bpe_tokens"),
     )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint: hash every character k-gram
+    of the normalized text and keep the minimum — a winnowing-style
+    (MOSS) content fingerprint robust to reordering at the edges and to
+    case/punctuation noise. Texts shorter than k hash as one gram.
+
+    The per-position hash is md5 (not a true O(1)-update Karp-Rabin —
+    irrelevant under columnar execution, where all positions evaluate
+    in one vectorized pass) so the DuckDB oracle reproduces it exactly.
+    """
+    norm = normalized_text(F.col(text_col))
+    n_grams = F.greatest(F.length(norm) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.md5(norm.substr(i, F.lit(k)))
+    )
+    return df.select(F.col(id_col), F.array_min(grams).alias("rolling_fp"))

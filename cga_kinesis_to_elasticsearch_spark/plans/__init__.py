@@ -4,5 +4,6 @@ SURVEY §2 operator + north-star extension, each with a DuckDB oracle."""
 from .declared import QUERY_REGISTRY, oracle_sql, queries
 from . import northstar as _northstar  # noqa: F401  (registers queries)
 from . import streaming_query as _streaming_query  # noqa: F401
+from . import tpch_extra as _tpch_extra  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]

@@ -520,3 +520,53 @@ def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parsed_generic.log_event").alias("log_event"),
         F.col("parsed_routeraccess.rtr_status").alias("rtr_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup + rolling-hash fingerprint (training-data dedup)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_THR = 0.25  # driver embeddings are near-orthogonal (max pairwise
+# cosine ~0.51); production near-dup thresholds sit at 0.9+ — the operator
+# is threshold-agnostic, this value just keeps the fixture result non-empty
+
+
+@q(
+    "dedup_embedding_near",
+    f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_bucket_sql('embedding')} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, c.v), 4) AS sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_cosine_similarity(a.v, c.v), 4) >= {_NEAR_DUP_THR}
+    """,
+)
+def _dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bit LSH bucket
+    self-join (similarity.near_dup_pairs): the O(N^2) all-pairs cosine
+    collapses to per-bucket joins; only (id, vector) ever shuffles."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, threshold=_NEAR_DUP_THR)
+
+
+_ROLL_K = 8
+
+
+@q(
+    "text_rolling_fingerprint",
+    f"""
+    WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform(
+             range(1, greatest(length(norm) - {_ROLL_K - 1}, 1) + 1),
+             i -> md5(substr(norm, i, {_ROLL_K}))), 'min') AS rolling_fp
+    FROM n
+    """,
+)
+def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style) content fingerprint: min hash over
+    all character 8-grams of the normalized text (text.rolling_fingerprint)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.rolling_fingerprint(docs, "text", "doc_id", k=_ROLL_K)

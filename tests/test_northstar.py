@@ -324,3 +324,58 @@ class TestGrokPatternPath:
 
         with pytest.raises(GrokError):
             Grok().add_patterns_from_path(tmp_path / "nope")
+
+
+class TestNearDupAndRollingFP:
+    def test_near_dup_pairs_bucketed_cosine(self, spark):
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0, 0.0]),  # near-dup of 0, same sign bucket
+            (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal, different bucket
+            (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite, different bucket
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        out = S.near_dup_pairs(vecs, threshold=0.9, pairs=((0, 1), (2, 3)))
+        got = {(r.id_a, r.id_b): r.sim for r in out.collect()}
+        assert set(got) == {(0, 1)}
+        assert got[(0, 1)] == pytest.approx(0.9939, abs=1e-4)
+
+    def test_near_dup_requires_shared_bucket(self, spark):
+        # identical vectors always share a bucket and score sim=1.0
+        rows = [(i, [0.5, 0.25, 0.125, 1.0]) for i in range(3)]
+        vecs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        out = S.near_dup_pairs(vecs, threshold=0.99, pairs=((0, 1), (1, 2)))
+        pairs = {(r.id_a, r.id_b) for r in out.collect()}
+        assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+    def test_rolling_fingerprint_normalization_invariance(self, docs):
+        fp = {
+            r.doc_id: r.rolling_fp
+            for r in T.rolling_fingerprint(docs, "text", "doc_id").collect()
+        }
+        assert fp[1] == fp[2] == fp[3]  # case/punct stripped before hashing
+        assert fp[1] != fp[5]
+
+    def test_rolling_fingerprint_short_text_single_gram(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([(1, "Hi!")], "doc_id int, text string")
+        out = T.rolling_fingerprint(df, "text", "doc_id").collect()[0]
+        assert out.rolling_fp == hashlib.md5(b"hi").hexdigest()
+
+    def test_rolling_fingerprint_detects_shared_window(self, spark):
+        # two docs sharing a long run of text can share the min k-gram;
+        # a doc with disjoint characters cannot
+        df = spark.createDataFrame(
+            [
+                (1, "abcdefghijklmnop zz"),
+                (2, "prefix abcdefghijklmnop"),
+                (3, "QQQQQQQQQQQQQQQQQQQQ"),
+            ],
+            "doc_id int, text string",
+        )
+        fp = {
+            r.doc_id: r.rolling_fp
+            for r in T.rolling_fingerprint(df, "text", "doc_id").collect()
+        }
+        assert fp[3] != fp[1] and fp[3] != fp[2]
