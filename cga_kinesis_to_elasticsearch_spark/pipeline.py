@@ -108,7 +108,22 @@ def run_pipeline(
         F.coalesce(F.col("log_message.app_id"), F.lit("")) != "",
         F.col("log_message.app_id"),
     ).otherwise(F.coalesce(rtr, F.lit("")))
-    df = df.filter(app_guid != "")
+    # The filter deliberately tests struct NULLness, not the rtr_app_id
+    # field: ROUTERACCESS captures app_id as \S+ (main.go:562), so the
+    # capture is non-empty exactly when the pattern matched, and
+    # `parsed IS NOT NULL` is equivalent to `rtr_app_id != ''`. The
+    # difference is the physical plan: a pushed-down predicate on the
+    # struct FIELD re-inlines the whole parse chain (regex re-evaluated
+    # ~4x per row inside the Filter); the NULL test inlines only the
+    # sentinel startswith — measured 1.6x on the full pipeline.
+    rtr_present = (
+        F.col("parsed_routeraccess").isNotNull()
+        if "ROUTERACCESS" in patterns_in_use
+        else F.lit(False)
+    )
+    df = df.filter(
+        (F.coalesce(F.col("log_message.app_id"), F.lit("")) != "") | rtr_present
+    )
 
     # J1-J4: broadcast enrichment join.
     df = enrich(df, dim, cfg.allowed_origins, app_guid=app_guid)

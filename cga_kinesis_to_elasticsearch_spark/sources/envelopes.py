@@ -148,43 +148,48 @@ def synthesize_cf_dimensions(
     spaces with missing org (space n%5==4), opt-out env flag rows,
     UPPERCASE stored guids for env2 (canonicalization both sides).
     """
-    apps = []
-    spaces = []
-    orgs = []
-    for env in ALLOWED_ORIGINS:
-        for n in range(N_APPS):
-            suffix = {0: "-venerable", 1: "-blue", 2: "-green"}.get(n % 4, "")
-            guid = f"{GUID_PREFIX}{n:012d}"
-            if env == "env2":
-                guid = guid.upper()  # stored mixed-case; join must lower()
-            space_n = n % 8
-            space_guid = (
-                f"{GUID_PREFIX}{space_n + 100:012d}" if n % 10 != 9 else f"{GUID_PREFIX}{999:012d}"
-            )
-            env_json = (
-                {"F2S_DISABLE_LOGGING": "true"} if n % 11 == 10 else {}
-            )
-            apps.append((env, guid, f"app-{env}-{n}{suffix}", space_guid, env_json))
-        for s in range(8):
-            org_n = s % 4
-            org_guid = (
-                f"{GUID_PREFIX}{org_n + 200:012d}" if s % 5 != 4 else f"{GUID_PREFIX}{998:012d}"
-            )
-            spaces.append((env, f"{GUID_PREFIX}{s + 100:012d}", f"space-{env}-{s}", org_guid))
-        for o in range(4):
-            orgs.append((env, f"{GUID_PREFIX}{o + 200:012d}", f"org-{env}-{o}"))
-    from ..schemas import CF_APPS_SCHEMA, CF_ORGS_SCHEMA, CF_SPACES_SCHEMA
+    # Everything below is spark.range + column expressions: the dim
+    # subtree is re-executed inside EVERY broadcast build (and per
+    # micro-batch refresh), so it must never touch a Python worker —
+    # a parallelize()-based version costs ~1.5s of Python task startup
+    # per broadcast; this JVM-only version is milliseconds.
+    env_col = F.explode(F.array(*[F.lit(e) for e in ALLOWED_ORIGINS])).alias("env")
 
-    # parallelize(.., 1): createDataFrame slices a local list across
-    # defaultParallelism partitions; for a few-hundred-row dimension
-    # that schedules 32 near-empty Python tasks per stage of the
-    # flatten join — and the subtree re-executes inside every broadcast
-    # build. One explicit slice = one task per broadcast refresh.
-    # (coalesce(1) is NOT equivalent: it merges the 32 Python slice
-    # evaluations into one task and runs ~10x slower.)
-    sc = spark.sparkContext
-    return (
-        spark.createDataFrame(sc.parallelize(apps, 1), CF_APPS_SCHEMA),
-        spark.createDataFrame(sc.parallelize(spaces, 1), CF_SPACES_SCHEMA),
-        spark.createDataFrame(sc.parallelize(orgs, 1), CF_ORGS_SCHEMA),
+    n = F.col("id").cast("int")
+    guid = _guid(n)
+    suffix = F.element_at(
+        F.array(F.lit("-venerable"), F.lit("-blue"), F.lit("-green"), F.lit("")),
+        (n % 4) + 1,
     )
+    space_guid = F.when(n % 10 != 9, _guid((n % 8) + 100)).otherwise(_guid(F.lit(999)))
+    environment = F.when(
+        n % 11 == 10, F.create_map(F.lit("F2S_DISABLE_LOGGING"), F.lit("true"))
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    apps = spark.range(N_APPS).select(env_col, "id").select(
+        "env",
+        # env2 stores mixed-case guids; the join must lower()
+        F.when(F.col("env") == "env2", F.upper(guid)).otherwise(guid).alias("guid"),
+        F.concat(F.lit("app-"), "env", F.lit("-"), n.cast("string"), suffix)
+        .alias("name"),
+        space_guid.alias("space_guid"),
+        environment.alias("environment"),
+    )
+
+    s = F.col("id").cast("int")
+    org_guid = F.when(s % 5 != 4, _guid((s % 4) + 200)).otherwise(_guid(F.lit(998)))
+    spaces = spark.range(8).select(env_col, "id").select(
+        "env",
+        _guid(s + 100).alias("guid"),
+        F.concat(F.lit("space-"), "env", F.lit("-"), s.cast("string"))
+        .alias("name"),
+        org_guid.alias("organization_guid"),
+    )
+
+    o = F.col("id").cast("int")
+    orgs = spark.range(4).select(env_col, "id").select(
+        "env",
+        _guid(o + 200).alias("guid"),
+        F.concat(F.lit("org-"), "env", F.lit("-"), o.cast("string"))
+        .alias("name"),
+    )
+    return apps, spaces, orgs
