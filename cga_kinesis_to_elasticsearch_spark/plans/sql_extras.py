@@ -183,3 +183,65 @@ def _array_hof_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
             fold_sum(F.filter("qties", lambda x: x > 25)), 2
         ).alias("big_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / dispersion
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "percentile_order_value",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(stddev_samp(o_totalprice), 4) AS sd
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def _percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles + sample stddev. Spark's
+    percentile() and DuckDB's quantile_cont use the same interpolation,
+    so values agree at round(4). (percentile_approx is the scale path —
+    see approx_distinct_users for the sketch-based pattern.)"""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-framed window (time-based sliding aggregate)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "window_range_7day",
+    """
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+             AS revenue_7day
+    FROM orders
+    """,
+)
+def _window_range_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per customer, revenue in the trailing
+    7 days (peers at the same timestamp included on both engines —
+    RANGE semantics make tie order irrelevant, unlike ROWS)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_7day"),
+    )
