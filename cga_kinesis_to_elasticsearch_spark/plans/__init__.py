@@ -6,5 +6,6 @@ from . import northstar as _northstar  # noqa: F401  (registers queries)
 from . import streaming_query as _streaming_query  # noqa: F401
 from . import tpch_extra as _tpch_extra  # noqa: F401
 from . import sql_extras as _sql_extras  # noqa: F401
+from . import protobuf as _protobuf  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]

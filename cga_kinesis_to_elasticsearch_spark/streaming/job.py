@@ -120,6 +120,11 @@ class StreamConfig:
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
     days_to_keep: int = 3  # DAYS_TO_KEEP, main.go:553
     retention_every_batches: int = 0  # 0 = off; reference runs 24-hourly
+    # Payload decoder: raw records -> RECORD_SCHEMA + decode_error.
+    # Default is the from_json stand-in; swap in
+    # sources.protowire.decode_protobuf_records for real protobuf
+    # payloads (or from_protobuf on a cluster with spark-protobuf).
+    decoder: Callable[[DataFrame], DataFrame] | None = None
 
 
 def run_stream(
@@ -146,7 +151,7 @@ def run_stream(
     batch_counter = {"n": 0}
 
     def process_batch(raw: DataFrame, batch_id: int) -> None:
-        records = decode_records(raw)
+        records = (cfg.decoder or decode_records)(raw)
         # One pass over the batch: cache so the good/poison split and
         # the two counter reads don't rescan the source (the batch is
         # micro — bounded by trigger x arrival rate — so it fits; at
