@@ -30,6 +30,93 @@ from ..sources.records import read_raw_record_stream, write_raw_records
 from ..streaming.job import StreamConfig, drain, run_stream
 
 
+_ATTRIBUTION_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_ms(p.ts) AS purchase_ms,
+       epoch_ms(c.ts) AS click_ms,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+"""
+
+
+@q("stream_stream_attribution", _ATTRIBUTION_ORACLE)
+def _stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join, run to completion and checked
+    against the equivalent *batch* join in DuckDB: purchases attributed
+    to any click by the same user in the preceding 30 minutes.
+
+    The watermark delay is set beyond the fixture's time span so no
+    join state is evicted mid-run — the streaming result is then
+    exactly the batch inequality join, which is what makes a SQL oracle
+    possible for a streaming operator. Eviction semantics (short
+    delays dropping matches) are pinned in tests/test_streamjoin.py.
+    """
+    from ..io import load_table
+    from ..session import tune_session
+    from ..streaming.joins import time_bounded_join
+
+    tune_session(spark)
+    work = Path(tempfile.mkdtemp(prefix="cga-ssj-"))
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        clicks_dir, purchases_dir = str(work / "clicks"), str(work / "purchases")
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        ).write.parquet(clicks_dir)
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).write.parquet(purchases_dir)
+
+        clicks = spark.readStream.schema(
+            "click_id bigint, user_id bigint, click_ts timestamp"
+        ).parquet(clicks_dir)
+        purchases = spark.readStream.schema(
+            "purchase_id bigint, user_id bigint, purchase_ts timestamp,"
+            " purchase_value double"
+        ).parquet(purchases_dir)
+        joined = time_bounded_join(
+            purchases,
+            clicks,
+            on=["user_id"],
+            left_time="purchase_ts",
+            right_time="click_ts",
+            lower="30 minutes",
+            upper="0 seconds",
+            watermark_delay="365 days",
+        )
+        name = "ssj_attribution"
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(work / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        out = spark.table(name).select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.unix_millis("purchase_ts").alias("purchase_ms"),
+            F.unix_millis("click_ts").alias("click_ms"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        # materialize before the workdir disappears
+        return spark.createDataFrame(out.toPandas(), out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @q("streaming_pipeline", None)
 def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = Path(tempfile.mkdtemp(prefix="cga-stream-"))
