@@ -17,6 +17,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "bpe_ish_token_count",
+    "tf_idf_top_terms",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -136,3 +137,50 @@ def rolling_fingerprint(
         F.sequence(F.lit(1), n_grams), lambda i: F.md5(norm.substr(i, F.lit(k)))
     )
     return df.select(F.col(id_col), F.array_min(grams).alias("rolling_fp"))
+
+
+def tf_idf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 5
+) -> DataFrame:
+    """Smoothed TF-IDF with the top-k scoring terms per document
+    (score desc, term asc tiebreak): idf = ln((N+1)/(df+1)) + 1,
+    score = tf * idf — the scikit-learn smoothing, chosen because it is
+    division-by-zero-free and exactly reproducible in SQL.
+
+    Scale shape: explode -> (doc, term) count is a map-side-combinable
+    shuffle on the doc+term key; the per-term document frequency is a
+    second agg shuffled on term (vocabulary-sized, << corpus); the
+    corpus size joins in as a broadcast scalar. Top-k is a per-doc
+    window over the (doc, term) counts — partitioned by document, so
+    no global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf_idf"), F.asc("term")
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tf_idf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "df_t", "tf_idf", "rank")
+    )

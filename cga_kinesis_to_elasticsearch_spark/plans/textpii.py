@@ -1,0 +1,106 @@
+"""TF-IDF and PII scrub queries (training-data pipeline stages) under
+the DuckDB oracle.
+
+The documents fixture is synthetic word-salad with no PII, so the PII
+queries append deterministic PII spans (email/ip per doc, ssn/card/
+phone on every third doc) identically on both sides before detecting /
+redacting — the machinery is exercised with non-zero match counts.
+Every regex is dialect-probed across Java/RE2/Python (tests/test_pii.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import pii as P
+from ..operators import text as T
+from .declared import q
+from .northstar import _norm_sql, _tp
+
+_EXTRA = " ssn 123-45-6789 card 1234-5678-9012-3456 tel +1-555-123-4567"
+
+_SYNTH_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.1.'"
+    " || CAST(doc_id % 200 AS VARCHAR) || '.7'"
+    f" || CASE WHEN doc_id % 3 = 0 THEN '{_EXTRA}' ELSE '' END"
+)
+
+
+def _synth(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_EXTRA)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _detect_oracle() -> str:
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(t, '{p}')) AS n_{name}"
+        for name, p in P.PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in P.PII_PATTERNS)
+    return f"""
+    WITH s AS (SELECT doc_id, {_SYNTH_SQL} AS t FROM documents),
+    c AS (SELECT doc_id,
+           {counts}
+    FROM s)
+    SELECT *, {total} AS n_pii FROM c
+    """
+
+
+@q("pii_detect", _detect_oracle())
+def _pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tp(spark, sf_dir, "documents")
+    return P.detect_pii(_synth(docs), "text", "doc_id")
+
+
+def _redact_oracle() -> str:
+    expr = "t"
+    for name in P.REDACTION_ORDER:
+        expr = (
+            f"regexp_replace({expr}, '{P.PII_PATTERNS[name]}',"
+            f" '<{name.upper()}>', 'g')"
+        )
+    return f"""
+    WITH s AS (SELECT doc_id, {_SYNTH_SQL} AS t FROM documents)
+    SELECT doc_id, md5({expr}) AS redacted_md5 FROM s
+    """
+
+
+@q("pii_redact", _redact_oracle())
+def _pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tp(spark, sf_dir, "documents")
+    red = P.redact_pii(_synth(docs), "text")
+    return red.select("doc_id", F.md5("text").alias("redacted_md5"))
+
+
+_TFIDF_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+             round(tf.tf * (ln((nd.n_docs + 1.0) / (dft.df_t + 1.0)) + 1.0), 6)
+               AS tf_idf
+      FROM tf JOIN dft USING (term) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY doc_id ORDER BY tf_idf DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, tf, df_t, tf_idf, rank FROM r WHERE rank <= 5
+"""
+
+
+@q("text_tfidf_top_terms", _TFIDF_ORACLE)
+def _text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tp(spark, sf_dir, "documents")
+    return T.tf_idf_top_terms(docs, "text", "doc_id", top_k=5)
