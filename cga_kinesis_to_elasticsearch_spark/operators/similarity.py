@@ -29,6 +29,12 @@ __all__ = [
     "ivf_cells",
     "ivf_topk",
     "near_dup_pairs",
+    "sq8_stats",
+    "sq8_encode",
+    "sq8_topk",
+    "pq_train_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
     "LSH_PAIRS",
 ]
 
@@ -260,4 +266,248 @@ def near_dup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized ANN: int8 scalar quantization (SQL-reproducible) and true
+# product quantization with sampled-k-means codebooks (the 100 TB
+# memory-budget path: 64 dims x 4 bytes -> 8 code bytes per vector)
+# ---------------------------------------------------------------------------
+
+
+def sq8_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-dimension (min, scale) for int8 scalar quantization, as one
+    row with two ``array<double>`` columns — broadcast-sized regardless
+    of corpus size. The stats pass is a 64-key aggregation with
+    map-side combine: one corpus scan."""
+    v = _as_double(F.col(vec_col))
+    ex = df.select(F.posexplode(v).alias("pos", "val"))
+    per_dim = ex.groupBy("pos").agg(
+        F.min("val").alias("mn"), F.max("val").alias("mx")
+    )
+    packed = F.array_sort(F.collect_list(F.struct("pos", "mn", "mx")))
+    return per_dim.select(packed.alias("p")).select(
+        F.transform("p", lambda s: s.mn).alias("mins"),
+        F.transform("p", lambda s: (s.mx - s.mn) / 255.0).alias("scales"),
+    )
+
+
+def _sq8_codes(v, mins, scales, dim: int):
+    # floor(x + 0.5) everywhere instead of round(): identical halfway
+    # behavior in Spark and DuckDB
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    return F.transform(
+        idx,
+        lambda i: F.when(F.element_at(scales, i) == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(255).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(
+                        (F.element_at(v, i) - F.element_at(mins, i))
+                        / F.element_at(scales, i)
+                        + F.lit(0.5)
+                    ),
+                ),
+            )
+        ),
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector into 64 int8 codes (carried as longs) against
+    the broadcast stats row: code_j = clamp(floor((v_j - min_j)/scale_j
+    + 0.5), 0, 255)."""
+    v = _as_double(F.col(vec_col))
+    return df.crossJoin(broadcast(stats)).select(
+        F.col(id_col),
+        _sq8_codes(v, F.col("mins"), F.col("scales"), dim).alias("codes"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric quantized search: full-precision queries scored
+    against the *dequantized* int8 corpus (the SQ analog of ADC).
+
+    Same physical shape as cosine_topk — broadcast queries, one corpus
+    pass, per-query windowed top-k — but the corpus side would be read
+    from 8-bit codes (a 4x scan-bytes reduction at scale; here codes
+    are computed inline from the same parquet)."""
+    stats = sq8_stats(corpus, vec_col, dim)
+    enc = sq8_encode(corpus, stats, id_col, vec_col, dim)
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    dq = F.transform(
+        idx,
+        lambda i: F.element_at(F.col("mins"), i)
+        + F.element_at(F.col("codes"), i) * F.element_at(F.col("scales"), i),
+    )
+    c = enc.crossJoin(broadcast(stats)).select(id_col, dq.alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        c.join(broadcast(q), F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_centroids: int = 16,
+    sample_rows: int = 512,
+    iters: int = 10,
+):
+    """Train product-quantization codebooks (Jégou et al., TPAMI 2011)
+    by Lloyd's k-means per subspace over a deterministic sample.
+
+    Sampling-then-driver-side-training is the production pattern: the
+    sample is tiny (codebooks for m=8, k=16 need ~a few hundred rows),
+    the corpus is never collected. Deterministic: sample = lowest ids,
+    init = first k distinct sample points, fixed iteration count.
+
+    Returns a numpy array of shape (m, n_centroids, dim // m).
+    """
+    import numpy as np
+
+    sample = (
+        df.orderBy(id_col)
+        .limit(sample_rows)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .toPandas()
+    )
+    x = np.array(sample["v"].tolist(), dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = np.empty((m, n_centroids, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        cents = xs[:n_centroids].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_centroids):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vector -> m code bytes (nearest centroid per subspace), via an
+    Arrow-batched mapInPandas (numpy argmin over the broadcast
+    codebooks — Python is justified here: the argmin-over-centroids
+    kernel has no builtin equivalent)."""
+    import numpy as np
+
+    books = codebooks  # captured; small (m * k * sub doubles)
+    m, _, sub = books.shape
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _enc, f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, an (m x n_centroids)
+    dot-product table against the codebooks; each corpus vector scores
+    as a sum of m table lookups on its codes — never touching the full
+    corpus vectors. Output: (query_id, vec_id, score, rank), score =
+    approximate dot product (descending = nearest).
+
+    Scale shape: the code table (8 bytes/vector) streams through
+    mapInPandas; queries + codebooks broadcast via closure; final top-k
+    is the same per-query window as the exact path.
+    """
+    import numpy as np
+
+    books = codebooks
+    m, n_cent, sub = books.shape
+    qpd = (
+        queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("v"))
+        .toPandas()
+    )
+    qids = qpd["qid"].to_numpy()
+    qvs = np.array(qpd["v"].tolist(), dtype=np.float64)
+    # tables[q][j][c] = <query_q subvector j, centroid c>
+    tables = np.einsum("qjd,jcd->qjc", qvs.reshape(len(qids), m, sub), books)
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            n = len(pdf)
+            # scores[q, n] = sum_j tables[q, j, codes[n, j]]
+            out_frames = []
+            scores = np.zeros((len(qids), n))
+            for j in range(m):
+                scores += tables[:, j, :][:, codes[:, j]]
+            for qi, qid in enumerate(qids):
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_col: pdf[id_col].to_numpy(),
+                            "score": scores[qi],
+                        }
+                    )
+                )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    enc = pq_encode(corpus, books, id_col, vec_col)
+    scored = enc.mapInPandas(_score, f"query_id long, {id_col} long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("score", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -8,5 +8,6 @@ from . import tpch_extra as _tpch_extra  # noqa: F401
 from . import sql_extras as _sql_extras  # noqa: F401
 from . import protobuf as _protobuf  # noqa: F401
 from . import textpii as _textpii  # noqa: F401
+from . import quantized as _quantized  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,72 @@
+"""Quantized ANN queries: int8 scalar quantization (exact DuckDB
+oracle — the quantize/dequantize arithmetic is replayed in SQL) and
+product quantization (rows-only: k-means training is iterative, not
+SQL-expressible; its quality is pinned by recall tests instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import similarity as S
+from .declared import q
+from .northstar import _tp
+
+_DIM = 64
+_N_QUERIES = 8
+_TOPK = 5
+
+_SQ8_ORACLE = f"""
+WITH dims AS (
+  SELECT r.i AS pos,
+         min(embedding[r.i]::DOUBLE) AS mn,
+         max(embedding[r.i]::DOUBLE) AS mx
+  FROM embeddings CROSS JOIN range(1, {_DIM + 1}) r(i)
+  GROUP BY r.i),
+st AS (SELECT list(mn ORDER BY pos) AS mins,
+              list((mx - mn) / 255.0 ORDER BY pos) AS scales
+       FROM dims),
+enc AS (
+  SELECT vec_id,
+         list_transform(range(1, {_DIM + 1}), i ->
+           CASE WHEN scales[i] = 0 THEN 0
+                ELSE CAST(least(255, greatest(0,
+                       floor((embedding[i]::DOUBLE - mins[i]) / scales[i] + 0.5)))
+                     AS BIGINT) END) AS codes
+  FROM embeddings CROSS JOIN st),
+dq AS (
+  SELECT vec_id,
+         list_transform(range(1, {_DIM + 1}),
+                        i -> mins[i] + codes[i] * scales[i]) AS cv
+  FROM enc CROSS JOIN st),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id < {_N_QUERIES}),
+sims AS (SELECT query_id, vec_id,
+                round(list_cosine_similarity(v, cv), 4) AS sim
+         FROM qv JOIN dq ON query_id <> vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id ASC) AS rank
+           FROM sims)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+@q("embedding_sq8_topk", _SQ8_ORACLE)
+def _embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.sq8_topk(emb, queries, k=_TOPK, dim=_DIM)
+
+
+@q("embedding_pq_topk", None)
+def _embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k (rows-only): deterministic sampled-k-means
+    codebooks, 8 code bytes per 64-dim vector, asymmetric distance
+    tables per query. Recall vs the exact path is pinned in
+    tests/test_quantized.py."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    books = S.pq_train_codebooks(emb, m=8, n_centroids=16, sample_rows=256)
+    return S.pq_adc_topk(emb, queries, books, k=_TOPK).orderBy(
+        "query_id", "rank"
+    )

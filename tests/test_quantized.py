@@ -1,0 +1,157 @@
+"""Quantized ANN (similarity.sq8_* / pq_*): code-range properties,
+reconstruction error bounds, and recall against the exact path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.io import load_table
+from cga_kinesis_to_elasticsearch_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _recall(approx, exact, k):
+    """Mean fraction of exact top-k ids recovered per query."""
+    a, e = {}, {}
+    for r in approx.collect():
+        a.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in exact.collect():
+        e.setdefault(r.query_id, set()).add(r.vec_id)
+    return np.mean([len(a.get(qid, set()) & ids) / k for qid, ids in e.items()])
+
+
+class TestSQ8:
+    def test_codes_in_range_and_reconstruction_bound(self, spark, emb):
+        stats = S.sq8_stats(emb)
+        enc = S.sq8_encode(emb, stats)
+        row = enc.select(
+            F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+        ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+        assert 0 <= row.lo and row.hi <= 255
+        # |v - dequant(v)| <= scale/2 per dimension
+        st = stats.collect()[0]
+        scales = np.array(st.scales)
+        vecs = np.array(
+            [r.embedding for r in emb.orderBy("vec_id").limit(50).collect()],
+            dtype=np.float64,
+        )
+        codes = np.array(
+            [r.codes for r in S.sq8_encode(emb.orderBy("vec_id").limit(50), stats).orderBy("vec_id").collect()]
+        )
+        dq = np.array(st.mins) + codes * scales
+        assert (np.abs(vecs - dq) <= scales / 2 + 1e-12).all()
+
+    def test_sq8_recall_near_exact(self, spark, emb):
+        """8-bit quantization loses almost nothing: top-5 should match
+        the exact path nearly everywhere."""
+        queries = emb.filter(F.col("vec_id") < 8)
+        exact = S.cosine_topk(emb, queries, k=5)
+        approx = S.sq8_topk(emb, queries, k=5)
+        assert _recall(approx, exact, 5) >= 0.9
+
+    def test_sq8_stays_jvm_side(self, spark, emb):
+        queries = emb.filter(F.col("vec_id") < 8)
+        plan = S.sq8_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """8 well-separated cluster centers in 64-dim + small noise — the
+    regime PQ is built for (numpy RNG seeded: fixture is deterministic)."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64)) * 5.0
+    rows = []
+    for i in range(240):
+        c = i % 8
+        v = centers[c] + rng.normal(size=64) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    return (
+        rng,
+        centers,
+        pytest.importorskip("pyspark")
+        and spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+    )
+
+
+class TestPQ:
+    def test_codebook_shapes_and_determinism(self, clustered):
+        _, _, df = clustered
+        b1 = S.pq_train_codebooks(df, m=8, n_centroids=16, sample_rows=240)
+        b2 = S.pq_train_codebooks(df, m=8, n_centroids=16, sample_rows=240)
+        assert b1.shape == (8, 16, 8)
+        assert (b1 == b2).all()
+
+    def test_codes_within_centroid_range(self, clustered):
+        _, _, df = clustered
+        books = S.pq_train_codebooks(df, m=8, n_centroids=16, sample_rows=240)
+        enc = S.pq_encode(df, books)
+        row = enc.select(
+            F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi"),
+            F.size("codes").alias("m"),
+        ).agg(
+            F.min("lo").alias("lo"), F.max("hi").alias("hi"), F.max("m").alias("m")
+        ).collect()[0]
+        assert row.lo >= 0 and row.hi < 16 and row.m == 8
+
+    def test_pq_finds_planted_nearest_neighbors(self, spark):
+        """Recall test with an unambiguous ground truth: every query
+        vector has one planted close partner, all other points are far
+        — PQ-ADC must surface the partner in its top-5. (Within-cluster
+        fine ranking is NOT tested: when candidate score spacing is
+        smaller than quantization error, no PQ ranks reliably — that is
+        inherent to the method, not a bug.)"""
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(120, 64)) * 10.0
+        rows = [(i, [float(x) for x in base[i]]) for i in range(120)]
+        rows += [
+            (120 + i, [float(x) for x in base[i] + rng.normal(size=64) * 0.1])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        books = S.pq_train_codebooks(df, m=8, n_centroids=16, sample_rows=240)
+        queries = df.filter(F.col("vec_id") < 8)
+        approx = S.pq_adc_topk(df, queries, books, k=5)
+        hits = 0
+        got = {}
+        for r in approx.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        for qid in range(8):
+            hits += (qid + 120) in got[qid]
+        assert hits >= 7
+
+    def test_adc_scores_match_numpy(self, clustered):
+        """The ADC plumbing is exact: operator scores equal the
+        sum-of-table-lookups computed directly in numpy."""
+        _, _, df = clustered
+        books = S.pq_train_codebooks(df, m=8, n_centroids=16, sample_rows=240)
+        queries = df.filter(F.col("vec_id") < 2)
+        out = {
+            (r.query_id, r.vec_id): r.score
+            for r in S.pq_adc_topk(df, queries, books, k=3).collect()
+        }
+        codes = {
+            r.vec_id: np.array(r.codes) for r in S.pq_encode(df, books).collect()
+        }
+        qvs = {
+            r.vec_id: np.array(r.embedding)
+            for r in queries.select("vec_id", "embedding").collect()
+        }
+        m, _, sub = books.shape
+        for (qid, vid), score in out.items():
+            q = qvs[qid].reshape(m, sub)
+            expected = sum(
+                float(q[j] @ books[j][codes[vid][j]]) for j in range(m)
+            )
+            assert score == pytest.approx(round(expected, 4), abs=1e-4)
+
+    def test_indivisible_dim_rejected(self, clustered):
+        _, _, df = clustered
+        with pytest.raises(ValueError, match="not divisible"):
+            S.pq_train_codebooks(df, m=7)
