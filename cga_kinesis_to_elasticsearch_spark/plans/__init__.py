@@ -9,5 +9,6 @@ from . import sql_extras as _sql_extras  # noqa: F401
 from . import protobuf as _protobuf  # noqa: F401
 from . import textpii as _textpii  # noqa: F401
 from . import quantized as _quantized  # noqa: F401
+from . import components_query as _components_query  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]
