@@ -59,11 +59,20 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = mod.queries()
-    # JVM/codegen warmup on the smallest SF so the timed runs measure
-    # steady-state execution, not first-query session setup.
+    # JVM/codegen warmup so the timed runs measure steady-state
+    # execution, not first-query session setup: one scan-agg shape at
+    # the bench SF, plus the full pipeline at the smallest SF — the
+    # envelope-synthesis + grok expression tree costs several seconds
+    # of one-time whole-stage-codegen compilation, which is session
+    # setup, not per-query work.
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    warm_sf = "/root/testdata/sf0.001"
+    if Path(warm_sf).exists():
+        qs["pipeline_e2e"](spark, warm_sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
