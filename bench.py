@@ -70,9 +70,10 @@ def main() -> int:
     ).save()
     warm_sf = "/root/testdata/sf0.001"
     if Path(warm_sf).exists():
-        qs["pipeline_e2e"](spark, warm_sf).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        for name in HEADLINE:
+            qs[name](spark, warm_sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
