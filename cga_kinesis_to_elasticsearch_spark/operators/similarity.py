@@ -139,19 +139,51 @@ def ivf_cells(
     *training* (k-means) is out of scope here — any fixed snapshot
     works, and the assignment/probe machinery is identical.
     """
-    cen = centroids.select(
-        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("__cen")
-    )
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
-    sim = cosine_similarity(F.col("__v"), F.col("__cen"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("cell_id"))
+    probed = _probe_cells(F.col("__v"), nprobe)
     return (
-        v.crossJoin(broadcast(cen))
-        .select(id_col, "cell_id", sim.alias("__csim"))
-        .withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= nprobe)
-        .select(id_col, "cell_id", "cell_rank")
+        v.crossJoin(broadcast(_centroid_row(centroids, id_col, vec_col)))
+        .select(F.col(id_col), F.posexplode(probed))
+        .select(
+            id_col,
+            F.col("col.cell_id").alias("cell_id"),
+            (F.col("pos") + 1).alias("cell_rank"),
+        )
     )
+
+
+def _centroid_row(centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Centroids collapsed to ONE row holding an array of (cell_id,
+    vector) structs — broadcast under every scan that needs cell
+    assignment, so assignment is a narrow expression, not a join."""
+    return centroids.select(
+        F.col(id_col).alias("cell_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).agg(
+        F.array_sort(F.collect_list(F.struct("cell_id", "cv"))).alias("__cens")
+    )
+
+
+def _probe_cells(v, nprobe: int):
+    """Top-``nprobe`` cells for vector ``v`` against the broadcast
+    ``__cens`` array: per-row array compute + comparator sort — no
+    shuffle, no window. Ordering matches the previous windowed
+    implementation and the SQL oracle exactly: round-4 cosine desc,
+    cell_id asc."""
+    sims = F.transform(
+        F.col("__cens"),
+        lambda c: F.struct(
+            cosine_similarity(v, c["cv"]).alias("sim"),
+            c["cell_id"].alias("cell_id"),
+        ),
+    )
+    cmp = lambda l, r: (  # noqa: E731
+        F.when(l["sim"] > r["sim"], F.lit(-1))
+        .when(l["sim"] < r["sim"], F.lit(1))
+        .when(l["cell_id"] < r["cell_id"], F.lit(-1))
+        .when(l["cell_id"] > r["cell_id"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return F.slice(F.array_sort(sims, cmp), 1, nprobe)
 
 
 def ivf_topk(
@@ -166,17 +198,26 @@ def ivf_topk(
     """Approximate top-k via inverted-file probing: corpus vectors live
     in their nearest cell; each query probes its ``nprobe`` nearest
     cells and ranks only those candidates. (query_id, vec_id, sim, rank)."""
-    c_cells = ivf_cells(corpus, centroids, id_col, vec_col, nprobe=1).select(
-        id_col, "cell_id"
-    )
+    cen_row = _centroid_row(centroids, id_col, vec_col)
     q_cells = ivf_cells(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"), "cell_id"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")).join(
-        c_cells, id_col
+    # cell assignment rides along the corpus scan (narrow expression
+    # against the broadcast centroid row) — the corpus is read ONCE and
+    # never self-joined
+    c = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+        .crossJoin(broadcast(cen_row))
+        .select(
+            F.col(id_col),
+            F.col("__cv"),
+            F.element_at(_probe_cells(F.col("__cv"), 1), 1)["cell_id"].alias(
+                "cell_id"
+            ),
+        )
     )
     # each corpus vector lives in exactly one cell (nprobe=1 above) and
     # the query's probed cells are distinct, so (query_id, vec_id)
