@@ -88,13 +88,21 @@ class TestJoinStrategy:
         assert "LeftSemi" in plan
 
 
+def _hash_exchanges(plan: str) -> int:
+    # formatted mode puts the partitioning in the Exchange op's
+    # "Arguments:" detail line, never inline with the op name
+    return sum(
+        1 for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    )
+
+
 class TestShuffleBudget:
     def test_q21_single_wide_phase(self, spark, sf_dir, qs):
         """The window formulation keeps per-order max/distinct to ONE
         hash-partitioning of lineitem (plus the final tiny top-k)."""
         plan = _plan(qs["q21_waiting_suppliers"](spark, sf_dir))
-        wide = plan.count("Exchange hashpartitioning")
-        assert wide <= 3, f"q21 grew to {wide} hash exchanges"
+        wide = _hash_exchanges(plan)
+        assert 1 <= wide <= 3, f"q21 grew to {wide} hash exchanges"
 
     def test_near_dup_shuffles_bucket_key_only(self, spark, sf_dir, qs):
         """dedup_embedding_near moves (id, vector) rows keyed by bucket;
@@ -102,3 +110,24 @@ class TestShuffleBudget:
         plan = _plan(qs["dedup_embedding_near"](spark, sf_dir))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ivf_cell_assignment_is_narrow(self, spark, sf_dir, qs):
+        """IVF cell assignment rides the corpus/query scans as an array
+        expression against the ONE-row broadcast centroid table: no
+        window, no self-join, no per-vector shuffle. The only Window op
+        allowed is the final per-query top-k — and it must carry the
+        WindowGroupLimit rank pushdown so each partition emits at most
+        k candidates into the final exchange."""
+        import re
+
+        plan = _plan(qs["embedding_ivf_topk"](spark, sf_dir))
+        window_ops = [
+            l for l in plan.splitlines() if re.match(r"^\s*\(\d+\) Window$", l)
+        ]
+        assert len(window_ops) == 1, f"expected 1 Window op, saw {window_ops}"
+        assert "WindowGroupLimit" in plan
+        assert "SortMergeJoin" not in plan
+        # the two BNLJs are the single-row centroid-array broadcasts
+        # (corpus assignment + query probe) — anything more means a
+        # real table started cross-joining
+        assert plan.count(") BroadcastNestedLoopJoin") <= 2
