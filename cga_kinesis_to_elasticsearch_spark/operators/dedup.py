@@ -25,6 +25,7 @@ __all__ = [
     "simhash_bits",
     "jaccard",
     "word_shingles",
+    "ngram_contamination",
 ]
 
 
@@ -159,6 +160,57 @@ def lsh_candidate_pairs(
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its word
+    n-gram shingles also occur anywhere in a benchmark/eval corpus —
+    the standard pre-training hygiene check (drop or flag training docs
+    that leak test material).
+
+    Shape chosen for scale: the benchmark gram set is tiny relative to
+    the corpus (eval suites are MBs against TBs of training text), so
+    it collapses to ONE row holding the sorted distinct gram array and
+    broadcasts under the corpus scan; the overlap count is then a
+    narrow ``array_intersect`` per document — the 100 TB corpus is
+    never shuffled, exploded, or self-joined. If a benchmark ever
+    outgrew broadcast size, the fallback is an exploded gram
+    broadcast-semi-join, which still leaves the corpus unshuffled.
+
+    Returns (id, n_overlap, contaminated).
+    """
+    from pyspark.sql.functions import broadcast
+
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        out = df.select(
+            *keep, F.split(normalized_text(F.col(text_col)), " ").alias("__toks")
+        )
+        return out.select(*keep, word_shingles(F.col("__toks"), shingle_n).alias("__sh"))
+
+    bench_row = (
+        grams(benchmark)
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("__sh")))
+            ).alias("__bench")
+        )
+    )
+    overlap = F.size(F.array_intersect(F.col("__sh"), F.col("__bench")))
+    return (
+        grams(docs, id_col)
+        .crossJoin(broadcast(bench_row))
+        .select(
+            F.col(id_col),
+            overlap.alias("n_overlap"),
+            (overlap > 0).alias("contaminated"),
+        )
     )
 
 

@@ -18,6 +18,7 @@ __all__ = [
     "fingerprint",
     "bpe_ish_token_count",
     "tf_idf_top_terms",
+    "repetition_signals",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -137,6 +138,70 @@ def rolling_fingerprint(
         F.sequence(F.lit(1), n_grams), lambda i: F.md5(norm.substr(i, F.lit(k)))
     )
     return df.select(F.col(id_col), F.array_min(grams).alias("rolling_fp"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dup_token_max: float = 0.6,
+    top_bigram_max: float = 0.18,
+    symbol_ratio_max: float = 0.5,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals, per document:
+
+    - ``dup_token_frac``   — 1 - distinct/total tokens (a high value
+      means the doc keeps repeating the same words);
+    - ``top_bigram_frac``  — share of all word bigrams taken by the
+      single most frequent bigram (boilerplate / template detector);
+    - ``symbol_ratio``     — non-alphanumeric marks per token;
+    - ``repetition_pass``  — all three under their thresholds.
+
+    Everything is a narrow per-row array expression (staged projections
+    so the token/bigram arrays evaluate once — see word_shingles on
+    Catalyst re-inlining); the most-frequent-bigram count is an
+    O(distinct x total) in-row scan, bounded by document length, with
+    no shuffle anywhere. ``try_element_at`` keeps the bigram window
+    in-bounds under ANSI mode; ``concat_ws`` drops the trailing NULL so
+    a one-token document contributes its lone token as its "bigram" in
+    both engines.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    staged = df.select(
+        F.col(id_col), F.col(text_col).alias("__raw"), toks.alias("__toks")
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("__toks")) - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.try_element_at(F.col("__toks"), i.cast("int")),
+            F.try_element_at(F.col("__toks"), (i + 1).cast("int")),
+        ),
+    )
+    staged = staged.select(id_col, "__raw", "__toks", bigrams.alias("__bi"))
+    n_toks = F.size(F.col("__toks"))
+    dup_frac = F.round(1 - F.size(F.array_distinct(F.col("__toks"))) / n_toks, 4)
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("__bi")),
+            lambda g: F.size(F.filter(F.col("__bi"), lambda x: x == g)),
+        )
+    )
+    top_bigram_frac = F.round(top_bigram / F.size(F.col("__bi")), 4)
+    symbol_ratio = F.round(
+        F.regexp_count(F.col("__raw"), F.lit(r"[^a-zA-Z0-9\s]")) / n_toks, 4
+    )
+    return staged.select(
+        F.col(id_col),
+        dup_frac.alias("dup_token_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        (
+            (dup_frac <= dup_token_max)
+            & (top_bigram_frac <= top_bigram_max)
+            & (symbol_ratio <= symbol_ratio_max)
+        ).alias("repetition_pass"),
+    )
 
 
 def tf_idf_top_terms(

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as D
+from ..operators import sampling as SM
 from ..operators import similarity as S
 from ..operators import text as T
 from .declared import QUERY_REGISTRY, _GROK, _t, q
@@ -525,6 +526,97 @@ def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parsed_generic.log_event").alias("log_event"),
         F.col("parsed_routeraccess.rtr_status").alias("rtr_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene: decontamination, data mixing, repetition filters
+# ---------------------------------------------------------------------------
+
+# every ~97th document stands in for the "benchmark/eval" corpus
+_BENCH_MOD = 97
+
+_MIX_FRACTIONS = {"en": 0.3, "de": 0.7}
+_MIX_SEED = "mix0"
+
+
+@q(
+    "decontaminate_benchmark",
+    f"""
+    WITH docg AS (
+      SELECT doc_id, {_shingle_sql(_norm_sql('text'))} AS sh FROM documents),
+    bench AS (
+      SELECT list_distinct(flatten(list(sh))) AS grams
+      FROM docg WHERE doc_id % {_BENCH_MOD} = 0)
+    SELECT doc_id,
+           len(list_intersect(sh, grams)) AS n_overlap,
+           len(list_intersect(sh, grams)) > 0 AS contaminated
+    FROM docg, bench
+    """,
+)
+def _decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap of every training
+    document against the (broadcast) gram set of an eval corpus."""
+    docs = _tp(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return D.ngram_contamination(docs, bench, "text", "doc_id")
+
+
+@q(
+    "stratified_sample_mix",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5('{_MIX_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang
+               WHEN 'de' THEN '{SM.hex_threshold(_MIX_FRACTIONS["de"])}'
+               WHEN 'en' THEN '{SM.hex_threshold(_MIX_FRACTIONS["en"])}'
+               ELSE '{SM.hex_threshold(1.0)}' END
+    """,
+)
+def _stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (data mixing): keep
+    30% of 'en', 70% of 'de', all of everything else — a pure narrow
+    filter, reproducible run-to-run and engine-to-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return SM.stratified_hash_sample(
+        docs, "doc_id", "lang", _MIX_FRACTIONS, seed=_MIX_SEED
+    ).select("doc_id", "lang", "source")
+
+
+@q(
+    "text_repetition_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text AS raw,
+             string_split({_norm_sql('text')}, ' ') AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id, raw, toks,
+             list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> concat_ws(' ', list_extract(toks, i),
+                              list_extract(toks, i + 1))) AS bi
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             round(1 - len(list_distinct(toks)) / len(toks), 4)
+               AS dup_token_frac,
+             round(list_max(list_transform(list_distinct(bi),
+                     g -> len(list_filter(bi, x -> x = g)))) / len(bi), 4)
+               AS top_bigram_frac,
+             round(len(regexp_extract_all(raw, '[^a-zA-Z0-9\\s]'))
+                   / len(toks), 4) AS symbol_ratio
+      FROM b)
+    SELECT doc_id, dup_token_frac, top_bigram_frac, symbol_ratio,
+           (dup_token_frac <= 0.6 AND top_bigram_frac <= 0.18
+            AND symbol_ratio <= 0.5) AS repetition_pass
+    FROM m
+    """,
+)
+def _text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token
+    fraction, top-bigram share, symbol-per-token ratio, composite
+    pass flag."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.repetition_signals(docs, "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------

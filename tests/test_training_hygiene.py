@@ -1,0 +1,128 @@
+"""Training-data hygiene operators: benchmark decontamination,
+deterministic stratified sampling (data mixing), repetition quality
+signals."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators.dedup import ngram_contamination
+from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
+    hex_threshold,
+    stratified_hash_sample,
+)
+from cga_kinesis_to_elasticsearch_spark.operators.text import repetition_signals
+
+
+class TestHexThreshold:
+    def test_bounds(self):
+        assert hex_threshold(0.0) == "00000000"
+        assert hex_threshold(1.0) == "gggggggg"  # above every hex prefix
+        assert hex_threshold(0.5) == "80000000"
+
+    def test_monotone(self):
+        ts = [hex_threshold(f / 20) for f in range(21)]
+        assert ts == sorted(ts)
+
+    def test_rejects_out_of_range(self):
+        with pytest.raises(ValueError):
+            hex_threshold(1.5)
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+        return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def test_fractions_approximate(self, spark):
+        docs = self._docs(spark)
+        out = stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.25, "de": 0.75}
+        )
+        by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+            F.count("*").alias("n")).collect()}
+        assert 25 <= by_lang["en"] <= 75  # 200 * 0.25 = 50
+        assert 120 <= by_lang["de"] <= 180  # 200 * 0.75 = 150
+
+    def test_deterministic_and_nested(self, spark):
+        docs = self._docs(spark)
+        small = {r["doc_id"] for r in stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.2, "de": 0.2}).collect()}
+        again = {r["doc_id"] for r in stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.2, "de": 0.2}).collect()}
+        big = {r["doc_id"] for r in stratified_hash_sample(
+            docs, "doc_id", "lang", {"en": 0.6, "de": 0.6}).collect()}
+        assert small == again  # reproducible, no RNG
+        assert small <= big  # nested: raising a weight only adds rows
+
+    def test_seed_decorrelates(self, spark):
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in stratified_hash_sample(
+            docs, "doc_id", "lang", {}, default_fraction=0.5, seed="a").collect()}
+        b = {r["doc_id"] for r in stratified_hash_sample(
+            docs, "doc_id", "lang", {}, default_fraction=0.5, seed="b").collect()}
+        assert a != b
+
+
+class TestContamination:
+    def test_flags_only_overlapping_docs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated words appear here instead now"),
+                (3, "we also mention quick brown fox in passing"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [(100, "a quick brown fox story")], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: (r["n_overlap"], r["contaminated"])
+            for r in ngram_contamination(docs, bench, "text", "doc_id").collect()
+        }
+        assert out[1][1] and out[1][0] >= 1  # shares "quick brown fox"
+        assert out[3][1]
+        assert out[2] == (0, False)
+
+    def test_self_contamination_complete(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        out = ngram_contamination(docs, docs, "text", "doc_id")
+        assert out.filter(~F.col("contaminated")).count() == 0
+
+
+class TestRepetitionSignals:
+    def test_repetitive_doc_fails(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "buy now " * 30),
+                (2, "a genuinely varied sentence with many distinct "
+                    "interesting words about different topics entirely"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in
+               repetition_signals(docs, "text", "doc_id").collect()}
+        assert out[1]["dup_token_frac"] > 0.9
+        assert out[1]["top_bigram_frac"] > 0.4
+        assert not out[1]["repetition_pass"]
+        assert out[2]["dup_token_frac"] == 0.0
+        assert out[2]["repetition_pass"]
+
+    def test_single_token_doc(self, spark):
+        docs = spark.createDataFrame([(1, "word")], ["doc_id", "text"])
+        row = repetition_signals(docs, "text", "doc_id").collect()[0]
+        assert row["dup_token_frac"] == 0.0
+        assert row["top_bigram_frac"] == 1.0  # its lone token is the mode
+
+    def test_symbol_heavy_doc(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x@#$ y%^& z*() only symbols !!! ???")], ["doc_id", "text"]
+        )
+        row = repetition_signals(docs, "text", "doc_id").collect()[0]
+        assert row["symbol_ratio"] > 0.5
+        assert not row["repetition_pass"]
