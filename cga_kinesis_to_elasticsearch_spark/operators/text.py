@@ -19,6 +19,7 @@ __all__ = [
     "bpe_ish_token_count",
     "tf_idf_top_terms",
     "repetition_signals",
+    "chunk_tokens",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -201,6 +202,39 @@ def repetition_signals(
             & (top_bigram_frac <= top_bigram_max)
             & (symbol_ratio <= symbol_ratio_max)
         ).alias("repetition_pass"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame, text_col: str, id_col: str, chunk_size: int = 64
+) -> DataFrame:
+    """Split each document into consecutive fixed-size token windows —
+    the training-sequence chunking step of an LLM data pipeline. Emits
+    (id, chunk_id, chunk_text, n_chunk_tokens), chunk_id 0-based in
+    document order; the final chunk keeps its ragged tail.
+
+    Narrow per-row work: tokenize once (staged projection), slice the
+    token array per chunk index, one ``posexplode``. Output rows stay on
+    their input partition — chunking a 100 TB corpus is shuffle-free,
+    and downstream packing/shuffling sees ~chunk_size-token rows instead
+    of megabyte documents."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    n_chunks = F.greatest(F.floor((n + chunk_size - 1) / chunk_size), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.slice(
+            F.col("__toks"), (i * chunk_size + 1).cast("int"), chunk_size
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        F.size(F.col("__chunk")).cast("long").alias("n_chunk_tokens"),
     )
 
 

@@ -619,6 +619,59 @@ def _text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(docs, "text", "doc_id")
 
 
+_CHUNK = 64
+
+
+@q(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS toks
+      FROM documents),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest((len(toks) + {_CHUNK} - 1) // {_CHUNK},
+                                      1))) AS chunk_id
+      FROM t)
+    SELECT doc_id, chunk_id,
+           array_to_string(list_slice(toks, chunk_id * {_CHUNK} + 1,
+                                      chunk_id * {_CHUNK} + {_CHUNK}), ' ')
+             AS chunk_text,
+           len(list_slice(toks, chunk_id * {_CHUNK} + 1,
+                          chunk_id * {_CHUNK} + {_CHUNK})) AS n_chunk_tokens
+    FROM e
+    """,
+)
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window training-sequence chunking: each document
+    becomes ceil(n_tokens/64) ordered chunks, shuffle-free."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.chunk_tokens(docs, "text", "doc_id", chunk_size=_CHUNK)
+
+
+@q(
+    "dataset_summary",
+    """
+    SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY source, lang
+    """,
+)
+def _dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (source, lang): doc counts, size
+    totals, exact-unique counts — the audit table behind mixing/dedup
+    decisions. One map-side-combinable shuffle on a tiny key space."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_unique"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-dup + rolling-hash fingerprint (training-data dedup)
 # ---------------------------------------------------------------------------

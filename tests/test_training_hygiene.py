@@ -12,7 +12,10 @@ from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
     hex_threshold,
     stratified_hash_sample,
 )
-from cga_kinesis_to_elasticsearch_spark.operators.text import repetition_signals
+from cga_kinesis_to_elasticsearch_spark.operators.text import (
+    chunk_tokens,
+    repetition_signals,
+)
 
 
 class TestHexThreshold:
@@ -93,6 +96,34 @@ class TestContamination:
         )
         out = ngram_contamination(docs, docs, "text", "doc_id")
         assert out.filter(~F.col("contaminated")).count() == 0
+
+
+class TestChunkTokens:
+    def test_chunks_reassemble_in_order(self, spark):
+        text = " ".join(f"w{i}" for i in range(150))
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = sorted(
+            chunk_tokens(docs, "text", "doc_id", chunk_size=64).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+        assert [r["n_chunk_tokens"] for r in rows] == [64, 64, 22]  # ragged tail
+        assert " ".join(r["chunk_text"] for r in rows) == text
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = spark.createDataFrame([(1, "just three words")], ["doc_id", "text"])
+        rows = chunk_tokens(docs, "text", "doc_id", chunk_size=64).collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk_id"] == 0
+        assert rows[0]["chunk_text"] == "just three words"
+        assert rows[0]["n_chunk_tokens"] == 3
+
+    def test_exact_multiple_no_empty_chunk(self, spark):
+        text = " ".join(f"w{i}" for i in range(128))
+        docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        rows = chunk_tokens(docs, "text", "doc_id", chunk_size=64).collect()
+        assert len(rows) == 2
+        assert all(r["n_chunk_tokens"] == 64 for r in rows)
 
 
 class TestRepetitionSignals:
