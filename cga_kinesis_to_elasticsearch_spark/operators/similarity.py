@@ -29,6 +29,8 @@ __all__ = [
     "ivf_cells",
     "ivf_topk",
     "near_dup_pairs",
+    "semantic_dedup",
+    "label_centroid_distance",
     "sq8_stats",
     "sq8_encode",
     "sq8_topk",
@@ -551,4 +553,88 @@ def pq_adc_topk(
         .withColumn("score", F.round("score", 4))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over embeddings: of any
+    near-duplicate pair (cosine >= threshold within an LSH bucket, see
+    near_dup_pairs), the higher id is dropped. Returns every row as
+    `(id, kept BOOLEAN)`.
+
+    The dominance rule is deliberately non-recursive (v is dropped if
+    ANY earlier u is near it, whether or not u survives) — unlike the
+    greedy sequential SemDeDup sweep it is order-free and fully
+    parallel; it drops a superset of what the greedy sweep drops, i.e.
+    it only errs toward dropping, the safe direction for training-data
+    dedup. Scale shape: pairs come from
+    per-bucket joins (no all-pairs), the dropped-id set is small, and
+    the final membership test is one broadcast anti-join.
+    """
+    pairs = near_dup_pairs(df, threshold=threshold, id_col=id_col, vec_col=vec_col)
+    dropped = pairs.select(F.col("id_b").alias("__dropped")).distinct()
+    return (
+        df.select(id_col)
+        .join(
+            broadcast(dropped),
+            F.col(id_col) == F.col("__dropped"),
+            "left",
+        )
+        .select(F.col(id_col), F.col("__dropped").isNull().alias("kept"))
+    )
+
+
+def label_centroid_distance(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Distance of each vector to its label's centroid — the outlier /
+    mislabel score used for embedding-space data curation (prune points
+    far from their domain centroid).
+
+    Scale shape: the centroid aggregation posexplodes to (label, pos,
+    x) but groupBy(label, pos) gets map-side partial aggregation, so
+    the shuffle carries one partial sum per (input partition, label,
+    dim) — not per element. The centroid table (labels x dims) then
+    collapses to one array row per label and broadcasts; the distance
+    itself is a narrow zip_with fold over each vector. Centroid
+    components round to 9 decimals before the distance so both engines
+    fold identical inputs.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__x"),
+    )
+    cent = (
+        v.groupBy(label_col, "__pos")
+        .agg(F.round(F.avg("__x"), 9).alias("__c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__c"))),
+                lambda s: s["__c"],
+            ).alias("__cent")
+        )
+    )
+    sq = F.zip_with(
+        _as_double(F.col(vec_col)),
+        F.col("__cent"),
+        lambda a, b: (a - b) * (a - b),
+    )
+    dist = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, y: acc + y))
+    return (
+        df.join(broadcast(cent), label_col)
+        .select(
+            F.col(id_col),
+            F.col(label_col),
+            F.round(dist, 6).alias("dist_to_centroid"),
+        )
     )

@@ -7,7 +7,7 @@ SQL equivalent for the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import normalized_text
 
@@ -20,6 +20,8 @@ __all__ = [
     "tf_idf_top_terms",
     "repetition_signals",
     "chunk_tokens",
+    "vocab_coverage",
+    "line_boilerplate",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -282,4 +284,77 @@ def tf_idf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tf", "df_t", "tf_idf", "rank")
+    )
+
+
+def vocab_coverage(df: DataFrame, text_col: str, top_k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k terms by frequency with cumulative
+    coverage share (tokenizer-training / stopword-discovery stage).
+
+    Scale shape: the only full-data operation is the term count, which
+    gets map-side partial aggregation (shuffle carries one row per
+    (partition, term), not per token). The window runs on the top-k
+    slice only — never on the full vocabulary — and the corpus-total
+    denominator is a 1-row broadcast.
+    """
+    term = F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term")
+    toks = df.select(term).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    order = [F.desc("n"), F.asc("term")]
+    top = counts.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("__total"),
+                6,
+            ),
+        )
+        .select("term", "n", "rank", "cum_share")
+    )
+
+
+def line_boilerplate(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 30
+) -> DataFrame:
+    """Cross-document boilerplate line removal (CCNet/RefinedWeb-style):
+    a line appearing in >= min_docs distinct documents is boilerplate.
+
+    Returns per-doc `(id, n_lines, n_boiler, boiler_frac, retained_md5)`
+    where retained_md5 fingerprints the doc with boilerplate lines
+    removed (original line order preserved).
+
+    Scale shape: documents are never self-joined. One shuffle counts
+    distinct docs per line (map-side partial); the boilerplate *set* is
+    tiny by construction (bounded by corpus_lines / min_docs), so it
+    collapses to a single broadcast array row and removal is a narrow
+    higher-order-function pass over each doc's own lines.
+    """
+    lines_col = F.split(F.col(text_col), "\n").alias("__lines")
+    l = df.select(F.col(id_col), lines_col)
+    seg = l.select(id_col, F.explode("__lines").alias("__line"))
+    cnt = seg.groupBy("__line").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    boiler = cnt.filter(F.col("__n_docs") >= min_docs).agg(
+        F.collect_list("__line").alias("__boiler")
+    )
+    is_kept = lambda x: ~F.array_contains(F.col("__boiler"), x)  # noqa: E731
+    kept = F.filter("__lines", is_kept)
+    return (
+        l.crossJoin(F.broadcast(boiler))
+        .select(
+            F.col(id_col),
+            F.size("__lines").alias("n_lines"),
+            (F.size("__lines") - F.size(kept)).alias("n_boiler"),
+            F.round(
+                (F.size("__lines") - F.size(kept)) / F.size("__lines"), 6
+            ).alias("boiler_frac"),
+            F.md5(F.array_join(kept, "\n")).alias("retained_md5"),
+        )
     )

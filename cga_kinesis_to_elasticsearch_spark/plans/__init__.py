@@ -10,5 +10,6 @@ from . import protobuf as _protobuf  # noqa: F401
 from . import textpii as _textpii  # noqa: F401
 from . import quantized as _quantized  # noqa: F401
 from . import components_query as _components_query  # noqa: F401
+from . import corpus as _corpus  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,155 @@
+"""Corpus-curation declared queries (training-data pipeline stages)
+under the DuckDB oracle: vocabulary coverage, cross-document
+boilerplate line removal, semantic dedup, and embedding outlier
+scoring.
+
+The documents fixture is single-line word salad, so the boilerplate
+query synthesizes a line structure identically on both sides: every doc
+gains a footer line, every 4th doc a newsletter line — real repeated
+lines for the >= min_docs detector to find (same technique as the PII
+queries in textpii.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import similarity as S
+from ..operators import text as T
+from .declared import q
+from .northstar import _NEAR_DUP_THR, _bucket_sql, _norm_sql, _tp
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+_VOCAB_ORACLE = f"""
+WITH n AS (SELECT {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT unnest(string_split(norm, ' ')) AS term FROM n),
+c AS (SELECT term, count(*) AS n FROM tok WHERE term <> '' GROUP BY term),
+tot AS (SELECT sum(n) AS total FROM c),
+r AS (SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term ASC) AS rank,
+             sum(n) OVER (ORDER BY n DESC, term ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c)
+SELECT term, n, rank, round(cum / total, 6) AS cum_share
+FROM r CROSS JOIN tot WHERE rank <= {_VOCAB_K}
+"""
+
+
+@q("vocab_top_terms", _VOCAB_ORACLE)
+def _vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary stage: top-k corpus terms with
+    cumulative coverage share (text.vocab_coverage)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.vocab_coverage(docs, "text", top_k=_VOCAB_K)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal
+# ---------------------------------------------------------------------------
+
+_FOOTER = "copyright example corp all rights reserved"
+_NEWSLETTER = "subscribe to our newsletter for weekly updates"
+_MIN_DOCS = 30
+
+_BOILER_SYNTH_SQL = (
+    f"text || chr(10) || '{_FOOTER}'"
+    f" || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_NEWSLETTER}'"
+    " ELSE '' END"
+)
+
+_BOILER_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_BOILER_SYNTH_SQL} AS t FROM documents),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM s),
+seg AS (SELECT doc_id, unnest(lines) AS line FROM l),
+cnt AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM seg GROUP BY line),
+b AS (SELECT coalesce(list(line), []) AS boiler
+      FROM cnt WHERE n_docs >= {_MIN_DOCS})
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(lines) - len(list_filter(lines, x -> NOT list_contains(boiler, x)))
+         AS n_boiler,
+       round((len(lines) - len(list_filter(lines,
+                x -> NOT list_contains(boiler, x)))) / len(lines), 6)
+         AS boiler_frac,
+       md5(array_to_string(list_filter(lines,
+             x -> NOT list_contains(boiler, x)), chr(10))) AS retained_md5
+FROM l CROSS JOIN b
+"""
+
+
+def _synth_lines(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n" + _FOOTER),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\n" + _NEWSLETTER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+@q("boilerplate_lines", _BOILER_ORACLE)
+def _boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: lines repeated across
+    >= min_docs documents are stripped; per-doc retention stats plus an
+    md5 of the cleaned text (text.line_boilerplate)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.line_boilerplate(_synth_lines(docs), "text", "doc_id", _MIN_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style) over embeddings
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ORACLE = f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  {_bucket_sql('embedding')} AS bucket
+           FROM embeddings),
+p AS (SELECT DISTINCT c.vec_id AS id_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE round(list_cosine_similarity(a.v, c.v), 4) >= {_NEAR_DUP_THR})
+SELECT e.vec_id, p.id_b IS NULL AS kept
+FROM embeddings e LEFT JOIN p ON e.vec_id = p.id_b
+"""
+
+
+@q("semantic_dedup_keep", _SEMDEDUP_ORACLE)
+def _semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup keep/drop decision per vector: drop any vector
+    with an earlier near-duplicate (similarity.semantic_dedup)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=_NEAR_DUP_THR)
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier score: distance to own label's centroid
+# ---------------------------------------------------------------------------
+
+_OUTLIER_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT vec_id, label,
+             unnest(range(1, len(v) + 1)) AS pos,
+             unnest(v) AS x
+      FROM e),
+cen AS (SELECT label, pos, round(avg(x), 9) AS c
+        FROM x GROUP BY label, pos),
+d AS (SELECT x.vec_id, x.label, sum((x.x - cen.c) * (x.x - cen.c)) AS ss
+      FROM x JOIN cen ON x.label = cen.label AND x.pos = cen.pos
+      GROUP BY x.vec_id, x.label)
+SELECT vec_id, label, round(sqrt(ss), 6) AS dist_to_centroid FROM d
+"""
+
+
+@q("embedding_outlier_score", _OUTLIER_ORACLE)
+def _embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space curation: per-vector distance to its label
+    centroid (similarity.label_centroid_distance)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.label_centroid_distance(emb)

@@ -1,0 +1,117 @@
+"""Unit tests for the corpus-curation operators: vocabulary coverage,
+boilerplate line removal, semantic dedup, label-centroid outlier
+scores (declared-query counterparts live in plans/corpus.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators import similarity as S
+from cga_kinesis_to_elasticsearch_spark.operators import text as T
+
+
+class TestVocabCoverage:
+    def test_counts_rank_and_cumulative_share(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b d")],
+            "doc_id int, text string",
+        )
+        rows = {
+            r.term: r
+            for r in T.vocab_coverage(docs, "text", top_k=10).collect()
+        }
+        assert rows["a"].n == 4 and rows["a"].rank == 1
+        assert rows["b"].n == 3 and rows["b"].rank == 2
+        # ties broken by term asc
+        assert rows["c"].rank == 3 and rows["d"].rank == 4
+        assert rows["a"].cum_share == pytest.approx(4 / 9)
+        # full vocab within top_k -> last cumulative share is 1.0
+        assert rows["d"].cum_share == pytest.approx(1.0)
+
+    def test_top_k_truncates_but_denominator_is_corpus_total(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x x x y y z")], "doc_id int, text string"
+        )
+        rows = T.vocab_coverage(docs, "text", top_k=2).collect()
+        assert [r.term for r in rows] == ["x", "y"]
+        assert rows[-1].cum_share == pytest.approx(5 / 6)
+
+
+class TestLineBoilerplate:
+    def test_repeated_lines_flagged_and_stripped(self, spark):
+        footer = "all rights reserved"
+        docs = spark.createDataFrame(
+            [
+                (1, f"unique one\n{footer}"),
+                (2, f"unique two\n{footer}"),
+                (3, f"unique three\n{footer}\nextra"),
+            ],
+            "doc_id int, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in T.line_boilerplate(docs, "text", "doc_id", min_docs=2).collect()
+        }
+        assert out[1].n_lines == 2 and out[1].n_boiler == 1
+        assert out[3].n_lines == 3 and out[3].n_boiler == 1
+        assert out[1].boiler_frac == pytest.approx(0.5)
+        import hashlib
+
+        assert out[3].retained_md5 == hashlib.md5(
+            b"unique three\nextra"
+        ).hexdigest()
+
+    def test_no_boilerplate_keeps_everything(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a\nb"), (2, "c\nd")], "doc_id int, text string"
+        )
+        out = T.line_boilerplate(docs, "text", "doc_id", min_docs=2).collect()
+        assert all(r.n_boiler == 0 for r in out)
+        assert all(r.boiler_frac == 0.0 for r in out)
+
+
+def _vec(seed: int, dim: int = 64) -> list[float]:
+    rng = np.random.RandomState(seed)
+    v = rng.rand(dim) - 0.5
+    return [float(x) for x in v]
+
+
+class TestSemanticDedup:
+    def test_duplicate_drops_higher_id_only(self, spark):
+        base = _vec(7)
+        rows = [(0, base), (1, base), (2, _vec(99))]
+        emb = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        out = {r.vec_id: r.kept for r in S.semantic_dedup(emb, 0.99).collect()}
+        assert out == {0: True, 1: False, 2: True}
+
+    def test_all_kept_when_nothing_similar(self, spark):
+        rows = [(i, _vec(i)) for i in range(4)]
+        emb = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>"
+        )
+        out = S.semantic_dedup(emb, 0.999).collect()
+        assert all(r.kept for r in out)
+
+
+class TestLabelCentroidDistance:
+    def test_matches_numpy(self, spark):
+        vecs = {0: _vec(1), 1: _vec(2), 2: _vec(3)}
+        rows = [(0, vecs[0], 10), (1, vecs[1], 10), (2, vecs[2], 20)]
+        emb = spark.createDataFrame(
+            rows, "vec_id int, embedding array<double>, label int"
+        )
+        out = {
+            r.vec_id: r.dist_to_centroid
+            for r in S.label_centroid_distance(emb).collect()
+        }
+        cent10 = np.round((np.array(vecs[0]) + np.array(vecs[1])) / 2, 9)
+        exp0 = math.sqrt(float(np.sum((np.array(vecs[0]) - cent10) ** 2)))
+        assert out[0] == pytest.approx(exp0, abs=1e-6)
+        # a label's lone member sits on its own centroid
+        assert out[2] == pytest.approx(0.0, abs=1e-6)
