@@ -26,6 +26,7 @@ __all__ = [
     "jaccard",
     "word_shingles",
     "ngram_contamination",
+    "paragraph_dedup",
 ]
 
 
@@ -243,3 +244,63 @@ def simhash_bits(toks: Column, n_bits: int = 16) -> Column:
         )
         bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str, id_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Exact paragraph-level dedup with keep-first semantics
+    (Falcon/RefinedWeb-style span dedup at paragraph granularity):
+    across the WHOLE corpus, only the first occurrence of each exact
+    paragraph survives, where "first" is the smallest (doc id,
+    position-in-doc). Returns per-doc
+    `(id, n_paras, n_dropped, retained_md5)` — retained_md5
+    fingerprints the document with later-occurrence duplicate
+    paragraphs removed, original order preserved.
+
+    Differs from line_boilerplate (text.py): boilerplate removes ALL
+    copies of over-repeated lines via a tiny broadcast set; this keeps
+    exactly one copy of EVERY paragraph, so the duplicate universe is
+    unbounded and the op must shuffle. Scale shape: two exchanges, both
+    on compact keys — paragraphs group by md5 (the shuffle moves
+    (md5-prefix, owner-key) pairs, with map-side partial min), and the
+    winning flags group back by doc id. The corpus text itself moves
+    once, in the second exchange, as (doc, pos, paragraph) rows; no
+    self-join, no broadcast of an unbounded set.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    # composite first-occurrence key; positions are bounded well below 1e6
+    key = F.col(id_col).cast("long") * 1000000 + F.col("__pos")
+    hashed = paras.select(
+        F.col(id_col),
+        "__pos",
+        "__para",
+        F.md5(F.col("__para")).alias("__h"),
+        key.alias("__key"),
+    )
+    owner = hashed.groupBy("__h").agg(F.min("__key").alias("__owner"))
+    flagged = hashed.join(owner, "__h").withColumn(
+        "__kept", F.col("__key") == F.col("__owner")
+    )
+    kept_struct = F.when(
+        F.col("__kept"), F.struct(F.col("__pos"), F.col("__para"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("__kept"), 0).otherwise(1)).alias("n_dropped"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["__para"],
+                    ),
+                    sep,
+                )
+            ).alias("retained_md5"),
+        )
+    )

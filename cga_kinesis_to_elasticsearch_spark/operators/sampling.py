@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hex_threshold", "sample_key", "stratified_hash_sample"]
+__all__ = [
+    "hex_threshold",
+    "sample_key",
+    "stratified_hash_sample",
+    "temperature_mix",
+]
 
 #: hex digits of the md5 prefix used as the uniform variate; 8 digits
 #: give 16^-8 ~ 2.3e-10 fraction granularity.
@@ -71,3 +76,64 @@ def stratified_hash_sample(
             F.col(stratum_col) == stratum, F.lit(hex_threshold(frac))
         ).otherwise(thr)
     return df.filter(sample_key(F.col(id_col), seed) < thr)
+
+
+def _hex_threshold_col(frac: Column, digits: int = _DIGITS) -> Column:
+    """hex_threshold as a column expression: the lexicographic md5-prefix
+    threshold for a per-row fraction computed inside the plan. frac is
+    rounded to 9 decimals first so a sub-ulp difference between engines
+    (e.g. pow implementations) cannot flip the floor."""
+    frac = F.round(frac, 9)
+    scaled = F.floor(frac * F.lit(float(16**digits))).cast("long")
+    return F.when(frac >= 1.0, F.lit("g" * digits)).otherwise(
+        F.lpad(F.lower(F.hex(scaled)), digits, "0")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: str = "temp0",
+) -> DataFrame:
+    """Temperature-based source mixing (multilingual/multi-source
+    rebalancing a la mT5/XLM-R): sampling weight per source is
+    proportional to (source share)^alpha, so alpha < 1 upsamples rare
+    sources relative to their natural proportion; alpha = 1 is
+    proportional sampling. Each source's quota of ``target_rows`` is
+    then drawn with the same deterministic hash predicate as
+    stratified_hash_sample (reproducible, nested, auditable). Returns
+    the kept rows as `(id, source, mix_fraction)`.
+
+    Fully declarative — the per-source fraction is computed IN the plan
+    (two tiny aggregations over source counts, rejoined by broadcast),
+    not collected to the driver, so the same code runs over a 100 TB
+    corpus with a million sources. The only full-data operations are
+    the map-side-partial count and the final narrow filter; alpha = 0.5
+    uses sqrt (correctly rounded in IEEE, unlike pow) wherever possible
+    so the DuckDB oracle reproduces fractions bit-for-bit.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    if alpha == 0.5:
+        weight = F.sqrt(F.col("__n").cast("double"))
+    elif alpha == 1.0:
+        weight = F.col("__n").cast("double")
+    else:
+        weight = F.pow(F.col("__n").cast("double"), F.lit(alpha))
+    weighted = counts.select(source_col, "__n", weight.alias("__w"))
+    denom = weighted.agg(F.sum("__w").alias("__wsum"))
+    frac = F.least(
+        F.lit(1.0), F.lit(float(target_rows)) * F.col("__w") / F.col("__wsum") / F.col("__n")
+    )
+    fracs = weighted.crossJoin(F.broadcast(denom)).select(
+        source_col,
+        F.round(frac, 9).alias("mix_fraction"),
+        _hex_threshold_col(frac).alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(fracs), source_col)
+        .filter(sample_key(F.col(id_col), seed) < F.col("__thr"))
+        .select(F.col(id_col), F.col(source_col), F.col("mix_fraction"))
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "chunk_tokens",
     "vocab_coverage",
     "line_boilerplate",
+    "quality_classifier",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -357,4 +358,72 @@ def line_boilerplate(
             ).alias("boiler_frac"),
             F.md5(F.array_join(kept, "\n")).alias("retained_md5"),
         )
+    )
+
+
+#: Fixed linear-model weights for quality_classifier, in feature order
+#: (bias, stopword_ratio, unique_token_ratio, mean_word_len,
+#: digit_ratio). Interpretable fastText-style proxy: prose-like text
+#: (function words present, moderate word length, few digits) scores
+#: high; keyword salad and numeric dumps score low.
+QUALITY_WEIGHTS = (-1.0, 3.0, 2.0, 0.2, -4.0)
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.0,
+    weights: tuple[float, float, float, float, float] = QUALITY_WEIGHTS,
+) -> DataFrame:
+    """Linear quality classifier over interpretable text features — the
+    keep/drop model stage of a curation pipeline (a trained classifier
+    would ship its coefficients the same way; the plumbing, feature
+    extraction and plan shape are identical).
+
+    Features (each rounded to 6 decimals for cross-engine stability
+    before the dot product, which is plain IEEE double arithmetic in a
+    fixed order): stopword ratio (with multiplicity), unique-token
+    ratio, mean word length, digit ratio. Returns
+    `(id, stop_ratio, uniq_ratio, mean_wlen, digit_ratio, score, keep)`.
+
+    Scale shape: one narrow projection, fully codegen — no shuffle, no
+    Python, no join; runs at scan speed ahead of the expensive dedup /
+    similarity stages so dropped documents never reach them.
+    """
+    w0, w1, w2, w3, w4 = weights
+    out = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
+    )
+    n = F.size("__toks")
+    n_stop = F.aggregate(
+        F.col("__toks"),
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(*STOPWORDS), 1).otherwise(0),
+    )
+    chars = F.aggregate(
+        F.col("__toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    digits = F.aggregate(
+        F.col("__toks"),
+        F.lit(0),
+        lambda acc, t: acc + F.length(F.regexp_replace(t, r"[^0-9]", "")),
+    )
+    feat = out.select(
+        F.col(id_col),
+        F.round(n_stop / n, 6).alias("stop_ratio"),
+        F.round(F.size(F.array_distinct("__toks")) / n, 6).alias("uniq_ratio"),
+        F.round(chars / n, 6).alias("mean_wlen"),
+        F.round(digits / chars, 6).alias("digit_ratio"),
+    )
+    score = F.round(
+        F.lit(w0)
+        + F.lit(w1) * F.col("stop_ratio")
+        + F.lit(w2) * F.col("uniq_ratio")
+        + F.lit(w3) * F.col("mean_wlen")
+        + F.lit(w4) * F.col("digit_ratio"),
+        6,
+    )
+    return feat.select(
+        "*", score.alias("score"), (score >= threshold).alias("keep")
     )

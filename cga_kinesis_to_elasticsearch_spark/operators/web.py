@@ -1,0 +1,81 @@
+"""URL / domain filtering for web-corpus curation (north star,
+BASELINE.json): parse URLs into host / registered domain / TLD / path
+and apply blocklist + spam-pattern keep/drop rules.
+
+This is the first stage of every web-scale training-data pipeline
+(C4 / RefinedWeb / FineWeb all start with URL filtering): drop
+documents whose source URL hits a domain blocklist, a banned TLD, or a
+spam path pattern — before any text processing spends cycles on them.
+
+Scale posture (100 TB): everything here is a narrow, codegen-fused
+expression — two regexp_extracts to split the URL, literal-array
+membership tests for the (small, static) blocklists, one rlike for the
+path rule. No join, no shuffle, no Python; the filter runs at scan
+speed and, placed before parse/dedup stages, prunes the corpus where
+it is cheapest. Blocklists large enough to matter (millions of
+domains) would graduate to a broadcast join on `domain` — same plan
+shape, still shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["url_parts", "domain_filter"]
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """Decompose an absolute URL into host, registered domain (last two
+    labels), TLD (last label) and path+query. Pure regexp_extract —
+    patterns are dialect-portable (verified identical in Java regex,
+    RE2 and DuckDB)."""
+    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    return {
+        "host": host,
+        "domain": F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+        "tld": F.regexp_extract(host, r"\.([^.]+)$", 1),
+        "path": F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1),
+    }
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str,
+    id_col: str,
+    blocked_domains: Sequence[str] = (),
+    blocked_tlds: Sequence[str] = (),
+    spam_path_re: str | None = None,
+) -> DataFrame:
+    """Classify each row's URL against the blocklists. Returns
+    `(id, host, domain, tld, blocked BOOLEAN, reason STRING)` where
+    reason is the FIRST matching rule in fixed precedence order
+    (domain > tld > path), NULL when kept.
+
+    The row set is preserved (audit view); callers drop with
+    `.filter(~col("blocked"))`.
+    """
+    p = url_parts(F.col(url_col))
+    reason = F.lit(None).cast("string")
+    if spam_path_re:
+        reason = F.when(p["path"].rlike(spam_path_re), F.lit("path")).otherwise(
+            reason
+        )
+    if blocked_tlds:
+        reason = F.when(
+            p["tld"].isin(*[t.lower() for t in blocked_tlds]), F.lit("tld")
+        ).otherwise(reason)
+    if blocked_domains:
+        reason = F.when(
+            p["domain"].isin(*[d.lower() for d in blocked_domains]),
+            F.lit("domain"),
+        ).otherwise(reason)
+    return df.select(
+        F.col(id_col),
+        p["host"].alias("host"),
+        p["domain"].alias("domain"),
+        p["tld"].alias("tld"),
+        reason.isNotNull().alias("blocked"),
+        reason.alias("reason"),
+    )

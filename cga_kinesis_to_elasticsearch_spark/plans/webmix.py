@@ -1,0 +1,226 @@
+"""Web-curation + data-mixing declared queries under the DuckDB
+oracle: URL/domain filtering, paragraph-level keep-first dedup, the
+linear quality classifier, and temperature-based source mixing.
+
+The documents fixture has no URL column and single-line text, so the
+URL and paragraph queries synthesize those shapes identically on both
+sides from (doc_id, source) — same technique as the boilerplate and
+PII queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from ..operators import sampling as SM
+from ..operators import text as T
+from ..operators import web as W
+from .declared import q
+from .northstar import _tp
+
+# ---------------------------------------------------------------------------
+# URL / domain filtering
+# ---------------------------------------------------------------------------
+
+_BLOCKED_DOMAINS = ("src117.org", "src25.org", "src311.org")
+_BLOCKED_TLDS = ("biz",)
+_SPAM_PATH_RE = r"[?&]utm_"
+
+# url = https://www.{source}{doc_id%40}.{org|biz}/p/{doc_id}[?utm_source=feed]
+_URL_SQL = (
+    "'https://www.' || source || CAST(doc_id % 40 AS VARCHAR)"
+    " || CASE WHEN doc_id % 11 = 0 THEN '.biz' ELSE '.org' END"
+    " || '/p/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 13 = 0 THEN '?utm_source=feed' ELSE '' END"
+)
+
+_URL_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+p AS (SELECT doc_id,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS path
+      FROM u),
+d AS (SELECT doc_id, host, path,
+             regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+             regexp_extract(host, '\\.([^.]+)$', 1) AS tld
+      FROM p)
+SELECT doc_id, host, domain, tld,
+       reason IS NOT NULL AS blocked, reason
+FROM (SELECT *,
+             CASE WHEN domain IN {_BLOCKED_DOMAINS} THEN 'domain'
+                  WHEN tld IN ('biz') THEN 'tld'
+                  WHEN regexp_matches(path, '[?&]utm_') THEN 'path'
+             END AS reason
+      FROM d)
+"""
+
+
+def _synth_url(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(".biz")).otherwise(
+                F.lit(".org")
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("?utm_source=feed")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+
+
+@q("url_domain_filter", _URL_ORACLE)
+def _url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL filter: parse host/domain/TLD/path and classify
+    against a domain blocklist, banned TLDs and a spam path pattern
+    (web.domain_filter)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return W.domain_filter(
+        _synth_url(docs),
+        "url",
+        "doc_id",
+        blocked_domains=_BLOCKED_DOMAINS,
+        blocked_tlds=_BLOCKED_TLDS,
+        spam_path_re=_SPAM_PATH_RE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level keep-first dedup
+# ---------------------------------------------------------------------------
+
+_PARA_W = 8  # words per synthesized paragraph
+
+_PARA_SQL = f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           range(0, CAST(ceil(len(string_split(text, ' ')) / {_PARA_W}.0) AS INT)),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '),
+                             i * {_PARA_W} + 1, i * {_PARA_W} + {_PARA_W}),
+                  ' ')),
+         chr(10)) AS t
+FROM documents
+"""
+
+_PARA_ORACLE = f"""
+WITH s AS ({_PARA_SQL}),
+l AS (SELECT doc_id, string_split(t, chr(10)) AS paras FROM s),
+x AS (SELECT doc_id,
+             unnest(range(0, len(paras))) AS pos,
+             unnest(paras) AS para
+      FROM l),
+h AS (SELECT doc_id, pos, para, md5(para) AS h,
+             doc_id * 1000000 + pos AS key
+      FROM x),
+o AS (SELECT h, min(key) AS owner FROM h GROUP BY h),
+f AS (SELECT h.doc_id, h.pos, h.para, h.key = o.owner AS kept
+      FROM h JOIN o ON h.h = o.h)
+SELECT doc_id,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE kept),
+                                    chr(10)), '')) AS retained_md5
+FROM f GROUP BY doc_id
+"""
+
+
+def _synth_paragraphs(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(float(_PARA_W))).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_paras - 1),
+        lambda i: F.array_join(F.slice(toks, i * _PARA_W + 1, _PARA_W), " "),
+    )
+    return docs.select("doc_id", F.array_join(paras, "\n").alias("text"))
+
+
+@q("paragraph_dedup_stats", _PARA_ORACLE)
+def _paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup with keep-first semantics:
+    later occurrences of any exact paragraph are dropped; per-doc
+    retention stats + cleaned-text md5 (dedup.paragraph_dedup)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return D.paragraph_dedup(_synth_paragraphs(docs), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in T.STOPWORDS) + "]"
+
+_QC_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+f AS (SELECT doc_id,
+             round(len(list_filter(toks, t -> list_contains({_STOP_LIST}, t)))
+                   / len(toks), 6) AS stop_ratio,
+             round(len(list_distinct(toks)) / len(toks), 6) AS uniq_ratio,
+             round(list_sum(list_transform(toks, t -> length(t)))
+                   / len(toks), 6) AS mean_wlen,
+             round(list_sum(list_transform(toks,
+                     t -> length(regexp_replace(t, '[^0-9]', '', 'g'))))
+                   / list_sum(list_transform(toks, t -> length(t))), 6)
+               AS digit_ratio
+      FROM t)
+SELECT doc_id, stop_ratio, uniq_ratio, mean_wlen, digit_ratio,
+       round(-1.0 + 3.0 * stop_ratio + 2.0 * uniq_ratio
+             + 0.2 * mean_wlen + -4.0 * digit_ratio, 6) AS score,
+       round(-1.0 + 3.0 * stop_ratio + 2.0 * uniq_ratio
+             + 0.2 * mean_wlen + -4.0 * digit_ratio, 6) >= 0.0 AS keep
+FROM f
+"""
+
+
+@q("quality_classifier_keep", _QC_ORACLE)
+def _quality_classifier_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier keep/drop over interpretable features
+    (text.quality_classifier)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.quality_classifier(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source mixing
+# ---------------------------------------------------------------------------
+
+_MIX_TARGET = 200
+_MIX_SEED = "temp0"
+
+_MIX_ORACLE = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+s AS (SELECT sum(wt) AS wsum FROM w),
+f AS (SELECT source,
+             round(least(1.0, {_MIX_TARGET}.0 * wt / wsum / n), 9)
+               AS mix_fraction
+      FROM w CROSS JOIN s),
+thr AS (SELECT source, mix_fraction,
+               CASE WHEN mix_fraction >= 1.0 THEN 'gggggggg'
+                    ELSE lpad(lower(hex(CAST(floor(mix_fraction * 4294967296.0)
+                                             AS BIGINT))), 8, '0')
+               END AS t
+        FROM f)
+SELECT d.doc_id, d.source, thr.mix_fraction
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE substring(md5('{_MIX_SEED}:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+"""
+
+
+@q("temperature_mix_sample", _MIX_ORACLE)
+def _temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (alpha=0.5): deterministic
+    hash sample sized to each source's tempered share
+    (sampling.temperature_mix)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return SM.temperature_mix(
+        docs, "doc_id", "source", _MIX_TARGET, alpha=0.5, seed=_MIX_SEED
+    )

@@ -1,0 +1,144 @@
+"""Unit tests for the web-curation / mixing operators: URL domain
+filter, paragraph-level keep-first dedup, linear quality classifier,
+temperature-based source mixing (declared-query counterparts live in
+plans/webmix.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from cga_kinesis_to_elasticsearch_spark.operators import dedup as D
+from cga_kinesis_to_elasticsearch_spark.operators import sampling as SM
+from cga_kinesis_to_elasticsearch_spark.operators import text as T
+from cga_kinesis_to_elasticsearch_spark.operators import web as W
+
+
+class TestDomainFilter:
+    def _run(self, spark, urls, **kw):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "id int, url string"
+        )
+        return {r.id: r for r in W.domain_filter(df, "url", "id", **kw).collect()}
+
+    def test_parses_host_domain_tld_path(self, spark):
+        out = self._run(
+            spark, ["https://www.news.example.org/a/b?q=1#frag"]
+        )
+        r = out[0]
+        assert r.host == "www.news.example.org"
+        assert r.domain == "example.org"
+        assert r.tld == "org"
+        assert not r.blocked and r.reason is None
+
+    def test_rule_precedence_domain_tld_path(self, spark):
+        urls = [
+            "https://bad.spam.biz/x?utm_source=a",  # domain+tld+path -> domain
+            "https://ok.other.biz/x",  # tld only
+            "https://ok.fine.org/x?utm_campaign=z",  # path only
+            "https://ok.fine.org/plain",  # kept
+        ]
+        out = self._run(
+            spark,
+            urls,
+            blocked_domains=["spam.biz"],
+            blocked_tlds=["biz"],
+            spam_path_re=r"[?&]utm_",
+        )
+        assert [out[i].reason for i in range(4)] == ["domain", "tld", "path", None]
+        assert [out[i].blocked for i in range(4)] == [True, True, True, False]
+
+
+class TestParagraphDedup:
+    def test_keep_first_across_docs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha\nshared"),
+                (2, "shared\nbeta"),  # 'shared' first seen in doc 1
+                (3, "shared\nshared"),  # both copies lose
+            ],
+            "doc_id int, text string",
+        )
+        out = {
+            r.doc_id: r for r in D.paragraph_dedup(docs, "text", "doc_id").collect()
+        }
+        assert out[1].n_dropped == 0
+        assert out[2].n_dropped == 1
+        assert out[3].n_dropped == 2
+        assert out[2].retained_md5 == hashlib.md5(b"beta").hexdigest()
+        assert out[3].retained_md5 == hashlib.md5(b"").hexdigest()
+
+    def test_within_doc_duplicate_keeps_first_position(self, spark):
+        docs = spark.createDataFrame(
+            [(7, "x\ny\nx")], "doc_id int, text string"
+        )
+        r = D.paragraph_dedup(docs, "text", "doc_id").collect()[0]
+        assert r.n_paras == 3 and r.n_dropped == 1
+        assert r.retained_md5 == hashlib.md5(b"x\ny").hexdigest()
+
+
+class TestQualityClassifier:
+    def test_features_and_linear_score(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat")], "doc_id int, text string"
+        )
+        r = T.quality_classifier(docs, "text", "doc_id").collect()[0]
+        # 'the' x2 + 'on' -> 3 stopword hits of 6 tokens
+        assert r.stop_ratio == pytest.approx(0.5)
+        assert r.uniq_ratio == pytest.approx(5 / 6)
+        assert r.mean_wlen == pytest.approx(17 / 6, abs=1e-6)
+        assert r.digit_ratio == 0.0
+        expected = round(-1.0 + 3.0 * r.stop_ratio + 2.0 * r.uniq_ratio
+                         + 0.2 * r.mean_wlen + -4.0 * r.digit_ratio, 6)
+        assert r.score == pytest.approx(expected)
+        assert r.keep
+
+    def test_digit_dump_scores_low(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "123 456 789 000")], "doc_id int, text string"
+        )
+        r = T.quality_classifier(docs, "text", "doc_id").collect()[0]
+        assert r.digit_ratio == pytest.approx(1.0)
+        assert not r.keep
+
+
+class TestTemperatureMix:
+    def _df(self, spark, sizes: dict[str, int]):
+        rows, i = [], 0
+        for src, n in sizes.items():
+            for _ in range(n):
+                rows.append((i, src))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    def test_alpha_half_upsamples_rare_sources(self, spark):
+        df = self._df(spark, {"big": 900, "small": 100})
+        out = SM.temperature_mix(df, "doc_id", "source", 200, alpha=0.5)
+        fr = {r.source: r.mix_fraction for r in
+              out.select("source", "mix_fraction").distinct().collect()}
+        # tempered weights: sqrt(900)=30, sqrt(100)=10 -> quota 150/50
+        assert fr["big"] == pytest.approx(150 / 900, abs=1e-6)
+        assert fr["small"] == pytest.approx(50 / 100, abs=1e-6)
+        # rare source's fraction is boosted over proportional (0.2)
+        assert fr["small"] > fr["big"]
+
+    def test_deterministic_and_nested(self, spark):
+        df = self._df(spark, {"a": 400, "b": 100})
+        kept1 = {r.doc_id for r in
+                 SM.temperature_mix(df, "doc_id", "source", 100).collect()}
+        kept2 = {r.doc_id for r in
+                 SM.temperature_mix(df, "doc_id", "source", 100).collect()}
+        assert kept1 == kept2
+        smaller = {r.doc_id for r in
+                   SM.temperature_mix(df, "doc_id", "source", 50).collect()}
+        assert smaller <= kept1
+
+    def test_quota_capped_at_source_size(self, spark):
+        df = self._df(spark, {"tiny": 10, "big": 1000})
+        out = SM.temperature_mix(df, "doc_id", "source", 5000)
+        fr = {r.source: r.mix_fraction for r in
+              out.select("source", "mix_fraction").distinct().collect()}
+        assert fr["tiny"] == pytest.approx(1.0)
+        n_tiny = out.filter("source = 'tiny'").count()
+        assert n_tiny == 10
