@@ -488,6 +488,69 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every stage below is the REAL Arrow plumbing (attach -> resize ->
+# extract_features -> sample_frames, all mapInPandas); the deterministic
+# decode stubs make the outputs SQL-expressible, so unlike
+# multimodal_features (rows-only) this query gets the full value-hash
+# oracle. 6x6 resize < min fixture text length (44) => pure truncation,
+# no NUL padding to express in SQL.
+_MM_W, _MM_H, _MM_FRAMES = 6, 6, 4
+_MM_BYTES = _MM_W * _MM_H  # 36
+_MM_STEP = _MM_BYTES // _MM_FRAMES  # 9
+
+_MM_META_ORACLE = f"""
+WITH p AS (SELECT doc_id, length(text) AS n_bytes_orig,
+                  substring(text, 1, {_MM_BYTES}) AS p
+           FROM documents),
+b AS (SELECT doc_id, n_bytes_orig, p,
+             list_transform(range(1, {_MM_BYTES} + 1),
+                            i -> ord(substring(p, i, 1)) % 4) AS buckets
+      FROM p)
+SELECT doc_id, n_bytes_orig,
+       {_MM_W} AS width, {_MM_H} AS height,
+       CAST({_MM_BYTES} AS BIGINT) AS n_bytes,
+       round(len(list_filter(buckets, x -> x = 0)) / {_MM_BYTES}.0, 6) AS f0,
+       round(len(list_filter(buckets, x -> x = 1)) / {_MM_BYTES}.0, 6) AS f1,
+       round(len(list_filter(buckets, x -> x = 2)) / {_MM_BYTES}.0, 6) AS f2,
+       round(len(list_filter(buckets, x -> x = 3)) / {_MM_BYTES}.0, 6) AS f3,
+       md5(substring(p, 1, {_MM_STEP})) AS frame0_md5,
+       {_MM_FRAMES} AS n_frames
+FROM b
+"""
+
+
+@q("multimodal_meta_pipeline", _MM_META_ORACLE)
+def _multimodal_meta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal stage chain under the value oracle: binary
+    attach -> deterministic resize (truncate to 6x6 bytes) -> Arrow
+    feature extraction (byte-bucket histogram) -> frame sampling; the
+    scalar outputs (meta, features, frame fingerprint) are replayed in
+    SQL over the same bytes."""
+    from ..operators import multimodal as M
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = M.attach_binary(docs.select("doc_id", "text"), "text")
+    staged = staged.withColumn(
+        "n_bytes_orig", F.col("media_meta.n_bytes")
+    )
+    staged = M.resize_media(staged, _MM_W, _MM_H)
+    staged = M.extract_features(staged)
+    staged = M.sample_frames(staged, _MM_FRAMES)
+    return staged.select(
+        "doc_id",
+        "n_bytes_orig",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        *[
+            F.element_at("media_features", i + 1).alias(f"f{i}")
+            for i in range(4)
+        ],
+        F.md5(F.element_at("frames", 1)).alias("frame0_md5"),
+        F.size("frames").alias("n_frames"),
+    )
+
+
 @q("pipeline_e2e", None)
 def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full parity pipeline (SURVEY §3.1) over synthesized envelopes —

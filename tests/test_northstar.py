@@ -306,6 +306,31 @@ class TestMultimodalStages:
         assert [bytes(f) for f in rows[1].frames] == [b"ab", b"cd", b"ef", b"gh"]
         assert rows[2].frames == []
 
+    def test_full_stage_chain_values(self, spark):
+        """attach -> resize -> features -> frames chained: values match
+        a pure-Python replay (the multimodal_meta_pipeline contract)."""
+        import hashlib
+
+        from cga_kinesis_to_elasticsearch_spark.operators import multimodal as MM
+
+        text = "the quick brown fox jumps"
+        df = spark.createDataFrame([(1, text)], "doc_id int, p string")
+        staged = MM.attach_binary(df, "p")
+        staged = MM.resize_media(staged, 4, 4)  # 16 < len -> truncation
+        staged = MM.extract_features(staged)
+        staged = MM.sample_frames(staged, 4)
+        r = staged.collect()[0]
+        payload = text.encode()[:16]
+        counts = [0] * 4
+        for b in payload:
+            counts[b % 4] += 1
+        assert r.media_features == [round(c / 16, 6) for c in counts]
+        assert bytes(r.frames[0]) == payload[:4]
+        assert (
+            hashlib.md5(bytes(r.frames[0])).hexdigest()
+            == hashlib.md5(payload[:4]).hexdigest()
+        )
+
 
 class TestGrokPatternPath:
     def test_load_directory(self, tmp_path):
