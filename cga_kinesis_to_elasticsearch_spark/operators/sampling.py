@@ -115,6 +115,8 @@ def temperature_mix(
     uses sqrt (correctly rounded in IEEE, unlike pow) wherever possible
     so the DuckDB oracle reproduces fractions bit-for-bit.
     """
+    from pyspark.sql import Window
+
     counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
     if alpha == 0.5:
         weight = F.sqrt(F.col("__n").cast("double"))
@@ -123,11 +125,16 @@ def temperature_mix(
     else:
         weight = F.pow(F.col("__n").cast("double"), F.lit(alpha))
     weighted = counts.select(source_col, "__n", weight.alias("__w"))
-    denom = weighted.agg(F.sum("__w").alias("__wsum"))
+    # the weight-sum denominator is an unpartitioned window over the
+    # TINY per-source table (one row per source), not a separate
+    # aggregate + re-join: a second lineage would re-evaluate the
+    # corpus count scan, and the single-partition window exchange
+    # moves only (source, n, w) rows
+    wsum = F.sum("__w").over(Window.partitionBy())
     frac = F.least(
-        F.lit(1.0), F.lit(float(target_rows)) * F.col("__w") / F.col("__wsum") / F.col("__n")
+        F.lit(1.0), F.lit(float(target_rows)) * F.col("__w") / wsum / F.col("__n")
     )
-    fracs = weighted.crossJoin(F.broadcast(denom)).select(
+    fracs = weighted.select(
         source_col,
         F.round(frac, 9).alias("mix_fraction"),
         _hex_threshold_col(frac).alias("__thr"),

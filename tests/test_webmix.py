@@ -142,3 +142,62 @@ class TestTemperatureMix:
         assert fr["tiny"] == pytest.approx(1.0)
         n_tiny = out.filter("source = 'tiny'").count()
         assert n_tiny == 10
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _hash_exchanges(plan: str) -> int:
+    return sum(
+        1 for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    )
+
+
+class TestPlanShapes:
+    """Pin the scale-critical physical properties of the webmix /
+    multimodal queries: narrow ops stay narrow, small sides broadcast,
+    and shuffle budgets don't regress."""
+
+    def test_url_filter_and_classifier_are_scan_speed(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.plans import queries
+
+        qs = queries()
+        for name in ("url_domain_filter", "quality_classifier_keep"):
+            plan = _plan(qs[name](spark, sf_dir))
+            # only the source-spread repartition; the operator itself
+            # adds no exchange, no join, no window
+            assert _hash_exchanges(plan) == 1, name
+            assert "Join" not in plan, name
+            assert ") Window" not in plan, name
+
+    def test_multimodal_chain_adds_no_exchange(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.plans import queries
+
+        plan = _plan(queries()["multimodal_meta_pipeline"](spark, sf_dir))
+        assert _hash_exchanges(plan) == 1
+        assert "Join" not in plan
+
+    def test_temperature_mix_corpus_never_shuffled(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.plans import queries
+
+        plan = _plan(queries()["temperature_mix_sample"](spark, sf_dir))
+        # fraction table joins back by broadcast, never sort-merge
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # exchanges: source spread + the two tiny count/sum aggs
+        assert _hash_exchanges(plan) <= 3
+
+    def test_paragraph_dedup_shuffles_keys_not_cross_products(
+        self, spark, sf_dir
+    ):
+        from cga_kinesis_to_elasticsearch_spark.plans import queries
+
+        plan = _plan(queries()["paragraph_dedup_stats"](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # owner election + join-back + per-doc reassembly, bounded
+        assert _hash_exchanges(plan) <= 5
