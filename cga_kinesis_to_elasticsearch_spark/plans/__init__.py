@@ -12,5 +12,6 @@ from . import quantized as _quantized  # noqa: F401
 from . import components_query as _components_query  # noqa: F401
 from . import corpus as _corpus  # noqa: F401
 from . import webmix as _webmix  # noqa: F401
+from . import eventanalytics as _eventanalytics  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,171 @@
+"""Event-analytics declared queries over the events fixture: ordered
+funnel conversion, cohort retention, and value histograms — the
+product-analytics shapes a log/event engine is asked for daily
+(complementing sessionize_events / tumbling_hour_stats in
+declared.py).
+
+Scale notes are per query; all three are built-ins only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .declared import _t, q
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click (after a view) -> purchase (after a
+# qualifying click), evaluated per user over the (ts, event_id) order.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH w1 AS (
+  SELECT user_id, event_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER win AS first_view
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+),
+w2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+                  THEN ts END) OVER win AS first_qclick
+  FROM w1
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_views,
+       CAST(sum(CASE WHEN event_type = 'click' AND first_view IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_qual_clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' AND first_qclick IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_qual_purchases,
+       sum(CASE WHEN event_type = 'purchase' AND first_qclick IS NOT NULL
+                THEN 1 ELSE 0 END) > 0 AS converted
+FROM w2 GROUP BY user_id
+"""
+
+
+@q("funnel_conversion", _FUNNEL_ORACLE)
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel via one per-user window scan: running first-view
+    and first-qualifying-click timestamps gate the later stages.
+
+    Scale shape: ONE hash exchange on user_id — both Window ops share
+    the same partitioning/ordering (one sort), and the final groupBy
+    reuses the window's partitioning, so no further shuffle. No
+    self-joins per stage (the naive funnel join is O(stages)
+    shuffles)."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s1 = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(win).alias(
+            "first_view"
+        ),
+    )
+    qual_click = (F.col("event_type") == "click") & F.col("first_view").isNotNull()
+    s2 = s1.select(
+        "*",
+        F.min(F.when(qual_click, F.col("ts"))).over(win).alias("first_qclick"),
+    )
+    qual_purchase = (F.col("event_type") == "purchase") & F.col(
+        "first_qclick"
+    ).isNotNull()
+    return s2.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+            "n_views"
+        ),
+        F.sum(F.when(qual_click, 1).otherwise(0)).alias("n_qual_clicks"),
+        F.sum(F.when(qual_purchase, 1).otherwise(0)).alias("n_qual_purchases"),
+        (F.sum(F.when(qual_purchase, 1).otherwise(0)) > 0).alias("converted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity date; how many are
+# active again N days later.
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_date FROM events)
+SELECT strftime(c.cohort_date, '%Y-%m-%d') AS cohort_date,
+       date_diff('day', c.cohort_date, a.active_date) AS day_offset,
+       count(*) AS n_active
+FROM a JOIN c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+@q("cohort_retention", _COHORT_ORACLE)
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: (first-activity date, day offset) ->
+    active-user count.
+
+    Scale shape: the per-user cohort table and the distinct activity
+    table both shuffle on user_id (the join then needs no extra
+    exchange on either side); the final matrix aggregation shuffles
+    tiny (date, offset) keys. The cohort side is |users| rows — at
+    dimension scale it broadcasts; the join key layout already handles
+    the general case."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("active_date")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("active_date", "cohort_date").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width value histogram per event type.
+# ---------------------------------------------------------------------------
+
+_BIN_W = 50
+
+_HIST_ORACLE = f"""
+SELECT event_type,
+       CAST(floor(value / {_BIN_W}.0) AS INT) AS bin,
+       CAST(floor(value / {_BIN_W}.0) AS INT) * {_BIN_W} AS bin_lo,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+@q("value_histogram", _HIST_ORACLE)
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value measure per event type — the
+    binning is a narrow expression, so the only exchange is the
+    (type, bin) aggregation of partial counts (map-side combined)."""
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / _BIN_W).cast("int")
+    return (
+        ev.groupBy(
+            "event_type",
+            bin_col.alias("bin"),
+            (bin_col * _BIN_W).alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,112 @@
+"""Event-analytics queries (plans/eventanalytics.py): funnel ordering
+semantics on controlled fixtures + the single-exchange plan shape."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.plans import queries
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, seconds_offset, event_type, value)"""
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, base + dt.timedelta(seconds=s), uid, et, float(v))
+        for (eid, uid, s, et, v) in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+class TestFunnelSemantics:
+    def _run(self, spark, monkeypatch, rows):
+        from cga_kinesis_to_elasticsearch_spark.plans import eventanalytics as EA
+
+        df = _events(spark, rows)
+        monkeypatch.setattr(EA, "_t", lambda s, d, n: df)
+        out = EA._funnel_conversion.__wrapped__ if hasattr(
+            EA._funnel_conversion, "__wrapped__"
+        ) else EA._funnel_conversion
+        return {r.user_id: r for r in out(spark, "unused").collect()}
+
+    def test_click_before_view_does_not_qualify(self, spark, monkeypatch):
+        rows = [
+            (1, 10, 0, "click", 1),  # pre-view click: not qualified
+            (2, 10, 5, "view", 1),
+            (3, 10, 9, "click", 1),  # qualified
+            (4, 10, 20, "purchase", 1),  # qualified (after click at t9)
+            (5, 20, 0, "purchase", 1),  # bare purchase: no funnel
+        ]
+        got = self._run(spark, monkeypatch, rows)
+        assert got[10].n_views == 1
+        assert got[10].n_qual_clicks == 1
+        assert got[10].n_qual_purchases == 1 and got[10].converted
+        assert got[20].n_qual_purchases == 0 and not got[20].converted
+
+    def test_purchase_before_click_not_converted(self, spark, monkeypatch):
+        rows = [
+            (1, 7, 0, "view", 1),
+            (2, 7, 1, "purchase", 1),  # before any click
+            (3, 7, 2, "click", 1),
+        ]
+        got = self._run(spark, monkeypatch, rows)
+        assert got[7].n_qual_clicks == 1
+        assert got[7].n_qual_purchases == 0 and not got[7].converted
+
+
+class TestPlanShapes:
+    def test_funnel_is_single_exchange(self, spark, sf_dir):
+        df = queries()["funnel_conversion"](spark, sf_dir)
+        jvm = spark._jvm
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        n_hash = sum(
+            1
+            for l in plan.splitlines()
+            if "Arguments: hashpartitioning" in l
+        )
+        assert n_hash == 1, f"funnel grew to {n_hash} exchanges"
+        # both windows + the final agg share one sort order
+        assert plan.count(") Sort") <= 1
+
+
+class TestHistogramAndCohort:
+    def test_histogram_bins(self, spark, monkeypatch):
+        from cga_kinesis_to_elasticsearch_spark.plans import eventanalytics as EA
+
+        df = _events(
+            spark,
+            [(1, 1, 0, "view", 4.0), (2, 1, 1, "view", 49.9), (3, 1, 2, "click", 150.0)],
+        )
+        monkeypatch.setattr(EA, "_t", lambda s, d, n: df)
+        out = {(r.event_type, r.bin): r for r in
+               EA._value_histogram(spark, "unused").collect()}
+        assert out[("view", 0)].n == 2
+        assert out[("view", 0)].bin_lo == 0
+        assert out[("click", 3)].bin_lo == 150
+
+    def test_cohort_offsets(self, spark, monkeypatch):
+        from cga_kinesis_to_elasticsearch_spark.plans import eventanalytics as EA
+
+        day = 86400
+        df = _events(
+            spark,
+            [
+                (1, 1, 0, "view", 1),          # day 0 (cohort)
+                (2, 1, 2 * day, "view", 1),    # day 2
+                (3, 1, 2 * day + 5, "click", 1),  # same day, still 1 user
+                (4, 2, day, "view", 1),        # user 2 cohort day 1
+            ],
+        )
+        monkeypatch.setattr(EA, "_t", lambda s, d, n: df)
+        out = {(r.cohort_date, r.day_offset): r.n_active for r in
+               EA._cohort_retention(spark, "unused").collect()}
+        assert out[("2024-01-01", 0)] == 1
+        assert out[("2024-01-01", 2)] == 1
+        assert out[("2024-01-02", 0)] == 1
+        assert len(out) == 3
