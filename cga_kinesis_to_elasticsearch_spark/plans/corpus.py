@@ -153,3 +153,124 @@ def _embedding_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid (similarity.label_centroid_distance)."""
     emb = _tp(spark, sf_dir, "embeddings")
     return S.label_centroid_distance(emb)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counts (one tokenizer-training merge iteration)
+# ---------------------------------------------------------------------------
+
+_BPE_K = 50
+
+_BPE_ORACLE = f"""
+WITH n AS (SELECT {_norm_sql('text')} AS norm FROM documents),
+w AS (SELECT unnest(string_split(norm, ' ')) AS word FROM n),
+p AS (SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substring(word, i, 2))) AS pair
+      FROM w WHERE length(word) >= 2),
+c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rank
+FROM c ORDER BY n DESC, pair ASC LIMIT {_BPE_K}
+"""
+
+
+@q("bpe_merge_pairs", _BPE_ORACLE)
+def _bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration, distributed: corpus-wide adjacent
+    character-pair frequencies, top-k by count. The shuffle carries
+    (pair, partial count) only — map-side combine collapses each input
+    partition to its distinct pairs (a few hundred rows) before the
+    exchange; the window ranks the top-k slice, never the full pair
+    table."""
+    from pyspark.sql import Window
+
+    docs = _tp(spark, sf_dir, "documents")
+    from ..operators.dedup import normalized_text
+
+    words = docs.select(
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    order = [F.desc("n"), F.asc("pair")]
+    top = counts.orderBy(*order).limit(_BPE_K)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# OOV rate against the corpus top-V vocabulary
+# ---------------------------------------------------------------------------
+
+_OOV_V = 20
+
+_OOV_ORACLE = f"""
+WITH n AS (SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS toks
+           FROM documents),
+t AS (SELECT unnest(toks) AS term FROM n),
+c AS (SELECT term, count(*) AS cnt FROM t WHERE term <> '' GROUP BY term),
+v AS (SELECT list(term ORDER BY cnt DESC, term ASC) AS vocab
+      FROM (SELECT term, cnt FROM c ORDER BY cnt DESC, term ASC
+            LIMIT {_OOV_V}))
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> NOT list_contains(vocab, x))) AS n_oov,
+       round(len(list_filter(toks, x -> NOT list_contains(vocab, x)))
+             / len(toks), 6) AS oov_rate
+FROM n CROSS JOIN v
+"""
+
+
+@q("oov_rate", _OOV_ORACLE)
+def _oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-V
+    vocabulary — the integer-exact stand-in for LM-perplexity quality
+    scoring (CCNet-style): a doc full of rare terms scores high.
+
+    Scale shape: vocabulary selection is the only shuffle (map-side
+    partial term counts); the top-V set collapses to ONE broadcast
+    array row and the per-doc rate is a narrow array filter — per-row
+    exact rational arithmetic, no cross-row float accumulation, so the
+    value hash is deterministic."""
+    from ..operators.dedup import normalized_text
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.split(normalized_text(F.col("text")), " ").alias("__toks")
+    )
+    counts = (
+        staged.select(F.explode("__toks").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(_OOV_V)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("cnt")).alias("k"), F.col("term")))
+                ),
+                lambda s: s["term"],
+            ).alias("vocab")
+        )
+    )
+    n_oov = F.size(
+        F.filter(
+            F.col("__toks"),
+            lambda x: ~F.array_contains(F.col("vocab"), x),
+        )
+    )
+    return staged.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        F.size("__toks").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(n_oov / F.size("__toks"), 6).alias("oov_rate"),
+    )

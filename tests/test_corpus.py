@@ -115,3 +115,43 @@ class TestLabelCentroidDistance:
         assert out[0] == pytest.approx(exp0, abs=1e-6)
         # a label's lone member sits on its own centroid
         assert out[2] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestBpeAndOov:
+    def _patch(self, monkeypatch, docs):
+        from cga_kinesis_to_elasticsearch_spark.plans import corpus as C
+
+        monkeypatch.setattr(C, "_tp", lambda s, d, n: docs)
+        return C
+
+    def test_bpe_pair_counts(self, spark, monkeypatch):
+        docs = spark.createDataFrame(
+            [(1, "abab ab"), (2, "ba")], "doc_id int, text string"
+        )
+        C = self._patch(monkeypatch, docs)
+        rows = {r.pair: r for r in C._bpe_merge_pairs(spark, "u").collect()}
+        # 'abab' -> ab,ba,ab ; 'ab' -> ab ; 'ba' -> ba
+        assert rows["ab"].n == 3 and rows["ab"].rank == 1
+        assert rows["ba"].n == 2 and rows["ba"].rank == 2
+
+    def test_oov_rate_against_top_vocab(self, spark, monkeypatch):
+        # vocab (top-20) easily covers all terms except the rare one
+        common = " ".join(["tok"] * 30)
+        docs = spark.createDataFrame(
+            [(1, common), (2, "tok zzzrare tok zzzrare")],
+            "doc_id int, text string",
+        )
+        C = self._patch(monkeypatch, docs)
+        out = {r.doc_id: r for r in C._oov_rate(spark, "u").collect()}
+        assert out[1].n_oov == 0 and out[1].oov_rate == 0.0
+        # both terms fit in top-20 vocab here, so craft >20 distinct rares
+        many = " ".join(f"r{i}" for i in range(25))
+        docs2 = spark.createDataFrame(
+            [(1, " ".join(["tok"] * 50)), (2, many)],
+            "doc_id int, text string",
+        )
+        C2 = self._patch(monkeypatch, docs2)
+        out2 = {r.doc_id: r for r in C2._oov_rate(spark, "u").collect()}
+        # 25 distinct rares + tok = 26 terms; vocab keeps top 20 -> 6 oov
+        assert out2[2].n_oov == 6
+        assert out2[2].oov_rate == round(6 / 25, 6)
