@@ -169,3 +169,73 @@ def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 dimension enrichment: attribute value AS OF each event's time.
+# ---------------------------------------------------------------------------
+
+# Versioned user dimension synthesized identically on both sides: every
+# user starts on 'free' at Jan 1; upgrades to 'pro' (user_id % 28) + 1
+# days later. Events span Jan 1-30, so some events precede the upgrade.
+_SCD2_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, epoch_ms(TIMESTAMP '2024-01-01') AS from_ms, 'free' AS plan
+  FROM u
+  UNION ALL
+  SELECT user_id,
+         epoch_ms(TIMESTAMP '2024-01-01'
+                  + INTERVAL (CAST(user_id % 28 AS INT) + 1) DAY),
+         'pro'
+  FROM u
+)
+SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+       v.plan AS asof_plan
+FROM events e ASOF LEFT JOIN v
+  ON e.user_id = v.user_id AND epoch_ms(e.ts) >= v.from_ms
+"""
+
+
+@q("enrich_scd2_asof", _SCD2_ORACLE)
+def _enrich_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal dimension enrichment: each event picks up the
+    dimension attribute valid AT ITS EVENT TIME via the as-of join —
+    the event-time-correct upgrade of the reference's TTL'd lookup
+    cache (SURVEY J5), which always serves the *current* snapshot and
+    mislabels replayed/late events.
+
+    Scale shape: the union-sort as-of join pays one key shuffle for
+    events + versions together (operators/asof.py); the version table
+    is 2 rows per user and rides the same exchange — no per-row point
+    lookups, no inequality self-join."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    v_free = users.select(
+        "user_id",
+        F.unix_millis(base).alias("from_ms"),
+        F.lit("free").alias("plan"),
+    )
+    v_pro = users.select(
+        "user_id",
+        F.unix_millis(
+            F.timestamp_add(
+                "DAY", (F.col("user_id") % 28).cast("int") + 1, base
+            )
+        ).alias("from_ms"),
+        F.lit("pro").alias("plan"),
+    )
+    versions = v_free.unionByName(v_pro)
+    probes = ev.select("event_id", "user_id", F.unix_millis("ts").alias("ts_ms"))
+    out = asof_join(
+        probes,
+        versions,
+        key="user_id",
+        probe_ts="ts_ms",
+        event_ts="from_ms",
+        value_cols=["plan"],
+    )
+    return out.select("event_id", "user_id", "ts_ms", "asof_plan")

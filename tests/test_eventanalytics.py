@@ -110,3 +110,25 @@ class TestHistogramAndCohort:
         assert out[("2024-01-01", 2)] == 1
         assert out[("2024-01-02", 0)] == 1
         assert len(out) == 3
+
+
+class TestScd2Asof:
+    def test_event_time_correct_plan(self, spark, monkeypatch):
+        from cga_kinesis_to_elasticsearch_spark.plans import eventanalytics as EA
+
+        day = 86400
+        # user 1 upgrades on day (1 % 28) + 1 = 2
+        df = _events(
+            spark,
+            [
+                (1, 1, day, "view", 1),          # day 1: still free
+                (2, 1, 3 * day, "view", 1),      # day 3: pro
+                (3, 29, 0, "view", 1),           # day 0 first instant: free
+            ],
+        )
+        monkeypatch.setattr(EA, "_t", lambda s, d, n: df)
+        out = {r.event_id: r.asof_plan for r in
+               EA._enrich_scd2_asof(spark, "u").collect()}
+        assert out[1] == "free"
+        assert out[2] == "pro"
+        assert out[3] == "free"

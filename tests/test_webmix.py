@@ -201,3 +201,37 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" not in plan
         # owner election + join-back + per-doc reassembly, bounded
         assert _hash_exchanges(plan) <= 5
+
+
+class TestSamplingProperties:
+    """Pure-Python hypothesis properties of the hash-sampling threshold
+    arithmetic (no Spark session needed)."""
+
+    def test_hex_threshold_monotone_in_fraction(self):
+        from hypothesis import given, strategies as st
+
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
+            hex_threshold,
+        )
+
+        @given(
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+            st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        )
+        def check(a, b):
+            lo, hi = sorted((a, b))
+            # nested-sample invariant: smaller fraction -> <= threshold,
+            # so every doc kept at `lo` is kept at `hi`
+            assert hex_threshold(lo) <= hex_threshold(hi)
+
+        check()
+
+    def test_hex_threshold_bounds(self):
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
+            hex_threshold,
+        )
+
+        assert hex_threshold(0.0) == "00000000"
+        assert hex_threshold(1.0) == "gggggggg"  # above every hex digit
+        # md5 prefixes are hex, so threshold at 1.0 keeps everything
+        assert "ffffffff" < hex_threshold(1.0)
