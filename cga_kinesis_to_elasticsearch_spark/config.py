@@ -82,6 +82,40 @@ class EngineConfig:
             trigger_seconds=int(e.get("FLUSH_INTERVAL_SECONDS", "15")),
         )
 
+    @property
+    def es_use_sigv4(self) -> bool:
+        """SigV4 request signing is selected the same way the reference
+        selects it (substring test on the endpoint, main.go:259): an
+        AWS-managed ES domain signs with the static credentials +
+        region; anything else is plain HTTP."""
+        return ".es.amazonaws.com" in self.es_url
+
+    @property
+    def es_scheme(self) -> str:
+        """https for signed AWS endpoints, http otherwise
+        (main.go:270,279)."""
+        return "https" if self.es_use_sigv4 else "http"
+
+    def es_connector_options(self) -> dict[str, str]:
+        """The elasticsearch-hadoop option map this config translates
+        to on a real cluster (the file sink used in tests ignores it).
+        Mirrors the reference client flags: no sniffing/healthcheck
+        (SetSniff/SetHealthcheck false, main.go:268-269), batch sizing
+        from the bulk processor defaults (bulk_processor.go:62-63)."""
+        opts = {
+            "es.nodes": self.es_url,
+            "es.nodes.wan.only": "true",  # == SetSniff(false)
+            "es.batch.size.entries": "1000",
+            "es.batch.size.bytes": "5mb",
+            "es.batch.write.retry.count": "5",
+            "es.index.auto.create": "true",
+        }
+        if self.es_use_sigv4:
+            opts["es.net.http.auth.user"] = self.es_access_key
+            opts["es.net.http.auth.pass"] = self.es_secret_key
+            opts["es.nodes.client.only"] = "false"
+        return opts
+
     def pipeline_config(self) -> PipelineConfig:
         return PipelineConfig(
             allowed_origins=self.allowed_origins or ["env1", "env2"],

@@ -101,3 +101,25 @@ class TestObservedCounters:
             assert listener.records_in == n_records
         finally:
             listener.uninstall()
+
+
+class TestSigV4Selection:
+    def test_aws_endpoint_selects_sigv4_https(self):
+        from cga_kinesis_to_elasticsearch_spark.config import EngineConfig
+
+        cfg = EngineConfig(
+            es_url="https://search-foo.ap-southeast-2.es.amazonaws.com",
+            es_access_key="AK",
+            es_secret_key="SK",
+        )
+        assert cfg.es_use_sigv4 and cfg.es_scheme == "https"
+        opts = cfg.es_connector_options()
+        assert opts["es.net.http.auth.user"] == "AK"
+
+    def test_plain_endpoint_stays_http(self):
+        from cga_kinesis_to_elasticsearch_spark.config import EngineConfig
+
+        cfg = EngineConfig(es_url="http://localhost:9200")
+        assert not cfg.es_use_sigv4 and cfg.es_scheme == "http"
+        assert "es.net.http.auth.user" not in cfg.es_connector_options()
+        assert cfg.es_connector_options()["es.batch.size.entries"] == "1000"
