@@ -239,3 +239,49 @@ def _enrich_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["plan"],
     )
     return out.select("event_id", "user_id", "ts_ms", "asof_plan")
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time windows (1 h window, 15 min slide)
+# ---------------------------------------------------------------------------
+
+# Spark's F.window(ts, '1 hour', '15 minutes') assigns each event to
+# window/slide = 4 epoch-aligned windows; the oracle reproduces the
+# assignment by expanding each event to offsets 0..3 of its 15-min
+# bucket. Both engines align buckets to the epoch.
+_SLIDING_ORACLE = """
+WITH x AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '15 minutes', ts)
+           - unnest(range(0, 4)) * INTERVAL '15 minutes' AS w_start
+  FROM events
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM x GROUP BY 1, 2
+"""
+
+
+@q("sliding_window_counts", _SLIDING_ORACLE)
+def _sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows via the same windowed_counts helper
+    the stream uses (streaming/windows.py with slide_duration): each
+    event lands in window/slide overlapping windows; the groupBy is the
+    one exchange, map-side combined on (window, type) keys."""
+    from ..streaming.windows import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_counts(
+        ev,
+        ts_col="ts",
+        key_col="event_type",
+        window_duration="1 hour",
+        slide_duration="15 minutes",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    )

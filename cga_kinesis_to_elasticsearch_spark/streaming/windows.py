@@ -23,19 +23,25 @@ def windowed_counts(
     key_col: str | None = None,
     window_duration: str = "1 hour",
     late_threshold: str = "10 minutes",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """Tumbling event-time counts with a watermark.
+    """Tumbling (default) or sliding (``slide_duration`` < window)
+    event-time counts with a watermark.
 
     Output: (window_start, window_end[, key], n). Late rows within
     ``late_threshold`` still count toward their true window; older ones
     are dropped — a bounded-state guarantee no arrival-time design can
-    give. State size: O(open windows x keys), independent of input
-    volume.
+    give. State size: O(open windows x keys) — sliding multiplies open
+    windows by window/slide, still independent of input volume.
     """
     df = events
     if df.isStreaming:
         df = df.withWatermark(ts_col, late_threshold)
-    keys = [F.window(F.col(ts_col), window_duration).alias("w")]
+    keys = [
+        F.window(
+            F.col(ts_col), window_duration, slide_duration or window_duration
+        ).alias("w")
+    ]
     if key_col:
         keys.append(F.col(key_col))
     out = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))

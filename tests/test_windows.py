@@ -76,3 +76,33 @@ class TestWatermarkedWindows:
         assert len(ten) == 1
         # 2 on-time rows; the too-late third never counted
         assert ten[0].n == 2
+
+
+class TestSlidingWindows:
+    def test_each_event_lands_in_window_over_slide_windows(self, spark):
+        import datetime as dt
+        from pyspark.sql import functions as F
+
+        t = dt.datetime(2024, 1, 1, 10, 17, 0)  # bucket 10:15
+        df = spark.createDataFrame([(t, "k")], "ts timestamp, key string")
+        out = windowed_counts(
+            df,
+            ts_col="ts",
+            key_col="key",
+            window_duration="1 hour",
+            slide_duration="15 minutes",
+        )
+        starts = sorted(
+            r.window_start.strftime("%H:%M") for r in out.collect()
+        )
+        # 4 overlapping windows: 09:30..10:30 through 10:15..11:15
+        assert starts == ["09:30", "09:45", "10:00", "10:15"]
+        assert all(r.n == 1 for r in out.collect())
+
+    def test_default_is_tumbling(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1, 10, 17, 0)
+        df = spark.createDataFrame([(t, "k")], "ts timestamp, key string")
+        out = windowed_counts(df, ts_col="ts", key_col="key").collect()
+        assert len(out) == 1 and out[0].window_start.hour == 10
