@@ -59,6 +59,9 @@ def refresh_rollup(
 
     ``aggregate`` maps the day's fact slice to its rollup rows (it must
     not include ``date_col``; the partition directory carries it).
+    ``date_col`` is any partition key — the streaming job passes the
+    sink's ``es_index`` (= class-YYYY-MM-DD), giving one rollup per
+    index partition.
     """
     fact_root = Path(fact_path)
     rollup_root = Path(rollup_path)

@@ -125,6 +125,11 @@ class StreamConfig:
     # sources.protowire.decode_protobuf_records for real protobuf
     # payloads (or from_protobuf on a cluster with spark-protobuf).
     decoder: Callable[[DataFrame], DataFrame] | None = None
+    # Continuous-aggregate maintenance (sinks/rollup.py): after each
+    # batch commits, recompute the rollup for ONLY the index partitions
+    # the batch touched. Off unless both are set.
+    rollup_path: str = ""
+    rollup_aggregate: Callable[[DataFrame], DataFrame] | None = None
 
 
 def run_stream(
@@ -167,13 +172,26 @@ def run_stream(
             docs = run_pipeline(good, dim, cfg.pipeline)
             docs = docs.drop("log_message", "arrival_ts").persist()
             try:
-                sink.ensure_indices(
-                    [r.es_index for r in docs.select("es_index").distinct().collect()]
-                )
+                touched = [
+                    r.es_index
+                    for r in docs.select("es_index").distinct().collect()
+                ]
+                sink.ensure_indices(touched)
                 sink.write(docs)
                 m.sent_count += docs.count()
             finally:
                 docs.unpersist()
+            if cfg.rollup_path and cfg.rollup_aggregate is not None:
+                from ..sinks.rollup import refresh_rollup
+
+                refresh_rollup(
+                    spark,
+                    sink.root / "data",
+                    cfg.rollup_path,
+                    touched,
+                    cfg.rollup_aggregate,
+                    date_col="es_index",
+                )
             n_poison = poison.count()
             if n_poison:
                 sink.write_errors(poison.drop("decode_error"), batch_id)

@@ -95,3 +95,66 @@ class TestRefreshRollup:
             spark, facts, rollup, ["2024-01-01", "2099-12-31"], _agg
         )
         assert n == 1
+
+
+class TestStreamingRollupHook:
+    def test_stream_maintains_rollup_per_touched_index(
+        self, spark, sf_dir, tmp_path
+    ):
+        from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+            flatten_dimensions,
+        )
+        from cga_kinesis_to_elasticsearch_spark.pipeline import PipelineConfig
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+        from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+            ALLOWED_ORIGINS,
+            synthesize_cf_dimensions,
+            synthesize_envelopes,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            read_raw_record_stream,
+            write_raw_records,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+
+        records = synthesize_envelopes(spark, sf_dir)
+        src = tmp_path / "raw"
+        write_raw_records(records, str(src))
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark)).cache()
+        sink = ParquetIndexSink(tmp_path / "sink")
+        rollup = tmp_path / "rollup"
+
+        def agg(day_slice):
+            return day_slice.groupBy("index_class").agg(
+                F.count("*").alias("n")
+            )
+
+        cfg = StreamConfig(
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+            rollup_path=str(rollup),
+            rollup_aggregate=agg,
+        )
+        query, _ = run_stream(
+            spark, read_raw_record_stream(spark, str(src)), lambda s: dim,
+            sink, cfg,
+        )
+        drain(query)
+        # rollup rows equal a full recompute over the sink contents
+        docs = spark.read.parquet(str(tmp_path / "sink" / "data"))
+        expected = {
+            (r.es_index, r.index_class): r.n
+            for r in docs.groupBy("es_index", "index_class")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = {
+            (r.es_index, r.index_class): r.n
+            for r in spark.read.parquet(str(rollup)).collect()
+        }
+        assert got == expected and len(got) > 0
