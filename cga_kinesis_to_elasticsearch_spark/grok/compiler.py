@@ -300,6 +300,13 @@ def _assign_group_indices(marked: str) -> tuple[str, dict[int, int]]:
                 i = m.end()
                 continue
             if i + 1 < L and marked[i + 1] == "?":
+                # conditional (?(id)...): the id parens are syntax, not
+                # a capturing group — consume "(?(id)" whole
+                if i + 2 < L and marked[i + 2] == "(":
+                    j = marked.index(")", i + 2)
+                    out.append(marked[i : j + 1])
+                    i = j + 1
+                    continue
                 out.append(ch)  # non-capturing / lookaround / flags
                 i += 1
                 continue

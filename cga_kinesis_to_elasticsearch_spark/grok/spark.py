@@ -40,6 +40,9 @@ __all__ = [
     "grok_parse_many",
     "grok_multimap",
     "grok_parse_pandas",
+    "grok_parse_struct_pandas",
+    "grok_parse_auto",
+    "java_dialect_ok",
     "duckdb_exprs",
 ]
 
@@ -282,6 +285,103 @@ def grok_parse_pandas(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def java_dialect_ok(spark: "object", regex: str) -> bool:
+    """Plan-time check: does this regex compile in the Java dialect the
+    executors use? The grok compiler emits plain groups so the shipped
+    library always passes; user-supplied pattern bodies may use
+    Python-only constructs (e.g. conditional groups ``(?(1)...)``) that
+    ``java.util.regex`` rejects — those take the pandas fallback
+    (SURVEY §2.10)."""
+    try:
+        spark._jvm.java.util.regex.Pattern.compile(regex)  # type: ignore[attr-defined]
+        return True
+    except Exception:
+        return False
+
+
+def grok_parse_struct_pandas(
+    grok: Grok,
+    df: "DataFrame",
+    col: Column | str,
+    pattern: str | CompiledPattern,
+    out_col: str,
+    condition: Column | None = None,
+) -> "DataFrame":
+    """Python-dialect fallback with the SAME output shape as
+    ``grok_parse_many``: one nullable struct column of typed captures,
+    NULL on non-match (or when ``condition`` is false). Arrow-batched
+    mapInPandas, regex evaluated once per row.
+
+    Use only for patterns `java_dialect_ok` rejects — the JVM path is
+    the hot path (DESIGN.md §1)."""
+    cp = _resolve(grok, pattern)
+    src = f"__gsrc_{out_col}"
+    cond = f"__gcond_{out_col}"
+    base = list(df.columns)
+    staged = df.withColumn(src, F.col(col) if isinstance(col, str) else col)
+    staged = staged.withColumn(
+        cond, condition if condition is not None else F.lit(True)
+    )
+    out_schema = StructType(
+        [staged.schema[c] for c in base]
+        + [StructField(out_col, grok_schema(grok, cp), True)]
+    )
+    rx = cp.python_regex
+    fields = cp.fields
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        for pdf in batches:
+            vals: list[object] = []
+            for t, ok in zip(pdf[src], pdf[cond]):
+                if not ok or not isinstance(t, str):
+                    vals.append(None)
+                    continue
+                m = rx.search(t)
+                if m is None:
+                    vals.append(None)
+                    continue
+                d: dict[str, object] = {}
+                for c in fields:
+                    raw = m.group(c.group) or ""
+                    if c.type == "int":
+                        try:
+                            d[c.name] = int(raw) if raw else None
+                        except ValueError:
+                            d[c.name] = None
+                    elif c.type == "float":
+                        try:
+                            d[c.name] = float(raw) if raw else None
+                        except ValueError:
+                            d[c.name] = None
+                    else:
+                        d[c.name] = raw
+                vals.append(d)
+            out = pdf[base].copy()
+            out[out_col] = vals
+            yield out
+
+    return staged.mapInPandas(run, out_schema)
+
+
+def grok_parse_auto(
+    grok: Grok,
+    df: "DataFrame",
+    col: Column | str,
+    pattern: str | CompiledPattern,
+    out_col: str,
+    condition: Column | None = None,
+) -> "DataFrame":
+    """Dialect-aware parse (SURVEY §2.10): compile to JVM-side
+    expressions when the expanded regex is valid Java
+    (`grok_parse_many`, codegen hot path), else fall back to the
+    Python-dialect mapInPandas parser with identical output schema and
+    NULL-on-nonmatch semantics. The choice happens once, at plan time."""
+    cp = _resolve(grok, pattern)
+    if java_dialect_ok(df.sparkSession, cp.regex):
+        return grok_parse_many(grok, df, col, [(out_col, cp, condition)])
+    return grok_parse_struct_pandas(grok, df, col, cp, out_col, condition)
 
 
 def duckdb_exprs(
