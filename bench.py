@@ -38,6 +38,7 @@ HEADLINE = [
     "embedding_ivf_topk",
     "salted_hot_key_agg",
     "text_quality",
+    "sketch_daily_users",
 ]
 
 

@@ -13,5 +13,6 @@ from . import components_query as _components_query  # noqa: F401
 from . import corpus as _corpus  # noqa: F401
 from . import webmix as _webmix  # noqa: F401
 from . import eventanalytics as _eventanalytics  # noqa: F401
+from . import sketches_query as _sketches_query  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]

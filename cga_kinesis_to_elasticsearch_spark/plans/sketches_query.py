@@ -1,0 +1,79 @@
+"""Declared queries for mergeable sketch rollups (operators/sketches.py).
+
+`sketch_daily_users` and `sketch_user_overlap` carry REAL value oracles:
+at sf0.01 cardinalities DataSketches HLL/theta sketches remain in their
+exact (coupon/hash-table) phase, where the estimate equals the true
+distinct count — so exact COUNT(DISTINCT) SQL is a valid oracle and the
+whole sketch pipeline (agg → store → union/intersect → estimate) gets a
+hash-compared check, not just rows-only. `test_sketches.py` pins the
+error-bound and merge-associativity properties that carry to the
+estimating regime at scale.
+
+`sketch_range_quantiles` is rows-only: KLL quantiles are sampling-based
+even at small n, not reproducible in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.sketches import (
+    hll_day_sketches,
+    kll_day_sketches,
+    kll_range_quantiles,
+    theta_day_sketches,
+    theta_overlap,
+)
+from .declared import _t, q
+
+FULL_RANGE = ("1990-01-01", "2099-12-31")
+
+
+@q(
+    "sketch_daily_users",
+    """
+    SELECT CAST(ts AS DATE)::VARCHAR AS day,
+           count(DISTINCT user_id) AS distinct_est
+    FROM events GROUP BY 1
+    """,
+)
+def _sketch_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day HLL sketch rollup; the stored-sketch layout that answers
+    any-range distinct queries without fact rescans (DESIGN.md §7)."""
+    ev = _t(spark, sf_dir, "events")
+    return hll_day_sketches(ev, "ts", "user_id").select("day", "distinct_est")
+
+
+@q(
+    "sketch_user_overlap",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE)::VARCHAR AS day, user_id FROM events),
+    bounds AS (SELECT min(day) AS a, max(day) AS b FROM d)
+    SELECT a AS day_a, b AS day_b,
+      (SELECT count(DISTINCT user_id) FROM d WHERE day = (SELECT a FROM bounds)
+         AND user_id IN (SELECT user_id FROM d WHERE day = (SELECT b FROM bounds))) AS returning,
+      (SELECT count(DISTINCT user_id) FROM d WHERE day = (SELECT a FROM bounds)
+         AND user_id NOT IN (SELECT user_id FROM d WHERE day = (SELECT b FROM bounds))) AS churned,
+      (SELECT count(DISTINCT user_id) FROM d WHERE day = (SELECT b FROM bounds)
+         AND user_id NOT IN (SELECT user_id FROM d WHERE day = (SELECT a FROM bounds))) AS new
+    FROM bounds
+    """,
+)
+def _sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returning/churned/new users between the first and last day,
+    computed purely from two stored theta sketches (set algebra on
+    sketch state — no fact rescan)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = theta_day_sketches(ev, "ts", "user_id")
+    lo, hi = sk.agg(F.min("day"), F.max("day")).first()
+    return theta_overlap(sk, lo, hi)
+
+
+@q("sketch_range_quantiles", None)
+def _sketch_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-range percentiles from merged per-day KLL sketches
+    (rows-only: KLL is sampling-based; value error bound pinned in
+    test_sketches.py)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = kll_day_sketches(ev, "ts", "value")
+    return kll_range_quantiles(sk, *FULL_RANGE)
