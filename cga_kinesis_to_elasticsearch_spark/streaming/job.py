@@ -130,6 +130,13 @@ class StreamConfig:
     # the batch touched. Off unless both are set.
     rollup_path: str = ""
     rollup_aggregate: Callable[[DataFrame], DataFrame] | None = None
+    # Mergeable-sketch maintenance (sinks/sketchmaint.py): per batch,
+    # union the batch's per-index HLL key sketches into stored per-index
+    # sketches — distinct counts kept fresh with NO fact rescans, and
+    # idempotent under at-least-once replay (HLL set semantics). Off
+    # unless both are set.
+    sketch_path: str = ""
+    sketch_key_col: str = ""
 
 
 def run_stream(
@@ -179,6 +186,16 @@ def run_stream(
                 sink.ensure_indices(touched)
                 sink.write(docs)
                 m.sent_count += docs.count()
+                if cfg.sketch_path and cfg.sketch_key_col:
+                    from ..sinks.sketchmaint import refresh_day_sketches
+
+                    refresh_day_sketches(
+                        spark,
+                        docs,
+                        cfg.sketch_path,
+                        day_col="es_index",
+                        key_col=cfg.sketch_key_col,
+                    )
             finally:
                 docs.unpersist()
             if cfg.rollup_path and cfg.rollup_aggregate is not None:
