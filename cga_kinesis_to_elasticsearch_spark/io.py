@@ -47,14 +47,28 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read ``<sf_dir>/<name>.parquet`` with nanos-timestamp repair."""
+    """Read ``<sf_dir>/<name>.parquet`` with timestamp normalization.
+
+    All timestamp columns surface as TimestampType (UTC instants):
+    nanos columns are repaired via the legacy long path; naive micros
+    columns are kept out of TIMESTAMP_NTZ (the oracle treats them as
+    UTC, and epoch functions reject NTZ) by disabling NTZ inference —
+    with a cast fallback should the conf ever become static.
+    """
     path = f"{sf_dir}/{name}.parquet"
     nanos = _nanos_columns(path)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     df = spark.read.parquet(path)
     for c in nanos:
         # integer `div`, NOT `/`: float division of int64 nanos loses
         # precision above 2^53 and rounds some values up a microsecond
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df

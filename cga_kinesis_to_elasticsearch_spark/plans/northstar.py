@@ -425,8 +425,8 @@ _TRIWORD_RX = _GROK.compile("TRIWORD").regex.replace("'", "''")
     "grok_multimap_words",
     f"""
     SELECT doc_id,
-           [struct_extract(r, 'w1'), struct_extract(r, 'w2'),
-            struct_extract(r, 'w3')] AS w_values
+           array_to_string([struct_extract(r, 'w1'), struct_extract(r, 'w2'),
+                            struct_extract(r, 'w3')], '|') AS w_values
     FROM (SELECT doc_id,
                  regexp_extract(text, '{_TRIWORD_RX}', ['w1','w2','w3']) AS r
           FROM documents
@@ -435,13 +435,15 @@ _TRIWORD_RX = _GROK.compile("TRIWORD").regex.replace("'", "''")
 )
 def _grok_multimap_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 (ParseToMultiMap, grok.go:264-283): duplicate capture names
-    accumulate into an array instead of last-wins."""
+    accumulate into an array instead of last-wins. Surfaced as a
+    '|'-joined string: the correctness driver's canonicalizer sorts on
+    every output column and cannot order array cells."""
     from ..grok.spark import grok_match, grok_multimap
 
     docs = _tp(spark, sf_dir, "documents")
     matched = docs.filter(grok_match(_GROK, F.col("text"), "TRIWORD"))
     return grok_multimap(_GROK, matched, "text", "TRIWORD").select(
-        "doc_id", "w_values"
+        "doc_id", F.concat_ws("|", "w_values").alias("w_values")
     )
 
 
@@ -481,10 +483,18 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     with_media = M.attach_binary(docs.select("doc_id", "text"), "text")
     feats = M.extract_features(with_media)
+    # Feature vector flattened to a string: the correctness driver's
+    # canonicalizer sorts on every output column and cannot order
+    # array cells.
     return feats.select(
         "doc_id",
         F.col("media_meta.n_bytes").alias("n_bytes"),
-        "media_features",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "media_features", lambda x: F.round(x, 6).cast("string")
+            ),
+        ).alias("media_features"),
     )
 
 

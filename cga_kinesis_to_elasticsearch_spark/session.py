@@ -61,6 +61,11 @@ def _engine_conf() -> dict[str, str]:
         # Arrow for the few pandas-UDF operators (multimodal decode).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
+        # The testdata's naive (micros, no-tz) parquet timestamps must
+        # surface as TimestampType, not TIMESTAMP_NTZ: the DuckDB oracle
+        # treats them as UTC instants, and epoch functions (unix_millis)
+        # reject NTZ outright.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     }
 
 

@@ -102,7 +102,23 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf_spark = fn(spark, sf_dir)
+            # The driver's canonicalizer sorts on every output column and
+            # crashes on array/map/struct cells (unhashable ndarray) —
+            # flag complex types as hard failures here too.
+            complex_cols = [
+                f.name
+                for f in sdf_spark.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct", "binary")
+            ]
+            if complex_cols:
+                print(
+                    f"FAIL  {name}: complex output columns {complex_cols} "
+                    "(driver canon cannot sort these — stringify them)"
+                )
+                failures += 1
+                continue
+            sdf = sdf_spark.toPandas()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
