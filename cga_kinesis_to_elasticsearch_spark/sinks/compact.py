@@ -21,12 +21,12 @@ runs outside the stream (T7).
 from __future__ import annotations
 
 import math
-import shutil
-import uuid
 from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+from ._swap import part_paths, recover_and_sweep, swap_in
 
 __all__ = ["CompactionStats", "compact_index"]
 
@@ -66,6 +66,10 @@ def compact_index(
     stats = CompactionStats()
     if not root.exists():
         return stats
+    # Restore any partition whose previous compaction swap was
+    # interrupted (here the swapped-out dir holds the ONLY copy of the
+    # fact data) and reclaim orphaned temp dirs.
+    recover_and_sweep(root)
     for part_dir in sorted(root.iterdir()):
         if not part_dir.is_dir() or not part_dir.name.startswith(partition_prefix):
             continue
@@ -77,8 +81,9 @@ def compact_index(
         if len(files) <= max(min_files, n_target):
             stats.files_after += len(files)
             continue
-        # distributed rewrite into a sibling temp dir, then atomic swap
-        tmp = part_dir.parent / f"_compact-{uuid.uuid4().hex}"
+        # distributed rewrite into a sibling temp dir, then the
+        # deterministic-name atomic swap (_swap.py protocol)
+        _, tmp, _ = part_paths(root, part_dir.name)
         (
             spark.read.parquet(str(part_dir))
             .coalesce(n_target)
@@ -87,10 +92,7 @@ def compact_index(
         )
         for marker in tmp.glob("_*"):
             marker.unlink()
-        old = part_dir.parent / f"_old-{uuid.uuid4().hex}"
-        part_dir.rename(old)
-        tmp.rename(part_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        swap_in(root, part_dir.name)
         stats.partitions_compacted += 1
         stats.files_after += len(_data_files(part_dir))
         stats.bytes_rewritten += total

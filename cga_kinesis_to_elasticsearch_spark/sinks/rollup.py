@@ -24,12 +24,12 @@ the scan touch only that day).
 
 from __future__ import annotations
 
-import shutil
-import uuid
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ._swap import part_paths, recover_and_sweep, swap_in
 
 __all__ = ["touched_days", "refresh_rollup"]
 
@@ -66,6 +66,10 @@ def refresh_rollup(
     fact_root = Path(fact_path)
     rollup_root = Path(rollup_path)
     rollup_root.mkdir(parents=True, exist_ok=True)
+    # Reclaim orphaned .tmp-*/.old-* dirs from any interrupted swap
+    # (the recompute below overwrites recovered days touched by this
+    # batch; untouched recovered days keep their last durable rollup).
+    recover_and_sweep(rollup_root)
     refreshed = 0
     for day in days:
         part = fact_root / f"{date_col}={day}"
@@ -73,14 +77,9 @@ def refresh_rollup(
             continue
         day_slice = spark.read.parquet(str(part))
         out = aggregate(day_slice)
-        tmp = rollup_root / f".tmp-{uuid.uuid4().hex}"
+        part_name = f"{date_col}={day}"
+        _, tmp, _ = part_paths(rollup_root, part_name)
         out.write.mode("overwrite").parquet(str(tmp))
-        final = rollup_root / f"{date_col}={day}"
-        swap = rollup_root / f".old-{uuid.uuid4().hex}"
-        if final.exists():
-            final.rename(swap)
-        tmp.rename(final)
-        if swap.exists():
-            shutil.rmtree(swap)
+        swap_in(rollup_root, part_name)
         refreshed += 1
     return refreshed

@@ -17,17 +17,20 @@ checkpoint replay window, postgres.go:61.)
 
 Layout: one `<day_col>=<day>` partition directory per day under
 ``sketch_root``, holding a single row ``(sketch BINARY,
-distinct_est LONG)``. Updates write-to-temp then atomically swap the
-directory, same crash-safety protocol as rollup/compaction.
+distinct_est LONG)``. Updates follow the deterministic-name swap
+protocol in `_swap.py`; unlike rollup (which can recompute a lost day
+from the fact slice) the sketch store is the ONLY copy of accumulated
+state, so every refresh first runs `recover_and_sweep` to restore a
+day whose swap was interrupted and to reclaim orphaned temp dirs.
 """
 
 from __future__ import annotations
 
-import shutil
-import uuid
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ._swap import part_paths, recover_and_sweep, swap_in
 
 __all__ = ["refresh_day_sketches", "read_day_sketches"]
 
@@ -45,18 +48,24 @@ def refresh_day_sketches(
     sink's ``es_index`` partition value). Returns days refreshed."""
     root = Path(sketch_root)
     root.mkdir(parents=True, exist_ok=True)
+    # A day whose previous swap was interrupted gets its accumulated
+    # sketch restored BEFORE we union the batch into it — without this,
+    # a crash in the rename window would silently reset that day to
+    # only the current batch's keys.
+    recover_and_sweep(root)
     # backtick-quote names: doc columns like `@cf.app_id` contain dots
     # that unquoted resolution would parse as struct access
     key, day = F.col(f"`{key_col}`"), F.col(f"`{day_col}`")
     new_rows = (
-        batch.where(key.isNotNull())
+        batch.where(key.isNotNull() & day.isNotNull())
         .groupBy(day.cast("string").alias("day"))
         .agg(F.hll_sketch_agg(key, F.lit(lgk)).alias("sketch"))
         .collect()
     )
     refreshed = 0
     for r in new_rows:
-        final = root / f"{day_col}={r['day']}"
+        part = f"{day_col}={r['day']}"
+        final, tmp, _ = part_paths(root, part)
         blobs = [(bytes(r["sketch"]),)]
         if final.exists():
             blobs += [
@@ -72,14 +81,8 @@ def refresh_day_sketches(
             )
             .coalesce(1)
         )
-        tmp = root / f".tmp-{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(str(tmp))
-        swap = root / f".old-{uuid.uuid4().hex}"
-        if final.exists():
-            final.rename(swap)
-        tmp.rename(final)
-        if swap.exists():
-            shutil.rmtree(swap)
+        swap_in(root, part)
         refreshed += 1
     return refreshed
 
@@ -91,6 +94,10 @@ def read_day_sketches(
     distinct_est LONG)`` — directly consumable by
     ``operators.sketches.hll_range_distinct``."""
     df = spark.read.parquet(str(sketch_root))
+    # backtick-quote for symmetry with the writer: a dotted day_col
+    # would otherwise mis-resolve as struct access on read
     return df.select(
-        F.col(day_col).cast("string").alias("day"), "sketch", "distinct_est"
+        F.col(f"`{day_col}`").cast("string").alias("day"),
+        "sketch",
+        "distinct_est",
     )
