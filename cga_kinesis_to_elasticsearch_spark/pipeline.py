@@ -63,9 +63,10 @@ def run_pipeline(
     Output: one row per indexed document with parsed struct columns
     (``parsed_<pattern>``), the six @cf.* enrichment columns, computed
     columns and the day-partitioned ``es_index`` routing key, plus a
-    deterministic ``doc_id`` (sha1 of shard+sequence — the
+    deterministic ``doc_id`` (md5 of shard+sequence — the
     effectively-once upgrade over the reference's auto-generated ids,
-    T1).
+    T1; md5 because every engine in the verification chain has it,
+    and 128 bits is already far past collision concern for ids).
     """
     cfg = config or PipelineConfig()
     g = grok or default_grok()
@@ -133,7 +134,7 @@ def run_pipeline(
 
     # T1: deterministic doc id -> replays overwrite instead of duplicate.
     df = df.withColumn(
-        "doc_id", F.sha1(F.concat_ws("|", "shard_id", "sequence_number"))
+        "doc_id", F.md5(F.concat_ws("|", "shard_id", "sequence_number"))
     )
     parsed_cols = [f"parsed_{p.lower()}" for p in patterns_in_use]
     quoted = [f"`{c}`" if "." in c else c for c in DOC_COLUMNS]

@@ -717,17 +717,30 @@ def _windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("approx_distinct_users", None)
+@q(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS approx_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (absent from the reference, SURVEY §2.11):
-    HLL++ distinct-user counts per event type. No SQL oracle — DuckDB's
-    approx_count_distinct uses a different sketch; rows-only here, and
-    tests/test_sql_surface.py asserts <5% relative error vs exact."""
+    sketch-based distinct-user counts per event type via Datasketches
+    HLL (mergeable — the same state sketchmaint stores incrementally).
+    Oracle is EXACT count(DISTINCT): at sf0.01 cardinalities the lgK=14
+    sketch is still in its exact coupon phase, so estimate == truth;
+    at 100 TB the identical plan answers with bounded (~1.6%/sqrt(2^14))
+    error and constant per-group state. tests/test_sql_surface.py also
+    pins <5% relative error for approx_count_distinct (HLL++)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+            .alias("approx_users"),
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")

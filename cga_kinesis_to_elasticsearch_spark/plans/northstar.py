@@ -473,26 +473,43 @@ def _optout_flag_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@q("multimodal_features", None)
+@q(
+    "multimodal_features",
+    """
+    WITH b AS (
+      SELECT doc_id, length(text) AS n_bytes,
+             list_transform(range(1, length(text) + 1),
+                            i -> ord(substring(text, i, 1)) % 4) AS buckets
+      FROM documents)
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           array_to_string(list_transform(range(0, 4), k ->
+             printf('%.6f', round_even(len(list_filter(buckets, x -> x = k))
+                                       / CAST(n_bytes AS DOUBLE), 6))), ',')
+             AS media_features
+    FROM b
+    """,
+)
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched feature extraction via
     mapInPandas (decode stubbed deterministically — no media libs in
-    this container)."""
+    this container). The deterministic byte-bucket stub makes the
+    features SQL-replayable (documents are ASCII, so DuckDB character
+    ords == payload bytes), upgrading this from rows-only to the full
+    value-hash oracle. Features surface as one '%.6f'-formatted string:
+    stable cross-engine formatting, and the correctness driver's
+    canonicalizer cannot sort array cells."""
     from ..operators import multimodal as M
 
     docs = _tp(spark, sf_dir, "documents")
     with_media = M.attach_binary(docs.select("doc_id", "text"), "text")
     feats = M.extract_features(with_media)
-    # Feature vector flattened to a string: the correctness driver's
-    # canonicalizer sorts on every output column and cannot order
-    # array cells.
     return feats.select(
         "doc_id",
         F.col("media_meta.n_bytes").alias("n_bytes"),
         F.concat_ws(
             ",",
             F.transform(
-                "media_features", lambda x: F.round(x, 6).cast("string")
+                "media_features", lambda x: F.format_string("%.6f", x)
             ),
         ).alias("media_features"),
     )
@@ -561,10 +578,139 @@ def _multimodal_meta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("pipeline_e2e", None)
+# -- pipeline_e2e oracle ----------------------------------------------------
+# Replays the WHOLE parity pipeline in DuckDB: envelope synthesis from
+# events (sources/envelopes.py), F1/F2 route ladder + F3 identifiability
+# (the kept arm set {2,3,5,6,7} — independently re-derived from the
+# FIXTURES.md A1 row mix, so a routing bug on either side mismatches),
+# grok parsing via the SAME compiled patterns (duckdb_exprs), the cf
+# snowflake dim rebuilt from range() (sources/envelopes.py
+# synthesize_cf_dimensions), the enrichment left join with
+# known/unknown-origin semantics, computed columns, and the md5 doc id.
+
+
+def _grok_sql(pattern: str, name: str) -> str:
+    """The bare DuckDB expression (no alias) for one grok capture of
+    ``message``, from the same compiled pattern Spark executes."""
+    from ..grok import duckdb_exprs
+
+    for e in duckdb_exprs(_GROK, "message", pattern):
+        expr, _, alias = e.rpartition(" AS ")
+        if alias == name:
+            return expr
+    raise KeyError(f"{pattern}.{name}")
+
+
+def _guid_sql(n: str) -> str:
+    return f"'00000000-0000-4000-8000-' || lpad(CAST({n} AS VARCHAR), 12, '0')"
+
+
+_ROUTER_LINE_FMT = (
+    'host-%d.example.com - [2024-01-01T00:00:00+0000] \\"GET /p/%d HTTP/1.1\\" '
+    '%d 10 200 \\"-\\" \\"UA\\" \\"10.0.0.1:1234\\" \\"10.0.1.2:61001\\" '
+    'x_forwarded_for:\\"1.2.3.4\\" x_forwarded_proto:\\"https\\" '
+    'vcap_request_id:\\"req-%d\\" response_time:0.012 app_id:\\"%s\\" '
+    'app_index:\\"0\\" x_b3_traceid:\\"t\\" x_b3_spanid:\\"s\\" '
+    'x_b3_parentspanid:\\"-\\"'
+).replace('\\"', '"')
+
+
+def _pipeline_oracle(
+    kept_arms: str = "(2, 3, 5, 6, 7)",
+    tail: str = """,
+           CASE WHEN p.origin IN ('env1', 'env2')
+                THEN coalesce(d.app_name, '') END AS "@cf.app",
+           CASE WHEN p.origin IN ('env1', 'env2')
+                THEN coalesce(d.org_name, '') END AS "@cf.org",
+           p.log_event, p.rtr_status""",
+) -> str:
+    """The pipeline replay. ``kept_arms`` is the post-F1/F2/F3 arm set
+    ({2,3,5,6,7} with disabled routes resurrected; {5,6,7} with the
+    reference's enabled-only config, where arms 2/3 drop at the route
+    ladder and 8 at F3). ``tail`` is the projection after the computed
+    columns, for consumers exposing different columns off the same
+    document set."""
+    guid = _guid_sql("(event_id // 10) % 50")
+    return f"""
+    WITH syn AS (
+      SELECT event_id, ts, user_id,
+             event_id % 10 AS arm,
+             {guid} AS guid,
+             CASE WHEN user_id % 7 = 0 THEN 'envX'
+                  WHEN user_id % 3 = 0 THEN 'env2' ELSE 'env1' END AS origin,
+             CASE WHEN event_id % 10 = 2 THEN printf(
+                    '{_ROUTER_LINE_FMT}',
+                    user_id, event_id, (event_id % 5) * 100 + 200, event_id,
+                    {guid})
+                  ELSE printf('evt=%s value=%s props=%s', event_type,
+                              round(value, 2)::VARCHAR, props)
+             END AS message
+      FROM events),
+    routed AS (
+      SELECT *,
+             CASE arm WHEN 2 THEN 'gorouter_access'
+                      WHEN 3 THEN 'bosh_director'
+                      ELSE 'gorouter' END AS index_class,
+             CASE WHEN arm = 2 THEN 'ROUTERACCESS'
+                  ELSE 'GENERIC' END AS grok_pattern,
+             CASE WHEN arm IN (3, 5, 7) THEN guid
+                  WHEN arm = 6 THEN upper(guid)
+                  ELSE '' END AS env_app_id
+      FROM syn WHERE arm IN {kept_arms}),
+    parsed AS (
+      SELECT *,
+             CASE WHEN grok_pattern = 'GENERIC'
+                  THEN {_grok_sql("GENERIC", "log_event")} END AS log_event,
+             CASE WHEN grok_pattern = 'ROUTERACCESS'
+                  THEN {_grok_sql("ROUTERACCESS", "rtr_status")}
+             END AS rtr_status,
+             CASE WHEN env_app_id <> '' THEN env_app_id
+                  WHEN grok_pattern = 'ROUTERACCESS' THEN
+                    coalesce({_grok_sql("ROUTERACCESS", "rtr_app_id")}, '')
+                  ELSE '' END AS app_guid
+      FROM routed),
+    envs AS (SELECT unnest(['env1', 'env2']) AS env),
+    apps AS (
+      SELECT env, n, lower({_guid_sql("n")}) AS guid_lc,
+             'app-' || env || '-' || CAST(n AS VARCHAR) AS app_name,
+             CASE WHEN n % 10 <> 9 THEN {_guid_sql("(n % 8) + 100")}
+                  ELSE {_guid_sql("999")} END AS space_guid
+      FROM envs, range(40) t(n)),
+    spaces AS (
+      SELECT env AS s_env, lower({_guid_sql("s + 100")}) AS s_guid_lc,
+             'space-' || env || '-' || CAST(s AS VARCHAR) AS space_name,
+             CASE WHEN s % 5 <> 4 THEN {_guid_sql("(s % 4) + 200")}
+                  ELSE {_guid_sql("998")} END AS org_guid
+      FROM envs, range(8) t(s)),
+    orgs AS (
+      SELECT env AS o_env, lower({_guid_sql("o + 200")}) AS o_guid_lc,
+             'org-' || env || '-' || CAST(o AS VARCHAR) AS org_name
+      FROM envs, range(4) t(o)),
+    dim AS (
+      SELECT a.env, a.guid_lc, a.app_name, o.org_name
+      FROM apps a
+      LEFT JOIN spaces s
+        ON a.env = s.s_env AND lower(a.space_guid) = s.s_guid_lc
+      LEFT JOIN orgs o
+        ON a.env = o.o_env AND lower(s.org_guid) = o.o_guid_lc)
+    SELECT md5('shard-' || CAST(p.event_id % 4 AS VARCHAR) || '|'
+               || CAST(p.event_id AS VARCHAR)) AS doc_id,
+           p.index_class || '-' || strftime(p.ts, '%Y-%m-%d') AS es_index,
+           p.index_class,
+           strftime(p.ts, '%Y-%m-%d') AS event_date,
+           epoch_ms(p.ts) AS "timestamp"{tail}
+    FROM parsed p
+    LEFT JOIN dim d
+      ON p.origin = d.env AND lower(p.app_guid) = d.guid_lc
+    """
+
+
+@q("pipeline_e2e", _pipeline_oracle())
 def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full parity pipeline (SURVEY §3.1) over synthesized envelopes —
-    covers decode, F1/F2/F3, grok G1-G5, J1-J4, computed columns, P1.
+    covers decode, F1/F2/F3, grok G1-G5, J1-J4, computed columns, P1,
+    now under the full value-hash oracle (_pipeline_oracle replays
+    synthesis, routing, grok, enrichment and computed columns in SQL).
     Streaming equivalence is asserted in tests/test_streaming.py."""
     from ..operators.enrichment import flatten_dimensions
     from ..pipeline import PipelineConfig, run_pipeline

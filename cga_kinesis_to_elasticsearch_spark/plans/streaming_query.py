@@ -1,5 +1,4 @@
-"""Declared query for the streaming path (rows-only check — the
-micro-batch run is not SQL-expressible, SURVEY §5 item 4).
+"""Declared query for the streaming path.
 
 Runs the full Structured Streaming job — file-based raw-record source
 (Kinesis stand-in), decode with poison bucketing, the parity pipeline
@@ -117,7 +116,25 @@ def _stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-@q("streaming_pipeline", None)
+def _streaming_oracle() -> str:
+    """The batch pipeline replay (northstar._pipeline_oracle) restricted
+    to the enabled-routes arm set and the sink's readback projection:
+    the micro-batch run must land EXACTLY the batch pipeline's documents
+    (SURVEY §5 item 4), so the same SQL verifies the streaming path —
+    upgraded from the old rows-only check."""
+    from .northstar import _pipeline_oracle
+
+    return _pipeline_oracle(
+        kept_arms="(5, 6, 7)",
+        tail=""",
+           CASE WHEN p.origin IN ('env1', 'env2')
+                THEN coalesce(d.app_name, '') END AS cf_app,
+           CASE WHEN p.origin IN ('env1', 'env2')
+                THEN coalesce(d.org_name, '') END AS cf_org""",
+    )
+
+
+@q("streaming_pipeline", _streaming_oracle())
 def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = Path(tempfile.mkdtemp(prefix="cga-stream-"))
     try:
