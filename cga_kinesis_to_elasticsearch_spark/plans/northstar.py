@@ -723,14 +723,17 @@ def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The driver's events.parquet is one row group -> one partition; a
     # real Kinesis source delivers one partition per shard. Spread the
     # raw rows pre-synthesis so the grok/enrich hot path uses every core.
-    # localCheckpoint materializes the synthesized records at the source
+    # localCheckpoint cuts the synthesized records' lineage at the source
     # boundary: a real deployment's source is storage/Kinesis (already
-    # materialized), whereas leaving the synthesis lazy lets Catalyst
-    # re-inline its expression tree into every downstream filter and
-    # projection (measured 4x on the full pipeline at sf0.1).
+    # materialized), whereas leaving the synthesis in the plan lets
+    # Catalyst re-inline its expression tree into every downstream filter
+    # and projection (measured 2x on the full pipeline at sf0.1).
+    # eager=False folds the materialization into the consuming job's
+    # first pass instead of paying a separate serial job up front
+    # (measured 6.9s -> 2.0s cold, 1.7s -> 1.4s warm).
     records = synthesize_envelopes(
         spark, sf_dir, partitions=spark.sparkContext.defaultParallelism
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     dim = flatten_dimensions(*synthesize_cf_dimensions(spark))
     cfg = PipelineConfig(allowed_origins=ALLOWED_ORIGINS, enable_disabled_routes=True)
     docs = run_pipeline(records, dim, cfg)
