@@ -39,6 +39,7 @@ HEADLINE = [
     "salted_hot_key_agg",
     "text_quality",
     "sketch_daily_users",
+    "pack_training_sequences",
 ]
 
 

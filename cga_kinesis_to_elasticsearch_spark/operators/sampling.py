@@ -20,13 +20,14 @@ ablations need.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "hex_threshold",
     "sample_key",
     "stratified_hash_sample",
     "temperature_mix",
+    "per_key_cap",
 ]
 
 #: hex digits of the md5 prefix used as the uniform variate; 8 digits
@@ -144,3 +145,33 @@ def temperature_mix(
         .filter(sample_key(F.col(id_col), seed) < F.col("__thr"))
         .select(F.col(id_col), F.col(source_col), F.col("mix_fraction"))
     )
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    cap: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Cap the number of rows kept per key (RefinedWeb-style per-domain
+    caps: no single site may dominate the corpus). Keeps the first
+    ``cap`` rows of each key in deterministic ``order_col`` order
+    (default: the id) and emits the rank plus a ``kept`` flag so the
+    audit view preserves the full row set.
+
+    Shape chosen for scale: one shuffle on the cap key and one
+    per-key sort — the same exchange a later per-key aggregation would
+    need anyway. Only (key, id, order) columns move; payloads rejoin by
+    id afterwards. Skewed keys are exactly the ones the cap is FOR:
+    a hot domain's partition is bounded because every row beyond the
+    cap is droppable at the merge (rank never exceeds cap + spillover
+    within a task), and AQE's skew splitting covers the scan side.
+    """
+    order = F.col(order_col) if order_col else F.col(id_col)
+    w = Window.partitionBy(key_col).orderBy(order, F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.row_number().over(w).cast("long").alias("key_rank"),
+    ).withColumn("kept", F.col("key_rank") <= cap)

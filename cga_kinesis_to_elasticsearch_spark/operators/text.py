@@ -23,6 +23,9 @@ __all__ = [
     "vocab_coverage",
     "line_boilerplate",
     "quality_classifier",
+    "clean_text",
+    "length_winsorize",
+    "pack_spans",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -426,4 +429,129 @@ def quality_classifier(
     )
     return feat.select(
         "*", score.alias("score"), (score >= threshold).alias("keep")
+    )
+
+
+def clean_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Markup/control cleaning — the normalization pass ahead of any
+    text analysis in a web-corpus pipeline (C4's first step): strip
+    HTML/XML tags, strip C0 control characters, collapse whitespace
+    runs, trim. Emits per-rule removal counts for curation audits plus
+    an md5 of the cleaned text (the compact, oracle-comparable witness
+    of the full cleaned string).
+
+    Scale posture: narrow codegen regexp work only — no shuffle, no
+    Python; cleaning runs at scan speed and shrinks every byte the
+    rest of the pipeline touches. Patterns avoid non-RE2 constructs so
+    the same rules run on any engine."""
+    raw = F.col(text_col)
+    n_tags = F.regexp_count(raw, F.lit(r"<[^>]*>"))
+    no_tags = F.regexp_replace(raw, r"<[^>]*>", " ")
+    ctrl = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+    n_ctrl = F.regexp_count(no_tags, F.lit(ctrl))
+    no_ctrl = F.regexp_replace(no_tags, ctrl, "")
+    cleaned = F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        n_tags.cast("long").alias("n_html_tags"),
+        n_ctrl.cast("long").alias("n_ctrl_chars"),
+        F.length(cleaned).cast("long").alias("clean_len"),
+        F.md5(cleaned).alias("clean_md5"),
+    )
+
+
+def length_winsorize(
+    df: DataFrame,
+    num_col: str,
+    group_col: str,
+    id_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization of a numeric quality signal: clamp
+    ``num_col`` to its group's [lo, hi] exact percentiles and flag the
+    rows outside them (the standard outlier-trim before computing
+    corpus statistics or length-balanced sampling).
+
+    Shape chosen for scale: ONE map-side-combinable aggregation
+    computes both percentiles per group (percentile() partials merge),
+    the tiny per-group frame broadcasts back onto the corpus, and the
+    clamp itself is a narrow projection. No window over the full
+    corpus, no per-group sort of the data — the 100 TB path shuffles
+    only the group keys. (percentile_approx swaps in for the exact
+    percentile at petabyte group sizes; the plan shape is unchanged.)
+    """
+    from pyspark.sql.functions import broadcast
+
+    v = F.col(num_col)
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({num_col}, {lo})").alias("__p_lo"),
+        F.expr(f"percentile({num_col}, {hi})").alias("__p_hi"),
+    )
+    out = df.join(broadcast(bounds), on=group_col, how="inner")
+    clamped = F.least(F.greatest(v.cast("double"), F.col("__p_lo")), F.col("__p_hi"))
+    return out.select(
+        F.col(id_col),
+        F.col(group_col),
+        v.alias(num_col),
+        F.round(F.col("__p_lo"), 4).alias("p_lo"),
+        F.round(F.col("__p_hi"), 4).alias("p_hi"),
+        F.round(clamped, 4).alias("clamped"),
+        ((v < F.col("__p_lo")) | (v > F.col("__p_hi"))).alias("is_outlier"),
+    )
+
+
+def pack_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stream_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Concat-and-split sequence packing: documents of each stream are
+    laid head-to-tail in deterministic ``id_col`` order and cut into
+    fixed ``budget``-token training sequences, documents straddling cut
+    points (the standard GPT-style packing — no padding waste). Emits
+    one row per (document, sequence) span: the sequence index and how
+    many of the document's tokens land in that sequence.
+
+    Shape chosen for scale: ONE shuffle on the stream key; the window's
+    running sum reuses that partitioning and a single per-stream sort;
+    the span fan-out is a narrow ``explode`` bounded by ceil(doc_len /
+    budget) + 1 rows per document. Streams pack independently, so a
+    100 TB corpus parallelizes across its sources; within a stream the
+    layout is total-ordered and reproducible (same input -> same
+    sequence ids — resumable packing without coordination)."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    staged = df.select(
+        F.col(id_col), F.col(stream_col), toks.alias("__n_tok")
+    )
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = staged.select(
+        "*", F.coalesce(F.sum("__n_tok").over(w), F.lit(0)).alias("__start")
+    )
+    end = F.col("__start") + F.col("__n_tok")
+    seq_first = F.floor(F.col("__start") / budget)
+    seq_last = F.floor((end - 1) / budget)
+    spans = staged.select(
+        F.col(id_col),
+        F.col(stream_col),
+        F.col("__start"),
+        F.col("__n_tok"),
+        F.explode(F.sequence(seq_first, seq_last)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * budget
+    seq_hi = seq_lo + budget
+    return spans.select(
+        F.col(id_col),
+        F.col(stream_col),
+        "seq_id",
+        (
+            F.least(F.col("__start") + F.col("__n_tok"), seq_hi)
+            - F.greatest(F.col("__start"), seq_lo)
+        ).alias("tokens_in_seq"),
     )

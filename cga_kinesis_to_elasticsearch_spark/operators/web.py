@@ -23,7 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["url_parts", "domain_filter"]
+__all__ = ["url_parts", "domain_filter", "canonicalize_url"]
 
 
 def url_parts(url: Column) -> dict[str, Column]:
@@ -38,6 +38,45 @@ def url_parts(url: Column) -> dict[str, Column]:
         "tld": F.regexp_extract(host, r"\.([^.]+)$", 1),
         "path": F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1),
     }
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for dedup/grouping — the normalization every
+    web-corpus pipeline applies before URL-level dedup (C4/RefinedWeb):
+
+    - scheme and host lowercased; a leading ``www.`` label dropped;
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - the fragment dropped;
+    - ``utm_*`` tracking parameters removed (with separator repair:
+      a query left starting with ``&`` gets it flipped back to ``?``);
+    - a trailing ``?`` and a trailing slash (non-root path) dropped.
+
+    Pure regexp/substring expressions, portable between Java regex and
+    RE2/DuckDB — deliberately NO lookbehind (RE2 has none). Narrow and
+    codegen-fused: canonicalization runs at scan speed.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, r":80$", "")
+    ).otherwise(hostport)
+    hostport = F.when(
+        (scheme == "https"), F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    # path+query, fragment dropped
+    pq = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1)
+    # utm removal in separator-safe order: non-first params carry their
+    # own '&' and vanish cleanly; a first param followed by another
+    # donates its '?' to the successor; a lone first param takes the
+    # '?' with it. No lookbehind, no replace-first — both unportable.
+    pq = F.regexp_replace(pq, r"&utm_[^&]*", "")
+    pq = F.regexp_replace(pq, r"\?utm_[^&]*&", "?")
+    pq = F.regexp_replace(pq, r"\?utm_[^&]*$", "")
+    pq = F.regexp_replace(pq, r"\?$", "")
+    # trailing-slash normalization on a bare path (no query part)
+    pq = F.regexp_replace(pq, r"^(/.+)/$", r"$1")
+    return F.concat(scheme, F.lit("://"), hostport, pq)
 
 
 def domain_filter(

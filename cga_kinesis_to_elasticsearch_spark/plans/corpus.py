@@ -274,3 +274,126 @@ def _oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.alias("n_oov"),
         F.round(n_oov / F.size("__toks"), 6).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markup/control text cleaning (C4's pre-analysis normalization pass)
+# ---------------------------------------------------------------------------
+
+# The fixture text is already clean ASCII, so dirt is synthesized
+# identically on both sides: every doc gains tag wrappers, every 7th a
+# C0 control char, every 3rd a whitespace-heavy markup tail.
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+_DIRTY_SQL = (
+    "'<p>' || text || '</p>'"
+    " || CASE WHEN doc_id % 7 = 0 THEN chr(7) || 'x' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN '  <br/>  tail   ' ELSE '' END"
+)
+
+_CLEAN_ORACLE = f"""
+WITH dirty AS (SELECT doc_id, {_DIRTY_SQL} AS t FROM documents),
+s1 AS (SELECT doc_id, t,
+              len(regexp_extract_all(t, '<[^>]*>')) AS n_html_tags,
+              regexp_replace(t, '<[^>]*>', ' ', 'g') AS t1
+       FROM dirty),
+s2 AS (SELECT doc_id, n_html_tags,
+              len(regexp_extract_all(t1, '{_CTRL_RE}')) AS n_ctrl_chars,
+              regexp_replace(t1, '{_CTRL_RE}', '', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_html_tags, n_ctrl_chars,
+              trim(regexp_replace(t2, '\\s+', ' ', 'g')) AS cleaned
+       FROM s2)
+SELECT doc_id, CAST(n_html_tags AS BIGINT) AS n_html_tags,
+       CAST(n_ctrl_chars AS BIGINT) AS n_ctrl_chars,
+       CAST(length(cleaned) AS BIGINT) AS clean_len,
+       md5(cleaned) AS clean_md5
+FROM s3
+"""
+
+
+@q("text_clean", _CLEAN_ORACLE)
+def _text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/control/whitespace cleaning with per-rule removal counts
+    and an md5 witness of the cleaned string (text.clean_text)."""
+    docs = _tp(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\x07x")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("  <br/>  tail   ")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    return T.clean_text(dirty, "t", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-source winsorization of a quality signal
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH b AS (SELECT source,
+                  quantile_cont(n_chars, 0.05) AS plo,
+                  quantile_cont(n_chars, 0.95) AS phi
+           FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars,
+       round(b.plo, 4) AS p_lo, round(b.phi, 4) AS p_hi,
+       round(least(greatest(CAST(d.n_chars AS DOUBLE), b.plo), b.phi), 4)
+         AS clamped,
+       (d.n_chars < b.plo OR d.n_chars > b.phi) AS is_outlier
+FROM documents d JOIN b USING (source)
+"""
+
+
+@q("winsorize_length", _WINSOR_ORACLE)
+def _winsorize_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length winsorization: clamp n_chars to the source's
+    exact [p05, p95] and flag outliers (text.length_winsorize; Spark
+    percentile() and DuckDB quantile_cont share the same linear
+    interpolation)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.length_winsorize(docs, "n_chars", "source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-split training-sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+_PACK_ORACLE = f"""
+WITH t AS (SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+s AS (SELECT *,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS start
+      FROM t)
+SELECT doc_id, source,
+       unnest(range(start // {_PACK_BUDGET},
+                    (start + n_tok - 1) // {_PACK_BUDGET} + 1)) AS seq_id,
+       least(start + n_tok,
+             (unnest(range(start // {_PACK_BUDGET},
+                           (start + n_tok - 1) // {_PACK_BUDGET} + 1)) + 1)
+               * {_PACK_BUDGET})
+       - greatest(start,
+                  unnest(range(start // {_PACK_BUDGET},
+                               (start + n_tok - 1) // {_PACK_BUDGET} + 1))
+                    * {_PACK_BUDGET}) AS tokens_in_seq
+FROM s
+"""
+
+
+@q("pack_training_sequences", _PACK_ORACLE)
+def _pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split packing per source stream: documents
+    laid head-to-tail in doc_id order, cut into 256-token sequences,
+    one row per (doc, sequence) span (text.pack_spans)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.pack_spans(docs, "text", "doc_id", "source", budget=_PACK_BUDGET)

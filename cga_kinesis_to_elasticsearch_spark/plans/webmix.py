@@ -224,3 +224,136 @@ def _temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.temperature_mix(
         docs, "doc_id", "source", _MIX_TARGET, alpha=0.5, seed=_MIX_SEED
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + per-domain cap
+# ---------------------------------------------------------------------------
+
+# Messy-URL synthesis (identical on both sides): five shapes covering
+# every canonicalization rule — case, www, default ports, fragments,
+# utm params in first/middle/lone position, trailing slash.
+_MESSY_URL_SQL = """
+CASE doc_id % 5
+  WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.ORG:80/a/'
+              || CAST(doc_id AS VARCHAR) || '/'
+  WHEN 1 THEN 'https://' || source || '.org:443/p/' || CAST(doc_id AS VARCHAR)
+              || '?utm_source=x&q=' || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN 'https://www.' || source || '.org/p/' || CAST(doc_id AS VARCHAR)
+              || '?a=1&utm_medium=m&b=2#frag'
+  WHEN 3 THEN 'http://' || source || '.org/p/' || CAST(doc_id AS VARCHAR)
+              || '?utm_campaign=c'
+  ELSE 'https://' || source || '.org/'
+END
+"""
+
+_CANON_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+h AS (SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(
+               lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+               '^www\\.', '') AS hp,
+             regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS pq0
+      FROM u),
+h2 AS (SELECT doc_id, url, scheme,
+              CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                   WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                   ELSE hp END AS hp,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(pq0, '&utm_[^&]*', '', 'g'),
+                    '\\?utm_[^&]*&', '?'),
+                  '\\?utm_[^&]*$', ''),
+                '\\?$', '') AS pq1
+       FROM h)
+SELECT doc_id, url,
+       scheme || '://' || hp || regexp_replace(pq1, '^(/.+)/$', '\\1')
+         AS canon_url
+FROM h2
+"""
+
+
+def _messy_url(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    shape = d % 5
+    ds = d.cast("string")
+    return docs.select(
+        "doc_id",
+        F.when(
+            shape == 0,
+            F.concat(
+                F.lit("HTTP://WWW."), F.upper("source"), F.lit(".ORG:80/a/"),
+                ds, F.lit("/"),
+            ),
+        )
+        .when(
+            shape == 1,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".org:443/p/"), ds,
+                F.lit("?utm_source=x&q="), ds,
+            ),
+        )
+        .when(
+            shape == 2,
+            F.concat(
+                F.lit("https://www."), F.col("source"), F.lit(".org/p/"), ds,
+                F.lit("?a=1&utm_medium=m&b=2#frag"),
+            ),
+        )
+        .when(
+            shape == 3,
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".org/p/"), ds,
+                F.lit("?utm_campaign=c"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".org/")))
+        .alias("url"),
+    )
+
+
+@q("url_canonicalize", _CANON_ORACLE)
+def _url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization ahead of URL-level dedup (web.canonicalize_url):
+    case, www, default ports, fragments, utm params, trailing slash."""
+    docs = _tp(spark, sf_dir, "documents")
+    u = _messy_url(docs)
+    return u.select(
+        "doc_id", "url", W.canonicalize_url(F.col("url")).alias("canon_url")
+    )
+
+
+_DOMAIN_CAP = 3
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+d AS (SELECT doc_id,
+             regexp_extract(
+               regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+               '([^.]+\\.[^.]+)$', 1) AS domain
+      FROM u)
+SELECT doc_id, domain,
+       CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id, doc_id)
+            AS BIGINT) AS key_rank,
+       row_number() OVER (PARTITION BY domain ORDER BY doc_id, doc_id)
+         <= {_DOMAIN_CAP} AS kept
+FROM d
+"""
+
+
+@q("domain_cap_sample", _DOMAIN_CAP_ORACLE)
+def _domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style per-domain cap: keep the first {cap} docs of
+    each registered domain in deterministic doc_id order, audit view
+    with rank + kept flag (sampling.per_key_cap)."""
+    docs = _tp(spark, sf_dir, "documents")
+    u = _synth_url(docs)
+    with_domain = u.select(
+        "doc_id", W.url_parts(F.col("url"))["domain"].alias("domain")
+    )
+    return SM.per_key_cap(with_domain, "domain", "doc_id", _DOMAIN_CAP)

@@ -1,0 +1,161 @@
+"""New curation operators: URL canonicalization, per-key caps, text
+cleaning, winsorization, and concat-and-split sequence packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators.sampling import per_key_cap
+from cga_kinesis_to_elasticsearch_spark.operators.text import (
+    clean_text,
+    length_winsorize,
+    pack_spans,
+)
+from cga_kinesis_to_elasticsearch_spark.operators.web import canonicalize_url
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(canonicalize_url(F.col("url")).alias("c")).first().c
+
+
+class TestCanonicalizeUrl:
+    def test_case_www_port(self, spark):
+        assert (
+            _canon(spark, "HTTP://WWW.Example.ORG:80/a/1")
+            == "http://example.org/a/1"
+        )
+
+    def test_https_default_port(self, spark):
+        assert (
+            _canon(spark, "https://example.org:443/p/2")
+            == "https://example.org/p/2"
+        )
+
+    def test_non_default_port_kept(self, spark):
+        assert (
+            _canon(spark, "https://example.org:8443/p")
+            == "https://example.org:8443/p"
+        )
+
+    def test_fragment_dropped(self, spark):
+        assert _canon(spark, "https://e.org/p#frag") == "https://e.org/p"
+
+    def test_utm_first_with_successor(self, spark):
+        assert (
+            _canon(spark, "https://e.org/p?utm_a=1&q=2")
+            == "https://e.org/p?q=2"
+        )
+
+    def test_utm_middle(self, spark):
+        assert (
+            _canon(spark, "https://e.org/p?a=1&utm_b=2&c=3")
+            == "https://e.org/p?a=1&c=3"
+        )
+
+    def test_utm_lone(self, spark):
+        assert _canon(spark, "https://e.org/p?utm_only=x") == "https://e.org/p"
+
+    def test_trailing_slash_nonroot(self, spark):
+        assert _canon(spark, "https://e.org/a/b/") == "https://e.org/a/b"
+
+    def test_root_slash_kept(self, spark):
+        assert _canon(spark, "https://e.org/") == "https://e.org/"
+
+
+class TestPerKeyCap:
+    def test_cap_and_rank(self, spark):
+        rows = [(i, "k" + str(i % 2)) for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, k string")
+        out = per_key_cap(df, "k", "id", cap=2).collect()
+        kept = sorted(r.id for r in out if r.kept)
+        # first two ids of each key: k0 -> 0,2  k1 -> 1,3
+        assert kept == [0, 1, 2, 3]
+        assert all(r.key_rank <= 5 for r in out)
+
+    def test_deterministic_order_col(self, spark):
+        df = spark.createDataFrame(
+            [(1, "k", 9), (2, "k", 1)], "id long, k string, w long"
+        )
+        out = {
+            r.id: r.key_rank
+            for r in per_key_cap(df, "k", "id", cap=1, order_col="w").collect()
+        }
+        assert out == {2: 1, 1: 2}
+
+
+class TestCleanText:
+    def test_counts_and_idempotence(self, spark):
+        dirty = "<p>hello <b>world</b></p>\x07  spaced\tout  "
+        df = spark.createDataFrame([(1, dirty)], "id long, t string")
+        r = clean_text(df, "t", "id").first()
+        assert r.n_html_tags == 4
+        assert r.n_ctrl_chars == 1
+        # cleaned string: "hello world spaced out"
+        assert r.clean_len == len("hello world spaced out")
+        clean = spark.createDataFrame(
+            [(1, "hello world spaced out")], "id long, t string"
+        )
+        r2 = clean_text(clean, "t", "id").first()
+        assert (r2.n_html_tags, r2.n_ctrl_chars) == (0, 0)
+        assert r2.clean_md5 == r.clean_md5
+
+
+class TestWinsorize:
+    def test_clamp_and_flags(self, spark):
+        rows = [(i, "s", float(v)) for i, v in enumerate([1, 2, 3, 4, 100])]
+        df = spark.createDataFrame(rows, "id long, src string, v double")
+        out = {
+            r.id: r
+            for r in length_winsorize(df, "v", "src", "id", 0.0, 0.8).collect()
+        }
+        # p0 = 1, p80 = 4*0.2+3*0.8 -> interpolated 3.8..? percentile(v,0.8)
+        # of [1,2,3,4,100] = 4*(1-.2)+100*.2 interpolation between ranks
+        assert out[4].is_outlier and not out[0].is_outlier
+        assert out[4].clamped == out[4].p_hi
+        assert out[0].clamped == 1.0
+
+    def test_group_isolation(self, spark):
+        rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 1000.0)]
+        df = spark.createDataFrame(rows, "id long, src string, v double")
+        out = {r.id: r for r in length_winsorize(df, "v", "src", "id").collect()}
+        assert out[3].p_hi == 1000.0  # b's own percentile, not a's
+
+
+class TestPackSpans:
+    def _df(self, spark, docs):
+        return spark.createDataFrame(docs, "id long, s string, t string")
+
+    def test_token_conservation(self, spark):
+        docs = [(i, "s", " ".join(["w"] * (3 + i))) for i in range(20)]
+        out = pack_spans(self._df(spark, docs), "t", "id", "s", budget=16)
+        per_doc = {
+            r.id: r.total
+            for r in out.groupBy("id")
+            .agg(F.sum("tokens_in_seq").alias("total"))
+            .collect()
+        }
+        assert per_doc == {i: 3 + i for i in range(20)}
+
+    def test_sequences_full_except_last(self, spark):
+        docs = [(i, "s", " ".join(["w"] * 10)) for i in range(10)]  # 100 toks
+        out = pack_spans(self._df(spark, docs), "t", "id", "s", budget=32)
+        per_seq = {
+            r.seq_id: r.total
+            for r in out.groupBy("seq_id")
+            .agg(F.sum("tokens_in_seq").alias("total"))
+            .collect()
+        }
+        assert per_seq == {0: 32, 1: 32, 2: 32, 3: 4}
+
+    def test_straddle(self, spark):
+        docs = [(0, "s", " ".join(["w"] * 20)), (1, "s", " ".join(["w"] * 20))]
+        out = pack_spans(self._df(spark, docs), "t", "id", "s", budget=32)
+        spans = {(r.id, r.seq_id): r.tokens_in_seq for r in out.collect()}
+        # doc 1 straddles the 32-token boundary: 12 in seq 0, 8 in seq 1
+        assert spans == {(0, 0): 20, (1, 0): 12, (1, 1): 8}
+
+    def test_streams_independent(self, spark):
+        docs = [(0, "a", "w w w"), (1, "b", "w w w")]
+        out = pack_spans(self._df(spark, docs), "t", "id", "s", budget=4)
+        assert {(r.s, r.seq_id) for r in out.collect()} == {("a", 0), ("b", 0)}
