@@ -9,8 +9,9 @@ hash-compared check, not just rows-only. `test_sketches.py` pins the
 error-bound and merge-associativity properties that carry to the
 estimating regime at scale.
 
-`sketch_range_quantiles` is rows-only: KLL quantiles are sampling-based
-even at small n, not reproducible in DuckDB.
+`sketch_range_quantiles` runs under the exact oracle: a k=32768 KLL
+sketch retains every value at sf0.01 row counts, where its
+inclusive-rank quantile equals DuckDB's quantile_disc.
 """
 
 from __future__ import annotations
@@ -69,11 +70,25 @@ def _sketch_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theta_overlap(sk, lo, hi)
 
 
-@q("sketch_range_quantiles", None)
+@q(
+    "sketch_range_quantiles",
+    f"""
+    SELECT '{FULL_RANGE[0]}' AS day_from, '{FULL_RANGE[1]}' AS day_to,
+           count(*) AS n,
+           quantile_disc(value, 0.5) AS p50,
+           quantile_disc(value, 0.95) AS p95,
+           quantile_disc(value, 0.99) AS p99
+    FROM events
+    """,
+)
 def _sketch_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Any-range percentiles from merged per-day KLL sketches
-    (rows-only: KLL is sampling-based; value error bound pinned in
-    test_sketches.py)."""
+    """Any-range percentiles from merged per-day KLL sketches. Oracle
+    is EXACT quantile_disc: at sf0.01 row counts a k=32768 KLL sketch
+    retains every value (no compaction, merges included), and
+    Datasketches' inclusive-rank quantile then equals the discrete
+    quantile (probed identical for ceil(q*n) ranks). At 100 TB the
+    identical plan answers from KB-scale stored sketches with the
+    published KLL error bound — pinned in test_sketches.py."""
     ev = _t(spark, sf_dir, "events")
-    sk = kll_day_sketches(ev, "ts", "value")
+    sk = kll_day_sketches(ev, "ts", "value", k=32768)
     return kll_range_quantiles(sk, *FULL_RANGE)
