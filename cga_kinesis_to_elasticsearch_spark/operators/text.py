@@ -521,7 +521,11 @@ def pack_spans(
     budget) + 1 rows per document. Streams pack independently, so a
     100 TB corpus parallelizes across its sources; within a stream the
     layout is total-ordered and reproducible (same input -> same
-    sequence ids — resumable packing without coordination)."""
+    sequence ids — resumable packing without coordination). A single
+    outsized stream serializes its window sort: pre-split it with a
+    deterministic hash suffix (``concat(stream, '-', pmod(hash(id),
+    N))``) — packing quality is unaffected because sequences never
+    span streams anyway."""
     toks = F.size(F.split(F.col(text_col), " ")).cast("long")
     staged = df.select(
         F.col(id_col), F.col(stream_col), toks.alias("__n_tok")
