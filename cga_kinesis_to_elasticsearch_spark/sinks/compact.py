@@ -24,7 +24,7 @@ import math
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F
 
 from ._swap import part_paths, recover_and_sweep, swap_in
 
@@ -54,13 +54,22 @@ def compact_index(
     target_file_bytes: int = 128 << 20,
     min_files: int = 2,
     partition_prefix: str = "es_index=",
+    cluster_by: tuple[str, ...] = (),
 ) -> CompactionStats:
     """Compact every ``<data_root>/<partition_prefix>*/`` directory that
     holds more than ``min_files`` data files AND more files than the
     byte-optimal count for ``target_file_bytes``.
 
+    ``cluster_by`` sorts rows within each rewritten file (e.g.
+    ``("@cf.app_id", "timestamp")``): parquet min/max column statistics
+    then become selective, so later point/range reads skip whole row
+    groups — the compaction pass is the one place this clustering is
+    free, since the data is being rewritten anyway. Streaming appends
+    arrive in arrival order and are NOT clustered; the guarantee is
+    per-file after compaction, which is what stat-based skipping needs.
+
     Returns per-run stats. Idempotent: a second run over a compacted
-    root is a no-op.
+    root is a no-op (clustering does not change file counts).
     """
     root = Path(data_root)
     stats = CompactionStats()
@@ -84,12 +93,12 @@ def compact_index(
         # distributed rewrite into a sibling temp dir, then the
         # deterministic-name atomic swap (_swap.py protocol)
         _, tmp, _ = part_paths(root, part_dir.name)
-        (
-            spark.read.parquet(str(part_dir))
-            .coalesce(n_target)
-            .write.mode("overwrite")
-            .parquet(str(tmp))
-        )
+        df = spark.read.parquet(str(part_dir)).coalesce(n_target)
+        if cluster_by:
+            df = df.sortWithinPartitions(
+                *[F.col(f"`{c}`") for c in cluster_by]
+            )
+        df.write.mode("overwrite").parquet(str(tmp))
         for marker in tmp.glob("_*"):
             marker.unlink()
         swap_in(root, part_dir.name)

@@ -174,3 +174,31 @@ class TestCompactionCrashRecovery:
         assert final.exists()
         assert spark.read.parquet(str(final)).count() == 20
         assert stats.partitions_examined == 1
+
+
+class TestCompactionClustering:
+    def test_cluster_by_sorts_within_files(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.sinks.compact import (
+            compact_index,
+        )
+
+        root = tmp_path / "data"
+        df = spark.createDataFrame(
+            [("a-2024-01-01", (i * 37) % 100, i) for i in range(200)],
+            "es_index string, app long, event_id long",
+        )
+        df.repartition(8).write.partitionBy("es_index").parquet(str(root))
+        stats = compact_index(
+            spark, root, target_file_bytes=1 << 30, cluster_by=("app",)
+        )
+        assert stats.partitions_compacted == 1 and stats.files_after == 1
+        import pyarrow.parquet as pq
+
+        part = root / "es_index=a-2024-01-01"
+        f = next(p for p in part.iterdir() if p.suffix == ".parquet")
+        vals = pq.read_table(str(f), columns=["app"])["app"].to_pylist()
+        assert vals == sorted(vals)
+        assert (
+            spark.read.parquet(str(part)).agg({"event_id": "count"}).first()[0]
+            == 200
+        )
