@@ -56,6 +56,7 @@ class EngineConfig:
     batch_workers: int = 6
     allowed_origins: list[str] = field(default_factory=list)
     trigger_seconds: int = 15  # FlushInterval, main.go:189
+    aws_region: str = ""  # SDK default chain (session.New, main.go:98)
 
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None) -> "EngineConfig":
@@ -80,6 +81,7 @@ class EngineConfig:
                 o for o in e.get("ALLOWED_ORIGINS", "").split(",") if o
             ],
             trigger_seconds=int(e.get("FLUSH_INTERVAL_SECONDS", "15")),
+            aws_region=e.get("AWS_REGION", ""),
         )
 
     @property
@@ -114,6 +116,28 @@ class EngineConfig:
             opts["es.net.http.auth.user"] = self.es_access_key
             opts["es.net.http.auth.pass"] = self.es_secret_key
             opts["es.nodes.client.only"] = "false"
+        return opts
+
+    def kinesis_source_options(self) -> dict[str, str]:
+        """The ``spark.readStream.format("kinesis")`` option map for a
+        real cluster (S1; the file-based source used in tests stands in
+        behind the same RECORD_SCHEMA). Option names follow the public
+        spark-sql-kinesis connector. The reference consumer starts at
+        LATEST when no checkpoint exists (harlow/kinesis-consumer
+        default) and resumes from its checkpoint store otherwise —
+        Spark's checkpointLocation supplies the resume half, so
+        startingPosition only governs the very first run. Credentials
+        come from the SDK default chain, like the reference
+        (session.New, main.go:98) — never from options."""
+        opts = {
+            "streamName": self.stream,
+            "startingPosition": "LATEST",
+        }
+        if self.aws_region:
+            opts["region"] = self.aws_region
+            opts["endpointUrl"] = (
+                f"https://kinesis.{self.aws_region}.amazonaws.com"
+            )
         return opts
 
     def pipeline_config(self) -> PipelineConfig:

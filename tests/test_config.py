@@ -123,3 +123,39 @@ class TestSigV4Selection:
         assert not cfg.es_use_sigv4 and cfg.es_scheme == "http"
         assert "es.net.http.auth.user" not in cfg.es_connector_options()
         assert cfg.es_connector_options()["es.batch.size.entries"] == "1000"
+
+
+class TestKinesisSourceOptions:
+    def test_stream_and_region(self):
+        from cga_kinesis_to_elasticsearch_spark.config import EngineConfig
+
+        cfg = EngineConfig(stream="firehose", aws_region="ap-southeast-2")
+        opts = cfg.kinesis_source_options()
+        assert opts["streamName"] == "firehose"
+        assert opts["region"] == "ap-southeast-2"
+        assert opts["endpointUrl"].endswith(
+            "kinesis.ap-southeast-2.amazonaws.com"
+        )
+        # first-run position only; resume comes from checkpointLocation
+        assert opts["startingPosition"] == "LATEST"
+        # credentials ride the SDK default chain, never options
+        assert not any("ccess" in k or "ecret" in k for k in opts)
+
+    def test_region_optional(self):
+        from cga_kinesis_to_elasticsearch_spark.config import EngineConfig
+
+        opts = EngineConfig(stream="s").kinesis_source_options()
+        assert "region" not in opts and "endpointUrl" not in opts
+
+    def test_from_env_reads_aws_region(self):
+        from cga_kinesis_to_elasticsearch_spark.config import EngineConfig
+
+        cfg = EngineConfig.from_env(
+            {
+                "APP_NAME": "a",
+                "STREAM_NAME": "s",
+                "ES_URL": "http://localhost:9200",
+                "AWS_REGION": "us-east-1",
+            }
+        )
+        assert cfg.aws_region == "us-east-1"
