@@ -159,3 +159,62 @@ class TestPackSpans:
         docs = [(0, "a", "w w w"), (1, "b", "w w w")]
         out = pack_spans(self._df(spark, docs), "t", "id", "s", budget=4)
         assert {(r.s, r.seq_id) for r in out.collect()} == {("a", 0), ("b", 0)}
+
+
+from hypothesis import given, settings, strategies as st
+
+_hosts = st.from_regex(r"[A-Za-z][A-Za-z0-9-]{0,10}\.(org|com|net)", fullmatch=True)
+_paths = st.from_regex(r"(/[A-Za-z0-9_.-]{1,8}){0,3}/?", fullmatch=True)
+_queries_st = st.one_of(
+    st.just(""),
+    st.from_regex(
+        r"\?(utm_[a-z]{1,5}=[a-z0-9]{1,4}|[a-z]{1,4}=[a-z0-9]{1,4})"
+        r"(&(utm_[a-z]{1,5}=[a-z0-9]{1,4}|[a-z]{1,4}=[a-z0-9]{1,4})){0,3}",
+        fullmatch=True,
+    ),
+)
+_frags = st.one_of(st.just(""), st.from_regex(r"#[a-z0-9]{0,6}", fullmatch=True))
+
+
+class TestCanonicalizeProperties:
+    @given(
+        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        www=st.sampled_from(["", "www.", "WWW."]),
+        host=_hosts,
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=_paths,
+        query=_queries_st,
+        frag=_frags,
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_idempotent(self, spark, scheme, www, host, port, path, query, frag):
+        url = f"{scheme}://{www}{host}{port}{path}{query}{frag}"
+        once = _canon(spark, url)
+        twice = _canon(spark, once)
+        assert twice == once
+        # canonical forms never retain fragments or utm params
+        assert "#" not in once and "utm_" not in once
+
+
+class TestPackProperties:
+    @given(
+        lens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=15),
+        budget=st.sampled_from([7, 16, 64]),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_conservation_and_bounds(self, spark, lens, budget):
+        docs = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(lens)]
+        df = spark.createDataFrame(docs, "id long, s string, t string")
+        out = pack_spans(df, "t", "id", "s", budget=budget).collect()
+        per_doc: dict[int, int] = {}
+        per_seq: dict[int, int] = {}
+        for r in out:
+            assert 1 <= r.tokens_in_seq <= budget
+            per_doc[r.id] = per_doc.get(r.id, 0) + r.tokens_in_seq
+            per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.tokens_in_seq
+        # every token lands exactly once
+        assert per_doc == {i: n for i, n in enumerate(lens)}
+        # every sequence is exactly full except possibly the last
+        last = max(per_seq)
+        for seq, total in per_seq.items():
+            assert total == budget or seq == last
