@@ -285,3 +285,115 @@ def _sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Top event paths: most common length-3 event-type sequences per user
+# stream — the "what do users do next" product-analytics staple.
+# ---------------------------------------------------------------------------
+
+_PATH_K = 15
+
+_PATHS_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+c AS (SELECT path, count(*) AS n FROM p GROUP BY path)
+SELECT path, n,
+       CAST(row_number() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+FROM c
+ORDER BY n DESC, path
+LIMIT {_PATH_K}
+"""
+
+
+@q("top_event_paths", _PATHS_ORACLE)
+def _top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 3-step event-type paths across all user streams.
+
+    Scale shape: ONE shuffle on user_id (the lead window), then the
+    path count is a map-side-combined agg over tiny path strings; the
+    final top-k window runs on the aggregated path table (|event
+    types|^3 rows at most), not the events. The per-user sort is the
+    same exchange sessionization pays — at 100 TB this is the
+    bounded-cardinality (path, count) rollup pattern, never a
+    documents-scale shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n"))
+    wk = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATH_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling: dense hourly grid per event type with zero
+# rows where no events arrived (the rollup/dashboard densify step).
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(h) AS h_lo, max(h) AS h_hi
+         FROM b GROUP BY event_type),
+grid AS (SELECT event_type,
+                unnest(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS h
+         FROM span)
+SELECT g.event_type,
+       strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       coalesce(b.n, 0) AS n
+FROM grid g LEFT JOIN b USING (event_type, h)
+"""
+
+
+@q("gap_fill_hourly", _GAPFILL_ORACLE)
+def _gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly counts per event type: missing hours appear with
+    n=0 between each type's first and last event.
+
+    Scale shape: the sparse hourly rollup is one map-side-combined agg;
+    the dense grid is generated from the tiny per-type (min, max) span
+    row via sequence+explode — hours/type, not events — and the final
+    left join keys on (type, hour) against the already-aggregated
+    rollup. Nothing here rescales with raw event volume except the
+    first aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    sparse = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    span = sparse.groupBy("event_type").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return (
+        grid.join(sparse, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )

@@ -132,3 +132,40 @@ class TestScd2Asof:
         assert out[1] == "free"
         assert out[2] == "pro"
         assert out[3] == "free"
+
+
+class TestTopEventPaths:
+    def test_paths_counted_in_stream_order(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.plans.eventanalytics import (
+            _top_event_paths,
+        )
+
+        out = _top_event_paths(spark, sf_dir).collect()
+        assert 0 < len(out) <= 15
+        # ranks are dense from 1 and follow descending counts
+        assert [r.rank for r in out] == list(range(1, len(out) + 1))
+        ns = [r.n for r in out]
+        assert ns == sorted(ns, reverse=True)
+        assert all(r.path.count(">") == 2 for r in out)
+
+
+class TestGapFillHourly:
+    def test_grid_dense_with_zero_rows(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.plans.eventanalytics import (
+            _gap_fill_hourly,
+        )
+        from pyspark.sql import functions as F
+
+        out = _gap_fill_hourly(spark, sf_dir)
+        per_type = out.groupBy("event_type").agg(
+            F.count("*").alias("rows"),
+            F.min("hour").alias("lo"),
+            F.max("hour").alias("hi"),
+        )
+        for r in per_type.collect():
+            from datetime import datetime
+
+            lo = datetime.fromisoformat(r.lo)
+            hi = datetime.fromisoformat(r.hi)
+            expected = int((hi - lo).total_seconds() // 3600) + 1
+            assert r.rows == expected  # dense: one row per hour in span
