@@ -357,3 +357,66 @@ def _domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", W.url_parts(F.col("url"))["domain"].alias("domain")
     )
     return SM.per_key_cap(with_domain, "domain", "doc_id", _DOMAIN_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy key join (edit distance <= 1)
+# ---------------------------------------------------------------------------
+
+# Typo'd lookup keys synthesized from doc sources: delete one char,
+# append one char, substitute the first char, or exact — by doc_id arm.
+_TYPO_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN substring(source, 1, CAST(doc_id % length(source) AS INT))
+              || substring(source, CAST(doc_id % length(source) AS INT) + 2,
+                           length(source))
+  WHEN 1 THEN source || 'x'
+  WHEN 2 THEN 'z' || substring(source, 2, length(source))
+  ELSE source
+END
+"""
+
+# The oracle is the BRUTE-FORCE similarity join — an independent check
+# that deletion-neighborhood blocking loses no pair at distance <= 1.
+_FUZZY_ORACLE = f"""
+WITH typos AS (SELECT DISTINCT {_TYPO_SQL} AS l_key FROM documents),
+canon AS (SELECT DISTINCT source AS r_key FROM documents)
+SELECT l_key, r_key,
+       CAST(levenshtein(l_key, r_key) AS BIGINT) AS distance
+FROM typos, canon
+WHERE levenshtein(l_key, r_key) <= 1
+"""
+
+
+@q("fuzzy_join_sources", _FUZZY_ORACLE)
+def _fuzzy_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-key entity resolution: typo'd source names matched to the
+    canonical source list at edit distance <= 1 via deletion-
+    neighborhood blocking (operators/fuzzyjoin.py) — the oracle runs
+    the quadratic levenshtein join, so blocking recall is verified
+    against ground truth."""
+    from ..operators.fuzzyjoin import fuzzy_join_edit1
+
+    docs = _tp(spark, sf_dir, "documents")
+    pos = (F.col("doc_id") % F.length("source")).cast("int")
+    typo = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.substring("source", F.lit(1), pos),
+                F.substring(F.col("source"), pos + 2, F.length("source")),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("source"), F.lit("x")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("z"), F.expr("substring(source, 2, length(source))")),
+        )
+        .otherwise(F.col("source"))
+    )
+    typos = docs.select(typo.alias("key"))
+    canon = docs.select("source")
+    out = fuzzy_join_edit1(typos, canon, "key", "source")
+    return out.select(
+        "l_key", "r_key", F.col("distance").cast("long").alias("distance")
+    )
