@@ -17,7 +17,7 @@ Cross-engine notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .declared import _t, q
 
@@ -244,4 +244,102 @@ def _window_range_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_7day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (ntile), latest-row-per-key (CDC view),
+# period-over-period deltas — remaining everyday OLAP shapes.
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH t AS (SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+           FROM events)
+SELECT decile, count(*) AS n,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+FROM t GROUP BY decile
+"""
+
+
+@q("equidepth_deciles", _NTILE_ORACLE)
+def _equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth value histogram: decile buckets with bounds — the
+    complement of the fixed-width value_histogram. ntile needs a total
+    order (one global sort); at scale swap in percentile_approx cut
+    points + a narrow bucketing expression — same output contract,
+    no global sort. The unique (value, event_id) tiebreak makes both
+    engines assign identical deciles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+_LATEST_ORACLE = """
+WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM r WHERE rn = 1
+"""
+
+
+@q("latest_event_per_user", _LATEST_ORACLE)
+def _latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key: the CDC/upsert compaction view (the batch
+    analogue of ES doc overwrite by id, T1). One key-partitioned
+    window, deterministic (ts, event_id) tiebreak; at scale this is
+    the standard max-timestamp compaction over a key-bucketed table —
+    the exchange is reusable by any downstream per-user operator."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+_WOW_ORACLE = """
+WITH w AS (SELECT event_type, date_trunc('week', ts) AS wk, count(*) AS n
+           FROM events GROUP BY 1, 2),
+d AS (SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+      FROM w)
+SELECT event_type, strftime(wk, '%Y-%m-%d') AS week_start, n, prev,
+       round((n - prev) * 100.0 / prev, 2) AS pct_change
+FROM d
+"""
+
+
+@q("week_over_week_counts", _WOW_ORACLE)
+def _week_over_week_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period deltas: weekly event counts per type with
+    the percent change against the prior week. The lag window runs on
+    the aggregated (type, week) table — thousands of rows at any fact
+    scale — never on raw events."""
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select("event_type", F.date_trunc("week", "ts").alias("wk"))
+    counts = wk.groupBy("event_type", "wk").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return counts.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        F.lag("n").over(w).alias("prev"),
+        F.round(
+            (F.col("n") - F.lag("n").over(w)) * 100.0 / F.lag("n").over(w), 2
+        ).alias("pct_change"),
     )
