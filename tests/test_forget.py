@@ -1,0 +1,64 @@
+"""Targeted deletion over the day-partitioned sink (sinks/forget.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.sinks._swap import part_paths
+from cga_kinesis_to_elasticsearch_spark.sinks.forget import forget
+
+
+def _write(spark, root, rows):
+    spark.createDataFrame(
+        rows, "es_index string, user_id long, msg string"
+    ).repartition(4).write.partitionBy("es_index").parquet(str(root))
+
+
+class TestForget:
+    def test_deletes_only_matching_rows(self, spark, tmp_path):
+        root = tmp_path / "data"
+        rows = [
+            (f"logs-2024-01-0{1 + i % 2}", i % 5, f"m{i}") for i in range(50)
+        ]
+        _write(spark, root, rows)
+        stats = forget(spark, root, F.col("user_id") == 3)
+        remaining = spark.read.parquet(str(root))
+        assert remaining.filter(F.col("user_id") == 3).count() == 0
+        expected_kept = sum(1 for r in rows if r[1] != 3)
+        assert remaining.count() == expected_kept
+        assert stats.rows_deleted == 50 - expected_kept
+        assert stats.partitions_rewritten == 2
+
+    def test_untouched_partitions_not_rewritten(self, spark, tmp_path):
+        root = tmp_path / "data"
+        rows = [("logs-2024-01-01", 1, "a"), ("logs-2024-01-02", 2, "b")]
+        _write(spark, root, rows)
+        before = sorted(
+            p.stat().st_mtime_ns
+            for p in (root / "es_index=logs-2024-01-02").glob("*.parquet")
+        )
+        stats = forget(spark, root, F.col("user_id") == 1)
+        after = sorted(
+            p.stat().st_mtime_ns
+            for p in (root / "es_index=logs-2024-01-02").glob("*.parquet")
+        )
+        assert stats.partitions_rewritten == 1
+        assert before == after  # day-02 files untouched
+
+    def test_idempotent(self, spark, tmp_path):
+        root = tmp_path / "data"
+        _write(spark, root, [("logs-2024-01-01", i, "x") for i in range(10)])
+        forget(spark, root, F.col("user_id") < 3)
+        stats2 = forget(spark, root, F.col("user_id") < 3)
+        assert stats2.partitions_rewritten == 0 and stats2.rows_deleted == 0
+
+    def test_crash_recovery_before_delete(self, spark, tmp_path):
+        root = tmp_path / "data"
+        _write(spark, root, [("logs-2024-01-01", i, "x") for i in range(10)])
+        final, _, old = part_paths(root, "es_index=logs-2024-01-01")
+        final.rename(old)  # interrupted earlier swap
+        stats = forget(spark, root, F.col("user_id") == 0)
+        remaining = spark.read.parquet(str(root))
+        # recovered partition participated in the delete
+        assert remaining.count() == 9
+        assert stats.partitions_rewritten == 1
