@@ -84,12 +84,23 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, seed: int) -> Column:
-    """One MinHash value: the lexicographic minimum of seeded md5 over
-    the shingle set. md5 is uniform, so min-of-hash is a proper MinHash
-    permutation approximation — and it is reproducible in any engine
-    with an md5 function (the DuckDB oracle)."""
+    """One MinHash value: the lexicographic minimum, over the shingle
+    set, of an 8-hex-char slice of md5. Hash function ``seed`` is slice
+    ``seed % 4`` of ``md5('b<seed//4>:' + shingle)`` (block prefix ''
+    for the first four) — md5's bits are uniform and the four slices
+    are independent, so each slice is a proper 32-bit MinHash
+    permutation approximation at a QUARTER of the hashing cost of
+    seeded-md5-per-function, and still reproducible in any engine with
+    md5 (the DuckDB oracle)."""
+    block, slot = divmod(seed, 4)
+    prefix = "" if block == 0 else f"b{block}:"
     return F.array_min(
-        F.transform(shingles, lambda t: F.md5(F.concat(F.lit(f"s{seed}:"), t)))
+        F.transform(
+            shingles,
+            lambda t: F.substring(
+                F.md5(F.concat(F.lit(prefix), t)), slot * 8 + 1, 8
+            ),
+        )
     )
 
 
@@ -103,10 +114,13 @@ def minhash_signatures(
     """id + mh0..mh{n-1} signature columns, computed map-side (no
     shuffle; the heavy regex/hash work stays in codegen).
 
-    Three staged projections (tokens -> shingles -> signatures) so each
-    expensive intermediate is an attribute computed once per row; the
-    multi-reference aliases block Catalyst's CollapseProject from
-    inlining them back into every use site."""
+    Staged projections (tokens -> shingles -> per-block hash arrays ->
+    signatures) so each expensive intermediate is an attribute computed
+    once per row; the multi-reference aliases block Catalyst's
+    CollapseProject from inlining them back into every use site. The
+    hash-array stage materializes ONE md5 per shingle per block of
+    four hash functions — the mh columns then slice it, so hashing
+    cost is ceil(n_hashes / 4) md5 evals per shingle, not n_hashes."""
     out = df.select(
         F.col(id_col),
         F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
@@ -114,9 +128,31 @@ def minhash_signatures(
     out = out.select(
         F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("__sh")
     )
+    # single-arg lambda factories: pyspark's transform() reads lambda
+    # arity, so a bound default arg would be mistaken for the index slot
+    def _block_hash(b: int):
+        prefix = "" if b == 0 else f"b{b}:"
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    def _slice(i: int):
+        return lambda h: F.substring(h, (i % 4) * 8 + 1, 8)
+
+    n_blocks = (n_hashes + 3) // 4
+    out = out.select(
+        F.col(id_col),
+        *[
+            F.transform(F.col("__sh"), _block_hash(b)).alias(f"__hb{b}")
+            for b in range(n_blocks)
+        ],
+    )
     return out.select(
         F.col(id_col),
-        *[minhash_signature(F.col("__sh"), i).alias(f"mh{i}") for i in range(n_hashes)],
+        *[
+            F.array_min(
+                F.transform(F.col(f"__hb{i // 4}"), _slice(i))
+            ).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ],
     )
 
 
