@@ -22,6 +22,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_band_keys",
     "lsh_candidate_pairs",
+    "token_hashes",
     "simhash_bits",
     "jaccard",
     "word_shingles",
@@ -261,23 +262,32 @@ def jaccard(a: Column, b: Column, ndigits: int = 4) -> Column:
     )
 
 
-def simhash_bits(toks: Column, n_bits: int = 16) -> Column:
-    """SimHash as a bit string from a *materialized* token-array column
-    (see word_shingles on why an inline expression here re-evaluates
-    normalization once per bit): bit b is the sign of the vote sum over
-    tokens, where token t votes +1 iff md5('b{b}:'+t) starts below
-    '8' (a portable unbiased coin — no engine-specific 64-bit hash
-    needed, so the oracle can replay it)."""
+def token_hashes(toks: Column) -> Column:
+    """One md5 per token — the staged input for simhash_bits. Callers
+    materialize this as a projection attribute so the 32 hex chars
+    serve all simhash bits from a single hash evaluation."""
+    return F.transform(toks, lambda t: F.md5(t))
+
+
+def simhash_bits(hashes: Column, n_bits: int = 16) -> Column:
+    """SimHash as a bit string from a *materialized* token-HASH array
+    column (``token_hashes``; see word_shingles on why an inline
+    expression would re-evaluate per bit): bit b is the sign of the
+    vote sum over tokens, where a token votes +1 iff hex char b of its
+    md5 is below '8' (the nibble's top bit — md5's chars are uniform
+    and independent, so each of the 32 positions is an unbiased coin).
+    ONE md5 per token serves every bit; n_bits <= 32."""
+    if n_bits > 32:
+        raise ValueError("simhash_bits supports at most 32 bits per md5")
+
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.substring(h, b + 1, 1) < "8", 1
+        ).otherwise(-1)
+
     bits = []
     for b in range(n_bits):
-        vote = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(
-                F.substring(F.md5(F.concat(F.lit(f"b{b}:"), t)), 1, 1) < "8", 1
-            ).otherwise(-1),
-        )
+        vote = F.aggregate(hashes, F.lit(0), _vote(b))
         bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 

@@ -176,10 +176,12 @@ def _ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_bit_sql(toks: str, b: int) -> str:
+def _simhash_bit_sql(hashes: str, b: int) -> str:
+    # hex char b of the staged per-token md5 — mirrors
+    # dedup.simhash_bits' one-md5-serves-all-bits scheme
     return (
-        f"CASE WHEN list_aggregate(list_transform({toks}, "
-        f"t -> CASE WHEN substr(md5('b{b}:' || t), 1, 1) < '8' "
+        f"CASE WHEN list_aggregate(list_transform({hashes}, "
+        f"x -> CASE WHEN substr(x, {b + 1}, 1) < '8' "
         f"THEN 1 ELSE -1 END), 'sum') >= 0 THEN '1' ELSE '0' END"
     )
 
@@ -188,15 +190,18 @@ def _simhash_bit_sql(toks: str, b: int) -> str:
     "simhash_docs",
     "WITH t AS (SELECT doc_id, "
     f"list_distinct(string_split({_norm_sql('text')}, ' ')) AS toks "
-    "FROM documents) SELECT doc_id, "
-    + " || ".join(_simhash_bit_sql("toks", b) for b in range(_SIMHASH_BITS))
-    + " AS simhash FROM t",
+    "FROM documents), "
+    "h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS th FROM t) "
+    "SELECT doc_id, "
+    + " || ".join(_simhash_bit_sql("th", b) for b in range(_SIMHASH_BITS))
+    + " AS simhash FROM h",
 )
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     t = docs.select("doc_id", D.tokens(F.col("text")).alias("__toks"))
+    t = t.select("doc_id", D.token_hashes(F.col("__toks")).alias("__th"))
     return t.select(
-        "doc_id", D.simhash_bits(F.col("__toks"), _SIMHASH_BITS).alias("simhash")
+        "doc_id", D.simhash_bits(F.col("__th"), _SIMHASH_BITS).alias("simhash")
     )
 
 

@@ -71,9 +71,10 @@ class TestDedup:
 
     def test_simhash_close_for_near_dups(self, docs):
         t = docs.select("doc_id", D.tokens(F.col("text")).alias("tk"))
+        t = t.select("doc_id", D.token_hashes(F.col("tk")).alias("th"))
         sh = {
             r.doc_id: r.s
-            for r in t.select("doc_id", D.simhash_bits(F.col("tk")).alias("s")).collect()
+            for r in t.select("doc_id", D.simhash_bits(F.col("th")).alias("s")).collect()
         }
         ham = lambda a, b: sum(x != y for x, y in zip(a, b))
         assert ham(sh[1], sh[4]) <= ham(sh[1], sh[5])
