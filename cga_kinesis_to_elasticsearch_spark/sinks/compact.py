@@ -54,7 +54,7 @@ def compact_index(
     target_file_bytes: int = 128 << 20,
     min_files: int = 2,
     partition_prefix: str = "es_index=",
-    cluster_by: tuple[str, ...] = (),
+    cluster_by: tuple = (),
 ) -> CompactionStats:
     """Compact every ``<data_root>/<partition_prefix>*/`` directory that
     holds more than ``min_files`` data files AND more files than the
@@ -67,6 +67,10 @@ def compact_index(
     free, since the data is being rewritten anyway. Streaming appends
     arrive in arrival order and are NOT clustered; the guarantee is
     per-file after compaction, which is what stat-based skipping needs.
+    Entries may be column names or Column expressions — pass
+    ``operators.zorder.zorder_key(...)`` to cluster on a Morton key so
+    BOTH dimensions skip, where a lexicographic sort serves only its
+    leading column.
 
     Returns per-run stats. Idempotent: a second run over a compacted
     root is a no-op (clustering does not change file counts).
@@ -96,7 +100,10 @@ def compact_index(
         df = spark.read.parquet(str(part_dir)).coalesce(n_target)
         if cluster_by:
             df = df.sortWithinPartitions(
-                *[F.col(f"`{c}`") for c in cluster_by]
+                *[
+                    F.col(f"`{c}`") if isinstance(c, str) else c
+                    for c in cluster_by
+                ]
             )
         df.write.mode("overwrite").parquet(str(tmp))
         for marker in tmp.glob("_*"):
