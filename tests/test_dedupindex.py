@@ -1,0 +1,70 @@
+"""Persistent cross-batch dedup index (sinks/dedupindex.py)."""
+
+from __future__ import annotations
+
+from cga_kinesis_to_elasticsearch_spark.sinks.dedupindex import (
+    dedup_against_index,
+    read_index,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+class TestDedupIndex:
+    def test_first_batch_keeps_first_per_hash(self, spark, tmp_path):
+        root = tmp_path / "idx"
+        out = dedup_against_index(
+            spark,
+            _batch(spark, [(1, "a"), (2, "a"), (3, "b")]),
+            root,
+            "text",
+            "id",
+        )
+        assert sorted(r.id for r in out.collect()) == [1, 3]
+        assert read_index(spark, root).count() == 2
+
+    def test_second_batch_drops_already_seen(self, spark, tmp_path):
+        root = tmp_path / "idx"
+        dedup_against_index(
+            spark, _batch(spark, [(1, "a"), (2, "b")]), root, "text", "id"
+        )
+        out = dedup_against_index(
+            spark,
+            _batch(spark, [(10, "a"), (11, "c"), (12, "b")]),
+            root,
+            "text",
+            "id",
+        )
+        assert sorted(r.id for r in out.collect()) == [11]
+        assert read_index(spark, root).count() == 3
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        root = tmp_path / "idx"
+        b = _batch(spark, [(5, "x"), (6, "y"), (7, "x")])
+        first = sorted(
+            r.id
+            for r in dedup_against_index(spark, b, root, "text", "id").collect()
+        )
+        # at-least-once replay of the SAME batch: survivors identical,
+        # not dropped as duplicates of themselves
+        replay = sorted(
+            r.id
+            for r in dedup_against_index(spark, b, root, "text", "id").collect()
+        )
+        assert first == replay == [5, 6]
+        # index did not grow on replay
+        assert read_index(spark, root).count() == 2
+
+    def test_index_is_bucket_partitioned(self, spark, tmp_path):
+        root = tmp_path / "idx"
+        dedup_against_index(
+            spark,
+            _batch(spark, [(i, f"doc {i}") for i in range(20)]),
+            root,
+            "text",
+            "id",
+        )
+        buckets = [p.name for p in root.iterdir() if p.name.startswith("bucket=")]
+        assert len(buckets) > 1  # hash-prefix partitioned for pruning
