@@ -29,14 +29,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["dedup_against_index", "read_index"]
 
-_SCHEMA = "content_hash string, first_id long, bucket string"
 
-
-def read_index(spark: SparkSession, index_root: str | Path) -> DataFrame:
+def read_index(
+    spark: SparkSession, index_root: str | Path, id_type: str = "long"
+) -> DataFrame:
+    """``id_type`` types the empty frame before the first append (the
+    stored parquet carries its own type thereafter)."""
     root = Path(index_root)
     if not root.exists() or not any(root.iterdir()):
-        return spark.createDataFrame([], _SCHEMA).select(
-            "content_hash", "first_id"
+        return spark.createDataFrame(
+            [], f"content_hash string, first_id {id_type}"
         )
     return spark.read.parquet(str(root)).select("content_hash", "first_id")
 
@@ -54,7 +56,7 @@ def dedup_against_index(
     root = Path(index_root)
     root.mkdir(parents=True, exist_ok=True)
     hashed = batch.withColumn("content_hash", F.md5(F.col(text_col)))
-    idx = read_index(spark, root)
+    idx = read_index(spark, root, id_type=dict(batch.dtypes)[id_col])
     # within-batch keep-first, then resolve against the stored index
     firsts = (
         hashed.groupBy("content_hash")

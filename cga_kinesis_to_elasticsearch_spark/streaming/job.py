@@ -137,6 +137,14 @@ class StreamConfig:
     # unless both are set.
     sketch_path: str = ""
     sketch_key_col: str = ""
+    # Cross-batch content dedup (sinks/dedupindex.py): before the sink
+    # write, drop documents whose content hash was already indexed by
+    # ANY earlier batch; first-id semantics keep replays idempotent.
+    # Off unless both are set. dedup_text_col is the document column
+    # hashed for identity (e.g. "log_message" pre-drop or a parsed
+    # field); dedup_index_path stores the (hash, first_id) table.
+    dedup_index_path: str = ""
+    dedup_text_col: str = ""
 
 
 def run_stream(
@@ -177,7 +185,21 @@ def run_stream(
             )
             dim = dim_provider(spark)
             docs = run_pipeline(good, dim, cfg.pipeline)
-            docs = docs.drop("log_message", "arrival_ts").persist()
+            # persist BEFORE the dedup hook: the index update is its own
+            # action, and the survivors filter re-reads the cached
+            # pipeline output instead of re-running grok/enrichment
+            cached = docs.drop("log_message", "arrival_ts").persist()
+            docs = cached
+            if cfg.dedup_index_path and cfg.dedup_text_col:
+                from ..sinks.dedupindex import dedup_against_index
+
+                docs = dedup_against_index(
+                    spark,
+                    cached,
+                    cfg.dedup_index_path,
+                    cfg.dedup_text_col,
+                    "doc_id",
+                )
             try:
                 touched = [
                     r.es_index
@@ -197,7 +219,7 @@ def run_stream(
                         key_col=cfg.sketch_key_col,
                     )
             finally:
-                docs.unpersist()
+                cached.unpersist()
             if cfg.rollup_path and cfg.rollup_aggregate is not None:
                 from ..sinks.rollup import refresh_rollup
 

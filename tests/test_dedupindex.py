@@ -68,3 +68,56 @@ class TestDedupIndex:
         )
         buckets = [p.name for p in root.iterdir() if p.name.startswith("bucket=")]
         assert len(buckets) > 1  # hash-prefix partitioned for pruning
+
+
+class TestStreamingDedupHook:
+    def test_cross_batch_content_dedup_in_stream(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+            flatten_dimensions,
+        )
+        from cga_kinesis_to_elasticsearch_spark.pipeline import PipelineConfig
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+        from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+            ALLOWED_ORIGINS,
+            synthesize_cf_dimensions,
+            synthesize_envelopes,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            read_raw_record_stream,
+            write_raw_records,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+
+        records = synthesize_envelopes(spark, sf_dir)
+        src = tmp_path / "raw"
+        write_raw_records(records, str(src))
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark)).cache()
+        sink = ParquetIndexSink(tmp_path / "sink")
+        cfg = StreamConfig(
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+            dedup_index_path=str(tmp_path / "didx"),
+            dedup_text_col="parsed_generic.log_event",
+        )
+        query, m = run_stream(
+            spark,
+            read_raw_record_stream(spark, str(src)),
+            lambda s: dim,
+            sink,
+            cfg,
+        )
+        drain(query)
+        docs = spark.read.parquet(str(tmp_path / "sink" / "data"))
+        # exactly one surviving doc per distinct parsed content
+        contents = docs.select(
+            F.col("parsed_generic.log_event").alias("c")
+        )
+        assert contents.count() == contents.distinct().count()
+        assert m.sent_count == contents.count() > 0
