@@ -951,3 +951,47 @@ def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     all character 8-grams of the normalized text (text.rolling_fingerprint)."""
     docs = _tp(spark, sf_dir, "documents")
     return T.rolling_fingerprint(docs, "text", "doc_id", k=_ROLL_K)
+
+
+_FRAME_DEDUP_ORACLE = f"""
+WITH p AS (SELECT doc_id, substring(text, 1, {_MM_BYTES}) AS payload
+           FROM documents),
+f AS (SELECT doc_id, i AS frame_idx,
+             md5(substring(payload, i * {_MM_STEP} + 1, {_MM_STEP}))
+               AS frame_md5
+      FROM p, unnest([0, 1, 2, 3]) AS t(i))
+SELECT frame_md5,
+       min(doc_id * {_MM_FRAMES} + frame_idx) // {_MM_FRAMES} AS rep_doc_id,
+       min(doc_id * {_MM_FRAMES} + frame_idx) % {_MM_FRAMES} AS rep_frame,
+       count(*) AS n_copies
+FROM f GROUP BY frame_md5
+"""
+
+
+@q("multimodal_frame_dedup", _FRAME_DEDUP_ORACLE)
+def _multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level exact dedup across media payloads: the multimodal
+    chain (attach -> resize -> sample_frames, real mapInPandas
+    plumbing) composed with hash dedup — the cross-video duplicate
+    frame detection a video training pipeline runs. Keep-first via an
+    arg-min on the packed (doc, frame) key; the shuffle moves (16-byte
+    hash, long) pairs, never frame bytes."""
+    from ..operators import multimodal as M
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = M.attach_binary(docs.select("doc_id", "text"), "text")
+    staged = M.resize_media(staged, _MM_W, _MM_H)
+    staged = M.sample_frames(staged, _MM_FRAMES)
+    frames = staged.select(
+        "doc_id", F.posexplode("frames").alias("frame_idx", "frame")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        (F.col("doc_id") * _MM_FRAMES + F.col("frame_idx")).alias("__k"),
+    )
+    return frames.groupBy("frame_md5").agg(
+        F.floor(F.min("__k") / _MM_FRAMES).alias("rep_doc_id"),
+        (F.min("__k") % _MM_FRAMES).alias("rep_frame"),
+        F.count("*").alias("n_copies"),
+    )

@@ -405,3 +405,19 @@ class TestNearDupAndRollingFP:
             for r in T.rolling_fingerprint(df, "text", "doc_id").collect()
         }
         assert fp[3] != fp[1] and fp[3] != fp[2]
+
+
+class TestFrameDedup:
+    def test_frame_dedup_counts_conserve(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.plans.northstar import (
+            _multimodal_frame_dedup,
+        )
+
+        out = _multimodal_frame_dedup(spark, sf_dir).collect()
+        n_docs = 50  # sf0.001 documents
+        total = sum(r.n_copies for r in out)
+        assert total == spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).count() * 4  # every (doc, frame) counted exactly once
+        assert all(0 <= r.rep_frame < 4 for r in out)
+        _ = n_docs
