@@ -84,24 +84,36 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+# The one definition of the minhash slicing scheme — shared by the
+# single-value helper, the batched signature path, and mirrored by the
+# oracle generator (plans.northstar._minhash_sql). Hash function `seed`
+# is slice `seed % 4` of md5('b<seed//4>:' + shingle), prefix '' for
+# block 0: md5's bits are uniform and the four 8-hex-char slices are
+# independent, so each is a proper 32-bit MinHash permutation at a
+# QUARTER of the cost of seeded-md5-per-function.
+
+
+def _mh_block_prefix(block: int) -> str:
+    return "" if block == 0 else f"b{block}:"
+
+
+def _mh_block_hash(block: int):
+    prefix = _mh_block_prefix(block)
+    return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+
+def _mh_slice(seed: int):
+    slot = seed % 4
+    return lambda h: F.substring(h, slot * 8 + 1, 8)
+
+
 def minhash_signature(shingles: Column, seed: int) -> Column:
     """One MinHash value: the lexicographic minimum, over the shingle
-    set, of an 8-hex-char slice of md5. Hash function ``seed`` is slice
-    ``seed % 4`` of ``md5('b<seed//4>:' + shingle)`` (block prefix ''
-    for the first four) — md5's bits are uniform and the four slices
-    are independent, so each slice is a proper 32-bit MinHash
-    permutation approximation at a QUARTER of the hashing cost of
-    seeded-md5-per-function, and still reproducible in any engine with
-    md5 (the DuckDB oracle)."""
-    block, slot = divmod(seed, 4)
-    prefix = "" if block == 0 else f"b{block}:"
+    set, of an 8-hex-char md5 slice (scheme above) — reproducible in
+    any engine with md5 (the DuckDB oracle)."""
+    block_hash, slice_ = _mh_block_hash(seed // 4), _mh_slice(seed)
     return F.array_min(
-        F.transform(
-            shingles,
-            lambda t: F.substring(
-                F.md5(F.concat(F.lit(prefix), t)), slot * 8 + 1, 8
-            ),
-        )
+        F.transform(shingles, lambda t: slice_(block_hash(t)))
     )
 
 
@@ -129,20 +141,14 @@ def minhash_signatures(
     out = out.select(
         F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("__sh")
     )
-    # single-arg lambda factories: pyspark's transform() reads lambda
-    # arity, so a bound default arg would be mistaken for the index slot
-    def _block_hash(b: int):
-        prefix = "" if b == 0 else f"b{b}:"
-        return lambda t: F.md5(F.concat(F.lit(prefix), t))
-
-    def _slice(i: int):
-        return lambda h: F.substring(h, (i % 4) * 8 + 1, 8)
-
+    # the shared scheme factories return single-arg lambdas: pyspark's
+    # transform() reads lambda arity, so a bound default arg would be
+    # mistaken for the index slot
     n_blocks = (n_hashes + 3) // 4
     out = out.select(
         F.col(id_col),
         *[
-            F.transform(F.col("__sh"), _block_hash(b)).alias(f"__hb{b}")
+            F.transform(F.col("__sh"), _mh_block_hash(b)).alias(f"__hb{b}")
             for b in range(n_blocks)
         ],
     )
@@ -150,7 +156,7 @@ def minhash_signatures(
         F.col(id_col),
         *[
             F.array_min(
-                F.transform(F.col(f"__hb{i // 4}"), _slice(i))
+                F.transform(F.col(f"__hb{i // 4}"), _mh_slice(i))
             ).alias(f"mh{i}")
             for i in range(n_hashes)
         ],

@@ -525,8 +525,15 @@ def pack_spans(
     outsized stream serializes its window sort: pre-split it with a
     deterministic hash suffix (``concat(stream, '-', pmod(hash(id),
     N))``) — packing quality is unaffected because sequences never
-    span streams anyway."""
-    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    span streams anyway.
+
+    NULL text packs like empty text (one empty token): without the
+    coalesce, ``size(split(NULL))`` is -1 under non-ANSI sizing, which
+    would emit a descending bogus span AND shift every later document's
+    offset — and diverge from the streaming packer."""
+    toks = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).cast(
+        "long"
+    )
     staged = df.select(
         F.col(id_col), F.col(stream_col), toks.alias("__n_tok")
     )

@@ -368,7 +368,8 @@ _PACK_BUDGET = 256
 
 _PACK_ORACLE = f"""
 WITH t AS (SELECT doc_id, source,
-                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                    AS n_tok
            FROM documents),
 s AS (SELECT *,
              CAST(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id

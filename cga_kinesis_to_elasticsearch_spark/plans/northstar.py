@@ -61,10 +61,13 @@ def _shingle_sql(norm: str, n: int = 3) -> str:
 
 
 def _minhash_sql(shingles: str, seed: int) -> str:
-    # slice seed%4 of md5('b<seed//4>:' || x) — mirrors
-    # dedup.minhash_signature's one-md5-per-four-functions scheme
-    block, slot = divmod(seed, 4)
-    prefix = "" if block == 0 else f"b{block}:"
+    # the SAME block-prefix/slice scheme as dedup's hash factories —
+    # the prefix string comes from the shared definition so Spark and
+    # oracle cannot drift
+    from ..operators.dedup import _mh_block_prefix
+
+    slot = seed % 4
+    prefix = _mh_block_prefix(seed // 4)
     return (
         f"list_aggregate(list_transform({shingles}, "
         f"x -> substring(md5('{prefix}' || x), {slot * 8 + 1}, 8)), 'min')"

@@ -51,18 +51,38 @@ def backfill(
     dim: DataFrame,
     data_root: str | Path,
     config: PipelineConfig | None = None,
+    dedup_index_path: str | Path = "",
+    dedup_text_col: str = "",
 ) -> BackfillStats:
     """Recompute documents for ``records`` and swap the touched index
-    partitions into ``data_root`` (the sink's ``data/`` directory)."""
+    partitions into ``data_root`` (the sink's ``data/`` directory).
+
+    Deployments streaming with the cross-batch dedup index MUST pass
+    the same ``dedup_index_path``/``dedup_text_col`` here: the hook
+    re-applies the index so recomputed partitions keep the stream's
+    dedup decisions (first-id semantics make the re-application
+    reproduce the original survivors) and content first seen by the
+    backfill gets registered. Omitting it on such a deployment would
+    resurrect suppressed duplicates in the rewritten partitions."""
     root = Path(data_root)
     root.mkdir(parents=True, exist_ok=True)
     recover_and_sweep(root)
     stats = BackfillStats()
     docs = run_pipeline(records, dim, config).drop("log_message", "arrival_ts")
+    cached = None
+    if dedup_index_path and dedup_text_col:
+        from .dedupindex import dedup_against_index
+
+        cached = docs.persist()  # index update + staging write reuse it
+        docs = dedup_against_index(
+            spark, cached, dedup_index_path, dedup_text_col, "doc_id"
+        )
     staging = root / ".tmp-__backfill__"
     if staging.exists():
         shutil.rmtree(staging)
     docs.write.partitionBy("es_index").parquet(str(staging))
+    if cached is not None:
+        cached.unpersist()
     stats.docs_written = spark.read.parquet(str(staging)).count()
     for part in sorted(staging.iterdir()):
         if not part.is_dir() or not part.name.startswith("es_index="):

@@ -56,6 +56,13 @@ def dedup_against_index(
     root = Path(index_root)
     root.mkdir(parents=True, exist_ok=True)
     hashed = batch.withColumn("content_hash", F.md5(F.col(text_col)))
+    # Rows with NULL content have no identity to dedup on: they pass
+    # through untouched and are never indexed. Without this split the
+    # equi-join below would silently DROP them (NULL keys never match).
+    no_content = hashed.filter(F.col("content_hash").isNull()).drop(
+        "content_hash"
+    )
+    hashed = hashed.filter(F.col("content_hash").isNotNull())
     idx = read_index(spark, root, id_type=dict(batch.dtypes)[id_col])
     # within-batch keep-first, then resolve against the stored index
     firsts = (
@@ -77,4 +84,7 @@ def dedup_against_index(
         F.substring("content_hash", 1, 2).alias("bucket"),
     )
     fresh.write.mode("append").partitionBy("bucket").parquet(str(root))
-    return survivors.drop("content_hash", "__winner", "__fresh", "__batch_first")
+    survivors = survivors.drop(
+        "content_hash", "__winner", "__fresh", "__batch_first"
+    )
+    return survivors.unionByName(no_content)

@@ -23,6 +23,16 @@ Deletion is idempotent: re-running the same request is a no-op (the
 match scan finds nothing), so the job composes with at-least-once
 schedulers. Deterministic file counts: the rewrite preserves the
 partition's file count unless it would exceed the surviving rows.
+
+Composition with the cross-batch dedup index (sinks/dedupindex.py):
+forgetting a document does NOT automatically purge its content hash —
+a deployment that must allow the same content to re-ingest runs forget
+AGAIN over the index directory, keyed on the forgotten ids::
+
+    forget(spark, index_root, F.col("first_id").isin(ids),
+           partition_prefix="bucket=")
+
+— the index is itself a partitioned table under this same protocol.
 """
 
 from __future__ import annotations
@@ -58,6 +68,10 @@ def forget(
     if not root.exists():
         return stats
     recover_and_sweep(root)
+    # Three-valued logic guard: a predicate that evaluates to NULL
+    # (e.g. a comparison on a NULL enrichment column) must mean KEEP,
+    # not delete — bare `~predicate` filters those rows out silently.
+    hit = F.coalesce(predicate, F.lit(False))
     parts = [
         d
         for d in sorted(root.iterdir())
@@ -66,10 +80,16 @@ def forget(
     stats.partitions_scanned = len(parts)
     for part_dir in parts:
         df = spark.read.parquet(str(part_dir))
-        n_match = df.filter(predicate).count()
+        # one scan counts both sides; the rewrite below is the second
+        # and last read of the partition
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("n_match"),
+        ).first()
+        n_match = int(row.n_match or 0)
         if n_match == 0:
             continue
-        survivors = df.filter(~predicate)
+        survivors = df.filter(~hit)
         n_files = max(
             1, len([p for p in part_dir.glob("*.parquet") if p.is_file()])
         )
@@ -80,5 +100,5 @@ def forget(
         swap_in(root, part_dir.name)
         stats.partitions_rewritten += 1
         stats.rows_deleted += n_match
-        stats.rows_kept += spark.read.parquet(str(part_dir)).count()
+        stats.rows_kept += int(row.n_total) - n_match
     return stats

@@ -140,9 +140,11 @@ class StreamConfig:
     # Cross-batch content dedup (sinks/dedupindex.py): before the sink
     # write, drop documents whose content hash was already indexed by
     # ANY earlier batch; first-id semantics keep replays idempotent.
-    # Off unless both are set. dedup_text_col is the document column
-    # hashed for identity (e.g. "log_message" pre-drop or a parsed
-    # field); dedup_index_path stores the (hash, first_id) table.
+    # Off unless both are set. dedup_text_col is a column of the FINAL
+    # document (a parsed field like "parsed_generic.log_event" or a
+    # scalar like "file_path" — the nested log_message struct is
+    # dropped before the hook runs); dedup_index_path stores the
+    # (hash, first_id) table.
     dedup_index_path: str = ""
     dedup_text_col: str = ""
 
@@ -193,13 +195,16 @@ def run_stream(
             if cfg.dedup_index_path and cfg.dedup_text_col:
                 from ..sinks.dedupindex import dedup_against_index
 
+                # persist the survivors too: the index join otherwise
+                # re-executes for each downstream action (touched-index
+                # collect, sink write, sent count)
                 docs = dedup_against_index(
                     spark,
                     cached,
                     cfg.dedup_index_path,
                     cfg.dedup_text_col,
                     "doc_id",
-                )
+                ).persist()
             try:
                 touched = [
                     r.es_index
@@ -219,6 +224,8 @@ def run_stream(
                         key_col=cfg.sketch_key_col,
                     )
             finally:
+                if docs is not cached:
+                    docs.unpersist()
                 cached.unpersist()
             if cfg.rollup_path and cfg.rollup_aggregate is not None:
                 from ..sinks.rollup import refresh_rollup

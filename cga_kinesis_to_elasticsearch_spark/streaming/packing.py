@@ -94,7 +94,9 @@ def pack_stream(
     prepared = docs.selectExpr(
         f"{stream_col} AS stream",
         f"CAST({id_col} AS LONG) AS id",
-        f"CAST(size(split({text_col}, ' ')) AS LONG) AS n_tok",
+        # coalesce: NULL text packs like empty text (one empty token),
+        # matching batch pack_spans — size(split(NULL)) would be -1
+        f"CAST(size(split(coalesce({text_col}, ''), ' ')) AS LONG) AS n_tok",
     )
     return prepared.groupBy("stream").applyInPandasWithState(
         pack_update(budget),

@@ -218,3 +218,16 @@ class TestPackProperties:
         last = max(per_seq)
         for seq, total in per_seq.items():
             assert total == budget or seq == last
+
+
+class TestPackNullText:
+    def test_null_text_packs_like_empty(self, spark):
+        docs = [(0, "s", "w w w"), (1, "s", None), (2, "s", "w w")]
+        df = spark.createDataFrame(docs, "id long, s string, t string")
+        out = {
+            (r.id, r.seq_id): r.tokens_in_seq
+            for r in pack_spans(df, "t", "id", "s", budget=4).collect()
+        }
+        # NULL doc contributes exactly one (empty) token, no negative
+        # spans, and later docs' offsets stay consistent
+        assert out == {(0, 0): 3, (1, 0): 1, (2, 1): 2}

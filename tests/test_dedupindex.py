@@ -121,3 +121,15 @@ class TestStreamingDedupHook:
         )
         assert contents.count() == contents.distinct().count()
         assert m.sent_count == contents.count() > 0
+
+
+class TestNullContent:
+    def test_null_text_rows_pass_through_unindexed(self, spark, tmp_path):
+        root = tmp_path / "idx"
+        b = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, None)], "id long, text string"
+        )
+        out = dedup_against_index(spark, b, root, "text", "id")
+        # NULL-content rows are not dedupable: both survive, unindexed
+        assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+        assert read_index(spark, root).count() == 1

@@ -62,3 +62,18 @@ class TestForget:
         # recovered partition participated in the delete
         assert remaining.count() == 9
         assert stats.partitions_rewritten == 1
+
+
+class TestNullPredicate:
+    def test_null_predicate_rows_kept(self, spark, tmp_path):
+        root = tmp_path / "data"
+        spark.createDataFrame(
+            [("logs-2024-01-01", 1, "x"), ("logs-2024-01-01", 2, None)],
+            "es_index string, user_id long, app string",
+        ).write.partitionBy("es_index").parquet(str(root))
+        # predicate is NULL for the row with app=None: must be KEPT
+        stats = forget(spark, root, F.col("app") == "x")
+        remaining = spark.read.parquet(str(root))
+        assert remaining.count() == 1
+        assert remaining.first().user_id == 2
+        assert stats.rows_deleted == 1 and stats.rows_kept == 1
