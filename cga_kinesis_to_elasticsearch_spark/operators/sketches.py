@@ -38,6 +38,8 @@ __all__ = [
     "kll_range_quantiles",
     "theta_day_sketches",
     "theta_overlap",
+    "cm_sketch",
+    "cm_estimate",
 ]
 
 
@@ -166,4 +168,76 @@ def theta_overlap(sketches: "DataFrame", day_a: str, day_b: str) -> "DataFrame":
         F.theta_sketch_estimate(F.theta_difference("sb", "sa"))
         .cast("long")
         .alias("new"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min: mergeable FREQUENCY sketch (the family HLL/KLL/theta lack)
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(row_col, key_col, hex_chars: int):
+    """Bucket of a key in one sketch row: the first ``hex_chars`` hex
+    chars of md5('r<row>:'+key). Width is 16^hex_chars; keeping the
+    bucket as the hex PREFIX STRING (not an int) makes the function
+    identical in any engine with md5 — no base conversion needed."""
+    return F.substring(
+        F.md5(F.concat(F.lit("r"), row_col, F.lit(":"), key_col)),
+        1,
+        hex_chars,
+    )
+
+
+def cm_sketch(
+    df: "DataFrame",
+    key_col: str,
+    depth: int = 4,
+    width_hex_chars: int = 2,
+) -> "DataFrame":
+    """Count-min sketch of a key column as a (row, bucket, cnt) table —
+    depth x 16^width_hex_chars counters; bucket r of key k is the hex
+    prefix of md5('r<r>:'+k). Estimates (cm_estimate) are biased HIGH
+    only, with the classic eps = e/width guarantee; counters are
+    ADDITIVE, so sketches of two data slices merge by summing matching
+    cells — per-day frequency state for "how often did key X occur in
+    any range" without fact rescans, at depth*width integers per slice
+    regardless of key cardinality.
+
+    Shape chosen for scale: the explode is a narrow depth-way fan-out
+    of (row, bucket) PAIRS (not keys or payloads), and the groupBy is
+    map-side combined onto at most depth*width cells — the shuffle
+    carries bounded-cardinality partial counts, like any rollup. md5
+    keeps bucket assignment reproducible in the DuckDB oracle."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    keyed = df.select(F.col(key_col).cast("string").alias("__k"), rows)
+    bucket = _cm_bucket(F.col("row"), F.col("__k"), width_hex_chars)
+    return (
+        keyed.select("row", bucket.alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: "DataFrame",
+    keys: "DataFrame",
+    key_col: str,
+    depth: int = 4,
+    width_hex_chars: int = 2,
+) -> "DataFrame":
+    """Estimated occurrence count for each probe key: min over the
+    sketch's depth rows of the key's bucket counter (missing cell ->
+    0). The sketch side is depth*width rows — always broadcastable —
+    so probing any number of keys is one broadcast join + a tiny
+    min-agg; the fact table is never touched."""
+    from pyspark.sql.functions import broadcast
+
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
+    probes = keys.select(F.col(key_col).cast("string").alias("key"), rows)
+    bucket = _cm_bucket(F.col("row"), F.col("key"), width_hex_chars)
+    probed = probes.select("key", "row", bucket.alias("bucket"))
+    return (
+        probed.join(broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )

@@ -92,3 +92,46 @@ def _sketch_range_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     sk = kll_day_sketches(ev, "ts", "value", k=32768)
     return kll_range_quantiles(sk, *FULL_RANGE)
+
+
+_CM_DEPTH, _CM_HEX = 4, 2
+_CM_PROBES = 25  # probe the first N user ids
+
+_CM_ORACLE = f"""
+WITH rows AS (SELECT unnest(range({_CM_DEPTH})) AS row),
+keyed AS (SELECT CAST(user_id AS VARCHAR) AS k, row
+          FROM events, rows),
+sk AS (SELECT row,
+              substring(md5('r' || CAST(row AS VARCHAR) || ':' || k),
+                        1, {_CM_HEX}) AS bucket,
+              count(*) AS cnt
+       FROM keyed GROUP BY row, bucket),
+probes AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key
+           FROM events WHERE user_id < {_CM_PROBES}),
+pb AS (SELECT p.key, r.row,
+              substring(md5('r' || CAST(r.row AS VARCHAR) || ':' || p.key),
+                        1, {_CM_HEX}) AS bucket
+       FROM probes p, rows r)
+SELECT pb.key, min(coalesce(sk.cnt, 0)) AS est_count
+FROM pb LEFT JOIN sk ON pb.row = sk.row AND pb.bucket = sk.bucket
+GROUP BY pb.key
+"""
+
+
+@q("cm_user_frequencies", _CM_ORACLE)
+def _cm_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.cm_sketch): the
+    mergeable FREQUENCY family beside HLL (distinct), KLL (quantiles)
+    and theta (set algebra). Per-user occurrence estimates for probe
+    keys come from the depth x 256 counter table — biased high only;
+    the oracle replays the identical md5 bucket arithmetic, so this is
+    value-checked, unlike engine-specific sketch blobs. Error bound vs
+    exact counts is pinned in test_sketches.py."""
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = cm_sketch(ev, "user_id", depth=_CM_DEPTH, width_hex_chars=_CM_HEX)
+    probes = ev.filter(F.col("user_id") < _CM_PROBES).select("user_id").distinct()
+    return cm_estimate(
+        sk, probes, "user_id", depth=_CM_DEPTH, width_hex_chars=_CM_HEX
+    )

@@ -129,3 +129,62 @@ class TestPlanShape:
         )
         assert n_xchg == 1
         assert "partial_hll_sketch_agg" in plan or "HashAggregate" in plan
+
+
+class TestCountMin:
+    def test_estimates_upper_bound_exact_counts(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_dir, "events")
+        sk = cm_sketch(ev, "user_id")
+        probes = ev.select("user_id").distinct()
+        est = {
+            r.key: r.est_count
+            for r in cm_estimate(sk, probes, "user_id").collect()
+        }
+        exact = {
+            str(r.user_id): r.n
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+        overs = []
+        for k, true_n in exact.items():
+            assert est[k] >= true_n  # count-min never underestimates
+            overs.append(est[k] - true_n)
+        # with 4x256 counters over sf0.001's ~50 users, most probes are
+        # collision-free and the mean overestimate stays small
+        assert sum(overs) / len(overs) <= 0.2 * (
+            sum(exact.values()) / len(exact)
+        )
+
+    def test_sketches_merge_additively(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_dir, "events")
+        a = cm_sketch(ev.filter("event_id % 2 = 0"), "user_id")
+        b = cm_sketch(ev.filter("event_id % 2 = 1"), "user_id")
+        merged = (
+            a.unionByName(b)
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = cm_sketch(ev, "user_id")
+        probes = ev.select("user_id").distinct()
+        em = {
+            r.key: r.est_count
+            for r in cm_estimate(merged, probes, "user_id").collect()
+        }
+        ew = {
+            r.key: r.est_count
+            for r in cm_estimate(whole, probes, "user_id").collect()
+        }
+        assert em == ew  # summing slice sketches == sketching the whole
