@@ -207,7 +207,14 @@ def cm_sketch(
     of (row, bucket) PAIRS (not keys or payloads), and the groupBy is
     map-side combined onto at most depth*width cells — the shuffle
     carries bounded-cardinality partial counts, like any rollup. md5
-    keeps bucket assignment reproducible in the DuckDB oracle."""
+    keeps bucket assignment reproducible in the DuckDB oracle.
+
+    Day-state maintenance: because counters are additive, a REPLAYED
+    batch would double-count — so per-day cm tables are maintained
+    recompute-from-facts style via ``sinks.rollup.refresh_rollup`` with
+    this function as the aggregate (idempotent), NOT by incremental
+    merge like the HLL sketchmaint path (whose set semantics tolerate
+    replay). Pinned in test_sketches.py."""
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
     keyed = df.select(F.col(key_col).cast("string").alias("__k"), rows)
     bucket = _cm_bucket(F.col("row"), F.col("__k"), width_hex_chars)

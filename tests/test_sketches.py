@@ -188,3 +188,50 @@ class TestCountMin:
             for r in cm_estimate(whole, probes, "user_id").collect()
         }
         assert em == ew  # summing slice sketches == sketching the whole
+
+    def test_day_cm_state_via_rollup_maintenance(self, spark, tmp_path):
+        """Count-min day state composes with refresh_rollup: counters
+        are ADDITIVE (a replayed batch would double-count), so per-day
+        cm tables are maintained recompute-from-facts style — the
+        rollup maintainer's idempotent protocol — and any range is
+        answered by summing stored day tables."""
+        from cga_kinesis_to_elasticsearch_spark.operators.sketches import (
+            cm_estimate,
+            cm_sketch,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sinks.rollup import (
+            refresh_rollup,
+            touched_days,
+        )
+        from pyspark.sql import functions as F
+
+        facts = tmp_path / "facts"
+        state = tmp_path / "cm"
+        rows = [
+            (f"2024-01-0{1 + i % 2}", f"u{i % 7}") for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "day string, uid string")
+        df.write.partitionBy("day").parquet(str(facts))
+
+        agg = lambda day_slice: cm_sketch(day_slice, "uid")
+        days = touched_days(df, "day")
+        # twice: replayed maintenance must not double-count
+        refresh_rollup(spark, facts, state, days, agg, date_col="day")
+        refresh_rollup(spark, facts, state, days, agg, date_col="day")
+
+        merged = (
+            spark.read.parquet(str(state))
+            .groupBy("row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        probes = df.select("uid").distinct()
+        est = {
+            r.key: r.est_count
+            for r in cm_estimate(merged, probes, "uid").collect()
+        }
+        whole = cm_sketch(df, "uid")
+        expect = {
+            r.key: r.est_count
+            for r in cm_estimate(whole, probes, "uid").collect()
+        }
+        assert est == expect
