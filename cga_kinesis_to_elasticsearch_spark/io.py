@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampType
 
 __all__ = ["load_table", "TABLES"]
 
@@ -70,5 +71,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     for field in df.schema.fields:
         if field.dataType.typeName() == "timestamp_ntz":
-            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+            # Concrete TimestampType(), NOT the "timestamp" string alias:
+            # under spark.sql.timestampType=TIMESTAMP_NTZ the alias maps
+            # back to NTZ and the cast becomes a no-op.
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(TimestampType())
+            )
     return df

@@ -66,6 +66,11 @@ def _engine_conf() -> dict[str, str]:
         # treats them as UTC instants, and epoch functions (unix_millis)
         # reject NTZ outright.
         "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        # A host session may run with timestampType=TIMESTAMP_NTZ, which
+        # silently remaps the "timestamp" type alias (and timestamp
+        # literals) to NTZ — epoch functions then fail at analysis.
+        # Pin the alias back to instants; runtime-settable.
+        "spark.sql.timestampType": "TIMESTAMP_LTZ",
     }
 
 

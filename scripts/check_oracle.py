@@ -8,6 +8,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -84,9 +85,24 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from cga_kinesis_to_elasticsearch_spark.session import get_spark
+    if os.environ.get("SPARK_GRAFT_DRIVER_SIM"):
+        # Emulate the correctness driver's session: a host-owned
+        # SparkSession with TIMESTAMP_NTZ as the default timestamp type
+        # and none of our engine confs pre-applied. Queries must survive
+        # this via tune_session + load_table normalization alone.
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("oracle-check")
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("oracle-check-driver-sim")
+            .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+            .getOrCreate()
+        )
+    else:
+        from cga_kinesis_to_elasticsearch_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()

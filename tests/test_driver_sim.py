@@ -1,0 +1,82 @@
+"""Regression: the correctness driver owns its SparkSession and may run
+with ``spark.sql.timestampType=TIMESTAMP_NTZ`` (the round-1 failure
+mode). Under that conf:
+
+- parquet timestamp columns surface as TIMESTAMP_NTZ by default;
+- the ``"timestamp"`` type-alias (and `.cast("timestamp")`) silently
+  remaps to NTZ, so an alias cast is a no-op;
+- epoch functions (unix_millis/unix_micros) reject NTZ at analysis.
+
+The engine must survive regardless: ``tune_session`` (run by every
+declared query) pins the alias back to TIMESTAMP_LTZ, and
+``load_table`` casts any NTZ column to the concrete TimestampType.
+These tests flip the conf on the shared session and assert both guards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.io import load_table
+from cga_kinesis_to_elasticsearch_spark.session import tune_session
+
+
+@pytest.fixture()
+def ntz_session(spark):
+    """Shared session temporarily reconfigured like the driver's."""
+    prev_type = spark.conf.get("spark.sql.timestampType")
+    prev_infer = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev_type)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev_infer)
+
+
+class TestDriverSessionResilience:
+    def test_load_table_yields_instants_under_ntz_default(
+        self, ntz_session, sf_dir
+    ):
+        # raw read under the driver conf really is NTZ (the hazard exists)
+        raw = ntz_session.read.parquet(f"{sf_dir}/events.parquet")
+        assert dict(raw.dtypes)["ts"] == "timestamp_ntz"
+        # load_table repairs it even with tune_session's alias pin undone
+        ev = load_table(ntz_session, sf_dir, "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp"
+        # epoch functions work on the repaired column
+        assert (
+            ev.select(F.unix_millis("ts").alias("ms")).first()["ms"] is not None
+        )
+
+    def test_tune_session_restores_timestamp_alias(self, ntz_session):
+        tune_session(ntz_session)
+        assert (
+            ntz_session.conf.get("spark.sql.timestampType") == "TIMESTAMP_LTZ"
+        )
+        df = ntz_session.range(1).select(
+            F.lit("2024-01-01").cast("timestamp").alias("t")
+        )
+        assert dict(df.dtypes)["t"] == "timestamp"
+
+    def test_declared_queries_run_under_driver_conf(self, ntz_session, sf_dir):
+        """The four queries that failed round-1 correctness under the
+        driver's NTZ session (CORRECTNESS_r01.json) now plan and run."""
+        from cga_kinesis_to_elasticsearch_spark.plans import queries
+
+        qs = queries()
+        for name in (
+            "computed_columns",
+            "sessionize_events",
+            "asof_last_click",
+            "grok_multimap_words",
+            "multimodal_features",
+        ):
+            # re-apply the driver conf each time: tune_session inside a
+            # query resets the alias, but a LATER query must cope with a
+            # session whose default type someone flipped back
+            ntz_session.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+            df = qs[name](ntz_session, sf_dir)
+            assert df.limit(1).count() >= 0, name
