@@ -14,5 +14,6 @@ from . import corpus as _corpus  # noqa: F401
 from . import webmix as _webmix  # noqa: F401
 from . import eventanalytics as _eventanalytics  # noqa: F401
 from . import sketches_query as _sketches_query  # noqa: F401
+from . import formats as _formats  # noqa: F401
 
 __all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,147 @@
+"""Schema-pinned CSV / JSON-lines sources and sinks.
+
+The reference ingests exactly one wire format (protobuf Envelopes off
+Kinesis, main.go:357-360) and emits exactly one (JSON bulk bodies,
+bulk_index_request.go:140). A general engine needs the common
+interchange formats as first-class sources with the SAME correctness
+posture as the parquet path:
+
+- **explicit StructType, never inferSchema** — schema inference reads
+  the data twice and can flip types between runs/partitions; at 100 TB
+  a second pass over the input is a non-starter. Callers pass (or
+  derive once, plan-time) the schema; malformed rows land in a
+  rescue column instead of failing the job (PERMISSIVE +
+  columnNameOfCorruptRecord, the file-format analogue of the
+  poison-record bucket T2).
+- **timestamps as instants** — same TIMESTAMP_NTZ guard as
+  ``io.load_table``: a host session defaulting to NTZ must not change
+  what the engine computes.
+- **round-trip invariance is oracle-tested** — `csv_source_roundtrip` /
+  `json_source_roundtrip` in plans/formats.py write the events table
+  out through the text format, read it back, and must hash-match a
+  DuckDB aggregate over the ORIGINAL parquet: any type drift
+  (timestamp precision, float formatting, NULL encoding) breaks the
+  hash.
+
+Streaming: both readers take ``spark.readStream`` the same way
+(``read_csv(spark.readStream, ...)`` path argument), since they only
+configure the DataFrameReader — one code path for batch and stream,
+like every other operator in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructField, StructType, TimestampType
+
+__all__ = [
+    "read_csv",
+    "read_jsonl",
+    "write_csv",
+    "write_jsonl",
+    "CORRUPT_COL",
+]
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_field(schema: StructType) -> StructType:
+    """PERMISSIVE mode only populates the corrupt column if it is part
+    of the declared schema."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    from pyspark.sql.types import StringType
+
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+
+
+def _fix_ntz(df: DataFrame) -> DataFrame:
+    """Concrete-TimestampType repair, same contract as io.load_table."""
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(TimestampType())
+            )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with a pinned schema; malformed rows survive into
+    ``_corrupt_record`` (drop or bucket them downstream, T2-style).
+
+    ``timestampFormat`` default covers the ISO-micros form our writer
+    emits; pass overrides for foreign data.
+    """
+    reader = (
+        spark.read.format("csv")
+        .schema(_with_corrupt_field(schema))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        # a 100 TB input is many files; one task per split either way,
+        # but disallow multiline records so splits stay byte-range
+        .option("multiLine", "false")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return _fix_ntz(reader.load(path))
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines with a pinned schema (the ES bulk-body format the
+    reference emits, read back as a source)."""
+    reader = (
+        spark.read.format("json")
+        .schema(_with_corrupt_field(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("multiLine", "false")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return _fix_ntz(reader.load(path))
+
+
+def _writable(df: DataFrame) -> DataFrame:
+    # Text formats have no native timestamp; serialize as ISO-micros
+    # UTC strings so the read side reparses to the identical instant
+    # regardless of either session's timestampType default.
+    out = df
+    for field in df.schema.fields:
+        if field.dataType.typeName() in ("timestamp", "timestamp_ntz"):
+            out = out.withColumn(
+                field.name,
+                F.date_format(
+                    F.col(field.name).cast(TimestampType()),
+                    "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+                ),
+            )
+    return out
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    (
+        _writable(df)
+        .write.mode("overwrite")
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    _writable(df).write.mode("overwrite").json(path)
