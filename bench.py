@@ -40,6 +40,7 @@ HEADLINE = [
     "text_quality",
     "sketch_daily_users",
     "pack_training_sequences",
+    "lm_quality_score",
 ]
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "clean_text",
     "length_winsorize",
     "pack_spans",
+    "unigram_logprob",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -565,4 +566,66 @@ def pack_spans(
             F.least(F.col("__start") + F.col("__n_tok"), seq_hi)
             - F.greatest(F.col("__start"), seq_lo)
         ).alias("tokens_in_seq"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """CCNet-style LM-quality proxy: per-document mean log-probability
+    under the corpus's own unigram model, p(t) = cnt(t) / total_tokens.
+    Documents full of corpus-atypical tokens score low — the cheap,
+    fully-distributed stand-in for the KenLM perplexity filter (no LM
+    runtime in this container; the distributed shape is identical, the
+    scorer is swappable).
+
+    Determinism contract (the reason for the sorted fold): a per-doc
+    SUM of float logs is addition-order-dependent, so both this plan
+    and the SQL oracle fold contributions in ascending-term order —
+    byte-identical operand sequences produce byte-identical doubles,
+    making the score hash-comparable cross-engine without tolerance.
+
+    Scale shape: token explode -> (doc, term, tf) agg is the same
+    map-side-combinable shuffle as tf_idf; the vocabulary (term, cnt)
+    agg is vocabulary-sized (<< corpus); total_tokens broadcasts as a
+    scalar; the per-doc collect_list is bounded by distinct terms per
+    document, not corpus size. No Python anywhere.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    ex = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.select(F.sum("cnt").alias("total_tokens"))
+    contrib = (
+        tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__c",
+            F.col("tf")
+            * (F.log(F.col("cnt")) - F.log(F.col("total_tokens"))),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.aggregate(
+                # array_sort on (term, contrib) structs orders by term
+                # first — the deterministic fold order shared with SQL
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("__c")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__c"],
+            ).alias("__sum"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens"),
+            F.round(F.col("__sum") / F.col("n_tokens"), 6).alias(
+                "avg_logprob"
+            ),
+        )
     )

@@ -398,3 +398,33 @@ def _pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per (doc, sequence) span (text.pack_spans)."""
     docs = _tp(spark, sf_dir, "documents")
     return T.pack_spans(docs, "text", "doc_id", "source", budget=_PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality score (CCNet-style perplexity-filter proxy)
+# ---------------------------------------------------------------------------
+
+# The fold order is pinned on BOTH sides (ascending term) so the float
+# sum of logs is the identical operand sequence — see
+# text.unigram_logprob's determinism contract.
+_LM_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+tot AS (SELECT sum(cnt) AS total_tokens FROM vocab),
+c AS (SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln(vocab.cnt) - ln(tot.total_tokens)) AS contrib
+      FROM tf JOIN vocab USING (term) CROSS JOIN tot),
+d AS (SELECT doc_id, sum(tf) AS n_tokens,
+             list_sum(list(contrib ORDER BY term ASC)) AS s
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_logprob FROM d
+"""
+
+
+@q("lm_quality_score", _LM_ORACLE)
+def _lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _tp(spark, sf_dir, "documents")
+    return T.unigram_logprob(docs, "text", "doc_id")

@@ -37,6 +37,8 @@ from pyspark.sql.types import StructField, StructType, TimestampType
 __all__ = [
     "read_csv",
     "read_jsonl",
+    "read_csv_stream",
+    "read_jsonl_stream",
     "write_csv",
     "write_jsonl",
     "CORRUPT_COL",
@@ -106,6 +108,58 @@ def read_jsonl(
     reference emits, read back as a source)."""
     reader = (
         spark.read.format("json")
+        .schema(_with_corrupt_field(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("multiLine", "false")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return _fix_ntz(reader.load(path))
+
+
+def read_csv_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming variant of :func:`read_csv`: tail a directory of CSV
+    files as micro-batches (the file-source stand-in for a Kinesis
+    stream of CSV payloads). Same pinned schema, corrupt-column and
+    NTZ contracts; ``maxFilesPerTrigger`` is the backpressure knob
+    (T5)."""
+    if max_files_per_trigger is not None:
+        options = {**options, "maxFilesPerTrigger": str(max_files_per_trigger)}
+    reader = (
+        spark.readStream.format("csv")
+        .schema(_with_corrupt_field(schema))
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .option("multiLine", "false")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return _fix_ntz(reader.load(path))
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """Streaming variant of :func:`read_jsonl`."""
+    if max_files_per_trigger is not None:
+        options = {**options, "maxFilesPerTrigger": str(max_files_per_trigger)}
+    reader = (
+        spark.readStream.format("json")
         .schema(_with_corrupt_field(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)

@@ -155,3 +155,29 @@ class TestBpeAndOov:
         # 25 distinct rares + tok = 26 terms; vocab keeps top 20 -> 6 oov
         assert out2[2].n_oov == 6
         assert out2[2].oov_rate == round(6 / 25, 6)
+
+
+class TestUnigramLogprob:
+    def test_common_tokens_score_higher(self, spark):
+        import math
+
+        from cga_kinesis_to_elasticsearch_spark.operators.text import (
+            unigram_logprob,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "common common common common"),
+                (2, "common common rare common"),
+            ],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in unigram_logprob(docs, "text", "doc_id").collect()}
+        assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+        # corpus: common x7, rare x1, total 8
+        exp1 = round(math.log(7 / 8), 6)
+        assert abs(out[1].avg_logprob - exp1) < 1e-6
+        exp2 = round((3 * math.log(7 / 8) + math.log(1 / 8)) / 4, 6)
+        assert abs(out[2].avg_logprob - exp2) < 1e-6
+        # the atypical doc scores strictly lower
+        assert out[2].avg_logprob < out[1].avg_logprob

@@ -107,3 +107,30 @@ class TestNtzGuard:
             assert ms == 1704067200000
         finally:
             spark.conf.set("spark.sql.timestampType", prev)
+
+
+class TestStreamingReaders:
+    def test_jsonl_stream_matches_batch(self, spark, events, tmp_path):
+        src = str(tmp_path / "stream_src")
+        out = str(tmp_path / "stream_out")
+        ckpt = str(tmp_path / "ckpt")
+        FF.write_jsonl(events.limit(200), src)
+        stream = FF.read_jsonl_stream(
+            spark, src, EVENTS_SCHEMA, max_files_per_trigger=2
+        )
+        assert stream.isStreaming
+        q = (
+            stream.drop(FF.CORRUPT_COL)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 200
+        # same rows, same instants, through the streaming path
+        a = events.limit(200).select("event_id", "ts", "value")
+        b = got.select("event_id", "ts", "value")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
