@@ -343,3 +343,51 @@ def _week_over_week_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") - F.lag("n").over(w)) * 100.0 / F.lag("n").over(w), 2
         ).alias("pct_change"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_custkey",
+    "o_orderdate",
+    "o_orderkey",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice",
+)
+
+
+def _profile_arm(c: str) -> str:
+    minmax = (
+        f"CAST(CAST(min({c}) AS DECIMAL(38,6)) AS VARCHAR) AS min_value,"
+        f" CAST(CAST(max({c}) AS DECIMAL(38,6)) AS VARCHAR) AS max_value"
+        if c == "o_totalprice"
+        else f"CAST(min({c}) AS VARCHAR) AS min_value,"
+        f" CAST(max({c}) AS VARCHAR) AS max_value"
+    )
+    return f"""
+    SELECT '{c}' AS column,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {minmax}
+    FROM orders"""
+
+
+_PROFILE_ORACLE = "\nUNION ALL".join(_profile_arm(c) for c in _PROFILE_COLS)
+
+
+@q("profile_orders_table", _PROFILE_ORACLE)
+def _profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-quality profile (nulls, exact
+    distinct, min/max) — ONE scan + ONE fused Aggregate for all six
+    columns; exact mode here so DuckDB can hash-compare (the 100 TB
+    default is approx_count_distinct, no Expand)."""
+    from ..operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"), list(_PROFILE_COLS), exact=True
+    )
