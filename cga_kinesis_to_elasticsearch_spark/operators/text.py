@@ -14,6 +14,8 @@ from .dedup import normalized_text
 __all__ = [
     "token_stats",
     "quality_score",
+    "quality_columns",
+    "lang_guess_column",
     "lang_id",
     "fingerprint",
     "bpe_ish_token_count",
@@ -61,12 +63,12 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic quality features: stopword ratio, punctuation count,
-    digit ratio, plus a composite 0..1 score."""
+def quality_columns(text_col: str) -> dict[str, Column]:
+    """The quality features as named Column expressions — reusable by
+    any one-scan composition (see operators/curation.py) without a
+    per-feature self-join."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     n_toks = F.size(toks)
-    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
     n_stop = F.aggregate(
         toks,
         F.lit(0),
@@ -82,19 +84,25 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         * (1 - digit_ratio),
         4,
     )
-    _ = stop_hits  # array_intersect dedupes; n_stop keeps multiplicity
+    return {
+        "stopword_ratio": stop_ratio,
+        "punct_count": punct,
+        "digit_ratio": digit_ratio,
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features: stopword ratio, punctuation count,
+    digit ratio, plus a composite 0..1 score."""
+    cols = quality_columns(text_col)
     return df.select(
-        F.col(id_col),
-        stop_ratio.alias("stopword_ratio"),
-        punct.alias("punct_count"),
-        digit_ratio.alias("digit_ratio"),
-        score.alias("quality"),
+        F.col(id_col), *[expr.alias(name) for name, expr in cols.items()]
     )
 
 
-def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Marker-word language guess: the language whose marker words hit
-    most, ties to 'und' (undetermined) order by fixed language order."""
+def lang_guess_column(text_col: str) -> Column:
+    """Marker-word language guess as a single Column expression."""
     toks = F.split(F.lower(F.col(text_col)), " ")
     scores = {
         lang: F.size(
@@ -106,8 +114,15 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     guess = F.lit("und")
     for lang in reversed(list(LANG_MARKERS)):
         guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
-    guess = F.when(best == 0, F.lit("und")).otherwise(guess)
-    return df.select(F.col(id_col), guess.alias("lang_guess"))
+    return F.when(best == 0, F.lit("und")).otherwise(guess)
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-word language guess: the language whose marker words hit
+    most, ties to 'und' (undetermined) order by fixed language order."""
+    return df.select(
+        F.col(id_col), lang_guess_column(text_col).alias("lang_guess")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -428,3 +428,108 @@ SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_logprob FROM d
 def _lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     return T.unigram_logprob(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline e2e (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from .northstar import _STOP_SQL as _STOP_SQL_C  # noqa: E402
+
+# Duplicates are synthesized identically on both sides (every 5th doc
+# re-appears under id+100000) so the keep-first election has real work:
+# survivors must be the ORIGINAL ids, never the replayed copies.
+_CURATE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+t AS (SELECT doc_id, text,
+             string_split(lower(text), ' ') AS toks,
+             list_distinct(string_split(lower(text), ' ')) AS dtoks
+      FROM corpus),
+m AS (SELECT doc_id, text, dtoks AS toks, len(toks) AS n_toks,
+             len(string_split(text, ' ')) AS n_tokens,
+             list_aggregate(list_transform(toks,
+               x -> CASE WHEN x IN ({_STOP_SQL_C}) THEN 1 ELSE 0 END),
+               'sum') AS n_stop,
+             len(regexp_extract_all(text, '[0-9]')) AS n_digits
+      FROM t),
+f AS (SELECT doc_id, n_tokens,
+             {{lang_scores}}
+             , round(least(1.0, round(n_stop / n_toks, 4) * 2)
+                 * (CASE WHEN length(text) >= 50 THEN 1.0 ELSE 0.5 END)
+                 * (1 - round(n_digits / length(text), 4)), 4) AS quality,
+             md5({_norm_sql('text')}) AS fingerprint
+      FROM m),
+g AS (SELECT doc_id, {{lang_case}} AS lang_guess, quality, n_tokens,
+             fingerprint
+      FROM f),
+k AS (SELECT *, row_number() OVER
+        (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+      FROM g WHERE lang_guess = 'en' AND quality >= 0.05)
+SELECT doc_id, lang_guess, quality, n_tokens, fingerprint
+FROM k WHERE rn = 1
+"""
+
+
+def _curate_oracle() -> str:
+    from .northstar import _LANG_CASE, _LANG_SCORES
+
+    return _CURATE_ORACLE.format(
+        lang_scores=_LANG_SCORES, lang_case=_LANG_CASE
+    )
+
+
+@q("corpus_curation_e2e", _curate_oracle())
+def _corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (operators/curation.py): one narrow
+    feature+gate pass, then a single fingerprint-key shuffle for the
+    keep-first dedup election — filters run BEFORE the exchange, so
+    only gated survivors move."""
+    from ..operators.curation import curate_corpus
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    replay = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return curate_corpus(docs.unionAll(replay), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Sharded training-data export (sinks/shards.py)
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8
+
+# Replays shard placement AND the order-free content checksum over the
+# source table — the Spark side computes its manifest from the files it
+# actually wrote (read-back), so a hash match proves disk == source.
+_SHARD_ORACLE = f"""
+SELECT CAST(CAST(concat('0x', substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % {_SHARD_N} AS BIGINT) AS shard,
+       count(*) AS n_rows,
+       sum(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))
+           AS BIGINT)) AS checksum
+FROM documents
+GROUP BY 1
+"""
+
+
+@q("shard_export_manifest", _SHARD_ORACLE)
+def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded export: documents land in 8 md5-placed
+    shard directories; the returned manifest is computed from the
+    files on disk, so the oracle match proves the written shards carry
+    exactly the source rows (sinks/shards.py)."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.shards import export_shards
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_shards" / sf
+    return export_shards(
+        spark, docs, root, _SHARD_N, "doc_id", ["text"]
+    )

@@ -1,0 +1,90 @@
+"""Composed curation pipeline (operators/curation.py) and the sharded
+training-data export (sinks/shards.py)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators.curation import curate_corpus
+from cga_kinesis_to_elasticsearch_spark.sinks.shards import (
+    export_shards,
+    read_manifest,
+    shard_of,
+)
+
+
+class TestCurateCorpus:
+    def test_gates_and_keep_first(self, spark):
+        rows = [
+            # good English doc, long enough, stopworded
+            (1, "the cat and the dog sat on the mat in the sun all day long"),
+            # duplicate of doc 1 under a later id -> election drops it
+            (9, "The cat and the dog sat on the mat in the sun all day long"),
+            # German -> language gate drops it
+            (2, "der hund und das haus und der baum und das auto hier oben"),
+            # digit soup -> quality gate drops it
+            (3, "the 111 222 333 444 555 666 777 888 999 000 111 222 333"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = curate_corpus(df, "text", "doc_id", min_quality=0.1)
+        got = {r.doc_id: r for r in out.collect()}
+        assert set(got) == {1}
+        assert got[1].lang_guess == "en"
+        assert got[1].n_tokens == 15
+        # fingerprint is normalization-robust: 1 and 9 shared it
+        fp = curate_corpus(
+            df.filter(F.col("doc_id").isin(1, 9)), "text", "doc_id",
+            min_quality=0.0,
+        )
+        assert fp.count() == 1 and fp.first().doc_id == 1
+
+    def test_single_exchange_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the a of to and x")], "doc_id long, text string"
+        )
+        plan = (
+            curate_corpus(df, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one shuffle: the fingerprint election; features must not join
+        assert plan.count("Exchange") == 1
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+class TestShardExport:
+    def test_manifest_matches_disk_and_is_deterministic(
+        self, spark, sf_dir, tmp_path
+    ):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        m1 = export_shards(
+            spark, docs, tmp_path / "x", 4, "doc_id", ["text"]
+        ).collect()
+        m2 = export_shards(
+            spark, docs, tmp_path / "x", 4, "doc_id", ["text"]
+        ).collect()
+        assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+        assert sum(r.n_rows for r in m1) == docs.count()
+        mj = read_manifest(tmp_path / "x")
+        assert mj["n_shards"] == 4
+        assert sorted(s["shard"] for s in mj["shards"]) == sorted(
+            r.shard for r in m1
+        )
+        # one parquet file per shard directory (delivery contract)
+        for d in (tmp_path / "x" / "data").glob("shard=*"):
+            files = [p for p in d.glob("*.parquet")]
+            assert len(files) == 1, d
+
+    def test_assignment_is_stable_and_total(self, spark):
+        df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+        a = df.select("doc_id", shard_of("doc_id", 8).alias("s"))
+        counts = {r.s: r["count"] for r in a.groupBy("s").count().collect()}
+        assert set(counts) == set(range(8))  # every shard populated
+        # same expression, same placement
+        b = df.select("doc_id", shard_of("doc_id", 8).alias("s"))
+        assert a.exceptAll(b).count() == 0
