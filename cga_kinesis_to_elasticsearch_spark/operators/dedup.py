@@ -268,6 +268,81 @@ def jaccard(a: Column, b: Column, ndigits: int = 4) -> Column:
     )
 
 
+def fuzzy_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """End-to-end fuzzy (near-duplicate) corpus dedup — the full
+    MinHash-LSH recipe composed into one operator:
+
+        signatures -> LSH banding -> candidate pairs
+        -> exact-Jaccard VERIFY (kills LSH false positives)
+        -> connected components over verified edges
+        -> canonical election (min id per cluster)
+
+    Returns one row per input doc: ``(id, component, cluster_size,
+    kept)`` where ``kept`` marks the cluster's canonical survivor.
+    Filtering ``kept`` yields the deduplicated corpus.
+
+    Verification threshold is the exact integer test
+    ``|A ∩ B| * den >= |A ∪ B| * num`` on distinct token sets — no
+    float compare, so any engine agrees on the edge set bit-exactly.
+
+    Scale posture (100 TB): signatures are computed once, map-side;
+    the LSH shuffle moves (band_key, id) tuples only; token arrays for
+    the verify stage are built ONLY for docs that appear in some
+    candidate pair (semi-join pruning — at production dup rates this
+    is a tiny fraction of the corpus); component propagation runs on
+    the verified edge set, which is strictly smaller still. Documents
+    themselves are never shuffled.
+    """
+    from .components import connected_components
+
+    sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, band_size=band_size)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    toks = df.join(cand_ids, id_col, "semi").select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    verified = (
+        cand.join(
+            toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ta", "__tb")).alias("__i"),
+            F.size(F.array_union("__ta", "__tb")).alias("__u"),
+        )
+        .filter(F.col("__i") * threshold_den >= F.col("__u") * threshold_num)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(
+        df, verified, id_col=id_col, src_col="id_a", dst_col="id_b"
+    )
+    sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "component").select(
+        F.col("id").alias(id_col),
+        "component",
+        "cluster_size",
+        (F.col("component") == F.col("id")).alias("kept"),
+    )
+
+
 def token_hashes(toks: Column) -> Column:
     """One md5 per token — the staged input for simhash_bits. Callers
     materialize this as a projection attribute so the 32 hex chars

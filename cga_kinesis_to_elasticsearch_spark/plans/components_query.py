@@ -53,6 +53,50 @@ FROM cc GROUP BY node
 """
 
 
+_FUZZY_DEDUP_ORACLE = f"""
+WITH RECURSIVE
+{_PAIRS_SQL},
+    t AS (
+      SELECT doc_id,
+             list_distinct(string_split({_norm_sql('text')}, ' ')) AS toks
+      FROM documents),
+    verified AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN t a ON a.doc_id = p.id_a
+      JOIN t b ON b.doc_id = p.id_b
+      WHERE len(list_intersect(a.toks, b.toks)) * 10
+            >= len(list_distinct(list_concat(a.toks, b.toks))) * 7),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM verified),
+    cc(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src),
+    comp AS (SELECT node AS doc_id, min(lbl) AS component FROM cc GROUP BY node),
+    sizes AS (SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component)
+SELECT c.doc_id, c.component, s.cluster_size,
+       (c.component = c.doc_id) AS kept
+FROM comp c JOIN sizes s USING (component)
+"""
+
+
+@q("fuzzy_dedup_keep", _FUZZY_DEDUP_ORACLE)
+def _fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup recipe (operators/dedup.fuzzy_dedup): LSH
+    candidates -> exact-Jaccard verify (integer threshold 7/10, which
+    provably rejects some LSH collisions on this corpus) -> connected
+    components -> canonical keep-list. The oracle replays every stage
+    in SQL, including the verify filter and the recursive-CTE fixpoint."""
+    docs = _tp(spark, sf_dir, "documents")
+    return D.fuzzy_dedup(
+        docs, "text", "doc_id", n_hashes=_MH_N, band_size=2,
+        threshold_num=7, threshold_den=10,
+    )
+
+
 @q("dedup_components", _COMPONENTS_ORACLE)
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")

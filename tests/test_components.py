@@ -81,3 +81,52 @@ class TestConnectedComponents:
             connected_components(
                 _df_vertices(spark, ids), _df_edges(spark, pairs), max_iter=2
             )
+
+
+class TestFuzzyDedup:
+    """End-to-end fuzzy dedup (operators/dedup.fuzzy_dedup): the verify
+    stage must reject low-Jaccard LSH collisions, clusters must merge
+    transitively, and exactly one doc per cluster survives."""
+
+    def _corpus(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            # cluster {1,2,3}: near-identical (one-word edits)
+            (1, base),
+            (2, base.replace("today", "tomorrow")),
+            (3, base.replace("quick", "swift")),
+            # 4: unrelated
+            (4, "completely different content about spark engines and parquet files"),
+            # 5: shares a few words with 1 but far below threshold
+            (5, "the dog sat alone watching boats drift slowly past the harbor wall"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_clusters_and_keep_list(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.dedup import fuzzy_dedup
+
+        out = fuzzy_dedup(
+            self._corpus(spark), "text", "doc_id", n_hashes=8, band_size=2
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert len(by_id) == 5
+        # 1,2,3 collapse into one cluster with canonical 1
+        assert {by_id[i].component for i in (1, 2, 3)} == {1}
+        assert by_id[1].kept and not by_id[2].kept and not by_id[3].kept
+        assert by_id[1].cluster_size == 3
+        # 4 and 5 stay singletons (5's overlap with 1 is below 0.7)
+        for i in (4, 5):
+            assert by_id[i].component == i and by_id[i].kept
+            assert by_id[i].cluster_size == 1
+
+    def test_verify_rejects_low_jaccard_pairs(self, spark):
+        """With a strict threshold (1/1 = exact token-set equality) even
+        near-identical docs keep their own cluster — proving the verify
+        stage, not LSH banding, decides the edge set."""
+        from cga_kinesis_to_elasticsearch_spark.operators.dedup import fuzzy_dedup
+
+        out = fuzzy_dedup(
+            self._corpus(spark), "text", "doc_id",
+            n_hashes=8, band_size=2, threshold_num=1, threshold_den=1,
+        ).collect()
+        assert all(r.kept and r.cluster_size == 1 for r in out)
