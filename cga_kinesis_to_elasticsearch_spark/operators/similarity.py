@@ -412,6 +412,48 @@ def sq8_topk(
     )
 
 
+def refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage retrieval: quantized coarse scan -> exact re-rank (the
+    standard large-scale ANN serving shape, e.g. IVFADC + refine).
+
+    Stage 1 scores the whole corpus from int8 codes (``sq8_topk`` with
+    ``k=shortlist``) — at scale this scan reads the 4x-smaller code
+    table, not the float vectors. Stage 2 touches full-precision
+    vectors ONLY for the ``|queries| x shortlist`` candidate ids: the
+    shortlist is broadcast back against the corpus scan (no shuffle of
+    vectors), re-scored with exact cosine, and re-ranked to top-k.
+
+    Output: (query_id, vec_id, sim, rank) with EXACT sims — quantization
+    error affects recall (which ids make the shortlist) but never the
+    reported scores.
+    """
+    coarse = sq8_topk(
+        corpus, queries, k=shortlist, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    cand_ids = coarse.select("query_id", F.col(id_col))
+    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    cand = c.join(broadcast(cand_ids), id_col)
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.join(broadcast(q), "query_id")
+        .select("query_id", id_col, sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_train_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -16,8 +16,12 @@ _DIM = 64
 _N_QUERIES = 8
 _TOPK = 5
 
-_SQ8_ORACLE = f"""
-WITH dims AS (
+_SHORTLIST = 20
+
+# Shared coarse-scoring CTE chain (scalar-quantize -> dequantize ->
+# asymmetric cosine -> per-query rank). `ranked` is consumed at rank<=k
+# by the sq8 query and at rank<=shortlist by the refine query.
+_SQ8_COARSE = f"""dims AS (
   SELECT r.i AS pos,
          min(embedding[r.i]::DOUBLE) AS mn,
          max(embedding[r.i]::DOUBLE) AS mx
@@ -46,8 +50,26 @@ sims AS (SELECT query_id, vec_id,
          FROM qv JOIN dq ON query_id <> vec_id),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY sim DESC, vec_id ASC) AS rank
-           FROM sims)
+           FROM sims)"""
+
+_SQ8_ORACLE = f"""
+WITH {_SQ8_COARSE}
 SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {_TOPK}
+"""
+
+_REFINE_ORACLE = f"""
+WITH {_SQ8_COARSE},
+shortlist AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {_SHORTLIST}),
+fv AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+exact AS (SELECT s.query_id, s.vec_id,
+                 round(list_cosine_similarity(q.v, f.cv), 4) AS sim
+          FROM shortlist s
+          JOIN qv q USING (query_id)
+          JOIN fv f USING (vec_id)),
+rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+       FROM exact)
+SELECT query_id, vec_id, sim, rank FROM rr WHERE rank <= {_TOPK}
 """
 
 
@@ -56,6 +78,19 @@ def _embedding_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.sq8_topk(emb, queries, k=_TOPK, dim=_DIM)
+
+
+@q("embedding_refine_topk", _REFINE_ORACLE)
+def _embedding_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (similarity.refine_topk): int8 coarse scan
+    selects a {_SHORTLIST}-deep shortlist, full-precision vectors are
+    touched only for shortlist ids, exact cosine re-ranks to top-k.
+    The oracle replays the quantized arithmetic, the shortlist cutoff,
+    AND the exact re-rank — so shortlist membership and final scores
+    are both hash-checked."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.refine_topk(emb, queries, k=_TOPK, shortlist=_SHORTLIST, dim=_DIM)
 
 
 @q("embedding_pq_topk", None)

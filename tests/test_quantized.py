@@ -80,6 +80,42 @@ def clustered(spark):
     )
 
 
+class TestRefine:
+    def test_refine_recovers_exact_topk(self, spark, emb):
+        """With a 20-deep shortlist over near-lossless int8 coarse
+        scores, the exact re-rank should reproduce the brute-force
+        top-5 (ids AND scores) for every query."""
+        queries = emb.filter(F.col("vec_id") < 8)
+        exact = S.cosine_topk(emb, queries, k=5)
+        refined = S.refine_topk(emb, queries, k=5, shortlist=20)
+        assert _recall(refined, exact, 5) == 1.0
+        ex = {(r.query_id, r.vec_id): r.sim for r in exact.collect()}
+        for r in refined.collect():
+            assert r.sim == ex[(r.query_id, r.vec_id)]
+
+    def test_refine_scores_are_full_precision(self, spark, emb):
+        """Refined sims equal exact cosine — never the quantized
+        coarse score — even when both stages agree on membership."""
+        queries = emb.filter(F.col("vec_id") < 4)
+        coarse = {
+            (r.query_id, r.vec_id): r.sim
+            for r in S.sq8_topk(emb, queries, k=5).collect()
+        }
+        exact = {
+            (r.query_id, r.vec_id): r.sim
+            for r in S.cosine_topk(emb, queries, k=5).collect()
+        }
+        refined = {
+            (r.query_id, r.vec_id): r.sim
+            for r in S.refine_topk(emb, queries, k=5, shortlist=20).collect()
+        }
+        assert refined == {k: exact[k] for k in refined}
+        # sanity: quantization does perturb at least one coarse score,
+        # so the equality above is a real distinction
+        common = set(coarse) & set(refined)
+        assert any(coarse[k] != refined[k] for k in common)
+
+
 class TestPQ:
     def test_codebook_shapes_and_determinism(self, clustered):
         _, _, df = clustered
