@@ -25,11 +25,17 @@ def with_computed_columns(df: DataFrame) -> DataFrame:
     """Add event_date, es_index, timestamp (epoch millis of arrival),
     file_path, @cf.env. Requires arrival_ts, index_class, origin,
     log_message."""
-    return (
-        df.withColumn("event_date", F.date_format("arrival_ts", "yyyy-MM-dd"))
-        .withColumn("es_index", es_index_name())
-        # UnixNano()/1e6 == unix_millis (main.go:438)
-        .withColumn("timestamp", F.unix_millis("arrival_ts"))
-        .withColumn("file_path", F.col("log_message.source_instance"))
-        .withColumn("@cf.env", F.col("origin"))
+    # one withColumns call (vs a 5-deep withColumn chain: one analyzer
+    # pass instead of five); es_index's event_date dependency is inlined
+    # because withColumns resolves every expression against the input
+    event_date = F.date_format("arrival_ts", "yyyy-MM-dd")
+    return df.withColumns(
+        {
+            "event_date": event_date,
+            "es_index": F.concat_ws("-", F.col("index_class"), event_date),
+            # UnixNano()/1e6 == unix_millis (main.go:438)
+            "timestamp": F.unix_millis("arrival_ts"),
+            "file_path": F.col("log_message.source_instance"),
+            "@cf.env": F.col("origin"),
+        }
     )

@@ -151,12 +151,18 @@ def enrich(
         return F.when(origin_known, F.coalesce(col, F.lit("")))
 
     out = (
-        joined.withColumn("@cf.app", tolerated(F.col("app_name")))
-        .withColumn("@cf.app_id", F.when(origin_known, F.col("__app_guid")))
-        .withColumn("@cf.space", tolerated(F.col("space_name")))
-        .withColumn("@cf.space_id", tolerated(F.col("space_guid")))
-        .withColumn("@cf.org", tolerated(F.col("org_name")))
-        .withColumn("@cf.org_id", tolerated(F.col("org_guid")))
+        # one withColumns call: six independent projections, one
+        # analyzer pass (a withColumn chain costs one pass each)
+        joined.withColumns(
+            {
+                "@cf.app": tolerated(F.col("app_name")),
+                "@cf.app_id": F.when(origin_known, F.col("__app_guid")),
+                "@cf.space": tolerated(F.col("space_name")),
+                "@cf.space_id": tolerated(F.col("space_guid")),
+                "@cf.org": tolerated(F.col("org_name")),
+                "@cf.org_id": tolerated(F.col("org_guid")),
+            }
+        )
         .drop(
             "__app_guid",
             "__dim_env",

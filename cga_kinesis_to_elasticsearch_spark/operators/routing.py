@@ -80,9 +80,9 @@ def route(df: DataFrame, enable_disabled_routes: bool = False) -> DataFrame:
         pattern_col = F.when(
             conds[key], F.lit(r.pattern if keep else None)
         ).otherwise(pattern_col)
-    out = df.withColumn("index_class", class_col).withColumn(
-        "grok_pattern", pattern_col
-    )
+    # one withColumns call: each withColumn costs a full analyzer pass
+    # plus py4j round trips, and the route expressions are independent
+    out = df.withColumns({"index_class": class_col, "grok_pattern": pattern_col})
     return out.filter(F.col("index_class") != DROP)
 
 
