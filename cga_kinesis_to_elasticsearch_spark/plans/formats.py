@@ -99,3 +99,48 @@ def _json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _staging(sf_dir, "jsonl")
     FF.write_jsonl(_t(spark, sf_dir, "events"), path)
     return _probe_agg(FF.read_jsonl(spark, path, EVENTS_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# Range-clustered sorted export (sinks/sorted_export.py)
+# ---------------------------------------------------------------------------
+
+_RANGE_N = 8
+
+_RANGE_ORACLE = f"""
+WITH k AS (SELECT epoch_us(ts) AS key FROM events),
+st AS (SELECT min(key) AS lo, max(key) AS hi FROM k),
+b AS (SELECT list_transform(range(1, {_RANGE_N}),
+                            j -> lo + (hi - lo) * j // {_RANGE_N}) AS bnds
+      FROM st),
+a AS (SELECT key, len(list_filter(bnds, x -> key > x)) AS file_id
+      FROM k CROSS JOIN b)
+SELECT file_id, count(*) AS n_rows,
+       min(key) AS min_key, max(key) AS max_key
+FROM a GROUP BY file_id
+"""
+
+
+@q("range_export_manifest", _RANGE_ORACLE)
+def _range_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered export of events by epoch-micros(ts) into
+    {_RANGE_N} sorted, disjoint files (explicit integer-arithmetic
+    boundaries — the reproducible mode), manifest computed from the
+    landed files. An oracle match proves on-disk placement, per-file
+    extents, and row counts all at once; file/row-group pruning over
+    this layout is exercised in tests/test_sorted_export.py."""
+    from ..sinks.sorted_export import (
+        export_range_clustered,
+        fixed_width_boundaries,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    bnds = fixed_width_boundaries(ev, F.col("ts_us"), _RANGE_N)
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_range_export" / sf
+    return export_range_clustered(
+        spark, ev, root, "ts_us", _RANGE_N,
+        tiebreaks=("event_id",), boundaries=bnds,
+    )
