@@ -391,3 +391,89 @@ def _profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         _t(spark, sf_dir, "orders"), list(_PROFILE_COLS), exact=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+_BLOOM_HEX = 4
+_BLOOM_M = 16**_BLOOM_HEX
+
+
+def _bloom_bucket_sql(key_expr: str, probe: int) -> str:
+    return (
+        f"('0x' || substr(md5('b{probe}:' || {key_expr}), 1, {_BLOOM_HEX}))::BIGINT"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH dim AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+s0 AS (SELECT list(DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 0)}) AS s
+       FROM dim),
+s1 AS (SELECT list(DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 1)}) AS s
+       FROM dim),
+b0 AS (SELECT array_to_string(list_transform(range(0, {_BLOOM_M}),
+         i -> CASE WHEN list_contains(s, i) THEN '1' ELSE '0' END), '') AS bm
+       FROM s0),
+b1 AS (SELECT array_to_string(list_transform(range(0, {_BLOOM_M}),
+         i -> CASE WHEN list_contains(s, i) THEN '1' ELSE '0' END), '') AS bm
+       FROM s1),
+pre AS (
+  SELECT l.l_orderkey, l.l_extendedprice, l.l_discount
+  FROM lineitem l, b0, b1
+  WHERE substr(b0.bm, {_bloom_bucket_sql('l.l_orderkey::VARCHAR', 0)} + 1, 1) = '1'
+    AND substr(b1.bm, {_bloom_bucket_sql('l.l_orderkey::VARCHAR', 1)} + 1, 1) = '1'),
+matched AS (SELECT * FROM pre
+            WHERE l_orderkey IN (SELECT o_orderkey FROM dim))
+SELECT (SELECT count(*) FROM pre) AS n_bloom_pass,
+       count(*) AS n_match,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM matched
+"""
+
+
+@q("bloom_pruned_semi_join", _BLOOM_ORACLE)
+def _bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators/bloom.py): urgent-order
+    lineitems via a broadcast 2-probe/4096-bit md5 bloom BEFORE the
+    exchange, exact left-semi join after. Output pins BOTH counts —
+    n_bloom_pass proves the deterministic bitmap construction matches
+    the SQL replay bit for bit (so the pruning itself is value-checked,
+    not just the final result), n_match/revenue prove no false
+    negatives against the plain semi join."""
+    from ..operators.bloom import bloom_bitmaps, bloom_might_contain
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    row = bloom_bitmaps(dim, "o_orderkey", k_probes=2, hex_chars=_BLOOM_HEX).collect()[0]
+    pre = li.filter(
+        bloom_might_contain(
+            F.col("l_orderkey").cast("string"),
+            [row.bm0, row.bm1],
+            k_probes=2,
+            hex_chars=_BLOOM_HEX,
+        )
+    )
+    matched = pre.join(
+        dim.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+    stats = matched.agg(
+        F.count(F.lit(1)).alias("n_match"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+    return (
+        pre.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+        .crossJoin(stats)
+        .select("n_bloom_pass", "n_match", "revenue")
+    )

@@ -1,0 +1,99 @@
+"""Bloom-prefiltered semi join (operators/bloom.py): no false
+negatives, measurable pruning, and the prefilter staying glued to the
+fact scan (below the exchange)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cga_kinesis_to_elasticsearch_spark.io import load_table
+from cga_kinesis_to_elasticsearch_spark.operators.bloom import (
+    bloom_bitmaps,
+    bloom_might_contain,
+    bloom_semi_join,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").cache()
+    orders = load_table(spark, sf_dir, "orders")
+    dim = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .cache()
+    )
+    return li, dim
+
+
+@pytest.fixture(scope="module")
+def bitmaps(spark, tables):
+    _, dim = tables
+    row = bloom_bitmaps(dim, "o_orderkey").collect()[0]
+    return [row.bm0, row.bm1]
+
+
+class TestBloomSemiJoin:
+    def test_no_false_negatives(self, spark, tables):
+        li, dim = tables
+        got = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey")
+        exact = li.join(
+            dim.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        )
+        assert got.count() == exact.count()
+
+    def test_prefilter_prunes_most_nonmatches(self, spark, tables, bitmaps):
+        li, dim = tables
+        passed = li.filter(
+            bloom_might_contain(F.col("l_orderkey").cast("string"), bitmaps)
+        ).count()
+        total = li.count()
+        exact = li.join(
+            dim.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_semi",
+        ).count()
+        # bloom keeps every true match plus a small FP tail:
+        # with m=4096, k=2 and a few hundred keys, FP rate is ~1%
+        assert exact <= passed
+        fp = passed - exact
+        assert fp <= 0.05 * (total - exact)
+
+    def test_bitmap_size_independent_of_keys(self, bitmaps):
+        assert [len(b) for b in bitmaps] == [4096, 4096]
+
+    def test_prefilter_stays_below_the_exchange(self, spark, tables):
+        """With the dim too big to broadcast (forced), the semi join
+        needs an exchange of the fact side — the bloom Filter must sit
+        BELOW it (tree-printed deeper), on the fact scan, so only
+        probable matches shuffle. This is the regression test for
+        Catalyst's join reordering hoisting a cross-join-shaped probe
+        above the semi join."""
+        li, dim = tables
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            plan = (
+                bloom_semi_join(li, dim, "l_orderkey", "o_orderkey")
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+        lines = plan.splitlines()
+        filt = [i for i, l in enumerate(lines) if "Filter" in l and "substr" in l]
+        exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
+        assert filt and exch, plan
+        # deeper in the printed tree = larger line index
+        assert min(filt) > min(exch)
+
+    def test_empty_dim_rejects_everything(self, spark, tables):
+        li, dim = tables
+        empty = dim.filter(F.lit(False))
+        assert bloom_semi_join(li, empty, "l_orderkey", "o_orderkey").count() == 0
