@@ -41,6 +41,10 @@ HEADLINE = [
     "sketch_daily_users",
     "pack_training_sequences",
     "lm_quality_score",
+    "fuzzy_dedup_keep",
+    "embedding_refine_topk",
+    "bloom_pruned_semi_join",
+    "range_export_manifest",
 ]
 
 

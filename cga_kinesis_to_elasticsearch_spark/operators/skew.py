@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["salted_agg"]
+__all__ = ["salted_agg", "salted_join"]
 
 
 def salted_agg(
@@ -70,3 +70,46 @@ def salted_agg(
         .agg(*phase1_exprs)
     )
     return partial.groupBy(*key_cols).agg(*phase2_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_col: str | Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: the big side's hot keys are split
+    across ``n_salts`` sub-partitions (deterministic hash of
+    ``salt_col`` — a stable big-side column such as an event id), the
+    small side is replicated once per salt via a narrow
+    ``explode(sequence(...))``, and the join runs on
+    ``on + [salt]``. The result set is EXACTLY the plain join's (each
+    big row matches the one replica carrying its salt), so the
+    declared query's oracle is the unsalted join.
+
+    When to use over AQE's skew-join splitting: AQE only rebalances
+    sort-merge joins it can re-plan at runtime — a pre-committed
+    layout (bucketed tables, stateful streaming joins, or a broadcast
+    that OOMs) still needs the salt baked into the keys. Cost: the
+    small side shuffles n_salts copies — keep n_salts ~ the skew
+    factor, not the cluster size.
+
+    ``how`` supports inner/left joins (semantics preserved per big
+    row); right/full would need salt-aware null handling on the
+    replicated side and are rejected."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    # pmod, NOT abs(hash) % n: abs(Integer.MIN_VALUE) stays negative, and
+    # a negative salt matches no replica — a silently dropped row. (The
+    # agg variant tolerates any consistent salt value; a join does not.)
+    salt = F.pmod(
+        F.hash(F.col(salt_col) if isinstance(salt_col, str) else salt_col),
+        F.lit(n_salts),
+    )
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, [*on, "__salt"], how).drop("__salt")

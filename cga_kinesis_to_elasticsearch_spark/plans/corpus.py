@@ -533,3 +533,18 @@ def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_shards(
         spark, docs, root, _SHARD_N, "doc_id", ["text"]
     )
+
+
+@q("bpe_train_merges", None)
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full distributed BPE tokenizer training (operators/bpe.py): 6
+    merge iterations over the vocabulary-sized word-frequency table —
+    pair counts weighted by word freq, deterministic argmax, exact
+    greedy merge application per round. Iterative argmax-then-rewrite
+    is not one SQL statement, so this is rows-only; the merge sequence
+    is pinned token-for-token against a pure-Python reference BPE in
+    tests/test_bpe.py."""
+    from ..operators.bpe import bpe_train
+
+    docs = _tp(spark, sf_dir, "documents")
+    return bpe_train(spark, docs, "text", n_merges=6).orderBy("rank")

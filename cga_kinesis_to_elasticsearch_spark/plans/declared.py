@@ -695,6 +695,40 @@ def _salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "salted_skew_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n,
+           round(sum(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = (e.user_id % 1500) + 1
+    GROUP BY c.c_mktsegment
+    """,
+)
+def _salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi join (operators/skew.salted_join):
+    the fact side's hot keys split across 8 deterministic salts, the
+    dimension replicated once per salt — result exactly equals the
+    plain join, which IS the oracle. For when AQE can't help: layouts
+    committed before runtime (bucketed tables, stateful streaming
+    joins). The dim key is synthesized from user_id so every event
+    matches at any SF."""
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "c_custkey", (F.col("user_id") % 1500) + 1
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(
+        ev, cust, on=["c_custkey"], salt_col="event_id", n_salts=8
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@q(
     "windowed_event_counts",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -95,3 +95,44 @@ class TestSaltedAgg:
         df = spark.range(5).select(F.lit("k").alias("k"), F.col("id").alias("v"))
         with pytest.raises(ValueError, match="non-decomposable"):
             salted_agg(df, ["k"], {"a": ("avg", "v")}, salt_col="v")
+
+
+class TestSaltedJoin:
+    """salted_join (operators/skew.py): exact equality with the plain
+    join on heavily skewed keys, for inner and left flavors."""
+
+    def _skewed(self, spark):
+        # 90% of rows share one hot key; dim covers half the key space
+        rows = [(i, "hot" if i % 10 else "cold%d" % (i % 7)) for i in range(600)]
+        big = spark.createDataFrame(rows, "event_id long, k string")
+        dim = spark.createDataFrame(
+            [("hot", 1), ("cold1", 2), ("cold3", 3)], "k string, v int"
+        )
+        return big, dim
+
+    def test_inner_equals_plain_join(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.skew import salted_join
+
+        big, dim = self._skewed(spark)
+        got = salted_join(big, dim, on=["k"], salt_col="event_id", n_salts=7)
+        want = big.join(dim, "k")
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_left_keeps_unmatched_rows(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.skew import salted_join
+
+        big, dim = self._skewed(spark)
+        got = salted_join(
+            big, dim, on=["k"], salt_col="event_id", n_salts=5, how="left"
+        )
+        want = big.join(dim, "k", "left")
+        assert sorted(
+            map(tuple, got.fillna(-1).collect())
+        ) == sorted(map(tuple, want.fillna(-1).collect()))
+
+    def test_rejects_right_join(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.skew import salted_join
+
+        big, dim = self._skewed(spark)
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, dim, on=["k"], salt_col="event_id", how="right")
