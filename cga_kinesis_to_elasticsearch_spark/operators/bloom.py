@@ -3,86 +3,97 @@
 A semi join `fact ⋉ dim_keys` where the key set is too large to
 broadcast as an exact hash set normally shuffles the ENTIRE fact table
 on the join key. A Bloom filter built over the dim keys is tiny
-(k bitmaps of m bits — size independent of key cardinality), broadcasts
-under the fact scan, and rejects most non-matching fact rows with a
-narrow O(k)-per-row expression — so the shuffle moves only probable
-matches, and the exact semi join afterwards removes the false
+(k bit-arrays of m bits — size independent of key cardinality), inlines
+as a literal under the fact scan, and rejects most non-matching fact
+rows with a narrow O(k)-per-row expression — so the shuffle moves only
+probable matches, and the exact semi join afterwards removes the false
 positives. This is the manual, engine-portable version of Spark's
 runtime bloom-filter join pruning (`spark.sql.optimizer.runtime.
 bloomFilter.*`), kept explicit so the construction is deterministic
 and replayable in the DuckDB oracle.
 
-Construction is md5-based like the count-min sketch family
+Hashing is md5-based like the count-min sketch family
 (sketches._cm_bucket): probe j of key x is the first ``hex_chars`` hex
-chars of md5('b<j>:' + x) read as an integer bucket in [0, 16^hex_chars).
-Each probe row is a '0'/'1' bitmap STRING of m chars; membership tests
-one substr per probe. False negatives are impossible by construction
-(the oracle's plain semi join verifies this end to end); the
-false-positive rate is ~(1-(1-1/m)^n)^k — pick hex_chars so m >> n.
+chars of md5('b<j>:' + x) read as an integer bucket in
+[0, 16^hex_chars). Bits are PACKED 32 PER INT WORD and probed with
+``element_at`` + ``getbit`` — O(1) per probe. (The representation
+matters: a '0'/'1' bitmap STRING costs O(position) per probe because
+UTF8 substring must scan from the start — measured 180+ s for 600k
+rows against a 64Ki-char literal, vs milliseconds for the packed
+words.) False negatives are impossible by construction (the oracle's
+plain semi join verifies this end to end); the false-positive rate is
+~(1-(1-1/m)^n)^k — pick hex_chars so m >> n.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.functions import broadcast
 
-__all__ = ["bloom_bucket", "bloom_bitmaps", "bloom_might_contain", "bloom_semi_join"]
+__all__ = ["bloom_bucket", "build_bloom", "bloom_might_contain", "bloom_semi_join"]
+
+WORD_BITS = 32
 
 
-def bloom_bucket(key: Column, probe: int, hex_chars: int = 3) -> Column:
+def bloom_bucket(key: Column, probe: int, hex_chars: int = 4) -> Column:
     """Integer bucket of ``key`` for probe row ``probe``."""
     h = F.substring(F.md5(F.concat(F.lit(f"b{probe}:"), key)), 1, hex_chars)
     return F.conv(h, 16, 10).cast("int")
 
 
-def bloom_bitmaps(
-    keys: DataFrame, key_col: str, k_probes: int = 2, hex_chars: int = 3
-) -> DataFrame:
-    """ONE row with columns ``bm0..bm{k-1}``: per-probe bitmap strings
-    of 16^hex_chars chars. Built by one map-side-combinable
-    collect_set aggregation over the key set — the result is
-    ~k * m / 8 bytes of state no matter how many keys went in."""
+def build_bloom(
+    keys: DataFrame, key_col: str, k_probes: int = 2, hex_chars: int = 4
+) -> list[list[int]]:
+    """Materialize the filter: ``k_probes`` lists of 16^hex_chars / 32
+    int words (m/8 bytes per probe, however many keys went in). One
+    short map-side-combinable job: distinct (probe, bucket) pairs,
+    summed into per-word bit values — the shuffle carries at most
+    k * m/32 partial rows. Like Spark's own runtime bloom filter, the
+    result is collected and inlined as a plan literal."""
     m = 16**hex_chars
+    n_words = m // WORD_BITS
     key = F.col(key_col).cast("string")
-    per = keys.select(
-        *[bloom_bucket(key, j, hex_chars).alias(f"__b{j}") for j in range(k_probes)]
+    buckets = keys.select(
+        F.posexplode(
+            F.array(*[bloom_bucket(key, j, hex_chars) for j in range(k_probes)])
+        ).alias("probe", "bucket")
+    ).distinct()
+    words = (
+        buckets.groupBy(
+            "probe",
+            F.floor(F.col("bucket") / WORD_BITS).cast("int").alias("wi"),
+        )
+        # distinct buckets => distinct powers => the sum IS the bitwise
+        # OR; pow stays exact (doubles are exact integers below 2^53)
+        .agg(
+            F.sum(
+                F.pow(F.lit(2.0), F.col("bucket") % WORD_BITS).cast("long")
+            ).alias("wv")
+        )
+        .collect()
     )
-    row = per.agg(
-        *[F.collect_set(F.col(f"__b{j}")).alias(f"__s{j}") for j in range(k_probes)]
-    )
-    def _bit(j: int):
-        # factory returning a SINGLE-ARG lambda: transform() reads
-        # lambda arity, so a bound default arg would be mistaken for
-        # the element-index slot (same gotcha as dedup's hash factories)
-        return lambda i: F.when(
-            F.array_contains(F.col(f"__s{j}"), i.cast("int")), "1"
-        ).otherwise("0")
-
-    return row.select(
-        *[
-            F.concat_ws(
-                "", F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _bit(j))
-            ).alias(f"bm{j}")
-            for j in range(k_probes)
-        ]
-    )
+    out = [[0] * n_words for _ in range(k_probes)]
+    for r in words:
+        out[r.probe][r.wi] = int(r.wv)
+    return out
 
 
 def bloom_might_contain(
     key: Column,
-    bitmaps: "list[str] | None" = None,
-    k_probes: int = 2,
-    hex_chars: int = 3,
+    words: list[list[int]],
+    hex_chars: int = 4,
 ) -> Column:
-    """Membership predicate: AND over probes of one dynamic substr
-    each — O(k) per row. With ``bitmaps`` (literal strings) the
-    predicate is self-contained; without, it references cross-joined
-    ``bm*`` columns."""
+    """Membership predicate over literal word arrays: per probe, one
+    O(1) ``element_at`` into the literal array plus one ``getbit`` —
+    no join, nothing for Catalyst to reorder away from the scan."""
     cond = F.lit(True)
-    for j in range(k_probes):
-        pos = bloom_bucket(key, j, hex_chars) + 1
-        bm = F.lit(bitmaps[j]) if bitmaps is not None else F.col(f"bm{j}")
-        cond = cond & (bm.substr(pos, F.lit(1)) == "1")
+    for j, probe_words in enumerate(words):
+        b = bloom_bucket(key, j, hex_chars)
+        w = F.element_at(
+            F.lit(probe_words), (F.floor(b / WORD_BITS) + 1).cast("int")
+        )
+        cond = cond & (
+            F.call_function("getbit", w, b.bitwiseAND(F.lit(WORD_BITS - 1))) == 1
+        )
     return cond
 
 
@@ -92,25 +103,21 @@ def bloom_semi_join(
     fact_key: str,
     dim_key: str,
     k_probes: int = 2,
-    hex_chars: int = 3,
+    hex_chars: int = 4,
 ) -> DataFrame:
     """``fact ⋉ dim_keys`` with a Bloom prefilter before the exchange.
 
-    The bitmaps are MATERIALIZED (one short aggregation job over the
-    key set — k * m/8 bytes of result however many keys went in) and
-    inlined as literals, exactly how Spark's own runtime bloom filter
-    injects its subquery result. Inlining matters: expressed as a
-    cross join, Catalyst's join reordering hoists the probe ABOVE the
-    semi join, shuffling the whole fact table first — as a literal
+    The filter words are MATERIALIZED (one short job over the key set)
+    and inlined as literals, exactly how Spark's own runtime bloom
+    filter injects its subquery result. Inlining matters: expressed as
+    a cross join, Catalyst's join reordering hoists the probe ABOVE
+    the semi join, shuffling the whole fact table first — as a literal
     Filter it stays glued to the fact scan, so only probable matches
     reach the exchange, and the exact left-semi join afterwards
     removes the Bloom's false positives."""
-    row = bloom_bitmaps(dim_keys, dim_key, k_probes, hex_chars).collect()[0]
-    bitmaps = [row[f"bm{j}"] for j in range(k_probes)]
+    words = build_bloom(dim_keys, dim_key, k_probes, hex_chars)
     pre = fact.filter(
-        bloom_might_contain(
-            F.col(fact_key).cast("string"), bitmaps, k_probes, hex_chars
-        )
+        bloom_might_contain(F.col(fact_key).cast("string"), words, hex_chars)
     )
     return pre.join(
         dim_keys.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"

@@ -399,6 +399,7 @@ def _profile_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_HEX = 4
 _BLOOM_M = 16**_BLOOM_HEX
+_BLOOM_WORDS = _BLOOM_M // 32
 
 
 def _bloom_bucket_sql(key_expr: str, probe: int) -> str:
@@ -407,23 +408,28 @@ def _bloom_bucket_sql(key_expr: str, probe: int) -> str:
     )
 
 
+def _bloom_probe_sql(words_cte: str, key_expr: str, probe: int) -> str:
+    b = _bloom_bucket_sql(key_expr, probe)
+    return f"(({words_cte}.words[({b}) // 32 + 1] >> (({b}) % 32)) & 1) = 1"
+
+
 _BLOOM_ORACLE = f"""
 WITH dim AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-s0 AS (SELECT list(DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 0)}) AS s
-       FROM dim),
-s1 AS (SELECT list(DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 1)}) AS s
-       FROM dim),
-b0 AS (SELECT array_to_string(list_transform(range(0, {_BLOOM_M}),
-         i -> CASE WHEN list_contains(s, i) THEN '1' ELSE '0' END), '') AS bm
-       FROM s0),
-b1 AS (SELECT array_to_string(list_transform(range(0, {_BLOOM_M}),
-         i -> CASE WHEN list_contains(s, i) THEN '1' ELSE '0' END), '') AS bm
-       FROM s1),
+s0 AS (SELECT DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 0)} AS b FROM dim),
+s1 AS (SELECT DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 1)} AS b FROM dim),
+w0 AS (SELECT b // 32 AS wi, sum(CAST(pow(2, b % 32) AS BIGINT)) AS wv
+       FROM s0 GROUP BY 1),
+w1 AS (SELECT b // 32 AS wi, sum(CAST(pow(2, b % 32) AS BIGINT)) AS wv
+       FROM s1 GROUP BY 1),
+a0 AS (SELECT list(coalesce(wv, 0) ORDER BY i) AS words
+       FROM range(0, {_BLOOM_WORDS}) r(i) LEFT JOIN w0 ON w0.wi = r.i),
+a1 AS (SELECT list(coalesce(wv, 0) ORDER BY i) AS words
+       FROM range(0, {_BLOOM_WORDS}) r(i) LEFT JOIN w1 ON w1.wi = r.i),
 pre AS (
   SELECT l.l_orderkey, l.l_extendedprice, l.l_discount
-  FROM lineitem l, b0, b1
-  WHERE substr(b0.bm, {_bloom_bucket_sql('l.l_orderkey::VARCHAR', 0)} + 1, 1) = '1'
-    AND substr(b1.bm, {_bloom_bucket_sql('l.l_orderkey::VARCHAR', 1)} + 1, 1) = '1'),
+  FROM lineitem l, a0, a1
+  WHERE {_bloom_probe_sql('a0', "l.l_orderkey::VARCHAR", 0)}
+    AND {_bloom_probe_sql('a1', "l.l_orderkey::VARCHAR", 1)}),
 matched AS (SELECT * FROM pre
             WHERE l_orderkey IN (SELECT o_orderkey FROM dim))
 SELECT (SELECT count(*) FROM pre) AS n_bloom_pass,
@@ -436,13 +442,14 @@ FROM matched
 @q("bloom_pruned_semi_join", _BLOOM_ORACLE)
 def _bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi join (operators/bloom.py): urgent-order
-    lineitems via a broadcast 2-probe/4096-bit md5 bloom BEFORE the
-    exchange, exact left-semi join after. Output pins BOTH counts —
-    n_bloom_pass proves the deterministic bitmap construction matches
-    the SQL replay bit for bit (so the pruning itself is value-checked,
-    not just the final result), n_match/revenue prove no false
-    negatives against the plain semi join."""
-    from ..operators.bloom import bloom_bitmaps, bloom_might_contain
+    lineitems via a 2-probe/65536-bit md5 bloom inlined as a literal
+    Filter BEFORE the exchange, exact left-semi join after. Output
+    pins BOTH counts — n_bloom_pass proves the packed-word filter
+    construction matches the SQL replay bit for bit (so the pruning
+    itself is value-checked, not just the final result),
+    n_match/revenue prove no false negatives against the plain semi
+    join."""
+    from ..operators.bloom import bloom_might_contain, build_bloom
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -452,28 +459,32 @@ def _bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    row = bloom_bitmaps(dim, "o_orderkey", k_probes=2, hex_chars=_BLOOM_HEX).collect()[0]
+    words = build_bloom(dim, "o_orderkey", k_probes=2, hex_chars=_BLOOM_HEX)
     pre = li.filter(
         bloom_might_contain(
-            F.col("l_orderkey").cast("string"),
-            [row.bm0, row.bm1],
-            k_probes=2,
-            hex_chars=_BLOOM_HEX,
+            F.col("l_orderkey").cast("string"), words, hex_chars=_BLOOM_HEX
         )
     )
-    matched = pre.join(
-        dim.select(F.col("o_orderkey").alias("l_orderkey")),
+    # one pass for both counts: o_orderkey is unique, so a left join
+    # with a hit flag has semi-join semantics without duplicating rows
+    # (two agg branches over `pre` would re-evaluate the probe scan)
+    flagged = pre.join(
+        dim.select(
+            F.col("o_orderkey").alias("l_orderkey"), F.lit(1).alias("__hit")
+        ),
         "l_orderkey",
-        "left_semi",
+        "left",
     )
-    stats = matched.agg(
-        F.count(F.lit(1)).alias("n_match"),
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_bloom_pass"),
+        F.count("__hit").alias("n_match"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.sum(
+                F.when(
+                    F.col("__hit").isNotNull(),
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                )
+            ),
+            2,
         ).alias("revenue"),
-    )
-    return (
-        pre.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
-        .crossJoin(stats)
-        .select("n_bloom_pass", "n_match", "revenue")
     )

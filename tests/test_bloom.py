@@ -9,9 +9,11 @@ import pytest
 
 from cga_kinesis_to_elasticsearch_spark.io import load_table
 from cga_kinesis_to_elasticsearch_spark.operators.bloom import (
-    bloom_bitmaps,
+    WORD_BITS,
+    bloom_bucket,
     bloom_might_contain,
     bloom_semi_join,
+    build_bloom,
 )
 
 
@@ -28,10 +30,9 @@ def tables(spark, sf_dir):
 
 
 @pytest.fixture(scope="module")
-def bitmaps(spark, tables):
+def words(spark, tables):
     _, dim = tables
-    row = bloom_bitmaps(dim, "o_orderkey").collect()[0]
-    return [row.bm0, row.bm1]
+    return build_bloom(dim, "o_orderkey")
 
 
 class TestBloomSemiJoin:
@@ -45,10 +46,29 @@ class TestBloomSemiJoin:
         )
         assert got.count() == exact.count()
 
-    def test_prefilter_prunes_most_nonmatches(self, spark, tables, bitmaps):
+    def test_words_encode_exactly_the_key_buckets(self, spark, tables, words):
+        """The packed words decode back to precisely the dim keys'
+        bucket set — construction is exact, not approximate."""
+        _, dim = tables
+        for j, probe_words in enumerate(words):
+            want = {
+                r.b
+                for r in dim.select(
+                    bloom_bucket(F.col("o_orderkey").cast("string"), j).alias("b")
+                ).collect()
+            }
+            got = {
+                wi * WORD_BITS + bit
+                for wi, w in enumerate(probe_words)
+                for bit in range(WORD_BITS)
+                if (w >> bit) & 1
+            }
+            assert got == want
+
+    def test_prefilter_prunes_most_nonmatches(self, spark, tables, words):
         li, dim = tables
         passed = li.filter(
-            bloom_might_contain(F.col("l_orderkey").cast("string"), bitmaps)
+            bloom_might_contain(F.col("l_orderkey").cast("string"), words)
         ).count()
         total = li.count()
         exact = li.join(
@@ -56,14 +76,13 @@ class TestBloomSemiJoin:
             "l_orderkey",
             "left_semi",
         ).count()
-        # bloom keeps every true match plus a small FP tail:
-        # with m=4096, k=2 and a few hundred keys, FP rate is ~1%
         assert exact <= passed
         fp = passed - exact
+        # m=65536, k=2, a few hundred keys at sf0.001 -> tiny FP tail
         assert fp <= 0.05 * (total - exact)
 
-    def test_bitmap_size_independent_of_keys(self, bitmaps):
-        assert [len(b) for b in bitmaps] == [4096, 4096]
+    def test_filter_size_independent_of_keys(self, words):
+        assert [len(w) for w in words] == [65536 // WORD_BITS] * 2
 
     def test_prefilter_stays_below_the_exchange(self, spark, tables):
         """With the dim too big to broadcast (forced), the semi join
@@ -87,7 +106,7 @@ class TestBloomSemiJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
         lines = plan.splitlines()
-        filt = [i for i, l in enumerate(lines) if "Filter" in l and "substr" in l]
+        filt = [i for i, l in enumerate(lines) if "Filter" in l and "getbit" in l]
         exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l]
         assert filt and exch, plan
         # deeper in the printed tree = larger line index
