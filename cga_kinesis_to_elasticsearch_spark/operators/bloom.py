@@ -35,8 +35,14 @@ WORD_BITS = 32
 
 
 def bloom_bucket(key: Column, probe: int, hex_chars: int = 4) -> Column:
-    """Integer bucket of ``key`` for probe row ``probe``."""
-    h = F.substring(F.md5(F.concat(F.lit(f"b{probe}:"), key)), 1, hex_chars)
+    """Integer bucket of ``key`` for probe ``probe``: hex window
+    ``probe`` of ONE shared md5 — md5's hex chars are uniform and
+    independent, so each window is an independent hash at no extra
+    hashing cost (the same one-md5-serves-all trick as the MinHash
+    and SimHash operators). Requires (probe+1)*hex_chars <= 32."""
+    if (probe + 1) * hex_chars > 32:
+        raise ValueError("bloom probes exhaust the md5 hex budget")
+    h = F.substring(F.md5(F.concat(F.lit("b:"), key)), probe * hex_chars + 1, hex_chars)
     return F.conv(h, 16, 10).cast("int")
 
 

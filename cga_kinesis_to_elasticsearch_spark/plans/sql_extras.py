@@ -403,8 +403,10 @@ _BLOOM_WORDS = _BLOOM_M // 32
 
 
 def _bloom_bucket_sql(key_expr: str, probe: int) -> str:
+    # hex window `probe` of ONE shared md5 (operators/bloom.bloom_bucket)
     return (
-        f"('0x' || substr(md5('b{probe}:' || {key_expr}), 1, {_BLOOM_HEX}))::BIGINT"
+        f"('0x' || substr(md5('b:' || {key_expr}), "
+        f"{probe * _BLOOM_HEX + 1}, {_BLOOM_HEX}))::BIGINT"
     )
 
 
