@@ -420,7 +420,8 @@ c AS (SELECT tf.doc_id, tf.term, tf.tf,
 d AS (SELECT doc_id, sum(tf) AS n_tokens,
              list_sum(list(contrib ORDER BY term ASC)) AS s
       FROM c GROUP BY doc_id)
-SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_logprob FROM d
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(s / n_tokens, 6) AS avg_logprob FROM d
 """
 
 
@@ -509,8 +510,8 @@ _SHARD_ORACLE = f"""
 SELECT CAST(CAST(concat('0x', substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
             AS BIGINT) % {_SHARD_N} AS BIGINT) AS shard,
        count(*) AS n_rows,
-       sum(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))
-           AS BIGINT)) AS checksum
+       CAST(sum(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))
+           AS BIGINT)) AS BIGINT) AS checksum
 FROM documents
 GROUP BY 1
 """

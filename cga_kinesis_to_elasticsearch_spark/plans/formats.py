@@ -56,7 +56,7 @@ _ROUNDTRIP_ORACLE = """
            count(DISTINCT user_id) AS n_users,
            round(sum(value), 2) AS total_value,
            max(epoch_ms(ts)) AS max_ts_ms,
-           sum(length(props)) AS props_chars,
+           CAST(sum(length(props)) AS BIGINT) AS props_chars,
            CAST(0 AS BIGINT) AS n_corrupt
     FROM events
     GROUP BY event_type
@@ -143,4 +143,25 @@ def _range_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_range_clustered(
         spark, ev, root, "ts_us", _RANGE_N,
         tiebreaks=("event_id",), boundaries=bnds,
+    )
+
+
+@q("orc_source_roundtrip", _ROUNDTRIP_ORACLE)
+def _orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> ORC (Spark's bundled columnar alternative) -> pinned
+    reader -> aggregate; ORC stores timestamps as typed instants, so
+    the oracle match proves native-type fidelity (vs the text formats'
+    serialize/reparse path). n_corrupt is structurally 0: ORC has no
+    PERMISSIVE rescue — torn files fail the read."""
+    path = _staging(sf_dir, "orc")
+    ev = _t(spark, sf_dir, "events")
+    FF.write_orc(ev, path)
+    df = FF.read_orc(spark, path, EVENTS_SCHEMA)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+        F.sum(F.length("props")).alias("props_chars"),
+        F.lit(0).cast("long").alias("n_corrupt"),
     )

@@ -199,3 +199,20 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 def write_jsonl(df: DataFrame, path: str) -> None:
     _writable(df).write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (bundled with Spark, unlike Avro). ORC is natively
+    typed — timestamps are stored as instants, so no ISO-string
+    serialization detour is needed; the roundtrip oracle still proves
+    micros survive."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Schema-pinned ORC reader: the explicit concrete StructType keeps
+    timestamps as instants under any session timestampType default
+    (same contract as the CSV/JSON readers), and skips inference. ORC
+    rows are structurally typed, so there is no PERMISSIVE corrupt-row
+    rescue column — a torn file fails the read instead."""
+    return _fix_ntz(spark.read.schema(schema).orc(path))

@@ -134,3 +134,22 @@ class TestStreamingReaders:
         a = events.limit(200).select("event_id", "ts", "value")
         b = got.select("event_id", "ts", "value")
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestOrcRoundtrip:
+    def test_orc_preserves_types_and_instants(self, spark, sf_dir, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.plans.formats import EVENTS_SCHEMA
+        from cga_kinesis_to_elasticsearch_spark.sources import fileformats as FF
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        import pyspark.sql.functions as F
+
+        ev = load_table(spark, sf_dir, "events")
+        path = str(tmp_path / "events_orc")
+        FF.write_orc(ev, path)
+        back = FF.read_orc(spark, path, EVENTS_SCHEMA)
+        assert [f.dataType.typeName() for f in back.schema.fields] == [
+            f.dataType.typeName() for f in EVENTS_SCHEMA.fields
+        ]
+        a = ev.agg(F.sum(F.unix_micros("ts")), F.sum("event_id")).collect()[0]
+        b = back.agg(F.sum(F.unix_micros("ts")), F.sum("event_id")).collect()[0]
+        assert tuple(a) == tuple(b)
