@@ -110,3 +110,68 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
+
+
+_NEARDUP_IDX_ORACLE = f"""
+WITH
+{_PAIRS_SQL.replace("pairs AS (", "__unused_pairs AS (")},
+b AS (SELECT doc_id, band_id, band_key FROM banded),
+b1 AS (SELECT * FROM b WHERE doc_id % 2 = 0),
+w1 AS (SELECT band_id, band_key, min(doc_id) AS bw FROM b1 GROUP BY 1, 2),
+k1 AS (SELECT b1.doc_id FROM b1 JOIN w1 USING (band_id, band_key)
+       GROUP BY b1.doc_id HAVING bool_and(bw = b1.doc_id)),
+i1 AS (SELECT b1.band_id, b1.band_key, b1.doc_id AS first_id
+       FROM b1 JOIN k1 USING (doc_id)),
+b2 AS (SELECT * FROM b WHERE doc_id % 2 = 1),
+w2 AS (SELECT band_id, band_key, min(doc_id) AS bw FROM b2 GROUP BY 1, 2),
+e2 AS (SELECT b2.doc_id, coalesce(i1.first_id, w2.bw) AS eff
+       FROM b2
+       JOIN w2 USING (band_id, band_key)
+       LEFT JOIN i1 USING (band_id, band_key)),
+k2 AS (SELECT doc_id FROM e2 GROUP BY doc_id HAVING bool_and(eff = doc_id))
+SELECT d.doc_id,
+       CAST(d.doc_id % 2 AS BIGINT) AS batch,
+       (d.doc_id IN (SELECT doc_id FROM k1)
+        OR d.doc_id IN (SELECT doc_id FROM k2)) AS kept
+FROM documents d
+"""
+
+
+@q("neardup_index_batches", _NEARDUP_IDX_ORACLE)
+def _neardup_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent cross-batch NEAR-dup index (sinks/neardupindex.py):
+    two sequential batches (even then odd doc ids) deduped against the
+    same stored LSH band index; output is every doc's (batch, kept)
+    verdict. The oracle replays both batches' greedy first-writer-wins
+    band semantics — including cross-batch suppression through the
+    stored index — in pure SQL."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.neardupindex import neardup_against_index
+
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_neardup_idx" / sf
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    # each batch is fully materialized before the next runs (streaming
+    # foreachBatch semantics); without the eager checkpoint, s1's lazy
+    # index read would pick up batch 2's appended bands
+    s1 = neardup_against_index(spark, b1, root, "text", "doc_id").localCheckpoint()
+    s2 = neardup_against_index(spark, b2, root, "text", "doc_id").localCheckpoint()
+    kept = (
+        s1.select("doc_id")
+        .union(s2.select("doc_id"))
+        .withColumn("__k", F.lit(True))
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % 2).alias("batch"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "batch", F.coalesce("__k", F.lit(False)).alias("kept")
+        )
+    )
