@@ -147,6 +147,15 @@ class StreamConfig:
     # (hash, first_id) table.
     dedup_index_path: str = ""
     dedup_text_col: str = ""
+    # Cross-batch NEAR-dup (sinks/neardupindex.py): same hook shape as
+    # the exact index but keyed on MinHash LSH bands — drops documents
+    # near-duplicating any earlier batch's survivor. Runs AFTER the
+    # exact hook when both are on (exact is cheaper; fuzzy only sees
+    # content-distinct docs).
+    neardup_index_path: str = ""
+    neardup_text_col: str = ""
+    neardup_n_hashes: int = 4
+    neardup_band_size: int = 2
 
 
 def run_stream(
@@ -204,6 +213,18 @@ def run_stream(
                     cfg.dedup_index_path,
                     cfg.dedup_text_col,
                     "doc_id",
+                ).persist()
+            if cfg.neardup_index_path and cfg.neardup_text_col:
+                from ..sinks.neardupindex import neardup_against_index
+
+                docs = neardup_against_index(
+                    spark,
+                    docs,
+                    cfg.neardup_index_path,
+                    cfg.neardup_text_col,
+                    "doc_id",
+                    n_hashes=cfg.neardup_n_hashes,
+                    band_size=cfg.neardup_band_size,
                 ).persist()
             try:
                 touched = [

@@ -67,3 +67,63 @@ class TestNearDupIndex:
         neardup_against_index(spark, b1, tmp_path, "text", "doc_id")
         idx = read_neardup_index(spark, tmp_path)
         assert set(idx.columns) == {"band_id", "band_key", "first_id"}
+
+
+class TestStreamingNearDupHook:
+    def test_neardup_hook_runs_in_stream(self, spark, sf_dir, tmp_path):
+        """The stream with the near-dup hook lands at most one survivor
+        per LSH band key (greedy bucket rule), across all batches."""
+        from cga_kinesis_to_elasticsearch_spark.operators.dedup import (
+            lsh_band_keys,
+            minhash_signatures,
+        )
+        from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+            flatten_dimensions,
+        )
+        from cga_kinesis_to_elasticsearch_spark.pipeline import PipelineConfig
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+        from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+            ALLOWED_ORIGINS,
+            synthesize_cf_dimensions,
+            synthesize_envelopes,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            read_raw_record_stream,
+            write_raw_records,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+
+        records = synthesize_envelopes(spark, sf_dir)
+        src = tmp_path / "raw"
+        write_raw_records(records, str(src))
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark)).cache()
+        sink = ParquetIndexSink(tmp_path / "sink")
+        cfg = StreamConfig(
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+            neardup_index_path=str(tmp_path / "ndidx"),
+            neardup_text_col="parsed_generic.log_event",
+        )
+        query, m = run_stream(
+            spark,
+            read_raw_record_stream(spark, str(src)),
+            lambda s: dim,
+            sink,
+            cfg,
+        )
+        drain(query)
+        docs = spark.read.parquet(str(tmp_path / "sink" / "data"))
+        landed = docs.select(
+            F.col("doc_id").alias("doc_id"),
+            F.col("parsed_generic.log_event").alias("text"),
+        )
+        assert landed.count() > 0
+        sig = minhash_signatures(landed, "text", "doc_id", n_hashes=4)
+        bands = lsh_band_keys(sig, 4, 2)
+        per_band = bands.groupBy("band_id", "band_key").count()
+        assert per_band.filter("count > 1").count() == 0
