@@ -28,6 +28,7 @@ __all__ = [
     "stratified_hash_sample",
     "temperature_mix",
     "per_key_cap",
+    "group_split",
 ]
 
 #: hex digits of the md5 prefix used as the uniform variate; 8 digits
@@ -175,3 +176,43 @@ def per_key_cap(
         F.col(key_col),
         F.row_number().over(w).cast("long").alias("key_rank"),
     ).withColumn("kept", F.col("key_rank") <= cap)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: "dict[str, float]",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the uniform variate is
+    the md5 of the GROUP key (domain, source, dedup cluster id), so
+    every row of a group lands in the SAME split — near-duplicate or
+    otherwise correlated documents can never straddle train and eval,
+    the contamination mode a row-level split invites.
+
+    ``fractions`` maps split name -> fraction in declaration order;
+    they must sum to 1 (within float tolerance) and the last bin
+    absorbs the hex-granularity remainder. Adds ``out_col``; a narrow
+    expression — no shuffle, no state, reproducible across runs and
+    engines (the declared query replays the arithmetic in SQL)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("fractions is empty")
+    key = sample_key(F.col(group_col), seed)
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        clause = key < hex_threshold(cum)
+        expr = (
+            F.when(clause, F.lit(name))
+            if expr is None
+            else expr.when(clause, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, out)

@@ -549,3 +549,34 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return bpe_train(spark, docs, "text", n_merges=6).orderBy("rank")
+
+
+def _split_oracle() -> str:
+    from ..operators.sampling import hex_threshold
+
+    t_train = hex_threshold(0.8)
+    t_val = hex_threshold(0.9)
+    return f"""
+    SELECT doc_id, source,
+           CASE WHEN substring(md5('split:' || source), 1, 8) < '{t_train}'
+                THEN 'train'
+                WHEN substring(md5('split:' || source), 1, 8) < '{t_val}'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@q("leakage_safe_split", _split_oracle())
+def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.group_split): the
+    split variate hashes the GROUP key (source here; a domain or dedup
+    cluster id in production), so correlated documents can never
+    straddle train and eval — the contamination a row-level split
+    invites. Narrow, deterministic, SQL-replayable."""
+    from ..operators.sampling import group_split
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "source")
+    return group_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )

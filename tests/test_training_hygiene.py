@@ -157,3 +157,49 @@ class TestRepetitionSignals:
         row = repetition_signals(docs, "text", "doc_id").collect()[0]
         assert row["symbol_ratio"] > 0.5
         assert not row["repetition_pass"]
+
+
+class TestGroupSplit:
+    def test_groups_never_straddle_splits(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import group_split
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        out = group_split(docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+        per_group = out.groupBy("source").agg(
+            F.count_distinct("split").alias("n_splits")
+        )
+        assert per_group.filter("n_splits > 1").count() == 0
+        # every named split appears given enough groups, and nothing else
+        got = {r.split for r in out.select("split").distinct().collect()}
+        assert got <= {"train", "val", "test"}
+
+    def test_deterministic_and_seed_sensitive(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import group_split
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        a = dict(
+            (r.doc_id, r.split)
+            for r in group_split(docs, "source", {"train": 0.5, "test": 0.5}).collect()
+        )
+        b = dict(
+            (r.doc_id, r.split)
+            for r in group_split(docs, "source", {"train": 0.5, "test": 0.5}).collect()
+        )
+        c = dict(
+            (r.doc_id, r.split)
+            for r in group_split(
+                docs, "source", {"train": 0.5, "test": 0.5}, seed="other"
+            ).collect()
+        )
+        assert a == b
+        assert a != c
+
+    def test_bad_fractions_rejected(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import group_split
+
+        docs = load_table(spark, sf_dir, "documents")
+        with pytest.raises(ValueError, match="sum to 1"):
+            group_split(docs, "source", {"train": 0.5, "test": 0.4})
