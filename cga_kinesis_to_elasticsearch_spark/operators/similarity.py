@@ -37,6 +37,8 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_adc_topk",
+    "kmeans_train",
+    "refine_topk",
     "LSH_PAIRS",
 ]
 
@@ -137,9 +139,9 @@ def ivf_cells(
 
     The scale path of an IVF index: centroids are tiny (broadcast), the
     corpus streams through one narrow pass; the downstream candidate
-    join is per-cell, so search cost divides by #cells. Centroid
-    *training* (k-means) is out of scope here — any fixed snapshot
-    works, and the assignment/probe machinery is identical.
+    join is per-cell, so search cost divides by #cells. Centroids come
+    from any fixed snapshot or from ``kmeans_train`` (distributed
+    spherical Lloyd's over the same cosine assignment).
     """
     v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
     probed = _probe_cells(F.col("__v"), nprobe)
@@ -680,3 +682,82 @@ def label_centroid_distance(
             F.round(dist, 6).alias("dist_to_centroid"),
         )
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Distributed spherical Lloyd's iterations: train the IVF centroid
+    set on the cluster instead of accepting a fixed snapshot
+    (``ivf_cells``'s docstring marks training as out of scope — this
+    closes it). Returns ``(cell_id INT, centroid ARRAY<DOUBLE>)``.
+
+    - **init**: the ``k`` vectors with the smallest ids — deterministic
+      and engine-independent (no RNG; at scale swap in a hash-sampled
+      seed set, the loop is identical);
+    - **assign** (per iteration): cosine argmax against the broadcast
+      centroid row — the same narrow ``_probe_cells`` expression the
+      IVF index uses at query time, so training optimizes exactly the
+      assignment function that serves;
+    - **update**: per-(cell, dim) mean via one map-side-combined
+      aggregation over exploded (cell, pos, val) triples — the shuffle
+      carries k * dim partials, not vectors; a cell that loses all
+      members keeps its previous centroid;
+    - ``localCheckpoint`` per round truncates the iterative lineage
+      (same trap as connected_components).
+
+    The driver only ever holds k centroids (k * dim doubles); the
+    corpus is scanned once per iteration. Matches a numpy reference
+    implementation exactly in tests (deterministic tiebreaks
+    throughout)."""
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    w = Window.orderBy(id_col)
+    centroids = (
+        v.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).cast("int").alias("cell_id"), F.col("__v").alias("centroid"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        cen_row = centroids.select(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cell_id"), F.col("centroid").alias("cv")))
+            ).alias("__cens")
+        )
+        assigned = (
+            v.crossJoin(broadcast(cen_row))
+            .select(
+                "__v",
+                F.element_at(_probe_cells(F.col("__v"), 1), 1)["cell_id"].alias(
+                    "cell_id"
+                ),
+            )
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+        centroids = (
+            centroids.alias("old")
+            .join(means.alias("new"), "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return centroids

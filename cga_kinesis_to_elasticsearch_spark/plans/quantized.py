@@ -105,3 +105,23 @@ def _embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk(emb, queries, books, k=_TOPK).orderBy(
         "query_id", "rank"
     )
+
+
+@q("embedding_kmeans_ivf_topk", None)
+def _embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids (similarity.kmeans_train: 3
+    distributed spherical-Lloyd's iterations, deterministic smallest-id
+    init, cosine assignment identical to query-time probing) instead of
+    the fixed snapshot embedding_ivf_topk uses. Rows-only: iterative
+    argmax training is not one SQL statement; the training loop is
+    pinned against a numpy Lloyd's reference in tests/test_kmeans.py."""
+    from ..operators.similarity import kmeans_train
+
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    cen = kmeans_train(emb, k=8, iters=3)
+    return S.ivf_topk(
+        emb, queries, cen.select(F.col("cell_id").alias("vec_id"),
+                                 F.col("centroid").alias("embedding")),
+        k=_TOPK, nprobe=2,
+    ).orderBy("query_id", "rank")
