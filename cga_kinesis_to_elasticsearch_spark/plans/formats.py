@@ -165,3 +165,57 @@ def _orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("props")).alias("props_chars"),
         F.lit(0).cast("long").alias("n_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiline log reassembly (operators/multiline.py)
+# ---------------------------------------------------------------------------
+
+_MULTILINE_ORACLE = """
+WITH l AS (
+  SELECT 'shard-' || CAST(user_id % 4 AS VARCHAR) AS stream,
+         event_id AS ord,
+         CASE WHEN event_id % 3 = 0
+              THEN 'EVT ' || CAST(event_id AS VARCHAR) || ' begin'
+              ELSE '  cont ' || CAST(event_id AS VARCHAR) END AS line
+  FROM events),
+n AS (
+  SELECT stream, ord, line,
+         CAST(sum(CASE WHEN regexp_matches(line, '^EVT ') THEN 1 ELSE 0 END)
+              OVER (PARTITION BY stream ORDER BY ord
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS event_no
+  FROM l)
+SELECT stream, event_no,
+       string_agg(line, chr(10) ORDER BY ord) AS message,
+       count(*) AS n_lines,
+       min(ord) AS first_order
+FROM n GROUP BY stream, event_no
+"""
+
+
+@q("multiline_reassembly", _MULTILINE_ORACLE)
+def _multiline_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline log reassembly (operators/multiline.py): continuation
+    lines merge into their parent event via a running start-count over
+    per-shard order — the Filebeat/Logstash multiline codec as one
+    window + one exchange-sharing aggregation. Lines are synthesized
+    deterministically from events (every third line starts an event);
+    the oracle replays numbering and the ordered reassembly in SQL."""
+    from ..operators.multiline import reassemble_multiline
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(F.lit("shard-"), (F.col("user_id") % 4).cast("string")).alias(
+            "stream"
+        ),
+        F.col("event_id").alias("ord"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.format_string("EVT %d begin", F.col("event_id")),
+        )
+        .otherwise(F.format_string("  cont %d", F.col("event_id")))
+        .alias("line"),
+    )
+    return reassemble_multiline(
+        lines, "line", "stream", "ord", start_pattern=r"^EVT "
+    )
