@@ -45,6 +45,10 @@ HEADLINE = [
     "embedding_refine_topk",
     "bloom_pruned_semi_join",
     "range_export_manifest",
+    # full Structured Streaming run (decode->route->grok->enrich->sink
+    # over micro-batches) — the reference's own workload shape; its
+    # seconds/records(sf) is the single-node throughput comparison
+    "streaming_pipeline",
 ]
 
 
