@@ -331,15 +331,37 @@ def fuzzy_dedup(
         .filter(F.col("__i") * threshold_den >= F.col("__u") * threshold_num)
         .select("id_a", "id_b")
     )
-    labels = connected_components(
-        df, verified, id_col=id_col, src_col="id_a", dst_col="id_b"
+    # propagate labels over the EDGE SUBGRAPH only — endpoints of
+    # verified edges, a tiny fraction of the corpus at production dup
+    # rates — then left-join back; every non-endpoint doc is its own
+    # singleton. Feeding the whole corpus as vertices would turn every
+    # propagation round into a corpus-sized shuffle for no information.
+    # Materialize the (tiny) verified edge set once: endpoints + the
+    # propagation loop would otherwise re-run the signature/verify
+    # pipeline on every reference.
+    verified = verified.localCheckpoint()
+    endpoints = (
+        verified.select(F.col("id_a").alias(id_col))
+        .union(verified.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    labels = connected_components(
+        endpoints, verified, id_col=id_col, src_col="id_a", dst_col="id_b"
+    ).select(F.col("id").alias(id_col), "component")
     sizes = labels.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "component").select(
-        F.col("id").alias(id_col),
-        "component",
-        "cluster_size",
-        (F.col("component") == F.col("id")).alias("kept"),
+    labeled = labels.join(sizes, "component")
+    comp = F.coalesce("component", F.col(id_col))
+    return (
+        df.select(id_col)
+        .join(labeled, id_col, "left")
+        .select(
+            id_col,
+            comp.alias("component"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+            (comp == F.col(id_col)).alias("kept"),
+        )
     )
 
 

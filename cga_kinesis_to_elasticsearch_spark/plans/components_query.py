@@ -99,16 +99,35 @@ def _fuzzy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("dedup_components", _COMPONENTS_ORACLE)
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs -> connected components -> canonical doc.
+    Label propagation runs over the EDGE-SUBGRAPH vertices only (pair
+    endpoints, a corpus-fraction); singletons rejoin via one left
+    join — at scale each propagation round shuffles the candidate
+    graph, never the corpus."""
     docs = _tp(spark, sf_dir, "documents")
     sig = D.minhash_signatures(docs, "text", "doc_id", n_hashes=_MH_N)
-    pairs = D.lsh_candidate_pairs(sig, "doc_id", n_hashes=_MH_N, band_size=2)
-    labels = connected_components(
-        docs, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    # materialize the tiny pair set once (endpoints + every propagation
+    # round would otherwise re-run the signature/banding pipeline)
+    pairs = D.lsh_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=2
+    ).localCheckpoint()
+    endpoints = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    return labels.select(
-        F.col("id").alias("doc_id"),
-        "component",
-        (F.col("component") == F.col("id")).alias("is_canonical"),
+    labels = connected_components(
+        endpoints, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).select(F.col("id").alias("doc_id"), "component")
+    comp = F.coalesce("component", F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            comp.alias("component"),
+            (comp == F.col("doc_id")).alias("is_canonical"),
+        )
     )
 
 

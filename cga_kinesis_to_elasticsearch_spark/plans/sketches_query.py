@@ -11,7 +11,11 @@ estimating regime at scale.
 
 `sketch_range_quantiles` runs under the exact oracle: a k=32768 KLL
 sketch retains every value at sf0.01 row counts, where its
-inclusive-rank quantile equals DuckDB's quantile_disc.
+inclusive-rank quantile equals DuckDB's quantile_disc. At sf0.1+ the
+sketch leaves its exact phase and compacts (p95 drifts ~0.01% — within
+the KLL guarantee pinned in test_sketches.py); the exact-oracle
+contract is sf0.01-only BY DESIGN — approximation is the point of the
+sketch at scale.
 """
 
 from __future__ import annotations
