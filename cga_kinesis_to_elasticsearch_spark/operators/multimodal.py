@@ -203,3 +203,50 @@ def sample_frames(
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def detect_scene_changes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frames_col: str = "frames",
+    n_features: int = 4,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Scene-change detection over sampled video frames: per-frame
+    features (the deterministic byte-bucket stub — swap for a real
+    frame embedding on a cluster with decoders), then the L1 distance
+    between consecutive frames within each video; a boundary fires
+    where the distance exceeds ``threshold``.
+
+    Output: ``(id, frame_idx, dist_prev, is_scene_change)``; frame 0
+    has NULL distance and never starts a scene change (it starts the
+    video). Shape: one mapInPandas feature pass over exploded frames,
+    then ONE window exchange on the video id — the same per-key
+    ordered analysis as sessionization, applied to media."""
+    frames = df.select(
+        F.col(id_col), F.posexplode(frames_col).alias("frame_idx", "frame")
+    )
+    feats = extract_features(frames, media_col="frame", n_features=n_features)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag("media_features").over(w)
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("media_features"), prev, lambda a, b: F.abs(a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        feats.select(
+            id_col, "frame_idx", dist.alias("dist_prev")
+        )
+        .withColumn(
+            "is_scene_change",
+            F.coalesce(F.col("dist_prev") > threshold, F.lit(False)),
+        )
+    )

@@ -998,3 +998,50 @@ def _multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("__k") % _MM_FRAMES).alias("rep_frame"),
         F.count("*").alias("n_copies"),
     )
+
+
+_SCENE_ORACLE = f"""
+WITH p AS (SELECT doc_id, substring(text, 1, {_MM_BYTES}) AS payload
+           FROM documents),
+f AS (SELECT doc_id, i AS frame_idx,
+             substring(payload, i * {_MM_STEP} + 1, {_MM_STEP}) AS frame
+      FROM p, unnest([0, 1, 2, 3]) AS t(i)),
+feat AS (SELECT doc_id, frame_idx,
+                list_transform(range(0, 4), k ->
+                  CASE WHEN length(frame) = 0 THEN 0.0
+                       ELSE round_even(len(list_filter(
+                              list_transform(range(1, length(frame) + 1),
+                                             i -> ord(substring(frame, i, 1)) % 4),
+                              x -> x = k)) / CAST(length(frame) AS DOUBLE), 6)
+                  END) AS v
+         FROM f),
+d AS (SELECT doc_id, frame_idx, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pv
+      FROM feat)
+SELECT doc_id, frame_idx,
+       CASE WHEN pv IS NULL THEN NULL
+            ELSE round(list_sum(list_transform(range(1, 5),
+                                               i -> abs(v[i] - pv[i]))), 6)
+       END AS dist_prev,
+       coalesce(round(list_sum(list_transform(range(1, 5),
+                                              i -> abs(v[i] - pv[i]))), 6)
+                > 0.25, FALSE) AS is_scene_change
+FROM d
+"""
+
+
+@q("multimodal_scene_changes", _SCENE_ORACLE)
+def _multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the multimodal chain (attach ->
+    resize -> sample_frames -> per-frame features -> consecutive-frame
+    L1 distance, operators/multimodal.detect_scene_changes): the
+    temporal-analysis stage of a video curation pipeline. Deterministic
+    stubs keep every stage SQL-replayable, so boundaries are
+    value-checked, not just counted."""
+    from ..operators import multimodal as M
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = M.attach_binary(docs.select("doc_id", "text"), "text")
+    staged = M.resize_media(staged, _MM_W, _MM_H)
+    staged = M.sample_frames(staged, _MM_FRAMES)
+    return M.detect_scene_changes(staged, id_col="doc_id", threshold=0.25)

@@ -72,3 +72,31 @@ class TestMultiline:
             ).collect()
         }
         assert out == {("a", 1), ("b", 0)}
+
+
+class TestSceneChanges:
+    """detect_scene_changes (operators/multimodal.py) on constructed
+    frame sets with known boundaries."""
+
+    def test_boundary_fires_on_content_shift(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.multimodal import (
+            detect_scene_changes,
+        )
+
+        # frames 0-1 identical, frame 2 totally different byte profile
+        rows = [(1, [b"aaaaaaaa", b"aaaaaaaa", b"cccccccc"])]
+        df = spark.createDataFrame(rows, "doc_id long, frames array<binary>")
+        out = {r.frame_idx: r for r in detect_scene_changes(df).collect()}
+        assert out[0].dist_prev is None and not out[0].is_scene_change
+        assert out[1].dist_prev == 0.0 and not out[1].is_scene_change
+        assert out[2].dist_prev > 0.25 and out[2].is_scene_change
+
+    def test_gradual_drift_stays_below_threshold(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.multimodal import (
+            detect_scene_changes,
+        )
+
+        rows = [(1, [b"aaaaaaab", b"aaaaaabb", b"aaaaabbb"])]
+        df = spark.createDataFrame(rows, "doc_id long, frames array<binary>")
+        out = detect_scene_changes(df).collect()
+        assert not any(r.is_scene_change for r in out)
