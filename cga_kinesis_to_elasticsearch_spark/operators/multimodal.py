@@ -250,3 +250,78 @@ def detect_scene_changes(
             F.coalesce(F.col("dist_prev") > threshold, F.lit(False)),
         )
     )
+
+
+def audio_energy_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    window_bytes: int = 9,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Audio activity segmentation (the VAD-shaped stage of an audio
+    curation pipeline): the payload is cut into fixed byte windows,
+    each window gets a deterministic energy proxy (mean byte value
+    normalized to [0,1] — the stub contract a real RMS/spectral-energy
+    extractor drops into), and consecutive same-side-of-threshold
+    windows merge into (active|silent) segments via the standard
+    boundary-running-count trick.
+
+    Output: ``(id, segment_no, active, n_windows, from_window,
+    to_window)`` — one row per contiguous segment. Shape: one
+    mapInPandas energy pass over exploded windows, then one window
+    exchange on the audio id (lag + running sum + group), the same
+    per-key ordered analysis as sessionization."""
+    from pyspark.sql import Window as W
+
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.length(media_col) / window_bytes) - 1, F.lit(0)
+                    ).cast("int"),
+                ),
+                lambda i: F.col(media_col).substr(
+                    (i * window_bytes + 1).cast("int"), F.lit(window_bytes)
+                ),
+            )
+        ).alias("window_idx", "chunk"),
+    )
+
+    schema = StructType(
+        [f for f in exploded.schema.fields] + [StructField("energy", DoubleType())]
+    )
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        def energy(p: Any) -> float:
+            payload = bytes(p) if p is not None else b""
+            if not payload:
+                return 0.0
+            return round(sum(payload) / (255.0 * len(payload)), 6)
+
+        for pdf in batches:
+            pdf["energy"] = pdf["chunk"].map(energy)
+            yield pdf
+
+    scored = exploded.mapInPandas(run, schema).drop("chunk")
+    w = W.partitionBy(id_col).orderBy("window_idx")
+    active = F.col("energy") > threshold
+    is_boundary = (
+        F.lag(active).over(w).isNull() | (F.lag(active).over(w) != active)
+    )
+    run_w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    numbered = scored.select(
+        id_col,
+        "window_idx",
+        active.alias("active"),
+        F.sum(is_boundary.cast("long")).over(run_w).alias("segment_no"),
+    )
+    return numbered.groupBy(id_col, "segment_no").agg(
+        F.first("active").alias("active"),
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("window_idx").alias("from_window"),
+        F.max("window_idx").alias("to_window"),
+    )

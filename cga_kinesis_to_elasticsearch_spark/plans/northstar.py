@@ -1045,3 +1045,52 @@ def _multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = M.resize_media(staged, _MM_W, _MM_H)
     staged = M.sample_frames(staged, _MM_FRAMES)
     return M.detect_scene_changes(staged, id_col="doc_id", threshold=0.25)
+
+
+_AUDIO_ORACLE = f"""
+WITH p AS (SELECT doc_id, substring(text, 1, {_MM_BYTES}) AS payload
+           FROM documents),
+w AS (SELECT doc_id, i AS window_idx,
+             substring(payload, i * {_MM_STEP} + 1, {_MM_STEP}) AS chunk
+      FROM p, unnest([0, 1, 2, 3]) AS t(i)),
+e AS (SELECT doc_id, window_idx,
+             CASE WHEN length(chunk) = 0 THEN 0.0
+                  ELSE round_even(list_sum(list_transform(
+                         range(1, length(chunk) + 1),
+                         i -> ord(substring(chunk, i, 1))))
+                       / (255.0 * length(chunk)), 6)
+             END > 0.5 AS active
+      FROM w),
+b AS (SELECT doc_id, window_idx, active,
+             CASE WHEN lag(active) OVER
+                         (PARTITION BY doc_id ORDER BY window_idx)
+                       IS DISTINCT FROM active THEN 1 ELSE 0 END AS is_b
+      FROM e),
+n AS (SELECT doc_id, window_idx, active,
+             CAST(sum(is_b) OVER (PARTITION BY doc_id ORDER BY window_idx
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS segment_no
+      FROM b)
+SELECT doc_id, segment_no, active,
+       count(*) AS n_windows,
+       min(window_idx) AS from_window,
+       max(window_idx) AS to_window
+FROM n GROUP BY doc_id, segment_no, active
+"""
+
+
+@q("multimodal_audio_segments", _AUDIO_ORACLE)
+def _multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (multimodal.audio_energy_segments):
+    fixed byte windows scored with a deterministic energy stub, merged
+    into contiguous active/silent segments by the boundary-running-count
+    trick — the VAD-shaped stage of an audio curation pipeline, with
+    every stage SQL-replayable."""
+    from ..operators import multimodal as M
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = M.attach_binary(docs.select("doc_id", "text"), "text")
+    staged = M.resize_media(staged, _MM_W, _MM_H)
+    return M.audio_energy_segments(
+        staged, id_col="doc_id", window_bytes=_MM_STEP, threshold=0.5
+    )

@@ -100,3 +100,29 @@ class TestSceneChanges:
         df = spark.createDataFrame(rows, "doc_id long, frames array<binary>")
         out = detect_scene_changes(df).collect()
         assert not any(r.is_scene_change for r in out)
+
+
+class TestAudioSegments:
+    def test_segments_merge_contiguous_activity(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.multimodal import (
+            audio_energy_segments,
+        )
+
+        # 4 windows of 2 bytes: loud, loud, quiet, loud
+        payload = bytes([250, 250, 250, 250, 5, 5, 250, 250])
+        df = spark.createDataFrame([(1, payload)], "doc_id long, media binary")
+        out = sorted(
+            audio_energy_segments(df, window_bytes=2).collect(),
+            key=lambda r: r.segment_no,
+        )
+        got = [(r.active, r.n_windows, r.from_window, r.to_window) for r in out]
+        assert got == [(True, 2, 0, 1), (False, 1, 2, 2), (True, 1, 3, 3)]
+
+    def test_all_silent_is_one_segment(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.multimodal import (
+            audio_energy_segments,
+        )
+
+        df = spark.createDataFrame([(1, bytes(8))], "doc_id long, media binary")
+        out = audio_energy_segments(df, window_bytes=2).collect()
+        assert len(out) == 1 and not out[0].active and out[0].n_windows == 4
