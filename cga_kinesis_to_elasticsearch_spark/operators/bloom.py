@@ -57,6 +57,9 @@ def build_bloom(
     result is collected and inlined as a plan literal."""
     m = 16**hex_chars
     n_words = m // WORD_BITS
+    # NULL keys have no buckets (and would land a NULL word index);
+    # they also never match on the probe side — equi-join semantics.
+    keys = keys.filter(F.col(key_col).isNotNull())
     key = F.col(key_col).cast("string")
     buckets = keys.select(
         F.posexplode(

@@ -68,6 +68,11 @@ def neardup_against_index(
     Returns the surviving rows of ``batch``."""
     root = Path(index_root)
     root.mkdir(parents=True, exist_ok=True)
+    # NULL-text rows have no signature identity: they pass through
+    # unindexed (same contract as the exact index's NULL split) instead
+    # of all colliding on a NULL-derived band key.
+    no_content = batch.filter(F.col(text_col).isNull())
+    batch = batch.filter(F.col(text_col).isNotNull())
     sig = minhash_signatures(batch, text_col, id_col, n_hashes=n_hashes)
     bands = lsh_band_keys(sig, n_hashes, band_size)  # (id, band_id, band_key)
     idx = read_neardup_index(spark, root, id_type=dict(batch.dtypes)[id_col])
@@ -103,4 +108,4 @@ def neardup_against_index(
         .distinct()
     )
     fresh_bands.write.mode("append").partitionBy("bucket").parquet(str(root))
-    return survivors
+    return survivors.unionByName(no_content)

@@ -127,3 +127,18 @@ class TestStreamingNearDupHook:
         bands = lsh_band_keys(sig, 4, 2)
         per_band = bands.groupBy("band_id", "band_key").count()
         assert per_band.filter("count > 1").count() == 0
+
+
+class TestNullHandling:
+    def test_null_text_rows_pass_through_unindexed(self, spark, tmp_path):
+        b = _docs(spark, [(1, BASE), (2, None), (3, None)])
+        out = neardup_against_index(spark, b, tmp_path, "text", "doc_id")
+        assert _ids(out) == [1, 2, 3]
+        assert {r.first_id for r in read_neardup_index(spark, tmp_path).collect()} == {1}
+
+    def test_bloom_build_ignores_null_keys(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.bloom import build_bloom
+
+        keys = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+        words = build_bloom(keys, "k", k_probes=2, hex_chars=3)
+        assert sum(bin(w).count("1") for w in words[0]) == 2
