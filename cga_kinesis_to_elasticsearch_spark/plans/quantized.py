@@ -125,3 +125,36 @@ def _embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("centroid").alias("embedding")),
         k=_TOPK, nprobe=2,
     ).orderBy("query_id", "rank")
+
+
+def _ivf_oracle() -> str:
+    # the persisted index must return EXACTLY what the inline IVF
+    # computes over the same centroid snapshot — same oracle string
+    from .declared import QUERY_REGISTRY
+
+    return QUERY_REGISTRY["embedding_ivf_topk"][1]
+
+
+@q("ann_index_topk", _ivf_oracle())
+def _ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index (sinks/annindex.py): corpus written
+    partitionBy(cell_id), centroids persisted beside it, then top-k
+    served by scanning ONLY the probed cells' partition directories
+    (file-index pruning, visible as PartitionFilters — pinned in
+    tests/test_annindex.py). Value-hash oracle: results must equal the
+    inline IVF over the same centroid snapshot — the disk layout may
+    change the plan, never the answer."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.annindex import build_ann_index, query_ann_index
+
+    emb = _tp(spark, sf_dir, "embeddings")
+    cen = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108)).select(
+        "vec_id", "embedding"
+    )
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_ann_index" / sf
+    build_ann_index(spark, emb, cen, root)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return query_ann_index(spark, root, queries, k=_TOPK, nprobe=2)
