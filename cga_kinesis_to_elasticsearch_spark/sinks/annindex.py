@@ -39,7 +39,7 @@ from ..operators.similarity import (
     ivf_cells,
 )
 
-__all__ = ["build_ann_index", "query_ann_index", "read_centroids"]
+__all__ = ["build_ann_index", "append_to_ann_index", "query_ann_index", "read_centroids"]
 
 
 def build_ann_index(
@@ -123,3 +123,29 @@ def query_ann_index(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str | Path,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index growth: assign ``batch`` against the PERSISTED
+    centroids (never retrain mid-append — a centroid shift would strand
+    earlier vectors in stale cells) and append into the cell
+    directories; returns rows appended. Compaction of the accreted
+    small files is ``sinks/compact.py``'s job; retraining is a full
+    ``build_ann_index`` rebuild."""
+    root = Path(root)
+    cen = read_centroids(spark, root).select(
+        F.col("cell_id").alias(id_col), F.col("centroid").alias(vec_col)
+    )
+    assigned = ivf_cells(batch, cen, id_col, vec_col, nprobe=1).select(
+        id_col, "cell_id"
+    )
+    out = batch.join(assigned, id_col)
+    n = out.count()
+    out.write.mode("append").partitionBy("cell_id").parquet(str(root / "data"))
+    return n

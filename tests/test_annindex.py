@@ -77,3 +77,20 @@ class TestAnnIndex:
         out = query_ann_index(spark, root, one, k=3, nprobe=1)
         assert out.count() <= 3
         assert n_cells > 1
+
+    def test_incremental_append_is_queryable(self, spark, emb, index):
+        from cga_kinesis_to_elasticsearch_spark.sinks.annindex import (
+            append_to_ann_index,
+        )
+
+        root, _, _ = index
+        # re-append two known vectors under fresh ids
+        extra = emb.filter(F.col("vec_id").isin([3, 4])).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        )
+        n = append_to_ann_index(spark, extra, root)
+        assert n == 2
+        # a query FOR vector 3 must now see its twin at full similarity
+        q = emb.filter(F.col("vec_id") == 3)
+        hits = query_ann_index(spark, root, q, k=3, nprobe=2).collect()
+        assert any(r.vec_id == 1_000_003 and r.sim == 1.0 for r in hits)
