@@ -33,8 +33,6 @@ from pyspark.sql.functions import broadcast
 
 from ..operators.similarity import (
     _as_double,
-    _centroid_row,
-    _probe_cells,
     cosine_similarity,
     ivf_cells,
 )
