@@ -490,3 +490,75 @@ def _bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery + UNPIVOT (Spark 3.4+/4 SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "lateral_topn_per_order",
+    """
+    SELECT o.o_orderkey, t.l_linenumber,
+           round(t.l_extendedprice, 2) AS price
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE lineitem.l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber ASC
+      LIMIT 2) t
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def _lateral_topn_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL entry point: top-2
+    lineitems per urgent order. Catalyst decorrelates this into the
+    same window-rank plan a hand-written top-N uses — the point is that
+    the SQL surface accepts the correlated form and the result is
+    value-checked against DuckDB's native LATERAL."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber,
+               round(t.l_extendedprice, 2) AS price
+        FROM __lat_orders o, LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM __lat_lineitem
+          WHERE __lat_lineitem.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber ASC
+          LIMIT 2) t
+        WHERE o.o_orderpriority = '1-URGENT'
+        """
+    )
+
+
+@q(
+    "unpivot_measures",
+    """
+    SELECT measure, count(*) AS n, round(sum(val), 2) AS total
+    FROM (
+      UNPIVOT (SELECT l_orderkey, l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+      ON l_extendedprice, l_discount, l_tax INTO NAME measure VALUE val)
+    GROUP BY measure
+    """,
+)
+def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (DataFrame.unpivot, Spark 3.4+): wide measure
+    columns to (measure, value) rows — the schema normalization step
+    feeding generic per-metric aggregation/quality monitors. One
+    narrow Expand, no shuffle until the aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    )
+    up = li.unpivot(
+        ["l_orderkey"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return up.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("val"), 2).alias("total")
+    )
