@@ -80,3 +80,27 @@ class TestDriverSessionResilience:
             ntz_session.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
             df = qs[name](ntz_session, sf_dir)
             assert df.limit(1).count() >= 0, name
+
+
+class TestOutputContract:
+    def test_no_query_outputs_driver_hostile_columns(self, spark, sf_dir):
+        """The correctness driver's canonicalizer sorts on every output
+        column: array/map/struct/binary cells crash it (unhashable
+        ndarray — a real round-1 failure) and raw timestamp columns
+        compare tz-aware-vs-naive across engines. Every declared query
+        must therefore emit only scalar, non-temporal columns; this
+        guards the invariant for all future additions."""
+        from cga_kinesis_to_elasticsearch_spark.plans import queries
+
+        bad: list[str] = []
+        for name, fn in sorted(queries().items()):
+            try:
+                schema = fn(spark, sf_dir).schema
+            except Exception as exc:  # noqa: BLE001 - collect, don't abort
+                bad.append(f"{name}: build error {type(exc).__name__}")
+                continue
+            for f in schema.fields:
+                t = f.dataType.typeName()
+                if t in ("array", "map", "struct", "binary") or "timestamp" in t or t == "date":
+                    bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+        assert not bad, bad
