@@ -65,16 +65,17 @@ def build_bloom(
         F.posexplode(
             F.array(*[bloom_bucket(key, j, hex_chars) for j in range(k_probes)])
         ).alias("probe", "bucket")
-    ).distinct()
+    )
     words = (
         buckets.groupBy(
             "probe",
             F.floor(F.col("bucket") / WORD_BITS).cast("int").alias("wi"),
         )
-        # distinct buckets => distinct powers => the sum IS the bitwise
-        # OR; pow stays exact (doubles are exact integers below 2^53)
+        # bit_or makes duplicate buckets harmless — no distinct()
+        # pre-shuffle needed; pow stays exact (doubles are exact
+        # integers below 2^53)
         .agg(
-            F.sum(
+            F.bit_or(
                 F.pow(F.lit(2.0), F.col("bucket") % WORD_BITS).cast("long")
             ).alias("wv")
         )

@@ -417,11 +417,11 @@ def _bloom_probe_sql(words_cte: str, key_expr: str, probe: int) -> str:
 
 _BLOOM_ORACLE = f"""
 WITH dim AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-s0 AS (SELECT DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 0)} AS b FROM dim),
-s1 AS (SELECT DISTINCT {_bloom_bucket_sql('o_orderkey::VARCHAR', 1)} AS b FROM dim),
-w0 AS (SELECT b // 32 AS wi, sum(CAST(pow(2, b % 32) AS BIGINT)) AS wv
+s0 AS (SELECT {_bloom_bucket_sql('o_orderkey::VARCHAR', 0)} AS b FROM dim),
+s1 AS (SELECT {_bloom_bucket_sql('o_orderkey::VARCHAR', 1)} AS b FROM dim),
+w0 AS (SELECT b // 32 AS wi, bit_or(CAST(pow(2, b % 32) AS BIGINT)) AS wv
        FROM s0 GROUP BY 1),
-w1 AS (SELECT b // 32 AS wi, sum(CAST(pow(2, b % 32) AS BIGINT)) AS wv
+w1 AS (SELECT b // 32 AS wi, bit_or(CAST(pow(2, b % 32) AS BIGINT)) AS wv
        FROM s1 GROUP BY 1),
 a0 AS (SELECT list(coalesce(wv, 0) ORDER BY i) AS words
        FROM range(0, {_BLOOM_WORDS}) r(i) LEFT JOIN w0 ON w0.wi = r.i),
