@@ -13,9 +13,11 @@ bloomFilter.*`), kept explicit so the construction is deterministic
 and replayable in the DuckDB oracle.
 
 Hashing is md5-based like the count-min sketch family
-(sketches._cm_bucket): probe j of key x is the first ``hex_chars`` hex
-chars of md5('b<j>:' + x) read as an integer bucket in
-[0, 16^hex_chars). Bits are PACKED 32 PER INT WORD and probed with
+(sketches._cm_bucket): probe j of key x is hex WINDOW j of ONE shared
+md5('b:' + x) — chars [j*hex_chars+1, (j+1)*hex_chars] — read as an
+integer bucket in [0, 16^hex_chars); md5's hex chars are uniform and
+independent, so each window is an independent hash at one hash's cost
+(see bloom_bucket). Bits are PACKED 32 PER INT WORD and probed with
 ``element_at`` + ``getbit`` — O(1) per probe. (The representation
 matters: a '0'/'1' bitmap STRING costs O(position) per probe because
 UTF8 substring must scan from the start — measured 180+ s for 600k
@@ -43,7 +45,9 @@ def bloom_bucket(key: Column, probe: int, hex_chars: int = 4) -> Column:
     if (probe + 1) * hex_chars > 32:
         raise ValueError("bloom probes exhaust the md5 hex budget")
     h = F.substring(F.md5(F.concat(F.lit("b:"), key)), probe * hex_chars + 1, hex_chars)
-    return F.conv(h, 16, 10).cast("int")
+    # long, not int: 8 hex chars reach 2^32-1, and an int cast would
+    # throw under ANSI (or NULL without it — silent false negatives)
+    return F.conv(h, 16, 10).cast("long")
 
 
 def build_bloom(
@@ -51,10 +55,11 @@ def build_bloom(
 ) -> list[list[int]]:
     """Materialize the filter: ``k_probes`` lists of 16^hex_chars / 32
     int words (m/8 bytes per probe, however many keys went in). One
-    short map-side-combinable job: distinct (probe, bucket) pairs,
-    summed into per-word bit values — the shuffle carries at most
-    k * m/32 partial rows. Like Spark's own runtime bloom filter, the
-    result is collected and inlined as a plan literal."""
+    short map-side-combinable job: (probe, bucket) rows bit_or'd into
+    per-word values — duplicates are harmless under OR, so no distinct
+    pre-shuffle, and the exchange carries at most k * m/32 partial
+    rows. Like Spark's own runtime bloom filter, the result is
+    collected and inlined as a plan literal."""
     m = 16**hex_chars
     n_words = m // WORD_BITS
     # NULL keys have no buckets (and would land a NULL word index);

@@ -144,6 +144,8 @@ def append_to_ann_index(
         id_col, "cell_id"
     )
     out = batch.join(assigned, id_col)
-    n = out.count()
+    # assignment is 1:1 (nprobe=1, one cell per vector), so the appended
+    # row count equals the batch count — don't run the join twice
+    n = batch.count()
     out.write.mode("append").partitionBy("cell_id").parquet(str(root / "data"))
     return n

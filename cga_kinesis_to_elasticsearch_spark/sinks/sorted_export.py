@@ -91,9 +91,13 @@ def export_range_clustered(
     data = root / "data"
     key = F.col(key_col)
     if boundaries is None:
-        ranged = df.repartitionByRange(
-            n_files, key, *[F.col(c) for c in tiebreaks]
-        ).withColumn(_FILE_COL, F.spark_partition_id())
+        # range-partition on the KEY ONLY: including tiebreaks would
+        # let a boundary land between two rows of the same key, and
+        # duplicate keys straddling files breaks the disjoint-extent
+        # invariant; tiebreaks only order rows within each file
+        ranged = df.repartitionByRange(n_files, key).withColumn(
+            _FILE_COL, F.spark_partition_id()
+        )
     else:
         if list(boundaries) != sorted(boundaries):
             raise ValueError("boundaries must be ascending")

@@ -116,3 +116,19 @@ class TestBloomSemiJoin:
         li, dim = tables
         empty = dim.filter(F.lit(False))
         assert bloom_semi_join(li, empty, "l_orderkey", "o_orderkey").count() == 0
+
+
+class TestWideBuckets:
+    def test_hex8_buckets_do_not_overflow(self, spark):
+        """8 hex chars reach 2^32-1 — an int cast would throw under
+        ANSI or yield NULL silently; buckets past 2^31 must survive."""
+        keys = spark.range(500).select(F.col("id").cast("string").alias("k"))
+        got = keys.select(
+            bloom_bucket(F.col("k"), probe=0, hex_chars=8).alias("b")
+        ).collect()
+        assert all(r.b is not None and 0 <= r.b < 2**32 for r in got)
+        assert any(r.b >= 2**31 for r in got)  # the overflow zone is hit
+
+    def test_probe_budget_guard(self):
+        with pytest.raises(ValueError, match="hex budget"):
+            bloom_bucket(F.lit("x"), probe=4, hex_chars=8)

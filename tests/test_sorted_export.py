@@ -101,3 +101,20 @@ class TestPruning:
         assert sum(r.n_rows for r in rows) == events.count()
         for a, b in zip(rows, rows[1:]):
             assert a.max_key <= b.min_key
+
+    def test_sampled_mode_duplicate_keys_colocate(self, spark, events, tmp_path):
+        """Range partitioning must use the KEY ONLY: with tiebreaks in
+        the partitioner, a boundary can land between two rows of one
+        hot key and split it across files — extents must stay STRICTLY
+        disjoint even when every key repeats many times."""
+        dup = events.select(
+            (F.col("key") % 50).alias("key"), F.col("event_id")
+        )
+        manifest = sorted(
+            export_range_clustered(
+                spark, dup, tmp_path / "dups", "key", 4, tiebreaks=("event_id",)
+            ).collect(),
+            key=lambda r: r.file_id,
+        )
+        for a, b in zip(manifest, manifest[1:]):
+            assert a.max_key < b.min_key
