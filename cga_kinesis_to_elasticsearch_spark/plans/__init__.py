@@ -1,19 +1,44 @@
 """Declared queries: the engine's public query surface, one entry per
-SURVEY §2 operator + north-star extension, each with a DuckDB oracle."""
+SURVEY §2 operator + north-star extension, each with a DuckDB oracle.
+
+Module registration is fail-safe but LOUD: if one plans module cannot
+import in some host environment, its queries are lost and a warning is
+printed, but every other module's queries still register — one bad
+import must not vaporize the whole correctness surface. Local tests
+pin the full registry size, so a silently-skipped module cannot pass
+CI."""
+
+import sys as _sys
 
 from .declared import QUERY_REGISTRY, oracle_sql, queries
-from . import northstar as _northstar  # noqa: F401  (registers queries)
-from . import streaming_query as _streaming_query  # noqa: F401
-from . import tpch_extra as _tpch_extra  # noqa: F401
-from . import sql_extras as _sql_extras  # noqa: F401
-from . import protobuf as _protobuf  # noqa: F401
-from . import textpii as _textpii  # noqa: F401
-from . import quantized as _quantized  # noqa: F401
-from . import components_query as _components_query  # noqa: F401
-from . import corpus as _corpus  # noqa: F401
-from . import webmix as _webmix  # noqa: F401
-from . import eventanalytics as _eventanalytics  # noqa: F401
-from . import sketches_query as _sketches_query  # noqa: F401
-from . import formats as _formats  # noqa: F401
 
-__all__ = ["QUERY_REGISTRY", "queries", "oracle_sql"]
+_MODULES = (
+    "northstar",
+    "streaming_query",
+    "tpch_extra",
+    "sql_extras",
+    "protobuf",
+    "textpii",
+    "quantized",
+    "components_query",
+    "corpus",
+    "webmix",
+    "eventanalytics",
+    "sketches_query",
+    "formats",
+)
+
+IMPORT_ERRORS: dict[str, str] = {}
+
+for _name in _MODULES:
+    try:  # noqa: SIM105 - collect, don't mask
+        __import__(f"{__name__}.{_name}")
+    except Exception as _exc:  # pragma: no cover - env-dependent
+        IMPORT_ERRORS[_name] = f"{type(_exc).__name__}: {_exc}"
+        print(
+            f"WARNING: plans.{_name} failed to import; its queries are "
+            f"unavailable: {IMPORT_ERRORS[_name]}",
+            file=_sys.stderr,
+        )
+
+__all__ = ["QUERY_REGISTRY", "queries", "oracle_sql", "IMPORT_ERRORS"]

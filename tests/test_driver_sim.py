@@ -104,3 +104,17 @@ class TestOutputContract:
                 if t in ("array", "map", "struct", "binary") or "timestamp" in t or t == "date":
                     bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
         assert not bad, bad
+
+
+class TestRegistryCompleteness:
+    def test_all_plan_modules_imported_and_registry_full(self):
+        """The fail-safe module loader must have imported EVERY plans
+        module — a silently-skipped module would shrink the declared
+        surface without any test noticing otherwise."""
+        from cga_kinesis_to_elasticsearch_spark.plans import (
+            IMPORT_ERRORS,
+            QUERY_REGISTRY,
+        )
+
+        assert IMPORT_ERRORS == {}
+        assert len(QUERY_REGISTRY) >= 142
