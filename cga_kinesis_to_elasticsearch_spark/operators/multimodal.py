@@ -40,6 +40,8 @@ __all__ = [
     "extract_features",
     "resize_media",
     "sample_frames",
+    "average_hash",
+    "hamming_near_pairs",
 ]
 
 MEDIA_META_SCHEMA = StructType(
@@ -325,3 +327,116 @@ def audio_energy_segments(
         F.min("window_idx").alias("from_window"),
         F.max("window_idx").alias("to_window"),
     )
+
+
+def average_hash(
+    df: DataFrame, media_col: str = "media", out_col: str = "media_ahash"
+) -> DataFrame:
+    """Perceptual average-hash over a fixed-size media payload: bit i
+    of the signature is set iff byte i is strictly above the payload's
+    mean byte value (the classic 8x8 aHash, computed here on the
+    deterministic resize stub's bytes; a real image pipeline feeds
+    grayscale pixels through the identical contract). The comparison
+    is pure integer arithmetic (byte*n > sum) so the signature is
+    bit-reproducible across engines — near-duplicate payloads differ
+    in a handful of bits, enabling banded Hamming-distance search
+    (see plans/mediahash.py) instead of exact-hash dedup only.
+
+    Payloads must be pre-sized (resize_media) to <= 63 bytes so the
+    signature fits a signed LONG. Arrow-batched mapInPandas, one pass,
+    appends ``out_col LONG``.
+    """
+
+    schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+
+    def run(batches: Iterator[Any]) -> Iterator[Any]:
+        def ahash(p: Any) -> int:
+            payload = bytes(p) if p is not None else b""
+            n = len(payload)
+            if n == 0:
+                return 0
+            if n > 63:
+                raise ValueError(f"payload too long for LONG ahash: {n}")
+            total = sum(payload)
+            h = 0
+            for i, b in enumerate(payload):
+                if b * n > total:
+                    h |= 1 << i
+            return h
+
+        for pdf in batches:
+            pdf[out_col] = pdf[media_col].map(ahash)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bits: int = 36,
+    n_bands: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Banded Hamming-distance pair search over fixed-width integer
+    signatures (aHash/pHash/SimHash alike): split the signature into
+    ``n_bands`` contiguous bit bands; any pair within Hamming distance
+    ``max_distance`` < n_bands must agree on at least one whole band
+    (pigeonhole), so candidate generation is n_bands equi-joins on
+    (band_no, band_bits) — never a cross join. Candidates are verified
+    with the exact popcount of the XOR.
+
+    Scale shape: the shuffle moves (band_key, id, hash) triples, not
+    payloads; bucket sizes follow the band-value distribution exactly
+    like MinHash-LSH banding (operators/similarity.py), and the
+    distinct on (id_a, id_b) collapses multi-band hits. Output:
+    ``(id_a, id_b, hamming)`` with id_a < id_b.
+    """
+    if max_distance >= n_bands:
+        raise ValueError(
+            f"banding guarantee needs max_distance < n_bands: "
+            f"{max_distance} >= {n_bands}"
+        )
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).cast("long").alias("__h")
+    )
+    banded = sig.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_no"),
+                        F.shiftright("__h", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("__id", "__h", "band.band_no", "band.band_bits")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_no") == F.col("r.band_no"))
+            & (F.col("l.band_bits") == F.col("r.band_bits"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(
+                F.col("l.__h").bitwiseXOR(F.col("r.__h"))
+            ).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+    return pairs

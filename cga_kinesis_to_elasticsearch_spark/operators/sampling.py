@@ -26,6 +26,7 @@ __all__ = [
     "hex_threshold",
     "sample_key",
     "stratified_hash_sample",
+    "weighted_hash_sample",
     "temperature_mix",
     "per_key_cap",
     "group_split",
@@ -90,6 +91,42 @@ def _hex_threshold_col(frac: Column, digits: int = _DIGITS) -> Column:
     return F.when(frac >= 1.0, F.lit("g" * digits)).otherwise(
         F.lpad(F.lower(F.hex(scaled)), digits, "0")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    base_fraction: float,
+    weight_cap: float,
+    seed: str = "wmix0",
+) -> DataFrame:
+    """Weight-proportional deterministic sampling: each row is kept
+    with probability ``base_fraction * min(weight, cap) / cap`` — e.g.
+    quality- or length-weighted selection where better/longer documents
+    are proportionally more likely to survive, a standard data-mixing
+    move when a quality score is available.
+
+    Same machinery as stratified_hash_sample, but the threshold is a
+    per-ROW column expression instead of a per-stratum literal: still a
+    pure narrow predicate (one md5 + one compare inside codegen), no
+    RNG, no shuffle, replayable row-for-row in the SQL oracle. The
+    keep decision is monotone in weight: raising a row's weight can
+    only flip it from dropped to kept, never the reverse — useful for
+    auditing reweighting ablations.
+
+    Adds ``keep_p`` (the row's keep probability, rounded to the same 9
+    decimals the threshold is derived from) to the kept rows.
+    """
+    if weight_cap <= 0:
+        raise ValueError(f"weight_cap must be positive: {weight_cap}")
+    p = F.lit(float(base_fraction)) * (
+        F.least(F.col(weight_col).cast("double"), F.lit(float(weight_cap)))
+        / F.lit(float(weight_cap))
+    )
+    return df.filter(
+        sample_key(F.col(id_col), seed) < _hex_threshold_col(p)
+    ).withColumn("keep_p", F.round(p, 9))
 
 
 def temperature_mix(

@@ -26,6 +26,8 @@ _MODULES = (
     "eventanalytics",
     "sketches_query",
     "formats",
+    "timeseries",
+    "mediahash",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

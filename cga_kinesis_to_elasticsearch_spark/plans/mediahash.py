@@ -1,0 +1,128 @@
+"""Perceptual-hash near-duplicate detection for media payloads: the
+image-dedup analogue of SimHash text dedup (northstar.py), over the
+multimodal binary-column plumbing (operators/multimodal.py).
+
+A corpus pipeline dedups images/frames by perceptual hash (aHash /
+pHash / dHash), not byte equality — re-encoded or slightly-edited
+copies share a signature within a few bits. Here the "pixels" are the
+deterministic resize stub's bytes (no decoders in this container); the
+signature math (mean-threshold bits) and the banded Hamming search are
+the real algorithms, integer-exact and replayed by the DuckDB oracle.
+
+Fixture synthesis: each 4-document group shares one leader payload
+(36 bytes of the leader's text) with a single in-place character
+mutation per variant — near-duplicates by construction, with exact
+ground truth the oracle reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .declared import q
+from .northstar import _tp
+
+_N_BYTES = 36  # 6x6 stub "image"
+_N_BANDS = 3  # 12-bit bands; pigeonhole covers Hamming <= 2
+_MAX_DIST = 2
+
+_AHASH_ORACLE = f"""
+WITH base AS (
+  SELECT d.doc_id, substring(l.text, 1, {_N_BYTES}) AS p0,
+         CAST(d.doc_id % 4 AS INTEGER) AS v
+  FROM documents d
+  JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % 4)),
+pay AS (
+  SELECT doc_id,
+         CASE WHEN v = 0 THEN p0
+              ELSE substring(p0, 1, 8 + 7 * v - 1)
+                   || chr(97 + ((ord(substring(p0, 8 + 7 * v, 1)) + v) % 26))
+                   || substring(p0, 8 + 7 * v + 1, {_N_BYTES})
+         END AS p
+  FROM base),
+bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, {_N_BYTES} + 1),
+                        i -> ord(substring(p, i, 1))) AS bs
+  FROM pay),
+tot AS (SELECT doc_id, bs, CAST(list_sum(bs) AS BIGINT) AS total FROM bytes),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, {_N_BYTES} + 1),
+              i -> CASE WHEN bs[i] * {_N_BYTES} > total
+                        THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS ahash
+  FROM tot),
+band AS (
+  SELECT s.doc_id, s.ahash, b.band_no,
+         (s.ahash >> (b.band_no * 12)) & 4095 AS band_bits
+  FROM sig s, LATERAL (SELECT unnest(range(0, {_N_BANDS})) AS band_no) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.ahash AS ha, b.ahash AS hb
+  FROM band a
+  JOIN band b ON a.band_no = b.band_no AND a.band_bits = b.band_bits
+             AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_MAX_DIST}
+"""
+
+
+def _synth_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, ptxt): 4-doc groups sharing a leader payload with one
+    in-place ASCII letter mutation per variant (identical SQL in the
+    oracle). The self-join resolves each doc's group leader — at scale
+    this is the 'fetch the original asset' lookup, an equi-join on the
+    group key."""
+    leaders = docs.select(
+        F.col("doc_id").alias("lead_id"),
+        F.substring("text", 1, _N_BYTES).alias("p0"),
+    )
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("lead_id"),
+        (F.col("doc_id") % 4).cast("int").alias("v"),
+    ).join(leaders, "lead_id")
+    pos = F.lit(8) + F.lit(7) * F.col("v")
+    mutated = F.concat(
+        F.substring("p0", F.lit(1), pos - 1),
+        F.char(
+            F.lit(97)
+            + (F.ascii(F.substring("p0", pos, F.lit(1))) + F.col("v")) % 26
+        ),
+        F.substring("p0", pos + 1, F.lit(_N_BYTES)),
+    )
+    return base.select(
+        "doc_id",
+        F.when(F.col("v") == 0, F.col("p0")).otherwise(mutated).alias("ptxt"),
+    )
+
+
+@q("media_ahash_neardup", _AHASH_ORACLE)
+def _media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over media payloads: attach the
+    binary column, compute the 36-bit average-hash signature via the
+    Arrow-batched mapInPandas stage (operators/multimodal.average_hash),
+    then banded Hamming-distance pair search
+    (multimodal.hamming_near_pairs, Hamming <= 2 across 3 x 12-bit
+    bands — pigeonhole-complete, no cross join).
+
+    Scale shape: signatures are 8 bytes/image regardless of payload
+    size; payload bytes never shuffle (the hash is computed where the
+    payload lives, only (band_key, id, hash) triples move) — the same
+    posture as MinHash-LSH text dedup."""
+    from ..operators import multimodal as M
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = _synth_payloads(docs)
+    staged = M.attach_binary(payloads, "ptxt")
+    hashed = M.average_hash(staged)
+    return M.hamming_near_pairs(
+        hashed,
+        "doc_id",
+        "media_ahash",
+        n_bits=_N_BYTES,
+        n_bands=_N_BANDS,
+        max_distance=_MAX_DIST,
+    ).select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming")
+    )

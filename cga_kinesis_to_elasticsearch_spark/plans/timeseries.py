@@ -1,0 +1,370 @@
+"""Time-series / slowly-changing-state declared queries over the
+events fixture: interval coalescing (gaps-and-islands), SCD-2 state
+history construction, trailing-window z-score anomaly flags, and
+linear gap interpolation — the temporal shapes a log/event engine
+grows into once basic sessionization (declared.py sessionize_events)
+is in place.
+
+The reference keeps no temporal state at all (each record is routed
+and indexed independently, main.go:362-412); these are north-star
+extensions, all built-ins-only and one-exchange-per-key designs.
+
+Cross-engine float discipline: every comparison that decides a row's
+fate is integer arithmetic (counts, byte sums, epoch millis); doubles
+appear only in OUTPUT columns, computed with the identical expression
+tree on both engines and rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .declared import _t, q
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+# ---------------------------------------------------------------------------
+# Interval coalescing: each event opens a 30-minute activity interval;
+# merge each user's overlapping/adjacent intervals into maximal spans.
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id, ts, ts + INTERVAL 30 MINUTE AS te,
+         max(ts + INTERVAL 30 MINUTE) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM events),
+isl AS (
+  SELECT *,
+         CAST(sum(CASE WHEN prev_end IS NULL OR ts > prev_end
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM iv)
+SELECT user_id, island,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS span_start,
+       strftime(max(te), '%Y-%m-%d %H:%M:%S') AS span_end,
+       count(*) AS n_events
+FROM isl GROUP BY user_id, island
+"""
+
+
+@q("merge_intervals", _MERGE_ORACLE)
+def _merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: running max-end over the
+    per-user order marks island starts; a running sum of those flags
+    numbers the islands; one groupBy collapses each island to its span.
+
+    Scale shape: ONE hash exchange on user_id — both windows and the
+    final aggregation share the same partitioning and sort, so
+    Catalyst plans a single Exchange + single Sort. The naive
+    interval-merge via self-join is O(n^2) per user; this is O(n log n)
+    and scales to billions of rows as long as single users fit a
+    partition (true for event data; a pathological single-key skew
+    would take the salted two-phase variant in operators/skew.py)."""
+    ev = _t(spark, sf_dir, "events")
+    ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te"),
+    ).withColumn(
+        "prev_end",
+        F.max("te").over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = iv.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("ts") > F.col("prev_end")), 1
+            ).otherwise(0)
+        ).over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.date_format(F.min("ts"), _FMT).alias("span_start"),
+        F.date_format(F.max("te"), _FMT).alias("span_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 construction: collapse each user's consecutive same-event_type
+# runs into versioned validity ranges (valid_from, valid_to, is_current).
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM flagged),
+collapsed AS (
+  SELECT user_id, version, min(event_type) AS state,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, version)
+SELECT user_id, version, state,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(valid_from) OVER (PARTITION BY user_id ORDER BY version),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+         AS is_current
+FROM collapsed
+"""
+
+
+@q("scd2_build", _SCD2_ORACLE)
+def _scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD-2 dimension history from an event stream: runs of
+    consecutive equal state become versioned rows whose valid_to is the
+    next version's valid_from (NULL = current). This is the WRITE side
+    of `enrich_scd2_asof` (eventanalytics.py), which consumes such a
+    table with an as-of join.
+
+    Scale shape: one exchange on user_id shared by the change-flag
+    window, the run-numbering window, the collapse groupBy AND the
+    lead() over versions — Catalyst reuses the partitioning throughout
+    (the per-version lead sorts within the same partitions). Nothing
+    ever moves twice."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "version",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    collapsed = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(wv)
+    return collapsed.select(
+        "user_id",
+        "version",
+        "state",
+        F.date_format("valid_from", _FMT).alias("valid_from"),
+        F.date_format(nxt, _FMT).alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window z-score anomaly flags over the daily count series.
+# Variance is computed from integer window sums (sum, sum of squares),
+# so both engines feed IDENTICAL doubles into the identical (x-mean)/sd
+# expression — no aggregate-ordering float drift.
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, day, n,
+         count(*)  OVER w AS w_cnt,
+         sum(n)    OVER w AS w_sum,
+         sum(n * n) OVER w AS w_sum2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       w_cnt AS n_trailing,
+       round(CASE WHEN w_cnt >= 3
+                       AND w_cnt * w_sum2 - w_sum * w_sum > 0
+                  THEN (CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
+                       / sqrt((CAST(w_cnt * w_sum2 - w_sum * w_sum AS DOUBLE))
+                              / (CAST(w_cnt AS DOUBLE) * (w_cnt - 1)))
+                  END, 4) AS zscore,
+       CASE WHEN w_cnt >= 3 AND w_cnt * w_sum2 - w_sum * w_sum > 0
+                 AND abs((CAST(n AS DOUBLE) - CAST(w_sum AS DOUBLE) / w_cnt)
+                         / sqrt((CAST(w_cnt * w_sum2 - w_sum * w_sum AS DOUBLE))
+                                / (CAST(w_cnt AS DOUBLE) * (w_cnt - 1)))) > 2.0
+            THEN TRUE ELSE FALSE END AS is_anomaly
+FROM win
+"""
+
+
+@q("anomaly_zscore_daily", _ZSCORE_ORACLE)
+def _anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volumes flagged against a trailing 7-point
+    window: z = (x - mean) / sample-stddev, with mean/variance derived
+    from integer window sums (count, sum, sum-of-squares) rather than
+    the engines' own stddev aggregates — stddev_samp implementations
+    differ in summation order across engines, which would make the
+    value hash flaky; integer sums cannot.
+
+    Scale shape: the raw scan collapses to |event_type| x |days| rows
+    in one map-side-combined aggregation; the window then runs on that
+    tiny series (one exchange of aggregated rows, never raw facts) —
+    the same aggregate-first discipline as week_over_week_counts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("*").over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sum2"),
+    )
+    disc = F.col("w_cnt") * F.col("w_sum2") - F.col("w_sum") * F.col("w_sum")
+    z = (
+        F.col("n").cast("double")
+        - F.col("w_sum").cast("double") / F.col("w_cnt")
+    ) / F.sqrt(
+        disc.cast("double") / (F.col("w_cnt").cast("double") * (F.col("w_cnt") - 1))
+    )
+    valid = (F.col("w_cnt") >= 3) & (disc > 0)
+    return win.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.col("w_cnt").alias("n_trailing"),
+        F.round(F.when(valid, z), 4).alias("zscore"),
+        F.when(valid & (F.abs(z) > 2.0), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation across missing hours: the dense-grid companion
+# to gap_fill_hourly (which zero-fills counts); here a VALUE series is
+# linearly interpolated between its nearest observed neighbours.
+# Observed points are rounded before interpolation so both engines
+# interpolate from identical doubles.
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
+         round(sum(value), 2) AS v
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY 1, 2),
+bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT b.event_type, g.h
+  FROM bounds b, LATERAL (SELECT unnest(range(b.h0, b.h1 + 1)) AS h) g),
+joined AS (
+  SELECT g.event_type, g.h, hv.v,
+         last_value(hv.v IGNORE NULLS) OVER w AS prev_v,
+         last_value(CASE WHEN hv.v IS NOT NULL THEN g.h END IGNORE NULLS)
+           OVER w AS prev_h,
+         first_value(hv.v IGNORE NULLS) OVER w2 AS next_v,
+         first_value(CASE WHEN hv.v IS NOT NULL THEN g.h END IGNORE NULLS)
+           OVER w2 AS next_h
+  FROM grid g LEFT JOIN hourly hv ON g.event_type = hv.event_type
+                                 AND g.h = hv.h
+  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w2 AS (PARTITION BY g.event_type ORDER BY g.h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, h AS hour_epoch, v IS NOT NULL AS observed,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (CAST(h - prev_h AS DOUBLE) / (next_h - prev_h))
+             END, 4) AS v_filled
+FROM joined
+"""
+
+
+@q("interpolate_hourly", _INTERP_ORACLE)
+def _interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid with LINEAR interpolation over missing hours:
+    forward/backward last-observation windows carry (value, hour) of
+    the nearest observed neighbours; the fill is the exact lerp between
+    them (edges clamp to the single available neighbour).
+
+    Scale shape: interpolation runs on the AGGREGATED hourly series
+    (|event_type| x |hours| rows), never raw facts. The grid explodes
+    from one row per type via sequence(); both direction windows and
+    the join share the event_type partitioning — AQE sees kilobyte
+    inputs. The per-type hour span is bounded (years ~ 10^4 rows), so
+    unbounded frames are safe."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .alias("h"),
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    st = joined.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_h, ignorenulls=True).over(wb).alias("prev_h"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        (F.col("h") - F.col("prev_h")).cast("double")
+        / (F.col("next_h") - F.col("prev_h"))
+    )
+    return st.select(
+        "event_type",
+        F.col("h").alias("hour_epoch"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("prev_v").isNull(), F.col("next_v"))
+            .when(F.col("next_v").isNull(), F.col("prev_v"))
+            .otherwise(lerp),
+            4,
+        ).alias("v_filled"),
+    )

@@ -420,3 +420,42 @@ def _fuzzy_join_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_key", "r_key", F.col("distance").cast("long").alias("distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-proportional deterministic sampling
+# ---------------------------------------------------------------------------
+
+_WS_BASE, _WS_CAP, _WS_SEED = 0.8, 600.0, "wmix0"
+
+_WEIGHTED_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, source, n_chars,
+         round({_WS_BASE} * (least(CAST(n_chars AS DOUBLE), {_WS_CAP})
+                             / {_WS_CAP}), 9) AS keep_p
+  FROM documents)
+SELECT doc_id, source, n_chars, keep_p
+FROM p
+WHERE substring(md5('{_WS_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN keep_p >= 1.0 THEN 'gggggggg'
+           ELSE lpad(lower(hex(CAST(floor(keep_p * 4294967296.0)
+                                    AS BIGINT))), 8, '0') END
+"""
+
+
+@q("weighted_sample_docs", _WEIGHTED_ORACLE)
+def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling
+    (sampling.weighted_hash_sample): keep probability proportional to
+    min(n_chars, cap) — the quality/length-weighted mixing move, as a
+    pure narrow md5-threshold predicate (no RNG, no shuffle, monotone
+    in the weight, replayed row-for-row by the oracle)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return SM.weighted_hash_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        "doc_id",
+        "n_chars",
+        _WS_BASE,
+        _WS_CAP,
+        seed=_WS_SEED,
+    )

