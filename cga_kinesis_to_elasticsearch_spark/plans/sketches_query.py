@@ -139,3 +139,73 @@ def _cm_user_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_estimate(
         sk, probes, "user_id", depth=_CM_DEPTH, width_hex_chars=_CM_HEX
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (operators/heavyhitters.py): exact per-half
+# counts -> prune to k -> merge -> prune, replayed step-for-step in SQL.
+# The prune threshold is the (k+1)-th largest VALUE — a multiset
+# property, so no tie-breaking and full determinism on both engines.
+# ---------------------------------------------------------------------------
+
+_HH_K = 20
+
+_HH_ORACLE = f"""
+WITH ca AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
+ta AS (
+  SELECT CASE WHEN (SELECT count(*) FROM ca) >= {_HH_K + 1}
+              THEN (SELECT min(cnt) FROM
+                    (SELECT cnt FROM ca ORDER BY cnt DESC LIMIT {_HH_K + 1}))
+              ELSE 0 END AS thr),
+pa AS (SELECT key, cnt - ta.thr AS cnt, ta.thr AS deficit
+       FROM ca, ta WHERE cnt > ta.thr),
+cb AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt
+  FROM events WHERE user_id IS NOT NULL AND event_id % 2 = 1 GROUP BY 1),
+tb AS (
+  SELECT CASE WHEN (SELECT count(*) FROM cb) >= {_HH_K + 1}
+              THEN (SELECT min(cnt) FROM
+                    (SELECT cnt FROM cb ORDER BY cnt DESC LIMIT {_HH_K + 1}))
+              ELSE 0 END AS thr),
+pb AS (SELECT key, cnt - tb.thr AS cnt, tb.thr AS deficit
+       FROM cb, tb WHERE cnt > tb.thr),
+da AS (SELECT coalesce(max(deficit), 0) AS d FROM pa),
+db AS (SELECT coalesce(max(deficit), 0) AS d FROM pb),
+m AS (
+  SELECT coalesce(pa.key, pb.key) AS key,
+         coalesce(pa.cnt, 0) + coalesce(pb.cnt, 0) AS cnt
+  FROM pa FULL OUTER JOIN pb ON pa.key = pb.key),
+tm AS (
+  SELECT CASE WHEN (SELECT count(*) FROM m) >= {_HH_K + 1}
+              THEN (SELECT min(cnt) FROM
+                    (SELECT cnt FROM m ORDER BY cnt DESC LIMIT {_HH_K + 1}))
+              ELSE 0 END AS thr)
+SELECT m.key, CAST(m.cnt - tm.thr AS BIGINT) AS cnt,
+       CAST(da.d + db.d + tm.thr AS BIGINT) AS deficit
+FROM m, tm, da, db WHERE m.cnt > tm.thr
+"""
+
+
+@q("heavy_hitters_merge", _HH_ORACLE)
+def _heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries top-k (operators/heavyhitters.py): the
+    event stream split into two halves (the stand-in for two stored
+    per-day summaries), each reduced to a k-entry summary, then merged
+    and re-pruned — the roll-up path sinks/hhmaint.py runs per batch.
+    Every key with true frequency > N/(k+1) is guaranteed present;
+    ``deficit`` bounds each counter's undercount. The oracle replays
+    count/prune/merge/prune step-for-step.
+
+    Scale shape: each half's counts are one map-side-combined
+    aggregation; the prune threshold is a global top-(k+1)
+    (TakeOrderedAndProject, no full sort) collapsed to one broadcast
+    row; the merge joins two <= k-row summaries. Facts are scanned
+    once per half and never move."""
+    from ..operators.heavyhitters import exact_counts, mg_merge
+
+    ev = _t(spark, sf_dir, "events")
+    a = exact_counts(ev.filter(F.col("event_id") % 2 == 0), "user_id", _HH_K)
+    b = exact_counts(ev.filter(F.col("event_id") % 2 == 1), "user_id", _HH_K)
+    return mg_merge(a, b, _HH_K)

@@ -137,6 +137,14 @@ class StreamConfig:
     # unless both are set.
     sketch_path: str = ""
     sketch_key_col: str = ""
+    # Heavy-hitters maintenance (sinks/hhmaint.py): per batch, merge
+    # the batch's key frequencies into a stored k-entry Misra-Gries
+    # summary — the stream's dominant keys, kept fresh with no fact
+    # rescans. Additive merge => at-least-once replays double-count
+    # (same caveat as rollup counters). Off unless both are set.
+    hh_path: str = ""
+    hh_key_col: str = ""
+    hh_k: int = 100
     # Cross-batch content dedup (sinks/dedupindex.py): before the sink
     # write, drop documents whose content hash was already indexed by
     # ANY earlier batch; first-id semantics keep replays idempotent.
@@ -243,6 +251,16 @@ def run_stream(
                         cfg.sketch_path,
                         day_col="es_index",
                         key_col=cfg.sketch_key_col,
+                    )
+                if cfg.hh_path and cfg.hh_key_col:
+                    from ..sinks.hhmaint import refresh_heavy_hitters
+
+                    refresh_heavy_hitters(
+                        spark,
+                        docs,
+                        cfg.hh_path,
+                        key_col=cfg.hh_key_col,
+                        k=cfg.hh_k,
                     )
             finally:
                 if docs is not cached:
