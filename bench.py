@@ -45,6 +45,8 @@ HEADLINE = [
     "embedding_refine_topk",
     "bloom_pruned_semi_join",
     "range_export_manifest",
+    # ES-core parity: build the inverted index on disk + BM25 top-k
+    "bm25_search_topk",
     # full Structured Streaming run (decode->route->grok->enrich->sink
     # over micro-batches) — the reference's own workload shape; its
     # seconds/records(sf) is the single-node throughput comparison

@@ -28,6 +28,7 @@ _MODULES = (
     "formats",
     "timeseries",
     "mediahash",
+    "searchindex",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

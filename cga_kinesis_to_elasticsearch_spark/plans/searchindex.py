@@ -1,0 +1,103 @@
+"""Declared queries for the persisted inverted text index + BM25
+search (sinks/textindex.py) — the Elasticsearch-core parity family:
+the reference ships documents INTO an inverted-index store
+(main.go:189-207, bulk indexing); this engine also IS one.
+
+Both queries run the full sink round-trip: build the physical index
+(postings partitioned by term-hash bucket) under a temp root, then
+serve the search from disk with partition-pruned scans. The oracle
+recomputes the same answer straight from `documents` — the index
+layout may change the plan, never the answer.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .declared import q
+from .northstar import _norm_sql, _tp
+
+_TERMS = ["merge", "spark", "vector"]
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+_K1, _B, _TOPK = 1.2, 0.75, 10
+
+
+def _index_root(sf_dir: str) -> Path:
+    sf = Path(sf_dir).name or "sf"
+    return Path(tempfile.gettempdir()) / "spark_graft_text_index" / sf
+
+
+def _built_index(spark: SparkSession, sf_dir: str) -> Path:
+    from ..sinks.textindex import build_text_index
+
+    docs = _tp(spark, sf_dir, "documents")
+    root = _index_root(sf_dir)
+    build_text_index(docs, root)
+    return root
+
+
+_AND_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+p AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL}))
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM p GROUP BY doc_id HAVING count(*) = {len(_TERMS)}
+"""
+
+
+@q("text_search_and", _AND_ORACLE)
+def _text_search_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND search from the persisted inverted index: documents
+    containing every query term, via posting-list intersection
+    (groupBy-count over <= |terms| pruned posting lists). The bucket
+    partition filter means only the queried terms' directories are
+    read — work scales with posting sizes, not corpus size."""
+    from ..sinks.textindex import search_and
+
+    root = _built_index(spark, sf_dir)
+    return search_and(spark, root, _TERMS)
+
+
+# Rounded-score ordering on BOTH sides: two scores differing only past
+# 6 decimals must tie identically, falling to the doc_id tiebreak.
+_BM25_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+p AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL})),
+dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+c AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * ((p.tf * (1.0 + {_K1}))
+            / (p.tf + {_K1} * (1.0 - {_B} + {_B} *
+               (dl.dl / (CAST(stats.total_len AS DOUBLE) / stats.n_docs)))))
+           AS contrib
+  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+d AS (SELECT doc_id, count(*) AS n_hit_terms,
+             round(list_sum(list(contrib ORDER BY term ASC)), 6) AS score
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms, score
+FROM d ORDER BY score DESC, doc_id LIMIT {_TOPK}
+"""
+
+
+@q("bm25_search_topk", _BM25_ORACLE)
+def _bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked search from the persisted index — the Lucene/ES
+    practical scoring function over partition-pruned posting lists.
+    All score inputs are integers (tf, df, dl, N, total_len); the float
+    tree is identical in the oracle and the per-doc term fold runs in
+    ascending-term order, so scores hash-match bit-for-bit."""
+    from ..sinks.textindex import bm25_topk
+
+    root = _built_index(spark, sf_dir)
+    return bm25_topk(spark, root, _TERMS, k=_TOPK, k1=_K1, b=_B)

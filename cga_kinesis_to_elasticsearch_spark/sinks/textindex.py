@@ -1,0 +1,188 @@
+"""Persisted inverted text index + BM25-ranked search.
+
+The reference's entire purpose is shipping parsed log documents into
+Elasticsearch, whose storage core is an inverted index with BM25
+ranking. This sink is that core, Spark-native: postings laid out as
+PHYSICAL partition directories keyed by a term-hash bucket, so a query
+for a handful of terms scans only those terms' buckets (partition
+pruning at the file index — the same plan-visible pruning as
+sinks/annindex.py), and scoring is pure DataFrame algebra over the
+pruned postings.
+
+Layout under ``root``:
+
+- ``postings/bucket=XX/``: ``(term STRING, doc_id LONG, tf LONG)``,
+  bucket = first 2 hex chars of md5(term) — 256 dirs, uniform by
+  md5; a 3-term query touches <= 3 of them.
+- ``docs/``: ``(doc_id LONG, dl LONG)`` — per-document token counts.
+- ``stats/``: one row ``(n_docs LONG, total_len LONG)``.
+
+Tokenization is the engine-wide normalized form (dedup.normalized_text:
+lowercase, strip non-alphanumerics, collapse whitespace) so index terms
+agree with every other text operator and with the SQL oracle.
+
+BM25 determinism contract: every input to the score is an integer (tf,
+df, dl, N, total_len); the float expression tree is written identically
+in the oracle, and the per-document sum over query terms folds in
+ascending-term order (the lm_quality_score discipline) — so scores are
+bit-identical cross-engine and hash-comparable without tolerance.
+
+Scale shape: the index build is ONE tokenize-explode-aggregate pass
+(map-side combined) + one partitioned write; nothing is collected.
+Query-time work is proportional to the queried terms' posting lists,
+never the corpus: postings for rare terms are a few KB regardless of
+corpus size. The doc-length side of BM25 joins postings on doc_id —
+at 100 TB that join is the posting list (small) broadcast against the
+docs table, or a shuffle of posting-sized data only.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import normalized_text
+
+__all__ = ["build_text_index", "search_and", "bm25_topk", "term_bucket"]
+
+
+def term_bucket(term) -> "F.Column":
+    """2-hex-char md5 bucket of a term — 256 uniform partitions."""
+    return F.substring(F.md5(term), 1, 2)
+
+
+def _tokens(df: DataFrame, text_col: str) -> "F.Column":
+    return F.split(normalized_text(F.col(text_col)), " ")
+
+
+def build_text_index(
+    docs: DataFrame,
+    root: str | Path,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build the index in one pass over the corpus."""
+    root = Path(root)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(docs, text_col)).alias("term"),
+    ).filter(F.col("term") != "")
+    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    # cache: the corpus is tokenized ONCE; doc lengths and stats derive
+    # from the postings, not a second scan
+    postings = postings.persist()
+    try:
+        # repartition on bucket before partitionBy: without it every
+        # task writes a sliver into every bucket dir (tasks x 256 tiny
+        # files); with it each dir gets one well-sized file
+        postings.withColumn(
+            "bucket", term_bucket(F.col("term"))
+        ).repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(str(root / "postings"))
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(str(root / "docs"))
+        dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+        ).coalesce(1).write.mode("overwrite").parquet(str(root / "stats"))
+    finally:
+        postings.unpersist()
+
+
+def _postings_for(spark: SparkSession, root: Path, terms: list[str]) -> DataFrame:
+    """Postings rows for ``terms`` — the bucket IN (...) predicate is a
+    partition filter, so only the queried terms' directories are read
+    (PartitionFilters in the scan; pinned in test_textindex.py)."""
+    import hashlib
+
+    buckets = sorted(
+        {hashlib.md5(t.encode()).hexdigest()[:2] for t in terms}
+    )
+    return (
+        spark.read.parquet(str(root / "postings"))
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+
+
+def search_and(
+    spark: SparkSession, root: str | Path, terms: list[str]
+) -> DataFrame:
+    """Boolean AND search: doc_ids containing EVERY query term, with
+    total matched-term frequency. Classic posting-list intersection as
+    a groupBy: a doc survives iff it appears under all |terms| distinct
+    terms (postings are (term, doc) unique by construction)."""
+    terms = sorted(set(terms))
+    p = _postings_for(spark, Path(root), terms)
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("__n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .filter(F.col("__n_terms") == len(terms))
+        .select("doc_id", "total_tf")
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    root: str | Path,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked OR search over the persisted index: top-``k``
+    documents by ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with the Robertson-Sparck-Jones idf ``ln(1 + (N-df+0.5)/(df+0.5))``
+    — Lucene/Elasticsearch's practical scoring function.
+
+    Output: ``(doc_id, n_hit_terms, score)``; ties broken by doc_id for
+    a deterministic top-k."""
+    root = Path(root)
+    terms = sorted(set(terms))
+    p = _postings_for(spark, root, terms)
+    dl = spark.read.parquet(str(root / "docs"))
+    stats = spark.read.parquet(str(root / "stats"))
+    dfreq = p.groupBy("term").agg(F.count("*").alias("df"))
+    # broadcast the SMALL side: the pruned postings (bounded by the
+    # query terms' lists), streamed against the slim corpus-sized
+    # (doc_id, dl) table — never the reverse
+    scored = (
+        dl.join(F.broadcast(p.join(dfreq, "term")), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        (F.col("tf") * (1.0 + k1))
+        / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl)))
+    )
+    per_doc = (
+        scored.withColumn("__c", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.aggregate(
+                # ascending-term fold: identical operand order in the
+                # SQL oracle's list_sum(list(... ORDER BY term))
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("__c")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__c"],
+            ).alias("__score"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_hit_terms", F.round("__score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
