@@ -562,3 +562,70 @@ def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return up.groupBy("measure").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("val"), 2).alias("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed upsert table (sinks/upsert.py): the MAINTAINED version of the
+# latest_event_per_user view — two CDC batches applied with
+# latest-(seq, tiebreak)-wins + tombstones, then read back from disk.
+# The oracle is the one-shot latest-row-per-key over ALL events: batch
+# split must never change the final state (replay/merge safety).
+# ---------------------------------------------------------------------------
+
+_UPSERT_ORACLE = """
+WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE user_id IS NOT NULL)
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       round(value, 2) AS value
+FROM r WHERE rn = 1 AND event_type <> 'click'
+"""
+
+
+@q("upsert_latest_state", _UPSERT_ORACLE)
+def _upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style keyed upsert sink (sinks/upsert.py): events applied
+    as two CDC batches (even/odd event_id — deliberately NOT time-
+    ordered) onto a bucketed parquet table, 'click' rows as tombstone
+    deletes, then the live state read back. The final state must equal
+    the one-shot latest-row-per-key query over all events — proving
+    max-seq-wins merge + persisted tombstones make batch order
+    irrelevant.
+
+    Scale shape: each apply rewrites only the key buckets the batch
+    touches (one bucket-keyed shuffle per batch, crash-safe partition
+    swap); read prunes dead keys with a narrow flag filter."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.upsert import apply_upserts, read_upsert_table
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    ev = ev.filter(F.col("user_id").isNotNull()).withColumn(
+        "is_del", F.col("event_type") == "click"
+    )
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_upsert" / sf
+    shutil.rmtree(root, ignore_errors=True)  # fresh apply per run
+    for parity in (0, 1):
+        apply_upserts(
+            spark,
+            ev.filter(F.col("event_id") % 2 == parity),
+            root,
+            key_col="user_id",
+            seq_col="ts",
+            delete_col="is_del",
+            tiebreak_col="event_id",
+        )
+    state = read_upsert_table(spark, root)
+    return state.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.round("value", 2).alias("value"),
+    )

@@ -1,0 +1,147 @@
+"""Keyed upsert table: MERGE-style CDC apply onto partitioned parquet.
+
+`latest_event_per_user` (plans/sql_extras.py) computes the
+latest-row-per-key VIEW by rescanning facts; this sink MAINTAINS that
+state as a table: per batch of change rows, rewrite only the key
+buckets the batch touches, keeping for every key the row with the
+highest ``(seq, tiebreak)`` — Delta/Iceberg's MERGE INTO "latest
+wins" shape on plain parquet, with the same crash-safe partition-swap
+protocol as the other maintainers (_swap.py).
+
+Layout: ``bucket=NN`` directories under ``table_root``, bucket =
+``pmod(xxhash64(key), n_buckets)`` — an internal layout choice (the
+oracle checks content, never layout), chosen so a batch touching few
+keys rewrites few directories and a point lookup prunes to one.
+
+Correctness properties:
+
+- **Monotone / replay-safe**: the survivor per key is the max by
+  ``(seq, tiebreak)`` across stored + batch, so re-applying an old or
+  duplicated batch can never regress state (unlike blind overwrite) —
+  at-least-once delivery needs no transactional guard.
+- **Deletes**: rows with ``delete_col = true`` act as tombstones. The
+  winning tombstone IS stored (flagged ``__tomb``) and filtered at
+  read time — discarding it would let a lower-seq replay resurrect
+  the key, breaking the replay-safety property. State per deleted key
+  is one row until a later upsert overwrites it (compaction can drop
+  tombstones once replays of older batches are impossible).
+- **Crash-safe**: one job writes every touched bucket into a staging
+  dir; each bucket dir is then promoted with the deterministic-name
+  swap (recover_and_sweep on entry repairs any interrupted run).
+
+Scale shape: cost per batch is O(touched buckets' data + batch), not
+table size; the rewrite job shuffles once on the bucket key. At 100 TB
+with n_buckets sized so buckets approximate file-compaction targets,
+this is the standard CDC-apply pattern storage engines run.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ._swap import recover_and_sweep, swap_in
+
+__all__ = ["apply_upserts", "read_upsert_table", "UpsertStats"]
+
+_STAGING = ".tmp-__upsert__"
+
+
+@dataclass
+class UpsertStats:
+    buckets_touched: int = 0
+    rows_after: int = 0
+    touched: list[str] = field(default_factory=list)
+
+
+def _bucket(key, n_buckets: int):
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
+def apply_upserts(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_root: str | Path,
+    key_col: str,
+    seq_col: str,
+    n_buckets: int = 16,
+    delete_col: str | None = None,
+    tiebreak_col: str | None = None,
+) -> UpsertStats:
+    """Merge ``batch`` into the keyed table. ``seq_col`` orders
+    versions of a key (event time, LSN, offset); ``tiebreak_col``
+    (default: the key itself — only safe if (key, seq) is unique)
+    breaks seq ties deterministically. Returns per-batch stats."""
+    reserved = {"bucket", "__tomb", "__rn"} & set(batch.columns)
+    if reserved:
+        raise ValueError(f"batch uses reserved column names: {sorted(reserved)}")
+    root = Path(table_root)
+    root.mkdir(parents=True, exist_ok=True)
+    recover_and_sweep(root)
+    staging = root / _STAGING
+    if staging.exists():
+        shutil.rmtree(staging)
+
+    key = F.col(f"`{key_col}`")
+    tb = F.col(f"`{tiebreak_col}`") if tiebreak_col else key
+    batch = batch.filter(key.isNotNull()).withColumn(
+        "bucket", _bucket(key, n_buckets)
+    )
+    if delete_col is None:
+        batch = batch.withColumn("__tomb", F.lit(False))
+    else:
+        batch = batch.withColumn(
+            "__tomb", F.coalesce(F.col(f"`{delete_col}`"), F.lit(False))
+        ).drop(delete_col)
+
+    touched = sorted(
+        r["bucket"] for r in batch.select("bucket").distinct().collect()
+    )
+    stats = UpsertStats(buckets_touched=len(touched))
+    if not touched:
+        return stats
+    existing = [b for b in touched if (root / f"bucket={b}").exists()]
+    if existing:
+        stored = spark.read.option("basePath", str(root)).parquet(
+            *[str(root / f"bucket={b}") for b in existing]
+        )
+        merged = stored.unionByName(batch)
+    else:
+        merged = batch
+    w = Window.partitionBy("bucket", key).orderBy(
+        F.col(f"`{seq_col}`").desc(), tb.desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    latest.write.partitionBy("bucket").parquet(str(staging))
+    for part in sorted(staging.iterdir()):
+        if part.is_dir() and part.name.startswith("bucket="):
+            tmp = root / f".tmp-{part.name}"
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            part.rename(tmp)
+            swap_in(root, part.name)
+            stats.touched.append(part.name)
+    shutil.rmtree(staging, ignore_errors=True)
+    stats.rows_after = read_upsert_table(spark, root).count()
+    return stats
+
+
+def read_upsert_table(spark: SparkSession, table_root: str | Path) -> DataFrame:
+    """Current state: one row per live key."""
+    root = Path(table_root)
+    parts = [p for p in root.glob("bucket=*") if p.is_dir()]
+    if not parts:
+        raise FileNotFoundError(f"no upsert table under {root}")
+    return (
+        spark.read.option("basePath", str(root))
+        .parquet(*[str(p) for p in parts])
+        .filter(~F.col("__tomb"))
+        .drop("bucket", "__tomb")
+    )
