@@ -101,3 +101,34 @@ def _bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _built_index(spark, sf_dir)
     return bm25_topk(spark, root, _TERMS, k=_TOPK, k1=_K1, b=_B)
+
+
+_PHRASE = ["table", "hash"]
+
+_PHRASE_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id,
+               unnest(string_split(norm, ' ')) AS t,
+               generate_subscripts(string_split(norm, ' '), 1) - 1 AS p
+        FROM n),
+hits AS (
+  SELECT a.doc_id
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.t = '{_PHRASE[0]}' AND b.t = '{_PHRASE[1]}')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY doc_id
+"""
+
+
+@q("phrase_search_count", _PHRASE_ORACLE)
+def _phrase_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search from the positional inverted index
+    (sinks/textindex.phrase_search): per-document occurrence counts of
+    consecutive-token phrases via shifted position-array intersection
+    over bucket-pruned postings — the ES match_phrase analogue. The
+    oracle recomputes occurrences with a positional self-join straight
+    from the corpus."""
+    from ..sinks.textindex import phrase_search
+
+    root = _built_index(spark, sf_dir)
+    return phrase_search(spark, root, _PHRASE)

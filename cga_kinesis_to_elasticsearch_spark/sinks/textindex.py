@@ -11,9 +11,12 @@ pruned postings.
 
 Layout under ``root``:
 
-- ``postings/bucket=XX/``: ``(term STRING, doc_id LONG, tf LONG)``,
-  bucket = first 2 hex chars of md5(term) — 256 dirs, uniform by
-  md5; a 3-term query touches <= 3 of them.
+- ``postings/bucket=XX/``: ``(term STRING, doc_id LONG, tf LONG,
+  positions ARRAY<INT>)``, bucket = first 2 hex chars of md5(term) —
+  256 dirs, uniform by md5; a 3-term query touches <= 3 of them.
+  Positions (sorted 0-based token offsets) are the standard
+  positional-index overhead that buys phrase queries; term-only
+  searches never read the column (parquet column pruning).
 - ``docs/``: ``(doc_id LONG, dl LONG)`` — per-document token counts.
 - ``stats/``: one row ``(n_docs LONG, total_len LONG)``.
 
@@ -44,7 +47,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import normalized_text
 
-__all__ = ["build_text_index", "search_and", "bm25_topk", "term_bucket"]
+__all__ = [
+    "build_text_index",
+    "search_and",
+    "bm25_topk",
+    "phrase_search",
+    "term_bucket",
+]
 
 
 def term_bucket(term) -> "F.Column":
@@ -66,9 +75,12 @@ def build_text_index(
     root = Path(root)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(docs, text_col)).alias("term"),
+        F.posexplode(_tokens(docs, text_col)).alias("pos", "term"),
     ).filter(F.col("term") != "")
-    postings = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    postings = toks.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.array_sort(F.collect_list("pos")).alias("positions"),
+    )
     # cache: the corpus is tokenized ONCE; doc lengths and stats derive
     # from the postings, not a second scan
     postings = postings.persist()
@@ -124,6 +136,49 @@ def search_and(
         .filter(F.col("__n_terms") == len(terms))
         .select("doc_id", "total_tf")
     )
+
+
+def phrase_search(
+    spark: SparkSession, root: str | Path, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase search from the positional postings: documents
+    containing ``phrase`` as consecutive tokens, with the occurrence
+    count. Implementation is the classic positional intersection,
+    vectorized over the position arrays: starting from term 0's
+    positions, each step keeps positions p where p+1 is in the next
+    term's list (array_intersect of the shifted list) — after the last
+    step the survivors are the phrase END positions, one per match.
+
+    Scale shape: identical to search_and (bucket-pruned posting scans,
+    one groupBy on doc_id); the per-row array intersections are linear
+    in posting positions, all inside codegen. Duplicate terms in the
+    phrase are handled naturally (each step re-joins the same posting
+    row)."""
+    if not phrase:
+        raise ValueError("empty phrase")
+    root = Path(root)
+    p = _postings_for(spark, root, sorted(set(phrase)))
+    # pivot the <= |phrase| matching posting rows per doc into one row:
+    # map term -> positions, then chain the shifted intersections
+    per_doc = p.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        ).alias("pos_by_term")
+    )
+    # every phrase term must be present in the doc
+    for t in set(phrase):
+        per_doc = per_doc.filter(
+            F.map_contains_key(F.col("pos_by_term"), F.lit(t))
+        )
+    chain = F.element_at(F.col("pos_by_term"), F.lit(phrase[0]))
+    for t in phrase[1:]:
+        chain = F.array_intersect(
+            F.transform(chain, lambda x: x + 1),
+            F.element_at(F.col("pos_by_term"), F.lit(t)),
+        )
+    return per_doc.select(
+        "doc_id", F.size(chain).alias("n_occurrences")
+    ).filter(F.col("n_occurrences") > 0)
 
 
 def bm25_topk(

@@ -97,3 +97,52 @@ class TestPruning:
         assert scan and "bucket" in scan[0]
         m = re.search(r"PartitionFilters: \[([^\]]*)\]", scan[0])
         assert m and m.group(1).strip(), "empty partition filter — no pruning"
+
+
+class TestPhraseSearch:
+    def test_phrase_counts(self, spark, index):
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            phrase_search,
+        )
+
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(spark, index, ["merge", "merge"]).collect()
+        }
+        # doc 0: "... merge merge" -> one consecutive pair
+        assert got == {0: 1}
+        got2 = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(spark, index, ["spark", "spark"]).collect()
+        }
+        # doc 4: "spark spark spark" -> two overlapping pairs
+        assert got2 == {4: 2}
+
+    def test_three_term_phrase(self, spark, index):
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            phrase_search,
+        )
+
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(
+                spark, index, ["spark", "spark", "spark"]
+            ).collect()
+        }
+        assert got == {4: 1}
+        # doc 2 is exactly "merge vector spark"
+        got3 = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_search(
+                spark, index, ["merge", "vector", "spark"]
+            ).collect()
+        }
+        assert got3 == {2: 1}
+
+    def test_absent_phrase_empty(self, spark, index):
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            phrase_search,
+        )
+
+        # both terms exist corpus-wide but never adjacently in doc 3
+        assert phrase_search(spark, index, ["vector", "merge"]).count() == 0
