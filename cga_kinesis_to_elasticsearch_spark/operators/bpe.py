@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-__all__ = ["bpe_word_freqs", "apply_merge", "bpe_train"]
+__all__ = ["bpe_word_freqs", "apply_merge", "bpe_train", "bpe_encode"]
 
 
 def bpe_word_freqs(df: DataFrame, text_col: str) -> DataFrame:
@@ -122,3 +122,55 @@ def bpe_train(
         merges or [(None, None, None, None)],
         "rank long, left string, right string, pair_count long",
     ).filter(F.col("rank").isNotNull())
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned merge sequence to every document — the
+    TOKENIZE side of bpe_train, completing the train->encode loop a
+    tokenizer pipeline needs. Returns
+    ``(id, n_words, n_tokens, n_chars)`` where n_tokens is the
+    post-merge symbol count (chars collapse as merges apply).
+
+    Scale shape: the merge fold runs once per DISTINCT word (the
+    vocabulary table — Zipf-small vs the corpus), not per occurrence;
+    documents then join the encoded vocabulary (broadcast — vocabulary
+    << corpus) and aggregate per doc. Each merge is one exact JVM
+    fold (apply_merge), chained in rank order; expression depth grows
+    with len(merges), so large merge lists (10k+) belong in a
+    vectorized Pandas-UDF encoder — the structure (vocab-level encode,
+    broadcast join back) is the part that matters at scale and stays
+    identical."""
+    from .dedup import normalized_text
+
+    occ = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias(
+            "word"
+        ),
+    ).filter(F.col("word") != "")
+    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("__n_occ"))
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    for left, right in merges:
+        syms = apply_merge(syms, left, right)
+    encoded = vocab.select(
+        "word",
+        F.size(syms).alias("__w_tokens"),
+        F.length("word").alias("__w_chars"),
+    )
+    return (
+        occ.join(F.broadcast(encoded), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__w_tokens").alias("n_tokens"),
+            F.sum("__w_chars").alias("n_chars"),
+        )
+    )

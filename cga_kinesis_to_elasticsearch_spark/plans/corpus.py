@@ -580,3 +580,58 @@ def _leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_split(
         docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE ENCODE (the tokenize side of bpe_train) under the value oracle.
+# Greedy left-to-right non-overlapping pair merging is replayed in SQL
+# with the wrapped-symbol replace trick: each symbol is rendered as
+# |sym|, so replace('|l||r|' -> '|lr|') can only fire on whole-symbol
+# boundaries (the delimiter never appears inside the a-z0-9 alphabet),
+# and string replace's left-to-right non-overlapping scan IS the
+# greedy fold's semantics (the merged symbol is not rescanned within
+# the same pass) — exactly apply_merge's contract.
+# ---------------------------------------------------------------------------
+
+# fixed merge list (the corpus's own top-8, incl. a multi-char right
+# side 'm'+'er' that exercises whole-symbol boundary safety)
+_ENC_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+]
+
+
+def _enc_replace_chain() -> str:
+    s = ("array_to_string(list_transform(range(1, length(word) + 1), "
+         "i -> '|' || substring(word, i, 1) || '|'), '')")
+    for left, right in _ENC_MERGES:
+        s = f"replace({s}, '|{left}||{right}|', '|{left}{right}|')"
+    return s
+
+
+_ENCODE_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+enc AS (
+  SELECT doc_id, word, {_enc_replace_chain()} AS s
+  FROM w WHERE word <> '')
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum((length(s) - length(replace(s, '|', ''))) // 2) AS BIGINT)
+         AS n_tokens,
+       CAST(sum(length(word)) AS BIGINT) AS n_chars
+FROM enc GROUP BY doc_id
+"""
+
+
+@q("bpe_encode_corpus", _ENCODE_ORACLE)
+def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE tokenization with a fixed 8-merge table
+    (operators/bpe.bpe_encode): the fold runs once per DISTINCT word
+    (vocabulary-sized), documents join the encoded vocabulary by
+    broadcast — per-doc post-merge token counts, value-checked against
+    the SQL replay of the greedy merge semantics."""
+    from ..operators.bpe import bpe_encode
+
+    docs = _tp(spark, sf_dir, "documents")
+    return bpe_encode(docs, "text", "doc_id", _ENC_MERGES)

@@ -177,7 +177,7 @@ def phrase_search(
             F.element_at(F.col("pos_by_term"), F.lit(t)),
         )
     return per_doc.select(
-        "doc_id", F.size(chain).alias("n_occurrences")
+        "doc_id", F.size(chain).cast("long").alias("n_occurrences")
     ).filter(F.col("n_occurrences") > 0)
 
 

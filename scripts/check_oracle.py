@@ -43,6 +43,12 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            if str(av.dtype) != str(bv.dtype):
+                # int32-vs-int64 / int-vs-float pandas frames can hash
+                # differently in the driver even when values agree
+                problems.append(
+                    f"col {c}: DTYPE MISMATCH {av.dtype} vs {bv.dtype}"
+                )
             try:
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":
                     import numpy as np

@@ -86,3 +86,56 @@ class TestBpeTrain:
         df = spark.createDataFrame([("xy",), ("ab",)], "text string")
         out = bpe_train(spark, df, "text", n_merges=5).collect()
         assert out == []
+
+
+class TestBpeEncode:
+    def test_encode_matches_python_reference(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.bpe import (
+            bpe_encode,
+        )
+
+        texts = [
+            (0, "low lower lowest low low"),
+            (1, "new newer newest new"),
+            (2, "low new low new lowest"),
+        ]
+        merges = [("l", "o"), ("lo", "w"), ("n", "e"), ("ne", "w")]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+            for r in bpe_encode(df, "text", "doc_id", merges).collect()
+        }
+        want = {}
+        for i, t in texts:
+            words = _normalize(t)
+            n_tokens = 0
+            for w in words:
+                syms = tuple(w)
+                for l, r in merges:
+                    syms = _ref_apply(syms, l, r)
+                n_tokens += len(syms)
+            want[i] = (len(words), n_tokens, sum(len(w) for w in words))
+        assert got == want
+        # merges actually compress: tokens < chars
+        for _, (nw, nt, nc) in got.items():
+            assert nw <= nt < nc
+
+    def test_trained_merges_roundtrip_into_encoder(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.bpe import (
+            bpe_encode,
+            bpe_train,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "the cat and the hat and the rat") for i in range(3)],
+            "doc_id long, text string",
+        )
+        learned = [
+            (r["left"], r["right"])
+            for r in bpe_train(spark, df, "text", n_merges=4)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert learned  # something was learnable
+        out = bpe_encode(df, "text", "doc_id", learned).collect()
+        assert all(r["n_tokens"] < r["n_chars"] for r in out)
