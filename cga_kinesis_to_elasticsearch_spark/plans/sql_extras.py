@@ -629,3 +629,75 @@ def _upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         F.round("value", 2).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (operators/expectations.py):
+# the VERIFY side of profile_orders_table — one row per constraint
+# with its measured metric and pass/fail. Row constraints share one
+# scan (array-explode over a single Aggregate); the FK check joins
+# keys only.
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+WITH t AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS nn,
+         count(DISTINCT o_orderkey) AS uq,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS st,
+         sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND o_totalprice >= 0 AND o_totalprice <= 400000
+                  THEN 1 ELSE 0 END) AS rng,
+         sum(CASE WHEN o_orderpriority IS NOT NULL
+                       AND regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END) AS pri
+  FROM orders),
+fk AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS bad
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_custkey IS NOT NULL),
+m AS (
+  SELECT 'not_null(o_custkey)' AS expectation,
+         round(CAST(nn AS DOUBLE) / total, 6) AS metric, 1.0 AS threshold
+  FROM t
+  UNION ALL
+  SELECT 'unique(o_orderkey)', round(CAST(uq AS DOUBLE) / total, 6), 1.0
+  FROM t
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)', round(CAST(st AS DOUBLE) / total, 6), 1.0
+  FROM t
+  UNION ALL
+  SELECT 'in_range(o_totalprice)', round(CAST(rng AS DOUBLE) / total, 6), 0.9
+  FROM t
+  UNION ALL
+  SELECT 'matches(o_orderpriority)', round(CAST(pri AS DOUBLE) / total, 6), 1.0
+  FROM t
+  UNION ALL
+  SELECT 'foreign_key(o_custkey)',
+         round(CAST(n - bad AS DOUBLE) / n, 6), 1.0
+  FROM fk)
+SELECT expectation, metric, threshold, metric >= threshold AS passed FROM m
+"""
+
+
+@q("dq_orders_expectations", _DQ_ORACLE)
+def _dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders: null/unique/domain/range/regex
+    constraints in one scan + an FK check against customer (keys-only
+    anti join, broadcast dim). in_range(0..400000) is a deliberately
+    sub-1.0 expectation (top orders exceed it) so the passed column
+    exercises both outcomes."""
+    from ..operators import expectations as E
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    suite = [
+        E.not_null("o_custkey"),
+        E.unique("o_orderkey"),
+        E.in_set("o_orderstatus", ["O", "F", "P"]),
+        E.in_range("o_totalprice", 0, 400000, threshold=0.9),
+        E.matches("o_orderpriority", "^[1-5]-"),
+        E.foreign_key("o_custkey", customer, "c_custkey"),
+    ]
+    return E.check_expectations(orders, suite)
