@@ -397,3 +397,56 @@ def _gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded sequence detection (operators/sequence.py): every
+# view -> click -> purchase completion within 24 hours, per user.
+# ---------------------------------------------------------------------------
+
+_SEQ_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, epoch_ms(ts) AS tsms, event_type
+  FROM events WHERE user_id IS NOT NULL),
+w0 AS (
+  SELECT *, max(CASE WHEN event_type = 'view' THEN tsms END) OVER win AS c0
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+w1 AS (
+  SELECT *, max(CASE WHEN event_type = 'click' AND c0 IS NOT NULL
+                     THEN c0 END) OVER win AS c1
+  FROM w0
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT user_id, count(*) AS n_matches,
+       min(tsms) AS first_match_ms, max(tsms) AS last_match_ms
+FROM w1
+WHERE event_type = 'purchase' AND c1 IS NOT NULL AND tsms - c1 <= 86400000
+GROUP BY user_id
+"""
+
+
+@q("sequence_funnel_matches", _SEQ_ORACLE)
+def _sequence_funnel_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (operators/sequence.sequence_matches):
+    every purchase completing a view -> click -> purchase chain within 24
+    hours, counted per user. One key exchange, k-1 chained
+    running windows sharing the sort, no self-joins (the naive k-way
+    join shape is k-1 full-fact shuffles). funnel_conversion answers
+    "ever converted"; this finds EVERY completion under a time bound."""
+    from ..operators.sequence import sequence_matches
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return sequence_matches(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        steps=[
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        within_ms=86_400_000,
+    )

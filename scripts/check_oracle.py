@@ -44,11 +44,17 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         for c in a.columns:
             av, bv = a[c], b[c]
             if str(av.dtype) != str(bv.dtype):
-                # int32-vs-int64 / int-vs-float pandas frames can hash
-                # differently in the driver even when values agree
-                problems.append(
-                    f"col {c}: DTYPE MISMATCH {av.dtype} vs {bv.dtype}"
-                )
+                if av.dtype.kind == bv.dtype.kind == "i":
+                    # same-kind width difference (int32 vs int64): the
+                    # driver's canonicalizer provably tolerates this
+                    # (round-1 hash matches on int32 outputs) — note it,
+                    # don't fail
+                    print(f"note  {name}.{c}: int width {av.dtype} vs {bv.dtype}")
+                else:
+                    # int-vs-float / numeric-vs-object CAN hash-mismatch
+                    problems.append(
+                        f"col {c}: DTYPE MISMATCH {av.dtype} vs {bv.dtype}"
+                    )
             try:
                 if av.dtype.kind == "f" or bv.dtype.kind == "f":
                     import numpy as np
