@@ -145,6 +145,15 @@ class StreamConfig:
     hh_path: str = ""
     hh_key_col: str = ""
     hh_k: int = 100
+    # Per-batch data-quality report (operators/expectations.py): after
+    # the sink write, evaluate the suite against the batch's documents
+    # and append (expectation, metric, threshold, passed, batch_id)
+    # rows to dq_path — constraint drift becomes a queryable table.
+    # Row-level constraints only (FK needs a second table; run those
+    # against the SINK with the standalone operator). Off unless both
+    # are set.
+    dq_path: str = ""
+    dq_specs: "list | None" = None
     # Cross-batch content dedup (sinks/dedupindex.py): before the sink
     # write, drop documents whose content hash was already indexed by
     # ANY earlier batch; first-id semantics keep replays idempotent.
@@ -262,6 +271,13 @@ def run_stream(
                         key_col=cfg.hh_key_col,
                         k=cfg.hh_k,
                     )
+                if cfg.dq_path and cfg.dq_specs:
+                    from ..operators.expectations import check_expectations
+
+                    report = check_expectations(docs, cfg.dq_specs)
+                    report.withColumn(
+                        "batch_id", F.lit(int(batch_id))
+                    ).coalesce(1).write.mode("append").parquet(cfg.dq_path)
             finally:
                 if docs is not cached:
                     docs.unpersist()

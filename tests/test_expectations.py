@@ -76,3 +76,63 @@ class TestExpectations:
         # a union-per-expectation implementation would scan once per
         # constraint; the explode form scans once
         assert plan.count("Scan ExistingRDD") <= 2  # base + nothing extra
+
+
+class TestStreamingDQHook:
+    def test_per_batch_dq_report_appended(self, spark, sf_dir, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+            flatten_dimensions,
+        )
+        from cga_kinesis_to_elasticsearch_spark.pipeline import PipelineConfig
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+        from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+            ALLOWED_ORIGINS,
+            synthesize_cf_dimensions,
+            synthesize_envelopes,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            read_raw_record_stream,
+            write_raw_records,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+
+        records = synthesize_envelopes(spark, sf_dir)
+        src = tmp_path / "raw"
+        write_raw_records(records, str(src))
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark)).cache()
+        sink = ParquetIndexSink(tmp_path / "sink")
+        dq = tmp_path / "dq"
+        cfg = StreamConfig(
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+            dq_path=str(dq),
+            dq_specs=[
+                E.not_null("doc_id"),
+                E.not_null("es_index"),
+                E.matches("es_index", r"^gorouter-\d{4}"),
+            ],
+        )
+        query, _ = run_stream(
+            spark,
+            read_raw_record_stream(spark, str(src)),
+            lambda s: dim,
+            sink,
+            cfg,
+        )
+        drain(query)
+        report = spark.read.parquet(str(dq))
+        rows = report.collect()
+        assert len(rows) >= 3  # >= one batch x three expectations
+        assert {r["expectation"] for r in rows} == {
+            "not_null(doc_id)",
+            "not_null(es_index)",
+            "matches(es_index)",
+        }
+        # documents always carry ids and day-indexed routing
+        assert all(r["passed"] for r in rows if "not_null" in r["expectation"])
+        assert {"batch_id"} <= set(report.columns)
