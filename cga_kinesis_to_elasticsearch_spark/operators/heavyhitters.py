@@ -53,7 +53,16 @@ def mg_prune(summary: DataFrame, k: int) -> DataFrame:
     The threshold is computed IN the plan: top-(k+1) counters via a
     global limit (TakeOrderedAndProject), collapsed to one row,
     broadcast back. With <= k entries the threshold is 0 and the
-    summary passes through unchanged."""
+    summary passes through unchanged.
+
+    The input is localCheckpoint-ed first: the threshold branch and
+    the subtract branch both consume it, and downstream merges consume
+    the output twice more — without the cut, every reference replays
+    the full upstream lineage (the raw-fact count scan, once per
+    branch; the un-cut plan audit showed 16 exchanges for one merge).
+    One materialization of a <= vocabulary-sized count table is the
+    price of scanning facts exactly once."""
+    summary = summary.localCheckpoint()
     thr = (
         summary.select("cnt")
         .orderBy(F.col("cnt").desc())

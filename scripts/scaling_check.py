@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Cross-SF scaling evidence: run representative headline queries at
+sf0.001 / sf0.01 / sf0.1 (100x data spread) and report wall-clock
+scaling exponents. An operator whose time grows ~O(n) prints an
+exponent near 1 over the decade steps (sub-linear when fixed overhead
+dominates the small SFs, which is the expected local-mode shape);
+anything super-linear (exponent >> 1) is a red flag that the plan has
+a hidden quadratic (self-join, unbounded window, driver loop) that a
+1000-executor cluster at 100 TB would hit.
+
+Usage: python scripts/scaling_check.py > SCALING.md
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# one representative per plan family: narrow scan, agg, join, window,
+# shuffle-heavy dedup, vector search, index build+search, pattern scan
+QUERIES = [
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "window_top_orders",
+    "pipeline_e2e",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "embedding_cosine_topk",
+    "bm25_search_topk",
+    "sequence_funnel_matches",
+    "merge_intervals",
+]
+
+
+def main() -> int:
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from cga_kinesis_to_elasticsearch_spark.session import get_spark
+
+    spark = get_spark("scaling-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = mod.queries()
+
+    # warm codegen/session on the smallest SF
+    for name in QUERIES:
+        try:
+            qs[name](spark, SFS[0]).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+
+    print("# SCALING — wall clock vs scale factor (local[32])")
+    print()
+    print(
+        "100x data spread (sf0.001 -> sf0.1). `exp` is the fitted\n"
+        "log-slope of time vs data size over the last decade step\n"
+        "(sf0.01 -> sf0.1): ~1 = linear scaling, < 1 = fixed overhead\n"
+        "still dominating, >> 1 = hidden super-linear work. Warm\n"
+        "timings, best of 2.\n"
+    )
+    print("| query | sf0.001 s | sf0.01 s | sf0.1 s | exp (last decade) |")
+    print("|---|---|---|---|---|")
+    for name in QUERIES:
+        times = []
+        for sf in SFS:
+            best = math.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    qs[name](spark, sf).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception as exc:  # noqa: BLE001
+                    print(f"| {name} | ERROR: {exc} | | | |")
+                    best = None
+                    break
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
+        if any(t is None for t in times):
+            continue
+        exp = math.log10(times[2] / times[1]) if times[1] > 0 else float("nan")
+        print(
+            f"| {name} | {times[0]:.2f} | {times[1]:.2f} | {times[2]:.2f} "
+            f"| {exp:.2f} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
