@@ -145,6 +145,13 @@ class StreamConfig:
     hh_path: str = ""
     hh_key_col: str = ""
     hh_k: int = 100
+    # Latest-state upsert table (sinks/upsert.py): per batch, merge the
+    # batch's documents into a keyed current-state table (max-seq wins,
+    # replay/out-of-order safe) — "the newest document per app/route",
+    # maintained incrementally. Off unless path and key are set.
+    upsert_path: str = ""
+    upsert_key_col: str = ""
+    upsert_seq_col: str = "timestamp"
     # Per-batch data-quality report (operators/expectations.py): after
     # the sink write, evaluate the suite against the batch's documents
     # and append (expectation, metric, threshold, passed, batch_id)
@@ -270,6 +277,17 @@ def run_stream(
                         cfg.hh_path,
                         key_col=cfg.hh_key_col,
                         k=cfg.hh_k,
+                    )
+                if cfg.upsert_path and cfg.upsert_key_col:
+                    from ..sinks.upsert import apply_upserts
+
+                    apply_upserts(
+                        spark,
+                        docs,
+                        cfg.upsert_path,
+                        key_col=cfg.upsert_key_col,
+                        seq_col=cfg.upsert_seq_col,
+                        tiebreak_col="doc_id",
                     )
                 if cfg.dq_path and cfg.dq_specs:
                     from ..operators.expectations import check_expectations

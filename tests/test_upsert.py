@@ -134,3 +134,73 @@ class TestLocalityAndRecovery:
             n_buckets=1, delete_col="is_del",
         )
         assert _state(spark, root) == {"a": (1, "a1"), "b": (1, "b1")}
+
+
+class TestStreamingUpsertHook:
+    def test_stream_maintains_latest_doc_per_app(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as F
+
+        from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+            flatten_dimensions,
+        )
+        from cga_kinesis_to_elasticsearch_spark.pipeline import PipelineConfig
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+        from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+            ALLOWED_ORIGINS,
+            synthesize_cf_dimensions,
+            synthesize_envelopes,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            read_raw_record_stream,
+            write_raw_records,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+
+        records = synthesize_envelopes(spark, sf_dir)
+        src = tmp_path / "raw"
+        write_raw_records(records, str(src))
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark)).cache()
+        sink = ParquetIndexSink(tmp_path / "sink")
+        state = tmp_path / "state"
+        cfg = StreamConfig(
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+            upsert_path=str(state),
+            upsert_key_col="@cf.app_id",
+        )
+        query, _ = run_stream(
+            spark,
+            read_raw_record_stream(spark, str(src)),
+            lambda s: dim,
+            sink,
+            cfg,
+        )
+        drain(query)
+        docs = spark.read.parquet(str(tmp_path / "sink" / "data"))
+        app = F.col("`@cf.app_id`")
+        # expected: the max-(timestamp, doc_id) document per app key
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(app).orderBy(
+            F.col("timestamp").desc(), F.col("doc_id").desc()
+        )
+        want = {
+            (r["k"], r["doc_id"])
+            for r in docs.filter(app.isNotNull())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(app.alias("k"), "doc_id")
+            .collect()
+        }
+        got = {
+            (r["k"], r["doc_id"])
+            for r in read_upsert_table(spark, state)
+            .select(F.col("`@cf.app_id`").alias("k"), "doc_id")
+            .collect()
+        }
+        assert got == want and len(got) > 1
