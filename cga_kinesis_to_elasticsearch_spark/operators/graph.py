@@ -1,0 +1,122 @@
+"""Distributed graph analytics over edge DataFrames.
+
+`operators/components.py` gives connected components (the dedup
+cluster step); this module adds triangle counting and local
+clustering coefficients — the density/cohesion metrics used to grade
+near-dup clusters (a dense triangle-rich cluster is one duplicated
+document; a sparse chain is drift) and to analyze co-occurrence
+graphs generally.
+
+Scale design — degree-ordered wedge counting (the standard
+MapReduce/GraphX formulation): orient every undirected edge from its
+lower-(degree, id) endpoint to the higher one, build wedges by
+joining oriented edges on their source, and close each wedge with a
+semi join against the oriented edge set. Orientation bounds the
+per-vertex wedge fan-out by the vertex's ORIENTED out-degree, which
+is O(sqrt(|E|)) for any graph — the hub that would explode a naive
+join (deg^2 wedges) generates almost none, because nearly all its
+edges point INTO it. Shuffles carry (node, node) pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["canonical_edges", "triangle_counts", "clustering_coefficients"]
+
+
+def canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as canonical ``(a < b)`` pairs: self-loops
+    dropped, duplicates collapsed."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    return (
+        df.select(a, b).filter(F.col("a") < F.col("b")).distinct()
+    )
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Orient each canonical edge from its lower-(degree, id) endpoint
+    (``lo``) to the higher one (``hi``)."""
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        edges.join(deg.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("n", "b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "b",
+        )
+    )
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over a canonical edge set.
+
+    Returns ``(node, n_triangles LONG)`` for nodes in >= 1 triangle.
+    Each triangle is discovered exactly once (at its wedge apex) and
+    credited to all three corners."""
+    o = _oriented(edges).persist()
+    try:
+        e1 = o.select(
+            F.col("lo").alias("apex"), F.col("hi").alias("v")
+        )
+        e2 = o.select(
+            F.col("lo").alias("apex"), F.col("hi").alias("w")
+        )
+        wedges = e1.join(e2, "apex").filter(F.col("v") < F.col("w"))
+        closing = o.select(
+            F.least("lo", "hi").alias("v"), F.greatest("lo", "hi").alias("w")
+        ).distinct()
+        tri = wedges.join(closing, ["v", "w"], "left_semi")
+        corners = (
+            tri.select(F.col("apex").alias("node"))
+            .unionAll(tri.select(F.col("v").alias("node")))
+            .unionAll(tri.select(F.col("w").alias("node")))
+        )
+        return corners.groupBy("node").agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
+    finally:
+        o.unpersist(blocking=False)
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node:
+    ``2 * triangles / (deg * (deg - 1))`` — 1.0 inside a clique, ~0 on
+    a chain. Nodes with degree < 2 are excluded (undefined). Float
+    work is one division of integer counts (cross-engine exact)."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                (2.0 * F.coalesce("n_triangles", F.lit(0)))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )

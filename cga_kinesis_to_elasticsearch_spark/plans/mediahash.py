@@ -126,3 +126,65 @@ def _media_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id_a"), F.col("id_b"), F.col("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the near-dup pair graph (operators/graph.py):
+# per-node triangle counts + local clustering coefficient. Dense,
+# triangle-rich clusters are "one duplicated asset"; sparse chains are
+# hash drift — the cluster-quality grading step after candidate
+# generation. The oracle recomputes the pair graph (the ahash oracle
+# verbatim as a CTE) and counts triangles with the naive canonical
+# 3-way join — the degree-ordered wedge plan must produce identical
+# counts.
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = f"""
+WITH pairs AS ({_AHASH_ORACLE}),
+tri AS (
+  SELECT a.id_a AS x, a.id_b AS y, b.id_b AS z
+  FROM pairs a
+  JOIN pairs b ON b.id_a = a.id_b
+  JOIN pairs c ON c.id_a = a.id_a AND c.id_b = b.id_b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+tcount AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs)
+  GROUP BY node)
+SELECT d.node, d.deg,
+       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round((2.0 * coalesce(t.n_triangles, 0))
+             / (d.deg * (d.deg - 1)), 6) AS clustering
+FROM deg d LEFT JOIN tcount t ON d.node = t.node
+WHERE d.deg >= 2
+"""
+
+
+@q("neardup_triangle_stats", _TRI_ORACLE)
+def _neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-density grading of the perceptual near-dup graph:
+    degree-ordered wedge triangle counting (operators/graph.py — the
+    hub-safe O(|E|^1.5) formulation; shuffles carry id pairs only) +
+    local clustering coefficients, value-checked against the naive
+    3-way-join oracle over the identical pair graph."""
+    from ..operators import multimodal as M
+    from ..operators.graph import canonical_edges, clustering_coefficients
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = _synth_payloads(docs)
+    staged = M.attach_binary(payloads, "ptxt")
+    hashed = M.average_hash(staged)
+    pairs = M.hamming_near_pairs(
+        hashed,
+        "doc_id",
+        "media_ahash",
+        n_bits=_N_BYTES,
+        n_bands=_N_BANDS,
+        max_distance=_MAX_DIST,
+    )
+    edges = canonical_edges(pairs, "id_a", "id_b")
+    return clustering_coefficients(edges)
