@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["windowed_counts"]
+__all__ = ["windowed_counts", "late_drop_stats"]
 
 
 def windowed_counts(
@@ -52,3 +52,28 @@ def windowed_counts(
     if key_col:
         cols.append(F.col(key_col))
     return out.select(*cols, "n")
+
+
+def late_drop_stats(query) -> dict:
+    """Watermark observability for a running/finished StreamingQuery:
+    totals of rows dropped for arriving later than the watermark and
+    current state size, summed over the query's recorded progress.
+
+    The reference has no event-time story at all (arrival-time only,
+    SURVEY T4) — this surfaces the one operational number an
+    event-time pipeline must alert on: how much data is too late to
+    count. Reads the engine-maintained progress metrics; no extra
+    instrumentation on the hot path."""
+    dropped = 0
+    state_rows = 0
+    n_progress = 0
+    for p in query.recentProgress:
+        n_progress += 1
+        for op in p.get("stateOperators", []) or []:
+            dropped += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+            state_rows = max(state_rows, int(op.get("numRowsTotal", 0) or 0))
+    return {
+        "rows_dropped_late": dropped,
+        "max_state_rows": state_rows,
+        "progress_reports": n_progress,
+    }

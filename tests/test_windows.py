@@ -6,7 +6,10 @@ from __future__ import annotations
 import datetime as dt
 import time
 
-from cga_kinesis_to_elasticsearch_spark.streaming.windows import windowed_counts
+from cga_kinesis_to_elasticsearch_spark.streaming.windows import (
+    late_drop_stats,
+    windowed_counts,
+)
 
 
 def _write(spark, path, rows):
@@ -70,12 +73,16 @@ class TestWatermarkedWindows:
                 r.window_start == t0 for r in rows
             ):
                 time.sleep(2)
+            stats = late_drop_stats(q)
         finally:
             q.stop()
         ten = [r for r in rows if r.window_start == t0]
         assert len(ten) == 1
         # 2 on-time rows; the too-late third never counted
         assert ten[0].n == 2
+        # and the drop is OBSERVABLE: the progress metrics record it
+        assert stats["rows_dropped_late"] >= 1
+        assert stats["progress_reports"] >= 1
 
 
 class TestSlidingWindows:
