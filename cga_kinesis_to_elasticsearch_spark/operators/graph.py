@@ -22,7 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["canonical_edges", "triangle_counts", "clustering_coefficients"]
+__all__ = [
+    "canonical_edges",
+    "triangle_counts",
+    "clustering_coefficients",
+    "pagerank",
+]
 
 
 def canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
@@ -120,3 +125,72 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    directed: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge DataFrame (columns
+    ``a``/``b`` — canonical_edges output; ``directed=False`` walks
+    both ways). Returns ``(node, rank DOUBLE)`` with ranks on the
+    classic 1-centered scale (sum ~= |V|).
+
+    Scale shape: each iteration is ONE join of the edge list against
+    the (node, rank) table (shuffle on node id) + one
+    map-side-combined sum — the textbook distributed formulation; the
+    rank table is |V| rows. localCheckpoint per iteration truncates
+    the growing lineage exactly like bpe_train's loop. Dangling nodes
+    keep the teleport share (simplified PageRank; the reference point
+    is Spark's own example semantics).
+
+    Float caveat: per-node contribution sums are addition-order-
+    dependent, so results are reproducible only to ~1e-9 across runs —
+    this is a rows-only capability (pinned with tolerances in
+    test_graph.py), not a hash-oracle one.
+    """
+    out_edges = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if not directed:
+        out_edges = out_edges.unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    # the loop body references these every iteration — materialize once
+    out_edges = out_edges.localCheckpoint()
+    nodes = (
+        out_edges.select(F.col("src").alias("node"))
+        .unionAll(out_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        out_edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(n_iter):
+        contribs = (
+            out_edges.join(
+                ranks.join(deg, "node").select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

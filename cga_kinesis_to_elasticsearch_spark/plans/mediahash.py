@@ -188,3 +188,28 @@ def _neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = canonical_edges(pairs, "id_a", "id_b")
     return clustering_coefficients(edges)
+
+
+@q("neardup_pagerank", None)
+def _neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup pair graph
+    (operators/graph.pagerank, 6 undirected power iterations): the
+    canonical-representative selection signal for dedup clusters
+    (highest-rank member = most-connected variant). Iterative float
+    fixpoint — addition order varies run to run at ~1e-9, so this is
+    rows-only; convergence and reference-equality are pinned with
+    tolerances in test_graph.py."""
+    from ..operators import multimodal as M
+    from ..operators.graph import canonical_edges, pagerank
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = _synth_payloads(docs)
+    hashed = M.average_hash(M.attach_binary(payloads, "ptxt"))
+    pairs = M.hamming_near_pairs(
+        hashed, "doc_id", "media_ahash",
+        n_bits=_N_BYTES, n_bands=_N_BANDS, max_distance=_MAX_DIST,
+    )
+    edges = canonical_edges(pairs, "id_a", "id_b")
+    return pagerank(edges, n_iter=6).select(
+        "node", F.round("rank", 4).alias("rank")
+    )
