@@ -761,3 +761,58 @@ def kmeans_train(
             .localCheckpoint()
         )
     return centroids
+
+
+def rp_signs(out_dim: int, in_dim: int, seed: str = "rp0") -> list[list[float]]:
+    """Deterministic +-1 projection matrix (Achlioptas-style sparse JL
+    without the RNG): sign(i, j) from one md5 parity — reproducible on
+    any executor, any engine, any run, and embeddable as a literal in
+    the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    signs: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss +-1 projection to ``len(signs)`` dims: the
+    memory-bandwidth lever for embedding search at scale (a 64->16
+    projection cuts the corpus scan 4x while JL keeps relative
+    distances within ~1/sqrt(out_dim)); the projected space feeds the
+    same cosine-top-k machinery.
+
+    Each output coordinate is one zip_with multiply + an ascending-j
+    fold against a LITERAL sign row — a narrow codegen expression (no
+    shuffle, no UDF), deterministic down to the bit (the same fold
+    order as the SQL oracle's ordered list_sum). Rows with a wrong
+    input dimension produce NULL coordinates (zip_with length
+    mismatch) rather than silent truncation."""
+    v = _as_double(F.col(vec_col))
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(v, F.lit(row), lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for row in signs
+        ]
+    )
+    return df.select(F.col(id_col), proj.alias(out_col))

@@ -158,3 +158,55 @@ def _ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ann_index(spark, emb, cen, root)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return query_ann_index(spark, root, queries, k=_TOPK, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss +-1 random projection (similarity.random_projection):
+# 64 -> 16 dims with a deterministic md5-parity sign matrix, then exact
+# cosine top-k in the PROJECTED space. The oracle replays the identical
+# projection (same literal sign matrix, same ascending-j fold order) —
+# the 4x-cheaper scan must produce bit-identical rankings.
+# ---------------------------------------------------------------------------
+
+_RP_DIM, _RP_IN = 16, 64
+_RP_SIGNS = S.rp_signs(_RP_DIM, _RP_IN)
+
+
+def _rp_proj_sql(vec: str) -> str:
+    rows = []
+    for row in _RP_SIGNS:
+        terms = " + ".join(
+            f"{vec}[{j + 1}] * ({int(s)})" for j, s in enumerate(row)
+        )
+        rows.append(f"({terms})")
+    return "[" + ", ".join(rows) + "]"
+
+
+_RP_ORACLE = f"""
+WITH p AS (SELECT vec_id, {_rp_proj_sql('(embedding::DOUBLE[])')} AS pv
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT query_id, p.vec_id,
+         round(list_cosine_similarity(qv, pv), 4) AS sim
+  FROM q JOIN p ON query_id <> p.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {_TOPK}
+"""
+
+
+@q("embedding_rp_topk", _RP_ORACLE)
+def _embedding_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-projected cosine top-k: the corpus scan reads 16-dim
+    projections instead of 64-dim vectors (4x memory bandwidth), with
+    distances preserved to ~1/sqrt(16) — the cheap first stage for
+    100 TB embedding search (compose with refine_topk for exact
+    re-ranking). Projection is a narrow literal-matrix fold; no
+    shuffle is added over plain cosine_topk."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    proj = S.random_projection(emb, _RP_SIGNS)
+    queries = proj.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk(proj, queries, k=_TOPK, vec_col="proj")

@@ -191,3 +191,62 @@ class TestPQ:
         _, _, df = clustered
         with pytest.raises(ValueError, match="not divisible"):
             S.pq_train_codebooks(df, m=7)
+
+
+class TestRandomProjection:
+    def test_projection_deterministic_and_correct(self, spark):
+        import numpy as np
+
+        from cga_kinesis_to_elasticsearch_spark.operators.similarity import (
+            random_projection,
+            rp_signs,
+        )
+
+        signs = rp_signs(4, 8, seed="t")
+        vecs = [(i, [float(i + j) for j in range(8)]) for i in range(5)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        got = {
+            r["vec_id"]: r["proj"]
+            for r in random_projection(df, signs).collect()
+        }
+        for i, v in vecs:
+            want = np.array(signs) @ np.array(v)
+            assert np.allclose(got[i], want, atol=1e-12), i
+
+    def test_jl_distortion_bound_and_improves_with_dim(self, spark, sf_dir):
+        """The fixture's embeddings are near-random (median pairwise
+        cosine ~0, top-1 gaps ~0.04 — smaller than any low-dim
+        projection's noise), so top-k recall is not a meaningful check
+        here. The property JL actually guarantees IS checkable: cosine
+        distortion bounded ~1/sqrt(out_dim), shrinking as dims grow."""
+        import numpy as np
+
+        from cga_kinesis_to_elasticsearch_spark.operators import similarity as S
+        from cga_kinesis_to_elasticsearch_spark.plans.northstar import _tp
+
+        emb = _tp(spark, sf_dir, "embeddings").filter("vec_id < 120")
+
+        def mean_err(dim: int) -> float:
+            signs = S.rp_signs(dim, 64)
+            proj = S.random_projection(emb, signs)
+            exact = {
+                (r["query_id"], r["vec_id"]): r["sim"]
+                for r in S.cosine_topk(
+                    emb, emb.filter("vec_id < 6"), k=30
+                ).collect()
+            }
+            approx = {
+                (r["query_id"], r["vec_id"]): r["sim"]
+                for r in S.cosine_topk(
+                    proj, proj.filter("vec_id < 6"), k=500, vec_col="proj"
+                ).collect()
+            }
+            errs = [
+                abs(exact[p] - approx[p]) for p in exact if p in approx
+            ]
+            assert len(errs) >= 50
+            return float(np.mean(errs))
+
+        e16, e32 = mean_err(16), mean_err(32)
+        assert e16 < 0.35  # ~1/sqrt(16) + slack
+        assert e32 < e16  # distortion shrinks with projection width
