@@ -453,3 +453,93 @@ def paragraph_dedup(
             ).alias("retained_md5"),
         )
     )
+
+
+def containment(a: Column, b: Column, ndigits: int = 4) -> Column:
+    """Directed containment |a INTERSECT b| / |a| of two array-set
+    columns: ~1.0 when a is (nearly) a subset of b. The asymmetric
+    companion to jaccard — a boilerplate-wrapped copy of a page has low
+    Jaccard against the original but containment ~1 in one direction."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(
+        F.when(F.size(a) == 0, F.lit(0.0)).otherwise(
+            inter / F.size(a)
+        ),
+        ndigits,
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Subset/superset near-dup detection: candidate pairs from MinHash
+    LSH banding, verified by DIRECTED shingle containment — catches the
+    page-embedded-in-a-larger-page duplicates that symmetric Jaccard
+    thresholds miss (|A|<<|B| caps Jaccard at |A|/|B| even when A ⊂ B).
+
+    Returns ``(id_a, id_b, containment_ab, containment_ba, relation)``
+    for pairs where either direction reaches ``threshold``; relation ∈
+    {a_in_b, b_in_a, mutual}.
+
+    Scale shape: identical to fuzzy_dedup's verify stage — shingle
+    arrays are built ONLY for documents appearing in some candidate
+    pair (semi-join pruning); the banding shuffle moves (band_key, id)
+    and the verify join moves pruned shingle arrays. One caveat
+    inherent to MinHash: banding recall is driven by JACCARD, so a
+    tiny-doc-in-huge-doc pair (Jaccard ~ |A|/|B|) may not surface as a
+    candidate; at production scale the containment-tuned variant swaps
+    the signature for a bottom-k sketch of A only. The oracle replays
+    candidates + verification exactly, so this recall contract is
+    pinned, not hidden."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
+    needed = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionAll(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    toks = df.join(needed, id_col, "left_semi").select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
+    )
+    sh = toks.select(
+        F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("__sh")
+    )
+    pairs = (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            containment(F.col("__sa"), F.col("__sb")).alias("containment_ab"),
+            containment(F.col("__sb"), F.col("__sa")).alias("containment_ba"),
+        )
+    )
+    thr = F.lit(float(threshold))
+    return pairs.filter(
+        (F.col("containment_ab") >= thr) | (F.col("containment_ba") >= thr)
+    ).select(
+        "id_a",
+        "id_b",
+        "containment_ab",
+        "containment_ba",
+        F.when(
+            (F.col("containment_ab") >= thr) & (F.col("containment_ba") >= thr),
+            "mutual",
+        )
+        .when(F.col("containment_ab") >= thr, "a_in_b")
+        .otherwise("b_in_a")
+        .alias("relation"),
+    )

@@ -1094,3 +1094,82 @@ def _multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_energy_segments(
         staged, id_col="doc_id", window_bytes=_MM_STEP, threshold=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Directed shingle-containment dedup (dedup.containment_pairs): the
+# subset/superset relation symmetric Jaccard misses. Corpus augmented
+# (identically on both sides) with 80%-prefix snippets of every 7th
+# document — true containment pairs with known direction.
+# ---------------------------------------------------------------------------
+
+_CONT_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         substring(text, 1, CAST(floor(0.8 * length(text)) AS INT)) AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+_CONT_ORACLE = f"""
+WITH corpus AS ({_CONT_CORPUS}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 0)} AS mh0,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 1)} AS mh1,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 2)} AS mh2,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 3)} AS mh3
+  FROM corpus),
+banded AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+sh AS (SELECT doc_id, {_shingle_sql(_norm_sql('text'))} AS s FROM corpus),
+p AS (
+  SELECT c.id_a, c.id_b,
+         round(CASE WHEN len(sa.s) = 0 THEN 0.0
+               ELSE len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) AS DOUBLE)
+               END, 4) AS containment_ab,
+         round(CASE WHEN len(sb.s) = 0 THEN 0.0
+               ELSE len(list_intersect(sb.s, sa.s)) / CAST(len(sb.s) AS DOUBLE)
+               END, 4) AS containment_ba
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, containment_ab, containment_ba,
+       CASE WHEN containment_ab >= 0.8 AND containment_ba >= 0.8 THEN 'mutual'
+            WHEN containment_ab >= 0.8 THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM p WHERE containment_ab >= 0.8 OR containment_ba >= 0.8
+"""
+
+
+@q("containment_dedup_pairs", _CONT_ORACLE)
+def _containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset/superset near-dup pairs (dedup.containment_pairs): LSH
+    candidates verified by DIRECTED shingle containment — the
+    boilerplate-wrapped-copy / page-within-page duplicates whose
+    Jaccard is capped at |A|/|B| no matter how perfect the overlap.
+    Shingles are built only for candidate-pair docs (semi-join
+    pruning); the documented recall caveat (banding keys on Jaccard)
+    is exactly replayed by the oracle."""
+    from ..operators.dedup import containment_pairs
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    snippets = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.substring(
+            F.col("text"),
+            F.lit(1),
+            F.floor(0.8 * F.length("text")).cast("int"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(snippets)
+    return containment_pairs(
+        corpus, "text", "doc_id", threshold=0.8, n_hashes=4, band_size=2
+    )

@@ -421,3 +421,46 @@ class TestFrameDedup:
         ).count() * 4  # every (doc, frame) counted exactly once
         assert all(0 <= r.rep_frame < 4 for r in out)
         _ = n_docs
+
+
+class TestContainment:
+    def test_directed_subset_detected(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        big = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        # high-overlap subset (18 of 20 words): banding keys on
+        # JACCARD, so a candidate needs high symmetric overlap too —
+        # the operator's documented recall contract
+        small = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma"
+        )
+        other = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [(1, big), (2, small), (3, other), (4, big)],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["id_a"], r["id_b"]): (
+                r["containment_ab"],
+                r["containment_ba"],
+                r["relation"],
+            )
+            for r in containment_pairs(
+                df, "text", "doc_id", threshold=0.95, n_hashes=4, band_size=2
+            ).collect()
+        }
+        # small ⊂ big: the subset direction is exactly 1.0, the other
+        # direction (16/18 shingles) misses the 0.95 bar -> directed
+        assert (1, 2) in rows
+        ab, ba, rel = rows[(1, 2)]
+        assert ba == 1.0 and ab < 0.95 and rel == "b_in_a"
+        # identical docs: mutual
+        assert rows[(1, 4)][2] == "mutual"
+        # unrelated doc never pairs
+        assert not any(3 in p for p in rows)
