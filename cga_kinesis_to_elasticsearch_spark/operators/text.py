@@ -16,7 +16,9 @@ __all__ = [
     "quality_score",
     "quality_columns",
     "lang_guess_column",
+    "lang_guess_from_tokens",
     "lang_id",
+    "language_segments",
     "fingerprint",
     "bpe_ish_token_count",
     "tf_idf_top_terms",
@@ -101,9 +103,9 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def lang_guess_column(text_col: str) -> Column:
-    """Marker-word language guess as a single Column expression."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+def lang_guess_from_tokens(toks: Column) -> Column:
+    """Marker-word language guess from a token-array column (first
+    matching language in fixed order wins ties; no hits -> 'und')."""
     scores = {
         lang: F.size(
             F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))
@@ -115,6 +117,11 @@ def lang_guess_column(text_col: str) -> Column:
     for lang in reversed(list(LANG_MARKERS)):
         guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
     return F.when(best == 0, F.lit("und")).otherwise(guess)
+
+
+def lang_guess_column(text_col: str) -> Column:
+    """Marker-word language guess as a single Column expression."""
+    return lang_guess_from_tokens(F.split(F.lower(F.col(text_col)), " "))
 
 
 def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -643,4 +650,78 @@ def unigram_logprob(
                 "avg_logprob"
             ),
         )
+    )
+
+
+def language_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 10,
+) -> DataFrame:
+    """Within-document language segmentation: fixed token windows get
+    a marker-word language guess, consecutive same-language windows
+    collapse into runs (gaps-and-islands) — splitting mixed-language
+    documents into monolingual spans, the per-document refinement of
+    corpus-level lang_id that multilingual curation needs (document-
+    level majority voting silently drops the minority language's text).
+
+    Output: (id, seg_no, lang, from_win, to_win, n_windows). Window
+    boundaries are token-positional, so a span maps back to tokens
+    [from_win*W, (to_win+1)*W).
+
+    Scale shape: the windowing explode multiplies rows by
+    n_tokens/W (bounded, linear); scoring is a narrow array_intersect
+    per window; the run collapse is ONE exchange on the doc id, shared
+    by the lag window, the running sum and the final groupBy — the
+    sessionization shape applied within documents."""
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.col(text_col)), " ").alias("__toks"),
+    )
+    win = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.size("__toks") / window_tokens).cast("int")
+                        - 1,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.slice(
+                    F.col("__toks"),
+                    (i * window_tokens + 1).cast("int"),
+                    window_tokens,
+                ),
+            )
+        ).alias("win_no", "__wtoks"),
+    )
+    scored = win.select(
+        F.col(id_col),
+        "win_no",
+        lang_guess_from_tokens(F.col("__wtoks")).alias("__lang"),
+    )
+    w = W.partitionBy(F.col(id_col)).orderBy("win_no")
+    flagged = scored.withColumn(
+        "__chg",
+        F.when(
+            F.lag("__lang").over(w).isNull()
+            | (F.lag("__lang").over(w) != F.col("__lang")),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "seg_no",
+        F.sum("__chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return runs.groupBy(F.col(id_col), "seg_no").agg(
+        F.min("__lang").alias("lang"),
+        F.min("win_no").alias("from_win"),
+        F.max("win_no").alias("to_win"),
+        F.count(F.lit(1)).alias("n_windows"),
     )

@@ -1173,3 +1173,60 @@ def _containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         corpus, "text", "doc_id", threshold=0.8, n_hashes=4, band_size=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document language segmentation (text.language_segments):
+# mixed-language docs synthesized by concatenating neighbouring docs'
+# texts (langs usually differ), split into monolingual window runs.
+# ---------------------------------------------------------------------------
+
+_SEG_W = 10
+
+_SEG_ORACLE = f"""
+WITH mixed AS (
+  SELECT a.doc_id, a.text || ' ' || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+t AS (SELECT doc_id, string_split(lower(text), ' ') AS all_toks FROM mixed),
+w AS (
+  SELECT doc_id, CAST(g.i AS INT) AS win_no,
+         list_slice(all_toks, g.i * {_SEG_W} + 1,
+                    g.i * {_SEG_W} + {_SEG_W}) AS toks
+  FROM t, LATERAL (
+    SELECT unnest(range(0, greatest(
+      CAST(ceil(len(all_toks) / {_SEG_W}.0) AS BIGINT), 1))) AS i) g),
+s AS (SELECT doc_id, win_no, {_LANG_SCORES} FROM w),
+l AS (SELECT doc_id, win_no, {_LANG_CASE} AS lang FROM s),
+flagged AS (
+  SELECT *, CASE WHEN lag(lang) OVER win IS NULL
+                      OR lag(lang) OVER win <> lang
+                 THEN 1 ELSE 0 END AS chg
+  FROM l WINDOW win AS (PARTITION BY doc_id ORDER BY win_no)),
+runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY doc_id ORDER BY win_no
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_no
+  FROM flagged)
+SELECT doc_id, seg_no, min(lang) AS lang,
+       CAST(min(win_no) AS INT) AS from_win,
+       CAST(max(win_no) AS INT) AS to_win,
+       count(*) AS n_windows
+FROM runs GROUP BY doc_id, seg_no
+"""
+
+
+@q("language_segments_mixed", _SEG_ORACLE)
+def _language_segments_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language document segmentation: fixed 10-token windows
+    scored with the marker langid, consecutive same-language windows
+    collapsed to monolingual spans (text.language_segments) — the
+    per-document refinement of corpus lang_id that keeps the minority
+    language's text instead of majority-voting it away. One doc-keyed
+    exchange shared by the lag, the run numbering and the collapse."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("__t2")
+    )
+    mixed = docs.join(nxt, "doc_id").select(
+        "doc_id", F.concat_ws(" ", "text", "__t2").alias("text")
+    )
+    return T.language_segments(mixed, "text", "doc_id", window_tokens=_SEG_W)

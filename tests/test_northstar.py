@@ -464,3 +464,31 @@ class TestContainment:
         assert rows[(1, 4)][2] == "mutual"
         # unrelated doc never pairs
         assert not any(3 in p for p in rows)
+
+
+class TestLanguageSegments:
+    def test_mixed_doc_splits_at_language_boundary(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.text import (
+            language_segments,
+        )
+
+        en = "the cat and the dog of the house " * 3  # 24 en tokens
+        de = "der hund und das haus der baum und " * 3  # 24 de tokens
+        df = spark.createDataFrame(
+            [(1, (en + de).strip()), (2, en.strip())],
+            "doc_id long, text string",
+        )
+        segs = {
+            (r["doc_id"], r["seg_no"]): (r["lang"], r["from_win"], r["to_win"])
+            for r in language_segments(df, "text", "doc_id", 8).collect()
+        }
+        doc1 = sorted(
+            (k[1], v) for k, v in segs.items() if k[0] == 1
+        )
+        # doc 1: an en run then a de run (48 tokens / 8 = 6 windows)
+        langs = [v[0] for _, v in doc1]
+        assert langs == ["en", "de"], doc1
+        assert doc1[0][1][1] == 0 and doc1[-1][1][2] == 5
+        # doc 2: one pure-en segment
+        doc2 = [(k, v) for k, v in segs.items() if k[0] == 2]
+        assert len(doc2) == 1 and doc2[0][1][0] == "en"
