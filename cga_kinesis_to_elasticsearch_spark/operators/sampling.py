@@ -27,6 +27,7 @@ __all__ = [
     "sample_key",
     "stratified_hash_sample",
     "weighted_hash_sample",
+    "negative_samples",
     "temperature_mix",
     "per_key_cap",
     "group_split",
@@ -253,3 +254,86 @@ def group_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    n_negatives: int = 2,
+    seed: str = "neg0",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row is paired with the next ``n_negatives`` rows along a
+    salted md5 hash ring — effectively uniform-random partners, but
+    reproducible across runs/engines/retries (the property RNG
+    sampling can't give a resumable pipeline) and guaranteed
+    anchor != negative. The ring wraps, so every anchor gets exactly
+    ``n_negatives`` partners.
+
+    Output: ``(anchor_id, negative_id, neg_rank 1..n)``.
+
+    Scale shape: ONE global sort by the hash (a range-partitioned
+    sort, the same cost as any ORDER BY); the pairing is lead() over
+    that order, so no self-join and no shuffle beyond the sort. The
+    ring wrap costs a broadcast of the first ``n_negatives`` rows.
+    Changing the seed re-deals all partners independently.
+    """
+    if n_negatives < 1:
+        raise ValueError(f"n_negatives must be >= 1: {n_negatives}")
+    ring = df.select(
+        F.col(id_col).alias("anchor_id"),
+        sample_key(F.col(id_col), seed).alias("__pos"),
+    )
+    w = Window.orderBy("__pos", "anchor_id")
+    leads = ring.select(
+        "anchor_id",
+        *[
+            F.lead("anchor_id", i).over(w).alias(f"__n{i}")
+            for i in range(1, n_negatives + 1)
+        ],
+        F.row_number().over(w).alias("__rn"),
+    )
+    # ring wrap: row rn's partner i sits at position rn + i, or at
+    # rn + i - N once past the end — always within the first
+    # n_negatives rows, which broadcast as a tiny ordered array
+    head = (
+        ring.orderBy("__pos", "anchor_id")
+        .limit(n_negatives)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "anchor_id"))
+                ),
+                lambda x: x["anchor_id"],
+            ).alias("__head")
+        )
+    )
+    n_total = ring.agg(F.count(F.lit(1)).alias("__N"))
+    out = (
+        leads.crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "anchor_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.coalesce(
+                            F.col(f"__n{i}"),
+                            F.element_at(
+                                F.col("__head"),
+                                (F.col("__rn") + i - F.col("__N")).cast(
+                                    "int"
+                                ),
+                            ),
+                        )
+                        for i in range(1, n_negatives + 1)
+                    ]
+                )
+            ).alias("__i", "negative_id"),
+        )
+    )
+    return out.select(
+        "anchor_id",
+        "negative_id",
+        (F.col("__i") + 1).alias("neg_rank"),
+    ).filter(F.col("negative_id") != F.col("anchor_id"))

@@ -459,3 +459,50 @@ def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _WS_CAP,
         seed=_WS_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (sampling.negative_samples)
+# ---------------------------------------------------------------------------
+
+_NEG_SEED, _NEG_K = "neg0", 2
+
+_NEG_ORACLE = f"""
+WITH ring AS (
+  SELECT doc_id AS anchor_id,
+         substring(md5('{_NEG_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS pos
+  FROM documents),
+leads AS (
+  SELECT anchor_id,
+         lead(anchor_id, 1) OVER w AS n1,
+         lead(anchor_id, 2) OVER w AS n2,
+         row_number() OVER w AS rn
+  FROM ring WINDOW w AS (ORDER BY pos, anchor_id)),
+head AS (
+  SELECT list(anchor_id ORDER BY pos, anchor_id) AS h
+  FROM (SELECT * FROM ring ORDER BY pos, anchor_id LIMIT {_NEG_K})),
+n AS (SELECT count(*) AS N FROM ring),
+x AS (
+  SELECT anchor_id, 1 AS neg_rank,
+         coalesce(n1, h[CAST(rn + 1 - N AS INT)]) AS negative_id
+  FROM leads, head, n
+  UNION ALL
+  SELECT anchor_id, 2,
+         coalesce(n2, h[CAST(rn + 2 - N AS INT)])
+  FROM leads, head, n)
+SELECT anchor_id, negative_id, CAST(neg_rank AS INT) AS neg_rank
+FROM x WHERE negative_id <> anchor_id
+"""
+
+
+@q("negative_samples_ring", _NEG_ORACLE)
+def _negative_samples_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-ring negative sampling for contrastive
+    training pairs (sampling.negative_samples): each anchor's
+    negatives are its successors on a salted md5 ring — effectively
+    uniform partners, reproducible across runs/engines/retries, every
+    anchor gets exactly k. One range-partitioned sort + lead(); no
+    self-join, no RNG; the ring wrap borrows the broadcast head."""
+    docs = _tp(spark, sf_dir, "documents")
+    return SM.negative_samples(docs, "doc_id", _NEG_K, seed=_NEG_SEED)

@@ -147,3 +147,38 @@ class TestAverageHash:
 
         with pytest.raises(ValueError):
             M.hamming_near_pairs(df, "id", "h", n_bands=3, max_distance=3)
+
+
+class TestNegativeSamples:
+    def test_every_anchor_exactly_k_and_no_self(self, spark):
+        from collections import Counter
+
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
+            negative_samples,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(25)], "id long")
+        out = negative_samples(df, "id", 3).collect()
+        counts = Counter(r["anchor_id"] for r in out)
+        assert set(counts) == set(range(25))
+        assert all(v == 3 for v in counts.values())
+        assert all(r["anchor_id"] != r["negative_id"] for r in out)
+        # deterministic across runs
+        again = negative_samples(df, "id", 3).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_seed_changes_partners(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
+            negative_samples,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(40)], "id long")
+        a = {
+            (r["anchor_id"], r["negative_id"])
+            for r in negative_samples(df, "id", 1, seed="s1").collect()
+        }
+        b = {
+            (r["anchor_id"], r["negative_id"])
+            for r in negative_samples(df, "id", 1, seed="s2").collect()
+        }
+        assert a != b
