@@ -455,18 +455,15 @@ def paragraph_dedup(
     )
 
 
-def containment(a: Column, b: Column, ndigits: int = 4) -> Column:
+def containment(a: Column, b: Column, ndigits: int | None = 4) -> Column:
     """Directed containment |a INTERSECT b| / |a| of two array-set
     columns: ~1.0 when a is (nearly) a subset of b. The asymmetric
     companion to jaccard — a boilerplate-wrapped copy of a page has low
-    Jaccard against the original but containment ~1 in one direction."""
+    Jaccard against the original but containment ~1 in one direction.
+    ``ndigits=None`` returns the raw ratio (for threshold decisions)."""
     inter = F.size(F.array_intersect(a, b))
-    return F.round(
-        F.when(F.size(a) == 0, F.lit(0.0)).otherwise(
-            inter / F.size(a)
-        ),
-        ndigits,
-    )
+    ratio = F.when(F.size(a) == 0, F.lit(0.0)).otherwise(inter / F.size(a))
+    return F.round(ratio, ndigits) if ndigits is not None else ratio
 
 
 def containment_pairs(
@@ -523,23 +520,31 @@ def containment_pairs(
         .select(
             "id_a",
             "id_b",
-            containment(F.col("__sa"), F.col("__sb")).alias("containment_ab"),
-            containment(F.col("__sb"), F.col("__sa")).alias("containment_ba"),
+            # threshold decisions use the UNROUNDED ratios — rounding
+            # first would admit pairs up to 5e-5 below the bar (and
+            # mislabel the relation); output columns are rounded for
+            # cross-engine hash stability only
+            containment(F.col("__sa"), F.col("__sb"), ndigits=None).alias(
+                "__raw_ab"
+            ),
+            containment(F.col("__sb"), F.col("__sa"), ndigits=None).alias(
+                "__raw_ba"
+            ),
         )
     )
     thr = F.lit(float(threshold))
     return pairs.filter(
-        (F.col("containment_ab") >= thr) | (F.col("containment_ba") >= thr)
+        (F.col("__raw_ab") >= thr) | (F.col("__raw_ba") >= thr)
     ).select(
         "id_a",
         "id_b",
-        "containment_ab",
-        "containment_ba",
+        F.round("__raw_ab", 4).alias("containment_ab"),
+        F.round("__raw_ba", 4).alias("containment_ba"),
         F.when(
-            (F.col("containment_ab") >= thr) & (F.col("containment_ba") >= thr),
+            (F.col("__raw_ab") >= thr) & (F.col("__raw_ba") >= thr),
             "mutual",
         )
-        .when(F.col("containment_ab") >= thr, "a_in_b")
+        .when(F.col("__raw_ab") >= thr, "a_in_b")
         .otherwise("b_in_a")
         .alias("relation"),
     )

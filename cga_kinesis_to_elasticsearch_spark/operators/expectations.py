@@ -130,16 +130,26 @@ def check_expectations(
     # one-row agg -> one exploded row per non-FK expectation: a UNION
     # of per-expectation selects over `counted` would re-evaluate the
     # scan once per branch; the array-explode keeps it ONE pass
+    def _entry(name: str, raw, threshold: float):
+        # `passed` compares the UNROUNDED metric: rounding to 6 digits
+        # would let violation rates under ~5e-7 slip a threshold=1.0
+        # gate (one bad row in 2M rounds to 1.0) — exactly the rows a
+        # DQ gate exists to catch. The rounded metric is for display /
+        # cross-engine hashing only.
+        return F.struct(
+            F.lit(name).alias("expectation"),
+            F.round(raw, 6).alias("metric"),
+            F.lit(float(threshold)).alias("threshold"),
+            (raw >= F.lit(float(threshold))).alias("passed"),
+        )
+
     entries = [
-        F.struct(
-            F.lit(e.name).alias("expectation"),
-            F.round(
-                F.when(F.col("__total") == 0, F.lit(1.0)).otherwise(
-                    F.col(f"__ok{i}").cast("double") / F.col("__total")
-                ),
-                6,
-            ).alias("metric"),
-            F.lit(float(e.threshold)).alias("threshold"),
+        _entry(
+            e.name,
+            F.when(F.col("__total") == 0, F.lit(1.0)).otherwise(
+                F.col(f"__ok{i}").cast("double") / F.col("__total")
+            ),
+            e.threshold,
         )
         for i, e in enumerate(specs)
         if e.kind != "foreign_key"
@@ -148,7 +158,7 @@ def check_expectations(
     if entries:
         out = counted.select(
             F.explode(F.array(*entries)).alias("e")
-        ).select("e.expectation", "e.metric", "e.threshold")
+        ).select("e.expectation", "e.metric", "e.threshold", "e.passed")
     for e in specs:
         if e.kind != "foreign_key":
             continue
@@ -156,26 +166,28 @@ def check_expectations(
             F.col("__k").isNotNull()
         )
         ref_keys = e.ref.select(
-            F.col(f"`{e.ref_col}`").alias("__k")
-        ).distinct()
-        orphans = keys.join(F.broadcast(ref_keys), "__k", "left_anti")
-        row = (
-            keys.agg(F.count(F.lit(1)).alias("__n"))
-            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("__bad")))
-            .select(
-                F.lit(e.name).alias("expectation"),
-                F.round(
-                    F.when(F.col("__n") == 0, F.lit(1.0)).otherwise(
-                        (F.col("__n") - F.col("__bad")).cast("double")
-                        / F.col("__n")
-                    ),
-                    6,
-                ).alias("metric"),
-                F.lit(float(e.threshold)).alias("threshold"),
-            )
-        )
+            F.col(f"`{e.ref_col}`").alias("__k"), F.lit(1).alias("__hit")
+        ).dropDuplicates(["__k"])
+        # one pass: left join (Catalyst/AQE picks broadcast when the
+        # dim fits — not forced, so a huge referenced table degrades to
+        # a shuffle join instead of OOMing the driver) + one aggregate
+        # for both the total and the orphan count
+        joined = keys.join(ref_keys, "__k", "left")
+        row = joined.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.when(F.col("__hit").isNull(), 1).otherwise(0)
+            ).alias("__bad"),
+        ).select(
+            _entry(
+                e.name,
+                F.when(F.col("__n") == 0, F.lit(1.0)).otherwise(
+                    (F.col("__n") - F.col("__bad")).cast("double")
+                    / F.col("__n")
+                ),
+                e.threshold,
+            ).alias("e")
+        ).select("e.expectation", "e.metric", "e.threshold", "e.passed")
         out = row if out is None else out.unionByName(row)
     assert out is not None, "empty expectation suite"
-    return out.withColumn(
-        "passed", F.col("metric") >= F.col("threshold")
-    )
+    return out

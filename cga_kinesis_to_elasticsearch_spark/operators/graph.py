@@ -40,15 +40,21 @@ def canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
-    """Orient each canonical edge from its lower-(degree, id) endpoint
-    (``lo``) to the higher one (``hi``)."""
-    deg = (
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(n, deg) over a canonical edge set."""
+    return (
         edges.select(F.col("a").alias("n"))
         .unionAll(edges.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def _oriented(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Orient each canonical edge from its lower-(degree, id) endpoint
+    (``lo``) to the higher one (``hi``)."""
+    if deg is None:
+        deg = _degrees(edges)
     e = (
         edges.join(deg.withColumnRenamed("n", "a"), "a")
         .withColumnRenamed("deg", "deg_a")
@@ -68,13 +74,15 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
     """Per-node triangle participation over a canonical edge set.
 
     Returns ``(node, n_triangles LONG)`` for nodes in >= 1 triangle.
     Each triangle is discovered exactly once (at its wedge apex) and
     credited to all three corners."""
-    o = _oriented(edges).persist()
+    o = _oriented(edges, deg).persist()
     try:
         e1 = o.select(
             F.col("lo").alias("apex"), F.col("hi").alias("v")
@@ -83,9 +91,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.col("lo").alias("apex"), F.col("hi").alias("w")
         )
         wedges = e1.join(e2, "apex").filter(F.col("v") < F.col("w"))
+        # canonical input is distinct and orientation is a bijection,
+        # so the closing set needs no dedup pass
         closing = o.select(
             F.least("lo", "hi").alias("v"), F.greatest("lo", "hi").alias("w")
-        ).distinct()
+        )
         tri = wedges.join(closing, ["v", "w"], "left_semi")
         corners = (
             tri.select(F.col("apex").alias("node"))
@@ -104,15 +114,13 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
     ``2 * triangles / (deg * (deg - 1))`` — 1.0 inside a clique, ~0 on
     a chain. Nodes with degree < 2 are excluded (undefined). Float
     work is one division of integer counts (cross-engine exact)."""
-    deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    tri = triangle_counts(edges)
+    # one degree aggregation serves both the coefficient denominator
+    # and the orientation inside triangle_counts
+    deg = _degrees(edges)
+    tri = triangle_counts(edges, deg)
     return (
-        deg.filter(F.col("deg") >= 2)
+        deg.withColumnRenamed("n", "node")
+        .filter(F.col("deg") >= 2)
         .join(tri, "node", "left")
         .select(
             "node",

@@ -261,44 +261,60 @@ def negative_samples(
     id_col: str,
     n_negatives: int = 2,
     seed: str = "neg0",
+    n_rings: int = 1,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training: each
     anchor row is paired with the next ``n_negatives`` rows along a
     salted md5 hash ring — effectively uniform-random partners, but
     reproducible across runs/engines/retries (the property RNG
     sampling can't give a resumable pipeline) and guaranteed
-    anchor != negative. The ring wraps, so every anchor gets exactly
-    ``n_negatives`` partners.
+    anchor != negative. Rings wrap, so every anchor gets exactly
+    ``n_negatives`` partners whenever its ring holds more than
+    ``n_negatives`` rows (degenerate tiny rings yield fewer — size
+    rings accordingly).
 
     Output: ``(anchor_id, negative_id, neg_rank 1..n)``.
 
-    Scale shape: ONE global sort by the hash (a range-partitioned
-    sort, the same cost as any ORDER BY); the pairing is lead() over
-    that order, so no self-join and no shuffle beyond the sort. The
-    ring wrap costs a broadcast of the first ``n_negatives`` rows.
-    Changing the seed re-deals all partners independently.
+    Scale shape: rows are dealt into ``n_rings`` INDEPENDENT rings by
+    a second hash, and each ring sorts/pairs in its own partition —
+    with n_rings ~ cluster parallelism this is an ordinary partitioned
+    sort + lead(), no self-join, no RNG. n_rings=1 (the default, fine
+    up to a few million rows) is a single-partition sort; at corpus
+    scale ALWAYS set n_rings high enough that no task holds the whole
+    table, and keep expected ring size >> n_negatives (ring
+    membership is hash-uniform, so partners stay effectively uniform
+    over the corpus). The per-ring wrap borrows that ring's first
+    ``n_negatives`` rows via one tiny broadcast.
     """
     if n_negatives < 1:
         raise ValueError(f"n_negatives must be >= 1: {n_negatives}")
+    if n_rings < 1:
+        raise ValueError(f"n_rings must be >= 1: {n_rings}")
+    pos = sample_key(F.col(id_col), seed)
     ring = df.select(
         F.col(id_col).alias("anchor_id"),
-        sample_key(F.col(id_col), seed).alias("__pos"),
+        pos.alias("__pos"),
+        (F.conv(F.substring(pos, 1, 4), 16, 10).cast("int") % n_rings).alias(
+            "__ring"
+        ),
     )
-    w = Window.orderBy("__pos", "anchor_id")
+    w = Window.partitionBy("__ring").orderBy("__pos", "anchor_id")
     leads = ring.select(
         "anchor_id",
+        "__ring",
         *[
             F.lead("anchor_id", i).over(w).alias(f"__n{i}")
             for i in range(1, n_negatives + 1)
         ],
         F.row_number().over(w).alias("__rn"),
     )
-    # ring wrap: row rn's partner i sits at position rn + i, or at
-    # rn + i - N once past the end — always within the first
-    # n_negatives rows, which broadcast as a tiny ordered array
-    head = (
-        ring.orderBy("__pos", "anchor_id")
-        .limit(n_negatives)
+    # per-ring wrap: row rn's partner i sits at ring position rn + i,
+    # or rn + i - N_ring once past the end — always within the ring's
+    # first n_negatives rows. Heads + sizes are n_rings tiny rows.
+    ranked = ring.withColumn("__rn", F.row_number().over(w))
+    heads = (
+        ranked.filter(F.col("__rn") <= n_negatives)
+        .groupBy("__ring")
         .agg(
             F.transform(
                 F.array_sort(
@@ -308,10 +324,10 @@ def negative_samples(
             ).alias("__head")
         )
     )
-    n_total = ring.agg(F.count(F.lit(1)).alias("__N"))
+    sizes = ring.groupBy("__ring").agg(F.count(F.lit(1)).alias("__N"))
     out = (
-        leads.crossJoin(F.broadcast(head))
-        .crossJoin(F.broadcast(n_total))
+        leads.join(F.broadcast(heads), "__ring")
+        .join(F.broadcast(sizes), "__ring")
         .select(
             "anchor_id",
             F.posexplode(
@@ -332,8 +348,14 @@ def negative_samples(
             ).alias("__i", "negative_id"),
         )
     )
-    return out.select(
-        "anchor_id",
-        "negative_id",
-        (F.col("__i") + 1).alias("neg_rank"),
-    ).filter(F.col("negative_id") != F.col("anchor_id"))
+    return (
+        out.select(
+            "anchor_id",
+            "negative_id",
+            (F.col("__i") + 1).alias("neg_rank"),
+        )
+        .filter(
+            F.col("negative_id").isNotNull()
+            & (F.col("negative_id") != F.col("anchor_id"))
+        )
+    )

@@ -1132,20 +1132,23 @@ cand AS (
 sh AS (SELECT doc_id, {_shingle_sql(_norm_sql('text'))} AS s FROM corpus),
 p AS (
   SELECT c.id_a, c.id_b,
-         round(CASE WHEN len(sa.s) = 0 THEN 0.0
-               ELSE len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) AS DOUBLE)
-               END, 4) AS containment_ab,
-         round(CASE WHEN len(sb.s) = 0 THEN 0.0
-               ELSE len(list_intersect(sb.s, sa.s)) / CAST(len(sb.s) AS DOUBLE)
-               END, 4) AS containment_ba
+         CASE WHEN len(sa.s) = 0 THEN 0.0
+              ELSE len(list_intersect(sa.s, sb.s)) / CAST(len(sa.s) AS DOUBLE)
+         END AS raw_ab,
+         CASE WHEN len(sb.s) = 0 THEN 0.0
+              ELSE len(list_intersect(sb.s, sa.s)) / CAST(len(sb.s) AS DOUBLE)
+         END AS raw_ba
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b)
-SELECT id_a, id_b, containment_ab, containment_ba,
-       CASE WHEN containment_ab >= 0.8 AND containment_ba >= 0.8 THEN 'mutual'
-            WHEN containment_ab >= 0.8 THEN 'a_in_b'
+-- threshold/relation decisions on the UNROUNDED ratios; output rounded
+SELECT id_a, id_b,
+       round(raw_ab, 4) AS containment_ab,
+       round(raw_ba, 4) AS containment_ba,
+       CASE WHEN raw_ab >= 0.8 AND raw_ba >= 0.8 THEN 'mutual'
+            WHEN raw_ab >= 0.8 THEN 'a_in_b'
             ELSE 'b_in_a' END AS relation
-FROM p WHERE containment_ab >= 0.8 OR containment_ba >= 0.8
+FROM p WHERE raw_ab >= 0.8 OR raw_ba >= 0.8
 """
 
 

@@ -30,12 +30,24 @@ def _index_root(sf_dir: str) -> Path:
     return Path(tempfile.gettempdir()) / "spark_graft_text_index" / sf
 
 
+_BUILT: set[str] = set()
+
+
 def _built_index(spark: SparkSession, sf_dir: str) -> Path:
+    """Build (once per process per SF) and return the index root. The
+    three search queries share one build instead of paying it each —
+    a fresh driver process always rebuilds, so a stale index can only
+    be seen within the process that just built it. (Concurrent
+    PROCESSES would race on the shared temp root; the driver and bench
+    run single-process, and tests use per-test tmp_paths.)"""
     from ..sinks.textindex import build_text_index
 
-    docs = _tp(spark, sf_dir, "documents")
     root = _index_root(sf_dir)
-    build_text_index(docs, root)
+    key = str(root)
+    if key not in _BUILT:
+        docs = _tp(spark, sf_dir, "documents")
+        build_text_index(docs, root)
+        _BUILT.add(key)
     return root
 
 

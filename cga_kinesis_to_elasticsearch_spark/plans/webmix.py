@@ -465,34 +465,37 @@ def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic negative sampling (sampling.negative_samples)
 # ---------------------------------------------------------------------------
 
-_NEG_SEED, _NEG_K = "neg0", 2
+_NEG_SEED, _NEG_K, _NEG_RINGS = "neg0", 2, 16
 
 _NEG_ORACLE = f"""
-WITH ring AS (
+WITH base AS (
   SELECT doc_id AS anchor_id,
          substring(md5('{_NEG_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)
            AS pos
   FROM documents),
-leads AS (
-  SELECT anchor_id,
+ring AS (
+  SELECT anchor_id, pos,
+         (('0x' || substring(pos, 1, 4))::BIGINT % {_NEG_RINGS}) AS ring
+  FROM base),
+ranked AS (
+  SELECT *, row_number() OVER w AS rn,
          lead(anchor_id, 1) OVER w AS n1,
-         lead(anchor_id, 2) OVER w AS n2,
-         row_number() OVER w AS rn
-  FROM ring WINDOW w AS (ORDER BY pos, anchor_id)),
-head AS (
-  SELECT list(anchor_id ORDER BY pos, anchor_id) AS h
-  FROM (SELECT * FROM ring ORDER BY pos, anchor_id LIMIT {_NEG_K})),
-n AS (SELECT count(*) AS N FROM ring),
+         lead(anchor_id, 2) OVER w AS n2
+  FROM ring WINDOW w AS (PARTITION BY ring ORDER BY pos, anchor_id)),
+heads AS (
+  SELECT ring, list(anchor_id ORDER BY pos, anchor_id) AS h
+  FROM ranked WHERE rn <= {_NEG_K} GROUP BY ring),
+sizes AS (SELECT ring, count(*) AS N FROM ring GROUP BY ring),
 x AS (
-  SELECT anchor_id, 1 AS neg_rank,
-         coalesce(n1, h[CAST(rn + 1 - N AS INT)]) AS negative_id
-  FROM leads, head, n
+  SELECT r.anchor_id, 1 AS neg_rank,
+         coalesce(r.n1, h.h[CAST(r.rn + 1 - s.N AS INT)]) AS negative_id
+  FROM ranked r JOIN heads h USING (ring) JOIN sizes s USING (ring)
   UNION ALL
-  SELECT anchor_id, 2,
-         coalesce(n2, h[CAST(rn + 2 - N AS INT)])
-  FROM leads, head, n)
+  SELECT r.anchor_id, 2,
+         coalesce(r.n2, h.h[CAST(r.rn + 2 - s.N AS INT)])
+  FROM ranked r JOIN heads h USING (ring) JOIN sizes s USING (ring))
 SELECT anchor_id, negative_id, CAST(neg_rank AS INT) AS neg_rank
-FROM x WHERE negative_id <> anchor_id
+FROM x WHERE negative_id IS NOT NULL AND negative_id <> anchor_id
 """
 
 
@@ -500,9 +503,13 @@ FROM x WHERE negative_id <> anchor_id
 def _negative_samples_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-ring negative sampling for contrastive
     training pairs (sampling.negative_samples): each anchor's
-    negatives are its successors on a salted md5 ring — effectively
-    uniform partners, reproducible across runs/engines/retries, every
-    anchor gets exactly k. One range-partitioned sort + lead(); no
-    self-join, no RNG; the ring wrap borrows the broadcast head."""
+    negatives are its successors on one of 16 INDEPENDENT salted md5
+    rings (ring membership is hash-uniform, so partners are still
+    effectively uniform over the corpus) — reproducible across runs/
+    engines/retries, exactly k per anchor once rings exceed k rows.
+    The partitioned rings keep the sort+lead() an ordinary parallel
+    window, never a single-partition global sort."""
     docs = _tp(spark, sf_dir, "documents")
-    return SM.negative_samples(docs, "doc_id", _NEG_K, seed=_NEG_SEED)
+    return SM.negative_samples(
+        docs, "doc_id", _NEG_K, seed=_NEG_SEED, n_rings=_NEG_RINGS
+    )

@@ -96,7 +96,16 @@ def refresh_centroids(
             ).alias("bsum"),
             F.max("c").alias("bn"),
         )
+        # <= k rows; persist so the absorbed-count read and the merge
+        # below share ONE batch scan (recomputing the lineage would
+        # re-run the whole batch pipeline a second time)
+        .persist()
     )
+    # absorbed = what the state actually folded in (rows assigned to a
+    # cell), not a recount of the raw batch — the two can differ when
+    # assignment yields NULL (e.g. zero-norm vectors), which the merge
+    # path drops
+    absorbed = sum(r["bn"] for r in sums.select("bn").collect())
     merged = (
         state.join(sums, "cell_id", "left")
         .select(
@@ -116,7 +125,9 @@ def refresh_centroids(
         )
     )
     _, tmp, _ = part_paths(root, _PART)
-    merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    try:
+        merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    finally:
+        sums.unpersist(blocking=False)
     swap_in(root, _PART)
-    absorbed = v.count()
     return absorbed

@@ -53,7 +53,10 @@ _STAGING = ".tmp-__upsert__"
 @dataclass
 class UpsertStats:
     buckets_touched: int = 0
-    rows_after: int = 0
+    #: live (non-tombstone) rows in the TOUCHED buckets after the
+    #: apply — derived from the rewrite output, never a full-table
+    #: scan (which would defeat the O(touched) per-batch cost)
+    rows_in_touched: int = 0
     touched: list[str] = field(default_factory=list)
 
 
@@ -120,6 +123,9 @@ def apply_upserts(
         .drop("__rn")
     )
     latest.write.partitionBy("bucket").parquet(str(staging))
+    stats.rows_in_touched = (
+        spark.read.parquet(str(staging)).filter(~F.col("__tomb")).count()
+    )
     for part in sorted(staging.iterdir()):
         if part.is_dir() and part.name.startswith("bucket="):
             tmp = root / f".tmp-{part.name}"
@@ -129,7 +135,6 @@ def apply_upserts(
             swap_in(root, part.name)
             stats.touched.append(part.name)
     shutil.rmtree(staging, ignore_errors=True)
-    stats.rows_after = read_upsert_table(spark, root).count()
     return stats
 
 

@@ -76,6 +76,7 @@ def main() -> int:
     print("|---|---|---|---|---|")
     for name in QUERIES:
         times = []
+        err = None
         for sf in SFS:
             best = math.inf
             for _ in range(2):
@@ -85,12 +86,14 @@ def main() -> int:
                         "overwrite"
                     ).save()
                 except Exception as exc:  # noqa: BLE001
-                    print(f"| {name} | ERROR: {exc} | | | |")
-                    best = None
-                    break
+                    # keep a successful first attempt's timing; only a
+                    # fully-failed SF poisons the row
+                    err = f"{type(exc).__name__}"
+                    continue
                 best = min(best, time.perf_counter() - t0)
-            times.append(best)
+            times.append(best if best != math.inf else None)
         if any(t is None for t in times):
+            print(f"| {name} | ERROR ({err}) | | | |")
             continue
         exp = math.log10(times[2] / times[1]) if times[1] > 0 else float("nan")
         print(
