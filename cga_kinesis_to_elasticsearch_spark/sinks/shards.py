@@ -31,7 +31,13 @@ from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-__all__ = ["shard_of", "row_checksum", "export_shards", "read_manifest"]
+__all__ = [
+    "shard_of",
+    "row_checksum",
+    "export_shards",
+    "export_jsonl_shards",
+    "read_manifest",
+]
 
 
 def shard_of(id_col: str, n_shards: int, seed: str = "shard") -> Column:
@@ -93,3 +99,62 @@ def export_shards(
 
 def read_manifest(root: str | Path) -> dict:
     return json.loads((Path(root) / "manifest.json").read_text())
+
+
+def export_jsonl_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str | Path,
+    n_shards: int,
+    id_col: str,
+    content_cols: list[str],
+    seed: str = "shard",
+) -> DataFrame:
+    """JSONL variant of export_shards — the delivery format most
+    training loaders consume directly (one JSON object per line,
+    gzip-compressed). Same deterministic md5 placement, same
+    read-back manifest contract: counts and order-free checksums are
+    computed from the LANDED .json.gz files, so the manifest certifies
+    the text actually on disk (including that every value survived
+    JSON serialization), not the input plan.
+
+    Only ``id_col`` + ``content_cols`` are exported (JSONL is a
+    delivery format, not a storage format — keep it lean); timestamps
+    or other non-JSON-native types must be pre-rendered to strings by
+    the caller, same as the CSV/JSONL source writers."""
+    root = Path(root)
+    data = root / "data"
+    out = df.select(
+        F.col(id_col), *[F.col(c) for c in content_cols]
+    ).withColumn("shard", shard_of(id_col, n_shards, seed))
+    (
+        out.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("compression", "gzip")
+        .json(str(data))
+    )
+    landed = spark.read.json(str(data)).select(
+        "shard", F.col(id_col), *[F.col(c) for c in content_cols]
+    )
+    manifest = (
+        landed.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(row_checksum(id_col, content_cols)).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+    rows = [r.asDict() for r in manifest.collect()]
+    (root / "manifest.json").write_text(
+        json.dumps(
+            {
+                "n_shards": n_shards,
+                "seed": seed,
+                "format": "jsonl",
+                "shards": rows,
+            },
+            indent=1,
+        )
+    )
+    return spark.createDataFrame(rows, "shard long, n_rows long, checksum long")

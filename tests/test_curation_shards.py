@@ -88,3 +88,46 @@ class TestShardExport:
         # same expression, same placement
         b = df.select("doc_id", shard_of("doc_id", 8).alias("s"))
         assert a.exceptAll(b).count() == 0
+
+
+class TestJsonlShards:
+    def test_jsonl_manifest_matches_parquet_manifest(self, spark, sf_dir, tmp_path):
+        """Same placement + same order-free checksum regardless of the
+        landing format: the JSONL export's read-back manifest must
+        equal the parquet export's — certifying every value survived
+        JSON text serialization."""
+        import gzip
+
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.sinks.shards import (
+            export_jsonl_shards,
+            export_shards,
+            read_manifest,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        mp = {
+            r["shard"]: (r["n_rows"], r["checksum"])
+            for r in export_shards(
+                spark, docs, tmp_path / "pq", 4, "doc_id", ["text", "lang"]
+            ).collect()
+        }
+        mj = {
+            r["shard"]: (r["n_rows"], r["checksum"])
+            for r in export_jsonl_shards(
+                spark, docs, tmp_path / "jl", 4, "doc_id", ["text", "lang"]
+            ).collect()
+        }
+        assert mj == mp and len(mj) == 4
+        assert read_manifest(tmp_path / "jl")["format"] == "jsonl"
+        # the files really are gzipped line-JSON, one object per row
+        files = sorted((tmp_path / "jl" / "data").rglob("*.json.gz"))
+        assert files
+        with gzip.open(files[0], "rt") as fh:
+            first = fh.readline()
+        import json as _json
+
+        obj = _json.loads(first)
+        assert {"doc_id", "text", "lang"} <= set(obj)
