@@ -368,3 +368,69 @@ def _interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("v_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Finite-horizon EWMA smoothing of the daily series. True EWMA is an
+# infinite recursion (not SQL-replayable bit-exactly); truncating at H
+# terms bounds the difference by (1-a)^H (<1% of a unit step at
+# a=0.3, H=12) and makes every weight a LITERAL — both engines
+# evaluate the identical weighted sum in the identical order, so no
+# runtime pow() and no cross-engine float drift.
+# ---------------------------------------------------------------------------
+
+_EWMA_A, _EWMA_H = 0.3, 12
+_EWMA_W = [_EWMA_A * (1 - _EWMA_A) ** j for j in range(_EWMA_H)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(CAST(n AS DOUBLE), {j}) OVER w, 0.0) * {w!r}"
+        for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(n, {j}) OVER w IS NULL THEN 0.0 ELSE {w!r} END)"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+sm AS (
+  SELECT event_type, day, n,
+         ({num}) AS s_num, ({den}) AS s_den
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(s_num / s_den, 6) AS ewma
+FROM sm
+"""
+
+
+@q("ewma_daily_counts", _ewma_oracle())
+def _ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing of per-type daily volumes
+    (a=0.3, 12-term horizon): the trend line under the z-score anomaly
+    flags. The window runs on the AGGREGATED daily series; the lag
+    chain is one sort within the same exchange; weights are literals
+    shared with the oracle, normalized by the weights actually
+    available so the series start is unbiased."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        lj = F.lag(F.col("n").cast("double"), j).over(w)
+        term = F.coalesce(lj, F.lit(0.0)) * F.lit(wt)
+        dterm = F.when(lj.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(num / den, 6).alias("ewma"),
+    )
