@@ -704,3 +704,61 @@ def _dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         E.foreign_key("o_custkey", customer, "c_custkey"),
     ]
     return E.check_expectations(orders, suite)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): the SQL-surface
+# operator ordinary equi-joins silently drop rows on — NULL keys match
+# NULL keys. Keys are synthesized NULL identically on both sides.
+# ---------------------------------------------------------------------------
+
+_NSJ_ORACLE = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 10 = 0 THEN NULL ELSE user_id END AS k,
+         event_id
+  FROM events),
+dim AS (
+  SELECT DISTINCT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS k,
+         CASE WHEN user_id % 7 = 0 THEN 'unattributed'
+              ELSE 'user-' || CAST(user_id AS VARCHAR) END AS label
+  FROM events WHERE user_id IS NOT NULL)
+SELECT coalesce(CAST(ev.k AS VARCHAR), '<null>') AS join_key,
+       dim.label,
+       count(*) AS n_events
+FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+GROUP BY 1, 2
+"""
+
+
+@q("null_safe_join_counts", _NSJ_ORACLE)
+def _null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Column.eqNullSafe, SQL `<=>`): the
+    "unattributed bucket" pattern — events whose key was nulled out
+    still join the dimension's NULL row instead of silently vanishing
+    from an inner join. Same broadcast-hash-join plan as plain
+    equality (null-safe equality is still an equi-join key for
+    Catalyst, not a nested loop)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 10 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+    )
+    dim = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("user_id"))
+            .alias("k"),
+            F.when(F.col("user_id") % 7 == 0, F.lit("unattributed"))
+            .otherwise(F.concat(F.lit("user-"), F.col("user_id").cast("string")))
+            .alias("label"),
+        )
+        .distinct()
+    )
+    joined = ev.join(dim, ev["k"].eqNullSafe(dim["k"]))
+    return joined.groupBy(
+        F.coalesce(ev["k"].cast("string"), F.lit("<null>")).alias("join_key"),
+        "label",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
