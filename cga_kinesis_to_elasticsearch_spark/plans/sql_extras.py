@@ -762,3 +762,84 @@ def _null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(ev["k"].cast("string"), F.lit("<null>")).alias("join_key"),
         "label",
     ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+_RATIO_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         round(sum(o.o_totalprice), 2) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT region, nation, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY region), 6)
+         AS region_share
+FROM rev
+"""
+
+
+@q("ratio_to_region_total", _RATIO_ORACLE)
+def _ratio_to_region_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue —
+    the percent-of-total window every BI layer asks for. The window
+    runs on the AGGREGATED (region, nation) rollup (25 rows), never
+    raw facts; shares divide the same ROUNDED revenue on both engines
+    so the quotient is bit-identical."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            r["r_name"].alias("region"), n["n_name"].alias("nation")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
+    )
+
+
+_ARGMAX_ORACLE = """
+SELECT o_custkey,
+       arg_max(o_orderkey,
+               printf('%020.2f|%010d', o_totalprice, o_orderkey))
+         AS biggest_order,
+       round(max(o_totalprice), 2) AS biggest_total
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@q("argmax_order_per_customer", _ARGMAX_ORACLE)
+def _argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax aggregation (F.max_by / DuckDB arg_max): each customer's
+    highest-value order id in ONE map-side-combinable aggregate — the
+    window-free latest/largest-row-per-key shape (row_number+filter
+    pays a full sort; max_by carries one candidate per partial). Ties
+    break on the higher order id via a fixed-width composite ordering
+    string identical on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by(
+            "o_orderkey",
+            # fixed-width composite ordering string: lexicographic ==
+            # numeric for zero-padded fields, identical on both engines
+            # (DuckDB's arg_max rejects struct ordering keys)
+            F.format_string(
+                "%020.2f|%010d", F.col("o_totalprice"), F.col("o_orderkey")
+            ),
+        ).alias("biggest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
+    )
