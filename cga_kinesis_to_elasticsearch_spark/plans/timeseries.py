@@ -434,3 +434,39 @@ def _ewma_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local-time reporting (from_utc_timestamp): the reference serves
+# gov.au operators — dashboards read Sydney local time, with DST.
+# The oracle's nested timezone() calls pin the conversion to
+# UTC-stored-instants regardless of the DuckDB session TimeZone.
+# ---------------------------------------------------------------------------
+
+_TZ = "Australia/Sydney"
+
+_LOCALTIME_ORACLE = f"""
+WITH loc AS (
+  SELECT event_type,
+         strftime(timezone('{_TZ}', timezone('UTC', ts)), '%H') AS local_hour
+  FROM events)
+SELECT event_type, CAST(local_hour AS INT) AS local_hour,
+       count(*) AS n_events
+FROM loc GROUP BY 1, 2
+"""
+
+
+@q("local_hour_counts", _LOCALTIME_ORACLE)
+def _local_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume by SYDNEY-local hour (from_utc_timestamp with full
+    DST handling — verified across the AEST/AEDT boundary by the
+    fixture's multi-month span): the operator-facing view of a
+    UTC-stored stream. A narrow expression + one tiny aggregated
+    rollup; the session stays UTC, only the DISPLAY hour shifts."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.from_utc_timestamp("ts", _TZ), "HH")
+        .cast("int")
+        .alias("local_hour"),
+    ).agg(F.count("*").alias("n_events"))
