@@ -33,6 +33,8 @@ __all__ = [
     "unigram_logprob",
     "STOPWORDS",
     "LANG_MARKERS",
+    "ACCENT_MAP",
+    "fold_accents",
 ]
 
 # Tiny English stopword core — enough for a ratio feature.
@@ -725,3 +727,21 @@ def language_segments(
         F.max("win_no").alias("to_win"),
         F.count(F.lit(1)).alias("n_windows"),
     )
+
+
+#: explicit accent-folding map (NFD-style base letters for the Latin-1
+#: range) — an EXPLICIT table rather than locale-dependent library
+#: stripping, so every engine folds identically
+ACCENT_MAP = (
+    "àáâãäåèéêëìíîïòóôõöùúûüýÿñçšžÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇŠŽ",
+    "aaaaaaeeeeiiiiooooouuuuyyncszAAAAAAEEEEIIIIOOOOOUUUUYNCSZ",
+)
+
+
+def fold_accents(col: Column) -> Column:
+    """Fold Latin accented letters to their base letters via an
+    explicit translate table — the unicode-robustness step ahead of
+    normalized_text (whose [^a-z0-9\\s] strip would otherwise DELETE
+    accented letters entirely, silently corrupting non-English text:
+    'café' -> 'caf' instead of 'cafe')."""
+    return F.translate(col, ACCENT_MAP[0], ACCENT_MAP[1])

@@ -1233,3 +1233,65 @@ def _language_segments_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.concat_ws(" ", "text", "__t2").alias("text")
     )
     return T.language_segments(mixed, "text", "doc_id", window_tokens=_SEG_W)
+
+
+# ---------------------------------------------------------------------------
+# Accent folding (text.fold_accents): unicode-robust normalization.
+# Accented variants are synthesized identically on both sides (vowels
+# of odd docs swapped for accented forms); folding must restore the
+# original text EXACTLY — witnessed by md5 equality — and the accent
+# count is replayed via delete-translate.
+# ---------------------------------------------------------------------------
+
+_ACC_FROM, _ACC_TO = "aeiou", "áéíóú"
+
+_ACCENT_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1
+              THEN translate(text, '{_ACC_FROM}', '{_ACC_TO}')
+              ELSE text END AS accented,
+         text AS original
+  FROM documents)
+SELECT doc_id,
+       CAST(length(accented)
+            - length(translate(accented, '{_ACC_TO}', '')) AS BIGINT)
+         AS n_accented,
+       md5(translate(accented, '{_ACC_TO}', '{_ACC_FROM}'))
+         = md5(original) AS restored_ok
+FROM synth
+"""
+
+
+@q("accent_fold_roundtrip", _ACCENT_ORACLE)
+def _accent_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding ahead of ASCII normalization (text.fold_accents:
+    an EXPLICIT translate table, not locale-dependent stripping —
+    normalized_text's [^a-z0-9] strip would DELETE accented letters,
+    'café' -> 'caf'). Synthesized accented docs must fold back to
+    md5-identical originals; narrow codegen expressions only."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.translate("text", _ACC_FROM, _ACC_TO),
+        )
+        .otherwise(F.col("text"))
+        .alias("accented"),
+        F.col("text").alias("original"),
+    )
+    from ..operators.text import fold_accents
+
+    return synth.select(
+        "doc_id",
+        (
+            F.length("accented")
+            - F.length(F.translate("accented", _ACC_TO, ""))
+        )
+        .cast("long")
+        .alias("n_accented"),
+        (
+            F.md5(fold_accents(F.col("accented"))) == F.md5(F.col("original"))
+        ).alias("restored_ok"),
+    )

@@ -843,3 +843,33 @@ def _argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("biggest_order"),
         F.round(F.max("o_totalprice"), 2).alias("biggest_total"),
     )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+SELECT user_id,
+       arg_max(event_type, printf('%010d|%s', n, event_type))
+         AS modal_type,
+       max(n) AS n_modal
+FROM c GROUP BY user_id
+"""
+
+
+@q("modal_event_type_per_user", _MODE_ORACLE)
+def _modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each user's most frequent event type. The
+    built-in mode() is tie-UNDEFINED on both engines, so this is the
+    portable form — count rollup, then an argmax whose ordering string
+    breaks count ties by the lexicographically larger value. Two
+    map-side-combinable aggregations, no window, no sort."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return c.groupBy("user_id").agg(
+        F.max_by(
+            "event_type",
+            F.format_string("%010d|%s", F.col("n"), F.col("event_type")),
+        ).alias("modal_type"),
+        F.max("n").alias("n_modal"),
+    )
