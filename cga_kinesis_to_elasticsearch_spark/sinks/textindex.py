@@ -52,6 +52,7 @@ __all__ = [
     "search_and",
     "bm25_topk",
     "phrase_search",
+    "append_to_text_index",
     "term_bucket",
 ]
 
@@ -241,3 +242,121 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def append_to_text_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    root: str | Path,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Incrementally index a batch of NEW documents — Elasticsearch's
+    defining property (continuous indexing) on the Spark-native index:
+    per batch, merge the batch's postings into only the term buckets
+    the batch touches, extend the doc-length table, and bump the
+    corpus stats. After any sequence of appends the three tables are
+    ROW-IDENTICAL to a one-shot build over the union (pinned in
+    test_textindex.py), so search/BM25 results cannot depend on how
+    the corpus arrived.
+
+    Replay safety: a re-delivered document is detected by doc_id
+    (first writer wins — documents are immutable in this pipeline, T1
+    semantics) and contributes nothing the second time, so
+    at-least-once delivery needs no transactions. Crash safety: the
+    touched postings buckets and doc-length shards follow the shared
+    swap protocol (_swap.py); stats are rewritten last from the
+    durable doc table slice, so a crash between steps at worst loses
+    the stats refresh, which the next append rebuilds.
+
+    Cost per batch: one batch tokenize + a shuffle of batch-sized
+    postings + rewrite of touched buckets (bounded by those buckets'
+    stored size, not the corpus).
+    """
+    import shutil
+
+    from ._swap import recover_and_sweep, swap_in
+
+    root = Path(root)
+    (root / "postings").mkdir(parents=True, exist_ok=True)
+    recover_and_sweep(root / "postings")
+    recover_and_sweep(root / "docs")
+
+    # drop already-indexed docs (replay / duplicate delivery)
+    docs_dir = root / "docs"
+    have_docs = any(docs_dir.glob("*.parquet")) or any(
+        docs_dir.glob("*/*.parquet")
+    )
+    new_docs = batch.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    if have_docs:
+        stored_dl = spark.read.parquet(str(docs_dir))
+        new_docs = new_docs.join(
+            stored_dl.select("doc_id"), "doc_id", "left_anti"
+        )
+    toks = new_docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(normalized_text(F.col(text_col)), " ")
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    bpost = (
+        toks.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.array_sort(F.collect_list("pos")).alias("positions"),
+        )
+        .withColumn("bucket", term_bucket(F.col("term")))
+        .persist()
+    )
+    try:
+        touched = sorted(
+            r["bucket"] for r in bpost.select("bucket").distinct().collect()
+        )
+        n_new = bpost.select("doc_id").distinct().count()
+        if not touched:
+            return 0
+        existing = [
+            b for b in touched if (root / "postings" / f"bucket={b}").exists()
+        ]
+        merged = bpost
+        if existing:
+            stored = (
+                spark.read.option("basePath", str(root / "postings"))
+                .parquet(
+                    *[str(root / "postings" / f"bucket={b}") for b in existing]
+                )
+            )
+            merged = stored.unionByName(bpost)
+        staging = root / "postings" / ".tmp-__append__"
+        if staging.exists():
+            shutil.rmtree(staging)
+        merged.repartition(F.col("bucket")).write.partitionBy(
+            "bucket"
+        ).parquet(str(staging))
+        for part in sorted(staging.iterdir()):
+            if part.is_dir() and part.name.startswith("bucket="):
+                tmp = root / "postings" / f".tmp-{part.name}"
+                if tmp.exists():
+                    shutil.rmtree(tmp)
+                part.rename(tmp)
+                swap_in(root / "postings", part.name)
+        shutil.rmtree(staging, ignore_errors=True)
+
+        # doc lengths: append-only (new docs never collide with stored)
+        new_dl = bpost.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        new_dl.write.mode("append").parquet(str(docs_dir))
+        # stats: recompute from the durable doc table (slim; one agg)
+        full_dl = spark.read.parquet(str(docs_dir))
+        stats_tmp = root / ".tmp-stats"
+        if stats_tmp.exists():
+            shutil.rmtree(stats_tmp)
+        full_dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+        ).coalesce(1).write.parquet(str(stats_tmp))
+        final_stats = root / "stats"
+        if final_stats.exists():
+            shutil.rmtree(final_stats)
+        stats_tmp.rename(final_stats)
+        return n_new
+    finally:
+        bpost.unpersist(blocking=False)

@@ -152,6 +152,16 @@ class StreamConfig:
     upsert_path: str = ""
     upsert_key_col: str = ""
     upsert_seq_col: str = "timestamp"
+    # Incremental full-text index (sinks/textindex.py): per batch,
+    # merge the batch documents' postings into the persisted inverted
+    # index — the stream becomes BM25/phrase-searchable as it lands,
+    # the reference's Elasticsearch promise served by the engine
+    # itself. text_index_col names the document text field to index —
+    # nested paths work plainly ("parsed_generic.log_event"); quote
+    # literal-dot column names with backticks ("`@cf.app`"). Off
+    # unless both are set.
+    text_index_path: str = ""
+    text_index_col: str = ""
     # Per-batch data-quality report (operators/expectations.py): after
     # the sink write, evaluate the suite against the batch's documents
     # and append (expectation, metric, threshold, passed, batch_id)
@@ -288,6 +298,19 @@ def run_stream(
                         key_col=cfg.upsert_key_col,
                         seq_col=cfg.upsert_seq_col,
                         tiebreak_col="doc_id",
+                    )
+                if cfg.text_index_path and cfg.text_index_col:
+                    from ..sinks.textindex import append_to_text_index
+
+                    append_to_text_index(
+                        spark,
+                        docs.select(
+                            "doc_id",
+                            F.col(cfg.text_index_col).alias("text"),
+                        ).filter(F.col("text").isNotNull()),
+                        cfg.text_index_path,
+                        text_col="text",
+                        id_col="doc_id",
                     )
                 if cfg.dq_path and cfg.dq_specs:
                     from ..operators.expectations import check_expectations

@@ -146,3 +146,139 @@ class TestPhraseSearch:
 
         # both terms exist corpus-wide but never adjacently in doc 3
         assert phrase_search(spark, index, ["vector", "merge"]).count() == 0
+
+
+class TestIncrementalAppend:
+    def test_appends_equal_one_shot_build(self, spark, sf_dir, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            append_to_text_index,
+            bm25_topk,
+            build_text_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        inc = tmp_path / "inc"
+        for part in range(3):
+            n = append_to_text_index(
+                spark, docs.filter(F.col("doc_id") % 3 == part), inc
+            )
+            assert n > 0
+        ref = tmp_path / "ref"
+        build_text_index(docs, ref)
+
+        def postings(root):
+            return {
+                (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+                for r in spark.read.parquet(f"{root}/postings").collect()
+            }
+
+        assert postings(inc) == postings(ref)
+        dl = lambda root: {
+            (r["doc_id"], r["dl"])
+            for r in spark.read.parquet(f"{root}/docs").collect()
+        }
+        assert dl(inc) == dl(ref)
+        st = lambda root: spark.read.parquet(f"{root}/stats").first()
+        assert st(inc).asDict() == st(ref).asDict()
+        # and the search surface agrees
+        q = ["spark", "merge", "vector"]
+        a = [tuple(r) for r in bm25_topk(spark, inc, q, k=10).collect()]
+        b = [tuple(r) for r in bm25_topk(spark, ref, q, k=10).collect()]
+        assert a == b
+
+    def test_replayed_batch_is_noop(self, spark, sf_dir, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            append_to_text_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        root = tmp_path / "t"
+        b1 = docs.filter(F.col("doc_id") < 100)
+        assert append_to_text_index(spark, b1, root) > 0
+        before = {
+            (r["term"], r["doc_id"], r["tf"])
+            for r in spark.read.parquet(f"{root}/postings").collect()
+        }
+        stats_before = spark.read.parquet(f"{root}/stats").first().asDict()
+        # at-least-once redelivery: nothing changes
+        assert append_to_text_index(spark, b1, root) == 0
+        after = {
+            (r["term"], r["doc_id"], r["tf"])
+            for r in spark.read.parquet(f"{root}/postings").collect()
+        }
+        assert after == before
+        assert spark.read.parquet(f"{root}/stats").first().asDict() == stats_before
+
+
+class TestStreamingIndexHook:
+    def test_stream_builds_searchable_index(self, spark, sf_dir, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+            flatten_dimensions,
+        )
+        from cga_kinesis_to_elasticsearch_spark.pipeline import PipelineConfig
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            search_and,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+            ALLOWED_ORIGINS,
+            synthesize_cf_dimensions,
+            synthesize_envelopes,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.records import (
+            read_raw_record_stream,
+            write_raw_records,
+        )
+        from cga_kinesis_to_elasticsearch_spark.streaming.job import (
+            StreamConfig,
+            drain,
+            run_stream,
+        )
+
+        records = synthesize_envelopes(spark, sf_dir)
+        src = tmp_path / "raw"
+        write_raw_records(records, str(src))
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark)).cache()
+        sink = ParquetIndexSink(tmp_path / "sink")
+        idx = tmp_path / "textidx"
+        cfg = StreamConfig(
+            checkpoint_location=str(tmp_path / "ck"),
+            available_now=True,
+            pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+            text_index_path=str(idx),
+            text_index_col="parsed_generic.log_event",
+        )
+        query, _ = run_stream(
+            spark,
+            read_raw_record_stream(spark, str(src)),
+            lambda s: dim,
+            sink,
+            cfg,
+        )
+        drain(query)
+        # the landed docs are now full-text searchable: pick a term
+        # from one landed document and find it through the index
+        docs = spark.read.parquet(str(tmp_path / "sink" / "data"))
+        sample = (
+            docs.select("doc_id", F.col("parsed_generic.log_event").alias("t"))
+            .filter(F.col("t").isNotNull())
+            .first()
+        )
+        # derive the probe term with the INDEX's own normalization
+        # (strip non-alnum without spacing: "evt=view" -> "evtview")
+        import re as _re
+
+        norm = _re.sub(
+            r"\s+", " ", _re.sub(r"[^a-z0-9\s]", "", sample["t"].lower())
+        ).strip()
+        term = next(w for w in norm.split() if len(w) > 2)
+        hits = {r["doc_id"] for r in search_and(spark, idx, [term]).collect()}
+        assert sample["doc_id"] in hits
+        # index doc table covers every indexed (non-null-text) doc
+        n_indexed = spark.read.parquet(str(idx / "docs")).count()
+        n_docs_with_text = docs.filter(
+            F.col("parsed_generic.log_event").isNotNull()
+        ).count()
+        assert n_indexed == n_docs_with_text
