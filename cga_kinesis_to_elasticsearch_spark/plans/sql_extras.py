@@ -873,3 +873,32 @@ def _modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("modal_type"),
         F.max("n").alias("n_modal"),
     )
+
+
+_TOPK_ORACLE = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC)
+           AS rank
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+@q("topk_orders_per_customer", _TOPK_ORACLE)
+def _topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-light per-key top-k (operators/topk.py): a partition-
+    local Arrow prune caps the exchange at partitions x keys x k rows
+    before the exact window finish — the map-side combine the plain
+    window top-k plan lacks. Output is EXACTLY the window plan's
+    (the oracle IS that plan)."""
+    from ..operators.topk import topk_per_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return topk_per_key(
+        o, "o_custkey", "o_totalprice", k=3, tiebreak_col="o_orderkey"
+    )
