@@ -326,7 +326,13 @@ def append_to_text_index(
                     *[str(root / "postings" / f"bucket={b}") for b in existing]
                 )
             )
-            merged = stored.unionByName(bpost)
+            # (term, doc) dedup guards the crash window between the
+            # postings swap and the doc-table append: a replay in that
+            # window passes the doc-id gate (dl row missing) and would
+            # otherwise double-insert identical posting rows
+            merged = stored.unionByName(bpost).dropDuplicates(
+                ["term", "doc_id"]
+            )
         staging = root / "postings" / ".tmp-__append__"
         if staging.exists():
             shutil.rmtree(staging)

@@ -282,3 +282,34 @@ class TestStreamingIndexHook:
             F.col("parsed_generic.log_event").isNotNull()
         ).count()
         assert n_indexed == n_docs_with_text
+
+    def test_crash_between_postings_and_docs_append_recovers(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Simulate a crash after the postings swap but before the
+        doc-table append: the replayed batch passes the doc-id gate,
+        and the (term, doc) dedup in the merge must keep the postings
+        single — no double counting in search."""
+        import shutil
+
+        from cga_kinesis_to_elasticsearch_spark.io import load_table
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            append_to_text_index,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        root = tmp_path / "t"
+        b1 = docs.filter(F.col("doc_id") < 60)
+        append_to_text_index(spark, b1, root)
+        want = {
+            (r["term"], r["doc_id"], r["tf"])
+            for r in spark.read.parquet(f"{root}/postings").collect()
+        }
+        # crash simulation: the doc table vanishes, postings survive
+        shutil.rmtree(root / "docs")
+        append_to_text_index(spark, b1, root)  # replay of the same batch
+        got = {
+            (r["term"], r["doc_id"], r["tf"])
+            for r in spark.read.parquet(f"{root}/postings").collect()
+        }
+        assert got == want
