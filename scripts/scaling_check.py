@@ -36,6 +36,10 @@ QUERIES = [
     "bm25_search_topk",
     "sequence_funnel_matches",
     "merge_intervals",
+    "heavy_hitters_merge",
+    "topk_orders_per_customer",
+    "containment_dedup_pairs",
+    "upsert_latest_state",
 ]
 
 
