@@ -47,6 +47,9 @@ HEADLINE = [
     "range_export_manifest",
     # ES-core parity: build the inverted index on disk + BM25 top-k
     "bm25_search_topk",
+    # maintained-state sinks: CDC upsert round-trip + mergeable top-k
+    "upsert_latest_state",
+    "heavy_hitters_merge",
     # full Structured Streaming run (decode->route->grok->enrich->sink
     # over micro-batches) — the reference's own workload shape; its
     # seconds/records(sf) is the single-node throughput comparison
