@@ -495,7 +495,11 @@ def containment_pairs(
     candidates + verification exactly, so this recall contract is
     pinned, not hidden."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
+    # cands feeds THREE downstream plans (both arms of `needed` plus
+    # the verify join); cut its lineage so the signature + banding
+    # pipeline runs once, exactly as fuzzy_dedup does for its edges
+    # (VERDICT r2: xchg=44 without this cut).
+    cands = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size).localCheckpoint()
     needed = (
         cands.select(F.col("id_a").alias(id_col))
         .unionAll(cands.select(F.col("id_b").alias(id_col)))
@@ -505,9 +509,12 @@ def containment_pairs(
         F.col(id_col),
         F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
     )
+    # sh is joined twice (id_a side and id_b side); materialize the
+    # pruned shingle table once so tokenize + semi-join don't run per
+    # pair-join arm
     sh = toks.select(
         F.col(id_col), word_shingles(F.col("__toks"), shingle_n).alias("__sh")
-    )
+    ).localCheckpoint()
     pairs = (
         cands.join(
             sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")),

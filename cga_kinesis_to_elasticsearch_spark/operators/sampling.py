@@ -87,7 +87,11 @@ def _hex_threshold_col(frac: Column, digits: int = _DIGITS) -> Column:
     threshold for a per-row fraction computed inside the plan. frac is
     rounded to 9 decimals first so a sub-ulp difference between engines
     (e.g. pow implementations) cannot flip the floor."""
-    frac = F.round(frac, 9)
+    # clamp below at 0: a negative fraction (e.g. a negative weight
+    # upstream) would make F.hex(negative long) a 16-char string whose
+    # lpad(...,8) TRUNCATES to 'ffffffff' — keep-probability ~1 instead
+    # of 0
+    frac = F.greatest(F.lit(0.0), F.round(frac, 9))
     scaled = F.floor(frac * F.lit(float(16**digits))).cast("long")
     return F.when(frac >= 1.0, F.lit("g" * digits)).otherwise(
         F.lpad(F.lower(F.hex(scaled)), digits, "0")

@@ -7,9 +7,12 @@ This operator adds the map-side combine the window plan lacks:
 
 1. **local prune** (mapInPandas, Arrow-batched): within each INPUT
    partition, keep at most k candidates per key via a pandas
-   groupby-head over a partition-local sort — no shuffle yet; output
-   is <= partitions x keys x k rows, typically a tiny fraction of the
-   input (the same asymmetics as partial aggregation);
+   groupby-head over a sort — no shuffle yet; output is <= partitions
+   x keys x k rows, typically a tiny fraction of the input (the same
+   asymmetics as partial aggregation). Each Arrow batch is pruned as
+   it arrives and only survivors accumulate, so executor memory is
+   O(keys-in-partition x k), not O(partition) — the prune never holds
+   a whole input partition in pandas;
 2. **exact finish**: the pruned candidate set shuffles and runs the
    ordinary window row_number — correct because any row in a key's
    global top-k is in its partition's local top-k (the top-k relation
@@ -41,24 +44,45 @@ def topk_per_key(
 ) -> DataFrame:
     """Top-``k`` rows per key by ``(order_col, tiebreak_col)``; output
     adds ``rank`` (1-based). Deterministic: ties break on
-    ``tiebreak_col`` in the same direction."""
+    ``tiebreak_col`` in the same direction. Null semantics mirror the
+    window plan exactly: a NULL key is one group (pandas groupby with
+    ``dropna=False``), and NULL order values sort where Spark's
+    ``asc()``/``desc()`` put them (nulls first when ascending, last
+    when descending — pandas ``na_position`` is set to match)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     schema = df.schema
+    # Spark: asc() == asc_nulls_first, desc() == desc_nulls_last.
+    na_position = "first" if ascending else "last"
 
     def prune(batches: Iterator[Any]) -> Iterator[Any]:
         import pandas as pd
 
-        frames = [pdf for pdf in batches if len(pdf)]
-        if not frames:
-            return
-        all_rows = pd.concat(frames, ignore_index=True)
-        all_rows = all_rows.sort_values(
-            [order_col, tiebreak_col],
-            ascending=[ascending, ascending],
-            kind="stable",
-        )
-        yield all_rows.groupby(key_col, sort=False).head(k)
+        def local_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(
+                [order_col, tiebreak_col],
+                ascending=[ascending, ascending],
+                kind="stable",
+                na_position=na_position,
+            )
+            return pdf.groupby(key_col, sort=False, dropna=False).head(k)
+
+        # fold batch-by-batch: prune each incoming batch, then re-prune
+        # the (survivors + batch-survivors) union — memory stays
+        # O(distinct keys x k), never O(partition)
+        survivors: "pd.DataFrame | None" = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            batch_top = local_topk(pdf)
+            if survivors is None:
+                survivors = batch_top
+            else:
+                survivors = local_topk(
+                    pd.concat([survivors, batch_top], ignore_index=True)
+                )
+        if survivors is not None and len(survivors):
+            yield survivors
 
     pruned = df.mapInPandas(prune, schema)
     oc = F.col(order_col)

@@ -266,8 +266,9 @@ def append_to_text_index(
     at-least-once delivery needs no transactions. Crash safety: the
     touched postings buckets and doc-length shards follow the shared
     swap protocol (_swap.py); stats are rewritten last from the
-    durable doc table slice, so a crash between steps at worst loses
-    the stats refresh, which the next append rebuilds.
+    durable doc table slice and promoted via the SAME swap protocol,
+    so a crash at any point leaves a servable stats/ (possibly stale,
+    rebuilt by the next append) — never a missing one.
 
     Cost per batch: one batch tokenize + a shuffle of batch-sized
     postings + rewrite of touched buckets (bounded by those buckets'
@@ -275,12 +276,14 @@ def append_to_text_index(
     """
     import shutil
 
-    from ._swap import recover_and_sweep, swap_in
+    from ._swap import part_paths, recover_and_sweep, swap_in
 
     root = Path(root)
     (root / "postings").mkdir(parents=True, exist_ok=True)
     recover_and_sweep(root / "postings")
     recover_and_sweep(root / "docs")
+    # repairs an interrupted stats/ promotion (.tmp-stats / .old-stats)
+    recover_and_sweep(root)
 
     # drop already-indexed docs (replay / duplicate delivery)
     docs_dir = root / "docs"
@@ -353,16 +356,17 @@ def append_to_text_index(
         new_dl.write.mode("append").parquet(str(docs_dir))
         # stats: recompute from the durable doc table (slim; one agg)
         full_dl = spark.read.parquet(str(docs_dir))
-        stats_tmp = root / ".tmp-stats"
+        _, stats_tmp, _ = part_paths(root, "stats")
         if stats_tmp.exists():
             shutil.rmtree(stats_tmp)
         full_dl.agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
         ).coalesce(1).write.parquet(str(stats_tmp))
-        final_stats = root / "stats"
-        if final_stats.exists():
-            shutil.rmtree(final_stats)
-        stats_tmp.rename(final_stats)
+        # promote via the shared swap protocol — a crash mid-promotion
+        # leaves either the old stats/ or a recoverable .old-stats, never
+        # a window with NO stats dir (which would fail bm25 until the
+        # next append, not just serve stale stats)
+        swap_in(root, "stats")
         return n_new
     finally:
         bpost.unpersist(blocking=False)

@@ -164,8 +164,10 @@ class StreamConfig:
     text_index_col: str = ""
     # Per-batch data-quality report (operators/expectations.py): after
     # the sink write, evaluate the suite against the batch's documents
-    # and append (expectation, metric, threshold, passed, batch_id)
-    # rows to dq_path — constraint drift becomes a queryable table.
+    # and write (expectation, metric, threshold, passed) rows into a
+    # batch_id=<n> partition of dq_path (overwritten on at-least-once
+    # replay, so re-delivered batches leave no duplicate rows) —
+    # constraint drift becomes a queryable table.
     # Row-level constraints only (FK needs a second table; run those
     # against the SINK with the standalone operator). Off unless both
     # are set.
@@ -315,10 +317,13 @@ def run_stream(
                 if cfg.dq_path and cfg.dq_specs:
                     from ..operators.expectations import check_expectations
 
+                    # one hive-partition dir per batch_id, overwritten in
+                    # place: an at-least-once replay rewrites its own
+                    # partition instead of appending duplicate rows
                     report = check_expectations(docs, cfg.dq_specs)
-                    report.withColumn(
-                        "batch_id", F.lit(int(batch_id))
-                    ).coalesce(1).write.mode("append").parquet(cfg.dq_path)
+                    report.coalesce(1).write.mode("overwrite").parquet(
+                        f"{cfg.dq_path}/batch_id={int(batch_id)}"
+                    )
             finally:
                 if docs is not cached:
                     docs.unpersist()

@@ -100,6 +100,15 @@ class TestWeightedSample:
         if rows:  # kept or not depends on the hash; p must be 0.5
             assert abs(rows[0]["keep_p"] - 0.5) < 1e-9
 
+    def test_negative_weight_keeps_nothing(self, spark):
+        # a negative weight means keep-probability 0 — without the
+        # clamp, hex(negative long) lpad-truncates to 'ffffffff' and
+        # such rows would be kept ~always
+        df = spark.createDataFrame(
+            [(i, -5.0) for i in range(100)], "id long, w double"
+        )
+        assert SM.weighted_hash_sample(df, "id", "w", 0.5, 600.0).count() == 0
+
 
 class TestAverageHash:
     def test_signature_matches_python_reference(self, spark):

@@ -86,3 +86,38 @@ class TestTopK:
         df = spark.createDataFrame([(1, 1, 1.0)], "key long, id long, score double")
         with pytest.raises(ValueError):
             topk_per_key(df, "key", "score", 0, "id")
+
+    @pytest.fixture(scope="class")
+    def nullable_rows(self, spark):
+        # null keys (one group) and null order values interleaved with
+        # real ones, spread over several partitions so the prune stage
+        # actually exercises its null handling
+        data = []
+        for i in range(30):
+            key = None if i % 5 == 0 else i % 3
+            score = None if i % 7 == 0 else float((i * 13) % 40)
+            data.append((key, i, score))
+        return spark.createDataFrame(
+            data, "key long, id long, score double"
+        ).repartition(6)
+
+    @pytest.mark.parametrize("ascending", [False, True])
+    def test_null_keys_and_null_order_match_window(
+        self, nullable_rows, ascending
+    ):
+        # the public contract: EXACT window-plan equality including the
+        # null-key group and Spark's asc-nulls-first / desc-nulls-last
+        # ordering of null scores
+        got = {
+            (r["key"], r["id"], r["rank"])
+            for r in topk_per_key(
+                nullable_rows, "key", "score", 3, "id", ascending=ascending
+            ).collect()
+        }
+        want = {
+            (r["key"], r["id"], r["rank"])
+            for r in _window_ref(nullable_rows, 3, ascending=ascending).collect()
+        }
+        assert got == want
+        # the null-key group must actually be present in the output
+        assert any(k is None for k, _, _ in got)
