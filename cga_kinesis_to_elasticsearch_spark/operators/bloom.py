@@ -31,7 +31,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["bloom_bucket", "build_bloom", "bloom_might_contain", "bloom_semi_join"]
+__all__ = [
+    "bloom_bucket",
+    "build_bloom",
+    "bloom_might_contain",
+    "bloom_prefilter",
+    "bloom_semi_join",
+]
 
 WORD_BITS = 32
 
@@ -112,6 +118,58 @@ def bloom_might_contain(
     return cond
 
 
+def bloom_prefilter(
+    df: DataFrame,
+    key: Column,
+    words: list[list[int]],
+    hex_chars: int = 4,
+) -> DataFrame:
+    """``df`` filtered to rows whose ``key`` probably appears in the
+    filter, with the shared md5 evaluated ONCE per row.
+
+    ``bloom_might_contain`` is a pure Column predicate, but each probe
+    reference re-evaluates the md5: Catalyst does not CSE across
+    conjuncts, and staging the hash with ``withColumn`` doesn't help —
+    ``PushPredicateThroughNonJoin`` substitutes the alias back into the
+    pushed-down predicate, restoring one md5 PER REFERENCE (measured
+    2x the scan cost at 2 probes). The fix: read ALL probe windows with
+    one ``conv`` over the concatenated hex span, and bind that value
+    through ``explode(array(h))`` — a Generate is a predicate-pushdown
+    barrier, so the filter stays above it and the hash evaluates
+    exactly once. Bucket values are bit-identical to per-window
+    ``bloom_bucket`` (window j = digits of H in base 16^hex_chars), so
+    filters built by ``build_bloom`` — and the DuckDB oracle replay —
+    need no change.
+
+    Falls back to the per-probe predicate when the combined span
+    exceeds 15 hex chars (conv's exact-long budget) — at the default
+    2x4 chars the fused path always applies."""
+    k_probes = len(words)
+    span = k_probes * hex_chars
+    if span > 15:
+        return df.filter(bloom_might_contain(key, words, hex_chars))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("b:"), key)), 1, span), 16, 10
+    ).cast("long")
+    staged = df.select("*", F.explode(F.array(h)).alias("__bloom_h"))
+    m = 16**hex_chars
+    cond = F.lit(True)
+    for j, probe_words in enumerate(words):
+        div = m ** (k_probes - 1 - j)
+        b = F.col("__bloom_h")
+        if div > 1:
+            # doubles are exact below 2^53, far above the 15-hex budget
+            b = F.floor(b / F.lit(float(div))).cast("long")
+        b = b % m
+        w = F.element_at(
+            F.lit(probe_words), (F.floor(b / WORD_BITS) + 1).cast("int")
+        )
+        cond = cond & (
+            F.call_function("getbit", w, b.bitwiseAND(F.lit(WORD_BITS - 1))) == 1
+        )
+    return staged.filter(cond).drop("__bloom_h")
+
+
 def bloom_semi_join(
     fact: DataFrame,
     dim_keys: DataFrame,
@@ -131,8 +189,8 @@ def bloom_semi_join(
     reach the exchange, and the exact left-semi join afterwards
     removes the Bloom's false positives."""
     words = build_bloom(dim_keys, dim_key, k_probes, hex_chars)
-    pre = fact.filter(
-        bloom_might_contain(F.col(fact_key).cast("string"), words, hex_chars)
+    pre = bloom_prefilter(
+        fact, F.col(fact_key).cast("string"), words, hex_chars
     )
     return pre.join(
         dim_keys.select(F.col(dim_key).alias(fact_key)), fact_key, "left_semi"

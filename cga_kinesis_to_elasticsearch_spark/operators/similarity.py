@@ -109,6 +109,19 @@ def cosine_topk(
     )
 
 
+def _bucket_expr(v, pairs: tuple[tuple[int, int], ...]):
+    """Sign-bit bucket as a narrow column expression over an
+    array<double> column — computable inline on any scan, so callers
+    never need a self-join to attach buckets."""
+    bits = [
+        F.when(
+            F.element_at(v, i + 1) > F.element_at(v, j + 1), F.lit("1")
+        ).otherwise(F.lit("0"))
+        for i, j in pairs
+    ]
+    return F.concat(*bits)
+
+
 def lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -118,13 +131,7 @@ def lsh_buckets(
     """Sign-bit bucket per vector: bit i = (v[pi] > v[pj]). 8 bits ->
     256 buckets; deterministic, RNG-free, SQL-reproducible."""
     v = _as_double(F.col(vec_col))
-    bits = [
-        F.when(
-            F.element_at(v, i + 1) > F.element_at(v, j + 1), F.lit("1")
-        ).otherwise(F.lit("0"))
-        for i, j in pairs
-    ]
-    return df.select(F.col(id_col), F.concat(*bits).alias("bucket"))
+    return df.select(F.col(id_col), _bucket_expr(v, pairs).alias("bucket"))
 
 
 def ivf_cells(
@@ -255,15 +262,17 @@ def lsh_topk(
     replace the all-pairs product (recall traded for a ~#buckets-fold
     cost cut; verify with cosine_topk on a sample).
     """
-    cb = lsh_buckets(corpus, id_col, vec_col, pairs)
     qb = lsh_buckets(queries, id_col, vec_col, pairs).select(
         F.col(id_col).alias("query_id"), "bucket"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
-    c = corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__cv")).join(
-        cb, id_col
+    # bucket rides the corpus scan (narrow expression) — no self-join
+    c = corpus.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        _bucket_expr(_as_double(F.col(vec_col)), pairs).alias("bucket"),
     )
     cand = c.join(broadcast(qb), "bucket").filter(F.col("query_id") != F.col(id_col))
     sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
@@ -295,9 +304,12 @@ def near_dup_pairs(
     set, union) buy more recall at 2x cost; thresholds in production
     dedup sit at 0.9+ where single-band recall is already near-perfect.
     """
-    b = lsh_buckets(df, id_col, vec_col, pairs)
-    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")).join(
-        b, id_col
+    # bucket rides the vector scan (narrow expression) — the previous
+    # df-join-buckets shape was a needless self-join on id
+    v = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__v"),
+        _bucket_expr(_as_double(F.col(vec_col)), pairs).alias("bucket"),
     )
     left = v.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "bucket"
@@ -392,7 +404,10 @@ def sq8_topk(
     pass, per-query windowed top-k — but the corpus side would be read
     from 8-bit codes (a 4x scan-bytes reduction at scale; here codes
     are computed inline from the same parquet)."""
-    stats = sq8_stats(corpus, vec_col, dim)
+    # the single-row stats frame is referenced twice (encode +
+    # dequantize); materialize it once instead of re-running the
+    # corpus min/max aggregation per reference
+    stats = sq8_stats(corpus, vec_col, dim).localCheckpoint()
     enc = sq8_encode(corpus, stats, id_col, vec_col, dim)
     idx = F.sequence(F.lit(1), F.lit(dim))
     dq = F.transform(

@@ -451,7 +451,7 @@ def _bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is value-checked, not just the final result),
     n_match/revenue prove no false negatives against the plain semi
     join."""
-    from ..operators.bloom import bloom_might_contain, build_bloom
+    from ..operators.bloom import bloom_prefilter, build_bloom
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -462,10 +462,8 @@ def _bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
     )
     words = build_bloom(dim, "o_orderkey", k_probes=2, hex_chars=_BLOOM_HEX)
-    pre = li.filter(
-        bloom_might_contain(
-            F.col("l_orderkey").cast("string"), words, hex_chars=_BLOOM_HEX
-        )
+    pre = bloom_prefilter(
+        li, F.col("l_orderkey").cast("string"), words, hex_chars=_BLOOM_HEX
     )
     # one pass for both counts: o_orderkey is unique, so a left join
     # with a hit flag has semi-join semantics without duplicating rows

@@ -12,6 +12,7 @@ from cga_kinesis_to_elasticsearch_spark.operators.bloom import (
     WORD_BITS,
     bloom_bucket,
     bloom_might_contain,
+    bloom_prefilter,
     bloom_semi_join,
     build_bloom,
 )
@@ -111,6 +112,39 @@ class TestBloomSemiJoin:
         assert filt and exch, plan
         # deeper in the printed tree = larger line index
         assert min(filt) > min(exch)
+
+    def test_fused_prefilter_matches_per_probe_predicate(
+        self, spark, tables, words
+    ):
+        """bloom_prefilter (one md5/conv via the explode barrier) passes
+        exactly the same rows as the per-probe bloom_might_contain."""
+        li, _ = tables
+        fused = {
+            r.l_orderkey
+            for r in bloom_prefilter(
+                li, F.col("l_orderkey").cast("string"), words
+            ).collect()
+        }
+        per_probe = {
+            r.l_orderkey
+            for r in li.filter(
+                bloom_might_contain(F.col("l_orderkey").cast("string"), words)
+            ).collect()
+        }
+        assert fused == per_probe
+
+    def test_fused_prefilter_evaluates_one_md5(self, spark, tables, words):
+        """The executed plan must contain exactly ONE md5 call — the
+        point of the explode barrier (withColumn staging gets pushdown-
+        substituted back to one md5 per probe)."""
+        li, _ = tables
+        plan = (
+            bloom_prefilter(li, F.col("l_orderkey").cast("string"), words)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("md5") == 1, plan
 
     def test_empty_dim_rejects_everything(self, spark, tables):
         li, dim = tables
