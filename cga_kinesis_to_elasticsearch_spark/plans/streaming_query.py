@@ -110,8 +110,8 @@ def _stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis("click_ts").alias("click_ms"),
             F.round("purchase_value", 2).alias("purchase_value"),
         )
-        # materialize before the workdir disappears
-        return spark.createDataFrame(out.toPandas(), out.schema)
+        # materialize before the workdir disappears (executor-side)
+        return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -164,9 +164,11 @@ def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("`@cf.app`").alias("cf_app"),
             F.col("`@cf.org`").alias("cf_org"),
         )
-        # materialize before the workdir disappears
-        out = spark.createDataFrame(docs.toPandas(), docs.schema)
+        # materialize before the workdir disappears — localCheckpoint
+        # keeps the rows on executors (no driver round-trip through
+        # pandas, which cost ~1 s at sf0.1)
+        out = docs.orderBy("doc_id").localCheckpoint()
         assert metrics.sent_count > 0
-        return out.orderBy("doc_id")
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -263,13 +263,20 @@ def run_stream(
                     band_size=cfg.neardup_band_size,
                 ).persist()
             try:
-                touched = [
-                    r.es_index
-                    for r in docs.select("es_index").distinct().collect()
-                ]
+                # ONE aggregation serves the touched-index set AND the
+                # sent counter (previously a distinct.collect plus a
+                # separate count — one extra job per micro-batch); the
+                # per-index counts are also the shared small input for
+                # the maintained-state hooks below
+                idx_counts = (
+                    docs.groupBy("es_index")
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .collect()
+                )
+                touched = [r["es_index"] for r in idx_counts]
                 sink.ensure_indices(touched)
                 sink.write(docs)
-                m.sent_count += docs.count()
+                m.sent_count += sum(r["__n"] for r in idx_counts)
                 if cfg.sketch_path and cfg.sketch_key_col:
                     from ..sinks.sketchmaint import refresh_day_sketches
 
@@ -368,7 +375,9 @@ def drain(query, timeout_s: float = 120.0) -> None:
     analogue of the reference's SIGTERM -> flush path (T6)."""
     deadline = time.time() + timeout_s
     while query.isActive and time.time() < deadline:
-        query.awaitTermination(1)
+        # fine-grained poll: a 1 s granularity adds up to a second of
+        # dead time after the last commit of an availableNow run
+        query.awaitTermination(0.2)
     if query.isActive:
         query.stop()
         raise TimeoutError("streaming query did not drain in time")
