@@ -100,6 +100,9 @@ class StreamMetrics:
 
     sent_count: int = 0
     errors_count: int = 0
+    # set by run_stream when StreamConfig.metrics_listen is configured
+    # (K5); caller stops it with metrics.http_server.stop()
+    http_server: object | None = None
 
     def prometheus_text(self) -> str:
         """K5: Prometheus exposition format, as served on /metrics
@@ -116,6 +119,10 @@ class StreamMetrics:
 class StreamConfig:
     checkpoint_location: str = ""
     trigger_seconds: int = 15  # FlushInterval, main.go:189
+    # K5: serve /metrics in Prometheus exposition format while the
+    # stream runs (METRICS_LISTEN, main.go:181-187,551). "" = off;
+    # ":0" binds an ephemeral port (tests read metrics.http_server.url).
+    metrics_listen: str = ""
     available_now: bool = False  # drain-and-stop, for tests/backfills
     pipeline: PipelineConfig = field(default_factory=PipelineConfig)
     days_to_keep: int = 3  # DAYS_TO_KEEP, main.go:553
@@ -211,6 +218,10 @@ def run_stream(
     dimension snapshot (operators.enrichment.flatten_dimensions).
     """
     m = metrics if metrics is not None else StreamMetrics()
+    if cfg.metrics_listen and m.http_server is None:
+        from .metrics_http import MetricsServer
+
+        m.http_server = MetricsServer(m, cfg.metrics_listen).start()
     if observe_records:
         raw_stream = raw_stream.observe(
             ObservedCounters.OBSERVATION, F.count(F.lit(1)).alias("n")
