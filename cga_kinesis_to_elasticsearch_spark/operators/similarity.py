@@ -487,6 +487,10 @@ def pq_train_codebooks(
     sample is tiny (codebooks for m=8, k=16 need ~a few hundred rows),
     the corpus is never collected. Deterministic: sample = lowest ids,
     init = first k distinct sample points, fixed iteration count.
+    Per-iteration centroids are rounded to 9 decimals so the values
+    are summation-order independent — which is what lets the DuckDB
+    oracle replay the whole training loop and hash-check PQ search
+    end to end (plans/quantized.py).
 
     Returns a numpy array of shape (m, n_centroids, dim // m).
     """
@@ -513,7 +517,7 @@ def pq_train_codebooks(
             for c in range(n_centroids):
                 mask = assign == c
                 if mask.any():
-                    cents[c] = xs[mask].mean(axis=0)
+                    cents[c] = np.round(xs[mask].mean(axis=0), 9)
         books[j] = cents
     return books
 
@@ -721,7 +725,12 @@ def kmeans_train(
     - **update**: per-(cell, dim) mean via one map-side-combined
       aggregation over exploded (cell, pos, val) triples — the shuffle
       carries k * dim partials, not vectors; a cell that loses all
-      members keeps its previous centroid;
+      members keeps its previous centroid. Means are rounded to 9
+      decimals: distributed float summation is addition-order
+      dependent (~1e-13 relative wobble), and the rounding pins every
+      iteration's centroids to engine-independent values — which is
+      what lets the DuckDB oracle replay the whole training loop and
+      hash-check the result (plans/quantized.py);
     - ``localCheckpoint`` per round truncates the iterative lineage
       (same trap as connected_components).
 
@@ -755,7 +764,7 @@ def kmeans_train(
         means = (
             assigned.select("cell_id", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cell_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.round(F.avg("val"), 9).alias("m"))
             .groupBy("cell_id")
             .agg(
                 F.transform(

@@ -536,19 +536,75 @@ def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("bpe_train_merges", None)
+_BPE_N_MERGES = 6
+
+
+def _bpe_train_oracle() -> str:
+    """The whole BPE training loop unrolled as SQL: each of the
+    {_BPE_N_MERGES} iterations is a (pair-count, argmax, rewrite) CTE
+    triple over the wrapped-symbol word table. Symbols render as
+    ``|sym|`` so the rewrite is the same whole-symbol-boundary
+    ``replace()`` proven by bpe_encode_corpus; pair extraction splits
+    the wrapped string back into the symbol list. All counts are exact
+    integers and the argmax tiebreak (count DESC, left ASC, right ASC)
+    is replayed verbatim, so training is hash-checkable. Early stop
+    (top count < 2) maps to the ``n >= 2`` filter on each argmax: an
+    empty top empties every later CTE, producing exactly the merges
+    the operator learned."""
+    wrapped = (
+        "array_to_string(list_transform(range(1, length(word) + 1), "
+        "i -> '|' || substring(word, i, 1) || '|'), '')"
+    )
+    ctes = [
+        f"""nw AS (SELECT {_norm_sql('text')} AS norm FROM documents),
+w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq, {wrapped} AS s
+  FROM (SELECT unnest(string_split(norm, ' ')) AS word FROM nw)
+  WHERE word <> '' GROUP BY word)"""
+    ]
+    tops = []
+    for i in range(1, _BPE_N_MERGES + 1):
+        prev = f"w{i - 1}"
+        ctes.append(
+            f"""p{i} AS (
+  SELECT syms[j.x] AS l, syms[j.x + 1] AS r, sum(freq) AS n
+  FROM (SELECT freq, regexp_extract_all(s, '\\|([^|]+)\\|', 1) AS syms
+        FROM {prev}) t,
+       LATERAL (SELECT unnest(range(1, len(syms))) AS x) j
+  GROUP BY 1, 2),
+t{i} AS (SELECT l, r, n FROM p{i} WHERE n >= 2
+         ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|') AS s
+  FROM {prev} CROSS JOIN t{i})"""
+        )
+        tops.append(
+            f'SELECT {i} AS "rank", l AS "left", r AS "right",'
+            f" CAST(n AS BIGINT) AS pair_count FROM t{i}"
+        )
+    joined = ",\n".join(ctes)
+    union = "\nUNION ALL ".join(tops)
+    return (
+        f"WITH {joined}\n"
+        f'SELECT * FROM ({union}) ORDER BY "rank"'
+    )
+
+
+@q("bpe_train_merges", _bpe_train_oracle())
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full distributed BPE tokenizer training (operators/bpe.py): 6
     merge iterations over the vocabulary-sized word-frequency table —
     pair counts weighted by word freq, deterministic argmax, exact
-    greedy merge application per round. Iterative argmax-then-rewrite
-    is not one SQL statement, so this is rows-only; the merge sequence
-    is pinned token-for-token against a pure-Python reference BPE in
-    tests/test_bpe.py."""
+    greedy merge application per round. Value-checked end to end: the
+    oracle unrolls the whole training loop (pair-count -> argmax ->
+    wrapped-symbol replace rewrite per iteration), so the learned merge
+    SEQUENCE is hash-checked, on top of the token-for-token pure-Python
+    reference in tests/test_bpe.py."""
     from ..operators.bpe import bpe_train
 
     docs = _tp(spark, sf_dir, "documents")
-    return bpe_train(spark, docs, "text", n_merges=6).orderBy("rank")
+    return bpe_train(spark, docs, "text", n_merges=_BPE_N_MERGES).orderBy("rank")
 
 
 def _split_oracle() -> str:

@@ -93,37 +93,216 @@ def _embedding_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.refine_topk(emb, queries, k=_TOPK, shortlist=_SHORTLIST, dim=_DIM)
 
 
-@q("embedding_pq_topk", None)
+_PQ_M = 8
+_PQ_NC = 16
+_PQ_SAMPLE = 256
+_PQ_ITERS = 10
+_PQ_SUB = _DIM // _PQ_M
+
+
+def _pq_oracle() -> str:
+    """PQ training + encode + ADC search, fully replayed in SQL.
+
+    The 10 per-subspace Lloyd's iterations are unrolled as CTE triples
+    over a (subspace j, sample row) table — one triple per iteration
+    handles ALL 8 subspaces at once. Exactness comes from the same
+    levers as the k-means IVF oracle: centroids round to 9 decimals
+    per iteration (summation-order independence), squared distances
+    are explicit 8-term sequential sums (bit-identical to numpy's
+    small-axis reduction), argmin ties break on the lower centroid
+    index, and the final ADC score rounds to 4 before ranking —
+    matching pq_train_codebooks / pq_encode / pq_adc_topk exactly."""
+    d2 = " + ".join(
+        f"(s.sv[{i}] - c.cent[{i}]) * (s.sv[{i}] - c.cent[{i}])"
+        for i in range(1, _PQ_SUB + 1)
+    )
+    dot = " + ".join(
+        f"q.sv[{i}] * c.cent[{i}]" for i in range(1, _PQ_SUB + 1)
+    )
+    ctes = [
+        f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+samp AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS rn, v
+  FROM v ORDER BY vec_id LIMIT {_PQ_SAMPLE}),
+jidx AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+sub AS (
+  SELECT s.rn, j.j,
+         list_transform(range(1, {_PQ_SUB + 1}), i -> s.v[j.j * {_PQ_SUB} + i]) AS sv
+  FROM samp s CROSS JOIN jidx j),
+cents0 AS (
+  SELECT j, CAST(rn - 1 AS INT) AS c, sv AS cent
+  FROM sub WHERE rn <= {_PQ_NC})"""
+    ]
+    prev = "cents0"
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # cents{{i}} references cents{{i-1}} twice — inlining would expand
+    # the 10-iteration chain ~2^10-fold (observed as a hang)
+    for i in range(1, _PQ_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT s.j, s.rn, s.sv, c.c,
+         row_number() OVER (PARTITION BY s.j, s.rn
+                            ORDER BY {d2} ASC, c.c ASC) AS a_rn
+  FROM sub s JOIN {prev} c USING (j)),
+m{i} AS (
+  SELECT j, c, r.i AS pos, round(avg(sv[r.i]), 9) AS m
+  FROM a{i} CROSS JOIN range(1, {_PQ_SUB + 1}) r(i)
+  WHERE a_rn = 1 GROUP BY j, c, r.i),
+n{i} AS (SELECT j, c, list(m ORDER BY pos) AS cent
+         FROM m{i} GROUP BY j, c),
+cents{i} AS MATERIALIZED (
+  SELECT o.j, o.c, coalesce(n.cent, o.cent) AS cent
+  FROM {prev} o LEFT JOIN n{i} n USING (j, c))"""
+        )
+        prev = f"cents{i}"
+    ctes.append(
+        f"""csub AS (
+  SELECT t.vec_id, j.j,
+         list_transform(range(1, {_PQ_SUB + 1}), i -> t.v[j.j * {_PQ_SUB} + i]) AS sv
+  FROM v t CROSS JOIN jidx j),
+casg AS (
+  SELECT s.vec_id, s.j, c.c,
+         row_number() OVER (PARTITION BY s.vec_id, s.j
+                            ORDER BY {d2} ASC, c.c ASC) AS a_rn
+  FROM csub s JOIN {prev} c USING (j)),
+codes AS (SELECT vec_id, j, c FROM casg WHERE a_rn = 1),
+qtab AS (
+  SELECT q.vec_id AS query_id, c.j, c.c, {dot} AS dp
+  FROM (SELECT * FROM csub WHERE vec_id < {_N_QUERIES}) q
+  JOIN {prev} c USING (j)),
+scores AS (
+  SELECT t.query_id, k.vec_id, round(sum(t.dp), 4) AS score
+  FROM codes k JOIN qtab t USING (j, c)
+  WHERE t.query_id <> k.vec_id
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scores)"""
+    )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT query_id, vec_id, score, rank FROM ranked"
+        f" WHERE rank <= {_TOPK}"
+    )
+
+
+@q("embedding_pq_topk", _pq_oracle())
 def _embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC top-k (rows-only): deterministic sampled-k-means
-    codebooks, 8 code bytes per 64-dim vector, asymmetric distance
-    tables per query. Recall vs the exact path is pinned in
+    """PQ-ADC top-k: deterministic sampled-k-means codebooks, 8 code
+    bytes per 64-dim vector, asymmetric distance tables per query.
+    Value-checked end to end: the oracle unrolls codebook training,
+    corpus encoding AND ADC scoring in SQL (9-decimal centroid
+    rounding makes the iterations engine-exact; scores round to 4
+    before ranking on both sides) — on top of the recall pins in
     tests/test_quantized.py."""
     emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    books = S.pq_train_codebooks(emb, m=8, n_centroids=16, sample_rows=256)
+    books = S.pq_train_codebooks(
+        emb, m=_PQ_M, n_centroids=_PQ_NC, sample_rows=_PQ_SAMPLE,
+        iters=_PQ_ITERS,
+    )
     return S.pq_adc_topk(emb, queries, books, k=_TOPK).orderBy(
         "query_id", "rank"
     )
 
 
-@q("embedding_kmeans_ivf_topk", None)
+_KM_K = 8
+_KM_ITERS = 3
+_KM_NPROBE = 2
+
+
+def _kmeans_ivf_oracle() -> str:
+    """The ENTIRE k-means training loop unrolled as SQL — every Lloyd's
+    iteration is one (assign, mean, coalesce) CTE triple with the
+    operator's exact deterministic rules: smallest-id init, round-4
+    cosine argmax with cell-id-ascending tiebreak, per-(cell,dim) mean
+    rounded to 9 decimals (the rounding that pins Spark's distributed
+    summation to engine-independent values), empty cells keep their
+    centroid. The final probing replays embedding_ivf_topk's pattern
+    over the trained centroids."""
+    ctes = [
+        f"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+         v AS centroid
+  FROM v ORDER BY vec_id LIMIT {_KM_K})"""
+    ]
+    prev = "cen0"
+    # MATERIALIZED: each cen{{i}} references cen{{i-1}} twice; DuckDB
+    # inlines plain CTEs, which would re-run the chain 2^iters times
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, v, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(list_cosine_similarity(v, centroid), 4) DESC,
+                                     cell_id ASC) AS rn
+  FROM v CROSS JOIN {prev}),
+m{i} AS (
+  SELECT cell_id, r.i AS pos, round(avg(v[r.i]), 9) AS m
+  FROM a{i} CROSS JOIN range(1, {_DIM + 1}) r(i)
+  WHERE rn = 1 GROUP BY cell_id, r.i),
+n{i} AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
+         FROM m{i} GROUP BY cell_id),
+cen{i} AS MATERIALIZED (
+  SELECT c.cell_id, coalesce(n.centroid, c.centroid) AS centroid
+  FROM {prev} c LEFT JOIN n{i} n USING (cell_id))"""
+        )
+        prev = f"cen{i}"
+    ctes.append(
+        f"""asgn AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(list_cosine_similarity(v, centroid), 4) DESC,
+                                     cell_id ASC) AS cell_rank
+  FROM v CROSS JOIN {prev}),
+c_cells AS (SELECT vec_id, cell_id FROM asgn WHERE cell_rank = 1),
+q_cells AS (SELECT vec_id AS query_id, cell_id FROM asgn
+            WHERE cell_rank <= {_KM_NPROBE} AND vec_id < {_N_QUERIES}),
+cand AS (
+  SELECT q.query_id, c.vec_id
+  FROM c_cells c JOIN q_cells q ON c.cell_id = q.cell_id
+  WHERE q.query_id <> c.vec_id),
+sims AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(list_cosine_similarity(qe.v, ce.v), 4) AS sim
+  FROM cand
+  JOIN v qe ON qe.vec_id = cand.query_id
+  JOIN v ce ON ce.vec_id = cand.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims)"""
+    )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= {_TOPK}"
+    )
+
+
+@q("embedding_kmeans_ivf_topk", _kmeans_ivf_oracle())
 def _embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over TRAINED centroids (similarity.kmeans_train: 3
     distributed spherical-Lloyd's iterations, deterministic smallest-id
     init, cosine assignment identical to query-time probing) instead of
-    the fixed snapshot embedding_ivf_topk uses. Rows-only: iterative
-    argmax training is not one SQL statement; the training loop is
-    pinned against a numpy Lloyd's reference in tests/test_kmeans.py."""
+    the fixed snapshot embedding_ivf_topk uses. Value-checked end to
+    end: the oracle unrolls the full training loop in SQL (the 9-decimal
+    mean rounding makes every iteration engine-exact), then replays the
+    nprobe=2 probing — training AND serving are hash-checked, not just
+    recall-pinned."""
     from ..operators.similarity import kmeans_train
 
     emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    cen = kmeans_train(emb, k=8, iters=3)
+    cen = kmeans_train(emb, k=_KM_K, iters=_KM_ITERS)
     return S.ivf_topk(
         emb, queries, cen.select(F.col("cell_id").alias("vec_id"),
                                  F.col("centroid").alias("embedding")),
-        k=_TOPK, nprobe=2,
+        k=_TOPK, nprobe=_KM_NPROBE,
     ).orderBy("query_id", "rank")
 
 

@@ -22,8 +22,8 @@ def emb(spark, sf_dir):
 
 def _ref_kmeans(vecs: np.ndarray, k: int, iters: int) -> np.ndarray:
     """Reference Lloyd's: cosine assignment rounded to 4 digits with
-    cell-id-ascending tiebreak (the operator's exact rule), mean
-    update, empty cells keep their centroid."""
+    cell-id-ascending tiebreak, mean update rounded to 9 decimals
+    (the operator's exact rules), empty cells keep their centroid."""
     cen = vecs[:k].astype(np.float64).copy()
     x = vecs.astype(np.float64)
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -35,7 +35,7 @@ def _ref_kmeans(vecs: np.ndarray, k: int, iters: int) -> np.ndarray:
         for c in range(k):
             members = x[assign == c]
             if len(members):
-                cen[c] = members.mean(axis=0)
+                cen[c] = np.round(members.mean(axis=0), 9)
     return cen
 
 
