@@ -40,6 +40,8 @@ QUERIES = [
     "topk_orders_per_customer",
     "containment_dedup_pairs",
     "upsert_latest_state",
+    "neardup_triangle_stats",
+    "streaming_pipeline",
 ]
 
 
