@@ -304,15 +304,21 @@ def fuzzy_dedup(
     from .components import connected_components
 
     sig = minhash_signatures(df, text_col, id_col, n_hashes=n_hashes)
-    cand = lsh_candidate_pairs(sig, id_col, n_hashes=n_hashes, band_size=band_size)
+    # cand feeds three downstream plans (both cand_ids arms + the
+    # verify join): materialize it once, or the signature+banding
+    # pipeline re-executes per reference inside the verified-edges job
+    cand = lsh_candidate_pairs(
+        sig, id_col, n_hashes=n_hashes, band_size=band_size
+    ).localCheckpoint()
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # joined twice (id_a / id_b side) — tokenize the pruned set once
     toks = df.join(cand_ids, id_col, "semi").select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    )
+    ).localCheckpoint()
     verified = (
         cand.join(
             toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta")),
