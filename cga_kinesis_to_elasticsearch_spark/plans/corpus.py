@@ -536,6 +536,81 @@ def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (operators/importance.py): hashed
+# n-gram features, smoothed target/raw bucket distributions, per-doc
+# importance log-weight — the data-selection scorer. The oracle replays
+# the identical hashing, smoothing and ascending-bucket float fold.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET = ("src0", "src1")
+
+
+def _dsir_oracle() -> str:
+    tgt = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    bucket = (
+        "CAST(('0x' || substr(md5('g:' || gram), 1, 7))::BIGINT"
+        f" % {_DSIR_BUCKETS} AS INTEGER)"
+    )
+    return f"""
+WITH n AS (SELECT doc_id, source, {_norm_sql('text')} AS norm FROM documents),
+t AS (SELECT doc_id, source,
+             list_filter(string_split(norm, ' '), x -> x <> '') AS f
+      FROM n),
+g AS (
+  SELECT doc_id, source,
+         unnest(list_concat(
+           f,
+           CASE WHEN len(f) >= 2
+                THEN list_transform(range(1, len(f)),
+                                    i -> f[i] || '_' || f[i + 1])
+                ELSE [] END)) AS gram
+  FROM t),
+feats AS (
+  SELECT doc_id, source, {bucket} AS bucket, count(*) AS cnt
+  FROM g GROUP BY 1, 2, 3),
+raw_b AS (SELECT bucket, sum(cnt) AS rc FROM feats GROUP BY bucket),
+tgt_b AS (SELECT bucket, sum(cnt) AS tc FROM feats
+          WHERE source IN ({tgt}) GROUP BY bucket),
+tot AS (SELECT (SELECT sum(rc) FROM raw_b) AS rt,
+               (SELECT sum(tc) FROM tgt_b) AS tt),
+dist AS (
+  SELECT coalesce(r.bucket, s.bucket) AS bucket,
+         ln(coalesce(s.tc, 0) + 1.0) - ln(tot.tt + {_DSIR_BUCKETS}.0)
+         - ln(coalesce(r.rc, 0) + 1.0) + ln(tot.rt + {_DSIR_BUCKETS}.0)
+           AS lr
+  FROM raw_b r FULL JOIN tgt_b s ON r.bucket = s.bucket CROSS JOIN tot),
+c AS (SELECT f.doc_id, f.cnt, f.bucket, f.cnt * d.lr AS contrib
+      FROM feats f JOIN dist d USING (bucket)),
+w AS (SELECT doc_id, sum(cnt) AS n_grams,
+             round(list_sum(list(contrib ORDER BY bucket ASC)), 6) AS lw
+      FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(w.lw, 0.0) AS log_weight
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""
+
+
+@q("dsir_importance_weights", _dsir_oracle())
+def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-weights (operators/importance.py):
+    hashed unigram+bigram features, Laplace-smoothed target vs raw
+    bucket distributions (target = sources {src0,src1}), per-doc
+    sum of log-ratios — the cheap distribution-matching scorer for
+    training-data selection; feed into weighted_hash_sample for the
+    resampling step. Value-checked: hashing, smoothing and the
+    ascending-bucket float fold replay exactly in SQL."""
+    from ..operators.importance import dsir_log_weights
+
+    docs = _tp(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET))
+    return dsir_log_weights(
+        docs, target, "text", "doc_id", n_buckets=_DSIR_BUCKETS
+    )
+
+
 _BPE_N_MERGES = 6
 
 

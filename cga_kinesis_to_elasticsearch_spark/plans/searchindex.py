@@ -115,6 +115,54 @@ def _bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(spark, root, _TERMS, k=_TOPK, k1=_K1, b=_B)
 
 
+_B_MUST = ["merge", "spark"]
+_B_SHOULD = ["slow", "vector"]
+_B_NOT = ["filter"]
+
+
+def _sql_in(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+_BOOL_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+p AS (SELECT * FROM tf WHERE term IN ({_sql_in(_B_MUST + _B_SHOULD)})),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN term IN ({_sql_in(_B_MUST)}) THEN 1 ELSE 0 END)
+           AS n_must,
+         sum(CASE WHEN term IN ({_sql_in(_B_SHOULD)}) THEN 1 ELSE 0 END)
+           AS n_should,
+         sum(tf) AS total_tf
+  FROM p GROUP BY doc_id),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ({_sql_in(_B_NOT)}))
+SELECT doc_id,
+       CAST(n_should AS BIGINT) AS n_should_hits,
+       CAST(total_tf AS BIGINT) AS total_tf
+FROM agg
+WHERE n_must = {len(_B_MUST)} AND n_should >= 1
+  AND doc_id NOT IN (SELECT doc_id FROM neg)
+"""
+
+
+@q("boolean_search_docs", _BOOL_ORACLE)
+def _boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-query core from the persisted index
+    (sinks/textindex.search_boolean): must=ALL / should=>=1 /
+    must_not=NONE composed from bucket-pruned posting-list scans — the
+    boolean retrieval layer under every ES filter context. The oracle
+    recomputes membership straight from the corpus."""
+    from ..sinks.textindex import search_boolean
+
+    root = _built_index(spark, sf_dir)
+    return search_boolean(
+        spark, root, must=_B_MUST, should=_B_SHOULD, must_not=_B_NOT
+    )
+
+
 _PHRASE = ["table", "hash"]
 
 _PHRASE_ORACLE = f"""

@@ -50,6 +50,7 @@ from ..operators.dedup import normalized_text
 __all__ = [
     "build_text_index",
     "search_and",
+    "search_boolean",
     "bm25_topk",
     "phrase_search",
     "append_to_text_index",
@@ -136,6 +137,60 @@ def search_and(
         )
         .filter(F.col("__n_terms") == len(terms))
         .select("doc_id", "total_tf")
+    )
+
+
+def search_boolean(
+    spark: SparkSession,
+    root: str | Path,
+    must: list[str] | tuple[str, ...] = (),
+    should: list[str] | tuple[str, ...] = (),
+    must_not: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """ES bool-query core over the persisted index: a document matches
+    iff it contains EVERY ``must`` term, at least ONE ``should`` term
+    (when any are given — minimum_should_match=1), and NONE of the
+    ``must_not`` terms. Returns ``(doc_id, n_should_hits LONG,
+    total_tf LONG)`` where total_tf sums tf over the matched
+    must+should terms (the coordination signal a ranking layer feeds
+    on).
+
+    Scale shape: one bucket-pruned postings scan for must+should
+    (groupBy doc_id with conditional counts — the same posting-list
+    intersection as search_and), plus one pruned scan for must_not
+    whose distinct doc set anti-joins the candidates. Work is
+    proportional to the queried terms' posting lists; the corpus is
+    never touched. Term lists must be disjoint (a term's role must be
+    unambiguous)."""
+    must = sorted(set(must))
+    should = sorted(set(should))
+    must_not = sorted(set(must_not))
+    if not must and not should:
+        raise ValueError("boolean search needs at least one must/should term")
+    overlap = (set(must) & set(should)) | (
+        (set(must) | set(should)) & set(must_not)
+    )
+    if overlap:
+        raise ValueError(f"terms appear in multiple clauses: {sorted(overlap)}")
+    root = Path(root)
+    p = _postings_for(spark, root, must + should)
+    in_must = F.col("term").isin(must) if must else F.lit(False)
+    in_should = F.col("term").isin(should) if should else F.lit(False)
+    agg = p.groupBy("doc_id").agg(
+        F.sum(F.when(in_must, 1).otherwise(0)).alias("__n_must"),
+        F.sum(F.when(in_should, 1).otherwise(0)).alias("__n_should"),
+        F.sum("tf").alias("total_tf"),
+    )
+    out = agg.filter(F.col("__n_must") == len(must))
+    if should:
+        out = out.filter(F.col("__n_should") >= 1)
+    if must_not:
+        neg = _postings_for(spark, root, must_not).select("doc_id").distinct()
+        out = out.join(neg, "doc_id", "left_anti")
+    return out.select(
+        "doc_id",
+        F.col("__n_should").cast("long").alias("n_should_hits"),
+        F.col("total_tf").cast("long").alias("total_tf"),
     )
 
 

@@ -16,6 +16,7 @@ from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
     bm25_topk,
     build_text_index,
     search_and,
+    search_boolean,
 )
 
 _DOCS = [
@@ -80,6 +81,51 @@ class TestSearch:
             for r in bm25_topk(spark, index, terms, k=2, k1=k1, b=b).collect()
         ]
         assert set(ranked) <= {0, 2, 4}
+
+    def test_boolean_must_should_mustnot(self, spark, index):
+        # must=spark, should>=1 of {merge, batch}, not vector:
+        # doc 0 (spark + merge + batch, no vector) matches;
+        # doc 2/4 have vector; doc 1 lacks should; doc 3 lacks must
+        got = {
+            r["doc_id"]: (r["n_should_hits"], r["total_tf"])
+            for r in search_boolean(
+                spark,
+                index,
+                must=["spark"],
+                should=["merge", "batch"],
+                must_not=["vector"],
+            ).collect()
+        }
+        # doc 0: spark tf 1, merge tf 2, batch tf 1 -> total 4, 2 should terms
+        assert got == {0: (2, 4)}
+
+    def test_boolean_should_only_is_any_of(self, spark, index):
+        got = {
+            r["doc_id"]
+            for r in search_boolean(
+                spark, index, should=["batch", "joins"]
+            ).collect()
+        }
+        assert got == {0, 1}
+
+    def test_boolean_must_only_equals_search_and(self, spark, index):
+        a = {
+            (r["doc_id"], r["total_tf"])
+            for r in search_and(spark, index, ["spark", "merge"]).collect()
+        }
+        b = {
+            (r["doc_id"], r["total_tf"])
+            for r in search_boolean(
+                spark, index, must=["spark", "merge"]
+            ).collect()
+        }
+        assert a == b
+
+    def test_boolean_validates_clauses(self, spark, index):
+        with pytest.raises(ValueError, match="must/should"):
+            search_boolean(spark, index, must_not=["spark"])
+        with pytest.raises(ValueError, match="multiple clauses"):
+            search_boolean(spark, index, must=["spark"], must_not=["spark"])
 
     def test_unknown_term_empty(self, spark, index):
         assert search_and(spark, index, ["zzzznope"]).count() == 0
