@@ -31,6 +31,7 @@ __all__ = [
     "length_winsorize",
     "pack_spans",
     "unigram_logprob",
+    "bigram_logprob",
     "STOPWORDS",
     "LANG_MARKERS",
     "ACCENT_MAP",
@@ -648,6 +649,143 @@ def unigram_logprob(
         .select(
             id_col,
             F.col("n_tokens"),
+            F.round(F.col("__sum") / F.col("n_tokens"), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    train: DataFrame,
+    text_col: str,
+    id_col: str,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Bigram LM quality score with stupid backoff (Brants et al. 2007)
+    — the order-2 upgrade of ``unigram_logprob``: per-document mean log
+    score under a bigram model fit on ``train`` (a held-out corpus
+    slice, so scored documents genuinely contain unseen bigrams and the
+    backoff path is exercised).
+
+    Scoring: the first token uses the add-one unigram
+    ``(cnt+1)/(U+V)``; every later token uses ``big(prev,cur)/uni(prev)``
+    when the bigram was seen in training, else
+    ``backoff * (uni(cur)+1)/(U+V)``. All model inputs are exact
+    integers; the per-document sum of float logs folds in ascending
+    token-position order (the unigram_logprob determinism contract), so
+    scores are hash-comparable cross-engine after round(6).
+
+    Scale shape: the model is two vocabulary-sized aggregations (the
+    bigram table pre-joins its prefix's unigram count, so scoring needs
+    exactly two joins per position row: (prev,cur)->bigram and
+    cur->unigram); position rows are one narrow posexplode of the
+    document tokens; U/V collapse to one broadcast row. Documents
+    never shuffle — only (doc, pos, prev, cur) tuples do.
+    """
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    # -- model (train slice) -------------------------------------------
+    tr_tok = train.select(F.explode(toks).alias("__t"))
+    uni = tr_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__uc"))
+    scalars = uni.agg(
+        F.sum("__uc").alias("__U"), F.count(F.lit(1)).alias("__V")
+    )
+    tr_pairs = train.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size(toks)),
+                    lambda i: F.struct(
+                        F.element_at(toks, (i - 1).cast("int")).alias("__a"),
+                        F.element_at(toks, i.cast("int")).alias("__b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<__a:string,__b:string>>"))
+        ).alias("__p")
+    ).select("__p.__a", "__p.__b")
+    big = tr_pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__bc"))
+    # pre-join the prefix's unigram count: scoring then needs only two
+    # joins per position row
+    big2 = big.join(uni.select(F.col("__t").alias("__a"), F.col("__uc").alias("__ua")), "__a")
+    # -- score ---------------------------------------------------------
+    # (pos, prev, cur) built narrowly from the token array — no lag
+    # window, so scoring adds zero shuffles over the document scan
+    pos_rows = df.select(
+        F.col(id_col),
+        F.explode(
+            # guard: sequence(1, 0) DESCENDS in Spark, so empty docs
+            # must short-circuit to an empty array, not explode [1, 0]
+            F.when(
+                F.size(toks) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks)),
+                    lambda i: F.struct(
+                        (i - 1).cast("int").alias("__pos"),
+                        F.when(
+                            i >= 2, F.element_at(toks, (i - 1).cast("int"))
+                        ).alias("__prev"),
+                        F.element_at(toks, i.cast("int")).alias("__cur"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<__pos:int,__prev:string,__cur:string>>"
+                )
+            )
+        ).alias("__r"),
+    ).select(id_col, "__r.__pos", "__r.__prev", "__r.__cur")
+    joined = (
+        pos_rows.join(
+            F.broadcast(
+                big2.select(
+                    F.col("__a").alias("__prev"),
+                    F.col("__b").alias("__cur"),
+                    "__bc",
+                    "__ua",
+                )
+            ),
+            ["__prev", "__cur"],
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("__t").alias("__cur"), "__uc")),
+            "__cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(scalars))
+    )
+    uni_log = (
+        F.log(F.coalesce("__uc", F.lit(0)) + 1.0)
+        - F.log(F.col("__U") + F.col("__V"))
+    )
+    contrib = (
+        F.when(F.col("__pos") == 0, uni_log)
+        .when(
+            F.col("__bc").isNotNull(),
+            F.log(F.col("__bc").cast("double")) - F.log(F.col("__ua").cast("double")),
+        )
+        .otherwise(F.log(F.lit(float(backoff))) + uni_log)
+    )
+    per_pos = joined.select(F.col(id_col), "__pos", contrib.alias("__c"))
+    return (
+        per_pos.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__c")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["__c"],
+            ).alias("__sum"),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
             F.round(F.col("__sum") / F.col("n_tokens"), 6).alias(
                 "avg_logprob"
             ),

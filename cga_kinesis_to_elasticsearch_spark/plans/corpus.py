@@ -537,6 +537,75 @@ def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bigram LM quality score with stupid backoff (text.bigram_logprob):
+# the order-2 upgrade of lm_quality_score, fit on a held-out train
+# slice so scored documents genuinely exercise the backoff path. The
+# oracle replays the exact model counts, the CASE order and the
+# ascending-position float fold.
+# ---------------------------------------------------------------------------
+
+_BG_HELD_OUT = ("src18", "src19")
+_BG_BACKOFF = 0.4
+
+
+def _bigram_lm_oracle() -> str:
+    held = ", ".join(f"'{s}'" for s in _BG_HELD_OUT)
+    return f"""
+WITH n AS (SELECT doc_id, source, {_norm_sql('text')} AS norm FROM documents),
+t AS (SELECT doc_id, source,
+             list_filter(string_split(norm, ' '), x -> x <> '') AS f
+      FROM n),
+tr AS (SELECT * FROM t WHERE source NOT IN ({held})),
+uni AS (SELECT u AS tkn, count(*) AS uc
+        FROM (SELECT unnest(f) AS u FROM tr) GROUP BY 1),
+sc AS (SELECT sum(uc) AS u_total, count(*) AS v_size FROM uni),
+bp AS (SELECT f[j.i] AS a, f[j.i + 1] AS b, count(*) AS bc
+       FROM tr, LATERAL (SELECT unnest(range(1, len(f))) AS i) j
+       GROUP BY 1, 2),
+b2 AS (SELECT bp.a, bp.b, bp.bc, uni.uc AS ua
+       FROM bp JOIN uni ON uni.tkn = bp.a),
+pos AS (SELECT doc_id, j.i - 1 AS pos,
+               CASE WHEN j.i >= 2 THEN f[j.i - 1] END AS prev,
+               f[j.i] AS cur
+        FROM t, LATERAL (SELECT unnest(range(1, len(f) + 1)) AS i) j),
+c AS (SELECT p.doc_id, p.pos,
+             CASE WHEN p.pos = 0
+                  THEN ln(coalesce(u.uc, 0) + 1.0)
+                       - ln(s.u_total + s.v_size)
+                  WHEN b2.bc IS NOT NULL
+                  THEN ln(CAST(b2.bc AS DOUBLE)) - ln(CAST(b2.ua AS DOUBLE))
+                  ELSE ln({_BG_BACKOFF}) + ln(coalesce(u.uc, 0) + 1.0)
+                       - ln(s.u_total + s.v_size) END AS contrib
+      FROM pos p
+      LEFT JOIN b2 ON b2.a = p.prev AND b2.b = p.cur
+      LEFT JOIN uni u ON u.tkn = p.cur
+      CROSS JOIN sc s),
+d AS (SELECT doc_id, count(*) AS n_tokens,
+             list_sum(list(contrib ORDER BY pos ASC)) AS ssum
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(ssum / n_tokens, 6) AS avg_logprob
+FROM d
+"""
+
+
+@q("bigram_lm_quality", _bigram_lm_oracle())
+def _bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram stupid-backoff LM quality score (text.bigram_logprob):
+    model fit on all sources except {src18,src19}, every document
+    scored — held-out docs hit unseen bigrams and take the backoff
+    path. Integer model counts, pinned CASE order, ascending-position
+    float fold: scores hash-match the SQL replay."""
+    from ..operators import text as T
+
+    docs = _tp(spark, sf_dir, "documents")
+    train = docs.filter(~F.col("source").isin(*_BG_HELD_OUT))
+    return T.bigram_logprob(
+        docs, train, "text", "doc_id", backoff=_BG_BACKOFF
+    )
+
+
+# ---------------------------------------------------------------------------
 # DSIR-style importance weighting (operators/importance.py): hashed
 # n-gram features, smoothed target/raw bucket distributions, per-doc
 # importance log-weight — the data-selection scorer. The oracle replays

@@ -181,3 +181,68 @@ class TestUnigramLogprob:
         assert abs(out[2].avg_logprob - exp2) < 1e-6
         # the atypical doc scores strictly lower
         assert out[2].avg_logprob < out[1].avg_logprob
+
+
+class TestBigramLogprob:
+    def test_matches_python_reference_incl_backoff(self, spark):
+        import math
+        from collections import Counter
+
+        from cga_kinesis_to_elasticsearch_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        train_rows = [(0, "a b a b c"), (1, "a b c a")]
+        score_rows = train_rows + [(2, "c b zz a")]  # unseen bigram + token
+        train = spark.createDataFrame(train_rows, "doc_id int, text string")
+        docs = spark.createDataFrame(score_rows, "doc_id int, text string")
+        got = {
+            r.doc_id: r
+            for r in bigram_logprob(docs, train, "text", "doc_id").collect()
+        }
+
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for _, text in train_rows:
+            ts = text.split()
+            uni.update(ts)
+            big.update(zip(ts, ts[1:]))
+        U, V = sum(uni.values()), len(uni)
+
+        def ref(text: str) -> tuple[int, float]:
+            ts = text.split()
+            s = 0.0
+            for i, cur in enumerate(ts):
+                if i == 0:
+                    s += math.log(uni.get(cur, 0) + 1.0) - math.log(U + V)
+                elif (ts[i - 1], cur) in big:
+                    s += math.log(big[(ts[i - 1], cur)]) - math.log(
+                        uni[ts[i - 1]]
+                    )
+                else:
+                    s += (
+                        math.log(0.4)
+                        + math.log(uni.get(cur, 0) + 1.0)
+                        - math.log(U + V)
+                    )
+            return len(ts), round(s / len(ts), 6)
+
+        for doc_id, text in score_rows:
+            n, lp = ref(text)
+            assert got[doc_id].n_tokens == n
+            assert abs(got[doc_id].avg_logprob - lp) < 2e-6
+        # the doc full of unseen transitions scores lowest
+        assert got[2].avg_logprob < min(got[0].avg_logprob, got[1].avg_logprob)
+
+    def test_empty_and_single_token_docs(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.text import (
+            bigram_logprob,
+        )
+
+        train = spark.createDataFrame([(0, "a b")], "doc_id int, text string")
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "")], "doc_id int, text string"
+        )
+        out = {r.doc_id: r for r in bigram_logprob(docs, train, "text", "doc_id").collect()}
+        assert out[1].n_tokens == 1  # unigram-only scoring
+        assert 2 not in out  # zero-token docs produce no score row
