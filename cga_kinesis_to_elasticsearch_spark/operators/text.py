@@ -32,6 +32,7 @@ __all__ = [
     "pack_spans",
     "unigram_logprob",
     "bigram_logprob",
+    "significant_terms",
     "STOPWORDS",
     "LANG_MARKERS",
     "ACCENT_MAP",
@@ -653,6 +654,69 @@ def unigram_logprob(
                 "avg_logprob"
             ),
         )
+    )
+
+
+def significant_terms(
+    df: DataFrame,
+    foreground: Column,
+    text_col: str,
+    id_col: str,
+    k: int = 20,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Elasticsearch's significant_terms aggregation, Spark-native:
+    terms OVERREPRESENTED in the foreground document set relative to
+    the whole corpus, ranked by the JLH score ES uses —
+    ``(fg_pct - bg_pct) * (fg_pct / bg_pct)`` over per-set DOCUMENT
+    frequencies. The ES use case is "what is unusual about the
+    documents matching this query"; the training-data use case is
+    domain-discriminative vocabulary (what words characterize a
+    source/cluster against the corpus).
+
+    ``foreground`` is a boolean Column over ``df``'s rows. Returns the
+    top ``k`` rows ``(term, fg_count, bg_count, score DOUBLE round-6,
+    rank)``, ties broken by term ascending; terms below
+    ``min_doc_count`` foreground docs are excluded (the ES default
+    guard against one-off noise).
+
+    Scale shape: one tokenize-explode over the corpus into a
+    per-(term, doc-set) DISTINCT-doc count — map-side combinable,
+    vocabulary-sized output; the two scalar totals broadcast; the
+    final top-k is a vocabulary-sized sort. Integer counts and an
+    identical float expression tree keep the score hash-comparable.
+    """
+    toks = F.filter(
+        F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
+    )
+    ex = df.select(
+        F.col(id_col), foreground.alias("__fg"), F.explode(toks).alias("term")
+    ).distinct()  # document frequency, not term frequency
+    per_term = ex.groupBy("term").agg(
+        F.sum(F.when(F.col("__fg"), 1).otherwise(0)).alias("fg_count"),
+        F.count(F.lit(1)).alias("bg_count"),
+    )
+    totals = df.agg(
+        F.sum(F.when(foreground, 1).otherwise(0)).alias("__fg_docs"),
+        F.count(F.lit(1)).alias("__bg_docs"),
+    )
+    fg_pct = F.col("fg_count") / F.col("__fg_docs")
+    bg_pct = F.col("bg_count") / F.col("__bg_docs")
+    scored = (
+        per_term.filter(F.col("fg_count") >= min_doc_count)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -537,6 +537,63 @@ def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ES significant_terms aggregation (text.significant_terms): terms
+# overrepresented in a foreground doc set vs the corpus, JLH-scored —
+# "what is unusual about the documents matching this query" (ES), or
+# domain-discriminative vocabulary (training-data analysis).
+# ---------------------------------------------------------------------------
+
+_SIG_LANG = "de"
+_SIG_K = 15
+_SIG_MIN_DC = 2
+
+_SIG_ORACLE = f"""
+WITH n AS (SELECT doc_id, lang, {_norm_sql('text')} AS norm FROM documents),
+ex AS (SELECT DISTINCT doc_id, lang = '{_SIG_LANG}' AS fg,
+              unnest(string_split(norm, ' ')) AS term
+       FROM n),
+pt AS (SELECT term,
+              sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_count,
+              count(*) AS bg_count
+       FROM ex WHERE term <> '' GROUP BY term),
+tot AS (SELECT sum(CASE WHEN lang = '{_SIG_LANG}' THEN 1 ELSE 0 END) AS fgd,
+               count(*) AS bgd
+        FROM documents),
+sc AS (SELECT term, fg_count, bg_count,
+              round(((fg_count / CAST(fgd AS DOUBLE))
+                     - (bg_count / CAST(bgd AS DOUBLE)))
+                    * ((fg_count / CAST(fgd AS DOUBLE))
+                       / (bg_count / CAST(bgd AS DOUBLE))), 6) AS score
+       FROM pt CROSS JOIN tot WHERE fg_count >= {_SIG_MIN_DC}),
+r AS (SELECT *, row_number() OVER (ORDER BY score DESC, term ASC) AS rank
+      FROM sc WHERE score > 0)
+SELECT term, CAST(fg_count AS BIGINT) AS fg_count,
+       CAST(bg_count AS BIGINT) AS bg_count, score, rank
+FROM r WHERE rank <= {_SIG_K}
+"""
+
+
+@q("significant_terms_lang", _SIG_ORACLE)
+def _significant_terms_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (text.significant_terms): vocabulary
+    overrepresented in the '{_SIG_LANG}'-language documents vs the
+    whole corpus, ranked by the JLH score over per-set document
+    frequencies — one distinct-doc explode + a vocabulary-sized
+    aggregation; integer counts keep the score hash-exact."""
+    from ..operators import text as T
+
+    docs = _tp(spark, sf_dir, "documents")
+    return T.significant_terms(
+        docs,
+        F.col("lang") == _SIG_LANG,
+        "text",
+        "doc_id",
+        k=_SIG_K,
+        min_doc_count=_SIG_MIN_DC,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bigram LM quality score with stupid backoff (text.bigram_logprob):
 # the order-2 upgrade of lm_quality_score, fit on a held-out train
 # slice so scored documents genuinely exercise the backoff path. The

@@ -183,6 +183,40 @@ class TestUnigramLogprob:
         assert out[2].avg_logprob < out[1].avg_logprob
 
 
+class TestSignificantTerms:
+    def test_jlh_scores_and_filters(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.text import (
+            significant_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "der hund common", "de"),
+                (1, "der katze common", "de"),
+                (2, "the cat common", "en"),
+                (3, "the dog common", "en"),
+                (4, "the bird common", "en"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        got = {
+            r["term"]: r
+            for r in significant_terms(
+                docs, F.col("lang") == "de", "text", "doc_id", k=10
+            ).collect()
+        }
+        # 'der' in 2/2 fg docs, 2/5 bg: fg_pct=1, bg_pct=0.4
+        assert got["der"].fg_count == 2 and got["der"].bg_count == 2
+        assert got["der"].score == round((1 - 0.4) * (1 / 0.4), 6)
+        assert got["der"].rank == 1
+        # 'common' is in everything: fg_pct == bg_pct -> score 0, excluded
+        assert "common" not in got
+        # 'hund' appears in only 1 fg doc -> below min_doc_count
+        assert "hund" not in got
+        # background-only terms have fg_count 0 -> excluded
+        assert "cat" not in got
+
+
 class TestBigramLogprob:
     def test_matches_python_reference_incl_backoff(self, spark):
         import math
