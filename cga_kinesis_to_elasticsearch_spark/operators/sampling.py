@@ -29,6 +29,7 @@ __all__ = [
     "weighted_hash_sample",
     "negative_samples",
     "temperature_mix",
+    "mixture_plan",
     "per_key_cap",
     "group_split",
 ]
@@ -187,6 +188,66 @@ def temperature_mix(
         df.join(F.broadcast(fracs), source_col)
         .filter(sample_key(F.col(id_col), seed) < F.col("__thr"))
         .select(F.col(id_col), F.col(source_col), F.col("mix_fraction"))
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+) -> DataFrame:
+    """Explicit-weights data-mixture plan (the Pile/Dolma-style recipe
+    spec): given target mixture ``weights`` per source and a total
+    ``token_budget``, compute per source how many tokens it is
+    allotted and how to get them — a keep ``fraction`` when the source
+    has more than its allotment (downsample via
+    ``stratified_hash_sample``), or an ``epochs`` repetition factor
+    > 1 when it has less (the standard LLM-recipe oversampling of
+    short high-value sources).
+
+    Returns one row per source in ``weights``:
+    ``(source, available_tokens, target_share, allotted_tokens,
+    keep_fraction, epochs)`` — ``keep_fraction`` = min(1, allotted /
+    available) and ``epochs`` = max(1, allotted / available), both
+    rounded to 9 decimals; ``allotted_tokens`` = floor(budget * share).
+    Sources absent from ``weights`` are excluded (weight 0).
+
+    Scale shape: ONE map-side-combinable aggregation over the corpus
+    (per-source whitespace-token sums); everything after operates on
+    the sources-sized table with literal weights — nothing is
+    collected, no second corpus scan. All inputs to the ratios are
+    exact integers, so the plan is hash-replayable in SQL.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad or not weights:
+        raise ValueError(f"weights must be non-empty and >= 0: {bad}")
+    total_w = float(sum(weights.values()))
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    )
+    counts = (
+        df.filter(F.col(source_col).isin(*weights))
+        .groupBy(source_col)
+        .agg(F.sum(toks).alias("available_tokens"))
+    )
+    share: Column = F.lit(None).cast("double")
+    for s, w in sorted(weights.items()):
+        share = F.when(F.col(source_col) == s, F.lit(w / total_w)).otherwise(
+            share
+        )
+    allotted = F.floor(F.lit(float(token_budget)) * share).cast("long")
+    ratio = allotted / F.col("available_tokens")
+    return counts.select(
+        F.col(source_col).alias("source"),
+        F.col("available_tokens").cast("long").alias("available_tokens"),
+        F.round(share, 9).alias("target_share"),
+        allotted.alias("allotted_tokens"),
+        F.round(F.least(F.lit(1.0), ratio), 9).alias("keep_fraction"),
+        F.round(F.greatest(F.lit(1.0), ratio), 9).alias("epochs"),
     )
 
 

@@ -537,6 +537,56 @@ def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Explicit-weights data-mixture plan (sampling.mixture_plan): the
+# Pile/Dolma-style recipe spec — per-source token allotments, keep
+# fractions and oversampling epochs from one corpus aggregation.
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 3000
+
+
+def _mixture_oracle() -> str:
+    total = sum(_MIX_WEIGHTS.values())
+    in_list = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
+    share_case = " ".join(
+        f"WHEN '{s}' THEN {w / total!r}"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    b = float(_MIX_BUDGET)
+    return f"""
+WITH c AS (
+  SELECT source,
+         sum(len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> ''))) AS avail
+  FROM documents WHERE source IN ({in_list}) GROUP BY source),
+s AS (SELECT *, CASE source {share_case} END AS share FROM c)
+SELECT source,
+       CAST(avail AS BIGINT) AS available_tokens,
+       round(share, 9) AS target_share,
+       CAST(floor({b!r} * share) AS BIGINT) AS allotted_tokens,
+       round(least(1.0, floor({b!r} * share) / avail), 9) AS keep_fraction,
+       round(greatest(1.0, floor({b!r} * share) / avail), 9) AS epochs
+FROM s
+"""
+
+
+@q("mixture_plan_tokens", _mixture_oracle())
+def _mixture_plan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-weights mixture plan (sampling.mixture_plan): target
+    shares {{src0: .5, src1: .3, src2: .2}} over a token budget — per
+    source, the allotted tokens and either a keep fraction (long
+    source) or an epochs oversampling factor (short source). One
+    map-side-combinable corpus aggregation; integer-exact inputs."""
+    from ..operators.sampling import mixture_plan
+
+    docs = _tp(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, "text", "source", _MIX_WEIGHTS, token_budget=_MIX_BUDGET
+    )
+
+
+# ---------------------------------------------------------------------------
 # ES significant_terms aggregation (text.significant_terms): terms
 # overrepresented in a foreground doc set vs the corpus, JLH-scored —
 # "what is unusual about the documents matching this query" (ES), or

@@ -103,6 +103,39 @@ class TestQualityClassifier:
         assert not r.keep
 
 
+class TestMixturePlan:
+    def test_long_and_short_sources(self, spark):
+        # web: 10 docs x 10 tokens = 100 tokens; code: 2 x 10 = 20
+        rows = [(i, "t " * 9 + "t", "web") for i in range(10)]
+        rows += [(100 + i, "t " * 9 + "t", "code") for i in range(2)]
+        rows += [(200, "ignored words here", "other")]  # not in weights
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r.source: r
+            for r in SM.mixture_plan(
+                df, "text", "source", {"web": 0.5, "code": 0.5}, 80
+            ).collect()
+        }
+        assert set(out) == {"web", "code"}
+        web, code = out["web"], out["code"]
+        assert (web.available_tokens, code.available_tokens) == (100, 20)
+        assert web.target_share == code.target_share == 0.5
+        assert web.allotted_tokens == code.allotted_tokens == 40
+        # web is long: downsample to 40/100; one epoch
+        assert web.keep_fraction == pytest.approx(0.4) and web.epochs == 1.0
+        # code is short: keep everything, repeat 2x
+        assert code.keep_fraction == 1.0 and code.epochs == pytest.approx(2.0)
+
+    def test_validates_inputs(self, spark):
+        df = spark.createDataFrame([(0, "x", "a")], "doc_id long, text string, source string")
+        with pytest.raises(ValueError, match="token_budget"):
+            SM.mixture_plan(df, "text", "source", {"a": 1.0}, 0)
+        with pytest.raises(ValueError, match="weights"):
+            SM.mixture_plan(df, "text", "source", {}, 10)
+        with pytest.raises(ValueError, match="weights"):
+            SM.mixture_plan(df, "text", "source", {"a": -0.5}, 10)
+
+
 class TestTemperatureMix:
     def _df(self, spark, sizes: dict[str, int]):
         rows, i = [], 0
