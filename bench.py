@@ -41,6 +41,8 @@ HEADLINE = [
     "sketch_daily_users",
     "pack_training_sequences",
     "lm_quality_score",
+    # distribution-matching data selection (hashed n-gram importance)
+    "dsir_importance_weights",
     "fuzzy_dedup_keep",
     "embedding_refine_topk",
     "bloom_pruned_semi_join",

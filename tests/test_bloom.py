@@ -146,6 +146,17 @@ class TestBloomSemiJoin:
         )
         assert plan.count("md5") == 1, plan
 
+    def test_fused_prefilter_drops_null_keys(self, spark, words):
+        # equi-join semantics: a NULL key can never match, so the
+        # prefilter must drop it (md5(NULL) -> NULL probes -> false)
+        df = spark.createDataFrame(
+            [(None,), (1,)], "l_orderkey long"
+        )
+        got = bloom_prefilter(
+            df, F.col("l_orderkey").cast("string"), words
+        ).collect()
+        assert all(r.l_orderkey is not None for r in got)
+
     def test_empty_dim_rejects_everything(self, spark, tables):
         li, dim = tables
         empty = dim.filter(F.lit(False))
