@@ -97,7 +97,11 @@ def dsir_log_weights(
     (total + n_buckets) — so unseen buckets stay finite and the ratio
     is well-defined everywhere.
     """
-    raw_f = hashed_ngram_features(raw, text_col, id_col, n_buckets)
+    # raw_f feeds BOTH the raw distribution and the per-doc contribution
+    # join — materialize once so the tokenize+hash pipeline runs once
+    raw_f = hashed_ngram_features(
+        raw, text_col, id_col, n_buckets
+    ).localCheckpoint()
     tgt_f = hashed_ngram_features(target, text_col, id_col, n_buckets)
     raw_b = raw_f.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
     tgt_b = tgt_f.groupBy("bucket").agg(F.sum("cnt").alias("tc"))

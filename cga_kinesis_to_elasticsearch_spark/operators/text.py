@@ -753,7 +753,13 @@ def bigram_logprob(
     )
     # -- model (train slice) -------------------------------------------
     tr_tok = train.select(F.explode(toks).alias("__t"))
-    uni = tr_tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__uc"))
+    # uni is referenced three times (scalars, bigram prefix join, the
+    # backoff join) — materialize the vocabulary-sized table once
+    uni = (
+        tr_tok.groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__uc"))
+        .localCheckpoint()
+    )
     scalars = uni.agg(
         F.sum("__uc").alias("__U"), F.count(F.lit(1)).alias("__V")
     )
