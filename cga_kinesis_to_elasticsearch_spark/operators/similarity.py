@@ -37,6 +37,7 @@ __all__ = [
     "pq_train_codebooks",
     "pq_encode",
     "pq_adc_topk",
+    "pq_adc_from_codes",
     "kmeans_train",
     "refine_topk",
     "LSH_PAIRS",
@@ -562,11 +563,29 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Asymmetric-distance top-k: per query, an (m x n_centroids)
+    """Asymmetric-distance top-k: encode the corpus inline, then score
+    via :func:`pq_adc_from_codes`. See that function for the scale
+    shape; at production scale the codes come from a PERSISTED table
+    (sinks/pqindex.py) instead of inline encoding."""
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    return pq_adc_from_codes(enc, queries, codebooks, k, id_col, vec_col)
+
+
+def pq_adc_from_codes(
+    enc: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PRE-ENCODED code table
+    ``(id, codes array<long>)``: per query, an (m x n_centroids)
     dot-product table against the codebooks; each corpus vector scores
     as a sum of m table lookups on its codes — never touching the full
     corpus vectors. Output: (query_id, vec_id, score, rank), score =
-    approximate dot product (descending = nearest).
+    approximate dot product (descending = nearest), rounded to 4
+    before ranking (cross-engine rank stability).
 
     Scale shape: the code table (8 bytes/vector) streams through
     mapInPandas; queries + codebooks broadcast via closure; final top-k
@@ -608,7 +627,6 @@ def pq_adc_topk(
                 )
             yield pd.concat(out_frames, ignore_index=True)
 
-    enc = pq_encode(corpus, books, id_col, vec_col)
     scored = enc.mapInPandas(_score, f"query_id long, {id_col} long, score double")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (

@@ -306,6 +306,33 @@ def _embedding_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+@q("pq_index_topk", _pq_oracle())
+def _pq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted PQ index (sinks/pqindex.py): codebooks trained once,
+    every vector encoded to 8 code bytes, BOTH persisted (codebooks
+    beside codes so scoring can never drift from encoding), then ADC
+    top-k served by scanning the stored code table only — a 32x
+    scan-bytes cut vs float vectors. Value oracle: the full SQL PQ
+    replay (training + encode + ADC), i.e. the disk layout may change
+    the plan, never the answer."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.pqindex import build_pq_index, query_pq_index
+
+    emb = _tp(spark, sf_dir, "embeddings")
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_pq_index" / sf
+    build_pq_index(
+        spark, emb, root, m=_PQ_M, n_centroids=_PQ_NC,
+        sample_rows=_PQ_SAMPLE, iters=_PQ_ITERS,
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return query_pq_index(spark, root, queries, k=_TOPK).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _ivf_oracle() -> str:
     # the persisted index must return EXACTLY what the inline IVF
     # computes over the same centroid snapshot — same oracle string
