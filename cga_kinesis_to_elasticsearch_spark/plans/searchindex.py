@@ -163,6 +163,35 @@ def _boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_TERM = "low"  # matches 'row' (substitution) and 'slow' (insertion)
+
+_FUZZY_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+m AS (SELECT DISTINCT term FROM tf
+      WHERE levenshtein(term, '{_FUZZY_TERM}') <= 1),
+p AS (SELECT tf.* FROM tf JOIN m USING (term))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(tf) AS BIGINT) AS total_tf
+FROM p GROUP BY doc_id
+"""
+
+
+@q("fuzzy_term_search", _FUZZY_ORACLE)
+def _fuzzy_term_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style fuzzy matching (fuzziness: 1) from the persisted index
+    (sinks/textindex.fuzzy_search): SymSpell deletion-neighborhood
+    candidates over the term dictionary, exact levenshtein verify,
+    bucket-pruned posting fetch for the matched terms only. The oracle
+    recomputes membership with a straight levenshtein scan."""
+    from ..sinks.textindex import fuzzy_search
+
+    root = _built_index(spark, sf_dir)
+    return fuzzy_search(spark, root, _FUZZY_TERM, max_edits=1)
+
+
 _PHRASE = ["table", "hash"]
 
 _PHRASE_ORACLE = f"""

@@ -51,6 +51,7 @@ __all__ = [
     "build_text_index",
     "search_and",
     "search_boolean",
+    "fuzzy_search",
     "bm25_topk",
     "phrase_search",
     "append_to_text_index",
@@ -137,6 +138,77 @@ def search_and(
         )
         .filter(F.col("__n_terms") == len(terms))
         .select("doc_id", "total_tf")
+    )
+
+
+def _deletion_variants(term: "F.Column") -> "F.Column":
+    """The term plus every single-character-deletion string — the
+    SymSpell edit-distance-1 neighborhood, as a narrow array expr."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: F.concat(
+            F.substring(term, F.lit(1), i - 1),
+            term.substr(i + 1, F.length(term)),
+        ),
+    )
+    return F.array_union(F.array(term), dels)
+
+
+def fuzzy_search(
+    spark: SparkSession,
+    root: str | Path,
+    term: str,
+    max_edits: int = 1,
+) -> DataFrame:
+    """ES-style fuzzy term matching (``fuzziness: 1``): documents
+    containing any index term within Levenshtein distance
+    ``max_edits`` (currently 1) of ``term``, with the matched terms
+    and their total tf per document.
+
+    Scale shape — the SymSpell deletion trick, not a vocabulary
+    Levenshtein scan: every dictionary term explodes into its <=
+    len+1 single-deletion variants (a narrow, vocabulary-sized
+    expansion read from the postings' term column only — parquet
+    prunes the rest); the query term's own tiny variant set broadcasts
+    against it; candidates that share a variant are then VERIFIED with
+    an exact ``levenshtein`` call, so the deletion neighborhood only
+    bounds the candidate set (complete for distance 1), never the
+    answer. The final posting fetch is bucket-pruned to the matched
+    terms. Returns ``(doc_id, n_terms LONG, total_tf LONG)``.
+    """
+    if max_edits != 1:
+        raise ValueError("fuzzy_search currently supports max_edits=1")
+    root = Path(root)
+    q = term
+    q_variants = sorted(
+        {q} | {q[:i] + q[i + 1:] for i in range(len(q))}
+    )
+    vocab = (
+        spark.read.parquet(str(root / "postings"))
+        .select("term")
+        .distinct()
+    )
+    cand = (
+        vocab.select(
+            "term", F.explode(_deletion_variants(F.col("term"))).alias("__v")
+        )
+        .filter(F.col("__v").isin(q_variants))
+        .select("term")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_edits)
+    )
+    matched = [r["term"] for r in cand.collect()]
+    if not matched:
+        return spark.createDataFrame(
+            [], "doc_id long, n_terms long, total_tf long"
+        )
+    p = _postings_for(spark, root, matched)
+    return (
+        p.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
     bm25_topk,
     build_text_index,
+    fuzzy_search,
     search_and,
     search_boolean,
 )
@@ -126,6 +127,59 @@ class TestSearch:
             search_boolean(spark, index, must_not=["spark"])
         with pytest.raises(ValueError, match="multiple clauses"):
             search_boolean(spark, index, must=["spark"], must_not=["spark"])
+
+    def test_fuzzy_matches_all_edit_kinds(self, spark, index):
+        # query 'vectr' vs vocab: 'vector' (insertion) — and a
+        # substitution/deletion case via 'scan' vs 'span'-less vocab
+        got = {
+            r["doc_id"]: (r["n_terms"], r["total_tf"])
+            for r in fuzzy_search(spark, index, "vectr").collect()
+        }
+        # docs 1, 2, 4 contain 'vector'
+        assert set(got) == {1, 2, 4}
+        assert got[4] == (1, 2)  # 'vector' twice in doc 4
+
+    def test_fuzzy_candidates_complete_vs_bruteforce(self, spark, index):
+        """The SymSpell deletion neighborhood must find EXACTLY the
+        terms a brute-force levenshtein scan finds (distance 1)."""
+        import re as _re
+
+        def lev1(a: str, b: str) -> bool:
+            if abs(len(a) - len(b)) > 1:
+                return False
+            # tiny DP
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def d(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(
+                    d(i - 1, j) + 1,
+                    d(i, j - 1) + 1,
+                    d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+                )
+
+            return d(len(a), len(b)) <= 1
+
+        vocab = {
+            w
+            for _, text in _DOCS
+            for w in _re.sub(r"[^a-z0-9\s]", "", text.lower()).split()
+        }
+        for q in ["spark", "merg", "vectr", "the", "xyzzy"]:
+            want_docs_terms = {t for t in vocab if lev1(q, t)}
+            got = fuzzy_search(spark, index, q).collect()
+            got_docs = {r["doc_id"] for r in got}
+            want_docs = {
+                doc_id
+                for doc_id, text in _DOCS
+                if want_docs_terms
+                & set(_re.sub(r"[^a-z0-9\s]", "", text.lower()).split())
+            }
+            assert got_docs == want_docs, (q, got_docs, want_docs)
 
     def test_unknown_term_empty(self, spark, index):
         assert search_and(spark, index, ["zzzznope"]).count() == 0
