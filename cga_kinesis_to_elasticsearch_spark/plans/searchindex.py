@@ -163,6 +163,66 @@ def _boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MLT_TEXT = "slow merge spark table query slow zzzqx"  # dup term + OOV
+_MLT_N = 4
+
+_MLT_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+lt AS (SELECT term, count(*) AS ltf
+       FROM (SELECT unnest(string_split({_norm_sql(f"'{_MLT_TEXT}'")}, ' '))
+                AS term)
+       WHERE term <> '' GROUP BY term),
+ldf AS (SELECT term, count(*) AS df FROM tf
+        WHERE term IN (SELECT term FROM lt) GROUP BY term),
+selr AS (
+  SELECT lt.term,
+         row_number() OVER (
+           ORDER BY round(lt.ltf * ln(1.0 + (stats.n_docs - ldf.df + 0.5)
+                                            / (ldf.df + 0.5)), 9) DESC,
+                    lt.term ASC) AS rn
+  FROM lt JOIN ldf USING (term) CROSS JOIN stats),
+sel AS (SELECT term FROM selr WHERE rn <= {_MLT_N}),
+p AS (SELECT tf.* FROM tf JOIN sel USING (term)),
+dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+c AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * ((p.tf * (1.0 + {_K1}))
+            / (p.tf + {_K1} * (1.0 - {_B} + {_B} *
+               (dl.dl / (CAST(stats.total_len AS DOUBLE) / stats.n_docs)))))
+           AS contrib
+  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+d AS (SELECT doc_id, count(*) AS n_hit_terms,
+             round(list_sum(list(contrib ORDER BY term ASC)), 6) AS score
+      FROM c GROUP BY doc_id)
+SELECT doc_id, CAST(n_hit_terms AS BIGINT) AS n_hit_terms, score
+FROM d ORDER BY score DESC, doc_id LIMIT {_TOPK}
+"""
+
+
+@q("more_like_this_topk", _MLT_ORACLE)
+def _more_like_this_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this from the persisted index
+    (sinks/textindex.more_like_this): the like-text's terms ranked by
+    tf x BM25-idf against the INDEX's document frequencies (out-of-
+    vocabulary terms dropped, duplicate terms boost tf), top
+    {_MLT_N} become a bm25_topk query. Term selection AND the final
+    ranking replay in SQL — the whole similar-documents pipeline is
+    hash-checked."""
+    from ..sinks.textindex import more_like_this
+
+    root = _built_index(spark, sf_dir)
+    return more_like_this(
+        spark, root, _MLT_TEXT, max_query_terms=_MLT_N, k=_TOPK,
+        k1=_K1, b=_B,
+    )
+
+
 _FUZZY_TERM = "low"  # matches 'row' (substitution) and 'slow' (insertion)
 
 _FUZZY_ORACLE = f"""

@@ -52,6 +52,7 @@ __all__ = [
     "search_and",
     "search_boolean",
     "fuzzy_search",
+    "more_like_this",
     "bm25_topk",
     "phrase_search",
     "append_to_text_index",
@@ -369,6 +370,72 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def more_like_this(
+    spark: SparkSession,
+    root: str | Path,
+    like_text: str,
+    max_query_terms: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES ``more_like_this``: find documents similar to a free-text
+    example. The like-text's terms are ranked by ``tf * idf`` (idf =
+    the same Robertson-Sparck-Jones form BM25 uses, computed against
+    the INDEX's document frequencies — terms absent from the index are
+    dropped, as ES does), the top ``max_query_terms`` become the
+    query, and the result is a plain ``bm25_topk`` with them.
+
+    The like-doc is ONE document, so its term profile is driver-side
+    by design (the memoized-ensure pattern): the df lookup is a
+    bucket-pruned postings scan of just the like-text's terms, the
+    stats read is one row, and the search itself is the partition-
+    pruned BM25 path. Selection scores round to 9 decimals before
+    ranking (score desc, term asc) so the chosen term set is
+    engine-exact and the whole operator replays under the SQL oracle.
+    """
+    import math
+    from collections import Counter
+
+    from ..operators.dedup import normalized_text as _nt  # noqa: F401
+
+    root = Path(root)
+    # normalize through the SAME Spark expression every indexer uses
+    row = (
+        spark.createDataFrame([(like_text,)], "t string")
+        .select(F.split(normalized_text(F.col("t")), " ").alias("a"))
+        .first()
+    )
+    tf = Counter(t for t in row["a"] if t)
+    if not tf:
+        return spark.createDataFrame(
+            [], "doc_id long, n_hit_terms long, score double"
+        )
+    p = _postings_for(spark, root, sorted(tf))
+    dfreq = {
+        r["term"]: r["df"]
+        for r in p.groupBy("term").agg(F.count("*").alias("df")).collect()
+    }
+    n_docs = spark.read.parquet(str(root / "stats")).first()["n_docs"]
+    ranked = sorted(
+        (
+            -round(
+                c * math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)),
+                9,
+            ),
+            t,
+        )
+        for t, c in tf.items()
+        if t in dfreq
+    )
+    sel = [t for _, t in ranked[:max_query_terms]]
+    if not sel:
+        return spark.createDataFrame(
+            [], "doc_id long, n_hit_terms long, score double"
+        )
+    return bm25_topk(spark, root, sel, k=k, k1=k1, b=b)
 
 
 def append_to_text_index(

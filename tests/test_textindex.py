@@ -181,6 +181,28 @@ class TestSearch:
             }
             assert got_docs == want_docs, (q, got_docs, want_docs)
 
+    def test_more_like_this_selects_rare_terms_and_ranks(self, spark, index):
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            more_like_this,
+        )
+
+        # 'vector' (df 3) outweighs 'the' (common); unknown terms drop
+        out = more_like_this(
+            spark, index, "vector vector the qqqqzz", max_query_terms=1, k=5
+        ).collect()
+        got = {r["doc_id"] for r in out}
+        assert got == {1, 2, 4}  # exactly the vector docs
+        # doc 4 has vector twice -> highest tf -> ranks first
+        assert out[0]["doc_id"] == 4
+
+    def test_more_like_this_empty_inputs(self, spark, index):
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            more_like_this,
+        )
+
+        assert more_like_this(spark, index, "").count() == 0
+        assert more_like_this(spark, index, "zzz qqq").count() == 0
+
     def test_unknown_term_empty(self, spark, index):
         assert search_and(spark, index, ["zzzznope"]).count() == 0
 
