@@ -163,6 +163,34 @@ def _boolean_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUGGEST_PREFIX = "s"
+_SUGGEST_K = 8
+
+_SUGGEST_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term
+        FROM n),
+pt AS (SELECT term, count(*) AS df FROM tok
+       WHERE term <> '' AND term LIKE '{_SUGGEST_PREFIX}%' GROUP BY term),
+r AS (SELECT term, CAST(df AS BIGINT) AS df,
+             row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+      FROM pt)
+SELECT term, df, rank FROM r WHERE rank <= {_SUGGEST_K}
+"""
+
+
+@q("suggest_terms_prefix", _SUGGEST_ORACLE)
+def _suggest_terms_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion-suggester analogue (sinks/textindex.suggest_terms):
+    index terms under a prefix ranked by document frequency — the
+    popularity contract a sorted dictionary sidecar must reproduce at
+    serving scale."""
+    from ..sinks.textindex import suggest_terms
+
+    root = _built_index(spark, sf_dir)
+    return suggest_terms(spark, root, _SUGGEST_PREFIX, k=_SUGGEST_K)
+
+
 _MLT_TEXT = "slow merge spark table query slow zzzqx"  # dup term + OOV
 _MLT_N = 4
 

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.dedup import normalized_text
 
@@ -53,6 +53,7 @@ __all__ = [
     "search_boolean",
     "fuzzy_search",
     "more_like_this",
+    "suggest_terms",
     "bm25_topk",
     "phrase_search",
     "append_to_text_index",
@@ -369,6 +370,37 @@ def bm25_topk(
         )
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    root: str | Path,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """ES completion-suggester analogue: index terms starting with
+    ``prefix``, ranked by document frequency (popularity) descending,
+    term ascending. Returns ``(term, df LONG, rank)``.
+
+    The scan reads the postings' term + doc_id columns only (parquet
+    column pruning); the md5 bucketing cannot prune a PREFIX query, so
+    at serving scale a deployment adds a sorted term-dictionary
+    sidecar — the ranking semantics here are the contract that sidecar
+    must reproduce."""
+    if not prefix:
+        raise ValueError("empty prefix")
+    root = Path(root)
+    p = spark.read.parquet(str(root / "postings")).select("term", "doc_id")
+    per_term = (
+        p.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        per_term.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -195,6 +195,21 @@ class TestSearch:
         # doc 4 has vector twice -> highest tf -> ranks first
         assert out[0]["doc_id"] == 4
 
+    def test_suggest_terms_prefix_popularity(self, spark, index):
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            suggest_terms,
+        )
+
+        got = [
+            (r["term"], r["df"], r["rank"])
+            for r in suggest_terms(spark, index, "s", k=5).collect()
+        ]
+        # 'spark' in docs 0,1,2,4 (df 4); 'scan' in doc 1 only
+        assert got[0] == ("spark", 4, 1)
+        assert ("scan", 1, 2) in got
+        with pytest.raises(ValueError, match="prefix"):
+            suggest_terms(spark, index, "")
+
     def test_more_like_this_empty_inputs(self, spark, index):
         from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
             more_like_this,
