@@ -57,9 +57,18 @@ def hashed_ngram_features(
     """``(id, bucket INT, cnt LONG)``: hashed unigram+bigram bag of the
     normalized text. Bigrams join tokens with ``_`` (never produced by
     normalization, so unigram/bigram namespaces cannot collide)."""
-    toks = F.filter(
+    raw_toks = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
     )
+    # bind the token array ONCE through an explode(array(..)) barrier:
+    # referenced directly, the normalize+split expression would be
+    # INLINED into every element_at of the bigram transform (projection
+    # collapse), re-running the full-text regex per token — O(tokens^2)
+    # per document (measured 22 s for 5k docs without the barrier)
+    staged = df.select(
+        F.col(id_col), F.explode(F.array(raw_toks)).alias("__toks")
+    )
+    toks = F.col("__toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -72,7 +81,7 @@ def hashed_ngram_features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)
-    ex = df.select(F.col(id_col), F.explode(grams).alias("__gram"))
+    ex = staged.select(F.col(id_col), F.explode(grams).alias("__gram"))
     return (
         ex.select(
             F.col(id_col), _gram_bucket(F.col("__gram"), n_buckets).alias("bucket")

@@ -748,11 +748,23 @@ def bigram_logprob(
     document tokens; U/V collapse to one broadcast row. Documents
     never shuffle — only (doc, pos, prev, cur) tuples do.
     """
-    toks = F.filter(
+    raw_toks = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
     )
+
+    def _staged(src: DataFrame, *extra: str) -> DataFrame:
+        # bind the token array once per row (explode(array(..)) is a
+        # projection-collapse barrier) — referenced directly, the
+        # normalize+split expression would inline into every
+        # element_at of the pair/position transforms, re-running the
+        # full-text regex per token: O(tokens^2) per document
+        return src.select(
+            *extra, F.explode(F.array(raw_toks)).alias("__toks")
+        )
+
+    toks = F.col("__toks")
     # -- model (train slice) -------------------------------------------
-    tr_tok = train.select(F.explode(toks).alias("__t"))
+    tr_tok = _staged(train).select(F.explode(toks).alias("__t"))
     # uni is referenced three times (scalars, bigram prefix join, the
     # backoff join) — materialize the vocabulary-sized table once
     uni = (
@@ -763,7 +775,7 @@ def bigram_logprob(
     scalars = uni.agg(
         F.sum("__uc").alias("__U"), F.count(F.lit(1)).alias("__V")
     )
-    tr_pairs = train.select(
+    tr_pairs = _staged(train).select(
         F.explode(
             F.when(
                 F.size(toks) >= 2,
@@ -784,7 +796,7 @@ def bigram_logprob(
     # -- score ---------------------------------------------------------
     # (pos, prev, cur) built narrowly from the token array — no lag
     # window, so scoring adds zero shuffles over the document scan
-    pos_rows = df.select(
+    pos_rows = _staged(df, id_col).select(
         F.col(id_col),
         F.explode(
             # guard: sequence(1, 0) DESCENDS in Spark, so empty docs
