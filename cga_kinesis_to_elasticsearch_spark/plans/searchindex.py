@@ -309,3 +309,112 @@ def _phrase_search_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _built_index(spark, sf_dir)
     return phrase_search(spark, root, _PHRASE)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic) fused
+# with Reciprocal Rank Fusion — the standard two-tower serving recipe
+# (ES "retriever: rrf" / hybrid search). Each arm retrieves to depth
+# _RRF_DEPTH independently (the lexical arm from the persisted
+# partition-pruned index, the semantic arm streaming the corpus against
+# ONE broadcast query vector); fusion then touches only 2*depth rows.
+# RRF score = sum over arms of 1 / (RRF_K + rank) — rank-only fusion,
+# so the two arms' incomparable score scales never meet.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_TOPK = 10
+_RRF_QVEC = 0  # semantic query: embedding of vec_id 0 (doc_id-aligned)
+
+_RRF_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS term FROM n),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+p AS (SELECT * FROM tf WHERE term IN ({_TERMS_SQL})),
+dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+c AS (
+  SELECT p.doc_id,
+         ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * ((p.tf * (1.0 + {_K1}))
+            / (p.tf + {_K1} * (1.0 - {_B} + {_B} *
+               (dl.dl / (CAST(stats.total_len AS DOUBLE) / stats.n_docs)))))
+           AS contrib,
+         p.term
+  FROM p JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+d AS (SELECT doc_id,
+             round(list_sum(list(contrib ORDER BY term ASC)), 6) AS score
+      FROM c GROUP BY doc_id),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM d QUALIFY bm25_rank <= {_RRF_DEPTH}),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+       WHERE vec_id = {_RRF_QVEC}),
+sims AS (SELECT vec_id AS doc_id,
+                round(list_cosine_similarity(qv, embedding::DOUBLE[]), 4)
+                  AS sim
+         FROM embeddings CROSS JOIN qv WHERE vec_id <> {_RRF_QVEC}),
+semr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY sim DESC, doc_id) AS cos_rank
+         FROM sims QUALIFY cos_rank <= {_RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+         CAST(b.bm25_rank AS BIGINT) AS bm25_rank,
+         CAST(s.cos_rank AS BIGINT) AS cos_rank,
+         round(coalesce(1.0 / ({_RRF_K} + b.bm25_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + s.cos_rank), 0.0), 6)
+           AS rrf_score
+  FROM bmr b FULL OUTER JOIN semr s ON b.doc_id = s.doc_id)
+SELECT doc_id, bm25_rank, cos_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOPK}
+"""
+
+
+@q("hybrid_rrf_search", _RRF_ORACLE)
+def _hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with Reciprocal Rank Fusion:
+    BM25 top-N from the persisted inverted index fused with exact
+    cosine top-N over the embedding corpus by 1/(k+rank) — the ES
+    hybrid-search / "retriever: rrf" analogue. Each arm is the proven
+    scale shape (pruned postings vs broadcast-query corpus stream);
+    fusion is a full-outer join of two depth-N rank lists, trivially
+    broadcastable at any corpus size. The oracle replays both arms and
+    the fusion straight from the corpus tables."""
+    from pyspark.sql import Window, functions as F
+
+    from ..operators.similarity import cosine_topk
+    from ..sinks.textindex import bm25_topk
+
+    root = _built_index(spark, sf_dir)
+    bm = bm25_topk(spark, root, _TERMS, k=_RRF_DEPTH, k1=_K1, b=_B)
+    # depth-N frame: the no-partition window ranks <= _RRF_DEPTH rows
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    emb = _tp(spark, sf_dir, "embeddings")
+    sem = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == _RRF_QVEC), k=_RRF_DEPTH
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("cos_rank"),
+    )
+    fused = bmr.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    ).limit(_RRF_TOPK)

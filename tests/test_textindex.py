@@ -450,3 +450,61 @@ class TestStreamingIndexHook:
             for r in spark.read.parquet(f"{root}/postings").collect()
         }
         assert got == want
+
+
+class TestHybridRRF:
+    """hybrid_rrf_search: RRF fusion of the BM25 and cosine arms."""
+
+    def test_fused_scores_and_order(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.plans.searchindex import (
+            _RRF_DEPTH,
+            _RRF_K,
+            _RRF_QVEC,
+            _RRF_TOPK,
+            _TERMS,
+            _built_index,
+            _hybrid_rrf_search,
+        )
+        from cga_kinesis_to_elasticsearch_spark.operators.similarity import (
+            cosine_topk,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sinks.textindex import (
+            bm25_topk,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = _hybrid_rrf_search(spark, sf_dir).collect()
+        assert 0 < len(rows) <= _RRF_TOPK
+
+        # recompute both arms' rank lists independently
+        root = _built_index(spark, sf_dir)
+        bm = bm25_topk(spark, root, _TERMS, k=_RRF_DEPTH).collect()
+        bm_rank = {
+            r["doc_id"]: i + 1
+            for i, r in enumerate(
+                sorted(bm, key=lambda r: (-r["score"], r["doc_id"]))
+            )
+        }
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sem = cosine_topk(
+            emb, emb.filter(F.col("vec_id") == _RRF_QVEC), k=_RRF_DEPTH
+        ).collect()
+        cos_rank = {r["vec_id"]: r["rank"] for r in sem}
+
+        for r in rows:
+            expect = round(
+                (1.0 / (_RRF_K + bm_rank[r["doc_id"]])
+                 if r["doc_id"] in bm_rank else 0.0)
+                + (1.0 / (_RRF_K + cos_rank[r["doc_id"]])
+                   if r["doc_id"] in cos_rank else 0.0),
+                6,
+            )
+            assert r["rrf_score"] == pytest.approx(expect, abs=1e-9)
+            assert r["bm25_rank"] == bm_rank.get(r["doc_id"])
+            assert r["cos_rank"] == cos_rank.get(r["doc_id"])
+        # output is the global fused top-k, ordered desc with id tiebreak
+        got = [(r["rrf_score"], r["doc_id"]) for r in rows]
+        assert got == sorted(got, key=lambda t: (-t[0], t[1]))
+        # a doc ranked by BOTH arms must beat one ranked by neither arm
+        # at equal depth: every fused score is positive
+        assert all(r["rrf_score"] > 0 for r in rows)
