@@ -28,6 +28,7 @@ __all__ = [
     "word_shingles",
     "ngram_contamination",
     "paragraph_dedup",
+    "span_dedup",
 ]
 
 
@@ -560,4 +561,85 @@ def containment_pairs(
         .when(F.col("__raw_ab") >= thr, "a_in_b")
         .otherwise("b_in_a")
         .alias("relation"),
+    )
+
+
+def span_dedup(
+    df: DataFrame, text_col: str, id_col: str, w: int = 10
+) -> DataFrame:
+    """Exact-substring dedup at token-window granularity with
+    keep-first rewriting (the ExactSubstr recipe of "Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    approximated on w-token windows instead of a suffix array): any
+    w-token span whose exact content already occurred earlier in the
+    corpus — in another document OR earlier in the same document — is
+    removed from the text; the first occurrence (smallest (doc id,
+    position)) keeps its copy.
+
+    Returns per-doc ``(id, n_tokens, n_removed, retained_md5)`` where
+    ``retained_md5`` fingerprints the rewritten text (surviving tokens
+    in original order, space-joined; empty string when the whole doc is
+    covered). Documents shorter than ``w`` tokens emit no windows and
+    are never rewritten.
+
+    Scale shape: window hashes are built IN-ROW from the token array
+    (no position self-join), so the corpus explodes only to (id, pos,
+    gram-md5) rows; ownership is one compact-key shuffle with map-side
+    partial min (gram-md5, min-key); only DUPLICATE window positions —
+    typically a tiny fraction — flow back, grouped per doc into one
+    position array. The corpus text shuffles exactly once (the id join
+    that attaches that array); token filtering and the rebuild are
+    narrow in-row expressions. Per-row cost of the coverage filter is
+    O(n_tokens x n_dup_spans_in_doc), bounded by document length.
+    """
+    if w < 2:
+        raise ValueError(f"window must be >= 2 tokens: {w}")
+    staged = df.select(
+        F.col(id_col),
+        F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
+    )
+    n = F.size(F.col("__toks"))
+    # sequence(0, n-w) would count DOWN for short docs (Spark infers
+    # step -1) — guard to an empty window list instead
+    gram_pos = F.when(
+        n >= w, F.sequence(F.lit(0), n - w)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                gram_pos,
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(
+                        F.array_join(F.slice(F.col("__toks"), p + 1, w), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.p").alias("__p"), F.col("__g.gh").alias("__gh"))
+    key = F.col(id_col).cast("long") * 1000000 + F.col("__p")
+    owner = (
+        grams.select("__gh", key.alias("__key"))
+        .groupBy("__gh")
+        .agg(F.min("__key").alias("__owner"))
+    )
+    dup_pos = (
+        grams.withColumn("__key", key)
+        .join(owner, "__gh")
+        .filter(F.col("__key") != F.col("__owner"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__p")).alias("__dup"))
+    )
+    joined = staged.join(dup_pos, id_col, "left")
+    dup = F.coalesce(F.col("__dup"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda x, i: ~F.exists(dup, lambda p: (p <= i) & (i < p + w)),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("retained_md5"),
     )

@@ -17,7 +17,7 @@ from ..operators import sampling as SM
 from ..operators import text as T
 from ..operators import web as W
 from .declared import q
-from .northstar import _tp
+from .northstar import _norm_sql, _tp
 
 # ---------------------------------------------------------------------------
 # URL / domain filtering
@@ -513,3 +513,55 @@ def _negative_samples_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SM.negative_samples(
         docs, "doc_id", _NEG_K, seed=_NEG_SEED, n_rings=_NEG_RINGS
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (token-window) dedup with keep-first rewriting
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 5  # tokens per window
+
+_SPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS toks
+           FROM documents),
+g AS (SELECT doc_id, p,
+             md5(array_to_string(toks[p + 1 : p + {_SPAN_W}], ' ')) AS gh
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - {_SPAN_W})) AS p
+            FROM t)),
+own AS (SELECT gh, min(doc_id * 1000000 + p) AS owner FROM g GROUP BY gh),
+dup AS (SELECT g.doc_id, g.p FROM g JOIN own USING (gh)
+        WHERE g.doc_id * 1000000 + g.p <> own.owner),
+tok AS (SELECT doc_id,
+               unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS i
+        FROM t),
+cov AS (SELECT DISTINCT d.doc_id, unnest(generate_series(d.p, d.p + {_SPAN_W} - 1)) AS i
+        FROM dup d),
+kept AS (SELECT tok.doc_id, tok.i, tok.tok
+         FROM tok LEFT JOIN cov
+           ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+         WHERE cov.i IS NULL),
+k2 AS (SELECT doc_id, count(*) AS n_kept,
+              md5(array_to_string(list(tok ORDER BY i), ' '))
+                AS retained_md5
+       FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(k2.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k2.retained_md5, md5('')) AS retained_md5
+FROM t LEFT JOIN k2 USING (doc_id)
+"""
+
+
+@q("span_dedup_stats", _SPAN_ORACLE)
+def _span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring dedup at 5-token-window granularity
+    with keep-first rewriting (dedup.span_dedup — the ExactSubstr
+    recipe of Lee et al. 2022 on fixed windows): every repeated 5-token
+    span loses all but its first occurrence, within and across
+    documents; output is per-doc removal stats + the md5 of the
+    rewritten text. The oracle replays ownership, coverage and the
+    rebuild with token-level joins straight off the corpus."""
+    docs = _tp(spark, sf_dir, "documents")
+    return D.span_dedup(docs, "text", "doc_id", w=_SPAN_W)

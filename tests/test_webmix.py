@@ -268,3 +268,67 @@ class TestSamplingProperties:
         assert hex_threshold(1.0) == "gggggggg"  # above every hex digit
         # md5 prefixes are hex, so threshold at 1.0 keeps everything
         assert "ffffffff" < hex_threshold(1.0)
+
+
+class TestSpanDedup:
+    """span_dedup: exact w-token-window dedup with keep-first rewrite."""
+
+    def _run(self, spark, docs, w=3):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = D.span_dedup(df, "text", "doc_id", w=w).collect()
+        return {r["doc_id"]: r for r in rows}
+
+    @staticmethod
+    def _md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def test_cross_doc_keep_first(self, spark):
+        got = self._run(
+            spark,
+            [
+                (0, "alpha beta gamma delta"),
+                (1, "zz alpha beta gamma yy"),  # repeats doc 0's window
+                (2, "totally different words here"),
+            ],
+            w=3,
+        )
+        # doc 0 owns every window it contains: untouched
+        assert got[0]["n_removed"] == 0
+        assert got[0]["retained_md5"] == self._md5("alpha beta gamma delta")
+        # doc 1: window 'alpha beta gamma' (pos 1) is a duplicate ->
+        # tokens 1..3 removed, the flanking zz/yy survive
+        assert got[1]["n_removed"] == 3
+        assert got[1]["retained_md5"] == self._md5("zz yy")
+        assert got[2]["n_removed"] == 0
+
+    def test_within_doc_repeat(self, spark):
+        got = self._run(spark, [(0, "a b c x a b c")], w=3)
+        # second 'a b c' (window at pos 4) is covered; first copy and
+        # the separator survive. Windows spanning the junction ('c x a',
+        # 'x a b') occur once, so only pos-4's window dedups.
+        assert got[0]["n_removed"] == 3
+        assert got[0]["retained_md5"] == self._md5("a b c x")
+
+    def test_short_doc_never_rewritten(self, spark):
+        got = self._run(spark, [(0, "a b"), (1, "a b")], w=3)
+        assert got[0]["n_removed"] == 0 and got[1]["n_removed"] == 0
+        assert got[1]["retained_md5"] == self._md5("a b")
+
+    def test_identical_docs_fully_covered(self, spark):
+        got = self._run(
+            spark, [(0, "p q r s"), (1, "p q r s")], w=3
+        )
+        assert got[0]["n_removed"] == 0
+        # every token of doc 1 sits under some duplicate window
+        assert got[1]["n_removed"] == 4
+        assert got[1]["retained_md5"] == self._md5("")
+
+    def test_normalization_feeds_windows(self, spark):
+        # punctuation/case differences must not defeat the exact match
+        got = self._run(
+            spark,
+            [(0, "Alpha, beta GAMMA delta!"), (1, "xx alpha beta gamma delta")],
+            w=4,
+        )
+        assert got[1]["n_removed"] == 4
+        assert got[1]["retained_md5"] == self._md5("xx")
