@@ -450,3 +450,63 @@ def _sequence_funnel_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         within_ms=86_400_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles + percentile ranks per key (ES `percentiles` /
+# `percentile_ranks` aggregations, exact lower-discrete variant — the
+# KLL-sketch path in sketches_query covers the approximate/mergeable
+# regime; this is the exact answer a dashboard asserts against)
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+WITH c AS (SELECT event_type, value,
+                  cume_dist() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS cd
+           FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(CASE WHEN cd >= 0.5 THEN value END) AS p50,
+       min(CASE WHEN cd >= 0.95 THEN value END) AS p95,
+       min(CASE WHEN cd >= 0.99 THEN value END) AS p99,
+       round(avg(CASE WHEN value <= 100.0 THEN 1.0 ELSE 0.0 END), 6)
+         AS rank_le_100
+FROM c GROUP BY event_type
+"""
+
+
+@q("value_percentiles_by_type", _PCT_ORACLE)
+def _value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key percentiles via cume_dist: p is the smallest value
+    whose cumulative distribution reaches p (percentile_disc), plus the
+    ES percentile_ranks analogue (share of values <= 100). Exact on
+    ties and reproducible bit-for-bit — the selected percentiles are
+    INPUT values, never interpolated floats; the only arithmetic is the
+    0/1 ratio, a count quotient.
+
+    Scale shape: ONE hash exchange — the window partitions by
+    event_type and the groupBy reuses that partitioning, so the sort
+    and the aggregation share a single shuffle; no per-percentile
+    passes (all three cut points + the rank read one cume_dist
+    column). NULL values are filtered BEFORE the window because the
+    engines disagree on null sort order (Spark first, DuckDB last)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cd = F.cume_dist().over(
+        Window.partitionBy("event_type").orderBy("value")
+    )
+    c = ev.select("event_type", "value", cd.alias("cd"))
+
+    def pct(p: float, name: str):
+        return F.min(
+            F.when(F.col("cd") >= p, F.col("value"))
+        ).alias(name)
+
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        pct(0.5, "p50"),
+        pct(0.95, "p95"),
+        pct(0.99, "p99"),
+        F.round(
+            F.avg(F.when(F.col("value") <= 100.0, 1.0).otherwise(0.0)), 6
+        ).alias("rank_le_100"),
+    )

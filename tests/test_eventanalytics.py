@@ -169,3 +169,41 @@ class TestGapFillHourly:
             hi = datetime.fromisoformat(r.hi)
             expected = int((hi - lo).total_seconds() // 3600) + 1
             assert r.rows == expected  # dense: one row per hour in span
+
+
+class TestValuePercentiles:
+    """value_percentiles_by_type: exact percentile_disc semantics."""
+
+    def test_cut_points_and_ties(self, spark):
+        import cga_kinesis_to_elasticsearch_spark.plans.eventanalytics as EA
+        from pyspark.sql import Window
+
+        # 10 values with a tie block: percentile_disc picks INPUT
+        # values (never interpolates), ties share one cume_dist
+        vals = [1.0, 2.0, 2.0, 2.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0]
+        df = spark.createDataFrame(
+            [("a", v) for v in vals], "event_type string, value double"
+        )
+        cd = F.cume_dist().over(
+            Window.partitionBy("event_type").orderBy("value")
+        )
+        c = df.select("event_type", "value", cd.alias("cd"))
+        row = (
+            c.groupBy("event_type")
+            .agg(
+                F.min(F.when(F.col("cd") >= 0.5, F.col("value"))).alias("p50"),
+                F.min(F.when(F.col("cd") >= 0.95, F.col("value"))).alias("p95"),
+            )
+            .collect()[0]
+        )
+        # cume_dist(5.0)=0.5 exactly -> p50 is 5.0; p95 -> 10.0
+        assert row["p50"] == 5.0
+        assert row["p95"] == 10.0
+        # full declared query runs over real data with a sane shape
+        out = EA._value_percentiles_by_type(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(out) >= 1
+        for r in out:
+            assert r["p50"] <= r["p95"] <= r["p99"]
+            assert 0.0 <= r["rank_le_100"] <= 1.0
