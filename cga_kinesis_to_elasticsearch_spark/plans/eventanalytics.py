@@ -510,3 +510,54 @@ def _value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("value") <= 100.0, 1.0).otherwise(0.0)), 6
         ).alias("rank_le_100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite aggregation with after-key pagination (ES `composite` agg):
+# stable keyset paging over grouped buckets — the scalable way to
+# enumerate a huge bucket space page by page (terms aggs truncate;
+# composite streams). A page is: buckets with key strictly AFTER the
+# cursor in (event_type, event_date) order, first _COMP_PAGE of them.
+# ---------------------------------------------------------------------------
+
+_COMP_AFTER = ("error", "2024-01-20")
+_COMP_PAGE = 8
+
+_COMP_ORACLE = f"""
+WITH b AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_date,
+         count(*) AS n, round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1, 2)
+SELECT event_type, event_date, CAST(n AS BIGINT) AS n, total_value
+FROM b
+WHERE (event_type, event_date) > ('{_COMP_AFTER[0]}', '{_COMP_AFTER[1]}')
+ORDER BY event_type, event_date LIMIT {_COMP_PAGE}
+"""
+
+
+@q("composite_agg_page", _COMP_ORACLE)
+def _composite_agg_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page of an ES composite aggregation over
+    (event_type, event_date) buckets: tuple-ordered after-key cursor,
+    page-size limit. The next page's cursor is the last row returned —
+    pagination needs no server-side state.
+
+    Scale shape: the after-key predicate is on GROUPING columns, so
+    Catalyst pushes it below the aggregation (raw rows outside the
+    cursor range never aggregate) and the ordered page is a
+    TakeOrderedAndProject — per-partition top-N then a driver merge of
+    N-row heads, never a global sort. One map-side-combined exchange
+    total."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    after = F.struct(
+        F.lit(_COMP_AFTER[0]).alias("event_type"),
+        F.lit(_COMP_AFTER[1]).alias("event_date"),
+    )
+    page = b.filter(F.struct("event_type", "event_date") > after)
+    return page.orderBy("event_type", "event_date").limit(_COMP_PAGE)

@@ -418,3 +418,64 @@ def _hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(
         F.col("rrf_score").desc(), F.col("doc_id")
     ).limit(_RRF_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Rare-terms aggregation (ES `rare_terms`): the long tail a terms agg
+# truncates away — terms appearing in at most N documents, count
+# ascending. ES implements it with a CuckooFilter-backed streaming
+# pass; an exact distributed groupBy IS the Spark-native equivalent
+# (the shuffle moves (term, doc) pairs once, map-side combined).
+# ---------------------------------------------------------------------------
+
+_RARE_MAX_DOCS = 3
+
+_RARE_ORACLE = f"""
+WITH n AS (SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS toks
+           FROM documents),
+g AS (SELECT DISTINCT doc_id, toks[p + 1] || ' ' || toks[p + 2] AS term
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 2)) AS p
+            FROM n)),
+d AS (SELECT term, count(*) AS doc_count FROM g GROUP BY term)
+SELECT term, CAST(doc_count AS BIGINT) AS doc_count
+FROM d WHERE doc_count <= {_RARE_MAX_DOCS}
+"""
+
+
+@q("rare_terms_docs", _RARE_ORACLE)
+def _rare_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms over word bigrams: phrases contained in at most
+    _RARE_MAX_DOCS documents — the exact long-tail enumeration that
+    top-N terms aggregations structurally cannot return (ES backs it
+    with a CuckooFilter stream; an exact map-side-combined groupBy is
+    the Spark-native equivalent). Per-doc distinct bigrams dedup
+    IN-ROW (array_distinct before the explode), so the exchange
+    carries each (bigram, doc) membership once."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import normalized_text
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.split(normalized_text(F.col("text")), " ").alias("__toks"),
+    )
+    n = F.size(F.col("__toks"))
+    bigrams = F.array_distinct(
+        F.transform(
+            F.when(n >= 2, F.sequence(F.lit(0), n - 2))
+            .otherwise(F.array().cast("array<int>")),
+            lambda p: F.concat_ws(
+                " ",
+                F.element_at(F.col("__toks"), p + 1),
+                F.element_at(F.col("__toks"), p + 2),
+            ),
+        )
+    )
+    tok = staged.select("doc_id", F.explode(bigrams).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") <= _RARE_MAX_DOCS)
+    )

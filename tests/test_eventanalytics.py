@@ -207,3 +207,43 @@ class TestValuePercentiles:
         for r in out:
             assert r["p50"] <= r["p95"] <= r["p99"]
             assert 0.0 <= r["rank_le_100"] <= 1.0
+
+
+class TestCompositePagination:
+    """composite_agg_page: keyset cursor semantics + plan shape."""
+
+    def test_page_chain_and_plan(self, spark):
+        import cga_kinesis_to_elasticsearch_spark.plans.eventanalytics as EA
+
+        sf = "/root/testdata/sf0.001"
+        page = EA._composite_agg_page(spark, sf)
+        rows = page.collect()
+        assert 0 < len(rows) <= EA._COMP_PAGE
+        keys = [(r["event_type"], r["event_date"]) for r in rows]
+        # strictly increasing, all strictly after the cursor
+        assert keys == sorted(keys)
+        assert len(set(keys)) == len(keys)
+        assert all(k > EA._COMP_AFTER for k in keys)
+        # ordered page must be a TakeOrderedAndProject, not a global sort
+        plan = page._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # chaining: a page cursored at THIS page's last key starts
+        # strictly after it (no overlap, no gap at the boundary)
+        last = keys[-1]
+        ev = EA._t(spark, sf, "events")
+        b = ev.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        ).agg(F.count("*").alias("n"))
+        nxt = (
+            b.filter(
+                F.struct("event_type", "event_date")
+                > F.struct(F.lit(last[0]), F.lit(last[1]))
+            )
+            .orderBy("event_type", "event_date")
+            .limit(EA._COMP_PAGE)
+            .collect()
+        )
+        nxt_keys = [(r["event_type"], r["event_date"]) for r in nxt]
+        assert all(k > last for k in nxt_keys)
+        assert not (set(keys) & set(nxt_keys))
