@@ -1295,3 +1295,122 @@ def _accent_fold_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(fold_accents(F.col("accented"))) == F.md5(F.col("original"))
         ).alias("restored_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix: which pairs of ingest sources share
+# near-duplicate content — the corpus-analytics view that decides
+# which sources to de-prioritize or dedup against each other before
+# training. Candidates come from the SAME banding scheme as
+# minhash_lsh_candidates; verification is token Jaccard on candidate
+# docs only (semi-join pruning, as fuzzy_dedup_keep).
+# ---------------------------------------------------------------------------
+
+_OVL_THRESHOLD = 0.5
+
+_OVERLAP_ORACLE = f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 0)} AS mh0,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 1)} AS mh1,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 2)} AS mh2,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 3)} AS mh3
+  FROM documents),
+banded AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id,
+             list_distinct(string_split({_norm_sql('text')}, ' ')) AS toks
+      FROM documents),
+v AS (
+  SELECT c.id_a, c.id_b,
+         round(CASE WHEN len(list_distinct(list_concat(ta.toks, tb.toks))) = 0
+                    THEN 0.0
+                    ELSE len(list_intersect(ta.toks, tb.toks))
+                         / len(list_distinct(list_concat(ta.toks, tb.toks)))
+               END, 4) AS j
+  FROM cand c JOIN t ta ON ta.doc_id = c.id_a
+              JOIN t tb ON tb.doc_id = c.id_b),
+s AS (SELECT v.j, da.source AS sa, db.source AS sb
+      FROM v JOIN documents da ON da.doc_id = v.id_a
+             JOIN documents db ON db.doc_id = v.id_b)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(count(*) FILTER (WHERE j >= {_OVL_THRESHOLD}) AS BIGINT)
+         AS n_neardup
+FROM s GROUP BY 1, 2
+"""
+
+
+@q("source_overlap_matrix", _OVERLAP_ORACLE)
+def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate overlap between ingest sources: LSH candidate
+    pairs (same banding as minhash_lsh_candidates) verified by token
+    Jaccard, counted per unordered source pair. Scale shape mirrors
+    fuzzy_dedup_keep: signatures map-side, one band-key shuffle,
+    token arrays fetched ONLY for candidate docs via a semi join,
+    candidates checkpointed once before their three downstream uses
+    (verify join x2 + source attachment); sources attach to the slim
+    verified pair list, not the corpus."""
+    docs = _tp(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(docs, "text", "doc_id", n_hashes=_MH_N)
+    cands = D.lsh_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=2
+    ).localCheckpoint()
+    needed = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    toks = (
+        docs.join(needed, "doc_id", "left_semi")
+        .select("doc_id", D.tokens(F.col("text")).alias("toks"))
+    )
+    v = (
+        cands.join(
+            toks.select(
+                F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            D.jaccard(F.col("toks_a"), F.col("toks_b")).alias("j"),
+        )
+    )
+    src = docs.select("doc_id", "source")
+    s = (
+        v.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        s.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.count(F.when(F.col("j") >= _OVL_THRESHOLD, 1))
+            .cast("long")
+            .alias("n_neardup"),
+        )
+    )

@@ -479,3 +479,75 @@ def _rare_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("doc_count"))
         .filter(F.col("doc_count") <= _RARE_MAX_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Adjacency-matrix aggregation (ES `adjacency_matrix`): doc counts for
+# each named filter and each pairwise filter intersection — the
+# co-occurrence view Kibana renders as a heat map. One corpus scan
+# computes per-doc membership flags; the matrix is conditional sums of
+# flag products; bucket rows unpivot from the single aggregate row.
+# ---------------------------------------------------------------------------
+
+_ADJ_FILTERS = ["merge", "spark", "vector"]
+
+_ADJ_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+f AS (SELECT doc_id,
+             {", ".join(
+                 f"CASE WHEN list_contains(string_split(norm, ' '), '{t}') "
+                 f"THEN 1 ELSE 0 END AS f{i}"
+                 for i, t in enumerate(_ADJ_FILTERS))}
+      FROM n),
+a AS MATERIALIZED (
+  SELECT {", ".join(f"sum(f{i}) AS n{i}" for i in range(3))},
+         sum(f0 * f1) AS n01, sum(f0 * f2) AS n02, sum(f1 * f2) AS n12
+  FROM f)
+SELECT bucket, CAST(doc_count AS BIGINT) AS doc_count FROM (
+  SELECT '{_ADJ_FILTERS[0]}' AS bucket, n0 AS doc_count FROM a
+  UNION ALL SELECT '{_ADJ_FILTERS[1]}', n1 FROM a
+  UNION ALL SELECT '{_ADJ_FILTERS[2]}', n2 FROM a
+  UNION ALL SELECT '{_ADJ_FILTERS[0]}&{_ADJ_FILTERS[1]}', n01 FROM a
+  UNION ALL SELECT '{_ADJ_FILTERS[0]}&{_ADJ_FILTERS[2]}', n02 FROM a
+  UNION ALL SELECT '{_ADJ_FILTERS[1]}&{_ADJ_FILTERS[2]}', n12 FROM a)
+"""
+
+
+@q("adjacency_matrix_counts", _ADJ_ORACLE)
+def _adjacency_matrix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix: document counts for each named term filter
+    and each pairwise intersection, from ONE corpus scan — per-doc 0/1
+    membership flags, conditional sums, then a 6-way unpivot of the
+    single aggregate row (the unpivot re-reads a one-row frame, not
+    the corpus). A filters-per-pass union would rescan the corpus per
+    bucket; this is the map-side-combined shape."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import normalized_text
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = docs.select(
+        F.split(normalized_text(F.col("text")), " ").alias("__toks")
+    )
+    flags = staged.select(
+        *[
+            F.array_contains("__toks", t).cast("int").alias(f"f{i}")
+            for i, t in enumerate(_ADJ_FILTERS)
+        ]
+    )
+    a = flags.agg(
+        F.sum("f0").alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum("f2").alias("n2"),
+        F.sum(F.col("f0") * F.col("f1")).alias("n01"),
+        F.sum(F.col("f0") * F.col("f2")).alias("n02"),
+        F.sum(F.col("f1") * F.col("f2")).alias("n12"),
+    )
+    t0, t1, t2 = _ADJ_FILTERS
+    return a.select(
+        F.expr(
+            f"stack(6, '{t0}', n0, '{t1}', n1, '{t2}', n2, "
+            f"'{t0}&{t1}', n01, '{t0}&{t2}', n02, '{t1}&{t2}', n12) "
+            "AS (bucket, doc_count)"
+        )
+    ).select("bucket", F.col("doc_count").cast("long").alias("doc_count"))

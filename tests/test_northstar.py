@@ -492,3 +492,52 @@ class TestLanguageSegments:
         # doc 2: one pure-en segment
         doc2 = [(k, v) for k, v in segs.items() if k[0] == 2]
         assert len(doc2) == 1 and doc2[0][1][0] == "en"
+
+
+class TestSourceOverlapMatrix:
+    def test_canonical_pairs_and_bounds(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.plans.northstar import (
+            _source_overlap_matrix,
+        )
+
+        rows = _source_overlap_matrix(spark, "/root/testdata/sf0.001").collect()
+        assert rows, "expected at least one overlapping source pair"
+        for r in rows:
+            # unordered pair is canonicalized, counts are consistent
+            assert r["source_a"] <= r["source_b"]
+            assert 0 <= r["n_neardup"] <= r["n_candidates"]
+        keys = [(r["source_a"], r["source_b"]) for r in rows]
+        assert len(set(keys)) == len(keys)
+
+
+class TestAdjacencyMatrix:
+    def test_against_brute_force(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.dedup import (
+            normalized_text,
+        )
+        from cga_kinesis_to_elasticsearch_spark.plans.searchindex import (
+            _ADJ_FILTERS,
+            _adjacency_matrix_counts,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["bucket"]: r["doc_count"]
+            for r in _adjacency_matrix_counts(spark, sf).collect()
+        }
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        texts = [
+            set(r[0].split(" "))
+            for r in docs.select(normalized_text(F.col("text"))).collect()
+        ]
+        t0, t1, t2 = _ADJ_FILTERS
+        want = {
+            t0: sum(t0 in s for s in texts),
+            t1: sum(t1 in s for s in texts),
+            t2: sum(t2 in s for s in texts),
+            f"{t0}&{t1}": sum(t0 in s and t1 in s for s in texts),
+            f"{t0}&{t2}": sum(t0 in s and t2 in s for s in texts),
+            f"{t1}&{t2}": sum(t1 in s and t2 in s for s in texts),
+        }
+        assert got == want
+        assert got[f"{t0}&{t1}"] <= min(got[t0], got[t1])
