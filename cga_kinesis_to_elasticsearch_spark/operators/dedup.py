@@ -12,7 +12,7 @@ reproduce them bit-for-bit (no engine-specific hash functions).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "exact_dedup",
@@ -584,54 +584,76 @@ def span_dedup(
 
     Scale shape: window hashes are built IN-ROW from the token array
     (no position self-join), so the corpus explodes only to (id, pos,
-    gram-md5) rows; ownership is one compact-key shuffle with map-side
-    partial min (gram-md5, min-key); only DUPLICATE window positions —
-    typically a tiny fraction — flow back, grouped per doc into one
-    position array. The corpus text shuffles exactly once (the id join
-    that attaches that array); token filtering and the rebuild are
-    narrow in-row expressions. Per-row cost of the coverage filter is
+    gram-md5) rows — evaluated ONCE: ownership is a min-over-gram-hash
+    window on that single gram stream (one compact-key exchange; the
+    groupBy+self-join formulation would evaluate the md5 gram pipeline
+    on both join sides). Only DUPLICATE window positions — typically a
+    tiny fraction — flow onward, grouped per doc into one position
+    array. The corpus text shuffles exactly once (the id join that
+    attaches that array); token filtering and the rebuild are narrow
+    in-row expressions. Per-row cost of the coverage filter is
     O(n_tokens x n_dup_spans_in_doc), bounded by document length.
     """
     if w < 2:
         raise ValueError(f"window must be >= 2 tokens: {w}")
-    staged = df.select(
+    staged = _span_staged(df, text_col, id_col)
+    grams = _span_grams(staged, id_col, w)
+    win = Window.partitionBy("__gh")
+    dup_pos = (
+        grams.withColumn("__owner", F.min("__key").over(win))
+        .filter(F.col("__key") != F.col("__owner"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__p")).alias("__dup"))
+    )
+    return _span_rewrite(staged.join(dup_pos, id_col, "left"), id_col, w)
+
+
+def _span_staged(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
         F.col(id_col),
         F.split(normalized_text(F.col(text_col)), " ").alias("__toks"),
     )
+
+
+def _span_grams(staged: DataFrame, id_col: str, w: int) -> DataFrame:
+    """(id, __p, __gh, __key) rows: one per w-token window, built
+    in-row from the staged token array. __key is the global
+    first-occurrence order (id * 1e6 + position)."""
     n = F.size(F.col("__toks"))
     # sequence(0, n-w) would count DOWN for short docs (Spark infers
     # step -1) — guard to an empty window list instead
     gram_pos = F.when(
         n >= w, F.sequence(F.lit(0), n - w)
     ).otherwise(F.array().cast("array<int>"))
-    grams = staged.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                gram_pos,
-                lambda p: F.struct(
-                    p.alias("p"),
-                    F.md5(
-                        F.array_join(F.slice(F.col("__toks"), p + 1, w), " ")
-                    ).alias("gh"),
-                ),
-            )
-        ).alias("__g"),
-    ).select(id_col, F.col("__g.p").alias("__p"), F.col("__g.gh").alias("__gh"))
-    key = F.col(id_col).cast("long") * 1000000 + F.col("__p")
-    owner = (
-        grams.select("__gh", key.alias("__key"))
-        .groupBy("__gh")
-        .agg(F.min("__key").alias("__owner"))
+    return (
+        staged.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    gram_pos,
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("__toks"), p + 1, w), " "
+                            )
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("__g"),
+        )
+        .select(
+            id_col, F.col("__g.p").alias("__p"), F.col("__g.gh").alias("__gh")
+        )
+        .withColumn(
+            "__key", F.col(id_col).cast("long") * 1000000 + F.col("__p")
+        )
     )
-    dup_pos = (
-        grams.withColumn("__key", key)
-        .join(owner, "__gh")
-        .filter(F.col("__key") != F.col("__owner"))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("__p")).alias("__dup"))
-    )
-    joined = staged.join(dup_pos, id_col, "left")
+
+
+def _span_rewrite(joined: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Rebuild stats from staged tokens + an optional __dup position
+    array: drop every token under a duplicate window."""
     dup = F.coalesce(F.col("__dup"), F.array().cast("array<int>"))
     kept = F.filter(
         F.col("__toks"),

@@ -565,3 +565,53 @@ def _span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild with token-level joins straight off the corpus."""
     docs = _tp(spark, sf_dir, "documents")
     return D.span_dedup(docs, "text", "doc_id", w=_SPAN_W)
+
+
+_SPAN_IDX_SPLIT = 250  # ascending-id batch boundary
+
+# Ascending-id batches make the incremental answer EQUAL the one-shot
+# span dedup (smaller keys always arrive first), so the oracle is the
+# one-shot replay plus the batch label.
+_SPAN_IDX_ORACLE = f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id < {_SPAN_IDX_SPLIT} THEN 0 ELSE 1 END AS BIGINT)
+         AS batch,
+       n_tokens, n_removed, retained_md5
+FROM ({_SPAN_ORACLE})
+"""
+
+
+@q("span_index_batches", _SPAN_IDX_ORACLE)
+def _span_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent cross-batch SPAN-dedup index (sinks/spanindex.py):
+    two sequential ascending-id batches rewritten against the same
+    stored gram index — batch 2's documents lose every 5-token span
+    batch 1 registered (and their own within-batch repeats). The
+    append-sequence == one-shot equivalence contract means the oracle
+    is simply the one-shot ExactSubstr replay; any failure of
+    cross-batch suppression (or over-suppression on replayed grams)
+    breaks the hash."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.spanindex import span_dedup_against_index
+
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_span_idx" / sf
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < _SPAN_IDX_SPLIT)
+    b2 = docs.filter(F.col("doc_id") >= _SPAN_IDX_SPLIT)
+    # batch 1 must fully materialize (index appended) before batch 2
+    # builds its plan — foreachBatch semantics
+    s1 = span_dedup_against_index(
+        spark, b1, root, "text", "doc_id", w=_SPAN_W
+    ).localCheckpoint()
+    s2 = span_dedup_against_index(
+        spark, b2, root, "text", "doc_id", w=_SPAN_W
+    )
+    return s1.withColumn("batch", F.lit(0).cast("long")).unionByName(
+        s2.withColumn("batch", F.lit(1).cast("long"))
+    ).select("doc_id", "batch", "n_tokens", "n_removed", "retained_md5")

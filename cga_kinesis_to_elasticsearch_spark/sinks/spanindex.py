@@ -1,0 +1,104 @@
+"""Persistent cross-batch exact-substring dedup index: a stored
+``(gram_hash, owner_key)`` table that lets each new micro-batch /
+ingest increment rewrite its documents against every w-token span
+seen in ANY earlier batch — the incremental companion of the one-shot
+``dedup.span_dedup`` (which rescans the corpus), completing the
+maintained-dedup-state family (``dedupindex`` = exact doc level,
+``neardupindex`` = near-dup doc level, this = substring level).
+
+Replay safety under at-least-once delivery comes from storing the
+FIRST-SEEN key ``(id * 1e6 + position)`` with each gram hash: on a
+replayed batch, every gram the batch originally registered resolves
+to its OWN key, so it is not a "duplicate of itself" and the rewrite
+output is bit-identical to the original run — appends suffice, no
+transactional write.
+
+Equivalence contract (pinned in tests): appending batches in
+ascending-id order produces, per document, exactly the one-shot
+``span_dedup`` answer on the concatenated corpus — batch boundaries
+must not change what gets rewritten.
+
+Scale posture: the index holds one 32-hex gram hash + one 8-byte key
+per DISTINCT window — bounded by corpus token count, stored
+hash-prefix-partitioned (``bucket=xx``) so the membership join prunes
+to touched buckets and appends spread evenly; ``sinks/compact.py``
+handles the small-file accretion. Per batch, the gram stream is
+evaluated once and checkpointed (it feeds the ownership window, the
+rewrite AND the fresh-gram append — without the cut the md5 window
+pipeline would re-run per consumer).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.dedup import (
+    _span_grams,
+    _span_rewrite,
+    _span_staged,
+)
+
+__all__ = ["span_dedup_against_index", "read_span_index"]
+
+
+def read_span_index(spark: SparkSession, index_root: str | Path) -> DataFrame:
+    root = Path(index_root)
+    if not root.exists() or not any(root.iterdir()):
+        return spark.createDataFrame([], "gram_hash string, owner_key long")
+    return spark.read.parquet(str(root)).select("gram_hash", "owner_key")
+
+
+def span_dedup_against_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_root: str | Path,
+    text_col: str,
+    id_col: str,
+    w: int = 10,
+) -> DataFrame:
+    """Rewrite ``batch`` against all previously indexed w-token spans
+    (and against itself, smallest (id, pos) first) and register the
+    batch's first-seen grams. Returns per-doc
+    ``(id, n_tokens, n_removed, retained_md5)`` — the same contract as
+    ``span_dedup``."""
+    if w < 2:
+        raise ValueError(f"window must be >= 2 tokens: {w}")
+    root = Path(index_root)
+    root.mkdir(parents=True, exist_ok=True)
+    staged = _span_staged(batch, text_col, id_col)
+    grams = _span_grams(staged, id_col, w)
+    idx = read_span_index(spark, root).withColumnRenamed(
+        "gram_hash", "__gh"
+    )
+    # batch-local first occurrence via ONE min window over the gram
+    # stream, then the stored owner (if any) overrides it; the flagged
+    # frame feeds three consumers -> checkpoint (batch-sized)
+    win = Window.partitionBy("__gh")
+    flagged = (
+        grams.withColumn("__batch_owner", F.min("__key").over(win))
+        .join(idx, "__gh", "left")
+        .withColumn(
+            "__winner", F.coalesce("owner_key", F.col("__batch_owner"))
+        )
+        .localCheckpoint()
+    )
+    dup_pos = (
+        flagged.filter(F.col("__key") != F.col("__winner"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__p")).alias("__dup"))
+    )
+    fresh = (
+        flagged.filter(
+            F.col("owner_key").isNull()
+            & (F.col("__key") == F.col("__batch_owner"))
+        )
+        .select(
+            F.col("__gh").alias("gram_hash"),
+            F.col("__key").alias("owner_key"),
+            F.substring("__gh", 1, 2).alias("bucket"),
+        )
+    )
+    fresh.write.mode("append").partitionBy("bucket").parquet(str(root))
+    return _span_rewrite(staged.join(dup_pos, id_col, "left"), id_col, w)

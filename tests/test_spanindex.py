@@ -1,0 +1,101 @@
+"""Cross-batch span-dedup index (sinks/spanindex.py): incremental
+rewriting equals the one-shot span_dedup on the concatenated corpus;
+replays are idempotent; the index is bucket-partitioned."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators.dedup import span_dedup
+from cga_kinesis_to_elasticsearch_spark.sinks.spanindex import (
+    read_span_index,
+    span_dedup_against_index,
+)
+
+_W = 3
+
+_BATCH1 = [
+    (0, "alpha beta gamma delta epsilon"),
+    (1, "one two three four five"),
+]
+_BATCH2 = [
+    (2, "zz alpha beta gamma yy"),  # repeats batch-1 span
+    (3, "one two three four five"),  # full duplicate of doc 1
+]
+_BATCH3 = [
+    (4, "fresh words nothing shared"),
+    (5, "zz alpha beta gamma yy"),  # duplicate of doc 2 (batch 2)
+]
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _run_batches(spark, root, batches):
+    out = {}
+    for rows in batches:
+        res = span_dedup_against_index(
+            spark, _df(spark, rows), root, "text", "doc_id", w=_W
+        )
+        for r in res.collect():
+            out[r["doc_id"]] = (
+                r["n_tokens"], r["n_removed"], r["retained_md5"]
+            )
+    return out
+
+
+class TestIncrementalEqualsOneShot:
+    def test_three_batches(self, spark, tmp_path):
+        root = tmp_path / "spanidx"
+        inc = _run_batches(spark, root, [_BATCH1, _BATCH2, _BATCH3])
+        one = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["retained_md5"])
+            for r in span_dedup(
+                _df(spark, _BATCH1 + _BATCH2 + _BATCH3),
+                "text",
+                "doc_id",
+                w=_W,
+            ).collect()
+        }
+        assert inc == one
+        # spot semantics: doc 3 fully covered by doc 1's spans
+        assert inc[3][1] == 5 and inc[3][2] == _md5("")
+        # doc 2's repeated middle span removed, flanks survive
+        assert inc[2] == (5, 3, _md5("zz yy"))
+        # doc 5 is covered by doc 2's FIRST-SEEN grams ('zz alpha beta'
+        # etc. were registered by doc 2) -> fully rewritten
+        assert inc[5][1] == 5
+
+    def test_bucket_partitioned(self, spark, tmp_path):
+        root = tmp_path / "spanidx"
+        _run_batches(spark, root, [_BATCH1])
+        buckets = [p.name for p in root.iterdir() if p.name.startswith("bucket=")]
+        assert buckets, "index must be hash-prefix partitioned"
+        idx = read_span_index(spark, root)
+        assert idx.columns == ["gram_hash", "owner_key"]
+        # one row per distinct gram of batch 1 (no within-batch dups)
+        assert idx.count() == idx.select("gram_hash").distinct().count()
+
+
+class TestReplayIdempotence:
+    def test_replayed_batch_identical(self, spark, tmp_path):
+        root = tmp_path / "spanidx"
+        first = _run_batches(spark, root, [_BATCH1, _BATCH2])
+        idx_rows = read_span_index(spark, root).count()
+        # replay batch 2 (at-least-once delivery)
+        replay = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["retained_md5"])
+            for r in span_dedup_against_index(
+                spark, _df(spark, _BATCH2), root, "text", "doc_id", w=_W
+            ).collect()
+        }
+        assert replay == {k: v for k, v in first.items() if k in (2, 3)}
+        # no grams re-registered
+        assert read_span_index(spark, root).count() == idx_rows
