@@ -470,3 +470,98 @@ def _local_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("local_hour"),
     ).agg(F.count("*").alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search: which users' daily-activity series
+# most resemble a target user's (EDBT'19 "Time Series Similarity
+# Search for Streaming Data in Distributed Systems" — the batch
+# formulation). Pearson correlation over the fixed 30-day span,
+# computed RELATIONALLY: sufficient statistics (Σx, Σx², Σxy) from
+# integer daily counts, so everything before the final quotient is
+# exact integer arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+_SIM_TARGET_USER = 0
+_SIM_DAYS = 30  # events span 2024-01-01 .. 2024-01-30
+_SIM_TOPK = 10
+
+_SERIES_SIM_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS idx,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+tgt AS (SELECT idx, n FROM c WHERE user_id = {_SIM_TARGET_USER}),
+ty AS (SELECT sum(n) AS sy, sum(n * n) AS syy FROM tgt),
+xs AS (
+  SELECT c.user_id,
+         sum(c.n) AS sx, sum(c.n * c.n) AS sxx,
+         coalesce(sum(c.n * tgt.n), 0) AS sxy
+  FROM c LEFT JOIN tgt USING (idx)
+  WHERE c.user_id <> {_SIM_TARGET_USER}
+  GROUP BY c.user_id),
+corr AS (
+  SELECT user_id,
+         round(({_SIM_DAYS} * sxy - sx * sy)
+               / (sqrt({_SIM_DAYS} * sxx - sx * sx)
+                  * sqrt({_SIM_DAYS} * syy - sy * sy)), 6) AS corr
+  FROM xs CROSS JOIN ty
+  WHERE ({_SIM_DAYS} * sxx - sx * sx) > 0
+    AND ({_SIM_DAYS} * syy - sy * sy) > 0)
+SELECT user_id, corr FROM corr
+ORDER BY corr DESC, user_id LIMIT {_SIM_TOPK}
+"""
+
+
+@q("series_similarity_topk", _SERIES_SIM_ORACLE)
+def _series_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k users whose daily event-count series correlates best with
+    the target user's, by Pearson correlation over the 30-day span.
+    Sufficient statistics only: per-user Σx/Σx² plus Σxy against the
+    BROADCAST target series (a <=30-row frame) — the corpus aggregates
+    once map-side-combined on user_id and never self-joins; missing
+    days are implicit zeros, which contribute nothing to any sum, so
+    no gap-filling pass is needed. The final correlation is one float
+    quotient of exact integer stats, rounded to 6 digits on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "idx"
+        ),
+    ).agg(F.count("*").alias("n"))
+    # the per-(user, day) counts feed the target slice AND the corpus
+    # stats: materialize once (tiny: users x active-days rows)
+    c = c.localCheckpoint()
+    tgt = c.filter(F.col("user_id") == _SIM_TARGET_USER).select(
+        "idx", F.col("n").alias("tn")
+    )
+    ty = tgt.agg(
+        F.sum("tn").alias("sy"), F.sum(F.col("tn") * F.col("tn")).alias("syy")
+    )
+    xs = (
+        c.filter(F.col("user_id") != _SIM_TARGET_USER)
+        .join(F.broadcast(tgt), "idx", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("sx"),
+            F.sum(F.col("n") * F.col("n")).alias("sxx"),
+            F.coalesce(F.sum(F.col("n") * F.col("tn")), F.lit(0)).alias("sxy"),
+        )
+    )
+    d = F.lit(_SIM_DAYS)
+    varx = d * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = d * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.round(
+        (d * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(varx) * F.sqrt(vary)),
+        6,
+    )
+    return (
+        xs.crossJoin(F.broadcast(ty))
+        .filter((varx > 0) & (vary > 0))
+        .select("user_id", corr.alias("corr"))
+        .orderBy(F.col("corr").desc(), "user_id")
+        .limit(_SIM_TOPK)
+    )

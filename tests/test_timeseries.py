@@ -191,3 +191,46 @@ class TestNegativeSamples:
             for r in negative_samples(df, "id", 1, seed="s2").collect()
         }
         assert a != b
+
+
+class TestSeriesSimilarity:
+    def test_correlation_bounds_and_exclusion(self, spark):
+        import numpy as np
+
+        from cga_kinesis_to_elasticsearch_spark.plans.timeseries import (
+            _SIM_DAYS,
+            _SIM_TARGET_USER,
+            _series_similarity_topk,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = _series_similarity_topk(spark, sf).collect()
+        assert 0 < len(rows) <= 10
+        assert all(r["user_id"] != _SIM_TARGET_USER for r in rows)
+        assert all(-1.0 <= r["corr"] <= 1.0 for r in rows)
+        corrs = [r["corr"] for r in rows]
+        assert corrs == sorted(corrs, reverse=True)
+        # numpy replay for the top hit: dense 30-day vectors
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        import pyspark.sql.functions as F
+
+        c = (
+            ev.groupBy(
+                "user_id",
+                F.datediff(
+                    F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                ).alias("idx"),
+            )
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        def series(uid):
+            v = np.zeros(_SIM_DAYS)
+            for r in c:
+                if r["user_id"] == uid and 0 <= r["idx"] < _SIM_DAYS:
+                    v[r["idx"]] = r["n"]
+            return v
+
+        top = rows[0]
+        want = np.corrcoef(series(_SIM_TARGET_USER), series(top["user_id"]))[0, 1]
+        assert abs(top["corr"] - round(float(want), 6)) < 1e-6
