@@ -1414,3 +1414,75 @@ def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_neardup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation as a first-class operator: recall@k of the LSH
+# approximate top-k against the exact brute-force top-k, per query —
+# the metric that decides whether a bucketing scheme is good enough to
+# replace the exact scan at 100 TB. Both arms reuse the exact SQL the
+# individual queries already pin.
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH b AS (SELECT vec_id, {_bucket_sql()} AS bucket FROM embeddings),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, b.bucket
+      FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+      WHERE e.vec_id < {_N_QUERIES}),
+c AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, b.bucket
+      FROM embeddings e JOIN b ON e.vec_id = b.vec_id),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                      c.vec_id ASC) AS rank
+    FROM q JOIN c ON q.query_id <> c.vec_id)
+  WHERE rank <= {_TOPK}),
+ap AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                      c.vec_id ASC) AS rank
+    FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.vec_id)
+  WHERE rank <= {_TOPK}),
+h AS (SELECT ex.query_id, count(ap.vec_id) AS n_hits
+      FROM ex LEFT JOIN ap USING (query_id, vec_id)
+      GROUP BY ex.query_id)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits / {_TOPK}.0, 4) AS recall
+FROM h
+"""
+
+
+@q("ann_recall_at_k", _RECALL_ORACLE)
+def _ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of sign-bit LSH retrieval vs the exact cosine top-k,
+    per query vector. Scale shape: the exact arm is the broadcast-
+    query corpus stream, the LSH arm prunes to same-bucket candidates;
+    the hit intersection joins two k-row-per-query rank lists —
+    evaluation costs no more than the two retrievals it grades."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = S.cosine_topk(emb, queries, k=_TOPK).select("query_id", "vec_id")
+    approx = S.lsh_topk(emb, queries, k=_TOPK).select(
+        "query_id", F.col("vec_id").alias("__av")
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["vec_id"] == approx["__av"]),
+            "left",
+        )
+        .groupBy(exact["query_id"].alias("query_id"))
+        .agg(F.count("__av").cast("long").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / float(_TOPK), 4).alias("recall"),
+    )

@@ -541,3 +541,20 @@ class TestAdjacencyMatrix:
         }
         assert got == want
         assert got[f"{t0}&{t1}"] <= min(got[t0], got[t1])
+
+
+class TestAnnRecall:
+    def test_recall_bounds_and_consistency(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.plans.northstar import (
+            _TOPK,
+            _ann_recall_at_k,
+        )
+
+        rows = _ann_recall_at_k(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 8  # one per query vector
+        for r in rows:
+            assert 0 <= r["n_hits"] <= _TOPK
+            assert r["recall"] == round(r["n_hits"] / _TOPK, 4)
+        # the LSH scheme must retrieve SOMETHING on this data, or the
+        # eval is vacuous
+        assert any(r["n_hits"] > 0 for r in rows)
