@@ -56,6 +56,12 @@ HEADLINE = [
     # over micro-batches) — the reference's own workload shape; its
     # seconds/records(sf) is the single-node throughput comparison
     "streaming_pipeline",
+    # round-3 additions: substring-level ExactSubstr dedup, hybrid
+    # lexical+semantic retrieval (BM25+cosine RRF), cross-source
+    # near-dup analytics
+    "span_dedup_stats",
+    "hybrid_rrf_search",
+    "source_overlap_matrix",
 ]
 
 

@@ -172,3 +172,134 @@ def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Multi-way (3-stream) watermarked join: view -> click -> purchase
+# attribution chain, each hop bounded to the preceding step's 12-hour
+# window — the cascaded stream-stream join shape (each hop keeps its
+# own watermarked state; state per hop is bounded by delay x rate).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_MIN = 720
+
+_THREEWAY_ORACLE = f"""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_ms(v.ts) AS view_ms,
+       epoch_ms(c.ts) AS click_ms,
+       epoch_ms(p.ts) AS purchase_ms,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND c.ts BETWEEN v.ts AND v.ts + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts BETWEEN c.ts AND c.ts + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE
+"""
+
+
+@q("stream_threeway_funnel", _THREEWAY_ORACLE)
+def _stream_threeway_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASCADED stream-stream join over three live streams: clicks
+    joined to the views they follow (12 h bound), purchases joined to
+    those clicks (12 h bound) — the multi-way streaming-join shape
+    where each hop maintains its own watermark-bounded state. Run to
+    completion with an un-evicting watermark, the result must equal
+    the batch three-way inequality join, which is what the SQL oracle
+    checks; eviction under short delays is pinned separately in
+    tests/test_streamjoin.py."""
+    from ..io import load_table
+    from ..session import tune_session
+    from ..streaming.joins import time_bounded_join
+
+    tune_session(spark)
+    work = Path(tempfile.mkdtemp(prefix="cga-3wj-"))
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        dirs = {}
+        specs = {
+            "view": ("view_id", "view_ts", False),
+            "click": ("click_id", "click_ts", False),
+            "purchase": ("purchase_id", "purchase_ts", True),
+        }
+        for etype, (idc, tsc, with_value) in specs.items():
+            cols = [
+                F.col("event_id").alias(idc),
+                "user_id",
+                F.col("ts").alias(tsc),
+            ]
+            if with_value:
+                cols.append(F.col("value").alias("purchase_value"))
+            d = str(work / etype)
+            ev.filter(F.col("event_type") == etype).select(*cols).write.parquet(d)
+            dirs[etype] = d
+
+        views = spark.readStream.schema(
+            "view_id bigint, user_id bigint, view_ts timestamp"
+        ).parquet(dirs["view"])
+        clicks = spark.readStream.schema(
+            "click_id bigint, user_id bigint, click_ts timestamp"
+        ).parquet(dirs["click"])
+        purchases = spark.readStream.schema(
+            "purchase_id bigint, user_id bigint, purchase_ts timestamp,"
+            " purchase_value double"
+        ).parquet(dirs["purchase"])
+
+        w = f"{_FUNNEL_WINDOW_MIN} minutes"
+        hop1 = time_bounded_join(
+            clicks,
+            views,
+            on=["user_id"],
+            left_time="click_ts",
+            right_time="view_ts",
+            lower=w,
+            upper="0 seconds",
+            watermark_delay="365 days",
+        )
+        # a cascaded hop may carry at most ONE event-time column:
+        # freeze the already-joined view timestamp to a plain epoch so
+        # click_ts remains the sole watermark column entering hop 2
+        hop1 = hop1.select(
+            "user_id",
+            "view_id",
+            F.unix_millis("view_ts").alias("view_ms"),
+            "click_id",
+            "click_ts",
+        )
+        hop2 = time_bounded_join(
+            purchases,
+            hop1,
+            on=["user_id"],
+            left_time="purchase_ts",
+            right_time="click_ts",
+            lower=w,
+            upper="0 seconds",
+            watermark_delay="365 days",
+            stamp_right=False,  # hop1 already carries its watermark
+        )
+        name = "threeway_funnel"
+        query = (
+            hop2.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(work / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        out = spark.table(name).select(
+            "user_id",
+            "view_id",
+            "click_id",
+            "purchase_id",
+            "view_ms",
+            F.unix_millis("click_ts").alias("click_ms"),
+            F.unix_millis("purchase_ts").alias("purchase_ms"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -33,6 +33,8 @@ def time_bounded_join(
     upper: str,
     watermark_delay: str = "10 minutes",
     how: str = "inner",
+    stamp_left: bool = True,
+    stamp_right: bool = True,
 ) -> DataFrame:
     """Join two (streaming or batch) DataFrames on key equality plus a
     time-range bound: ``left_time - lower <= right_time <= left_time +
@@ -44,6 +46,12 @@ def time_bounded_join(
     real out-of-orderness can drop matches — the streaming-vs-batch
     equivalence tests pin this semantics. In batch mode the watermark
     is a no-op and the result equals the plain inequality join.
+
+    ``stamp_left`` / ``stamp_right``: pass ``False`` for a side that
+    ALREADY carries a watermark (the output of a previous
+    time_bounded_join in a cascaded multi-way chain) — Spark disallows
+    re-stamping a watermark downstream of a stateful operator, and the
+    hop inherits the earlier delay through the join.
     """
     if not on:
         raise ValueError("stream-stream join requires at least one equality key")
@@ -51,9 +59,9 @@ def time_bounded_join(
     if overlap:
         raise ValueError(f"ambiguous non-key columns on both sides: {sorted(overlap)}")
 
-    if left.isStreaming:
+    if left.isStreaming and stamp_left:
         left = left.withWatermark(left_time, watermark_delay)
-    if right.isStreaming:
+    if right.isStreaming and stamp_right:
         right = right.withWatermark(right_time, watermark_delay)
 
     # alias-qualify both sides: the inputs may share plan lineage (two

@@ -42,6 +42,11 @@ QUERIES = [
     "upsert_latest_state",
     "neardup_triangle_stats",
     "streaming_pipeline",
+    "span_dedup_stats",
+    "span_index_batches",
+    "hybrid_rrf_search",
+    "source_overlap_matrix",
+    "series_similarity_topk",
 ]
 
 

@@ -162,3 +162,69 @@ class TestCompaction:
         stats = compact_index(spark, root)
         assert stats.partitions_examined == 1
         assert stats.partitions_compacted == 0
+
+
+class TestCascadedThreeWayJoin:
+    """Cascaded (3-stream) join: the declared query pins full batch
+    equivalence at sf0.01; here, the mechanics on a tiny fixture —
+    chain wiring (stamp_right=False), single event-time column rule,
+    and hop-window semantics."""
+
+    def test_chain_matches_batch(self, spark, tmp_path):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def t(mins):
+            return base + dt.timedelta(minutes=mins)
+
+        views = [(100, 1, t(0)), (101, 2, t(0))]
+        clicks = [(200, 1, t(10)), (201, 2, t(90))]  # u2 click outside 60m
+        purchases = [(300, 1, t(30)), (301, 2, t(95))]
+        spark.createDataFrame(
+            views, "view_id long, user_id long, view_ts timestamp"
+        ).write.parquet(str(tmp_path / "v"))
+        spark.createDataFrame(
+            clicks, "click_id long, user_id long, click_ts timestamp"
+        ).write.parquet(str(tmp_path / "c"))
+        spark.createDataFrame(
+            purchases, "purchase_id long, user_id long, purchase_ts timestamp"
+        ).write.parquet(str(tmp_path / "p"))
+
+        v = spark.readStream.schema(
+            "view_id long, user_id long, view_ts timestamp"
+        ).parquet(str(tmp_path / "v"))
+        c = spark.readStream.schema(
+            "click_id long, user_id long, click_ts timestamp"
+        ).parquet(str(tmp_path / "c"))
+        p = spark.readStream.schema(
+            "purchase_id long, user_id long, purchase_ts timestamp"
+        ).parquet(str(tmp_path / "p"))
+
+        hop1 = time_bounded_join(
+            c, v, on=["user_id"], left_time="click_ts",
+            right_time="view_ts", lower="60 minutes", upper="0 seconds",
+            watermark_delay="365 days",
+        ).select(
+            "user_id", "view_id",
+            F.unix_millis("view_ts").alias("view_ms"),
+            "click_id", "click_ts",
+        )
+        hop2 = time_bounded_join(
+            p, hop1, on=["user_id"], left_time="purchase_ts",
+            right_time="click_ts", lower="60 minutes", upper="0 seconds",
+            watermark_delay="365 days", stamp_right=False,
+        )
+        q = (
+            hop2.writeStream.format("memory").queryName("t3wj")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        rows = [
+            (r["user_id"], r["view_id"], r["click_id"], r["purchase_id"])
+            for r in spark.table("t3wj").collect()
+        ]
+        # u1: view->click(+10m)->purchase(+30m) completes; u2's click
+        # is 90m after the view -> hop1 drops it, so no funnel row
+        assert rows == [(1, 100, 200, 300)]
