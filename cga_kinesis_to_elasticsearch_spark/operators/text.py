@@ -24,6 +24,7 @@ __all__ = [
     "tf_idf_top_terms",
     "repetition_signals",
     "chunk_tokens",
+    "cdc_chunk_tokens",
     "vocab_coverage",
     "line_boilerplate",
     "quality_classifier",
@@ -965,3 +966,79 @@ def fold_accents(col: Column) -> Column:
     accented letters entirely, silently corrupting non-English text:
     'café' -> 'caf' instead of 'cafe')."""
     return F.translate(col, ACCENT_MAP[0], ACCENT_MAP[1])
+
+
+def cdc_chunk_tokens(
+    df: DataFrame, text_col: str, id_col: str, w: int = 4
+) -> DataFrame:
+    """Content-defined chunking: split each document at token
+    positions where the rolling w-token window hash ends in hex '0'
+    (expected chunk ~16 tokens) — the dedup-stable alternative to
+    fixed-size chunking (``chunk_tokens``): inserting or deleting
+    text only re-chunks the neighborhood of the edit, because every
+    boundary depends on a LOCAL window, never on absolute offsets.
+    That keeps chunk-level dedup/storage effective across document
+    revisions (the rsync/LBFS recipe, on tokens).
+
+    Emits ``(id, chunk_id, n_chunk_tokens, chunk_md5)``; chunk_id is
+    0-based document order, the final chunk keeps the ragged tail.
+
+    Narrow per-row work, shuffle-free like ``chunk_tokens``: tokenize
+    once, compute boundary positions with one in-row filter over the
+    position range (one md5 per position), slice chunks from the
+    staged token array. The hash is md5 so the DuckDB oracle replays
+    boundaries bit-for-bit.
+    """
+    if w < 1:
+        raise ValueError(f"window must be >= 1 token: {w}")
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    # boundary AFTER token t iff the window (t-w+1 .. t) hashes to
+    # a trailing '0' nibble; positions t < w-1 have no full window
+    bounds = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda t: (t >= w - 1)
+        & (
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(F.col("__toks"), t - (w - 2), w), " "
+                    )
+                ),
+                32,
+                1,
+            )
+            == "0"
+        ),
+    )
+    # chunk end positions: every boundary plus the document end
+    # (array_distinct keeps first occurrence -> stays ascending)
+    staged = staged.select(
+        F.col(id_col),
+        "__toks",
+        F.array_distinct(
+            F.concat(bounds, F.array((n - 1).cast("int")))
+        ).alias("__ends"),
+    )
+    chunks = F.transform(
+        F.col("__ends"),
+        lambda e, i: F.slice(
+            F.col("__toks"),
+            F.when(i == 0, F.lit(1)).otherwise(
+                F.element_at(F.col("__ends"), i) + 2
+            ),
+            e
+            - F.when(i == 0, F.lit(-1)).otherwise(
+                F.element_at(F.col("__ends"), i)
+            ),
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long"),
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join("__chunk", " ")).alias("chunk_md5"),
+    )

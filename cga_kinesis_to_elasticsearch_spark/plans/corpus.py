@@ -942,3 +942,47 @@ def _bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tp(spark, sf_dir, "documents")
     return bpe_encode(docs, "text", "doc_id", _ENC_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_W = 4
+
+_CDC_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, toks, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) - 1 AS p
+        FROM t),
+b AS (SELECT doc_id, p, tok,
+             CASE WHEN p >= {_CDC_W - 1}
+                  AND substr(md5(array_to_string(
+                        toks[p - {_CDC_W - 2} : p + 1], ' ')), 32, 1) = '0'
+                  THEN 1 ELSE 0 END AS bnd
+      FROM tok),
+c AS (SELECT doc_id, p, tok,
+             coalesce(sum(bnd) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM b)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_chunk_tokens,
+       md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+FROM c GROUP BY doc_id, chunk_id
+"""
+
+
+@q("cdc_chunk_documents", _CDC_ORACLE)
+def _cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (text.cdc_chunk_tokens): boundaries
+    where the rolling 4-token window hash ends in hex '0', so an edit
+    re-chunks only its neighborhood — the dedup-stable storage/chunk
+    layer (rsync/LBFS recipe on tokens). Spark computes boundaries
+    IN-ROW (shuffle-free, one md5 per token position); the oracle
+    replays the same boundaries relationally with a running-sum window
+    assigning chunk ids."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.cdc_chunk_tokens(docs, "text", "doc_id", w=_CDC_W)

@@ -280,3 +280,40 @@ class TestBigramLogprob:
         out = {r.doc_id: r for r in bigram_logprob(docs, train, "text", "doc_id").collect()}
         assert out[1].n_tokens == 1  # unigram-only scoring
         assert 2 not in out  # zero-token docs produce no score row
+
+
+class TestCdcChunking:
+    """cdc_chunk_tokens: boundary locality — an edit re-chunks only
+    its neighborhood, later chunks are byte-identical."""
+
+    def test_edit_locality(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.text import (
+            cdc_chunk_tokens,
+        )
+
+        words = [f"w{i}" for i in range(120)]
+        orig = " ".join(words)
+        edited = " ".join(["CHANGED"] + words[1:])  # token 0 edited
+        df = spark.createDataFrame(
+            [(0, orig), (1, edited)], "doc_id long, text string"
+        )
+        rows = cdc_chunk_tokens(df, "text", "doc_id", w=4).collect()
+        chunks = {0: {}, 1: {}}
+        for r in rows:
+            chunks[r["doc_id"]][r["chunk_id"]] = (
+                r["n_chunk_tokens"], r["chunk_md5"]
+            )
+        a = [chunks[0][i] for i in sorted(chunks[0])]
+        b = [chunks[1][i] for i in sorted(chunks[1])]
+        # token sums must cover the docs exactly
+        assert sum(n for n, _ in a) == 120 and sum(n for n, _ in b) == 120
+        # every chunk of the original whose tokens start after the
+        # edit's window neighborhood must reappear verbatim in the
+        # edited doc's chunk list (same hash) — the CDC property a
+        # fixed-size chunker cannot give
+        tail_a = set(h for _, h in a[1:])
+        tail_b = set(h for _, h in b[1:])
+        assert len(a) > 2, "need several chunks for a meaningful test"
+        assert tail_a == tail_b
+        # and the first chunks differ (the edit is actually visible)
+        assert a[0] != b[0]
