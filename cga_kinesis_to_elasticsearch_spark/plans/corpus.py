@@ -986,3 +986,114 @@ def _cdc_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigning chunk ids."""
     docs = _tp(spark, sf_dir, "documents")
     return T.cdc_chunk_tokens(docs, "text", "doc_id", w=_CDC_W)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: BPE tokens per word — the
+# cross-lingual tokenizer-budget metric (a high-fertility language
+# pays more sequence length per word, which skews mixture budgeting).
+# ---------------------------------------------------------------------------
+
+_FERT_ORACLE = f"""
+WITH enc AS ({_ENCODE_ORACLE}),
+j AS (SELECT d.lang, enc.n_words, enc.n_tokens, enc.n_chars
+      FROM enc JOIN documents d USING (doc_id))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE), 4) AS fertility,
+       round(sum(n_chars) / CAST(sum(n_tokens) AS DOUBLE), 4)
+         AS chars_per_token
+FROM j GROUP BY lang
+"""
+
+
+@q("bpe_fertility_by_lang", _FERT_ORACLE)
+def _bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE tokens / word) and
+    compression (chars / token) under the fixed 8-merge table — the
+    metric that exposes a tokenizer's cross-lingual cost skew. The
+    encode runs once per DISTINCT word (bpe_encode's vocabulary-level
+    fold); per-doc counts then join the slim (doc_id, lang) projection
+    and collapse to one row per language — integer sums, two float
+    quotients at the very end."""
+    from ..operators.bpe import bpe_encode
+
+    docs = _tp(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, "text", "doc_id", _ENC_MERGES)
+    j = enc.join(docs.select("doc_id", "lang"), "doc_id")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens") / F.sum("n_words").cast("double"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") / F.sum("n_tokens").cast("double"), 4
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+_ENTROPY_MIN = 3.0
+
+
+def _entropy_sql() -> str:
+    # counts via the length-difference trick, folded in FIXED alphabet
+    # order so the float sum is identical in both engines
+    terms = []
+    for ch in _ENTROPY_ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        cnt = f"(length(norm) - length(replace(norm, {lit}, '')))"
+        terms.append(f"CASE WHEN {cnt} > 0 THEN {cnt} * log2({cnt}) ELSE 0 END")
+    s = " + ".join(terms)
+    return (
+        f"round(CASE WHEN length(norm) = 0 THEN 0.0 "
+        f"ELSE log2(length(norm)) - ({s}) / length(norm) END, 4)"
+    )
+
+
+_ENTROPY_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents)
+SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+       {_entropy_sql()} AS char_entropy,
+       {_entropy_sql()} >= {_ENTROPY_MIN} AS entropy_pass
+FROM n
+"""
+
+
+@q("char_entropy_quality", _ENTROPY_ORACLE)
+def _char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution over the fixed
+    a-z/0-9/space alphabet — the cheap repetitive-garbage detector
+    (keyboard mash, repeated runs and template spam score low; natural
+    text sits ~3.5-4.3 bits). Narrow per-row expression: 37
+    length-difference counts folded in fixed alphabet order, so the
+    float sum is order-identical to the SQL oracle; no tokenization,
+    no shuffle."""
+    from ..operators.dedup import normalized_text
+
+    docs = _tp(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", normalized_text(F.col("text")).alias("__norm")
+    )
+    L = F.length("__norm")
+    acc = F.lit(0.0)
+    for ch in _ENTROPY_ALPHABET:
+        cnt = L - F.length(F.replace(F.col("__norm"), F.lit(ch), F.lit("")))
+        acc = acc + F.when(cnt > 0, cnt * F.log2(cnt)).otherwise(0.0)
+    ent = F.round(
+        F.when(L == 0, 0.0).otherwise(F.log2(L) - acc / L), 4
+    )
+    return staged.select(
+        "doc_id",
+        L.cast("long").alias("n_chars"),
+        ent.alias("char_entropy"),
+        (ent >= _ENTROPY_MIN).alias("entropy_pass"),
+    )
