@@ -219,3 +219,50 @@ def _multiline_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reassemble_multiline(
         lines, "line", "stream", "ord", start_pattern=r"^EVT "
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC-style web-archive roundtrip
+# ---------------------------------------------------------------------------
+
+_WARC_ORACLE = """
+SELECT source || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_payloads,
+       min('https://' || source || '.example/doc/' || doc_id) AS min_url
+FROM documents GROUP BY source
+"""
+
+
+@q("warc_source_roundtrip", _WARC_ORACLE)
+def _warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style archive roundtrip (sources/fileformats.write_warc /
+    read_warc): documents serialize into length-framed web-archive
+    records, the Arrow-batched record parser reads them back, and the
+    per-host aggregate must equal the same aggregate over the original
+    table — proving Content-Length framing, URI headers and payload
+    bytes all survive. The hash breaks if framing miscounts a single
+    byte (the next record would mis-parse)."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    staged = docs.select(url.alias("url"), F.col("text").alias("payload"))
+    out = Path(tempfile.gettempdir()) / "spark_graft_formats" / (
+        Path(sf_dir).name or "sf"
+    ) / "warc"
+    FF.write_warc(staged, str(out), "url", "payload")
+    back = FF.read_warc(spark, str(out))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    return back.groupBy(host.alias("host")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("content_length").cast("long").alias("payload_bytes"),
+        F.countDistinct(F.md5("payload")).cast("long").alias(
+            "distinct_payloads"
+        ),
+        F.min("url").alias("min_url"),
+    )

@@ -153,3 +153,37 @@ class TestOrcRoundtrip:
         a = ev.agg(F.sum(F.unix_micros("ts")), F.sum("event_id")).collect()[0]
         b = back.agg(F.sum(F.unix_micros("ts")), F.sum("event_id")).collect()[0]
         assert tuple(a) == tuple(b)
+
+
+class TestWarcRoundtrip:
+    """Length-framed WARC-style records: payloads may contain ANY
+    bytes — including header lookalikes — because framing follows
+    Content-Length, never separators."""
+
+    def test_adversarial_payloads(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.sources.fileformats import (
+            read_warc,
+            write_warc,
+        )
+
+        payloads = [
+            ("https://a.example/1", "plain text body"),
+            # embeds a fake record header mid-payload
+            ("https://a.example/2",
+             "before\r\nWARC/1.0\r\nContent-Length: 999\r\n\r\nafter"),
+            ("https://b.example/3", ""),  # empty payload
+            ("https://b.example/4", "multi\nline\r\nbody\r\n\r\ntail"),
+            ("https://b.example/5", "ünïcödé bytes — länge ≠ strlen"),
+        ]
+        df = spark.createDataFrame(payloads, "url string, payload string")
+        out = str(tmp_path / "warc")
+        write_warc(df, out, "url", "payload")
+        back = {
+            r["url"]: (r["content_length"], r["payload"])
+            for r in read_warc(spark, out).collect()
+        }
+        assert len(back) == len(payloads)
+        for url, body in payloads:
+            clen, got = back[url]
+            assert got == body, url
+            assert clen == len(body.encode("utf-8"))
