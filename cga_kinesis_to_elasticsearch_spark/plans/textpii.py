@@ -104,3 +104,48 @@ SELECT doc_id, term, tf, df_t, tf_idf, rank FROM r WHERE rank <= 5
 def _text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     return T.tf_idf_top_terms(docs, "text", "doc_id", top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: the privacy companion to PII detection/redaction
+# and right-to-be-forgotten — how re-identifiable is a table through
+# its quasi-identifier combination? One map-side-combined groupBy;
+# the audit row aggregates group sizes, never raw rows.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+_KANON_ORACLE = f"""
+WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           FROM customer GROUP BY 1, 2)
+SELECT CAST(min(n) AS BIGINT) AS k_anonymity,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE n < {_KANON_K}) AS BIGINT)
+         AS n_small_groups,
+       CAST(coalesce(sum(n) FILTER (WHERE n < {_KANON_K}), 0) AS BIGINT)
+         AS n_exposed_rows
+FROM g
+"""
+
+
+@q("k_anonymity_audit", _KANON_ORACLE)
+def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of the customer table under the
+    (nation, market-segment) quasi-identifier pair: the dataset's k is
+    the SMALLEST group size (any member of a small group is
+    re-identifiable by those two attributes alone); rows in groups
+    below k=10 are counted as exposed. The release decision this
+    feeds: suppress or generalize those groups before export."""
+    cust = _tp(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+    small = F.col("n") < _KANON_K
+    return g.agg(
+        F.min("n").cast("long").alias("k_anonymity"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.count(F.when(small, 1)).cast("long").alias("n_small_groups"),
+        F.coalesce(F.sum(F.when(small, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    )

