@@ -428,8 +428,10 @@ def paragraph_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
     )
-    # composite first-occurrence key; positions are bounded well below 1e6
-    key = F.col(id_col).cast("long") * 1000000 + F.col("__pos")
+    # composite first-occurrence key: 2^31 multiplier is collision-free
+    # for any int position and non-negative ids < 2^32 (same scheme as
+    # span_dedup)
+    key = F.col(id_col).cast("long") * 2147483648 + F.col("__pos")
     hashed = paras.select(
         F.col(id_col),
         "__pos",
@@ -646,7 +648,11 @@ def _span_grams(staged: DataFrame, id_col: str, w: int) -> DataFrame:
             id_col, F.col("__g.p").alias("__p"), F.col("__g.gh").alias("__gh")
         )
         .withColumn(
-            "__key", F.col(id_col).cast("long") * 1000000 + F.col("__p")
+            # 2^31 multiplier: __p is a 32-bit int, so (id << 31) + p is
+            # collision-free and order-preserving for any non-negative
+            # numeric id < 2^32 — no silent key aliasing on huge docs
+            "__key",
+            F.col(id_col).cast("long") * 2147483648 + F.col("__p"),
         )
     )
 

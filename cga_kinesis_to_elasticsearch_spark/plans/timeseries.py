@@ -688,6 +688,10 @@ def _value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return j.groupBy("event_type").agg(
-        psi.alias("psi"), (psi < 0.1).alias("stable")
+    # one aggregate, then derive the flag — a second aggregate
+    # expression would build and sort the per-group struct list twice
+    return (
+        j.groupBy("event_type")
+        .agg(psi.alias("psi"))
+        .select("event_type", "psi", (F.col("psi") < 0.1).alias("stable"))
     )

@@ -118,7 +118,7 @@ x AS (SELECT doc_id,
              unnest(paras) AS para
       FROM l),
 h AS (SELECT doc_id, pos, para, md5(para) AS h,
-             doc_id * 1000000 + pos AS key
+             doc_id * 2147483648 + pos AS key
       FROM x),
 o AS (SELECT h, min(key) AS owner FROM h GROUP BY h),
 f AS (SELECT h.doc_id, h.pos, h.para, h.key = o.owner AS kept
@@ -529,9 +529,9 @@ g AS (SELECT doc_id, p,
       FROM (SELECT doc_id, toks,
                    unnest(generate_series(0, len(toks) - {_SPAN_W})) AS p
             FROM t)),
-own AS (SELECT gh, min(doc_id * 1000000 + p) AS owner FROM g GROUP BY gh),
+own AS (SELECT gh, min(doc_id * 2147483648 + p) AS owner FROM g GROUP BY gh),
 dup AS (SELECT g.doc_id, g.p FROM g JOIN own USING (gh)
-        WHERE g.doc_id * 1000000 + g.p <> own.owner),
+        WHERE g.doc_id * 2147483648 + g.p <> own.owner),
 tok AS (SELECT doc_id,
                unnest(toks) AS tok,
                generate_subscripts(toks, 1) - 1 AS i

@@ -36,7 +36,9 @@ def read_index(
     """``id_type`` types the empty frame before the first append (the
     stored parquet carries its own type thereafter)."""
     root = Path(index_root)
-    if not root.exists() or not any(root.iterdir()):
+    # no parquet DATA files == empty (a no-op append leaves only a
+    # _SUCCESS marker, which must not trigger schema inference)
+    if not root.exists() or not any(root.rglob("*.parquet")):
         return spark.createDataFrame(
             [], f"content_hash string, first_id {id_type}"
         )

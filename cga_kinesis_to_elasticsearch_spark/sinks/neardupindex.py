@@ -45,7 +45,9 @@ def read_neardup_index(
     spark: SparkSession, index_root: str | Path, id_type: str = "long"
 ) -> DataFrame:
     root = Path(index_root)
-    if not root.exists() or not any(root.iterdir()):
+    # no parquet DATA files == empty (a no-op append leaves only a
+    # _SUCCESS marker, which must not trigger schema inference)
+    if not root.exists() or not any(root.rglob("*.parquet")):
         return spark.createDataFrame(
             [], f"band_id int, band_key string, first_id {id_type}"
         )

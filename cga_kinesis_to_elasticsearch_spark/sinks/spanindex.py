@@ -45,7 +45,10 @@ __all__ = ["span_dedup_against_index", "read_span_index"]
 
 def read_span_index(spark: SparkSession, index_root: str | Path) -> DataFrame:
     root = Path(index_root)
-    if not root.exists() or not any(root.iterdir()):
+    # emptiness = no parquet DATA files: an all-short-docs batch appends
+    # only a _SUCCESS marker, which would defeat an iterdir() check and
+    # make the schema-inference read throw on every later batch
+    if not root.exists() or not any(root.rglob("*.parquet")):
         return spark.createDataFrame([], "gram_hash string, owner_key long")
     return spark.read.parquet(str(root)).select("gram_hash", "owner_key")
 

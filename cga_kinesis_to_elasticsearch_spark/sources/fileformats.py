@@ -287,15 +287,32 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         break
                     head_end = data.find(b"\r\n\r\n", pos)
                     if head_end < 0:
-                        break  # trailing garbage: no complete header
+                        # fail LOUD on a torn archive (same posture as the
+                        # schema-pinned readers): silently dropping the
+                        # tail would under-count without a trace
+                        raise ValueError(
+                            "torn WARC record: header at byte "
+                            f"{pos} has no terminating blank line"
+                        )
                     header = data[pos:head_end].decode("utf-8", "replace")
                     fields = {}
                     for line in header.split("\r\n")[1:]:
                         k, _, v = line.partition(":")
                         fields[k.strip().lower()] = v.strip()
-                    clen = int(fields.get("content-length", "0"))
+                    try:
+                        clen = int(fields.get("content-length", "0"))
+                    except ValueError as exc:
+                        raise ValueError(
+                            "corrupt WARC Content-Length "
+                            f"{fields.get('content-length')!r} at byte {pos}"
+                        ) from exc
                     body_start = head_end + 4
                     body = data[body_start : body_start + clen]
+                    if len(body) < clen:
+                        raise ValueError(
+                            f"truncated WARC payload at byte {body_start}: "
+                            f"need {clen} bytes, file has {len(body)}"
+                        )
                     out.append(
                         (
                             fields.get("warc-target-uri", ""),

@@ -187,3 +187,21 @@ class TestWarcRoundtrip:
             clen, got = back[url]
             assert got == body, url
             assert clen == len(body.encode("utf-8"))
+
+
+class TestWarcFailLoud:
+    def test_truncated_record_raises(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.sources.fileformats import (
+            read_warc,
+        )
+
+        d = tmp_path / "warc"
+        d.mkdir()
+        (d / "part-0.txt").write_bytes(
+            b"WARC/1.0\r\nWARC-Target-URI: https://x/1\r\n"
+            b"Content-Length: 50\r\n\r\nonly ten b"
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="truncated WARC payload"):
+            read_warc(spark, str(d)).collect()

@@ -99,3 +99,16 @@ class TestReplayIdempotence:
         assert replay == {k: v for k, v in first.items() if k in (2, 3)}
         # no grams re-registered
         assert read_span_index(spark, root).count() == idx_rows
+
+
+class TestEmptyAppendRobustness:
+    def test_short_doc_batch_then_real_batch(self, spark, tmp_path):
+        # a batch of all-short docs registers ZERO grams (parquet dir
+        # gets only a _SUCCESS marker); the index must stay readable
+        root = tmp_path / "spanidx"
+        short = [(0, "a b"), (1, "c d")]
+        out1 = _run_batches(spark, root, [short])
+        assert all(v[1] == 0 for v in out1.values())
+        out2 = _run_batches(spark, root, [_BATCH1])
+        assert out2[0][1] == 0  # batch still processes fine
+        assert read_span_index(spark, root).count() > 0
