@@ -561,3 +561,60 @@ def _composite_agg_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     page = b.filter(F.struct("event_type", "event_date") > after)
     return page.orderBy("event_type", "event_date").limit(_COMP_PAGE)
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: Spark's built-in session_window (the
+# streaming-capable sessionizer — state-store-backed with watermark
+# eviction under readStream; identical semantics in batch). The custom
+# applyInPandasWithState sessionizer (streaming/stateful.py) covers
+# bespoke per-session logic; this is the declarative fast path.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_MIN = 30
+
+_SESSION_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {_SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id,
+       epoch_ms(min(ts)) AS start_ms,
+       epoch_ms(max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE) AS end_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@q("native_session_window_stats", _SESSION_ORACLE)
+def _native_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation with Spark's native
+    ``session_window`` (30-minute inactivity gap): one shuffle on
+    (user_id, evolving window), map-side partial merge, and the exact
+    same code runs over readStream with a watermark (state-store
+    sessionization with eviction). The oracle replays the classic
+    gaps-and-islands formulation: session boundary where the gap to
+    the previous event exceeds the threshold; a session's end is its
+    last event plus the gap — Spark's session_window.end convention."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.session_window("ts", f"{_SESSION_GAP_MIN} minutes")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return g.select(
+        "user_id",
+        F.unix_millis("session_window.start").alias("start_ms"),
+        F.unix_millis("session_window.end").alias("end_ms"),
+        "n_events",
+        "total_value",
+    )

@@ -247,3 +247,26 @@ class TestCompositePagination:
         nxt_keys = [(r["event_type"], r["event_date"]) for r in nxt]
         assert all(k > last for k in nxt_keys)
         assert not (set(keys) & set(nxt_keys))
+
+
+class TestNativeSessionWindow:
+    def test_sessions_respect_gap(self, spark):
+        import cga_kinesis_to_elasticsearch_spark.plans.eventanalytics as EA
+
+        rows = EA._native_session_window_stats(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        gap_ms = EA._SESSION_GAP_MIN * 60_000
+        for sessions in by_user.values():
+            sessions.sort(key=lambda r: r["start_ms"])
+            for r in sessions:
+                # end = last event + gap => duration >= gap
+                assert r["end_ms"] - r["start_ms"] >= gap_ms
+            for a, b in zip(sessions, sessions[1:]):
+                # consecutive sessions must be separated by > gap
+                # (else they'd have merged): next start > prev end
+                assert b["start_ms"] > a["end_ms"] - 1
