@@ -29,6 +29,7 @@ _MODULES = (
     "timeseries",
     "mediahash",
     "searchindex",
+    "loganalytics",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
