@@ -30,6 +30,7 @@ _MODULES = (
     "mediahash",
     "searchindex",
     "loganalytics",
+    "versioning",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

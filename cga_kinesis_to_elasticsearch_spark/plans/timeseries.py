@@ -695,3 +695,85 @@ def _value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(psi.alias("psi"))
         .select("event_type", "psi", (F.col("psi") < 0.1).alias("stable"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key OLS trend: revenue slope per nation over the order timeline.
+# Cross-engine float discipline: all five regression sums (n, Sx, Sy,
+# Sxy, Sxx) are EXACT integers (day index x revenue cents), so the
+# closing slope/intercept divisions evaluate the identical IEEE
+# expression on identical inputs in both engines — no ordered fold
+# needed.
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH o AS (
+  SELECT c_nationkey AS nationkey,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+d AS (
+  SELECT nationkey, x, SUM(y_cents) AS y
+  FROM o GROUP BY nationkey, x
+),
+s AS (
+  SELECT nationkey,
+         COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM d GROUP BY nationkey
+)
+SELECT s.nationkey, n_name AS nation, n AS n_days,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope_cents_per_day,
+       round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy
+              - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+              * sx) / n, 6) AS intercept_cents
+FROM s JOIN nation ON s.nationkey = n_nationkey
+ORDER BY s.nationkey
+"""
+
+
+@q("trend_slope_by_nation", _TREND_ORACLE)
+def trend_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation least-squares revenue trend (slope + intercept in
+    cents/day) over daily totals. Two shuffles total: (nation, day)
+    partial-aggregated map-side, then 25 regression-sum rows; the
+    nation-name join broadcasts. Integer sums keep it hash-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+    )
+    d = o.groupBy("nationkey", "x").agg(F.sum("y_cents").alias("y"))
+    s = d.groupBy("nationkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        nd * F.col("sxx") - sxd * F.col("sx")
+    )
+    return (
+        s.join(F.broadcast(nation), s.nationkey == nation.n_nationkey)
+        .select(
+            "nationkey",
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_days"),
+            F.round(slope, 6).alias("slope_cents_per_day"),
+            F.round(
+                (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n"),
+                6,
+            ).alias("intercept_cents"),
+        )
+        .orderBy("nationkey")
+    )
