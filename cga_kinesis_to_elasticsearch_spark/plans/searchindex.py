@@ -551,3 +551,107 @@ def _adjacency_matrix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (bucket, doc_count)"
         )
     ).select("bucket", F.col("doc_count").cast("long").alias("doc_count"))
+
+
+# ---------------------------------------------------------------------------
+# Percolator: match the corpus against STORED queries (ES percolate).
+# Ten saved term queries (must / must_not sets over the fixture
+# vocabulary, incl. a zero-match query and a 3-term conjunction); the
+# oracle replays the same conjunctive-count + anti-join decomposition.
+# ---------------------------------------------------------------------------
+
+_PERC_QUERIES: tuple[tuple[str, tuple[str, ...], tuple[str, ...]], ...] = (
+    ("q01", ("spark", "join"), ()),
+    ("q02", ("window", "hash"), ()),
+    ("q03", ("stream", "batch"), ("vector",)),
+    ("q04", ("merge", "sort", "filter"), ()),
+    ("q05", ("customer",), ("hash",)),
+    ("q06", ("vector", "query"), ("slow",)),
+    ("q07", ("agg", "group"), ()),
+    ("q08", ("zzznomatch",), ()),
+    ("q09", ("the", "a"), ()),
+    ("q10", ("fast",), ("slow",)),
+)
+
+
+def _perc_values_sql() -> str:
+    rows = []
+    for qid, must, must_not in _PERC_QUERIES:
+        m = "[" + ", ".join(f"'{t}'" for t in must) + "]"
+        mn = "[" + ", ".join(f"'{t}'" for t in must_not) + "]::VARCHAR[]"
+        rows.append(f"('{qid}', {m}, {mn})")
+    return ",\n      ".join(rows)
+
+
+_PERC_ORACLE = f"""
+WITH n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term
+        FROM n),
+tokf AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+qs AS (SELECT * FROM (VALUES
+      {{values}}
+  ) AS t(query_id, must, must_not)),
+mt AS (SELECT query_id, len(must) AS n_must, unnest(must) AS term FROM qs),
+cand AS (SELECT t.doc_id, m.query_id
+         FROM tokf t JOIN mt m USING (term)
+         GROUP BY t.doc_id, m.query_id, m.n_must
+         HAVING count(*) = m.n_must),
+bt AS (SELECT query_id, unnest(must_not) AS term FROM qs),
+ban AS (SELECT DISTINCT t.doc_id, b.query_id
+        FROM tokf t JOIN bt b USING (term)),
+m AS (SELECT c.doc_id, c.query_id FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM ban b
+                        WHERE b.doc_id = c.doc_id
+                          AND b.query_id = c.query_id))
+SELECT q.query_id,
+       CAST(count(m.doc_id) AS BIGINT) AS n_docs,
+       min(m.doc_id) AS min_doc, max(m.doc_id) AS max_doc
+FROM qs q LEFT JOIN m ON q.query_id = m.query_id
+GROUP BY q.query_id ORDER BY q.query_id
+""".format(values=_perc_values_sql())
+
+
+@q("percolate_matches", _PERC_ORACLE)
+def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate parity: which stored queries match each document,
+    aggregated per query (zero-match queries surface with n_docs=0).
+    Equi-join decomposition — conjunctions as matched-term counting,
+    must_not as a broadcast anti join; no doc x query cross product
+    (operators/percolate.py)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import normalized_text
+    from ..operators.percolate import percolate
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalized_text(F.col("text")), " ")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .distinct()
+    )
+    queries = spark.createDataFrame(
+        [(qid, list(m), list(mn)) for qid, m, mn in _PERC_QUERIES],
+        "query_id string, must array<string>, must_not array<string>",
+    )
+    matches = percolate(toks, queries)
+    agg = matches.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    return (
+        queries.select("query_id")
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            "min_doc",
+            "max_doc",
+        )
+        .orderBy("query_id")
+    )

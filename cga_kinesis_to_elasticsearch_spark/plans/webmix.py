@@ -615,3 +615,46 @@ def _span_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s1.withColumn("batch", F.lit(0).cast("long")).unionByName(
         s2.withColumn("batch", F.lit(1).cast("long"))
     ).select("doc_id", "batch", "n_tokens", "n_removed", "retained_md5")
+
+
+# ---------------------------------------------------------------------------
+# Diversified sampler (ES diversified_sampler parity): global top-k by
+# score with at most m hits per source — dominance caps for corpus
+# sampling. The per-source prune rides the shuffle-light topk operator
+# (map-side per-key head, then one exact window), so the global cut
+# sees only <= sources x m candidate rows.
+# ---------------------------------------------------------------------------
+
+_DIV_ORACLE = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id DESC) AS rank
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rank
+FROM r WHERE rank <= 3
+ORDER BY n_chars DESC, doc_id
+LIMIT 50
+"""
+
+
+@q("diversified_sample_topk", _DIV_ORACLE)
+def diversified_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 longest documents with at most 3 per source. The
+    per-source cap prunes map-side (operators/topk.py) before any
+    exchange; the global ORDER BY runs over the tiny capped set."""
+    from ..operators.topk import topk_per_key
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    capped = topk_per_key(
+        docs,
+        key_col="source",
+        order_col="n_chars",
+        k=3,
+        tiebreak_col="doc_id",
+        ascending=False,
+    )
+    return capped.orderBy(F.col("n_chars").desc(), "doc_id").limit(50)
