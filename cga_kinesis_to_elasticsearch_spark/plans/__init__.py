@@ -31,6 +31,7 @@ _MODULES = (
     "searchindex",
     "loganalytics",
     "versioning",
+    "geo",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
