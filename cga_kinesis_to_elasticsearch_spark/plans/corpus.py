@@ -1097,3 +1097,69 @@ def _char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ent.alias("char_entropy"),
         (ent >= _ENTROPY_MIN).alias("entropy_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multi-epoch shuffle: epoch e's training order is the
+# sort by md5('ep<e>:<doc_id>') — a reproducible, seekable permutation
+# per epoch with no RNG state (the standard hash-shuffle recipe for
+# 100 TB corpora: a total sort by hash key per epoch, resumable from
+# any offset). The declared query materializes each epoch's first 8
+# positions through the shuffle-light topk operator, so only
+# partitions' local heads reach the exchange — the full permutation is
+# never collected.
+# ---------------------------------------------------------------------------
+
+_EPOCH_ORACLE = """
+WITH k AS (
+  SELECT e.epoch, d.doc_id,
+         md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
+             || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents d
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+),
+r AS (
+  SELECT epoch, doc_id, shuffle_key,
+         row_number() OVER (PARTITION BY epoch
+                            ORDER BY shuffle_key, doc_id) AS rank
+  FROM k
+)
+SELECT epoch, rank, doc_id, shuffle_key
+FROM r WHERE rank <= 8
+ORDER BY epoch, rank
+"""
+
+
+@q("epoch_shuffle_heads", _EPOCH_ORACLE)
+def epoch_shuffle_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 documents of each epoch's deterministic hash-shuffle
+    order (3 epochs). Per-epoch heads come from the map-side-pruned
+    topk operator — no epoch's full ordering ever sorts globally."""
+    from ..operators.topk import topk_per_key
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    )
+    heads = topk_per_key(
+        keyed,
+        key_col="epoch",
+        order_col="shuffle_key",
+        k=8,
+        tiebreak_col="doc_id",
+        ascending=True,
+    )
+    return heads.select("epoch", "rank", "doc_id", "shuffle_key").orderBy(
+        "epoch", "rank"
+    )
