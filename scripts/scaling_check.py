@@ -47,6 +47,13 @@ QUERIES = [
     "hybrid_rrf_search",
     "source_overlap_matrix",
     "series_similarity_topk",
+    # round-3 additions: lookup enrichment, reverse search, geo agg,
+    # keyed fingerprint diff, hash-shuffle heads
+    "ip_cidr_enrich",
+    "percolate_matches",
+    "geo_grid_counts",
+    "snapshot_diff_classes",
+    "epoch_shuffle_heads",
 ]
 
 
