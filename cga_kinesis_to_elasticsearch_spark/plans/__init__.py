@@ -32,6 +32,7 @@ _MODULES = (
     "loganalytics",
     "versioning",
     "geo",
+    "privacy",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
