@@ -118,3 +118,39 @@ class TestDisabledRoutesResurrected:
             for r in docs_all_routes.select("index_class").distinct().collect()
         }
         assert classes == {"gorouter", "gorouter_access", "bosh_director"}
+
+
+class TestPostStages:
+    def test_post_stage_enriches_documents(self, spark, records, dim):
+        from cga_kinesis_to_elasticsearch_spark.operators.useragent import (
+            with_ua_class,
+        )
+
+        def ua_stage(df):
+            # the richest route's UA capture feeds the classifier; rows
+            # routed elsewhere carry NULL struct -> NULL ua -> 'other'
+            return with_ua_class(
+                df.withColumn(
+                    "ua", F.col("parsed_routeraccess.rtr_http_user_agent")
+                ),
+                "ua",
+            )
+
+        docs = run_pipeline(
+            records,
+            dim,
+            PipelineConfig(
+                allowed_origins=ALLOWED_ORIGINS,
+                enable_disabled_routes=True,
+                post_stages=(ua_stage,),
+            ),
+        )
+        assert {"ua_family", "ua_major", "ua_is_bot"} <= set(docs.columns)
+        fams = {r["ua_family"] for r in docs.select("ua_family").distinct().collect()}
+        # fixture UA string is the literal "UA" -> classifies as other
+        assert fams == {"other"}
+
+    def test_default_no_post_stages_identical(self, docs):
+        # the parity contract: an empty post_stages tuple leaves the
+        # document schema untouched
+        assert "ua_family" not in docs.columns
