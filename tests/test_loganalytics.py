@@ -112,3 +112,31 @@ class TestUaClassify:
         plan = UA.with_ua_class(df, "ua")._jdf.queryExecution().executedPlan(
         ).toString()
         assert "Python" not in plan and "ArrowEval" not in plan
+
+
+class TestFlattenNetworks:
+    def test_disjoint_and_winner(self, spark):
+        flat = IP.flatten_networks(_nets(spark)).collect()
+        # the /16 [5*65536, 6*65536) must carve the /8 into three
+        # disjoint segments, with the /16 winning its own slice
+        segs = sorted((r["seg_start"], r["seg_end"], r["net_name"]) for r in flat)
+        base = 10 * 16777216
+        assert segs == [
+            (base, base + 5 * 65536 - 1, "wide"),
+            (base + 5 * 65536, base + 6 * 65536 - 1, "narrow"),
+            (base + 6 * 65536, base + 16777216 - 1, "wide"),
+        ]
+        # pairwise disjoint
+        for (s1, e1, _), (s2, _, _) in zip(segs, segs[1:]):
+            assert e1 < s2
+
+    def test_fact_side_has_no_aggregation(self, spark):
+        facts = spark.createDataFrame(
+            [Row(fid=1, octet1=10, ip_long=10 * 16777216 + 1)]
+        )
+        plan = IP.enrich_longest_prefix(facts, _nets(spark))._jdf.queryExecution(
+        ).executedPlan().toString()
+        # everything after the broadcast join must be a plain project:
+        # the fact stream is joined once, never grouped or windowed
+        after = plan.split("BroadcastHashJoin")[0]
+        assert "HashAggregate" not in after and "Window" not in after
