@@ -33,6 +33,7 @@ _MODULES = (
     "versioning",
     "geo",
     "privacy",
+    "hierarchy_query",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

@@ -900,3 +900,77 @@ def _topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_key(
         o, "o_custkey", "o_totalprice", k=3, tiebreak_col="o_orderkey"
     )
+
+
+_WINMATRIX_ORACLE = """
+WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                  round(o_totalprice * 100) AS price_c
+           FROM orders)
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER wd AS BIGINT) AS date_rank,
+       lag(o_orderkey) OVER w AS lag_k,
+       lead(o_orderkey) OVER w AS lead_k,
+       CAST(ntile(4) OVER w AS BIGINT) AS nt4,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd,
+       first_value(o_orderkey) OVER w AS first_k,
+       last_value(o_orderkey) OVER wf AS last_k,
+       nth_value(o_orderkey, 2) OVER wf AS nth2,
+       CAST(sum(price_c) OVER w3 AS BIGINT) AS mov_sum_c,
+       round(sum(price_c) OVER w3 / (count(*) OVER w3 * 100.0), 4)
+         AS mov_avg
+FROM o
+WINDOW
+  w  AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate),
+  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  w3 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@q("window_function_matrix", _WINMATRIX_ORACLE)
+def _window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation/frame window-function surface in one
+    plan: row_number, rank, lag/lead, ntile, percent_rank, cume_dist,
+    first/last/nth_value with explicit frames, and a 3-row sliding
+    sum/avg. One shuffle on o_custkey serves every window (same
+    partition key); the sliding avg stages through exact cents so both
+    engines divide identical integers. ES parity: derivative/moving_avg
+    pipeline aggs; reference has no analogue (north-star surface)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).alias("price_c"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w3 = w.rowsBetween(-2, 0)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(wd).cast("long").alias("date_rank"),
+            F.lag("o_orderkey").over(w).alias("lag_k"),
+            F.lead("o_orderkey").over(w).alias("lead_k"),
+            F.ntile(4).over(w).cast("long").alias("nt4"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.first("o_orderkey").over(w).alias("first_k"),
+            F.last("o_orderkey").over(wf).alias("last_k"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("nth2"),
+            F.sum("price_c").over(w3).cast("long").alias("mov_sum_c"),
+            F.round(
+                F.sum("price_c").over(w3)
+                / (F.count(F.lit(1)).over(w3) * 100.0),
+                4,
+            ).alias("mov_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -1,0 +1,49 @@
+"""Regenerate the declared-query inventory appendix in COVERAGE.md.
+
+Usage: python scripts/gen_coverage_appendix.py
+Rewrites everything from '## Appendix: declared-query inventory' to EOF.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from cga_kinesis_to_elasticsearch_spark import plans  # noqa: E402
+
+HEADER = "## Appendix: declared-query inventory"
+
+
+def main() -> None:
+    reg = plans.QUERY_REGISTRY
+    n = len(reg)
+    n_oracle = sum(1 for _, (_, sql) in reg.items() if sql is not None)
+    rows_only = sorted(name for name, (_, sql) in reg.items() if sql is None)
+    lines = [
+        HEADER,
+        "",
+        f"{n} declared queries; {n_oracle} with full DuckDB value-hash",
+        f"oracles; only {', '.join('`%s`' % r for r in rows_only)} stays "
+        "rows-only (float fixpoint —",
+        "genuinely non-SQL-expressible).",
+        "",
+        "| query | oracle | summary |",
+        "|---|---|---|",
+    ]
+    for name in sorted(reg):
+        fn, sql = reg[name]
+        doc = (fn.__doc__ or "").strip().splitlines()
+        summary = doc[0].strip() if doc else ""
+        kind = "value-hash" if sql is not None else "rows-only"
+        lines.append(f"| `{name}` | {kind} | {summary} |")
+    path = pathlib.Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    text = path.read_text()
+    head = text.split(HEADER)[0].rstrip() + "\n\n"
+    path.write_text(head + "\n".join(lines) + "\n")
+    print(f"wrote appendix: {n} queries ({n_oracle} value-hash)")
+
+
+if __name__ == "__main__":
+    main()
