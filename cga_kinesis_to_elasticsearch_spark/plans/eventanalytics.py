@@ -618,3 +618,91 @@ def _native_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# auto_date_histogram: pick the smallest calendar-ladder interval that
+# keeps the bucket count under a target, then bucket — ES's
+# auto_date_histogram agg. The interval choice is DATA-DEPENDENT but
+# fully declarative: a one-row min/max stats frame broadcasts onto the
+# events scan, so the whole plan is two aggregations and no driver
+# logic (works identically on a 1000-executor cluster).
+# ---------------------------------------------------------------------------
+
+_ADH_TARGET = 40
+_ADH_LADDER_H = (1, 3, 12, 24, 168, 720)
+
+_ADH_ORACLE = f"""
+WITH stats AS (
+  SELECT min(epoch_ms(ts) // 1000) AS t0,
+         max(epoch_ms(ts) // 1000) AS t1
+  FROM events
+),
+pick AS (
+  SELECT t0, t1,
+         CASE
+           {' '.join(f"WHEN (t1 - t0) // ({h} * 3600) + 1 <= {_ADH_TARGET} THEN {h}" for h in _ADH_LADDER_H)}
+           ELSE {_ADH_LADDER_H[-1]}
+         END AS interval_h
+  FROM stats
+),
+b AS (
+  SELECT interval_h,
+         (epoch_ms(ts) // 1000) // (interval_h * 3600)
+           * (interval_h * 3600) AS bucket_s,
+         value
+  FROM events, pick
+)
+SELECT CAST(interval_h AS BIGINT) AS interval_h,
+       CAST(bucket_s AS BIGINT) AS bucket_s,
+       count(*) AS n,
+       round(sum(round(value * 100)) / 100.0, 2) AS total_value
+FROM b
+GROUP BY interval_h, bucket_s
+ORDER BY bucket_s
+"""
+
+
+@q("auto_date_histogram", _ADH_ORACLE)
+def _auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: the interval ladder (1h..30d) is probed
+    against the observed [min, max] span and the smallest interval
+    with <= 40 buckets wins; rows then bucket by integer floor-div on
+    epoch seconds. Plan: one map-side-combinable min/max agg reduced
+    to ONE row, broadcast-joined back (no driver round-trip), then one
+    partial-aggregated groupBy. Value totals stage through exact
+    cents."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.expr("unix_millis(ts) DIV 1000")
+    stats = ev.agg(
+        F.min(secs).alias("t0"), F.max(secs).alias("t1")
+    )
+    expr = None
+    for h in _ADH_LADDER_H:
+        cond = F.expr(f"(t1 - t0) DIV ({h} * 3600)") + 1 <= _ADH_TARGET
+        expr = (
+            F.when(cond, F.lit(h))
+            if expr is None
+            else expr.when(cond, F.lit(h))
+        )
+    pick = stats.select(
+        expr.otherwise(F.lit(_ADH_LADDER_H[-1])).alias("interval_h")
+    )
+    b = ev.select(secs.alias("s"), "value").crossJoin(F.broadcast(pick))
+    return (
+        b.select(
+            F.col("interval_h").cast("long").alias("interval_h"),
+            F.expr("(s DIV (interval_h * 3600)) * (interval_h * 3600)")
+            .cast("long")
+            .alias("bucket_s"),
+            "value",
+        )
+        .groupBy("interval_h", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.round(F.col("value") * 100)) / 100.0, 2).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("bucket_s")
+    )

@@ -655,3 +655,70 @@ def percolate_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_HL_TERM = "spark"
+_HL_WIN = 30
+
+_HIGHLIGHT_ORACLE = f"""
+WITH hit AS (
+  SELECT doc_id, text,
+         CAST(strpos(text, '{_HL_TERM}') AS BIGINT) AS pos
+  FROM documents
+  WHERE strpos(text, '{_HL_TERM}') > 0
+),
+cut AS (
+  SELECT doc_id, text, pos,
+         CASE WHEN pos - {_HL_WIN} > 1 THEN pos - {_HL_WIN} ELSE 1 END
+           AS snip_start
+  FROM hit
+)
+SELECT doc_id, pos,
+       CAST((length(text) - length(replace(text, '{_HL_TERM}', '')))
+            // {len(_HL_TERM)} AS BIGINT) AS n_occurrences,
+       substr(text, snip_start, pos - snip_start)
+         || '<em>' || '{_HL_TERM}' || '</em>'
+         || substr(text, pos + {len(_HL_TERM)}, {_HL_WIN}) AS snippet
+FROM cut
+ORDER BY doc_id
+"""
+
+
+@q("highlight_snippets", _HIGHLIGHT_ORACLE)
+def _highlight_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight parity: for every document matching the term
+    query, the first-occurrence offset, total occurrence count, and a
+    +/-30-char snippet with <em> markers around the match. Pure narrow
+    string expressions (instr/substr/replace) under whole-stage
+    codegen — no tokenization, no shuffle except the output sort; the
+    term filter is evaluated at the scan."""
+    from pyspark.sql import functions as F
+
+    term, L, W = _HL_TERM, len(_HL_TERM), _HL_WIN
+    docs = _tp(spark, sf_dir, "documents")
+    pos = F.instr("text", term).cast("long")
+    hit = docs.select("doc_id", "text", pos.alias("pos")).where(
+        F.col("pos") > 0
+    )
+    start = F.when(F.col("pos") - W > 1, F.col("pos") - W).otherwise(
+        F.lit(1)
+    )
+    cut = hit.withColumn("snip_start", start)
+    n_occ = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(term)))
+        )
+        / L
+    ).cast("long")
+    snippet = F.concat(
+        F.expr("substr(text, snip_start, pos - snip_start)"),
+        F.lit("<em>" + term + "</em>"),
+        F.expr(f"substr(text, pos + {L}, {W})"),
+    )
+    return cut.select(
+        "doc_id",
+        "pos",
+        n_occ.alias("n_occurrences"),
+        snippet.alias("snippet"),
+    ).orderBy("doc_id")
