@@ -706,3 +706,107 @@ def _auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_s")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: deterministic hash assignment (user_id
+# parity), per-arm moment stats and the Welch t statistic, per event
+# type. Every moment stages through exact integer cents so both
+# engines assemble the t statistic from bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_ABTEST_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         user_id % 2 AS arm,
+         round(value * 100) AS v_c
+  FROM events
+),
+s AS (
+  SELECT event_type, arm,
+         count(*) AS n,
+         CAST(sum(v_c) AS BIGINT) AS sum_c,
+         CAST(sum(v_c * v_c) AS BIGINT) AS sumsq_c
+  FROM m GROUP BY event_type, arm
+),
+w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b,
+         a.sum_c / (a.n * 100.0) AS mean_a,
+         b.sum_c / (b.n * 100.0) AS mean_b,
+         (a.sumsq_c / 10000.0
+            - a.n * (a.sum_c / (a.n * 100.0)) * (a.sum_c / (a.n * 100.0)))
+           / (a.n - 1) AS var_a,
+         (b.sumsq_c / 10000.0
+            - b.n * (b.sum_c / (b.n * 100.0)) * (b.sum_c / (b.n * 100.0)))
+           / (b.n - 1) AS var_b
+  FROM s a JOIN s b ON a.event_type = b.event_type
+  WHERE a.arm = 0 AND b.arm = 1
+)
+SELECT event_type, n_a, n_b,
+       round(mean_a, 4) AS mean_a,
+       round(mean_b, 4) AS mean_b,
+       round((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 6)
+         AS t_stat
+FROM w
+ORDER BY event_type
+"""
+
+
+@q("ab_welch_t_readout", _ABTEST_ORACLE)
+def _ab_welch_t_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B readout: users hash into two arms (id
+    parity), one partial-aggregated pass computes count/sum/sum-of-
+    squares per (type, arm) in exact cents, and the two arm rows join
+    back on event_type (25-row frame, broadcast) to form Welch's t.
+    The fact table is scanned ONCE; everything after the first agg is
+    KB-sized."""
+    ev = _t(spark, sf_dir, "events")
+    v_c = F.round(F.col("value") * 100)
+    s = (
+        ev.select(
+            "event_type", (F.col("user_id") % 2).alias("arm"), v_c.alias("v_c")
+        )
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v_c").cast("long").alias("sum_c"),
+            F.sum(F.col("v_c") * F.col("v_c")).cast("long").alias("sumsq_c"),
+        )
+    )
+    a = s.where(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("sum_c").alias("sum_a"),
+        F.col("sumsq_c").alias("ssq_a"),
+    )
+    b = s.where(F.col("arm") == 1).select(
+        F.col("event_type").alias("et_b"),
+        F.col("n").alias("n_b"),
+        F.col("sum_c").alias("sum_b"),
+        F.col("sumsq_c").alias("ssq_b"),
+    )
+    j = a.join(F.broadcast(b), a.event_type == b.et_b)
+    mean_a = F.col("sum_a") / (F.col("n_a") * 100.0)
+    mean_b = F.col("sum_b") / (F.col("n_b") * 100.0)
+    var_a = (
+        F.col("ssq_a") / 10000.0 - F.col("n_a") * mean_a * mean_a
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("ssq_b") / 10000.0 - F.col("n_b") * mean_b * mean_b
+    ) / (F.col("n_b") - 1)
+    return (
+        j.select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.round(mean_a, 4).alias("mean_a"),
+            F.round(mean_b, 4).alias("mean_b"),
+            F.round(
+                (mean_a - mean_b)
+                / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+                6,
+            ).alias("t_stat"),
+        )
+        .orderBy("event_type")
+    )
