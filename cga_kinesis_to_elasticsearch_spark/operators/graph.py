@@ -27,6 +27,7 @@ __all__ = [
     "triangle_counts",
     "clustering_coefficients",
     "pagerank",
+    "pagerank_fixed",
 ]
 
 
@@ -212,6 +213,77 @@ def pagerank(
                     F.lit(1.0 - damping)
                     + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iter: int = 6,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    directed: bool = False,
+) -> DataFrame:
+    """Integer fixed-point PageRank: identical plan shape to
+    ``pagerank`` but every quantity is a scaled BIGINT and every
+    division floors, so the result is bit-exact regardless of
+    partitioning or addition order — unlike the float variant, this IS
+    hash-oracle-checkable (a SQL engine replays the same iterations
+    with integer arithmetic and gets the same longs).
+
+    rank0 = scale; per iteration
+    ``rank' = (scale*(100-damping_pct)) DIV 100
+              + (damping_pct * sum(rank_j DIV deg_j)) DIV 100``.
+    Headroom: with scale=1e12 and ranks bounded by ~|V|, terms stay
+    far below 2^63 for any graph this engine shards.
+
+    Returns ``(node, rank_fp BIGINT)``.
+    """
+    out_edges = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if not directed:
+        out_edges = out_edges.unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    out_edges = out_edges.localCheckpoint()
+    nodes = (
+        out_edges.select(F.col("src").alias("node"))
+        .unionAll(out_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        out_edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint()
+    )
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.withColumn(
+        "rank_fp", F.lit(scale).cast("long")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        contribs = (
+            out_edges.join(
+                ranks.join(deg, "node").select(
+                    F.col("node").alias("src"),
+                    F.expr("rank_fp DIV out_deg").alias("share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("in_fp"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(in_fp, 0)) DIV 100"
+                    )
+                ).cast("long").alias("rank_fp"),
             )
             .localCheckpoint()
         )

@@ -190,17 +190,62 @@ def _neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficients(edges)
 
 
-@q("neardup_pagerank", None)
+# Fixed-point PageRank oracle: the SAME power iterations the Spark
+# operator runs, unrolled as chained CTEs over the pair graph — every
+# quantity is a scaled BIGINT and every division floors, so both
+# engines produce identical longs (no float-addition-order caveat).
+_PR_SCALE = 10**12
+_PR_DAMP = 85
+_PR_ITER = 6
+_PR_BASE = (_PR_SCALE * (100 - _PR_DAMP)) // 100
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"WITH pairs AS ({_AHASH_ORACLE}),",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs),",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+        "deg AS (SELECT src AS node, count(*) AS out_deg"
+        " FROM edges GROUP BY src),",
+        f"r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank_fp"
+        " FROM nodes),",
+    ]
+    for i in range(1, _PR_ITER + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node,"
+            " SUM(r.rank_fp // d.out_deg) AS in_fp"
+            f" FROM edges e JOIN r{i - 1} r ON e.src = r.node"
+            " JOIN deg d ON e.src = d.node GROUP BY e.dst),"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST({_PR_BASE} + ({_PR_DAMP} * coalesce(c.in_fp, 0)) // 100"
+            " AS BIGINT) AS rank_fp"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, rank_fp,"
+        f" round(rank_fp / {_PR_SCALE}.0, 6) AS rank"
+        f" FROM r{_PR_ITER} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+@q("neardup_pagerank", _pagerank_oracle())
 def _neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality over the near-dup pair graph
-    (operators/graph.pagerank, 6 undirected power iterations): the
+    """PageRank centrality over the near-dup pair graph: the
     canonical-representative selection signal for dedup clusters
-    (highest-rank member = most-connected variant). Iterative float
-    fixpoint — addition order varies run to run at ~1e-9, so this is
-    rows-only; convergence and reference-equality are pinned with
-    tolerances in test_graph.py."""
+    (highest-rank member = most-connected variant). Runs
+    graph.pagerank_fixed — integer fixed-point power iteration (6
+    undirected rounds), bit-exact under any partitioning, so the
+    DuckDB oracle replays the identical iterations (unrolled CTEs) and
+    hash-matches the scaled-BIGINT ranks. The float variant
+    (graph.pagerank) remains for callers who prefer classic doubles;
+    its ~1e-9 run-to-run drift is why THIS query uses fixed-point."""
     from ..operators import multimodal as M
-    from ..operators.graph import canonical_edges, pagerank
+    from ..operators.graph import canonical_edges, pagerank_fixed
 
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = _synth_payloads(docs)
@@ -210,6 +255,11 @@ def _neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bits=_N_BYTES, n_bands=_N_BANDS, max_distance=_MAX_DIST,
     )
     edges = canonical_edges(pairs, "id_a", "id_b")
-    return pagerank(edges, n_iter=6).select(
-        "node", F.round("rank", 4).alias("rank")
+    ranks = pagerank_fixed(
+        edges, n_iter=_PR_ITER, damping_pct=_PR_DAMP, scale=_PR_SCALE
     )
+    return ranks.select(
+        "node",
+        "rank_fp",
+        F.round(F.col("rank_fp") / float(_PR_SCALE), 6).alias("rank"),
+    ).orderBy("node")

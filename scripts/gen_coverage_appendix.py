@@ -21,13 +21,18 @@ def main() -> None:
     n = len(reg)
     n_oracle = sum(1 for _, (_, sql) in reg.items() if sql is not None)
     rows_only = sorted(name for name, (_, sql) in reg.items() if sql is None)
+    if rows_only:
+        tail = (
+            f"oracles; only {', '.join('`%s`' % r for r in rows_only)} "
+            "stays rows-only."
+        )
+    else:
+        tail = "oracles; every declared query is value-hash-checked."
     lines = [
         HEADER,
         "",
         f"{n} declared queries; {n_oracle} with full DuckDB value-hash",
-        f"oracles; only {', '.join('`%s`' % r for r in rows_only)} stays "
-        "rows-only (float fixpoint —",
-        "genuinely non-SQL-expressible).",
+        tail,
         "",
         "| query | oracle | summary |",
         "|---|---|---|",

@@ -117,3 +117,56 @@ class TestPageRank:
             ranks = nxt
         for n in adj:
             assert abs(got[n] - ranks[n]) < 1e-9, n
+
+
+class TestPagerankFixed:
+    def test_matches_python_fixed_point(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import (
+            canonical_edges,
+            pagerank_fixed,
+        )
+
+        pairs = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        edges = canonical_edges(
+            spark.createDataFrame(pairs, "s long, d long"), "s", "d"
+        )
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed(edges, n_iter=6).collect()
+        }
+        SCALE, DAMP = 10**12, 85
+        base = (SCALE * (100 - DAMP)) // 100
+        adj: dict[int, list[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        ranks = {n: SCALE for n in adj}
+        for _ in range(6):
+            in_fp = {n: 0 for n in adj}
+            for n, nbrs in adj.items():
+                share = ranks[n] // len(nbrs)
+                for m in nbrs:
+                    in_fp[m] += share
+            ranks = {n: base + (DAMP * in_fp[n]) // 100 for n in adj}
+        assert got == ranks
+
+    def test_deterministic_across_runs(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import (
+            canonical_edges,
+            pagerank_fixed,
+        )
+
+        pairs = [(i, (i * 3) % 17 + 20) for i in range(1, 40)]
+        edges = canonical_edges(
+            spark.createDataFrame(pairs, "s long, d long"), "s", "d"
+        )
+        a = sorted(map(tuple, pagerank_fixed(edges, n_iter=5).collect()))
+        b = sorted(
+            map(
+                tuple,
+                pagerank_fixed(
+                    edges.repartition(7), n_iter=5
+                ).collect(),
+            )
+        )
+        assert a == b
