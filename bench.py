@@ -62,6 +62,12 @@ HEADLINE = [
     "span_dedup_stats",
     "hybrid_rrf_search",
     "source_overlap_matrix",
+    # late round-3 additions: recursive-CTE-parity closure (pointer
+    # doubling), the full window-function surface in one plan, and the
+    # data-dependent auto_date_histogram
+    "hierarchy_subtree_rollup",
+    "window_function_matrix",
+    "auto_date_histogram",
 ]
 
 

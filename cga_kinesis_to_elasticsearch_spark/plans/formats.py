@@ -266,3 +266,67 @@ def _warc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("url").alias("min_url"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet schema evolution: two writer generations (v2 adds a column),
+# one mergeSchema read. The data-lake reality at 100 TB: years of
+# files with drifting schemas must read as ONE table without a
+# rewrite. The oracle never sees the staged files — it replays the
+# evolution logically from `orders` (v1 rows lack the new column =>
+# NULL), so the hash only matches if mergeSchema unified the
+# generations losslessly.
+# ---------------------------------------------------------------------------
+
+_EVO_ORACLE = """
+WITH unified AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+           AS o_orderpriority
+  FROM orders
+)
+SELECT coalesce(o_orderpriority, '<v1>') AS priority,
+       count(*) AS n,
+       count(o_orderpriority) AS n_with_col,
+       round(sum(round(o_totalprice * 100)) / 100.0, 2) AS total_price
+FROM unified
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@q("schema_evolution_union", _EVO_ORACLE)
+def _schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round-trip: generation v1 (even order keys,
+    3 columns) and v2 (odd keys, + o_orderpriority) are written as
+    separate parquet directories, then read back in ONE pass with
+    ``mergeSchema=true`` — v1 rows surface NULL for the added column.
+    Reader-side schema merge is metadata-only (footer union), so the
+    scan stays a plain columnar read; the aggregation is one
+    map-side-combined groupBy. Totals stage through exact cents."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    root = Path(_staging(sf_dir, "evo"))
+    v1 = o.where(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    v2 = o.where(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(str(root / "gen=1"))
+    v2.write.mode("overwrite").parquet(str(root / "gen=2"))
+    unified = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(root))
+    )
+    return (
+        unified.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<v1>")).alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("o_orderpriority").alias("n_with_col"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100)) / 100.0, 2
+            ).alias("total_price"),
+        )
+        .orderBy("priority")
+    )

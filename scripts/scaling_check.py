@@ -54,6 +54,14 @@ QUERIES = [
     "geo_grid_counts",
     "snapshot_diff_classes",
     "epoch_shuffle_heads",
+    # late round-3 additions: pointer-doubling closure, full window
+    # surface, fixed-point PageRank, data-dependent histogram, narrow
+    # string extraction
+    "hierarchy_closure_depth",
+    "window_function_matrix",
+    "neardup_pagerank",
+    "auto_date_histogram",
+    "highlight_snippets",
 ]
 
 
