@@ -91,3 +91,40 @@ class TestPercolateProperty:
             if m <= toks and not (mn & toks)
         }
         assert got == want
+
+
+class TestClosureProperty:
+    @_SLOW
+    @given(
+        parents=st.lists(
+            st.integers(min_value=0, max_value=11), min_size=1, max_size=12
+        )
+    )
+    def test_matches_python_model(self, spark, parents):
+        """Random functional graphs condensed to forests: node i points
+        at parents[i] clamped to a lower id (guarantees acyclicity,
+        including self-roots), then pointer doubling must equal the
+        obvious python walk."""
+        from cga_kinesis_to_elasticsearch_spark.operators.hierarchy import (
+            closure_root_depth,
+        )
+
+        forest = {
+            i: (min(p, i - 1) if i > 0 else None)
+            for i, p in enumerate(parents)
+        }
+        rows = [(i, forest[i]) for i in forest]
+        nodes = spark.createDataFrame(rows, "id long, parent long")
+        got = {
+            r["id"]: (r["root"], r["depth"])
+            for r in closure_root_depth(nodes).collect()
+        }
+
+        def walk(i):
+            d = 0
+            while forest[i] is not None:
+                i = forest[i]
+                d += 1
+            return i, d
+
+        assert got == {i: walk(i) for i in forest}
