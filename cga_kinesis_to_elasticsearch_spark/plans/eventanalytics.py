@@ -810,3 +810,71 @@ def _ab_welch_t_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence: event_type x assignment arm. All moments
+# are exact integer counts; expected/contribution floats close with
+# one identical IEEE expression per cell, so the hash is stable.
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, user_id % 2 AS arm, count(*) AS obs
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, arm, obs,
+         sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+         sum(obs) OVER (PARTITION BY arm) AS col_tot,
+         sum(obs) OVER () AS grand
+  FROM cells
+)
+SELECT event_type, arm, obs,
+       round(row_tot * col_tot / CAST(grand AS DOUBLE), 4) AS expected,
+       round((obs - row_tot * col_tot / CAST(grand AS DOUBLE))
+             * (obs - row_tot * col_tot / CAST(grand AS DOUBLE))
+             / (row_tot * col_tot / CAST(grand AS DOUBLE)), 6) AS contrib
+FROM tot
+ORDER BY event_type, arm
+"""
+
+
+@q("chi2_type_by_arm", _CHI2_ORACLE)
+def _chi2_type_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for event_type x A/B arm: one
+    map-side-combined count over the fact scan reduces to a 10-row
+    cell frame; the marginal totals are windows over THAT frame (KB
+    of state), never a second fact pass. Expected counts and
+    contributions close with the same IEEE expression in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", (F.col("user_id") % 2).alias("arm"))
+        .groupBy("event_type", "arm")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("arm")
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "event_type",
+        "arm",
+        "obs",
+        F.sum("obs").over(w_row).alias("row_tot"),
+        F.sum("obs").over(w_col).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("grand"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("grand").cast(
+        "double"
+    )
+    return tot.select(
+        "event_type",
+        "arm",
+        "obs",
+        F.round(expected, 4).alias("expected"),
+        F.round(
+            (F.col("obs") - expected) * (F.col("obs") - expected) / expected,
+            6,
+        ).alias("contrib"),
+    ).orderBy("event_type", "arm")
