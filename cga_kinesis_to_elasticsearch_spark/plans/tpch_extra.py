@@ -796,3 +796,101 @@ def _q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (association rules): which parts ship
+# together in one order, with support / confidence / lift. The pair
+# expansion is the classic in-basket self-join — fan-out bounded by
+# basket size (<= 7 lines per TPC-H order; a production basket op caps
+# or samples giant baskets first), so the shuffle carries (order,
+# part) pairs, never a |parts|^2 product.
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+part_n AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_ab,
+       pa.n_part AS n_a, pb.n_part AS n_b,
+       round(n_ab / CAST(n_orders AS DOUBLE), 6) AS support,
+       round(n_ab / CAST(pa.n_part AS DOUBLE), 6) AS confidence,
+       round((n_ab / CAST(pa.n_part AS DOUBLE))
+             / (pb.n_part / CAST(n_orders AS DOUBLE)), 4) AS lift
+FROM pairs
+JOIN part_n pa ON pa.l_partkey = part_a
+JOIN part_n pb ON pb.l_partkey = part_b
+CROSS JOIN n_ord
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT 25
+"""
+
+
+@q("basket_association_rules", _BASKET_ORACLE)
+def _basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring part pairs with support/confidence/lift.
+    Plan: one distinct on (order, part), an in-basket self-join
+    sharing that exchange (both sides hash on l_orderkey), pair
+    counting, then two joins against the per-part counts (a parts-
+    sized frame — broadcast here, shuffle-join at dimension scale)
+    and a one-row order-count broadcast. Ratios divide exact longs,
+    so both engines emit identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_ord = items.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    part_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pa = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    pb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_ord))
+    )
+    conf = F.col("n_ab") / F.col("n_a").cast("double")
+    return (
+        out.select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab") / F.col("n_orders").cast("double"), 6
+            ).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("n_b") / F.col("n_orders").cast("double")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(25)
+    )
