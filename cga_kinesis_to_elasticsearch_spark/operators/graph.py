@@ -235,9 +235,16 @@ def pagerank_fixed(
 
     rank0 = scale; per iteration
     ``rank' = (scale*(100-damping_pct)) DIV 100
-              + (damping_pct * sum(rank_j DIV deg_j)) DIV 100``.
-    Headroom: with scale=1e12 and ranks bounded by ~|V|, terms stay
-    far below 2^63 for any graph this engine shards.
+              + floor(damping_pct * sum(rank_j DIV deg_j) / 100)``.
+    The damping product is evaluated via the exact identity
+    ``d*(q*100+r) DIV 100 == d*q + (d*r) DIV 100`` so the
+    intermediate never exceeds the rank mass itself — a high-degree
+    hub whose in-sum approaches total mass costs no extra factor of
+    ``damping_pct`` in headroom. The remaining bound is fundamental:
+    total rank mass ~ |V| * scale must fit int64, so the default
+    scale=1e12 covers graphs to ~9e6 nodes; pass scale=1e9 for
+    billion-node graphs (the oracle replay in plans/mediahash.py uses
+    the same scale constant).
 
     Returns ``(node, rank_fp BIGINT)``.
     """
@@ -280,8 +287,13 @@ def pagerank_fixed(
                 "node",
                 (
                     F.lit(base)
+                    # d*(100q + r) DIV 100 == d*q + (d*r) DIV 100 —
+                    # exact, and avoids the transient d*in_fp product
+                    # that overflows int64 on high-degree hubs
                     + F.expr(
-                        f"({damping_pct} * coalesce(in_fp, 0)) DIV 100"
+                        f"{damping_pct} * (coalesce(in_fp, 0) DIV 100)"
+                        f" + ({damping_pct} * (coalesce(in_fp, 0) % 100))"
+                        " DIV 100"
                     )
                 ).cast("long").alias("rank_fp"),
             )

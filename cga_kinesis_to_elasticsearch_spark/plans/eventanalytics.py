@@ -641,7 +641,7 @@ WITH stats AS (
 pick AS (
   SELECT t0, t1,
          CASE
-           {' '.join(f"WHEN (t1 - t0) // ({h} * 3600) + 1 <= {_ADH_TARGET} THEN {h}" for h in _ADH_LADDER_H)}
+           {' '.join(f"WHEN t1 // ({h} * 3600) - t0 // ({h} * 3600) + 1 <= {_ADH_TARGET} THEN {h}" for h in _ADH_LADDER_H)}
            ELSE {_ADH_LADDER_H[-1]}
          END AS interval_h
   FROM stats
@@ -679,7 +679,15 @@ def _auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     expr = None
     for h in _ADH_LADDER_H:
-        cond = F.expr(f"(t1 - t0) DIV ({h} * 3600)") + 1 <= _ADH_TARGET
+        # count FLOOR-ALIGNED buckets, not raw span: a span of N*h
+        # seconds can straddle N+1 aligned buckets
+        cond = (
+            F.expr(
+                f"t1 DIV ({h} * 3600) - t0 DIV ({h} * 3600)"
+            )
+            + 1
+            <= _ADH_TARGET
+        )
         expr = (
             F.when(cond, F.lit(h))
             if expr is None

@@ -170,3 +170,32 @@ class TestPagerankFixed:
             )
         )
         assert a == b
+
+    def test_high_degree_hub_no_overflow(self, spark):
+        """A 120k-leaf star: the hub's in-share sum is ~1.2e17, so the
+        naive damping product (85 * in_fp) exceeds int64 — the
+        decomposed update must survive and match the python model."""
+        from pyspark.sql import functions as F
+
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import (
+            pagerank_fixed,
+        )
+
+        n = 120_000
+        edges = spark.range(1, n + 1).select(
+            F.lit(0).cast("long").alias("a"), F.col("id").alias("b")
+        )
+        got = {
+            r["node"]: r["rank_fp"]
+            for r in pagerank_fixed(edges, n_iter=3).collect()
+        }
+        SCALE, DAMP = 10**12, 85
+        base = (SCALE * (100 - DAMP)) // 100
+        hub, leaf = SCALE, SCALE
+        for _ in range(3):
+            hub_in = n * (leaf // 1)  # every leaf has degree 1
+            leaf_in = hub // n
+            hub = base + DAMP * (hub_in // 100) + (DAMP * (hub_in % 100)) // 100
+            leaf = base + DAMP * (leaf_in // 100) + (DAMP * (leaf_in % 100)) // 100
+        assert got[0] == hub and got[0] > 0
+        assert got[1] == leaf and got[12345] == leaf
