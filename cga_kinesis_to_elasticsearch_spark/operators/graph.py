@@ -28,6 +28,7 @@ __all__ = [
     "clustering_coefficients",
     "pagerank",
     "pagerank_fixed",
+    "bfs_levels",
 ]
 
 
@@ -300,3 +301,44 @@ def pagerank_fixed(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (<= max_hops) from any
+    seed over a canonical ``a``/``b`` edge set. Returns
+    ``(node, dist LONG)`` for reached nodes only.
+
+    Scale shape: each hop is one join of the edge list against the
+    current distance table (shuffle on node id) + one min-combine;
+    the distance table is bounded by |reached nodes|. Exactly the
+    connected-components loop with min-dist instead of min-label, so
+    the same per-round ``localCheckpoint`` lineage cut applies. Hop
+    count is explicit (ES-style graph explore / "within N degrees"),
+    so the plan depth is fixed — no convergence probe needed.
+    """
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if not directed:
+        sym = sym.unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    sym = sym.localCheckpoint()
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    for _ in range(max_hops):
+        grown = (
+            sym.join(dist, sym.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = grown
+    return dist

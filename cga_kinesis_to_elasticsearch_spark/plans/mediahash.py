@@ -263,3 +263,55 @@ def _neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_fp",
         F.round(F.col("rank_fp") / float(_PR_SCALE), 6).alias("rank"),
     ).orderBy("node")
+
+
+_BFS_HOPS = 4
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        f"WITH pairs AS ({_AHASH_ORACLE}),",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs),",
+        "d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist"
+        " FROM edges WHERE src % 100 = 0),",
+    ]
+    for i in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f"d{i} AS (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i - 1}"
+            " UNION ALL "
+            f"SELECT e.dst AS node, r.dist + 1 AS dist"
+            f" FROM edges e JOIN d{i - 1} r ON e.src = r.node"
+            ") GROUP BY node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, dist FROM d{_BFS_HOPS} ORDER BY node")
+    return "\n".join(parts)
+
+
+@q("neardup_bfs_hops", _bfs_oracle())
+def _neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup pair graph: hop distance
+    (<= 4) from the doc_id % 100 == 0 seed set — the ES graph-explore
+    / 'related assets within N degrees' shape. Each hop is one compact
+    (node, dist) shuffle (graph.bfs_levels); the oracle replays the
+    identical min-distance relaxation as unrolled CTEs."""
+    from ..operators import multimodal as M
+    from ..operators.graph import bfs_levels, canonical_edges
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = _synth_payloads(docs)
+    hashed = M.average_hash(M.attach_binary(payloads, "ptxt"))
+    pairs = M.hamming_near_pairs(
+        hashed, "doc_id", "media_ahash",
+        n_bits=_N_BYTES, n_bands=_N_BANDS, max_distance=_MAX_DIST,
+    )
+    edges = canonical_edges(pairs, "id_a", "id_b")
+    seeds = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .where(F.col("node") % 100 == 0)
+        .distinct()
+    )
+    return bfs_levels(edges, seeds, max_hops=_BFS_HOPS).orderBy("node")

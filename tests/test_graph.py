@@ -199,3 +199,44 @@ class TestPagerankFixed:
             leaf = base + DAMP * (leaf_in // 100) + (DAMP * (leaf_in % 100)) // 100
         assert got[0] == hub and got[0] > 0
         assert got[1] == leaf and got[12345] == leaf
+
+
+class TestBfsLevels:
+    def test_min_distance_multi_source(self, spark):
+        from pyspark.sql import Row
+
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import (
+            bfs_levels,
+            canonical_edges,
+        )
+
+        # path 1-2-3-4-5 plus branch 3-6; seeds {1, 6}
+        pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6)]
+        edges = canonical_edges(
+            spark.createDataFrame(pairs, "s long, d long"), "s", "d"
+        )
+        seeds = spark.createDataFrame([Row(node=1), Row(node=6)])
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_levels(edges, seeds, max_hops=3).collect()
+        }
+        assert got == {1: 0, 6: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+    def test_hop_cap_limits_reach(self, spark):
+        from pyspark.sql import Row
+
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import (
+            bfs_levels,
+            canonical_edges,
+        )
+
+        pairs = [(i, i + 1) for i in range(1, 8)]
+        edges = canonical_edges(
+            spark.createDataFrame(pairs, "s long, d long"), "s", "d"
+        )
+        seeds = spark.createDataFrame([Row(node=1)])
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_levels(edges, seeds, max_hops=2).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 2}
