@@ -886,3 +886,75 @@ def _chi2_type_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("contrib"),
     ).orderBy("event_type", "arm")
+
+
+# ---------------------------------------------------------------------------
+# stats_bucket / *_bucket pipeline aggs: second-order stats over the
+# daily date_histogram buckets, per event type — ES computes these on
+# the coordinating node over the bucket list; here the bucket frame
+# (days x types, KB-sized) is the only input to the second
+# aggregation, so the fact table is scanned exactly once.
+# ---------------------------------------------------------------------------
+
+_STATS_BUCKET_ORACLE = """
+WITH buckets AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       count(*) AS n_buckets,
+       CAST(min(n) AS BIGINT) AS min_bucket,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(sum(n) AS BIGINT) AS sum_buckets,
+       round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS avg_bucket,
+       strftime(min(CASE WHEN n = mn THEN day END), '%Y-%m-%d') AS min_day,
+       strftime(min(CASE WHEN n = mx THEN day END), '%Y-%m-%d') AS max_day
+FROM (SELECT *, min(n) OVER (PARTITION BY event_type) AS mn,
+               max(n) OVER (PARTITION BY event_type) AS mx
+      FROM buckets)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@q("stats_bucket_daily", _STATS_BUCKET_ORACLE)
+def _stats_bucket_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket + min_bucket/max_bucket keys: one
+    map-side-combined count builds the (type, day) bucket frame; the
+    window + second agg run over that KB-sized frame only. The
+    argmin/argmax day uses the deterministic first-day-of-extreme
+    convention on both sides; avg divides exact longs."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    staged = buckets.select(
+        "event_type",
+        "day",
+        "n",
+        F.min("n").over(w).alias("mn"),
+        F.max("n").over(w).alias("mx"),
+    )
+    return (
+        staged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.min("n").alias("min_bucket"),
+            F.max("n").alias("max_bucket"),
+            F.sum("n").alias("sum_buckets"),
+            F.round(
+                F.sum("n").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_bucket"),
+            F.date_format(
+                F.min(F.when(F.col("n") == F.col("mn"), F.col("day"))),
+                "yyyy-MM-dd",
+            ).alias("min_day"),
+            F.date_format(
+                F.min(F.when(F.col("n") == F.col("mx"), F.col("day"))),
+                "yyyy-MM-dd",
+            ).alias("max_day"),
+        )
+        .orderBy("event_type")
+    )
