@@ -158,8 +158,11 @@ def bloom_prefilter(
         div = m ** (k_probes - 1 - j)
         b = F.col("__bloom_h")
         if div > 1:
-            # doubles are exact below 2^53, far above the 15-hex budget
-            b = F.floor(b / F.lit(float(div))).cast("long")
+            # integer floor division: exact for the whole 15-hex conv
+            # budget (a float divide would round above 2^53 — 13.25
+            # hex chars — and probe the wrong word near carry
+            # boundaries)
+            b = F.expr(f"__bloom_h DIV {div}L")
         b = b % m
         w = F.element_at(
             F.lit(probe_words), (F.floor(b / WORD_BITS) + 1).cast("int")

@@ -620,7 +620,7 @@ def _span_staged(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def _span_grams(staged: DataFrame, id_col: str, w: int) -> DataFrame:
     """(id, __p, __gh, __key) rows: one per w-token window, built
     in-row from the staged token array. __key is the global
-    first-occurrence order (id * 1e6 + position)."""
+    first-occurrence order (id * 2^31 + position)."""
     n = F.size(F.col("__toks"))
     # sequence(0, n-w) would count DOWN for short docs (Spark infers
     # step -1) — guard to an empty window list instead

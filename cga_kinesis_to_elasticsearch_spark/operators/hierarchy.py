@@ -34,8 +34,9 @@ def closure_root_depth(
     """(id, parent) forest -> (id, root, depth).
 
     ``parent`` NULL marks a root (root=id, depth=0). Every node must
-    reach a root; a cycle or dangling parent raises after ``max_iter``
-    doubling rounds (max_iter=20 covers depth ~1M).
+    reach a root; a dangling parent (no node row with that id) raises
+    up front, a cycle raises after ``max_iter`` doubling rounds
+    (max_iter=20 covers depth ~1M).
     """
     ptr = nodes.select(
         F.col(id_col).alias("id"),
@@ -45,6 +46,20 @@ def closure_root_depth(
         .cast("long")
         .alias("dist"),
     ).localCheckpoint()
+
+    # Validate referential integrity ONCE: the doubling join is inner,
+    # so a pointer at a nonexistent id would silently drop its row
+    # (and every row routed through it) instead of failing — check
+    # loudly here. One anti-join of the compact (id, ptr) frame.
+    ids = ptr.select(F.col("id").alias("t_id"))
+    n_dangling = (
+        ptr.join(ids, ptr.ptr == ids.t_id, "left_anti").count()
+    )
+    if n_dangling:
+        raise ValueError(
+            f"closure_root_depth: {n_dangling} node(s) point at a "
+            "parent id that has no node row (dangling parent)"
+        )
 
     for _ in range(max_iter):
         hop = ptr.select(

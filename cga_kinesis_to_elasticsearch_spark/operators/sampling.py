@@ -207,8 +207,11 @@ def mixture_plan(
     > 1 when it has less (the standard LLM-recipe oversampling of
     short high-value sources).
 
-    Returns one row per source in ``weights``:
-    ``(source, available_tokens, target_share, allotted_tokens,
+    Returns one row per source in ``weights`` — including sources the
+    corpus does not contain (or whose texts total zero tokens), which
+    get ``available_tokens=0, keep_fraction=0.0, epochs=1.0`` so the
+    recipe consumer SEES the shortfall instead of silently losing the
+    source: ``(source, available_tokens, target_share, allotted_tokens,
     keep_fraction, epochs)`` — ``keep_fraction`` = min(1, allotted /
     available) and ``epochs`` = max(1, allotted / available), both
     rounded to 9 decimals; ``allotted_tokens`` = floor(budget * share).
@@ -232,22 +235,35 @@ def mixture_plan(
     counts = (
         df.filter(F.col(source_col).isin(*weights))
         .groupBy(source_col)
-        .agg(F.sum(toks).alias("available_tokens"))
+        .agg(F.sum(toks).alias("__avail"))
+        .withColumnRenamed(source_col, "source")
     )
-    share: Column = F.lit(None).cast("double")
-    for s, w in sorted(weights.items()):
-        share = F.when(F.col(source_col) == s, F.lit(w / total_w)).otherwise(
-            share
-        )
-    allotted = F.floor(F.lit(float(token_budget)) * share).cast("long")
-    ratio = allotted / F.col("available_tokens")
-    return counts.select(
-        F.col(source_col).alias("source"),
-        F.col("available_tokens").cast("long").alias("available_tokens"),
-        F.round(share, 9).alias("target_share"),
+    # the weights ARE the row set: a weighted source missing from the
+    # corpus must still appear (available_tokens=0) — left join the
+    # sources-sized counts onto the literal weight table
+    srcs = df.sparkSession.createDataFrame(
+        [(s, w / total_w) for s, w in sorted(weights.items())],
+        schema="source string, __share double",
+    )
+    joined = srcs.join(F.broadcast(counts), "source", "left")
+    avail = F.coalesce(F.col("__avail").cast("long"), F.lit(0))
+    allotted = F.floor(F.lit(float(token_budget)) * F.col("__share")).cast(
+        "long"
+    )
+    # avail == 0 would divide to NULL: there is nothing to keep and
+    # nothing to repeat, so the defined answer is (0.0, 1.0)
+    ratio = allotted / avail
+    return joined.select(
+        F.col("source"),
+        avail.alias("available_tokens"),
+        F.round(F.col("__share"), 9).alias("target_share"),
         allotted.alias("allotted_tokens"),
-        F.round(F.least(F.lit(1.0), ratio), 9).alias("keep_fraction"),
-        F.round(F.greatest(F.lit(1.0), ratio), 9).alias("epochs"),
+        F.when(avail > 0, F.round(F.least(F.lit(1.0), ratio), 9))
+        .otherwise(F.lit(0.0))
+        .alias("keep_fraction"),
+        F.when(avail > 0, F.round(F.greatest(F.lit(1.0), ratio), 9))
+        .otherwise(F.lit(1.0))
+        .alias("epochs"),
     )
 
 

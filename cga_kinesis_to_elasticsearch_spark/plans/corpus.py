@@ -542,32 +542,40 @@ def _shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fractions and oversampling epochs from one corpus aggregation.
 # ---------------------------------------------------------------------------
 
-_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+# srcX is deliberately absent from the corpus: the plan must still
+# emit its row (available_tokens=0, keep_fraction=0, epochs=1) so the
+# recipe consumer sees the shortfall instead of silently losing it
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "srcX": 0.1}
 _MIX_BUDGET = 3000
 
 
 def _mixture_oracle() -> str:
     total = sum(_MIX_WEIGHTS.values())
     in_list = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
-    share_case = " ".join(
-        f"WHEN '{s}' THEN {w / total!r}"
-        for s, w in sorted(_MIX_WEIGHTS.items())
+    values = ", ".join(
+        f"('{s}', {w / total!r})" for s, w in sorted(_MIX_WEIGHTS.items())
     )
     b = float(_MIX_BUDGET)
     return f"""
-WITH c AS (
+WITH w(source, share) AS (VALUES {values}),
+c AS (
   SELECT source,
          sum(len(list_filter(string_split_regex(text, '\\s+'),
                              x -> x <> ''))) AS avail
   FROM documents WHERE source IN ({in_list}) GROUP BY source),
-s AS (SELECT *, CASE source {share_case} END AS share FROM c)
+j AS (SELECT w.source, w.share, coalesce(c.avail, 0) AS avail
+      FROM w LEFT JOIN c USING (source))
 SELECT source,
        CAST(avail AS BIGINT) AS available_tokens,
        round(share, 9) AS target_share,
        CAST(floor({b!r} * share) AS BIGINT) AS allotted_tokens,
-       round(least(1.0, floor({b!r} * share) / avail), 9) AS keep_fraction,
-       round(greatest(1.0, floor({b!r} * share) / avail), 9) AS epochs
-FROM s
+       CASE WHEN avail > 0
+            THEN round(least(1.0, floor({b!r} * share) / avail), 9)
+            ELSE CAST(0.0 AS DOUBLE) END AS keep_fraction,
+       CASE WHEN avail > 0
+            THEN round(greatest(1.0, floor({b!r} * share) / avail), 9)
+            ELSE CAST(1.0 AS DOUBLE) END AS epochs
+FROM j
 """
 
 

@@ -7,7 +7,7 @@ maintained-dedup-state family (``dedupindex`` = exact doc level,
 ``neardupindex`` = near-dup doc level, this = substring level).
 
 Replay safety under at-least-once delivery comes from storing the
-FIRST-SEEN key ``(id * 1e6 + position)`` with each gram hash: on a
+FIRST-SEEN key ``(id * 2^31 + position)`` with each gram hash: on a
 replayed batch, every gram the batch originally registered resolves
 to its OWN key, so it is not a "duplicate of itself" and the rewrite
 output is bit-identical to the original run — appends suffice, no

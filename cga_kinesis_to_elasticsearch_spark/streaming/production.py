@@ -41,7 +41,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import EngineConfig
-from ..sinks.bulk import DEFAULT_MAPPING, to_bulk_actions
+from ..sinks.bulk import DEFAULT_MAPPING
 from ..sources.protowire import decode_protobuf_records
 from .job import StreamMetrics, run_stream
 
@@ -84,8 +84,9 @@ class EsHadoopSink:
     drop_expired), executed against a live Elasticsearch cluster.
 
     - ``write`` sends each micro-batch through the es-hadoop connector
-      with the dynamic-resource pattern ``{es_index}/_doc`` — one write
-      job fans out to every index the batch touches, exactly like the
+      as pre-rendered JSON rows (one string column, ``es.input.json``)
+      with the dynamic-resource pattern ``{es_index}`` — one write job
+      fans out to every index the batch touches, exactly like the
       parquet sink's partitioned append;
     - ``ensure_indices`` PUTs DEFAULT_MAPPING once per first-seen index
       (main.go:292-329), memoized like the reference's ``a.indices``;
@@ -112,9 +113,14 @@ class EsHadoopSink:
     # -- option maps (asserted by tests, consumed on a real cluster) ---
     def write_options(self) -> dict[str, str]:
         opts = dict(self.cfg.es_connector_options())
-        opts["es.resource.write"] = "{_index}/_doc"
-        opts["es.mapping.id"] = "_id"
-        # the bulk body is pre-serialized JSON (to_bulk_actions)
+        # es.input.json requires a SINGLE string column per row; the
+        # connector extracts the {pattern} and es.mapping.id fields
+        # FROM that JSON document, so write() embeds es_index/doc_id
+        # in the doc (they stay in _source, like the reference's
+        # @cf.* routing metadata does — es.mapping.exclude is not
+        # honored for pre-rendered JSON input).
+        opts["es.resource.write"] = "{es_index}"
+        opts["es.mapping.id"] = "doc_id"
         opts["es.input.json"] = "true"
         return opts
 
@@ -139,10 +145,18 @@ class EsHadoopSink:
 
     # -- K1: bulk write ------------------------------------------------
     def write(self, docs: DataFrame) -> None:
-        actions = to_bulk_actions(docs)
+        # one JSON column per row, with the routing fields embedded so
+        # the connector can resolve {es_index} and es.mapping.id —
+        # docs already carries es_index/doc_id (pipeline output), so
+        # the whole row serializes as the document
+        payload = docs.select(
+            F.to_json(
+                F.struct(*[F.col(f"`{c}`") for c in docs.columns]),
+                {"ignoreNullFields": "true"},
+            ).alias("doc")
+        )
         (
-            actions.selectExpr("_index", "_id", "_source")
-            .write.format("org.elasticsearch.spark.sql")
+            payload.write.format("org.elasticsearch.spark.sql")
             .options(**self.write_options())
             .mode("append")
             .save()
@@ -155,18 +169,26 @@ class EsHadoopSink:
 
     # -- P4: retention (main.go:216-254) -------------------------------
     def drop_expired(self, days_to_keep: int, today=None) -> list[str]:
-        import datetime
+        """Delete indices the reference rule would drop: keep .kibana
+        and names with a VALID date suffix >= cutoff; drop old dates
+        AND undated names — the same predicate as
+        operators/retention.retention_keep (main.go:227-239), not a
+        bare string compare on the last 10 chars."""
+        import re as _re
 
-        today = today or datetime.date.today()
-        cutoff = (today - datetime.timedelta(days=days_to_keep)).isoformat()
+        from ..operators.retention import DATE_SUFFIX_RE, cutoff_date_str
+
+        cutoff = cutoff_date_str(days_to_keep, today)
         listing = json.loads(
             self._http("GET", "/_cat/indices?format=json").read()
         )
         dropped = []
         for row in listing:
             name = row["index"] if isinstance(row, dict) else row
-            date = name[-10:]
-            if len(name) > 10 and date < cutoff:
+            suffix = name[-10:]
+            has_date = len(name) >= 10 and _re.match(DATE_SUFFIX_RE, suffix)
+            keep = name == ".kibana" or (has_date and suffix >= cutoff)
+            if not keep:
                 self._http("DELETE", f"/{name}")
                 self._ensured.discard(name)
                 dropped.append(name)
@@ -244,8 +266,14 @@ def run_production_stream(
     if startup_retention:
         try:
             sink.drop_expired(cfg.days_to_keep)
-        except Exception:
-            pass  # same posture as the daily loop: log-and-continue
+        except Exception as exc:  # log-and-continue (main.go:165-167)
+            import sys
+
+            print(
+                f"startup retention sweep failed (continuing): "
+                f"{type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
 
     query, m = run_stream(
         spark, raw_stream, dim_provider, sink, sc, metrics=metrics

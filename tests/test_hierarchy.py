@@ -55,3 +55,8 @@ class TestClosureRootDepth:
             (1, 1, 0),
             (2, 2, 0),
         }
+
+    def test_dangling_parent_raises(self, spark):
+        nodes = _forest(spark, [(1, None), (2, 99)])
+        with pytest.raises(ValueError, match="dangling parent"):
+            closure_root_depth(nodes)

@@ -93,8 +93,8 @@ class TestAssembledOptionMaps:
         assert cfg.es_use_sigv4 and cfg.es_scheme == "https"
         opts = EsHadoopSink(cfg).write_options()
         assert opts["es.nodes"] == cfg.es_url
-        assert opts["es.resource.write"] == "{_index}/_doc"
-        assert opts["es.mapping.id"] == "_id"
+        assert opts["es.resource.write"] == "{es_index}"
+        assert opts["es.mapping.id"] == "doc_id"
         assert opts["es.input.json"] == "true"
         assert opts["es.net.http.auth.user"] == "AKIATEST"
 
@@ -125,16 +125,26 @@ class TestEsHadoopSinkHttp:
             cat_indices=[
                 "gorouter-2024-01-01",
                 "gorouter-2024-01-05",
-                ".kibana",  # no date suffix: untouched (main.go:243)
+                ".kibana",  # kept by name (main.go:227)
+                "stray-index",  # undated: dropped (main.go:232-239)
+                "app-1.2.3-blue",  # last-10 not a date: dropped too
             ]
         )
         sink = EsHadoopSink(_cfg(es_url="es.internal:9200"), opener=opener)
         dropped = sink.drop_expired(
             days_to_keep=3, today=dt.date(2024, 1, 6)
         )
-        assert dropped == ["gorouter-2024-01-01"]
+        assert dropped == [
+            "gorouter-2024-01-01",
+            "stray-index",
+            "app-1.2.3-blue",
+        ]
         deletes = [u for m, u, _ in opener.calls if m == "DELETE"]
-        assert deletes == ["http://es.internal:9200/gorouter-2024-01-01"]
+        assert deletes == [
+            "http://es.internal:9200/gorouter-2024-01-01",
+            "http://es.internal:9200/stray-index",
+            "http://es.internal:9200/app-1.2.3-blue",
+        ]
 
 
 class TestProductionWiring:

@@ -126,6 +126,30 @@ class TestMixturePlan:
         # code is short: keep everything, repeat 2x
         assert code.keep_fraction == 1.0 and code.epochs == pytest.approx(2.0)
 
+    def test_absent_and_empty_sources_still_get_rows(self, spark):
+        # "code" weighted but absent from corpus; "blank" present but
+        # zero tokens — both must appear with defined (0.0, 1.0) knobs
+        df = spark.createDataFrame(
+            [(1, "a b c d", "web"), (2, "   ", "blank")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r.source: r
+            for r in SM.mixture_plan(
+                df, "text", "source",
+                {"web": 0.5, "code": 0.3, "blank": 0.2}, 100,
+            ).collect()
+        }
+        assert set(out) == {"web", "code", "blank"}
+        assert out["code"].available_tokens == 0
+        assert out["code"].allotted_tokens == 30
+        assert out["code"].keep_fraction == 0.0
+        assert out["code"].epochs == 1.0
+        assert out["blank"].available_tokens == 0
+        assert out["blank"].keep_fraction == 0.0
+        assert out["blank"].epochs == 1.0
+        assert out["web"].available_tokens == 4
+
     def test_validates_inputs(self, spark):
         df = spark.createDataFrame([(0, "x", "a")], "doc_id long, text string, source string")
         with pytest.raises(ValueError, match="token_budget"):
