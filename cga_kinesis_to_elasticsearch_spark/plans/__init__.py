@@ -34,6 +34,7 @@ _MODULES = (
     "geo",
     "privacy",
     "hierarchy_query",
+    "esstats",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

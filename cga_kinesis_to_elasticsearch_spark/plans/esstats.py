@@ -1,0 +1,251 @@
+"""ES statistics/query parity: ``matrix_stats`` (the covariance/
+correlation matrix aggregation), ``percentile_ranks`` (inverse of the
+percentiles agg), and ``span_near`` proximity search — three surfaces
+of the Elasticsearch analytics API the reference's users query daily
+that were not yet mapped (significant_terms / rare_terms /
+auto_date_histogram / highlight etc. live in their own modules).
+
+Float discipline (see BASELINE oracle notes): every statistic is
+closed from INTEGER sums (quantity is a whole number; discount/tax
+are exact cents), so the only floating-point work is one identical
+IEEE expression evaluated on both engines and rounded to 9 decimals —
+no float sums, no order sensitivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .declared import _t, q
+
+# ---------------------------------------------------------------------------
+# matrix_stats: per-group covariance/correlation matrix over
+# (l_quantity, l_discount) — ES's matrix_stats aggregation
+# (count/mean/variance/covariance/correlation per field pair).
+# ---------------------------------------------------------------------------
+
+_MATRIX_ORACLE = """
+WITH staged AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM staged GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       round(sx / n, 9) AS mean_qty,
+       round(sy / n, 9) AS mean_disc_c,
+       round((n * sxx - sx * sx) / (n * (n - 1)), 9) AS var_qty,
+       round((n * syy - sy * sy) / (n * (n - 1)), 9) AS var_disc_c,
+       round((n * sxy - sx * sy) / (n * (n - 1)), 9) AS cov_qd,
+       round((n * sxy - sx * sy) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr_qd
+FROM sums
+"""
+
+
+@q("matrix_stats_lineitem", _MATRIX_ORACLE)
+def _matrix_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats parity: count/mean/variance/covariance/
+    correlation of (quantity, discount-cents) per return flag.
+
+    Scale shape: ONE partial-aggregated shuffle of 6 int64 sums per
+    group (3 groups) — the moments close in the reducer, so the fact
+    table is scanned once and never re-shuffled; all arithmetic stays
+    in whole-stage codegen. Correlation is closed as
+    sqrt(vx)*sqrt(vy) so the radicand stays within int64 at any SF
+    (the product vx*vy would overflow at sf>=1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 100, 0).cast("long")
+    sums = (
+        li.select(
+            F.col("l_returnflag"), x.alias("x"), y.alias("y")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cxy = n * sxy - sx * sy
+    denom = n * (n - F.lit(1))
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 9).alias("mean_qty"),
+        F.round(sy / n, 9).alias("mean_disc_c"),
+        F.round(vx / denom, 9).alias("var_qty"),
+        F.round(vy / denom, 9).alias("var_disc_c"),
+        F.round(cxy / denom, 9).alias("cov_qd"),
+        F.round(
+            cxy / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 9
+        ).alias("corr_qd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentile_ranks: per event type, the percent of values <= each
+# given threshold — the inverse of the percentiles aggregation
+# (value_percentiles_by_type covers the forward direction).
+# ---------------------------------------------------------------------------
+
+_RANK_THRESHOLDS = (10.0, 100.0, 500.0)
+
+_RANKS_ORACLE = f"""
+WITH sums AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CASE WHEN value <= {_RANK_THRESHOLDS[0]!r} THEN 1 ELSE 0 END)
+              AS BIGINT) AS c0,
+         CAST(sum(CASE WHEN value <= {_RANK_THRESHOLDS[1]!r} THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN value <= {_RANK_THRESHOLDS[2]!r} THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(100 * c0 / n, 9) AS pct_le_10,
+       round(100 * c1 / n, 9) AS pct_le_100,
+       round(100 * c2 / n, 9) AS pct_le_500
+FROM sums
+"""
+
+
+@q("percentile_ranks_by_type", _RANKS_ORACLE)
+def _percentile_ranks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks parity: percent of event values at or
+    below each fixed threshold, per event type.
+
+    Scale shape: the threshold comparisons fold into the ONE partial
+    aggregation (3 int64 counters per group) — exact answers with the
+    same cost envelope as a plain count, no sort and no full-data
+    percentile pass."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(
+            F.when(F.col("value") <= F.lit(t), F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"c{i}")
+        for i, t in enumerate(_RANK_THRESHOLDS)
+    ]
+    sums = ev.groupBy("event_type").agg(*aggs)
+    n = F.col("n")
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(F.lit(100) * F.col("c0") / n, 9).alias("pct_le_10"),
+        F.round(F.lit(100) * F.col("c1") / n, 9).alias("pct_le_100"),
+        F.round(F.lit(100) * F.col("c2") / n, 9).alias("pct_le_500"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# span_near proximity search: documents where two terms co-occur
+# within a position slop (ES span_near / match_phrase with slop,
+# beyond the exact-adjacency phrase_search_count in searchindex.py).
+# ---------------------------------------------------------------------------
+
+_PROX_A = "scan"
+_PROX_B = "merge"
+_PROX_SLOP = 3
+
+# DuckDB list lambdas index from 1; Spark transform() from 0 — both
+# sides stage 1-based positions so the pairwise gaps are identical.
+_PROX_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         list_filter(list_transform(toks,
+             (t, i) -> CASE WHEN t = '{_PROX_A}' THEN i ELSE -1 END),
+             v -> v >= 0) AS pa,
+         list_filter(list_transform(toks,
+             (t, i) -> CASE WHEN t = '{_PROX_B}' THEN i ELSE -1 END),
+             v -> v >= 0) AS pb
+  FROM staged
+),
+gaps AS (
+  SELECT doc_id,
+         list_min(flatten(list_transform(pa,
+             x -> list_transform(pb, y -> abs(x - y))))) AS min_gap
+  FROM pos
+)
+SELECT doc_id, CAST(min_gap AS BIGINT) AS min_gap
+FROM gaps WHERE min_gap <= {_PROX_SLOP}
+"""
+
+
+@q("proximity_search_docs", _PROX_ORACLE)
+def _proximity_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_near proximity search: docs where '{a}' and '{b}' occur
+    within {slop} token positions, with the minimum observed gap.
+
+    Scale shape: entirely in-row higher-order functions over the
+    token array (positions extracted per term, pairwise |gap| min) —
+    zero shuffles, zero Python; the candidate pair expansion is
+    bounded by per-doc term frequency, not corpus size. At index
+    scale the same gap test runs over the positional postings of
+    sinks/textindex.py instead of raw text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(
+                F.col("toks"),
+                lambda t, i: F.when(t == term, i + 1).otherwise(F.lit(-1)),
+            ),
+            lambda v: v >= 0,
+        )
+
+    gaps = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            positions(_PROX_A).alias("pa"),
+            positions(_PROX_B).alias("pb"),
+        )
+        .select(
+            "doc_id",
+            F.array_min(
+                F.flatten(
+                    F.transform(
+                        F.col("pa"),
+                        lambda x: F.transform(
+                            F.col("pb"), lambda y: F.abs(x - y)
+                        ),
+                    )
+                )
+            ).alias("min_gap"),
+        )
+    )
+    return gaps.filter(F.col("min_gap") <= _PROX_SLOP).select(
+        "doc_id", F.col("min_gap").cast("long").alias("min_gap")
+    )
+
+
+_proximity_search_docs.__doc__ = _proximity_search_docs.__doc__.format(
+    a=_PROX_A, b=_PROX_B, slop=_PROX_SLOP
+)

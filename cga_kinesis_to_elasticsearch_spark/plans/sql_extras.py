@@ -974,3 +974,81 @@ def _window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: both fact tables written bucketed on the
+# join key, then joined WITHOUT any exchange — the physical pattern
+# that turns the biggest shuffle in a 100 TB pipeline into a local
+# merge (tests/test_bucketed.py pins the exchange-free plan).
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+_N_BUCKETS = 8
+
+
+def build_bucketed_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Write orders+lineitem bucketed by the join key into external
+    tables (idempotent per sf_dir; re-running overwrites). Returns
+    the two table names. At 100 TB this is the one-off layout job
+    that every later join amortizes."""
+    import re
+    import tempfile
+    from pathlib import Path
+
+    sf = re.sub(r"\W", "_", Path(sf_dir).name) or "root"
+    root = Path(tempfile.gettempdir()) / "spark_graft_bucketed" / sf
+    t_ord, t_li = f"sg_ord_bkt_{sf}", f"sg_li_bkt_{sf}"
+    ord_df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li_df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    for name, df, key in (
+        (t_ord, ord_df, "o_orderkey"),
+        (t_li, li_df, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .bucketBy(_N_BUCKETS, key)
+            .sortBy(key)
+            .option("path", str(root / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return t_ord, t_li
+
+
+@q("bucketed_orders_join", _BUCKETED_ORACLE)
+def _bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders JOIN lineitem per-status rollup over tables bucketed on
+    the join key: the sort-merge join consumes the bucketing, so the
+    plan has NO exchange below the final 3-row aggregation.
+
+    Scale shape: this is the bucketing recipe from the 100 TB design
+    notes made executable — pre-partitioned layout + merge hint =
+    shuffle-free fact-to-fact join; only the partial-agg output (one
+    row per status per task) moves. The write itself is the one-off
+    cost a real deployment pays at ingest."""
+    t_ord, t_li = build_bucketed_tables(spark, sf_dir)
+    o = spark.table(t_ord).hint("merge")
+    li = spark.table(t_li)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+        )
+    )
