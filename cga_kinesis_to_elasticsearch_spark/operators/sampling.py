@@ -30,6 +30,7 @@ __all__ = [
     "negative_samples",
     "temperature_mix",
     "mixture_plan",
+    "apply_mixture",
     "per_key_cap",
     "group_split",
 ]
@@ -264,6 +265,61 @@ def mixture_plan(
         F.when(avail > 0, F.round(F.greatest(F.lit(1.0), ratio), 9))
         .otherwise(F.lit(1.0))
         .alias("epochs"),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    seed: str = "mixapply0",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan` into the actual training mix:
+    each document of a weighted source is kept with its plan's
+    ``keep_fraction`` (deterministic md5 threshold on the id) and
+    replicated ``epochs`` times — ``floor(epochs)`` whole copies plus
+    one more with probability ``frac(epochs)`` (an independent salted
+    hash), so the realized token mass converges on the plan's
+    allotment. Emits one row per copy: ``(id, source, copy)`` with
+    ``copy`` in 1..n_rep. Sources outside ``weights`` are dropped
+    (they are not part of the recipe).
+
+    Scale shape: the plan is a weights-sized frame broadcast onto the
+    corpus (one extra corpus aggregation pass to size it — the layout
+    job a real run amortizes); keep/replicate are narrow md5
+    predicates + an explode bounded by ceil(epochs), so nothing
+    shuffles and every decision replays bit-identically on any
+    executor, retry, or the DuckDB oracle.
+    """
+    plan = mixture_plan(df, text_col, source_col, weights, token_budget)
+    joined = df.select(F.col(id_col), F.col(source_col)).join(
+        F.broadcast(plan.withColumnRenamed("source", source_col)),
+        source_col,
+    )
+    kept = sample_key(F.col(id_col), seed) < _hex_threshold_col(
+        F.col("keep_fraction")
+    )
+    whole = F.floor(F.col("epochs")).cast("long")
+    extra = sample_key(F.col(id_col), f"{seed}r") < _hex_threshold_col(
+        F.col("epochs") - F.floor(F.col("epochs"))
+    )
+    n_rep = F.when(
+        kept, whole + F.when(extra, F.lit(1)).otherwise(F.lit(0))
+    ).otherwise(F.lit(0).cast("long"))
+    staged = joined.select(
+        F.col(id_col), F.col(source_col), n_rep.alias("__n_rep")
+    )
+    # sequence(1, 0) would count down — explode of an empty array
+    # drops the row, which is exactly the n_rep=0 semantics
+    copies = F.when(
+        F.col("__n_rep") >= 1,
+        F.sequence(F.lit(1).cast("long"), F.col("__n_rep")),
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.select(
+        id_col, source_col, F.explode(copies).alias("copy")
     )
 
 

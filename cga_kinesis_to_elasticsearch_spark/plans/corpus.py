@@ -594,6 +594,84 @@ def _mixture_plan_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIXAPPLY_SEED = "mixapply0"
+
+
+def _mixture_apply_oracle() -> str:
+    """Replay apply_mixture: the plan CTE (same arithmetic as the
+    mixture oracle), then the per-doc md5 keep threshold, epochs
+    replication and generate_series fan-out."""
+    total = sum(_MIX_WEIGHTS.values())
+    in_list = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
+    values = ", ".join(
+        f"('{s}', {w / total!r})" for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    b = float(_MIX_BUDGET)
+    thr = (
+        "CASE WHEN {p} >= 1.0 THEN 'gggggggg' "
+        "ELSE lpad(lower(hex(CAST(floor(round({p}, 9) * 4294967296.0) "
+        "AS BIGINT))), 8, '0') END"
+    )
+    return f"""
+WITH w(source, share) AS (VALUES {values}),
+c AS (
+  SELECT source,
+         sum(len(list_filter(string_split_regex(text, '\\s+'),
+                             x -> x <> ''))) AS avail
+  FROM documents WHERE source IN ({in_list}) GROUP BY source),
+j AS (SELECT w.source, w.share, coalesce(c.avail, 0) AS avail
+      FROM w LEFT JOIN c USING (source)),
+plan AS (
+  SELECT source,
+         CASE WHEN avail > 0
+              THEN round(least(1.0, floor({b!r} * share) / avail), 9)
+              ELSE CAST(0.0 AS DOUBLE) END AS keep_fraction,
+         CASE WHEN avail > 0
+              THEN round(greatest(1.0, floor({b!r} * share) / avail), 9)
+              ELSE CAST(1.0 AS DOUBLE) END AS epochs
+  FROM j),
+k AS (
+  SELECT d.doc_id, d.source,
+         substring(md5('{_MIXAPPLY_SEED}:' || CAST(d.doc_id AS VARCHAR)),
+                   1, 8) < {thr.format(p='p.keep_fraction')} AS kept,
+         CAST(floor(p.epochs) AS BIGINT) AS whole,
+         substring(md5('{_MIXAPPLY_SEED}r:' || CAST(d.doc_id AS VARCHAR)),
+                   1, 8) <
+           {thr.format(p='(p.epochs - floor(p.epochs))')} AS extra
+  FROM documents d JOIN plan p ON d.source = p.source),
+n AS (
+  SELECT doc_id, source,
+         CASE WHEN kept
+              THEN whole + CASE WHEN extra THEN 1 ELSE 0 END
+              ELSE 0 END AS n_rep
+  FROM k)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, n_rep)) AS BIGINT) AS copy
+FROM n
+"""
+
+
+@q("mixture_apply_docs", _mixture_apply_oracle())
+def _mixture_apply_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized mixture (sampling.apply_mixture): the plan's
+    keep_fraction/epochs realized per document — deterministic md5
+    keep decision, floor(epochs) whole copies plus a hash-gated
+    fractional copy, one output row per copy. Narrow broadcast join +
+    explode; every decision replays bit-identically on the oracle."""
+    from ..operators.sampling import apply_mixture
+
+    docs = _tp(spark, sf_dir, "documents")
+    return apply_mixture(
+        docs,
+        "doc_id",
+        "text",
+        "source",
+        _MIX_WEIGHTS,
+        token_budget=_MIX_BUDGET,
+        seed=_MIXAPPLY_SEED,
+    )
+
+
 # ---------------------------------------------------------------------------
 # ES significant_terms aggregation (text.significant_terms): terms
 # overrepresented in a foreground doc set vs the corpus, JLH-scored —

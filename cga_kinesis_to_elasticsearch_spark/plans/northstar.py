@@ -853,6 +853,63 @@ def _text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(docs, "text", "doc_id")
 
 
+_DUPN = 5
+
+@q(
+    "dup_ngram_char_frac",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= {_DUPN}
+                  THEN list_transform(
+                         generate_series(1, len(toks) - {_DUPN - 1}),
+                         s -> array_to_string(toks[s : s + {_DUPN - 1}],
+                                              ' '))
+                  ELSE [] END AS grams
+      FROM t),
+    f AS (
+      SELECT doc_id, toks,
+             list_transform(grams,
+               x -> len(list_filter(grams, h -> h = x)) >= 2) AS dup
+      FROM g),
+    c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(dup) >= 1
+                  THEN list_transform(generate_series(1, len(toks)),
+                         p -> len(list_filter(
+                                generate_series(greatest(1, p - {_DUPN - 1}),
+                                                least(p, len(dup))),
+                                s -> dup[s])) > 0)
+                  ELSE list_transform(toks, t -> false) END AS covered
+      FROM f),
+    s AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(
+                    generate_series(1, len(toks)),
+                    p -> CASE WHEN covered[p] THEN length(toks[p])
+                              ELSE 0 END)), 0) AS BIGINT) AS cov_chars,
+             CAST(coalesce(list_sum(list_transform(toks,
+                    t -> length(t))), 0) AS BIGINT) AS tot_chars
+      FROM c)
+    SELECT doc_id, cov_chars, tot_chars,
+           CASE WHEN tot_chars > 0
+                THEN round(cov_chars / tot_chars, 4)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_ngram_char_frac
+    FROM s
+    """,
+)
+def _dup_ngram_char_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/Gopher duplicated-5-gram character fraction: the share
+    of each document's characters inside a word 5-gram that occurs
+    at least twice in the document (text.dup_ngram_coverage) — the
+    long-verbatim-repeat signal the token/bigram ratios miss."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.dup_ngram_coverage(docs, "text", "doc_id", n=_DUPN)
+
+
 _CHUNK = 64
 
 

@@ -203,3 +203,87 @@ class TestGroupSplit:
         docs = load_table(spark, sf_dir, "documents")
         with pytest.raises(ValueError, match="sum to 1"):
             group_split(docs, "source", {"train": 0.5, "test": 0.4})
+
+
+class TestDupNgramCoverage:
+    def _run(self, spark, rows, n=3):
+        from cga_kinesis_to_elasticsearch_spark.operators.text import (
+            dup_ngram_coverage,
+        )
+
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: r
+            for r in dup_ngram_coverage(docs, "text", "doc_id", n=n).collect()
+        }
+
+    def test_repeated_trigram_coverage(self, spark):
+        # 'a b c' repeats at positions 1-3 and 4-6; x y uncovered
+        out = self._run(spark, [(1, "a b c a b c x y")], n=3)
+        assert out[1]["cov_chars"] == 6
+        assert out[1]["tot_chars"] == 8
+        assert out[1]["dup_ngram_char_frac"] == 0.75
+
+    def test_no_repeats_is_zero(self, spark):
+        out = self._run(spark, [(1, "all tokens here are unique words")])
+        assert out[1]["cov_chars"] == 0
+        assert out[1]["dup_ngram_char_frac"] == 0.0
+
+    def test_doc_shorter_than_n(self, spark):
+        out = self._run(spark, [(1, "two words")], n=5)
+        assert out[1]["cov_chars"] == 0
+        assert out[1]["tot_chars"] == 8
+        assert out[1]["dup_ngram_char_frac"] == 0.0
+
+    def test_full_repeat_covers_everything(self, spark):
+        out = self._run(spark, [(1, "spam ham " * 10)], n=3)
+        assert out[1]["cov_chars"] == out[1]["tot_chars"]
+        assert out[1]["dup_ngram_char_frac"] == 1.0
+
+
+class TestApplyMixture:
+    def test_epochs_replicate_and_keep_fraction_prunes(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
+            apply_mixture,
+            mixture_plan,
+        )
+
+        # 'web': 40 tokens, 'code': 4 tokens; budget 40 with equal
+        # shares -> web keep_fraction=0.5, code epochs=5.0
+        rows = [(i, "w1 w2 w3 w4", "web") for i in range(10)]
+        rows.append((100, "c1 c2 c3 c4", "code"))
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        weights = {"web": 0.5, "code": 0.5}
+        plan = {
+            r.source: r
+            for r in mixture_plan(docs, "text", "source", weights, 40).collect()
+        }
+        assert plan["web"].keep_fraction == 0.5
+        assert plan["code"].epochs == 5.0
+        out = apply_mixture(
+            docs, "doc_id", "text", "source", weights, 40, seed="t0"
+        ).collect()
+        by_id = {}
+        for r in out:
+            by_id.setdefault(r.doc_id, []).append(r.copy)
+        # code doc: exactly floor(5.0)=5 copies, numbered 1..5
+        assert sorted(by_id[100]) == [1, 2, 3, 4, 5]
+        # web docs: kept subset has exactly one copy each; roughly half
+        kept_web = [i for i in by_id if i != 100]
+        assert all(by_id[i] == [1] for i in kept_web)
+        assert 1 <= len(kept_web) <= 9  # hash-dependent but not all/none
+
+    def test_unweighted_source_dropped_and_deterministic(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.sampling import (
+            apply_mixture,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b", "web"), (2, "c d", "other")],
+            ["doc_id", "text", "source"],
+        )
+        args = (docs, "doc_id", "text", "source", {"web": 1.0}, 100)
+        a = sorted(tuple(r) for r in apply_mixture(*args).collect())
+        b = sorted(tuple(r) for r in apply_mixture(*args).collect())
+        assert a == b
+        assert all(r[1] == "web" for r in a)
