@@ -18,9 +18,70 @@ reproduce intermediate states if ever needed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["salted_agg", "salted_join"]
+__all__ = ["salted_agg", "salted_join", "key_skew_report"]
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """One-row skew diagnostic for a grouping/join key — the numbers
+    that decide whether :func:`salted_agg` / AQE skew handling is
+    needed: key cardinality, max and mean rows per key, the row share
+    of the ``top_n`` hottest keys, and the exact Gini coefficient of
+    the per-key count distribution (0 = uniform, →1 = one key owns
+    everything).
+
+    Exactness without a global sort: ranking ``m`` keys by count would
+    need a full sort of the (key,count) frame, so the Gini rank-sum is
+    instead closed over the COUNT-OF-COUNTS histogram — keys sharing a
+    count value occupy a contiguous rank run [s+1, s+f], whose rank sum
+    is ``f*s + f*(f+1)/2`` in closed form. The histogram has one row
+    per distinct multiplicity (tiny at any corpus size), so the only
+    data-sized work is the per-key count; the two cumulative windows
+    run on the histogram frame. All terms are int64; the three final
+    divisions are single IEEE ops the oracle replays.
+
+    Ties make every statistic order-free: equal counts contribute
+    ``v * sum(ranks)`` regardless of how ties are broken, and a top-N
+    boundary tie contributes the same total rows whichever keys are
+    chosen.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("v"))
+    hist = counts.groupBy("v").agg(F.count(F.lit(1)).alias("f"))
+    w_asc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_desc = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged = hist.select(
+        "v",
+        "f",
+        F.coalesce(F.sum("f").over(w_asc), F.lit(0)).alias("s"),
+        F.coalesce(F.sum("f").over(w_desc), F.lit(0)).alias("kb"),
+    )
+    take = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("f"), F.lit(top_n) - F.col("kb")),
+    )
+    agg = staged.agg(
+        F.sum("f").alias("n_keys"),
+        F.sum(F.col("v") * F.col("f")).alias("n_rows"),
+        F.max("v").alias("max_count"),
+        F.sum(F.col("v") * (F.col("f") * F.col("s") + F.expr("f * (f + 1) DIV 2"))).alias(
+            "sum_ic"
+        ),
+        F.sum(F.col("v") * take).alias("topn_rows"),
+    )
+    m, t = F.col("n_keys"), F.col("n_rows")
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        F.round(t / m, 9).alias("avg_per_key"),
+        F.round(F.col("topn_rows") / t, 9).alias("topn_share"),
+        F.round((2 * F.col("sum_ic") - (m + 1) * t) / (m * t), 9).alias(
+            "gini"
+        ),
+    )
 
 
 def salted_agg(

@@ -958,3 +958,49 @@ def _stats_bucket_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic report (skew.key_skew_report): the decision
+# input for salted_agg / AQE skew handling, with an exact Gini closed
+# over the count-of-counts histogram (no global key sort).
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id, count(*) AS v FROM events GROUP BY user_id),
+hist AS (SELECT v, count(*) AS f FROM counts GROUP BY v),
+st AS (
+  SELECT v, f,
+         coalesce(sum(f) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s,
+         coalesce(sum(f) OVER (ORDER BY v DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kb
+  FROM hist),
+a AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_keys,
+         CAST(sum(v * f) AS BIGINT) AS n_rows,
+         CAST(max(v) AS BIGINT) AS max_count,
+         CAST(sum(v * (f * s + (f * (f + 1)) // 2)) AS BIGINT) AS sum_ic,
+         CAST(sum(v * greatest(0, least(f, 10 - kb))) AS BIGINT)
+           AS topn_rows
+  FROM st)
+SELECT n_keys, n_rows, max_count,
+       round(n_rows / n_keys, 9) AS avg_per_key,
+       round(topn_rows / n_rows, 9) AS topn_share,
+       round((2 * sum_ic - (n_keys + 1) * n_rows) / (n_keys * n_rows), 9)
+         AS gini
+FROM a
+"""
+
+
+@q("key_skew_report_users", _SKEW_ORACLE)
+def _key_skew_report_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skew diagnostics for events.user_id: cardinality, max and
+    mean rows per key, top-10-key row share, Gini of the per-key count
+    distribution — closed over the count-of-counts histogram so no
+    global key sort is ever needed (skew.key_skew_report)."""
+    from ..operators.skew import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, "user_id", top_n=10)

@@ -136,3 +136,36 @@ class TestSaltedJoin:
         big, dim = self._skewed(spark)
         with pytest.raises(ValueError, match="inner/left"):
             salted_join(big, dim, on=["k"], salt_col="event_id", how="right")
+
+
+class TestKeySkewReport:
+    def _report(self, spark, key_rows, top_n=10):
+        from cga_kinesis_to_elasticsearch_spark.operators.skew import (
+            key_skew_report,
+        )
+
+        df = spark.createDataFrame([(k,) for k in key_rows], ["k"])
+        return key_skew_report(df, "k", top_n=top_n).collect()[0]
+
+    def test_matches_bruteforce_gini(self, spark):
+        # skewed: key 0 hot, long tail
+        rows = [0] * 50 + [1] * 20 + [2] * 20 + list(range(3, 13))
+        r = self._report(spark, rows, top_n=3)
+        counts = sorted([50, 20, 20] + [1] * 10)
+        m, tot = len(counts), sum(counts)
+        sum_ic = sum((i + 1) * c for i, c in enumerate(counts))
+        gini = (2 * sum_ic - (m + 1) * tot) / (m * tot)
+        assert r.n_keys == m and r.n_rows == tot and r.max_count == 50
+        assert r.gini == round(gini, 9)
+        assert r.topn_share == round(90 / tot, 9)
+
+    def test_uniform_keys_gini_zero(self, spark):
+        r = self._report(spark, list(range(20)) * 3)
+        assert r.gini == 0.0
+        assert r.max_count == 3
+        assert r.avg_per_key == 3.0
+
+    def test_topn_boundary_tie_is_stable(self, spark):
+        # 5 keys tie at count 2; top_n=3 must take exactly 3 of them
+        r = self._report(spark, [1, 1, 2, 2, 3, 3, 4, 4, 5, 5], top_n=3)
+        assert r.topn_share == round(6 / 10, 9)
