@@ -68,6 +68,10 @@ HEADLINE = [
     "hierarchy_subtree_rollup",
     "window_function_matrix",
     "auto_date_histogram",
+    # in-row HOF-heavy FineWeb repetition signal + the bucketed
+    # co-located join (layout write + exchange-free SMJ)
+    "dup_ngram_char_frac",
+    "bucketed_orders_join",
 ]
 
 
