@@ -303,3 +303,73 @@ def _stream_threeway_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q("kinesis_sim_pipeline", _streaming_oracle())
+def _kinesis_sim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The identical micro-batch pipeline, but ingested through the
+    PLUGGABLE kinesis_sim source (Spark 4 Python DataSource API,
+    sources/kinesis_sim.py) instead of the file stand-in: real
+    shard/offset/commit semantics (S1/S2) feeding decode -> route ->
+    grok -> enrich -> sink unchanged — and landing exactly the batch
+    pipeline's documents, verified by the same oracle as
+    streaming_pipeline. The fixture prep (driver-side jsonl write) is
+    test scaffolding, not the measured operator; production swaps the
+    format string for the real connector (config.py)."""
+    from ..sources.kinesis_sim import (
+        read_kinesis_sim_stream,
+        write_kinesis_sim_fixture,
+    )
+    from ..sources.records import encode_records
+
+    work = Path(tempfile.mkdtemp(prefix="cga-ksim-"))
+    try:
+        raw_dir = str(work / "stream")
+        records = synthesize_envelopes(spark, sf_dir)
+        raw = encode_records(records).select(
+            "shard_id",
+            "sequence_number",
+            "partition_key",
+            F.unix_millis("arrival_ts").alias("ts_ms"),
+            "data",
+        )
+        rows = [
+            (
+                r.shard_id,
+                int(r.sequence_number),
+                r.partition_key,
+                r.ts_ms,
+                bytes(r.data),
+                r.sequence_number,  # opaque string preserved -> doc_id
+            )
+            for r in raw.collect()
+        ]
+        write_kinesis_sim_fixture(rows, raw_dir, records_per_file=4096)
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark))
+        sink = ParquetIndexSink(work / "sink")
+        query, metrics = run_stream(
+            spark,
+            read_kinesis_sim_stream(spark, raw_dir),
+            lambda s: dim,
+            sink,
+            StreamConfig(
+                checkpoint_location=str(work / "ck"),
+                available_now=True,
+                pipeline=PipelineConfig(allowed_origins=ALLOWED_ORIGINS),
+            ),
+        )
+        drain(query)
+        docs = sink.read_index(spark).select(
+            "doc_id",
+            "es_index",
+            "index_class",
+            "event_date",
+            "timestamp",
+            F.col("`@cf.app`").alias("cf_app"),
+            F.col("`@cf.org`").alias("cf_org"),
+        )
+        out = docs.orderBy("doc_id").localCheckpoint()
+        assert metrics.sent_count > 0
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
