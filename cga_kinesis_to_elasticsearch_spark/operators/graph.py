@@ -29,6 +29,7 @@ __all__ = [
     "pagerank",
     "pagerank_fixed",
     "bfs_levels",
+    "label_propagation",
 ]
 
 
@@ -342,3 +343,58 @@ def bfs_levels(
         )
         dist = grown
     return dist
+
+
+def label_propagation(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    canonical ``a``/``b`` edge set: labels start as node ids; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken to the SMALLEST label. Returns
+    ``(node, label LONG)`` after exactly ``n_rounds`` rounds.
+
+    Determinism (the property that makes the DuckDB oracle possible —
+    classic LPA is notoriously order-dependent): rounds are fully
+    synchronous (every update reads the previous round's labels), and
+    the (count DESC, label ASC) argmax has no equal keys within a
+    node's group, so the result is independent of partitioning and
+    visit order. Fixed round count, like bfs_levels, keeps the plan
+    depth static.
+
+    Scale shape per round: one (node, label) join against the edge
+    list, one partial-agg count shuffle of (dst, label) pairs, one
+    max_by combine — all frames bounded by |E| / |V|;
+    ``localCheckpoint`` per round cuts lineage exactly as in
+    pagerank_fixed.
+    """
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").cast("long").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        neigh = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src"), F.col("label")
+        )
+        counts = neigh.groupBy("src", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.max_by(
+                    F.col("label"),
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl")),
+                ).alias("label")
+            )
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -315,3 +315,54 @@ def _neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_levels(edges, seeds, max_hops=_BFS_HOPS).orderBy("node")
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    parts = [
+        f"WITH pairs AS ({_AHASH_ORACLE}),",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs),",
+        "l0 AS (SELECT DISTINCT src AS node, CAST(src AS BIGINT) AS label"
+        " FROM edges),",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM ("
+            "SELECT src AS node, label, "
+            "row_number() OVER (PARTITION BY src"
+            " ORDER BY c DESC, label ASC) AS rn "
+            "FROM (SELECT e.src, r.label, count(*) AS c"
+            f" FROM edges e JOIN l{i - 1} r ON e.dst = r.node"
+            " GROUP BY e.src, r.label)) WHERE rn = 1),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, label FROM l{_LPA_ROUNDS} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+@q("neardup_label_communities", _lpa_oracle())
+def _neardup_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the near-dup pair graph —
+    the soft-clustering complement to exact connected components
+    (dense variant groups split from loosely-bridged ones). Three
+    SYNCHRONOUS rounds with a (count DESC, label ASC) argmax make the
+    classically order-dependent algorithm deterministic under any
+    partitioning, so the DuckDB oracle replays the identical rounds
+    as unrolled CTEs (graph.label_propagation)."""
+    from ..operators import multimodal as M
+    from ..operators.graph import canonical_edges, label_propagation
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = _synth_payloads(docs)
+    hashed = M.average_hash(M.attach_binary(payloads, "ptxt"))
+    pairs = M.hamming_near_pairs(
+        hashed, "doc_id", "media_ahash",
+        n_bits=_N_BYTES, n_bands=_N_BANDS, max_distance=_MAX_DIST,
+    )
+    edges = canonical_edges(pairs, "id_a", "id_b")
+    return label_propagation(edges, n_rounds=_LPA_ROUNDS).orderBy("node")

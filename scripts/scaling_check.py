@@ -62,6 +62,14 @@ QUERIES = [
     "neardup_pagerank",
     "auto_date_histogram",
     "highlight_snippets",
+    # final round-3 additions: in-row HOF repetition signal, bucketed
+    # co-located join (incl. layout write), moment-closed matrix
+    # stats, skew diagnostics, pluggable-source streaming run
+    "dup_ngram_char_frac",
+    "bucketed_orders_join",
+    "matrix_stats_lineitem",
+    "key_skew_report_users",
+    "kinesis_sim_pipeline",
 ]
 
 

@@ -240,3 +240,40 @@ class TestBfsLevels:
             for r in bfs_levels(edges, seeds, max_hops=2).collect()
         }
         assert got == {1: 0, 2: 1, 3: 2}
+
+
+class TestLabelPropagation:
+    def _run(self, spark, pairs, rounds=3):
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import (
+            canonical_edges,
+            label_propagation,
+        )
+
+        edges = canonical_edges(
+            spark.createDataFrame(pairs, "s long, d long"), "s", "d"
+        )
+        return {
+            r["node"]: r["label"]
+            for r in label_propagation(edges, n_rounds=rounds).collect()
+        }
+
+    def test_clique_converges_to_min_label(self, spark):
+        pairs = list(itertools.combinations([10, 11, 12, 13], 2))
+        got = self._run(spark, pairs, rounds=3)
+        # round 1: everyone adopts the min among NEIGHBORS (10's
+        # neighbors exclude itself -> 11); by round 3 all agree on 10
+        assert set(got.values()) == {10}
+
+    def test_two_cliques_with_bridge_stay_separate(self, spark):
+        left = list(itertools.combinations([1, 2, 3], 2))
+        right = list(itertools.combinations([7, 8, 9], 2))
+        got = self._run(spark, left + right + [(3, 7)], rounds=3)
+        assert got[1] == got[2] == got[3]
+        assert got[7] == got[8] == got[9]
+        assert got[1] != got[7]
+
+    def test_deterministic_across_runs(self, spark):
+        pairs = [(i, (i * 7) % 23) for i in range(1, 23) if i != (i * 7) % 23]
+        a = self._run(spark, pairs)
+        b = self._run(spark, pairs)
+        assert a == b
