@@ -38,8 +38,10 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     is ``f*s + f*(f+1)/2`` in closed form. The histogram has one row
     per distinct multiplicity (tiny at any corpus size), so the only
     data-sized work is the per-key count; the two cumulative windows
-    run on the histogram frame. All terms are int64; the three final
-    divisions are single IEEE ops the oracle replays.
+    run on the histogram frame. Every SUM is exact int64; the Gini's
+    closed form is evaluated in double (its int64 products would wrap
+    at ~2e9 keys x 1e10 rows) — exact below 2^53 and within ~1e-16
+    relative above it, identical on both engines either way.
 
     Ties make every statistic order-free: equal counts contribute
     ``v * sum(ranks)`` regardless of how ties are broken, and a top-N
@@ -72,15 +74,21 @@ def key_skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         F.sum(F.col("v") * take).alias("topn_rows"),
     )
     m, t = F.col("n_keys"), F.col("n_rows")
+    # close the Gini in DOUBLE: the int64 products m*t and 2*sum_ic
+    # wrap silently at ~2e9 keys x 1e10 rows — exactly the scale this
+    # diagnostic exists for. Every sum is exact int64 coming in; the
+    # double closure is bit-identical across engines (and exact until
+    # the products pass 2^53, where the Gini's 9-decimal rounding
+    # absorbs the relative error of ~1e-16)
+    md, td = m.cast("double"), t.cast("double")
+    sic = F.col("sum_ic").cast("double")
     return agg.select(
         "n_keys",
         "n_rows",
         "max_count",
         F.round(t / m, 9).alias("avg_per_key"),
         F.round(F.col("topn_rows") / t, 9).alias("topn_share"),
-        F.round((2 * F.col("sum_ic") - (m + 1) * t) / (m * t), 9).alias(
-            "gini"
-        ),
+        F.round((2 * sic - (md + 1) * td) / (md * td), 9).alias("gini"),
     )
 
 

@@ -549,14 +549,19 @@ _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2, "srcX": 0.1}
 _MIX_BUDGET = 3000
 
 
-def _mixture_oracle() -> str:
+def _mix_prefix_and_knobs() -> tuple[str, str, str]:
+    """The SHARED oracle pieces both mixture queries build on — the
+    w/c/j CTE prefix (weights table, token counts, left join) and the
+    keep_fraction/epochs expressions over ``j``'s columns. One home
+    for the threshold-sensitive arithmetic so mixture_plan_tokens and
+    mixture_apply_docs cannot drift apart."""
     total = sum(_MIX_WEIGHTS.values())
     in_list = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
     values = ", ".join(
         f"('{s}', {w / total!r})" for s, w in sorted(_MIX_WEIGHTS.items())
     )
     b = float(_MIX_BUDGET)
-    return f"""
+    prefix = f"""
 WITH w(source, share) AS (VALUES {values}),
 c AS (
   SELECT source,
@@ -564,17 +569,26 @@ c AS (
                              x -> x <> ''))) AS avail
   FROM documents WHERE source IN ({in_list}) GROUP BY source),
 j AS (SELECT w.source, w.share, coalesce(c.avail, 0) AS avail
-      FROM w LEFT JOIN c USING (source))
+      FROM w LEFT JOIN c USING (source))"""
+    kf = f"""CASE WHEN avail > 0
+            THEN round(least(1.0, floor({b!r} * share) / avail), 9)
+            ELSE CAST(0.0 AS DOUBLE) END"""
+    ep = f"""CASE WHEN avail > 0
+            THEN round(greatest(1.0, floor({b!r} * share) / avail), 9)
+            ELSE CAST(1.0 AS DOUBLE) END"""
+    return prefix, kf, ep
+
+
+def _mixture_oracle() -> str:
+    prefix, kf, ep = _mix_prefix_and_knobs()
+    b = float(_MIX_BUDGET)
+    return f"""{prefix}
 SELECT source,
        CAST(avail AS BIGINT) AS available_tokens,
        round(share, 9) AS target_share,
        CAST(floor({b!r} * share) AS BIGINT) AS allotted_tokens,
-       CASE WHEN avail > 0
-            THEN round(least(1.0, floor({b!r} * share) / avail), 9)
-            ELSE CAST(0.0 AS DOUBLE) END AS keep_fraction,
-       CASE WHEN avail > 0
-            THEN round(greatest(1.0, floor({b!r} * share) / avail), 9)
-            ELSE CAST(1.0 AS DOUBLE) END AS epochs
+       {kf} AS keep_fraction,
+       {ep} AS epochs
 FROM j
 """
 
@@ -598,37 +612,21 @@ _MIXAPPLY_SEED = "mixapply0"
 
 
 def _mixture_apply_oracle() -> str:
-    """Replay apply_mixture: the plan CTE (same arithmetic as the
-    mixture oracle), then the per-doc md5 keep threshold, epochs
-    replication and generate_series fan-out."""
-    total = sum(_MIX_WEIGHTS.values())
-    in_list = ", ".join(f"'{s}'" for s in sorted(_MIX_WEIGHTS))
-    values = ", ".join(
-        f"('{s}', {w / total!r})" for s, w in sorted(_MIX_WEIGHTS.items())
-    )
-    b = float(_MIX_BUDGET)
+    """Replay apply_mixture: the SHARED plan arithmetic
+    (_mix_prefix_and_knobs — same strings as the mixture_plan oracle),
+    then the per-doc md5 keep threshold, epochs replication and
+    generate_series fan-out."""
+    prefix, kf, ep = _mix_prefix_and_knobs()
     thr = (
         "CASE WHEN {p} >= 1.0 THEN 'gggggggg' "
         "ELSE lpad(lower(hex(CAST(floor(round({p}, 9) * 4294967296.0) "
         "AS BIGINT))), 8, '0') END"
     )
-    return f"""
-WITH w(source, share) AS (VALUES {values}),
-c AS (
-  SELECT source,
-         sum(len(list_filter(string_split_regex(text, '\\s+'),
-                             x -> x <> ''))) AS avail
-  FROM documents WHERE source IN ({in_list}) GROUP BY source),
-j AS (SELECT w.source, w.share, coalesce(c.avail, 0) AS avail
-      FROM w LEFT JOIN c USING (source)),
+    return f"""{prefix},
 plan AS (
   SELECT source,
-         CASE WHEN avail > 0
-              THEN round(least(1.0, floor({b!r} * share) / avail), 9)
-              ELSE CAST(0.0 AS DOUBLE) END AS keep_fraction,
-         CASE WHEN avail > 0
-              THEN round(greatest(1.0, floor({b!r} * share) / avail), 9)
-              ELSE CAST(1.0 AS DOUBLE) END AS epochs
+         {kf} AS keep_fraction,
+         {ep} AS epochs
   FROM j),
 k AS (
   SELECT d.doc_id, d.source,

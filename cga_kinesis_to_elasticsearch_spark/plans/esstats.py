@@ -45,13 +45,18 @@ SELECT l_returnflag,
        n,
        round(sx / n, 9) AS mean_qty,
        round(sy / n, 9) AS mean_disc_c,
-       round((n * sxx - sx * sx) / (n * (n - 1)), 9) AS var_qty,
-       round((n * syy - sy * sy) / (n * (n - 1)), 9) AS var_disc_c,
-       round((n * sxy - sx * sy) / (n * (n - 1)), 9) AS cov_qd,
-       round((n * sxy - sx * sy) /
-             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9) AS corr_qd
-FROM sums
+       round((nd * sxxd - sxd * sxd) / (nd * (nd - 1)), 9) AS var_qty,
+       round((nd * syyd - syd * syd) / (nd * (nd - 1)), 9) AS var_disc_c,
+       round((nd * sxyd - sxd * syd) / (nd * (nd - 1)), 9) AS cov_qd,
+       round((nd * sxyd - sxd * syd) /
+             (sqrt(nd * sxxd - sxd * sxd) *
+              sqrt(nd * syyd - syd * syd)), 9) AS corr_qd
+FROM (SELECT *,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+             CAST(sxy AS DOUBLE) AS sxyd
+      FROM sums)
 """
 
 
@@ -63,9 +68,12 @@ def _matrix_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE partial-aggregated shuffle of 6 int64 sums per
     group (3 groups) — the moments close in the reducer, so the fact
     table is scanned once and never re-shuffled; all arithmetic stays
-    in whole-stage codegen. Correlation is closed as
-    sqrt(vx)*sqrt(vy) so the radicand stays within int64 at any SF
-    (the product vx*vy would overflow at sf>=1)."""
+    in whole-stage codegen. The SUMS are exact int64; the moment
+    closure (n*sxx - sx^2 etc.) is evaluated in double because its
+    products pass int64 at ~SF30-size groups — exact below 2^53,
+    ~1e-16 relative above, identical on both engines either way;
+    correlation factors as sqrt(vx)*sqrt(vy) to avoid squaring the
+    variance terms."""
     li = _t(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("long")
     y = F.round(F.col("l_discount") * 100, 0).cast("long")
@@ -84,11 +92,17 @@ def _matrix_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    cxy = n * sxy - sx * sy
-    denom = n * (n - F.lit(1))
+    # moment closure in DOUBLE (see docstring / the oracle's twin
+    # subquery): int64 products like n*sxx wrap at large-SF groups
+    nd = n.cast("double")
+    sxd, syd = sx.cast("double"), sy.cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    vx = nd * sxxd - sxd * sxd
+    vy = nd * syyd - syd * syd
+    cxy = nd * sxyd - sxd * syd
+    denom = nd * (nd - F.lit(1))
     return sums.select(
         "l_returnflag",
         "n",
@@ -97,9 +111,7 @@ def _matrix_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(vx / denom, 9).alias("var_qty"),
         F.round(vy / denom, 9).alias("var_disc_c"),
         F.round(cxy / denom, 9).alias("cov_qd"),
-        F.round(
-            cxy / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 9
-        ).alias("corr_qd"),
+        F.round(cxy / (F.sqrt(vx) * F.sqrt(vy)), 9).alias("corr_qd"),
     )
 
 
@@ -208,7 +220,11 @@ def _proximity_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by per-doc term frequency, not corpus size. At index
     scale the same gap test runs over the positional postings of
     sinks/textindex.py instead of raw text."""
-    docs = _t(spark, sf_dir, "documents")
+    from .northstar import _tp
+
+    # _tp, not _t: the fixture parquet is one row group, and the HOF
+    # pair expansion is the per-row hot loop — spread it first
+    docs = _tp(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
 
     def positions(term: str):

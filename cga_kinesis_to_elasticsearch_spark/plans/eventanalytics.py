@@ -988,7 +988,9 @@ a AS (
 SELECT n_keys, n_rows, max_count,
        round(n_rows / n_keys, 9) AS avg_per_key,
        round(topn_rows / n_rows, 9) AS topn_share,
-       round((2 * sum_ic - (n_keys + 1) * n_rows) / (n_keys * n_rows), 9)
+       round((2 * CAST(sum_ic AS DOUBLE)
+              - (CAST(n_keys AS DOUBLE) + 1) * CAST(n_rows AS DOUBLE))
+             / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)), 9)
          AS gini
 FROM a
 """

@@ -27,11 +27,15 @@ downstream plan (decode → route → grok → enrich → sink) is byte-for-
 byte the one production runs; swapping in the real connector changes
 only the format string and options (config.kinesis_source_options).
 
-Stream layout on disk: ``root/<shard_id>/<nnnnnnnn>.jsonl``, each line
-``{"seq": int, "pk": str, "ts_ms": int, "data": <base64>}``; files
-sort lexicographically and records are in ascending ``seq`` order
-across a shard's files (the writer guarantees it; the reader filters
-by the [start, end) window, so duplicated appends are tolerated).
+Stream layout on disk: ``root/<shard_id>/<first-seq>.<k>.jsonl``, each
+line ``{"seq": int, "pk": str, "ts_ms": int, "data": <base64>}``; files
+sort lexicographically by the seq of their first record and records
+ascend by ``seq`` within a file (writer contract — this is what lets
+planning tail-read files instead of scanning history). Appends must be
+seq-monotone per shard, like the real stream (Kinesis sequence numbers
+are unique and increasing); re-appending an already-written seq never
+destroys data (filenames are never reused) but stores a duplicate the
+reader would re-serve.
 """
 
 from __future__ import annotations
@@ -97,19 +101,42 @@ def _shard_dirs(root: str) -> list[str]:
         return []
 
 
+def _last_seq_of_file(path: str) -> int | None:
+    """seq of the last complete line, via a tail read (O(line), not
+    O(file) — lines within a file ascend by writer contract)."""
+    with open(path, "rb") as fh:
+        fh.seek(0, os.SEEK_END)
+        size = fh.tell()
+        step, data = 4096, b""
+        while size > 0:
+            take = min(step, size)
+            fh.seek(size - take)
+            data = fh.read(take) + data
+            size -= take
+            lines = [ln for ln in data.split(b"\n") if ln.strip()]
+            # lines[-1] is complete once a line boundary precedes it
+            # (>= 2 lines seen) or the whole file is in the buffer
+            if lines and (len(lines) >= 2 or size == 0):
+                return json.loads(lines[-1])["seq"]
+            step *= 2
+    return None
+
+
 def _shard_latest(root: str, shard: str) -> int:
-    """next_seq for a shard = 1 + max seq present (0 if empty)."""
+    """next_seq for a shard = 1 + max seq present (0 if empty).
+
+    Called once per shard per trigger: cost is one TAIL read per file
+    (writer contract: seqs ascend within a file), never a scan of the
+    stream history — per-trigger planning stays O(#files), not
+    O(#records)."""
     latest = 0
     sdir = os.path.join(root, shard)
     for fname in sorted(os.listdir(sdir)):
         if not fname.endswith(".jsonl"):
             continue
-        with open(os.path.join(sdir, fname), "rb") as fh:
-            for line in fh:
-                if line.strip():
-                    seq = json.loads(line)["seq"]
-                    if seq + 1 > latest:
-                        latest = seq + 1
+        seq = _last_seq_of_file(os.path.join(sdir, fname))
+        if seq is not None and seq + 1 > latest:
+            latest = seq + 1
     return latest
 
 
@@ -177,6 +204,13 @@ class _StreamReader(DataSourceStreamReader):
         for fname in sorted(os.listdir(sdir)):
             if not fname.endswith(".jsonl"):
                 continue
+            # filenames encode their first seq (writer contract):
+            # a file starting at/after the window end has nothing
+            try:
+                if int(fname.split(".")[0]) >= partition.end:
+                    continue
+            except ValueError:
+                pass  # foreign filename: parse it fully
             with open(os.path.join(sdir, fname), "rb") as fh:
                 for line in fh:
                     if not line.strip():
@@ -267,8 +301,16 @@ def write_kinesis_sim_fixture(
         recs.sort(key=lambda r: r[1])
         for i in range(0, len(recs), records_per_file):
             chunk = recs[i : i + records_per_file]
-            fname = f"{_fmt_seq(chunk[0][1])}.jsonl"
-            with open(os.path.join(sdir, fname), "w") as fh:
+            # never reuse a filename: a re-append whose chunk starts at
+            # an already-written seq must not truncate the older file —
+            # a numeric suffix disambiguates while keeping the
+            # first-seq prefix ordering the reader relies on
+            stem = _fmt_seq(chunk[0][1])
+            k = 0
+            while os.path.exists(os.path.join(sdir, f"{stem}.{k}.jsonl")):
+                k += 1
+            fname = f"{stem}.{k}.jsonl"
+            with open(os.path.join(sdir, fname), "x") as fh:
                 for row in chunk:
                     shard_, seq, pk, ts_ms, data = row[:5]
                     line = {

@@ -177,3 +177,27 @@ class TestStreaming:
             q.awaitTermination()
         assert len(out) == 4
         assert all(r.origin == "gorouter" and not r.decode_error for r in out)
+
+
+class TestFixtureWriterSafety:
+    def test_reappend_never_truncates(self, spark, tmp_path):
+        """Re-appending an already-written seq must not destroy the
+        original file (filenames are never reused)."""
+        from cga_kinesis_to_elasticsearch_spark.sources.kinesis_sim import (
+            KinesisSimDataSource,
+        )
+
+        root = str(tmp_path / "stream")
+        write_kinesis_sim_fixture(
+            _rows("s0", range(10)), root, records_per_file=10
+        )
+        # duplicate append that previously reused (and truncated) the
+        # file named after seq 0
+        write_kinesis_sim_fixture(
+            _rows("s0", range(3)), root, records_per_file=10
+        )
+        spark.dataSource.register(KinesisSimDataSource)
+        df = spark.read.format("kinesis_sim").option("path", root).load()
+        seqs = sorted(int(r.sequence_number) for r in df.collect())
+        # all 10 originals survive; the 3 duplicates are stored too
+        assert seqs == sorted(list(range(10)) + [0, 1, 2])
