@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .dedup import normalized_text
 from .text import lang_guess_column, quality_columns
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curation_funnel"]
 
 
 def curate_corpus(
@@ -53,4 +53,87 @@ def curate_corpus(
         gated.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep_langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.05,
+) -> DataFrame:
+    """Per-stage rejection accounting for the :func:`curate_corpus`
+    pipeline — the observability readout a curation run ships with its
+    output: one row per stage ``(stage, gate, rows_in, rows_out,
+    rejected, reject_pct)`` for the language gate, the quality gate,
+    and the exact-dedup keep-first election (each document is charged
+    to the FIRST gate that rejects it, exactly matching what
+    curate_corpus drops).
+
+    Scale shape: the same one narrow feature pass as curate_corpus
+    closes the two gate counters map-side (one 1-row aggregate); only
+    gate survivors shuffle for the dedup-election count (the exchange
+    curate_corpus needs anyway). The 3-row funnel assembles from two
+    single-row frames — no second corpus scan, no driver loop.
+    """
+    q = quality_columns(text_col)
+    featured = df.select(
+        F.col(id_col),
+        lang_guess_column(text_col).alias("lang_guess"),
+        q["quality"].alias("quality"),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )
+    lang_ok = F.col("lang_guess").isin(*keep_langs)
+    qual_ok = F.col("quality") >= min_quality
+    gates = featured.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(~lang_ok, 1).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(lang_ok & ~qual_ok, 1).otherwise(0)).alias("n_qual"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    dups = (
+        featured.filter(lang_ok & qual_ok)
+        .withColumn("__rn", F.row_number().over(w))
+        .agg(F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0)).alias("n_dup"))
+    )
+    row = gates.crossJoin(dups)
+    t, nl = F.col("n_total"), F.col("n_lang")
+    nq, nd = F.col("n_qual"), F.col("n_dup")
+    stages = row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).cast("long").alias("stage"),
+                    F.lit("lang_gate").alias("gate"),
+                    t.alias("rows_in"),
+                    nl.alias("rejected"),
+                ),
+                F.struct(
+                    F.lit(2).cast("long").alias("stage"),
+                    F.lit("quality_gate").alias("gate"),
+                    (t - nl).alias("rows_in"),
+                    nq.alias("rejected"),
+                ),
+                F.struct(
+                    F.lit(3).cast("long").alias("stage"),
+                    F.lit("dedup_keep_first").alias("gate"),
+                    (t - nl - nq).alias("rows_in"),
+                    nd.alias("rejected"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.gate").alias("gate"),
+        F.col("s.rows_in").alias("rows_in"),
+        (F.col("s.rows_in") - F.col("s.rejected")).alias("rows_out"),
+        F.col("s.rejected").alias("rejected"),
+        F.when(
+            F.col("s.rows_in") > 0,
+            F.round(F.col("s.rejected") / F.col("s.rows_in"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("reject_pct"),
     )

@@ -465,7 +465,9 @@ f AS (SELECT doc_id, n_tokens,
       FROM m),
 g AS (SELECT doc_id, {{lang_case}} AS lang_guess, quality, n_tokens,
              fingerprint
-      FROM f),
+      FROM f)"""
+
+_CURATE_SUFFIX = """,
 k AS (SELECT *, row_number() OVER
         (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
       FROM g WHERE lang_guess = 'en' AND quality >= 0.05)
@@ -473,11 +475,51 @@ SELECT doc_id, lang_guess, quality, n_tokens, fingerprint
 FROM k WHERE rn = 1
 """
 
+# Per-stage rejection accounting over the SAME featured frame (CTE g):
+# each doc charged to its first failing gate; dedup losers counted
+# among gate survivors only.
+_FUNNEL_SUFFIX = """,
+v AS (SELECT g.*, CASE WHEN lang_guess <> 'en' THEN 1
+                       WHEN quality < 0.05 THEN 2 ELSE 0 END AS fail
+      FROM g),
+p AS (SELECT *, row_number() OVER
+        (PARTITION BY fingerprint ORDER BY doc_id ASC) AS rn
+      FROM v WHERE fail = 0),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN fail = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang,
+             CAST(sum(CASE WHEN fail = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_qual
+      FROM v),
+d AS (SELECT CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_dup FROM p)
+SELECT CAST(1 AS BIGINT) AS stage, 'lang_gate' AS gate,
+       n_total AS rows_in, n_total - n_lang AS rows_out,
+       n_lang AS rejected,
+       CASE WHEN n_total > 0 THEN round(n_lang / n_total, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS reject_pct
+FROM c, d
+UNION ALL
+SELECT 2, 'quality_gate', n_total - n_lang,
+       n_total - n_lang - n_qual, n_qual,
+       CASE WHEN n_total - n_lang > 0
+            THEN round(n_qual / (n_total - n_lang), 6)
+            ELSE CAST(0.0 AS DOUBLE) END
+FROM c, d
+UNION ALL
+SELECT 3, 'dedup_keep_first', n_total - n_lang - n_qual,
+       n_total - n_lang - n_qual - n_dup, n_dup,
+       CASE WHEN n_total - n_lang - n_qual > 0
+            THEN round(n_dup / (n_total - n_lang - n_qual), 6)
+            ELSE CAST(0.0 AS DOUBLE) END
+FROM c, d
+"""
 
-def _curate_oracle() -> str:
+
+def _curate_oracle(suffix: str = _CURATE_SUFFIX) -> str:
     from .northstar import _LANG_CASE, _LANG_SCORES
 
-    return _CURATE_ORACLE.format(
+    return (_CURATE_ORACLE + suffix).format(
         lang_scores=_LANG_SCORES, lang_case=_LANG_CASE
     )
 
@@ -495,6 +537,24 @@ def _corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
     return curate_corpus(docs.unionAll(replay), "text", "doc_id")
+
+
+@q("curation_funnel_report", _curate_oracle(_FUNNEL_SUFFIX))
+def _curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage rejection accounting for the curation pipeline
+    (curation.curation_funnel): rows in/out, rejected count and
+    rejection rate for the language gate, quality gate, and the
+    exact-dedup keep-first election — the run report a 100 TB
+    curation job publishes next to its output. Same corpus (with the
+    20% replay union) as corpus_curation_e2e, so stage 3 provably
+    charges exactly the documents e2e drops."""
+    from ..operators.curation import curation_funnel
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    replay = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return curation_funnel(docs.unionAll(replay), "text", "doc_id")
 
 
 # ---------------------------------------------------------------------------

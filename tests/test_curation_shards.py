@@ -131,3 +131,43 @@ class TestJsonlShards:
 
         obj = _json.loads(first)
         assert {"doc_id", "text", "lang"} <= set(obj)
+
+
+class TestCurationFunnel:
+    def test_funnel_accounts_for_every_document(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.curation import (
+            curate_corpus,
+            curation_funnel,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                # two english dups (stage-3: one rejected)
+                (1, "the quick brown fox is on it for a while and the rest"),
+                (2, "the quick brown fox is on it for a while and the rest"),
+                # non-english (stage-1)
+                (3, "der schnelle braune fuchs und der rest von allem hier"),
+                # too-low quality: all digits (stage-2)
+                (4, "123 456 789 000 111 222 333 444 555 666 777 888 999 b"),
+                # clean survivor
+                (5, "a genuinely varied sentence with many of the words in it"),
+            ],
+            ["doc_id", "text"],
+        )
+        funnel = {
+            r.gate: r for r in curation_funnel(docs, "text", "doc_id").collect()
+        }
+        assert funnel["lang_gate"].rows_in == 5
+        # stage chaining: each stage's rows_in is the previous rows_out
+        assert funnel["quality_gate"].rows_in == funnel["lang_gate"].rows_out
+        assert (
+            funnel["dedup_keep_first"].rows_in
+            == funnel["quality_gate"].rows_out
+        )
+        assert funnel["dedup_keep_first"].rejected == 1
+        # final rows_out == what curate_corpus actually keeps
+        kept = curate_corpus(docs, "text", "doc_id").count()
+        assert funnel["dedup_keep_first"].rows_out == kept
+        # pct is rejected/rows_in
+        s1 = funnel["lang_gate"]
+        assert s1.reject_pct == round(s1.rejected / s1.rows_in, 6)
