@@ -265,3 +265,46 @@ def _proximity_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _proximity_search_docs.__doc__ = _proximity_search_docs.__doc__.format(
     a=_PROX_A, b=_PROX_B, slop=_PROX_SLOP
 )
+
+
+# ---------------------------------------------------------------------------
+# weighted_avg: ES's weighted-average aggregation — value weighted by
+# another field (price weighted by quantity), exact via integer cents.
+# ---------------------------------------------------------------------------
+
+_WAVG_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS spq,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         count(*) AS n
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n, sq AS total_weight,
+       round(spq / (100.0 * sq), 9) AS weighted_avg_price
+FROM s
+"""
+
+
+@q("weighted_avg_price", _WAVG_ORACLE)
+def _weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg parity: extended price weighted by quantity per
+    return flag, exact through integer cents x integer quantity sums
+    (one partial-agg shuffle; the single division is the only float
+    op, replayed identically by the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qt = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.sum(pc * qt).alias("spq"),
+        F.sum(qt).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.col("sq").alias("total_weight"),
+        F.round(F.col("spq") / (F.lit(100.0) * F.col("sq")), 9).alias(
+            "weighted_avg_price"
+        ),
+    )

@@ -149,3 +149,56 @@ def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_exposed_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit: k-anonymity's complement — a group can be large
+# (k-safe) yet reveal everyone's sensitive attribute if all members
+# share one value. Requires >= L distinct sensitive values per
+# quasi-identifier group.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+_LDIV_ORACLE = f"""
+WITH g AS (SELECT c_nationkey,
+                  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                  count(DISTINCT c_mktsegment) AS l,
+                  count(*) AS n
+           FROM customer GROUP BY 1, 2)
+SELECT CAST(min(l) AS BIGINT) AS l_diversity,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE l < {_LDIV_L}) AS BIGINT)
+         AS n_weak_groups,
+       CAST(coalesce(sum(n) FILTER (WHERE l < {_LDIV_L}), 0) AS BIGINT)
+         AS n_exposed_rows
+FROM g
+"""
+
+
+@q("l_diversity_audit", _LDIV_ORACLE)
+def _l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity of the customer table: quasi-identifier =
+    (nation, account-balance bucket), sensitive attribute = market
+    segment. The dataset's l is the smallest count of DISTINCT
+    sensitive values in any group; groups below l=3 leak their
+    members' segment even when k-anonymous (homogeneity attack).
+    One map-side-combined groupBy + one distinct expansion — the
+    audit row aggregates group summaries, never raw rows."""
+    cust = _tp(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+    ).agg(
+        F.countDistinct("c_mktsegment").alias("l"),
+        F.count("*").alias("n"),
+    )
+    weak = F.col("l") < _LDIV_L
+    return g.agg(
+        F.min("l").cast("long").alias("l_diversity"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.count(F.when(weak, 1)).cast("long").alias("n_weak_groups"),
+        F.coalesce(F.sum(F.when(weak, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+    )
