@@ -722,3 +722,76 @@ def _highlight_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_occ.alias("n_occurrences"),
         snippet.alias("snippet"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# rank_eval: ES's search-quality evaluation API — precision@k and MRR
+# of a ranked retrieval against a judgment set, computed over the
+# hybrid RRF run above (judgments: deterministic doc_id % 3 == 0).
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 10
+
+_RANK_EVAL_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+         (doc_id % 3 = 0) AS rel
+  FROM ({_RRF_ORACLE})
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_retrieved,
+         CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         CAST(sum(CASE WHEN rel AND rank <= {_EVAL_K} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_rel_at_k,
+         min(CASE WHEN rel THEN rank END) AS first_rel
+  FROM r)
+SELECT n_retrieved, n_rel, n_rel_at_k,
+       round(n_rel_at_k / {_EVAL_K}, 6) AS p_at_k,
+       CASE WHEN first_rel IS NOT NULL
+            THEN round(1.0 / first_rel, 9)
+            ELSE CAST(0.0 AS DOUBLE) END AS mrr
+FROM s
+"""
+
+
+@q("search_rank_eval", _RANK_EVAL_ORACLE)
+def _search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_eval parity: precision@{k} and reciprocal rank of the
+    hybrid RRF retrieval against a deterministic judgment set
+    (doc_id % 3 == 0) — the retrieval-quality readout that gates
+    index/ranker changes. Metrics close over the depth-bounded rank
+    list (a k-row frame at any corpus size); the oracle replays the
+    full retrieval AND the metric arithmetic."""
+    from pyspark.sql import Window, functions as F
+
+    ranked = _hybrid_rrf_search(spark, sf_dir)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    r = ranked.select(
+        "doc_id",
+        F.row_number().over(w).cast("long").alias("rank"),
+        (F.col("doc_id") % 3 == 0).alias("rel"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).alias("n_rel"),
+        F.sum(
+            F.when(F.col("rel") & (F.col("rank") <= _EVAL_K), 1).otherwise(0)
+        ).alias("n_rel_at_k"),
+        F.min(F.when(F.col("rel"), F.col("rank"))).alias("first_rel"),
+    )
+    return s.select(
+        "n_retrieved",
+        "n_rel",
+        "n_rel_at_k",
+        F.round(F.col("n_rel_at_k") / F.lit(_EVAL_K), 6).alias("p_at_k"),
+        F.when(
+            F.col("first_rel").isNotNull(),
+            F.round(F.lit(1.0) / F.col("first_rel"), 9),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mrr"),
+    )
+
+
+_search_rank_eval.__doc__ = _search_rank_eval.__doc__.format(k=_EVAL_K)
