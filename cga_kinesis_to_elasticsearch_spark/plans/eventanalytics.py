@@ -1006,3 +1006,57 @@ def _key_skew_report_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return key_skew_report(ev, "user_id", top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix: first-order Markov transition counts and
+# probabilities between consecutive event types per user — the
+# product-analytics "what happens next" readout complementing
+# top_event_paths (whole paths) and funnel_conversion (fixed order).
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+t AS (SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n, tot.n_from,
+       round(t.n / tot.n_from, 6) AS p
+FROM t JOIN tot USING (from_type)
+"""
+
+
+@q("event_transition_matrix", _TRANSITION_ORACLE)
+def _event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    count and conditional probability of each (from -> to) event-type
+    step, ordered by (ts, event_id) within a user.
+
+    Scale shape: ONE shuffle on user_id for the lead() window, one
+    partial-agg count of the (from, to) pairs (|types|^2 rows), and
+    the per-from normalization as a window over that tiny frame — the
+    events table never moves twice."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    t = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wf).alias("n_from"),
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )

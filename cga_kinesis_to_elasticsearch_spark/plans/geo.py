@@ -124,3 +124,62 @@ def geo_radius_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_customers").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_bounds + geo_centroid per nation (ES geo_bounds / geo_centroid
+# aggregations): bounding box and centroid of each nation's customers.
+# ---------------------------------------------------------------------------
+
+_BOUNDS_ORACLE = f"""
+WITH pts AS (SELECT c_custkey, c_nationkey, {_LATLON_SQL} FROM customer),
+s AS (SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(min(lat_centi) AS BIGINT) AS min_lat_c,
+             CAST(max(lat_centi) AS BIGINT) AS max_lat_c,
+             CAST(min(lon_centi) AS BIGINT) AS min_lon_c,
+             CAST(max(lon_centi) AS BIGINT) AS max_lon_c,
+             CAST(sum(lat_centi + 6000) AS BIGINT) AS slat,
+             CAST(sum(lon_centi + 18000) AS BIGINT) AS slon
+      FROM pts GROUP BY c_nationkey)
+SELECT c_nationkey, n_points, min_lat_c, max_lat_c, min_lon_c, max_lon_c,
+       (slat * 10000) // n_points - 60000000 AS centroid_lat_e6,
+       (slon * 10000) // n_points - 180000000 AS centroid_lon_e6
+FROM s
+"""
+
+
+@q("geo_bounds_by_nation", _BOUNDS_ORACLE)
+def _geo_bounds_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds/geo_centroid parity: per-nation bounding box and
+    centroid over integer centi-degree points — min/max/sum close in
+    ONE partial aggregation, and the centroid is emitted as EXACT
+    integer micro-degrees (offset-positive floor division: Spark DIV
+    and DuckDB // agree on non-negative operands, and no float
+    rounding mode is involved — a double centroid can land on an
+    exact .5 at the rounding digit, where the engines' round-half
+    conventions disagree)."""
+    pts = _pts(spark, sf_dir)
+    s = pts.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("lat_centi").cast("long").alias("min_lat_c"),
+        F.max("lat_centi").cast("long").alias("max_lat_c"),
+        F.min("lon_centi").cast("long").alias("min_lon_c"),
+        F.max("lon_centi").cast("long").alias("max_lon_c"),
+        F.sum(F.col("lat_centi") + 6000).alias("slat"),
+        F.sum(F.col("lon_centi") + 18000).alias("slon"),
+    )
+    return s.select(
+        "c_nationkey",
+        "n_points",
+        "min_lat_c",
+        "max_lat_c",
+        "min_lon_c",
+        "max_lon_c",
+        (F.expr("(slat * 10000) DIV n_points") - 60000000).alias(
+            "centroid_lat_e6"
+        ),
+        (F.expr("(slon * 10000) DIV n_points") - 180000000).alias(
+            "centroid_lon_e6"
+        ),
+    )
