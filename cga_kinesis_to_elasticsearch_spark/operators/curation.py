@@ -71,11 +71,13 @@ def curation_funnel(
     to the FIRST gate that rejects it, exactly matching what
     curate_corpus drops).
 
-    Scale shape: the same one narrow feature pass as curate_corpus
-    closes the two gate counters map-side (one 1-row aggregate); only
-    gate survivors shuffle for the dedup-election count (the exchange
-    curate_corpus needs anyway). The 3-row funnel assembles from two
-    single-row frames — no second corpus scan, no driver loop.
+    Scale shape: two NARROW corpus scans (the gate counters close
+    map-side into a 1-row aggregate on the first; the second shuffles
+    only gate survivors for the dedup-election count — the same
+    exchange curate_corpus needs anyway). Two IO-bound scans beat
+    forcing the rejected rows through the fingerprint shuffle just to
+    share one pass; the 3-row funnel assembles from two single-row
+    frames with no driver loop.
     """
     q = quality_columns(text_col)
     featured = df.select(
