@@ -1,9 +1,10 @@
 """ES statistics/query parity: ``matrix_stats`` (the covariance/
 correlation matrix aggregation), ``percentile_ranks`` (inverse of the
-percentiles agg), and ``span_near`` proximity search — three surfaces
-of the Elasticsearch analytics API the reference's users query daily
-that were not yet mapped (significant_terms / rare_terms /
-auto_date_histogram / highlight etc. live in their own modules).
+percentiles agg), ``span_near`` proximity search, and ``weighted_avg``
+— surfaces of the Elasticsearch analytics API the reference's users
+query daily that were not yet mapped (significant_terms / rare_terms /
+auto_date_histogram / highlight / rank_eval / geo_bounds live in their
+own modules).
 
 Float discipline (see BASELINE oracle notes): every statistic is
 closed from INTEGER sums (quantity is a whole number; discount/tax
