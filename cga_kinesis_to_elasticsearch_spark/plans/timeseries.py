@@ -269,7 +269,7 @@ _INTERP_ORACLE = """
 WITH hourly AS (
   SELECT event_type,
          CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h,
-         round(sum(value), 2) AS v
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vc
   FROM events WHERE event_type IN ('view', 'purchase')
   GROUP BY 1, 2),
 bounds AS (
@@ -278,36 +278,51 @@ grid AS (
   SELECT b.event_type, g.h
   FROM bounds b, LATERAL (SELECT unnest(range(b.h0, b.h1 + 1)) AS h) g),
 joined AS (
-  SELECT g.event_type, g.h, hv.v,
-         last_value(hv.v IGNORE NULLS) OVER w AS prev_v,
-         last_value(CASE WHEN hv.v IS NOT NULL THEN g.h END IGNORE NULLS)
+  SELECT g.event_type, g.h, hv.vc,
+         last_value(hv.vc IGNORE NULLS) OVER w AS prev_c,
+         last_value(CASE WHEN hv.vc IS NOT NULL THEN g.h END IGNORE NULLS)
            OVER w AS prev_h,
-         first_value(hv.v IGNORE NULLS) OVER w2 AS next_v,
-         first_value(CASE WHEN hv.v IS NOT NULL THEN g.h END IGNORE NULLS)
+         first_value(hv.vc IGNORE NULLS) OVER w2 AS next_c,
+         first_value(CASE WHEN hv.vc IS NOT NULL THEN g.h END IGNORE NULLS)
            OVER w2 AS next_h
   FROM grid g LEFT JOIN hourly hv ON g.event_type = hv.event_type
                                  AND g.h = hv.h
   WINDOW w AS (PARTITION BY g.event_type ORDER BY g.h
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
          w2 AS (PARTITION BY g.event_type ORDER BY g.h
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-SELECT event_type, h AS hour_epoch, v IS NOT NULL AS observed,
-       round(CASE WHEN v IS NOT NULL THEN v
-                  WHEN prev_v IS NULL THEN next_v
-                  WHEN next_v IS NULL THEN prev_v
-                  ELSE prev_v + (next_v - prev_v)
-                       * (CAST(h - prev_h AS DOUBLE) / (next_h - prev_h))
-             END, 4) AS v_filled
-FROM joined
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+nd AS (
+  SELECT event_type, h, vc,
+         CASE WHEN vc IS NOT NULL THEN vc
+              WHEN prev_c IS NULL THEN next_c
+              WHEN next_c IS NULL THEN prev_c
+              ELSE prev_c * (next_h - prev_h)
+                   + (next_c - prev_c) * (h - prev_h) END AS num,
+         CASE WHEN vc IS NOT NULL OR prev_c IS NULL OR next_c IS NULL
+              THEN CAST(1 AS BIGINT) ELSE next_h - prev_h END AS den
+  FROM joined)
+SELECT event_type, h AS hour_epoch, vc IS NOT NULL AS observed,
+       ((200 * num + den) // (2 * den)) / 10000.0 AS v_filled
+FROM nd
 """
 
 
 @q("interpolate_hourly", _INTERP_ORACLE)
 def _interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly grid with LINEAR interpolation over missing hours:
-    forward/backward last-observation windows carry (value, hour) of
+    forward/backward last-observation windows carry (cents, hour) of
     the nearest observed neighbours; the fill is the exact lerp between
     them (edges clamp to the single available neighbour).
+
+    Float discipline: the hourly series is staged as an INTEGER cent
+    sum (order-free — a float sum rounded to cents flips at the .005
+    boundary depending on engine accumulation order), the lerp
+    numerator/denominator stay integers, and half-up rounding to 1e-4
+    dollars is pure integer math ((200*num+den) div (2*den)); the ONLY
+    float op is the final exact-integer / 10000.0 division, identical
+    on both engines. Non-negative values by data contract (the integer
+    half-up identity assumes num >= 0); headroom is 200 * vc_max *
+    gap_hours < 2^63 — $2.3e11/hour at a 10^5-hour gap.
 
     Scale shape: interpolation runs on the AGGREGATED hourly series
     (|event_type| x |hours| rows), never raw facts. The grid explodes
@@ -323,7 +338,7 @@ def _interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
             .alias("h"),
         )
-        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("vc"))
     )
     bounds = hourly.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
@@ -342,30 +357,44 @@ def _interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(0, Window.unboundedFollowing)
     )
-    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    obs_h = F.when(F.col("vc").isNotNull(), F.col("h"))
     st = joined.select(
         "event_type",
         "h",
-        "v",
-        F.last("v", ignorenulls=True).over(wb).alias("prev_v"),
+        "vc",
+        F.last("vc", ignorenulls=True).over(wb).alias("prev_c"),
         F.last(obs_h, ignorenulls=True).over(wb).alias("prev_h"),
-        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first("vc", ignorenulls=True).over(wf).alias("next_c"),
         F.first(obs_h, ignorenulls=True).over(wf).alias("next_h"),
     )
-    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
-        (F.col("h") - F.col("prev_h")).cast("double")
-        / (F.col("next_h") - F.col("prev_h"))
+    gap = F.col("next_h") - F.col("prev_h")
+    lerp_num = F.col("prev_c") * gap + (
+        F.col("next_c") - F.col("prev_c")
+    ) * (F.col("h") - F.col("prev_h"))
+    nd = st.select(
+        "event_type",
+        "h",
+        "vc",
+        F.when(F.col("vc").isNotNull(), F.col("vc"))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .otherwise(lerp_num)
+        .alias("num"),
+        F.when(
+            F.col("vc").isNotNull()
+            | F.col("prev_c").isNull()
+            | F.col("next_c").isNull(),
+            F.lit(1).cast("long"),
+        )
+        .otherwise(gap)
+        .alias("den"),
     )
-    return st.select(
+    return nd.select(
         "event_type",
         F.col("h").alias("hour_epoch"),
-        F.col("v").isNotNull().alias("observed"),
-        F.round(
-            F.when(F.col("v").isNotNull(), F.col("v"))
-            .when(F.col("prev_v").isNull(), F.col("next_v"))
-            .when(F.col("next_v").isNull(), F.col("prev_v"))
-            .otherwise(lerp),
-            4,
+        F.col("vc").isNotNull().alias("observed"),
+        (
+            F.expr("(200 * num + den) div (2 * den)") / F.lit(10000.0)
         ).alias("v_filled"),
     )
 
