@@ -16,6 +16,7 @@ no float sums, no order sensitivity.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import broadcast
 
 from .declared import _t, q
 
@@ -308,4 +309,222 @@ def _weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("spq") / (F.lit(100.0) * F.col("sq")), 9).alias(
             "weighted_avg_price"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# string_stats: ES's string_stats aggregation over documents.text —
+# count / min_length / max_length / avg_length / Shannon char entropy.
+# ---------------------------------------------------------------------------
+
+_SSTATS_ORACLE = """
+WITH chars AS (
+  SELECT unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+  FROM documents),
+cc AS (SELECT ch, count(*) AS cnt FROM chars GROUP BY ch),
+lens AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(length(text)) AS BIGINT) AS min_length,
+         CAST(max(length(text)) AS BIGINT) AS max_length,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM documents),
+s AS (
+  SELECT list_sum(list(cnt * ln(CAST(cnt AS DOUBLE)) ORDER BY ch ASC))
+           AS slog,
+         CAST(sum(cnt) AS BIGINT) AS n_chars
+  FROM cc)
+SELECT n_docs, min_length, max_length,
+       round(total_chars / (1.0 * n_docs), 6) AS avg_length,
+       round((ln(CAST(n_chars AS DOUBLE)) - slog / n_chars) / ln(2.0), 6)
+         AS entropy
+FROM lens CROSS JOIN s
+"""
+
+
+@q("string_stats_text", _SSTATS_ORACLE)
+def _string_stats_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats parity over documents.text: value count, min/
+    max/avg length, and Shannon entropy of the corpus character
+    distribution (H = (ln N - sum(c*ln c)/N) / ln 2).
+
+    Float discipline: char counts are integers; the entropy fold runs
+    over the ascending-char sorted count array on BOTH engines
+    (array_sort + left fold here, list ORDER BY ch in the oracle), so
+    the float sum of c*ln(c) is the identical operand sequence — the
+    same determinism contract as text.unigram_logprob.
+
+    Scale shape: chars explode per-doc ALPHABET (array_distinct),
+    never per character — the exploded row count is bounded by
+    |alphabet| per doc (~10^2), and the global char-count table is
+    |alphabet| rows, collapsing to one row for the fold. The length
+    stats are one map-side-combinable agg. The two single-row frames
+    cross-join at kilobyte cost."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    per_doc = docs.select(
+        F.explode(
+            F.transform(
+                F.array_distinct(chars),
+                lambda c: F.struct(
+                    c.alias("ch"),
+                    F.size(F.filter(chars, lambda x: x == c)).alias("cnt"),
+                ),
+            )
+        ).alias("p")
+    )
+    cc = per_doc.groupBy(F.col("p.ch").alias("ch")).agg(
+        F.sum("p.cnt").alias("cnt")
+    )
+    lens = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.length("text")).cast("long").alias("min_length"),
+        F.max(F.length("text")).cast("long").alias("max_length"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    s = (
+        cc.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ch"), F.col("cnt")))
+            ).alias("arr"),
+            F.sum("cnt").alias("n_chars"),
+        )
+        .select(
+            F.aggregate(
+                "arr",
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["cnt"] * F.log(x["cnt"].cast("double")),
+            ).alias("slog"),
+            "n_chars",
+        )
+    )
+    return lens.crossJoin(s).select(
+        "n_docs",
+        "min_length",
+        "max_length",
+        F.round(F.col("total_chars") / (1.0 * F.col("n_docs")), 6).alias(
+            "avg_length"
+        ),
+        F.round(
+            (
+                F.log(F.col("n_chars").cast("double"))
+                - F.col("slog") / F.col("n_chars")
+            )
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_metrics: ES's top_metrics aggregation — per bucket, the metric
+# values taken from the document with the greatest sort key.
+# ---------------------------------------------------------------------------
+
+_TOPM_ORACLE = """
+WITH e AS (
+  SELECT event_type, value, user_id,
+         CAST(epoch_us(ts) AS BIGINT) AS ep,
+         lpad(CAST(CAST(epoch_us(ts) AS BIGINT) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(arg_max(value, sk), 2) AS top_value,
+       CAST(arg_max(user_id, sk) AS BIGINT) AS top_user,
+       CAST(max(ep) AS BIGINT) AS latest_ts_us
+FROM e GROUP BY event_type
+"""
+
+
+@q("top_metrics_latest", _TOPM_ORACLE)
+def _top_metrics_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics parity: per event_type, the value and user of
+    the LATEST event (sort = ts desc), plus bucket size — max_by over
+    a zero-padded (epoch_micros, event_id) string key so ties break
+    identically on both engines without a window.
+
+    Scale shape: a single map-side-combinable aggregate (max_by
+    partials carry one row per group) — no window, no per-group sort,
+    one shuffle on the handful of event_type keys whose partials are
+    already collapsed per map task, so hot types cannot skew a
+    reducer."""
+    ev = _t(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts"))
+    sk = F.concat(
+        F.lpad(ep.cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    e = ev.select(
+        "event_type", "value", "user_id", ep.alias("ep"), sk.alias("sk")
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max_by("value", F.col("sk")), 2).alias("top_value"),
+        F.max_by("user_id", F.col("sk")).cast("long").alias("top_user"),
+        F.max("ep").cast("long").alias("latest_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# median_absolute_deviation: ES's MAD aggregation — robust dispersion,
+# exact via integer cents and the interpolated median on both engines.
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+  FROM lineitem),
+med AS (
+  SELECT l_returnflag, quantile_cont(pc, 0.5) AS med
+  FROM li GROUP BY l_returnflag),
+dev AS (
+  SELECT li.l_returnflag, abs(li.pc - med.med) AS d
+  FROM li JOIN med USING (l_returnflag)),
+mad AS (
+  SELECT l_returnflag, quantile_cont(d, 0.5) AS mad
+  FROM dev GROUP BY l_returnflag)
+SELECT med.l_returnflag,
+       round(med.med / 100.0, 4) AS median_price,
+       round(mad.mad / 100.0, 4) AS mad_price
+FROM med JOIN mad USING (l_returnflag)
+"""
+
+
+@q("mad_price_by_flag", _MAD_ORACLE)
+def _mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation parity per return flag: median of
+    |price - median(price)|, the robust alternative to stddev.
+
+    Float discipline: prices stage as integer cents; both engines'
+    interpolated median of integers is the midpoint of two ints
+    (exactly representable), so the deviations are exact .5-step
+    doubles and the second median is exact again — the closing
+    round/divide is the only lossy float op, on identical operands.
+
+    Scale shape: two exact-percentile aggregates (percentile()
+    partials merge map-side, memory bounded by distinct cent values
+    per group, not rows) with the per-group medians broadcast back
+    between them; an unbounded value domain would swap in the KLL
+    sketch (operators/sketches.py) at the same call shape."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("pc"),
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(pc, 0.5)").alias("med")
+    )
+    dev = li.join(broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("pc") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return med.join(mad, "l_returnflag").select(
+        "l_returnflag",
+        F.round(F.col("med") / 100.0, 4).alias("median_price"),
+        F.round(F.col("mad") / 100.0, 4).alias("mad_price"),
     )
