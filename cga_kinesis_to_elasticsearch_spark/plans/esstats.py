@@ -514,8 +514,13 @@ def _mad_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pc"),
     )
-    med = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(pc, 0.5)").alias("med")
+    # med is referenced by BOTH the deviation join and the closing
+    # join; cut its lineage so the first exact-percentile pass (a full
+    # fact scan) runs once, not once per reference.
+    med = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(pc, 0.5)").alias("med"))
+        .localCheckpoint()
     )
     dev = li.join(broadcast(med), "l_returnflag").select(
         "l_returnflag", F.abs(F.col("pc") - F.col("med")).alias("d")
