@@ -35,6 +35,7 @@ _MODULES = (
     "privacy",
     "hierarchy_query",
     "esstats",
+    "pipelineaggs",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
