@@ -176,6 +176,77 @@ def _bucket_control_topdays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# date_range x filters: the two remaining bucket aggs of the ES core
+# — explicit [from, to) date buckets with nested named filters.
+# ---------------------------------------------------------------------------
+
+_DATE_RANGE_FILTERS_ORACLE = """
+WITH staged AS (
+  SELECT CASE WHEN ts <  TIMESTAMP '2024-01-10' THEN 'to-01-10'
+              WHEN ts <  TIMESTAMP '2024-01-20' THEN '01-10_to_01-20'
+              ELSE 'from-01-20' END AS bucket,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN v_c >= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_value,
+       CAST(sum(v_c) AS BIGINT) AS v_c_total,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN v_c ELSE 0 END)
+            AS BIGINT) AS v_c_purchase
+FROM staged
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@q("date_range_filters_agg", _DATE_RANGE_FILTERS_ORACLE)
+def _date_range_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``date_range`` (explicit ``[from, to)`` buckets, ES's
+    inclusive-from/exclusive-to convention) with a nested ``filters``
+    agg (named overlapping predicates: purchase docs, high-value docs
+    — a doc counts in EVERY filter it matches, per ES semantics),
+    metrics in exact cents.
+
+    Scale shape: the bucket key is a narrow CASE inside codegen — one
+    partial-aggregated shuffle of 3 grouping keys; filters are
+    conditional-agg columns, not separate scans (ES evaluates all
+    named filters in one pass the same way)."""
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        F.when(F.col("ts") < F.lit("2024-01-10").cast("timestamp"), "to-01-10")
+        .when(
+            F.col("ts") < F.lit("2024-01-20").cast("timestamp"),
+            "01-10_to_01-20",
+        )
+        .otherwise("from-01-20")
+        .alias("bucket"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(is_purchase, 1).otherwise(0)).alias("n_purchase"),
+            F.sum(
+                F.when(F.col("v_c") >= 10000, 1).otherwise(0)
+            ).alias("n_high_value"),
+            F.sum("v_c").alias("v_c_total"),
+            F.sum(F.when(is_purchase, F.col("v_c")).otherwise(0)).alias(
+                "v_c_purchase"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # categorize_text: group semi-structured text by its template after
 # masking numeric tokens — the ML log-categorization aggregation.
 # ---------------------------------------------------------------------------

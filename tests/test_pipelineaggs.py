@@ -123,6 +123,44 @@ class TestBucketControl:
         assert got[0].v_c == 33 and got[0].avg_value == 0.11
 
 
+class TestDateRangeFilters:
+    def _run(self, spark, monkeypatch, rows):
+        monkeypatch.setattr(PA, "_t", lambda s, d, n: _events(spark, rows))
+        out = _unwrap(PA._date_range_filters_agg)(spark, "unused")
+        return {r.bucket: r for r in out.collect()}
+
+    def test_from_inclusive_to_exclusive(self, spark, monkeypatch):
+        # base ts is 2024-01-01 12:00; offsets put events around the
+        # 01-10 and 01-20 cuts: day 8 -> Jan 9 (before), day 9 ->
+        # Jan 10 12:00 (AFTER the midnight cut: from is inclusive)
+        rows = [
+            (1, 1, 8, "view", 1.0),   # Jan 9  -> to-01-10
+            (2, 1, 9, "view", 1.0),   # Jan 10 -> middle bucket
+            (3, 1, 18, "view", 1.0),  # Jan 19 -> middle bucket
+            (4, 1, 19, "view", 1.0),  # Jan 20 -> from-01-20
+        ]
+        got = self._run(spark, monkeypatch, rows)
+        assert got["to-01-10"].n_total == 1
+        assert got["01-10_to_01-20"].n_total == 2
+        assert got["from-01-20"].n_total == 1
+
+    def test_filters_overlap(self, spark, monkeypatch):
+        # a high-value purchase counts in BOTH named filters (ES
+        # filters-agg semantics: independent predicates)
+        rows = [
+            (1, 1, 0, "purchase", 150.0),
+            (2, 1, 0, "view", 150.0),
+            (3, 1, 0, "purchase", 1.0),
+        ]
+        got = self._run(spark, monkeypatch, rows)
+        b = got["to-01-10"]
+        assert b.n_total == 3
+        assert b.n_purchase == 2
+        assert b.n_high_value == 2
+        assert b.v_c_total == 30100
+        assert b.v_c_purchase == 15100
+
+
 class TestCategorizeText:
     def _run(self, spark, monkeypatch, rows):
         monkeypatch.setattr(PA, "_t", lambda s, d, n: _docs(spark, rows))
