@@ -70,6 +70,12 @@ QUERIES = [
     "matrix_stats_lineitem",
     "key_skew_report_users",
     "kinesis_sim_pipeline",
+    # ES pipeline-agg tail: windowed bucket chains, bucket control
+    # trio, log-template grouping, date_range x filters
+    "pipeline_aggs_daily",
+    "bucket_control_topdays",
+    "categorize_text_templates",
+    "date_range_filters_agg",
 ]
 
 
