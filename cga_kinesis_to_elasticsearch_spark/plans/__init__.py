@@ -36,6 +36,7 @@ _MODULES = (
     "hierarchy_query",
     "esstats",
     "pipelineaggs",
+    "esaggstail",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
