@@ -76,6 +76,18 @@ QUERIES = [
     "bucket_control_topdays",
     "categorize_text_templates",
     "date_range_filters_agg",
+    # ES aggregation tail: disc-quantile boxplot, single-row Welch
+    # reduce, calendar/value-grid bucket aggs, vocab-sized fuzzy
+    # expansion, sampled estimate
+    "boxplot_value_by_type",
+    "ttest_quantity_returnflag",
+    "rate_orders_monthly",
+    "multi_terms_status_priority",
+    "change_point_daily_orders",
+    "fuzzy_terms_part",
+    "ip_prefix_counts",
+    "random_sampler_estimate",
+    "variable_width_histogram_price",
 ]
 
 
