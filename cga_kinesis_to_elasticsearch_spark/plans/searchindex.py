@@ -795,3 +795,117 @@ def _search_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _search_rank_eval.__doc__ = _search_rank_eval.__doc__.format(k=_EVAL_K)
+
+
+# ---------------------------------------------------------------------------
+# phrase suggester: whole-phrase spelling correction against the
+# corpus vocabulary (ES phrase suggester: per-token candidate
+# generation by edit distance, ranked by frequency).
+# ---------------------------------------------------------------------------
+
+_PHRASE_PROBE = ["sloww", "merge", "qurey", "zzzqx"]
+_PHRASE_VALUES = ", ".join(
+    f"({i}, '{w}')" for i, w in enumerate(_PHRASE_PROBE)
+)
+_PHRASE_MAX_DIST = 2
+
+_PHRASE_SUGGEST_ORACLE = f"""
+WITH probe(pos, input_term) AS (VALUES {_PHRASE_VALUES}),
+n AS (SELECT doc_id, {_norm_sql('text')} AS norm FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS term
+        FROM n),
+vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tok
+          WHERE term <> '' GROUP BY term),
+cand AS (
+  SELECT p.pos, p.input_term, v.term, v.df,
+         levenshtein(v.term, p.input_term) AS dist
+  FROM probe p JOIN vocab v
+    ON levenshtein(v.term, p.input_term) <= {_PHRASE_MAX_DIST}
+),
+best AS (
+  SELECT pos, term, df, dist,
+         row_number() OVER (
+           PARTITION BY pos
+           ORDER BY dist ASC, df DESC, term ASC) AS rn
+  FROM cand
+)
+SELECT CAST(p.pos AS BIGINT) AS pos, p.input_term,
+       coalesce(b.term, p.input_term) AS suggestion,
+       CAST(b.dist AS BIGINT) AS dist,
+       coalesce(b.df, 0) AS df
+FROM probe p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON p.pos = b.pos
+ORDER BY pos
+"""
+
+
+@q("phrase_suggest_correction", _PHRASE_SUGGEST_ORACLE)
+def _phrase_suggest_correction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES phrase-suggester analogue: each probe token is corrected to
+    the vocabulary term with the smallest edit distance (<= 2), ties
+    broken by document frequency then term; tokens already in the
+    vocabulary self-correct at distance 0 and OOV tokens with no
+    candidate pass through with a NULL distance.
+
+    Scale shape: the data-sized work is the distinct (doc, term)
+    vocabulary aggregation (one term-keyed exchange, vocabulary-sized
+    output); the probe is a literal handful of rows BROADCAST against
+    the vocabulary, so candidate generation is a narrow map over
+    distinct terms — never over documents — and the final window runs
+    on the candidate handful."""
+    from pyspark.sql import Window, functions as F
+
+    from ..operators.dedup import normalized_text
+
+    docs = _tp(spark, sf_dir, "documents")
+    probe = spark.createDataFrame(
+        list(enumerate(_PHRASE_PROBE)), "pos long, input_term string"
+    )
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(normalized_text(F.col("text")), " ")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.functions import broadcast
+
+    cand = vocab.join(broadcast(probe)).where(
+        F.levenshtein(F.col("term"), F.col("input_term"))
+        <= _PHRASE_MAX_DIST
+    )
+    cand = cand.withColumn(
+        "dist", F.levenshtein(F.col("term"), F.col("input_term"))
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "pos",
+            F.col("term").alias("suggestion0"),
+            F.col("dist").cast("long").alias("dist"),
+            F.col("df").alias("df0"),
+        )
+    )
+    return (
+        probe.join(best, "pos", "left")
+        .select(
+            "pos",
+            "input_term",
+            F.coalesce(F.col("suggestion0"), F.col("input_term")).alias(
+                "suggestion"
+            ),
+            "dist",
+            F.coalesce(F.col("df0"), F.lit(0).cast("long")).alias("df"),
+        )
+        .orderBy("pos")
+    )
