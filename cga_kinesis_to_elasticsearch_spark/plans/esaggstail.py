@@ -739,3 +739,132 @@ def _variable_width_histogram_price(
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# terms + doc_count_error_upper_bound: the distributed top-N merge ES
+# actually performs — each shard returns its local top shard_size
+# terms, the coordinator sums what it received, and a term missing
+# from a shard is charged that shard's smallest returned count as the
+# worst-case undercount. Shards here are deterministic md5 buckets of
+# the DOCUMENT id (a term's docs scatter across shards, as in ES).
+# ---------------------------------------------------------------------------
+
+_TSE_SHARDS = 8
+_TSE_SHARD_SIZE = 12
+_TSE_TOPN = 10
+
+_TSE_ORACLE = f"""
+WITH base AS (
+  SELECT user_id AS term,
+         (('0x' || substr(md5('sh:' || CAST(event_id AS VARCHAR)), 1, 4))
+           ::BIGINT) % {_TSE_SHARDS} AS shard
+  FROM events
+),
+pc AS (SELECT shard, term, count(*) AS cnt FROM base GROUP BY 1, 2),
+r AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY shard ORDER BY cnt DESC, term ASC) AS rn,
+         count(*) OVER (PARTITION BY shard) AS shard_terms
+  FROM pc
+),
+kept AS (SELECT * FROM r WHERE rn <= {_TSE_SHARD_SIZE}),
+thr AS (
+  SELECT shard,
+         CASE WHEN max(shard_terms) > {_TSE_SHARD_SIZE}
+              THEN min(cnt) ELSE 0 END AS thr
+  FROM kept GROUP BY shard
+),
+tot AS (SELECT CAST(sum(thr) AS BIGINT) AS total_thr FROM thr),
+merged AS (
+  SELECT k.term,
+         CAST(sum(k.cnt) AS BIGINT) AS doc_count,
+         CAST(sum(t.thr) AS BIGINT) AS covered_thr
+  FROM kept k JOIN thr t USING (shard) GROUP BY k.term
+)
+SELECT term, doc_count,
+       CAST(tot.total_thr - covered_thr AS BIGINT)
+         AS doc_count_error_upper_bound
+FROM merged CROSS JOIN tot
+ORDER BY doc_count DESC, term ASC LIMIT {_TSE_TOPN}
+"""
+
+
+@q("terms_shard_error_bounds", _TSE_ORACLE)
+def _terms_shard_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation shard-merge parity: local top-shard_size
+    per md5-document shard, coordinator-side sum, and the exact
+    doc_count_error_upper_bound contract — a term absent from a
+    shard's returned list is charged that shard's smallest returned
+    count (zero when the shard returned its whole term list).
+
+    Scale shape: the data-sized work is ONE partial-aggregated
+    exchange to (shard, term) counts; the per-shard top-K window runs
+    on the count frame (term-cardinality-sized, a rank prune away
+    from tiny) and everything after — thresholds, coverage join,
+    final top-N — is shard_size x shards rows. Deterministic where
+    real ES is not: shards are md5 buckets, ties break on the term."""
+    ev = _t(spark, sf_dir, "events")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sh:"), F.col("event_id").cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _TSE_SHARDS
+    )
+    pc = (
+        ev.select(F.col("user_id").alias("term"), shard.alias("shard"))
+        .groupBy("shard", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ws = Window.partitionBy("shard")
+    wr = Window.partitionBy("shard").orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    kept = (
+        pc.select(
+            "*",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(ws).alias("shard_terms"),
+        )
+        .where(F.col("rn") <= _TSE_SHARD_SIZE)
+    )
+    thr = kept.groupBy("shard").agg(
+        F.when(
+            F.max("shard_terms") > _TSE_SHARD_SIZE, F.min("cnt")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("thr")
+    )
+    tot = thr.agg(F.sum("thr").alias("total_thr"))
+    merged = (
+        kept.join(broadcast(thr), "shard")
+        .groupBy("term")
+        .agg(
+            F.sum("cnt").alias("doc_count"),
+            F.sum("thr").alias("covered_thr"),
+        )
+    )
+    return (
+        merged.crossJoin(broadcast(tot))
+        .select(
+            "term",
+            "doc_count",
+            (F.col("total_thr") - F.col("covered_thr")).alias(
+                "doc_count_error_upper_bound"
+            ),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col("term").asc())
+        .limit(_TSE_TOPN)
+    )

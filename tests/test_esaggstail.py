@@ -250,3 +250,58 @@ class TestVariableWidthHistogram:
         by_bucket = {r.bucket: r for r in out}
         assert by_bucket[0].doc_count == 12
         assert by_bucket[0].min_price == by_bucket[0].max_price == 5.0
+
+
+class TestTermsShardError:
+    def test_matches_pure_python_merge(self, spark, monkeypatch):
+        import hashlib
+        from collections import Counter, defaultdict
+
+        # 40 users x varying frequency; doc ids scatter over md5 shards
+        rows = []
+        eid = 0
+        for uid in range(1, 41):
+            for _ in range(uid % 7 + 1):
+                rows.append((eid, uid, "view", 1.0))
+                eid += 1
+        monkeypatch.setattr(ET, "_t", lambda s, d, n: _events(spark, rows))
+        out = _unwrap(ET._terms_shard_error_bounds)(
+            spark, "unused"
+        ).collect()
+
+        # replicate the contract in plain python
+        per_shard = defaultdict(Counter)
+        for e, uid, _, _ in rows:
+            h = hashlib.md5(f"sh:{e}".encode()).hexdigest()[:4]
+            per_shard[int(h, 16) % ET._TSE_SHARDS][uid] += 1
+        kept, thr = {}, {}
+        for s, c in per_shard.items():
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            kept[s] = dict(ranked[: ET._TSE_SHARD_SIZE])
+            thr[s] = (
+                min(kept[s].values())
+                if len(ranked) > ET._TSE_SHARD_SIZE
+                else 0
+            )
+        total_thr = sum(thr.values())
+        doc_count, covered = Counter(), Counter()
+        for s, ks in kept.items():
+            for t, n in ks.items():
+                doc_count[t] += n
+                covered[t] += thr[s]
+        exp = sorted(
+            (
+                (t, doc_count[t], total_thr - covered[t])
+                for t in doc_count
+            ),
+            key=lambda r: (-r[1], r[0]),
+        )[: ET._TSE_TOPN]
+        got = [
+            (r.term, r.doc_count, r.doc_count_error_upper_bound)
+            for r in out
+        ]
+        assert got == exp
+        # the bound must be a genuine upper bound on the true count
+        true = Counter(uid for _, uid, _, _ in rows)
+        for t, dc, err in got:
+            assert dc <= true[t] <= dc + err
