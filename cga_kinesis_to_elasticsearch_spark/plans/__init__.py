@@ -37,6 +37,7 @@ _MODULES = (
     "esstats",
     "pipelineaggs",
     "esaggstail",
+    "esaggstail2",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
