@@ -38,6 +38,7 @@ _MODULES = (
     "pipelineaggs",
     "esaggstail",
     "esaggstail2",
+    "dpp",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
