@@ -524,3 +524,116 @@ def _field_collapse_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("v"), "event_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_distance: distance-ring buckets from a fixed origin.
+# ---------------------------------------------------------------------------
+
+# Planar centi-degree convention shared with plans/geo.py: customers
+# get deterministic (lat_centi, lon_centi) from coprime multipliers.
+_RING_EDGES = (1000, 2000, 4000, 8000)  # centi-degrees
+
+_GEO_RINGS_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         -6000 + (c_custkey * 7) % 12000 AS lat_centi,
+         -18000 + (c_custkey * 13) % 36000 AS lon_centi
+  FROM customer
+),
+d AS (
+  SELECT c_acctbal,
+         (lat_centi - 1500) * (lat_centi - 1500)
+         + (lon_centi + 2500) * (lon_centi + 2500) AS d2
+  FROM pts
+),
+ringed AS (
+  SELECT CASE WHEN d2 < 1000 * 1000 THEN '0-1000'
+              WHEN d2 < 2000 * 2000 THEN '1000-2000'
+              WHEN d2 < 4000 * 4000 THEN '2000-4000'
+              WHEN d2 < 8000 * 8000 THEN '4000-8000'
+              ELSE '8000+' END AS ring,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM d
+)
+SELECT ring, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bal_c) AS BIGINT) AS bal_cents
+FROM ringed GROUP BY ring ORDER BY ring
+"""
+
+
+@q("geo_distance_rings", _GEO_RINGS_ORACLE)
+def _geo_distance_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``geo_distance`` aggregation: concentric distance rings from
+    a fixed origin (1500, -2500 centi-degrees) with count + balance
+    sum per ring — planar centi-degree distance per the repo's geo
+    convention (`plans/geo.py`), SQUARED distance compared to squared
+    edges so the ring assignment never leaves integer arithmetic.
+
+    Scale shape: pure narrow per-row ring label (no sqrt, no join)
+    then one 5-group partial-agg shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    lat = F.lit(-6000) + (F.col("c_custkey") * 7) % 12000
+    lon = F.lit(-18000) + (F.col("c_custkey") * 13) % 36000
+    d2 = (lat - 1500) * (lat - 1500) + (lon + 2500) * (lon + 2500)
+    ring = (
+        F.when(d2 < 1000 * 1000, "0-1000")
+        .when(d2 < 2000 * 2000, "1000-2000")
+        .when(d2 < 4000 * 4000, "2000-4000")
+        .when(d2 < 8000 * 8000, "4000-8000")
+        .otherwise("8000+")
+    )
+    return (
+        cust.select(
+            ring.alias("ring"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+        .groupBy("ring")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bal_c").alias("bal_cents"))
+        .orderBy("ring")
+    )
+
+
+# ---------------------------------------------------------------------------
+# search_after: cursor pagination without offset scans.
+# ---------------------------------------------------------------------------
+
+_SEARCH_AFTER_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY v DESC, event_id) AS rn FROM s
+)
+SELECT event_id, user_id, event_type, v
+FROM ranked WHERE rn BETWEEN 11 AND 20
+ORDER BY v DESC, event_id
+"""
+
+
+@q("search_after_page", _SEARCH_AFTER_ORACLE)
+def _search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``search_after`` deep pagination: page 2 (rows 11-20) of
+    events sorted by (value desc, event_id), fetched the cursor way —
+    the client holds the last sort key of page 1 and the engine
+    filters PAST it, never materializing an offset.
+
+    Scale shape: page 1 is a TakeOrdered(10) reduction; its last row
+    (the cursor — 1 row to the driver, exactly what an ES client
+    holds) becomes a narrow pushed-down filter for page 2, which is
+    again TakeOrdered(10). No global sort, no rank window over all
+    hits — the oracle's row_number BETWEEN form is the offset
+    anti-pattern this replaces."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    page1 = s.orderBy(F.desc("v"), "event_id").limit(10).collect()
+    cv, ce = page1[-1]["v"], page1[-1]["event_id"]
+    after = (F.col("v") < cv) | ((F.col("v") == cv) & (F.col("event_id") > ce))
+    return s.where(after).orderBy(F.desc("v"), "event_id").limit(10)
