@@ -1,6 +1,6 @@
 """ES aggregation tail, part 2: the remaining Elasticsearch
 aggregation / search families with no analogue yet —
-``adjacency_matrix``, ``diversified_sampler``, ``moving_percentiles``,
+``diversified_sampler``, ``moving_percentiles``,
 ``normalize``, ``bucket_count_ks_test``, ``frequent_item_sets``,
 ``function_score`` decay scoring, and ``collapse`` (field collapsing
 with inner-hit accounting).
@@ -25,73 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from .declared import _t, q
-
-# ---------------------------------------------------------------------------
-# adjacency_matrix: named filters + pairwise intersection counts.
-# ---------------------------------------------------------------------------
-
-_ADJACENCY_ORACLE = """
-WITH flags AS (
-  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f_en,
-         CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS f_long,
-         CASE WHEN source IN ('src0','src1','src2','src3','src4')
-              THEN 1 ELSE 0 END AS f_lowsrc
-  FROM documents
-),
-sums AS (
-  SELECT CAST(sum(f_en) AS BIGINT) AS en,
-         CAST(sum(f_long) AS BIGINT) AS long_docs,
-         CAST(sum(f_lowsrc) AS BIGINT) AS lowsrc,
-         CAST(sum(f_en * f_long) AS BIGINT) AS en_long,
-         CAST(sum(f_en * f_lowsrc) AS BIGINT) AS en_lowsrc,
-         CAST(sum(f_long * f_lowsrc) AS BIGINT) AS long_lowsrc
-  FROM flags
-)
-SELECT key, doc_count FROM (
-  SELECT 'en' AS key, en AS doc_count FROM sums
-  UNION ALL SELECT 'long', long_docs FROM sums
-  UNION ALL SELECT 'lowsrc', lowsrc FROM sums
-  UNION ALL SELECT 'en&long', en_long FROM sums
-  UNION ALL SELECT 'en&lowsrc', en_lowsrc FROM sums
-  UNION ALL SELECT 'long&lowsrc', long_lowsrc FROM sums
-) WHERE doc_count > 0 ORDER BY key
-"""
-
-
-@q("adjacency_matrix_docs", _ADJACENCY_ORACLE)
-def _adjacency_matrix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ES ``adjacency_matrix`` aggregation: three named filters over
-    the document corpus (`en`, `long`, `lowsrc`) plus every pairwise
-    intersection bucket (`a&b` keys, empty buckets omitted — ES
-    semantics).
-
-    Scale shape: ONE narrow scan computes all six counts as
-    map-side-combinable sums of boolean products (no per-filter
-    passes, no join); the bucket pivot (`stack`) runs on a single
-    6-value row. At 100 TB this is a single partial-agg shuffle of
-    six longs per task."""
-    docs = _t(spark, sf_dir, "documents")
-    f_en = (F.col("lang") == "en").cast("long")
-    f_long = (F.col("n_chars") >= 300).cast("long")
-    f_low = F.col("source").isin("src0", "src1", "src2", "src3", "src4").cast("long")
-    sums = docs.agg(
-        F.sum(f_en).alias("en"),
-        F.sum(f_long).alias("long_docs"),
-        F.sum(f_low).alias("lowsrc"),
-        F.sum(f_en * f_long).alias("en_long"),
-        F.sum(f_en * f_low).alias("en_lowsrc"),
-        F.sum(f_long * f_low).alias("long_lowsrc"),
-    )
-    return (
-        sums.selectExpr(
-            "stack(6, 'en', en, 'long', long_docs, 'lowsrc', lowsrc, "
-            "'en&long', en_long, 'en&lowsrc', en_lowsrc, "
-            "'long&lowsrc', long_lowsrc) AS (key, doc_count)"
-        )
-        .where(F.col("doc_count") > 0)
-        .orderBy("key")
-    )
-
 
 # ---------------------------------------------------------------------------
 # diversified_sampler: cap docs-per-value deterministically, then agg.
