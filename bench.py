@@ -72,6 +72,14 @@ HEADLINE = [
     # co-located join (layout write + exchange-free SMJ)
     "dup_ngram_char_frac",
     "bucketed_orders_join",
+    # ES-tail round-3 additions: market-basket frequent pairs
+    # (Apriori prune + in-row pair expansion), trailing-window exact
+    # moving percentiles over the daily histogram, and the
+    # dynamic-partition-pruned quarter rollup (includes the
+    # month-partitioned store build on first run)
+    "frequent_item_sets_orders",
+    "moving_percentiles_daily",
+    "dpp_quarter_revenue",
 ]
 
 
