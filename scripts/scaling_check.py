@@ -88,6 +88,13 @@ QUERIES = [
     "ip_prefix_counts",
     "random_sampler_estimate",
     "variable_width_histogram_price",
+    # ES aggregation tail 2 + DPP: Apriori-pruned basket pairs,
+    # bucket-frame moving percentiles, domain-frame KS window,
+    # partitioned-store build + runtime-pruned join
+    "frequent_item_sets_orders",
+    "moving_percentiles_daily",
+    "bucket_ks_test_value",
+    "dpp_quarter_revenue",
 ]
 
 
