@@ -570,3 +570,95 @@ def _search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv, ce = page1[-1]["v"], page1[-1]["event_id"]
     after = (F.col("v") < cv) | ((F.col("v") == cv) & (F.col("event_id") > ce))
     return s.where(after).orderBy(F.desc("v"), "event_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# moving_fn model family: linearWeightedAvg + holt over 7-bucket windows.
+# ---------------------------------------------------------------------------
+
+# holt(alpha=0.3, beta=0.1) over a FIXED 7-bucket window is a linear
+# recursion (s_1 = x_1, b_1 = 0; s_t = a*x_t + (1-a)(s+b);
+# b_t = B(s_t - s_{t-1}) + (1-B) b_{t-1}; forecast = s_7 + b_7), so it
+# unrolls to one exact linear combination sum(c_i * x_i). The c_i
+# below are that unroll; both engines evaluate the IDENTICAL literal
+# expression left-to-right, so the doubles agree bit-for-bit.
+_HOLT_COEF = (
+    "-0.0777457993310001",
+    "0.06967475003099996",
+    "0.09988125929999996",
+    "0.13875278999999996",
+    "0.18833699999999995",
+    "0.25109999999999993",
+    "0.32999999999999996",
+)
+
+
+def _holt_expr(arr: str) -> str:
+    # the D suffix keeps Spark from parsing the literals as DECIMAL
+    terms = " + ".join(
+        f"{c}D * element_at({arr}, {i + 1})" for i, c in enumerate(_HOLT_COEF)
+    )
+    return f"round({terms}, 6)"
+
+
+def _holt_sql(arr: str) -> str:
+    terms = " + ".join(f"{c} * {arr}[{i + 1}]" for i, c in enumerate(_HOLT_COEF))
+    return f"round({terms}, 6)"
+
+
+_MOVING_FN_ORACLE = f"""
+WITH buckets AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+framed AS (
+  SELECT event_type, d, n,
+         list(n) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS a
+  FROM buckets
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+       CASE WHEN len(a) = 7 THEN
+         round((1 * a[1] + 2 * a[2] + 3 * a[3] + 4 * a[4] + 5 * a[5]
+                + 6 * a[6] + 7 * a[7]) / 28.0, 9) END AS lwa7,
+       CASE WHEN len(a) = 7 THEN {_holt_sql("a")} END AS holt7
+FROM framed ORDER BY event_type, day
+"""
+
+
+@q("moving_fn_models_daily", _MOVING_FN_ORACLE)
+def _moving_fn_models_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``moving_fn`` model family beyond the plain average (which
+    ``pipeline_aggs_daily`` covers): ``linearWeightedAvg`` (weights
+    rise toward the most recent bucket) and ``holt`` (double
+    exponential smoothing, alpha=0.3 beta=0.1) over a 7-BUCKET
+    trailing window of the per-type daily count histogram — null
+    until the window is full, like ES before enough buckets exist.
+
+    Exactness: the lwa numerator is a pure integer dot product
+    (round once after /28); holt over a fixed window is unrolled to a
+    literal linear combination (see _HOLT_COEF) so both engines run
+    the identical IEEE expression. Scale shape: one partial-agg
+    shuffle to the (type, day) bucket frame, one window over it —
+    the ES coordinating-node shape."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    framed = buckets.withColumn("a", F.collect_list("n").over(w))
+    full = F.size("a") == 7
+    lwa_num = sum(
+        (i + 1) * F.element_at("a", i + 1) for i in range(7)
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.when(full, F.round(lwa_num / F.lit(28.0), 9)).alias("lwa7"),
+        F.when(full, F.expr(_holt_expr("a"))).alias("holt7"),
+    ).orderBy("event_type", "day")

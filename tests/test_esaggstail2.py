@@ -224,6 +224,53 @@ class TestDecayScore:
         assert 0.0 < out[3] < 0.1
 
 
+class TestMovingFnModels:
+    def test_null_until_window_full_and_holt_matches_recursion(
+        self, spark, monkeypatch
+    ):
+        # 9 consecutive days, one 'view' event each except varying
+        # counts: days 1..9 have counts 1..9 (one event per count)
+        rows, eid = [], 0
+        counts = [3, 1, 4, 1, 5, 9, 2, 6, 5]
+        for day, n in enumerate(counts, start=1):
+            for _ in range(n):
+                rows.append(
+                    (eid, dt.datetime(2024, 1, day), 1, "view", 0.0)
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double",
+        )
+        monkeypatch.setattr(E2, "_t", lambda s, d, n: df)
+        out = {
+            r.day: r
+            for r in _unwrap(E2._moving_fn_models_daily)(
+                spark, "unused"
+            ).collect()
+        }
+        # first 6 buckets: window not full -> null
+        assert out["2024-01-06"].lwa7 is None
+        assert out["2024-01-06"].holt7 is None
+        # day 7 window = counts[0:7]
+        xs = counts[0:7]
+        lwa = round(sum((i + 1) * x for i, x in enumerate(xs)) / 28.0, 9)
+        assert out["2024-01-07"].lwa7 == lwa
+
+        def holt(vals, alpha=0.3, beta=0.1):
+            s, b = vals[0], 0.0
+            for t in range(1, len(vals)):
+                ps, pb = s, b
+                s = alpha * vals[t] + (1 - alpha) * (ps + pb)
+                b = beta * (s - ps) + (1 - beta) * pb
+            return s + b
+
+        for day, start in (("2024-01-07", 0), ("2024-01-08", 1), ("2024-01-09", 2)):
+            want = holt(counts[start : start + 7])
+            assert abs(out[day].holt7 - want) < 1e-6, day
+
+
 class TestDiversifiedSampler:
     def test_cap_per_source(self, spark, monkeypatch):
         rows = [(i, "en", "srcA", 100) for i in range(10)] + [
