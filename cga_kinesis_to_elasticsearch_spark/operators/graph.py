@@ -30,6 +30,7 @@ __all__ = [
     "pagerank_fixed",
     "bfs_levels",
     "label_propagation",
+    "kcore",
 ]
 
 
@@ -398,3 +399,34 @@ def label_propagation(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+def kcore(edges: DataFrame, k: int, n_rounds: int) -> DataFrame:
+    """Bounded-round k-core: iteratively peel nodes of degree < ``k``
+    from the canonical edge set for exactly ``n_rounds`` rounds, then
+    return ``(n, deg)`` for the surviving nodes (their degree within
+    the core). Running a FIXED round count (rather than
+    until-fixpoint) keeps the computation replayable by a SQL oracle;
+    once peeling has converged further rounds are no-ops, so
+    ``n_rounds`` only needs to exceed the peel depth (callers size it
+    generously — peel depth grows slowly: each round removes every
+    currently-under-degree node at once).
+
+    Scale shape: each round is one (node) degree aggregation over the
+    CURRENT edge set plus two semi-joins to drop edges with a peeled
+    endpoint; ``localCheckpoint`` per round truncates the iterative
+    lineage exactly as ``pagerank`` does, so round N's plan never
+    re-executes rounds 1..N-1. The edge set only shrinks."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    cur = edges.select("a", "b").localCheckpoint()
+    for _ in range(n_rounds):
+        deg = _degrees(cur)
+        keep = deg.filter(F.col("deg") >= k).select("n")
+        cur = (
+            cur.join(keep.withColumnRenamed("n", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return _degrees(cur).filter(F.col("deg") >= k)

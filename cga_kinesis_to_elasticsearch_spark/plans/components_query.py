@@ -194,3 +194,99 @@ def _neardup_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "batch", F.coalesce("__k", F.lit(False)).alias("kept")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition over the part co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unroll exactly ``rounds`` peel rounds as chained CTEs — the
+    same bounded-round contract as operators/graph.kcore, so both
+    engines produce identical results whether or not peeling has
+    converged by round ``rounds``."""
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+it AS (SELECT i.l_orderkey, i.l_partkey FROM items i JOIN freq USING (l_partkey)),
+rawp AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM it x JOIN it y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+e0 AS MATERIALIZED (SELECT a, b FROM rawp GROUP BY a, b HAVING count(*) >= 2)"""
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM e{i} UNION ALL SELECT b AS n FROM e{i}
+  ) GROUP BY n
+),
+k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE deg >= {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN k{i} ka ON e.a = ka.n
+  JOIN k{i} kb ON e.b = kb.n
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS n FROM e{rounds} UNION ALL SELECT b AS n FROM e{rounds}
+) GROUP BY n HAVING count(*) >= {k} ORDER BY n"""
+    )
+
+
+@q("kcore_parts_graph", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def _kcore_parts_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core (k=2, 6 bounded peel rounds) of the part co-purchase
+    graph: nodes are parts, edges are part pairs bought together in
+    >= 2 orders (the `frequent_item_sets_orders` pair pipeline without
+    the top-N cut). The 2-core strips pendant/chain parts and keeps
+    the densely co-purchased clusters — the same peel used to isolate
+    spam/template clusters in near-dup graphs.
+
+    Scale shape: pair generation is the Apriori-pruned in-row basket
+    expansion (facts never self-join, see frequent_item_sets_orders);
+    each peel round is one degree aggregation + two semi-joins over
+    the SHRINKING edge set with a `localCheckpoint` lineage cut per
+    round (operators/graph.kcore)."""
+    from ..operators.graph import kcore
+    from .declared import _t
+    from pyspark.sql.functions import broadcast
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("l_partkey")
+    )
+    pruned = items.join(broadcast(freq), "l_partkey")
+    baskets = pruned.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("basket")
+    )
+    raw = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(basket, (x, i) -> "
+                "transform(slice(basket, i + 2, size(basket)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("pr")
+    ).select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    edges = (
+        raw.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .where(F.col("s") >= 2)
+        .select("a", "b")
+    )
+    return kcore(edges, _KCORE_K, _KCORE_ROUNDS).orderBy("n")

@@ -277,3 +277,32 @@ class TestLabelPropagation:
         a = self._run(spark, pairs)
         b = self._run(spark, pairs)
         assert a == b
+
+
+class TestKcore:
+    def test_peels_pendant_chain_keeps_clique(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import kcore
+
+        # triangle 1-2-3 plus a pendant chain 3-4-5: the 2-core is the
+        # triangle alone (4 and 5 peel off over two rounds)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "a long, b long"
+        )
+        got = {(r.n, r.deg) for r in kcore(edges, 2, 4).collect()}
+        assert got == {(1, 2), (2, 2), (3, 2)}
+
+    def test_bounded_rounds_are_deterministic_midpeel(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import kcore
+
+        # chain 1-2-3-4-5 with k=2: one round peels 1 and 5, the next
+        # peels 2 and 4, then 3 — with only ONE round the partial peel
+        # is still well-defined: edges (2,3),(3,4) survive round 1
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+        )
+        # round 1 drops edges touching 1 and 5, leaving (2,3),(3,4);
+        # the final deg>=k filter then reports only node 3
+        after1 = {(r.n, r.deg) for r in kcore(edges, 2, 1).collect()}
+        assert after1 == {(3, 2)}
+        # full peel: empty core
+        assert kcore(edges, 2, 4).count() == 0
