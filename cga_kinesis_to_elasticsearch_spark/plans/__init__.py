@@ -39,6 +39,7 @@ _MODULES = (
     "esaggstail",
     "esaggstail2",
     "dpp",
+    "weaklabel_query",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
