@@ -19,10 +19,12 @@ def _docs(spark, rows):
     )
 
 
-BANK2 = [
-    ("lf_a", F.when(F.col("n_chars") >= 100, 1).otherwise(0)),
-    ("lf_b", F.when(F.col("lang") == "xx", -1).otherwise(0)),
-]
+def _bank2():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        ("lf_a", F.when(F.col("n_chars") >= 100, 1).otherwise(0)),
+        ("lf_b", F.when(F.col("lang") == "xx", -1).otherwise(0)),
+    ]
 
 
 class TestVotes:
@@ -35,7 +37,7 @@ class TestVotes:
         ]
         out = {
             r.doc_id: r
-            for r in weak_label_votes(_docs(spark, rows), BANK2).collect()
+            for r in weak_label_votes(_docs(spark, rows), _bank2()).collect()
         }
         assert (out[1].label, out[1].confidence) == (1, 1.0)
         assert (out[2].label, out[2].confidence) == (0, 0.0)
@@ -59,7 +61,7 @@ class TestDiagnostics:
             (4, "t", "en", "s", 50),
         ]
         out = {
-            r.lf: r for r in lf_diagnostics(_docs(spark, rows), BANK2).collect()
+            r.lf: r for r in lf_diagnostics(_docs(spark, rows), _bank2()).collect()
         }
         a, b = out["lf_a"], out["lf_b"]
         assert (a.fired, a.coverage) == (2, 0.5)
