@@ -858,3 +858,66 @@ def random_projection(
         ]
     )
     return df.select(F.col(id_col), proj.alias(out_col))
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 10_000,
+) -> DataFrame:
+    """Greedy k-center coreset selection: seed with the smallest id,
+    then repeatedly add the point FARTHEST (max-min distance) from
+    the chosen set — the classic diversity/coverage coreset used to
+    downsample embedding spaces before expensive training.
+
+    Determinism across engines: every coordinate is quantized to an
+    integer grid (``round(x * quant_scale)``) FIRST, so squared L2
+    distances are exact integer sums — the argmax never depends on
+    float summation order. Ties break on the smaller id.
+
+    Returns ``(sel_round, vec_id, d2q)``: selection order, chosen id,
+    and the exact quantized squared distance to the previously chosen
+    set (0 for the seed).
+
+    Scale shape: each of the k rounds is ONE narrow scan — the chosen
+    centers ride along as k broadcast literal arrays (k rows to the
+    driver total, like an ANN client holding its result set), the
+    min-distance is a ``least()`` over per-center integer folds, and
+    the argmax is a TakeOrdered(1) reduction. No shuffle ever touches
+    the corpus; cost is O(k) scans, the standard trade for exact
+    greedy k-center (k is small — a coreset seed set, not a sample)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * quant_scale).cast("long")
+    )
+    staged = df.select(F.col(id_col).alias("__id"), qv.alias("__q"))
+
+    seed = staged.orderBy("__id").limit(1).collect()[0]
+    chosen: list[tuple[int, list[int], int]] = [(seed["__id"], list(seed["__q"]), 0)]
+
+    def d2_to(center: list[int]):
+        lit = F.array(*[F.lit(int(c)) for c in center])
+        return F.aggregate(
+            F.zip_with(F.col("__q"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    for _ in range(1, k):
+        min_d2 = F.least(*[d2_to(c) for _, c, _ in chosen]) if len(chosen) > 1 else d2_to(chosen[0][1])
+        cand = (
+            staged.withColumn("__d2", min_d2)
+            .orderBy(F.desc("__d2"), "__id")
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((cand["__id"], list(cand["__q"]), cand["__d2"]))
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i, cid, d2) for i, (cid, _, d2) in enumerate(chosen)],
+        "sel_round long, vec_id long, d2q long",
+    )

@@ -416,3 +416,70 @@ def _embedding_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = S.random_projection(emb, _RP_SIGNS)
     queries = proj.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(proj, queries, k=_TOPK, vec_col="proj")
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (diversity downsampling).
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 6
+_KCENTER_SCALE = 10_000
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center: every round is a MATERIALIZED CTE
+    that cross-joins the (single-row) chosen centers and takes the
+    exact integer max-min distance; mirrors operators/similarity.
+    kcenter_greedy round for round."""
+
+    def d2(center_cte: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {_DIM + 1}), "
+            f"j -> (c.q[j] - {center_cte}.q[j]) * (c.q[j] - {center_cte}.q[j])"
+            f")) AS BIGINT)"
+        )
+
+    ctes = [
+        f"""c0 AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_KCENTER_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+s0 AS MATERIALIZED (
+  SELECT vec_id, q, CAST(0 AS BIGINT) AS d2 FROM c0 ORDER BY vec_id LIMIT 1
+)"""
+    ]
+    for r in range(1, k):
+        prev = ", ".join(f"s{i}" for i in range(r))
+        dists = ", ".join(d2(f"s{i}") for i in range(r))
+        md = dists if r == 1 else f"least({dists})"
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT c.vec_id, c.q, {md} AS md FROM c0 c, {prev}
+),
+s{r} AS MATERIALIZED (
+  SELECT vec_id, q, md AS d2 FROM m{r} ORDER BY md DESC, vec_id LIMIT 1
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS sel_round, vec_id, d2 FROM s{r}" for r in range(k)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(sel_round AS BIGINT) AS sel_round, vec_id, d2 AS d2q"
+        f" FROM ({sel}) ORDER BY sel_round"
+    )
+
+
+@q("coreset_kcenter_ids", _kcenter_oracle(_KCENTER_K))
+def _coreset_kcenter_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k=6) over the embedding corpus:
+    diversity downsampling for embedding-space curation — each round
+    adds the point farthest (exact integer quantized squared L2) from
+    the already-chosen set. See operators/similarity.kcenter_greedy
+    for the per-round scale shape (k narrow scans, no corpus
+    shuffle)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.kcenter_greedy(emb, _KCENTER_K)

@@ -250,3 +250,23 @@ class TestRandomProjection:
         e16, e32 = mean_err(16), mean_err(32)
         assert e16 < 0.35  # ~1/sqrt(16) + slack
         assert e32 < e16  # distortion shrinks with projection width
+
+
+class TestKcenterGreedy:
+    def test_farthest_point_selection(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.similarity import (
+            kcenter_greedy,
+        )
+
+        # 1-D embeddings on a line: 0, 1, 10, 11. Seed = id 0 (x=0);
+        # round 1 picks the farthest (x=11, id 3); round 2 the point
+        # maximizing min-dist to {0, 11}: x=1 has min 1; x=10 has min 1
+        # -> tie on quantized d2? no: d(1,0)=1, d(1,11)=100 -> min 1;
+        # d(10,0)=100, d(10,11)=1 -> min 1. Tie -> smaller id (1).
+        rows = [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [11.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = [
+            (r.sel_round, r.vec_id, r.d2q)
+            for r in kcenter_greedy(df, 3, quant_scale=1).orderBy("sel_round").collect()
+        ]
+        assert out == [(0, 0, 0), (1, 3, 121), (2, 1, 1)]
