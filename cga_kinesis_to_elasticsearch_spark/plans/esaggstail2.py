@@ -2,8 +2,10 @@
 aggregation / search families with no analogue yet —
 ``diversified_sampler``, ``moving_percentiles``,
 ``normalize``, ``bucket_count_ks_test``, ``frequent_item_sets``,
-``function_score`` decay scoring, and ``collapse`` (field collapsing
-with inner-hit accounting).
+``function_score`` decay scoring, ``collapse`` (field collapsing
+with inner-hit accounting), ``geo_distance`` rings, ``search_after``
+cursor pagination, and the ``moving_fn`` model family
+(linearWeightedAvg + unrolled holt).
 
 Float discipline (house rule, BASELINE oracle notes): every statistic
 closes from exact INTEGER inputs (counts, cent-scaled amounts, whole
