@@ -128,3 +128,91 @@ class TestClosureProperty:
             return i, d
 
         assert got == {i: walk(i) for i in forest}
+
+
+class TestKcoreProperty:
+    @_SLOW
+    @given(
+        edges=st.sets(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),
+                st.integers(min_value=0, max_value=7),
+            ),
+            max_size=14,
+        ),
+        k=st.integers(min_value=1, max_value=3),
+    )
+    def test_matches_python_peel(self, spark, edges, k):
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import kcore
+
+        canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        if not canon:
+            return
+
+        def peel(es, rounds):
+            cur = set(es)
+            for _ in range(rounds):
+                deg: dict[int, int] = {}
+                for a, b in cur:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+                keep = {n for n, d in deg.items() if d >= k}
+                cur = {(a, b) for a, b in cur if a in keep and b in keep}
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            return {(n, d) for n, d in deg.items() if d >= k}
+
+        rounds = 8  # > max peel depth for 8 nodes
+        df = spark.createDataFrame(sorted(canon), "a long, b long")
+        got = {(r.n, r.deg) for r in kcore(df, k, rounds).collect()}
+        assert got == peel(canon, rounds)
+
+
+class TestWeakLabelProperty:
+    @_SLOW
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),  # n_chars
+                st.sampled_from(["en", "de", "xx"]),
+                st.sampled_from(["src0", "src5"]),
+                st.text(alphabet="a1", max_size=8),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_majority_matches_python_model(self, spark, docs):
+        from cga_kinesis_to_elasticsearch_spark.operators.weaklabel import (
+            default_lf_bank,
+            weak_label_votes,
+        )
+
+        rows = [
+            (i, text, lang, src, n) for i, (n, lang, src, text) in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+        def votes(n, lang, src, text):
+            v = []
+            v.append(-1 if n < 150 else 0)
+            v.append(1 if n >= 350 else 0)
+            v.append(1 if lang == "en" else 0)
+            v.append(-1 if src in ("src0", "src1", "src2") else 0)
+            v.append(-1 if sum(c.isdigit() for c in text) >= 5 else 0)
+            return v
+
+        got = {
+            r.doc_id: (r.n_pos, r.n_neg, r.label)
+            for r in weak_label_votes(df, default_lf_bank()).collect()
+        }
+        for i, (n, lang, src, text) in enumerate(docs):
+            v = votes(n, lang, src, text)
+            p, m = v.count(1), v.count(-1)
+            lab = 1 if p > m else (-1 if p < m else 0)
+            assert got[i] == (p, m, lab), (i, v)
