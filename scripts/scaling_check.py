@@ -95,6 +95,10 @@ QUERIES = [
     "moving_percentiles_daily",
     "bucket_ks_test_value",
     "dpp_quarter_revenue",
+    # weak supervision, bounded-round graph peel, greedy coreset
+    "weak_label_votes",
+    "kcore_parts_graph",
+    "coreset_kcenter_ids",
 ]
 
 
