@@ -38,6 +38,7 @@ _MODULES = (
     "pipelineaggs",
     "esaggstail",
     "esaggstail2",
+    "esaggstail3",
     "dpp",
     "weaklabel_query",
 )

@@ -1,0 +1,232 @@
+"""ES aggregation / index-lifecycle tail, part 3: ``top_hits``
+(per-bucket top documents), ILM-style rollover generation planning
+(the index-lifecycle companion of the reference's day-partitioned
+retention, main.go:216-254), and ``nested`` / ``reverse_nested``
+aggregation over array-of-struct documents.
+
+Float discipline (house rule): money closes as cent-scaled BIGINTs;
+doubles appear only in final rounded closures evaluated identically on
+both engines.
+
+Reference context: the reference ships records into day-partitioned
+Elasticsearch indices and drops expired ones (main.go:216-254).
+Rollover-by-size is the other half of real ES index lifecycle
+management; top_hits / nested aggs are what its users run over the
+indexed documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .declared import _t, q
+
+# ---------------------------------------------------------------------------
+# top_hits: per-bucket top documents with their source fields.
+# ---------------------------------------------------------------------------
+
+_TOP_HITS_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY round(value * 100) DESC, event_id
+         ) AS hit_rank
+  FROM events
+)
+SELECT event_type, hit_rank, event_id, user_id, value_cents, ts_str
+FROM ranked WHERE hit_rank <= 3
+ORDER BY event_type, hit_rank
+"""
+
+
+@q("top_hits_by_type", _TOP_HITS_ORACLE)
+def _top_hits_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``top_hits`` aggregation: inside every ``terms`` bucket
+    (event_type), the top-3 documents by value with their _source
+    fields — the "show me example docs per bucket" aggregation
+    (distinct from ``collapse``, which flattens the whole result
+    list, and from ``top_metrics``, which returns metrics only).
+
+    Scale shape: one exchange on the bucket key; the rank window and
+    the k<=3 filter run inside it, so only 3 full rows per bucket
+    survive the scan. Ties break on event_id for determinism (ES
+    breaks ties by internal doc id)."""
+    events = _t(spark, sf_dir, "events")
+    ranked = events.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    ).withColumn(
+        "hit_rank",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("value_cents").desc(), F.col("event_id")
+            )
+        ),
+    )
+    return ranked.where(F.col("hit_rank") <= 3).select(
+        "event_type", "hit_rank", "event_id", "user_id", "value_cents", "ts_str"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ILM rollover: write-alias generations from a max_docs condition.
+# ---------------------------------------------------------------------------
+
+_ROLLOVER_MAX_DOCS = 400
+
+_ROLLOVER_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type AS alias,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+         ) - 1 AS rn,
+         ts
+  FROM events
+),
+gens AS (
+  SELECT alias, rn // {_ROLLOVER_MAX_DOCS} AS generation, ts
+  FROM ranked
+)
+SELECT alias,
+       CAST(generation AS BIGINT) AS generation,
+       alias || '-' || lpad(CAST(generation + 1 AS VARCHAR), 6, '0')
+         AS index_name,
+       CAST(count(*) AS BIGINT) AS doc_count,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM gens
+GROUP BY alias, generation
+ORDER BY alias, generation
+"""
+
+
+@q("index_rollover_plan", _ROLLOVER_ORACLE)
+def _index_rollover_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ILM rollover planning: each write alias (event_type) rolls
+    to a new backing index ``alias-NNNNNN`` every ``max_docs = 400``
+    documents in arrival order — the size-based half of index
+    lifecycle management (the reference implements only the time-based
+    half: day-partitioned indices + retention drops, main.go:216-254).
+    Output is the per-generation summary an ILM explain would show:
+    backing index name, doc count, first/last timestamp.
+
+    Scale shape: one exchange on the alias key; generation assignment
+    is a row_number window inside it ((rn-1) // max_docs — exact
+    rollover at the boundary), and the per-generation rollup shares
+    the same partitioning. Per-alias ordering is the same per-shard
+    arrival order the reference relies on (T3)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gens = events.select(
+        F.col("event_type").alias("alias"),
+        ((F.row_number().over(w) - 1) / _ROLLOVER_MAX_DOCS)
+        .cast("bigint")
+        .alias("generation"),
+        "ts",
+    )
+    return (
+        gens.groupBy("alias", "generation")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+        .select(
+            "alias",
+            "generation",
+            F.concat(
+                F.col("alias"),
+                F.lit("-"),
+                F.lpad((F.col("generation") + 1).cast("string"), 6, "0"),
+            ).alias("index_name"),
+            "doc_count",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# nested / reverse_nested over array-of-struct order documents.
+# ---------------------------------------------------------------------------
+
+_NESTED_ORACLE = """
+WITH matched AS (
+  SELECT o.o_orderstatus AS status, o.o_orderkey,
+         CAST(round(l.l_quantity) AS BIGINT) AS qty,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS nested_hits,
+       CAST(sum(qty) AS BIGINT) AS sum_qty,
+       CAST(sum(price_cents) AS BIGINT) AS sum_price_cents,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS parent_orders
+FROM matched
+GROUP BY status
+ORDER BY status
+"""
+
+
+@q("nested_lineitem_agg", _NESTED_ORACLE)
+def _nested_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``nested`` + ``reverse_nested`` aggregation: orders are
+    indexed as parent documents with an array-of-struct ``items``
+    nested field (the ES nested mapping); the agg descends into the
+    nested scope filtered to returned items (l_returnflag = 'R'),
+    counts/sums at nested-doc granularity, then ``reverse_nested``
+    climbs back to count the distinct PARENT orders containing at
+    least one matching item.
+
+    The engine genuinely materializes the nested document shape
+    (groupBy + collect_list(struct(...))) and aggregates by exploding
+    the nested array — proving array-of-struct documents round-trip
+    through the engine — while the oracle states the same answer over
+    the flat relational shape.
+
+    Scale shape: one exchange builds the nested docs (the same
+    shuffle an ES indexer pays to co-locate children with parents);
+    explode is narrow; the final rollup reduces to one row per
+    status. distinct-parent counting dedups (status, orderkey) pairs,
+    never documents."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_returnflag").alias("returnflag"),
+            F.round("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        ).alias("item"),
+    )
+    nested_docs = (
+        orders.join(items, orders.o_orderkey == items.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.collect_list("item").alias("items"))
+    )
+    matched = nested_docs.select(
+        F.col("o_orderstatus").alias("status"),
+        "o_orderkey",
+        F.explode(
+            F.filter("items", lambda it: it.returnflag == "R")
+        ).alias("item"),
+    )
+    return (
+        matched.groupBy("status")
+        .agg(
+            F.count("*").alias("nested_hits"),
+            F.sum("item.qty").alias("sum_qty"),
+            F.sum("item.price_cents").alias("sum_price_cents"),
+            F.countDistinct("o_orderkey").alias("parent_orders"),
+        )
+        .orderBy("status")
+    )
