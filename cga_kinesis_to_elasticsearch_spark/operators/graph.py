@@ -31,6 +31,7 @@ __all__ = [
     "bfs_levels",
     "label_propagation",
     "kcore",
+    "link_prediction",
 ]
 
 
@@ -430,3 +431,80 @@ def kcore(edges: DataFrame, k: int, n_rounds: int) -> DataFrame:
             .localCheckpoint()
         )
     return _degrees(cur).filter(F.col("deg") >= k)
+
+
+def link_prediction(
+    edges: DataFrame,
+    scale: int = 10**9,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over a canonical edge set: for
+    every NON-adjacent pair ``(x, y)`` sharing at least one common
+    neighbor, the three classic scores —
+
+    - ``common_neighbors``: |N(x) ∩ N(y)|,
+    - ``jaccard``: |N(x) ∩ N(y)| / |N(x) ∪ N(y)| (rounded, 9dp),
+    - ``ra_fp``: the resource-allocation index sum_z 1/deg(z) in
+      deterministic fixed point — each common neighbor z contributes
+      ``scale div deg(z)`` (integer floor), so the per-pair score is
+      an order-free BIGINT sum that hash-matches any SQL replay.
+
+    In a dedup pipeline this is the "should these two documents have
+    been a candidate pair?" signal: a non-edge with many low-degree
+    common neighbors is a near-certain missed duplicate (LSH banding
+    recall is probabilistic), and link-prediction over the verified
+    pair graph recovers it without re-running candidate generation.
+
+    Scale shape: wedge generation joins the adjacency list with
+    itself on the center node z, so fan-out is sum_z deg(z)^2 —
+    bounded by the duplicate-cluster sizes in a pair graph, but a
+    true hub would explode it. ``max_degree`` caps that: centers with
+    deg(z) > max_degree are skipped BEFORE the wedge join (standard
+    practice — a hub's RA contribution is at most scale/deg < 
+    scale/max_degree per pair, so dropping it perturbs scores less
+    than one fixed-point unit times the cap ratio while removing the
+    quadratic term). Shuffles carry (node, node) id pairs only; the
+    candidate anti-join streams the scored pairs against the compact
+    edge set.
+    """
+    edges = edges.localCheckpoint()
+    deg = _degrees(edges).localCheckpoint()
+    adj = edges.select(F.col("a").alias("z"), F.col("b").alias("n")).unionAll(
+        edges.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    centers = deg.withColumnRenamed("n", "z")
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= max_degree)
+    adj = adj.join(centers, "z")  # carries deg(z) for the RA term
+    n1 = adj.select("z", "deg", F.col("n").alias("x"))
+    n2 = adj.select("z", F.col("n").alias("y"))
+    wedges = n1.join(n2, "z").filter(F.col("x") < F.col("y"))
+    scored = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.expr(f"CAST({scale} AS BIGINT) div deg")).alias("ra_fp"),
+    )
+    # keep only NON-edges: the pair graph's existing edges are known
+    cands = scored.join(
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    dx = deg.select(F.col("n").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("n").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        cands.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            "x",
+            "y",
+            "common_neighbors",
+            "ra_fp",
+            F.round(
+                F.col("common_neighbors")
+                / (
+                    F.col("deg_x") + F.col("deg_y") - F.col("common_neighbors")
+                ),
+                9,
+            ).alias("jaccard"),
+        )
+    )

@@ -366,3 +366,79 @@ def _neardup_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = canonical_edges(pairs, "id_a", "id_b")
     return label_propagation(edges, n_rounds=_LPA_ROUNDS).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the near-dup pair graph: "which candidate pairs
+# did banding MISS?" — LSH recall is probabilistic, and a non-edge
+# whose endpoints share several common neighbors inside a duplicate
+# cluster is a near-certain missed pair. The resource-allocation index
+# is deterministic fixed point (scale div deg(z), integer sum), so the
+# oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+_LP_SCALE = 10**9
+
+_LP_ORACLE = f"""
+WITH pairs AS ({_AHASH_ORACLE}),
+edges AS MATERIALIZED (SELECT DISTINCT id_a AS a, id_b AS b FROM pairs),
+deg AS MATERIALIZED (
+  SELECT n, count(*) AS deg FROM (
+    SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+  GROUP BY n),
+adj AS (SELECT a AS z, b AS n FROM edges UNION ALL SELECT b, a FROM edges),
+wedges AS (
+  SELECT n1.z, d.deg, n1.n AS x, n2.n AS y
+  FROM adj n1
+  JOIN adj n2 ON n2.z = n1.z AND n1.n < n2.n
+  JOIN deg d ON d.n = n1.z),
+scored AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+         CAST(sum({_LP_SCALE} // deg) AS BIGINT) AS ra_fp
+  FROM wedges GROUP BY x, y),
+cands AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN edges e ON e.a = s.x AND e.b = s.y
+  WHERE e.a IS NULL)
+SELECT c.x, c.y, c.common_neighbors, c.ra_fp,
+       round(c.common_neighbors * 1.0
+             / (dx.deg + dy.deg - c.common_neighbors), 9) AS jaccard
+FROM cands c
+JOIN deg dx ON dx.n = c.x
+JOIN deg dy ON dy.n = c.y
+"""
+
+
+@q("neardup_link_prediction", _LP_ORACLE)
+def _neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missed-candidate recovery via link prediction
+    (operators/graph.link_prediction): every NON-adjacent pair of the
+    perceptual near-dup graph that shares >= 1 common neighbor, scored
+    by common-neighbor count, neighborhood Jaccard, and the
+    resource-allocation index in order-free integer fixed point.
+    Banded Hamming search is pigeonhole-complete only up to its
+    distance budget — variants of one leader can each sit within 2
+    bits of the leader but > 2 bits of EACH OTHER, and those are
+    exactly the pairs this query surfaces for verification.
+
+    Scale shape: wedge fan-out is bounded by duplicate-cluster sizes
+    (sum deg(z)^2 over centers; a ``max_degree`` hub cap exists for
+    graphs with real hubs); every shuffle carries id pairs, never
+    payloads; the non-edge anti-join streams against the compact
+    edge set."""
+    from ..operators import multimodal as M
+    from ..operators.graph import canonical_edges, link_prediction
+
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = _synth_payloads(docs)
+    hashed = M.average_hash(M.attach_binary(payloads, "ptxt"))
+    pairs = M.hamming_near_pairs(
+        hashed,
+        "doc_id",
+        "media_ahash",
+        n_bits=_N_BYTES,
+        n_bands=_N_BANDS,
+        max_distance=_MAX_DIST,
+    )
+    edges = canonical_edges(pairs, "id_a", "id_b")
+    return link_prediction(edges, scale=_LP_SCALE)

@@ -306,3 +306,73 @@ class TestKcore:
         assert after1 == {(3, 2)}
         # full peel: empty core
         assert kcore(edges, 2, 4).count() == 0
+
+
+class TestLinkPrediction:
+    def _run(self, spark, pairs, **kw):
+        from cga_kinesis_to_elasticsearch_spark.operators.graph import (
+            link_prediction,
+        )
+
+        return {
+            (r.x, r.y): r
+            for r in link_prediction(_edges(spark, pairs), **kw).collect()
+        }
+
+    def test_path_endpoints_share_center(self, spark):
+        # path 1-2-3: only candidate is (1,3) via center 2 (deg 2)
+        got = self._run(spark, [(1, 2), (2, 3)])
+        assert set(got) == {(1, 3)}
+        r = got[(1, 3)]
+        assert r.common_neighbors == 1
+        assert r.ra_fp == 10**9 // 2
+        assert r.jaccard == pytest.approx(1.0)  # N(1)={2}, N(3)={2}
+
+    def test_existing_edges_are_excluded(self, spark):
+        # triangle: every pair adjacent -> no candidates at all
+        assert self._run(spark, [(1, 2), (2, 3), (1, 3)]) == {}
+
+    def test_matches_bruteforce_on_random_graph(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        nodes = list(range(12))
+        pairs = [
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rnd.random() < 0.3
+        ]
+        got = self._run(spark, pairs)
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        edge_set = {tuple(sorted(p)) for p in pairs}
+        want = {}
+        for x, y in itertools.combinations(sorted(adj), 2):
+            if (x, y) in edge_set:
+                continue
+            cn = adj[x] & adj[y]
+            if not cn:
+                continue
+            want[(x, y)] = (
+                len(cn),
+                sum(10**9 // len(adj[z]) for z in cn),
+                round(len(cn) / len(adj[x] | adj[y]), 9),
+            )
+        assert {
+            k: (v.common_neighbors, v.ra_fp, float(v.jaccard))
+            for k, v in got.items()
+        } == want
+
+    def test_max_degree_skips_hub_centers(self, spark):
+        # star center 0 with leaves 1..5 plus a 2-path 1-6-2: with the
+        # cap at 2, wedges CENTERED at the hub (deg 5) vanish — leaf
+        # pairs like (2,3) or (1,3) disappear; (1,2) survives only via
+        # center 6, and (0,6) via the under-cap centers 1 and 2.
+        star = [(0, i) for i in range(1, 6)]
+        got = self._run(spark, [*star, (1, 6), (6, 2)], max_degree=2)
+        assert set(got) == {(1, 2), (0, 6)}
+        assert got[(1, 2)].common_neighbors == 1  # node 6 only
+        uncapped = self._run(spark, [*star, (1, 6), (6, 2)])
+        assert (2, 3) in uncapped and (1, 3) in uncapped
