@@ -41,6 +41,7 @@ _MODULES = (
     "esaggstail3",
     "dpp",
     "weaklabel_query",
+    "lateinteraction",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

@@ -117,4 +117,4 @@ class TestRegistryCompleteness:
         )
 
         assert IMPORT_ERRORS == {}
-        assert len(QUERY_REGISTRY) >= 271
+        assert len(QUERY_REGISTRY) >= 273
