@@ -41,6 +41,7 @@ __all__ = [
     "pq_adc_from_codes",
     "kmeans_train",
     "refine_topk",
+    "hard_negative_topk",
     "LSH_PAIRS",
 ]
 
@@ -982,6 +983,53 @@ def maxsim_topk(
     return (
         c.join(broadcast(q), F.col("query_id") != F.col(id_col))
         .select("query_id", id_col, F.round(score, 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    every query vector, the top-k most-similar corpus vectors whose
+    label DIFFERS from the query's — the near-misses a contrastive
+    loss learns the most from (easy negatives are already far away;
+    in-batch negatives are random).
+
+    Returns (query_id, vec_id, sim, rank). Same plan shape as
+    ``cosine_topk`` — the (small) query set broadcasts against the
+    streamed corpus, the label-mismatch predicate rides the join
+    condition so same-class candidates are discarded BEFORE the
+    similarity evaluates, and the per-query window keeps k rows. At
+    mining scale (millions of queries) the standard composition is
+    ``ivf_cells`` first (cell-local candidates), then this ranking
+    over the per-cell join — the corpus is never all-pairs joined.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col).alias("__cl"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        c.join(
+            broadcast(q),
+            (F.col("query_id") != F.col(id_col))
+            & (F.col("__ql") != F.col("__cl")),
+        )
+        .select("query_id", id_col, sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -42,6 +42,8 @@ _MODULES = (
     "dpp",
     "weaklabel_query",
     "lateinteraction",
+    "esrelations",
+    "traindata",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

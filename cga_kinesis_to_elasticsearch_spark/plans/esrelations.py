@@ -1,0 +1,421 @@
+"""ES parity batch 4: relational query surfaces — ``has_child`` /
+``has_parent`` (the parent-child join field), ``rescore`` (two-phase
+top-N re-ranking), ``scripted_metric`` (map/combine/reduce custom
+aggregation), ``global`` + ``missing`` buckets, and the
+``_termvectors`` API (per-document term statistics).
+
+Reference context: the reference indexes day-partitioned log documents
+into Elasticsearch (main.go:111-212); these are the query-DSL features
+its users run against those indices that were not yet mapped
+(join-field queries over order/line-item shaped documents, rescoring a
+match window, custom metric scripts, term vectors for relevance
+debugging).
+
+Float discipline (house rule): money stages through the same
+``round(sum(expr), 2)`` closures the TPC-H queries use (cents-exact
+doubles; order-free within float64), ranking keys are cent-scaled
+BIGINTs, and every LIMIT sits under a total order so the selected SET
+is deterministic on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .declared import _t, q
+
+# ---------------------------------------------------------------------------
+# has_child: parents selected (and scored) by matching children.
+# ES: {"has_child": {"type": "lineitem", "score_mode": "sum", ...}} —
+# the parent document's score is the count/sum over matching children.
+# ---------------------------------------------------------------------------
+
+_HAS_CHILD_ORACLE = """
+WITH hits AS (
+  SELECT l_orderkey AS o_orderkey, count(*) AS child_hits
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity > 45
+  GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       h.child_hits
+FROM orders o JOIN hits h USING (o_orderkey)
+ORDER BY h.child_hits DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@q("has_child_orders", _HAS_CHILD_ORACLE)
+def _has_child_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_child`` query: return parent (order) documents having
+    at least one child (line item) matching ``returnflag='R' AND
+    quantity > 45``, scored by the number of matching children
+    (``score_mode: sum`` over a constant-score child query) — top-20
+    parents by score.
+
+    Scale shape: the child filter collapses to a (orderkey, count)
+    aggregate BEFORE touching parents — one partial-agg shuffle on the
+    join key, then a key-to-key join; the parent table is never
+    scanned per child. This is exactly how ES executes has_child
+    (child ordinals -> parent bitset), re-expressed as agg-then-join.
+    Ties break on orderkey so the top-20 SET is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    hits = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("child_hits"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    return (
+        orders.join(hits, "o_orderkey")
+        .orderBy(F.desc("child_hits"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# has_parent: children selected by a parent predicate, then aggregated.
+# ---------------------------------------------------------------------------
+
+_HAS_PARENT_ORACLE = """
+SELECT l.l_returnflag, l.l_linestatus,
+       count(*) AS n_items,
+       CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY l.l_returnflag, l.l_linestatus
+"""
+
+
+@q("has_parent_lineitems", _HAS_PARENT_ORACLE)
+def _has_parent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``has_parent`` query: return child (line item) documents
+    whose parent order is ``1-URGENT``, aggregated per
+    returnflag/linestatus bucket (terms agg over the matched
+    children).
+
+    Scale shape: the parent predicate reduces orders to a key set and
+    the children stream through ONE left-semi join (no parent columns
+    are carried, no row multiplication possible), then one
+    partial-agg shuffle on a 6-value composite domain. quantity is a
+    whole number, so the sum closes as an exact BIGINT."""
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(urgent, "l_orderkey", "left_semi")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rescore: re-rank the top window of a primary sort with a secondary
+# scoring function (ES rescore: query_weight / rescore_query_weight).
+# ---------------------------------------------------------------------------
+
+_RESCORE_WINDOW = 50
+_RESCORE_K = 10
+_RESCORE_ANCHOR = "2024-01-15 12:00:00"
+# query_weight = 5, rescore_query_weight = 2 (integer weights so the
+# combined score is an exact BIGINT on both engines)
+_RESCORE_ORACLE = f"""
+WITH scored AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+top_window AS (
+  SELECT * FROM scored
+  ORDER BY value_cents DESC, event_id ASC
+  LIMIT {_RESCORE_WINDOW}
+),
+rescored AS (
+  SELECT event_id, event_type, value_cents,
+         greatest(0, 86400 - abs(
+             ts_s - CAST(epoch(TIMESTAMP '{_RESCORE_ANCHOR}') AS BIGINT)
+         )) AS bonus
+  FROM top_window
+)
+SELECT event_id, event_type, value_cents, bonus,
+       5 * value_cents + 2 * bonus AS combined
+FROM rescored
+ORDER BY combined DESC, event_id ASC
+LIMIT {_RESCORE_K}
+"""
+
+
+@q("rescore_topk_events", _RESCORE_ORACLE)
+def _rescore_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``rescore``: the primary query ranks by value; only the top
+    ``window_size=50`` hits are re-scored with a secondary function (a
+    linear time-decay around an anchor instant — ES's ``linear`` decay)
+    and combined as ``query_weight*primary + rescore_query_weight*
+    secondary``; the final top-10 comes from the rescored window.
+
+    Scale shape: the primary phase is a TakeOrdered(50) — a per-
+    partition top-50 merged on the driver, never a global sort — and
+    the secondary function evaluates on 50 rows only. That asymmetry
+    (cheap primary over everything, expensive scorer over a bounded
+    window) is the entire point of rescore at 100 TB. Integer weights
+    and cent/second-scaled BIGINTs keep both phases exact."""
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    top_window = scored.orderBy(
+        F.desc("value_cents"), F.asc("event_id")
+    ).limit(_RESCORE_WINDOW)
+    anchor = F.unix_timestamp(F.lit(_RESCORE_ANCHOR).cast("timestamp"))
+    bonus = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(86400).cast("long") - F.abs(F.col("ts_s") - anchor),
+    )
+    return (
+        top_window.select(
+            "event_id",
+            "event_type",
+            "value_cents",
+            bonus.alias("bonus"),
+        )
+        .withColumn(
+            "combined", 5 * F.col("value_cents") + 2 * F.col("bonus")
+        )
+        .orderBy(F.desc("combined"), F.asc("event_id"))
+        .limit(_RESCORE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scripted_metric: custom per-doc script -> algebraic combine/reduce.
+# ---------------------------------------------------------------------------
+
+_SCRIPTED_ORACLE = """
+WITH mapped AS (
+  SELECT l_returnflag,
+         l_extendedprice * (1 - l_discount)
+           - l_extendedprice * l_tax AS profit
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(sum(profit), 2) AS total_profit,
+       round(max(profit), 2) AS best_item,
+       round(min(profit), 2) AS worst_item,
+       CAST(sum(CASE WHEN profit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_profitable
+FROM mapped
+GROUP BY l_returnflag
+"""
+
+
+@q("scripted_metric_profit", _SCRIPTED_ORACLE)
+def _scripted_metric_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``scripted_metric`` aggregation: a per-document map script
+    (``profit = price*(1-discount) - price*tax``) with algebraic
+    combine/reduce phases (sum, max, min, profitable-count) per
+    returnflag bucket — the "custom metric the built-in aggs don't
+    have" escape hatch.
+
+    Scale shape: the map script is a projection attribute inside the
+    scan (whole-stage codegen, no UDF), and every reduce is
+    map-side-combinable, so the whole agg is ONE partial-agg shuffle
+    on a 3-value key — the same cost envelope as a plain sum. This is
+    the honest distributed translation of scripted_metric's
+    map/combine/reduce contract; a script that is NOT algebraic (e.g.
+    a median) must use the sketch path (operators/sketches.py)
+    instead. Money follows the q1 closure discipline
+    (``round(sum(expr), 2)`` over cents-exact doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_extendedprice"
+    ) * F.col("l_tax")
+    return (
+        li.select("l_returnflag", profit.alias("profit"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("profit"), 2).alias("total_profit"),
+            F.round(F.max("profit"), 2).alias("best_item"),
+            F.round(F.min("profit"), 2).alias("worst_item"),
+            F.sum(F.when(F.col("profit") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_profitable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# global + missing buckets: context-scoped terms agg alongside a
+# corpus-wide global bucket; missing counts docs lacking an extracted
+# field.
+# ---------------------------------------------------------------------------
+
+_FIELD_RE = "\\b(spark|vector)\\b"
+
+_GLOBAL_MISSING_ORACLE = f"""
+WITH staged AS (
+  SELECT lang, n_chars,
+         nullif(regexp_extract(text, '{_FIELD_RE}', 1), '') AS field
+  FROM documents
+),
+context AS (
+  SELECT lang AS bucket,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN field IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing
+  FROM staged WHERE n_chars >= 200
+  GROUP BY lang
+),
+g_all AS (
+  SELECT '_global_' AS bucket,
+         count(*) AS n_docs,
+         CAST(sum(CASE WHEN field IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_missing
+  FROM staged
+)
+SELECT * FROM context UNION ALL SELECT * FROM g_all
+"""
+
+
+@q("global_missing_aggs", _GLOBAL_MISSING_ORACLE)
+def _global_missing_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``global`` + ``missing`` aggregations in one request: the
+    search context filters to docs with >= 200 chars; per-language
+    buckets count docs and docs MISSING an extracted field (first
+    ``spark|vector`` token — extraction-can-fail is why missing
+    exists), while the ``global`` bucket ignores the search context
+    and reports corpus-wide totals.
+
+    Scale shape: one scan stages the extraction; the context and
+    global branches are two partial-agg shuffles over that scan (AQE
+    reuses the exchange where profitable). The field extraction is a
+    single JVM regexp per row — no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang",
+        "n_chars",
+        F.nullif(
+            F.regexp_extract(F.col("text"), _FIELD_RE, 1), F.lit("")
+        ).alias("field"),
+    )
+    missing = F.sum(
+        F.when(F.col("field").isNull(), 1).otherwise(0)
+    ).cast("long")
+    context = (
+        staged.filter(F.col("n_chars") >= 200)
+        .groupBy(F.col("lang").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            missing.alias("n_missing"),
+        )
+    )
+    glob = staged.groupBy(F.lit("_global_").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        missing.alias("n_missing"),
+    )
+    return context.unionByName(glob)
+
+
+# ---------------------------------------------------------------------------
+# _termvectors: per-document term statistics (term_freq + 1-based
+# positions) with corpus-wide doc_freq / total term freq.
+# ---------------------------------------------------------------------------
+
+_TV_DOCS = 5
+
+# DuckDB list lambdas index from 1; Spark posexplode is 0-based and
+# adds 1 — both sides emit 1-based positions over the SAME
+# empty-filtered token stream (the proximity-search convention).
+_TERMVECTORS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, u.term AS term, u.pos AS pos
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(tk,
+               (t, i) -> {{'term': t, 'pos': i}})) AS u
+    FROM toks
+  )
+),
+stats AS (
+  SELECT term,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+         CAST(count(*) AS BIGINT) AS ttf
+  FROM pos GROUP BY term
+),
+selected AS (
+  SELECT doc_id, term,
+         CAST(count(*) AS BIGINT) AS term_freq,
+         string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+  FROM pos WHERE doc_id < {_TV_DOCS}
+  GROUP BY doc_id, term
+)
+SELECT s.doc_id, s.term, s.term_freq, s.positions, st.doc_freq, st.ttf
+FROM selected s JOIN stats st USING (term)
+"""
+
+
+@q("termvectors_docs", _TERMVECTORS_ORACLE)
+def _termvectors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_termvectors`` API (with ``term_statistics: true``): for
+    each requested document, every term with its in-doc frequency and
+    1-based position list, plus corpus-wide doc_freq and total term
+    frequency — the relevance-debugging view of the inverted index.
+
+    Scale shape: corpus term statistics are ONE partial-agg shuffle of
+    (term, doc_id)-sized pairs (these are exactly the postings the
+    text index in sinks/textindex.py stores — against a built index
+    this query is a pruned read); the per-document side explodes only
+    the requested docs. Positions join to a canonical comma string via
+    sort_array so collect order can't leak in."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.col("text"), r"\s+"), lambda t: t != ""
+        ).alias("tk"),
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode(F.col("tk")).alias("pos0", "term")
+    ).select("doc_id", "term", (F.col("pos0") + 1).alias("pos"))
+    stats = pos.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("ttf"),
+    )
+    selected = (
+        pos.filter(F.col("doc_id") < _TV_DOCS)
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.array_join(
+                F.sort_array(F.collect_list("pos")), ","
+            ).alias("positions"),
+        )
+    )
+    return selected.join(stats, "term").select(
+        "doc_id", "term", "term_freq", "positions", "doc_freq", "ttf"
+    )
