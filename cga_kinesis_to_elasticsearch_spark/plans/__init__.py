@@ -44,6 +44,7 @@ _MODULES = (
     "lateinteraction",
     "esrelations",
     "traindata",
+    "evalqa",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

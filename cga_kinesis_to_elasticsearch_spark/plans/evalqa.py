@@ -1,0 +1,395 @@
+"""Pipeline-evaluation / QA batch: LSH banding recall measured against
+exact Jaccard ground truth on a fixed-size sample (the dedup analogue
+of ann_recall_at_k — "measure, don't guess"), ES ``terms_set`` query
+(minimum_should_match over a term set), ES ``_explain`` (per-term BM25
+score breakdown), and padding-waste reporting for length-bucketed
+training batches.
+
+Float discipline: ratios/scores are single IEEE expressions closed
+from integer counts (tf/df/dl/intersection sizes), rounded identically
+on both engines; everything else is BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as D
+from .declared import _t, q
+from .northstar import _minhash_sql, _norm_sql, _shingle_sql, _tp
+
+# ---------------------------------------------------------------------------
+# LSH banding recall vs exact ground truth on a fixed-size eval sample.
+# ---------------------------------------------------------------------------
+
+_EVAL_SAMPLE = 250
+_EVAL_J = 0.5
+_MH_N = 4
+_BAND = 2
+
+_SAMPLE_SQL = f"""
+  SELECT doc_id, text FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_EVAL_SAMPLE}
+"""
+
+_LSH_RECALL_ORACLE = f"""
+WITH samp AS ({_SAMPLE_SQL}),
+sh AS (
+  SELECT doc_id, {_shingle_sql(_norm_sql('text'))} AS sg FROM samp
+),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sg, b.sg))
+        / len(list_distinct(list_concat(a.sg, b.sg))) >= {_EVAL_J}
+),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 0)} AS mh0,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 1)} AS mh1,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 2)} AS mh2,
+         {_minhash_sql(_shingle_sql(_norm_sql('text')), 3)} AS mh3
+  FROM samp
+),
+banded AS (
+  SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+joined AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a,
+         (t.id_a IS NOT NULL)::INT AS is_true,
+         (c.id_a IS NOT NULL)::INT AS is_cand
+  FROM truth t FULL JOIN cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+)
+SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
+       CAST(sum(is_cand) AS BIGINT) AS n_cand,
+       CAST(sum(is_true * is_cand) AS BIGINT) AS n_hit,
+       round(sum(is_true * is_cand) / sum(is_true), 4) AS recall,
+       CASE WHEN sum(is_cand) = 0 THEN NULL
+            ELSE round(sum(is_true * is_cand) / sum(is_cand), 4)
+       END AS precision
+FROM joined
+"""
+
+
+@q("lsh_recall_eval", _LSH_RECALL_ORACLE)
+def _lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-recall evaluation harness: on a FIXED-SIZE random sample
+    (the 250 docs with the smallest md5(doc_id) — deterministic and
+    corpus-size-independent), compare the MinHash banding candidate
+    set (4 hashes x 2 bands, the production recipe) against exact
+    shingle-Jaccard ground truth at J >= 0.5, reporting recall and
+    precision — the measured numbers that justify (or veto) the
+    banding parameters before a 100 TB dedup run.
+
+    Scale shape: the sample is a TakeOrdered(250) — per-partition
+    top-n, no global sort — and every quadratic step (exact Jaccard,
+    in-bucket pair expansion) runs on the CAPPED sample only, so the
+    harness costs the same at any corpus size. This is the dedup
+    counterpart of ann_recall_at_k; SCALING.md's exponent table is the
+    other half of the measure-don't-guess discipline."""
+    docs = _tp(spark, sf_dir, "documents")
+    samp = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.md5(F.col("doc_id").cast("string")).alias("__r"),
+        )
+        .orderBy("__r", "doc_id")
+        .limit(_EVAL_SAMPLE)
+        .drop("__r")
+        # the sample feeds signatures AND both sides of the truth
+        # join: cut lineage so the TakeOrdered runs once
+        .localCheckpoint()
+    )
+    toks = samp.select(
+        "doc_id",
+        F.split(D.normalized_text(F.col("text")), " ").alias("__toks"),
+    )
+    sh = toks.select(
+        "doc_id", D.word_shingles(F.col("__toks")).alias("sg")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sg").alias("sga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sg").alias("sgb"))
+    inter = F.size(F.array_intersect(F.col("sga"), F.col("sgb")))
+    union = F.size(F.array_union(F.col("sga"), F.col("sgb")))
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= _EVAL_J)
+        .select("id_a", "id_b")
+    )
+    sig = D.minhash_signatures(samp, "text", "doc_id", n_hashes=_MH_N)
+    cand = D.lsh_candidate_pairs(
+        sig, "doc_id", n_hashes=_MH_N, band_size=_BAND
+    )
+    joined = truth.withColumn("is_true", F.lit(1)).join(
+        cand.withColumn("is_cand", F.lit(1)),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    st = F.coalesce("is_true", F.lit(0))
+    sc = F.coalesce("is_cand", F.lit(0))
+    return joined.agg(
+        F.sum(st).cast("long").alias("n_true"),
+        F.sum(sc).cast("long").alias("n_cand"),
+        F.sum(st * sc).cast("long").alias("n_hit"),
+        F.round(F.sum(st * sc) / F.sum(st), 4).alias("recall"),
+        F.when(
+            F.sum(sc) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.round(F.sum(st * sc) / F.sum(sc), 4))
+        .alias("precision"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# terms_set query: match docs containing >= minimum_should_match of a
+# term set.
+# ---------------------------------------------------------------------------
+
+_TS_TERMS = ("spark", "merge", "vector", "scan")
+_TS_MIN = 3
+
+_TERMS_SET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_sort(list_intersect(
+             list_distinct(list_filter(
+                 string_split_regex(text, '\\s+'), x -> x <> '')),
+             [{", ".join(f"'{t}'" for t in _TS_TERMS)}]
+         )) AS matched
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(matched) AS BIGINT) AS n_matched,
+       array_to_string(matched, ',') AS matched_terms
+FROM t WHERE len(matched) >= {_TS_MIN}
+"""
+
+
+@q("terms_set_match", _TERMS_SET_ORACLE)
+def _terms_set_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``terms_set`` query: documents containing at least
+    ``minimum_should_match = 3`` of a 4-term set, with the matched
+    subset reported (sorted, comma-joined — canonical on both
+    engines).
+
+    Scale shape: a pure per-row HOF over the token array — zero
+    shuffles, zero joins; the term set is a literal array evaluated
+    inside codegen. Against the persisted inverted index the same
+    query is a postings merge with a >= N count filter
+    (sinks/textindex.py); this is the index-free scan form."""
+    docs = _t(spark, sf_dir, "documents")
+    matched = F.sort_array(
+        F.array_intersect(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.col("text"), r"\s+"), lambda x: x != ""
+                )
+            ),
+            F.array(*[F.lit(t) for t in _TS_TERMS]),
+        )
+    )
+    return (
+        docs.select("doc_id", matched.alias("matched"))
+        .filter(F.size("matched") >= _TS_MIN)
+        .select(
+            "doc_id",
+            F.size("matched").cast("long").alias("n_matched"),
+            F.array_join("matched", ",").alias("matched_terms"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# _explain: per-term BM25 score breakdown for selected documents.
+# ---------------------------------------------------------------------------
+
+_EXPL_TERMS = ("scan", "merge", "window")
+_EXPL_DOCS = 3
+_EXPL_K1 = 1.2
+_EXPL_B = 0.75
+
+_EXPLAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) AS BIGINT) AS total_len
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN ({", ".join(f"'{t}'" for t in _EXPL_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+)
+SELECT t.doc_id, t.term, t.tf, d.dl, f.df,
+       round(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)), 6) AS idf,
+       round(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * (t.tf * (1 + {_EXPL_K1}))
+             / (t.tf + {_EXPL_K1} * (1 - {_EXPL_B} + {_EXPL_B}
+                * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs)))),
+             6) AS contrib
+FROM tf t
+JOIN dl d USING (doc_id)
+JOIN dfreq f USING (term)
+CROSS JOIN stats s
+WHERE t.doc_id < {_EXPL_DOCS}
+"""
+
+
+@q("explain_bm25_doc", _EXPLAIN_ORACLE)
+def _explain_bm25_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` API: the per-term BM25 breakdown ("sum of:"
+    tree) for selected documents against a 3-term query — tf, document
+    length, df, idf and the term's score contribution, using the same
+    Lucene practical scoring function as sinks/textindex.bm25_topk
+    (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5))).
+
+    Scale shape: corpus statistics (df per query term, N, total token
+    length) reduce map-side to a 3-row + 1-row frame; the requested
+    documents' tf rows join against those broadcasts. Against the
+    persisted index the stats come from the stored ``stats``/postings
+    instead of a scan — same contract. idf/contrib are each ONE IEEE
+    expression over integer inputs, rounded to 6 on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "").alias(
+            "tk"
+        ),
+    )
+    dl = toks.select(
+        "doc_id", F.size("tk").cast("long").alias("dl")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("tk")).cast("long").alias("total_len"),
+    )
+    tf_all = (
+        toks.select("doc_id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(*_EXPL_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf_all.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        (F.col("tf") * (1 + _EXPL_K1))
+        / (
+            F.col("tf")
+            + _EXPL_K1
+            * (1 - _EXPL_B + _EXPL_B * (F.col("dl") / avgdl))
+        )
+    )
+    return (
+        tf_all.filter(F.col("doc_id") < _EXPL_DOCS)
+        .join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            "df",
+            F.round(idf, 6).alias("idf"),
+            F.round(contrib, 6).alias("contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: padding-waste report.
+# ---------------------------------------------------------------------------
+
+_BUCKET_MULT = 32
+
+_LENGTH_BUCKET_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_toks
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, n_toks,
+         ((n_toks + {_BUCKET_MULT - 1}) // {_BUCKET_MULT})
+           * {_BUCKET_MULT} AS bucket_len
+  FROM lens
+)
+SELECT bucket_len,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+       CAST(bucket_len * count(*) AS BIGINT) AS padded_slots,
+       round((bucket_len * count(*) - sum(n_toks))
+             / (bucket_len * count(*)), 4) AS waste_frac
+FROM bucketed
+GROUP BY bucket_len
+"""
+
+
+@q("length_bucket_batches", _LENGTH_BUCKET_ORACLE)
+def _length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report: round each document's token
+    count up to a multiple of 32 (its padded batch slot), then per
+    bucket report document count, real tokens, padded slots, and the
+    padding-waste fraction — the number that decides whether bucketing
+    (vs pack_training_sequences' concat-and-chunk) is worth it for a
+    given corpus.
+
+    Scale shape: token counts are narrow per-row HOFs; the rollup is
+    ONE partial-agg shuffle onto a bucket-length key whose domain is
+    bounded by max_len/32, not corpus size. Integer floor division on
+    both engines ((n+31) // 32 vs DIV); the waste ratio is one rounded
+    division of exact BIGINTs."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+        )
+        .cast("long")
+        .alias("n_toks"),
+    )
+    bucketed = lens.select(
+        "n_toks",
+        (
+            F.expr(f"(n_toks + {_BUCKET_MULT - 1}) DIV {_BUCKET_MULT}")
+            * _BUCKET_MULT
+        ).alias("bucket_len"),
+    )
+    return bucketed.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("sum_tokens"),
+        (F.col("bucket_len") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("padded_slots"),
+        F.round(
+            (F.col("bucket_len") * F.count(F.lit(1)) - F.sum("n_toks"))
+            / (F.col("bucket_len") * F.count(F.lit(1))),
+            4,
+        ).alias("waste_frac"),
+    )

