@@ -99,6 +99,17 @@ QUERIES = [
     "weak_label_votes",
     "kcore_parts_graph",
     "coreset_kcenter_ids",
+    # ES relations / training-data / eval-QA batch: join-field
+    # queries, rescore window, group-extreme pairs, histogram-CDF
+    # curriculum, capped-sample recall harness, corpus-stat explain
+    "has_child_orders",
+    "rescore_topk_events",
+    "preference_pairs",
+    "curriculum_epochs",
+    "cross_source_priority_dedup",
+    "lsh_recall_eval",
+    "explain_bm25_doc",
+    "length_bucket_batches",
 ]
 
 
