@@ -45,6 +45,7 @@ _MODULES = (
     "esrelations",
     "traindata",
     "evalqa",
+    "mlprims",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}
