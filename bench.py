@@ -80,6 +80,12 @@ HEADLINE = [
     "frequent_item_sets_orders",
     "moving_percentiles_daily",
     "dpp_quarter_revenue",
+    # ES-relations / training-data / ML-primitive additions: parent-
+    # child join-field query, fixed-sample LSH recall harness, exact
+    # fixed-point logistic gradient (one full-batch GD round)
+    "has_child_orders",
+    "lsh_recall_eval",
+    "logreg_gradient_embeddings",
 ]
 
 
