@@ -393,3 +393,228 @@ def _length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("waste_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@k of the IVF retrieval arm vs the exact-cosine ideal ranking —
+# the graded-relevance upgrade of ann_recall_at_k.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 5
+_NDCG_NQ = 8
+_NDCG_NCENT = 8
+_NDCG_NPROBE = 2
+
+# IDCG@5 for graded gains (5,4,3,2,1) at positions 1..5 — a literal
+# constant, identical on both engines
+_IDCG_SQL = (
+    "(5.0/log2(2) + 4.0/log2(3) + 3.0/log2(4) + 2.0/log2(5) + 1.0/log2(6))"
+)
+
+_NDCG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {_NDCG_NQ}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+exact AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                      vec_id ASC) AS erank
+  FROM q JOIN c ON query_id <> vec_id
+  QUALIFY erank <= {_NDCG_K}
+),
+cen AS (SELECT vec_id AS cell_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + _NDCG_NCENT}),
+asgn AS (
+  SELECT vec_id, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(list_cosine_similarity(v, cv), 4) DESC,
+                      cell_id ASC) AS cell_rank
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  CROSS JOIN cen),
+c_cells AS (SELECT vec_id, cell_id FROM asgn WHERE cell_rank = 1),
+q_cells AS (SELECT vec_id AS query_id, cell_id FROM asgn
+            WHERE cell_rank <= {_NDCG_NPROBE} AND vec_id < {_NDCG_NQ}),
+cand AS (
+  SELECT qc.query_id, cc.vec_id
+  FROM c_cells cc JOIN q_cells qc ON cc.cell_id = qc.cell_id
+  WHERE qc.query_id <> cc.vec_id),
+approx AS (
+  SELECT cand.query_id, cand.vec_id,
+         row_number() OVER (PARTITION BY cand.query_id
+             ORDER BY round(list_cosine_similarity(
+                 qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) DESC,
+                      cand.vec_id ASC) AS arank
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.vec_id
+  QUALIFY arank <= {_NDCG_K}
+),
+gains AS (
+  SELECT a.query_id, a.arank,
+         CASE WHEN e.erank IS NOT NULL THEN 6 - e.erank ELSE 0 END AS rel
+  FROM approx a LEFT JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+),
+dcg AS (
+  SELECT query_id,
+         list_sum(list(rel / log2(arank + 1) ORDER BY arank)) AS dcg_raw
+  FROM gains GROUP BY query_id
+)
+SELECT query_id,
+       round(dcg_raw, 4) AS dcg,
+       round(dcg_raw / {_IDCG_SQL}, 4) AS ndcg
+FROM dcg
+"""
+
+
+@q("ann_ndcg_eval", _NDCG_ORACLE)
+def _ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of IVF retrieval (nprobe=2, fixed centroid snapshot —
+    the embedding_ivf_topk recipe) against the exact-cosine ideal —
+    the graded-relevance companion of ann_recall_at_k (recall treats
+    the 1st and 5th true neighbor alike; NDCG charges more for losing
+    the top ones). Gain of the exact rank-r neighbor is 6-r; DCG folds
+    in ascending approx-rank order (a fixed <= 5-term float sum,
+    identical operand order in the SQL oracle's ORDER BY list fold).
+
+    Scale shape: the cost IS the two retrievals it grades (broadcast
+    queries over the streamed corpus; cell-pruned approx arm); the
+    grading join touches k-row-per-query rank lists only."""
+    from ..operators import similarity as S
+
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NDCG_NQ)
+    centroids = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + _NDCG_NCENT)
+    )
+    exact = S.cosine_topk(emb, queries, k=_NDCG_K).select(
+        "query_id", "vec_id", F.col("rank").alias("erank")
+    )
+    approx = S.ivf_topk(
+        emb, queries, centroids, k=_NDCG_K, nprobe=_NDCG_NPROBE
+    ).select(
+        F.col("query_id").alias("__aq"),
+        F.col("vec_id").alias("__av"),
+        F.col("rank").alias("arank"),
+    )
+    gains = approx.join(
+        exact,
+        (F.col("__aq") == F.col("query_id"))
+        & (F.col("__av") == F.col("vec_id")),
+        "left",
+    ).select(
+        F.col("__aq").alias("query_id"),
+        "arank",
+        F.coalesce(6 - F.col("erank"), F.lit(0)).alias("rel"),
+    )
+    # fold the <=5 DCG terms in fixed ascending-rank order so the
+    # float sum's operand order matches the oracle's ordered list_sum
+    term = (F.col("rel") / F.log2(F.col("arank") + 1)).alias("term")
+    dcg_raw = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("arank"), term))
+        ),
+        F.lit(0.0),
+        lambda acc, s: acc + s["term"],
+    )
+    idcg = sum((6.0 - r) / __import__("math").log2(r + 1) for r in range(1, 6))
+    return (
+        gains.groupBy("query_id")
+        .agg(dcg_raw.alias("dcg_raw"))
+        .select(
+            "query_id",
+            F.round("dcg_raw", 4).alias("dcg"),
+            F.round(F.col("dcg_raw") / F.lit(idcg), 4).alias("ndcg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: cumulative corpus-token share of the
+# top-N terms — the "how large must the vocab be" readout.
+# ---------------------------------------------------------------------------
+
+_VC_CUTS = (5, 10, 20)
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+),
+freq AS (SELECT term, count(*) AS f FROM tok GROUP BY term),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term ASC) AS r
+  FROM freq
+),
+tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM freq)
+SELECT c.cutoff,
+       CAST(sum(CASE WHEN r <= c.cutoff THEN f ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       max(t.total_tokens) AS total_tokens,
+       round(sum(CASE WHEN r <= c.cutoff THEN f ELSE 0 END)
+             / max(t.total_tokens), 4) AS share
+FROM ranked CROSS JOIN tot t
+CROSS JOIN (SELECT unnest([{", ".join(str(c) for c in _VC_CUTS)}])
+              AS cutoff) c
+GROUP BY c.cutoff
+"""
+
+
+@q("vocab_coverage_curve", _VOCAB_COVERAGE_ORACLE)
+def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all corpus tokens
+    the top-N most-frequent terms cover (cutoffs sized to this
+    corpus's ~31-term synthetic vocabulary; real corpora use
+    1e4/1e5-scale cutoffs) — the readout that
+    sizes a tokenizer vocabulary (or an OOV budget) before training
+    one (bpe_train_merges / oov_rate are the downstream consumers).
+
+    Scale shape: ONE map-side-combined (term, count) shuffle — the
+    frequency table is vocabulary-sized, the rank window and the
+    cutoff rollup run on that small frame, and the cutoffs are a
+    3-row broadcast literal. The corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.desc("f"), F.asc("term")))
+        .alias("r"),
+    )
+    cuts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _VC_CUTS])
+        ).alias("cutoff")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cuts))
+        .groupBy("cutoff")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("cutoff"), F.col("f")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.sum("f").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "cutoff",
+            "covered_tokens",
+            "total_tokens",
+            F.round(
+                F.col("covered_tokens") / F.col("total_tokens"), 4
+            ).alias("share"),
+        )
+    )

@@ -209,3 +209,75 @@ def _ltr_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ltr_score"), F.asc("doc_id"))
         .limit(_LTR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# One PCA power-iteration step: u = sum_rows (x . v0) * x, exact fixed
+# point — the distributed linear-algebra primitive under PCA/whitening.
+# ---------------------------------------------------------------------------
+
+_V0 = [((j * 17) % 13 - 6) / 10.0 for j in range(_DIM)]
+_V0_SQL = "[" + ", ".join(f"{v!r}" for v in _V0) + "]"
+
+_PCA_ORACLE = f"""
+WITH s AS (
+  SELECT embedding::DOUBLE[] AS x,
+         list_dot_product(embedding::DOUBLE[], {_V0_SQL}) AS proj
+  FROM embeddings
+),
+contrib AS (
+  SELECT u.j - 1 AS feature,
+         CAST(round(proj * u.v * {_GRAD_SCALE}) AS BIGINT) AS g
+  FROM (
+    SELECT proj,
+           unnest(list_transform(x, (v, i) -> {{'j': i, 'v': v}})) AS u
+    FROM s
+  )
+)
+SELECT feature, CAST(sum(g) AS BIGINT) AS u_fp,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM contrib GROUP BY feature
+"""
+
+
+@q("pca_power_iteration", _PCA_ORACLE)
+def _pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the top principal component of
+    the embedding matrix: ``u = X^T (X v0) = sum_rows (x.v0) x`` with a
+    literal deterministic start vector, per-row contributions quantized
+    to 1e-9 fixed point so the cross-partition vector sum is an exact
+    BIGINT per feature.
+
+    The same map-side-combinable vector-aggregation shape as
+    logreg_gradient_embeddings (the only shuffle carries (feature,
+    partial-sum) pairs — d x partitions rows); the driver loop
+    (normalize u, re-broadcast, repeat; Rayleigh quotient for the
+    eigenvalue) composes like kmeans_train. PCA whitening /
+    top-component removal is the standard post-processing that
+    improves embedding retrieval (and the basis of spectral outlier
+    detection in curation)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    v0 = F.array(*[F.lit(v) for v in _V0])
+    proj = F.aggregate(
+        F.zip_with(x, v0, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # stage proj as an attribute before the explode (Catalyst would
+    # otherwise re-inline the 64-term fold once per exploded element)
+    s = emb.select(x.alias("x"), proj.alias("proj"))
+    return (
+        s.select(F.posexplode("x").alias("feature", "v"), "proj")
+        .select(
+            "feature",
+            F.round(F.col("proj") * F.col("v") * _GRAD_SCALE)
+            .cast("long")
+            .alias("g"),
+        )
+        .groupBy("feature")
+        .agg(
+            F.sum("g").cast("long").alias("u_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

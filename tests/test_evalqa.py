@@ -95,3 +95,61 @@ class TestLengthBuckets:
             # every doc fits its bucket and wouldn't fit the next
             # smaller one: waste per doc < 32 tokens
             assert r.padded_slots - r.sum_tokens < 32 * r.n_docs
+
+
+class TestAnnNdcg:
+    def test_ndcg_bounded_and_consistent_with_recall(self, spark, sf_dir):
+        rows = _run("ann_ndcg_eval", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r.ndcg <= 1.0
+            assert r.dcg >= 0.0
+        # IVF with nprobe=2 finds SOME true neighbors on this corpus —
+        # an all-zero table would mean the approx arm is broken
+        assert any(r.ndcg > 0 for r in rows)
+
+    def test_perfect_arm_scores_one(self, spark, sf_dir):
+        # grading the exact arm against itself must yield ndcg == 1:
+        # pin the IDCG constant and the fold order
+        from cga_kinesis_to_elasticsearch_spark.operators import (
+            similarity as S,
+        )
+        import math
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter("vec_id < 2")
+        exact = S.cosine_topk(emb, queries, k=5)
+        idcg = sum((6 - r) / math.log2(r + 1) for r in range(1, 6))
+        for (qid,), grp in __import__("itertools").groupby(
+            sorted(
+                [(r.query_id, r.rank) for r in exact.collect()],
+                key=lambda t: (t[0], t[1]),
+            ),
+            key=lambda t: (t[0],),
+        ):
+            dcg = sum((6 - rk) / math.log2(rk + 1) for _, rk in grp)
+            assert abs(dcg / idcg - 1.0) < 1e-12
+
+
+class TestVocabCoverage:
+    def test_shares_monotone_and_consistent(self, spark, sf_dir):
+        rows = sorted(
+            _run("vocab_coverage_curve", spark, sf_dir).collect(),
+            key=lambda r: r.cutoff,
+        )
+        assert [r.cutoff for r in rows] == [5, 10, 20]
+        for a, b in zip(rows, rows[1:]):
+            assert a.covered_tokens <= b.covered_tokens
+            assert a.total_tokens == b.total_tokens
+        for r in rows:
+            assert 0 < r.share <= 1.0
+            assert (
+                abs(r.share - round(r.covered_tokens / r.total_tokens, 4))
+                < 1e-9
+            )
+
+    def test_total_matches_corpus_token_count(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        want = sum(len([t for t in r.text.split() if t]) for r in docs)
+        rows = _run("vocab_coverage_curve", spark, sf_dir).collect()
+        assert all(r.total_tokens == want for r in rows)

@@ -104,3 +104,46 @@ class TestLtrRescore:
             assert r.tf_scan == toks.count("scan")
             assert r.tf_merge == toks.count("merge")
             assert r.dl == len(toks)
+
+
+class TestPcaPowerIteration:
+    def test_matches_numpy_xtx_product(self, spark, sf_dir):
+        from cga_kinesis_to_elasticsearch_spark.plans.mlprims import _V0
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        X = np.array(
+            [[float(v) for v in r.embedding] for r in emb], dtype=np.float64
+        )
+        v0 = np.array(_V0)
+        proj = X @ v0
+        got = {
+            r.feature: r.u_fp
+            for r in _run("pca_power_iteration", spark, sf_dir).collect()
+        }
+        assert set(got) == set(range(_DIM))
+        for j in range(_DIM):
+            want = int(np.round(proj * X[:, j] * _GRAD_SCALE).sum())
+            assert abs(got[j] - want) <= len(emb), j
+
+    def test_iterating_converges_toward_top_component(self, spark, sf_dir):
+        # the returned u, normalized, must be closer (in |cos|) to the
+        # true top eigenvector of X^T X than v0 was — the property that
+        # makes the loop converge
+        from cga_kinesis_to_elasticsearch_spark.plans.mlprims import _V0
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        X = np.array(
+            [[float(v) for v in r.embedding] for r in emb], dtype=np.float64
+        )
+        got = {
+            r.feature: r.u_fp
+            for r in _run("pca_power_iteration", spark, sf_dir).collect()
+        }
+        u = np.array([got[j] / _GRAD_SCALE for j in range(_DIM)])
+        w, vecs = np.linalg.eigh(X.T @ X)
+        top = vecs[:, -1]
+        v0 = np.array(_V0)
+        cos = lambda a, b: abs(a @ b) / (
+            np.linalg.norm(a) * np.linalg.norm(b)
+        )
+        assert cos(u, top) > cos(v0, top)
