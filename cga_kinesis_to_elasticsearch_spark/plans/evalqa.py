@@ -618,3 +618,113 @@ def _vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter ablation: per-filter marginal removal analysis.
+# ---------------------------------------------------------------------------
+
+# the three hard keep-rules under study (cheap narrow signals; the
+# same pattern extends to any of the text.py quality columns)
+_FA_LEN = 200       # n_chars >= 200
+_FA_DIVERSITY = 20  # distinct tokens >= 20
+_FA_TOPSHARE = 20   # top token <= 20% of tokens (x100 fixed point)
+
+_FILTER_ABLATION_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         (n_chars >= {_FA_LEN})::INT AS p_len,
+         (len(list_distinct(tk)) >= {_FA_DIVERSITY})::INT AS p_div,
+         (100 * list_max(list_transform(list_distinct(tk),
+              u -> len(list_filter(tk, t -> t = u))))
+          <= {_FA_TOPSHARE} * len(tk))::INT AS p_rep
+  FROM staged
+),
+counts AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(1 - p_len) AS BIGINT) AS f_len,
+         CAST(sum(1 - p_div) AS BIGINT) AS f_div,
+         CAST(sum(1 - p_rep) AS BIGINT) AS f_rep,
+         CAST(sum((1 - p_len) * p_div * p_rep) AS BIGINT) AS u_len,
+         CAST(sum(p_len * (1 - p_div) * p_rep) AS BIGINT) AS u_div,
+         CAST(sum(p_len * p_div * (1 - p_rep)) AS BIGINT) AS u_rep,
+         CAST(sum(p_len * p_div * p_rep) AS BIGINT) AS n_pass_all
+  FROM sig
+)
+SELECT 'min_length' AS filter, f_len AS n_fail, u_len AS n_unique_fail,
+       n_docs, n_pass_all FROM counts
+UNION ALL
+SELECT 'min_diversity', f_div, u_div, n_docs, n_pass_all FROM counts
+UNION ALL
+SELECT 'max_repetition', f_rep, u_rep, n_docs, n_pass_all FROM counts
+"""
+
+
+@q("filter_ablation_matrix", _FILTER_ABLATION_ORACLE)
+def _filter_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter ablation report: for each hard keep-rule
+    (min length, min lexical diversity, max top-token repetition),
+    how many documents it rejects and how many it UNIQUELY rejects
+    (would pass every other rule) — the marginal-contribution table
+    that decides whether a filter earns its false-positive risk
+    before a 100 TB curation run. The weak-supervision analogue is
+    labeling_function_diagnostics; this is the hard-filter version.
+
+    Scale shape: all predicates evaluate as narrow per-row HOFs in one
+    scan; the whole report reduces MAP-SIDE to a single row of integer
+    sums that is then unpivoted to one row per filter — KB-scale at
+    any corpus size, adding a filter costs +2 sums, not +1 scan."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    staged = docs.select(
+        "n_chars", tk.alias("tk"), F.array_distinct(tk).alias("uk")
+    )
+    top_tf = F.array_max(
+        F.transform(
+            F.col("uk"),
+            lambda u: F.size(F.filter(F.col("tk"), lambda t: t == u)),
+        )
+    )
+    sig = staged.select(
+        (F.col("n_chars") >= _FA_LEN).cast("int").alias("p_len"),
+        (F.size("uk") >= _FA_DIVERSITY).cast("int").alias("p_div"),
+        (100 * top_tf <= _FA_TOPSHARE * F.size("tk"))
+        .cast("int")
+        .alias("p_rep"),
+    )
+    counts = sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(1 - F.col("p_len")).cast("long").alias("f_len"),
+        F.sum(1 - F.col("p_div")).cast("long").alias("f_div"),
+        F.sum(1 - F.col("p_rep")).cast("long").alias("f_rep"),
+        F.sum((1 - F.col("p_len")) * F.col("p_div") * F.col("p_rep"))
+        .cast("long")
+        .alias("u_len"),
+        F.sum(F.col("p_len") * (1 - F.col("p_div")) * F.col("p_rep"))
+        .cast("long")
+        .alias("u_div"),
+        F.sum(F.col("p_len") * F.col("p_div") * (1 - F.col("p_rep")))
+        .cast("long")
+        .alias("u_rep"),
+        F.sum(F.col("p_len") * F.col("p_div") * F.col("p_rep"))
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+    # unpivot the ONE-row aggregate with stack() — a 3-way union of
+    # selects over `counts` would re-execute the corpus scan per arm
+    return counts.select(
+        F.expr(
+            "stack(3,"
+            " 'min_length', f_len, u_len,"
+            " 'min_diversity', f_div, u_div,"
+            " 'max_repetition', f_rep, u_rep"
+            ") as (filter, n_fail, n_unique_fail)"
+        ),
+        "n_docs",
+        "n_pass_all",
+    )

@@ -153,3 +153,41 @@ class TestVocabCoverage:
         want = sum(len([t for t in r.text.split() if t]) for r in docs)
         rows = _run("vocab_coverage_curve", spark, sf_dir).collect()
         assert all(r.total_tokens == want for r in rows)
+
+
+class TestFilterAblation:
+    def test_counts_reconcile_with_per_doc_recount(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        sigs = []
+        for d in docs:
+            toks = [t for t in d.text.split() if t]
+            uniq = set(toks)
+            top = max(toks.count(u) for u in uniq) if toks else 0
+            sigs.append(
+                (
+                    d.n_chars >= 200,
+                    len(uniq) >= 20,
+                    100 * top <= 20 * len(toks),
+                )
+            )
+        rows = {
+            r["filter"]: r
+            for r in _run("filter_ablation_matrix", spark, sf_dir).collect()
+        }
+        keys = ["min_length", "min_diversity", "max_repetition"]
+        assert set(rows) == set(keys)
+        for i, k in enumerate(keys):
+            n_fail = sum(1 for s in sigs if not s[i])
+            n_unique = sum(
+                1
+                for s in sigs
+                if not s[i] and all(s[j] for j in range(3) if j != i)
+            )
+            assert rows[k].n_fail == n_fail, k
+            assert rows[k].n_unique_fail == n_unique, k
+        n_pass_all = sum(1 for s in sigs if all(s))
+        assert all(r.n_pass_all == n_pass_all for r in rows.values())
+        # unique-fail can never exceed total-fail
+        assert all(
+            r.n_unique_fail <= r.n_fail for r in rows.values()
+        )
