@@ -419,3 +419,123 @@ def _termvectors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.join(stats, "term").select(
         "doc_id", "term", "term_freq", "positions", "doc_freq", "ttf"
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingest pipeline: declarative processor chain applied at index time.
+# ---------------------------------------------------------------------------
+
+_INGEST_PIPELINE = [
+    {"rename": {"field": "event_type", "target_field": "type"}},
+    {"uppercase": {"field": "type"}},
+    {"set": {"field": "pipeline_ver", "value": "v2"}},
+    {"copy": {"field": "raw_props", "from": "props"}},
+    {"gsub": {"field": "props", "pattern": "[\\s\"{}]+", "replacement": ""}},
+    {"convert": {"field": "user_id", "type": "string"}},
+    {
+        "date": {
+            "field": "ts",
+            "target_field": "day",
+            "output_format": "yyyy-MM-dd",
+        }
+    },
+    {"remove": {"field": "value"}},
+    {"remove": {"field": "ts"}},
+]
+
+_INGEST_ORACLE = """
+SELECT event_id,
+       CAST(user_id AS VARCHAR) AS user_id,
+       upper(event_type) AS type,
+       regexp_replace(props, '[\\s"{}]+', '', 'g') AS props,
+       'v2' AS pipeline_ver,
+       props AS raw_props,
+       strftime(ts, '%Y-%m-%d') AS day
+FROM events
+"""
+
+
+@q("ingest_pipeline_events", _INGEST_ORACLE)
+def _ingest_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest pipeline (PUT _ingest/pipeline) applied to the event
+    stream: rename+uppercase the type, stamp a pipeline version, keep
+    the raw props beside a gsub-cleaned copy, stringify the user id,
+    derive the day field (the index-routing date), drop the scored
+    value — a representative everyday processor chain, interpreted by
+    operators/ingest.py.
+
+    Scale shape: the WHOLE chain compiles to one narrow projection
+    (every processor is a Column expression folded left-to-right), so
+    a 40-processor pipeline costs the same single codegen'd scan as
+    one processor — no per-processor passes, no UDFs."""
+    from ..operators.ingest import apply_ingest_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    return apply_ingest_pipeline(ev, _INGEST_PIPELINE)
+
+
+# ---------------------------------------------------------------------------
+# extended_stats: the full ES moment family per bucket.
+# ---------------------------------------------------------------------------
+
+_EXT_STATS_ORACLE = """
+WITH staged AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM staged GROUP BY l_returnflag
+)
+SELECT l_returnflag, n, sx AS sum_qty, sxx AS sum_of_squares,
+       round(sxd / nd, 9) AS avg_qty,
+       round((nd * sxxd - sxd * sxd) / (nd * nd), 9) AS variance_pop,
+       round(sqrt((nd * sxxd - sxd * sxd) / (nd * nd)), 9) AS std_dev,
+       round(sxd / nd + 2 * sqrt((nd * sxxd - sxd * sxd) / (nd * nd)), 9)
+         AS std_upper,
+       round(sxd / nd - 2 * sqrt((nd * sxxd - sxd * sxd) / (nd * nd)), 9)
+         AS std_lower
+FROM (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sxx AS DOUBLE) AS sxxd
+      FROM sums)
+"""
+
+
+@q("extended_stats_quantity", _EXT_STATS_ORACLE)
+def _extended_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``extended_stats`` aggregation per returnflag: count, sum,
+    sum_of_squares, avg, POPULATION variance/std-deviation (ES's
+    default), and the sigma=2 std_deviation_bounds — the anomaly-band
+    aggregation ES dashboards lean on.
+
+    Scale shape: one partial-aggregated shuffle of three int64 moments
+    per bucket (quantity is a whole number, so every sum is exact);
+    the moment closures are single IEEE expressions over those
+    integers, rounded identically on both engines — the matrix_stats
+    discipline."""
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("x")
+    )
+    sums = staged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    var = (nd * sxxd - sxd * sxd) / (nd * nd)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.col("sx").alias("sum_qty"),
+        F.col("sxx").alias("sum_of_squares"),
+        F.round(sxd / nd, 9).alias("avg_qty"),
+        F.round(var, 9).alias("variance_pop"),
+        F.round(F.sqrt(var), 9).alias("std_dev"),
+        F.round(sxd / nd + 2 * F.sqrt(var), 9).alias("std_upper"),
+        F.round(sxd / nd - 2 * F.sqrt(var), 9).alias("std_lower"),
+    )

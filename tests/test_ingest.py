@@ -1,0 +1,121 @@
+"""Ingest-pipeline interpreter semantics (operators/ingest.py): each
+processor, chain ordering, plan-time validation, and the single-
+projection guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+    apply_ingest_pipeline,
+    compile_pipeline,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(1, " Hello World ", "7", "2024-01-02 03:04:05")],
+        "id long, msg string, num string, when string",
+    )
+
+
+class TestProcessors:
+    def test_full_chain(self, spark):
+        out = apply_ingest_pipeline(
+            _df(spark),
+            [
+                {"trim": {"field": "msg"}},
+                {"lowercase": {"field": "msg"}},
+                {"gsub": {"field": "msg", "pattern": "o", "replacement": "0"}},
+                {"split": {"field": "msg", "separator": " "}},
+                {"rename": {"field": "num", "target_field": "n"}},
+                {"convert": {"field": "n", "type": "int"}},
+                {"set": {"field": "ver", "value": 3}},
+                {"copy": {"field": "id2", "from": "id"}},
+                {
+                    "date": {
+                        "field": "when",
+                        "target_field": "day",
+                        "output_format": "yyyy-MM-dd",
+                    }
+                },
+                {"remove": {"field": "when"}},
+            ],
+        ).collect()[0]
+        assert out.msg == ["hell0", "w0rld"]
+        assert out.n == 7 and out.ver == 3 and out.id2 == 1
+        assert out.day == "2024-01-02"
+        assert "when" not in out.asDict()
+
+    def test_processor_order_matters(self, spark):
+        # gsub before vs after lowercase — sequential semantics
+        df = spark.createDataFrame([("AbA",)], "s string")
+        first = apply_ingest_pipeline(
+            df,
+            [
+                {"gsub": {"field": "s", "pattern": "A", "replacement": "x"}},
+                {"lowercase": {"field": "s"}},
+            ],
+        ).collect()[0].s
+        second = apply_ingest_pipeline(
+            df,
+            [
+                {"lowercase": {"field": "s"}},
+                {"gsub": {"field": "s", "pattern": "A", "replacement": "x"}},
+            ],
+        ).collect()[0].s
+        assert first == "xbx" and second == "aba"
+
+    def test_convert_failure_modes(self, spark):
+        df = spark.createDataFrame([("abc",)], "v string")
+        # ignore_failure: true -> null (ES on_failure semantics)
+        out = apply_ingest_pipeline(
+            df,
+            [{"convert": {"field": "v", "type": "int", "ignore_failure": True}}],
+        ).collect()[0]
+        assert out.v is None
+        # default: ANSI cast raises at execution
+        with pytest.raises(Exception):
+            apply_ingest_pipeline(
+                df, [{"convert": {"field": "v", "type": "int"}}]
+            ).collect()
+
+    def test_plan_time_validation(self, spark):
+        df = _df(spark)
+        with pytest.raises(ValueError, match="unknown field"):
+            apply_ingest_pipeline(df, [{"remove": {"field": "nope"}}])
+        with pytest.raises(ValueError, match="unsupported processor"):
+            apply_ingest_pipeline(df, [{"painless": {"src": "1+1"}}])
+        with pytest.raises(ValueError, match="unsupported type"):
+            apply_ingest_pipeline(
+                df, [{"convert": {"field": "num", "type": "ip"}}]
+            )
+        # rename consumes the old name: later reference must fail
+        with pytest.raises(ValueError, match="unknown field"):
+            apply_ingest_pipeline(
+                df,
+                [
+                    {"rename": {"field": "num", "target_field": "n"}},
+                    {"trim": {"field": "num"}},
+                ],
+            )
+
+    def test_compiles_to_single_projection(self, spark):
+        # 8 processors, ONE Project over the scan — no per-processor
+        # passes (the scale guarantee in the module docstring)
+        out = apply_ingest_pipeline(
+            _df(spark),
+            [
+                {"trim": {"field": "msg"}},
+                {"lowercase": {"field": "msg"}},
+                {"set": {"field": "a", "value": 1}},
+                {"set": {"field": "b", "value": 2}},
+                {"copy": {"field": "c", "from": "id"}},
+                {"rename": {"field": "num", "target_field": "n"}},
+                {"gsub": {"field": "msg", "pattern": "l", "replacement": ""}},
+                {"uppercase": {"field": "msg"}},
+            ],
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Project") == 1
