@@ -151,3 +151,42 @@ class TestStreamSink:
 @pytest.fixture()
 def tmp_path(tmp_path_factory):
     return tmp_path_factory.mktemp("esbulk")
+
+
+class TestStreamRestart:
+    def test_checkpoint_restart_appends_new_epochs_only(
+        self, spark, tmp_path
+    ):
+        in_dir = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ckpt")
+        root = str(tmp_path / "es")
+        spark.createDataFrame(
+            [("a", "idx", 1)],
+            "doc_id string, es_index string, value long",
+        ).write.parquet(in_dir)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "doc_id string, es_index string, value long"
+            ).parquet(in_dir)
+            q = (
+                write_es_bulk_stream(stream, root, ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+
+        run_once()
+        first_ids = {m["index"]["_id"] for m, _ in read_bulk_actions(root)}
+        assert first_ids == {"a"}
+        # new input lands between runs; restart must resume from the
+        # committed offset — docs from run 1 are NOT re-emitted
+        spark.createDataFrame(
+            [("b", "idx", 2)],
+            "doc_id string, es_index string, value long",
+        ).write.mode("append").parquet(in_dir)
+        run_once()
+        actions = read_bulk_actions(root)
+        ids = sorted(m["index"]["_id"] for m, _ in actions)
+        assert ids == ["a", "b"]  # exactly once each, no duplicates
