@@ -539,3 +539,70 @@ def _extended_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sxd / nd + 2 * F.sqrt(var), 9).alias("std_upper"),
         F.round(sxd / nd - 2 * F.sqrt(var), 9).alias("std_lower"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rollup search: answer a coarse aggregate FROM the pre-aggregated
+# rollup; the fact-level oracle proves the re-aggregation is exact.
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SEARCH_ORACLE = """
+SELECT strftime(ts, '%Y-%m') AS month,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             / count(*), 4) AS avg_cents
+FROM events
+GROUP BY strftime(ts, '%Y-%m'), event_type
+"""
+
+
+@q("rollup_search_monthly", _ROLLUP_SEARCH_ORACLE)
+def _rollup_search_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rollup search (the read half of sinks/rollup.py's continuous
+    aggregate): the month-level answer is computed FROM the day-level
+    rollup — day partials re-aggregate to months, count and cent-sum
+    combine exactly, avg closes from the combined partials — while the
+    ORACLE computes straight from the facts. The hash match is the
+    materialized-view correctness proof: serving from the rollup gives
+    bit-identical answers to scanning the raw events.
+
+    Scale shape: the fact scan happens once to build day partials
+    (bounded by days x types, the continuous-aggregate state the
+    streaming hook maintains incrementally); the month answer is an
+    aggregation over that TINY frame. At 100 TB this is the difference
+    between scanning 7 years of events per dashboard query and
+    re-aggregating a few thousand rollup rows — the entire point of
+    ES's rollup/transform machinery."""
+    ev = _t(spark, sf_dir, "events")
+    day_rollup = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+        )
+        .groupBy("day", "month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vc").alias("sum_cents"),
+        )
+    )
+    return (
+        day_rollup.groupBy("month", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "month",
+            "event_type",
+            "n",
+            "sum_cents",
+            F.round(
+                F.col("sum_cents").cast("double") / F.col("n"), 4
+            ).alias("avg_cents"),
+        )
+    )
