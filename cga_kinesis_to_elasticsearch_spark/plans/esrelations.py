@@ -606,3 +606,88 @@ def _rollup_search_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ES-bulk DataSource sink round trip: write bulk bodies through the
+# pluggable writer, read the committed actions back, aggregate.
+# ---------------------------------------------------------------------------
+
+_ESBULK_ORACLE = """
+SELECT 'docs-' || lang AS es_index,
+       count(*) AS n_actions,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+@q("es_bulk_sink_roundtrip", _ESBULK_ORACLE)
+def _es_bulk_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full disk round trip through the pluggable ES-bulk sink
+    (sinks/esbulk_sink.py): documents write as bulk-action NDJSON via
+    ``format("es_bulk_sim")`` (DataSource V2 commit protocol), the
+    COMMITTED actions are read back, and per-index counts/sums must
+    match the fact-level oracle — proving the writer loses, duplicates
+    and reorders nothing (sum_chars would catch a corrupted _source).
+
+    Scale shape: one narrow projection into per-task NDJSON spills;
+    commit messages carry names+counts only (driver never sees doc
+    bytes). The read-back is a plain JSON scan of the committed files
+    — at 100 TB that is the ES cluster's job; here it closes the
+    verification loop."""
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.esbulk_sink import write_es_bulk
+
+    sf = Path(sf_dir).name
+    root = str(
+        Path(tempfile.gettempdir()) / "spark_graft_esbulk" / sf
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("docs-"), F.col("lang")).alias("es_index"),
+        "n_chars",
+    )
+    write_es_bulk(docs, root, mode="overwrite")
+    # meta/source lines pair positionally inside each committed file;
+    # the Arrow reader re-pairs them so count AND per-index char sum
+    # come from one pass over the bulk bodies
+    return _esbulk_read_back(spark, root)
+
+
+def _esbulk_read_back(spark: SparkSession, root: str) -> DataFrame:
+    """(es_index, n_actions, sum_chars) from the committed bulk files,
+    pairing each meta line with its following source line —
+    distributed over the committed file list (one task per file;
+    driver sees names only)."""
+    from pathlib import Path
+
+    files = [str(p) for p in sorted((Path(root) / "bulk").glob("*.ndjson"))]
+
+    def _pairs(it):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for path in pdf["path"]:
+                with open(path) as f:
+                    lines = [ln for ln in f.read().splitlines() if ln]
+                for m, s in zip(lines[::2], lines[1::2]):
+                    meta = _json.loads(m)["index"]
+                    src = _json.loads(s)
+                    rows.append(
+                        (meta["_index"], int(src["n_chars"]))
+                    )
+            yield pd.DataFrame(rows, columns=["es_index", "n_chars"])
+
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(max(1, len(files)))
+    pairs = paths.mapInPandas(_pairs, "es_index string, n_chars long")
+    return pairs.groupBy("es_index").agg(
+        F.count(F.lit(1)).alias("n_actions"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
