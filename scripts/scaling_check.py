@@ -110,6 +110,15 @@ QUERIES = [
     "lsh_recall_eval",
     "explain_bm25_doc",
     "length_bucket_batches",
+    # ML primitives / ingest / rollup-search / DataSource-sink batch
+    "logreg_gradient_embeddings",
+    "ltr_rescore_topk",
+    "filter_ablation_matrix",
+    "vocab_coverage_curve",
+    "ingest_pipeline_events",
+    "extended_stats_quantity",
+    "rollup_search_monthly",
+    "es_bulk_sink_roundtrip",
 ]
 
 
