@@ -108,6 +108,7 @@ WITH scored AS (
   SELECT user_id, event_id,
          CAST(round(value * 100) AS BIGINT) AS vc
   FROM events
+  WHERE value IS NOT NULL
 ),
 ranked AS (
   SELECT user_id, event_id, vc,
@@ -146,7 +147,10 @@ def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. At 100 TB this is the canonical groupBy-window recipe the
     RLHF data pipeline runs per prompt."""
     ev = _t(spark, sf_dir, "events")
-    scored = ev.select(
+    # unscored responses are EXCLUDED (not ranked): NULL scores order
+    # differently in Spark (nulls first) vs SQL engines (nulls last),
+    # and a null-scored "rejected" carries no training signal anyway
+    scored = ev.filter(F.col("value").isNotNull()).select(
         "user_id",
         "event_id",
         F.round(F.col("value") * 100).cast("long").alias("vc"),
@@ -197,7 +201,8 @@ _CURRICULUM_ORACLE = f"""
 WITH scored AS (
   SELECT doc_id,
          CAST(len(list_distinct(
-             list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+             list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                         t -> t <> '')
          )) AS BIGINT) AS score
   FROM documents
 ),
@@ -247,9 +252,15 @@ def _curriculum_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
+        # coalesce('') so a NULL text scores 0 on BOTH engines (a null
+        # score would sort nulls-first in Spark but nulls-last in SQL
+        # engines — the same nullable-contract trap topk.py fixed)
         F.size(
             F.array_distinct(
-                F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+                F.filter(
+                    F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+                    lambda t: t != "",
+                )
             )
         )
         .cast("long")
@@ -298,9 +309,10 @@ def _curriculum_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY_ORACLE = """
 WITH staged AS (
   SELECT doc_id, source,
-         CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
-           AS priority,
-         md5(text) AS content_hash
+         coalesce(try_cast(regexp_extract(coalesce(source, ''),
+                                          '([0-9]+)', 1) AS BIGINT),
+                  9223372036854775807) AS priority,
+         md5(coalesce(text, '')) AS content_hash
   FROM documents
 ),
 ranked AS (
@@ -335,10 +347,14 @@ def _cross_source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = docs.select(
         "doc_id",
         "source",
-        F.regexp_extract(F.col("source"), "([0-9]+)", 1)
-        .cast("long")
-        .alias("priority"),
-        F.md5(F.col("text")).alias("content_hash"),
+        # null/number-free sources sink to LOWEST priority instead of
+        # riding engine-specific null ordering; null text hashes as ''
+        F.coalesce(
+            F.regexp_extract(F.coalesce(F.col("source"), F.lit("")),
+                             "([0-9]+)", 1).try_cast("long"),
+            F.lit(2**63 - 1),
+        ).alias("priority"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("content_hash"),
     )
     w = Window.partitionBy("content_hash").orderBy(
         F.asc("priority"), F.asc("doc_id")

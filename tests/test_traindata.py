@@ -169,3 +169,85 @@ class TestPriorityDedup:
         assert all(
             r.n_kept + r.n_dropped == r.n_docs for r in out.values()
         )
+
+
+class TestNullContracts:
+    """Legal-but-absent inputs must not silently change semantics —
+    the nullable-contract discipline from operators/topk.py."""
+
+    def test_priority_dedup_handles_null_text_and_source(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, None, "src2"),
+                (2, None, "src1"),   # null texts form ONE dup group
+                (3, "x", None),      # null source -> lowest priority
+                (4, "x", "src9"),    # numbered source beats null
+            ],
+            "doc_id long, text string, source string",
+        )
+        import tempfile
+
+        from cga_kinesis_to_elasticsearch_spark.plans.traindata import (
+            _cross_source_priority_dedup,
+        )
+
+        with tempfile.TemporaryDirectory() as d:
+            docs.toPandas().to_parquet(f"{d}/documents.parquet")
+            out = {
+                r.source: r
+                for r in _cross_source_priority_dedup(spark, d).collect()
+            }
+        assert out["src1"].n_kept == 1 and out["src2"].n_dropped == 1
+        assert out["src9"].n_kept == 1
+        assert out[None].n_dropped == 1 and out[None].n_kept == 0
+
+    def test_preference_pairs_exclude_null_scores(self, spark, tmp_path_factory):
+        # a user whose only competition is a NULL-scored event gets no
+        # pair; NULL never becomes chosen or rejected
+        ev = spark.createDataFrame(
+            [
+                (1, 10, 5.0),
+                (1, 11, None),
+                (2, 20, 1.0),
+                (2, 21, 2.0),
+            ],
+            "user_id long, event_id long, value double",
+        )
+        import tempfile
+
+        from cga_kinesis_to_elasticsearch_spark.plans.traindata import (
+            _preference_pairs,
+        )
+
+        with tempfile.TemporaryDirectory() as d:
+            ev.select(
+                "event_id",
+                F.current_timestamp().alias("ts"),
+                "user_id",
+                F.lit("click").alias("event_type"),
+                "value",
+                F.lit("{}").alias("props"),
+            ).toPandas().to_parquet(f"{d}/events.parquet")
+            rows = {r.user_id: r for r in _preference_pairs(spark, d).collect()}
+        assert 1 not in rows  # single scored event -> no margin
+        assert rows[2].chosen_event == 21 and rows[2].rejected_event == 20
+
+    def test_curriculum_scores_null_text_as_zero(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, "a b c"), (3, "a b c d e")],
+            "doc_id long, text string",
+        )
+        import tempfile
+
+        from cga_kinesis_to_elasticsearch_spark.plans.traindata import (
+            _curriculum_epochs,
+        )
+
+        with tempfile.TemporaryDirectory() as d:
+            docs.toPandas().to_parquet(f"{d}/documents.parquet")
+            rows = sorted(
+                _curriculum_epochs(spark, d).collect(),
+                key=lambda r: r.epoch,
+            )
+        assert sum(r.n_docs for r in rows) == 3
+        assert rows[0].lo_score == 0  # the null-text doc, scored 0
