@@ -691,3 +691,65 @@ def _esbulk_read_back(spark: SparkSession, root: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_actions"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query DSL: a representative bool query compiled by the DSL compiler
+# (operators/querydsl.py) — term/range/exists/match/phrase/prefix
+# under must/must_not/should with minimum_should_match.
+# ---------------------------------------------------------------------------
+
+_DSL_QUERY = {
+    "bool": {
+        "must": [{"range": {"n_chars": {"gte": 150, "lt": 500}}}],
+        "filter": [{"exists": {"field": "lang"}}],
+        "must_not": [{"term": {"lang": "zh"}}],
+        "should": [
+            {"match": {"text": "spark window"}},
+            {"match_phrase": {"text": "merge batch"}},
+            {"prefix": {"source": "src1"}},
+        ],
+        "minimum_should_match": 2,
+    }
+}
+
+_QUERYDSL_ORACLE = """
+WITH staged AS (
+  SELECT doc_id, lang, source, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM staged
+WHERE n_chars >= 150 AND n_chars < 500
+  AND lang IS NOT NULL
+  AND NOT (lang = 'zh')
+  AND (
+        (list_contains(tk, 'spark') OR list_contains(tk, 'window'))::INT
+      + (contains(' ' || array_to_string(tk, ' ') || ' ',
+                  ' merge batch '))::INT
+      + (source LIKE 'src1%')::INT
+      ) >= 2
+"""
+
+
+@q("es_query_dsl_search", _QUERYDSL_ORACLE)
+def _es_query_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query DSL, compiled (operators/querydsl.py): a bool query
+    with a range must, an exists filter, a term must_not, and three
+    should clauses (analyzed match, match_phrase, prefix) under
+    ``minimum_should_match: 2`` — the everyday filter-context JSON an
+    ES user would POST, lowered to ONE Catalyst predicate.
+
+    Scale shape: the whole tree is one boolean expression — the
+    n_chars range and lang conjuncts push into the parquet scan
+    (PushedFilters), the token tests evaluate in codegen, and the
+    should-count is an integer sum of flags. A 50-clause bool costs
+    one scan, zero joins; this is the query-side twin of the ingest
+    interpreter."""
+    from ..operators.querydsl import apply_query
+
+    docs = _t(spark, sf_dir, "documents")
+    return apply_query(docs, _DSL_QUERY).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

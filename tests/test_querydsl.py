@@ -1,0 +1,128 @@
+"""Query-DSL compiler semantics (operators/querydsl.py): every leaf,
+bool composition, minimum_should_match defaults, plan-time
+validation, and predicate pushdown."""
+
+from __future__ import annotations
+
+import pytest
+
+from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+    apply_query,
+    compile_query,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "src1", 10, "en"),
+            (2, "beta delta", "src2", 20, "de"),
+            (3, "alpha   beta", "src10", 30, None),
+            (4, "zeta", "other", 40, "en"),
+            (5, None, "src1", 50, "fr"),
+        ],
+        "id long, text string, source string, n long, lang string",
+    )
+
+
+def _ids(spark, dsl):
+    return sorted(r.id for r in apply_query(_df(spark), dsl).collect())
+
+
+class TestLeaves:
+    def test_term_terms_range_exists(self, spark):
+        assert _ids(spark, {"term": {"lang": "en"}}) == [1, 4]
+        assert _ids(spark, {"terms": {"lang": ["en", "de"]}}) == [1, 2, 4]
+        assert _ids(spark, {"range": {"n": {"gte": 20, "lt": 50}}}) == [
+            2,
+            3,
+            4,
+        ]
+        assert _ids(spark, {"exists": {"field": "lang"}}) == [1, 2, 4, 5]
+
+    def test_prefix_wildcard(self, spark):
+        assert _ids(spark, {"prefix": {"source": "src1"}}) == [1, 3, 5]
+        assert _ids(spark, {"wildcard": {"source": "src?"}}) == [1, 2, 5]
+        assert _ids(spark, {"wildcard": {"source": "*the*"}}) == [4]
+
+    def test_match_or_and(self, spark):
+        assert _ids(spark, {"match": {"text": "alpha delta"}}) == [1, 2, 3]
+        assert _ids(
+            spark,
+            {"match": {"text": {"query": "alpha beta", "operator": "and"}}},
+        ) == [1, 3]
+
+    def test_match_phrase_requires_adjacency(self, spark):
+        # doc 1 has 'alpha beta' adjacent; doc 3 too (multi-space
+        # collapses under the whitespace analyzer); 'alpha gamma' is
+        # never adjacent even though both tokens occur in doc 1
+        assert _ids(spark, {"match_phrase": {"text": "alpha beta"}}) == [
+            1,
+            3,
+        ]
+        assert _ids(spark, {"match_phrase": {"text": "alpha gamma"}}) == []
+
+    def test_match_all(self, spark):
+        assert _ids(spark, {"match_all": {}}) == [1, 2, 3, 4, 5]
+
+
+class TestBool:
+    def test_must_not_and_should_msm_default_with_must(self, spark):
+        # with a must present, should is optional (msm defaults to 0)
+        dsl = {
+            "bool": {
+                "must": [{"range": {"n": {"lte": 30}}}],
+                "must_not": [{"term": {"lang": "de"}}],
+                "should": [{"term": {"source": "src1"}}],
+            }
+        }
+        # doc3 (lang NULL): must_not over null equality excludes it —
+        # ES filter-context semantics (non-match, not match)
+        assert _ids(spark, dsl) == [1]
+
+    def test_should_msm_default_without_must(self, spark):
+        # bare should: at least one clause must match (msm default 1)
+        dsl = {
+            "bool": {
+                "should": [
+                    {"term": {"lang": "de"}},
+                    {"prefix": {"source": "other"}},
+                ]
+            }
+        }
+        assert _ids(spark, dsl) == [2, 4]
+
+    def test_minimum_should_match_counts(self, spark):
+        dsl = {
+            "bool": {
+                "should": [
+                    {"match": {"text": "beta"}},
+                    {"range": {"n": {"lte": 20}}},
+                    {"term": {"lang": "en"}},
+                ],
+                "minimum_should_match": 2,
+            }
+        }
+        # doc1: beta+lte20(no:10<=20 yes)+en -> 3; doc2: beta+20 -> 2;
+        # doc3: beta only (n=30, lang null) -> 1; doc4: en only -> 1
+        assert _ids(spark, dsl) == [1, 2]
+
+    def test_validation_fails_at_plan_time(self, spark):
+        with pytest.raises(ValueError, match="unsupported query clause"):
+            compile_query({"fuzzy_rescore": {}})
+        with pytest.raises(ValueError, match="unsupported clauses"):
+            compile_query({"bool": {"boost": 2}})
+        with pytest.raises(ValueError, match="exactly one root"):
+            compile_query({"term": {"a": 1}, "range": {"b": {}}})
+        with pytest.raises(ValueError, match="unsupported bound"):
+            compile_query({"range": {"n": {"between": [1, 2]}}})
+
+    def test_range_pushes_to_scan(self, spark, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("qdsl") / "docs")
+        _df(spark).write.parquet(d)
+        out = apply_query(
+            spark.read.parquet(d),
+            {"bool": {"must": [{"range": {"n": {"gte": 20}}}]}},
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(n), GreaterThanOrEqual(n,20" in plan
