@@ -753,3 +753,67 @@ def _es_query_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_query(docs, _DSL_QUERY).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation DSL: a nested aggs tree (date_histogram > terms with
+# metric leaves) compiled by operators/aggsdsl.py.
+# ---------------------------------------------------------------------------
+
+_AGGS_TREE = {
+    "per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+        "aggs": {
+            "per_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "total_cents": {"sum": {"field": "vc"}},
+                    "users": {"cardinality": {"field": "user_id"}},
+                    "worst_cents": {"min": {"field": "vc"}},
+                },
+            }
+        },
+    }
+}
+
+_AGGSDSL_ORACLE = """
+SELECT strftime(ts, '%Y-%m-%d') AS per_day,
+       event_type AS per_type,
+       count(*) AS doc_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS worst_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@q("es_aggs_dsl_daily", _AGGSDSL_ORACLE)
+def _es_aggs_dsl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES aggregation DSL, compiled (operators/aggsdsl.py): a
+    ``date_histogram > terms`` bucket chain with sum / exact
+    cardinality / min metric leaves — the everyday dashboard request
+    body, lowered to ONE groupBy on the composite bucket key.
+
+    Scale shape: one partial-aggregated shuffle (count/sum/min combine
+    map-side; the exact countDistinct is the one expansion — the HLL
+    sketch in operators/sketches.py is the 100 TB swap-in, exactly
+    ES's precision_threshold trade). Bucket keys are narrow codegen
+    expressions; a deeper agg tree changes the key width, not the
+    number of jobs."""
+    from ..operators.aggsdsl import apply_aggs
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    out = apply_aggs(ev, _AGGS_TREE)
+    return out.select(
+        "per_day",
+        "per_type",
+        "doc_count",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("users").cast("long").alias("users"),
+        F.col("worst_cents").cast("long").alias("worst_cents"),
+    )
