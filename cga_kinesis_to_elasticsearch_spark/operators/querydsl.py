@@ -49,7 +49,7 @@ import operator as _op
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["compile_query", "apply_query"]
+__all__ = ["compile_query", "apply_query", "run_search_body"]
 
 _RANGE_OPS = {"gte": _op.ge, "gt": _op.gt, "lte": _op.le, "lt": _op.lt}
 
@@ -190,3 +190,43 @@ def apply_query(df: DataFrame, dsl: dict) -> DataFrame:
     """Filter a DataFrame with an ES query-DSL dict (one compiled
     predicate; see module docstring)."""
     return df.filter(compile_query(dsl))
+
+
+def run_search_body(df: DataFrame, body: dict) -> DataFrame:
+    """Execute a full ES ``_search`` request body: ``query`` (filter
+    context, this module) + either ``aggs`` (operators/aggsdsl.py) or
+    the hit list shaped by ``sort``/``size`` (+ ``_source`` column
+    projection). The composition mirrors ES exactly: aggregations run
+    over the query-filtered document set; hits are the top ``size``
+    docs by the sort.
+
+    Plan shape: filter + groupBy (aggs) or filter + TakeOrdered
+    (hits) — one scan either way, with the query's pushable conjuncts
+    in PushedFilters."""
+    out = df
+    if "query" in body:
+        out = apply_query(out, body["query"])
+    if "aggs" in body:
+        from .aggsdsl import apply_aggs
+
+        return apply_aggs(out, body["aggs"])
+    sort = body.get("sort") or []
+    if sort:
+        cols = []
+        for s in sort:
+            if isinstance(s, str):
+                cols.append(F.col(s).asc())
+            else:
+                (field, spec), = s.items()
+                order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+                if order not in ("asc", "desc"):
+                    raise ValueError(f"sort: bad order {order!r}")
+                cols.append(
+                    F.col(field).desc() if order == "desc" else F.col(field).asc()
+                )
+        out = out.orderBy(*cols)
+    if "size" in body:
+        out = out.limit(int(body["size"]))
+    if "_source" in body:
+        out = out.select(*body["_source"])
+    return out

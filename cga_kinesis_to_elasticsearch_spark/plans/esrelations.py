@@ -817,3 +817,61 @@ def _es_aggs_dsl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("users").cast("long").alias("users"),
         F.col("worst_cents").cast("long").alias("worst_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full _search request: query + aggs composed (the actual POST body an
+# ES user sends), via run_search_body.
+# ---------------------------------------------------------------------------
+
+_SEARCH_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"terms": {"event_type": ["click", "view", "purchase"]}}],
+            "must_not": [{"range": {"vc": {"lt": 0}}}],
+        }
+    },
+    "aggs": {
+        "per_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {
+                "revenue_cents": {"sum": {"field": "vc"}},
+                "biggest_cents": {"max": {"field": "vc"}},
+            },
+        }
+    },
+}
+
+_SEARCH_REQ_ORACLE = """
+SELECT event_type AS per_type,
+       count(*) AS doc_count,
+       CAST(sum(vc) AS BIGINT) AS revenue_cents,
+       CAST(max(vc) AS BIGINT) AS biggest_cents
+FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events)
+WHERE event_type IN ('click', 'view', 'purchase')
+  AND NOT (vc < 0)
+GROUP BY event_type
+"""
+
+
+@q("es_search_request", _SEARCH_REQ_ORACLE)
+def _es_search_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A complete ES ``_search`` POST body — query (bool with terms +
+    negated range) AND aggs (terms bucket with sum/max leaves) —
+    executed by run_search_body: aggregations over the query-filtered
+    set, exactly ES's composition. The two interpreters fuse into ONE
+    plan: pushable query conjuncts reach the scan, the agg tree is a
+    single partial-agg shuffle."""
+    from ..operators.querydsl import run_search_body
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    out = run_search_body(ev, _SEARCH_BODY)
+    return out.select(
+        "per_type",
+        "doc_count",
+        F.col("revenue_cents").cast("long").alias("revenue_cents"),
+        F.col("biggest_cents").cast("long").alias("biggest_cents"),
+    )

@@ -126,3 +126,40 @@ class TestBool:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters: [IsNotNull(n), GreaterThanOrEqual(n,20" in plan
+
+
+class TestSearchBody:
+    def test_query_plus_aggs_composition(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        out = {
+            r.by_lang: r.doc_count
+            for r in run_search_body(
+                _df(spark),
+                {
+                    "query": {"range": {"n": {"lte": 30}}},
+                    "aggs": {"by_lang": {"terms": {"field": "lang"}}},
+                },
+            ).collect()
+        }
+        # aggs run over the FILTERED set (ids 1,2,3)
+        assert out == {"en": 1, "de": 1, None: 1}
+
+    def test_hits_with_sort_size_source(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {"exists": {"field": "lang"}},
+                "sort": [{"n": {"order": "desc"}}],
+                "size": 2,
+                "_source": ["id", "n"],
+            },
+        ).collect()
+        assert [(r.id, r.n) for r in rows] == [(5, 50), (4, 40)]
+        assert set(rows[0].asDict()) == {"id", "n"}
