@@ -86,6 +86,8 @@ HEADLINE = [
     "has_child_orders",
     "lsh_recall_eval",
     "logreg_gradient_embeddings",
+    # the full _search composition (query DSL + aggs DSL in one plan)
+    "es_search_request",
 ]
 
 

@@ -11,7 +11,12 @@ agg exposes):
 - ``date_histogram`` {field, calendar_interval: hour|day|month|year}
 - ``histogram``      {field, interval}          — fixed-width numeric
 - ``range``          {field, ranges: [{from?, to?}, ...]} — CASE
-                     buckets labeled "lo-hi" like ES ("*" for open)
+                     buckets labeled "lo-hi" like ES ("*" for open).
+                     Honest limit: OVERLAPPING ranges assign each row
+                     to its FIRST matching bucket (a relational group
+                     key is single-valued); ES duplicates the doc into
+                     every matching range. Disjoint ranges — the
+                     overwhelmingly common case — are identical.
 
 Supported metric leaves:
 

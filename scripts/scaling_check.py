@@ -119,6 +119,10 @@ QUERIES = [
     "extended_stats_quantity",
     "rollup_search_monthly",
     "es_bulk_sink_roundtrip",
+    # search-surface trio: compiled query DSL, aggs DSL, full _search
+    "es_query_dsl_search",
+    "es_aggs_dsl_daily",
+    "es_search_request",
 ]
 
 
