@@ -159,7 +159,11 @@ def compile_query(dsl: dict) -> Column:
             for sub in _as_list(body.get(key)):
                 parts.append(compile_query(sub))
         for sub in _as_list(body.get("must_not")):
-            parts.append(~compile_query(sub))
+            # ES match semantics, not SQL three-valued logic: a query
+            # over a MISSING field does not match, so must_not PASSES
+            # the doc — negate (pred IS TRUE), never plain NOT pred
+            # (which turns NULL into NULL and silently drops the doc)
+            parts.append(~F.coalesce(compile_query(sub), F.lit(False)))
         should = _as_list(body.get("should"))
         if should:
             msm = body.get("minimum_should_match")
@@ -168,8 +172,13 @@ def compile_query(dsl: dict) -> Column:
                 msm = 0 if (body.get("must") or body.get("filter")) else 1
             msm = int(msm)
             if msm > 0:
+                # same rule: a null-field should clause contributes 0
+                # to the match count instead of poisoning the sum
                 flags = [
-                    compile_query(sub).cast("int") for sub in should
+                    F.coalesce(compile_query(sub), F.lit(False)).cast(
+                        "int"
+                    )
+                    for sub in should
                 ]
                 parts.append(
                     functools.reduce(_op.add, flags) >= F.lit(msm)

@@ -723,12 +723,13 @@ SELECT doc_id, lang, source, n_chars
 FROM staged
 WHERE n_chars >= 150 AND n_chars < 500
   AND lang IS NOT NULL
-  AND NOT (lang = 'zh')
+  AND NOT coalesce(lang = 'zh', false)
   AND (
-        (list_contains(tk, 'spark') OR list_contains(tk, 'window'))::INT
-      + (contains(' ' || array_to_string(tk, ' ') || ' ',
-                  ' merge batch '))::INT
-      + (source LIKE 'src1%')::INT
+        coalesce((list_contains(tk, 'spark')
+                  OR list_contains(tk, 'window'))::INT, 0)
+      + coalesce((contains(' ' || array_to_string(tk, ' ') || ' ',
+                  ' merge batch '))::INT, 0)
+      + coalesce((source LIKE 'src1%')::INT, 0)
       ) >= 2
 """
 

@@ -157,3 +157,127 @@ class TestBulkSerializeProperty:
         assert _serialize(row, "doc_id", "es_index") == (
             meta_line + "\n" + src_line
         )
+
+
+# --- query-DSL compiler vs a python evaluator over random bool trees
+
+
+def _py_eval(dsl, row):
+    """Reference evaluator with SQL three-valued logic collapsed to
+    filter semantics (None/False both exclude)."""
+    (kind, body), = dsl.items()
+    if kind == "term":
+        (f, v), = body.items()
+        return row[f] is not None and row[f] == v
+    if kind == "range":
+        (f, bounds), = body.items()
+        if row[f] is None:
+            return False
+        ok = True
+        for b, v in bounds.items():
+            ok &= {
+                "gte": row[f] >= v,
+                "gt": row[f] > v,
+                "lte": row[f] <= v,
+                "lt": row[f] < v,
+            }[b]
+        return ok
+    if kind == "exists":
+        return row[body["field"]] is not None
+    if kind == "match":
+        (f, v), = body.items()
+        if row[f] is None:
+            return False
+        toks = set(row[f].split())
+        return any(t in toks for t in v.split())
+    if kind == "bool":
+        musts = body.get("must", [])
+        must_nots = body.get("must_not", [])
+        shoulds = body.get("should", [])
+        ok = all(_py_eval(m, row) for m in musts)
+        ok &= all(not _py_eval(m, row) for m in must_nots)
+        if shoulds:
+            msm = body.get(
+                "minimum_should_match", 0 if musts else 1
+            )
+            if msm > 0:
+                ok &= sum(_py_eval(s, row) for s in shoulds) >= msm
+        return ok
+    raise AssertionError(kind)
+
+
+_leaf = st.one_of(
+    st.builds(lambda v: {"term": {"lang": v}}, st.sampled_from(["en", "de", None])),
+    st.builds(
+        lambda lo, hi: {"range": {"n": {"gte": lo, "lt": hi}}},
+        st.integers(0, 50),
+        st.integers(0, 50),
+    ),
+    st.builds(lambda f: {"exists": {"field": f}}, st.sampled_from(["lang", "text"])),
+    st.builds(
+        lambda w: {"match": {"text": w}},
+        st.sampled_from(["alpha", "beta", "alpha beta", "zeta"]),
+    ),
+)
+_bool_tree = st.builds(
+    lambda must, must_not, should, msm: {
+        "bool": {
+            k: v
+            for k, v in (
+                ("must", must),
+                ("must_not", must_not),
+                ("should", should),
+            )
+            if v
+        }
+        | ({"minimum_should_match": msm} if should and msm else {})
+    },
+    st.lists(_leaf, max_size=2),
+    st.lists(_leaf, max_size=1),
+    st.lists(_leaf, max_size=3),
+    st.integers(0, 2),
+)
+
+
+class TestQueryDslProperty:
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(dsl=_bool_tree)
+    def test_matches_python_model(self, spark, dsl):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            apply_query,
+        )
+
+        rows = [
+            {"id": 1, "text": "alpha beta", "n": 10, "lang": "en"},
+            {"id": 2, "text": "beta", "n": 25, "lang": "de"},
+            {"id": 3, "text": None, "n": 40, "lang": None},
+            {"id": 4, "text": "zeta alpha", "n": None, "lang": "en"},
+        ]
+        # term {lang: None} is not legal ES; normalize to exists-not
+        def legal(d):
+            (kind, body), = d.items()
+            if kind == "term":
+                (f, v), = body.items()
+                return v is not None
+            if kind == "bool":
+                return all(
+                    legal(s)
+                    for k in ("must", "must_not", "should")
+                    for s in body.get(k, [])
+                )
+            return True
+
+        from hypothesis import assume
+
+        assume(legal(dsl))
+        df = spark.createDataFrame(
+            [(r["id"], r["text"], r["n"], r["lang"]) for r in rows],
+            "id long, text string, n long, lang string",
+        )
+        got = sorted(r.id for r in apply_query(df, dsl).collect())
+        want = sorted(r["id"] for r in rows if _py_eval(dsl, r))
+        assert got == want, dsl

@@ -76,9 +76,11 @@ class TestBool:
                 "should": [{"term": {"source": "src1"}}],
             }
         }
-        # doc3 (lang NULL): must_not over null equality excludes it —
-        # ES filter-context semantics (non-match, not match)
-        assert _ids(spark, dsl) == [1]
+        # doc3 (lang NULL): the term query does NOT match a missing
+        # field, so must_not PASSES it — ES match semantics (a plain
+        # SQL NOT would three-valued-logic it out; caught by the
+        # property test in test_property_round3.py)
+        assert _ids(spark, dsl) == [1, 3]
 
     def test_should_msm_default_without_must(self, spark):
         # bare should: at least one clause must match (msm default 1)
