@@ -65,7 +65,10 @@ def compile_pipeline(
     the input columns) and return the final mapping, in output order.
     Raises ValueError on unknown processors/fields/types — pipeline
     bugs should fail at PLAN time, like ES's pipeline validation."""
-    cols: dict[str, Column] = {c: F.col(c) for c in columns}
+    # backtick-quote source names: document fields may contain dots
+    # (the parity pipeline emits `@cf.env` etc.), which bare F.col
+    # would parse as struct access
+    cols: dict[str, Column] = {c: F.col(f"`{c}`") for c in columns}
 
     def _need(field: str, p: dict) -> Column:
         if field not in cols:

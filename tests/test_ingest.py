@@ -119,3 +119,49 @@ class TestProcessors:
         )
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("Project") == 1
+
+
+class TestIngestInPipeline:
+    def test_ingest_pipeline_as_post_stage(self, spark):
+        """An ES-style ingest processor list slots into the parity
+        pipeline's composable post_stages hook — the Spark analogue of
+        attaching ?pipeline=... to the bulk request."""
+        from functools import partial
+
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+        from cga_kinesis_to_elasticsearch_spark.operators.enrichment import (
+            flatten_dimensions,
+        )
+        from cga_kinesis_to_elasticsearch_spark.pipeline import (
+            PipelineConfig,
+            run_pipeline,
+        )
+        from cga_kinesis_to_elasticsearch_spark.sources.envelopes import (
+            ALLOWED_ORIGINS,
+            synthesize_cf_dimensions,
+            synthesize_envelopes,
+        )
+
+        records = synthesize_envelopes(spark, "/root/testdata/sf0.001")
+        dim = flatten_dimensions(*synthesize_cf_dimensions(spark))
+        processors = [
+            {"set": {"field": "ingest_ver", "value": "p1"}},
+            {"copy": {"field": "idx_copy", "from": "es_index"}},
+            {"uppercase": {"field": "idx_copy"}},
+        ]
+        stage = partial(apply_ingest_pipeline, processors=processors)
+        docs = run_pipeline(
+            records,
+            dim,
+            PipelineConfig(
+                allowed_origins=ALLOWED_ORIGINS,
+                post_stages=(stage,),
+            ),
+        )
+        rows = docs.select("es_index", "idx_copy", "ingest_ver").collect()
+        assert rows
+        for r in rows:
+            assert r.ingest_ver == "p1"
+            assert r.idx_copy == r.es_index.upper()
