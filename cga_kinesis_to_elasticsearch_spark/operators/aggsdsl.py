@@ -1,44 +1,104 @@
-"""ES aggregation-DSL interpreter: a nested ``aggs`` tree compiled to
-one groupBy/agg plan — the response side of a search request, pairing
-with operators/querydsl.py (the query side) and operators/ingest.py
-(the write side).
+"""ES aggregation-DSL interpreter: a nested ``aggs`` tree executed
+with ES's OWN bucket semantics — every sub-aggregation is computed at
+its own bucket level — and returned as one flat DataFrame.
 
-Supported bucket aggregations (nesting = one groupBy on the chained
-bucket keys, the standard relational lowering ES's own ``composite``
-agg exposes):
+This is the response side of a search request, pairing with
+operators/querydsl.py (the query side) and operators/ingest.py (the
+write side). The reference ships events into Elasticsearch
+(main.go sink wiring) precisely so users can POST these aggregation
+trees; this module maps that query surface Spark-first.
 
-- ``terms``          {field}                    — group by value
+Result contract (the relational encoding of ES's nested response):
+ONE DataFrame with a row per bucket at EVERY level of the tree.
+
+- ``agg_path``  — ``>``-joined agg names from the root, e.g.
+  ``per_day`` or ``per_day>per_type`` (ES clients address buckets by
+  exactly this path).
+- one column per bucket agg name holding that level's bucket key
+  (NULL on rows of other levels).
+- ``doc_count`` — always present, per bucket, like every ES bucket.
+- one column per metric / pipeline / top_hits agg name, populated on
+  the rows of the level that declares it, NULL elsewhere.
+
+A metric attached to an outer bucket is therefore computed over the
+OUTER bucket's documents — never silently at the innermost
+granularity (the composite-flattening bug this design replaces).
+
+Bucket aggregations:
+
+- ``terms``          {field[, missing][, size]} — group by value. ES
+                     semantics: docs with a NULL field are OMITTED
+                     unless ``missing`` maps them to a stand-in value.
+                     ``size`` keeps the top-N buckets per parent by
+                     (doc_count DESC, key ASC) — ES's default order
+                     with a deterministic tiebreak. Without ``size``
+                     every bucket is returned (the composite-agg /
+                     analytics reading; ES's interactive default is
+                     size=10 — pass it explicitly for that behavior).
 - ``date_histogram`` {field, calendar_interval: hour|day|month|year}
-- ``histogram``      {field, interval}          — fixed-width numeric
-- ``range``          {field, ranges: [{from?, to?}, ...]} — CASE
-                     buckets labeled "lo-hi" like ES ("*" for open).
-                     Honest limit: OVERLAPPING ranges assign each row
-                     to its FIRST matching bucket (a relational group
-                     key is single-valued); ES duplicates the doc into
-                     every matching range. Disjoint ranges — the
-                     overwhelmingly common case — are identical.
+- ``histogram``      {field, interval} — fixed-width numeric. NULL
+                     field values are omitted (no bucket), like ES.
+- ``range``          {field, ranges: [{from?, to?[, key]}]} — ES-exact:
+                     a doc lands in EVERY matching range (explode
+                     lowering), docs outside all ranges produce no
+                     bucket, and every REQUESTED range is emitted even
+                     with doc_count 0 (zero-filled per parent bucket).
+- ``filters``        {filters: {name: <query DSL>}} — one bucket per
+                     named filter (operators/querydsl.compile_query);
+                     a doc lands in every filter it matches; all
+                     requested filters are emitted (zero-filled).
+- ``filter``         <query DSL> — single narrowing bucket.
+- ``missing``        {field} — bucket of docs with a NULL field.
+- ``global``         {} — escapes the query: sub-aggs run over the
+                     PRE-query frame (top level only, like ES).
 
-Supported metric leaves:
+Metric leaves: ``value_count`` / ``sum`` / ``avg`` / ``min`` /
+``max`` {field} and ``cardinality`` {field} (EXACT distinct here; at
+100 TB swap in the HLL sketch of operators/sketches.py exactly as ES
+trades precision_threshold for memory).
 
-- ``value_count`` / ``sum`` / ``avg`` / ``min`` / ``max`` {field}
-- ``cardinality`` {field} — EXACT distinct here; at 100 TB swap in
-  the HLL sketch (operators/sketches.py) exactly as ES trades
-  precision_threshold for memory.
+Pipeline aggregations (siblings of the metrics they reference via
+``buckets_path`` — a sibling metric name or ``_count``; the enclosing
+bucket must be a histogram/date_histogram so bucket order is defined,
+as ES requires):
 
-Every bucket level may carry nested ``aggs``; metric leaves terminate
-the tree. The result is ONE DataFrame with a column per bucket key
-(named after the agg) and a column per metric.
+- ``cumulative_sum`` {buckets_path}
+- ``derivative``     {buckets_path}            — null first bucket
+- ``serial_diff``    {buckets_path[, lag]}     — null until lag rows
+- ``moving_fn``      {buckets_path, window}    — unweighted avg over
+                     the trailing window EXCLUDING the current bucket
+                     (ES's default shift); null on an empty window
+- ``bucket_script``  {buckets_path: {p: path}, script} — arithmetic
+                     ``params.p`` expressions (the painless subset
+                     that lowers to a Column expression)
+- ``bucket_selector``{buckets_path: {...}, script} — drops buckets
+                     where the predicate is false; descendant-level
+                     rows of dropped buckets are pruned too (ES prunes
+                     the whole sub-tree)
+- ``bucket_sort``    {sort: [{col: {order}}], size} — top-N buckets
+                     per parent (descendants pruned likewise)
 
-Scale: the whole tree lowers to a single partial-aggregated shuffle
-on the composite bucket key (count/sum/min/max combine map-side;
-exact cardinality adds the usual distinct expansion Spark plans for
-countDistinct). Bucket-key expressions are narrow codegen; unknown
-constructs fail at plan time.
+``top_hits`` {size, sort, _source} returns per bucket an ARRAY of
+``_source`` structs ordered by ``sort`` (explicit sort required —
+this engine's filter context has no default ``_score`` order).
+
+Scale shape: levels are grouped by "frame signature" (the chain of
+filter / explode / global steps above them); all levels sharing a
+signature compute in ONE groupingSets aggregation — one
+partial-aggregated shuffle per signature, not per level, so the
+everyday chain (terms > date_histogram > metrics) still costs a
+single exchange. Bucket-key expressions are narrow codegen; explode
+levels multiply only matching docs by their matching-bucket count.
+Pipeline aggs are windows over the aggregated BUCKET frame (KB-sized
+at any corpus scale), partitioned by the parent keys so the work
+distributes. Unknown constructs fail at PLAN time (ES's validation).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import re
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["compile_aggs", "apply_aggs"]
 
@@ -58,97 +118,713 @@ _METRICS = {
     "cardinality": lambda c: F.countDistinct(c),
 }
 
+_PIPELINES = (
+    "cumulative_sum",
+    "derivative",
+    "serial_diff",
+    "moving_fn",
+    "bucket_script",
+    "bucket_selector",
+    "bucket_sort",
+)
 
-def _range_bucket(field: str, ranges: list[dict]) -> Column:
-    expr: Column | None = None
-    cases = []
-    for r in ranges:
-        lo, hi = r.get("from"), r.get("to")
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col(field) >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col(field) < F.lit(hi))
-        label = f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
-        cases.append((cond, F.lit(label)))
-    expr = F.when(cases[0][0], cases[0][1])
-    for cond, label in cases[1:]:
-        expr = expr.when(cond, label)
-    return expr  # rows outside every range bucket to NULL, like ES
+# bucket kinds that key on a single grouped expression
+_KEYED = ("terms", "date_histogram", "histogram")
+# bucket kinds that EXPLODE a doc into every matching bucket
+_EXPLODING = ("range", "filters")
+# bucket kinds that narrow the frame without adding a key column
+_CONDITION = ("filter", "missing", "global")
 
 
-def _bucket_key(name: str, kind: str, body: dict) -> Column:
+def _range_label(r: dict) -> str:
+    if "key" in r:
+        return str(r["key"])
+    lo, hi = r.get("from"), r.get("to")
+    return f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+
+
+def _key_expr(kind: str, body: dict) -> Column:
+    field = body["field"]
     if kind == "terms":
-        return F.col(body["field"]).alias(name)
+        col = F.col(field)
+        if "missing" in body:
+            col = F.coalesce(col, F.lit(body["missing"]))
+        return col
     if kind == "date_histogram":
         cal = body.get("calendar_interval")
         if cal not in _CAL:
             raise ValueError(
                 f"date_histogram: unsupported calendar_interval {cal!r}"
             )
-        return F.date_format(F.col(body["field"]), _CAL[cal]).alias(name)
+        return F.date_format(F.col(field), _CAL[cal])
     if kind == "histogram":
         iv = body["interval"]
         if not isinstance(iv, (int, float)) or iv <= 0:
             raise ValueError(f"histogram: bad interval {iv!r}")
-        return (
-            (F.floor(F.col(body["field"]) / F.lit(iv)) * F.lit(iv))
-            .alias(name)
-        )
+        return F.floor(F.col(field) / F.lit(iv)) * F.lit(iv)
+    raise AssertionError(kind)
+
+
+def _explode_labels(kind: str, body: dict) -> tuple[Column, list[str]]:
+    """Array of matching bucket labels for a doc (empty -> no bucket)."""
     if kind == "range":
         ranges = body.get("ranges")
         if not ranges:
             raise ValueError("range agg needs ranges")
-        return _range_bucket(body["field"], ranges).alias(name)
-    raise ValueError(f"unsupported bucket aggregation {kind!r}")
+        field = body["field"]
+        arms = []
+        labels = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            cond = F.col(field).isNotNull()
+            if lo is not None:
+                cond = cond & (F.col(field) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(field) < F.lit(hi))
+            label = _range_label(r)
+            labels.append(label)
+            arms.append(F.when(cond, F.lit(label)))
+        if len(set(labels)) != len(labels):
+            raise ValueError(f"range: duplicate bucket labels {labels}")
+        return F.array_compact(F.array(*arms)), labels
+    if kind == "filters":
+        named = body.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise ValueError(
+                "filters agg needs {'filters': {name: query, ...}}"
+            )
+        if "other_bucket" in body or "other_bucket_key" in body:
+            raise ValueError("filters: other_bucket is not supported")
+        from .querydsl import compile_query
+
+        arms = []
+        for name, query in named.items():
+            pred = F.coalesce(compile_query(query), F.lit(False))
+            arms.append(F.when(pred, F.lit(name)))
+        return F.array_compact(F.array(*arms)), list(named)
+    raise AssertionError(kind)
 
 
-def compile_aggs(
-    aggs: dict,
-) -> tuple[list[Column], list[Column]]:
-    """Walk the agg tree; return (bucket key columns, metric columns).
-    Raises ValueError at plan time on unsupported constructs."""
-    keys: list[Column] = []
-    metrics: list[Column] = []
+def _condition_expr(kind: str, body: dict) -> Column | None:
+    if kind == "filter":
+        from .querydsl import compile_query
 
-    def _walk(tree: dict) -> None:
+        return F.coalesce(compile_query(body), F.lit(False))
+    if kind == "missing":
+        if not isinstance(body, dict) or set(body) != {"field"}:
+            raise ValueError(f"missing agg needs {{'field': name}}: {body}")
+        return F.col(body["field"]).isNull()
+    return None  # global: frame reset, no predicate
+
+
+class _Level:
+    """One bucket node of the tree (or the implicit root)."""
+
+    def __init__(self, path: tuple, segments: list):
+        self.path = path            # agg names, root -> this node
+        self.segments = segments    # (role, name, kind, body) per path step
+        self.metrics: list[tuple] = []    # (name, kind, body)
+        self.pipelines: list[tuple] = []  # (name, kind, body), tree order
+        self.top_hits: list[tuple] = []   # (name, body)
+
+    @property
+    def keys(self) -> list[str]:
+        return [s[1] for s in self.segments if s[0] in ("key", "explode")]
+
+    @property
+    def signature(self) -> tuple:
+        return tuple(
+            (s[0], s[1])
+            for s in self.segments
+            if s[0] in ("explode", "cond", "global")
+        )
+
+    @property
+    def own_segment(self):
+        return self.segments[-1] if self.segments else None
+
+
+def compile_aggs(aggs: dict) -> list[_Level]:
+    """Walk the agg tree into per-bucket-level specs (see module
+    docstring). Raises ValueError at plan time on unsupported
+    constructs, name collisions, or pipeline aggs outside a
+    histogram parent — ES's request validation, at plan time."""
+    if not isinstance(aggs, dict) or not aggs:
+        raise ValueError(f"aggs must be a non-empty dict: {aggs!r}")
+    root = _Level((), [])
+    levels = [root]
+    seen_names: set[str] = set()
+
+    def _claim(name: str) -> None:
+        if name in seen_names:
+            raise ValueError(f"duplicate agg name {name!r} in tree")
+        seen_names.add(name)
+
+    def _walk(tree: dict, level: _Level) -> None:
         if not isinstance(tree, dict) or not tree:
             raise ValueError(f"aggs must be a non-empty dict: {tree!r}")
         for name, spec in tree.items():
+            if not isinstance(spec, dict):
+                raise ValueError(f"agg {name!r} must be a dict: {spec!r}")
             sub = {k: v for k, v in spec.items() if k != "aggs"}
             if len(sub) != 1:
                 raise ValueError(
                     f"agg {name!r} must have exactly one type: {spec}"
                 )
             kind, body = next(iter(sub.items()))
+            _claim(name)
             if kind in _METRICS:
                 if "aggs" in spec:
                     raise ValueError(
                         f"metric agg {name!r} cannot nest sub-aggs"
                     )
-                metrics.append(
-                    _METRICS[kind](F.col(body["field"])).alias(name)
+                level.metrics.append((name, kind, body))
+            elif kind in _PIPELINES:
+                if "aggs" in spec:
+                    raise ValueError(
+                        f"pipeline agg {name!r} cannot nest sub-aggs"
+                    )
+                own = level.own_segment
+                needs_order = kind in (
+                    "cumulative_sum",
+                    "derivative",
+                    "serial_diff",
+                    "moving_fn",
                 )
-            else:
-                keys.append(_bucket_key(name, kind, body))
+                if needs_order and (
+                    own is None
+                    or own[0] != "key"
+                    or own[2] not in ("histogram", "date_histogram")
+                ):
+                    raise ValueError(
+                        f"pipeline agg {name!r} requires a histogram/"
+                        "date_histogram enclosing bucket (ES: sequential "
+                        "buckets)"
+                    )
+                if kind in ("bucket_selector", "bucket_sort") and not level.keys:
+                    raise ValueError(
+                        f"{kind} {name!r} requires an enclosing bucket "
+                        "with at least one key"
+                    )
+                level.pipelines.append((name, kind, body))
+            elif kind == "top_hits":
+                level.top_hits.append((name, body))
+            elif kind in _KEYED + _EXPLODING + _CONDITION:
+                if kind == "global":
+                    if level.segments:
+                        raise ValueError(
+                            "global agg is only allowed at the top level"
+                        )
+                    if body not in ({}, None):
+                        raise ValueError(f"global takes an empty body: {body}")
+                role = (
+                    "key"
+                    if kind in _KEYED
+                    else "explode"
+                    if kind in _EXPLODING
+                    else "cond"
+                    if kind in ("filter", "missing")
+                    else "global"
+                )
+                # validate the bucket definition at plan time
+                if role == "key":
+                    _key_expr(kind, body)
+                elif role == "explode":
+                    _explode_labels(kind, body)
+                else:
+                    _condition_expr(kind, body)
+                child = _Level(
+                    level.path + (name,),
+                    level.segments + [(role, name, kind, body)],
+                )
+                levels.append(child)
                 nested = spec.get("aggs")
                 if nested:
-                    _walk(nested)
+                    _walk(nested, child)
+            else:
+                raise ValueError(f"unsupported bucket aggregation {kind!r}")
 
-    _walk(aggs)
-    if not keys and not metrics:
+    _walk(aggs, root)
+    if len(levels) == 1 and not (root.metrics or root.top_hits):
         raise ValueError("empty aggregation tree")
-    return keys, metrics
+    return levels
 
 
-def apply_aggs(df: DataFrame, aggs: dict) -> DataFrame:
-    """Execute an ES ``aggs`` tree: one groupBy on the chained bucket
-    keys, one agg with every metric (see module docstring). Implicit
-    ``doc_count`` is always included (every ES bucket reports it)."""
-    keys, metrics = compile_aggs(aggs)
-    doc_count = F.count(F.lit(1)).alias("doc_count")
-    if not keys:
-        return df.agg(doc_count, *metrics)
-    # groupBy accepts aliased expressions directly: the grouping
-    # column takes the agg's name — no staging projection needed
-    return df.groupBy(*keys).agg(doc_count, *metrics)
+# ---------------------------------------------------------------------------
+# Pipeline-agg helpers (windows over the aggregated bucket frame)
+# ---------------------------------------------------------------------------
+
+_PARAM_RE = re.compile(r"params\.([A-Za-z_][A-Za-z0-9_]*)")
+_SCRIPT_OK_RE = re.compile(r"^[\w\s\.\+\-\*/\(\):><=!&|,?]*$")
+
+
+def _resolve_bucket_path(path: str, level: _Level, frame: DataFrame) -> str:
+    if path == "_count":
+        return "doc_count"
+    if path in frame.columns and path not in level.keys:
+        return path
+    raise ValueError(
+        f"buckets_path {path!r} must name a sibling metric or '_count'"
+    )
+
+
+def _compile_script(script: str, paths: dict, level: _Level, frame: DataFrame) -> Column:
+    """Painless arithmetic subset -> Column: ``params.x`` placeholders
+    substituted with resolved bucket columns, remainder parsed as a
+    SQL expression (painless arithmetic/comparison syntax is SQL-
+    compatible for this subset; anything else fails at plan time)."""
+    if not isinstance(paths, dict) or not paths:
+        raise ValueError(
+            f"bucket_script/bucket_selector need buckets_path params: {paths}"
+        )
+    if not _SCRIPT_OK_RE.match(script or ""):
+        raise ValueError(f"unsupported script {script!r}")
+    resolved = {
+        p: _resolve_bucket_path(ref, level, frame) for p, ref in paths.items()
+    }
+
+    def _sub(m: re.Match) -> str:
+        p = m.group(1)
+        if p not in resolved:
+            raise ValueError(
+                f"script references params.{p} missing from buckets_path"
+            )
+        return f"`{resolved[p]}`"
+
+    return F.expr(_PARAM_RE.sub(_sub, script))
+
+
+def _apply_pipelines(level: _Level, frame: DataFrame) -> DataFrame:
+    """Compute this level's pipeline aggs as windows over its bucket
+    frame; bucket_selector/bucket_sort FILTER the frame (descendant
+    pruning happens in apply_aggs)."""
+    if not level.pipelines:
+        return frame
+    own_key = level.keys[-1] if level.keys else None
+    parent_keys = level.keys[:-1]
+    w = Window.partitionBy(*parent_keys).orderBy(F.col(own_key).asc()) if own_key else None
+    for name, kind, body in level.pipelines:
+        if kind in ("cumulative_sum", "derivative", "serial_diff", "moving_fn"):
+            src = F.col(
+                _resolve_bucket_path(body["buckets_path"], level, frame)
+            )
+            if kind == "cumulative_sum":
+                expr = F.sum(src).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+            elif kind == "derivative":
+                expr = src - F.lag(src).over(w)
+            elif kind == "serial_diff":
+                expr = src - F.lag(src, int(body.get("lag", 1))).over(w)
+            else:  # moving_fn: trailing unweighted avg EXCLUDING current
+                n = int(body["window"])
+                if n <= 0:
+                    raise ValueError(f"moving_fn: bad window {n}")
+                script = body.get("script")
+                if script is not None and "unweightedAvg" not in script:
+                    raise ValueError(
+                        f"moving_fn: only MovingFunctions.unweightedAvg "
+                        f"is supported, got {script!r}"
+                    )
+                expr = F.avg(src).over(w.rowsBetween(-n, -1))
+            frame = frame.withColumn(name, expr)
+        elif kind == "bucket_script":
+            frame = frame.withColumn(
+                name,
+                _compile_script(
+                    body.get("script"), body.get("buckets_path"), level, frame
+                ),
+            )
+        elif kind == "bucket_selector":
+            pred = _compile_script(
+                body.get("script"), body.get("buckets_path"), level, frame
+            )
+            frame = frame.filter(F.coalesce(pred.cast("boolean"), F.lit(False)))
+        else:  # bucket_sort
+            sort = body.get("sort") or []
+            size = body.get("size")
+            if not sort or size is None:
+                raise ValueError("bucket_sort needs sort and size")
+            order = []
+            for s in sort:
+                (colname, spec), = s.items()
+                direction = (
+                    spec.get("order", "asc") if isinstance(spec, dict) else spec
+                )
+                c = _resolve_bucket_path(colname, level, frame)
+                order.append(
+                    F.col(c).desc() if direction == "desc" else F.col(c).asc()
+                )
+            if own_key:  # deterministic tiebreak inside ties
+                order.append(F.col(own_key).asc())
+            ws = Window.partitionBy(*parent_keys).orderBy(*order)
+            frame = (
+                frame.withColumn("__bs_rn", F.row_number().over(ws))
+                .filter(F.col("__bs_rn") <= int(size))
+                .drop("__bs_rn")
+            )
+    return frame
+
+
+def _apply_top_hits(
+    level: _Level, keyed_frame: DataFrame, bucket_frame: DataFrame
+) -> DataFrame:
+    """Attach per-bucket top-hit arrays: window over the keyed doc
+    frame, collect the top ``size`` ``_source`` structs in sort order.
+    The join keys are the (small) bucket frame's keys."""
+    for name, body in level.top_hits:
+        sort = body.get("sort")
+        src = body.get("_source")
+        size = int(body.get("size", 3))
+        if not sort or not src:
+            raise ValueError(
+                f"top_hits {name!r} needs explicit sort and _source "
+                "(no _score order in filter context)"
+            )
+        order = []
+        for s in sort:
+            (colname, spec), = s.items()
+            direction = (
+                spec.get("order", "asc") if isinstance(spec, dict) else spec
+            )
+            order.append(
+                F.col(colname).desc()
+                if direction == "desc"
+                else F.col(colname).asc()
+            )
+        w = Window.partitionBy(*level.keys).orderBy(*order)
+        hits = (
+            keyed_frame.withColumn("__th_rn", F.row_number().over(w))
+            .filter(F.col("__th_rn") <= size)
+            .groupBy(*level.keys)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__th_rn").alias("__rn"),
+                            *[F.col(c).alias(c) for c in src],
+                        )
+                    )
+                ).alias("__th")
+            )
+            .select(
+                *level.keys,
+                F.transform(
+                    "__th", lambda h: h.dropFields("__rn")
+                ).alias(name),
+            )
+        )
+        bucket_frame = bucket_frame.join(hits, level.keys, "left")
+    return bucket_frame
+
+
+# ---------------------------------------------------------------------------
+# Executor
+# ---------------------------------------------------------------------------
+
+
+def _zero_fill(
+    level: _Level, frame: DataFrame, parent_frame: DataFrame | None
+) -> DataFrame:
+    """range/filters levels emit every REQUESTED bucket per parent
+    bucket, zero-filled — ES reports empty ranges/filters explicitly.
+    Additive metrics zero-fill; avg/min/max stay NULL, like ES."""
+    seg = level.own_segment
+    _, labels = _explode_labels(seg[2], seg[3])
+    spark = frame.sparkSession
+    label_df = spark.createDataFrame(
+        [(l,) for l in labels], f"`{seg[1]}` string"
+    )
+    parent_keys = level.keys[:-1]
+    if parent_keys:
+        parents = parent_frame.select(*parent_keys).distinct()
+        full = parents.crossJoin(F.broadcast(label_df))
+    else:
+        full = label_df
+    # both sides are bucket frames; build the (small) aggregated side
+    out = full.join(F.broadcast(frame), level.keys, "left")
+    out = out.withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0).cast("long"))
+    )
+    for name, kind, _ in level.metrics:
+        if kind in ("value_count", "sum", "cardinality"):
+            out = out.withColumn(
+                name, F.coalesce(F.col(name), F.lit(0).cast("long"))
+            )
+    return out
+
+
+def apply_aggs(
+    df: DataFrame, aggs: dict, base_df: DataFrame | None = None
+) -> DataFrame:
+    """Execute an ES ``aggs`` tree with per-level bucket semantics;
+    returns the flat multi-level frame described in the module
+    docstring. ``base_df`` is the PRE-query frame a ``global`` bucket
+    escapes to (defaults to ``df``)."""
+    levels = compile_aggs(aggs)
+    base = base_df if base_df is not None else df
+
+    # --- group levels by frame signature; one aggregation per group ---
+    groups: dict[tuple, list[_Level]] = {}
+    for lv in levels:
+        if not lv.path and not (lv.metrics or lv.top_hits or lv.pipelines):
+            continue  # trivial root: nothing to report at the top level
+        groups.setdefault(lv.signature, []).append(lv)
+
+    def _needs_post(lv: _Level) -> bool:
+        seg = lv.own_segment
+        return bool(
+            lv.pipelines
+            or lv.top_hits
+            or (seg is not None and seg[0] == "explode")
+            or (
+                seg is not None
+                and seg[0] == "key"
+                and seg[2] == "terms"
+                and seg[3].get("size") is not None
+            )
+        )
+
+    any_pruning = any(
+        kind in ("bucket_selector", "bucket_sort")
+        for lv in levels
+        for _n, kind, _b in lv.pipelines
+    )
+
+    bucket_frames: dict[tuple, DataFrame] = {}
+    keyed_frames: dict[tuple, DataFrame] = {}
+    fused_for: dict[tuple, DataFrame] = {}  # level path -> fused frame
+    for signature, group in groups.items():
+        # build the shared frame: apply filter/explode/global steps in
+        # path order, then add every key column any level in the group
+        # groups on (taken from the DEEPEST level's segment chain —
+        # same signature => same chain prefix for frame steps)
+        deepest = max(group, key=lambda l: len(l.segments))
+        frame = base if signature and signature[0][0] == "global" else df
+        key_exprs: dict[str, Column] = {}
+        for role, name, kind, body in deepest.segments:
+            if role == "cond":
+                frame = frame.filter(_condition_expr(kind, body))
+            elif role == "explode":
+                arr, _ = _explode_labels(kind, body)
+                frame = frame.withColumn(name, F.explode(arr))
+            elif role == "key":
+                key_exprs[name] = _key_expr(kind, body)
+        # sibling levels in the same group may key on columns outside
+        # the deepest chain — collect them too
+        for lv in group:
+            for role, name, kind, body in lv.segments:
+                if role == "key" and name not in key_exprs:
+                    key_exprs[name] = _key_expr(kind, body)
+        for name, expr in key_exprs.items():
+            frame = frame.withColumn(name, expr)
+
+        metric_exprs = []
+        for lv in group:
+            for name, kind, body in lv.metrics:
+                metric_exprs.append(
+                    _METRICS[kind](F.col(body["field"])).alias(name)
+                )
+        doc_count = F.count(F.lit(1)).cast("long").alias("doc_count")
+
+        if len(group) == 1:
+            lv = group[0]
+            agged = (
+                frame.groupBy(*lv.keys).agg(doc_count, *metric_exprs)
+                if lv.keys
+                else frame.agg(doc_count, *metric_exprs)
+            )
+            agged = _drop_null_key_rows(lv, agged)
+            bucket_frames[lv.path] = agged
+            keyed_frames[lv.path] = frame
+            continue
+
+        all_keys = []
+        for lv in group:
+            for k in lv.keys:
+                if k not in all_keys:
+                    all_keys.append(k)
+        sets, set_of = [], {}
+        for lv in group:
+            ks = tuple(sorted(lv.keys))
+            if ks not in set_of:
+                set_of[ks] = len(sets)
+                sets.append([F.col(k) for k in lv.keys])
+        agged = frame.groupingSets(
+            sets, *[F.col(k) for k in all_keys]
+        ).agg(F.grouping_id().alias("__gid"), doc_count, *metric_exprs)
+
+        gids = {lv.path: _expected_gid(all_keys, lv.keys) for lv in group}
+        fuse = (
+            not any_pruning
+            and not any(_needs_post(lv) for lv in group)
+            and len(set(gids.values())) == len(gids)
+        )
+        if fuse:
+            # every level is a plain slice of the ONE aggregation:
+            # derive agg_path / metric masking from grouping_id so the
+            # whole group stays a single plan branch (one fact scan,
+            # one shuffle) instead of a union of per-level filters
+            keep = None
+            path_case = None
+            for lv in group:
+                cond = F.col("__gid") == gids[lv.path]
+                for role, name, kind, body in lv.segments:
+                    if role == "key" and not (
+                        kind == "terms" and "missing" in body
+                    ):
+                        cond = cond & F.col(name).isNotNull()
+                keep = cond if keep is None else keep | cond
+                tag = F.lit(">".join(lv.path))
+                path_case = (
+                    F.when(F.col("__gid") == gids[lv.path], tag)
+                    if path_case is None
+                    else path_case.when(F.col("__gid") == gids[lv.path], tag)
+                )
+            masked = []
+            for lv in group:
+                for name, _kind, _b in lv.metrics:
+                    masked.append(
+                        F.when(
+                            F.col("__gid") == gids[lv.path], F.col(name)
+                        ).alias(name)
+                    )
+            fused = agged.filter(keep).select(
+                path_case.alias("agg_path"),
+                *all_keys,
+                "doc_count",
+                *masked,
+            )
+            for lv in group:
+                fused_for[lv.path] = fused
+                keyed_frames[lv.path] = frame
+            continue
+
+        # per-level branches over the SHARED aggregation: cut the
+        # lineage so the fact scan runs once, not once per level (the
+        # bucket frame is KB-scale at any corpus size)
+        agged = agged.localCheckpoint(eager=False)
+        for lv in group:
+            mine = agged.filter(F.col("__gid") == gids[lv.path]).drop("__gid")
+            mine = _drop_null_key_rows(lv, mine)
+            mine = mine.select(
+                *lv.keys,
+                "doc_count",
+                *[m[0] for m in lv.metrics],
+            )
+            bucket_frames[lv.path] = mine
+            keyed_frames[lv.path] = frame
+
+    # --- per-level post passes, parents before children ---
+    pruned_ancestor: dict[tuple, tuple] = {}  # path -> nearest pruned path
+    final: dict[tuple, DataFrame] = {}
+    for lv in sorted(levels, key=lambda l: len(l.path)):
+        if lv.path in fused_for:
+            # no post passes by construction; keep a per-level view for
+            # descendants that need this level's bucket keys
+            final[lv.path] = (
+                fused_for[lv.path]
+                .filter(F.col("agg_path") == ">".join(lv.path))
+                .select(*lv.keys, "doc_count")
+            )
+            continue
+        if lv.path not in bucket_frames:
+            continue  # trivial root
+        bf = bucket_frames[lv.path]
+        keyed_frame = keyed_frames[lv.path]
+        seg = lv.own_segment
+        if seg is not None and seg[0] == "explode":
+            parent = final.get(lv.path[:-1])
+            bf = _zero_fill(lv, bf, parent)
+        # terms size: top-N per parent by (doc_count desc, key asc)
+        if seg is not None and seg[0] == "key" and seg[2] == "terms":
+            size = seg[3].get("size")
+            if size is not None:
+                wk = Window.partitionBy(*lv.keys[:-1]).orderBy(
+                    F.col("doc_count").desc(), F.col(lv.keys[-1]).asc()
+                )
+                bf = (
+                    bf.withColumn("__tn", F.row_number().over(wk))
+                    .filter(F.col("__tn") <= int(size))
+                    .drop("__tn")
+                )
+        bf = _apply_pipelines(lv, bf)
+        if lv.top_hits:
+            bf = _apply_top_hits(lv, keyed_frame, bf)
+        # prune to surviving ancestor buckets (bucket_selector/sort)
+        anc = pruned_ancestor.get(lv.path[:-1])
+        if anc is not None and lv.path != anc:
+            anc_keys = [
+                l for l in levels if l.path == anc
+            ][0].keys
+            bf = bf.join(
+                F.broadcast(final[anc].select(*anc_keys).distinct()),
+                anc_keys,
+                "left_semi",
+            )
+        final[lv.path] = bf
+        prunes = any(
+            k in ("bucket_selector", "bucket_sort")
+            for _, k, _b in lv.pipelines
+        )
+        if prunes:
+            pruned_ancestor[lv.path] = lv.path
+        elif anc is not None:
+            pruned_ancestor[lv.path] = anc
+
+    # --- union the levels into the flat result frame ---
+    out_levels = [lv for lv in levels if lv.path in final]
+    canonical: list[str] = ["agg_path"]
+    for lv in out_levels:  # key columns in tree order
+        for k in lv.keys:
+            if k not in canonical:
+                canonical.append(k)
+    canonical.append("doc_count")
+    for lv in out_levels:
+        for name, _kind, _b in lv.metrics:
+            canonical.append(name)
+        for name, kind, _b in lv.pipelines:
+            if kind not in ("bucket_selector", "bucket_sort"):
+                canonical.append(name)
+        for name, _b in lv.top_hits:
+            canonical.append(name)
+
+    result = None
+    emitted_fused: set[int] = set()
+    for lv in out_levels:
+        if lv.path in fused_for:
+            fused = fused_for[lv.path]
+            if id(fused) in emitted_fused:
+                continue
+            emitted_fused.add(id(fused))
+            part = fused
+        else:
+            part = final[lv.path].withColumn(
+                "agg_path", F.lit(">".join(lv.path))
+            )
+        result = (
+            part
+            if result is None
+            else result.unionByName(part, allowMissingColumns=True)
+        )
+    present = [c for c in canonical if c in result.columns]
+    return result.select(*present)
+
+
+def _expected_gid(all_keys: list[str], level_keys: list[str]) -> int:
+    n = len(all_keys)
+    return sum(
+        1 << (n - 1 - i) for i, k in enumerate(all_keys) if k not in level_keys
+    )
+
+
+def _drop_null_key_rows(lv: _Level, frame: DataFrame) -> DataFrame:
+    """ES omits docs whose bucket key is missing (terms without
+    ``missing``, histogram/date_histogram on a NULL field) — drop the
+    NULL-keyed group of this level's own keyed segments."""
+    for role, name, kind, body in lv.segments:
+        if role == "key":
+            if kind == "terms" and "missing" in body:
+                continue
+            frame = frame.filter(F.col(name).isNotNull())
+    return frame

@@ -31,10 +31,28 @@ Compound:
   ``should`` with ES's documented ``minimum_should_match`` default:
   1 when the bool has no must/filter context, else 0.
 
-Scoring constructs (function_score, rescore, knn) live in their own
-modules (plans/esaggstail2.py, plans/esrelations.py,
-operators/similarity.py) — this module is filter context, where ES
-itself skips scoring.
+Scoring context: ``run_search_body`` computes a real ``_score`` when
+the request asks for score-ordered hits (an explicit ``_score`` sort,
+or no ``sort`` at all with a hit-list request — ES's default order):
+
+- a top-level ``match`` query scores with the Lucene practical BM25
+  (k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5))) over the
+  whitespace-analyzed field, with corpus statistics (N, avgdl, df)
+  taken from the FULL index frame like ES takes them from the shard,
+  not from the filtered set;
+- a top-level ``function_score`` wraps a filter-context query with
+  decay functions (``gauss`` / ``exp`` / ``linear`` over a numeric
+  field distance) and ``weight``, combined by ``score_mode``
+  multiply (the default); other inner constructs stay filter-context.
+
+Richer scoring machinery (rescore windows, knn) lives in
+plans/esaggstail2.py, plans/esrelations.py, operators/similarity.py.
+
+Every hit list is made deterministic with a ``_doc`` tie-break: after
+the requested sort keys the engine appends the document-identity
+column (``doc_id`` / ``id`` / ``event_id`` if present, else every
+remaining column) so tied sort keys can never make the selected
+top-N set engine- or partitioning-dependent.
 
 Scale: the compiled predicate is a plain boolean expression —
 Catalyst pushes the pushable conjuncts to the parquet scan
@@ -201,41 +219,197 @@ def apply_query(df: DataFrame, dsl: dict) -> DataFrame:
     return df.filter(compile_query(dsl))
 
 
-def run_search_body(df: DataFrame, body: dict) -> DataFrame:
-    """Execute a full ES ``_search`` request body: ``query`` (filter
-    context, this module) + either ``aggs`` (operators/aggsdsl.py) or
-    the hit list shaped by ``sort``/``size`` (+ ``_source`` column
-    projection). The composition mirrors ES exactly: aggregations run
-    over the query-filtered document set; hits are the top ``size``
-    docs by the sort.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
 
-    Plan shape: filter + groupBy (aggs) or filter + TakeOrdered
-    (hits) — one scan either way, with the query's pushable conjuncts
-    in PushedFilters."""
+_DECAY_FNS = ("gauss", "exp", "linear")
+
+
+def _bm25_score(df: DataFrame, field: str, query_text: str) -> Column:
+    """Per-row BM25 score of ``query_text`` against the whitespace-
+    analyzed ``field``, with corpus statistics (N, avgdl, per-term df)
+    computed from ``df`` — the same Lucene practical scoring function
+    as sinks/textindex.bm25_topk and plans/evalqa.explain_bm25_doc.
+
+    Scale shape: ONE map-side-combined stats aggregation produces a
+    single broadcast row (N, total_len, df per query term); the score
+    itself is a closed-form codegen expression per document — no
+    joins, no shuffle of the documents."""
+    terms = [t for t in str(query_text).split() if t]
+    if not terms:
+        raise ValueError(f"match scoring needs query tokens: {query_text!r}")
+    toks = _tokens(F.col(field))
+    # Lucene field statistics: docCount / avgdl are taken over docs
+    # that HAVE at least one term for the field, not the whole index
+    has = F.coalesce(F.size(toks) > 0, F.lit(False))
+    stats = df.agg(
+        F.sum(has.cast("long")).cast("long").alias("__n_docs"),
+        F.sum(F.when(has, F.size(toks))).cast("long").alias("__total_len"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"__df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    row = stats.collect()[0]  # one tiny row: corpus statistics
+    n_docs = int(row["__n_docs"]) or 1
+    avgdl = (int(row["__total_len"] or 0) / n_docs) or 1.0
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    import math
+
+    for i, t in enumerate(terms):
+        df_t = int(row[f"__df_{i}"] or 0)
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+        contrib = F.lit(idf) * (
+            (tf * (1 + _BM25_K1))
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * (dl / F.lit(avgdl))))
+        )
+        score = score + F.when(tf > 0, contrib).otherwise(F.lit(0.0))
+    return score
+
+
+def _decay_score(fn: str, field: str, spec: dict) -> Column:
+    """ES decay functions over numeric distance: gauss / exp / linear
+    with origin, scale, offset (default 0), decay (default 0.5)."""
+    origin = float(spec["origin"])
+    scale = float(spec["scale"])
+    offset = float(spec.get("offset", 0))
+    decay = float(spec.get("decay", 0.5))
+    if scale <= 0:
+        raise ValueError(f"decay: bad scale {scale!r}")
+    dist = F.greatest(
+        F.abs(F.col(field) - F.lit(origin)) - F.lit(offset), F.lit(0.0)
+    )
+    if fn == "gauss":
+        # 0.5^((dist/scale)^2) parameterized so value at scale == decay
+        import math
+
+        sigma2 = -(scale**2) / (2.0 * math.log(decay))
+        return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    if fn == "exp":
+        import math
+
+        lam = math.log(decay) / scale
+        return F.exp(F.lit(lam) * dist)
+    # linear: max(0, (s - dist)/s) with s chosen so value at scale == decay
+    s = scale / (1.0 - decay)
+    return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
+
+
+def _score_and_filter(
+    df: DataFrame, query: dict, need_score: bool
+) -> tuple[DataFrame, Column | None]:
+    """Lower the query to (filtered frame, _score column or None).
+    Scoring applies to top-level ``match`` (BM25) and
+    ``function_score`` (decay x weight product); every other query is
+    filter-context (score constant 1.0, like ES filter context)."""
+    kind, body = next(iter(query.items())) if len(query) == 1 else (None, None)
+    if kind == "function_score":
+        inner = body.get("query", {"match_all": {}})
+        functions = body.get("functions")
+        if not functions:
+            raise ValueError("function_score needs functions")
+        score_mode = body.get("score_mode", "multiply")
+        if score_mode != "multiply":
+            raise ValueError(
+                f"function_score: unsupported score_mode {score_mode!r}"
+            )
+        filtered = apply_query(df, inner)
+        if not need_score:
+            return filtered, None
+        score = F.lit(1.0)
+        for f in functions:
+            f = dict(f)
+            weight = f.pop("weight", None)
+            if f:
+                (fn, fbody), = f.items()
+                if fn not in _DECAY_FNS:
+                    raise ValueError(f"unsupported score function {fn!r}")
+                (field, spec), = fbody.items()
+                score = score * _decay_score(fn, field, spec)
+            if weight is not None:
+                score = score * F.lit(float(weight))
+        return filtered, score
+    if kind == "match" and need_score:
+        field, value = _one_field(kind, body)
+        text = value["query"] if isinstance(value, dict) else value
+        score = _bm25_score(df, field, str(text))
+        return apply_query(df, query), score
+    return apply_query(df, query), (F.lit(1.0) if need_score else None)
+
+
+def _doc_tiebreak(df: DataFrame, used: list[str]) -> list[Column]:
+    """Deterministic ``_doc`` tie-break: the document-identity column
+    if one exists, else every remaining column, ascending."""
+    for cand in ("doc_id", "id", "event_id"):
+        if cand in df.columns and cand not in used:
+            return [F.col(cand).asc()]
+    return [F.col(c).asc() for c in df.columns if c not in used]
+
+
+def run_search_body(
+    df: DataFrame, body: dict, base_df: DataFrame | None = None
+) -> DataFrame:
+    """Execute a full ES ``_search`` request body: ``query`` + either
+    ``aggs`` (operators/aggsdsl.py, per-level bucket semantics) or the
+    hit list shaped by ``sort``/``size`` (+ ``_source`` projection).
+    The composition mirrors ES exactly: aggregations run over the
+    query-filtered document set (``global`` buckets escape to
+    ``base_df``, default the input frame); hits are the top ``size``
+    docs by the sort, score-ordered when the request asks for
+    ``_score`` (or gives no sort at all — ES's default), and ALWAYS
+    carrying a ``_doc`` tie-break so tied keys select a deterministic
+    set.
+
+    Plan shape: filter + groupingSets passes (aggs) or filter +
+    TakeOrdered (hits) — the query's pushable conjuncts reach the
+    scan; BM25 scoring adds one broadcast-sized stats aggregation."""
+    pre = base_df if base_df is not None else df
+    sort = body.get("sort")
+    wants_hits = "aggs" not in body
+    sort_specs: list[tuple[str, str]] = []
+    for s in sort or []:
+        if isinstance(s, str):
+            sort_specs.append((s, "desc" if s == "_score" else "asc"))
+        else:
+            (field, spec), = s.items()
+            order = spec.get("order", "asc") if isinstance(spec, dict) else spec
+            if order not in ("asc", "desc"):
+                raise ValueError(f"sort: bad order {order!r}")
+            sort_specs.append((field, order))
+    # ES default when a top-N hit list is requested without sort:
+    # _score desc (an unsized, unsorted body stays a plain filtered
+    # frame — the analytics passthrough)
+    if wants_hits and not sort_specs and "size" in body:
+        sort_specs = [("_score", "desc")]
+    need_score = wants_hits and any(f == "_score" for f, _ in sort_specs)
+
     out = df
+    score: Column | None = None
     if "query" in body:
-        out = apply_query(out, body["query"])
+        out, score = _score_and_filter(out, body["query"], need_score)
+    elif need_score:
+        score = F.lit(1.0)
+
     if "aggs" in body:
         from .aggsdsl import apply_aggs
 
-        return apply_aggs(out, body["aggs"])
-    sort = body.get("sort") or []
-    if sort:
-        cols = []
-        for s in sort:
-            if isinstance(s, str):
-                cols.append(F.col(s).asc())
-            else:
-                (field, spec), = s.items()
-                order = spec.get("order", "asc") if isinstance(spec, dict) else spec
-                if order not in ("asc", "desc"):
-                    raise ValueError(f"sort: bad order {order!r}")
-                cols.append(
-                    F.col(field).desc() if order == "desc" else F.col(field).asc()
-                )
-        out = out.orderBy(*cols)
+        return apply_aggs(out, body["aggs"], base_df=pre)
+
+    if need_score:
+        out = out.withColumn("_score", score)
+    cols = [
+        F.col(f).desc() if order == "desc" else F.col(f).asc()
+        for f, order in sort_specs
+    ]
+    cols += _doc_tiebreak(df, [f for f, _ in sort_specs])
+    out = out.orderBy(*cols)
     if "size" in body:
         out = out.limit(int(body["size"]))
     if "_source" in body:
-        out = out.select(*body["_source"])
+        keep = list(body["_source"])
+        if need_score and "_score" not in keep:
+            keep.append("_score")
+        out = out.select(*keep)
     return out

@@ -43,6 +43,7 @@ _MODULES = (
     "weaklabel_query",
     "lateinteraction",
     "esrelations",
+    "essearch",
     "traindata",
     "evalqa",
     "mlprims",

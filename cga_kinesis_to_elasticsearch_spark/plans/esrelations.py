@@ -778,7 +778,16 @@ _AGGS_TREE = {
 }
 
 _AGGSDSL_ORACLE = """
-SELECT strftime(ts, '%Y-%m-%d') AS per_day,
+SELECT 'per_day' AS agg_path,
+       strftime(ts, '%Y-%m-%d') AS per_day,
+       NULL AS per_type,
+       count(*) AS doc_count,
+       NULL AS total_cents, NULL AS users, NULL AS worst_cents
+FROM events
+GROUP BY 2
+UNION ALL
+SELECT 'per_day>per_type' AS agg_path,
+       strftime(ts, '%Y-%m-%d') AS per_day,
        event_type AS per_type,
        count(*) AS doc_count,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -787,7 +796,7 @@ SELECT strftime(ts, '%Y-%m-%d') AS per_day,
        CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS worst_cents
 FROM events
-GROUP BY 1, 2
+GROUP BY 2, 3
 """
 
 
@@ -796,14 +805,15 @@ def _es_aggs_dsl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES aggregation DSL, compiled (operators/aggsdsl.py): a
     ``date_histogram > terms`` bucket chain with sum / exact
     cardinality / min metric leaves — the everyday dashboard request
-    body, lowered to ONE groupBy on the composite bucket key.
+    body, with ES's own per-level semantics: the response carries a
+    row per day (the outer buckets with their own doc_count) AND a row
+    per (day, type) with the metric leaves.
 
-    Scale shape: one partial-aggregated shuffle (count/sum/min combine
-    map-side; the exact countDistinct is the one expansion — the HLL
-    sketch in operators/sketches.py is the 100 TB swap-in, exactly
-    ES's precision_threshold trade). Bucket keys are narrow codegen
-    expressions; a deeper agg tree changes the key width, not the
-    number of jobs."""
+    Scale shape: BOTH levels compute in one groupingSets pass — a
+    single partial-aggregated shuffle with an Expand, not a scan per
+    level (count/sum/min combine map-side; the exact countDistinct is
+    the one expansion — the HLL sketch in operators/sketches.py is the
+    100 TB swap-in, exactly ES's precision_threshold trade)."""
     from ..operators.aggsdsl import apply_aggs
 
     ev = _t(spark, sf_dir, "events").withColumn(
@@ -811,6 +821,7 @@ def _es_aggs_dsl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = apply_aggs(ev, _AGGS_TREE)
     return out.select(
+        "agg_path",
         "per_day",
         "per_type",
         "doc_count",
@@ -844,7 +855,8 @@ _SEARCH_BODY = {
 }
 
 _SEARCH_REQ_ORACLE = """
-SELECT event_type AS per_type,
+SELECT 'per_type' AS agg_path,
+       event_type AS per_type,
        count(*) AS doc_count,
        CAST(sum(vc) AS BIGINT) AS revenue_cents,
        CAST(max(vc) AS BIGINT) AS biggest_cents
@@ -871,6 +883,7 @@ def _es_search_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_search_body(ev, _SEARCH_BODY)
     return out.select(
+        "agg_path",
         "per_type",
         "doc_count",
         F.col("revenue_cents").cast("long").alias("revenue_cents"),

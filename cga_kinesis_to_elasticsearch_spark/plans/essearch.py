@@ -1,0 +1,574 @@
+"""Full ES ``_search`` request bodies through the composed
+interpreters (operators/querydsl.run_search_body +
+operators/aggsdsl.apply_aggs): pipeline aggregations, filters /
+missing / global buckets, top_hits, ES-exact overlapping ranges,
+bucket_selector / bucket_sort pruning, BM25-scored hits, and the
+``_doc`` tie-break — each the literal JSON body an ES user POSTs,
+executed end-to-end and value-checked against a DuckDB oracle.
+
+These close the round-3 interpreter gap: every construct here already
+existed as a standalone lowering (plans/pipelineaggs.py,
+plans/esaggstail*.py, plans/evalqa.explain_bm25_doc); now a user
+sending the REQUEST BODY gets the same lowering through the
+interpreter instead of a plan-time ValueError.
+
+Reference context: the reference ships envelopes into Elasticsearch
+(main.go sink wiring); these are the dashboards its users run on the
+other side.
+
+Float discipline (house rule): values stage through exact integer
+cents per row; the only float ops are identical IEEE expressions
+rounded the same on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .declared import _t, q
+
+_K1 = 1.2
+_B = 0.75
+
+
+def _ev_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Pipeline aggregations INSIDE a request body.
+# ---------------------------------------------------------------------------
+
+_PIPELINE_BODY = {
+    "query": {"terms": {"event_type": ["click", "view", "purchase"]}},
+    "aggs": {
+        "per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "cents": {"sum": {"field": "vc"}},
+                "cum_cents": {"cumulative_sum": {"buckets_path": "cents"}},
+                "delta_cents": {"derivative": {"buckets_path": "cents"}},
+                "wow_cents": {
+                    "serial_diff": {"buckets_path": "cents", "lag": 7}
+                },
+                "trail3": {
+                    "moving_fn": {
+                        "buckets_path": "cents",
+                        "window": 3,
+                        "script": "MovingFunctions.unweightedAvg(values)",
+                    }
+                },
+                "per_doc": {
+                    "bucket_script": {
+                        "buckets_path": {"c": "cents", "n": "_count"},
+                        "script": "params.c / params.n",
+                    }
+                },
+            },
+        }
+    },
+}
+
+_PIPELINE_ORACLE = """
+WITH buckets AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS per_day,
+         count(*) AS doc_count,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('click', 'view', 'purchase')
+  GROUP BY 1
+)
+SELECT 'per_day' AS agg_path, per_day, doc_count, cents,
+       CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+       cents - lag(cents) OVER w AS delta_cents,
+       cents - lag(cents, 7) OVER w AS wow_cents,
+       round(avg(cents) OVER w3, 4) AS trail3,
+       round(cents / CAST(doc_count AS DOUBLE), 4) AS per_doc
+FROM buckets
+WINDOW w AS (ORDER BY per_day),
+       w3 AS (ORDER BY per_day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+ORDER BY per_day
+"""
+
+
+@q("es_search_request_pipeline", _PIPELINE_ORACLE)
+def _es_search_request_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A request body whose ``aggs`` carry the full pipeline-agg
+    family — ``cumulative_sum`` / ``derivative`` / ``serial_diff``
+    (lag 7, week-over-week) / ``moving_fn`` (trailing window 3,
+    current bucket excluded, ES's default shift) / ``bucket_script``
+    — executed through run_search_body, not as standalone lowerings.
+
+    Scale shape: ONE partial-aggregated shuffle builds the daily
+    bucket frame (pushable query conjuncts reach the scan); all five
+    pipeline aggs are windows over that KB-sized frame sharing a
+    single sort. First-bucket semantics match ES: derivative /
+    serial_diff null until lag rows exist, moving_fn null on an empty
+    trailing window."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(_ev_cents(spark, sf_dir), _PIPELINE_BODY)
+    return out.select(
+        "agg_path",
+        "per_day",
+        "doc_count",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("cum_cents").cast("long").alias("cum_cents"),
+        F.col("delta_cents").cast("long").alias("delta_cents"),
+        F.col("wow_cents").cast("long").alias("wow_cents"),
+        F.round("trail3", 4).alias("trail3"),
+        F.round("per_doc", 4).alias("per_doc"),
+    ).orderBy("per_day")
+
+
+# ---------------------------------------------------------------------------
+# 2. filters + missing buckets with their own metrics.
+# ---------------------------------------------------------------------------
+
+_FILTERS_BODY = {
+    "query": {"exists": {"field": "text"}},
+    "aggs": {
+        "length_class": {
+            "filters": {
+                "filters": {
+                    "short": {"range": {"n_chars": {"lt": 200}}},
+                    "long": {"range": {"n_chars": {"gte": 200}}},
+                    "has_the": {"match": {"text": "the"}},
+                }
+            },
+            "aggs": {
+                "chars": {"sum": {"field": "n_chars"}},
+                "langs": {"cardinality": {"field": "lang"}},
+            },
+        },
+        "no_lang": {
+            "missing": {"field": "lang"},
+            "aggs": {"miss_chars": {"sum": {"field": "n_chars"}}},
+        },
+    },
+}
+
+_FILTERS_ORACLE = """
+WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL)
+SELECT 'length_class' AS agg_path, 'short' AS length_class,
+       count(*) AS doc_count,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+       NULL AS miss_chars
+FROM d WHERE n_chars < 200
+UNION ALL
+SELECT 'length_class', 'long', count(*),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT), NULL
+FROM d WHERE n_chars >= 200
+UNION ALL
+SELECT 'length_class', 'has_the', count(*),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT), NULL
+FROM d
+WHERE list_contains(
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+        'the')
+UNION ALL
+SELECT 'no_lang', NULL, count(*), NULL, NULL,
+       CAST(sum(n_chars) AS BIGINT)
+FROM d WHERE lang IS NULL
+"""
+
+
+@q("es_search_request_filters", _FILTERS_ORACLE)
+def _es_search_request_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A request body with a named ``filters`` aggregation (a doc
+    lands in EVERY filter it matches — range bands overlap with the
+    token filter) and a sibling ``missing`` bucket, each with its own
+    metric leaves, through run_search_body. The ``missing`` bucket is
+    honestly empty on this corpus (doc_count 0, zero-filled sum) —
+    ES reports the empty bucket rather than omitting it.
+
+    Scale shape: each filter is ONE compiled predicate inside the
+    explode array — the corpus scans once per frame signature
+    (filters and missing differ), never once per filter."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(_t(spark, sf_dir, "documents"), _FILTERS_BODY)
+    return out.select(
+        "agg_path",
+        "length_class",
+        "doc_count",
+        F.col("chars").cast("long").alias("chars"),
+        F.col("langs").cast("long").alias("langs"),
+        F.col("miss_chars").cast("long").alias("miss_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. global escape + top_hits.
+# ---------------------------------------------------------------------------
+
+_GLOBAL_BODY = {
+    "query": {"term": {"event_type": "purchase"}},
+    "aggs": {
+        "by_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {
+                "best": {
+                    "top_hits": {
+                        "size": 2,
+                        "sort": [
+                            {"vc": {"order": "desc"}},
+                            {"event_id": {"order": "asc"}},
+                        ],
+                        "_source": ["event_id", "vc"],
+                    }
+                }
+            },
+        },
+        "all_docs": {
+            "global": {},
+            "aggs": {"total_cents": {"sum": {"field": "vc"}}},
+        },
+    },
+}
+
+_GLOBAL_ORACLE = """
+WITH s AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS vc
+           FROM events),
+p AS (SELECT * FROM s WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT event_type, event_id, vc,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY vc DESC, event_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM p
+)
+SELECT 'by_type' AS agg_path, event_type AS by_type, n AS doc_count,
+       CAST(rn AS BIGINT) AS hit_rank, event_id AS hit_id,
+       vc AS hit_cents, NULL AS total_cents
+FROM ranked WHERE rn <= 2
+UNION ALL
+SELECT 'all_docs', NULL, CAST(count(*) AS BIGINT), NULL, NULL, NULL,
+       CAST(sum(vc) AS BIGINT)
+FROM s
+"""
+
+
+@q("es_search_request_global_tophits", _GLOBAL_ORACLE)
+def _es_search_request_global_tophits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A request body combining ``top_hits`` (the two best purchases
+    per bucket, deterministic (cents desc, id) sort) with a ``global``
+    bucket whose metric escapes the query filter — exactly ES's "show
+    the filtered winners next to the unfiltered total" idiom, through
+    run_search_body. The hit arrays are exploded to rows for the
+    oracle comparison.
+
+    Scale shape: top_hits is a per-bucket window (row_number <= 2)
+    over the filtered frame — no collect of full buckets; the global
+    branch is one map-side-combined sum over the base frame."""
+    from ..operators.querydsl import run_search_body
+
+    ev = _ev_cents(spark, sf_dir)
+    out = run_search_body(ev, _GLOBAL_BODY)
+    return out.select(
+        "agg_path",
+        "by_type",
+        "doc_count",
+        F.posexplode_outer("best"),
+        F.col("total_cents").cast("long").alias("total_cents"),
+    ).select(
+        "agg_path",
+        "by_type",
+        "doc_count",
+        (F.col("pos") + 1).cast("long").alias("hit_rank"),
+        F.col("col.event_id").alias("hit_id"),
+        F.col("col.vc").alias("hit_cents"),
+        "total_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. ES-exact overlapping ranges.
+# ---------------------------------------------------------------------------
+
+_RANGES_BODY = {
+    "aggs": {
+        "bands": {
+            "range": {
+                "field": "cents",
+                "ranges": [
+                    {"to": 5000000, "key": "under_50k"},
+                    {"from": 2500000, "to": 10000000, "key": "mid"},
+                    {"from": 5000000, "key": "over_50k"},
+                    {"from": 90000000, "key": "never"},
+                ],
+            },
+            "aggs": {
+                "total": {"sum": {"field": "cents"}},
+                "biggest": {"max": {"field": "cents"}},
+            },
+        }
+    }
+}
+
+_RANGES_ORACLE = """
+WITH s AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT 'bands' AS agg_path, 'under_50k' AS bands, count(*) AS doc_count,
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS total,
+       CAST(max(cents) AS BIGINT) AS biggest
+FROM s WHERE cents < 5000000
+UNION ALL
+SELECT 'bands', 'mid', count(*), CAST(coalesce(sum(cents), 0) AS BIGINT),
+       CAST(max(cents) AS BIGINT)
+FROM s WHERE cents >= 2500000 AND cents < 10000000
+UNION ALL
+SELECT 'bands', 'over_50k', count(*),
+       CAST(coalesce(sum(cents), 0) AS BIGINT), CAST(max(cents) AS BIGINT)
+FROM s WHERE cents >= 5000000
+UNION ALL
+SELECT 'bands', 'never', count(*), CAST(coalesce(sum(cents), 0) AS BIGINT),
+       CAST(max(cents) AS BIGINT)
+FROM s WHERE cents >= 90000000
+"""
+
+
+@q("es_search_request_ranges", _RANGES_ORACLE)
+def _es_search_request_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATELY overlapping ``range`` buckets (mid overlaps both
+    neighbors) plus a requested-but-empty band: ES duplicates a doc
+    into every matching range, emits the empty range with doc_count 0
+    (additive metrics zero-filled, max NULL), and produces NO bucket
+    for out-of-range docs — the explode lowering is ES-exact, not
+    first-match CASE assignment.
+
+    Scale shape: one explode of a per-row label array (a doc
+    multiplies only by its matching-band count) + one partial-agg
+    shuffle on (band); the zero-fill is a broadcast join against the
+    4-row requested-band frame."""
+    from ..operators.aggsdsl import apply_aggs
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    out = apply_aggs(orders, _RANGES_BODY["aggs"])
+    return out.select(
+        "agg_path",
+        "bands",
+        "doc_count",
+        F.col("total").cast("long").alias("total"),
+        F.col("biggest").cast("long").alias("biggest"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. bucket_selector + bucket_sort with descendant pruning.
+# ---------------------------------------------------------------------------
+
+_SELECTOR_BODY = {
+    "query": {"terms": {"event_type": ["click", "view", "purchase"]}},
+    "aggs": {
+        "per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "cents": {"sum": {"field": "vc"}},
+                "busy_only": {
+                    "bucket_selector": {
+                        "buckets_path": {"n": "_count"},
+                        "script": "params.n >= 20",
+                    }
+                },
+                "top5": {
+                    "bucket_sort": {
+                        "sort": [{"cents": {"order": "desc"}}],
+                        "size": 5,
+                    }
+                },
+                "per_type": {"terms": {"field": "event_type"}},
+            },
+        }
+    },
+}
+
+_SELECTOR_ORACLE = """
+WITH f AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS per_day, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+days AS (
+  SELECT per_day, count(*) AS doc_count,
+         CAST(sum(vc) AS BIGINT) AS cents
+  FROM f GROUP BY 1
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY cents DESC, per_day) AS rn
+    FROM days WHERE doc_count >= 20
+  ) WHERE rn <= 5
+)
+SELECT 'per_day' AS agg_path, per_day, NULL AS per_type,
+       doc_count, cents
+FROM kept
+UNION ALL
+SELECT 'per_day>per_type', t.per_day, t.event_type,
+       count(*), NULL
+FROM f t JOIN kept k USING (per_day)
+GROUP BY 2, 3
+"""
+
+
+@q("es_search_request_selector", _SELECTOR_ORACLE)
+def _es_search_request_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bucket_selector`` (keep days with >= 20 docs) chained with
+    ``bucket_sort`` (top-5 days by revenue) in one request body, with
+    a nested ``terms`` level UNDER the pruned histogram — ES prunes
+    the whole sub-tree of a dropped bucket, so the per-type rows of
+    dropped days must vanish too (the descendant semi-join).
+
+    Scale shape: the selector/sort are a filter + row_number window
+    over the daily bucket frame; descendant pruning is a broadcast
+    semi-join of the (<= 5 row) surviving-day frame against the
+    per-type level."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(_ev_cents(spark, sf_dir), _SELECTOR_BODY)
+    return out.select(
+        "agg_path",
+        "per_day",
+        "per_type",
+        "doc_count",
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. BM25-scored hits through the request body.
+# ---------------------------------------------------------------------------
+
+_SCORED_TERMS = ("merge", "scan", "vector")
+
+_SCORED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+withlen AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) FILTER (WHERE len(tk) > 0) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) FILTER (WHERE len(tk) > 0) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+dfreq AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'merge')) AS BIGINT)
+      AS df_0,
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'scan')) AS BIGINT)
+      AS df_1,
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'vector')) AS BIGINT)
+      AS df_2
+  FROM toks
+),
+scored AS (
+  SELECT w.doc_id, w.dl,
+    len(list_filter(w.tk, x -> x = 'merge')) AS tf_0,
+    len(list_filter(w.tk, x -> x = 'scan')) AS tf_1,
+    len(list_filter(w.tk, x -> x = 'vector')) AS tf_2,
+    s.n_docs, s.total_len, d.df_0, d.df_1, d.df_2
+  FROM withlen w CROSS JOIN stats s CROSS JOIN dfreq d
+  WHERE tf_0 > 0 OR tf_1 > 0 OR tf_2 > 0
+),
+formula AS (
+  SELECT doc_id,
+    0.0
+    + CASE WHEN tf_0 > 0 THEN
+        ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+        * (tf_0 * (1 + {_K1}))
+        / (tf_0 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END
+    + CASE WHEN tf_1 > 0 THEN
+        ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+        * (tf_1 * (1 + {_K1}))
+        / (tf_1 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END
+    + CASE WHEN tf_2 > 0 THEN
+        ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+        * (tf_2 * (1 + {_K1}))
+        / (tf_2 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END AS raw_score
+  FROM scored
+)
+SELECT doc_id, round(raw_score, 6) AS score
+FROM formula
+ORDER BY raw_score DESC, doc_id
+LIMIT 20
+"""
+
+
+@q("es_search_scored", _SCORED_ORACLE)
+def _es_search_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ``match`` query returning SCORE-ORDERED hits — the body has
+    no ``sort``, so ES's default ``_score desc`` applies and
+    run_search_body computes the real Lucene practical BM25 (k1=1.2,
+    b=0.75, field statistics over docs that have the field) with the
+    ``doc_id`` tie-break; top-20 with scores.
+
+    Scale shape: ONE broadcast-sized stats aggregation (N, total
+    length, df per query term) + a closed-form codegen score per doc
+    + TakeOrdered(20) — documents never shuffle; this is the
+    index-free scan form of sinks/textindex.bm25_topk."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(
+        docs,
+        {
+            "query": {"match": {"text": " ".join(_SCORED_TERMS)}},
+            "size": 20,
+            "_source": ["doc_id"],
+        },
+    )
+    return out.select("doc_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 7. Deliberately tied sort keys: the _doc tie-break.
+# ---------------------------------------------------------------------------
+
+_TIED_ORACLE = """
+SELECT doc_id, lang FROM documents
+ORDER BY lang, doc_id
+LIMIT 15
+"""
+
+
+@q("es_search_tied_sort", _TIED_ORACLE)
+def _es_search_tied_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A hit list sorted by a LOW-CARDINALITY key (``lang`` — dozens
+    of ties at the size boundary on purpose): without a tie-break the
+    selected top-15 SET would be partitioning-dependent;
+    run_search_body appends the ``doc_id`` ``_doc`` tie-break so both
+    engines pick the identical set in the identical order.
+
+    Scale shape: TakeOrdered(15) on (lang, doc_id) — no shuffle
+    beyond the top-k reduction."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(
+        docs,
+        {
+            "query": {"match_all": {}},
+            "sort": [{"lang": {"order": "asc"}}],
+            "size": 15,
+            "_source": ["doc_id", "lang"],
+        },
+    )

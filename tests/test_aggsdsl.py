@@ -1,4 +1,6 @@
-"""Aggregation-DSL interpreter semantics (operators/aggsdsl.py)."""
+"""Aggregation-DSL interpreter semantics (operators/aggsdsl.py):
+per-level bucket computation, ES null/missing handling, explode-lowered
+range/filters with zero-doc buckets, pipeline aggs, top_hits, global."""
 
 from __future__ import annotations
 
@@ -17,6 +19,7 @@ def _df(spark):
             ("a", 15, 20.0, "2024-01-01 11:00:00"),
             ("b", 25, 30.0, "2024-01-02 09:00:00"),
             ("b", 25, 40.0, "2024-01-02 10:00:00"),
+            (None, 7, 5.0, "2024-01-02 11:00:00"),
         ],
         "k string, n long, v double, ts string",
     ).selectExpr("k", "n", "v", "CAST(ts AS TIMESTAMP) AS ts")
@@ -42,6 +45,72 @@ class TestAggsDsl:
         }
         assert out["a"].doc_count == 2 and out["a"].total == 30.0
         assert out["b"].distinct_n == 1 and out["b"].top == 25
+        # ES: docs with a NULL terms field are omitted (no null bucket)
+        assert set(out) == {"a", "b"}
+
+    def test_terms_missing_param(self, spark):
+        out = {
+            r.by_k: r.doc_count
+            for r in apply_aggs(
+                _df(spark),
+                {"by_k": {"terms": {"field": "k", "missing": "N/A"}}},
+            ).collect()
+        }
+        assert out == {"a": 2, "b": 2, "N/A": 1}
+
+    def test_terms_size_top_n(self, spark):
+        rows = apply_aggs(
+            _df(spark),
+            {"by_k": {"terms": {"field": "k", "size": 1}}},
+        ).collect()
+        # doc_count tie between a and b -> key asc tiebreak picks a
+        assert [(r.by_k, r.doc_count) for r in rows] == [("a", 2)]
+
+    def test_outer_metric_computed_at_outer_level(self, spark):
+        # the composite-flattening bug shape: a metric on the OUTER
+        # date_histogram must aggregate the whole day, not (day, k)
+        rows = apply_aggs(
+            _df(spark),
+            {
+                "per_day": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "day",
+                    },
+                    "aggs": {
+                        "day_total": {"sum": {"field": "v"}},
+                        "per_k": {
+                            "terms": {"field": "k"},
+                            "aggs": {"k_total": {"sum": {"field": "v"}}},
+                        },
+                    },
+                }
+            },
+        ).collect()
+        outer = {
+            r.per_day: (r.doc_count, r.day_total)
+            for r in rows
+            if r.agg_path == "per_day"
+        }
+        inner = {
+            (r.per_day, r.per_k): (r.doc_count, r.k_total)
+            for r in rows
+            if r.agg_path == "per_day>per_k"
+        }
+        # outer: includes the null-k doc on day 2
+        assert outer == {"2024-01-01": (2, 30.0), "2024-01-02": (3, 75.0)}
+        # inner: null-k doc omitted from terms buckets
+        assert inner == {
+            ("2024-01-01", "a"): (2, 30.0),
+            ("2024-01-02", "b"): (2, 70.0),
+        }
+        # outer rows carry NULL for inner-level columns and vice versa
+        assert all(
+            r.k_total is None for r in rows if r.agg_path == "per_day"
+        )
+        assert all(
+            r.day_total is None for r in rows if r.agg_path == "per_day>per_k"
+        )
 
     def test_nested_chain_and_histogram(self, spark):
         rows = apply_aggs(
@@ -61,32 +130,245 @@ class TestAggsDsl:
                 }
             },
         ).collect()
-        got = {(r.per_day, r.per_bucket): (r.doc_count, r.avg_v) for r in rows}
+        got = {
+            (r.per_day, r.per_bucket): (r.doc_count, r.avg_v)
+            for r in rows
+            if r.agg_path == "per_day>per_bucket"
+        }
         assert got[("2024-01-01", 0)] == (1, 10.0)
         assert got[("2024-01-01", 10)] == (1, 20.0)
         assert got[("2024-01-02", 20)] == (2, 35.0)
 
-    def test_range_buckets_label_like_es(self, spark):
+    def test_range_es_exact(self, spark):
+        # overlapping ranges: a doc lands in EVERY matching bucket;
+        # requested-but-empty ranges appear with doc_count 0; no NULL
+        # bucket for out-of-range docs
         rows = apply_aggs(
             _df(spark),
             {
                 "bands": {
                     "range": {
                         "field": "n",
-                        "ranges": [{"to": 10}, {"from": 10, "to": 20}, {"from": 20}],
+                        "ranges": [
+                            {"to": 10},
+                            {"from": 5, "to": 20},
+                            {"from": 100, "to": 200},
+                            {"from": 20},
+                        ],
                     }
                 }
             },
         ).collect()
         got = {r.bands: r.doc_count for r in rows}
-        assert got == {"*-10": 1, "10-20": 1, "20-*": 2}
+        assert got == {"*-10": 2, "5-20": 3, "100-200": 0, "20-*": 2}
+
+    def test_range_custom_keys_and_metric_zero_fill(self, spark):
+        rows = apply_aggs(
+            _df(spark),
+            {
+                "bands": {
+                    "range": {
+                        "field": "n",
+                        "ranges": [
+                            {"to": 10, "key": "low"},
+                            {"from": 100, "key": "none"},
+                        ],
+                    },
+                    "aggs": {
+                        "t": {"sum": {"field": "n"}},
+                        "m": {"max": {"field": "n"}},
+                    },
+                }
+            },
+        ).collect()
+        got = {r.bands: (r.doc_count, r.t, r.m) for r in rows}
+        # empty bucket: additive metrics zero-fill, max stays NULL
+        assert got == {"low": (2, 12, 7), "none": (0, 0, None)}
+
+    def test_filters_agg(self, spark):
+        rows = apply_aggs(
+            _df(spark),
+            {
+                "cls": {
+                    "filters": {
+                        "filters": {
+                            "small": {"range": {"n": {"lt": 10}}},
+                            "big": {"range": {"n": {"gte": 10}}},
+                            "nothing": {"term": {"k": "zzz"}},
+                        }
+                    },
+                    "aggs": {"t": {"sum": {"field": "n"}}},
+                }
+            },
+        ).collect()
+        got = {r.cls: (r.doc_count, r.t) for r in rows}
+        assert got == {"small": (2, 12), "big": (3, 65), "nothing": (0, 0)}
+
+    def test_filter_missing_global(self, spark):
+        df = _df(spark)
+        filtered = df.filter("n >= 10")
+        rows = apply_aggs(
+            filtered,
+            {
+                "no_k": {"missing": {"field": "k"}},
+                "only_b": {
+                    "filter": {"term": {"k": "b"}},
+                    "aggs": {"bt": {"sum": {"field": "v"}}},
+                },
+                "everything": {
+                    "global": {},
+                    "aggs": {"all_total": {"sum": {"field": "v"}}},
+                },
+            },
+            base_df=df,
+        ).collect()
+        by_path = {r.agg_path: r for r in rows}
+        assert by_path["no_k"].doc_count == 0  # null-k doc was filtered
+        assert by_path["only_b"].doc_count == 2
+        assert by_path["only_b"].bt == 70.0
+        # global escapes the query: all 5 docs
+        assert by_path["everything"].doc_count == 5
+        assert by_path["everything"].all_total == 105.0
+
+    def test_pipeline_aggs(self, spark):
+        rows = (
+            apply_aggs(
+                _df(spark),
+                {
+                    "per_day": {
+                        "date_histogram": {
+                            "field": "ts",
+                            "calendar_interval": "day",
+                        },
+                        "aggs": {
+                            "total": {"sum": {"field": "v"}},
+                            "cum": {"cumulative_sum": {"buckets_path": "total"}},
+                            "dv": {"derivative": {"buckets_path": "total"}},
+                            "sd": {
+                                "serial_diff": {"buckets_path": "total", "lag": 1}
+                            },
+                            "mv": {
+                                "moving_fn": {
+                                    "buckets_path": "total",
+                                    "window": 2,
+                                    "script": "MovingFunctions.unweightedAvg(values)",
+                                }
+                            },
+                            "per_doc": {
+                                "bucket_script": {
+                                    "buckets_path": {"t": "total", "c": "_count"},
+                                    "script": "params.t / params.c",
+                                }
+                            },
+                        },
+                    }
+                },
+            )
+            .orderBy("per_day")
+            .collect()
+        )
+        d1, d2 = rows
+        assert (d1.total, d1.cum, d1.dv, d1.sd, d1.mv) == (
+            30.0,
+            30.0,
+            None,
+            None,
+            None,
+        )
+        assert (d2.total, d2.cum, d2.dv, d2.sd, d2.mv) == (
+            75.0,
+            105.0,
+            45.0,
+            45.0,
+            30.0,
+        )
+        assert d1.per_doc == 15.0 and d2.per_doc == 25.0
+
+    def test_bucket_selector_prunes_descendants(self, spark):
+        rows = apply_aggs(
+            _df(spark),
+            {
+                "per_day": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "day",
+                    },
+                    "aggs": {
+                        "total": {"sum": {"field": "v"}},
+                        "keep": {
+                            "bucket_selector": {
+                                "buckets_path": {"t": "total"},
+                                "script": "params.t > 50",
+                            }
+                        },
+                        "per_k": {"terms": {"field": "k"}},
+                    },
+                }
+            },
+        ).collect()
+        days = [r.per_day for r in rows if r.agg_path == "per_day"]
+        inner = [
+            (r.per_day, r.per_k)
+            for r in rows
+            if r.agg_path == "per_day>per_k"
+        ]
+        assert days == ["2024-01-02"]  # day 1 (30.0) dropped
+        assert inner == [("2024-01-02", "b")]  # descendants pruned too
+
+    def test_bucket_sort_top_n(self, spark):
+        rows = apply_aggs(
+            _df(spark),
+            {
+                "per_day": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "day",
+                    },
+                    "aggs": {
+                        "total": {"sum": {"field": "v"}},
+                        "top1": {
+                            "bucket_sort": {
+                                "sort": [{"total": {"order": "desc"}}],
+                                "size": 1,
+                            }
+                        },
+                    },
+                }
+            },
+        ).collect()
+        assert [(r.per_day, r.total) for r in rows] == [("2024-01-02", 75.0)]
+
+    def test_top_hits(self, spark):
+        rows = apply_aggs(
+            _df(spark),
+            {
+                "per_k": {
+                    "terms": {"field": "k"},
+                    "aggs": {
+                        "best": {
+                            "top_hits": {
+                                "size": 2,
+                                "sort": [{"v": {"order": "desc"}}],
+                                "_source": ["n", "v"],
+                            }
+                        }
+                    },
+                }
+            },
+        ).collect()
+        got = {r.per_k: [(h.n, h.v) for h in r.best] for r in rows}
+        assert got == {
+            "a": [(15, 20.0), (5, 10.0)],
+            "b": [(25, 40.0), (25, 30.0)],
+        }
 
     def test_metrics_only_single_row(self, spark):
         [r] = apply_aggs(
             _df(spark),
             {"total": {"sum": {"field": "n"}}, "mx": {"max": {"field": "v"}}},
         ).collect()
-        assert r.doc_count == 4 and r.total == 70 and r.mx == 40.0
+        assert r.doc_count == 5 and r.total == 77 and r.mx == 40.0
+        assert r.agg_path == ""
 
     def test_plan_time_validation(self, spark):
         with pytest.raises(ValueError, match="unsupported bucket"):
@@ -101,8 +383,66 @@ class TestAggsDsl:
             compile_aggs(
                 {"x": {"date_histogram": {"field": "ts", "calendar_interval": "fortnight"}}}
             )
+        with pytest.raises(ValueError, match="duplicate agg name"):
+            compile_aggs(
+                {
+                    "x": {
+                        "terms": {"field": "k"},
+                        "aggs": {"x": {"sum": {"field": "n"}}},
+                    }
+                }
+            )
+        with pytest.raises(ValueError, match="histogram/"):
+            compile_aggs(
+                {
+                    "x": {
+                        "terms": {"field": "k"},
+                        "aggs": {
+                            "c": {"cumulative_sum": {"buckets_path": "_count"}}
+                        },
+                    }
+                }
+            )
+        with pytest.raises(ValueError, match="top level"):
+            compile_aggs(
+                {
+                    "x": {
+                        "terms": {"field": "k"},
+                        "aggs": {"g": {"global": {}}},
+                    }
+                }
+            )
+        with pytest.raises(ValueError, match="other_bucket"):
+            compile_aggs(
+                {
+                    "x": {
+                        "filters": {
+                            "filters": {"a": {"match_all": {}}},
+                            "other_bucket": True,
+                        }
+                    }
+                }
+            )
+
+    def test_bad_buckets_path_fails(self, spark):
+        with pytest.raises(ValueError, match="buckets_path"):
+            apply_aggs(
+                _df(spark),
+                {
+                    "per_day": {
+                        "date_histogram": {
+                            "field": "ts",
+                            "calendar_interval": "day",
+                        },
+                        "aggs": {
+                            "c": {"cumulative_sum": {"buckets_path": "nope"}}
+                        },
+                    }
+                },
+            ).collect()
 
     def test_single_exchange_plan(self, spark):
+        # the everyday single-chain tree still costs ONE exchange
         out = apply_aggs(
             _df(spark),
             {
@@ -114,3 +454,25 @@ class TestAggsDsl:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1
+
+    def test_two_level_chain_single_pass(self, spark):
+        # outer + inner levels share one groupingSets aggregation:
+        # a single Expand + one exchange, not one scan per level
+        out = apply_aggs(
+            _df(spark),
+            {
+                "per_day": {
+                    "date_histogram": {
+                        "field": "ts",
+                        "calendar_interval": "day",
+                    },
+                    "aggs": {
+                        "day_total": {"sum": {"field": "v"}},
+                        "per_k": {"terms": {"field": "k"}},
+                    },
+                }
+            },
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") <= 1
+        assert "Expand" in plan

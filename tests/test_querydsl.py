@@ -146,8 +146,9 @@ class TestSearchBody:
                 },
             ).collect()
         }
-        # aggs run over the FILTERED set (ids 1,2,3)
-        assert out == {"en": 1, "de": 1, None: 1}
+        # aggs run over the FILTERED set (ids 1,2,3); the null-lang doc
+        # is OMITTED from the terms buckets like ES (no missing param)
+        assert out == {"en": 1, "de": 1}
 
     def test_hits_with_sort_size_source(self, spark):
         from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
@@ -165,3 +166,119 @@ class TestSearchBody:
         ).collect()
         assert [(r.id, r.n) for r in rows] == [(5, 50), (4, 40)]
         assert set(rows[0].asDict()) == {"id", "n"}
+
+
+class TestScoring:
+    def test_match_bm25_score_order(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+        import math
+
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {"match": {"text": "alpha beta"}},
+                "sort": [{"_score": {"order": "desc"}}],
+                "size": 3,
+                "_source": ["id"],
+            },
+        ).collect()
+        # docs 1,2,3 match; 2 contains only "beta" -> lowest score;
+        # 3 ("alpha beta", dl=2) outranks 1 ("alpha beta gamma", dl=3)
+        assert [r.id for r in rows] == [3, 1, 2]
+        # replay the Lucene practical formula for doc 3 (tf=1 both
+        # terms, dl=2). Field statistics count docs WITH the field:
+        # docs 1-4 (doc 5 has null text), total_len=3+2+2+1
+        n_docs, total_len = 4, 8
+        avgdl = total_len / n_docs
+        k1, b = 1.2, 0.75
+
+        def contrib(df_t, tf, dl):
+            idf = math.log(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+            return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+        expected = contrib(2, 1, 2) + contrib(3, 1, 2)
+        got = rows[0]._score
+        assert abs(got - expected) < 1e-9
+
+    def test_default_sort_is_score(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(
+            _df(spark),
+            {"query": {"match": {"text": "alpha beta"}}, "size": 2},
+        ).collect()
+        assert [r.id for r in rows] == [3, 1]
+
+    def test_function_score_decay(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {
+                    "function_score": {
+                        "query": {"exists": {"field": "text"}},
+                        "functions": [
+                            {
+                                "gauss": {
+                                    "n": {
+                                        "origin": 10,
+                                        "scale": 20,
+                                        "decay": 0.5,
+                                    }
+                                },
+                                "weight": 2.0,
+                            }
+                        ],
+                    }
+                },
+                "size": 4,
+                "_source": ["id"],
+            },
+        ).collect()
+        # distance from n=10: doc1=0 -> 2.0; doc2=10 -> 2*0.5^0.25;
+        # doc3=20 (== scale) -> 2*decay = 1.0; doc4=30 -> 2*0.5^2.25
+        assert [r.id for r in rows] == [1, 2, 3, 4]
+        assert abs(rows[0]._score - 2.0) < 1e-9
+        assert abs(rows[1]._score - 2 * 0.5**0.25) < 1e-9
+        assert abs(rows[2]._score - 1.0) < 1e-9
+
+    def test_doc_tiebreak_deterministic(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        # lang 'en' ties for docs 1 and 4: the id tie-break must pick 1
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {"exists": {"field": "lang"}},
+                "sort": [{"lang": {"order": "asc"}}],
+                "size": 2,
+                "_source": ["id", "lang"],
+            },
+        ).collect()
+        assert [(r.id, r.lang) for r in rows] == [(2, "de"), (1, "en")]
+
+    def test_score_with_unscorable_query_fails_nothing(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        # filter-context query + _score sort: constant score, tiebreak
+        # by id keeps the hit set deterministic
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {"term": {"source": "src1"}},
+                "size": 1,
+                "_source": ["id"],
+            },
+        ).collect()
+        assert [r.id for r in rows] == [1]
