@@ -27,14 +27,47 @@ Supported processors (the everyday subset):
 - ``date``       {field, target_field, output_format}
                  — parse timestamp-like string; formats are Spark/
                  Java patterns (ES date processor's Java formats)
+- ``grok``       {field, patterns: [...]
+                 [, pattern_definitions: {name: body}]}
+                 — THE on-theme processor (the reference's whole job
+                 is grok parsing, main.go:396,402): each capture of
+                 the first matching pattern becomes a top-level typed
+                 column; a non-matching document gets NULL captures —
+                 the engine's match-or-empty columnar contract (F5),
+                 where ES's processor would route to on_failure.
+                 Compiles through the SAME grok compiler as the parity
+                 pipeline (grok/compiler.py), and parses with the
+                 single-pass packed-capture rewrite of
+                 grok/spark.grok_parse_many — one regex evaluation per
+                 (row, pattern), not one per capture.
+- ``json``       {field[, target_field][, schema][, add_to_root]}
+                 — ``from_json``. Spark-first divergence: the value
+                 SCHEMA is declared at plan time (DDL string; default
+                 ``map<string,string>``) instead of ES's dynamic
+                 parse — the columnar contract needs a type.
+                 ``add_to_root`` expands the parsed struct's fields to
+                 top-level columns (requires a struct schema).
+- ``dot_expander`` {field} — regroups every ``field.suffix`` column
+                 into ONE struct column ``field`` (ES expands dotted
+                 keys into nested objects; here the object is a
+                 struct). ``{"field": "*"}`` expands every dotted
+                 column, like ES's wildcard form.
 - ``script`` is deliberately NOT supported: arbitrary painless has no
   declarative lowering — computed_columns / the grok compiler are the
   engine's answers for expression-level work.
 
+Validation is PLAN-time like ES's pipeline validation: unknown
+processors, unknown fields, ``rename`` onto itself or onto an
+existing field (ES's rename errors on both) all raise ValueError
+before any job runs.
+
 Scale shape: the compiler folds the processor list LEFT TO RIGHT over
 a column mapping (dict of name -> Column), exactly the sequential
 semantics ES documents; the result is one projection, so a 40-
-processor pipeline costs the same scan as a 1-processor one.
+processor pipeline costs the same scan as a 1-processor one. A
+``grok`` processor splits the chain into staged projections (the
+packed-capture rewrite needs attribute boundaries so Catalyst cannot
+inline the regex once per field) — still zero shuffles, zero Python.
 
 Reference context: day-partitioned index routing and computed columns
 (operators/computed.py) are what main.go computes in code; ingest
@@ -86,7 +119,18 @@ def compile_pipeline(
         elif kind == "copy":
             cols[a["field"]] = _need(a["from"], p)
         elif kind == "rename":
-            cols[a["target_field"]] = _need(a["field"], p)
+            target = a["target_field"]
+            if target == a["field"]:
+                raise ValueError(
+                    f"rename: target_field equals field {target!r} "
+                    "(ES's rename processor errors here)"
+                )
+            if target in cols:
+                raise ValueError(
+                    f"rename: target_field {target!r} already exists "
+                    "(ES's rename processor errors here)"
+                )
+            cols[target] = _need(a["field"], p)
             del cols[a["field"]]
         elif kind == "remove":
             _need(a["field"], p)
@@ -119,15 +163,124 @@ def compile_pipeline(
             out = a.get("target_field", a["field"])
             fmt = a.get("output_format")
             cols[out] = F.date_format(ts, fmt) if fmt else ts
+        elif kind == "json":
+            src = _need(a["field"], p)
+            ddl = a.get("schema", "map<string,string>")
+            target = a.get("target_field", a["field"])
+            parsed = F.from_json(src, ddl)
+            if a.get("add_to_root"):
+                from pyspark.sql.types import StructType, _parse_datatype_string
+
+                st = _parse_datatype_string(ddl)
+                if not isinstance(st, StructType):
+                    raise ValueError(
+                        f"json: add_to_root needs a struct schema, got {ddl!r}"
+                    )
+                for f in st.fields:
+                    cols[f.name] = parsed.getField(f.name)
+            else:
+                cols[target] = parsed
+        elif kind == "dot_expander":
+            field = a["field"]
+            if field == "*":
+                prefixes = sorted(
+                    {c.split(".", 1)[0] for c in cols if "." in c}
+                )
+            else:
+                prefixes = [field]
+            for prefix in prefixes:
+                members = [c for c in cols if c.startswith(prefix + ".")]
+                if not members:
+                    raise ValueError(
+                        f"dot_expander: no dotted fields under {prefix!r}"
+                    )
+                struct = F.struct(
+                    *[
+                        cols[c].alias(c.split(".", 1)[1])
+                        for c in members
+                    ]
+                )
+                for c in members:
+                    del cols[c]
+                cols[prefix] = struct
+        elif kind == "grok":
+            raise ValueError(
+                "grok processor requires apply_ingest_pipeline (it "
+                "stages projections around the packed-capture parse)"
+            )
         else:
             raise ValueError(f"unsupported processor {kind!r}")
     return cols
 
 
+def _apply_grok(df: DataFrame, a: dict) -> DataFrame:
+    """The ``grok`` processor: first matching pattern's captures become
+    top-level typed columns (single-pass packed-capture parse per
+    pattern; see grok/spark.grok_parse_many)."""
+    from ..grok import default_grok
+    from ..grok.spark import grok_match, grok_parse_many
+
+    field = a["field"]
+    patterns = a.get("patterns")
+    if not patterns or not isinstance(patterns, (list, tuple)):
+        raise ValueError(f"grok needs a non-empty patterns list: {a}")
+    if field not in df.columns:
+        raise ValueError(f"grok references unknown field {field!r}")
+    grok = default_grok()
+    for name, body in (a.get("pattern_definitions") or {}).items():
+        grok.add_pattern(name, body)
+    compiled = [grok.compile(p) for p in patterns]
+
+    # first-match-wins: pattern i parses only rows no earlier pattern
+    # matched (ES tries the patterns in order)
+    specs = []
+    src = F.col(f"`{field}`")
+    prior = None
+    for i, cp in enumerate(compiled):
+        specs.append((f"__grok_{i}", cp, prior))
+        m = grok_match(grok, src, cp)
+        prior = (~m) if prior is None else (prior & ~m)
+    parsed = grok_parse_many(grok, df, src, specs)
+
+    # expose each capture as a top-level column: the value from the
+    # FIRST pattern that matched and defines it
+    capture_names: list[str] = []
+    for cp in compiled:
+        for c in cp.fields:
+            if c.name not in capture_names:
+                capture_names.append(c.name)
+    out_cols = [F.col(f"`{c}`") for c in df.columns if c not in capture_names]
+    for name in capture_names:
+        sources = [
+            F.col(f"__grok_{i}.{name}")
+            for i, cp in enumerate(compiled)
+            if any(c.name == name for c in cp.fields)
+        ]
+        out_cols.append(F.coalesce(*sources).alias(name))
+    return parsed.select(*out_cols)
+
+
 def apply_ingest_pipeline(
     df: DataFrame, processors: list[dict]
 ) -> DataFrame:
-    """Apply an ES-style ingest pipeline to every row as ONE narrow
-    projection (see module docstring)."""
-    cols = compile_pipeline(df.columns, processors)
-    return df.select(*[c.alias(name) for name, c in cols.items()])
+    """Apply an ES-style ingest pipeline: the processor chain compiles
+    to ONE narrow projection (see module docstring); each ``grok``
+    processor splits the chain into staged projections around the
+    packed-capture parse — still zero shuffles, zero Python."""
+    pending: list[dict] = []
+    out = df
+    for p in processors:
+        if len(p) == 1 and next(iter(p)) == "grok":
+            if pending:
+                cols = compile_pipeline(out.columns, pending)
+                out = out.select(
+                    *[c.alias(name) for name, c in cols.items()]
+                )
+                pending = []
+            out = _apply_grok(out, p["grok"])
+        else:
+            pending.append(p)
+    if pending or not processors:
+        cols = compile_pipeline(out.columns, pending)
+        out = out.select(*[c.alias(name) for name, c in cols.items()])
+    return out

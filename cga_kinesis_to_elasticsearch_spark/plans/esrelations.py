@@ -475,6 +475,101 @@ def _ingest_pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ingest pipeline with the grok processor: parse-at-index-time.
+# ---------------------------------------------------------------------------
+
+from ..grok import default_grok as _default_grok
+from ..grok.spark import duckdb_exprs as _duckdb_exprs
+
+_IGROK = _default_grok()
+_IGROK.add_pattern(
+    "EVLINE", r"^%{WORD:etype} uid=%{INT:uid:int} v=%{NUMBER:val_s}$"
+)
+
+_EVLINE = r"^%{WORD:etype} uid=%{INT:uid:int} v=%{NUMBER:val_s}$"
+
+_INGEST_GROK_PIPELINE = [
+    {
+        "grok": {
+            "field": "line",
+            "patterns": ["%{EVLINE}"],
+            "pattern_definitions": {"EVLINE": _EVLINE},
+        }
+    },
+    {"convert": {"field": "val_s", "type": "double",
+                 "ignore_failure": True}},
+    {"rename": {"field": "val_s", "target_field": "val"}},
+    {"uppercase": {"field": "etype"}},
+    {"remove": {"field": "line"}},
+]
+
+
+def _ingest_grok_oracle() -> str:
+    exprs = _duckdb_exprs(_IGROK, "line", "EVLINE")
+    raw = {e.rsplit(" AS ", 1)[1]: e.rsplit(" AS ", 1)[0] for e in exprs}
+    rx = _IGROK.compile("EVLINE").regex.replace("'", "''")
+    # Spark's packed-capture parse yields NULL captures on non-match
+    # (grok/spark.grok_parse_many); DuckDB regexp_extract yields '' —
+    # guard every capture with the match predicate
+    return f"""
+WITH s AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error'
+              THEN 'malformed ' || props
+              ELSE event_type || ' uid=' || CAST(user_id AS VARCHAR)
+                   || ' v=' || CAST(round(value, 3) AS VARCHAR) END AS line
+  FROM events
+),
+m AS (SELECT event_id, line, regexp_matches(line, '{rx}') AS ok FROM s)
+SELECT event_id,
+       CASE WHEN ok THEN upper({raw['etype']}) END AS etype,
+       CASE WHEN ok THEN {raw['uid']} END AS uid,
+       CASE WHEN ok
+            THEN CAST(NULLIF({raw['val_s']}, '') AS DOUBLE) END AS val
+FROM m
+"""
+
+
+@q("ingest_grok_events", _ingest_grok_oracle())
+def _ingest_grok_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest ``grok`` processor — THE on-theme processor for this
+    reference (its whole job is grok parsing, main.go:396,402) — in a
+    realistic parse-at-index-time chain: grok a log line into typed
+    captures (WORD/INT/NUMBER), convert + rename + uppercase the
+    results, drop the raw line. ``error`` events carry a deliberately
+    malformed line: the processor emits NULL captures for them (the
+    engine's match-or-empty F5 contract, where ES would route to
+    on_failure) and the downstream processors tolerate the NULLs.
+
+    Scale shape: the grok stage is the single-pass packed-capture
+    rewrite (ONE regex evaluation per row, grok/spark.grok_parse_many)
+    between two narrow projections — zero shuffles, zero Python; the
+    oracle regex is GENERATED from the same compiled pattern so both
+    engines agree by construction."""
+    from ..operators.ingest import apply_ingest_pipeline
+
+    ev = _t(spark, sf_dir, "events")
+    lined = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(F.lit("malformed "), F.col("props")),
+        )
+        .otherwise(
+            F.concat(
+                F.col("event_type"),
+                F.lit(" uid="),
+                F.col("user_id").cast("string"),
+                F.lit(" v="),
+                F.round(F.col("value"), 3).cast("string"),
+            )
+        )
+        .alias("line"),
+    )
+    return apply_ingest_pipeline(lined, _INGEST_GROK_PIPELINE)
+
+
+# ---------------------------------------------------------------------------
 # extended_stats: the full ES moment family per bucket.
 # ---------------------------------------------------------------------------
 

@@ -181,6 +181,21 @@ class _StreamWriter(_TaskWriter, DataSourceStreamWriter):
                 os.unlink(p)
 
 
+def _check_meta_columns(schema, options: dict) -> None:
+    """Fail at PLAN time when the configured id/index columns are
+    absent: otherwise every bulk action would silently carry
+    ``{"_index": "None", "_id": "None"}`` metadata."""
+    id_col = options.get("es.mapping.id", "doc_id")
+    index_col = options.get("index_col", "es_index")
+    names = set(schema.fieldNames())
+    for role, col in (("es.mapping.id", id_col), ("index_col", index_col)):
+        if col not in names:
+            raise ValueError(
+                f"es_bulk_sim: {role} column {col!r} not in the "
+                f"DataFrame schema {sorted(names)}"
+            )
+
+
 class ESBulkSimDataSource(DataSource):
     """`format("es_bulk_sim")`: batch + streaming ES-bulk-body sink
     with the DataSource V2 commit protocol (see module docstring)."""
@@ -190,17 +205,16 @@ class ESBulkSimDataSource(DataSource):
         return "es_bulk_sim"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _BatchWriter(
-            {k if k.startswith("es.") else k.lower(): v
-             for k, v in self.options.items()},
-            overwrite,
-        )
+        opts = {k if k.startswith("es.") else k.lower(): v
+                for k, v in self.options.items()}
+        _check_meta_columns(schema, opts)
+        return _BatchWriter(opts, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
-        return _StreamWriter(
-            {k if k.startswith("es.") else k.lower(): v
-             for k, v in self.options.items()}
-        )
+        opts = {k if k.startswith("es.") else k.lower(): v
+                for k, v in self.options.items()}
+        _check_meta_columns(schema, opts)
+        return _StreamWriter(opts)
 
 
 def write_es_bulk(df, root: str, mode: str = "append", **options) -> None:

@@ -190,3 +190,22 @@ class TestStreamRestart:
         actions = read_bulk_actions(root)
         ids = sorted(m["index"]["_id"] for m, _ in actions)
         assert ids == ["a", "b"]  # exactly once each, no duplicates
+
+
+class TestMetaColumnValidation:
+    def test_missing_id_column_fails_at_plan_time(self, spark, tmp_path):
+        import pytest
+
+        df = spark.range(3).select(
+            F.col("id").alias("not_the_id"),
+            F.lit("idx").alias("es_index"),
+        )
+        with pytest.raises(Exception, match="es.mapping.id"):
+            write_es_bulk(df, str(tmp_path / "b1"))
+
+    def test_missing_index_column_fails_at_plan_time(self, spark, tmp_path):
+        import pytest
+
+        df = spark.range(3).select(F.col("id").cast("string").alias("doc_id"))
+        with pytest.raises(Exception, match="index_col"):
+            write_es_bulk(df, str(tmp_path / "b2"))

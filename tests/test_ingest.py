@@ -165,3 +165,139 @@ class TestIngestInPipeline:
         for r in rows:
             assert r.ingest_ver == "p1"
             assert r.idx_copy == r.es_index.upper()
+
+
+class TestNewProcessors:
+    def test_rename_validation_like_es(self, spark):
+        df = _df(spark)
+        with pytest.raises(ValueError, match="equals field"):
+            apply_ingest_pipeline(
+                df, [{"rename": {"field": "num", "target_field": "num"}}]
+            )
+        with pytest.raises(ValueError, match="already exists"):
+            apply_ingest_pipeline(
+                df, [{"rename": {"field": "num", "target_field": "msg"}}]
+            )
+
+    def test_json_processor(self, spark):
+        df = spark.createDataFrame(
+            [(1, '{"a": 2, "b": "x"}')], "id long, payload string"
+        )
+        [r] = apply_ingest_pipeline(
+            df,
+            [
+                {
+                    "json": {
+                        "field": "payload",
+                        "target_field": "obj",
+                        "schema": "struct<a:long,b:string>",
+                    }
+                }
+            ],
+        ).collect()
+        assert r.obj.a == 2 and r.obj.b == "x"
+        # add_to_root expands fields to top level
+        [r2] = apply_ingest_pipeline(
+            df,
+            [
+                {
+                    "json": {
+                        "field": "payload",
+                        "schema": "struct<a:long,b:string>",
+                        "add_to_root": True,
+                    }
+                },
+                {"remove": {"field": "payload"}},
+            ],
+        ).collect()
+        assert r2.a == 2 and r2.b == "x" and set(r2.asDict()) == {"id", "a", "b"}
+        # default schema: map<string,string>
+        [r3] = apply_ingest_pipeline(
+            df, [{"json": {"field": "payload"}}]
+        ).collect()
+        assert r3.payload["a"] == "2"
+
+    def test_dot_expander(self, spark):
+        df = spark.createDataFrame(
+            [(1, "prod", "eu", "z")],
+            ["id", "cf.env", "cf.region", "other"],
+        )
+        [r] = apply_ingest_pipeline(
+            df, [{"dot_expander": {"field": "cf"}}]
+        ).collect()
+        assert r.cf.env == "prod" and r.cf.region == "eu"
+        assert set(r.asDict()) == {"id", "other", "cf"}
+        with pytest.raises(ValueError, match="no dotted fields"):
+            apply_ingest_pipeline(df, [{"dot_expander": {"field": "nope"}}])
+        # wildcard form expands every dotted prefix
+        [r2] = apply_ingest_pipeline(
+            df, [{"dot_expander": {"field": "*"}}]
+        ).collect()
+        assert r2.cf.env == "prod"
+
+    def test_grok_processor_first_match_wins(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "GET /a 200"),
+                (2, "level=warn msg=slow"),
+                (3, "???"),
+            ],
+            "id long, line string",
+        )
+        out = apply_ingest_pipeline(
+            df,
+            [
+                {
+                    "grok": {
+                        "field": "line",
+                        "patterns": [
+                            "%{WORD:verb} %{URIPATH:path} %{INT:status:int}",
+                            "level=%{WORD:level} msg=%{WORD:what}",
+                        ],
+                    }
+                },
+                {"uppercase": {"field": "verb"}},
+            ],
+        )
+        rows = {r.id: r for r in out.collect()}
+        assert rows[1].verb == "GET" and rows[1].status == 200
+        assert rows[1].level is None
+        assert rows[2].level == "warn" and rows[2].what == "slow"
+        assert rows[2].verb is None
+        # non-match: NULL captures (match-or-empty, F5), row kept
+        assert rows[3].verb is None and rows[3].level is None
+
+    def test_grok_pattern_definitions_and_failure_tolerance(self, spark):
+        df = spark.createDataFrame(
+            [(1, "k=42"), (2, "garbage")], "id long, line string"
+        )
+        out = apply_ingest_pipeline(
+            df,
+            [
+                {
+                    "grok": {
+                        "field": "line",
+                        "patterns": ["%{KV}"],
+                        "pattern_definitions": {"KV": r"k=%{INT:kv_val}"},
+                    }
+                },
+                # downstream processors tolerate the NULL capture rows
+                {"convert": {"field": "kv_val", "type": "long",
+                             "ignore_failure": True}},
+            ],
+        )
+        rows = {r.id: r.kv_val for r in out.collect()}
+        assert rows == {1: 42, 2: None}
+
+    def test_grok_validation(self, spark):
+        df = _df(spark)
+        with pytest.raises(ValueError, match="patterns"):
+            apply_ingest_pipeline(df, [{"grok": {"field": "msg"}}])
+        with pytest.raises(ValueError, match="unknown field"):
+            apply_ingest_pipeline(
+                df, [{"grok": {"field": "nope", "patterns": ["%{INT:x}"]}}]
+            )
+        with pytest.raises(ValueError, match="apply_ingest_pipeline"):
+            compile_pipeline(
+                ["msg"], [{"grok": {"field": "msg", "patterns": ["%{INT:x}"]}}]
+            )
