@@ -30,14 +30,10 @@ FROM events
 """
 
 
-@q("protobuf_roundtrip", _PROTO_ORACLE)
-def _protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.protowire import (
-        decode_protobuf_records,
-        encode_protobuf_records,
-    )
-
-    ev = _t(spark, sf_dir, "events")
+def _synth_records(ev: DataFrame) -> DataFrame:
+    """Envelope records synthesized from the events table: one of the
+    three payload arms per row, signed timestamps, map tags — the
+    fixture corpus both codecs decode."""
     arm = F.col("event_id") % 3
     ts_ms = F.unix_millis("ts")
     signed = F.when(F.col("event_id") % 7 == 0, -ts_ms).otherwise(ts_ms)
@@ -86,7 +82,10 @@ def _protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_metric"),
         F.create_map(F.lit("source_id"), F.col("event_type")).alias("tags"),
     )
-    dec = decode_protobuf_records(encode_protobuf_records(recs))
+    return recs
+
+
+def _project_decoded(dec: DataFrame) -> DataFrame:
     return dec.filter(~F.col("decode_error")).select(
         F.col("sequence_number").cast("bigint").alias("event_id"),
         "origin",
@@ -98,3 +97,41 @@ def _protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_metric.value").alias("vm_value"),
         F.col("tags")["source_id"].alias("src"),
     )
+
+
+@q("protobuf_roundtrip", _PROTO_ORACLE)
+def _protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.protowire import (
+        decode_protobuf_records,
+        encode_protobuf_records,
+    )
+
+    recs = _synth_records(_t(spark, sf_dir, "events"))
+    dec = decode_protobuf_records(encode_protobuf_records(recs))
+    return _project_decoded(dec)
+
+
+@q("protobuf_jvm_roundtrip", _PROTO_ORACLE)
+def _protobuf_jvm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME fixture corpus decoded through the decoder the
+    ``StreamConfig.decoder="jvm"`` switch selects
+    (sources/protodesc.select_protobuf_decoder): Spark's JVM
+    ``from_protobuf`` against the hand-compiled Envelope descriptor
+    set when the optional spark-protobuf module is on the classpath —
+    making the parity pipeline 100% codegen, zero Python stages — with
+    a LOUD fallback to the Arrow wire codec when it isn't (this
+    sandbox ships no spark-protobuf jar; the descriptor itself is
+    still validated against a real protobuf runtime in
+    tests/test_protodesc.py, and the cross-decoder row-identity test
+    there runs whenever the module IS loadable).
+
+    Scale shape with the JVM decoder: the protobuf parse happens
+    inside the same whole-stage-codegen pipeline as the downstream
+    routing/grok/enrichment — no Arrow hop, no Python workers."""
+    from ..sources.protodesc import select_protobuf_decoder
+    from ..sources.protowire import encode_protobuf_records
+
+    recs = _synth_records(_t(spark, sf_dir, "events"))
+    decoder = select_protobuf_decoder(spark, "jvm")
+    dec = decoder(encode_protobuf_records(recs))
+    return _project_decoded(dec)

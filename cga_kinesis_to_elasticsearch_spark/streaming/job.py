@@ -128,10 +128,13 @@ class StreamConfig:
     days_to_keep: int = 3  # DAYS_TO_KEEP, main.go:553
     retention_every_batches: int = 0  # 0 = off; reference runs 24-hourly
     # Payload decoder: raw records -> RECORD_SCHEMA + decode_error.
-    # Default is the from_json stand-in; swap in
-    # sources.protowire.decode_protobuf_records for real protobuf
-    # payloads (or from_protobuf on a cluster with spark-protobuf).
-    decoder: Callable[[DataFrame], DataFrame] | None = None
+    # None/"json" = the from_json stand-in; "arrow" = the Arrow-batched
+    # protobuf wire codec (sources/protowire.py); "jvm" = Spark's
+    # from_protobuf against the compiled Envelope descriptor
+    # (sources/protodesc.py) — 100% codegen, falling back LOUDLY to
+    # "arrow" when the optional spark-protobuf module is absent. A
+    # callable is used as-is.
+    decoder: Callable[[DataFrame], DataFrame] | str | None = None
     # Continuous-aggregate maintenance (sinks/rollup.py): after each
     # batch commits, recompute the rollup for ONLY the index partitions
     # the batch touched. Off unless both are set.
@@ -201,6 +204,19 @@ class StreamConfig:
     neardup_band_size: int = 2
 
 
+def _resolve_decoder(spark: SparkSession, decoder) -> Callable:
+    """Resolve StreamConfig.decoder (callable or "json"/"arrow"/"jvm")
+    to the decode callable, ONCE at job start (the "jvm" probe touches
+    the classpath; see sources/protodesc.select_protobuf_decoder)."""
+    if decoder is None or decoder == "json":
+        return decode_records
+    if callable(decoder):
+        return decoder
+    from ..sources.protodesc import select_protobuf_decoder
+
+    return select_protobuf_decoder(spark, decoder)
+
+
 def run_stream(
     spark: SparkSession,
     raw_stream: DataFrame,
@@ -222,6 +238,7 @@ def run_stream(
         from .metrics_http import MetricsServer
 
         m.http_server = MetricsServer(m, cfg.metrics_listen).start()
+    decode = _resolve_decoder(spark, cfg.decoder)
     if observe_records:
         raw_stream = raw_stream.observe(
             ObservedCounters.OBSERVATION, F.count(F.lit(1)).alias("n")
@@ -229,7 +246,7 @@ def run_stream(
     batch_counter = {"n": 0}
 
     def process_batch(raw: DataFrame, batch_id: int) -> None:
-        records = (cfg.decoder or decode_records)(raw)
+        records = decode(raw)
         # One pass over the batch: cache so the good/poison split and
         # the two counter reads don't rescan the source (the batch is
         # micro — bounded by trigger x arrival rate — so it fits; at
