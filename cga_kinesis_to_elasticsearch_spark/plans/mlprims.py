@@ -119,6 +119,11 @@ def _logreg_gradient_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g").cast("long").alias("grad_fp"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
         )
+        .select(  # posexplode pos is int32; oracle emits BIGINT
+            F.col("feature").cast("long").alias("feature"),
+            "grad_fp",
+            "n_rows",
+        )
     )
 
 
@@ -279,5 +284,10 @@ def _pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("g").cast("long").alias("u_fp"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(  # posexplode pos is int32; oracle emits BIGINT
+            F.col("feature").cast("long").alias("feature"),
+            "u_fp",
+            "n_rows",
         )
     )

@@ -604,11 +604,13 @@ def _span_index_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     b1 = docs.filter(F.col("doc_id") < _SPAN_IDX_SPLIT)
     b2 = docs.filter(F.col("doc_id") >= _SPAN_IDX_SPLIT)
-    # batch 1 must fully materialize (index appended) before batch 2
-    # builds its plan — foreachBatch semantics
+    # ordering (index appended before batch 2 plans) is guaranteed by
+    # span_dedup_against_index itself: the fresh-gram append is an
+    # ACTION inside the call, and batch 1's result plan reads only the
+    # checkpointed gram frame — no extra eager materialization needed
     s1 = span_dedup_against_index(
         spark, b1, root, "text", "doc_id", w=_SPAN_W
-    ).localCheckpoint()
+    )
     s2 = span_dedup_against_index(
         spark, b2, root, "text", "doc_id", w=_SPAN_W
     )

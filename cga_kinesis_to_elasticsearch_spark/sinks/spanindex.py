@@ -60,14 +60,27 @@ def span_dedup_against_index(
     text_col: str,
     id_col: str,
     w: int = 10,
+    bucket_width: int = 1,
 ) -> DataFrame:
     """Rewrite ``batch`` against all previously indexed w-token spans
     (and against itself, smallest (id, pos) first) and register the
     batch's first-seen grams. Returns per-doc
     ``(id, n_tokens, n_removed, retained_md5)`` — the same contract as
-    ``span_dedup``."""
+    ``span_dedup``.
+
+    ``bucket_width``: hash-prefix hex chars for the partition layout —
+    16^width buckets. Every append writes ONE file per touched bucket
+    (the pre-write cluster-by), so size it to the index volume: 1
+    (16 buckets) serves batches up to ~10^8 distinct grams; at the
+    100 TB corpus scale use 2 (256 buckets) so membership-join
+    pruning stays fine-grained and per-bucket files stay below a few
+    GB. Appends with different widths compose (the bucket value is a
+    plain partition column), so an index can be re-bucketed by
+    compaction (sinks/compact.py) when it outgrows its width."""
     if w < 2:
         raise ValueError(f"window must be >= 2 tokens: {w}")
+    if not 1 <= bucket_width <= 8:
+        raise ValueError(f"bucket_width must be 1..8: {bucket_width}")
     root = Path(index_root)
     root.mkdir(parents=True, exist_ok=True)
     staged = _span_staged(batch, text_col, id_col)
@@ -100,8 +113,15 @@ def span_dedup_against_index(
         .select(
             F.col("__gh").alias("gram_hash"),
             F.col("__key").alias("owner_key"),
-            F.substring("__gh", 1, 2).alias("bucket"),
+            F.substring("__gh", 1, bucket_width).alias("bucket"),
         )
     )
-    fresh.write.mode("append").partitionBy("bucket").parquet(str(root))
+    # cluster the append by bucket BEFORE the partitioned write: one
+    # file per touched bucket instead of (tasks x buckets) shards —
+    # the small shuffle (hash + key only) buys bounded file accretion
+    # at every scale and a write stage sized by buckets, not input
+    # partitions
+    fresh.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(str(root))
     return _span_rewrite(staged.join(dup_pos, id_col, "left"), id_col, w)

@@ -246,13 +246,15 @@ def run_stream(
     batch_counter = {"n": 0}
 
     def process_batch(raw: DataFrame, batch_id: int) -> None:
-        records = decode(raw)
-        # One pass over the batch: cache so the good/poison split and
-        # the two counter reads don't rescan the source (the batch is
-        # micro — bounded by trigger x arrival rate — so it fits; at
-        # the 100 TB backfill scale availableNow caps each batch at
-        # maxFilesPerTrigger).
-        records.persist()
+        # Decode once per batch; the good/poison split and the poison
+        # counter read the decoded frame, so cache it (bounded by
+        # trigger x arrival rate; availableNow backfills are capped by
+        # maxFilesPerTrigger). NOTE: df.observe + Observation.get
+        # cannot replace the poison count here — inside foreachBatch
+        # the observed metrics ride the STREAMING progress, not the
+        # per-batch query, and Observation.get throws (pinned by
+        # TestErrorReplay, which runs an all-poison batch).
+        records = decode(raw).persist()
         try:
             poison = records.filter(F.col("decode_error"))
             good = records.filter(~F.col("decode_error")).drop(
