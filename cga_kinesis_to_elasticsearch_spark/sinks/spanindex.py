@@ -69,14 +69,15 @@ def span_dedup_against_index(
     ``span_dedup``.
 
     ``bucket_width``: hash-prefix hex chars for the partition layout —
-    16^width buckets. Every append writes ONE file per touched bucket
-    (the pre-write cluster-by), so size it to the index volume: 1
-    (16 buckets) serves batches up to ~10^8 distinct grams; at the
-    100 TB corpus scale use 2 (256 buckets) so membership-join
-    pruning stays fine-grained and per-bucket files stay below a few
-    GB. Appends with different widths compose (the bucket value is a
-    plain partition column), so an index can be re-bucketed by
-    compaction (sinks/compact.py) when it outgrows its width."""
+    16^width buckets. The gram stream is clustered by bucket ONCE and
+    that single exchange serves the ownership window, the index
+    membership join AND the partitioned append (one file per touched
+    bucket), so the bucket count is also the append stage's
+    parallelism ceiling: 1 (16 buckets) suits test scales, 2 (256)
+    a production cluster, 3 (4096) the 100 TB corpus. Appends with
+    different widths compose (the bucket value is a plain partition
+    column), so an index can be re-bucketed by compaction
+    (sinks/compact.py) when it outgrows its width."""
     if w < 2:
         raise ValueError(f"window must be >= 2 tokens: {w}")
     if not 1 <= bucket_width <= 8:
@@ -84,44 +85,79 @@ def span_dedup_against_index(
     root = Path(index_root)
     root.mkdir(parents=True, exist_ok=True)
     staged = _span_staged(batch, text_col, id_col)
-    grams = _span_grams(staged, id_col, w)
-    idx = read_span_index(spark, root).withColumnRenamed(
-        "gram_hash", "__gh"
+    # ONE gram-wide exchange: cluster by the hash-prefix bucket, then
+    # run the ownership window on (bucket, __gh) — equal __gh implies
+    # equal bucket, so the min is identical to a plain __gh window —
+    # and join the stored index on (bucket, __gh) too. With subset
+    # co-partitioning allowed (conf below), the bucket clustering is
+    # reused by the window, the membership sort-merge join (only the
+    # INDEX side shuffles, by bucket) and the partitioned append (one
+    # file per touched bucket), where the old shape shuffled the gram
+    # stream twice (__gh window + pre-write cluster-by).
+    grams = _span_grams(staged, id_col, w).withColumn(
+        "bucket", F.substring("__gh", 1, bucket_width)
     )
-    # batch-local first occurrence via ONE min window over the gram
-    # stream, then the stored owner (if any) overrides it; the flagged
-    # frame feeds three consumers -> checkpoint (batch-sized)
-    win = Window.partitionBy("__gh")
-    flagged = (
-        grams.withColumn("__batch_owner", F.min("__key").over(win))
-        .join(idx, "__gh", "left")
-        .withColumn(
-            "__winner", F.coalesce("owner_key", F.col("__batch_owner"))
+    owned = grams.repartition(F.col("bucket")).withColumn(
+        "__batch_owner",
+        F.min("__key").over(Window.partitionBy("bucket", "__gh")),
+    )
+    # on the very first append the index has no data files, so the
+    # membership join is skipped outright (one fewer stage)
+    if root.exists() and any(root.rglob("*.parquet")):
+        # recompute the index-side bucket from gram_hash rather than
+        # reading the partition column: joining on the partition
+        # column triggers a dynamic-partition-pruning subquery that
+        # RE-RUNS the whole gram pipeline, and uniform hash prefixes
+        # touch every bucket anyway — pruning buys nothing here
+        idx = (
+            spark.read.parquet(str(root))
+            .select(
+                F.col("gram_hash").alias("__gh"),
+                "owner_key",
+                F.substring("gram_hash", 1, bucket_width).alias(
+                    "bucket"
+                ),
+            )
         )
-        .localCheckpoint()
-    )
+        owned = owned.join(idx, ["bucket", "__gh"], "left")
+    else:
+        owned = owned.withColumn("owner_key", F.lit(None).cast("long"))
+    # The flagged frame feeds three consumers (ownership filter,
+    # rewrite, fresh-gram append). persist() instead of checkpoint:
+    # the append action below populates the cache, and a recompute
+    # after eviction is STILL correct — re-reading the index then
+    # finds this batch's own grams stored under their first-seen keys,
+    # so every winner resolves identically (the same property that
+    # makes at-least-once replay safe).
+    flagged = owned.withColumn(
+        "__winner", F.coalesce("owner_key", F.col("__batch_owner"))
+    ).persist()
     dup_pos = (
         flagged.filter(F.col("__key") != F.col("__winner"))
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__p")).alias("__dup"))
     )
-    fresh = (
-        flagged.filter(
-            F.col("owner_key").isNull()
-            & (F.col("__key") == F.col("__batch_owner"))
-        )
-        .select(
-            F.col("__gh").alias("gram_hash"),
-            F.col("__key").alias("owner_key"),
-            F.substring("__gh", 1, bucket_width).alias("bucket"),
-        )
+    fresh = flagged.filter(
+        F.col("owner_key").isNull()
+        & (F.col("__key") == F.col("__batch_owner"))
+    ).select(
+        F.col("__gh").alias("gram_hash"),
+        F.col("__key").alias("owner_key"),
+        "bucket",
     )
-    # cluster the append by bucket BEFORE the partitioned write: one
-    # file per touched bucket instead of (tasks x buckets) shards —
-    # the small shuffle (hash + key only) buys bounded file accretion
-    # at every scale and a write stage sized by buckets, not input
-    # partitions
-    fresh.repartition("bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(str(root))
+    # subset co-partitioning (SPARK-35703): lets the join accept the
+    # bucket-only clustering instead of re-shuffling both sides by
+    # (bucket, __gh); scoped to the append action and restored after
+    key = "spark.sql.requireAllClusterKeysForCoPartition"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        fresh.write.mode("append").partitionBy("bucket").parquet(
+            str(root)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     return _span_rewrite(staged.join(dup_pos, id_col, "left"), id_col, w)
