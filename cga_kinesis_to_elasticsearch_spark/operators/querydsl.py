@@ -24,12 +24,32 @@ Supported leaves:
                    whitespace-normalized text (exact for the engine's
                    whitespace analyzer)
 - ``match_all``    {}
+- ``ids``          {"values": [...]}         — document identity; the
+                   engine's ``_id`` is the frame's identity column
+                   (``doc_id`` by default, override via ``id_col``)
+- ``regexp``       {field: pattern}          — Java regex, ANCHORED
+                   over the whole value like ES/Lucene
+- ``fuzzy``        {field: {value[, fuzziness]}} — Levenshtein edit
+                   distance against the keyword value; ``fuzziness``
+                   an int or "AUTO" (ES's 0/1/2 by term length).
+                   ES applies Lucene's max of 2 edits; so does AUTO.
+- ``terms_set``    {field: {terms, minimum_should_match_field |
+                   minimum_should_match_script}} — at least m of the
+                   terms occur in the whitespace-analyzed field, m
+                   per-doc from a column or a constant script
 
 Compound:
 
 - ``bool`` with ``must`` / ``filter`` (AND), ``must_not`` (NOR) and
   ``should`` with ES's documented ``minimum_should_match`` default:
   1 when the bool has no must/filter context, else 0.
+- ``constant_score`` {"filter": query} — the wrapped filter
+- ``dis_max``        {"queries": [...]} — union of the branches
+  (filter context: a doc matches if any branch matches)
+- ``multi_match``    {"query": text, "fields": [...]}
+  — ``match`` over each field, doc matches if any field matches
+  (best_fields, ES's default type); under score order the score is
+  the best per-field BM25, again best_fields
 
 Scoring context: ``run_search_body`` computes a real ``_score`` when
 the request asks for score-ordered hits (an explicit ``_score`` sort,
@@ -96,14 +116,102 @@ def _one_field(kind: str, body: dict) -> tuple[str, object]:
     return next(iter(body.items()))
 
 
-def compile_query(dsl: dict) -> Column:
+def _auto_fuzziness(term: str) -> int:
+    """ES "AUTO": 0 edits below 3 chars, 1 up to 5, else 2."""
+    n = len(term)
+    return 0 if n < 3 else 1 if n <= 5 else 2
+
+
+def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
     """Lower an ES query-DSL dict (filter-context subset, see module
     docstring) to one boolean Column. Raises ValueError at plan time
-    on anything unsupported."""
+    on anything unsupported. ``id_col`` names the frame's document
+    identity column — what ES calls ``_id`` — for the ``ids`` query."""
     if not isinstance(dsl, dict) or len(dsl) != 1:
         raise ValueError(f"query must have exactly one root clause: {dsl}")
     kind, body = next(iter(dsl.items()))
 
+    if kind == "ids":
+        if not isinstance(body, dict) or not body.get("values"):
+            raise ValueError(f"ids needs non-empty values: {body}")
+        return F.col(id_col).isin(*body["values"])
+    if kind == "regexp":
+        field, value = _one_field(kind, body)
+        if isinstance(value, dict):
+            value = value["value"]
+        # Lucene regexp queries are anchored: the pattern must match
+        # the ENTIRE value, so wrap in ^(...)$ for Java regex
+        return F.col(field).rlike(f"^({value})$")
+    if kind == "fuzzy":
+        field, spec = _one_field(kind, body)
+        if not isinstance(spec, dict) or "value" not in spec:
+            raise ValueError(f"fuzzy needs {{'value': term}}: {body}")
+        term = str(spec["value"])
+        fuzz = spec.get("fuzziness", "AUTO")
+        edits = _auto_fuzziness(term) if fuzz == "AUTO" else int(fuzz)
+        if not 0 <= edits <= 2:
+            raise ValueError(f"fuzzy: fuzziness must be 0..2: {fuzz!r}")
+        return F.levenshtein(F.col(field), F.lit(term)) <= F.lit(edits)
+    if kind == "terms_set":
+        field, spec = _one_field(kind, body)
+        terms = spec.get("terms") if isinstance(spec, dict) else None
+        if not terms:
+            raise ValueError(f"terms_set needs non-empty terms: {body}")
+        msm_field = spec.get("minimum_should_match_field")
+        msm_script = spec.get("minimum_should_match_script")
+        if (msm_field is None) == (msm_script is None):
+            raise ValueError(
+                "terms_set needs exactly one of "
+                "minimum_should_match_field / _script"
+            )
+        if msm_field is not None:
+            m = F.col(msm_field)
+        else:
+            src = str(msm_script.get("source", "")).strip()
+            if not src.isdigit():
+                raise ValueError(
+                    "terms_set: only constant-number "
+                    f"minimum_should_match_script supported: {src!r}"
+                )
+            m = F.lit(int(src))
+        toks = _tokens(F.col(field))
+        hits = [
+            F.array_contains(toks, str(t)).cast("int") for t in terms
+        ]
+        return functools.reduce(_op.add, hits) >= m
+    if kind == "constant_score":
+        if not isinstance(body, dict) or set(body) != {"filter"}:
+            raise ValueError(f"constant_score needs a filter: {body}")
+        return compile_query(body["filter"], id_col=id_col)
+    if kind == "dis_max":
+        queries = body.get("queries") if isinstance(body, dict) else None
+        if not queries:
+            raise ValueError(f"dis_max needs queries: {body}")
+        return functools.reduce(
+            _op.or_,
+            [
+                F.coalesce(compile_query(sub, id_col=id_col), F.lit(False))
+                for sub in queries
+            ],
+        )
+    if kind == "multi_match":
+        if not isinstance(body, dict) or not body.get("fields"):
+            raise ValueError(f"multi_match needs query and fields: {body}")
+        mm_type = body.get("type", "best_fields")
+        if mm_type != "best_fields":
+            raise ValueError(f"multi_match: unsupported type {mm_type!r}")
+        per_field = [
+            compile_query(
+                {"match": {f: {"query": body["query"],
+                               "operator": body.get("operator", "or")}}},
+                id_col=id_col,
+            )
+            for f in body["fields"]
+        ]
+        return functools.reduce(
+            _op.or_,
+            [F.coalesce(p, F.lit(False)) for p in per_field],
+        )
     if kind == "match_all":
         return F.lit(True)
     if kind == "term":
@@ -175,13 +283,17 @@ def compile_query(dsl: dict) -> Column:
         parts: list[Column] = []
         for key in ("must", "filter"):
             for sub in _as_list(body.get(key)):
-                parts.append(compile_query(sub))
+                parts.append(compile_query(sub, id_col=id_col))
         for sub in _as_list(body.get("must_not")):
             # ES match semantics, not SQL three-valued logic: a query
             # over a MISSING field does not match, so must_not PASSES
             # the doc — negate (pred IS TRUE), never plain NOT pred
             # (which turns NULL into NULL and silently drops the doc)
-            parts.append(~F.coalesce(compile_query(sub), F.lit(False)))
+            parts.append(
+                ~F.coalesce(
+                    compile_query(sub, id_col=id_col), F.lit(False)
+                )
+            )
         should = _as_list(body.get("should"))
         if should:
             msm = body.get("minimum_should_match")
@@ -193,7 +305,9 @@ def compile_query(dsl: dict) -> Column:
                 # same rule: a null-field should clause contributes 0
                 # to the match count instead of poisoning the sum
                 flags = [
-                    F.coalesce(compile_query(sub), F.lit(False)).cast(
+                    F.coalesce(
+                        compile_query(sub, id_col=id_col), F.lit(False)
+                    ).cast(
                         "int"
                     )
                     for sub in should
@@ -213,10 +327,23 @@ def _as_list(v) -> list:
     return list(v) if isinstance(v, (list, tuple)) else [v]
 
 
-def apply_query(df: DataFrame, dsl: dict) -> DataFrame:
+def apply_query(
+    df: DataFrame, dsl: dict, *, id_col: str | None = None
+) -> DataFrame:
     """Filter a DataFrame with an ES query-DSL dict (one compiled
-    predicate; see module docstring)."""
-    return df.filter(compile_query(dsl))
+    predicate; see module docstring). ``id_col`` defaults to the
+    frame's document-identity column (doc_id / id / event_id)."""
+    return df.filter(
+        compile_query(dsl, id_col=id_col or _identity_col(df))
+    )
+
+
+def _identity_col(df: DataFrame) -> str:
+    """The frame's document-identity column — ES's ``_id``."""
+    for cand in ("doc_id", "id", "event_id"):
+        if cand in df.columns:
+            return cand
+    return "doc_id"
 
 
 _BM25_K1 = 1.2
@@ -336,6 +463,17 @@ def _score_and_filter(
         text = value["query"] if isinstance(value, dict) else value
         score = _bm25_score(df, field, str(text))
         return apply_query(df, query), score
+    if kind == "multi_match" and need_score:
+        # best_fields: the document's score is its BEST single-field
+        # BM25 — Lucene's DisjunctionMaxQuery with tie_breaker 0
+        fields = body.get("fields") or []
+        if not fields:
+            raise ValueError(f"multi_match needs fields: {body}")
+        text = str(body["query"])
+        score = F.greatest(
+            *[_bm25_score(df, f, text) for f in fields]
+        ) if len(fields) > 1 else _bm25_score(df, fields[0], text)
+        return apply_query(df, query), score
     return apply_query(df, query), (F.lit(1.0) if need_score else None)
 
 
@@ -404,6 +542,26 @@ def run_search_body(
         for f, order in sort_specs
     ]
     cols += _doc_tiebreak(df, [f for f, _ in sort_specs])
+    if "collapse" in body:
+        # field collapsing: the result keeps only the BEST hit per
+        # collapse-key group under the request's sort (ES semantics),
+        # then the global sort/size applies over the group winners.
+        # NULL keys form one group (SQL grouping; ES needs doc_values
+        # so missing-field docs don't reach collapse at all).
+        # Plan shape: one window over the filtered frame — the
+        # per-group row_number is a partial TakeOrdered per key, no
+        # extra scan.
+        cfield = body["collapse"].get("field")
+        if not cfield:
+            raise ValueError(f"collapse needs a field: {body['collapse']}")
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy(cfield).orderBy(*cols)
+        out = (
+            out.withColumn("__c_rn", F.row_number().over(wc))
+            .filter(F.col("__c_rn") == 1)
+            .drop("__c_rn")
+        )
     out = out.orderBy(*cols)
     if "size" in body:
         out = out.limit(int(body["size"]))

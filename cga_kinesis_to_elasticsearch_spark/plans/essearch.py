@@ -572,3 +572,177 @@ def _es_search_tied_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_source": ["doc_id", "lang"],
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. Round-4 query leaves: ids / regexp / fuzzy / terms_set composed
+#    under dis_max / constant_score inside one bool request.
+# ---------------------------------------------------------------------------
+
+_LEAVES_ORACLE = r"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (regexp_full_match(lang, 'e[sn]')
+       OR levenshtein(source, 'src3') <= 1)
+  AND (CAST(list_contains(string_split_regex(text, '\s+'),
+                          'spark') AS INT)
+       + CAST(list_contains(string_split_regex(text, '\s+'),
+                            'window') AS INT)
+       + CAST(list_contains(string_split_regex(text, '\s+'),
+                            'merge') AS INT)) >= 2
+  AND doc_id NOT IN (0, 1, 2, 3, 4)
+ORDER BY n_chars DESC, doc_id
+LIMIT 25
+"""
+
+
+@q("es_search_new_leaves", _LEAVES_ORACLE)
+def _es_search_new_leaves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One request body exercising the round-4 query-DSL leaves:
+    ``dis_max`` over an ANCHORED ``regexp`` (``e[sn]`` must not match
+    longer values) and a ``fuzzy`` (Levenshtein <= 1 against the
+    keyword ``source``), AND a ``constant_score``-wrapped
+    ``terms_set`` (at least 2 of 3 analyzed tokens, constant script
+    m), AND a ``must_not`` ``ids`` exclusion — all compiled into ONE
+    Catalyst predicate (zero joins, zero UDFs), then sorted with the
+    ``_doc`` tie-break.
+
+    Reference context: these are the remaining everyday Lucene leaf
+    queries a Kibana user runs against the shipped indices
+    (main.go sink wiring)."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(
+        docs,
+        {
+            "query": {"bool": {
+                "must": [
+                    {"dis_max": {"queries": [
+                        {"regexp": {"lang": "e[sn]"}},
+                        {"fuzzy": {"source": {"value": "src3",
+                                              "fuzziness": 1}}},
+                    ]}},
+                    {"constant_score": {"filter": {"terms_set": {"text": {
+                        "terms": ["spark", "window", "merge"],
+                        "minimum_should_match_script": {"source": "2"},
+                    }}}}},
+                ],
+                "must_not": [{"ids": {"values": [0, 1, 2, 3, 4]}}],
+            }},
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "size": 25,
+            "_source": ["doc_id", "lang", "source", "n_chars"],
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. Field collapsing: best hit per group, then global top-N.
+# ---------------------------------------------------------------------------
+
+_COLLAPSE_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+  WHERE source <> 'src0'
+)
+SELECT doc_id, lang, n_chars FROM ranked
+WHERE rn = 1
+ORDER BY n_chars DESC, doc_id
+LIMIT 10
+"""
+
+
+@q("es_search_collapse", _COLLAPSE_ORACLE)
+def _es_search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collapse`` on ``lang``: the hit list keeps only the BEST doc
+    per language under the request sort (longest text, ``_doc``
+    tie-break), then the global top-10 applies over the group
+    winners — ES field collapsing, the dashboard "one result per
+    group" idiom.
+
+    Scale shape: one window (partial per-key TakeOrdered) over the
+    filtered scan + the global TakeOrdered — documents shuffle once
+    by the collapse key, never twice."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(
+        docs,
+        {
+            "query": {"bool": {"must_not": [
+                {"term": {"source": "src0"}}]}},
+            "collapse": {"field": "lang"},
+            "sort": [{"n_chars": {"order": "desc"}}],
+            "size": 10,
+            "_source": ["doc_id", "lang", "n_chars"],
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# 10. Scored multi_match over keyword fields (best_fields = max of
+#     per-field BM25; single-token fields make the replayed formula
+#     exact: tf=1, dl=avgdl=1 -> per-term score == idf).
+# ---------------------------------------------------------------------------
+
+_MULTI_MATCH_ORACLE = """
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS df_les,
+         CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS df_lfr,
+         CAST(count(*) FILTER (WHERE source = 'src3') AS BIGINT) AS df_s3,
+         CAST(count(*) FILTER (WHERE source = 'src7') AS BIGINT) AS df_s7
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source,
+    (CASE WHEN d.lang = 'es'
+          THEN ln(1 + (s.n - s.df_les + 0.5) / (s.df_les + 0.5))
+          ELSE 0.0 END
+     + CASE WHEN d.lang = 'fr'
+            THEN ln(1 + (s.n - s.df_lfr + 0.5) / (s.df_lfr + 0.5))
+            ELSE 0.0 END) AS lang_score,
+    (CASE WHEN d.source = 'src3'
+          THEN ln(1 + (s.n - s.df_s3 + 0.5) / (s.df_s3 + 0.5))
+          ELSE 0.0 END
+     + CASE WHEN d.source = 'src7'
+            THEN ln(1 + (s.n - s.df_s7 + 0.5) / (s.df_s7 + 0.5))
+            ELSE 0.0 END) AS source_score
+  FROM documents d CROSS JOIN stats s
+  WHERE d.lang IN ('es', 'fr') OR d.source IN ('src3', 'src7')
+)
+SELECT doc_id, round(greatest(lang_score, source_score), 6) AS score
+FROM scored
+ORDER BY greatest(lang_score, source_score) DESC, doc_id
+LIMIT 20
+"""
+
+
+@q("es_search_multi_match", _MULTI_MATCH_ORACLE)
+def _es_search_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-ordered ``multi_match`` (best_fields) over two keyword
+    fields: each hit's ``_score`` is its best per-field BM25. The
+    fields are single-token, so tf=1 and dl=avgdl collapse the
+    practical scoring function to the pure idf sum — the oracle
+    replays it closed-form, proving the interpreter's best_fields max
+    and the per-field corpus statistics.
+
+    Scale shape: one broadcast-sized stats row per field + codegen
+    score + TakeOrdered(20); documents never shuffle."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(
+        docs,
+        {
+            "query": {"multi_match": {"query": "es fr src3 src7",
+                                      "fields": ["lang", "source"]}},
+            "size": 20,
+            "_source": ["doc_id"],
+        },
+    )
+    return out.select("doc_id", F.round("_score", 6).alias("score"))

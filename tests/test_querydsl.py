@@ -282,3 +282,123 @@ class TestScoring:
             },
         ).collect()
         assert [r.id for r in rows] == [1]
+
+
+class TestNewLeaves:
+    """Round-4 leaves: ids / regexp / fuzzy / terms_set and the
+    compound constant_score / dis_max / multi_match."""
+
+    def test_ids_uses_identity_column(self, spark):
+        # _df has "id" as its identity column (no doc_id)
+        assert _ids(spark, {"ids": {"values": [2, 4, 99]}}) == [2, 4]
+        with pytest.raises(ValueError, match="ids"):
+            compile_query({"ids": {"values": []}})
+
+    def test_regexp_is_anchored(self, spark):
+        # ES/Lucene regexp matches the WHOLE value: "src." must not
+        # match "src10"
+        assert _ids(spark, {"regexp": {"source": "src."}}) == [1, 2, 5]
+        assert _ids(spark, {"regexp": {"source": "src.*"}}) == [
+            1, 2, 3, 5,
+        ]
+
+    def test_fuzzy_levenshtein(self, spark):
+        # src1 (delete) and src10 (substitute) are 1 edit from
+        # "src11"; src2 is 2 edits away and must not match
+        assert _ids(spark, {"fuzzy": {"source": {"value": "src11",
+                                                 "fuzziness": 1}}}) == [
+            1, 3, 5,
+        ]
+        assert _ids(spark, {"fuzzy": {"source": {"value": "other",
+                                                 "fuzziness": 0}}}) == [4]
+        with pytest.raises(ValueError, match="fuzziness"):
+            compile_query({"fuzzy": {"source": {"value": "x",
+                                                "fuzziness": 3}}})
+
+    def test_terms_set_field_and_script(self, spark):
+        # doc must contain >= n/10 of the given tokens (field-driven m)
+        got = _ids(spark, {"terms_set": {"text": {
+            "terms": ["alpha", "beta", "gamma"],
+            "minimum_should_match_field": "id",
+        }}})
+        # id=1 needs 1 (has 3), id=2 needs 2 (has 1), id=3 needs 3
+        # (has 2), id=4 needs 4 (has 0), id=5 text is null
+        assert got == [1]
+        got = _ids(spark, {"terms_set": {"text": {
+            "terms": ["alpha", "beta"],
+            "minimum_should_match_script": {"source": "2"},
+        }}})
+        assert got == [1, 3]
+        with pytest.raises(ValueError, match="exactly one"):
+            compile_query({"terms_set": {"text": {"terms": ["a"]}}})
+
+    def test_constant_score_dis_max_multi_match(self, spark):
+        assert _ids(spark, {"constant_score": {"filter": {
+            "term": {"lang": "de"}}}}) == [2]
+        assert _ids(spark, {"dis_max": {"queries": [
+            {"term": {"lang": "de"}},
+            {"term": {"source": "other"}},
+        ]}}) == [2, 4]
+        assert _ids(spark, {"multi_match": {
+            "query": "delta zeta",
+            "fields": ["text", "source"],
+        }}) == [2, 4]
+
+    def test_multi_match_best_fields_score(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {"multi_match": {"query": "delta zeta",
+                                          "fields": ["text", "source"]}},
+                "size": 2,
+                "_source": ["id"],
+            },
+        ).collect()
+        # both match exactly one rare term; scores > 0 and the _doc
+        # tiebreak puts id=2 first on equal best-field idf profile
+        assert sorted(r.id for r in rows) == [2, 4]
+        assert all(r._score > 0 for r in rows)
+
+
+class TestCollapse:
+    def test_collapse_keeps_best_hit_per_group(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {"match_all": {}},
+                "collapse": {"field": "lang"},
+                "sort": [{"n": {"order": "desc"}}],
+                "_source": ["id", "lang", "n"],
+            },
+        ).collect()
+        # best (max n) per lang: en->4 (n=40), de->2, None->3, fr->5
+        assert [(r.lang, r.id) for r in rows] == [
+            ("fr", 5), ("en", 4), (None, 3), ("de", 2),
+        ]
+
+    def test_collapse_then_size(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(
+            _df(spark),
+            {
+                "query": {"match_all": {}},
+                "collapse": {"field": "lang"},
+                "sort": [{"n": {"order": "asc"}}],
+                "size": 2,
+                "_source": ["id"],
+            },
+        ).collect()
+        assert [r.id for r in rows] == [1, 2]
+        with pytest.raises(ValueError, match="collapse"):
+            run_search_body(_df(spark), {"collapse": {}, "size": 1})
