@@ -53,9 +53,17 @@ Bucket aggregations:
                      PRE-query frame (top level only, like ES).
 
 Metric leaves: ``value_count`` / ``sum`` / ``avg`` / ``min`` /
-``max`` {field} and ``cardinality`` {field} (EXACT distinct here; at
+``max`` {field}, ``cardinality`` {field} (EXACT distinct here; at
 100 TB swap in the HLL sketch of operators/sketches.py exactly as ES
-trades precision_threshold for memory).
+trades precision_threshold for memory), ``weighted_avg``
+{value.field, weight.field} (pairs where either side is NULL are
+excluded, like ES), ``stats`` {field} (a STRUCT of
+count/min/max/avg/sum), ``extended_stats`` {field} (adds
+sum_of_squares and ES's default POPULATION variance/std_deviation),
+and ``percentiles`` {field[, percents]} (ARRAY in requested-percent
+order; EXACT interpolated percentiles where ES uses t-digest — same
+exactness trade as cardinality, swap in the KLL sketch of
+operators/sketches.py at 100 TB).
 
 Pipeline aggregations (siblings of the metrics they reference via
 ``buckets_path`` — a sibling metric name or ``_count``; the enclosing
@@ -117,6 +125,63 @@ _METRICS = {
     "max": lambda c: F.max(c),
     "cardinality": lambda c: F.countDistinct(c),
 }
+
+# ES default percents for a percentiles agg without explicit percents
+_DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+
+# multi-value metric kinds (struct / array results)
+_MULTI_METRICS = ("stats", "extended_stats", "percentiles", "weighted_avg")
+
+
+def _metric_expr(kind: str, body: dict) -> Column:
+    """One aggregate expression per metric agg (single- or
+    multi-valued). Multi-valued metrics return a STRUCT (stats /
+    extended_stats) or ARRAY in requested-percent order (percentiles
+    — EXACT interpolated percentiles here; ES trades exactness for
+    t-digest memory, same trade as cardinality vs HLL). Raises at
+    plan time on a malformed body."""
+    if kind in _METRICS:
+        return _METRICS[kind](F.col(body["field"]))
+    if kind == "weighted_avg":
+        try:
+            v = F.col(body["value"]["field"])
+            w = F.col(body["weight"]["field"])
+        except (KeyError, TypeError):
+            raise ValueError(
+                f"weighted_avg needs value.field and weight.field: {body}"
+            )
+        both = v.isNotNull() & w.isNotNull()
+        return F.sum(F.when(both, v * w)) / F.sum(F.when(both, w))
+    c = F.col(body["field"])
+    if kind == "stats":
+        return F.struct(
+            F.count(c).alias("count"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.avg(c).alias("avg"),
+            F.sum(c).alias("sum"),
+        )
+    if kind == "extended_stats":
+        # ES defaults: population variance / std deviation
+        return F.struct(
+            F.count(c).alias("count"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.avg(c).alias("avg"),
+            F.sum(c).alias("sum"),
+            F.sum(c * c).alias("sum_of_squares"),
+            F.var_pop(c).alias("variance"),
+            F.stddev_pop(c).alias("std_deviation"),
+        )
+    if kind == "percentiles":
+        percents = body.get("percents", list(_DEFAULT_PERCENTS))
+        if not percents or not all(
+            isinstance(p, (int, float)) and 0 <= p <= 100 for p in percents
+        ):
+            raise ValueError(f"percentiles: bad percents {percents!r}")
+        fracs = F.array(*[F.lit(float(p) / 100.0) for p in percents])
+        return F.percentile(c, fracs)
+    raise AssertionError(kind)
 
 _PIPELINES = (
     "cumulative_sum",
@@ -273,11 +338,12 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                 )
             kind, body = next(iter(sub.items()))
             _claim(name)
-            if kind in _METRICS:
+            if kind in _METRICS or kind in _MULTI_METRICS:
                 if "aggs" in spec:
                     raise ValueError(
                         f"metric agg {name!r} cannot nest sub-aggs"
                     )
+                _metric_expr(kind, body)  # plan-time body validation
                 level.metrics.append((name, kind, body))
             elif kind in _PIPELINES:
                 if "aggs" in spec:
@@ -622,9 +688,7 @@ def apply_aggs(
         metric_exprs = []
         for lv in group:
             for name, kind, body in lv.metrics:
-                metric_exprs.append(
-                    _METRICS[kind](F.col(body["field"])).alias(name)
-                )
+                metric_exprs.append(_metric_expr(kind, body).alias(name))
         doc_count = F.count(F.lit(1)).cast("long").alias("doc_count")
 
         if len(group) == 1:

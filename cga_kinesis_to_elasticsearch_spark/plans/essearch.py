@@ -746,3 +746,83 @@ def _es_search_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out.select("doc_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 11. Multi-value metric leaves in a request body: stats /
+#     extended_stats / percentiles / weighted_avg per terms bucket.
+# ---------------------------------------------------------------------------
+
+_STATS_METRICS_ORACLE = """
+SELECT 'per_type' AS agg_path,
+       event_type AS per_type,
+       count(*) AS doc_count,
+       CAST(count(value) AS BIGINT) AS v_count,
+       round(min(value), 6) AS v_min,
+       round(max(value), 6) AS v_max,
+       round(avg(value), 6) AS v_avg,
+       round(sum(value), 6) AS v_sum,
+       round(sum(value * value), 6) AS v_sum_sq,
+       round(var_pop(value), 6) AS v_variance,
+       round(stddev_pop(value), 6) AS v_std,
+       round(quantile_cont(value, 0.25), 6) AS v_p25,
+       round(quantile_cont(value, 0.50), 6) AS v_p50,
+       round(quantile_cont(value, 0.95), 6) AS v_p95,
+       round(sum(value * user_id) / sum(user_id), 6) AS v_wavg
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@q("es_search_stats_metrics", _STATS_METRICS_ORACLE)
+def _es_search_stats_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A request body whose terms buckets carry the multi-value
+    metric family — ``stats``, ``extended_stats`` (population
+    variance/std like ES), ``percentiles`` (EXACT interpolated, the
+    documented t-digest divergence), and ``weighted_avg`` — flattened
+    to scalar columns for the value-hash oracle.
+
+    Scale shape: ONE partial-aggregated shuffle computes every leaf
+    (they all live in the same groupBy), percentiles included —
+    Catalyst keeps the sort-based percentile inside the same
+    aggregation."""
+    from ..operators.querydsl import run_search_body
+
+    ev = _ev_cents(spark, sf_dir)
+    out = run_search_body(
+        ev,
+        {
+            "query": {"terms": {"event_type": [
+                "click", "view", "purchase", "signup"]}},
+            "aggs": {
+                "per_type": {"terms": {"field": "event_type"},
+                             "aggs": {
+                    "st": {"stats": {"field": "value"}},
+                    "ext": {"extended_stats": {"field": "value"}},
+                    "pct": {"percentiles": {"field": "value",
+                                            "percents": [25, 50, 95]}},
+                    "wa": {"weighted_avg": {"value": {"field": "value"},
+                                            "weight": {"field": "user_id"}}},
+                }},
+            },
+        },
+    )
+    return out.select(
+        "agg_path",
+        "per_type",
+        "doc_count",
+        F.col("st.count").alias("v_count"),
+        F.round("st.min", 6).alias("v_min"),
+        F.round("st.max", 6).alias("v_max"),
+        F.round("st.avg", 6).alias("v_avg"),
+        F.round("st.sum", 6).alias("v_sum"),
+        F.round("ext.sum_of_squares", 6).alias("v_sum_sq"),
+        F.round("ext.variance", 6).alias("v_variance"),
+        F.round("ext.std_deviation", 6).alias("v_std"),
+        F.round(F.col("pct")[0], 6).alias("v_p25"),
+        F.round(F.col("pct")[1], 6).alias("v_p50"),
+        F.round(F.col("pct")[2], 6).alias("v_p95"),
+        F.round("wa", 6).alias("v_wavg"),
+    )

@@ -476,3 +476,78 @@ class TestAggsDsl:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan ExistingRDD") <= 1
         assert "Expand" in plan
+
+
+class TestMultiValueMetrics:
+    """Round-4 metric leaves: stats / extended_stats / percentiles /
+    weighted_avg."""
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [("a", 1.0, 2.0), ("a", 3.0, 1.0), ("b", 5.0, None),
+             ("b", None, 4.0)],
+            "k string, x double, w double",
+        )
+
+    def test_stats_and_extended_stats(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "per_k": {"terms": {"field": "k"}, "aggs": {
+                "st": {"stats": {"field": "x"}},
+                "ext": {"extended_stats": {"field": "x"}},
+            }},
+        }).orderBy("per_k").collect()
+        a = [r for r in rows if r.per_k == "a"][0]
+        assert a.st.asDict() == {
+            "count": 2, "min": 1.0, "max": 3.0, "avg": 2.0, "sum": 4.0,
+        }
+        ext = a.ext.asDict()
+        assert ext["sum_of_squares"] == 10.0
+        assert ext["variance"] == 1.0          # population, like ES
+        assert ext["std_deviation"] == 1.0
+        b = [r for r in rows if r.per_k == "b"][0]
+        assert b.st["count"] == 1 and b.ext["variance"] == 0.0
+
+    def test_percentiles_exact_and_default_percents(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "p": {"percentiles": {"field": "x", "percents": [0, 50, 100]}},
+        }).collect()
+        assert list(rows[0].p) == [1.0, 3.0, 5.0]
+        # default percents: 7 values, ES's 1/5/25/50/75/95/99
+        rows = apply_aggs(self._frame(spark), {
+            "p": {"percentiles": {"field": "x"}},
+        }).collect()
+        assert len(list(rows[0].p)) == 7
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="percents"):
+            apply_aggs(self._frame(spark), {
+                "p": {"percentiles": {"field": "x", "percents": [101]}},
+            })
+
+    def test_weighted_avg_skips_null_pairs(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "per_k": {"terms": {"field": "k"}, "aggs": {
+                "wa": {"weighted_avg": {"value": {"field": "x"},
+                                        "weight": {"field": "w"}}},
+            }},
+        }).orderBy("per_k").collect()
+        assert abs(rows[0].wa - 5.0 / 3.0) < 1e-12
+        assert rows[1].wa is None  # both pairs have a null side
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="weighted_avg"):
+            apply_aggs(self._frame(spark), {
+                "wa": {"weighted_avg": {"value": {"field": "x"}}},
+            })
