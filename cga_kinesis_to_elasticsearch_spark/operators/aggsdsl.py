@@ -47,6 +47,23 @@ Bucket aggregations:
                      named filter (operators/querydsl.compile_query);
                      a doc lands in every filter it matches; all
                      requested filters are emitted (zero-filled).
+- ``date_range``     {field, ranges: [{from?, to?[, key]}]} — ``range``
+                     over a timestamp field, bounds parsed as
+                     timestamps; same ES-exact explode/zero-fill.
+- ``adjacency_matrix`` {filters: {name: query}} — one bucket per
+                     filter plus one per intersecting PAIR
+                     (``a&b``, names sorted); empty buckets are
+                     OMITTED, like ES (no zero-fill).
+- ``composite``      {sources: [{name: terms|histogram|
+                     date_histogram}], size, after} — ES's scalable
+                     pagination bucket: multi-source key tuples in
+                     per-source order, resumed strictly AFTER the
+                     ``after`` tuple. Must be the only top-level agg
+                     (ES's own restriction); sub-aggs are metric
+                     leaves. One groupBy + TakeOrdered(size); the
+                     after predicate applies to the key expressions
+                     BELOW the aggregation, so a resumed page never
+                     re-aggregates delivered pages.
 - ``filter``         <query DSL> — single narrowing bucket.
 - ``missing``        {field} — bucket of docs with a NULL field.
 - ``global``         {} — escapes the query: sub-aggs run over the
@@ -196,7 +213,7 @@ _PIPELINES = (
 # bucket kinds that key on a single grouped expression
 _KEYED = ("terms", "date_histogram", "histogram")
 # bucket kinds that EXPLODE a doc into every matching bucket
-_EXPLODING = ("range", "filters")
+_EXPLODING = ("range", "date_range", "filters", "adjacency_matrix")
 # bucket kinds that narrow the frame without adding a key column
 _CONDITION = ("filter", "missing", "global")
 
@@ -232,25 +249,57 @@ def _key_expr(kind: str, body: dict) -> Column:
 
 def _explode_labels(kind: str, body: dict) -> tuple[Column, list[str]]:
     """Array of matching bucket labels for a doc (empty -> no bucket)."""
-    if kind == "range":
+    if kind in ("range", "date_range"):
         ranges = body.get("ranges")
         if not ranges:
-            raise ValueError("range agg needs ranges")
+            raise ValueError(f"{kind} agg needs ranges")
         field = body["field"]
+
+        def _bound(v):
+            # date_range compares in the field's (timestamp) domain
+            return (
+                F.to_timestamp(F.lit(str(v)))
+                if kind == "date_range"
+                else F.lit(v)
+            )
+
         arms = []
         labels = []
         for r in ranges:
             lo, hi = r.get("from"), r.get("to")
             cond = F.col(field).isNotNull()
             if lo is not None:
-                cond = cond & (F.col(field) >= F.lit(lo))
+                cond = cond & (F.col(field) >= _bound(lo))
             if hi is not None:
-                cond = cond & (F.col(field) < F.lit(hi))
+                cond = cond & (F.col(field) < _bound(hi))
             label = _range_label(r)
             labels.append(label)
             arms.append(F.when(cond, F.lit(label)))
         if len(set(labels)) != len(labels):
-            raise ValueError(f"range: duplicate bucket labels {labels}")
+            raise ValueError(f"{kind}: duplicate bucket labels {labels}")
+        return F.array_compact(F.array(*arms)), labels
+    if kind == "adjacency_matrix":
+        named = body.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise ValueError(
+                "adjacency_matrix needs {'filters': {name: query, ...}}"
+            )
+        from .querydsl import compile_query
+
+        preds = {
+            name: F.coalesce(compile_query(q_), F.lit(False))
+            for name, q_ in named.items()
+        }
+        names = sorted(preds)  # ES: keys and pair keys in sorted order
+        arms = []
+        labels = []
+        for i, a in enumerate(names):
+            labels.append(a)
+            arms.append(F.when(preds[a], F.lit(a)))
+            for b in names[i + 1:]:
+                label = f"{a}&{b}"
+                labels.append(label)
+                arms.append(F.when(preds[a] & preds[b], F.lit(label)))
         return F.array_compact(F.array(*arms)), labels
     if kind == "filters":
         named = body.get("filters")
@@ -627,6 +676,19 @@ def apply_aggs(
     returns the flat multi-level frame described in the module
     docstring. ``base_df`` is the PRE-query frame a ``global`` bucket
     escapes to (defaults to ``df``)."""
+    if (
+        isinstance(aggs, dict)
+        and len(aggs) == 1
+        and isinstance(next(iter(aggs.values())), dict)
+        and "composite" in next(iter(aggs.values()))
+    ):
+        (name, spec), = aggs.items()
+        return _apply_composite(df, name, spec)
+    for spec in aggs.values() if isinstance(aggs, dict) else []:
+        if isinstance(spec, dict) and "composite" in spec:
+            raise ValueError(
+                "composite must be the only top-level aggregation"
+            )
     levels = compile_aggs(aggs)
     base = base_df if base_df is not None else df
 
@@ -798,8 +860,12 @@ def apply_aggs(
         keyed_frame = keyed_frames[lv.path]
         seg = lv.own_segment
         if seg is not None and seg[0] == "explode":
-            parent = final.get(lv.path[:-1])
-            bf = _zero_fill(lv, bf, parent)
+            # range/date_range/filters report every REQUESTED bucket
+            # (zero-filled); adjacency_matrix OMITS empty
+            # intersections, like ES
+            if seg[2] != "adjacency_matrix":
+                parent = final.get(lv.path[:-1])
+                bf = _zero_fill(lv, bf, parent)
         # terms size: top-N per parent by (doc_count desc, key asc)
         if seg is not None and seg[0] == "key" and seg[2] == "terms":
             size = seg[3].get("size")
@@ -873,6 +939,106 @@ def apply_aggs(
         )
     present = [c for c in canonical if c in result.columns]
     return result.select(*present)
+
+
+def _apply_composite(df: DataFrame, name: str, spec: dict) -> DataFrame:
+    """ES ``composite`` aggregation — THE scalable pagination bucket:
+    multi-source keys ordered as a tuple, resumed with ``after``,
+    capped by ``size``. Sources are terms / histogram /
+    date_histogram, each with an optional per-source ``order``
+    (default asc); sub-aggs are metric leaves. ES requires composite
+    to be the only non-metric agg in the request — enforced by the
+    caller.
+
+    Lowering: ONE groupBy over all source key expressions (a single
+    partial-aggregated shuffle) + the ``after`` tuple predicate
+    (pushed BELOW the aggregation onto the key expressions, so a
+    resumed page scans past pages' groups but never re-aggregates
+    them... the predicate is on the group keys, so Catalyst applies
+    it pre-shuffle) + TakeOrdered(size) in key order. NULL source
+    keys are omitted (composite requires doc_values, missing docs
+    produce no bucket) unless the source sets missing_bucket.
+    """
+    body = spec["composite"]
+    sources = body.get("sources")
+    if not isinstance(sources, list) or not sources:
+        raise ValueError(f"composite needs a sources list: {body}")
+    names: list[str] = []
+    exprs: dict[str, Column] = {}
+    orders: dict[str, str] = {}
+    missing_ok: dict[str, bool] = {}
+    for src in sources:
+        if not isinstance(src, dict) or len(src) != 1:
+            raise ValueError(f"composite source must be {{name: spec}}: {src}")
+        (sname, sspec), = src.items()
+        if not isinstance(sspec, dict) or len(sspec) != 1:
+            raise ValueError(
+                f"composite source {sname!r} must have one type: {sspec}"
+            )
+        (kind, kbody), = sspec.items()
+        if kind not in _KEYED:
+            raise ValueError(
+                f"composite source {sname!r}: unsupported type {kind!r}"
+            )
+        order = kbody.get("order", "asc")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"composite source {sname!r}: bad order {order}")
+        kbody = {k: v for k, v in kbody.items()
+                 if k not in ("order", "missing_bucket")}
+        names.append(sname)
+        exprs[sname] = _key_expr(kind, kbody)
+        orders[sname] = order
+        missing_ok[sname] = bool(sspec[kind].get("missing_bucket"))
+    if len(set(names)) != len(names):
+        raise ValueError(f"composite: duplicate source names {names}")
+
+    metrics = []
+    for mname, mspec in (spec.get("aggs") or {}).items():
+        if not isinstance(mspec, dict) or len(mspec) != 1:
+            raise ValueError(f"composite sub-agg {mname!r} must be a dict")
+        (mkind, mbody), = mspec.items()
+        if mkind not in _METRICS and mkind not in _MULTI_METRICS:
+            raise ValueError(
+                f"composite sub-aggs must be metric leaves, got {mkind!r}"
+            )
+        metrics.append(_metric_expr(mkind, mbody).alias(mname))
+
+    frame = df
+    for sname in names:
+        frame = frame.withColumn(sname, exprs[sname])
+        if not missing_ok[sname]:
+            frame = frame.filter(F.col(sname).isNotNull())
+    after = body.get("after")
+    if after is not None:
+        if set(after) != set(names):
+            raise ValueError(
+                f"after must give a value per source {names}: {after}"
+            )
+        # strict tuple ordering in per-source direction: the next page
+        # starts AFTER the given key
+        cond = F.lit(False)
+        eq_prefix = F.lit(True)
+        for sname in names:
+            av = F.lit(after[sname])
+            beyond = (
+                F.col(sname) > av
+                if orders[sname] == "asc"
+                else F.col(sname) < av
+            )
+            cond = cond | (eq_prefix & beyond)
+            eq_prefix = eq_prefix & (F.col(sname) == av)
+        frame = frame.filter(cond)
+    out = frame.groupBy(*names).agg(
+        F.count(F.lit(1)).cast("long").alias("doc_count"), *metrics
+    )
+    sort_cols = [
+        F.col(n).asc() if orders[n] == "asc" else F.col(n).desc()
+        for n in names
+    ]
+    out = out.orderBy(*sort_cols)
+    if "size" in body:
+        out = out.limit(int(body["size"]))
+    return out.select(F.lit(name).alias("agg_path"), "*")
 
 
 def _expected_gid(all_keys: list[str], level_keys: list[str]) -> int:

@@ -826,3 +826,142 @@ def _es_search_stats_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pct")[2], 6).alias("v_p95"),
         F.round("wa", 6).alias("v_wavg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Composite pagination: the scalable bucket iterator, page 2.
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_ORACLE = """
+WITH keyed AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS etype,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+  WHERE event_type IS NOT NULL
+),
+paged AS (
+  SELECT day, etype, count(*) AS doc_count,
+         CAST(sum(vc) AS BIGINT) AS cents
+  FROM keyed
+  WHERE (day > '2024-01-03')
+     OR (day = '2024-01-03' AND etype > 'purchase')
+  GROUP BY day, etype
+)
+SELECT 'pages' AS agg_path, day, etype, doc_count, cents
+FROM paged
+ORDER BY day, etype
+LIMIT 12
+"""
+
+
+@q("es_search_composite_page", _COMPOSITE_ORACLE)
+def _es_search_composite_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A ``composite`` aggregation resumed with ``after`` — page 2 of
+    a (day, event_type) iteration, 12 buckets per page, with a sum
+    sub-metric. This is ES's cursor for exhaustively paging an
+    unbounded bucket space, and the lowering is the shape you want at
+    100 TB: ONE partial-aggregated groupBy; the after-tuple predicate
+    applies to the key EXPRESSIONS below the aggregation so delivered
+    pages are filtered out before the shuffle, and TakeOrdered(12)
+    replaces a full sort."""
+    from ..operators.querydsl import run_search_body
+
+    ev = _ev_cents(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return run_search_body(
+        ev,
+        {
+            "query": {"exists": {"field": "event_type"}},
+            "aggs": {"pages": {"composite": {
+                "sources": [
+                    {"day": {"terms": {"field": "day"}}},
+                    {"etype": {"terms": {"field": "event_type"}}},
+                ],
+                "size": 12,
+                "after": {"day": "2024-01-03", "etype": "purchase"},
+            }, "aggs": {"cents": {"sum": {"field": "vc"}}}}},
+        },
+    ).select(
+        "agg_path", "day", "etype", "doc_count",
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. adjacency_matrix + date_range side by side in one body.
+# ---------------------------------------------------------------------------
+
+_ADJ_ORACLE = """
+WITH d AS (SELECT * FROM events),
+flags AS (
+  SELECT *,
+         (event_type = 'click') AS f_click,
+         (value >= 50) AS f_big,
+         (user_id < 300) AS f_low
+  FROM d
+),
+adj AS (
+  SELECT 'interactions' AS agg_path, 'f_big' AS interactions,
+         count(*) AS doc_count FROM flags WHERE f_big
+  UNION ALL
+  SELECT 'interactions', 'f_click', count(*) FROM flags WHERE f_click
+  UNION ALL
+  SELECT 'interactions', 'f_low', count(*) FROM flags WHERE f_low
+  UNION ALL
+  SELECT 'interactions', 'f_big&f_click', count(*) FROM flags
+  WHERE f_big AND f_click
+  UNION ALL
+  SELECT 'interactions', 'f_big&f_low', count(*) FROM flags
+  WHERE f_big AND f_low
+  UNION ALL
+  SELECT 'interactions', 'f_click&f_low', count(*) FROM flags
+  WHERE f_click AND f_low
+),
+dr AS (
+  SELECT 'week' AS agg_path, 'w1' AS week, count(*) AS doc_count
+  FROM d WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+  UNION ALL
+  SELECT 'week', 'rest', count(*)
+  FROM d WHERE ts >= TIMESTAMP '2024-01-08'
+)
+SELECT agg_path, interactions, NULL AS week, doc_count
+FROM adj WHERE doc_count > 0
+UNION ALL
+SELECT agg_path, NULL, week, doc_count FROM dr
+"""
+
+
+@q("es_search_adjacency_dateranges", _ADJ_ORACLE)
+def _es_search_adjacency_dateranges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One request body carrying an ``adjacency_matrix`` (three named
+    filters -> per-filter buckets plus every non-empty pairwise
+    intersection, names sorted — ES's co-occurrence matrix) NEXT TO a
+    ``date_range`` (timestamp bounds, zero-filled requested buckets).
+
+    Scale shape: both are explode lowerings over ONE scan per frame
+    signature; the matrix multiplies each doc only by its matching
+    bucket count (<= 3 + 3 pairs), never materializing a cross
+    product."""
+    from ..operators.querydsl import run_search_body
+
+    ev = _t(spark, sf_dir, "events")
+    return run_search_body(
+        ev,
+        {
+            "aggs": {
+                "interactions": {"adjacency_matrix": {"filters": {
+                    "f_click": {"term": {"event_type": "click"}},
+                    "f_big": {"range": {"value": {"gte": 50}}},
+                    "f_low": {"range": {"user_id": {"lt": 300}}},
+                }}},
+                "week": {"date_range": {"field": "ts", "ranges": [
+                    {"key": "w1", "from": "2024-01-01",
+                     "to": "2024-01-08"},
+                    {"key": "rest", "from": "2024-01-08"},
+                ]}},
+            },
+        },
+    ).select("agg_path", "interactions", "week", "doc_count")

@@ -551,3 +551,99 @@ class TestMultiValueMetrics:
             apply_aggs(self._frame(spark), {
                 "wa": {"weighted_avg": {"value": {"field": "x"}}},
             })
+
+
+class TestRound4Buckets:
+    """date_range / adjacency_matrix / composite."""
+
+    def _frame(self, spark):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [("a", "x", 1, dt.datetime(2024, 1, 5)),
+             ("a", "y", 2, dt.datetime(2024, 2, 10)),
+             ("b", "x", 3, dt.datetime(2024, 2, 20)),
+             ("b", None, 4, dt.datetime(2024, 3, 1)),
+             ("c", "y", 5, dt.datetime(2024, 1, 15))],
+            "k string, g string, n long, ts timestamp",
+        )
+
+    def test_date_range_explodes_and_zero_fills(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "period": {"date_range": {"field": "ts", "ranges": [
+                {"key": "jan", "from": "2024-01-01", "to": "2024-02-01"},
+                {"key": "wide", "from": "2024-01-01", "to": "2024-04-01"},
+                {"key": "none", "from": "2025-01-01"},
+            ]}, "aggs": {"total": {"sum": {"field": "n"}}}},
+        }).orderBy("period").collect()
+        got = {r.period: (r.doc_count, r.total) for r in rows}
+        # overlapping ranges: jan docs land in BOTH jan and wide;
+        # the empty range is reported zero-filled
+        assert got == {"jan": (2, 6), "wide": (5, 15), "none": (0, 0)}
+
+    def test_adjacency_matrix_pairs_omit_empty(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "adj": {"adjacency_matrix": {"filters": {
+                "low": {"range": {"n": {"lte": 3}}},
+                "ka": {"term": {"k": "a"}},
+                "kc": {"term": {"k": "c"}},
+            }}},
+        }).collect()
+        got = {r.adj: r.doc_count for r in rows}
+        # kc&low would be empty (doc c has n=5) -> omitted, like ES;
+        # ka&kc impossible -> omitted
+        assert got == {"low": 3, "ka": 2, "kc": 1, "ka&low": 2}
+
+    def test_composite_pagination_and_order(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        body = {"composite": {
+            "sources": [{"kk": {"terms": {"field": "k"}}},
+                        {"gg": {"terms": {"field": "g"}}}],
+            "size": 2,
+        }, "aggs": {"total": {"sum": {"field": "n"}}}}
+        p1 = apply_aggs(self._frame(spark), {"comp": body}).collect()
+        assert [(r.kk, r.gg, r.total) for r in p1] == [
+            ("a", "x", 1), ("a", "y", 2),
+        ]
+        body2 = {**body, "composite": {**body["composite"],
+                                       "after": {"kk": "a", "gg": "y"}}}
+        p2 = apply_aggs(self._frame(spark), {"comp": body2}).collect()
+        # null g row is omitted (no missing_bucket)
+        assert [(r.kk, r.gg) for r in p2] == [("b", "x"), ("c", "y")]
+
+    def test_composite_desc_order_and_validation(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "comp": {"composite": {"sources": [
+                {"kk": {"terms": {"field": "k", "order": "desc"}}},
+            ], "size": 2}},
+        }).collect()
+        assert [r.kk for r in rows] == ["c", "b"]
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="only top-level"):
+            apply_aggs(self._frame(spark), {
+                "comp": {"composite": {"sources": [
+                    {"kk": {"terms": {"field": "k"}}}]}},
+                "other": {"terms": {"field": "g"}},
+            })
+        with _pt.raises(ValueError, match="metric leaves"):
+            apply_aggs(self._frame(spark), {
+                "comp": {"composite": {"sources": [
+                    {"kk": {"terms": {"field": "k"}}}]},
+                    "aggs": {"sub": {"terms": {"field": "g"}}}},
+            })
