@@ -103,6 +103,22 @@ as ES requires):
 - ``bucket_sort``    {sort: [{col: {order}}], size} — top-N buckets
                      per parent (descendants pruned likewise)
 
+Sibling pipeline aggregations (live NEXT TO a bucket agg and
+aggregate that CHILD's finished per-bucket values — after the child's
+own selectors/sorts, like ES — onto the parent's row):
+
+- ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` / ``max_bucket``
+  {buckets_path: "child>metric" or "child>_count"}
+- ``stats_bucket``   {buckets_path} — STRUCT of count/min/max/avg/sum
+
+``significant_terms`` {field[, size]} (top level only): terms scored
+with ES's JLH — (fg_rate - bg_rate) * (fg_rate / bg_rate), foreground
+= the query-filtered frame, background = the pre-query frame, rates
+among docs that have the field — EXACT where ES samples shard-local
+top term candidates; only terms MORE frequent in the foreground
+survive (ES's significance gate). Emits ``bg_count`` and ``score``
+columns; top ``size`` by score.
+
 ``top_hits`` {size, sort, _source} returns per bucket an ARRAY of
 ``_source`` structs ordered by ``sort`` (explicit sort required —
 this engine's filter context has no default ``_score`` order).
@@ -210,6 +226,23 @@ _PIPELINES = (
     "bucket_sort",
 )
 
+# sibling pipeline aggs: aggregate a CHILD bucket agg's per-bucket
+# values into one value on the parent's row (buckets_path "child>metric"
+# or "child>_count")
+_SIBLING_FNS = {
+    "avg_bucket": F.avg,
+    "sum_bucket": F.sum,
+    "min_bucket": F.min,
+    "max_bucket": F.max,
+    "stats_bucket": lambda c: F.struct(
+        F.count(c).alias("count"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.avg(c).alias("avg"),
+        F.sum(c).alias("sum"),
+    ),
+}
+
 # bucket kinds that key on a single grouped expression
 _KEYED = ("terms", "date_histogram", "histogram")
 # bucket kinds that EXPLODE a doc into every matching bucket
@@ -227,6 +260,8 @@ def _range_label(r: dict) -> str:
 
 def _key_expr(kind: str, body: dict) -> Column:
     field = body["field"]
+    if kind == "significant_terms":
+        return F.col(field)
     if kind == "terms":
         col = F.col(field)
         if "missing" in body:
@@ -340,6 +375,7 @@ class _Level:
         self.metrics: list[tuple] = []    # (name, kind, body)
         self.pipelines: list[tuple] = []  # (name, kind, body), tree order
         self.top_hits: list[tuple] = []   # (name, body)
+        self.siblings: list[tuple] = []   # (name, kind, body)
 
     @property
     def keys(self) -> list[str]:
@@ -422,8 +458,40 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                         "with at least one key"
                     )
                 level.pipelines.append((name, kind, body))
+            elif kind in _SIBLING_FNS:
+                if "aggs" in spec:
+                    raise ValueError(
+                        f"sibling pipeline {name!r} cannot nest sub-aggs"
+                    )
+                path = (body or {}).get("buckets_path")
+                if not isinstance(path, str) or ">" not in path:
+                    raise ValueError(
+                        f"{kind} {name!r} needs buckets_path "
+                        f"'child>metric': {body}"
+                    )
+                level.siblings.append((name, kind, body))
             elif kind == "top_hits":
                 level.top_hits.append((name, body))
+            elif kind == "significant_terms":
+                if level.segments:
+                    raise ValueError(
+                        "significant_terms is only supported at the "
+                        "top level (background = the pre-query frame)"
+                    )
+                if not isinstance(body, dict) or "field" not in body:
+                    raise ValueError(
+                        f"significant_terms needs a field: {body}"
+                    )
+                child = _Level(
+                    level.path + (name,),
+                    level.segments
+                    + [("key", name, "significant_terms", body)],
+                )
+                levels.append(child)
+                if spec.get("aggs"):
+                    raise ValueError(
+                        "significant_terms sub-aggs are not supported"
+                    )
             elif kind in _KEYED + _EXPLODING + _CONDITION:
                 if kind == "global":
                     if level.segments:
@@ -695,7 +763,9 @@ def apply_aggs(
     # --- group levels by frame signature; one aggregation per group ---
     groups: dict[tuple, list[_Level]] = {}
     for lv in levels:
-        if not lv.path and not (lv.metrics or lv.top_hits or lv.pipelines):
+        if not lv.path and not (
+            lv.metrics or lv.top_hits or lv.pipelines or lv.siblings
+        ):
             continue  # trivial root: nothing to report at the top level
         groups.setdefault(lv.signature, []).append(lv)
 
@@ -704,7 +774,9 @@ def apply_aggs(
         return bool(
             lv.pipelines
             or lv.top_hits
+            or lv.siblings
             or (seg is not None and seg[0] == "explode")
+            or (seg is not None and seg[2] == "significant_terms")
             or (
                 seg is not None
                 and seg[0] == "key"
@@ -718,6 +790,10 @@ def apply_aggs(
         for lv in levels
         for _n, kind, _b in lv.pipelines
     )
+    # sibling pipelines consume a CHILD level's finished metric
+    # columns — the fused view keeps only keys + doc_count, so any
+    # sibling in the tree rules fusing out
+    any_siblings = any(lv.siblings for lv in levels)
 
     bucket_frames: dict[tuple, DataFrame] = {}
     keyed_frames: dict[tuple, DataFrame] = {}
@@ -783,6 +859,7 @@ def apply_aggs(
         gids = {lv.path: _expected_gid(all_keys, lv.keys) for lv in group}
         fuse = (
             not any_pruning
+            and not any_siblings
             and not any(_needs_post(lv) for lv in group)
             and len(set(gids.values())) == len(gids)
         )
@@ -878,6 +955,8 @@ def apply_aggs(
                     .filter(F.col("__tn") <= int(size))
                     .drop("__tn")
                 )
+        if seg is not None and seg[2] == "significant_terms":
+            bf = _significant_terms(lv, bf, base)
         bf = _apply_pipelines(lv, bf)
         if lv.top_hits:
             bf = _apply_top_hits(lv, keyed_frame, bf)
@@ -902,6 +981,43 @@ def apply_aggs(
         elif anc is not None:
             pruned_ancestor[lv.path] = anc
 
+    # --- sibling pipeline pass: aggregate a CHILD level's finished
+    # buckets onto the parent's rows (runs after every level is final
+    # so child-side pruning/selectors are respected, like ES) ---
+    for lv in levels:
+        if not lv.siblings or lv.path not in final:
+            continue
+        parent_bf = final[lv.path]
+        for name, kind, body in lv.siblings:
+            child_name, _, ref = body["buckets_path"].partition(">")
+            child_path = lv.path + (child_name,)
+            child_lv = next(
+                (l for l in levels if l.path == child_path), None
+            )
+            if child_lv is None:
+                raise ValueError(
+                    f"{kind} {name!r}: buckets_path child "
+                    f"{child_name!r} is not a bucket agg at this level"
+                )
+            child_bf = final[child_path]
+            col = "doc_count" if ref == "_count" else ref
+            if col not in child_bf.columns:
+                raise ValueError(
+                    f"{kind} {name!r}: buckets_path metric {ref!r} "
+                    f"not produced by {child_name!r}"
+                )
+            agg_expr = _SIBLING_FNS[kind](F.col(col)).alias(name)
+            if lv.keys:
+                side = child_bf.groupBy(*lv.keys).agg(agg_expr)
+                parent_bf = parent_bf.join(
+                    F.broadcast(side), lv.keys, "left"
+                )
+            else:
+                # root-level sibling: one scalar row joined crosswise
+                side = child_bf.agg(agg_expr)
+                parent_bf = parent_bf.crossJoin(F.broadcast(side))
+        final[lv.path] = parent_bf
+
     # --- union the levels into the flat result frame ---
     out_levels = [lv for lv in levels if lv.path in final]
     canonical: list[str] = ["agg_path"]
@@ -916,6 +1032,11 @@ def apply_aggs(
         for name, kind, _b in lv.pipelines:
             if kind not in ("bucket_selector", "bucket_sort"):
                 canonical.append(name)
+        for name, _kind, _b in lv.siblings:
+            canonical.append(name)
+        seg = lv.own_segment
+        if seg is not None and seg[2] == "significant_terms":
+            canonical.extend(["bg_count", "score"])
         for name, _b in lv.top_hits:
             canonical.append(name)
 
@@ -939,6 +1060,55 @@ def apply_aggs(
         )
     present = [c for c in canonical if c in result.columns]
     return result.select(*present)
+
+
+def _significant_terms(
+    lv: _Level, bf: DataFrame, base: DataFrame
+) -> DataFrame:
+    """ES ``significant_terms`` with the JLH score, EXACT: foreground
+    frequencies from this level's (query-filtered) buckets, background
+    frequencies from the pre-query frame; terms kept only when more
+    frequent in the foreground (ES's significance gate), top ``size``
+    by score. Rates are computed among docs that HAVE the field.
+
+    Scale shape: both sides are vocabulary-sized aggregates; the
+    background counts broadcast-join onto the foreground buckets and
+    the two totals ride single-row broadcast frames — the corpus
+    scans twice (fg + bg) and never shuffles."""
+    seg = lv.own_segment
+    body = seg[3]
+    field = body["field"]
+    key = lv.keys[-1]
+    bg = base.filter(F.col(field).isNotNull())
+    bg_counts = bg.groupBy(F.col(field).alias(key)).agg(
+        F.count(F.lit(1)).cast("long").alias("bg_count")
+    )
+    bg_total = bg.agg(
+        F.count(F.lit(1)).cast("long").alias("__bg_total")
+    )
+    fg_total = bf.agg(
+        F.sum("doc_count").cast("long").alias("__fg_total")
+    )
+    out = (
+        bf.join(F.broadcast(bg_counts), key, "left")
+        .crossJoin(F.broadcast(bg_total))
+        .crossJoin(F.broadcast(fg_total))
+    )
+    fg_rate = F.col("doc_count") / F.col("__fg_total")
+    bg_rate = F.col("bg_count") / F.col("__bg_total")
+    out = (
+        out.withColumn(
+            "score", (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        )
+        .filter(fg_rate > bg_rate)
+        .drop("__bg_total", "__fg_total")
+    )
+    size = body.get("size")
+    if size is not None:
+        out = out.orderBy(
+            F.col("score").desc(), F.col(key).asc()
+        ).limit(int(size))
+    return out
 
 
 def _apply_composite(df: DataFrame, name: str, spec: dict) -> DataFrame:

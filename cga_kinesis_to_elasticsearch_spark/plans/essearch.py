@@ -965,3 +965,149 @@ def _es_search_adjacency_dateranges(
             },
         },
     ).select("agg_path", "interactions", "week", "doc_count")
+
+
+# ---------------------------------------------------------------------------
+# 14. Sibling pipeline aggs: avg/max/stats over a child's buckets.
+# ---------------------------------------------------------------------------
+
+_SIBLING_ORACLE = """
+WITH buckets AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS per_day,
+         count(*) AS doc_count,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT '' AS agg_path, NULL AS per_day,
+       (SELECT count(*) FROM events WHERE event_type = 'purchase')
+         AS doc_count,
+       NULL AS cents,
+       round((SELECT avg(cents) FROM buckets), 4) AS avg_daily,
+       (SELECT max(cents) FROM buckets) AS max_daily,
+       (SELECT min(doc_count) FROM buckets) AS min_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM buckets) AS n_days,
+       round((SELECT sum(cents) FROM buckets), 4) AS sum_daily
+UNION ALL
+SELECT 'per_day', per_day, doc_count, cents, NULL, NULL, NULL, NULL,
+       NULL
+FROM buckets
+"""
+
+
+@q("es_search_sibling_pipelines", _SIBLING_ORACLE)
+def _es_search_sibling_pipelines(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sibling pipeline aggregations — ``avg_bucket`` / ``max_bucket``
+    / ``min_bucket`` / ``stats_bucket`` living NEXT TO the
+    ``date_histogram`` they summarize — through a full request body.
+    The root-level row (agg_path '') carries the cross-bucket
+    summary; bucket rows carry their own metrics, exactly ES's
+    response shape flattened.
+
+    Scale shape: the child bucket frame is KB-sized; each sibling is
+    one aggregate over it joined back as a broadcast single row — no
+    second corpus scan."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir),
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+                "per_day": {"date_histogram": {
+                    "field": "ts", "calendar_interval": "day"},
+                    "aggs": {"cents": {"sum": {"field": "vc"}}}},
+                "avg_daily": {"avg_bucket": {
+                    "buckets_path": "per_day>cents"}},
+                "max_daily": {"max_bucket": {
+                    "buckets_path": "per_day>cents"}},
+                "min_docs": {"min_bucket": {
+                    "buckets_path": "per_day>_count"}},
+                "st": {"stats_bucket": {
+                    "buckets_path": "per_day>cents"}},
+            },
+        },
+    )
+    return out.select(
+        "agg_path",
+        "per_day",
+        "doc_count",
+        F.col("cents").cast("long").alias("cents"),
+        F.round("avg_daily", 4).alias("avg_daily"),
+        F.col("max_daily").cast("long").alias("max_daily"),
+        F.col("min_docs").cast("long").alias("min_docs"),
+        F.col("st.count").alias("n_days"),
+        F.round("st.sum", 4).alias("sum_daily"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 15. significant_terms: JLH-scored foreground-vs-background terms.
+# ---------------------------------------------------------------------------
+
+_SIG_ORACLE = r"""
+WITH fg AS (
+  SELECT lang FROM documents
+  WHERE list_contains(
+          list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+          'vector')
+    AND lang IS NOT NULL
+),
+bg AS (SELECT lang FROM documents WHERE lang IS NOT NULL),
+fg_counts AS (SELECT lang, count(*) AS doc_count FROM fg GROUP BY lang),
+bg_counts AS (SELECT lang, count(*) AS bg_count FROM bg GROUP BY lang),
+tot AS (
+  SELECT (SELECT count(*) FROM fg) AS fg_total,
+         (SELECT count(*) FROM bg) AS bg_total
+),
+scored AS (
+  SELECT f.lang AS sig, f.doc_count, b.bg_count,
+         (CAST(f.doc_count AS DOUBLE) / t.fg_total
+          - CAST(b.bg_count AS DOUBLE) / t.bg_total)
+         * ((CAST(f.doc_count AS DOUBLE) / t.fg_total)
+            / (CAST(b.bg_count AS DOUBLE) / t.bg_total)) AS score
+  FROM fg_counts f
+  JOIN bg_counts b ON f.lang = b.lang
+  CROSS JOIN tot t
+  WHERE CAST(f.doc_count AS DOUBLE) / t.fg_total
+        > CAST(b.bg_count AS DOUBLE) / t.bg_total
+)
+SELECT 'sig' AS agg_path, sig, doc_count, bg_count,
+       round(score, 8) AS score
+FROM scored
+ORDER BY score DESC, sig
+LIMIT 3
+"""
+
+
+@q("es_search_significant_terms", _SIG_ORACLE)
+def _es_search_significant_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``significant_terms`` through a request body: which languages
+    are over-represented among docs that mention 'vector', scored
+    with ES's JLH ((fg_rate - bg_rate) * fg_rate/bg_rate) against the
+    WHOLE corpus background — computed exactly (ES samples shard-local
+    candidates; one node == one shard here, so the exact answer is
+    the ES answer).
+
+    Scale shape: foreground and background term counts are
+    vocabulary-sized aggregates; the join is broadcast; the corpus
+    never shuffles."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "query": {"match": {"text": "vector"}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "lang", "size": 3}}},
+        },
+    )
+    return out.select(
+        "agg_path", "sig", "doc_count", "bg_count",
+        F.round("score", 8).alias("score"),
+    )

@@ -647,3 +647,118 @@ class TestRound4Buckets:
                     {"kk": {"terms": {"field": "k"}}}]},
                     "aggs": {"sub": {"terms": {"field": "g"}}}},
             })
+
+
+class TestSiblingPipelines:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [("d1", "x", 1.0), ("d1", "y", 3.0), ("d2", "x", 5.0),
+             ("d2", "y", 7.0), ("d3", "x", 9.0)],
+            "day string, typ string, v double",
+        )
+
+    def test_root_sibling_aggregates_child_buckets(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "per_day": {"terms": {"field": "day"},
+                        "aggs": {"total": {"sum": {"field": "v"}}}},
+            "avg_daily": {"avg_bucket": {"buckets_path": "per_day>total"}},
+            "max_docs": {"max_bucket": {"buckets_path": "per_day>_count"}},
+            "st": {"stats_bucket": {"buckets_path": "per_day>total"}},
+        }).collect()
+        root = [r for r in rows if r.agg_path == ""][0]
+        # daily totals 4, 12, 9 -> avg 25/3, max _count 2
+        assert abs(root.avg_daily - 25.0 / 3.0) < 1e-12
+        assert root.max_docs == 2
+        assert root.st.asDict() == {
+            "count": 3, "min": 4.0, "max": 12.0, "avg": 25.0 / 3.0,
+            "sum": 25.0,
+        }
+        # bucket rows carry NULL sibling columns
+        assert all(
+            r.avg_daily is None for r in rows if r.agg_path == "per_day"
+        )
+
+    def test_nested_sibling_respects_child_selector(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        # per-typ parent, per-day child with a selector dropping small
+        # buckets; the sibling avg sees only SURVIVING child buckets
+        rows = apply_aggs(self._frame(spark), {
+            "per_typ": {"terms": {"field": "typ"}, "aggs": {
+                "per_day": {"terms": {"field": "day"}, "aggs": {
+                    "total": {"sum": {"field": "v"}},
+                    "keep": {"bucket_selector": {
+                        "buckets_path": {"t": "total"},
+                        "script": "params.t >= 5",
+                    }},
+                }},
+                "avg_kept": {"avg_bucket": {
+                    "buckets_path": "per_day>total"}},
+            }},
+        }).collect()
+        got = {r.per_typ: r.avg_kept for r in rows
+               if r.agg_path == "per_typ"}
+        # typ x: day totals 1,5,9 -> kept 5,9 -> avg 7
+        # typ y: 3,7 -> kept 7 -> avg 7
+        assert got == {"x": 7.0, "y": 7.0}
+
+    def test_sibling_validation(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        with pytest.raises(ValueError, match="buckets_path"):
+            apply_aggs(self._frame(spark), {
+                "a": {"avg_bucket": {"buckets_path": "nopath"}},
+            })
+        with pytest.raises(ValueError, match="not a bucket agg"):
+            apply_aggs(self._frame(spark), {
+                "per_day": {"terms": {"field": "day"}},
+                "a": {"avg_bucket": {"buckets_path": "missing>x"}},
+            })
+        with pytest.raises(ValueError, match="not produced"):
+            apply_aggs(self._frame(spark), {
+                "per_day": {"terms": {"field": "day"}},
+                "a": {"avg_bucket": {"buckets_path": "per_day>nope"}},
+            })
+
+
+class TestSignificantTerms:
+    def test_jlh_score_and_gate(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = spark.createDataFrame(
+            [("d1", 1.0)] * 6 + [("d2", 1.0)] * 3 + [("d3", 1.0)] * 3
+            + [("d1", 9.0)] * 1 + [("d2", 9.0)] * 5,
+            "day string, v double",
+        )
+        fg = df.filter(df.v > 5)
+        rows = apply_aggs(fg, {
+            "sig": {"significant_terms": {"field": "day", "size": 5}},
+        }, base_df=df).collect()
+        # only d2 is MORE frequent in fg (5/6) than bg (8/18); JLH =
+        # (5/6 - 4/9) * (5/6 / (4/9)) = 35/48
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.sig, r.doc_count, r.bg_count) == ("d2", 5, 8)
+        assert abs(r.score - 35.0 / 48.0) < 1e-12
+
+    def test_top_level_only(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = spark.createDataFrame([("a", "b")], "x string, y string")
+        with pytest.raises(ValueError, match="top level"):
+            apply_aggs(df, {
+                "outer": {"terms": {"field": "x"}, "aggs": {
+                    "sig": {"significant_terms": {"field": "y"}}}},
+            })
