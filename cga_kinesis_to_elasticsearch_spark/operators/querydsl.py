@@ -500,10 +500,29 @@ def run_search_body(
     carrying a ``_doc`` tie-break so tied keys select a deterministic
     set.
 
+    Also supported on the hit path: ``from`` (offset into the sorted
+    hits), ``search_after`` (strict-after tuple over the requested
+    sort keys — ES's scalable deep pagination; mutually exclusive
+    with ``from``), ``collapse`` (best hit per group), ``highlight``
+    (whitespace-analyzer unified highlighter: matched query tokens of
+    a top-level match/multi_match wrapped in ``<em>`` over the
+    analyzed field, one whole-field fragment), and ``knn``
+    ({field, query_vector, k[, filter]} — exact cosine top-k with
+    ES's (1+cos)/2 score scaling; brute force here, the IVF/LSH
+    index paths live in operators/similarity.py).
+
     Plan shape: filter + groupingSets passes (aggs) or filter +
     TakeOrdered (hits) — the query's pushable conjuncts reach the
-    scan; BM25 scoring adds one broadcast-sized stats aggregation."""
+    scan; BM25 scoring adds one broadcast-sized stats aggregation;
+    knn is a codegen dot product + TakeOrdered(k)."""
     pre = base_df if base_df is not None else df
+    if "knn" in body:
+        if "query" in body or "aggs" in body:
+            raise ValueError(
+                "knn composes only with its own filter here, not "
+                "query/aggs (ES hybrid scoring is out of scope)"
+            )
+        return _run_knn(df, body)
     sort = body.get("sort")
     wants_hits = "aggs" not in body
     sort_specs: list[tuple[str, str]] = []
@@ -537,11 +556,35 @@ def run_search_body(
 
     if need_score:
         out = out.withColumn("_score", score)
+    if "highlight" in body:
+        out = _apply_highlight(out, body)
     cols = [
         F.col(f).desc() if order == "desc" else F.col(f).asc()
         for f, order in sort_specs
     ]
     cols += _doc_tiebreak(df, [f for f, _ in sort_specs])
+    if "search_after" in body:
+        if "from" in body:
+            raise ValueError(
+                "search_after and from are mutually exclusive (ES)"
+            )
+        values = body["search_after"]
+        if not sort_specs or len(values) != len(sort_specs):
+            raise ValueError(
+                "search_after needs one value per sort key "
+                f"{[f for f, _ in sort_specs]}: {values}"
+            )
+        # strict-after tuple in per-key direction: scalable deep
+        # pagination — the predicate filters BEFORE the top-N, so
+        # page 100 costs the same as page 1
+        cond = F.lit(False)
+        eq_prefix = F.lit(True)
+        for (field, order), v in zip(sort_specs, values):
+            c = F.col(field)
+            beyond = c > F.lit(v) if order == "asc" else c < F.lit(v)
+            cond = cond | (eq_prefix & beyond)
+            eq_prefix = eq_prefix & (c == F.lit(v))
+        out = out.filter(cond)
     if "collapse" in body:
         # field collapsing: the result keeps only the BEST hit per
         # collapse-key group under the request's sort (ES semantics),
@@ -563,11 +606,118 @@ def run_search_body(
             .drop("__c_rn")
         )
     out = out.orderBy(*cols)
+    if "from" in body:
+        out = out.offset(int(body["from"]))
     if "size" in body:
         out = out.limit(int(body["size"]))
     if "_source" in body:
         keep = list(body["_source"])
         if need_score and "_score" not in keep:
+            keep.append("_score")
+        if "highlight" in body:
+            keep += [
+                f"{f}_highlight"
+                for f in body["highlight"].get("fields", {})
+                if f"{f}_highlight" not in keep
+            ]
+        out = out.select(*keep)
+    return out
+
+
+def _query_terms_for(query: dict, field: str) -> list[str]:
+    """Tokens a top-level match / multi_match query holds for
+    ``field`` (the terms the highlighter marks)."""
+    if not isinstance(query, dict) or len(query) != 1:
+        return []
+    kind, body = next(iter(query.items()))
+    if kind == "match":
+        f, value = _one_field(kind, body)
+        if f != field:
+            return []
+        text = value["query"] if isinstance(value, dict) else value
+        return [t for t in str(text).split() if t]
+    if kind == "multi_match" and field in (body.get("fields") or []):
+        return [t for t in str(body["query"]).split() if t]
+    return []
+
+
+def _apply_highlight(out: DataFrame, body: dict) -> DataFrame:
+    """ES ``highlight`` for the whitespace analyzer: each requested
+    field gains a ``<field>_highlight`` column — the analyzed field
+    with every matched query token wrapped in ``<em>`` tags, as ONE
+    whole-field fragment (ES ``number_of_fragments: 0``). Pure
+    codegen (split / transform / join), no UDFs."""
+    fields = body["highlight"].get("fields")
+    if not isinstance(fields, dict) or not fields:
+        raise ValueError(
+            f"highlight needs a fields dict: {body['highlight']}"
+        )
+    query = body.get("query", {})
+    for field in fields:
+        terms = _query_terms_for(query, field)
+        if not terms:
+            raise ValueError(
+                f"highlight field {field!r}: only top-level match/"
+                "multi_match query terms are supported"
+            )
+        toks = _tokens(F.col(field))
+        marked = F.transform(
+            toks,
+            lambda t: F.when(
+                t.isin(*terms), F.concat(F.lit("<em>"), t, F.lit("</em>"))
+            ).otherwise(t),
+        )
+        out = out.withColumn(
+            f"{field}_highlight", F.array_join(marked, " ")
+        )
+    return out
+
+
+def _run_knn(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``knn`` search section: exact cosine top-k of a literal
+    query vector over an ``array<float>`` column, scored with ES's
+    dense-vector scaling ``(1 + cosine) / 2``; the optional ``filter``
+    is a standard query-DSL pre-filter (applied BEFORE the top-k,
+    like ES).
+
+    Scale shape: a codegen zip_with dot product per row +
+    TakeOrdered(k) — the corpus never shuffles; swap in the IVF /
+    LSH / PQ index paths of operators/similarity.py when a physical
+    index exists."""
+    knn = body["knn"]
+    try:
+        field, qv, k = knn["field"], knn["query_vector"], int(knn["k"])
+    except (KeyError, TypeError):
+        raise ValueError(f"knn needs field, query_vector, k: {knn}")
+    if not qv or not all(isinstance(x, (int, float)) for x in qv):
+        raise ValueError("knn query_vector must be a non-empty number list")
+    out = df
+    if "filter" in knn:
+        out = apply_query(out, knn["filter"])
+    import math
+
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in qv)) or 1.0
+    lit_v = F.array(*[F.lit(float(x)) for x in qv])
+    v = F.col(field).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, lit_v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (vnorm * F.lit(qnorm))
+    out = out.withColumn("_score", (F.lit(1.0) + cos) / F.lit(2.0))
+    cols = [F.col("_score").desc()] + _doc_tiebreak(df, ["_score"])
+    out = out.orderBy(*cols).limit(k)
+    if "_source" in body:
+        keep = list(body["_source"])
+        if "_score" not in keep:
             keep.append("_score")
         out = out.select(*keep)
     return out

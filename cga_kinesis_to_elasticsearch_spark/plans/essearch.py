@@ -1111,3 +1111,145 @@ def _es_search_significant_terms(
         "agg_path", "sig", "doc_count", "bg_count",
         F.round("score", 8).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. Deep pagination: search_after page (cheap at any depth).
+# ---------------------------------------------------------------------------
+
+_SEARCH_AFTER_ORACLE = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (n_chars > 400) OR (n_chars = 400 AND doc_id > 120)
+ORDER BY n_chars, doc_id
+LIMIT 15
+"""
+
+
+@q("es_search_after_page", _SEARCH_AFTER_ORACLE)
+def _es_search_after_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``search_after`` deep pagination: the next 15 hits strictly
+    after the (n_chars=400, doc_id=120) cursor under an (n_chars,
+    doc_id) sort — ES's scalable alternative to ``from`` offsets.
+
+    Scale shape: the strict-after tuple predicate filters BEFORE the
+    TakeOrdered, so page 10,000 costs exactly what page 1 costs — no
+    offset scan, no accumulated skip."""
+    from ..operators.querydsl import run_search_body
+
+    return run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "query": {"match_all": {}},
+            "sort": [{"n_chars": {"order": "asc"}},
+                     {"doc_id": {"order": "asc"}}],
+            "search_after": [400, 120],
+            "size": 15,
+            "_source": ["doc_id", "lang", "n_chars"],
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# 17. Highlighting: matched tokens wrapped in <em> fragments.
+# ---------------------------------------------------------------------------
+
+_HIGHLIGHT_ORACLE = r"""
+WITH hits AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+  WHERE list_contains(
+          list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+          'vector')
+     OR list_contains(
+          list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+          'sketchy')
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           tk,
+           t -> CASE WHEN t IN ('vector', 'sketchy')
+                     THEN '<em>' || t || '</em>' ELSE t END),
+         ' ') AS text_highlight
+FROM hits
+ORDER BY doc_id
+LIMIT 20
+"""
+
+
+@q("es_search_highlight", _HIGHLIGHT_ORACLE)
+def _es_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``highlight`` on a match query: each hit carries the analyzed
+    field with every matched query token wrapped in ``<em>`` tags as
+    one whole-field fragment (ES unified highlighter,
+    number_of_fragments 0, whitespace analyzer).
+
+    Scale shape: pure codegen split/transform/join in the same
+    projection as the hit list — no second pass over the text."""
+    from ..operators.querydsl import run_search_body
+
+    return run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "query": {"match": {"text": "vector sketchy"}},
+            "sort": [{"doc_id": {"order": "asc"}}],
+            "size": 20,
+            "highlight": {"fields": {"text": {}}},
+            "_source": ["doc_id"],
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. knn section: exact cosine top-k with ES's (1+cos)/2 scaling.
+# ---------------------------------------------------------------------------
+
+_KNN_DIM = 64
+_KNN_VEC = [round(((i * 7) % 13) / 13.0, 6) for i in range(_KNN_DIM)]
+
+_KNN_ORACLE = f"""
+WITH q AS (SELECT [{", ".join(str(x) for x in _KNN_VEC)}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT e.vec_id, e.label,
+         (1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv))
+           / 2.0 AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label >= 1
+)
+SELECT vec_id, label, round(score, 6) AS score
+FROM scored
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@q("es_search_knn", _KNN_ORACLE)
+def _es_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``knn`` search section: exact cosine top-10 of a literal
+    64-dim query vector over the embeddings corpus with a standard
+    query-DSL ``filter`` applied BEFORE the top-k (like ES), scored
+    with the dense-vector scaling ``(1 + cos) / 2``.
+
+    Scale shape: one codegen zip_with dot product per row +
+    TakeOrdered(10); the corpus never shuffles. The IVF / LSH / PQ
+    indexed variants of the same search live in
+    operators/similarity.py + sinks/annindex.py (embedding_ivf_topk
+    and friends)."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "embeddings"),
+        {
+            "knn": {
+                "field": "embedding",
+                "query_vector": _KNN_VEC,
+                "k": 10,
+                "filter": {"range": {"label": {"gte": 1}}},
+            },
+            "_source": ["vec_id", "label"],
+        },
+    )
+    return out.select(
+        "vec_id", "label", F.round("_score", 6).alias("score")
+    )

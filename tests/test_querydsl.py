@@ -402,3 +402,87 @@ class TestCollapse:
         assert [r.id for r in rows] == [1, 2]
         with pytest.raises(ValueError, match="collapse"):
             run_search_body(_df(spark), {"collapse": {}, "size": 1})
+
+
+class TestPaginationHighlightKnn:
+    def test_from_and_search_after_agree(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        base = {"query": {"match_all": {}}, "sort": [{"n": "asc"}],
+                "_source": ["id"]}
+        page2_from = run_search_body(
+            _df(spark), {**base, "from": 2, "size": 2}).collect()
+        page2_after = run_search_body(
+            _df(spark), {**base, "search_after": [20], "size": 2}
+        ).collect()
+        assert [r.id for r in page2_from] == [3, 4]
+        assert [r.id for r in page2_after] == [3, 4]
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            run_search_body(_df(spark), {**base, "from": 1,
+                                         "search_after": [20], "size": 1})
+        with pytest.raises(ValueError, match="per sort key"):
+            run_search_body(_df(spark), {**base,
+                                         "search_after": [1, 2], "size": 1})
+
+    def test_search_after_desc_direction(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(_df(spark), {
+            "query": {"match_all": {}},
+            "sort": [{"n": {"order": "desc"}}],
+            "search_after": [40], "size": 2, "_source": ["id"],
+        }).collect()
+        assert [r.id for r in rows] == [3, 2]
+
+    def test_highlight_marks_matched_tokens(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(_df(spark), {
+            "query": {"match": {"text": "beta zeta"}},
+            "sort": [{"id": "asc"}], "size": 5,
+            "highlight": {"fields": {"text": {}}},
+            "_source": ["id"],
+        }).collect()
+        got = {r.id: r.text_highlight for r in rows}
+        assert got[1] == "alpha <em>beta</em> gamma"
+        assert got[4] == "<em>zeta</em>"
+        with pytest.raises(ValueError, match="highlight field"):
+            run_search_body(_df(spark), {
+                "query": {"term": {"lang": "en"}}, "size": 1,
+                "sort": [{"id": "asc"}],
+                "highlight": {"fields": {"text": {}}},
+            })
+
+    def test_knn_cosine_topk_with_filter(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7]),
+             (4, [-1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = run_search_body(emb, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 2},
+            "_source": ["vec_id"],
+        }).collect()
+        assert [r.vec_id for r in rows] == [1, 3]
+        assert rows[0]._score == 1.0  # (1 + cos 0deg) / 2
+        rows = run_search_body(emb, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 2, "filter": {"range": {"vec_id": {"gte": 2}}}},
+            "_source": ["vec_id"],
+        }).collect()
+        assert [r.vec_id for r in rows] == [3, 2]
+        with pytest.raises(ValueError, match="knn composes"):
+            run_search_body(emb, {"knn": {"field": "embedding",
+                                          "query_vector": [1.0], "k": 1},
+                                  "query": {"match_all": {}}})
