@@ -36,6 +36,12 @@ Bucket aggregations:
                      analytics reading; ES's interactive default is
                      size=10 — pass it explicitly for that behavior).
 - ``date_histogram`` {field, calendar_interval: hour|day|month|year}
+- ``auto_date_histogram`` {field[, buckets]} — ES picks the smallest
+                     ladder interval (1h..30d) yielding <= ``buckets``
+                     aligned buckets from the OBSERVED span; the pick
+                     rides a single-row broadcast join (one extra
+                     map-side-combined min/max scan, no driver
+                     round-trip), then buckets like date_histogram.
 - ``histogram``      {field, interval} — fixed-width numeric. NULL
                      field values are omitted (no bucket), like ES.
 - ``range``          {field, ranges: [{from?, to?[, key]}]} — ES-exact:
@@ -244,7 +250,11 @@ _SIBLING_FNS = {
 }
 
 # bucket kinds that key on a single grouped expression
-_KEYED = ("terms", "date_histogram", "histogram")
+_KEYED = ("terms", "date_histogram", "histogram", "auto_date_histogram")
+
+# auto_date_histogram interval ladder (hours) — ES's rounding ladder
+# clipped to this corpus's hour..month span
+_ADH_LADDER_H = (1, 3, 12, 24, 168, 720)
 # bucket kinds that EXPLODE a doc into every matching bucket
 _EXPLODING = ("range", "date_range", "filters", "adjacency_matrix")
 # bucket kinds that narrow the frame without adding a key column
@@ -261,6 +271,16 @@ def _range_label(r: dict) -> str:
 def _key_expr(kind: str, body: dict) -> Column:
     field = body["field"]
     if kind == "significant_terms":
+        return F.col(field)
+    if kind == "auto_date_histogram":
+        # data-dependent interval: the key column is attached by
+        # _auto_date_key on the shared frame, not a pure expression;
+        # this call only validates the body at plan time
+        buckets = body.get("buckets", 10)
+        if not isinstance(buckets, int) or buckets < 1:
+            raise ValueError(
+                f"auto_date_histogram: bad buckets {buckets!r}"
+            )
         return F.col(field)
     if kind == "terms":
         col = F.col(field)
@@ -364,6 +384,44 @@ def _condition_expr(kind: str, body: dict) -> Column | None:
             raise ValueError(f"missing agg needs {{'field': name}}: {body}")
         return F.col(body["field"]).isNull()
     return None  # global: frame reset, no predicate
+
+
+def _auto_date_key(frame: DataFrame, name: str, body: dict) -> DataFrame:
+    """Attach the auto_date_histogram bucket key: probe the observed
+    [min, max] span against the interval ladder, pick the smallest
+    interval yielding <= ``buckets`` FLOOR-ALIGNED buckets, bucket by
+    integer floor-div on epoch seconds. The pick rides a single-row
+    broadcast join — no driver round-trip, the corpus scans once
+    extra for the min/max (map-side combined to one row)."""
+    field = body["field"]
+    target = int(body.get("buckets", 10))
+    secs = F.expr(f"unix_millis(`{field}`) DIV 1000")
+    stats = frame.agg(F.min(secs).alias("__t0"), F.max(secs).alias("__t1"))
+    pick_expr = None
+    for h in _ADH_LADDER_H:
+        cond = (
+            F.expr(f"__t1 DIV ({h} * 3600) - __t0 DIV ({h} * 3600)") + 1
+            <= target
+        )
+        pick_expr = (
+            F.when(cond, F.lit(h))
+            if pick_expr is None
+            else pick_expr.when(cond, F.lit(h))
+        )
+    pick = stats.select(
+        pick_expr.otherwise(F.lit(_ADH_LADDER_H[-1])).alias("__adh_h")
+    )
+    out = frame.crossJoin(F.broadcast(pick))
+    bucket_s = F.expr(
+        f"(unix_millis(`{field}`) DIV 1000) DIV (__adh_h * 3600) "
+        "* (__adh_h * 3600)"
+    )
+    return out.withColumn(
+        name,
+        F.date_format(
+            F.timestamp_seconds(bucket_s), "yyyy-MM-dd HH:mm:ss"
+        ),
+    ).drop("__adh_h")
 
 
 class _Level:
@@ -789,6 +847,16 @@ def apply_aggs(
         kind in ("bucket_selector", "bucket_sort")
         for lv in levels
         for _n, kind, _b in lv.pipelines
+    ) or any(
+        # size-capped terms prune descendants too — a fused descendant
+        # group would skip the surviving-ancestor semi-join
+        lv.own_segment is not None
+        and lv.own_segment[0] == "key"
+        and lv.own_segment[2] == "terms"
+        and lv.own_segment[3].get("size") is not None
+        and any(o.path[:len(lv.path)] == lv.path and o.path != lv.path
+                for o in levels)
+        for lv in levels
     )
     # sibling pipelines consume a CHILD level's finished metric
     # columns — the fused view keeps only keys + doc_count, so any
@@ -805,7 +873,7 @@ def apply_aggs(
         # same signature => same chain prefix for frame steps)
         deepest = max(group, key=lambda l: len(l.segments))
         frame = base if signature and signature[0][0] == "global" else df
-        key_exprs: dict[str, Column] = {}
+        key_exprs: dict[str, tuple] = {}  # name -> (kind, body)
         for role, name, kind, body in deepest.segments:
             if role == "cond":
                 frame = frame.filter(_condition_expr(kind, body))
@@ -813,15 +881,18 @@ def apply_aggs(
                 arr, _ = _explode_labels(kind, body)
                 frame = frame.withColumn(name, F.explode(arr))
             elif role == "key":
-                key_exprs[name] = _key_expr(kind, body)
+                key_exprs[name] = (kind, body)
         # sibling levels in the same group may key on columns outside
         # the deepest chain — collect them too
         for lv in group:
             for role, name, kind, body in lv.segments:
                 if role == "key" and name not in key_exprs:
-                    key_exprs[name] = _key_expr(kind, body)
-        for name, expr in key_exprs.items():
-            frame = frame.withColumn(name, expr)
+                    key_exprs[name] = (kind, body)
+        for name, (kind, body) in key_exprs.items():
+            if kind == "auto_date_histogram":
+                frame = _auto_date_key(frame, name, body)
+            else:
+                frame = frame.withColumn(name, _key_expr(kind, body))
 
         metric_exprs = []
         for lv in group:
@@ -943,12 +1014,44 @@ def apply_aggs(
             if seg[2] != "adjacency_matrix":
                 parent = final.get(lv.path[:-1])
                 bf = _zero_fill(lv, bf, parent)
-        # terms size: top-N per parent by (doc_count desc, key asc)
+        # terms size: top-N per parent. Default order (doc_count desc,
+        # key asc) — ES's default with a deterministic tiebreak; an
+        # explicit ``order`` may instead reference ``_key``,
+        # ``_count``, or a SIBLING METRIC of the same level (ES's
+        # order-by-sub-aggregation)
         if seg is not None and seg[0] == "key" and seg[2] == "terms":
             size = seg[3].get("size")
             if size is not None:
+                order = seg[3].get("order")
+                key_col = lv.keys[-1]
+                if order is None:
+                    sort_cols = [F.col("doc_count").desc()]
+                else:
+                    if not isinstance(order, dict) or len(order) != 1:
+                        raise ValueError(
+                            f"terms order must be one {{ref: dir}}: {order}"
+                        )
+                    (ref, direction), = order.items()
+                    if direction not in ("asc", "desc"):
+                        raise ValueError(
+                            f"terms order: bad direction {direction!r}"
+                        )
+                    if ref == "_key":
+                        col = F.col(key_col)
+                    elif ref == "_count":
+                        col = F.col("doc_count")
+                    elif ref in [m[0] for m in lv.metrics]:
+                        col = F.col(ref)
+                    else:
+                        raise ValueError(
+                            f"terms order ref {ref!r} must be _key, "
+                            "_count, or a metric of this bucket"
+                        )
+                    sort_cols = [
+                        col.asc() if direction == "asc" else col.desc()
+                    ]
                 wk = Window.partitionBy(*lv.keys[:-1]).orderBy(
-                    F.col("doc_count").desc(), F.col(lv.keys[-1]).asc()
+                    *sort_cols, F.col(key_col).asc()
                 )
                 bf = (
                     bf.withColumn("__tn", F.row_number().over(wk))
@@ -975,6 +1078,14 @@ def apply_aggs(
         prunes = any(
             k in ("bucket_selector", "bucket_sort")
             for _, k, _b in lv.pipelines
+        ) or (
+            # a size-capped terms level drops buckets, so descendant
+            # levels must keep only rows under SURVIVING buckets (ES
+            # reports sub-aggs only inside kept buckets)
+            seg is not None
+            and seg[0] == "key"
+            and seg[2] == "terms"
+            and seg[3].get("size") is not None
         )
         if prunes:
             pruned_ancestor[lv.path] = lv.path
@@ -1146,7 +1257,7 @@ def _apply_composite(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 f"composite source {sname!r} must have one type: {sspec}"
             )
         (kind, kbody), = sspec.items()
-        if kind not in _KEYED:
+        if kind not in _KEYED or kind == "auto_date_histogram":
             raise ValueError(
                 f"composite source {sname!r}: unsupported type {kind!r}"
             )

@@ -1253,3 +1253,132 @@ def _es_search_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "label", F.round("_score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# 19. terms ordered by a sub-metric, descendants pruned to survivors.
+# ---------------------------------------------------------------------------
+
+_TERMS_ORDER_ORACLE = """
+WITH per_src AS (
+  SELECT source, count(*) AS doc_count,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+top3 AS (
+  SELECT * FROM per_src
+  ORDER BY chars DESC, source LIMIT 3
+),
+child AS (
+  SELECT d.source, d.lang, count(*) AS doc_count
+  FROM documents d JOIN top3 t ON d.source = t.source
+  GROUP BY d.source, d.lang
+)
+SELECT 'top_src' AS agg_path, source, NULL AS lang, doc_count, chars
+FROM top3
+UNION ALL
+SELECT 'top_src>per_lang', source, lang, doc_count, NULL FROM child
+"""
+
+
+@q("es_search_terms_order", _TERMS_ORDER_ORACLE)
+def _es_search_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``terms`` ordered by a SUB-METRIC (``order: {chars: desc}``,
+    size 3) with a nested per-language terms level: the child rows
+    exist only under the three SURVIVING parent buckets — ES computes
+    sub-aggs only inside kept buckets, and so does the engine's
+    pruning semi-join.
+
+    Scale shape: one groupingSets aggregation for both levels, a
+    KB-sized window for the top-3 cut, and a broadcast semi-join for
+    the descendant prune."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "aggs": {"top_src": {
+                "terms": {"field": "source", "size": 3,
+                          "order": {"chars": "desc"}},
+                "aggs": {
+                    "chars": {"sum": {"field": "n_chars"}},
+                    "per_lang": {"terms": {"field": "lang"}},
+                },
+            }},
+        },
+    )
+    return out.select(
+        "agg_path",
+        F.col("top_src").alias("source"),
+        F.col("per_lang").alias("lang"),
+        "doc_count",
+        F.col("chars").cast("long").alias("chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 20. auto_date_histogram through the interpreter (data-driven
+#     interval pick, replayed by the oracle from the same ladder).
+# ---------------------------------------------------------------------------
+
+_ADH_BODY_TARGET = 35
+
+_ADH_REQ_ORACLE = f"""
+WITH tt AS (
+  SELECT (epoch_ms(min(ts)) // 1000)::BIGINT AS t0,
+         (epoch_ms(max(ts)) // 1000)::BIGINT AS t1
+  FROM events WHERE event_type = 'click'
+),
+pick AS (
+  SELECT CASE
+    WHEN t1 // 3600 - t0 // 3600 + 1 <= {_ADH_BODY_TARGET} THEN 1
+    WHEN t1 // 10800 - t0 // 10800 + 1 <= {_ADH_BODY_TARGET} THEN 3
+    WHEN t1 // 43200 - t0 // 43200 + 1 <= {_ADH_BODY_TARGET} THEN 12
+    WHEN t1 // 86400 - t0 // 86400 + 1 <= {_ADH_BODY_TARGET} THEN 24
+    WHEN t1 // 604800 - t0 // 604800 + 1 <= {_ADH_BODY_TARGET} THEN 168
+    ELSE 720 END AS h
+  FROM tt
+)
+SELECT 'span' AS agg_path,
+       strftime(to_timestamp(((epoch_ms(ts) // 1000) // (h * 3600))
+                             * (h * 3600)),
+                '%Y-%m-%d %H:%M:%S') AS span,
+       count(*) AS doc_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events CROSS JOIN pick
+WHERE event_type = 'click'
+GROUP BY 2
+ORDER BY span
+"""
+
+
+@q("es_search_auto_date_histogram", _ADH_REQ_ORACLE)
+def _es_search_auto_date_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``auto_date_histogram`` through a request body: the interval is
+    picked from the OBSERVED span of the query-filtered docs (smallest
+    ladder step giving <= 35 aligned buckets), then buckets like a
+    date_histogram — the oracle replays the identical ladder probe in
+    SQL, so a wrong pick OR wrong bucketing breaks the hash.
+
+    Scale shape: one extra map-side-combined min/max scan reduced to a
+    single broadcast row (no driver round-trip), then the usual one
+    partial-aggregated groupBy."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir),
+        {
+            "query": {"term": {"event_type": "click"}},
+            "aggs": {"span": {
+                "auto_date_histogram": {"field": "ts",
+                                        "buckets": _ADH_BODY_TARGET},
+                "aggs": {"cents": {"sum": {"field": "vc"}}},
+            }},
+        },
+    )
+    return out.select(
+        "agg_path", "span", "doc_count",
+        F.col("cents").cast("long").alias("cents"),
+    ).orderBy("span")

@@ -762,3 +762,97 @@ class TestSignificantTerms:
                 "outer": {"terms": {"field": "x"}, "aggs": {
                     "sig": {"significant_terms": {"field": "y"}}}},
             })
+
+
+class TestTermsOrderAndPrune:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [("a", "p", 1.0), ("a", "q", 2.0), ("b", "p", 30.0),
+             ("c", "p", 4.0), ("c", "q", 5.0), ("c", "q", 6.0)],
+            "k string, g string, v double",
+        )
+
+    def test_order_by_metric_and_key(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "top": {"terms": {"field": "k", "size": 2,
+                              "order": {"total": "desc"}},
+                    "aggs": {"total": {"sum": {"field": "v"}}}},
+        }).collect()
+        # totals: a=3, b=30, c=15 -> top2 by total desc: b, c
+        assert sorted((r.top, r.total) for r in rows) == [
+            ("b", 30.0), ("c", 15.0),
+        ]
+        rows = apply_aggs(self._frame(spark), {
+            "top": {"terms": {"field": "k", "size": 2,
+                              "order": {"_key": "desc"}}},
+        }).collect()
+        assert sorted(r.top for r in rows) == ["b", "c"]
+        with pytest.raises(ValueError, match="order ref"):
+            apply_aggs(self._frame(spark), {
+                "top": {"terms": {"field": "k", "size": 1,
+                                  "order": {"nope": "desc"}}},
+            })
+
+    def test_size_cap_prunes_descendants(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._frame(spark), {
+            "top": {"terms": {"field": "k", "size": 1,
+                              "order": {"total": "desc"}},
+                    "aggs": {
+                        "total": {"sum": {"field": "v"}},
+                        "per_g": {"terms": {"field": "g"}},
+                    }},
+        }).collect()
+        # only bucket b survives -> child rows exist only under b
+        child = [(r.top, r.per_g) for r in rows
+                 if r.agg_path == "top>per_g"]
+        assert child == [("b", "p")]
+
+
+class TestAutoDateHistogram:
+    def test_picks_smallest_fitting_interval(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+        import datetime as dt
+
+        rows = [(dt.datetime(2024, 1, 1) + dt.timedelta(hours=i * 5),
+                 float(i)) for i in range(30)]
+        df = spark.createDataFrame(rows, "ts timestamp, v double")
+        out = apply_aggs(df, {
+            "auto": {"auto_date_histogram": {"field": "ts", "buckets": 8},
+                     "aggs": {"total": {"sum": {"field": "v"}}}},
+        }).orderBy("auto").collect()
+        # 150h span: 12h -> 13 aligned buckets (>8), 24h -> 7 (fits)
+        assert len(out) == 7
+        assert out[0].auto == "2024-01-01 00:00:00"
+        assert out[0].doc_count == 5 and out[0].total == 10.0
+        # tighter target escalates the interval to a week
+        out = apply_aggs(df, {
+            "auto": {"auto_date_histogram": {"field": "ts", "buckets": 2}},
+        }).collect()
+        assert len(out) == 2
+        with pytest.raises(ValueError, match="buckets"):
+            apply_aggs(df, {
+                "auto": {"auto_date_histogram": {"field": "ts",
+                                                 "buckets": 0}},
+            })
+
+    def test_rejected_as_composite_source(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double")
+        with pytest.raises(ValueError, match="unsupported type"):
+            apply_aggs(df, {"c": {"composite": {"sources": [
+                {"a": {"auto_date_histogram": {"field": "ts"}}}]}}})
