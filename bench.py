@@ -88,6 +88,17 @@ HEADLINE = [
     "logreg_gradient_embeddings",
     # the full _search composition (query DSL + aggs DSL in one plan)
     "es_search_request",
+    # round-4 additions: the JVM-vs-Arrow protobuf decode parity, the
+    # single-exchange cross-batch span index, and the widened _search
+    # interpreter — per-level pipeline aggs in a request body,
+    # composite pagination, JLH significant_terms, and the brute
+    # cosine knn section (the indexed variants are benched above)
+    "protobuf_jvm_roundtrip",
+    "span_index_batches",
+    "es_search_request_pipeline",
+    "es_search_composite_page",
+    "es_search_significant_terms",
+    "es_search_knn",
 ]
 
 

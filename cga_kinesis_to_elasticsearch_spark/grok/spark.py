@@ -47,7 +47,7 @@ __all__ = [
 ]
 
 _SPARK_TYPE = {"string": StringType(), "int": IntegerType(), "float": DoubleType()}
-_SQL_CAST = {"int": "INTEGER", "float": "DOUBLE"}
+_SQL_CAST = {"int": "BIGINT", "float": "DOUBLE"}
 
 
 def _resolve(grok: Grok, pattern: str | CompiledPattern) -> CompiledPattern:

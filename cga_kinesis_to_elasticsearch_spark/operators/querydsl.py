@@ -606,6 +606,39 @@ def run_search_body(
             .drop("__c_rn")
         )
     out = out.orderBy(*cols)
+    if "rescore" in body:
+        # ES rescore: only the top window_size hits of the PRIMARY
+        # score order are re-scored; combined = query_weight * primary
+        # + rescore_query_weight * secondary (secondary contributes
+        # only where the rescore query matches). ES rejects rescore
+        # under an explicit non-_score sort — so does this.
+        if sort_specs != [("_score", "desc")]:
+            raise ValueError(
+                "rescore requires _score-ordered hits (ES rejects an "
+                "explicit sort)"
+            )
+        spec = body["rescore"]
+        window = int(spec.get("window_size", 10))
+        rq_spec = spec.get("query") or {}
+        rq = rq_spec.get("rescore_query")
+        if not rq:
+            raise ValueError(f"rescore needs query.rescore_query: {spec}")
+        w1 = float(rq_spec.get("query_weight", 1.0))
+        w2 = float(rq_spec.get("rescore_query_weight", 1.0))
+        # the secondary scorer evaluates on window rows only; its
+        # corpus statistics (BM25 df/avgdl) still come from the full
+        # index frame, like ES
+        _, sec_score = _score_and_filter(df, rq, True)
+        matches = F.coalesce(
+            compile_query(rq, id_col=_identity_col(df)), F.lit(False)
+        )
+        win_frame = out.limit(window)
+        combined = F.lit(w1) * F.col("_score") + F.when(
+            matches, F.lit(w2) * sec_score
+        ).otherwise(F.lit(0.0))
+        out = win_frame.withColumn("_score", combined).orderBy(
+            F.col("_score").desc(), *_doc_tiebreak(df, ["_score"])
+        )
     if "from" in body:
         out = out.offset(int(body["from"]))
     if "size" in body:

@@ -107,7 +107,7 @@ def cosine_topk(
     return (
         c.join(broadcast(q), F.col("query_id") != F.col(id_col))
         .select("query_id", id_col, sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -246,7 +246,7 @@ def ivf_topk(
     return (
         cand.join(broadcast(q), "query_id")
         .select("query_id", id_col, sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -283,7 +283,7 @@ def lsh_topk(
     return (
         cand.join(broadcast(q), "query_id")
         .select("query_id", id_col, sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -427,7 +427,7 @@ def sq8_topk(
     return (
         c.join(broadcast(q), F.col("query_id") != F.col(id_col))
         .select("query_id", id_col, sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -469,7 +469,7 @@ def refine_topk(
     return (
         cand.join(broadcast(q), "query_id")
         .select("query_id", id_col, sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -634,7 +634,7 @@ def pq_adc_from_codes(
     return (
         scored.filter(F.col("query_id") != F.col(id_col))
         .withColumn("score", F.round("score", 4))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -983,7 +983,7 @@ def maxsim_topk(
     return (
         c.join(broadcast(q), F.col("query_id") != F.col(id_col))
         .select("query_id", id_col, F.round(score, 4).alias("score"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -1030,6 +1030,6 @@ def hard_negative_topk(
             & (F.col("__ql") != F.col("__cl")),
         )
         .select("query_id", id_col, sim.alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )

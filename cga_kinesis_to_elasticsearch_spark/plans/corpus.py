@@ -143,7 +143,8 @@ cen AS (SELECT label, pos, round(avg(x), 9) AS c
 d AS (SELECT x.vec_id, x.label, sum((x.x - cen.c) * (x.x - cen.c)) AS ss
       FROM x JOIN cen ON x.label = cen.label AND x.pos = cen.pos
       GROUP BY x.vec_id, x.label)
-SELECT vec_id, label, round(sqrt(ss), 6) AS dist_to_centroid FROM d
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       round(sqrt(ss), 6) AS dist_to_centroid FROM d
 """
 
 
@@ -975,7 +976,7 @@ w{i} AS MATERIALIZED (
   FROM {prev} CROSS JOIN t{i})"""
         )
         tops.append(
-            f'SELECT {i} AS "rank", l AS "left", r AS "right",'
+            f'SELECT CAST({i} AS BIGINT) AS "rank", l AS "left", r AS "right",'
             f" CAST(n AS BIGINT) AS pair_count FROM t{i}"
         )
     joined = ",\n".join(ctes)

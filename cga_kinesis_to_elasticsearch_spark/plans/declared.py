@@ -33,9 +33,40 @@ _GROK.add_pattern("PROPSKV", r"\{\"k\": %{INT:k_value:int}\}")
 _GROK.add_pattern("DOCHEAD", r"^%{WORD:w1} %{WORD:w2} %{GREEDYDATA:tail}")
 
 
+def _widen_ints(df: DataFrame) -> DataFrame:
+    """Declared-query surface convention: top-level integer columns
+    are 64-bit. Spark's row_number/size/levenshtein/etc. return int32
+    while every oracle aggregate is BIGINT — widening here (one
+    narrow codegen projection) makes the sweep width-note-free
+    without touching operator-internal types."""
+    from pyspark.sql import types as T
+
+    narrow = tuple(
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ByteType, T.ShortType, T.IntegerType))
+    )
+    if not narrow:
+        return df
+    # backticks: column names may contain dots (@cf.app)
+    return df.select(
+        *[
+            F.col(f"`{f.name}`").cast("long").alias(f.name)
+            if f.name in narrow
+            else F.col(f"`{f.name}`")
+            for f in df.schema.fields
+        ]
+    )
+
+
 def q(name: str, oracle: str | None):
     def deco(fn: Callable) -> Callable:
-        QUERY_REGISTRY[name] = (fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _widen_ints(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERY_REGISTRY[name] = (wrapped, oracle)
         return fn
 
     return deco
@@ -899,7 +930,8 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch(o_orderdate) AS w_start,
              epoch(o_orderdate) + 3 * 86400 AS w_end
       FROM orders WHERE o_orderkey % 997 = 0)
-    SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey,
+    SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+           iv.o_orderkey,
            CAST(epoch(l.l_shipdate) AS BIGINT) AS ship_epoch
     FROM lineitem l JOIN iv
       ON epoch(l.l_shipdate) >= iv.w_start AND epoch(l.l_shipdate) <= iv.w_end

@@ -1217,7 +1217,7 @@ scored AS (
   FROM embeddings e CROSS JOIN q
   WHERE e.label >= 1
 )
-SELECT vec_id, label, round(score, 6) AS score
+SELECT vec_id, CAST(label AS BIGINT) AS label, round(score, 6) AS score
 FROM scored
 ORDER BY score DESC, vec_id
 LIMIT 10
@@ -1382,3 +1382,75 @@ def _es_search_auto_date_histogram(
         "agg_path", "span", "doc_count",
         F.col("cents").cast("long").alias("cents"),
     ).orderBy("span")
+
+
+# ---------------------------------------------------------------------------
+# 21. rescore: second-phase scoring over the primary top window.
+# ---------------------------------------------------------------------------
+
+_RESCORE_BODY_ORACLE = """
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS df_es,
+         CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS df_fr
+  FROM documents
+),
+primary_scored AS (
+  SELECT d.doc_id, d.lang, d.source,
+         (CASE WHEN d.lang = 'es'
+               THEN ln(1 + (s.n - s.df_es + 0.5) / (s.df_es + 0.5))
+               ELSE 0.0 END
+          + CASE WHEN d.lang = 'fr'
+                 THEN ln(1 + (s.n - s.df_fr + 0.5) / (s.df_fr + 0.5))
+                 ELSE 0.0 END) AS p_score
+  FROM documents d CROSS JOIN stats s
+  WHERE d.lang IN ('es', 'fr')
+),
+top_window AS (
+  SELECT * FROM primary_scored
+  ORDER BY p_score DESC, doc_id LIMIT 40
+)
+SELECT doc_id, lang, source,
+       round(2.0 * p_score
+             + CASE WHEN source = 'src3' THEN 7.0 ELSE 0.0 END, 6)
+         AS score
+FROM top_window
+ORDER BY 2.0 * p_score
+         + CASE WHEN source = 'src3' THEN 7.0 ELSE 0.0 END DESC,
+         doc_id
+LIMIT 12
+"""
+
+
+@q("es_search_rescore", _RESCORE_BODY_ORACLE)
+def _es_search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rescore`` through a request body: a BM25 ``match`` primary
+    (single-token lang field — the scoring collapses to the exact idf
+    sum) ranks everything; only the top window_size=40 hits get the
+    secondary ``term`` boost (filter-context secondary scores 1.0 in
+    ES too), combined as query_weight*primary +
+    rescore_query_weight*secondary; final top-12 from the window.
+
+    Scale shape: the primary phase is a TakeOrdered(40) over the
+    filtered scan (per-partition top-k, no global sort); the
+    secondary expression evaluates on 40 rows. Cheap scorer over
+    everything, expensive scorer over a bounded window — rescore's
+    entire point at 100 TB."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "query": {"match": {"lang": "es fr"}},
+            "rescore": {"window_size": 40, "query": {
+                "rescore_query": {"term": {"source": "src3"}},
+                "query_weight": 2.0,
+                "rescore_query_weight": 7.0,
+            }},
+            "size": 12,
+            "_source": ["doc_id", "lang", "source"],
+        },
+    )
+    return out.select(
+        "doc_id", "lang", "source", F.round("_score", 6).alias("score")
+    )

@@ -549,7 +549,7 @@ ranked AS (
   FROM freq
 ),
 tot AS (SELECT CAST(sum(f) AS BIGINT) AS total_tokens FROM freq)
-SELECT c.cutoff,
+SELECT CAST(c.cutoff AS BIGINT) AS cutoff,
        CAST(sum(CASE WHEN r <= c.cutoff THEN f ELSE 0 END) AS BIGINT)
          AS covered_tokens,
        max(t.total_tokens) AS total_tokens,

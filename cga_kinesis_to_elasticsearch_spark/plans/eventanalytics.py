@@ -143,8 +143,8 @@ _BIN_W = 50
 
 _HIST_ORACLE = f"""
 SELECT event_type,
-       CAST(floor(value / {_BIN_W}.0) AS INT) AS bin,
-       CAST(floor(value / {_BIN_W}.0) AS INT) * {_BIN_W} AS bin_lo,
+       CAST(floor(value / {_BIN_W}.0) AS BIGINT) AS bin,
+       CAST(floor(value / {_BIN_W}.0) AS BIGINT) * {_BIN_W} AS bin_lo,
        count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2, 3

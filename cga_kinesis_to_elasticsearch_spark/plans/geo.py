@@ -142,7 +142,8 @@ s AS (SELECT c_nationkey,
              CAST(sum(lat_centi + 6000) AS BIGINT) AS slat,
              CAST(sum(lon_centi + 18000) AS BIGINT) AS slon
       FROM pts GROUP BY c_nationkey)
-SELECT c_nationkey, n_points, min_lat_c, max_lat_c, min_lon_c, max_lon_c,
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, n_points,
+       min_lat_c, max_lat_c, min_lon_c, max_lon_c,
        (slat * 10000) // n_points - 60000000 AS centroid_lat_e6,
        (slon * 10000) // n_points - 180000000 AS centroid_lon_e6
 FROM s

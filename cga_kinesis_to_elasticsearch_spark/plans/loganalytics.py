@@ -43,7 +43,8 @@ WITH f AS (
 ),
 nets AS (
   SELECT n_nationkey AS net_key,
-         CASE WHEN n_nationkey < 4 THEN 8 ELSE 16 END AS prefix_len,
+         CAST(CASE WHEN n_nationkey < 4 THEN 8 ELSE 16 END AS BIGINT)
+           AS prefix_len,
          CASE WHEN n_nationkey < 4 THEN 10 + n_nationkey
               ELSE 10 + n_nationkey % 4 END AS octet1,
          CASE WHEN n_nationkey < 4 THEN 0

@@ -546,14 +546,15 @@ b AS (SELECT doc_id, n_bytes_orig, p,
                             i -> ord(substring(p, i, 1)) % 4) AS buckets
       FROM p)
 SELECT doc_id, n_bytes_orig,
-       {_MM_W} AS width, {_MM_H} AS height,
+       CAST({_MM_W} AS BIGINT) AS width,
+       CAST({_MM_H} AS BIGINT) AS height,
        CAST({_MM_BYTES} AS BIGINT) AS n_bytes,
        round(len(list_filter(buckets, x -> x = 0)) / {_MM_BYTES}.0, 6) AS f0,
        round(len(list_filter(buckets, x -> x = 1)) / {_MM_BYTES}.0, 6) AS f1,
        round(len(list_filter(buckets, x -> x = 2)) / {_MM_BYTES}.0, 6) AS f2,
        round(len(list_filter(buckets, x -> x = 3)) / {_MM_BYTES}.0, 6) AS f3,
        md5(substring(p, 1, {_MM_STEP})) AS frame0_md5,
-       {_MM_FRAMES} AS n_frames
+       CAST({_MM_FRAMES} AS BIGINT) AS n_frames
 FROM b
 """
 
@@ -1130,8 +1131,8 @@ n AS (SELECT doc_id, window_idx, active,
       FROM b)
 SELECT doc_id, segment_no, active,
        count(*) AS n_windows,
-       min(window_idx) AS from_window,
-       max(window_idx) AS to_window
+       CAST(min(window_idx) AS BIGINT) AS from_window,
+       CAST(max(window_idx) AS BIGINT) AS to_window
 FROM n GROUP BY doc_id, segment_no, active
 """
 
@@ -1267,8 +1268,8 @@ runs AS (
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_no
   FROM flagged)
 SELECT doc_id, seg_no, min(lang) AS lang,
-       CAST(min(win_no) AS INT) AS from_win,
-       CAST(max(win_no) AS INT) AS to_win,
+       CAST(min(win_no) AS BIGINT) AS from_win,
+       CAST(max(win_no) AS BIGINT) AS to_win,
        count(*) AS n_windows
 FROM runs GROUP BY doc_id, seg_no
 """

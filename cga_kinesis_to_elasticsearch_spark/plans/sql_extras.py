@@ -123,8 +123,8 @@ def _pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     """
     SELECT event_id,
-           CAST(props->>'$.k' AS INT) AS k_value,
-           CAST(CAST(props->>'$.k' AS INT) % 10 AS INT) AS k_bucket
+           CAST(props->>'$.k' AS BIGINT) AS k_value,
+           CAST(CAST(props->>'$.k' AS INT) % 10 AS BIGINT) AS k_bucket
     FROM events
     """,
 )
@@ -498,7 +498,7 @@ def _bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "lateral_topn_per_order",
     """
-    SELECT o.o_orderkey, t.l_linenumber,
+    SELECT o.o_orderkey, CAST(t.l_linenumber AS BIGINT) AS l_linenumber,
            round(t.l_extendedprice, 2) AS price
     FROM orders o, LATERAL (
       SELECT l_linenumber, l_extendedprice
@@ -880,7 +880,7 @@ WITH r AS (
                             ORDER BY o_totalprice DESC, o_orderkey DESC)
            AS rank
   FROM orders)
-SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS INT) AS rank
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 3
 """
 

@@ -479,7 +479,7 @@ WITH loc AS (
   SELECT event_type,
          strftime(timezone('{_TZ}', timezone('UTC', ts)), '%H') AS local_hour
   FROM events)
-SELECT event_type, CAST(local_hour AS INT) AS local_hour,
+SELECT event_type, CAST(local_hour AS BIGINT) AS local_hour,
        count(*) AS n_events
 FROM loc GROUP BY 1, 2
 """
@@ -737,7 +737,7 @@ def _value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TREND_ORACLE = """
 WITH o AS (
-  SELECT c_nationkey AS nationkey,
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
          date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
          CAST(round(o_totalprice * 100) AS BIGINT) AS y_cents
   FROM orders JOIN customer ON o_custkey = c_custkey

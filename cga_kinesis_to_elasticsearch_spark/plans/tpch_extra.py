@@ -174,7 +174,7 @@ def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -240,7 +240,7 @@ def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
                  / sum(volume), 4) AS mkt_share
     FROM (
-      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
              n2.n_name AS supp_nation
       FROM lineitem
@@ -305,7 +305,8 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
     FROM (
-      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice * (1 - l_discount)
                - 0.6 * p_retailprice * l_quantity AS amount
       FROM lineitem
@@ -517,7 +518,7 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q16_part_supplier_counts",
     """
-    SELECT p_brand, p_type, p_size,
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
            count(DISTINCT l_suppkey) AS supplier_cnt
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -758,7 +759,7 @@ def _q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH avg_bal AS (
       SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0)
-    SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+    SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
            count(*) AS numcust,
            round(sum(c_acctbal), 2) AS totacctbal
     FROM customer, avg_bal

@@ -40,7 +40,7 @@ v AS (
 )
 SELECT doc_id, n_pos, n_neg,
        CASE WHEN n_pos > n_neg THEN 1 WHEN n_pos < n_neg THEN -1
-            ELSE 0 END AS label,
+            ELSE 0 END::BIGINT AS label,
        CASE WHEN n_pos + n_neg > 0
             THEN round(abs(n_pos - n_neg) * 1.0 / (n_pos + n_neg), 9)
             ELSE 0.0 END AS confidence

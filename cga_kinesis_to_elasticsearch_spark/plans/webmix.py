@@ -494,7 +494,7 @@ x AS (
   SELECT r.anchor_id, 2,
          coalesce(r.n2, h.h[CAST(r.rn + 2 - s.N AS INT)])
   FROM ranked r JOIN heads h USING (ring) JOIN sizes s USING (ring))
-SELECT anchor_id, negative_id, CAST(neg_rank AS INT) AS neg_rank
+SELECT anchor_id, negative_id, CAST(neg_rank AS BIGINT) AS neg_rank
 FROM x WHERE negative_id IS NOT NULL AND negative_id <> anchor_id
 """
 

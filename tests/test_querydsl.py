@@ -486,3 +486,42 @@ class TestPaginationHighlightKnn:
             run_search_body(emb, {"knn": {"field": "embedding",
                                           "query_vector": [1.0], "k": 1},
                                   "query": {"match_all": {}}})
+
+
+class TestRescore:
+    def test_rescore_window_and_weights(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta", 10.0), (2, "alpha", 20.0),
+             (3, "beta beta", 5.0), (4, "alpha beta beta", 1.0),
+             (5, "gamma", 50.0)],
+            "id long, text string, n double",
+        )
+        rows = run_search_body(df, {
+            "query": {"match": {"text": "alpha"}},
+            "rescore": {"window_size": 2, "query": {
+                "rescore_query": {"match": {"text": "beta"}},
+                "query_weight": 1.0, "rescore_query_weight": 10.0}},
+            "size": 2, "_source": ["id"],
+        }).collect()
+        # primary top-2 window is docs 1,2 (shortest alpha docs by
+        # BM25 dl-normalization + _doc tiebreak); within the window
+        # the beta boost flips doc 1 ahead of doc 2 and doc 4 (best
+        # beta score overall) stays OUTSIDE the window, like ES
+        assert [r.id for r in rows] == [1, 2]
+        with pytest.raises(ValueError, match="_score-ordered"):
+            run_search_body(df, {
+                "query": {"match": {"text": "alpha"}},
+                "sort": [{"n": "desc"}],
+                "rescore": {"query": {"rescore_query": {"match_all": {}}}},
+                "size": 1,
+            })
+        with pytest.raises(ValueError, match="rescore_query"):
+            run_search_body(df, {
+                "query": {"match": {"text": "alpha"}},
+                "rescore": {"window_size": 2, "query": {}},
+                "size": 1,
+            })
