@@ -523,6 +523,13 @@ def run_search_body(
                 "query/aggs (ES hybrid scoring is out of scope)"
             )
         return _run_knn(df, body)
+    if "suggest" in body:
+        if "query" in body or "aggs" in body:
+            raise ValueError(
+                "suggest-only bodies here: the one-DataFrame contract "
+                "cannot carry hits AND suggestions"
+            )
+        return _run_suggest(df, body["suggest"])
     sort = body.get("sort")
     wants_hits = "aggs" not in body
     sort_specs: list[tuple[str, str]] = []
@@ -703,6 +710,92 @@ def _apply_highlight(out: DataFrame, body: dict) -> DataFrame:
         out = out.withColumn(
             f"{field}_highlight", F.array_join(marked, " ")
         )
+    return out
+
+
+def _run_suggest(df: DataFrame, suggest: dict) -> DataFrame:
+    """ES ``suggest`` section, term suggester: for each whitespace
+    token of ``text`` that is MISSING from the index vocabulary
+    (suggest_mode=missing, ES's default), propose vocabulary terms
+    within ``max_edits`` (default 2), ordered by (edit distance asc,
+    doc frequency desc, term asc), ``size`` per token (default 5).
+    Returns (suggest_name, token, suggestion, freq, distance) rows.
+
+    Scale shape: the vocabulary is ONE explode + groupBy over the
+    field (vocabulary-sized result); each literal query token probes
+    it via an in-row explode — per-token work is vocabulary-sized,
+    never corpus-sized, and the distance runs per DISTINCT term."""
+    from pyspark.sql import Window
+
+    out = None
+    for name, spec in suggest.items():
+        text = spec.get("text")
+        term_spec = spec.get("term")
+        if not text or not isinstance(term_spec, dict):
+            raise ValueError(
+                f"suggest {name!r} needs text and a term suggester: {spec}"
+            )
+        field = term_spec["field"]
+        max_edits = int(term_spec.get("max_edits", 2))
+        if not 1 <= max_edits <= 2:
+            raise ValueError(f"max_edits must be 1..2 (ES): {max_edits}")
+        size = int(term_spec.get("size", 5))
+        q_toks = sorted({t for t in str(text).split() if t})
+        if not q_toks:
+            raise ValueError(f"suggest {name!r}: empty text")
+        vocab = (
+            df.select(F.explode(_tokens(F.col(field))).alias("suggestion"))
+            .groupBy("suggestion")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        )
+        known = {
+            r["suggestion"]
+            for r in vocab.filter(
+                F.col("suggestion").isin(*q_toks)
+            ).collect()  # <= len(q_toks) rows
+        }
+        missing = [t for t in q_toks if t not in known]
+        if not missing:
+            part = vocab.limit(0).select(
+                F.lit(name).alias("suggest_name"),
+                F.lit("").alias("token"),
+                "suggestion",
+                "freq",
+                F.lit(0).cast("long").alias("distance"),
+            )
+        else:
+            probed = vocab.select(
+                F.explode(
+                    F.array(*[F.lit(t) for t in missing])
+                ).alias("token"),
+                "suggestion",
+                "freq",
+            ).withColumn(
+                "distance",
+                F.levenshtein(F.col("suggestion"), F.col("token")).cast(
+                    "long"
+                ),
+            ).filter(
+                (F.col("distance") <= max_edits) & (F.col("distance") > 0)
+            )
+            w = Window.partitionBy("token").orderBy(
+                F.col("distance").asc(),
+                F.col("freq").desc(),
+                F.col("suggestion").asc(),
+            )
+            part = (
+                probed.withColumn("__sn", F.row_number().over(w))
+                .filter(F.col("__sn") <= size)
+                .drop("__sn")
+                .select(
+                    F.lit(name).alias("suggest_name"),
+                    "token",
+                    "suggestion",
+                    "freq",
+                    "distance",
+                )
+            )
+        out = part if out is None else out.unionByName(part)
     return out
 
 

@@ -1454,3 +1454,59 @@ def _es_search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "source", F.round("_score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# 22. suggest: term suggester (did-you-mean) through a request body.
+# ---------------------------------------------------------------------------
+
+_SUGGEST_BODY_ORACLE = r"""
+WITH vocab AS (
+  SELECT t AS suggestion, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+  GROUP BY t
+),
+toks AS (SELECT unnest(['mergee', 'sparkk', 'windoww']) AS token),
+missing AS (
+  SELECT token FROM toks
+  WHERE token NOT IN (SELECT suggestion FROM vocab)
+),
+probed AS (
+  SELECT m.token, v.suggestion, v.freq,
+         CAST(levenshtein(v.suggestion, m.token) AS BIGINT) AS distance
+  FROM missing m CROSS JOIN vocab v
+  WHERE levenshtein(v.suggestion, m.token) BETWEEN 1 AND 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY token
+                               ORDER BY distance, freq DESC,
+                                        suggestion) AS rn
+  FROM probed
+)
+SELECT 'fix' AS suggest_name, token, suggestion, freq, distance
+FROM ranked WHERE rn <= 4
+"""
+
+
+@q("es_search_suggest", _SUGGEST_BODY_ORACLE)
+def _es_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``suggest`` section (term suggester): misspelled query
+    tokens that are MISSING from the index vocabulary
+    (suggest_mode=missing, ES's default) get corpus-term corrections
+    within 2 edits, ordered by (distance, doc frequency desc, term) —
+    ES's did-you-mean.
+
+    Scale shape: the vocabulary is one explode+groupBy (vocabulary-
+    sized result); each literal token probes it via an in-row explode
+    so the Levenshtein runs per DISTINCT term, never per document."""
+    from ..operators.querydsl import run_search_body
+
+    return run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {"suggest": {"fix": {
+            "text": "mergee sparkk windoww",
+            "term": {"field": "text", "size": 4},
+        }}},
+    )

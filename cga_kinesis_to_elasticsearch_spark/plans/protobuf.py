@@ -18,7 +18,8 @@ from .declared import q, _t
 _PROTO_ORACLE = """
 SELECT event_id,
        'env' || CAST(event_id % 3 AS VARCHAR) AS origin,
-       CASE event_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 7 ELSE 6 END AS etype,
+       CAST(CASE event_id % 3 WHEN 0 THEN 5 WHEN 1 THEN 7 ELSE 6 END
+            AS BIGINT) AS etype,
        CASE WHEN event_id % 7 = 0 THEN -epoch_ms(ts) ELSE epoch_ms(ts) END
          AS ts_signed,
        CASE WHEN event_id % 3 = 0 THEN props END AS lm_message,

@@ -525,3 +525,35 @@ class TestRescore:
                 "rescore": {"window_size": 2, "query": {}},
                 "size": 1,
             })
+
+
+class TestSuggest:
+    def test_term_suggester_missing_mode(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "spark scan merge"), (2, "spark sort merge"),
+             (3, "spark spark scan")],
+            "id long, text string",
+        )
+        rows = run_search_body(df, {"suggest": {"fix": {
+            "text": "spark scann mergs",
+            "term": {"field": "text", "size": 3},
+        }}}).collect()
+        got = {(r.token, r.suggestion): (r.freq, r.distance) for r in rows}
+        # "spark" is IN the vocabulary -> no suggestions for it
+        # (suggest_mode=missing, ES default)
+        assert got == {("scann", "scan"): (2, 1),
+                       ("mergs", "merge"): (2, 1)}
+        with pytest.raises(ValueError, match="suggest-only"):
+            run_search_body(df, {
+                "query": {"match_all": {}},
+                "suggest": {"s": {"text": "x",
+                                  "term": {"field": "text"}}},
+            })
+        with pytest.raises(ValueError, match="max_edits"):
+            run_search_body(df, {"suggest": {"s": {
+                "text": "zz", "term": {"field": "text",
+                                       "max_edits": 3}}}})
