@@ -116,6 +116,8 @@ own selectors/sorts, like ES — onto the parent's row):
 - ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` / ``max_bucket``
   {buckets_path: "child>metric" or "child>_count"}
 - ``stats_bucket``   {buckets_path} — STRUCT of count/min/max/avg/sum
+- ``percentiles_bucket`` {buckets_path[, percents]} — ARRAY of exact
+  interpolated percentiles over the child's bucket values
 
 ``significant_terms`` {field[, size]} (top level only): terms scored
 with ES's JLH — (fg_rate - bg_rate) * (fg_rate / bg_rate), foreground
@@ -247,6 +249,8 @@ _SIBLING_FNS = {
         F.avg(c).alias("avg"),
         F.sum(c).alias("sum"),
     ),
+    # percents resolved from the body in the sibling pass
+    "percentiles_bucket": None,
 }
 
 # bucket kinds that key on a single grouped expression
@@ -1117,7 +1121,21 @@ def apply_aggs(
                     f"{kind} {name!r}: buckets_path metric {ref!r} "
                     f"not produced by {child_name!r}"
                 )
-            agg_expr = _SIBLING_FNS[kind](F.col(col)).alias(name)
+            if kind == "percentiles_bucket":
+                percents = body.get("percents", list(_DEFAULT_PERCENTS))
+                if not percents or not all(
+                    isinstance(x, (int, float)) and 0 <= x <= 100
+                    for x in percents
+                ):
+                    raise ValueError(
+                        f"percentiles_bucket: bad percents {percents!r}"
+                    )
+                agg_expr = F.percentile(
+                    F.col(col),
+                    F.array(*[F.lit(float(x) / 100.0) for x in percents]),
+                ).alias(name)
+            else:
+                agg_expr = _SIBLING_FNS[kind](F.col(col)).alias(name)
             if lv.keys:
                 side = child_bf.groupBy(*lv.keys).agg(agg_expr)
                 parent_bf = parent_bf.join(

@@ -856,3 +856,32 @@ class TestAutoDateHistogram:
         with pytest.raises(ValueError, match="unsupported type"):
             apply_aggs(df, {"c": {"composite": {"sources": [
                 {"a": {"auto_date_histogram": {"field": "ts"}}}]}}})
+
+
+class TestPercentilesBucket:
+    def test_percentiles_over_child_buckets(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 1.0), ("b", 4.0), ("c", 7.0)],
+            "k string, v double",
+        )
+        rows = apply_aggs(df, {
+            "per_k": {"terms": {"field": "k"},
+                      "aggs": {"total": {"sum": {"field": "v"}}}},
+            "pb": {"percentiles_bucket": {
+                "buckets_path": "per_k>total",
+                "percents": [0, 50, 100]}},
+        }).collect()
+        root = [r for r in rows if r.agg_path == ""][0]
+        # child totals 2, 4, 7 -> p0=2, p50=4, p100=7
+        assert list(root.pb) == [2.0, 4.0, 7.0]
+        with pytest.raises(ValueError, match="percents"):
+            apply_aggs(df, {
+                "per_k": {"terms": {"field": "k"}},
+                "pb": {"percentiles_bucket": {
+                    "buckets_path": "per_k>_count",
+                    "percents": [200]}},
+            })
