@@ -988,10 +988,12 @@ SELECT '' AS agg_path, NULL AS per_day,
        (SELECT max(cents) FROM buckets) AS max_daily,
        (SELECT min(doc_count) FROM buckets) AS min_docs,
        (SELECT CAST(count(*) AS BIGINT) FROM buckets) AS n_days,
-       round((SELECT sum(cents) FROM buckets), 4) AS sum_daily
+       round((SELECT sum(cents) FROM buckets), 4) AS sum_daily,
+       round((SELECT quantile_cont(CAST(cents AS DOUBLE), 0.5)
+              FROM buckets), 4) AS med_daily
 UNION ALL
 SELECT 'per_day', per_day, doc_count, cents, NULL, NULL, NULL, NULL,
-       NULL
+       NULL, NULL
 FROM buckets
 """
 
@@ -1028,6 +1030,9 @@ def _es_search_sibling_pipelines(
                     "buckets_path": "per_day>_count"}},
                 "st": {"stats_bucket": {
                     "buckets_path": "per_day>cents"}},
+                "pb": {"percentiles_bucket": {
+                    "buckets_path": "per_day>cents",
+                    "percents": [50]}},
             },
         },
     )
@@ -1041,6 +1046,7 @@ def _es_search_sibling_pipelines(
         F.col("min_docs").cast("long").alias("min_docs"),
         F.col("st.count").alias("n_days"),
         F.round("st.sum", 4).alias("sum_daily"),
+        F.round(F.col("pb")[0], 4).alias("med_daily"),
     )
 
 
