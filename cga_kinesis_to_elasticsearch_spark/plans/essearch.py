@@ -1516,3 +1516,86 @@ def _es_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term": {"field": "text", "size": 4},
         }}},
     )
+
+
+# ---------------------------------------------------------------------------
+# 23. _delete_by_query + _update_by_query over the partitioned lake.
+# ---------------------------------------------------------------------------
+
+_BYQUERY_ORACLE = """
+WITH survivors AS (
+  SELECT event_id, user_id, event_type,
+         strftime(ts, '%Y-%m-%d') AS es_index,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+  WHERE NOT (event_type = 'view'
+             AND CAST(round(value * 100) AS BIGINT) < 2000)
+),
+updated AS (
+  SELECT event_id, user_id, es_index,
+         CASE WHEN vc >= 8000 THEN upper(event_type)
+              ELSE event_type END AS event_type,
+         vc
+  FROM survivors
+)
+SELECT es_index, event_type,
+       count(*) AS n,
+       CAST(sum(vc) AS BIGINT) AS cents
+FROM updated
+GROUP BY es_index, event_type
+"""
+
+
+@q("delete_update_by_query", _BYQUERY_ORACLE)
+def _delete_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_delete_by_query`` + ``_update_by_query`` against the
+    day-partitioned lake (sinks/byquery.py): cheap views are deleted
+    by a bool query, big-ticket rows get an ingest-processor uppercase
+    via a second request, then the final table is read back and
+    aggregated. The oracle replays both mutations over the raw events
+    — so partition selection, the conditional projection (unmatched
+    rows byte-identical), and the crash-safe swaps are all under the
+    value hash.
+
+    Scale shape: both APIs rewrite ONLY partitions containing matches
+    (metadata-cheap match scan first); the update is one conditional
+    projection per touched partition — never a join, never a second
+    pass over untouched days."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..sinks.byquery import delete_by_query, update_by_query
+
+    ev = _ev_cents(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("es_index"),
+        "vc",
+    )
+    sf = Path(sf_dir).name or "sf"
+    root = Path(tempfile.gettempdir()) / "spark_graft_byquery" / sf
+    shutil.rmtree(root, ignore_errors=True)
+    ev.write.partitionBy("es_index").mode("overwrite").parquet(str(root))
+    delete_by_query(
+        spark,
+        root,
+        {"query": {"bool": {"must": [
+            {"term": {"event_type": "view"}},
+            {"range": {"vc": {"lt": 2000}}},
+        ]}}},
+        id_col="event_id",
+    )
+    update_by_query(
+        spark,
+        root,
+        {"query": {"range": {"vc": {"gte": 8000}}}},
+        [{"uppercase": {"field": "event_type"}}],
+        id_col="event_id",
+    )
+    final = spark.read.parquet(str(root))
+    return final.groupBy("es_index", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").cast("long").alias("cents"),
+    )
