@@ -22,10 +22,11 @@ a parquet lake cannot), and ``grok`` processors are rejected (their
 staged projection cannot be made row-conditional); both fail at PLAN
 time.
 
-Scale shape: identical to forget — a metadata-cheap match scan finds
-touched partitions (predicate + partition pruning; payload columns
-unread), each touched partition is rewritten by one distributed
-filter/projection job, untouched partitions are never read twice.
+Scale shape: identical to forget — ONE match-scan job grouped by the
+partition column finds touched partitions (payload columns unread),
+then ONE partition-pruned rewrite job covers every touched partition
+(no shuffle; parallelism tracks input splits), promoted per partition
+through the swap. Untouched partitions are never read twice.
 Idempotence differs by design: delete is naturally idempotent;
 update re-applies (ES's update_by_query also re-executes on retry —
 use version-style guards in the processor chain when that matters).
@@ -33,6 +34,7 @@ use version-style guards in the processor chain when that matters).
 
 from __future__ import annotations
 
+import shutil
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -100,44 +102,56 @@ def update_by_query(
     if not root.exists():
         return stats
     recover_and_sweep(root)
-    parts = [
-        d
-        for d in sorted(root.iterdir())
-        if d.is_dir() and d.name.startswith(partition_prefix)
-    ]
-    stats.partitions_scanned = len(parts)
-    for part_dir in parts:
-        df = spark.read.parquet(str(part_dir))
-        cols = compile_pipeline(df.columns, processors)
-        if list(cols) != list(df.columns):
-            raise ValueError(
-                "_update_by_query must preserve the table schema: "
-                f"{list(df.columns)} -> {list(cols)}"
-            )
-        row = df.agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.when(pred, 1).otherwise(0)).alias("n_match"),
-        ).first()
-        n_match = int(row.n_match or 0)
-        if n_match == 0:
-            continue
-        updated = df.select(
-            *[
-                F.when(pred, expr)
-                .otherwise(F.col(f"`{name}`"))
-                .alias(name)
-                for name, expr in cols.items()
-            ]
+    if not any(
+        d.is_dir() and d.name.startswith(partition_prefix)
+        for d in root.iterdir()
+    ):
+        return stats
+    part_col = partition_prefix.rstrip("=")
+    # same two-job shape as forget: ONE match-scan grouped by the
+    # partition column, then ONE conditional-projection rewrite over
+    # every touched partition (partition-pruned scan, no shuffle),
+    # promoted per partition through the crash-safe swap
+    df = spark.read.parquet(str(root))
+    data_cols = [c for c in df.columns if c != part_col]
+    cols = compile_pipeline(data_cols, processors)
+    if list(cols) != data_cols:
+        raise ValueError(
+            "_update_by_query must preserve the table schema: "
+            f"{data_cols} -> {list(cols)}"
         )
-        n_files = max(
-            1, len([p for p in part_dir.glob("*.parquet") if p.is_file()])
-        )
-        _, tmp, _ = part_paths(root, part_dir.name)
-        updated.coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
-        for marker in tmp.glob("_*"):
-            marker.unlink()
-        swap_in(root, part_dir.name)
-        stats.partitions_rewritten += 1
-        stats.rows_updated += n_match
-        stats.rows_untouched += int(row.n_total) - n_match
+    counts = df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        F.sum(F.when(pred, 1).otherwise(0)).alias("__n_match"),
+    ).collect()
+    stats.partitions_scanned = len(counts)
+    touched = [r for r in counts if int(r["__n_match"] or 0) > 0]
+    if not touched:
+        return stats
+    for r in touched:
+        stats.rows_updated += int(r["__n_match"])
+        stats.rows_untouched += int(r["__n_total"]) - int(r["__n_match"])
+    stats.partitions_rewritten = len(touched)
+    vals = [r[part_col] for r in touched]
+    updated = df.filter(F.col(part_col).isin(vals)).select(
+        *[
+            F.when(pred, expr).otherwise(F.col(f"`{name}`")).alias(name)
+            for name, expr in cols.items()
+        ],
+        F.col(f"`{part_col}`"),
+    )
+    tmp_root = root / ".tmp-rewrite"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    updated.write.partitionBy(part_col).mode("overwrite").parquet(
+        str(tmp_root)
+    )
+    for marker in tmp_root.glob("_*"):
+        marker.unlink()
+    for v in vals:
+        part = f"{part_col}={v}"
+        src = tmp_root / part
+        _, tmp, _ = part_paths(root, part)
+        src.rename(tmp)
+        swap_in(root, part)
+    shutil.rmtree(tmp_root, ignore_errors=True)
     return stats

@@ -11,18 +11,21 @@ unit of rewrite is the partition file set. Shape chosen for scale:
    pruning keeps payload bytes unread, and at 100 TB parquet
    row-group stats + the compaction job's `cluster_by` ordering skip
    most files outright);
-2. each affected partition is rewritten by a distributed filter job
-   into `.tmp-<part>` and swapped in (readers never see a partial
-   partition; a crash at any step is repaired by `recover_and_sweep`,
-   and the swapped-out dir holds the pre-delete data until the new
-   content is fully in place);
+2. ONE distributed filter job rewrites every affected partition
+   (partition pruning keeps untouched days unread; no extra shuffle,
+   so parallelism tracks the input splits), staged under
+   ``.tmp-rewrite`` and promoted per partition through the swap
+   protocol (readers never see a partial partition; a crash at any
+   step is repaired by `recover_and_sweep` — an interrupted staged
+   write is a `.tmp-*` dir it drops);
 3. untouched partitions are never read twice nor rewritten — cost is
    bounded by the data that actually contains the targets.
 
 Deletion is idempotent: re-running the same request is a no-op (the
 match scan finds nothing), so the job composes with at-least-once
-schedulers. Deterministic file counts: the rewrite preserves the
-partition's file count unless it would exceed the surviving rows.
+schedulers. Output files per partition track the input layout (the
+rewrite adds no shuffle); sinks/compact.py re-buckets if a lake needs
+pinned file counts.
 
 Composition with the cross-batch dedup index (sinks/dedupindex.py):
 forgetting a document does NOT automatically purge its content hash —
@@ -37,6 +40,7 @@ AGAIN over the index directory, keyed on the forgotten ids::
 
 from __future__ import annotations
 
+import shutil
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -68,37 +72,59 @@ def forget(
     if not root.exists():
         return stats
     recover_and_sweep(root)
+    if not any(
+        d.is_dir() and d.name.startswith(partition_prefix)
+        for d in root.iterdir()
+    ):
+        return stats
     # Three-valued logic guard: a predicate that evaluates to NULL
     # (e.g. a comparison on a NULL enrichment column) must mean KEEP,
     # not delete — bare `~predicate` filters those rows out silently.
     hit = F.coalesce(predicate, F.lit(False))
-    parts = [
-        d
-        for d in sorted(root.iterdir())
-        if d.is_dir() and d.name.startswith(partition_prefix)
-    ]
-    stats.partitions_scanned = len(parts)
-    for part_dir in parts:
-        df = spark.read.parquet(str(part_dir))
-        # one scan counts both sides; the rewrite below is the second
-        # and last read of the partition
-        row = df.agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.sum(F.when(hit, 1).otherwise(0)).alias("n_match"),
-        ).first()
-        n_match = int(row.n_match or 0)
-        if n_match == 0:
-            continue
-        survivors = df.filter(~hit)
-        n_files = max(
-            1, len([p for p in part_dir.glob("*.parquet") if p.is_file()])
-        )
-        _, tmp, _ = part_paths(root, part_dir.name)
-        survivors.coalesce(n_files).write.mode("overwrite").parquet(str(tmp))
-        for marker in tmp.glob("_*"):
-            marker.unlink()
-        swap_in(root, part_dir.name)
-        stats.partitions_rewritten += 1
-        stats.rows_deleted += n_match
-        stats.rows_kept += int(row.n_total) - n_match
+    part_col = partition_prefix.rstrip("=")
+    # ONE match-scan job over the whole table (grouped by the
+    # partition column) replaces a per-partition agg loop — at 30
+    # daily partitions that is 30x fewer jobs, and the scan still
+    # reads only the predicate's columns
+    df = spark.read.parquet(str(root))
+    counts = df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("__n_match"),
+    ).collect()  # one row per partition
+    stats.partitions_scanned = len(counts)
+    touched = [r for r in counts if int(r["__n_match"] or 0) > 0]
+    if not touched:
+        return stats
+    for r in touched:
+        stats.rows_deleted += int(r["__n_match"])
+        stats.rows_kept += int(r["__n_total"]) - int(r["__n_match"])
+    stats.partitions_rewritten = len(touched)
+    vals = [r[part_col] for r in touched]
+    # ONE partitioned rewrite job for every touched partition: the
+    # partition filter prunes untouched days at the scan, no extra
+    # shuffle (parallelism = input splits, output files per partition
+    # track the input layout), then each partition dir is promoted
+    # through the same crash-safe swap. An interrupted batched write
+    # leaves only `.tmp-*` dirs, which recover_and_sweep drops.
+    tmp_root = root / ".tmp-rewrite"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    (
+        df.filter(F.col(part_col).isin(vals))
+        .filter(~hit)
+        .write.partitionBy(part_col)
+        .mode("overwrite")
+        .parquet(str(tmp_root))
+    )
+    for marker in tmp_root.glob("_*"):
+        marker.unlink()
+    for v in vals:
+        part = f"{part_col}={v}"
+        src = tmp_root / part
+        _, tmp, _ = part_paths(root, part)
+        if src.exists():
+            src.rename(tmp)
+        else:  # every row of the partition was deleted
+            tmp.mkdir()
+        swap_in(root, part)
+    shutil.rmtree(tmp_root, ignore_errors=True)
     return stats
