@@ -424,6 +424,33 @@ def _decay_score(fn: str, field: str, spec: dict) -> Column:
     return F.greatest(F.lit(0.0), (F.lit(s) - dist) / F.lit(s))
 
 
+import re as _re
+
+_DOC_REF_RE = _re.compile(r"doc\['([A-Za-z_][A-Za-z0-9_.]*)'\]\.value")
+_SCRIPT_SAFE_RE = _re.compile(r"^[\w\s\.\+\-\*/\(\):><=!&|,?'\[\]]*$")
+
+
+def _compile_score_script(source: str) -> Column:
+    """Painless arithmetic subset for ``script_score``:
+    ``doc['field'].value`` references lower to columns, the rest must
+    be plain arithmetic/comparison syntax (SQL-compatible). ``_score``
+    references are rejected — wrap with ``function_score`` or
+    ``rescore`` for primary-score composition. Fails at PLAN time on
+    anything else, like ES script compilation."""
+    if not source or not _SCRIPT_SAFE_RE.match(source):
+        raise ValueError(f"script_score: unsupported script {source!r}")
+    if "_score" in source:
+        raise ValueError(
+            "script_score: _score references are not supported here"
+        )
+    sql = _DOC_REF_RE.sub(lambda m: f"`{m.group(1)}`", source)
+    if "doc[" in sql:
+        raise ValueError(
+            f"script_score: unresolved doc[...] reference in {source!r}"
+        )
+    return F.expr(sql)
+
+
 def _score_and_filter(
     df: DataFrame, query: dict, need_score: bool
 ) -> tuple[DataFrame, Column | None]:
@@ -432,6 +459,13 @@ def _score_and_filter(
     ``function_score`` (decay x weight product); every other query is
     filter-context (score constant 1.0, like ES filter context)."""
     kind, body = next(iter(query.items())) if len(query) == 1 else (None, None)
+    if kind == "script_score":
+        inner = body.get("query", {"match_all": {}})
+        source = (body.get("script") or {}).get("source")
+        filtered = apply_query(df, inner)
+        if not need_score:
+            return filtered, None
+        return filtered, _compile_score_script(source)
     if kind == "function_score":
         inner = body.get("query", {"match_all": {}})
         functions = body.get("functions")

@@ -1599,3 +1599,55 @@ def _delete_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("vc").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 24. script_score: painless arithmetic over doc fields as _score.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_SCORE_ORACLE = """
+SELECT doc_id, n_chars,
+       round(CAST(round(n_chars / 10.0) AS DOUBLE)
+             + CASE WHEN lang = 'en' THEN 100.0 ELSE 0.0 END, 6)
+         AS score
+FROM documents
+WHERE source IN ('src1', 'src2', 'src3')
+ORDER BY CAST(round(n_chars / 10.0) AS DOUBLE)
+         + CASE WHEN lang = 'en' THEN 100.0 ELSE 0.0 END DESC,
+         doc_id
+LIMIT 15
+"""
+
+
+@q("es_search_script_score", _SCRIPT_SCORE_ORACLE)
+def _es_search_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``script_score`` through a request body: the painless-subset
+    script (``doc['field'].value`` references + arithmetic + a CASE
+    comparison) becomes the hit ``_score``, ordered with the ``_doc``
+    tie-break. The compiler rejects anything outside the arithmetic
+    subset at plan time, like ES script compilation.
+
+    Scale shape: the script lowers to one codegen projection over the
+    filtered scan + TakeOrdered(15) — scoring by script costs the
+    same plan as scoring by column."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "query": {"script_score": {
+                "query": {"terms": {"source": ["src1", "src2", "src3"]}},
+                "script": {"source":
+                           "CAST(round(doc['n_chars'].value / 10.0) "
+                           "AS DOUBLE) + "
+                           "(CASE WHEN doc['lang'].value = 'en' "
+                           "THEN CAST(100.0 AS DOUBLE) "
+                           "ELSE CAST(0.0 AS DOUBLE) END)"},
+            }},
+            "size": 15,
+            "_source": ["doc_id", "n_chars"],
+        },
+    )
+    return out.select(
+        "doc_id", "n_chars", F.round("_score", 6).alias("score")
+    )

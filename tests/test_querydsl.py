@@ -557,3 +557,32 @@ class TestSuggest:
             run_search_body(df, {"suggest": {"s": {
                 "text": "zz", "term": {"field": "text",
                                        "max_edits": 3}}}})
+
+
+class TestScriptScore:
+    def test_doc_field_arithmetic(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(_df(spark), {
+            "query": {"script_score": {
+                "query": {"exists": {"field": "lang"}},
+                "script": {"source": "doc['n'].value * 2 + 1"},
+            }},
+            "size": 2, "_source": ["id"],
+        }).collect()
+        # matched docs 1,2,4,5; score = 2n+1 -> top: id5 (101), id4 (81)
+        assert [(r.id, r._score) for r in rows] == [(5, 101), (4, 81)]
+        with pytest.raises(ValueError, match="_score"):
+            run_search_body(_df(spark), {
+                "query": {"script_score": {
+                    "query": {"match_all": {}},
+                    "script": {"source": "_score * 2"},
+                }}, "size": 1})
+        with pytest.raises(ValueError, match="unsupported script"):
+            run_search_body(_df(spark), {
+                "query": {"script_score": {
+                    "query": {"match_all": {}},
+                    "script": {"source": "system # bad"},
+                }}, "size": 1})
