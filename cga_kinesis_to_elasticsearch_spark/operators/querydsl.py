@@ -63,10 +63,16 @@ or no ``sort`` at all with a hit-list request — ES's default order):
 - a top-level ``function_score`` wraps a filter-context query with
   decay functions (``gauss`` / ``exp`` / ``linear`` over a numeric
   field distance) and ``weight``, combined by ``score_mode``
-  multiply (the default); other inner constructs stay filter-context.
-
-Richer scoring machinery (rescore windows, knn) lives in
-plans/esaggstail2.py, plans/esrelations.py, operators/similarity.py.
+  multiply (the default); other inner constructs stay filter-context;
+- a top-level ``multi_match`` scores best_fields (max per-field BM25);
+- ``script_score`` computes ``_score`` from a painless-subset script
+  (``doc['field'].value`` + arithmetic, plan-time rejection);
+- ``rescore`` re-scores only the top ``window_size`` hits of the
+  primary order (query_weight/rescore_query_weight combination);
+- the ``knn`` section is an exact cosine top-k with ES's (1+cos)/2
+  dense-vector scaling (indexed variants: operators/similarity.py);
+- the ``suggest`` section (term suggester) returns did-you-mean
+  corrections for tokens missing from the index vocabulary.
 
 Every hit list is made deterministic with a ``_doc`` tie-break: after
 the requested sort keys the engine appends the document-identity
