@@ -1595,6 +1595,11 @@ def _delete_update_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
     )
     final = spark.read.parquet(str(root))
+    # partition-value inference types the dir name as DATE; the
+    # declared surface is scalar strings
+    final = final.withColumn(
+        "es_index", F.date_format("es_index", "yyyy-MM-dd")
+    )
     return final.groupBy("es_index", "event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vc").cast("long").alias("cents"),
