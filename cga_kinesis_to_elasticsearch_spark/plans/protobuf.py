@@ -107,7 +107,12 @@ def _protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_protobuf_records,
     )
 
-    recs = _synth_records(_t(spark, sf_dir, "events"))
+    # the testdata ships one file per table, so without this the two
+    # Arrow stages would run on ONE core; production Kinesis batches
+    # arrive pre-sharded (cores-wide) and need no repartition
+    recs = _synth_records(_t(spark, sf_dir, "events")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     dec = decode_protobuf_records(encode_protobuf_records(recs))
     return _project_decoded(dec)
 
@@ -132,7 +137,12 @@ def _protobuf_jvm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.protodesc import select_protobuf_decoder
     from ..sources.protowire import encode_protobuf_records
 
-    recs = _synth_records(_t(spark, sf_dir, "events"))
+    # the testdata ships one file per table, so without this the two
+    # Arrow stages would run on ONE core; production Kinesis batches
+    # arrive pre-sharded (cores-wide) and need no repartition
+    recs = _synth_records(_t(spark, sf_dir, "events")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     decoder = select_protobuf_decoder(spark, "jvm")
     dec = decoder(encode_protobuf_records(recs))
     return _project_decoded(dec)
