@@ -52,6 +52,19 @@ Supported processors (the everyday subset):
                  keys into nested objects; here the object is a
                  struct). ``{"field": "*"}`` expands every dotted
                  column, like ES's wildcard form.
+- ``dissect``    {field, pattern} — ES's fixed-delimiter splitter
+                 (%{key} captures separated by literals), lowered to
+                 ONE anchored regex with a non-greedy group per inner
+                 key (the final capture consumes the rest, dissect's
+                 semantics); %{} / %{?name} skip. A non-matching
+                 document gets NULL captures (the same match-or-empty
+                 contract as grok).
+- ``kv``         {field, field_split, value_split, include_keys
+                 [, target_field]} — key-value splitting;
+                 ``include_keys`` is REQUIRED (the columnar schema
+                 needs plan-time keys, where ES materializes keys
+                 dynamically), one column per included key (prefixed
+                 by target_field), NULL when absent.
 - ``script`` is deliberately NOT supported: arbitrary painless has no
   declarative lowering — computed_columns / the grok compiler are the
   engine's answers for expression-level work.
@@ -75,6 +88,8 @@ pipelines are how ES users express the same reshaping declaratively.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -203,6 +218,91 @@ def compile_pipeline(
                 for c in members:
                     del cols[c]
                 cols[prefix] = struct
+        elif kind == "dissect":
+            # ES dissect: fixed literal delimiters between %{key}
+            # captures — lowered to ONE anchored regex with a
+            # non-greedy group per key (the dissect fixed-delimiter
+            # semantics), one regexp_extract per emitted key.
+            # %{} and %{?name} skip their capture, like ES.
+            src = _need(a["field"], p)
+            pattern = a.get("pattern")
+            if not pattern:
+                raise ValueError(f"dissect needs a pattern: {a}")
+            parts = [x for x in re.split(r"(%\{[^}]*\})", pattern) if x]
+            cap_idx = [
+                i for i, x in enumerate(parts)
+                if x.startswith("%{") and x.endswith("}")
+            ]
+            if not cap_idx:
+                raise ValueError(
+                    f"dissect: pattern has no captures: {pattern!r}"
+                )
+            rx = "^"
+            keys: list[str] = []
+            group_of: dict[str, int] = {}
+            gi = 0
+            for i, part in enumerate(parts):
+                if i in dict.fromkeys(cap_idx):
+                    key = part[2:-1]
+                    gi += 1
+                    if key and not key.startswith("?"):
+                        if key in group_of:
+                            raise ValueError(
+                                f"dissect: duplicate key {key!r}"
+                            )
+                        group_of[key] = gi
+                        keys.append(key)
+                    # the FINAL capture is greedy (consumes the rest);
+                    # inner captures stop at the next literal
+                    rx += "(.*)" if i == cap_idx[-1] else "(.*?)"
+                else:
+                    rx += re.escape(part)
+            rx += "$"
+            if not keys:
+                raise ValueError(
+                    f"dissect: pattern emits no keys: {pattern!r}"
+                )
+            # non-match -> every key NULL (regexp_extract returns ''
+            # on miss; dissect distinguishes empty capture via the
+            # match test)
+            matched = src.rlike(rx)
+            for key in keys:
+                cols[key] = F.when(
+                    matched, F.regexp_extract(src, rx, group_of[key])
+                )
+        elif kind == "kv":
+            # ES kv with include_keys (REQUIRED here: a columnar
+            # schema needs plan-time keys): split pairs on
+            # field_split, values on value_split, emit one column per
+            # included key (prefix via target_field), NULL when the
+            # key is absent.
+            src = _need(a["field"], p)
+            fs, vs = a.get("field_split"), a.get("value_split")
+            include = a.get("include_keys")
+            if not fs or not vs or not include:
+                raise ValueError(
+                    "kv needs field_split, value_split and "
+                    f"include_keys (plan-time schema): {a}"
+                )
+            prefix = a.get("target_field")
+            pairs = F.map_from_entries(
+                F.filter(
+                    F.transform(
+                        F.split(src, fs),
+                        lambda kvs: F.struct(
+                            F.substring_index(kvs, vs, 1).alias("k"),
+                            F.when(
+                                kvs.contains(vs),
+                                F.substring_index(kvs, vs, -1),
+                            ).alias("v"),
+                        ),
+                    ),
+                    lambda e: e["v"].isNotNull(),
+                )
+            )
+            for key in include:
+                out_name = f"{prefix}.{key}" if prefix else key
+                cols[out_name] = pairs[key]
         elif kind == "grok":
             raise ValueError(
                 "grok processor requires apply_ingest_pipeline (it "

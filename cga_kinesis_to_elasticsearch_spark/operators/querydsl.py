@@ -93,7 +93,7 @@ import operator as _op
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["compile_query", "apply_query", "run_search_body"]
+__all__ = ["compile_query", "apply_query", "run_search_body", "run_count_body"]
 
 _RANGE_OPS = {"gte": _op.ge, "gt": _op.gt, "lte": _op.le, "lt": _op.lt}
 
@@ -702,6 +702,16 @@ def run_search_body(
             ]
         out = out.select(*keep)
     return out
+
+
+def run_count_body(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``_count``: one (count) row for the body's query (match_all
+    when absent) — the filtered count with every pushable conjunct at
+    the scan, no sort, no hit materialization."""
+    out = df
+    if "query" in body:
+        out = apply_query(out, body["query"])
+    return out.agg(F.count(F.lit(1)).cast("long").alias("count"))
 
 
 def _query_terms_for(query: dict, field: str) -> list[str]:

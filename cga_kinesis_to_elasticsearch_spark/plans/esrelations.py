@@ -984,3 +984,85 @@ def _es_search_request(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("revenue_cents").cast("long").alias("revenue_cents"),
         F.col("biggest_cents").cast("long").alias("biggest_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest dissect + kv processors (round 4): fixed-delimiter log
+# splitting and key-value extraction through the pipeline compiler.
+# ---------------------------------------------------------------------------
+
+_DISSECT_KV_ORACLE = r"""
+WITH staged AS (
+  SELECT event_id,
+         'u=' || CAST(user_id AS VARCHAR)
+           || '&t=' || event_type
+           || '&c=' || CAST(CAST(round(value * 100) AS BIGINT)
+                            AS VARCHAR) AS kvline,
+         CAST(user_id AS VARCHAR) || ' ' || event_type || ' '
+           || strftime(ts, '%Y-%m-%d') AS logline
+  FROM events
+),
+parsed AS (
+  SELECT event_id,
+         CASE WHEN regexp_matches(logline, '^(.*?) (.*?) (.*)$')
+              THEN regexp_extract(logline, '^(.*?) (.*?) (.*)$', 1)
+              END AS who,
+         CASE WHEN regexp_matches(logline, '^(.*?) (.*?) (.*)$')
+              THEN regexp_extract(logline, '^(.*?) (.*?) (.*)$', 3)
+              END AS day,
+         regexp_extract(kvline, 'u=([^&]*)', 1) AS ku,
+         regexp_extract(kvline, 'c=([^&]*)', 1) AS kc
+  FROM staged
+)
+SELECT day, count(*) AS n,
+       CAST(sum(CAST(kc AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(CASE WHEN who = ku THEN 1 ELSE 0 END) AS BIGINT)
+         AS consistent
+FROM parsed
+GROUP BY day
+"""
+
+
+@q("ingest_dissect_kv_events", _DISSECT_KV_ORACLE)
+def _ingest_dissect_kv_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 ingest processors end-to-end: a synthesized log
+    line goes through ``dissect`` (fixed-delimiter %{} captures, the
+    non-grok half of ES log parsing) and a synthesized query string
+    through ``kv`` (include_keys plan-time schema), then the pipeline
+    output aggregates per day — dissect capture boundaries, kv value
+    extraction, and their NULL semantics are all under the value
+    hash.
+
+    Scale shape: the whole processor chain is ONE codegen projection
+    (zero Python, zero shuffles before the final partial-agg
+    groupBy)."""
+    from ..operators.ingest import apply_ingest_pipeline
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("u="), F.col("user_id").cast("string"),
+            F.lit("&t="), F.col("event_type"),
+            F.lit("&c="),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("kvline"),
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(" "),
+            F.col("event_type"), F.lit(" "),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("logline"),
+    )
+    out = apply_ingest_pipeline(ev, [
+        {"dissect": {"field": "logline",
+                     "pattern": "%{who} %{?etype} %{day}"}},
+        {"kv": {"field": "kvline", "field_split": "&",
+                "value_split": "=", "include_keys": ["u", "c"],
+                "target_field": "kv"}},
+    ])
+    return out.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("`kv.c`").cast("long")).cast("long").alias("cents"),
+        F.sum(
+            F.when(F.col("who") == F.col("`kv.u`"), 1).otherwise(0)
+        ).cast("long").alias("consistent"),
+    )

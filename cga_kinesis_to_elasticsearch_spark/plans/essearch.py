@@ -1656,3 +1656,30 @@ def _es_search_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_chars", F.round("_score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# 25. _count: the filtered-count endpoint.
+# ---------------------------------------------------------------------------
+
+_COUNT_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS count
+FROM documents
+WHERE lang IN ('en', 'es') AND n_chars >= 100
+"""
+
+
+@q("es_count_request", _COUNT_ORACLE)
+def _es_count_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``_count`` endpoint: a query-DSL body reduced to one count
+    row — every pushable conjunct reaches the scan, no hits
+    materialize. The smallest useful request an ES user makes."""
+    from ..operators.querydsl import run_count_body
+
+    return run_count_body(
+        _t(spark, sf_dir, "documents"),
+        {"query": {"bool": {"must": [
+            {"terms": {"lang": ["en", "es"]}},
+            {"range": {"n_chars": {"gte": 100}}},
+        ]}}},
+    )

@@ -301,3 +301,60 @@ class TestNewProcessors:
             compile_pipeline(
                 ["msg"], [{"grok": {"field": "msg", "patterns": ["%{INT:x}"]}}]
             )
+
+
+class TestDissectKv:
+    def test_dissect_fixed_delimiters(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "10.0.0.1 GET /x 200"), (2, "garbage"),
+             (3, "1.2.3.4 POST /a/b 503")],
+            "id long, log string",
+        )
+        out = apply_ingest_pipeline(df, [
+            {"dissect": {"field": "log",
+                         "pattern": "%{client} %{?m} %{path} %{status}"}},
+        ]).orderBy("id").collect()
+        assert (out[0].client, out[0].path, out[0].status) == (
+            "10.0.0.1", "/x", "200")
+        # %{?m} skipped -> no column
+        assert "m" not in out[0].asDict()
+        # non-match -> NULL captures, like the grok contract
+        assert out[1].client is None and out[1].status is None
+        assert out[2].path == "/a/b"
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="duplicate key"):
+            apply_ingest_pipeline(df, [
+                {"dissect": {"field": "log",
+                             "pattern": "%{a} %{a}"}}])
+        with _pt.raises(ValueError, match="no keys"):
+            apply_ingest_pipeline(df, [
+                {"dissect": {"field": "log", "pattern": "%{?x} y"}}])
+
+    def test_kv_include_keys(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a=1&b=two"), (2, "b=x&z=9"), (3, None)],
+            "id long, qs string",
+        )
+        out = apply_ingest_pipeline(df, [
+            {"kv": {"field": "qs", "field_split": "&",
+                    "value_split": "=",
+                    "include_keys": ["a", "b"],
+                    "target_field": "q"}},
+        ]).orderBy("id").collect()
+        got = [(r["q.a"], r["q.b"]) for r in out]
+        assert got == [("1", "two"), (None, "x"), (None, None)]
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="include_keys"):
+            apply_ingest_pipeline(df, [
+                {"kv": {"field": "qs", "field_split": "&",
+                        "value_split": "="}}])
