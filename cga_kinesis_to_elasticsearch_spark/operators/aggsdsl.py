@@ -562,6 +562,19 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                         )
                     if body not in ({}, None):
                         raise ValueError(f"global takes an empty body: {body}")
+                if kind == "auto_date_histogram" and any(
+                    s[0] in ("key", "explode") for s in level.segments
+                ):
+                    # ES picks a per-parent-bucket interval when
+                    # nested under another bucket; this lowering picks
+                    # ONE interval from the (possibly filtered) frame
+                    # — honest only when no bucket key splits it
+                    raise ValueError(
+                        "auto_date_histogram cannot nest under a "
+                        "bucket key here (per-bucket interval picks "
+                        "are not lowered); use filter/global parents "
+                        "or a fixed date_histogram"
+                    )
                 role = (
                     "key"
                     if kind in _KEYED

@@ -885,3 +885,23 @@ class TestPercentilesBucket:
                     "buckets_path": "per_k>_count",
                     "percents": [200]}},
             })
+
+
+class TestAutoDateHistogramNesting:
+    def test_rejected_under_bucket_keys(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1))], "k string, ts timestamp")
+        with pytest.raises(ValueError, match="cannot nest under"):
+            apply_aggs(df, {"per_k": {"terms": {"field": "k"}, "aggs": {
+                "auto": {"auto_date_histogram": {"field": "ts"}}}}})
+        # filter parents are fine: the pick runs on the narrowed frame
+        out = apply_aggs(df, {"recent": {
+            "filter": {"term": {"k": "a"}},
+            "aggs": {"auto": {"auto_date_histogram": {"field": "ts"}}},
+        }})
+        assert out.count() >= 1
