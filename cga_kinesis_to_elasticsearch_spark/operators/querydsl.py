@@ -37,6 +37,11 @@ Supported leaves:
                    minimum_should_match_script}} — at least m of the
                    terms occur in the whitespace-analyzed field, m
                    per-doc from a column or a constant script
+- ``nested``       {path, query} — matches when ANY element of the
+                   ``array<struct>`` field at ``path`` satisfies the
+                   inner query on the SAME element (fields addressed
+                   by full dotted path, like ES); lowered to one
+                   codegen F.exists, no explode, no shuffle
 
 Compound:
 
@@ -128,11 +133,17 @@ def _auto_fuzziness(term: str) -> int:
     return 0 if n < 3 else 1 if n <= 5 else 2
 
 
-def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
+def compile_query(
+    dsl: dict, *, id_col: str = "doc_id", resolve=None
+) -> Column:
     """Lower an ES query-DSL dict (filter-context subset, see module
     docstring) to one boolean Column. Raises ValueError at plan time
     on anything unsupported. ``id_col`` names the frame's document
-    identity column — what ES calls ``_id`` — for the ``ids`` query."""
+    identity column — what ES calls ``_id`` — for the ``ids`` query.
+    ``resolve`` maps a field name to a Column (default ``F.col``);
+    the ``nested`` query rebinds it to array-element access."""
+    if resolve is None:
+        resolve = F.col
     if not isinstance(dsl, dict) or len(dsl) != 1:
         raise ValueError(f"query must have exactly one root clause: {dsl}")
     kind, body = next(iter(dsl.items()))
@@ -140,14 +151,14 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
     if kind == "ids":
         if not isinstance(body, dict) or not body.get("values"):
             raise ValueError(f"ids needs non-empty values: {body}")
-        return F.col(id_col).isin(*body["values"])
+        return resolve(id_col).isin(*body["values"])
     if kind == "regexp":
         field, value = _one_field(kind, body)
         if isinstance(value, dict):
             value = value["value"]
         # Lucene regexp queries are anchored: the pattern must match
         # the ENTIRE value, so wrap in ^(...)$ for Java regex
-        return F.col(field).rlike(f"^({value})$")
+        return resolve(field).rlike(f"^({value})$")
     if kind == "fuzzy":
         field, spec = _one_field(kind, body)
         if not isinstance(spec, dict) or "value" not in spec:
@@ -157,7 +168,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
         edits = _auto_fuzziness(term) if fuzz == "AUTO" else int(fuzz)
         if not 0 <= edits <= 2:
             raise ValueError(f"fuzzy: fuzziness must be 0..2: {fuzz!r}")
-        return F.levenshtein(F.col(field), F.lit(term)) <= F.lit(edits)
+        return F.levenshtein(resolve(field), F.lit(term)) <= F.lit(edits)
     if kind == "terms_set":
         field, spec = _one_field(kind, body)
         terms = spec.get("terms") if isinstance(spec, dict) else None
@@ -171,7 +182,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
                 "minimum_should_match_field / _script"
             )
         if msm_field is not None:
-            m = F.col(msm_field)
+            m = resolve(msm_field)
         else:
             src = str(msm_script.get("source", "")).strip()
             if not src.isdigit():
@@ -180,7 +191,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
                     f"minimum_should_match_script supported: {src!r}"
                 )
             m = F.lit(int(src))
-        toks = _tokens(F.col(field))
+        toks = _tokens(resolve(field))
         hits = [
             F.array_contains(toks, str(t)).cast("int") for t in terms
         ]
@@ -188,7 +199,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
     if kind == "constant_score":
         if not isinstance(body, dict) or set(body) != {"filter"}:
             raise ValueError(f"constant_score needs a filter: {body}")
-        return compile_query(body["filter"], id_col=id_col)
+        return compile_query(body["filter"], id_col=id_col, resolve=resolve)
     if kind == "dis_max":
         queries = body.get("queries") if isinstance(body, dict) else None
         if not queries:
@@ -196,7 +207,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
         return functools.reduce(
             _op.or_,
             [
-                F.coalesce(compile_query(sub, id_col=id_col), F.lit(False))
+                F.coalesce(compile_query(sub, id_col=id_col, resolve=resolve), F.lit(False))
                 for sub in queries
             ],
         )
@@ -211,6 +222,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
                 {"match": {f: {"query": body["query"],
                                "operator": body.get("operator", "or")}}},
                 id_col=id_col,
+                resolve=resolve,
             )
             for f in body["fields"]
         ]
@@ -218,16 +230,53 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
             _op.or_,
             [F.coalesce(p, F.lit(False)) for p in per_field],
         )
+    if kind == "nested":
+        if not isinstance(body, dict) or "path" not in body \
+                or "query" not in body:
+            raise ValueError(f"nested needs path and query: {body}")
+        path = body["path"]
+        prefix = path + "."
+
+        def _element_resolve(e):
+            def _r(f: str) -> Column:
+                if f == path:
+                    raise ValueError(
+                        f"nested: field {f!r} must address a member "
+                        f"of {path!r}"
+                    )
+                member = f[len(prefix):] if f.startswith(prefix) else f
+                return e[member]
+
+            return _r
+
+        arr = resolve(path)
+        # ES nested semantics: the doc matches if ANY element of the
+        # nested array matches the inner query (fields addressed by
+        # their full dotted path, like ES)
+        return F.coalesce(
+            F.exists(
+                arr,
+                lambda e: F.coalesce(
+                    compile_query(
+                        body["query"],
+                        id_col=id_col,
+                        resolve=_element_resolve(e),
+                    ),
+                    F.lit(False),
+                ),
+            ),
+            F.lit(False),
+        )
     if kind == "match_all":
         return F.lit(True)
     if kind == "term":
         field, value = _one_field(kind, body)
-        return F.col(field) == F.lit(value)
+        return resolve(field) == F.lit(value)
     if kind == "terms":
         field, values = _one_field(kind, body)
         if not isinstance(values, (list, tuple)) or not values:
             raise ValueError(f"terms needs a non-empty list: {body}")
-        return F.col(field).isin(*values)
+        return resolve(field).isin(*values)
     if kind == "range":
         field, bounds = _one_field(kind, body)
         if not isinstance(bounds, dict) or not bounds:
@@ -236,18 +285,18 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
         for b, v in bounds.items():
             if b not in _RANGE_OPS:
                 raise ValueError(f"range: unsupported bound {b!r}")
-            conjs.append(_RANGE_OPS[b](F.col(field), F.lit(v)))
+            conjs.append(_RANGE_OPS[b](resolve(field), F.lit(v)))
         return functools.reduce(_op.and_, conjs)
     if kind == "exists":
         if set(body) != {"field"}:
             raise ValueError(f"exists needs {{'field': name}}: {body}")
-        return F.col(body["field"]).isNotNull()
+        return resolve(body["field"]).isNotNull()
     if kind == "prefix":
         field, value = _one_field(kind, body)
-        return F.col(field).startswith(str(value))
+        return resolve(field).startswith(str(value))
     if kind == "wildcard":
         field, value = _one_field(kind, body)
-        return F.col(field).like(_wildcard_to_like(str(value)))
+        return resolve(field).like(_wildcard_to_like(str(value)))
     if kind == "match":
         field, value = _one_field(kind, body)
         op = "or"
@@ -257,7 +306,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
         q_toks = [t for t in str(value).split() if t]
         if not q_toks:
             raise ValueError(f"match needs query tokens: {body}")
-        toks = _tokens(F.col(field))
+        toks = _tokens(resolve(field))
         hits = [F.array_contains(toks, t) for t in q_toks]
         red = _op.and_ if op == "and" else _op.or_
         return functools.reduce(red, hits)
@@ -270,7 +319,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
         # delimiter-padded text contains the padded phrase
         norm = F.concat(
             F.lit(" "),
-            F.array_join(_tokens(F.col(field)), " "),
+            F.array_join(_tokens(resolve(field)), " "),
             F.lit(" "),
         )
         return norm.contains(f" {phrase} ")
@@ -289,7 +338,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
         parts: list[Column] = []
         for key in ("must", "filter"):
             for sub in _as_list(body.get(key)):
-                parts.append(compile_query(sub, id_col=id_col))
+                parts.append(compile_query(sub, id_col=id_col, resolve=resolve))
         for sub in _as_list(body.get("must_not")):
             # ES match semantics, not SQL three-valued logic: a query
             # over a MISSING field does not match, so must_not PASSES
@@ -297,7 +346,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
             # (which turns NULL into NULL and silently drops the doc)
             parts.append(
                 ~F.coalesce(
-                    compile_query(sub, id_col=id_col), F.lit(False)
+                    compile_query(sub, id_col=id_col, resolve=resolve), F.lit(False)
                 )
             )
         should = _as_list(body.get("should"))
@@ -312,7 +361,7 @@ def compile_query(dsl: dict, *, id_col: str = "doc_id") -> Column:
                 # to the match count instead of poisoning the sum
                 flags = [
                     F.coalesce(
-                        compile_query(sub, id_col=id_col), F.lit(False)
+                        compile_query(sub, id_col=id_col, resolve=resolve), F.lit(False)
                     ).cast(
                         "int"
                     )

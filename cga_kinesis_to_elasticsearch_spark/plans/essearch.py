@@ -1683,3 +1683,62 @@ def _es_count_request(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"range": {"n_chars": {"gte": 100}}},
         ]}}},
     )
+
+
+# ---------------------------------------------------------------------------
+# 26. nested query: same-element conjunction over array<struct>.
+# ---------------------------------------------------------------------------
+
+_NESTED_ORACLE = """
+WITH hits AS (
+  SELECT DISTINCT l_orderkey
+  FROM lineitem
+  WHERE l_quantity >= 45 AND l_returnflag = 'R'
+)
+SELECT h.l_orderkey,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey = h.l_orderkey) AS n_items
+FROM hits h
+ORDER BY h.l_orderkey
+LIMIT 25
+"""
+
+
+@q("es_search_nested", _NESTED_ORACLE)
+def _es_search_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``nested`` query: orders as parent docs with their
+    lineitems collected into an ``array<struct>`` nested field; the
+    query matches orders owning at least one item that is BOTH
+    quantity >= 45 AND returnflag R — on the SAME element (the
+    cross-element false positive is what ES nested exists to
+    prevent, and what the flat-table oracle replays exactly).
+
+    Scale shape: the nested lowering is ONE codegen F.exists over the
+    array — no explode, no second shuffle beyond the parent-doc
+    collect_list build."""
+    from ..operators.querydsl import run_search_body
+
+    li = _t(spark, sf_dir, "lineitem")
+    parents = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.col("l_returnflag").alias("flag"),
+            )
+        ).alias("items"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    out = run_search_body(
+        parents,
+        {
+            "query": {"nested": {"path": "items", "query": {
+                "bool": {"must": [
+                    {"range": {"items.qty": {"gte": 45}}},
+                    {"term": {"items.flag": "R"}},
+                ]}}}},
+            "sort": [{"l_orderkey": {"order": "asc"}}],
+            "size": 25,
+            "_source": ["l_orderkey", "n_items"],
+        },
+    )
+    return out

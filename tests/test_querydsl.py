@@ -586,3 +586,54 @@ class TestScriptScore:
                     "query": {"match_all": {}},
                     "script": {"source": "system # bad"},
                 }}, "size": 1})
+
+
+class TestNestedQuery:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, [(5, "a"), (2, "b")]), (2, [(1, "b")]), (3, []),
+             (4, None)],
+            "id long, items array<struct<qty:long, grade:string>>",
+        )
+
+    def test_same_element_conjunction(self, spark):
+        df = self._frame(spark)
+        # doc 1 has grade-b qty 2 and grade-a qty 5: the bool must
+        # hold on ONE element — doc 1 matches only via (2, b);
+        # requiring qty >= 3 AND grade b matches NOBODY even though
+        # doc 1 has qty 5 (grade a) and grade b (qty 2): the
+        # cross-element false positive nested exists to prevent
+        got = sorted(r.id for r in apply_query(df, {"nested": {
+            "path": "items",
+            "query": {"bool": {"must": [
+                {"range": {"items.qty": {"gte": 2}}},
+                {"term": {"items.grade": "b"}},
+            ]}}}}).collect())
+        assert got == [1]
+        got = sorted(r.id for r in apply_query(df, {"nested": {
+            "path": "items",
+            "query": {"bool": {"must": [
+                {"range": {"items.qty": {"gte": 3}}},
+                {"term": {"items.grade": "b"}},
+            ]}}}}).collect())
+        assert got == []
+
+    def test_empty_and_null_arrays_do_not_match(self, spark):
+        got = sorted(r.id for r in apply_query(self._frame(spark), {
+            "nested": {"path": "items",
+                       "query": {"exists": {"field": "items.qty"}}},
+        }).collect())
+        assert got == [1, 2]
+
+    def test_composes_under_bool_and_validates(self, spark):
+        df = self._frame(spark)
+        got = sorted(r.id for r in apply_query(df, {"bool": {
+            "must_not": [{"nested": {
+                "path": "items",
+                "query": {"term": {"items.grade": "b"}}}}],
+        }}).collect())
+        # docs without a matching element PASS must_not (incl. the
+        # empty/null arrays)
+        assert got == [3, 4]
+        with pytest.raises(ValueError, match="nested needs"):
+            compile_query({"nested": {"path": "items"}})
