@@ -905,3 +905,45 @@ class TestAutoDateHistogramNesting:
             "aggs": {"auto": {"auto_date_histogram": {"field": "ts"}}},
         }})
         assert out.count() >= 1
+
+
+class TestCompositeSourceTypes:
+    def test_histogram_and_date_histogram_sources(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(3.0, dt.datetime(2024, 1, 1, 5)),
+             (7.0, dt.datetime(2024, 1, 1, 9)),
+             (12.0, dt.datetime(2024, 1, 2, 0)),
+             (14.0, dt.datetime(2024, 1, 2, 1))],
+            "v double, ts timestamp",
+        )
+        rows = apply_aggs(df, {"c": {"composite": {
+            "sources": [
+                {"day": {"date_histogram": {"field": "ts",
+                                            "calendar_interval": "day"}}},
+                {"bin": {"histogram": {"field": "v", "interval": 5}}},
+            ],
+            "size": 10,
+        }}}).collect()
+        got = [(r.day, r.bin, r.doc_count) for r in rows]
+        assert got == [
+            ("2024-01-01", 0.0, 1), ("2024-01-01", 5.0, 1),
+            ("2024-01-02", 10.0, 2),
+        ]
+        # after-tuple resumes mid-day
+        rows = apply_aggs(df, {"c": {"composite": {
+            "sources": [
+                {"day": {"date_histogram": {"field": "ts",
+                                            "calendar_interval": "day"}}},
+                {"bin": {"histogram": {"field": "v", "interval": 5}}},
+            ],
+            "size": 10,
+            "after": {"day": "2024-01-01", "bin": 0.0},
+        }}}).collect()
+        assert [(r.day, r.bin) for r in rows] == [
+            ("2024-01-01", 5.0), ("2024-01-02", 10.0),
+        ]
