@@ -35,15 +35,24 @@ Bucket aggregations:
                      every bucket is returned (the composite-agg /
                      analytics reading; ES's interactive default is
                      size=10 — pass it explicitly for that behavior).
-- ``date_histogram`` {field, calendar_interval: hour|day|month|year}
+- ``date_histogram`` {field, calendar_interval: hour|day|month|year
+                     [, min_doc_count]} — pass ``min_doc_count: 0``
+                     (ES's default) to emit EMPTY buckets between the
+                     observed min and max (hour/day grids only);
+                     without it gap buckets are omitted (documented
+                     divergence — the engine's default is
+                     min_doc_count 1).
 - ``auto_date_histogram`` {field[, buckets]} — ES picks the smallest
                      ladder interval (1h..30d) yielding <= ``buckets``
                      aligned buckets from the OBSERVED span; the pick
                      rides a single-row broadcast join (one extra
                      map-side-combined min/max scan, no driver
                      round-trip), then buckets like date_histogram.
-- ``histogram``      {field, interval} — fixed-width numeric. NULL
-                     field values are omitted (no bucket), like ES.
+- ``histogram``      {field, interval[, min_doc_count]} — fixed-width
+                     numeric; NULL field values are omitted (no
+                     bucket), like ES. ``min_doc_count: 0`` emits
+                     empty grid buckets between the observed min and
+                     max per parent, like ES's default.
 - ``range``          {field, ranges: [{from?, to?[, key]}]} — ES-exact:
                      a doc lands in EVERY matching range (explode
                      lowering), docs outside all ranges produce no
@@ -781,6 +790,88 @@ def _apply_top_hits(
 # ---------------------------------------------------------------------------
 
 
+_GAP_STEP = {"hour": "interval 1 hour", "day": "interval 1 day"}
+
+
+def _gap_fill(lv: _Level, frame: DataFrame) -> DataFrame:
+    """ES min_doc_count=0 for histogram / date_histogram: emit EMPTY
+    buckets between each parent's observed min and max key
+    (doc_count 0, additive metrics 0, avg/min/max NULL — the same
+    fill rules as requested range buckets). Supported intervals:
+    numeric histograms and hour/day calendars (month/year grids are
+    not generated — raise at plan time).
+
+    Scale shape: the grid explodes from ONE min/max row per parent
+    bucket of the ALREADY-AGGREGATED frame (KB-scale), then
+    left-joins the buckets back — the corpus is never re-read."""
+    seg = lv.own_segment
+    kind, body = seg[2], seg[3]
+    key = lv.keys[-1]
+    parent_keys = lv.keys[:-1]
+    if kind == "histogram":
+        iv = float(body["interval"])
+        lo, hi = F.min(F.col(key)), F.max(F.col(key))
+        spans = (
+            frame.groupBy(*parent_keys).agg(
+                lo.alias("__lo"), hi.alias("__hi")
+            )
+            if parent_keys
+            else frame.agg(lo.alias("__lo"), hi.alias("__hi"))
+        )
+        grid = spans.select(
+            *parent_keys,
+            F.explode(
+                F.sequence(
+                    (F.col("__lo") / F.lit(iv)).cast("long"),
+                    (F.col("__hi") / F.lit(iv)).cast("long"),
+                )
+            ).alias("__step"),
+        ).select(
+            *parent_keys, (F.col("__step") * F.lit(iv)).alias(key)
+        )
+    else:
+        cal = body.get("calendar_interval")
+        step = _GAP_STEP.get(cal)
+        if step is None:
+            raise ValueError(
+                f"date_histogram min_doc_count=0: gap filling is "
+                f"lowered for hour/day intervals only, got {cal!r}"
+            )
+        fmt = _CAL[cal]
+        spans = (
+            frame.groupBy(*parent_keys).agg(
+                F.min(F.col(key)).alias("__lo"),
+                F.max(F.col(key)).alias("__hi"),
+            )
+            if parent_keys
+            else frame.agg(
+                F.min(F.col(key)).alias("__lo"),
+                F.max(F.col(key)).alias("__hi"),
+            )
+        )
+        grid = spans.select(
+            *parent_keys,
+            F.explode(
+                F.expr(
+                    "sequence(to_timestamp(__lo), "
+                    f"to_timestamp(__hi), {step})"
+                )
+            ).alias("__t"),
+        ).select(
+            *parent_keys, F.date_format("__t", fmt).alias(key)
+        )
+    out = grid.join(F.broadcast(frame), lv.keys, "left")
+    out = out.withColumn(
+        "doc_count", F.coalesce(F.col("doc_count"), F.lit(0).cast("long"))
+    )
+    for name, mkind, _b in lv.metrics:
+        if mkind in ("value_count", "sum", "cardinality"):
+            out = out.withColumn(
+                name, F.coalesce(F.col(name), F.lit(0).cast("long"))
+            )
+    return out
+
+
 def _zero_fill(
     level: _Level, frame: DataFrame, parent_frame: DataFrame | None
 ) -> DataFrame:
@@ -852,6 +943,12 @@ def apply_aggs(
             or lv.siblings
             or (seg is not None and seg[0] == "explode")
             or (seg is not None and seg[2] == "significant_terms")
+            or (
+                seg is not None
+                and seg[0] == "key"
+                and seg[2] in ("histogram", "date_histogram")
+                and seg[3].get("min_doc_count", 1) == 0
+            )
             or (
                 seg is not None
                 and seg[0] == "key"
@@ -1075,6 +1172,13 @@ def apply_aggs(
                     .filter(F.col("__tn") <= int(size))
                     .drop("__tn")
                 )
+        if (
+            seg is not None
+            and seg[0] == "key"
+            and seg[2] in ("histogram", "date_histogram")
+            and seg[3].get("min_doc_count", 1) == 0
+        ):
+            bf = _gap_fill(lv, bf)
         if seg is not None and seg[2] == "significant_terms":
             bf = _significant_terms(lv, bf, base)
         bf = _apply_pipelines(lv, bf)

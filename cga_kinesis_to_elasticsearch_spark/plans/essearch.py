@@ -1742,3 +1742,66 @@ def _es_search_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# 27. min_doc_count 0: empty gap buckets in a date_histogram.
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH hits AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS doc_count,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'signup' AND user_id % 487 = 3
+  GROUP BY 1
+),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM hits),
+grid AS (
+  SELECT strftime(g.d, '%Y-%m-%d') AS day
+  FROM span, LATERAL (
+    SELECT unnest(generate_series(CAST(lo AS DATE), CAST(hi AS DATE),
+                                  INTERVAL 1 DAY)) AS d) g
+)
+SELECT 'per_day' AS agg_path, g.day,
+       coalesce(h.doc_count, 0) AS doc_count,
+       coalesce(h.cents, 0) AS cents
+FROM grid g LEFT JOIN hits h ON g.day = h.day
+"""
+
+
+@q("es_search_histogram_gaps", _GAPS_ORACLE)
+def _es_search_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``min_doc_count: 0`` — ES's DEFAULT histogram behavior — through
+    a request body: a sparse event slice (rare user ids) leaves empty
+    days between its min and max, and the date_histogram emits every
+    one of them zero-filled; the oracle generates the same calendar
+    grid and left-joins the observed buckets.
+
+    Scale shape: the grid explodes from ONE min/max row over the
+    ALREADY-AGGREGATED bucket frame (KB-scale), then broadcast-joins
+    the buckets back — the corpus is never re-read for the gaps."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir).withColumn(
+            "sparse", F.col("user_id") % 487 == 3
+        ),
+        {
+            "query": {"bool": {"must": [
+                {"term": {"event_type": "signup"}},
+                {"term": {"sparse": True}},
+            ]}},
+            "aggs": {"per_day": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day",
+                                   "min_doc_count": 0},
+                "aggs": {"cents": {"sum": {"field": "vc"}}},
+            }},
+        },
+    )
+    return out.select(
+        "agg_path", F.col("per_day").alias("day"), "doc_count",
+        F.col("cents").cast("long").alias("cents"),
+    )

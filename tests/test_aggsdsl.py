@@ -947,3 +947,49 @@ class TestCompositeSourceTypes:
         assert [(r.day, r.bin) for r in rows] == [
             ("2024-01-01", 5.0), ("2024-01-02", 10.0),
         ]
+
+
+class TestMinDocCountZero:
+    def test_histogram_gap_buckets(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0,), (22.0,)], "v double")
+        rows = apply_aggs(df, {"h": {
+            "histogram": {"field": "v", "interval": 5,
+                          "min_doc_count": 0},
+            "aggs": {"total": {"sum": {"field": "v"}}}},
+        }).orderBy("h").collect()
+        got = [(r.h, r.doc_count, r.total) for r in rows]
+        assert got == [(0.0, 1, 1.0), (5.0, 0, 0.0), (10.0, 0, 0.0),
+                       (15.0, 0, 0.0), (20.0, 1, 22.0)]
+
+    def test_date_histogram_gaps_per_parent(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1)), ("a", dt.datetime(2024, 1, 4)),
+             ("b", dt.datetime(2024, 1, 2))],
+            "k string, ts timestamp",
+        )
+        rows = apply_aggs(df, {"per_k": {"terms": {"field": "k"},
+                                         "aggs": {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 0}}}}}).collect()
+        a_days = sorted((r.d, r.doc_count) for r in rows
+                        if r.agg_path == "per_k>d" and r.per_k == "a")
+        # gaps filled WITHIN a's own span; b (one day) gets no gaps
+        assert a_days == [("2024-01-01", 1), ("2024-01-02", 0),
+                          ("2024-01-03", 0), ("2024-01-04", 1)]
+        b_days = [(r.d, r.doc_count) for r in rows
+                  if r.agg_path == "per_k>d" and r.per_k == "b"]
+        assert b_days == [("2024-01-02", 1)]
+        with pytest.raises(ValueError, match="hour/day"):
+            apply_aggs(df, {"d": {"date_histogram": {
+                "field": "ts", "calendar_interval": "month",
+                "min_doc_count": 0}}})
