@@ -37,6 +37,15 @@ Supported leaves:
                    minimum_should_match_script}} — at least m of the
                    terms occur in the whitespace-analyzed field, m
                    per-doc from a column or a constant script
+- ``geo_bounding_box`` {field: {top_left, bottom_right}} — the geo
+                   field is a STRUCT column with ``lat``/``lon``
+                   members; pure comparisons (planar semantics per
+                   the repo's centi-degree geo convention).
+- ``geo_distance`` {distance, field: {lat, lon}} — squared planar
+                   distance vs squared radius, integer-exact;
+                   ``distance`` is a number in the field's units (ES
+                   geodesic unit strings are the documented
+                   divergence, consistent with plans/geo.py).
 - ``nested``       {path, query} — matches when ANY element of the
                    ``array<struct>`` field at ``path`` satisfies the
                    inner query on the SAME element (fields addressed
@@ -267,6 +276,50 @@ def compile_query(
             ),
             F.lit(False),
         )
+    if kind == "geo_bounding_box":
+        field, box = _one_field(kind, body)
+        try:
+            tl, br = box["top_left"], box["bottom_right"]
+        except (KeyError, TypeError):
+            raise ValueError(
+                f"geo_bounding_box needs top_left/bottom_right: {body}"
+            )
+        pt = resolve(field)
+        return (
+            (pt["lat"] <= F.lit(tl["lat"]))
+            & (pt["lat"] >= F.lit(br["lat"]))
+            & (pt["lon"] >= F.lit(tl["lon"]))
+            & (pt["lon"] <= F.lit(br["lon"]))
+        )
+    if kind == "geo_distance":
+        if not isinstance(body, dict) or "distance" not in body:
+            raise ValueError(f"geo_distance needs a distance: {body}")
+        rest = {k: v for k, v in body.items() if k != "distance"}
+        if len(rest) != 1:
+            raise ValueError(
+                f"geo_distance must name exactly one geo field: {body}"
+            )
+        (field, origin), = rest.items()
+        try:
+            olat, olon = origin["lat"], origin["lon"]
+        except (KeyError, TypeError):
+            raise ValueError(
+                f"geo_distance origin needs lat/lon: {origin!r}"
+            )
+        dist = body["distance"]
+        if not isinstance(dist, (int, float)) or dist <= 0:
+            raise ValueError(
+                "geo_distance: distance is a positive NUMBER in the "
+                "field's planar units (the engine's centi-degree "
+                f"convention; no geodesic unit strings): {dist!r}"
+            )
+        pt = resolve(field)
+        dlat = pt["lat"] - F.lit(olat)
+        dlon = pt["lon"] - F.lit(olon)
+        # squared planar distance vs squared radius: integer-exact
+        # under the repo's centi-degree convention (plans/geo.py) —
+        # the documented divergence from ES's geodesic arcs
+        return (dlat * dlat + dlon * dlon) <= F.lit(dist) * F.lit(dist)
     if kind == "match_all":
         return F.lit(True)
     if kind == "term":

@@ -1805,3 +1805,71 @@ def _es_search_histogram_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agg_path", F.col("per_day").alias("day"), "doc_count",
         F.col("cents").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 28. geo queries: distance radius + bounding box through the body.
+# ---------------------------------------------------------------------------
+
+_GEO_QUERY_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         -6000 + (c_custkey * 7) % 12000 AS lat,
+         -18000 + (c_custkey * 13) % 36000 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+FROM pts
+WHERE (lat - 1500) * (lat - 1500) + (lon + 2500) * (lon + 2500)
+      <= 4000 * 4000
+  AND lat <= 5000 AND lat >= -5000 AND lon >= -9000 AND lon <= 9000
+ORDER BY c_custkey
+LIMIT 30
+"""
+
+
+@q("es_search_geo", _GEO_QUERY_ORACLE)
+def _es_search_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_distance`` AND ``geo_bounding_box`` composed in one bool
+    body over the repo's planar centi-degree customer coordinates: a
+    4000-unit radius around (1500, -2500) intersected with a bounding
+    box, both integer-exact (squared-distance comparison, no sqrt) so
+    the oracle replays them verbatim.
+
+    Scale shape: two pure codegen predicates on one scan +
+    TakeOrdered(30) — geo filtering costs the same plan as numeric
+    filtering."""
+    from ..operators.querydsl import run_search_body
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            (F.lit(-6000) + (F.col("c_custkey") * 7) % 12000).alias("lat"),
+            (F.lit(-18000) + (F.col("c_custkey") * 13) % 36000).alias(
+                "lon"
+            ),
+        ).alias("loc"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    out = run_search_body(
+        cust,
+        {
+            "query": {"bool": {"must": [
+                {"geo_distance": {"distance": 4000,
+                                  "loc": {"lat": 1500, "lon": -2500}}},
+                {"geo_bounding_box": {"loc": {
+                    "top_left": {"lat": 5000, "lon": -9000},
+                    "bottom_right": {"lat": -5000, "lon": 9000},
+                }}},
+            ]}},
+            "sort": [{"c_custkey": {"order": "asc"}}],
+            "size": 30,
+        },
+    )
+    return out.select(
+        "c_custkey",
+        F.col("loc.lat").alias("lat"),
+        F.col("loc.lon").alias("lon"),
+        "bal_c",
+    )

@@ -637,3 +637,40 @@ class TestNestedQuery:
         assert got == [3, 4]
         with pytest.raises(ValueError, match="nested needs"):
             compile_query({"nested": {"path": "items"}})
+
+
+class TestGeoQueries:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, (0, 0)), (2, (30, 40)), (3, (100, 0)), (4, (-20, 10)),
+             (5, None)],
+            "id long, loc struct<lat:long, lon:long>",
+        )
+
+    def test_geo_distance_planar(self, spark):
+        # radius 50 from origin: d(1)=0, d(2)=50, d(3)=100, d(4)~22.4
+        got = sorted(r.id for r in apply_query(self._frame(spark), {
+            "geo_distance": {"distance": 50,
+                             "loc": {"lat": 0, "lon": 0}},
+        }).collect())
+        assert got == [1, 2, 4]
+        with pytest.raises(ValueError, match="positive NUMBER"):
+            compile_query({"geo_distance": {"distance": "12km",
+                                            "loc": {"lat": 0, "lon": 0}}})
+
+    def test_geo_bounding_box(self, spark):
+        got = sorted(r.id for r in apply_query(self._frame(spark), {
+            "geo_bounding_box": {"loc": {
+                "top_left": {"lat": 35, "lon": -25},
+                "bottom_right": {"lat": -25, "lon": 15},
+            }},
+        }).collect())
+        # box lat [-25, 35], lon [-25, 15]: ids 1 (0,0) and 4 (-20,10)
+        assert got == [1, 4]
+        # composes under bool with the null row passing must_not
+        got = sorted(r.id for r in apply_query(self._frame(spark), {
+            "bool": {"must_not": [{"geo_bounding_box": {"loc": {
+                "top_left": {"lat": 35, "lon": -25},
+                "bottom_right": {"lat": -25, "lon": 15}}}}]},
+        }).collect())
+        assert got == [2, 3, 5]
