@@ -291,9 +291,16 @@ def compile_pipeline(
                         F.split(src, fs),
                         lambda kvs: F.struct(
                             F.substring_index(kvs, vs, 1).alias("k"),
+                            # ES kv splits key from value at the FIRST
+                            # value_split occurrence ('u=a=b' -> 'a=b'),
+                            # so take everything after it, not
+                            # substring_index(..., -1) (last-split).
                             F.when(
                                 kvs.contains(vs),
-                                F.substring_index(kvs, vs, -1),
+                                kvs.substr(
+                                    F.instr(kvs, vs) + len(vs),
+                                    F.length(kvs),
+                                ),
                             ).alias("v"),
                         ),
                     ),

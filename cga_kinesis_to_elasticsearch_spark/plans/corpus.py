@@ -1261,7 +1261,7 @@ WITH k AS (
          md5('ep' || CAST(e.epoch AS VARCHAR) || ':'
              || CAST(d.doc_id AS VARCHAR)) AS shuffle_key
   FROM documents d
-  CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+  CROSS JOIN (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS epoch) e
 ),
 r AS (
   SELECT epoch, doc_id, shuffle_key,

@@ -1017,7 +1017,7 @@ def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRAME_DEDUP_ORACLE = f"""
 WITH p AS (SELECT doc_id, substring(text, 1, {_MM_BYTES}) AS payload
            FROM documents),
-f AS (SELECT doc_id, i AS frame_idx,
+f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
              md5(substring(payload, i * {_MM_STEP} + 1, {_MM_STEP}))
                AS frame_md5
       FROM p, unnest([0, 1, 2, 3]) AS t(i))
@@ -1061,7 +1061,7 @@ def _multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCENE_ORACLE = f"""
 WITH p AS (SELECT doc_id, substring(text, 1, {_MM_BYTES}) AS payload
            FROM documents),
-f AS (SELECT doc_id, i AS frame_idx,
+f AS (SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
              substring(payload, i * {_MM_STEP} + 1, {_MM_STEP}) AS frame
       FROM p, unnest([0, 1, 2, 3]) AS t(i)),
 feat AS (SELECT doc_id, frame_idx,

@@ -352,6 +352,15 @@ class TestDissectKv:
         ]).orderBy("id").collect()
         got = [(r["q.a"], r["q.b"]) for r in out]
         assert got == [("1", "two"), (None, "x"), (None, None)]
+
+        # ES kv splits key/value at the FIRST value_split occurrence:
+        # 'a=x=y' must yield value 'x=y', not 'y'.
+        nested = apply_ingest_pipeline(
+            spark.createDataFrame([(1, "a=x=y&b=2")], "id long, qs string"),
+            [{"kv": {"field": "qs", "field_split": "&",
+                     "value_split": "=", "include_keys": ["a", "b"]}}],
+        ).collect()[0]
+        assert (nested["a"], nested["b"]) == ("x=y", "2")
         import pytest as _pt
 
         with _pt.raises(ValueError, match="include_keys"):
