@@ -31,8 +31,15 @@ from __future__ import annotations
 
 import shutil
 from pathlib import Path
+from urllib.parse import unquote
 
-__all__ = ["recover_and_sweep", "swap_in", "part_paths"]
+__all__ = [
+    "recover_and_sweep",
+    "swap_in",
+    "part_paths",
+    "decode_part_name",
+    "promote_staged",
+]
 
 _TMP = ".tmp-"
 _OLD = ".old-"
@@ -59,6 +66,77 @@ def recover_and_sweep(root: Path) -> list[str]:
             p.rename(final)
             recovered.append(final.name)
     return recovered
+
+
+def decode_part_name(name: str) -> tuple[str, str | None]:
+    """``col=escaped`` directory name -> ``(col, raw value)``.
+
+    Spark's ``partitionBy`` %XX-escapes special characters (':', '#',
+    '%', ...) in partition values (Hive ``escapePathName``), and writes
+    NULL as ``__HIVE_DEFAULT_PARTITION__`` — so dir names must be
+    DECODED to compare against collected column values, never
+    re-encoded by string formatting."""
+    col, _, raw = name.partition("=")
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return col, None
+    return col, unquote(raw)
+
+
+def promote_staged(
+    root: Path,
+    tmp_root: Path,
+    part_col: str,
+    expected: dict[str, bool],
+) -> None:
+    """Promote every staged partition dir under ``tmp_root`` into
+    ``root`` via the swap protocol, matching touched partition VALUES
+    against the dir names Spark actually wrote — reconstructing
+    ``f"{col}={value}"`` is unsafe because ``partitionBy`` escapes
+    special characters.
+
+    ``expected`` maps each touched partition's raw string value to
+    whether the rewrite may legitimately have staged NOTHING for it
+    (True = every row of the partition was deleted, swap in an empty
+    dir). Any other mismatch — a touched partition with surviving rows
+    but no staged dir, or a staged dir for an un-touched value — raises
+    instead of silently swapping in an empty (data-losing) partition."""
+    prefix = f"{part_col}="
+    staged: dict[str | None, str] = {}
+    for p in tmp_root.iterdir():
+        if p.is_dir() and p.name.startswith(prefix):
+            staged[decode_part_name(p.name)[1]] = p.name
+    orig: dict[str | None, str] = {}
+    for p in root.iterdir():
+        if p.is_dir() and p.name.startswith(prefix):
+            orig[decode_part_name(p.name)[1]] = p.name
+    for val, may_be_empty in expected.items():
+        name = staged.pop(val, None)
+        if name is not None:
+            _, tmp, _ = part_paths(root, name)
+            (tmp_root / name).rename(tmp)
+            swap_in(root, name)
+            continue
+        if not may_be_empty:
+            raise RuntimeError(
+                "partition rewrite staged no directory for touched "
+                f"partition {part_col}={val!r} which still has "
+                "surviving rows — refusing to swap in an empty dir"
+            )
+        name = orig.get(val)
+        if name is None:
+            raise RuntimeError(
+                "fully-deleted touched partition "
+                f"{part_col}={val!r} has no original directory under "
+                f"{root} — partition listing out of sync with the scan"
+            )
+        _, tmp, _ = part_paths(root, name)
+        tmp.mkdir()
+        swap_in(root, name)
+    if staged:
+        raise RuntimeError(
+            "partition rewrite staged directories for values the "
+            f"match scan never touched: {sorted(staged.values())}"
+        )
 
 
 def swap_in(root: Path, part: str) -> None:

@@ -42,8 +42,8 @@ from pyspark.sql import SparkSession, functions as F
 
 from ..operators.ingest import compile_pipeline
 from ..operators.querydsl import compile_query
-from ._swap import part_paths, recover_and_sweep, swap_in
-from .forget import ForgetStats, forget
+from ._swap import promote_staged, recover_and_sweep
+from .forget import ForgetStats, forget, raw_partition_values
 
 __all__ = ["delete_by_query", "update_by_query", "UpdateStats"]
 
@@ -112,46 +112,54 @@ def update_by_query(
     # partition column, then ONE conditional-projection rewrite over
     # every touched partition (partition-pruned scan, no shuffle),
     # promoted per partition through the crash-safe swap
-    df = spark.read.parquet(str(root))
-    data_cols = [c for c in df.columns if c != part_col]
-    cols = compile_pipeline(data_cols, processors)
-    if list(cols) != data_cols:
-        raise ValueError(
-            "_update_by_query must preserve the table schema: "
-            f"{data_cols} -> {list(cols)}"
+    # Partition-type inference off for the whole rewrite so collected
+    # partition values are the exact directory strings; promotion then
+    # matches the dir names Spark actually wrote (escaping-safe) and
+    # an update can never legitimately stage nothing for a touched
+    # partition (rows are rewritten, not dropped), so every value maps
+    # to may_be_empty=False and a missing staged dir raises.
+    with raw_partition_values(spark):
+        df = spark.read.parquet(str(root))
+        data_cols = [c for c in df.columns if c != part_col]
+        cols = compile_pipeline(data_cols, processors)
+        if list(cols) != data_cols:
+            raise ValueError(
+                "_update_by_query must preserve the table schema: "
+                f"{data_cols} -> {list(cols)}"
+            )
+        counts = df.groupBy(part_col).agg(
+            F.count(F.lit(1)).alias("__n_total"),
+            F.sum(F.when(pred, 1).otherwise(0)).alias("__n_match"),
+        ).collect()
+        stats.partitions_scanned = len(counts)
+        touched = [r for r in counts if int(r["__n_match"] or 0) > 0]
+        if not touched:
+            return stats
+        for r in touched:
+            stats.rows_updated += int(r["__n_match"])
+            stats.rows_untouched += (
+                int(r["__n_total"]) - int(r["__n_match"])
+            )
+        stats.partitions_rewritten = len(touched)
+        vals = [r[part_col] for r in touched]
+        updated = df.filter(F.col(part_col).isin(vals)).select(
+            *[
+                F.when(pred, expr)
+                .otherwise(F.col(f"`{name}`"))
+                .alias(name)
+                for name, expr in cols.items()
+            ],
+            F.col(f"`{part_col}`"),
         )
-    counts = df.groupBy(part_col).agg(
-        F.count(F.lit(1)).alias("__n_total"),
-        F.sum(F.when(pred, 1).otherwise(0)).alias("__n_match"),
-    ).collect()
-    stats.partitions_scanned = len(counts)
-    touched = [r for r in counts if int(r["__n_match"] or 0) > 0]
-    if not touched:
+        tmp_root = root / ".tmp-rewrite"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        updated.write.partitionBy(part_col).mode("overwrite").parquet(
+            str(tmp_root)
+        )
+        for marker in tmp_root.glob("_*"):
+            marker.unlink()
+        promote_staged(
+            root, tmp_root, part_col, {v: False for v in vals}
+        )
+        shutil.rmtree(tmp_root, ignore_errors=True)
         return stats
-    for r in touched:
-        stats.rows_updated += int(r["__n_match"])
-        stats.rows_untouched += int(r["__n_total"]) - int(r["__n_match"])
-    stats.partitions_rewritten = len(touched)
-    vals = [r[part_col] for r in touched]
-    updated = df.filter(F.col(part_col).isin(vals)).select(
-        *[
-            F.when(pred, expr).otherwise(F.col(f"`{name}`")).alias(name)
-            for name, expr in cols.items()
-        ],
-        F.col(f"`{part_col}`"),
-    )
-    tmp_root = root / ".tmp-rewrite"
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    updated.write.partitionBy(part_col).mode("overwrite").parquet(
-        str(tmp_root)
-    )
-    for marker in tmp_root.glob("_*"):
-        marker.unlink()
-    for v in vals:
-        part = f"{part_col}={v}"
-        src = tmp_root / part
-        _, tmp, _ = part_paths(root, part)
-        src.rename(tmp)
-        swap_in(root, part)
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    return stats

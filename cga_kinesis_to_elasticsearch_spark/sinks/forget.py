@@ -41,14 +41,37 @@ AGAIN over the index directory, keyed on the forgotten ids::
 from __future__ import annotations
 
 import shutil
+from contextlib import contextmanager
 from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ._swap import part_paths, recover_and_sweep, swap_in
+from ._swap import promote_staged, recover_and_sweep
 
-__all__ = ["ForgetStats", "forget"]
+__all__ = ["ForgetStats", "forget", "raw_partition_values"]
+
+
+@contextmanager
+def raw_partition_values(spark: SparkSession):
+    """Scope a read so partition VALUES stay the exact (unescaped)
+    strings from the directory names: partition-type inference would
+    normalize values ('es_index=0123' -> int 123) and break the
+    collected-value <-> staged-dir matching the rewrite protocol
+    depends on. Scoped-and-restored like the SPARK-35703 conf."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 @dataclass
@@ -85,46 +108,53 @@ def forget(
     # ONE match-scan job over the whole table (grouped by the
     # partition column) replaces a per-partition agg loop — at 30
     # daily partitions that is 30x fewer jobs, and the scan still
-    # reads only the predicate's columns
-    df = spark.read.parquet(str(root))
-    counts = df.groupBy(part_col).agg(
-        F.count(F.lit(1)).alias("__n_total"),
-        F.sum(F.when(hit, 1).otherwise(0)).alias("__n_match"),
-    ).collect()  # one row per partition
-    stats.partitions_scanned = len(counts)
-    touched = [r for r in counts if int(r["__n_match"] or 0) > 0]
-    if not touched:
+    # reads only the predicate's columns. Partition-type inference is
+    # disabled for the whole rewrite so collected values are the exact
+    # directory strings (see raw_partition_values).
+    with raw_partition_values(spark):
+        df = spark.read.parquet(str(root))
+        counts = df.groupBy(part_col).agg(
+            F.count(F.lit(1)).alias("__n_total"),
+            F.sum(F.when(hit, 1).otherwise(0)).alias("__n_match"),
+        ).collect()  # one row per partition
+        stats.partitions_scanned = len(counts)
+        touched = [r for r in counts if int(r["__n_match"] or 0) > 0]
+        if not touched:
+            return stats
+        for r in touched:
+            stats.rows_deleted += int(r["__n_match"])
+            stats.rows_kept += int(r["__n_total"]) - int(r["__n_match"])
+        stats.partitions_rewritten = len(touched)
+        vals = [r[part_col] for r in touched]
+        # ONE partitioned rewrite job for every touched partition: the
+        # partition filter prunes untouched days at the scan, no extra
+        # shuffle (parallelism = input splits, output files per
+        # partition track the input layout), then each partition dir is
+        # promoted through the same crash-safe swap. An interrupted
+        # batched write leaves only `.tmp-*` dirs, which
+        # recover_and_sweep drops. Promotion matches the dir names
+        # Spark ACTUALLY wrote (escaping-safe) and only swaps in an
+        # empty dir when the match scan counted the WHOLE partition as
+        # deleted — any other staged/touched mismatch raises.
+        tmp_root = root / ".tmp-rewrite"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        (
+            df.filter(F.col(part_col).isin(vals))
+            .filter(~hit)
+            .write.partitionBy(part_col)
+            .mode("overwrite")
+            .parquet(str(tmp_root))
+        )
+        for marker in tmp_root.glob("_*"):
+            marker.unlink()
+        promote_staged(
+            root,
+            tmp_root,
+            part_col,
+            {
+                r[part_col]: int(r["__n_match"]) == int(r["__n_total"])
+                for r in touched
+            },
+        )
+        shutil.rmtree(tmp_root, ignore_errors=True)
         return stats
-    for r in touched:
-        stats.rows_deleted += int(r["__n_match"])
-        stats.rows_kept += int(r["__n_total"]) - int(r["__n_match"])
-    stats.partitions_rewritten = len(touched)
-    vals = [r[part_col] for r in touched]
-    # ONE partitioned rewrite job for every touched partition: the
-    # partition filter prunes untouched days at the scan, no extra
-    # shuffle (parallelism = input splits, output files per partition
-    # track the input layout), then each partition dir is promoted
-    # through the same crash-safe swap. An interrupted batched write
-    # leaves only `.tmp-*` dirs, which recover_and_sweep drops.
-    tmp_root = root / ".tmp-rewrite"
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    (
-        df.filter(F.col(part_col).isin(vals))
-        .filter(~hit)
-        .write.partitionBy(part_col)
-        .mode("overwrite")
-        .parquet(str(tmp_root))
-    )
-    for marker in tmp_root.glob("_*"):
-        marker.unlink()
-    for v in vals:
-        part = f"{part_col}={v}"
-        src = tmp_root / part
-        _, tmp, _ = part_paths(root, part)
-        if src.exists():
-            src.rename(tmp)
-        else:  # every row of the partition was deleted
-            tmp.mkdir()
-        swap_in(root, part)
-    shutil.rmtree(tmp_root, ignore_errors=True)
-    return stats

@@ -64,6 +64,50 @@ class TestForget:
         assert stats.partitions_rewritten == 1
 
 
+class TestPartitionDirNames:
+    """The swap must match the dir names Spark ACTUALLY wrote —
+    partitionBy %XX-escapes special characters and partition-type
+    inference would normalize values like '0123' -> 123."""
+
+    def test_escaped_partition_values(self, spark, tmp_path):
+        root = tmp_path / "data"
+        # ':' is escaped by partitionBy -> 'es_index=logs%3A01'
+        rows = [("logs:01", 1, "a"), ("logs:01", 2, "b"), ("logs:02", 3, "c")]
+        _write(spark, root, rows)
+        assert (root / "es_index=logs%3A01").exists()
+        stats = forget(spark, root, F.col("user_id") == 1)
+        remaining = spark.read.parquet(str(root))
+        assert remaining.count() == 2
+        assert stats.rows_deleted == 1 and stats.partitions_rewritten == 1
+        assert (root / "es_index=logs%3A01").exists()
+        assert not (root / ".tmp-rewrite").exists()
+
+    def test_numeric_looking_values_not_normalized(self, spark, tmp_path):
+        root = tmp_path / "data"
+        # inference would read '0123' as int 123 and reconstruct the
+        # wrong dir name; a full delete of that partition must still
+        # land on the real dir, not an 'es_index=123' ghost
+        rows = [("0123", 1, "a"), ("0123", 2, "b"), ("0456", 3, "c")]
+        _write(spark, root, rows)
+        stats = forget(spark, root, F.col("es_index") == "0123")
+        assert stats.rows_deleted == 2 and stats.partitions_rewritten == 1
+        assert (root / "es_index=0123").exists()
+        assert list((root / "es_index=0123").glob("*.parquet")) == []
+        remaining = spark.read.parquet(str(root))
+        assert remaining.count() == 1
+
+    def test_full_delete_swaps_empty_dir(self, spark, tmp_path):
+        root = tmp_path / "data"
+        rows = [("logs-2024-01-01", i, "x") for i in range(5)] + [
+            ("logs-2024-01-02", 9, "y")
+        ]
+        _write(spark, root, rows)
+        stats = forget(spark, root, F.col("es_index") == "logs-2024-01-01")
+        assert stats.rows_deleted == 5 and stats.rows_kept == 0
+        assert (root / "es_index=logs-2024-01-01").exists()
+        assert spark.read.parquet(str(root)).count() == 1
+
+
 class TestNullPredicate:
     def test_null_predicate_rows_kept(self, spark, tmp_path):
         root = tmp_path / "data"
