@@ -74,17 +74,26 @@ or no ``sort`` at all with a hit-list request — ES's default order):
   whitespace-analyzed field, with corpus statistics (N, avgdl, df)
   taken from the FULL index frame like ES takes them from the shard,
   not from the filtered set;
-- a top-level ``function_score`` wraps a filter-context query with
-  decay functions (``gauss`` / ``exp`` / ``linear`` over a numeric
-  field distance) and ``weight``, combined by ``score_mode``
-  multiply (the default); other inner constructs stay filter-context;
+- a top-level ``function_score`` wraps a scored query with functions
+  — decay (``gauss`` / ``exp`` / ``linear``), ``field_value_factor``
+  (all ES modifiers + ``missing``), ``script_score``, bare ``weight``
+  — each with an optional per-function ``filter``; matching
+  functions' weighted values combine under ``score_mode`` (multiply /
+  sum / avg / max / min / first), cap at ``max_boost``, merge with
+  the inner query's score under ``boost_mode`` (multiply / replace /
+  sum / avg / max / min), and ``min_score`` excludes low-scoring
+  docs;
 - a top-level ``multi_match`` scores best_fields (max per-field BM25);
 - ``script_score`` computes ``_score`` from a painless-subset script
   (``doc['field'].value`` + arithmetic, plan-time rejection);
 - ``rescore`` re-scores only the top ``window_size`` hits of the
   primary order (query_weight/rescore_query_weight combination);
+  hits beyond the window keep their primary scores AFTER the
+  rescored set, like ES;
 - the ``knn`` section is an exact cosine top-k with ES's (1+cos)/2
   dense-vector scaling (indexed variants: operators/similarity.py);
+  with ``query`` alongside it runs ES 8 hybrid search — additive
+  scores, or reciprocal-rank fusion under ``rank: {rrf: ...}``;
 - the ``suggest`` section (term suggester) returns did-you-mean
   corrections for tokens missing from the index vocabulary.
 
@@ -559,13 +568,162 @@ def _compile_score_script(source: str) -> Column:
     return F.expr(sql)
 
 
+# field_value_factor modifiers (ES's exact set; log* are base-10,
+# ln* natural, like Lucene)
+_FVF_MODIFIERS = {
+    "none": lambda c: c,
+    "log": lambda c: F.log10(c),
+    "log1p": lambda c: F.log10(c + F.lit(1.0)),
+    "log2p": lambda c: F.log10(c + F.lit(2.0)),
+    "ln": lambda c: F.log(c),
+    "ln1p": lambda c: F.log(c + F.lit(1.0)),
+    "ln2p": lambda c: F.log(c + F.lit(2.0)),
+    "square": lambda c: c * c,
+    "sqrt": lambda c: F.sqrt(c),
+    "reciprocal": lambda c: F.lit(1.0) / c,
+}
+
+_SCORE_MODES = ("multiply", "sum", "avg", "max", "min", "first")
+_BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
+
+# inline single-function shorthand keys ES accepts directly under
+# function_score (instead of a functions list)
+_INLINE_FN_KEYS = _DECAY_FNS + ("field_value_factor", "script_score")
+
+
+def _field_value_factor(spec: dict) -> Column:
+    """ES ``field_value_factor``: modifier(field * factor), with
+    ``missing`` substituting the RAW field value before factor and
+    modifier apply (ES's documented order)."""
+    if not isinstance(spec, dict) or "field" not in spec:
+        raise ValueError(f"field_value_factor needs a field: {spec}")
+    factor = float(spec.get("factor", 1.0))
+    modifier = spec.get("modifier", "none")
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(
+            f"field_value_factor: unsupported modifier {modifier!r}"
+        )
+    raw = F.col(spec["field"]).cast("double")
+    if "missing" in spec:
+        raw = F.coalesce(raw, F.lit(float(spec["missing"])))
+    return _FVF_MODIFIERS[modifier](raw * F.lit(factor))
+
+
+def _function_score_expr(
+    body: dict, qscore: Column | None, id_col: str
+) -> Column:
+    """Combine a ``function_score`` body's functions into the final
+    score: each function is (filter, weight, value) — decay /
+    field_value_factor / script_score / bare weight — weighted values
+    of MATCHING functions combine under ``score_mode``, the result is
+    capped by ``max_boost`` and merged with the inner query's score
+    under ``boost_mode``. A doc matching NO function keeps function
+    score 1, like ES."""
+    functions = body.get("functions")
+    if functions is None:
+        # ES single-function shorthand: the function spec sits inline
+        inline = {
+            k: body[k] for k in (*_INLINE_FN_KEYS, "weight") if k in body
+        }
+        if not inline:
+            raise ValueError("function_score needs functions")
+        functions = [inline]
+    score_mode = body.get("score_mode", "multiply")
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(
+            f"function_score: unsupported score_mode {score_mode!r}"
+        )
+    boost_mode = body.get("boost_mode", "multiply")
+    if boost_mode not in _BOOST_MODES:
+        raise ValueError(
+            f"function_score: unsupported boost_mode {boost_mode!r}"
+        )
+    parsed: list[tuple[Column, Column, Column]] = []  # (cond, w*val, w)
+    for f in functions:
+        f = dict(f)
+        filt = f.pop("filter", None)
+        weight = f.pop("weight", None)
+        if len(f) > 1:
+            raise ValueError(
+                f"function_score: one function type per entry: {sorted(f)}"
+            )
+        if f:
+            (fn, fbody), = f.items()
+            if fn in _DECAY_FNS:
+                (field, spec), = fbody.items()
+                val = _decay_score(fn, field, spec)
+            elif fn == "field_value_factor":
+                val = _field_value_factor(fbody)
+            elif fn == "script_score":
+                val = _compile_score_script(
+                    (fbody.get("script") or {}).get("source")
+                )
+            else:
+                raise ValueError(f"unsupported score function {fn!r}")
+        else:
+            val = F.lit(1.0)  # bare weight entry
+        w = F.lit(float(weight)) if weight is not None else F.lit(1.0)
+        cond = (
+            F.coalesce(compile_query(filt, id_col=id_col), F.lit(False))
+            if filt is not None
+            else F.lit(True)
+        )
+        parsed.append((cond, val * w, w))
+    if score_mode == "multiply":
+        fs = functools.reduce(
+            _op.mul,
+            [F.when(c, ws).otherwise(F.lit(1.0)) for c, ws, _ in parsed],
+        )
+    elif score_mode == "sum":
+        fs = functools.reduce(
+            _op.add,
+            [F.when(c, ws).otherwise(F.lit(0.0)) for c, ws, _ in parsed],
+        )
+    elif score_mode == "avg":
+        # ES: the WEIGHTED average — sum(weight*value)/sum(weight)
+        num = functools.reduce(
+            _op.add,
+            [F.when(c, ws).otherwise(F.lit(0.0)) for c, ws, _ in parsed],
+        )
+        den = functools.reduce(
+            _op.add,
+            [F.when(c, w).otherwise(F.lit(0.0)) for c, _, w in parsed],
+        )
+        fs = num / den
+    elif score_mode in ("max", "min"):
+        arms = [F.when(c, ws) for c, ws, _ in parsed]
+        pick = F.greatest if score_mode == "max" else F.least
+        fs = arms[0] if len(arms) == 1 else pick(*arms)  # NULLs skipped
+    else:  # first: the first matching function in request order
+        fs = F.coalesce(*[F.when(c, ws) for c, ws, _ in parsed], F.lit(1.0))
+    any_match = functools.reduce(_op.or_, [c for c, _, _ in parsed])
+    fs = F.when(any_match, fs).otherwise(F.lit(1.0))
+    if "max_boost" in body:
+        fs = F.least(fs, F.lit(float(body["max_boost"])))
+    q = qscore if qscore is not None else F.lit(1.0)
+    if boost_mode == "multiply":
+        return q * fs
+    if boost_mode == "replace":
+        return fs
+    if boost_mode == "sum":
+        return q + fs
+    if boost_mode == "avg":
+        return (q + fs) / F.lit(2.0)
+    if boost_mode == "max":
+        return F.greatest(q, fs)
+    return F.least(q, fs)  # min
+
+
 def _score_and_filter(
     df: DataFrame, query: dict, need_score: bool
 ) -> tuple[DataFrame, Column | None]:
     """Lower the query to (filtered frame, _score column or None).
-    Scoring applies to top-level ``match`` (BM25) and
-    ``function_score`` (decay x weight product); every other query is
-    filter-context (score constant 1.0, like ES filter context)."""
+    Scoring applies to top-level ``match`` (BM25), ``multi_match``
+    (best_fields), ``script_score`` and ``function_score`` (decay /
+    field_value_factor / script_score functions with per-function
+    filters, score_mode and boost_mode — see _function_score_expr);
+    every other query is filter-context (score constant 1.0, like ES
+    filter context)."""
     kind, body = next(iter(query.items())) if len(query) == 1 else (None, None)
     if kind == "script_score":
         inner = body.get("query", {"match_all": {}})
@@ -576,30 +734,20 @@ def _score_and_filter(
         return filtered, _compile_score_script(source)
     if kind == "function_score":
         inner = body.get("query", {"match_all": {}})
-        functions = body.get("functions")
-        if not functions:
-            raise ValueError("function_score needs functions")
-        score_mode = body.get("score_mode", "multiply")
-        if score_mode != "multiply":
-            raise ValueError(
-                f"function_score: unsupported score_mode {score_mode!r}"
-            )
-        filtered = apply_query(df, inner)
-        if not need_score:
+        min_score = body.get("min_score")
+        must_score = need_score or min_score is not None
+        filtered, qscore = _score_and_filter(df, inner, must_score)
+        if not must_score:
+            # plan-time validation even when the score is unused (a
+            # malformed body must fail regardless of the sort)
+            _function_score_expr(body, F.lit(1.0), _identity_col(df))
             return filtered, None
-        score = F.lit(1.0)
-        for f in functions:
-            f = dict(f)
-            weight = f.pop("weight", None)
-            if f:
-                (fn, fbody), = f.items()
-                if fn not in _DECAY_FNS:
-                    raise ValueError(f"unsupported score function {fn!r}")
-                (field, spec), = fbody.items()
-                score = score * _decay_score(fn, field, spec)
-            if weight is not None:
-                score = score * F.lit(float(weight))
-        return filtered, score
+        score = _function_score_expr(body, qscore, _identity_col(df))
+        if min_score is not None:
+            # min_score EXCLUDES low-scoring docs (ES applies it to
+            # the final combined score)
+            filtered = filtered.filter(score >= F.lit(float(min_score)))
+        return filtered, (score if need_score else None)
     if kind == "match" and need_score:
         field, value = _one_field(kind, body)
         text = value["query"] if isinstance(value, dict) else value
@@ -619,50 +767,70 @@ def _score_and_filter(
     return apply_query(df, query), (F.lit(1.0) if need_score else None)
 
 
+def _tiebreak_names(df: DataFrame, used: list[str]) -> list[str]:
+    """Column names of the deterministic ``_doc`` tie-break: the
+    document-identity column if one exists, else every remaining
+    column."""
+    for cand in ("doc_id", "id", "event_id"):
+        if cand in df.columns and cand not in used:
+            return [cand]
+    return [c for c in df.columns if c not in used]
+
+
 def _doc_tiebreak(df: DataFrame, used: list[str]) -> list[Column]:
     """Deterministic ``_doc`` tie-break: the document-identity column
     if one exists, else every remaining column, ascending."""
-    for cand in ("doc_id", "id", "event_id"):
-        if cand in df.columns and cand not in used:
-            return [F.col(cand).asc()]
-    return [F.col(c).asc() for c in df.columns if c not in used]
+    return [F.col(c).asc() for c in _tiebreak_names(df, used)]
 
 
 def run_search_body(
     df: DataFrame, body: dict, base_df: DataFrame | None = None
 ) -> DataFrame:
-    """Execute a full ES ``_search`` request body: ``query`` + either
-    ``aggs`` (operators/aggsdsl.py, per-level bucket semantics) or the
-    hit list shaped by ``sort``/``size`` (+ ``_source`` projection).
-    The composition mirrors ES exactly: aggregations run over the
-    query-filtered document set (``global`` buckets escape to
+    """Execute a full ES ``_search`` request body: ``query`` +
+    ``aggs`` (operators/aggsdsl.py, per-level bucket semantics) and/or
+    the hit list shaped by ``sort``/``size`` (+ ``_source``
+    projection). The composition mirrors ES exactly: aggregations run
+    over the query-filtered document set (``global`` buckets escape to
     ``base_df``, default the input frame); hits are the top ``size``
     docs by the sort, score-ordered when the request asks for
     ``_score`` (or gives no sort at all — ES's default), and ALWAYS
     carrying a ``_doc`` tie-break so tied keys select a deterministic
     set.
 
+    ES's response always carries BOTH a hits section and an aggs
+    section. When the body holds ``aggs`` alone the frame is the flat
+    multi-level agg contract (the analytics reading); when it also
+    asks for hits (``size`` present) the result is a two-section
+    union: ``section='hits'`` rows carry ``hit_rank`` (1-based
+    position in the returned page) plus the ``_source`` columns, and
+    ``section='aggs'`` rows carry the agg frame's columns — each
+    side's columns are NULL on the other side's rows.
+
     Also supported on the hit path: ``from`` (offset into the sorted
     hits), ``search_after`` (strict-after tuple over the requested
-    sort keys — ES's scalable deep pagination; mutually exclusive
-    with ``from``), ``collapse`` (best hit per group), ``highlight``
-    (whitespace-analyzer unified highlighter: matched query tokens of
-    a top-level match/multi_match wrapped in ``<em>`` over the
-    analyzed field, one whole-field fragment), and ``knn``
-    ({field, query_vector, k[, filter]} — exact cosine top-k with
-    ES's (1+cos)/2 score scaling; brute force here, the IVF/LSH
-    index paths live in operators/similarity.py).
+    sort keys, optionally + one extra value for the engine's appended
+    ``_doc`` tie-break column so ties at a page boundary are never
+    skipped or duplicated; mutually exclusive with ``from``),
+    ``collapse`` (best hit per group), ``highlight`` (whitespace-
+    analyzer unified highlighter), ``rescore`` (top ``window_size``
+    hits re-scored and re-sorted; hits beyond the window keep their
+    primary scores AFTER the rescored set, like ES), and ``knn``
+    ({field, query_vector, k[, filter][, boost]} — exact cosine top-k
+    with ES's (1+cos)/2 score scaling; composes with ``query`` as ES 8
+    hybrid search: additive scores by default, reciprocal-rank fusion
+    under ``rank: {rrf: {...}}``).
 
     Plan shape: filter + groupingSets passes (aggs) or filter +
     TakeOrdered (hits) — the query's pushable conjuncts reach the
     scan; BM25 scoring adds one broadcast-sized stats aggregation;
-    knn is a codegen dot product + TakeOrdered(k)."""
+    knn is a codegen dot product + TakeOrdered(k); hybrid knn
+    broadcast-joins the k-row top-k frame onto the corpus scan."""
     pre = base_df if base_df is not None else df
     if "knn" in body:
-        if "query" in body or "aggs" in body:
+        if "aggs" in body or "suggest" in body:
             raise ValueError(
-                "knn composes only with its own filter here, not "
-                "query/aggs (ES hybrid scoring is out of scope)"
+                "knn composes with query (hybrid scoring / rank.rrf), "
+                "not with aggs or suggest"
             )
         return _run_knn(df, body)
     if "suggest" in body:
@@ -673,7 +841,8 @@ def run_search_body(
             )
         return _run_suggest(df, body["suggest"])
     sort = body.get("sort")
-    wants_hits = "aggs" not in body
+    both = "aggs" in body and "size" in body
+    wants_hits = "aggs" not in body or both
     sort_specs: list[tuple[str, str]] = []
     for s in sort or []:
         if isinstance(s, str):
@@ -698,10 +867,49 @@ def run_search_body(
     elif need_score:
         score = F.lit(1.0)
 
-    if "aggs" in body:
+    if "aggs" in body and not both:
         from .aggsdsl import apply_aggs
 
         return apply_aggs(out, body["aggs"], base_df=pre)
+    if both:
+        from .aggsdsl import apply_aggs
+
+        hits = _run_hits(
+            df, out, score, body, sort_specs, need_score, with_rank=True
+        )
+        aggs = apply_aggs(out, body["aggs"], base_df=pre)
+        overlap = (set(hits.columns) - {"hit_rank"}) & set(aggs.columns)
+        if overlap:
+            raise ValueError(
+                "hits+aggs response: column collision "
+                f"{sorted(overlap)} between hit _source and agg "
+                "columns — narrow _source or rename the aggs"
+            )
+        hits = hits.select(F.lit("hits").alias("section"), "*")
+        aggs = aggs.select(F.lit("aggs").alias("section"), "*")
+        return hits.unionByName(aggs, allowMissingColumns=True)
+    return _run_hits(
+        df, out, score, body, sort_specs, need_score, with_rank=False
+    )
+
+
+def _run_hits(
+    df: DataFrame,
+    out: DataFrame,
+    score: Column | None,
+    body: dict,
+    sort_specs: list[tuple[str, str]],
+    need_score: bool,
+    with_rank: bool,
+) -> DataFrame:
+    """The hit-list half of a ``_search`` body (see run_search_body):
+    ``df`` is the full index frame (corpus statistics / tie-break
+    source), ``out`` the query-filtered frame, ``score`` the computed
+    ``_score`` column when the request is score-ordered. With
+    ``with_rank`` the returned page carries ``hit_rank`` — the 1-based
+    position under the final order (computed on the already-limited
+    page, so the single-partition window is size-bounded)."""
+    from pyspark.sql import Window
 
     if need_score:
         out = out.withColumn("_score", score)
@@ -711,24 +919,37 @@ def run_search_body(
         F.col(f).desc() if order == "desc" else F.col(f).asc()
         for f, order in sort_specs
     ]
-    cols += _doc_tiebreak(df, [f for f, _ in sort_specs])
+    tb_names = _tiebreak_names(df, [f for f, _ in sort_specs])
+    cols += [F.col(c).asc() for c in tb_names]
     if "search_after" in body:
         if "from" in body:
             raise ValueError(
                 "search_after and from are mutually exclusive (ES)"
             )
         values = body["search_after"]
-        if not sort_specs or len(values) != len(sort_specs):
+        # the engine appends a _doc tie-break to the ORDER BY; one
+        # extra search_after value addresses it so documents tied on
+        # the requested keys at a page boundary are neither skipped
+        # nor duplicated on the next page
+        effective = list(sort_specs)
+        if (
+            len(values) == len(sort_specs) + 1
+            and len(tb_names) == 1
+            and tb_names[0] not in [f for f, _ in sort_specs]
+        ):
+            effective.append((tb_names[0], "asc"))
+        elif not sort_specs or len(values) != len(sort_specs):
             raise ValueError(
                 "search_after needs one value per sort key "
-                f"{[f for f, _ in sort_specs]}: {values}"
+                f"{[f for f, _ in sort_specs]} (+ optionally one for "
+                f"the {tb_names} tie-break): {values}"
             )
         # strict-after tuple in per-key direction: scalable deep
         # pagination — the predicate filters BEFORE the top-N, so
         # page 100 costs the same as page 1
         cond = F.lit(False)
         eq_prefix = F.lit(True)
-        for (field, order), v in zip(sort_specs, values):
+        for (field, order), v in zip(effective, values):
             c = F.col(field)
             beyond = c > F.lit(v) if order == "asc" else c < F.lit(v)
             cond = cond | (eq_prefix & beyond)
@@ -746,8 +967,6 @@ def run_search_body(
         cfield = body["collapse"].get("field")
         if not cfield:
             raise ValueError(f"collapse needs a field: {body['collapse']}")
-        from pyspark.sql import Window
-
         wc = Window.partitionBy(cfield).orderBy(*cols)
         out = (
             out.withColumn("__c_rn", F.row_number().over(wc))
@@ -755,12 +974,17 @@ def run_search_body(
             .drop("__c_rn")
         )
     out = out.orderBy(*cols)
+    order_cols = cols
     if "rescore" in body:
         # ES rescore: only the top window_size hits of the PRIMARY
-        # score order are re-scored; combined = query_weight * primary
-        # + rescore_query_weight * secondary (secondary contributes
-        # only where the rescore query matches). ES rejects rescore
-        # under an explicit non-_score sort — so does this.
+        # score order are re-scored and re-sorted; combined =
+        # query_weight * primary + rescore_query_weight * secondary
+        # (secondary contributes only where the rescore query
+        # matches). Hits BEYOND the window keep their primary scores
+        # and follow the rescored set in primary order, so a size >
+        # window_size request returns the same hit count as ES. ES
+        # rejects rescore under an explicit non-_score sort — so does
+        # this.
         if sort_specs != [("_score", "desc")]:
             raise ValueError(
                 "rescore requires _score-ordered hits (ES rejects an "
@@ -781,17 +1005,35 @@ def run_search_body(
         matches = F.coalesce(
             compile_query(rq, id_col=_identity_col(df)), F.lit(False)
         )
-        win_frame = out.limit(window)
         combined = F.lit(w1) * F.col("_score") + F.when(
             matches, F.lit(w2) * sec_score
         ).otherwise(F.lit(0.0))
-        out = win_frame.withColumn("_score", combined).orderBy(
-            F.col("_score").desc(), *_doc_tiebreak(df, ["_score"])
+        win_frame = (
+            out.limit(window)
+            .withColumn("_score", combined)
+            .withColumn("__seg", F.lit(0))
         )
+        tail = out.offset(window).withColumn("__seg", F.lit(1))
+        order_cols = [
+            F.col("__seg").asc(),
+            F.col("_score").desc(),
+            *_doc_tiebreak(df, ["_score"]),
+        ]
+        out = win_frame.unionByName(tail).orderBy(*order_cols)
     if "from" in body:
         out = out.offset(int(body["from"]))
     if "size" in body:
         out = out.limit(int(body["size"]))
+    if with_rank:
+        # rank of the hit within the returned page (1-based, final
+        # order) — computed AFTER the limit, so the single-partition
+        # window covers at most ``size`` rows
+        out = out.withColumn(
+            "hit_rank",
+            F.row_number().over(Window.orderBy(*order_cols)).cast("long"),
+        )
+    if "__seg" in out.columns:
+        out = out.drop("__seg")
     if "_source" in body:
         keep = list(body["_source"])
         if need_score and "_score" not in keep:
@@ -802,8 +1044,11 @@ def run_search_body(
                 for f in body["highlight"].get("fields", {})
                 if f"{f}_highlight" not in keep
             ]
+        if with_rank:
+            keep = ["hit_rank"] + [k for k in keep if k != "hit_rank"]
         out = out.select(*keep)
     return out
+
 
 
 def run_count_body(df: DataFrame, body: dict) -> DataFrame:
@@ -951,27 +1196,10 @@ def _run_suggest(df: DataFrame, suggest: dict) -> DataFrame:
     return out
 
 
-def _run_knn(df: DataFrame, body: dict) -> DataFrame:
-    """ES ``knn`` search section: exact cosine top-k of a literal
-    query vector over an ``array<float>`` column, scored with ES's
-    dense-vector scaling ``(1 + cosine) / 2``; the optional ``filter``
-    is a standard query-DSL pre-filter (applied BEFORE the top-k,
-    like ES).
-
-    Scale shape: a codegen zip_with dot product per row +
-    TakeOrdered(k) — the corpus never shuffles; swap in the IVF /
-    LSH / PQ index paths of operators/similarity.py when a physical
-    index exists."""
-    knn = body["knn"]
-    try:
-        field, qv, k = knn["field"], knn["query_vector"], int(knn["k"])
-    except (KeyError, TypeError):
-        raise ValueError(f"knn needs field, query_vector, k: {knn}")
-    if not qv or not all(isinstance(x, (int, float)) for x in qv):
-        raise ValueError("knn query_vector must be a non-empty number list")
-    out = df
-    if "filter" in knn:
-        out = apply_query(out, knn["filter"])
+def _knn_score(field: str, qv: list) -> Column:
+    """ES dense-vector cosine score ``(1 + cos) / 2`` of a literal
+    query vector against an ``array<float>`` column — a codegen
+    zip_with dot product, no UDF."""
     import math
 
     qnorm = math.sqrt(sum(float(x) * float(x) for x in qv)) or 1.0
@@ -990,9 +1218,149 @@ def _run_knn(df: DataFrame, body: dict) -> DataFrame:
         )
     )
     cos = dot / (vnorm * F.lit(qnorm))
-    out = out.withColumn("_score", (F.lit(1.0) + cos) / F.lit(2.0))
+    return (F.lit(1.0) + cos) / F.lit(2.0)
+
+
+def _run_knn(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``knn`` search section: exact cosine top-k of a literal
+    query vector over an ``array<float>`` column, scored with ES's
+    dense-vector scaling ``(1 + cosine) / 2``; the optional ``filter``
+    is a standard query-DSL pre-filter (applied BEFORE the top-k,
+    like ES).
+
+    Hybrid search (ES 8): when the body ALSO carries ``query``, the
+    final score is additive — the knn section contributes
+    ``boost * knn_score`` only for documents in its global top ``k``,
+    the query contributes its score only for matching documents, and
+    the hit set is the union of both arms. Under
+    ``rank: {rrf: {rank_window_size, rank_constant}}`` the arms fuse
+    by reciprocal rank instead: sum of ``1 / (rank_constant +
+    arm_rank)`` over the arms that retrieved the doc within the
+    window (ES's RRF formula; same lowering as the standalone
+    ``hybrid_rrf_search``).
+
+    Scale shape: a codegen zip_with dot product per row +
+    TakeOrdered(k) — the corpus never shuffles; the hybrid paths
+    broadcast-join the k-row (or window-row) arm frames onto the
+    corpus scan, so documents still never shuffle. Swap in the IVF /
+    LSH / PQ index paths of operators/similarity.py when a physical
+    index exists."""
+    knn = body["knn"]
+    try:
+        field, qv, k = knn["field"], knn["query_vector"], int(knn["k"])
+    except (KeyError, TypeError):
+        raise ValueError(f"knn needs field, query_vector, k: {knn}")
+    if not qv or not all(isinstance(x, (int, float)) for x in qv):
+        raise ValueError("knn query_vector must be a non-empty number list")
+    boost = float(knn.get("boost", 1.0))
+    kscore = _knn_score(field, qv) * F.lit(boost)
+    filtered = df
+    if "filter" in knn:
+        filtered = apply_query(filtered, knn["filter"])
+
+    if "query" in body:
+        return _run_knn_hybrid(df, filtered, kscore, k, body)
+
+    out = filtered.withColumn("_score", kscore)
     cols = [F.col("_score").desc()] + _doc_tiebreak(df, ["_score"])
     out = out.orderBy(*cols).limit(k)
+    if "_source" in body:
+        keep = list(body["_source"])
+        if "_score" not in keep:
+            keep.append("_score")
+        out = out.select(*keep)
+    return out
+
+
+def _run_knn_hybrid(
+    df: DataFrame, knn_filtered: DataFrame, kscore: Column, k: int, body: dict
+) -> DataFrame:
+    """ES 8 hybrid ``knn`` + ``query``: additive score combination by
+    default, reciprocal-rank fusion under ``rank: {rrf: ...}`` (see
+    _run_knn). Returns the top ``size`` hits (default ``k``)."""
+    idc = _identity_col(df)
+    if idc not in df.columns:
+        raise ValueError(
+            "hybrid knn+query needs a document identity column "
+            f"(doc_id / id / event_id) to join the arms: {df.columns}"
+        )
+    size = int(body.get("size", k))
+    topk = (
+        knn_filtered.withColumn("__knn_score", kscore)
+        .orderBy(F.col("__knn_score").desc(), *_doc_tiebreak(df, []))
+        .limit(k)
+        .select(idc, "__knn_score")
+    )
+    # the query arm scores over the FULL index frame (BM25 corpus
+    # statistics from df, like ES), matching docs only
+    _, qscore = _score_and_filter(df, body["query"], True)
+    matches = F.coalesce(
+        compile_query(body["query"], id_col=idc), F.lit(False)
+    )
+
+    rank = body.get("rank")
+    if rank is not None:
+        if set(rank) != {"rrf"}:
+            raise ValueError(f"rank supports only rrf: {rank}")
+        spec = rank["rrf"] or {}
+        window = int(spec.get("rank_window_size", size))
+        const = int(spec.get("rank_constant", 60))
+        if window < size:
+            raise ValueError(
+                f"rank_window_size {window} must be >= size {size} (ES)"
+            )
+        # each arm's top-window ranks: TakeOrdered(window) then a
+        # row_number over the window-bounded frame (single partition,
+        # <= window rows)
+        from pyspark.sql import Window
+
+        knn_arm = (
+            knn_filtered.withColumn("__s", kscore)
+            .orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
+            .limit(window)
+            .withColumn(
+                "__rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
+                ),
+            )
+            .select(idc, "__rank")
+        )
+        q_arm = (
+            df.filter(matches)
+            .withColumn("__s", qscore)
+            .orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
+            .limit(window)
+            .withColumn(
+                "__rank",
+                F.row_number().over(
+                    Window.orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
+                ),
+            )
+            .select(idc, "__rank")
+        )
+        fused = (
+            knn_arm.unionByName(q_arm)
+            .groupBy(idc)
+            .agg(
+                F.sum(F.lit(1.0) / (F.lit(const) + F.col("__rank"))).alias(
+                    "_score"
+                )
+            )
+        )
+        out = df.join(F.broadcast(fused), idc, "inner")
+    else:
+        qs = F.when(matches, qscore).otherwise(F.lit(0.0))
+        out = (
+            df.join(F.broadcast(topk), idc, "left")
+            .filter(matches | F.col("__knn_score").isNotNull())
+            .withColumn(
+                "_score", qs + F.coalesce(F.col("__knn_score"), F.lit(0.0))
+            )
+            .drop("__knn_score")
+        )
+    cols = [F.col("_score").desc()] + _doc_tiebreak(df, ["_score"])
+    out = out.orderBy(*cols).limit(size)
     if "_source" in body:
         keep = list(body["_source"])
         if "_score" not in keep:

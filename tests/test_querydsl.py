@@ -424,7 +424,30 @@ class TestPaginationHighlightKnn:
                                          "search_after": [20], "size": 1})
         with pytest.raises(ValueError, match="per sort key"):
             run_search_body(_df(spark), {**base,
-                                         "search_after": [1, 2], "size": 1})
+                                         "search_after": [1, 2, 3],
+                                         "size": 1})
+
+    def test_search_after_tiebreak_value(self, spark):
+        # docs tied on the sort key at a page boundary: one extra
+        # search_after value addresses the engine's appended _doc
+        # tie-break so the next page neither skips nor repeats them
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        tied = spark.createDataFrame(
+            [(1, "x", 10), (2, "x", 10), (3, "x", 10), (4, "x", 20)],
+            "id long, text string, n long",
+        )
+        base = {"query": {"match_all": {}}, "sort": [{"n": "asc"}],
+                "_source": ["id"]}
+        page1 = run_search_body(tied, {**base, "size": 2}).collect()
+        assert [r.id for r in page1] == [1, 2]
+        # resume after (n=10, id=2): ties on n must continue with 3
+        page2 = run_search_body(
+            tied, {**base, "search_after": [10, 2], "size": 2}
+        ).collect()
+        assert [r.id for r in page2] == [3, 4]
 
     def test_search_after_desc_direction(self, spark):
         from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
@@ -484,8 +507,49 @@ class TestPaginationHighlightKnn:
         assert [r.vec_id for r in rows] == [3, 2]
         with pytest.raises(ValueError, match="knn composes"):
             run_search_body(emb, {"knn": {"field": "embedding",
-                                          "query_vector": [1.0], "k": 1},
-                                  "query": {"match_all": {}}})
+                                          "query_vector": [1.0, 0.0],
+                                          "k": 1},
+                                  "aggs": {"n": {"value_count":
+                                                 {"field": "vec_id"}}}})
+
+    def test_knn_hybrid_additive_and_rrf(self, spark):
+        # ES 8 hybrid: knn contributes boost*score for its top-k only,
+        # query contributes 1.0 (filter context) for matching docs,
+        # hit set = union of both arms
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0], "red"), (2, [0.0, 1.0], "red"),
+             (3, [0.7, 0.7], "blue"), (4, [-1.0, 0.0], "red")],
+            "id long, embedding array<float>, color string",
+        )
+        rows = run_search_body(emb, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 2},
+            "query": {"term": {"color": "red"}},
+            "size": 4,
+            "_source": ["id"],
+        }).collect()
+        # knn top-2 = {1 (1.0), 3 (~0.85)}; query matches {1, 2, 4}
+        # scores: 1 -> 2.0, 3 -> ~0.85, 2/4 -> 1.0 each
+        assert [r.id for r in rows] == [1, 2, 4, 3]
+        assert rows[0]._score == 2.0
+        # rrf fusion: 1/(1+rank) with rank_constant=1
+        rows = run_search_body(emb, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 2},
+            "query": {"term": {"color": "red"}},
+            "rank": {"rrf": {"rank_window_size": 4, "rank_constant": 1}},
+            "size": 4,
+            "_source": ["id"],
+        }).collect()
+        # knn arm ranks: 1,3,2,4 (window 4); query arm ranks: 1,2,4
+        # doc 1: 1/2 + 1/2 = 1.0; doc 2: 1/4 + 1/3; doc 3: 1/3;
+        # doc 4: 1/5 + 1/4
+        assert [r.id for r in rows] == [1, 2, 4, 3]
+        assert abs(rows[0]._score - 1.0) < 1e-9
 
 
 class TestRescore:
@@ -525,6 +589,169 @@ class TestRescore:
                 "rescore": {"window_size": 2, "query": {}},
                 "size": 1,
             })
+
+    def test_rescore_keeps_hits_beyond_window(self, spark):
+        # ES: hits beyond window_size keep their PRIMARY scores and
+        # follow the rescored set — size > window must not shrink the
+        # hit list
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta", 10.0), (2, "alpha", 20.0),
+             (3, "beta beta", 5.0), (4, "alpha beta beta", 1.0),
+             (5, "gamma", 50.0)],
+            "id long, text string, n double",
+        )
+        rows = run_search_body(df, {
+            "query": {"match": {"text": "alpha"}},
+            "rescore": {"window_size": 2, "query": {
+                "rescore_query": {"match": {"text": "beta"}},
+                "query_weight": 1.0, "rescore_query_weight": 10.0}},
+            "size": 3, "_source": ["id"],
+        }).collect()
+        # 3 alpha docs match; window re-sorts {1,2}, doc 4 follows
+        # with its primary score — NOT dropped
+        assert [r.id for r in rows] == [1, 2, 4]
+
+
+class TestFunctionScoreModes:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, 4.0, 100.0, "red"), (2, 16.0, 200.0, "blue"),
+             (3, 0.0, 300.0, "red"), (4, None, 400.0, "blue")],
+            "id long, pop double, n double, color string",
+        )
+
+    def test_field_value_factor_modifiers(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(self._df(spark), {
+            "query": {"function_score": {
+                "query": {"match_all": {}},
+                "field_value_factor": {"field": "pop", "factor": 4.0,
+                                       "modifier": "sqrt", "missing": 1.0},
+            }},
+            "size": 4, "_source": ["id"],
+        }).collect()
+        # sqrt(pop*4): 1->4, 2->8, 3->0, 4(missing 1)->2
+        got = {r.id: r._score for r in rows}
+        assert got == {2: 8.0, 1: 4.0, 4: 2.0, 3: 0.0}
+        assert [r.id for r in rows] == [2, 1, 4, 3]
+
+    def test_score_and_boost_modes_with_filters(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        body = {
+            "query": {"function_score": {
+                "query": {"match_all": {}},
+                "functions": [
+                    {"filter": {"term": {"color": "red"}}, "weight": 3.0},
+                    {"field_value_factor": {"field": "pop",
+                                            "missing": 0.0},
+                     "weight": 2.0},
+                    {"script_score": {
+                        "script": {"source": "doc['n'].value / 100"}},
+                     "filter": {"range": {"n": {"gte": 300}}}},
+                ],
+                "score_mode": "sum",
+                "boost_mode": "sum",
+                "max_boost": 20.0,
+            }},
+            "size": 4, "_source": ["id"],
+        }
+        rows = run_search_body(self._df(spark), body).collect()
+        # function sums: 1: 3 + 8 = 11; 2: 32 -> capped 20;
+        # 3: 3 + 0 + 3 = 6; 4: 0 + 4 = 4. boost_mode sum adds the
+        # query score 1.0
+        got = {r.id: r._score for r in rows}
+        assert got == {1: 12.0, 2: 21.0, 3: 7.0, 4: 5.0}
+
+    def test_min_score_and_avg_mode(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(self._df(spark), {
+            "query": {"function_score": {
+                "query": {"match_all": {}},
+                "functions": [
+                    {"field_value_factor": {"field": "pop",
+                                            "missing": 0.0},
+                     "weight": 1.0},
+                    {"weight": 2.0},
+                ],
+                "score_mode": "avg",      # weighted: (pop + 2*2)/3
+                "boost_mode": "replace",
+                "min_score": 2.0,
+            }},
+            "size": 4, "_source": ["id"],
+        }).collect()
+        # avg scores: 1: (4+4)/3=2.67; 2: (16+4)/3=6.67; 3: 4/3=1.33
+        # (dropped); 4: (0+4)/3=1.33 (dropped)
+        assert [r.id for r in rows] == [2, 1]
+
+    def test_unknown_modes_raise(self, spark):
+        import pytest
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        with pytest.raises(ValueError, match="score_mode"):
+            run_search_body(self._df(spark), {
+                "query": {"function_score": {
+                    "functions": [{"weight": 2.0}],
+                    "score_mode": "median"}},
+                "size": 1,
+            })
+        with pytest.raises(ValueError, match="boost_mode"):
+            run_search_body(self._df(spark), {
+                "query": {"function_score": {
+                    "functions": [{"weight": 2.0}],
+                    "boost_mode": "xor"}},
+                "size": 1,
+            })
+
+
+class TestHitsAndAggs:
+    def test_two_section_union(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "red", 10.0), (2, "red", 20.0), (3, "blue", 30.0),
+             (4, "blue", 40.0), (5, "green", 0.0)],
+            "id long, color string, n double",
+        )
+        out = run_search_body(df, {
+            "query": {"range": {"n": {"gt": 5.0}}},
+            "sort": [{"n": "desc"}],
+            "size": 2,
+            "_source": ["id", "n"],
+            "aggs": {"per_color": {"terms": {"field": "color"},
+                     "aggs": {"total": {"sum": {"field": "n"}}}}},
+        })
+        rows = out.collect()
+        hits = sorted(
+            [r for r in rows if r.section == "hits"],
+            key=lambda r: r.hit_rank,
+        )
+        aggs = {r.per_color: (r.doc_count, r.total)
+                for r in rows if r.section == "aggs"}
+        assert [(r.hit_rank, r.id, r.n) for r in hits] == [
+            (1, 4, 40.0), (2, 3, 30.0)]
+        # aggs run over the FULL query-filtered set, not the hit page
+        assert aggs == {"red": (2, 30.0), "blue": (2, 70.0)}
+        # each side's columns are NULL on the other side's rows
+        assert all(r.per_color is None for r in hits)
+        assert all(r.hit_rank is None and r.id is None
+                   for r in rows if r.section == "aggs")
 
 
 class TestSuggest:
