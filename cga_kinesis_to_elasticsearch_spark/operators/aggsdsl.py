@@ -35,13 +35,18 @@ Bucket aggregations:
                      every bucket is returned (the composite-agg /
                      analytics reading; ES's interactive default is
                      size=10 — pass it explicitly for that behavior).
-- ``date_histogram`` {field, calendar_interval: hour|day|month|year
-                     [, min_doc_count]} — pass ``min_doc_count: 0``
-                     (ES's default) to emit EMPTY buckets between the
-                     observed min and max (hour/day grids only);
-                     without it gap buckets are omitted (documented
-                     divergence — the engine's default is
-                     min_doc_count 1).
+- ``date_histogram`` {field, calendar_interval: hour|day|week|month|
+                     quarter|year | fixed_interval: Ns|Nm|Nh|Nd
+                     [, time_zone][, offset][, min_doc_count]} —
+                     keys are formatted bucket-START strings;
+                     ``time_zone`` (IANA name or ``+HH:MM``) moves
+                     boundaries into that zone, ``offset`` (``+6h``)
+                     shifts them (full-timestamp keys). Pass
+                     ``min_doc_count: 0`` (ES's default) to emit
+                     EMPTY buckets between the observed min and max
+                     (every interval grids); without it gap buckets
+                     are omitted (documented divergence — the
+                     engine's default is min_doc_count 1).
 - ``auto_date_histogram`` {field[, buckets]} — ES picks the smallest
                      ladder interval (1h..30d) yielding <= ``buckets``
                      aligned buckets from the OBSERVED span; the pick
@@ -166,6 +171,120 @@ _CAL = {
     "month": "yyyy-MM",
     "year": "yyyy",
 }
+
+# calendar intervals lowered via date_trunc (week starts Monday, ISO,
+# like ES's default)
+_CAL_TRUNC = {
+    "hour": ("hour", "yyyy-MM-dd HH:00:00", "interval 1 hour", None),
+    "day": ("day", "yyyy-MM-dd", "interval 1 day", None),
+    "week": ("week", "yyyy-MM-dd", "interval 7 day", None),
+    "month": ("month", "yyyy-MM", "interval 1 month", "yyyy-MM"),
+    "quarter": ("quarter", "yyyy-MM-dd", "interval 3 month", None),
+    "year": ("year", "yyyy", "interval 1 year", "yyyy"),
+}
+
+_DURATION_RE = re.compile(r"([+-]?)(\d+)(ms|s|m|h|d)")
+_DURATION_SECS = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _parse_duration_secs(s, what: str) -> int:
+    """ES duration string (``30m``, ``+6h``, ``1000ms``) -> signed
+    whole seconds. Sub-second resolutions are rejected at plan time —
+    the engine's timestamp surface is second-resolution."""
+    m = _DURATION_RE.fullmatch(str(s))
+    if not m:
+        raise ValueError(f"{what}: bad duration {s!r}")
+    sign = -1 if m.group(1) == "-" else 1
+    n, unit = int(m.group(2)), m.group(3)
+    if unit == "ms":
+        if n % 1000:
+            raise ValueError(
+                f"{what}: sub-second duration {s!r} is not supported "
+                "(second-resolution timestamp surface)"
+            )
+        return sign * (n // 1000)
+    return sign * n * _DURATION_SECS[unit]
+
+
+def _dh_lower(body: dict):
+    """Lower a ``date_histogram`` body to
+    ``(key_builder, step_sql, parse_fmt, out_fmt)``:
+
+    - ``key_builder(field)`` — the bucket-key Column (a formatted
+      bucket-START string);
+    - ``step_sql`` — the SQL interval between consecutive buckets
+      (min_doc_count=0 gap grids);
+    - ``parse_fmt`` — explicit to_timestamp format for re-parsing the
+      key string (None when the default parser handles it);
+    - ``out_fmt`` — the key's date_format pattern.
+
+    Exactly one of ``calendar_interval`` (hour/day/week/quarter/
+    month/year) and ``fixed_interval`` (s/m/h/d multiples; ms only as
+    whole seconds) is required. ``time_zone`` moves bucket boundaries
+    into that zone (named IANA zone or ``+HH:MM`` offset — keys are
+    the LOCAL bucket starts, ES's key_as_string reading);
+    ``offset`` (``+6h``) shifts boundaries and widens the key format
+    to full timestamps. Divergence note: with a DST zone, fixed
+    intervals grid in local wall-clock (ES grids in UTC instants) —
+    use fixed-offset zones for exact parity."""
+    cal = body.get("calendar_interval")
+    fix = body.get("fixed_interval")
+    if (cal is None) == (fix is None):
+        raise ValueError(
+            "date_histogram needs exactly one of calendar_interval / "
+            f"fixed_interval: {body}"
+        )
+    if cal is not None and cal not in _CAL_TRUNC:
+        raise ValueError(
+            f"date_histogram: unsupported calendar_interval {cal!r}"
+        )
+    tz = body.get("time_zone")
+    off = (
+        _parse_duration_secs(body["offset"], "date_histogram offset")
+        if "offset" in body
+        else 0
+    )
+    if cal is not None:
+        trunc_unit, out_fmt, step_sql, parse_fmt = _CAL_TRUNC[cal]
+        secs = None
+    else:
+        secs = _parse_duration_secs(fix, "date_histogram fixed_interval")
+        if secs <= 0:
+            raise ValueError(
+                f"date_histogram: fixed_interval must be positive: {fix!r}"
+            )
+        trunc_unit = None
+        out_fmt, step_sql, parse_fmt = (
+            "yyyy-MM-dd HH:mm:ss",
+            f"interval {secs} second",
+            None,
+        )
+    if off:
+        # shifted boundaries need full-timestamp keys (ES widens
+        # key_as_string the same way)
+        out_fmt, parse_fmt = "yyyy-MM-dd HH:mm:ss", None
+
+    def build(field: str) -> Column:
+        col = F.col(field)
+        if tz:
+            col = F.from_utc_timestamp(col, tz)
+        if off:
+            col = col - F.expr(f"INTERVAL '{off}' SECOND")
+        if trunc_unit is not None:
+            if not off and tz is None and cal in _CAL:
+                # common fast path: one date_format, no trunc
+                return F.date_format(col, _CAL[cal])
+            start = F.date_trunc(trunc_unit, col)
+        else:
+            n = F.lit(secs).cast("long")
+            start = F.timestamp_seconds(
+                F.floor(F.unix_timestamp(col) / n).cast("long") * n
+            )
+        if off:
+            start = start + F.expr(f"INTERVAL '{off}' SECOND")
+        return F.date_format(start, out_fmt)
+
+    return build, step_sql, parse_fmt, out_fmt
 
 _METRICS = {
     "value_count": lambda c: F.count(c),
@@ -301,12 +420,8 @@ def _key_expr(kind: str, body: dict) -> Column:
             col = F.coalesce(col, F.lit(body["missing"]))
         return col
     if kind == "date_histogram":
-        cal = body.get("calendar_interval")
-        if cal not in _CAL:
-            raise ValueError(
-                f"date_histogram: unsupported calendar_interval {cal!r}"
-            )
-        return F.date_format(F.col(field), _CAL[cal])
+        build, _step, _parse, _fmt = _dh_lower(body)
+        return build(field)
     if kind == "histogram":
         iv = body["interval"]
         if not isinstance(iv, (int, float)) or iv <= 0:
@@ -790,16 +905,14 @@ def _apply_top_hits(
 # ---------------------------------------------------------------------------
 
 
-_GAP_STEP = {"hour": "interval 1 hour", "day": "interval 1 day"}
-
-
 def _gap_fill(lv: _Level, frame: DataFrame) -> DataFrame:
     """ES min_doc_count=0 for histogram / date_histogram: emit EMPTY
     buckets between each parent's observed min and max key
     (doc_count 0, additive metrics 0, avg/min/max NULL — the same
-    fill rules as requested range buckets). Supported intervals:
-    numeric histograms and hour/day calendars (month/year grids are
-    not generated — raise at plan time).
+    fill rules as requested range buckets). Every date_histogram
+    interval grids (calendar hour..year and fixed intervals; the grid
+    steps in the key's local/shifted domain, so time_zone/offset
+    requests gap-fill correctly too).
 
     Scale shape: the grid explodes from ONE min/max row per parent
     bucket of the ALREADY-AGGREGATED frame (KB-scale), then
@@ -830,14 +943,13 @@ def _gap_fill(lv: _Level, frame: DataFrame) -> DataFrame:
             *parent_keys, (F.col("__step") * F.lit(iv)).alias(key)
         )
     else:
-        cal = body.get("calendar_interval")
-        step = _GAP_STEP.get(cal)
-        if step is None:
-            raise ValueError(
-                f"date_histogram min_doc_count=0: gap filling is "
-                f"lowered for hour/day intervals only, got {cal!r}"
-            )
-        fmt = _CAL[cal]
+        _build, step, parse_fmt, fmt = _dh_lower(body)
+        parse = (
+            f"to_timestamp(__lo, '{parse_fmt}'), "
+            f"to_timestamp(__hi, '{parse_fmt}')"
+            if parse_fmt
+            else "to_timestamp(__lo), to_timestamp(__hi)"
+        )
         spans = (
             frame.groupBy(*parent_keys).agg(
                 F.min(F.col(key)).alias("__lo"),
@@ -852,10 +964,7 @@ def _gap_fill(lv: _Level, frame: DataFrame) -> DataFrame:
         grid = spans.select(
             *parent_keys,
             F.explode(
-                F.expr(
-                    "sequence(to_timestamp(__lo), "
-                    f"to_timestamp(__hi), {step})"
-                )
+                F.expr(f"sequence({parse}, {step})")
             ).alias("__t"),
         ).select(
             *parent_keys, F.date_format("__t", fmt).alias(key)

@@ -457,7 +457,7 @@ def apply_query(
 
 def _identity_col(df: DataFrame) -> str:
     """The frame's document-identity column — ES's ``_id``."""
-    for cand in ("doc_id", "id", "event_id"):
+    for cand in ("doc_id", "id", "event_id", "vec_id"):
         if cand in df.columns:
             return cand
     return "doc_id"
@@ -544,7 +544,7 @@ def _decay_score(fn: str, field: str, spec: dict) -> Column:
 import re as _re
 
 _DOC_REF_RE = _re.compile(r"doc\['([A-Za-z_][A-Za-z0-9_.]*)'\]\.value")
-_SCRIPT_SAFE_RE = _re.compile(r"^[\w\s\.\+\-\*/\(\):><=!&|,?'\[\]]*$")
+_SCRIPT_SAFE_RE = _re.compile(r"^[\w\s\.\+\-\*/%\(\):><=!&|,?'\[\]]*$")
 
 
 def _compile_score_script(source: str) -> Column:
@@ -771,7 +771,7 @@ def _tiebreak_names(df: DataFrame, used: list[str]) -> list[str]:
     """Column names of the deterministic ``_doc`` tie-break: the
     document-identity column if one exists, else every remaining
     column."""
-    for cand in ("doc_id", "id", "event_id"):
+    for cand in ("doc_id", "id", "event_id", "vec_id"):
         if cand in df.columns and cand not in used:
             return [cand]
     return [c for c in df.columns if c not in used]

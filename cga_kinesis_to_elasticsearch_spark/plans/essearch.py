@@ -1873,3 +1873,358 @@ def _es_search_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("loc.lon").alias("lon"),
         "bal_c",
     )
+
+
+# ---------------------------------------------------------------------------
+# 29. hits AND aggs from ONE request body (ES's two-section response).
+# ---------------------------------------------------------------------------
+
+_HITS_AND_AGGS_ORACLE = """
+WITH f AS (
+  SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+),
+hits AS (
+  SELECT event_id, vc,
+         CAST(row_number() OVER (ORDER BY vc DESC, event_id)
+              AS BIGINT) AS hit_rank
+  FROM f ORDER BY vc DESC, event_id LIMIT 5
+),
+ag AS (
+  SELECT day, count(*) AS doc_count,
+         CAST(sum(vc) AS BIGINT) AS cents
+  FROM f GROUP BY day
+)
+SELECT 'hits' AS section, hit_rank, event_id, vc,
+       NULL AS agg_path, NULL AS per_day,
+       NULL::BIGINT AS doc_count, NULL::BIGINT AS cents
+FROM hits
+UNION ALL
+SELECT 'aggs', NULL, NULL, NULL, 'per_day', day, doc_count, cents
+FROM ag
+"""
+
+
+@q("es_search_hits_and_aggs", _HITS_AND_AGGS_ORACLE)
+def _es_search_hits_and_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES's response ALWAYS carries both a hits section and an aggs
+    section — this is the round-5 one-response contract: a body with
+    ``query`` + ``sort`` + ``size`` + ``aggs`` returns a two-section
+    union frame (section='hits' rows with hit_rank + _source columns;
+    section='aggs' rows with the flat agg contract), and the aggs run
+    over the FULL query-filtered set, not the hit page.
+
+    Scale shape: one filtered scan feeds both branches — TakeOrdered
+    (size) for the hit page, one partial-agg groupBy for the buckets;
+    the union is page-plus-buckets sized."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir),
+        {
+            "query": {"term": {"event_type": "purchase"}},
+            "sort": [{"vc": "desc"}],
+            "size": 5,
+            "_source": ["event_id", "vc"],
+            "aggs": {"per_day": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"cents": {"sum": {"field": "vc"}}},
+            }},
+        },
+    )
+    return out.select(
+        "section", "hit_rank", "event_id", "vc", "agg_path", "per_day",
+        "doc_count", F.col("cents").cast("long").alias("cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 30. hybrid knn + query (ES 8): additive scores and rank.rrf fusion.
+# ---------------------------------------------------------------------------
+
+_KNN_HYBRID_ORACLE = f"""
+WITH q AS (SELECT [{", ".join(str(x) for x in _KNN_VEC)}]::DOUBLE[] AS qv),
+ks AS (
+  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         2.0 * (1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qv))
+           / 2.0 AS kscore
+  FROM embeddings e CROSS JOIN q
+),
+topk AS (SELECT vec_id, kscore FROM ks ORDER BY kscore DESC, vec_id LIMIT 10),
+hybrid AS (
+  SELECT k.vec_id, k.label,
+         coalesce(t.kscore, 0.0)
+           + CASE WHEN k.label >= 2 THEN 1.0 ELSE 0.0 END AS score
+  FROM ks k LEFT JOIN topk t USING (vec_id)
+  WHERE k.label >= 2 OR t.vec_id IS NOT NULL
+)
+SELECT vec_id, label, round(score, 6) AS score
+FROM hybrid ORDER BY score DESC, vec_id LIMIT 12
+"""
+
+
+@q("es_search_knn_hybrid", _KNN_HYBRID_ORACLE)
+def _es_search_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 hybrid search — ``knn`` AND ``query`` in one body: the knn
+    section contributes ``boost * (1+cos)/2`` for its global top-k
+    documents only, the query contributes its score (filter context
+    1.0 here) for its matches only, the hit set is the union of both
+    arms and the final order is the additive combined score.
+
+    Scale shape: the k-row knn top-k frame broadcast-joins onto the
+    corpus scan — documents never shuffle; the query arm is the same
+    scan's codegen predicate."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "embeddings"),
+        {
+            "knn": {
+                "field": "embedding",
+                "query_vector": _KNN_VEC,
+                "k": 10,
+                "boost": 2.0,
+            },
+            "query": {"range": {"label": {"gte": 2}}},
+            "size": 12,
+            "_source": ["vec_id", "label"],
+        },
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.round("_score", 6).alias("score"),
+    )
+
+
+_KNN_RRF_ORACLE = f"""
+WITH q AS (SELECT [{", ".join(str(x) for x in _KNN_VEC)}]::DOUBLE[] AS qv),
+knn_arm AS (
+  SELECT vec_id, CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+                    vec_id) AS BIGINT) AS r
+  FROM embeddings CROSS JOIN q
+  ORDER BY r LIMIT 20
+),
+q_arm AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS r
+  FROM embeddings WHERE label >= 2
+  ORDER BY r LIMIT 20
+),
+fused AS (
+  SELECT vec_id, sum(1.0 / (60 + r)) AS score
+  FROM (SELECT * FROM knn_arm UNION ALL SELECT * FROM q_arm)
+  GROUP BY vec_id
+)
+SELECT f.vec_id, CAST(e.label AS BIGINT) AS label,
+       round(f.score, 6) AS score
+FROM fused f JOIN embeddings e USING (vec_id)
+ORDER BY f.score DESC, f.vec_id LIMIT 10
+"""
+
+
+@q("es_search_knn_rrf", _KNN_RRF_ORACLE)
+def _es_search_knn_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid knn + query under ``rank: {rrf: ...}`` — reciprocal-rank
+    fusion: each arm ranks its top ``rank_window_size`` candidates,
+    a document's fused score is the sum of ``1/(rank_constant +
+    rank)`` over the arms that retrieved it (ES's RRF formula; the
+    standalone twin is plans/esrelations.hybrid_rrf_search).
+
+    Scale shape: both arm frames are window-row sized (TakeOrdered +
+    a window-bounded row_number), fuse in one tiny groupBy, and
+    broadcast-join back onto the corpus for the _source columns."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "embeddings"),
+        {
+            "knn": {
+                "field": "embedding",
+                "query_vector": _KNN_VEC,
+                "k": 10,
+            },
+            "query": {"range": {"label": {"gte": 2}}},
+            "rank": {"rrf": {"rank_window_size": 20,
+                             "rank_constant": 60}},
+            "size": 10,
+            "_source": ["vec_id", "label"],
+        },
+    )
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.round("_score", 6).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 31. function_score breadth: 3 function types, per-function filters,
+#     non-default score_mode/boost_mode, max_boost.
+# ---------------------------------------------------------------------------
+
+_FSCORE_MODES_ORACLE = """
+WITH f AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+),
+scored AS (
+  SELECT event_id,
+         CASE WHEN (CASE WHEN vc >= 5000 THEN TRUE ELSE FALSE END
+                    OR TRUE OR user_id % 3 = 0)
+              THEN least(
+                (CASE WHEN vc >= 5000 THEN 3.0 ELSE 0.0 END)
+                + 2.0 * sqrt(vc * 0.01)
+                + (CASE WHEN user_id % 3 = 0
+                        THEN CAST(user_id % 7 AS DOUBLE) ELSE 0.0 END),
+                50.0)
+              ELSE 1.0 END + 1.0 AS score
+  FROM f
+)
+SELECT event_id, round(score, 6) AS score
+FROM scored ORDER BY score DESC, event_id LIMIT 25
+"""
+
+
+@q("es_search_function_score_modes", _FSCORE_MODES_ORACLE)
+def _es_search_function_score_modes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``function_score`` breadth (round-5 item 3): three function
+    types in one body — a filtered bare ``weight``, a
+    ``field_value_factor`` (sqrt modifier — IEEE-exact across
+    engines), and a filtered painless-subset ``script_score`` —
+    combined with score_mode=sum (non-default), capped by max_boost,
+    then merged with the query score under boost_mode=sum
+    (non-default). The oracle replays the exact arithmetic.
+
+    Scale shape: the whole score is ONE codegen projection over the
+    filtered scan + TakeOrdered(25) — no joins, no shuffle."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir).withColumn(
+            "u3", F.col("user_id") % 3 == 0
+        ),
+        {
+            "query": {"function_score": {
+                "query": {"term": {"event_type": "purchase"}},
+                "functions": [
+                    {"filter": {"range": {"vc": {"gte": 5000}}},
+                     "weight": 3.0},
+                    {"field_value_factor": {"field": "vc",
+                                            "factor": 0.01,
+                                            "modifier": "sqrt",
+                                            "missing": 0.0},
+                     "weight": 2.0},
+                    {"script_score": {"script": {
+                        "source": "doc['user_id'].value % 7"}},
+                     "filter": {"term": {"u3": True}}},
+                ],
+                "score_mode": "sum",
+                "boost_mode": "sum",
+                "max_boost": 50.0,
+            }},
+            "size": 25,
+            "_source": ["event_id"],
+        },
+    )
+    return out.select(
+        "event_id", F.round("_score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 32. date_histogram fidelity: fixed_interval + time_zone with empty
+#     buckets, calendar week — through a request body.
+# ---------------------------------------------------------------------------
+
+_DH_FIXED_ORACLE = """
+WITH f AS (
+  SELECT ts + INTERVAL '5 hours 45 minutes' AS lts,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+  WHERE user_id % 31 = 7
+    AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+),
+hits AS (
+  SELECT strftime(to_timestamp(CAST(floor(epoch(lts) / 1800) * 1800
+                                    AS BIGINT))::TIMESTAMP,
+                  '%Y-%m-%d %H:%M:%S') AS b,
+         count(*) AS doc_count, CAST(sum(vc) AS BIGINT) AS cents
+  FROM f GROUP BY 1
+),
+span AS (SELECT min(b) AS lo, max(b) AS hi FROM hits),
+grid AS (
+  SELECT strftime(g.t, '%Y-%m-%d %H:%M:%S') AS b
+  FROM span, LATERAL (
+    SELECT unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                  CAST(hi AS TIMESTAMP),
+                                  INTERVAL 30 MINUTE)) AS t) g
+),
+per30 AS (
+  SELECT 'per_30m' AS agg_path, g.b AS per_30m, NULL AS per_week,
+         coalesce(h.doc_count, 0) AS doc_count,
+         coalesce(h.cents, 0) AS cents
+  FROM grid g LEFT JOIN hits h USING (b)
+),
+wk AS (
+  SELECT 'per_week' AS agg_path, NULL AS per_30m,
+         strftime(date_trunc('week', lts), '%Y-%m-%d') AS per_week,
+         count(*) AS doc_count, CAST(sum(vc) AS BIGINT) AS cents
+  FROM f GROUP BY 3
+)
+SELECT * FROM per30 UNION ALL SELECT * FROM wk
+"""
+
+
+@q("es_search_date_histogram_fixed", _DH_FIXED_ORACLE)
+def _es_search_date_histogram_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """date_histogram fidelity (round-5 item 4): ``fixed_interval:
+    30m`` bucketing under ``time_zone: +05:45`` (boundaries shift 15
+    minutes off the UTC grid) with ``min_doc_count: 0`` emitting the
+    empty half-hours of a sparse day, next to a calendar ``week``
+    bucket in the same body — the first thing a real Kibana dashboard
+    sends. Keys are local bucket-start strings (ES's key_as_string
+    reading); the oracle shifts, floors and grids the same way.
+
+    Scale shape: both levels share ONE groupingSets aggregation; the
+    gap grid explodes from one min/max row over the KB-scale bucket
+    frame."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir).withColumn(
+            "sparse", F.col("user_id") % 31 == 7
+        ),
+        {
+            "query": {"bool": {"must": [
+                {"term": {"sparse": True}},
+                {"range": {"ts": {"gte": "2024-01-02",
+                                  "lt": "2024-01-03"}}},
+            ]}},
+            "aggs": {
+                "per_30m": {
+                    "date_histogram": {"field": "ts",
+                                       "fixed_interval": "30m",
+                                       "time_zone": "+05:45",
+                                       "min_doc_count": 0},
+                    "aggs": {"cents": {"sum": {"field": "vc"}}},
+                },
+                "per_week": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "week",
+                                       "time_zone": "+05:45"},
+                    "aggs": {"wcents": {"sum": {"field": "vc"}}},
+                },
+            },
+        },
+    )
+    return out.select(
+        "agg_path", "per_30m", "per_week", "doc_count",
+        F.coalesce(F.col("cents"), F.col("wcents")).cast("long")
+        .alias("cents"),
+    )

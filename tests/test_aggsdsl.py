@@ -989,7 +989,104 @@ class TestMinDocCountZero:
         b_days = [(r.d, r.doc_count) for r in rows
                   if r.agg_path == "per_k>d" and r.per_k == "b"]
         assert b_days == [("2024-01-02", 1)]
-        with pytest.raises(ValueError, match="hour/day"):
-            apply_aggs(df, {"d": {"date_histogram": {
-                "field": "ts", "calendar_interval": "month",
-                "min_doc_count": 0}}})
+
+    def test_month_gap_fill(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 15),), (dt.datetime(2024, 4, 2),)],
+            "ts timestamp",
+        )
+        rows = apply_aggs(df, {"m": {"date_histogram": {
+            "field": "ts", "calendar_interval": "month",
+            "min_doc_count": 0}}}).orderBy("m").collect()
+        assert [(r.m, r.doc_count) for r in rows] == [
+            ("2024-01", 1), ("2024-02", 0), ("2024-03", 0), ("2024-04", 1)]
+
+
+class TestDateHistogramIntervals:
+    def _df(self, spark):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [(1, dt.datetime(2024, 3, 7, 13, 10, 0)),   # Thursday
+             (2, dt.datetime(2024, 3, 7, 13, 40, 0)),
+             (3, dt.datetime(2024, 3, 7, 15, 5, 0)),
+             (4, dt.datetime(2024, 5, 20, 1, 0, 0))],   # Q2, Monday
+            "id long, ts timestamp",
+        )
+
+    def test_fixed_interval_30m_with_gaps(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(
+            self._df(spark).filter("id < 4"),
+            {"h": {"date_histogram": {"field": "ts",
+                                      "fixed_interval": "30m",
+                                      "min_doc_count": 0}}},
+        ).orderBy("h").collect()
+        got = [(r.h, r.doc_count) for r in rows]
+        assert got[0] == ("2024-03-07 13:00:00", 1)
+        assert got[1] == ("2024-03-07 13:30:00", 1)
+        assert ("2024-03-07 14:00:00", 0) in got
+        assert got[-1] == ("2024-03-07 15:00:00", 1)
+        assert len(got) == 5  # 13:00..15:00 grid, 30m steps
+
+    def test_week_and_quarter(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._df(spark), {"w": {"date_histogram": {
+            "field": "ts", "calendar_interval": "week"}}}).collect()
+        # ISO weeks start Monday: 2024-03-07 -> 2024-03-04;
+        # 2024-05-20 is itself a Monday
+        assert sorted((r.w, r.doc_count) for r in rows) == [
+            ("2024-03-04", 3), ("2024-05-20", 1)]
+        rows = apply_aggs(self._df(spark), {"q": {"date_histogram": {
+            "field": "ts", "calendar_interval": "quarter"}}}).collect()
+        assert sorted((r.q, r.doc_count) for r in rows) == [
+            ("2024-01-01", 3), ("2024-04-01", 1)]
+
+    def test_time_zone_and_offset(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        # +05:30: 13:10 UTC -> 18:40 local, so days bucket in local time
+        rows = apply_aggs(self._df(spark), {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "time_zone": "+05:30"}}}).collect()
+        assert sorted((r.d, r.doc_count) for r in rows) == [
+            ("2024-03-07", 3), ("2024-05-20", 1)]
+        # offset +14h: the 13:xx events fall in the [2024-03-06 14:00,
+        # 2024-03-07 14:00) bucket, the 15:05 one in the next
+        rows = apply_aggs(self._df(spark).filter("id < 4"),
+                          {"d": {"date_histogram": {
+                              "field": "ts", "calendar_interval": "day",
+                              "offset": "+14h"}}}).collect()
+        assert sorted((r.d, r.doc_count) for r in rows) == [
+            ("2024-03-06 14:00:00", 2), ("2024-03-07 14:00:00", 1)]
+
+    def test_plan_time_validation(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            compile_aggs,
+        )
+
+        with pytest.raises(ValueError, match="exactly one of"):
+            compile_aggs({"x": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "fixed_interval": "30m"}}})
+        with pytest.raises(ValueError, match="exactly one of"):
+            compile_aggs({"x": {"date_histogram": {"field": "ts"}}})
+        with pytest.raises(ValueError, match="bad duration"):
+            compile_aggs({"x": {"date_histogram": {
+                "field": "ts", "fixed_interval": "2w"}}})
+        with pytest.raises(ValueError, match="sub-second"):
+            compile_aggs({"x": {"date_histogram": {
+                "field": "ts", "fixed_interval": "500ms"}}})
