@@ -26,15 +26,31 @@ granularity (the composite-flattening bug this design replaces).
 
 Bucket aggregations:
 
-- ``terms``          {field[, missing][, size]} — group by value. ES
-                     semantics: docs with a NULL field are OMITTED
-                     unless ``missing`` maps them to a stand-in value.
-                     ``size`` keeps the top-N buckets per parent by
-                     (doc_count DESC, key ASC) — ES's default order
-                     with a deterministic tiebreak. Without ``size``
-                     every bucket is returned (the composite-agg /
-                     analytics reading; ES's interactive default is
-                     size=10 — pass it explicitly for that behavior).
+- ``terms``          {field[, missing][, size][, shard_size]
+                     [, show_term_doc_count_error][, shards,
+                     shard_key]} — group by value. ES semantics: docs
+                     with a NULL field are OMITTED unless ``missing``
+                     maps them to a stand-in value. ``size`` keeps
+                     the top-N buckets per parent by (doc_count DESC,
+                     key ASC) — ES's default order with a
+                     deterministic tiebreak. Without ``size`` every
+                     bucket is returned through THIS analytics API;
+                     request bodies (querydsl.run_search_body) route
+                     through apply_es_default_sizes, which injects
+                     ES's interactive default size=10.
+                     ``show_term_doc_count_error`` adds ES's
+                     per-bucket ``doc_count_error_upper_bound`` (0 on
+                     the default single shard — counts are exact);
+                     ``shards`` + ``shard_key`` (engine stand-ins for
+                     the index's shard layout) simulate ES's
+                     shard-local top-``shard_size`` merge exactly,
+                     including its undercounting (top level only, no
+                     sub-aggs — see _terms_sharded).
+- ``multi_terms``    {terms: [{field}, {field}, ...][, size]} — one
+                     bucket per value COMBINATION; the key is the
+                     '|'-joined string (ES's key_as_string); docs
+                     missing any field are omitted; same size/order
+                     contract as terms.
 - ``date_histogram`` {field, calendar_interval: hour|day|week|month|
                      quarter|year | fixed_interval: Ns|Nm|Nh|Nd
                      [, time_zone][, offset][, min_doc_count]} —
@@ -159,11 +175,13 @@ distributes. Unknown constructs fail at PLAN time (ES's validation).
 
 from __future__ import annotations
 
+import functools
+import operator as _op
 import re
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["compile_aggs", "apply_aggs"]
+__all__ = ["compile_aggs", "apply_aggs", "apply_es_default_sizes"]
 
 _CAL = {
     "hour": "yyyy-MM-dd HH:00:00",
@@ -382,7 +400,15 @@ _SIBLING_FNS = {
 }
 
 # bucket kinds that key on a single grouped expression
-_KEYED = ("terms", "date_histogram", "histogram", "auto_date_histogram")
+_KEYED = (
+    "terms",
+    "multi_terms",
+    "date_histogram",
+    "histogram",
+    "auto_date_histogram",
+)
+# bucket kinds whose ``size`` keeps the top-N by (doc_count desc, key)
+_SIZED = ("terms", "multi_terms")
 
 # auto_date_histogram interval ladder (hours) — ES's rounding ladder
 # clipped to this corpus's hour..month span
@@ -401,6 +427,26 @@ def _range_label(r: dict) -> str:
 
 
 def _key_expr(kind: str, body: dict) -> Column:
+    if kind == "multi_terms":
+        terms = body.get("terms")
+        if (
+            not isinstance(terms, list)
+            or len(terms) < 2
+            or not all(isinstance(t, dict) and "field" in t for t in terms)
+        ):
+            raise ValueError(
+                "multi_terms needs terms: [{field}, {field}, ...] "
+                f"(>= 2 fields): {body}"
+            )
+        cols = [F.col(t["field"]) for t in terms]
+        notnull = functools.reduce(
+            _op.and_, [c.isNotNull() for c in cols]
+        )
+        # ES omits docs missing ANY of the fields; the bucket key is
+        # the ES key_as_string reading ('|'-joined values)
+        return F.when(
+            notnull, F.concat_ws("|", *[c.cast("string") for c in cols])
+        )
     field = body["field"]
     if kind == "significant_terms":
         return F.col(field)
@@ -699,6 +745,37 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                         "are not lowered); use filter/global parents "
                         "or a fixed date_histogram"
                     )
+                if kind in _SIZED and (
+                    int(body.get("shards", 1) or 1) != 1
+                    or body.get("show_term_doc_count_error")
+                ):
+                    if kind != "terms":
+                        raise ValueError(
+                            "shards / show_term_doc_count_error apply "
+                            f"to terms only: {name!r}"
+                        )
+                    if level.segments:
+                        raise ValueError(
+                            "terms shards / show_term_doc_count_error "
+                            "are supported at the top level only"
+                        )
+                    if int(body.get("shards", 1) or 1) != 1:
+                        if "size" not in body:
+                            raise ValueError(
+                                "sharded terms needs an explicit size"
+                            )
+                        if not body.get("shard_key"):
+                            raise ValueError(
+                                "sharded terms needs shard_key (the "
+                                "column whose md5 assigns the "
+                                "simulated shard)"
+                            )
+                        if spec.get("aggs"):
+                            raise ValueError(
+                                "sharded terms cannot nest sub-aggs "
+                                "(shard-local top-K merge keeps no "
+                                "per-bucket doc set)"
+                            )
                 role = (
                     "key"
                     if kind in _KEYED
@@ -1037,11 +1114,21 @@ def apply_aggs(
 
     # --- group levels by frame signature; one aggregation per group ---
     groups: dict[tuple, list[_Level]] = {}
+    sharded: list[_Level] = []
     for lv in levels:
         if not lv.path and not (
             lv.metrics or lv.top_hits or lv.pipelines or lv.siblings
         ):
             continue  # trivial root: nothing to report at the top level
+        seg = lv.own_segment
+        if (
+            seg is not None
+            and seg[0] == "key"
+            and seg[2] == "terms"
+            and int(seg[3].get("shards", 1) or 1) > 1
+        ):
+            sharded.append(lv)  # shard-simulated merge, own lowering
+            continue
         groups.setdefault(lv.signature, []).append(lv)
 
     def _needs_post(lv: _Level) -> bool:
@@ -1061,7 +1148,7 @@ def apply_aggs(
             or (
                 seg is not None
                 and seg[0] == "key"
-                and seg[2] == "terms"
+                and seg[2] in _SIZED
                 and seg[3].get("size") is not None
             )
         )
@@ -1075,7 +1162,7 @@ def apply_aggs(
         # group would skip the surviving-ancestor semi-join
         lv.own_segment is not None
         and lv.own_segment[0] == "key"
-        and lv.own_segment[2] == "terms"
+        and lv.own_segment[2] in _SIZED
         and lv.own_segment[3].get("size") is not None
         and any(o.path[:len(lv.path)] == lv.path and o.path != lv.path
                 for o in levels)
@@ -1212,6 +1299,14 @@ def apply_aggs(
             bucket_frames[lv.path] = mine
             keyed_frames[lv.path] = frame
 
+    for lv in sharded:
+        # top-level sharded terms (plan-time enforced): attach the key
+        # to the query frame, run the shard-simulated merge
+        seg = lv.own_segment
+        frame = df.withColumn(seg[1], _key_expr("terms", seg[3]))
+        bucket_frames[lv.path] = _terms_sharded(lv, frame)
+        keyed_frames[lv.path] = frame
+
     # --- per-level post passes, parents before children ---
     pruned_ancestor: dict[tuple, tuple] = {}  # path -> nearest pruned path
     final: dict[tuple, DataFrame] = {}
@@ -1242,7 +1337,7 @@ def apply_aggs(
         # explicit ``order`` may instead reference ``_key``,
         # ``_count``, or a SIBLING METRIC of the same level (ES's
         # order-by-sub-aggregation)
-        if seg is not None and seg[0] == "key" and seg[2] == "terms":
+        if seg is not None and seg[0] == "key" and seg[2] in _SIZED:
             size = seg[3].get("size")
             if size is not None:
                 order = seg[3].get("order")
@@ -1284,6 +1379,18 @@ def apply_aggs(
         if (
             seg is not None
             and seg[0] == "key"
+            and seg[2] == "terms"
+            and seg[3].get("show_term_doc_count_error")
+            and "doc_count_error_upper_bound" not in bf.columns
+        ):
+            # one (simulated) shard: counts are exact, the bound is 0
+            # — exactly what single-shard ES reports
+            bf = bf.withColumn(
+                "doc_count_error_upper_bound", F.lit(0).cast("long")
+            )
+        if (
+            seg is not None
+            and seg[0] == "key"
             and seg[2] in ("histogram", "date_histogram")
             and seg[3].get("min_doc_count", 1) == 0
         ):
@@ -1314,7 +1421,7 @@ def apply_aggs(
             # reports sub-aggs only inside kept buckets)
             seg is not None
             and seg[0] == "key"
-            and seg[2] == "terms"
+            and seg[2] in _SIZED
             and seg[3].get("size") is not None
         )
         if prunes:
@@ -1392,6 +1499,12 @@ def apply_aggs(
         seg = lv.own_segment
         if seg is not None and seg[2] == "significant_terms":
             canonical.extend(["bg_count", "score"])
+        if (
+            seg is not None
+            and seg[2] == "terms"
+            and seg[3].get("show_term_doc_count_error")
+        ):
+            canonical.append("doc_count_error_upper_bound")
         for name, _b in lv.top_hits:
             canonical.append(name)
 
@@ -1415,6 +1528,118 @@ def apply_aggs(
         )
     present = [c for c in canonical if c in result.columns]
     return result.select(*present)
+
+
+def apply_es_default_sizes(aggs: dict) -> dict:
+    """ES's interactive default: a terms / multi_terms aggregation
+    WITHOUT ``size`` returns the top 10 buckets. The analytics API
+    (apply_aggs) keeps the return-every-bucket reading; the request-
+    body interpreter (querydsl.run_search_body) routes through this
+    rewrite so a literal ES request paginates exactly like ES.
+    Composite trees are untouched (their size contract is their
+    own)."""
+    out = {}
+    for name, spec in aggs.items():
+        if not isinstance(spec, dict):
+            out[name] = spec
+            continue
+        spec = dict(spec)
+        for kind in _SIZED:
+            if (
+                kind in spec
+                and isinstance(spec[kind], dict)
+                and "size" not in spec[kind]
+            ):
+                spec[kind] = {**spec[kind], "size": 10}
+        if isinstance(spec.get("aggs"), dict):
+            spec["aggs"] = apply_es_default_sizes(spec["aggs"])
+        out[name] = spec
+    return out
+
+
+def _terms_sharded(lv: _Level, frame: DataFrame) -> DataFrame:
+    """ES terms aggregation with SIMULATED shards — body extensions
+    ``shards`` (count) and ``shard_key`` (the column whose md5
+    assigns the shard), the engine's stand-ins for an index's shard
+    layout, which a lake has no physical analogue of. Each shard
+    contributes its local top ``shard_size`` terms (ES default
+    ``size*1.5+10``), the coordinator sums the RETURNED counts —
+    possibly undercounting, exactly like real ES — and
+    ``show_term_doc_count_error`` surfaces ES's per-bucket
+    ``doc_count_error_upper_bound``: a term absent from a shard's
+    list is charged that shard's smallest returned count (0 when the
+    shard returned every term it had). Deterministic where real ES is
+    not (md5 buckets, term tiebreaks). Standalone twin:
+    plans/esaggstail.terms_shard_error_bounds.
+
+    Scale shape: the data-sized work is ONE partial-aggregated
+    exchange to (shard, term) counts; the per-shard top-K window runs
+    on the count frame and everything after — thresholds, coverage
+    join, final top-N — is shard_size x shards rows."""
+    seg = lv.own_segment
+    body = seg[3]
+    key = lv.keys[-1]
+    shards = int(body["shards"])
+    size = int(body["size"])
+    shard_size = int(body.get("shard_size", size * 1.5 + 10))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sh:"),
+                        F.col(body["shard_key"]).cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % shards
+    )
+    pc = (
+        frame.filter(F.col(key).isNotNull())
+        .groupBy(shard.alias("__shard"), F.col(key))
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    ws = Window.partitionBy("__shard")
+    wr = Window.partitionBy("__shard").orderBy(
+        F.col("__cnt").desc(), F.col(key).asc()
+    )
+    kept = pc.select(
+        "*",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(ws).alias("__nterms"),
+    ).where(F.col("__rn") <= shard_size)
+    thr = kept.groupBy("__shard").agg(
+        F.when(F.max("__nterms") > shard_size, F.min("__cnt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__thr")
+    )
+    tot = thr.agg(F.sum("__thr").cast("long").alias("__total_thr"))
+    merged = (
+        kept.join(F.broadcast(thr), "__shard")
+        .groupBy(key)
+        .agg(
+            F.sum("__cnt").cast("long").alias("doc_count"),
+            F.sum("__thr").cast("long").alias("__covered"),
+        )
+    )
+    out = merged.crossJoin(F.broadcast(tot)).select(
+        key,
+        "doc_count",
+        (F.col("__total_thr") - F.col("__covered"))
+        .cast("long")
+        .alias("doc_count_error_upper_bound"),
+    )
+    if not body.get("show_term_doc_count_error"):
+        out = out.drop("doc_count_error_upper_bound")
+    return out.orderBy(
+        F.col("doc_count").desc(), F.col(key).asc()
+    ).limit(size)
 
 
 def _significant_terms(

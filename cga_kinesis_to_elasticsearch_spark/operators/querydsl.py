@@ -868,16 +868,20 @@ def run_search_body(
         score = F.lit(1.0)
 
     if "aggs" in body and not both:
-        from .aggsdsl import apply_aggs
+        from .aggsdsl import apply_aggs, apply_es_default_sizes
 
-        return apply_aggs(out, body["aggs"], base_df=pre)
+        return apply_aggs(
+            out, apply_es_default_sizes(body["aggs"]), base_df=pre
+        )
     if both:
-        from .aggsdsl import apply_aggs
+        from .aggsdsl import apply_aggs, apply_es_default_sizes
 
         hits = _run_hits(
             df, out, score, body, sort_specs, need_score, with_rank=True
         )
-        aggs = apply_aggs(out, body["aggs"], base_df=pre)
+        aggs = apply_aggs(
+            out, apply_es_default_sizes(body["aggs"]), base_df=pre
+        )
         overlap = (set(hits.columns) - {"hit_rank"}) & set(aggs.columns)
         if overlap:
             raise ValueError(

@@ -1090,3 +1090,98 @@ class TestDateHistogramIntervals:
         with pytest.raises(ValueError, match="sub-second"):
             compile_aggs({"x": {"date_histogram": {
                 "field": "ts", "fixed_interval": "500ms"}}})
+
+
+class TestTermsPaging:
+    def _df(self, spark):
+        rows = []
+        for i in range(60):
+            rows.append((i, f"t{i % 12}", "red" if i % 2 else "blue"))
+        return spark.createDataFrame(rows, "id long, term string, c string")
+
+    def test_multi_terms(self, spark):
+        from pyspark.sql import functions as F
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = self._df(spark).withColumn(
+            "term", F.when(F.col("id") < 55, F.col("term"))
+        )
+        rows = apply_aggs(df, {"mt": {"multi_terms": {
+            "terms": [{"field": "term"}, {"field": "c"}], "size": 3}}},
+        ).collect()
+        # 55 docs have both fields; keys are 'tN|color'; top-3 by
+        # count desc then key asc
+        got = [(r.mt, r.doc_count) for r in rows]
+        assert len(got) == 3
+        assert all("|" in k for k, _ in got)
+        assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+
+    def test_show_doc_count_error_single_shard(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        rows = apply_aggs(self._df(spark), {"t": {"terms": {
+            "field": "term", "size": 5,
+            "show_term_doc_count_error": True}}}).collect()
+        assert len(rows) == 5
+        assert all(r.doc_count_error_upper_bound == 0 for r in rows)
+        assert all(r.doc_count == 5 for r in rows)
+
+    def test_sharded_terms_error_bounds(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        # 12 terms, 5 docs each, scattered over 4 md5 shards with
+        # shard_size 2: the coordinator merge undercounts and the
+        # bound is the sum of uncovered shard thresholds
+        rows = apply_aggs(self._df(spark), {"t": {"terms": {
+            "field": "term", "size": 4, "shards": 4, "shard_size": 2,
+            "shard_key": "id", "show_term_doc_count_error": True}}},
+        ).collect()
+        assert len(rows) == 4
+        assert all(r.doc_count <= 5 for r in rows)
+        assert all(r.doc_count_error_upper_bound >= 0 for r in rows)
+        # every shard returned a cut list (12 terms > shard_size 2),
+        # so any term missing somewhere carries a positive bound
+        assert any(r.doc_count_error_upper_bound > 0 for r in rows)
+
+    def test_sharded_plan_time_validation(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            compile_aggs,
+        )
+
+        with pytest.raises(ValueError, match="shard_key"):
+            compile_aggs({"t": {"terms": {"field": "term", "size": 3,
+                                          "shards": 4}}})
+        with pytest.raises(ValueError, match="explicit size"):
+            compile_aggs({"t": {"terms": {"field": "term", "shards": 4,
+                                          "shard_key": "id"}}})
+        with pytest.raises(ValueError, match="top level"):
+            compile_aggs({"o": {"terms": {"field": "c"}, "aggs": {
+                "t": {"terms": {"field": "term", "size": 3,
+                                "shards": 4, "shard_key": "id"}}}}})
+        with pytest.raises(ValueError, match="sub-aggs"):
+            compile_aggs({"t": {"terms": {"field": "term", "size": 3,
+                                          "shards": 4,
+                                          "shard_key": "id"},
+                                "aggs": {"m": {"sum": {"field": "id"}}}}})
+
+    def test_request_body_default_size(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = self._df(spark)
+        # 12 distinct terms: the analytics API returns all of them,
+        # the request body applies ES's default size=10
+        assert apply_aggs(
+            df, {"t": {"terms": {"field": "term"}}}).count() == 12
+        assert run_search_body(
+            df, {"aggs": {"t": {"terms": {"field": "term"}}}}).count() == 10
