@@ -166,8 +166,10 @@ def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the workdir disappears — localCheckpoint
         # keeps the rows on executors (no driver round-trip through
-        # pandas, which cost ~1 s at sf0.1)
-        out = docs.orderBy("doc_id").localCheckpoint()
+        # pandas, which cost ~1 s at sf0.1). No orderBy: the driver's
+        # compare sorts rows itself, a full sort here is a wasted
+        # exchange.
+        out = docs.localCheckpoint()
         assert metrics.sent_count > 0
         return out
     finally:
@@ -368,7 +370,7 @@ def _kinesis_sim_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("`@cf.app`").alias("cf_app"),
             F.col("`@cf.org`").alias("cf_org"),
         )
-        out = docs.orderBy("doc_id").localCheckpoint()
+        out = docs.localCheckpoint()
         assert metrics.sent_count > 0
         return out
     finally:

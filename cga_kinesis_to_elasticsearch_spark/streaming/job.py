@@ -407,7 +407,7 @@ def drain(query, timeout_s: float = 120.0) -> None:
     while query.isActive and time.time() < deadline:
         # fine-grained poll: a 1 s granularity adds up to a second of
         # dead time after the last commit of an availableNow run
-        query.awaitTermination(0.2)
+        query.awaitTermination(0.05)
     if query.isActive:
         query.stop()
         raise TimeoutError("streaming query did not drain in time")
