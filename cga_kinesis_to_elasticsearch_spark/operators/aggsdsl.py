@@ -69,11 +69,22 @@ Bucket aggregations:
                      rides a single-row broadcast join (one extra
                      map-side-combined min/max scan, no driver
                      round-trip), then buckets like date_histogram.
-- ``histogram``      {field, interval[, min_doc_count]} — fixed-width
+- ``histogram``      {field, interval[, offset][, min_doc_count]
+                     [, extended_bounds][, hard_bounds]} — fixed-width
                      numeric; NULL field values are omitted (no
-                     bucket), like ES. ``min_doc_count: 0`` emits
-                     empty grid buckets between the observed min and
-                     max per parent, like ES's default.
+                     bucket), like ES. ``offset`` shifts bucket
+                     boundaries; ``hard_bounds`` drops buckets outside
+                     [min, max]; ``min_doc_count: 0`` emits empty grid
+                     buckets between the observed min and max per
+                     parent (``extended_bounds`` widens that grid to
+                     at least [min, max]), like ES's defaults.
+                     date_histogram accepts ``extended_bounds`` too
+                     (bucket-aligned key-format strings).
+- ``rare_terms``     {field[, max_doc_count]} — the LONG TAIL: buckets
+                     whose doc_count <= max_doc_count (default 1),
+                     EXACT where ES uses a CuckooFilter
+                     (may-miss-rare trade); descendant levels prune to
+                     the surviving buckets like size-capped terms.
 - ``range``          {field, ranges: [{from?, to?[, key]}]} — ES-exact:
                      a doc lands in EVERY matching range (explode
                      lowering), docs outside all ranges produce no
@@ -116,7 +127,16 @@ sum_of_squares and ES's default POPULATION variance/std_deviation),
 and ``percentiles`` {field[, percents]} (ARRAY in requested-percent
 order; EXACT interpolated percentiles where ES uses t-digest — same
 exactness trade as cardinality, swap in the KLL sketch of
-operators/sketches.py at 100 TB).
+operators/sketches.py at 100 TB). Round-5 metric additions:
+``boxplot`` {field} (STRUCT min/q1/q2/q3/max, exact five-number
+summary), ``median_absolute_deviation`` {field} (exact
+median(|x - median|), two bucket-keyed passes),
+``top_metrics`` {metrics: [{field}...], sort, size: 1} (the best
+document's metric fields as flat ``<agg>_<field>`` columns —
+deterministic tie-break on the metric fields), and ``rate``
+{[field,] unit} inside a FIXED-length date_histogram (per-unit
+scaling of sum/doc_count; calendar month/quarter/year buckets are
+rejected at plan time).
 
 Pipeline aggregations (siblings of the metrics they reference via
 ``buckets_path`` — a sibling metric name or ``_count``; the enclosing
@@ -317,7 +337,13 @@ _METRICS = {
 _DEFAULT_PERCENTS = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
 # multi-value metric kinds (struct / array results)
-_MULTI_METRICS = ("stats", "extended_stats", "percentiles", "weighted_avg")
+_MULTI_METRICS = (
+    "stats",
+    "extended_stats",
+    "percentiles",
+    "weighted_avg",
+    "boxplot",
+)
 
 
 def _metric_expr(kind: str, body: dict) -> Column:
@@ -339,6 +365,26 @@ def _metric_expr(kind: str, body: dict) -> Column:
             )
         both = v.isNotNull() & w.isNotNull()
         return F.sum(F.when(both, v * w)) / F.sum(F.when(both, w))
+    if kind == "rate":
+        # per-unit rate inside a fixed-length date_histogram bucket:
+        # (sum(field) | doc_count) * unit_seconds / bucket_seconds.
+        # __interval_secs is injected by compile_aggs from the
+        # ENCLOSING date_histogram (plan-time validated).
+        unit = body.get("unit")
+        if unit not in _RATE_UNITS:
+            raise ValueError(
+                f"rate: unit must be one of {sorted(_RATE_UNITS)}: "
+                f"{unit!r}"
+            )
+        interval_secs = body["__interval_secs"]
+        val = (
+            F.sum(F.col(body["field"]))
+            if "field" in body
+            else F.count(F.lit(1))
+        )
+        return val.cast("double") * F.lit(
+            _RATE_UNITS[unit] / float(interval_secs)
+        )
     c = F.col(body["field"])
     if kind == "stats":
         return F.struct(
@@ -368,6 +414,16 @@ def _metric_expr(kind: str, body: dict) -> Column:
             raise ValueError(f"percentiles: bad percents {percents!r}")
         fracs = F.array(*[F.lit(float(p) / 100.0) for p in percents])
         return F.percentile(c, fracs)
+    if kind == "boxplot":
+        # EXACT five-number summary (ES uses t-digest — the same
+        # exactness trade as percentiles/cardinality)
+        return F.struct(
+            F.min(c).alias("min"),
+            F.percentile(c, F.lit(0.25)).alias("q1"),
+            F.percentile(c, F.lit(0.5)).alias("q2"),
+            F.percentile(c, F.lit(0.75)).alias("q3"),
+            F.max(c).alias("max"),
+        )
     raise AssertionError(kind)
 
 _PIPELINES = (
@@ -403,10 +459,35 @@ _SIBLING_FNS = {
 _KEYED = (
     "terms",
     "multi_terms",
+    "rare_terms",
     "date_histogram",
     "histogram",
     "auto_date_histogram",
 )
+
+# rate-agg units (fixed-seconds; ES's month/quarter/year rates need
+# calendar-length bucket math — rejected at plan time)
+_RATE_UNITS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def _dh_fixed_secs(body: dict) -> int | None:
+    """Seconds per bucket of a date_histogram with a FIXED-length
+    interval (hour/day/week calendars or fixed_interval); None for
+    variable-length calendars (month/quarter/year)."""
+    cal = body.get("calendar_interval")
+    if cal in ("hour", "day", "week"):
+        return {"hour": 3600, "day": 86400, "week": 604800}[cal]
+    if body.get("fixed_interval"):
+        return _parse_duration_secs(
+            body["fixed_interval"], "date_histogram fixed_interval"
+        )
+    return None
 # bucket kinds whose ``size`` keeps the top-N by (doc_count desc, key)
 _SIZED = ("terms", "multi_terms")
 
@@ -472,7 +553,34 @@ def _key_expr(kind: str, body: dict) -> Column:
         iv = body["interval"]
         if not isinstance(iv, (int, float)) or iv <= 0:
             raise ValueError(f"histogram: bad interval {iv!r}")
-        return F.floor(F.col(field) / F.lit(iv)) * F.lit(iv)
+        off = body.get("offset", 0)
+        if not isinstance(off, (int, float)) or not 0 <= off < iv:
+            raise ValueError(
+                f"histogram: offset must be in [0, interval): {off!r}"
+            )
+        key = (
+            F.floor((F.col(field) - F.lit(off)) / F.lit(iv)) * F.lit(iv)
+            + F.lit(off)
+        )
+        hb = body.get("hard_bounds")
+        if hb is not None:
+            # ES hard_bounds: buckets outside [min, max] are never
+            # created — docs falling in clipped buckets are dropped
+            try:
+                lo, hi = float(hb["min"]), float(hb["max"])
+            except (KeyError, TypeError):
+                raise ValueError(
+                    f"histogram hard_bounds needs min and max: {hb!r}"
+                )
+            key = F.when((key >= F.lit(lo)) & (key <= F.lit(hi)), key)
+        return key
+    if kind == "rare_terms":
+        mdc = body.get("max_doc_count", 1)
+        if not isinstance(mdc, int) or mdc < 1:
+            raise ValueError(
+                f"rare_terms: bad max_doc_count {mdc!r} (>= 1)"
+            )
+        return F.col(field)
     raise AssertionError(kind)
 
 
@@ -608,6 +716,8 @@ class _Level:
         self.pipelines: list[tuple] = []  # (name, kind, body), tree order
         self.top_hits: list[tuple] = []   # (name, body)
         self.siblings: list[tuple] = []   # (name, kind, body)
+        self.top_metrics: list[tuple] = []  # (name, body)
+        self.mads: list[tuple] = []         # (name, body)
 
     @property
     def keys(self) -> list[str]:
@@ -662,6 +772,53 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                     )
                 _metric_expr(kind, body)  # plan-time body validation
                 level.metrics.append((name, kind, body))
+            elif kind == "rate":
+                own = level.own_segment
+                secs = (
+                    _dh_fixed_secs(own[3])
+                    if own is not None
+                    and own[0] == "key"
+                    and own[2] == "date_histogram"
+                    else None
+                )
+                if secs is None:
+                    raise ValueError(
+                        f"rate {name!r} requires an enclosing "
+                        "date_histogram with a FIXED-length interval "
+                        "(hour/day/week or fixed_interval)"
+                    )
+                body = {**(body or {}), "__interval_secs": secs}
+                _metric_expr(kind, body)
+                level.metrics.append((name, kind, body))
+            elif kind == "median_absolute_deviation":
+                if not isinstance(body, dict) or "field" not in body:
+                    raise ValueError(
+                        f"median_absolute_deviation {name!r} needs a "
+                        f"field: {body}"
+                    )
+                level.mads.append((name, body))
+            elif kind == "top_metrics":
+                metrics = (body or {}).get("metrics")
+                sort = (body or {}).get("sort")
+                if int((body or {}).get("size", 1)) != 1:
+                    raise ValueError(
+                        f"top_metrics {name!r}: only size 1 is lowered "
+                        "(flat columns; use top_hits for arrays)"
+                    )
+                metrics = (
+                    [metrics] if isinstance(metrics, dict) else metrics
+                )
+                if not metrics or not sort or not all(
+                    isinstance(mi, dict) and "field" in mi
+                    for mi in metrics
+                ):
+                    raise ValueError(
+                        f"top_metrics {name!r} needs metrics "
+                        f"[{{field}}, ...] and sort: {body}"
+                    )
+                level.top_metrics.append(
+                    (name, {**body, "metrics": metrics})
+                )
             elif kind in _PIPELINES:
                 if "aggs" in spec:
                     raise ValueError(
@@ -804,7 +961,9 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                 raise ValueError(f"unsupported bucket aggregation {kind!r}")
 
     _walk(aggs, root)
-    if len(levels) == 1 and not (root.metrics or root.top_hits):
+    if len(levels) == 1 and not (
+        root.metrics or root.top_hits or root.top_metrics or root.mads
+    ):
         raise ValueError("empty aggregation tree")
     return levels
 
@@ -977,6 +1136,94 @@ def _apply_top_hits(
     return bucket_frame
 
 
+def _apply_top_metrics(
+    lv: _Level, keyed_frame: DataFrame, bucket_frame: DataFrame
+) -> DataFrame:
+    """ES ``top_metrics`` (size 1): per bucket, the metric fields of
+    the best document under the requested sort, as FLAT
+    ``<agg>_<field>`` columns (the frame contract has no nested
+    response). Ties on the sort keys break by the metric fields
+    ascending, so the picked row is deterministic where ES's is not.
+
+    Scale shape: one window over the keyed doc frame per agg,
+    rn=1 filter, broadcast join onto the KB-scale bucket frame."""
+    for name, body in lv.top_metrics:
+        order = []
+        for s in body["sort"]:
+            (colname, spec), = s.items()
+            direction = (
+                spec.get("order", "asc") if isinstance(spec, dict) else spec
+            )
+            order.append(
+                F.col(colname).desc()
+                if direction == "desc"
+                else F.col(colname).asc()
+            )
+        order += [F.col(mi["field"]).asc() for mi in body["metrics"]]
+        outs = [
+            F.col(mi["field"]).alias(f"{name}_{mi['field']}")
+            for mi in body["metrics"]
+        ]
+        if lv.keys:
+            w = Window.partitionBy(*lv.keys).orderBy(*order)
+            side = (
+                keyed_frame.withColumn("__tm_rn", F.row_number().over(w))
+                .filter(F.col("__tm_rn") == 1)
+                .select(*lv.keys, *outs)
+            )
+            bucket_frame = bucket_frame.join(
+                F.broadcast(side), lv.keys, "left"
+            )
+        else:
+            side = keyed_frame.orderBy(*order).limit(1).select(*outs)
+            bucket_frame = bucket_frame.crossJoin(F.broadcast(side))
+    return bucket_frame
+
+
+def _apply_mads(
+    lv: _Level, keyed_frame: DataFrame, bucket_frame: DataFrame
+) -> DataFrame:
+    """ES ``median_absolute_deviation``, EXACT: median(|x - median(x)|)
+    per bucket (ES approximates with t-digest — the usual exactness
+    trade).
+
+    Scale shape: two bucket-keyed partial-agg passes over the keyed
+    doc frame (median, then deviation median with the bucket medians
+    broadcast back), result broadcast onto the bucket frame."""
+    for name, body in lv.mads:
+        c = F.col(body["field"])
+        if lv.keys:
+            med = keyed_frame.groupBy(*lv.keys).agg(
+                F.percentile(c, F.lit(0.5)).alias("__med")
+            )
+            dev = (
+                keyed_frame.join(F.broadcast(med), lv.keys)
+                .groupBy(*lv.keys)
+                .agg(
+                    F.percentile(
+                        F.abs(c - F.col("__med")), F.lit(0.5)
+                    ).alias(name)
+                )
+            )
+            bucket_frame = bucket_frame.join(
+                F.broadcast(dev), lv.keys, "left"
+            )
+        else:
+            med = keyed_frame.agg(
+                F.percentile(c, F.lit(0.5)).alias("__med")
+            )
+            dev = (
+                keyed_frame.crossJoin(F.broadcast(med))
+                .agg(
+                    F.percentile(
+                        F.abs(c - F.col("__med")), F.lit(0.5)
+                    ).alias(name)
+                )
+            )
+            bucket_frame = bucket_frame.crossJoin(F.broadcast(dev))
+    return bucket_frame
+
+
 # ---------------------------------------------------------------------------
 # Executor
 # ---------------------------------------------------------------------------
@@ -1000,6 +1247,7 @@ def _gap_fill(lv: _Level, frame: DataFrame) -> DataFrame:
     parent_keys = lv.keys[:-1]
     if kind == "histogram":
         iv = float(body["interval"])
+        off = float(body.get("offset", 0) or 0)
         lo, hi = F.min(F.col(key)), F.max(F.col(key))
         spans = (
             frame.groupBy(*parent_keys).agg(
@@ -1008,25 +1256,44 @@ def _gap_fill(lv: _Level, frame: DataFrame) -> DataFrame:
             if parent_keys
             else frame.agg(lo.alias("__lo"), hi.alias("__hi"))
         )
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+        eb = body.get("extended_bounds")
+        if eb is not None:
+            # ES extended_bounds: the min_doc_count=0 grid covers at
+            # least [min, max] even where no docs landed (least/
+            # greatest skip the NULLs of an empty span)
+            lo_c = F.least(lo_c, F.lit(float(eb["min"])))
+            hi_c = F.greatest(hi_c, F.lit(float(eb["max"])))
         grid = spans.select(
             *parent_keys,
             F.explode(
                 F.sequence(
-                    (F.col("__lo") / F.lit(iv)).cast("long"),
-                    (F.col("__hi") / F.lit(iv)).cast("long"),
+                    F.floor((lo_c - F.lit(off)) / F.lit(iv)).cast("long"),
+                    F.floor((hi_c - F.lit(off)) / F.lit(iv)).cast("long"),
                 )
             ).alias("__step"),
         ).select(
-            *parent_keys, (F.col("__step") * F.lit(iv)).alias(key)
+            *parent_keys,
+            (F.col("__step") * F.lit(iv) + F.lit(off)).alias(key),
         )
     else:
         _build, step, parse_fmt, fmt = _dh_lower(body)
-        parse = (
-            f"to_timestamp(__lo, '{parse_fmt}'), "
-            f"to_timestamp(__hi, '{parse_fmt}')"
-            if parse_fmt
-            else "to_timestamp(__lo), to_timestamp(__hi)"
-        )
+
+        def _p(expr: str) -> str:
+            return (
+                f"to_timestamp({expr}, '{parse_fmt}')"
+                if parse_fmt
+                else f"to_timestamp({expr})"
+            )
+
+        lo_expr, hi_expr = _p("__lo"), _p("__hi")
+        eb = body.get("extended_bounds")
+        if eb is not None:
+            # bucket-aligned strings in the key's format (documented
+            # contract; ES also accepts epoch millis)
+            lo_expr = f"least({lo_expr}, {_p(repr(str(eb['min'])))})"
+            hi_expr = f"greatest({hi_expr}, {_p(repr(str(eb['max'])))})"
+        parse = f"{lo_expr}, {hi_expr}"
         spans = (
             frame.groupBy(*parent_keys).agg(
                 F.min(F.col(key)).alias("__lo"),
@@ -1117,7 +1384,12 @@ def apply_aggs(
     sharded: list[_Level] = []
     for lv in levels:
         if not lv.path and not (
-            lv.metrics or lv.top_hits or lv.pipelines or lv.siblings
+            lv.metrics
+            or lv.top_hits
+            or lv.pipelines
+            or lv.siblings
+            or lv.top_metrics
+            or lv.mads
         ):
             continue  # trivial root: nothing to report at the top level
         seg = lv.own_segment
@@ -1137,6 +1409,15 @@ def apply_aggs(
             lv.pipelines
             or lv.top_hits
             or lv.siblings
+            or lv.top_metrics
+            or lv.mads
+            or (seg is not None and seg[2] == "rare_terms")
+            or (
+                seg is not None
+                and seg[0] == "key"
+                and seg[2] in _SIZED
+                and int(seg[3].get("min_doc_count", 1) or 0) > 1
+            )
             or (seg is not None and seg[0] == "explode")
             or (seg is not None and seg[2] == "significant_terms")
             or (
@@ -1158,12 +1439,22 @@ def apply_aggs(
         for lv in levels
         for _n, kind, _b in lv.pipelines
     ) or any(
-        # size-capped terms prune descendants too — a fused descendant
-        # group would skip the surviving-ancestor semi-join
+        # bucket-dropping levels prune descendants too — a fused
+        # descendant group would skip the surviving-ancestor semi-join:
+        # size-capped / min_doc_count-filtered terms and rare_terms
         lv.own_segment is not None
         and lv.own_segment[0] == "key"
-        and lv.own_segment[2] in _SIZED
-        and lv.own_segment[3].get("size") is not None
+        and (
+            (
+                lv.own_segment[2] in _SIZED
+                and (
+                    lv.own_segment[3].get("size") is not None
+                    or int(lv.own_segment[3].get("min_doc_count", 1) or 0)
+                    > 1
+                )
+            )
+            or lv.own_segment[2] == "rare_terms"
+        )
         and any(o.path[:len(lv.path)] == lv.path and o.path != lv.path
                 for o in levels)
         for lv in levels
@@ -1337,6 +1628,25 @@ def apply_aggs(
         # explicit ``order`` may instead reference ``_key``,
         # ``_count``, or a SIBLING METRIC of the same level (ES's
         # order-by-sub-aggregation)
+        if (
+            seg is not None
+            and seg[0] == "key"
+            and seg[2] in _SIZED
+            and int(seg[3].get("min_doc_count", 1) or 0) > 1
+        ):
+            # ES terms min_doc_count: buckets below the floor are
+            # dropped BEFORE the size cut
+            bf = bf.filter(
+                F.col("doc_count")
+                >= F.lit(int(seg[3]["min_doc_count"]))
+            )
+        if seg is not None and seg[0] == "key" and seg[2] == "rare_terms":
+            # ES rare_terms: buckets with doc_count <= max_doc_count,
+            # long-tail first (doc_count asc, key asc)
+            bf = bf.filter(
+                F.col("doc_count")
+                <= F.lit(int(seg[3].get("max_doc_count", 1)))
+            )
         if seg is not None and seg[0] == "key" and seg[2] in _SIZED:
             size = seg[3].get("size")
             if size is not None:
@@ -1400,6 +1710,10 @@ def apply_aggs(
         bf = _apply_pipelines(lv, bf)
         if lv.top_hits:
             bf = _apply_top_hits(lv, keyed_frame, bf)
+        if lv.top_metrics:
+            bf = _apply_top_metrics(lv, keyed_frame, bf)
+        if lv.mads:
+            bf = _apply_mads(lv, keyed_frame, bf)
         # prune to surviving ancestor buckets (bucket_selector/sort)
         anc = pruned_ancestor.get(lv.path[:-1])
         if anc is not None and lv.path != anc:
@@ -1416,13 +1730,22 @@ def apply_aggs(
             k in ("bucket_selector", "bucket_sort")
             for _, k, _b in lv.pipelines
         ) or (
-            # a size-capped terms level drops buckets, so descendant
-            # levels must keep only rows under SURVIVING buckets (ES
-            # reports sub-aggs only inside kept buckets)
+            # a bucket-dropping level (size-capped or min_doc_count-
+            # floored terms, rare_terms) forces descendant levels to
+            # keep only rows under SURVIVING buckets (ES reports
+            # sub-aggs only inside kept buckets)
             seg is not None
             and seg[0] == "key"
-            and seg[2] in _SIZED
-            and seg[3].get("size") is not None
+            and (
+                (
+                    seg[2] in _SIZED
+                    and (
+                        seg[3].get("size") is not None
+                        or int(seg[3].get("min_doc_count", 1) or 0) > 1
+                    )
+                )
+                or seg[2] == "rare_terms"
+            )
         )
         if prunes:
             pruned_ancestor[lv.path] = lv.path
@@ -1507,6 +1830,11 @@ def apply_aggs(
             canonical.append("doc_count_error_upper_bound")
         for name, _b in lv.top_hits:
             canonical.append(name)
+        for name, _b in lv.mads:
+            canonical.append(name)
+        for name, body in lv.top_metrics:
+            for mi in body["metrics"]:
+                canonical.append(f"{name}_{mi['field']}")
 
     result = None
     emitted_fused: set[int] = set()
@@ -1726,7 +2054,7 @@ def _apply_composite(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 f"composite source {sname!r} must have one type: {sspec}"
             )
         (kind, kbody), = sspec.items()
-        if kind not in _KEYED or kind == "auto_date_histogram":
+        if kind not in ("terms", "histogram", "date_histogram"):
             raise ValueError(
                 f"composite source {sname!r}: unsupported type {kind!r}"
             )

@@ -2316,3 +2316,146 @@ def _es_search_terms_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
         "agg_path", "top_src", "src_lang", "doc_count",
         "doc_count_error_upper_bound",
     )
+
+
+# ---------------------------------------------------------------------------
+# 34. round-5 metric/bucket additions in one body: boxplot, MAD,
+#     top_metrics, rate, rare_terms, histogram offset+extended_bounds.
+# ---------------------------------------------------------------------------
+
+_AGGS_R5_ORACLE = """
+WITH f AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+base AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY day ORDER BY value DESC, vc ASC, event_id) AS rn
+  FROM f
+),
+med AS (SELECT day, median(value) AS med FROM f GROUP BY day),
+madt AS (
+  SELECT f.day, median(abs(f.value - m.med)) AS mad
+  FROM f JOIN med m USING (day) GROUP BY f.day
+),
+per_day AS (
+  SELECT 'per_day' AS agg_path, b.day, NULL AS rare_user,
+         NULL::DOUBLE AS band, count(*) AS doc_count,
+         round(min(b.value), 6) AS box_min,
+         round(quantile_cont(b.value, 0.25), 6) AS box_q1,
+         round(quantile_cont(b.value, 0.50), 6) AS box_q2,
+         round(quantile_cont(b.value, 0.75), 6) AS box_q3,
+         round(max(b.value), 6) AS box_max,
+         round(max(md.mad), 6) AS mad_v,
+         round(CAST(sum(b.vc) AS DOUBLE) / 24.0, 6) AS hourly_cents,
+         max(CASE WHEN b.rn = 1 THEN b.vc END) AS best_vc
+  FROM base b JOIN madt md USING (day)
+  GROUP BY b.day
+),
+rare AS (
+  SELECT 'rare_user' AS agg_path, NULL AS day,
+         CAST(user_id AS VARCHAR) AS rare_user, NULL::DOUBLE AS band,
+         count(*) AS doc_count,
+         NULL::DOUBLE AS box_min, NULL::DOUBLE AS box_q1,
+         NULL::DOUBLE AS box_q2, NULL::DOUBLE AS box_q3,
+         NULL::DOUBLE AS box_max, NULL::DOUBLE AS mad_v,
+         NULL::DOUBLE AS hourly_cents, NULL::BIGINT AS best_vc
+  FROM f GROUP BY user_id HAVING count(*) <= 2
+),
+hits AS (
+  SELECT floor((value - 2.5) / 25.0) * 25.0 + 2.5 AS band,
+         count(*) AS doc_count
+  FROM f GROUP BY 1
+),
+span AS (
+  SELECT least(CAST(round((min(band) - 2.5) / 25.0) AS BIGINT),
+               CAST(floor((-20 - 2.5) / 25.0) AS BIGINT)) AS lo,
+         greatest(CAST(round((max(band) - 2.5) / 25.0) AS BIGINT),
+                  CAST(floor((120 - 2.5) / 25.0) AS BIGINT)) AS hi
+  FROM hits
+),
+grid AS (
+  SELECT g.s * 25.0 + 2.5 AS band
+  FROM span, LATERAL (SELECT unnest(generate_series(lo, hi)) AS s) g
+),
+bands AS (
+  SELECT 'bands' AS agg_path, NULL AS day, NULL AS rare_user,
+         g.band, coalesce(h.doc_count, 0) AS doc_count,
+         NULL::DOUBLE AS box_min, NULL::DOUBLE AS box_q1,
+         NULL::DOUBLE AS box_q2, NULL::DOUBLE AS box_q3,
+         NULL::DOUBLE AS box_max, NULL::DOUBLE AS mad_v,
+         NULL::DOUBLE AS hourly_cents, NULL::BIGINT AS best_vc
+  FROM grid g LEFT JOIN hits h USING (band)
+)
+SELECT * FROM per_day UNION ALL SELECT * FROM rare
+UNION ALL SELECT * FROM bands
+"""
+
+
+@q("es_search_aggs_round5", _AGGS_R5_ORACLE)
+def _es_search_aggs_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 aggregation additions in ONE request body:
+    ``boxplot`` (exact five-number summary), ``median_absolute_
+    deviation`` (exact median-of-deviations, two bucket-keyed
+    passes), ``top_metrics`` (best document's field under a sort, flat
+    column), ``rate`` (per-hour scaling inside day buckets),
+    ``rare_terms`` (long-tail users, max_doc_count 2), and
+    ``histogram`` with ``offset`` + ``min_doc_count: 0`` +
+    ``extended_bounds`` (the grid stretches beyond the observed
+    span). The oracle replays every formula, including the offset
+    grid arithmetic.
+
+    Scale shape: per_day/rare/bands levels each cost one partial-agg
+    exchange; MAD adds two bucket-keyed passes with broadcast-back;
+    top_metrics is one window; the gap grid explodes from a single
+    min/max row."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir).withColumn(
+            "user_str", F.col("user_id").cast("string")
+        ),
+        {
+            "query": {"terms": {"event_type": ["click", "purchase"]}},
+            "aggs": {
+                "per_day": {
+                    "date_histogram": {"field": "ts",
+                                       "calendar_interval": "day"},
+                    "aggs": {
+                        "box": {"boxplot": {"field": "value"}},
+                        "mad_v": {"median_absolute_deviation":
+                                  {"field": "value"}},
+                        "best": {"top_metrics": {
+                            "metrics": [{"field": "vc"}],
+                            "sort": [{"value": {"order": "desc"}}]}},
+                        "hourly_cents": {"rate": {"field": "vc",
+                                                  "unit": "hour"}},
+                    },
+                },
+                "rare_user": {"rare_terms": {"field": "user_str",
+                                             "max_doc_count": 2}},
+                "bands": {"histogram": {
+                    "field": "value", "interval": 25.0, "offset": 2.5,
+                    "min_doc_count": 0,
+                    "extended_bounds": {"min": -20, "max": 120},
+                }},
+            },
+        },
+    )
+    return out.select(
+        "agg_path",
+        F.col("per_day").alias("day"),
+        "rare_user",
+        "bands" if "bands" in out.columns else F.lit(None).alias("bands"),
+        "doc_count",
+        F.round(F.col("box")["min"], 6).alias("box_min"),
+        F.round(F.col("box")["q1"], 6).alias("box_q1"),
+        F.round(F.col("box")["q2"], 6).alias("box_q2"),
+        F.round(F.col("box")["q3"], 6).alias("box_q3"),
+        F.round(F.col("box")["max"], 6).alias("box_max"),
+        F.round("mad_v", 6).alias("mad_v"),
+        F.round("hourly_cents", 6).alias("hourly_cents"),
+        F.col("best_vc").cast("long").alias("best_vc"),
+    ).withColumnRenamed("bands", "band")

@@ -1185,3 +1185,111 @@ class TestTermsPaging:
             df, {"t": {"terms": {"field": "term"}}}).count() == 12
         assert run_search_body(
             df, {"aggs": {"t": {"terms": {"field": "term"}}}}).count() == 10
+
+
+class TestRound5Aggs:
+    def _df(self, spark):
+        rows = [(i, float(i % 7), f"k{i % 15}",
+                 f"2024-01-0{1 + i % 3} 0{i % 5}:10:00") for i in range(60)]
+        return spark.createDataFrame(
+            rows, "id long, v double, k string, ts string"
+        ).selectExpr("id", "v", "k", "CAST(ts AS TIMESTAMP) AS ts")
+
+    def test_boxplot(self, spark):
+        r = apply_aggs(
+            spark.createDataFrame([(float(x),) for x in range(1, 10)],
+                                  "v double"),
+            {"b": {"boxplot": {"field": "v"}}},
+        ).collect()[0]
+        assert (r.b["min"], r.b["q1"], r.b["q2"], r.b["q3"],
+                r.b["max"]) == (1.0, 3.0, 5.0, 7.0, 9.0)
+
+    def test_median_absolute_deviation(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0),
+             ("b", 5.0)], "k string, v double")
+        rows = apply_aggs(df, {"per_k": {"terms": {"field": "k"},
+            "aggs": {"mad": {"median_absolute_deviation":
+                             {"field": "v"}}}}}).collect()
+        got = {r.per_k: r.mad for r in rows}
+        # a: median 2.5, |dev| = [1.5, .5, .5, 97.5] -> median 1.0
+        assert got == {"a": 1.0, "b": 0.0}
+
+    def test_top_metrics(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0, 10.0), ("a", 9.0, 20.0), ("b", 5.0, 30.0)],
+            "k string, score double, val double")
+        rows = apply_aggs(df, {"per_k": {"terms": {"field": "k"},
+            "aggs": {"best": {"top_metrics": {
+                "metrics": [{"field": "val"}],
+                "sort": [{"score": {"order": "desc"}}]}}}}}).collect()
+        got = {r.per_k: r.best_val for r in rows}
+        assert got == {"a": 20.0, "b": 30.0}
+
+    def test_rate(self, spark):
+        df = self._df(spark)
+        rows = apply_aggs(df, {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"per_hour": {"rate": {"field": "v",
+                                           "unit": "hour"}},
+                     "total": {"sum": {"field": "v"}}}}}).collect()
+        for r in rows:
+            assert abs(r.per_hour - r.total / 24.0) < 1e-9
+        with pytest.raises(ValueError, match="FIXED-length"):
+            compile_aggs({"m": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "month"},
+                "aggs": {"r": {"rate": {"unit": "day"}}}}})
+
+    def test_rare_terms_prunes_descendants(self, spark):
+        df = spark.createDataFrame(
+            [("common", i) for i in range(5)] + [("rare1", 0),
+             ("rare2", 1)], "k string, id long")
+        rows = apply_aggs(df, {"rt": {"rare_terms":
+            {"field": "k", "max_doc_count": 1},
+            "aggs": {"per_id": {"terms": {"field": "id"}}}}}).collect()
+        tops = {r.rt for r in rows if r.agg_path == "rt"}
+        assert tops == {"rare1", "rare2"}
+        kids = {(r.rt, r.per_id) for r in rows if r.agg_path == "rt>per_id"}
+        assert kids == {("rare1", 0), ("rare2", 1)}
+
+    def test_terms_min_doc_count(self, spark):
+        df = spark.createDataFrame(
+            [("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string")
+        rows = apply_aggs(df, {"t": {"terms": {"field": "k",
+                                               "min_doc_count": 2}}},
+        ).collect()
+        assert {(r.t, r.doc_count) for r in rows} == {("a", 3), ("b", 2)}
+
+    def test_histogram_offset_and_bounds(self, spark):
+        df = spark.createDataFrame(
+            [(3.0,), (8.0,), (23.0,)], "v double")
+        rows = apply_aggs(df, {"h": {"histogram": {
+            "field": "v", "interval": 10, "offset": 2,
+            "min_doc_count": 0,
+            "extended_bounds": {"min": -8, "max": 35}}}},
+        ).orderBy("h").collect()
+        got = [(r.h, r.doc_count) for r in rows]
+        # offset 2 grid: ..., -8, 2, 12, 22, 32; 3.0 and 8.0 -> 2,
+        # 23 -> 22; extended bounds stretch -8..32
+        assert got == [(-8.0, 0), (2.0, 2), (12.0, 0), (22.0, 1),
+                       (32.0, 0)]
+        rows = apply_aggs(df, {"h": {"histogram": {
+            "field": "v", "interval": 10,
+            "hard_bounds": {"min": 0, "max": 10}}}}).collect()
+        assert {(r.h, r.doc_count) for r in rows} == {(0.0, 2)}
+
+    def test_date_histogram_extended_bounds(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 2),)], "ts timestamp")
+        rows = apply_aggs(df, {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2024-01-01",
+                                "max": "2024-01-04"}}}},
+        ).orderBy("d").collect()
+        assert [(r.d, r.doc_count) for r in rows] == [
+            ("2024-01-01", 0), ("2024-01-02", 1), ("2024-01-03", 0),
+            ("2024-01-04", 0)]
