@@ -65,9 +65,22 @@ Supported processors (the everyday subset):
                  needs plan-time keys, where ES materializes keys
                  dynamically), one column per included key (prefixed
                  by target_field), NULL when absent.
-- ``script`` is deliberately NOT supported: arbitrary painless has no
-  declarative lowering — computed_columns / the grok compiler are the
-  engine's answers for expression-level work.
+- ``user_agent`` {field[, target_field]} — UA classification through
+                 the prioritized-regex table of operators/useragent.py;
+                 flat ``<target>.name`` / ``.major`` / ``.is_bot``
+                 columns (the columnar reading of ES's nested object).
+- ``urldecode``  {field[, target_field]}
+- ``fingerprint`` {fields, [method: MD5|SHA-1|SHA-256|SHA-512]
+                 [, target_field]} — stable hash of the named fields
+                 joined in request order (ES default SHA-1).
+- ``script``     {target_field, script.source} — the PAINLESS
+                 ARITHMETIC SUBSET only (``doc['field'].value``
+                 references + arithmetic/comparison, the same contract
+                 as the query-side ``script_score``); references bind
+                 to INPUT document fields. Arbitrary painless still
+                 has no declarative lowering — computed_columns / the
+                 grok compiler are the engine's answers for heavier
+                 reshaping.
 
 Validation is PLAN-time like ES's pipeline validation: unknown
 processors, unknown fields, ``rename`` onto itself or onto an
@@ -310,6 +323,74 @@ def compile_pipeline(
             for key in include:
                 out_name = f"{prefix}.{key}" if prefix else key
                 cols[out_name] = pairs[key]
+        elif kind == "user_agent":
+            # ES's user_agent processor (UA string -> object); lowered
+            # through the prioritized-regex classifier of
+            # operators/useragent.py — flat dotted columns
+            # <target>.name / <target>.major / <target>.is_bot (the
+            # columnar reading of ES's nested object)
+            from .useragent import classify_ua
+
+            src = _need(a["field"], p)
+            target = a.get("target_field", "user_agent")
+            family, major, is_bot = classify_ua(src)
+            cols[f"{target}.name"] = family
+            cols[f"{target}.major"] = major
+            cols[f"{target}.is_bot"] = is_bot
+        elif kind == "urldecode":
+            src = _need(a["field"], p)
+            cols[a.get("target_field", a["field"])] = F.url_decode(src)
+        elif kind == "fingerprint":
+            # ES fingerprint processor: a stable hash of the named
+            # fields' values (md5/sha1/sha256; ES default SHA-1),
+            # fields joined in REQUEST order with the ES separator
+            fields = a.get("fields")
+            if not fields:
+                raise ValueError(f"fingerprint needs fields: {a}")
+            method = a.get("method", "SHA-1")
+            joined = F.concat_ws(
+                "|", *[_need(f, p).cast("string") for f in fields]
+            )
+            if method == "MD5":
+                h = F.md5(joined)
+            elif method == "SHA-1":
+                h = F.sha1(joined)
+            elif method in ("SHA-256", "SHA-512"):
+                h = F.sha2(joined, int(method.split("-")[1]))
+            else:
+                raise ValueError(
+                    f"fingerprint: unsupported method {method!r}"
+                )
+            cols[a.get("target_field", "fingerprint")] = h
+        elif kind == "script":
+            # the PAINLESS ARITHMETIC SUBSET only (same contract as
+            # query-side script_score): ctx.target = doc-field
+            # arithmetic, declared as {target_field, source} with
+            # doc['field'].value references; anything beyond the
+            # subset fails at plan time. Arbitrary painless still has
+            # no lowering — grok/computed_columns remain the answer
+            # for heavier reshaping.
+            from .querydsl import _compile_score_script
+
+            target = a.get("target_field")
+            source = (a.get("script") or {}).get("source") or a.get(
+                "source"
+            )
+            if not target or not source:
+                raise ValueError(
+                    f"script needs target_field and source: {a}"
+                )
+            for ref in re.findall(r"doc\['([^']+)'\]", source):
+                # the compiled expression binds to the INPUT frame, so
+                # only ORIGINAL document fields are addressable (a
+                # processor-derived field has no input column to bind)
+                if ref not in columns:
+                    raise ValueError(
+                        f"script references {ref!r}, which is not an "
+                        "input document field (derived fields are not "
+                        "addressable from scripts)"
+                    )
+            cols[target] = _compile_score_script(source)
         elif kind == "grok":
             raise ValueError(
                 "grok processor requires apply_ingest_pipeline (it "

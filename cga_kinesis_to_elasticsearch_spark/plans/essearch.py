@@ -2459,3 +2459,120 @@ def _es_search_aggs_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hourly_cents", 6).alias("hourly_cents"),
         F.col("best_vc").cast("long").alias("best_vc"),
     ).withColumnRenamed("bands", "band")
+
+
+# ---------------------------------------------------------------------------
+# 35. round-5 ingest processors: user_agent, fingerprint, script,
+#     urldecode — one pipeline, one codegen projection.
+# ---------------------------------------------------------------------------
+
+_INGEST_R5_ORACLE = """
+WITH staged AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         CASE user_id % 4
+           WHEN 0 THEN 'Mozilla/5.0 AppleWebKit Chrome/'
+                       || CAST(100 + user_id % 30 AS VARCHAR)
+                       || '.0 Safari/537'
+           WHEN 1 THEN 'curl/' || CAST(7 + user_id % 2 AS VARCHAR)
+                       || '.88'
+           WHEN 2 THEN 'Mozilla/5.0 Firefox/'
+                       || CAST(90 + user_id % 40 AS VARCHAR) || '.0'
+           ELSE 'custom-agent'
+         END AS ua,
+         'q%20' || CAST(user_id AS VARCHAR) AS q
+  FROM events WHERE event_type = 'signup'
+),
+parsed AS (
+  SELECT event_id,
+         CASE WHEN ua LIKE '%Chrome/%' THEN 'chrome'
+              WHEN ua LIKE 'curl/%' THEN 'curl'
+              WHEN ua LIKE '%Firefox/%' THEN 'firefox'
+              ELSE 'other' END AS agent_name,
+         CASE WHEN ua LIKE '%Chrome/%'
+                THEN CAST(regexp_extract(ua, 'Chrome/([0-9]+)', 1)
+                          AS BIGINT)
+              WHEN ua LIKE 'curl/%'
+                THEN CAST(regexp_extract(ua, '^curl/([0-9]+)', 1)
+                          AS BIGINT)
+              WHEN ua LIKE '%Firefox/%'
+                THEN CAST(regexp_extract(ua, 'Firefox/([0-9]+)', 1)
+                          AS BIGINT)
+              END AS agent_major,
+         ua LIKE 'curl/%' AS agent_is_bot,
+         md5(event_type || '|' || CAST(user_id AS VARCHAR)) AS fp,
+         CAST(vc AS DOUBLE) / 100.0 + CAST(user_id AS DOUBLE)
+           AS scripted,
+         replace(q, '%20', ' ') AS qd
+  FROM staged
+)
+SELECT agent_name, agent_is_bot,
+       count(*) AS n,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+       CAST(count(DISTINCT agent_major) AS BIGINT) AS n_majors,
+       round(sum(scripted), 2) AS total_scripted,
+       CAST(sum(CASE WHEN qd LIKE 'q %' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decoded
+FROM parsed
+GROUP BY agent_name, agent_is_bot
+"""
+
+
+@q("ingest_processors_round5", _INGEST_R5_ORACLE)
+def _ingest_processors_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 ingest processors end-to-end: a synthesized User-Agent
+    string through ``user_agent`` (prioritized-regex classification —
+    Chrome before Safari, curl flagged bot), ``fingerprint`` (MD5 over
+    two fields in request order), ``script`` (painless arithmetic
+    subset computing a derived number), and ``urldecode`` — then an
+    aggregate whose every column depends on a processor output, so
+    classification boundaries, hash bytes, script arithmetic and
+    decoding are all under the value hash.
+
+    Scale shape: the whole processor chain is ONE codegen projection
+    (zero Python, zero shuffles before the final partial-agg
+    groupBy)."""
+    from ..operators.ingest import apply_ingest_pipeline
+
+    ev = _ev_cents(spark, sf_dir).filter(
+        F.col("event_type") == "signup"
+    ).select(
+        "event_id", "user_id", "event_type", "vc", "value",
+        F.when(
+            F.col("user_id") % 4 == 0,
+            F.concat(F.lit("Mozilla/5.0 AppleWebKit Chrome/"),
+                     (F.lit(100) + F.col("user_id") % 30).cast("string"),
+                     F.lit(".0 Safari/537")),
+        ).when(
+            F.col("user_id") % 4 == 1,
+            F.concat(F.lit("curl/"),
+                     (F.lit(7) + F.col("user_id") % 2).cast("string"),
+                     F.lit(".88")),
+        ).when(
+            F.col("user_id") % 4 == 2,
+            F.concat(F.lit("Mozilla/5.0 Firefox/"),
+                     (F.lit(90) + F.col("user_id") % 40).cast("string"),
+                     F.lit(".0")),
+        ).otherwise(F.lit("custom-agent")).alias("ua"),
+        F.concat(F.lit("q%20"), F.col("user_id").cast("string"))
+        .alias("q"),
+    )
+    out = apply_ingest_pipeline(ev, [
+        {"user_agent": {"field": "ua", "target_field": "agent"}},
+        {"fingerprint": {"fields": ["event_type", "user_id"],
+                         "method": "MD5", "target_field": "fp"}},
+        {"script": {"target_field": "scripted", "script": {
+            "source": "doc['vc'].value / 100 + doc['user_id'].value"}}},
+        {"urldecode": {"field": "q", "target_field": "qd"}},
+    ])
+    return out.groupBy(
+        F.col("`agent.name`").alias("agent_name"),
+        F.col("`agent.is_bot`").alias("agent_is_bot"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("fp").cast("long").alias("n_fp"),
+        F.countDistinct("`agent.major`").cast("long").alias("n_majors"),
+        F.round(F.sum("scripted"), 2).alias("total_scripted"),
+        F.sum(F.when(F.col("qd").startswith("q "), 1).otherwise(0))
+        .cast("long").alias("n_decoded"),
+    )

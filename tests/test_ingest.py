@@ -367,3 +367,65 @@ class TestDissectKv:
             apply_ingest_pipeline(df, [
                 {"kv": {"field": "qs", "field_split": "&",
                         "value_split": "="}}])
+
+
+class TestRound5Processors:
+    def test_user_agent(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Mozilla/5.0 AppleWebKit Chrome/120.0 Safari/537"),
+             (2, "curl/8.1.2"),
+             (3, "weird-client/1.0")],
+            "id long, ua string",
+        )
+        out = apply_ingest_pipeline(df, [
+            {"user_agent": {"field": "ua", "target_field": "agent"}},
+        ]).orderBy("id").collect()
+        got = [(r["agent.name"], r["agent.major"], r["agent.is_bot"])
+               for r in out]
+        assert got == [("chrome", 120, False), ("curl", 8, True),
+                       ("other", None, False)]
+
+    def test_fingerprint_and_urldecode(self, spark):
+        import hashlib
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a%20b", "x")], "id long, q string, s string")
+        out = apply_ingest_pipeline(df, [
+            {"urldecode": {"field": "q", "target_field": "qd"}},
+            {"fingerprint": {"fields": ["s", "id"], "method": "MD5",
+                             "target_field": "fp"}},
+        ]).collect()[0]
+        assert out.qd == "a b"
+        assert out.fp == hashlib.md5(b"x|1").hexdigest()
+
+    def test_script_processor_subset(self, spark):
+        import pytest as _pt
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0, 3.0)], "id long, a double, b double")
+        out = apply_ingest_pipeline(df, [
+            {"script": {"target_field": "ratio", "script": {
+                "source": "doc['a'].value / doc['b'].value + 1"}}},
+        ]).collect()[0]
+        assert abs(out.ratio - (10.0 / 3.0 + 1)) < 1e-12
+        with _pt.raises(ValueError, match="not an input"):
+            apply_ingest_pipeline(df, [
+                {"set": {"field": "c", "value": 2}},
+                {"script": {"target_field": "r", "script": {
+                    "source": "doc['c'].value * 2"}}},
+            ])
+        with _pt.raises(ValueError, match="unsupported script"):
+            apply_ingest_pipeline(df, [
+                {"script": {"target_field": "r", "script": {
+                    "source": "if (true) { ctx.r = 1; }"}}},
+            ])
