@@ -341,6 +341,7 @@ _MULTI_METRICS = (
     "stats",
     "extended_stats",
     "percentiles",
+    "percentile_ranks",
     "weighted_avg",
     "boxplot",
 )
@@ -414,6 +415,25 @@ def _metric_expr(kind: str, body: dict) -> Column:
             raise ValueError(f"percentiles: bad percents {percents!r}")
         fracs = F.array(*[F.lit(float(p) / 100.0) for p in percents])
         return F.percentile(c, fracs)
+    if kind == "percentile_ranks":
+        # EXACT percent-below-or-equal per requested value (ES
+        # interpolates from t-digest — the same exactness trade as
+        # percentiles); docs with a NULL field are excluded, like ES
+        values = body.get("values")
+        if not values or not all(
+            isinstance(v, (int, float)) for v in values
+        ):
+            raise ValueError(
+                f"percentile_ranks needs numeric values: {body}"
+            )
+        return F.array(
+            *[
+                F.lit(100.0)
+                * F.sum(F.when(c <= F.lit(float(v)), 1).otherwise(0))
+                / F.count(c)
+                for v in values
+            ]
+        )
     if kind == "boxplot":
         # EXACT five-number summary (ES uses t-digest — the same
         # exactness trade as percentiles/cardinality)
@@ -495,7 +515,13 @@ _SIZED = ("terms", "multi_terms")
 # clipped to this corpus's hour..month span
 _ADH_LADDER_H = (1, 3, 12, 24, 168, 720)
 # bucket kinds that EXPLODE a doc into every matching bucket
-_EXPLODING = ("range", "date_range", "filters", "adjacency_matrix")
+_EXPLODING = (
+    "range",
+    "date_range",
+    "geo_distance",
+    "filters",
+    "adjacency_matrix",
+)
 # bucket kinds that narrow the frame without adding a key column
 _CONDITION = ("filter", "missing", "global")
 
@@ -609,6 +635,39 @@ def _explode_labels(kind: str, body: dict) -> tuple[Column, list[str]]:
                 cond = cond & (F.col(field) >= _bound(lo))
             if hi is not None:
                 cond = cond & (F.col(field) < _bound(hi))
+            label = _range_label(r)
+            labels.append(label)
+            arms.append(F.when(cond, F.lit(label)))
+        if len(set(labels)) != len(labels):
+            raise ValueError(f"{kind}: duplicate bucket labels {labels}")
+        return F.array_compact(F.array(*arms)), labels
+    if kind == "geo_distance":
+        # distance-banded range buckets from an origin point; the geo
+        # field is the repo's {lat, lon} struct and distance is PLANAR
+        # euclidean in the field's units (same centi-degree convention
+        # and documented divergence as the geo_distance query — ES
+        # measures geodesic meters)
+        ranges = body.get("ranges")
+        origin = body.get("origin")
+        field = body.get("field")
+        if not ranges or not field or not isinstance(origin, dict):
+            raise ValueError(
+                "geo_distance agg needs field, origin {lat, lon} and "
+                f"ranges: {body}"
+            )
+        pt = F.col(field)
+        dlat = pt["lat"] - F.lit(float(origin["lat"]))
+        dlon = pt["lon"] - F.lit(float(origin["lon"]))
+        dist = F.sqrt(dlat * dlat + dlon * dlon)
+        arms = []
+        labels = []
+        for r in ranges:
+            lo, hi = r.get("from"), r.get("to")
+            cond = pt.isNotNull()
+            if lo is not None:
+                cond = cond & (dist >= F.lit(float(lo)))
+            if hi is not None:
+                cond = cond & (dist < F.lit(float(hi)))
             label = _range_label(r)
             labels.append(label)
             arms.append(F.when(cond, F.lit(label)))

@@ -862,10 +862,35 @@ def run_search_body(
 
     out = df
     score: Column | None = None
+    # body-level min_score excludes docs during the QUERY phase (ES:
+    # aggregations exclude them too), so the score is computed even
+    # under a non-score sort
+    must_score = need_score or "min_score" in body
     if "query" in body:
-        out, score = _score_and_filter(out, body["query"], need_score)
-    elif need_score:
+        out, score = _score_and_filter(out, body["query"], must_score)
+    elif must_score:
         score = F.lit(1.0)
+    if "min_score" in body:
+        out = out.filter(score >= F.lit(float(body["min_score"])))
+
+    if "post_filter" in body and not wants_hits:
+        raise ValueError(
+            "post_filter shapes the HIT list; this body requests no "
+            "hits (add size, or drop post_filter)"
+        )
+    if body.get("track_total_hits") and not both:
+        raise ValueError(
+            "track_total_hits is returned as a section row — it needs "
+            "the two-section (aggs + size) body"
+        )
+    # ES post_filter: narrows the HIT list only, AFTER aggregations —
+    # the faceted-navigation contract (facet counts ignore the facet
+    # the user just clicked)
+    hit_in = (
+        apply_query(out, body["post_filter"])
+        if "post_filter" in body
+        else out
+    )
 
     if "aggs" in body and not both:
         from .aggsdsl import apply_aggs, apply_es_default_sizes
@@ -877,7 +902,8 @@ def run_search_body(
         from .aggsdsl import apply_aggs, apply_es_default_sizes
 
         hits = _run_hits(
-            df, out, score, body, sort_specs, need_score, with_rank=True
+            df, hit_in, score, body, sort_specs, need_score,
+            with_rank=True,
         )
         aggs = apply_aggs(
             out, apply_es_default_sizes(body["aggs"]), base_df=pre
@@ -891,9 +917,17 @@ def run_search_body(
             )
         hits = hits.select(F.lit("hits").alias("section"), "*")
         aggs = aggs.select(F.lit("aggs").alias("section"), "*")
-        return hits.unionByName(aggs, allowMissingColumns=True)
+        union = hits.unionByName(aggs, allowMissingColumns=True)
+        if body.get("track_total_hits"):
+            # hits.total as a section row: the FULL post-filtered hit
+            # count, not the returned page size
+            total = hit_in.agg(
+                F.count(F.lit(1)).cast("long").alias("doc_count")
+            ).select(F.lit("total").alias("section"), "doc_count")
+            union = union.unionByName(total, allowMissingColumns=True)
+        return union
     return _run_hits(
-        df, out, score, body, sort_specs, need_score, with_rank=False
+        df, hit_in, score, body, sort_specs, need_score, with_rank=False
     )
 
 

@@ -2576,3 +2576,148 @@ def _ingest_processors_round5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("qd").startswith("q "), 1).otherwise(0))
         .cast("long").alias("n_decoded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 36. post_filter faceted navigation + track_total_hits section.
+# ---------------------------------------------------------------------------
+
+_POST_FILTER_ORACLE = """
+WITH f AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+),
+hits AS (
+  SELECT event_id, vc,
+         CAST(row_number() OVER (ORDER BY vc DESC, event_id)
+              AS BIGINT) AS hit_rank
+  FROM f WHERE event_type = 'purchase'
+  ORDER BY vc DESC, event_id LIMIT 5
+),
+ag AS (
+  SELECT event_type, count(*) AS doc_count FROM f GROUP BY event_type
+),
+tot AS (SELECT count(*) AS doc_count FROM f
+        WHERE event_type = 'purchase')
+SELECT 'hits' AS section, hit_rank, event_id, vc,
+       NULL AS agg_path, NULL AS per_type, NULL::BIGINT AS doc_count
+FROM hits
+UNION ALL
+SELECT 'aggs', NULL, NULL, NULL, 'per_type', event_type, doc_count
+FROM ag
+UNION ALL
+SELECT 'total', NULL, NULL, NULL, NULL, NULL, doc_count FROM tot
+"""
+
+
+@q("es_search_post_filter", _POST_FILTER_ORACLE)
+def _es_search_post_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES faceted navigation: ``post_filter`` narrows the HIT list
+    only, AFTER aggregations — the facet counts keep showing every
+    event type while the hit page shows only the clicked one — plus
+    ``track_total_hits`` as a third section row carrying the full
+    post-filtered hit count (not the page size).
+
+    Scale shape: one filtered scan feeds the agg branch; the hit
+    branch adds the post_filter conjunct (still pushdown-eligible) +
+    TakeOrdered; the total is one count row."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _ev_cents(spark, sf_dir),
+        {
+            "query": {"terms": {"event_type":
+                                ["click", "view", "purchase"]}},
+            "post_filter": {"term": {"event_type": "purchase"}},
+            "sort": [{"vc": "desc"}],
+            "size": 5,
+            "_source": ["event_id", "vc"],
+            "aggs": {"per_type": {"terms": {"field": "event_type"}}},
+            "track_total_hits": True,
+        },
+    )
+    return out.select(
+        "section", "hit_rank", "event_id", "vc", "agg_path",
+        "per_type", "doc_count",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 37. geo_distance aggregation rings + percentile_ranks per ring.
+# ---------------------------------------------------------------------------
+
+_GEO_RINGS_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c,
+         -6000 + (c_custkey * 7) % 12000 AS lat,
+         -18000 + (c_custkey * 13) % 36000 AS lon
+  FROM customer
+),
+d AS (
+  SELECT *, sqrt(CAST(lat * lat + lon * lon AS DOUBLE)) AS dist
+  FROM pts
+),
+ring AS (
+  SELECT CASE WHEN dist < 4000 THEN '*-4000'
+              WHEN dist < 9000 THEN '4000-9000'
+              ELSE '9000-*' END AS rings,
+         bal_c
+  FROM d
+)
+SELECT 'rings' AS agg_path, rings, count(*) AS doc_count,
+       round(100.0 * sum(CASE WHEN bal_c <= 0 THEN 1 ELSE 0 END)
+             / count(bal_c), 6) AS rank_zero,
+       round(100.0 * sum(CASE WHEN bal_c <= 500000 THEN 1 ELSE 0 END)
+             / count(bal_c), 6) AS rank_5k
+FROM ring GROUP BY rings
+"""
+
+
+@q("es_search_geo_rings", _GEO_RINGS_ORACLE)
+def _es_search_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_distance`` AGGREGATION (distance-banded rings from an
+    origin over the planar centi-degree customer points — the agg twin
+    of the geo_distance query) with a ``percentile_ranks`` metric per
+    ring: the percent of customers at-or-below two account-balance
+    marks, EXACT (count-based) where ES interpolates from t-digest.
+
+    Scale shape: the rings are the standard explode lowering (one
+    partial-agg exchange; docs land in every matching band — disjoint
+    here), percentile_ranks is two codegen conditional sums in the
+    same aggregation."""
+    from ..operators.querydsl import run_search_body
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            (F.lit(-6000) + (F.col("c_custkey") * 7) % 12000).alias("lat"),
+            (F.lit(-18000) + (F.col("c_custkey") * 13) % 36000).alias(
+                "lon"
+            ),
+        ).alias("loc"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    out = run_search_body(
+        cust,
+        {
+            "aggs": {"rings": {
+                "geo_distance": {
+                    "field": "loc",
+                    "origin": {"lat": 0, "lon": 0},
+                    "ranges": [{"to": 4000},
+                               {"from": 4000, "to": 9000},
+                               {"from": 9000}],
+                },
+                "aggs": {"ranks": {"percentile_ranks": {
+                    "field": "bal_c", "values": [0, 500000]}}},
+            }},
+        },
+    )
+    return out.select(
+        "agg_path",
+        "rings",
+        "doc_count",
+        F.round(F.element_at("ranks", 1), 6).alias("rank_zero"),
+        F.round(F.element_at("ranks", 2), 6).alias("rank_5k"),
+    )

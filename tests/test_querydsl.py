@@ -901,3 +901,64 @@ class TestGeoQueries:
                 "bottom_right": {"lat": -25, "lon": 15}}}}]},
         }).collect())
         assert got == [2, 3, 5]
+
+
+class TestPostFilterAndTotals:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "red", 10.0), (2, "red", 20.0), (3, "blue", 30.0),
+             (4, "blue", 40.0), (5, "green", 50.0)],
+            "id long, color string, n double",
+        )
+
+    def test_post_filter_facet_pattern(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        rows = run_search_body(self._df(spark), {
+            "query": {"range": {"n": {"gte": 15.0}}},
+            "post_filter": {"term": {"color": "blue"}},
+            "sort": [{"n": "desc"}],
+            "size": 10,
+            "_source": ["id"],
+            "aggs": {"per_color": {"terms": {"field": "color"}}},
+            "track_total_hits": True,
+        }).collect()
+        hits = sorted(r.id for r in rows if r.section == "hits")
+        # facet counts IGNORE the clicked color filter
+        facets = {r.per_color: r.doc_count
+                  for r in rows if r.section == "aggs"}
+        total = [r.doc_count for r in rows if r.section == "total"]
+        assert hits == [3, 4]
+        assert facets == {"red": 1, "blue": 2, "green": 1}
+        assert total == [2]  # post-filtered hit count, not page size
+
+    def test_body_min_score_affects_aggs(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        out = run_search_body(self._df(spark), {
+            "query": {"function_score": {
+                "query": {"match_all": {}},
+                "field_value_factor": {"field": "n"},
+                "boost_mode": "replace"}},
+            "min_score": 25.0,
+            "aggs": {"c": {"value_count": {"field": "id"}}},
+        }).collect()[0]
+        assert out.c == 3  # docs scoring < 25 excluded from aggs too
+
+    def test_validation(self, spark):
+        import pytest
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        with pytest.raises(ValueError, match="post_filter"):
+            run_search_body(self._df(spark), {
+                "post_filter": {"term": {"color": "red"}},
+                "aggs": {"c": {"value_count": {"field": "id"}}}})
+        with pytest.raises(ValueError, match="track_total_hits"):
+            run_search_body(self._df(spark), {
+                "track_total_hits": True, "size": 2})
