@@ -97,6 +97,12 @@ Bucket aggregations:
 - ``date_range``     {field, ranges: [{from?, to?[, key]}]} — ``range``
                      over a timestamp field, bounds parsed as
                      timestamps; same ES-exact explode/zero-fill.
+- ``geo_distance``   {field, origin: {lat, lon}, ranges} — distance-
+                     banded rings from an origin; PLANAR euclidean
+                     distance in the field's units (the repo's
+                     centi-degree convention — same documented
+                     divergence as the geo_distance query); same
+                     explode/zero-fill contract as range.
 - ``adjacency_matrix`` {filters: {name: query}} — one bucket per
                      filter plus one per intersecting PAIR
                      (``a&b``, names sorted); empty buckets are
@@ -113,6 +119,13 @@ Bucket aggregations:
                      re-aggregates delivered pages.
 - ``filter``         <query DSL> — single narrowing bucket.
 - ``missing``        {field} — bucket of docs with a NULL field.
+- ``nested``         {path} — the doc set becomes the NESTED docs of
+                     the ``array<struct>`` column at ``path`` (one
+                     explode; docs without nested docs contribute
+                     nothing; doc_count counts nested docs, like ES);
+                     sub-aggs address members by dotted path.
+                     ``reverse_nested`` is not lowered — aggregate
+                     parent fields before nesting instead.
 - ``global``         {} — escapes the query: sub-aggs run over the
                      PRE-query frame (top level only, like ES).
 
@@ -128,6 +141,8 @@ and ``percentiles`` {field[, percents]} (ARRAY in requested-percent
 order; EXACT interpolated percentiles where ES uses t-digest — same
 exactness trade as cardinality, swap in the KLL sketch of
 operators/sketches.py at 100 TB). Round-5 metric additions:
+``percentile_ranks`` {field, values} (ARRAY of exact
+percent-at-or-below ranks in requested-value order),
 ``boxplot`` {field} (STRUCT min/q1/q2/q3/max, exact five-number
 summary), ``median_absolute_deviation`` {field} (exact
 median(|x - median|), two bucket-keyed passes),
@@ -523,7 +538,7 @@ _EXPLODING = (
     "adjacency_matrix",
 )
 # bucket kinds that narrow the frame without adding a key column
-_CONDITION = ("filter", "missing", "global")
+_CONDITION = ("filter", "missing", "global", "nested")
 
 
 def _range_label(r: dict) -> str:
@@ -787,7 +802,7 @@ class _Level:
         return tuple(
             (s[0], s[1])
             for s in self.segments
-            if s[0] in ("explode", "cond", "global")
+            if s[0] in ("explode", "cond", "global", "nested")
         )
 
     @property
@@ -999,6 +1014,8 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                     if kind in _EXPLODING
                     else "cond"
                     if kind in ("filter", "missing")
+                    else "nested"
+                    if kind == "nested"
                     else "global"
                 )
                 # validate the bucket definition at plan time
@@ -1006,6 +1023,16 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                     _key_expr(kind, body)
                 elif role == "explode":
                     _explode_labels(kind, body)
+                elif role == "nested":
+                    if (
+                        not isinstance(body, dict)
+                        or not isinstance(body.get("path"), str)
+                        or "." in body["path"]
+                    ):
+                        raise ValueError(
+                            "nested agg needs {'path': <top-level "
+                            f"array<struct> column>}}: {body}"
+                        )
                 else:
                     _condition_expr(kind, body)
                 child = _Level(
@@ -1540,6 +1567,17 @@ def apply_aggs(
             elif role == "explode":
                 arr, _ = _explode_labels(kind, body)
                 frame = frame.withColumn(name, F.explode(arr))
+            elif role == "nested":
+                # ES nested agg: the doc set becomes the NESTED docs —
+                # the array column explodes to its elements (docs
+                # without nested docs contribute nothing) and sub-aggs
+                # address members by dotted path, which struct access
+                # resolves after the explode
+                path = body["path"]
+                frame = frame.select(
+                    *[c for c in frame.columns if c != path],
+                    F.explode(F.col(f"`{path}`")).alias(path),
+                )
             elif role == "key":
                 key_exprs[name] = (kind, body)
         # sibling levels in the same group may key on columns outside

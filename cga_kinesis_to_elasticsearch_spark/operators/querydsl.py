@@ -825,6 +825,12 @@ def run_search_body(
     scan; BM25 scoring adds one broadcast-sized stats aggregation;
     knn is a codegen dot product + TakeOrdered(k); hybrid knn
     broadcast-joins the k-row top-k frame onto the corpus scan."""
+    if "runtime_mappings" in body:
+        df = _with_runtime_fields(df, body["runtime_mappings"])
+        if base_df is not None:
+            base_df = _with_runtime_fields(
+                base_df, body["runtime_mappings"]
+            )
     pre = base_df if base_df is not None else df
     if "knn" in body:
         if "aggs" in body or "suggest" in body:
@@ -844,9 +850,22 @@ def run_search_body(
     both = "aggs" in body and "size" in body
     wants_hits = "aggs" not in body or both
     sort_specs: list[tuple[str, str]] = []
+    script_sorts: list[tuple[str, Column]] = []
     for s in sort or []:
         if isinstance(s, str):
             sort_specs.append((s, "desc" if s == "_score" else "asc"))
+        elif len(s) == 1 and next(iter(s)) == "_script":
+            # ES script sort: the painless-subset expression becomes a
+            # derived sort column on the hit frame (dropped from the
+            # returned page)
+            spec = s["_script"]
+            order = spec.get("order", "asc")
+            if order not in ("asc", "desc"):
+                raise ValueError(f"sort: bad order {order!r}")
+            src = ((spec or {}).get("script") or {}).get("source")
+            name = f"__script_sort_{len(script_sorts)}"
+            script_sorts.append((name, _compile_score_script(src)))
+            sort_specs.append((name, order))
         else:
             (field, spec), = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
@@ -891,6 +910,8 @@ def run_search_body(
         if "post_filter" in body
         else out
     )
+    for sname, sexpr in script_sorts:
+        hit_in = hit_in.withColumn(sname, sexpr)
 
     if "aggs" in body and not both:
         from .aggsdsl import apply_aggs, apply_es_default_sizes
@@ -929,6 +950,34 @@ def run_search_body(
     return _run_hits(
         df, hit_in, score, body, sort_specs, need_score, with_rank=False
     )
+
+
+_RUNTIME_TYPES = {
+    "long": "long",
+    "double": "double",
+    "keyword": "string",
+    "boolean": "boolean",
+    "date": "timestamp",
+}
+
+
+def _with_runtime_fields(df: DataFrame, mappings: dict) -> DataFrame:
+    """ES ``runtime_mappings``: fields defined IN the request body and
+    visible to query/sort/aggs — lowered to withColumn over the index
+    frame with the painless arithmetic subset (same contract as
+    script_score), cast to the declared runtime type."""
+    for name, spec in mappings.items():
+        rtype = (spec or {}).get("type")
+        src = ((spec or {}).get("script") or {}).get("source")
+        if rtype not in _RUNTIME_TYPES or not src:
+            raise ValueError(
+                f"runtime_mappings {name!r} needs type "
+                f"{sorted(_RUNTIME_TYPES)} and script.source: {spec}"
+            )
+        df = df.withColumn(
+            name, _compile_score_script(src).cast(_RUNTIME_TYPES[rtype])
+        )
+    return df
 
 
 def _run_hits(
@@ -1072,6 +1121,9 @@ def _run_hits(
         )
     if "__seg" in out.columns:
         out = out.drop("__seg")
+    out = out.drop(
+        *[c for c in out.columns if c.startswith("__script_sort_")]
+    )
     if "_source" in body:
         keep = list(body["_source"])
         if need_score and "_score" not in keep:

@@ -2721,3 +2721,103 @@ def _es_search_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ranks", 1), 6).alias("rank_zero"),
         F.round(F.element_at("ranks", 2), 6).alias("rank_5k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 38. nested AGGREGATION + runtime_mappings + script sort in one body.
+# ---------------------------------------------------------------------------
+
+_NESTED_AGG_ORACLE = """
+WITH parents AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+),
+kept AS (SELECT * FROM parents WHERE n_items >= 6 AND n_items % 5 >= 1),
+nested AS (
+  SELECT l.l_returnflag AS flag,
+         count(*) AS doc_count,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           AS revenue
+  FROM lineitem l JOIN kept k USING (l_orderkey)
+  GROUP BY l.l_returnflag
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS doc_count
+  FROM lineitem l JOIN kept k USING (l_orderkey)
+),
+hits AS (
+  SELECT l_orderkey, n_items,
+         CAST(row_number() OVER (
+           ORDER BY n_items % 5 DESC, l_orderkey) AS BIGINT)
+           AS hit_rank
+  FROM kept ORDER BY n_items % 5 DESC, l_orderkey LIMIT 5
+)
+SELECT 'hits' AS section, hit_rank, l_orderkey, n_items,
+       NULL AS agg_path, NULL AS flag,
+       NULL::BIGINT AS doc_count, NULL::DOUBLE AS revenue
+FROM hits
+UNION ALL
+SELECT 'aggs', NULL, NULL, NULL, 'items', NULL, doc_count, NULL
+FROM tot
+UNION ALL
+SELECT 'aggs', NULL, NULL, NULL, 'items>per_flag', flag, doc_count,
+       revenue
+FROM nested
+"""
+
+
+@q("es_search_nested_agg", _NESTED_AGG_ORACLE)
+def _es_search_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``nested`` AGGREGATION (the agg twin of the nested query):
+    orders carry their lineitems as an ``array<struct>`` field, a
+    ``runtime_mappings`` field (items modulo 5 — defined IN the
+    request) filters and script-sorts the hit page, and the nested
+    agg re-scopes doc_count to NESTED docs with a per-returnflag
+    revenue breakdown underneath.
+
+    Scale shape: the nested level is ONE explode + partial-agg
+    exchange; runtime fields are withColumn expressions visible to
+    query, sort and aggs; hits stay TakeOrdered."""
+    from ..operators.querydsl import run_search_body
+
+    li = _t(spark, sf_dir, "lineitem")
+    parents = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_returnflag").alias("flag"),
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("rev"),
+            )
+        ).alias("items"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    out = run_search_body(
+        parents,
+        {
+            "runtime_mappings": {"m5": {"type": "long", "script": {
+                "source": "doc['n_items'].value % 5"}}},
+            "query": {"bool": {"must": [
+                {"range": {"n_items": {"gte": 6}}},
+                {"range": {"m5": {"gte": 1}}},
+            ]}},
+            "sort": [{"_script": {"type": "number", "order": "desc",
+                                  "script": {"source":
+                                             "doc['n_items'].value % 5"
+                                             }}}],
+            "size": 5,
+            "_source": ["l_orderkey", "n_items"],
+            "aggs": {"items": {
+                "nested": {"path": "items"},
+                "aggs": {"per_flag": {
+                    "terms": {"field": "items.flag"},
+                    "aggs": {"revenue": {"sum": {"field": "items.rev"}}},
+                }},
+            }},
+        },
+    )
+    return out.select(
+        "section", "hit_rank", "l_orderkey", "n_items", "agg_path",
+        F.col("per_flag").alias("flag"), "doc_count",
+        F.round("revenue", 2).alias("revenue"),
+    )

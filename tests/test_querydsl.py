@@ -962,3 +962,68 @@ class TestPostFilterAndTotals:
         with pytest.raises(ValueError, match="track_total_hits"):
             run_search_body(self._df(spark), {
                 "track_total_hits": True, "size": 2})
+
+
+class TestRuntimeAndScriptSort:
+    def test_runtime_mappings_visible_everywhere(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "id long, n double")
+        rows = run_search_body(df, {
+            "runtime_mappings": {"n2": {"type": "double", "script": {
+                "source": "doc['n'].value * 2"}}},
+            "query": {"range": {"n2": {"gte": 40.0}}},
+            "sort": [{"n2": "desc"}],
+            "size": 5,
+            "_source": ["id", "n2"],
+            "aggs": {"total2": {"sum": {"field": "n2"}}},
+        }).collect()
+        hits = [(r.id, r.n2) for r in rows if r.section == "hits"]
+        aggs = [r.total2 for r in rows if r.section == "aggs"]
+        assert sorted(hits) == [(2, 40.0), (3, 60.0)]
+        assert aggs == [100.0]
+
+    def test_script_sort(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 7.0), (2, 3.0), (3, 5.0)], "id long, n double")
+        rows = run_search_body(df, {
+            "query": {"match_all": {}},
+            "sort": [{"_script": {"type": "number", "order": "asc",
+                                  "script": {
+                                      "source": "doc['n'].value % 4"}}}],
+            "size": 3, "_source": ["id"],
+        }).collect()
+        # n % 4: 1->3, 2->3, 3->1; tie between 1 and 2 breaks on id
+        assert [r.id for r in rows] == [3, 1, 2]
+        assert set(rows[0].asDict()) == {"id"}
+
+
+class TestNestedAgg:
+    def test_nested_doc_counts_and_subaggs(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [("alice", 5.0), ("bob", 3.0)]),
+             (2, [("alice", 1.0)]),
+             (3, [])],
+            "id long, comments array<struct<author string, stars double>>",
+        )
+        rows = apply_aggs(df, {"c": {"nested": {"path": "comments"},
+            "aggs": {"per_author": {"terms":
+                                    {"field": "comments.author"},
+                     "aggs": {"avg_stars": {"avg":
+                              {"field": "comments.stars"}}}}}}}).collect()
+        top = [r for r in rows if r.agg_path == "c"]
+        assert len(top) == 1 and top[0].doc_count == 3  # nested docs
+        got = {r.per_author: (r.doc_count, r.avg_stars)
+               for r in rows if r.agg_path == "c>per_author"}
+        assert got == {"alice": (2, 3.0), "bob": (1, 3.0)}
