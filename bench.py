@@ -99,6 +99,17 @@ HEADLINE = [
     "es_search_composite_page",
     "es_search_significant_terms",
     "es_search_knn",
+    # round-5 additions: the two-section hits+aggs response, hybrid
+    # knn+query scoring, terms paging with shard-simulated error
+    # bounds, the metric batch (boxplot/MAD/top_metrics/rate/
+    # rare_terms/bounds), nested agg + runtime fields, and the ingest
+    # processor wave (user_agent/fingerprint/script/urldecode)
+    "es_search_hits_and_aggs",
+    "es_search_knn_hybrid",
+    "es_search_terms_paging",
+    "es_search_aggs_round5",
+    "es_search_nested_agg",
+    "ingest_processors_round5",
 ]
 
 

@@ -123,6 +123,29 @@ QUERIES = [
     "es_query_dsl_search",
     "es_aggs_dsl_daily",
     "es_search_request",
+    # round-4 interpreter tail
+    "protobuf_jvm_roundtrip",
+    "es_search_request_pipeline",
+    "es_search_composite_page",
+    "es_search_significant_terms",
+    "es_search_knn",
+    "es_search_rescore",
+    "delete_update_by_query",
+    # round-5 response-fidelity batch: two-section bodies, hybrid knn,
+    # function_score breadth, fixed-interval/tz histograms, terms
+    # paging with shard-simulated bounds, metric additions, nested
+    # agg + runtime fields, faceted post_filter, ingest processors
+    "es_search_hits_and_aggs",
+    "es_search_knn_hybrid",
+    "es_search_knn_rrf",
+    "es_search_function_score_modes",
+    "es_search_date_histogram_fixed",
+    "es_search_terms_paging",
+    "es_search_aggs_round5",
+    "es_search_nested_agg",
+    "es_search_post_filter",
+    "es_search_geo_rings",
+    "ingest_processors_round5",
 ]
 
 
