@@ -184,13 +184,22 @@ own selectors/sorts, like ES — onto the parent's row):
 - ``percentiles_bucket`` {buckets_path[, percents]} — ARRAY of exact
   interpolated percentiles over the child's bucket values
 
+``terms`` also accepts ``include`` / ``exclude`` (anchored Lucene
+regex or exact-value list) and ``min_doc_count``; ``filters`` accepts
+``other_bucket`` / ``other_bucket_key`` (docs matching no named
+filter); ``histogram`` / ``date_histogram`` accept ``missing`` (the
+stand-in buckets like a real value).
+
 ``significant_terms`` {field[, size]} (top level only): terms scored
 with ES's JLH — (fg_rate - bg_rate) * (fg_rate / bg_rate), foreground
 = the query-filtered frame, background = the pre-query frame, rates
 among docs that have the field — EXACT where ES samples shard-local
 top term candidates; only terms MORE frequent in the foreground
 survive (ES's significance gate). Emits ``bg_count`` and ``score``
-columns; top ``size`` by score.
+columns; top ``size`` by score. ``significant_text`` {field[, size]}
+(top level only) runs the same machinery over the ANALYZED TOKENS of
+a free-text field, doc frequencies counting documents (exact reading
+of ES's sampled version — see _significant_text_frame).
 
 ``top_hits`` {size, sort, _source} returns per bucket an ARRAY of
 ``_source`` structs ordered by ``sort`` (explicit sort required —
@@ -317,8 +326,8 @@ def _dh_lower(body: dict):
         # key_as_string the same way)
         out_fmt, parse_fmt = "yyyy-MM-dd HH:mm:ss", None
 
-    def build(field: str) -> Column:
-        col = F.col(field)
+    def build(field) -> Column:
+        col = field if isinstance(field, Column) else F.col(field)
         if tz:
             col = F.from_utc_timestamp(col, tz)
         if off:
@@ -586,21 +595,50 @@ def _key_expr(kind: str, body: dict) -> Column:
         col = F.col(field)
         if "missing" in body:
             col = F.coalesce(col, F.lit(body["missing"]))
+        # ES include/exclude: anchored regex (Lucene) or exact-value
+        # lists; a key failing the gate becomes NULL -> no bucket
+        inc, exc = body.get("include"), body.get("exclude")
+        if inc is not None:
+            keep = (
+                col.cast("string").isin([str(v) for v in inc])
+                if isinstance(inc, (list, tuple))
+                else col.cast("string").rlike(f"^({inc})$")
+            )
+            col = F.when(keep, col)
+        if exc is not None:
+            drop = (
+                col.cast("string").isin([str(v) for v in exc])
+                if isinstance(exc, (list, tuple))
+                else col.cast("string").rlike(f"^({exc})$")
+            )
+            col = F.when(~F.coalesce(drop, F.lit(False)), col)
         return col
     if kind == "date_histogram":
         build, _step, _parse, _fmt = _dh_lower(body)
+        if "missing" in body:
+            # ES missing: the stand-in substitutes the RAW value, so
+            # it buckets like any real timestamp
+            return build(
+                F.coalesce(
+                    F.col(field),
+                    F.to_timestamp(F.lit(str(body["missing"]))),
+                )
+            )
         return build(field)
     if kind == "histogram":
         iv = body["interval"]
         if not isinstance(iv, (int, float)) or iv <= 0:
             raise ValueError(f"histogram: bad interval {iv!r}")
         off = body.get("offset", 0)
+        src = F.col(field)
+        if "missing" in body:
+            src = F.coalesce(src, F.lit(float(body["missing"])))
         if not isinstance(off, (int, float)) or not 0 <= off < iv:
             raise ValueError(
                 f"histogram: offset must be in [0, interval): {off!r}"
             )
         key = (
-            F.floor((F.col(field) - F.lit(off)) / F.lit(iv)) * F.lit(iv)
+            F.floor((src - F.lit(off)) / F.lit(iv)) * F.lit(iv)
             + F.lit(off)
         )
         hb = body.get("hard_bounds")
@@ -718,15 +756,27 @@ def _explode_labels(kind: str, body: dict) -> tuple[Column, list[str]]:
             raise ValueError(
                 "filters agg needs {'filters': {name: query, ...}}"
             )
-        if "other_bucket" in body or "other_bucket_key" in body:
-            raise ValueError("filters: other_bucket is not supported")
         from .querydsl import compile_query
 
-        arms = []
-        for name, query in named.items():
-            pred = F.coalesce(compile_query(query), F.lit(False))
-            arms.append(F.when(pred, F.lit(name)))
-        return F.array_compact(F.array(*arms)), list(named)
+        preds = {
+            name: F.coalesce(compile_query(query), F.lit(False))
+            for name, query in named.items()
+        }
+        arms = [F.when(pred, F.lit(name)) for name, pred in preds.items()]
+        labels = list(named)
+        if body.get("other_bucket") or body.get("other_bucket_key"):
+            # ES other_bucket: docs matching NO named filter land in
+            # one extra bucket (default key "_other_")
+            other = str(body.get("other_bucket_key", "_other_"))
+            if other in labels:
+                raise ValueError(
+                    f"filters: other_bucket_key {other!r} collides "
+                    "with a named filter"
+                )
+            none = ~functools.reduce(_op.or_, preds.values())
+            arms.append(F.when(none, F.lit(other)))
+            labels.append(other)
+        return F.array_compact(F.array(*arms)), labels
     raise AssertionError(kind)
 
 
@@ -935,25 +985,24 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                 level.siblings.append((name, kind, body))
             elif kind == "top_hits":
                 level.top_hits.append((name, body))
-            elif kind == "significant_terms":
+            elif kind in ("significant_terms", "significant_text"):
                 if level.segments:
                     raise ValueError(
-                        "significant_terms is only supported at the "
+                        f"{kind} is only supported at the "
                         "top level (background = the pre-query frame)"
                     )
                 if not isinstance(body, dict) or "field" not in body:
                     raise ValueError(
-                        f"significant_terms needs a field: {body}"
+                        f"{kind} needs a field: {body}"
                     )
                 child = _Level(
                     level.path + (name,),
-                    level.segments
-                    + [("key", name, "significant_terms", body)],
+                    level.segments + [("key", name, kind, body)],
                 )
                 levels.append(child)
                 if spec.get("aggs"):
                     raise ValueError(
-                        "significant_terms sub-aggs are not supported"
+                        f"{kind} sub-aggs are not supported"
                     )
             elif kind in _KEYED + _EXPLODING + _CONDITION:
                 if kind == "global":
@@ -1468,6 +1517,7 @@ def apply_aggs(
     # --- group levels by frame signature; one aggregation per group ---
     groups: dict[tuple, list[_Level]] = {}
     sharded: list[_Level] = []
+    sig_text: list[_Level] = []
     for lv in levels:
         if not lv.path and not (
             lv.metrics
@@ -1486,6 +1536,9 @@ def apply_aggs(
             and int(seg[3].get("shards", 1) or 1) > 1
         ):
             sharded.append(lv)  # shard-simulated merge, own lowering
+            continue
+        if seg is not None and seg[2] == "significant_text":
+            sig_text.append(lv)  # token-exploded fg/bg, own lowering
             continue
         groups.setdefault(lv.signature, []).append(lv)
 
@@ -1694,6 +1747,13 @@ def apply_aggs(
         frame = df.withColumn(seg[1], _key_expr("terms", seg[3]))
         bucket_frames[lv.path] = _terms_sharded(lv, frame)
         keyed_frames[lv.path] = frame
+
+    for lv in sig_text:
+        seg = lv.own_segment
+        bucket_frames[lv.path] = _significant_text_frame(
+            df, base, seg[1], seg[3]
+        )
+        keyed_frames[lv.path] = df
 
     # --- per-level post passes, parents before children ---
     pruned_ancestor: dict[tuple, tuple] = {}  # path -> nearest pruned path
@@ -1917,7 +1977,10 @@ def apply_aggs(
         for name, _kind, _b in lv.siblings:
             canonical.append(name)
         seg = lv.own_segment
-        if seg is not None and seg[2] == "significant_terms":
+        if seg is not None and seg[2] in (
+            "significant_terms",
+            "significant_text",
+        ):
             canonical.extend(["bg_count", "score"])
         if (
             seg is not None
@@ -2065,6 +2128,59 @@ def _terms_sharded(lv: _Level, frame: DataFrame) -> DataFrame:
     return out.orderBy(
         F.col("doc_count").desc(), F.col(key).asc()
     ).limit(size)
+
+
+def _significant_text_frame(
+    df: DataFrame, base: DataFrame, name: str, body: dict
+) -> DataFrame:
+    """ES ``significant_text``: the significant_terms machinery over
+    the ANALYZED TOKENS of a free-text field — foreground = the
+    query-filtered frame, background = the pre-query frame, doc
+    frequencies count DOCUMENTS containing a token (array_distinct
+    before the explode), JLH score, only terms MORE frequent in the
+    foreground, top ``size`` by score.
+
+    Scale shape: both sides are one explode + vocabulary-sized
+    groupBy; totals ride single-row broadcast frames; the corpus
+    never shuffles documents. (ES samples shard-local candidates —
+    this is the exact reading, the same trade as significant_terms.)"""
+    from .querydsl import _tokens
+
+    field = body["field"]
+    col = F.col(field)
+
+    def _docfreq(frame: DataFrame, out: str) -> DataFrame:
+        return (
+            frame.select(
+                F.explode(F.array_distinct(_tokens(col))).alias(name)
+            )
+            .groupBy(name)
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    has = F.coalesce(F.size(_tokens(col)) > 0, F.lit(False))
+    fg = _docfreq(df, "doc_count")
+    bg = _docfreq(base, "bg_count")
+    fg_total = df.agg(F.sum(has.cast("long")).alias("__fg_total"))
+    bg_total = base.agg(F.sum(has.cast("long")).alias("__bg_total"))
+    out = (
+        fg.join(F.broadcast(bg), name, "left")
+        .crossJoin(F.broadcast(fg_total))
+        .crossJoin(F.broadcast(bg_total))
+    )
+    fg_rate = F.col("doc_count") / F.col("__fg_total")
+    bg_rate = F.col("bg_count") / F.col("__bg_total")
+    out = (
+        out.withColumn("score", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+        .filter(fg_rate > bg_rate)
+        .drop("__fg_total", "__bg_total")
+    )
+    size = body.get("size")
+    if size is not None:
+        out = out.orderBy(
+            F.col("score").desc(), F.col(name).asc()
+        ).limit(int(size))
+    return out
 
 
 def _significant_terms(

@@ -2821,3 +2821,93 @@ def _es_search_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("per_flag").alias("flag"), "doc_count",
         F.round("revenue", 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 39. significant_text + terms include + filters other_bucket.
+# ---------------------------------------------------------------------------
+
+_SIG_TEXT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source, lang, n_chars,
+         list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS tok_list
+  FROM documents
+),
+fg AS (SELECT * FROM toks WHERE source = 'src3'),
+fgt AS (
+  SELECT t.tok AS sig, count(*) AS doc_count
+  FROM fg, unnest(list_distinct(tok_list)) AS t(tok) GROUP BY 1
+),
+bgt AS (
+  SELECT t.tok AS sig, count(*) AS bg_count
+  FROM toks, unnest(list_distinct(tok_list)) AS t(tok) GROUP BY 1
+),
+fgn AS (SELECT count(*) AS n FROM fg WHERE len(tok_list) > 0),
+bgn AS (SELECT count(*) AS n FROM toks WHERE len(tok_list) > 0),
+sig AS (
+  SELECT f.sig, f.doc_count, b.bg_count,
+         round((f.doc_count * 1.0 / fgn.n - b.bg_count * 1.0 / bgn.n)
+               * ((f.doc_count * 1.0 / fgn.n)
+                  / (b.bg_count * 1.0 / bgn.n)), 6) AS score
+  FROM fgt f JOIN bgt b USING (sig) CROSS JOIN fgn CROSS JOIN bgn
+  WHERE f.doc_count * 1.0 / fgn.n > b.bg_count * 1.0 / bgn.n
+  ORDER BY score DESC, f.sig ASC LIMIT 5
+),
+langs AS (
+  SELECT lang, count(*) AS doc_count FROM fg
+  WHERE lang IN ('en', 'de') GROUP BY lang
+),
+cls AS (
+  SELECT CASE WHEN n_chars < 150 THEN 'short' ELSE 'long' END AS c,
+         count(*) AS doc_count
+  FROM fg GROUP BY 1
+)
+SELECT 'sig' AS agg_path, sig, NULL AS langs, NULL AS len_cls,
+       doc_count, bg_count, score
+FROM sig
+UNION ALL
+SELECT 'langs', NULL, lang, NULL, doc_count, NULL, NULL FROM langs
+UNION ALL
+SELECT 'len_cls', NULL, NULL, c, doc_count, NULL, NULL FROM cls
+"""
+
+
+@q("es_search_significant_text", _SIG_TEXT_ORACLE)
+def _es_search_significant_text(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``significant_text`` (the significant_terms machinery over
+    ANALYZED TOKENS — what "what words distinguish these documents"
+    dashboards send) next to a ``terms`` with an ``include`` gate and
+    a ``filters`` agg with ``other_bucket_key``: foreground = one
+    source's documents, background = the whole corpus, JLH-scored
+    top-5 tokens; the oracle replays tokenization, doc-frequency
+    counting and the score formula.
+
+    Scale shape: fg/bg are one explode + vocabulary-sized groupBy
+    each; totals ride single-row broadcast frames; the other levels
+    share the standard lowering."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "query": {"term": {"source": "src3"}},
+            "aggs": {
+                "sig": {"significant_text": {"field": "text",
+                                             "size": 5}},
+                "langs": {"terms": {"field": "lang",
+                                    "include": "en|de"}},
+                "len_cls": {"filters": {
+                    "filters": {"short": {"range":
+                                          {"n_chars": {"lt": 150}}}},
+                    "other_bucket_key": "long",
+                }},
+            },
+        },
+    )
+    return out.select(
+        "agg_path", "sig", "langs", "len_cls", "doc_count",
+        "bg_count", F.round("score", 6).alias("score"),
+    )

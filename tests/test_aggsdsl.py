@@ -1293,3 +1293,60 @@ class TestRound5Aggs:
         assert [(r.d, r.doc_count) for r in rows] == [
             ("2024-01-01", 0), ("2024-01-02", 1), ("2024-01-03", 0),
             ("2024-01-04", 0)]
+
+
+class TestRound5AggsExtras:
+    def test_terms_include_exclude(self, spark):
+        df = spark.createDataFrame(
+            [("aa",), ("ab",), ("bb",), ("aa",)], "k string")
+        rows = apply_aggs(df, {"t": {"terms": {"field": "k",
+                                               "include": "a.*"}}},
+        ).collect()
+        assert {(r.t, r.doc_count) for r in rows} == {("aa", 2), ("ab", 1)}
+        rows = apply_aggs(df, {"t": {"terms": {"field": "k",
+                                               "exclude": ["aa"]}}},
+        ).collect()
+        assert {(r.t, r.doc_count) for r in rows} == {("ab", 1), ("bb", 1)}
+
+    def test_filters_other_bucket(self, spark):
+        df = spark.createDataFrame(
+            [(1,), (5,), (50,)], "n long")
+        rows = apply_aggs(df, {"f": {"filters": {
+            "filters": {"small": {"range": {"n": {"lt": 10}}}},
+            "other_bucket_key": "rest"}}}).collect()
+        assert {(r.f, r.doc_count) for r in rows} == {
+            ("small", 2), ("rest", 1)}
+
+    def test_histogram_and_dh_missing(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(1.0,), (None,)], "v double")
+        rows = apply_aggs(df, {"h": {"histogram": {
+            "field": "v", "interval": 10, "missing": 25.0}}}).collect()
+        assert {(r.h, r.doc_count) for r in rows} == {(0.0, 1), (20.0, 1)}
+        df2 = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 2),), (None,)], "ts timestamp")
+        rows = apply_aggs(df2, {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "missing": "2024-01-05"}}}).collect()
+        assert {(r.d, r.doc_count) for r in rows} == {
+            ("2024-01-02", 1), ("2024-01-05", 1)}
+
+    def test_significant_text(self, spark):
+        base = spark.createDataFrame(
+            [(1, "spark rocks", True), (2, "spark crash oom", True),
+             (3, "spark ok", False), (4, "spark fine", False),
+             (5, "spark crash disk", True), (6, "spark good", False)],
+            "id long, text string, err boolean",
+        )
+        fg = base.filter("err")
+        rows = apply_aggs(fg, {"sig": {"significant_text":
+                                       {"field": "text", "size": 2}}},
+                          base_df=base).collect()
+        got = {r.sig: (r.doc_count, r.bg_count) for r in rows}
+        # 'crash' appears in 2/3 fg docs and 2/6 bg docs -> strongly
+        # significant; 'spark' is everywhere -> filtered (fg rate ==
+        # bg rate)
+        assert "crash" in got and got["crash"] == (2, 2)
+        assert "spark" not in got
