@@ -412,13 +412,14 @@ class TestAggsDsl:
                     }
                 }
             )
-        with pytest.raises(ValueError, match="other_bucket"):
+        # a colliding other_bucket_key still fails at plan time
+        with pytest.raises(ValueError, match="collides"):
             compile_aggs(
                 {
                     "x": {
                         "filters": {
                             "filters": {"a": {"match_all": {}}},
-                            "other_bucket": True,
+                            "other_bucket_key": "a",
                         }
                     }
                 }
