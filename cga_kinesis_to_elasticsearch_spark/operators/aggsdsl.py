@@ -1169,17 +1169,27 @@ def _apply_pipelines(level: _Level, frame: DataFrame) -> DataFrame:
                 expr = src - F.lag(src).over(w)
             elif kind == "serial_diff":
                 expr = src - F.lag(src, int(body.get("lag", 1))).over(w)
-            else:  # moving_fn: trailing unweighted avg EXCLUDING current
+            else:  # moving_fn: trailing window EXCLUDING current (ES
+                # default shift); MovingFunctions.unweightedAvg / max /
+                # min / sum / stdDev (population, like ES)
                 n = int(body["window"])
                 if n <= 0:
                     raise ValueError(f"moving_fn: bad window {n}")
-                script = body.get("script")
-                if script is not None and "unweightedAvg" not in script:
+                script = body.get("script") or "unweightedAvg"
+                fns = {
+                    "unweightedAvg": F.avg,
+                    "max": F.max,
+                    "min": F.min,
+                    "sum": F.sum,
+                    "stdDev": F.stddev_pop,
+                }
+                picked = [k for k in fns if k in script]
+                if len(picked) != 1:
                     raise ValueError(
-                        f"moving_fn: only MovingFunctions.unweightedAvg "
-                        f"is supported, got {script!r}"
+                        "moving_fn: script must name exactly one of "
+                        f"MovingFunctions.{sorted(fns)}, got {script!r}"
                     )
-                expr = F.avg(src).over(w.rowsBetween(-n, -1))
+                expr = fns[picked[0]](src).over(w.rowsBetween(-n, -1))
             frame = frame.withColumn(name, expr)
         elif kind == "bucket_script":
             frame = frame.withColumn(

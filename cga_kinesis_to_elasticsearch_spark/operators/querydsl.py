@@ -116,7 +116,13 @@ import operator as _op
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["compile_query", "apply_query", "run_search_body", "run_count_body"]
+__all__ = [
+    "compile_query",
+    "apply_query",
+    "run_search_body",
+    "run_msearch",
+    "run_count_body",
+]
 
 _RANGE_OPS = {"gte": _op.ge, "gt": _op.gt, "lte": _op.le, "lt": _op.lt}
 
@@ -1139,6 +1145,33 @@ def _run_hits(
         out = out.select(*keep)
     return out
 
+
+
+def run_msearch(
+    df: DataFrame, bodies: list, base_df: DataFrame | None = None
+) -> DataFrame:
+    """ES ``_msearch``: several request bodies against one index frame
+    in one call — the union of each body's response frame, tagged with
+    a 1-based ``request`` ordinal (columns a given response lacks are
+    NULL on its rows; same-named columns must agree in type across the
+    bodies, enforced by the union at plan time).
+
+    Plan shape: one branch per body over the shared scan — exactly the
+    per-body plans run_search_body would build, so nothing is re-read
+    per request beyond what each body needs."""
+    if not isinstance(bodies, (list, tuple)) or not bodies:
+        raise ValueError(f"_msearch needs a non-empty body list: {bodies}")
+    out = None
+    for i, body in enumerate(bodies, start=1):
+        part = run_search_body(df, body, base_df=base_df).select(
+            F.lit(i).cast("long").alias("request"), "*"
+        )
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    return out
 
 
 def run_count_body(df: DataFrame, body: dict) -> DataFrame:

@@ -2911,3 +2911,65 @@ def _es_search_significant_text(
         "agg_path", "sig", "langs", "len_cls", "doc_count",
         "bg_count", F.round("score", 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 40. _msearch: several request bodies in one call.
+# ---------------------------------------------------------------------------
+
+_MSEARCH_ORACLE = """
+WITH f AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+r1 AS (
+  SELECT 1 AS request, event_id, vc, NULL AS per_type,
+         NULL::BIGINT AS doc_count
+  FROM f WHERE event_type = 'purchase'
+  ORDER BY vc DESC, event_id LIMIT 3
+),
+r2 AS (
+  SELECT 2 AS request, NULL::BIGINT AS event_id, NULL::BIGINT AS vc,
+         event_type AS per_type, count(*) AS doc_count
+  FROM f GROUP BY event_type
+),
+r3 AS (
+  SELECT 3 AS request, event_id, vc, NULL AS per_type,
+         NULL::BIGINT AS doc_count
+  FROM f WHERE event_type = 'signup'
+  ORDER BY vc ASC, event_id LIMIT 2
+)
+SELECT request, event_id, vc, per_type, doc_count FROM r1
+UNION ALL SELECT request, event_id, vc, per_type, doc_count FROM r2
+UNION ALL SELECT request, event_id, vc, per_type, doc_count FROM r3
+"""
+
+
+@q("es_msearch_batch", _MSEARCH_ORACLE)
+def _es_msearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_msearch``: three request bodies against one index in a
+    single call — a score-free top hit list, a terms aggregation, and
+    a second hit list with the opposite sort — unioned with a 1-based
+    ``request`` ordinal; each body's absent columns are NULL on its
+    rows.
+
+    Scale shape: one plan branch per body over the shared scan; no
+    cross-body shuffles."""
+    from ..operators.querydsl import run_msearch
+
+    out = run_msearch(
+        _ev_cents(spark, sf_dir),
+        [
+            {"query": {"term": {"event_type": "purchase"}},
+             "sort": [{"vc": "desc"}], "size": 3,
+             "_source": ["event_id", "vc"]},
+            {"aggs": {"per_type": {"terms": {"field": "event_type"}}}},
+            {"query": {"term": {"event_type": "signup"}},
+             "sort": [{"vc": "asc"}], "size": 2,
+             "_source": ["event_id", "vc"]},
+        ],
+    )
+    return out.select(
+        "request", "event_id", "vc", F.col("per_type"), "doc_count"
+    )

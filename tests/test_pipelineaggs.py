@@ -190,3 +190,37 @@ class TestCategorizeText:
         ]
         got = self._run(spark, monkeypatch, rows)
         assert [r.category for r in got] == ["a a a", "b b b", "c c c"]
+
+
+class TestMovingFnBreadth:
+    def test_moving_fn_models(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, d), float(v))
+             for d, v in [(1, 1), (2, 4), (3, 2), (4, 8)]],
+            "ts timestamp, v double",
+        )
+        rows = apply_aggs(df, {"d": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {
+                "s": {"sum": {"field": "v"}},
+                "mx": {"moving_fn": {"buckets_path": "s", "window": 2,
+                       "script": "MovingFunctions.max(values)"}},
+                "sm": {"moving_fn": {"buckets_path": "s", "window": 2,
+                       "script": "MovingFunctions.sum(values)"}},
+            }}}).orderBy("d").collect()
+        assert [r.mx for r in rows] == [None, 1.0, 4.0, 4.0]
+        assert [r.sm for r in rows] == [None, 1.0, 5.0, 6.0]
+        import pytest
+        with pytest.raises(ValueError, match="exactly one of"):
+            apply_aggs(df, {"d": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"s": {"sum": {"field": "v"}},
+                         "bad": {"moving_fn": {"buckets_path": "s",
+                                 "window": 2,
+                                 "script": "holtWinters(values)"}}}}})

@@ -1027,3 +1027,27 @@ class TestNestedAgg:
         got = {r.per_author: (r.doc_count, r.avg_stars)
                for r in rows if r.agg_path == "c>per_author"}
         assert got == {"alice": (2, 3.0), "bob": (1, 3.0)}
+
+
+class TestMsearch:
+    def test_two_bodies_union(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_msearch,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "red", 10.0), (2, "blue", 20.0), (3, "red", 30.0)],
+            "id long, color string, n double",
+        )
+        rows = run_msearch(df, [
+            {"query": {"term": {"color": "red"}},
+             "sort": [{"n": "desc"}], "size": 1, "_source": ["id"]},
+            {"aggs": {"per_color": {"terms": {"field": "color"}}}},
+        ]).collect()
+        r1 = [r.id for r in rows if r.request == 1]
+        r2 = {r.per_color: r.doc_count for r in rows if r.request == 2}
+        assert r1 == [3]
+        assert r2 == {"red": 2, "blue": 1}
+        import pytest
+        with pytest.raises(ValueError, match="non-empty"):
+            run_msearch(df, [])
