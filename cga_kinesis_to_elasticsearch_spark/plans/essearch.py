@@ -2924,18 +2924,18 @@ WITH f AS (
   FROM events
 ),
 r1 AS (
-  SELECT 1 AS request, event_id, vc, NULL AS per_type,
+  SELECT CAST(1 AS BIGINT) AS request, event_id, vc, NULL AS per_type,
          NULL::BIGINT AS doc_count
   FROM f WHERE event_type = 'purchase'
   ORDER BY vc DESC, event_id LIMIT 3
 ),
 r2 AS (
-  SELECT 2 AS request, NULL::BIGINT AS event_id, NULL::BIGINT AS vc,
+  SELECT CAST(2 AS BIGINT) AS request, NULL::BIGINT AS event_id, NULL::BIGINT AS vc,
          event_type AS per_type, count(*) AS doc_count
   FROM f GROUP BY event_type
 ),
 r3 AS (
-  SELECT 3 AS request, event_id, vc, NULL AS per_type,
+  SELECT CAST(3 AS BIGINT) AS request, event_id, vc, NULL AS per_type,
          NULL::BIGINT AS doc_count
   FROM f WHERE event_type = 'signup'
   ORDER BY vc ASC, event_id LIMIT 2
