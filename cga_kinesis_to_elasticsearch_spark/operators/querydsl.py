@@ -754,6 +754,32 @@ def _score_and_filter(
             # the final combined score)
             filtered = filtered.filter(score >= F.lit(float(min_score)))
         return filtered, (score if need_score else None)
+    if kind == "bool" and need_score:
+        # ES bool scoring: every matching MUST / SHOULD clause adds
+        # its score; filter / must_not add nothing. Here the scoring
+        # clauses are match / multi_match (BM25); term/range/etc.
+        # clauses contribute 0 like filter context (documented
+        # divergence — ES gives constant-score leaves small idf-based
+        # scores). A bool with no scoring clause keeps score 1.0.
+        filtered = apply_query(df, query)
+        score = F.lit(0.0)
+        any_scoring = False
+        for key in ("must", "should"):
+            for sub in _as_list(body.get(key)):
+                if not (isinstance(sub, dict) and len(sub) == 1):
+                    continue
+                skind = next(iter(sub))
+                if skind in ("match", "multi_match"):
+                    any_scoring = True
+                    _, sub_score = _score_and_filter(df, sub, True)
+                    matched = F.coalesce(
+                        compile_query(sub, id_col=_identity_col(df)),
+                        F.lit(False),
+                    )
+                    score = score + F.when(matched, sub_score).otherwise(
+                        F.lit(0.0)
+                    )
+        return filtered, (score if any_scoring else F.lit(1.0))
     if kind == "match" and need_score:
         field, value = _one_field(kind, body)
         text = value["query"] if isinstance(value, dict) else value

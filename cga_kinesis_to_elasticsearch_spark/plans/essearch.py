@@ -2973,3 +2973,95 @@ def _es_msearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "request", "event_id", "vc", F.col("per_type"), "doc_count"
     )
+
+
+# ---------------------------------------------------------------------------
+# 41. scored bool: must + should clause scores ADD (ES relevance 101).
+# ---------------------------------------------------------------------------
+
+_BOOL_SCORED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+withlen AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) FILTER (WHERE len(tk) > 0) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) FILTER (WHERE len(tk) > 0) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+dfreq AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'merge')) AS BIGINT)
+      AS df_0,
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'scan')) AS BIGINT)
+      AS df_1,
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'vector')) AS BIGINT)
+      AS df_2
+  FROM toks
+),
+scored AS (
+  SELECT w.doc_id, w.dl,
+    len(list_filter(w.tk, x -> x = 'merge')) AS tf_0,
+    len(list_filter(w.tk, x -> x = 'scan')) AS tf_1,
+    len(list_filter(w.tk, x -> x = 'vector')) AS tf_2,
+    s.n_docs, s.total_len, d.df_0, d.df_1, d.df_2
+  FROM withlen w CROSS JOIN stats s CROSS JOIN dfreq d
+  WHERE tf_0 > 0 OR tf_1 > 0
+),
+formula AS (
+  SELECT doc_id,
+    0.0
+    + CASE WHEN tf_0 > 0 THEN
+        ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+        * (tf_0 * (1 + {_K1}))
+        / (tf_0 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END
+    + CASE WHEN tf_1 > 0 THEN
+        ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+        * (tf_1 * (1 + {_K1}))
+        / (tf_1 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END
+    + CASE WHEN tf_2 > 0 THEN
+        ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5))
+        * (tf_2 * (1 + {_K1}))
+        / (tf_2 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END AS score
+  FROM scored
+)
+SELECT doc_id, round(score, 6) AS score
+FROM formula ORDER BY score DESC, doc_id LIMIT 12
+"""
+
+
+@q("es_search_bool_scored", _BOOL_SCORED_ORACLE)
+def _es_search_bool_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCORED ``bool`` — the everyday ES relevance query: every
+    matching ``must`` / ``should`` clause ADDS its BM25 score
+    (``filter`` / ``must_not`` add nothing); here a must ``match``
+    over two terms plus a should ``match`` whose contribution appears
+    only on documents containing it. The oracle replays the additive
+    Lucene formula term by term.
+
+    Scale shape: corpus statistics are ONE broadcast-sized
+    aggregation per scoring clause; the combined score is a codegen
+    expression + TakeOrdered(12)."""
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(
+        _t(spark, sf_dir, "documents"),
+        {
+            "query": {"bool": {
+                "must": [{"match": {"text": "merge scan"}}],
+                "should": [{"match": {"text": "vector"}}],
+            }},
+            "size": 12,
+            "_source": ["doc_id"],
+        },
+    )
+    return out.select("doc_id", F.round("_score", 6).alias("score"))

@@ -1051,3 +1051,46 @@ class TestMsearch:
         import pytest
         with pytest.raises(ValueError, match="non-empty"):
             run_msearch(df, [])
+
+
+class TestBoolScoring:
+    def test_must_and_should_scores_add(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha"), (3, "alpha beta beta"),
+             (4, "gamma")],
+            "id long, text string",
+        )
+        # must match alpha (BM25), should match beta adds score only
+        # where it matches; filter adds nothing
+        rows = run_search_body(df, {
+            "query": {"bool": {
+                "must": [{"match": {"text": "alpha"}}],
+                "should": [{"match": {"text": "beta"}}],
+                "filter": [{"range": {"id": {"lte": 10}}}],
+            }},
+            "size": 3, "_source": ["id"],
+        }).collect()
+        # docs 1,3 get alpha+beta scores; doc 3 has higher beta tf but
+        # shorter... doc 1 dl=2, doc 3 dl=3. All matches are returned;
+        # doc 2 (alpha only) must rank below 1 and 3
+        ids = [r.id for r in rows]
+        assert set(ids) == {1, 2, 3}
+        assert ids.index(2) == 2  # lowest score: no beta contribution
+        scores = {r.id: r._score for r in rows}
+        assert scores[1] > scores[2] and scores[3] > scores[2]
+
+    def test_bool_without_scoring_clauses_is_constant(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame([(1, 5.0), (2, 9.0)], "id long, n double")
+        rows = run_search_body(df, {
+            "query": {"bool": {"filter": [{"range": {"n": {"gt": 0}}}]}},
+            "size": 2, "_source": ["id"],
+        }).collect()
+        assert all(r._score == 1.0 for r in rows)
