@@ -17,7 +17,12 @@ from functools import lru_cache
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import TimestampType
 
-__all__ = ["load_table", "TABLES"]
+__all__ = [
+    "load_table",
+    "TABLES",
+    "register_immutable_root",
+    "invalidate_cached_tables",
+]
 
 TABLES = (
     "region",
@@ -33,7 +38,6 @@ TABLES = (
 )
 
 
-@lru_cache(maxsize=256)
 def _nanos_columns(path: str) -> tuple[str, ...]:
     import pyarrow.parquet as pq
     import pyarrow as pa
@@ -47,6 +51,11 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     return tuple(out)
 
 
+# footer-schema memo, gated like _DF_CACHE: only immutable roots may
+# cache (a rewritten mutable file could change its footer schema)
+_nanos_columns_cached = lru_cache(maxsize=256)(_nanos_columns)
+
+
 # Resolved-DataFrame cache: DataSource resolution (file listing +
 # footer schema inference) costs ~100 ms of driver time PER
 # spark.read.parquet call, and every declared query re-loads its
@@ -56,7 +65,39 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
 # applicationId so a new session never sees a stale plan. (On a real
 # cluster this is the role of catalog tables — resolve once, reference
 # everywhere.)
+#
+# The memoized frame is a FROZEN file listing — a rewrite/append to a
+# cached path inside the same application would serve stale reads or
+# missing-file task failures. The cache therefore only engages for
+# paths a caller has declared immutable (the testdata roots, by
+# default), and ``invalidate_cached_tables`` exists for anything else.
 _DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# Path prefixes treated as immutable for the lifetime of the process.
+# Mutating writers (sinks/upsert.py, forget.py, compact.py) operate on
+# their own roots, which are never under these prefixes.
+_IMMUTABLE_PREFIXES: list[str] = ["/root/testdata/"]
+
+
+def register_immutable_root(prefix: str) -> None:
+    """Opt a directory tree into resolved-frame caching. Only do this
+    for data that is never rewritten within one Spark application."""
+    if prefix and prefix not in _IMMUTABLE_PREFIXES:
+        _IMMUTABLE_PREFIXES.append(prefix)
+
+
+def invalidate_cached_tables(path_prefix: str = "") -> int:
+    """Drop cached resolved frames whose path starts with
+    ``path_prefix`` (all of them by default). Returns the number of
+    entries dropped — call after mutating a cached path in-place."""
+    hits = [k for k in _DF_CACHE if k[1].startswith(path_prefix)]
+    for k in hits:
+        del _DF_CACHE[k]
+    return len(hits)
+
+
+def _cacheable(path: str) -> bool:
+    return any(path.startswith(p) for p in _IMMUTABLE_PREFIXES)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,14 +110,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     with a cast fallback should the conf ever become static.
     """
     path = f"{sf_dir}/{name}.parquet"
-    nanos = _nanos_columns(path)
+    cacheable = _cacheable(path)
+    nanos = (
+        _nanos_columns_cached(path) if cacheable else _nanos_columns(path)
+    )
     if nanos:
         # conf consulted at execution too — set it even on a cache hit
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (spark.sparkContext.applicationId, path)
-    cached = _DF_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cacheable:
+        cached = _DF_CACHE.get(key)
+        if cached is not None:
+            return cached
     try:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
@@ -94,5 +139,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.col(field.name).cast(TimestampType())
             )
-    _DF_CACHE[key] = df
+    if cacheable:
+        _DF_CACHE[key] = df
     return df

@@ -119,6 +119,28 @@ _CONVERT_TYPES = {
 }
 
 
+class _TrackedCols(dict):
+    """name -> Column mapping that records which fields a processor
+    has written or removed AFTER construction — the script processor
+    must not silently read a pre-modification value (ES's ``ctx`` is
+    sequential), so a reference to a dirty field fails at plan time;
+    apply_ingest_pipeline avoids the failure by staging a projection
+    before each script."""
+
+    def __init__(self, initial: dict):
+        super().__init__(initial)
+        self.dirty: set[str] = set()
+
+    def __setitem__(self, key, value):
+        if hasattr(self, "dirty"):
+            self.dirty.add(key)
+        super().__setitem__(key, value)
+
+    def __delitem__(self, key):
+        self.dirty.add(key)
+        super().__delitem__(key)
+
+
 def compile_pipeline(
     columns: list[str], processors: list[dict]
 ) -> dict[str, Column]:
@@ -129,7 +151,9 @@ def compile_pipeline(
     # backtick-quote source names: document fields may contain dots
     # (the parity pipeline emits `@cf.env` etc.), which bare F.col
     # would parse as struct access
-    cols: dict[str, Column] = {c: F.col(f"`{c}`") for c in columns}
+    cols: _TrackedCols = _TrackedCols(
+        {c: F.col(f"`{c}`") for c in columns}
+    )
 
     def _need(field: str, p: dict) -> Column:
         if field not in cols:
@@ -382,13 +406,25 @@ def compile_pipeline(
                 )
             for ref in re.findall(r"doc\['([^']+)'\]", source):
                 # the compiled expression binds to the INPUT frame, so
-                # only ORIGINAL document fields are addressable (a
-                # processor-derived field has no input column to bind)
-                if ref not in columns:
+                # only UNMODIFIED input fields are addressable here: a
+                # field an earlier processor wrote/removed would read
+                # its PRE-modification value (ES's ctx is sequential).
+                # apply_ingest_pipeline sidesteps this by staging a
+                # projection before each script.
+                if ref not in cols:
                     raise ValueError(
-                        f"script references {ref!r}, which is not an "
-                        "input document field (derived fields are not "
-                        "addressable from scripts)"
+                        f"script references {ref!r}, which is not a "
+                        "field of the document at this point in the "
+                        "pipeline"
+                    )
+                if ref in cols.dirty:
+                    raise ValueError(
+                        f"script references {ref!r}, which an earlier "
+                        "processor in this projection modified — the "
+                        "script would read the pre-modification value. "
+                        "Run through apply_ingest_pipeline (it stages "
+                        "a projection before each script), or reorder "
+                        "the processors."
                     )
             cols[target] = _compile_score_script(source)
         elif kind == "grok":
@@ -457,15 +493,27 @@ def apply_ingest_pipeline(
     packed-capture parse — still zero shuffles, zero Python."""
     pending: list[dict] = []
     out = df
+
+    def _flush():
+        nonlocal out, pending
+        if pending:
+            cols = compile_pipeline(out.columns, pending)
+            out = out.select(*[c.alias(name) for name, c in cols.items()])
+            pending = []
+
     for p in processors:
-        if len(p) == 1 and next(iter(p)) == "grok":
-            if pending:
-                cols = compile_pipeline(out.columns, pending)
-                out = out.select(
-                    *[c.alias(name) for name, c in cols.items()]
-                )
-                pending = []
+        kind = next(iter(p)) if len(p) == 1 else None
+        if kind == "grok":
+            _flush()
             out = _apply_grok(out, p["grok"])
+        elif kind == "script":
+            # stage a projection BEFORE the script so its doc['field']
+            # references bind to the values earlier processors
+            # produced — ES's sequential ctx semantics. Projections
+            # fuse in whole-stage codegen; the extra select costs no
+            # shuffle and no pass over the data.
+            _flush()
+            pending.append(p)
         else:
             pending.append(p)
     if pending or not processors:

@@ -1412,7 +1412,10 @@ def _run_knn(df: DataFrame, body: dict) -> DataFrame:
 
     out = filtered.withColumn("_score", kscore)
     cols = [F.col("_score").desc()] + _doc_tiebreak(df, ["_score"])
-    out = out.orderBy(*cols).limit(k)
+    # ES returns min(size, k) hits: knn retrieves k candidates, the
+    # body-level size (default 10 in ES; default k here so a bare knn
+    # body still returns its full top-k) trims the returned page
+    out = out.orderBy(*cols).limit(min(k, int(body.get("size", k))))
     if "_source" in body:
         keep = list(body["_source"])
         if "_score" not in keep:

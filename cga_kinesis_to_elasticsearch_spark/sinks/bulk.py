@@ -104,11 +104,13 @@ class ParquetIndexSink:
         # cluster by the partition column first: without it every task
         # opens a file in EVERY index it touches (tasks x indices small
         # files per batch — measured ~10x file-count blowup and a
-        # visibly slower write+read-back); one cheap row exchange per
-        # micro-batch buys one file per index per batch, the
-        # dynamic-partition-insert shape Spark's own rebalance hint
-        # exists for. AQE still splits a skewed index across tasks.
-        docs.repartition("es_index").write.mode("append").partitionBy(
+        # visibly slower write+read-back). REBALANCE (not
+        # repartition(col)): repartition's contract forbids splitting
+        # a hash partition, so a mono-index micro-batch — the common
+        # daily-index case — would serialize the whole write through
+        # one task; the rebalance hint clusters by es_index but lets
+        # AQE split a skewed/solitary index across tasks.
+        docs.hint("rebalance", "es_index").write.mode("append").partitionBy(
             "es_index"
         ).parquet(str(self.root / "data"))
 

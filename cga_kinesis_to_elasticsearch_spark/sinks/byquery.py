@@ -43,7 +43,12 @@ from pyspark.sql import SparkSession, functions as F
 from ..operators.ingest import compile_pipeline
 from ..operators.querydsl import compile_query
 from ._swap import promote_staged, recover_and_sweep
-from .forget import ForgetStats, forget, raw_partition_values
+from .forget import (
+    ForgetStats,
+    forget,
+    raw_partition_values,
+    touched_values_predicate,
+)
 
 __all__ = ["delete_by_query", "update_by_query", "UpdateStats"]
 
@@ -142,7 +147,9 @@ def update_by_query(
             )
         stats.partitions_rewritten = len(touched)
         vals = [r[part_col] for r in touched]
-        updated = df.filter(F.col(part_col).isin(vals)).select(
+        updated = df.filter(
+            touched_values_predicate(part_col, vals)
+        ).select(
             *[
                 F.when(pred, expr)
                 .otherwise(F.col(f"`{name}`"))

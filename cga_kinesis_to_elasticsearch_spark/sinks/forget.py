@@ -49,7 +49,27 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ._swap import promote_staged, recover_and_sweep
 
-__all__ = ["ForgetStats", "forget", "raw_partition_values"]
+__all__ = [
+    "ForgetStats",
+    "forget",
+    "raw_partition_values",
+    "touched_values_predicate",
+]
+
+
+def touched_values_predicate(part_col: str, vals: list) -> Column:
+    """Partition-pruning predicate selecting exactly the collected
+    partition values, NULL included: ``isin`` alone never matches a
+    NULL value (SQL three-valued logic), so a touched
+    ``__HIVE_DEFAULT_PARTITION__`` partition would stage nothing and
+    the promote step would abort the whole rewrite."""
+    non_null = [v for v in vals if v is not None]
+    cond = (
+        F.col(part_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if len(non_null) != len(vals):
+        cond = cond | F.col(part_col).isNull()
+    return cond
 
 
 @contextmanager
@@ -139,7 +159,7 @@ def forget(
         tmp_root = root / ".tmp-rewrite"
         shutil.rmtree(tmp_root, ignore_errors=True)
         (
-            df.filter(F.col(part_col).isin(vals))
+            df.filter(touched_values_predicate(part_col, vals))
             .filter(~hit)
             .write.partitionBy(part_col)
             .mode("overwrite")

@@ -121,3 +121,36 @@ class TestNullPredicate:
         assert remaining.count() == 1
         assert remaining.first().user_id == 2
         assert stats.rows_deleted == 1 and stats.rows_kept == 1
+
+
+class TestNullPartitionValue:
+    """A NULL partition value is written as __HIVE_DEFAULT_PARTITION__;
+    isin() alone would never select it (three-valued logic) and the
+    promote step would abort — the touched-values predicate must
+    include it explicitly (round-6 ADVICE)."""
+
+    def test_forget_touches_null_partition(self, spark, tmp_path):
+        root = tmp_path / "data"
+        spark.createDataFrame(
+            [("logs-2024-01-01", 1, "a"), (None, 3, "b"), (None, 4, "c")],
+            "es_index string, user_id long, msg string",
+        ).write.partitionBy("es_index").parquet(str(root))
+        assert (root / "es_index=__HIVE_DEFAULT_PARTITION__").exists()
+        stats = forget(spark, root, F.col("user_id") == 3)
+        assert stats.rows_deleted == 1
+        remaining = spark.read.parquet(str(root))
+        assert remaining.count() == 2
+        assert remaining.filter(F.col("user_id") == 3).count() == 0
+        # the surviving NULL-partition row is intact
+        assert remaining.filter(F.col("user_id") == 4).count() == 1
+
+    def test_forget_full_delete_of_null_partition(self, spark, tmp_path):
+        root = tmp_path / "data"
+        spark.createDataFrame(
+            [("logs-2024-01-01", 1, "a"), (None, 3, "b")],
+            "es_index string, user_id long, msg string",
+        ).write.partitionBy("es_index").parquet(str(root))
+        stats = forget(spark, root, F.col("user_id") == 3)
+        assert stats.rows_deleted == 1
+        remaining = spark.read.parquet(str(root))
+        assert remaining.count() == 1

@@ -418,11 +418,30 @@ class TestRound5Processors:
                 "source": "doc['a'].value / doc['b'].value + 1"}}},
         ]).collect()[0]
         assert abs(out.ratio - (10.0 / 3.0 + 1)) < 1e-12
-        with _pt.raises(ValueError, match="not an input"):
-            apply_ingest_pipeline(df, [
-                {"set": {"field": "c", "value": 2}},
+        # ES ctx is sequential: a script reads the value the EARLIER
+        # processor produced (apply_ingest_pipeline stages a
+        # projection before each script to bind it)
+        seq = apply_ingest_pipeline(df, [
+            {"set": {"field": "c", "value": 2}},
+            {"script": {"target_field": "r", "script": {
+                "source": "doc['c'].value * 2"}}},
+        ]).collect()[0]
+        assert seq.r == 4
+        # the single-projection compiler CANNOT honor that ordering —
+        # it must reject rather than read the pre-modification value
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            compile_pipeline,
+        )
+        with _pt.raises(ValueError, match="modified"):
+            compile_pipeline(["id", "a", "b"], [
+                {"uppercase": {"field": "b"}},
                 {"script": {"target_field": "r", "script": {
-                    "source": "doc['c'].value * 2"}}},
+                    "source": "doc['b'].value"}}},
+            ])
+        with _pt.raises(ValueError, match="not a field"):
+            compile_pipeline(["id", "a", "b"], [
+                {"script": {"target_field": "r", "script": {
+                    "source": "doc['zzz'].value"}}},
             ])
         with _pt.raises(ValueError, match="unsupported script"):
             apply_ingest_pipeline(df, [

@@ -505,6 +505,23 @@ class TestPaginationHighlightKnn:
             "_source": ["vec_id"],
         }).collect()
         assert [r.vec_id for r in rows] == [3, 2]
+        # body-level size trims the returned page to min(size, k):
+        # a literal ES body with size < k must not over-return
+        rows = run_search_body(emb, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 3},
+            "size": 1,
+            "_source": ["vec_id"],
+        }).collect()
+        assert [r.vec_id for r in rows] == [1]
+        # size > k still returns only the k retrieved candidates
+        rows = run_search_body(emb, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 2},
+            "size": 10,
+            "_source": ["vec_id"],
+        }).collect()
+        assert [r.vec_id for r in rows] == [1, 3]
         with pytest.raises(ValueError, match="knn composes"):
             run_search_body(emb, {"knn": {"field": "embedding",
                                           "query_vector": [1.0, 0.0],
