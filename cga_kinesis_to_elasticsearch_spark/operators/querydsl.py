@@ -52,11 +52,20 @@ Supported leaves:
                    by full dotted path, like ES); lowered to one
                    codegen F.exists, no explode, no shuffle
 
+- ``query_string`` {query, default_field|fields[, default_operator]}
+                   — Kibana's search-bar Lucene syntax, parsed and
+                   LOWERED to this same DSL (operators/luceneq.py);
+                   syntax errors fail at plan time
+- ``simple_query_string`` — the error-tolerant variant (``+ | -``
+                   operators, phrases, trailing-``*`` prefix); query
+                   text never raises, invalid parts are discarded
+
 Compound:
 
 - ``bool`` with ``must`` / ``filter`` (AND), ``must_not`` (NOR) and
-  ``should`` with ES's documented ``minimum_should_match`` default:
-  1 when the bool has no must/filter context, else 0.
+  ``should`` with ES's ``minimum_should_match``: explicit integer /
+  negative / percentage forms (``3``, ``-1``, ``"75%"``, ``"-25%"``),
+  defaulting to 1 when the bool has no must/filter context, else 0.
 - ``constant_score`` {"filter": query} — the wrapped filter
 - ``dis_max``        {"queries": [...]} — union of the branches
   (filter context: a doc matches if any branch matches)
@@ -172,6 +181,47 @@ def compile_query(
         raise ValueError(f"query must have exactly one root clause: {dsl}")
     kind, body = next(iter(dsl.items()))
 
+    if kind == "query_string":
+        from .luceneq import query_string_to_dsl
+
+        return compile_query(
+            query_string_to_dsl(body), id_col=id_col, resolve=resolve
+        )
+    if kind == "simple_query_string":
+        from .luceneq import simple_query_string_to_dsl
+
+        return compile_query(
+            simple_query_string_to_dsl(body), id_col=id_col, resolve=resolve
+        )
+    # Internal token-level leaves — the lowering targets of
+    # operators/luceneq.py: Lucene query syntax runs multi-term
+    # queries against the ANALYZED tokens of a text field (ES expands
+    # them against the index terms), unlike the public wildcard/
+    # prefix/fuzzy leaves, which are whole-value (keyword semantics).
+    if kind == "_token_wildcard":
+        field, pattern = _one_field(kind, body)
+        like = _wildcard_to_like(str(pattern))
+        return F.exists(
+            _tokens(resolve(field)), lambda t: t.like(like)
+        )
+    if kind == "_token_prefix":
+        field, value = _one_field(kind, body)
+        return F.exists(
+            _tokens(resolve(field)), lambda t: t.startswith(str(value))
+        )
+    if kind == "_token_fuzzy":
+        field, spec = _one_field(kind, body)
+        if not isinstance(spec, dict) or "value" not in spec:
+            raise ValueError(f"_token_fuzzy needs {{'value': term}}: {body}")
+        term = str(spec["value"])
+        fz = spec.get("fuzziness", "AUTO")
+        edits = _auto_fuzziness(term) if fz == "AUTO" else int(fz)
+        if not 0 <= edits <= 2:
+            raise ValueError(f"_token_fuzzy: fuzziness must be 0..2: {fz!r}")
+        return F.exists(
+            _tokens(resolve(field)),
+            lambda t: F.levenshtein(t, F.lit(term)) <= F.lit(edits),
+        )
     if kind == "ids":
         if not isinstance(body, dict) or not body.get("values"):
             raise ValueError(f"ids needs non-empty values: {body}")
@@ -423,7 +473,7 @@ def compile_query(
             if msm is None:
                 # ES default: 1 if nothing else constrains the bool
                 msm = 0 if (body.get("must") or body.get("filter")) else 1
-            msm = int(msm)
+            msm = _msm_count(msm, len(should))
             if msm > 0:
                 # same rule: a null-field should clause contributes 0
                 # to the match count instead of poisoning the sum
@@ -448,6 +498,54 @@ def _as_list(v) -> list:
     if v is None:
         return []
     return list(v) if isinstance(v, (list, tuple)) else [v]
+
+
+def _msm_count(msm, n_should: int) -> int:
+    """ES ``minimum_should_match`` spec -> required match count over
+    ``n_should`` optional clauses. All documented simple forms:
+
+    - positive integer (``3`` / ``"3"``): that many must match;
+    - negative integer (``-2``): total minus that many must match;
+    - positive percentage (``"75%"``): floor(p% of total) must match;
+    - negative percentage (``"-25%"``): floor(p% of total) clauses MAY
+      BE MISSING — required = total - floor(p% of total).
+
+    The conditional multi-spec (``"3<90%"``) is rejected at plan time.
+    A computed value > n_should can never match (same as ES); a value
+    <= 0 removes the constraint (clamped to 0 by the caller's
+    ``msm > 0`` gate)."""
+    if isinstance(msm, bool):
+        raise ValueError(f"minimum_should_match: bad spec {msm!r}")
+    if isinstance(msm, int):
+        m = msm
+    else:
+        s = str(msm).strip()
+        if "<" in s:
+            raise ValueError(
+                "minimum_should_match: the conditional multi-spec "
+                f"(N<S) is not supported: {s!r}"
+            )
+        if s.endswith("%"):
+            try:
+                pct = float(s[:-1])
+            except ValueError:
+                raise ValueError(
+                    f"minimum_should_match: bad percentage {s!r}"
+                )
+            import math
+
+            portion = int(math.floor(abs(pct) / 100.0 * n_should))
+            m = portion if pct >= 0 else n_should - portion
+        else:
+            try:
+                m = int(s)
+            except ValueError:
+                raise ValueError(
+                    f"minimum_should_match: bad spec {s!r}"
+                )
+    if m < 0:
+        m = n_should + m
+    return m
 
 
 def apply_query(
@@ -731,6 +829,18 @@ def _score_and_filter(
     every other query is filter-context (score constant 1.0, like ES
     filter context)."""
     kind, body = next(iter(query.items())) if len(query) == 1 else (None, None)
+    if kind in ("query_string", "simple_query_string"):
+        # parse once, then score/filter the LOWERED tree — a
+        # query_string scores exactly like the bool/match tree it
+        # lowers to (scored-bool BM25 addition and all)
+        from .luceneq import query_string_to_dsl, simple_query_string_to_dsl
+
+        lowered = (
+            query_string_to_dsl(body)
+            if kind == "query_string"
+            else simple_query_string_to_dsl(body)
+        )
+        return _score_and_filter(df, lowered, need_score)
     if kind == "script_score":
         inner = body.get("query", {"match_all": {}})
         source = (body.get("script") or {}).get("source")

@@ -44,6 +44,7 @@ _MODULES = (
     "lateinteraction",
     "esrelations",
     "essearch",
+    "essearch2",
     "traindata",
     "evalqa",
     "mlprims",

