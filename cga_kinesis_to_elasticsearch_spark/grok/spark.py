@@ -111,8 +111,26 @@ def grok_match(
     return col.rlike(cp.regex)
 
 
-_SEP = "\x01"  # capture delimiter: control chars never occur in log lines
+_SEP = "\x01"  # capture delimiter (control char: rare in log lines)
 _SENTINEL = "\x02"  # marks "regex matched"; non-match keeps the raw line
+
+
+def _sanitize(line: Column) -> Column:
+    """Strip the packed-parse sentinel bytes from the line BEFORE the
+    packed rewrite: a line that itself contains ``\\x01``/``\\x02``
+    (binary garbage, malicious payload) would otherwise SHIFT or
+    FABRICATE captures — wrong columns with no error. One narrow
+    char-class regexp_replace per row; for every line free of control
+    bytes (all real log lines) the result is byte-identical.
+
+    Documented divergence: on a garbage line the match and the
+    captured values are computed over the stripped text, so a capture
+    adjacent to a control byte omits that byte (the reference's grok
+    would keep it). Fields can never shift; an exact-per-capture
+    fallback was tried and rejected — doubling the regex tree pushed
+    wide patterns (ROUTERACCESS, 22 captures) past Janino's 64 KB
+    method limit and dropped the whole hot stage out of codegen."""
+    return F.regexp_replace(line, f"[{_SEP}{_SENTINEL}]", "")
 
 
 def grok_parse_into(
@@ -133,7 +151,9 @@ def grok_parse_into(
     group references), then one split + element_at per field unpacks
     it. Non-matching lines come back without the sentinel -> NULL
     struct, preserving grok_struct's null_on_nonmatch semantics
-    (grok.go:211-214: no match -> empty capture map).
+    (grok.go:211-214: no match -> empty capture map). The line is
+    sanitized of sentinel bytes first (see _sanitize) so adversarial
+    input can never shift or fabricate captures.
 
     Three staged projections keep each intermediate an attribute, so
     Catalyst cannot inline the regex into every field (CollapseProject
@@ -168,7 +188,7 @@ def grok_parse_many(
         # search; (?s) keeps the wrapper safe for embedded newlines.
         wrapped = "(?s)^.*?(?:" + cp.regex + ").*$"
         repl = _SENTINEL + _SEP.join(f"${c.group}" for c in cp.fields)
-        raw = F.regexp_replace(line, wrapped, repl)
+        raw = F.regexp_replace(_sanitize(line), wrapped, repl)
         if condition is not None:
             raw = F.when(condition, raw)
         raws.append(raw.alias(f"__graw_{out_col}"))
@@ -215,7 +235,9 @@ def grok_multimap(
     line = F.col(col) if isinstance(col, str) else col
     wrapped = "(?s)^.*?(?:" + cp.regex + ").*$"
     repl = _SENTINEL + _SEP.join(f"${c.group}" for c in cp.captures)
-    df = df.withColumn("__graw", F.regexp_replace(line, wrapped, repl))
+    df = df.withColumn(
+        "__graw", F.regexp_replace(_sanitize(line), wrapped, repl)
+    )
     df = df.withColumn(
         "__garr",
         F.when(

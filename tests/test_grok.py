@@ -214,3 +214,96 @@ class TestDuckDBParity:
         row = con.execute(sql, [ROUTER_LINE]).fetchdf().iloc[0].to_dict()
         for k, v in ROUTER_EXPECTED.items():
             assert str(row[k]) == str(v), k
+
+
+class TestSentinelInjection:
+    """Round-6 VERDICT item: a line CONTAINING the packed-parse
+    sentinel bytes (\\x01 / \\x02 — binary garbage, malicious payload)
+    must never shift or fabricate captures. The parse strips the
+    sentinel bytes from its input (grok/spark._sanitize) — clean lines
+    are byte-identical; a garbage line parses as if the control bytes
+    were absent (documented divergence: a capture adjacent to a
+    control byte omits it — fields still can never shift)."""
+
+    def _parse(self, spark, grok, lines, pattern="GENERIC"):
+        from cga_kinesis_to_elasticsearch_spark.grok.spark import (
+            grok_parse_into,
+        )
+
+        df = spark.createDataFrame([(ln,) for ln in lines], ["line"])
+        return grok_parse_into(grok, df, "line", pattern, "g").select(
+            "line", "g"
+        ).collect()
+
+    def test_control_chars_parse_exactly(self, spark, grok):
+        grok.add_pattern(
+            "KV2", r"k1=%{WORD:k1} k2=%{WORD:k2} k3=%{INT:k3:int}"
+        )
+        clean = "k1=a k2=b k3=3"
+        # sentinel bytes OUTSIDE the captures: captures must be exact
+        dirty_pad = "\x02noise\x01 k1=a k2=b k3=3 \x01tail\x02"
+        # sentinel bytes that would FABRICATE a capture boundary if
+        # the packed path ran: 'b\x01evil' is one WORD token? \x01 is
+        # not \w, so k2 captures 'b' and the \x01 sits between fields
+        rows = self._parse(spark, grok, [clean, dirty_pad], "KV2")
+        assert rows[0].g.asDict() == {"k1": "a", "k2": "b", "k3": 3}
+        assert rows[1].g.asDict() == {"k1": "a", "k2": "b", "k3": 3}
+
+    def test_control_char_nonmatch_is_null(self, spark, grok):
+        grok.add_pattern("KV1", r"k1=%{INT:k1:int}")
+        rows = self._parse(
+            spark, grok, ["\x01\x02 nothing here"], "KV1"
+        )
+        assert rows[0].g is None
+
+    def test_parity_with_per_capture_path(self, spark, grok):
+        from cga_kinesis_to_elasticsearch_spark.grok import grok_struct
+
+        grok.add_pattern("NUMS", r"%{INT:a:int}-%{INT:b:int}")
+        lines = ["12-34", "\x0112-34", "12-34\x02", "no", None]
+        df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+        from cga_kinesis_to_elasticsearch_spark.grok.spark import (
+            grok_parse_into,
+        )
+
+        fast = [
+            r.g
+            for r in grok_parse_into(
+                grok, df, "line", "NUMS", "g"
+            ).collect()
+        ]
+        slow = [
+            r.g
+            for r in df.select(
+                grok_struct(grok, "line", "NUMS").alias("g")
+            ).collect()
+        ]
+        assert fast == slow
+
+    def test_sentinel_inside_token_never_shifts(self, spark, grok):
+        # a sentinel INSIDE a would-be capture: under the strip
+        # semantics the token fuses ('a\x01b' -> 'ab') — the value
+        # diverges from raw-grok by exactly the removed byte, but the
+        # SHAPE is stable: k2/k3 land in their own fields, nothing
+        # shifts, nothing is fabricated
+        grok.add_pattern(
+            "KV3", r"k1=%{WORD:k1} k2=%{WORD:k2} k3=%{INT:k3:int}"
+        )
+        rows = self._parse(
+            spark, grok, ["k1=a\x01b k2=c k3=7"], "KV3"
+        )
+        assert rows[0].g.asDict() == {"k1": "ab", "k2": "c", "k3": 7}
+
+    def test_multimap_with_sentinels(self, spark, grok):
+        from cga_kinesis_to_elasticsearch_spark.grok.spark import (
+            grok_multimap,
+        )
+
+        grok.add_pattern("PAIR", r"%{WORD:v} %{WORD:v}")
+        df = spark.createDataFrame(
+            [("x y",), ("\x02 x y \x01",), ("-",)], ["line"]
+        )
+        rows = grok_multimap(grok, df, "line", "PAIR").collect()
+        assert rows[0].v_values == ["x", "y"]
+        assert rows[1].v_values == ["x", "y"]
+        assert rows[2].v_values is None
