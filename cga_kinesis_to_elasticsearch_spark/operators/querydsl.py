@@ -136,8 +136,38 @@ __all__ = [
 _RANGE_OPS = {"gte": _op.ge, "gt": _op.gt, "lte": _op.le, "lt": _op.lt}
 
 
-def _tokens(col: Column) -> Column:
+# Analyzers: the engine's default stays WHITESPACE (the documented
+# divergence from ES's standard default); per-request ``analyzer``
+# selects ``standard`` — lowercase + split on non-alphanumerics — the
+# ASCII reading of ES's standard analyzer (Unicode segmentation is out
+# of scope; non-ASCII letters are treated as separators, documented).
+_ANALYZERS = ("whitespace", "standard")
+
+
+def _tokens(col: Column, analyzer: str = "whitespace") -> Column:
+    if analyzer == "standard":
+        return F.filter(
+            F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != ""
+        )
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def _check_analyzer(a: str) -> str:
+    if a not in _ANALYZERS:
+        raise ValueError(
+            f"unsupported analyzer {a!r} (supported: {_ANALYZERS})"
+        )
+    return a
+
+
+def _analyze_text(text, analyzer: str) -> list[str]:
+    """Analyze literal QUERY text the same way ``_tokens`` analyzes
+    the field, so query and field tokens always agree."""
+    if analyzer == "standard":
+        import re
+
+        return [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
+    return [t for t in str(text).split() if t]
 
 
 def _wildcard_to_like(pattern: str) -> str:
@@ -291,10 +321,12 @@ def compile_query(
         mm_type = body.get("type", "best_fields")
         if mm_type != "best_fields":
             raise ValueError(f"multi_match: unsupported type {mm_type!r}")
+        mm_analyzer = _check_analyzer(body.get("analyzer", "whitespace"))
         per_field = [
             compile_query(
                 {"match": {f: {"query": body["query"],
-                               "operator": body.get("operator", "or")}}},
+                               "operator": body.get("operator", "or"),
+                               "analyzer": mm_analyzer}}},
                 id_col=id_col,
                 resolve=resolve,
             )
@@ -418,26 +450,32 @@ def compile_query(
     if kind == "match":
         field, value = _one_field(kind, body)
         op = "or"
+        analyzer = "whitespace"
         if isinstance(value, dict):
             op = value.get("operator", "or")
+            analyzer = _check_analyzer(value.get("analyzer", "whitespace"))
             value = value["query"]
-        q_toks = [t for t in str(value).split() if t]
+        q_toks = _analyze_text(value, analyzer)
         if not q_toks:
             raise ValueError(f"match needs query tokens: {body}")
-        toks = _tokens(resolve(field))
+        toks = _tokens(resolve(field), analyzer)
         hits = [F.array_contains(toks, t) for t in q_toks]
         red = _op.and_ if op == "and" else _op.or_
         return functools.reduce(red, hits)
     if kind == "match_phrase":
         field, value = _one_field(kind, body)
-        phrase = " ".join(str(value).split())
+        analyzer = "whitespace"
+        if isinstance(value, dict):
+            analyzer = _check_analyzer(value.get("analyzer", "whitespace"))
+            value = value["query"]
+        phrase = " ".join(_analyze_text(value, analyzer))
         if not phrase:
             raise ValueError(f"match_phrase needs tokens: {body}")
-        # whitespace analyzer: the phrase matches iff the normalized,
-        # delimiter-padded text contains the padded phrase
+        # the phrase matches iff the normalized, delimiter-padded
+        # analyzed text contains the padded analyzed phrase
         norm = F.concat(
             F.lit(" "),
-            F.array_join(_tokens(resolve(field)), " "),
+            F.array_join(_tokens(resolve(field), analyzer), " "),
             F.lit(" "),
         )
         return norm.contains(f" {phrase} ")
@@ -573,20 +611,28 @@ _BM25_B = 0.75
 _DECAY_FNS = ("gauss", "exp", "linear")
 
 
-def _bm25_score(df: DataFrame, field: str, query_text: str) -> Column:
-    """Per-row BM25 score of ``query_text`` against the whitespace-
-    analyzed ``field``, with corpus statistics (N, avgdl, per-term df)
-    computed from ``df`` — the same Lucene practical scoring function
-    as sinks/textindex.bm25_topk and plans/evalqa.explain_bm25_doc.
+def _bm25_score(
+    df: DataFrame,
+    field: str,
+    query_text: str,
+    analyzer: str = "whitespace",
+) -> Column:
+    """Per-row BM25 score of ``query_text`` against the analyzed
+    ``field`` (whitespace default; per-request ``standard``), with
+    corpus statistics (N, avgdl, per-term df) computed from ``df`` —
+    the same Lucene practical scoring function as
+    sinks/textindex.bm25_topk and plans/evalqa.explain_bm25_doc.
+    Field statistics use the SAME tokenization as the match, so a
+    standard-analyzer query scores over standard-analyzer stats.
 
     Scale shape: ONE map-side-combined stats aggregation produces a
     single broadcast row (N, total_len, df per query term); the score
     itself is a closed-form codegen expression per document — no
     joins, no shuffle of the documents."""
-    terms = [t for t in str(query_text).split() if t]
+    terms = _analyze_text(query_text, analyzer)
     if not terms:
         raise ValueError(f"match scoring needs query tokens: {query_text!r}")
-    toks = _tokens(F.col(field))
+    toks = _tokens(F.col(field), analyzer)
     # Lucene field statistics: docCount / avgdl are taken over docs
     # that HAVE at least one term for the field, not the whole index
     has = F.coalesce(F.size(toks) > 0, F.lit(False))
@@ -892,8 +938,12 @@ def _score_and_filter(
         return filtered, (score if any_scoring else F.lit(1.0))
     if kind == "match" and need_score:
         field, value = _one_field(kind, body)
-        text = value["query"] if isinstance(value, dict) else value
-        score = _bm25_score(df, field, str(text))
+        analyzer = "whitespace"
+        text = value
+        if isinstance(value, dict):
+            analyzer = _check_analyzer(value.get("analyzer", "whitespace"))
+            text = value["query"]
+        score = _bm25_score(df, field, str(text), analyzer)
         return apply_query(df, query), score
     if kind == "multi_match" and need_score:
         # best_fields: the document's score is its BEST single-field
@@ -902,9 +952,10 @@ def _score_and_filter(
         if not fields:
             raise ValueError(f"multi_match needs fields: {body}")
         text = str(body["query"])
+        analyzer = _check_analyzer(body.get("analyzer", "whitespace"))
         score = F.greatest(
-            *[_bm25_score(df, f, text) for f in fields]
-        ) if len(fields) > 1 else _bm25_score(df, fields[0], text)
+            *[_bm25_score(df, f, text, analyzer) for f in fields]
+        ) if len(fields) > 1 else _bm25_score(df, fields[0], text, analyzer)
         return apply_query(df, query), score
     return apply_query(df, query), (F.lit(1.0) if need_score else None)
 

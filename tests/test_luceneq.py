@@ -271,3 +271,59 @@ class TestMinimumShouldMatch:
                 "should": [{"term": {"lang": "en"}}],
                 "minimum_should_match": "3<90%",
             }})
+
+
+class TestStandardAnalyzer:
+    def test_match_analyzer_standard(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Foo,bar baz"), (2, "foo bar"), (3, "nothing")],
+            "doc_id long, text string",
+        )
+        std = {"match": {"text": {"query": "foo", "analyzer": "standard"}}}
+        assert _ids(df, std) == [1, 2]
+        # whitespace default: 'Foo,bar' is one token; 'foo' only in 2
+        ws = {"match": {"text": "foo"}}
+        assert _ids(df, ws) == [2]
+        # query-side analysis: 'FOO,BAZ' -> [foo, baz] under standard
+        both = {"match": {"text": {"query": "FOO,BAZ",
+                                   "analyzer": "standard"}}}
+        assert _ids(df, both) == [1, 2]
+        with pytest.raises(ValueError, match="analyzer"):
+            apply_query(df, {"match": {"text": {
+                "query": "x", "analyzer": "klingon"}}})
+
+    def test_match_phrase_analyzer(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Quick,Brown fox"), (2, "quick brown cat")],
+            "doc_id long, text string",
+        )
+        dsl = {"match_phrase": {"text": {
+            "query": "quick BROWN", "analyzer": "standard"}}}
+        assert _ids(df, dsl) == [1, 2]
+        assert _ids(df, {"match_phrase": {"text": "quick brown"}}) == [2]
+
+    def test_bm25_scoring_uses_same_tokenization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Alpha,beta beta"), (2, "alpha gamma"), (3, "delta")],
+            "doc_id long, text string",
+        )
+        rows = run_search_body(df, {
+            "query": {"match": {"text": {
+                "query": "BETA", "analyzer": "standard"}}},
+            "size": 5,
+            "_source": ["doc_id"],
+        }).collect()
+        # only doc 1 has beta (tf=2 under standard split)
+        assert [r.doc_id for r in rows] == [1]
+        assert rows[0]._score > 0
+
+    def test_multi_match_analyzer(self, spark):
+        df = spark.createDataFrame(
+            [(1, "X,y", "none"), (2, "none", "Y,z")],
+            "doc_id long, a string, b string",
+        )
+        dsl = {"multi_match": {"query": "y", "fields": ["a", "b"],
+                               "analyzer": "standard"}}
+        assert _ids(df, dsl) == [1, 2]
+        assert _ids(df, {"multi_match": {
+            "query": "y", "fields": ["a", "b"]}}) == []
