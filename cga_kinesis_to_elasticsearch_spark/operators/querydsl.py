@@ -421,6 +421,12 @@ def compile_query(
         return F.lit(True)
     if kind == "term":
         field, value = _one_field(kind, body)
+        if isinstance(value, dict):
+            # ES long form: {"term": {f: {"value": v[, "boost": b]}}}
+            # (boost is consumed by the scored-bool path)
+            if "value" not in value:
+                raise ValueError(f"term needs a value: {body}")
+            value = value["value"]
         return resolve(field) == F.lit(value)
     if kind == "terms":
         field, values = _one_field(kind, body)
@@ -433,12 +439,16 @@ def compile_query(
             raise ValueError(f"range needs bounds: {body}")
         conjs = []
         for b, v in bounds.items():
+            if b == "boost":
+                continue  # consumed by the scored-bool path
             if b not in _RANGE_OPS:
                 raise ValueError(f"range: unsupported bound {b!r}")
             conjs.append(_RANGE_OPS[b](resolve(field), F.lit(v)))
+        if not conjs:
+            raise ValueError(f"range needs at least one bound: {body}")
         return functools.reduce(_op.and_, conjs)
     if kind == "exists":
-        if set(body) != {"field"}:
+        if not set(body) <= {"field", "boost"} or "field" not in body:
             raise ValueError(f"exists needs {{'field': name}}: {body}")
         return resolve(body["field"]).isNotNull()
     if kind == "prefix":
@@ -912,30 +922,43 @@ def _score_and_filter(
         return filtered, (score if need_score else None)
     if kind == "bool" and need_score:
         # ES bool scoring: every matching MUST / SHOULD clause adds
-        # its score; filter / must_not add nothing. Here the scoring
-        # clauses are match / multi_match (BM25); term/range/etc.
-        # clauses contribute 0 like filter context (documented
-        # divergence — ES gives constant-score leaves small idf-based
-        # scores). A bool with no scoring clause keeps score 1.0.
+        # its score; filter / must_not add nothing. match/multi_match
+        # (and sub-bools / parsed query strings) contribute their real
+        # BM25; CONSTANT-SCORE leaves (term/range/prefix/...) add
+        # their ``boost`` (default 1.0) when they match — ES's
+        # constant_score semantics, so a should with one match and one
+        # term can rank term-only matches ABOVE non-matches (the
+        # round-5 one-sided divergence is gone; the remaining
+        # divergence is constant-vs-idf magnitudes, documented). A
+        # bool with no must/should clause keeps score 1.0 (pure
+        # filter context).
         filtered = apply_query(df, query)
         score = F.lit(0.0)
-        any_scoring = False
+        any_clause = False
         for key in ("must", "should"):
             for sub in _as_list(body.get(key)):
                 if not (isinstance(sub, dict) and len(sub) == 1):
                     continue
+                any_clause = True
                 skind = next(iter(sub))
-                if skind in ("match", "multi_match"):
-                    any_scoring = True
+                if skind in (
+                    "match",
+                    "multi_match",
+                    "bool",
+                    "query_string",
+                    "simple_query_string",
+                ):
                     _, sub_score = _score_and_filter(df, sub, True)
-                    matched = F.coalesce(
-                        compile_query(sub, id_col=_identity_col(df)),
-                        F.lit(False),
-                    )
-                    score = score + F.when(matched, sub_score).otherwise(
-                        F.lit(0.0)
-                    )
-        return filtered, (score if any_scoring else F.lit(1.0))
+                else:
+                    sub_score = F.lit(_leaf_boost(sub))
+                matched = F.coalesce(
+                    compile_query(sub, id_col=_identity_col(df)),
+                    F.lit(False),
+                )
+                score = score + F.when(matched, sub_score).otherwise(
+                    F.lit(0.0)
+                )
+        return filtered, (score if any_clause else F.lit(1.0))
     if kind == "match" and need_score:
         field, value = _one_field(kind, body)
         analyzer = "whitespace"
@@ -958,6 +981,22 @@ def _score_and_filter(
         ) if len(fields) > 1 else _bm25_score(df, fields[0], text, analyzer)
         return apply_query(df, query), score
     return apply_query(df, query), (F.lit(1.0) if need_score else None)
+
+
+def _leaf_boost(sub: dict) -> float:
+    """The ``boost`` of a constant-score leaf (default 1.0): read from
+    the one-field spec dict ({"term": {f: {"value": v, "boost": b}}},
+    {"range": {f: {"gte": v, "boost": b}}}, ...) or from the body
+    itself ({"exists": {"field": f, "boost": b}})."""
+    _, body = next(iter(sub.items()))
+    if isinstance(body, dict):
+        if "boost" in body:
+            return float(body["boost"])
+        if len(body) == 1:
+            spec = next(iter(body.values()))
+            if isinstance(spec, dict) and "boost" in spec:
+                return float(spec["boost"])
+    return 1.0
 
 
 def _tiebreak_names(df: DataFrame, used: list[str]) -> list[str]:

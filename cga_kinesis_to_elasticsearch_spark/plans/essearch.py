@@ -2981,7 +2981,7 @@ def _es_msearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOOL_SCORED_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
   FROM documents
 ),
@@ -3003,17 +3003,20 @@ dfreq AS (
   FROM toks
 ),
 scored AS (
-  SELECT w.doc_id, w.dl,
+  SELECT w.doc_id, w.dl, t.lang,
     len(list_filter(w.tk, x -> x = 'merge')) AS tf_0,
     len(list_filter(w.tk, x -> x = 'scan')) AS tf_1,
     len(list_filter(w.tk, x -> x = 'vector')) AS tf_2,
     s.n_docs, s.total_len, d.df_0, d.df_1, d.df_2
-  FROM withlen w CROSS JOIN stats s CROSS JOIN dfreq d
+  FROM withlen w
+  JOIN toks t USING (doc_id)
+  CROSS JOIN stats s CROSS JOIN dfreq d
   WHERE tf_0 > 0 OR tf_1 > 0
 ),
 formula AS (
   SELECT doc_id,
     0.0
+    + CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END
     + CASE WHEN tf_0 > 0 THEN
         ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
         * (tf_0 * (1 + {_K1}))
@@ -3042,11 +3045,14 @@ FROM formula ORDER BY score DESC, doc_id LIMIT 12
 @q("es_search_bool_scored", _BOOL_SCORED_ORACLE)
 def _es_search_bool_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCORED ``bool`` — the everyday ES relevance query: every
-    matching ``must`` / ``should`` clause ADDS its BM25 score
-    (``filter`` / ``must_not`` add nothing); here a must ``match``
-    over two terms plus a should ``match`` whose contribution appears
-    only on documents containing it. The oracle replays the additive
-    Lucene formula term by term.
+    matching ``must`` / ``should`` clause ADDS its score (``filter`` /
+    ``must_not`` add nothing); here a must ``match`` over two terms, a
+    should ``match`` whose BM25 contribution appears only on documents
+    containing it, and a should ``term`` with an explicit ``boost``
+    0.5 — CONSTANT-SCORE leaves add their boost when they match
+    (round-6: previously they added 0, so term-only matches could
+    never outrank non-matches). The oracle replays the additive Lucene
+    formula term by term plus the constant.
 
     Scale shape: corpus statistics are ONE broadcast-sized
     aggregation per scoring clause; the combined score is a codegen
@@ -3058,7 +3064,10 @@ def _es_search_bool_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         {
             "query": {"bool": {
                 "must": [{"match": {"text": "merge scan"}}],
-                "should": [{"match": {"text": "vector"}}],
+                "should": [
+                    {"match": {"text": "vector"}},
+                    {"term": {"lang": {"value": "en", "boost": 0.5}}},
+                ],
             }},
             "size": 12,
             "_source": ["doc_id"],

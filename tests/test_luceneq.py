@@ -327,3 +327,67 @@ class TestStandardAnalyzer:
         assert _ids(df, dsl) == [1, 2]
         assert _ids(df, {"multi_match": {
             "query": "y", "fields": ["a", "b"]}}) == []
+
+
+class TestConstantScoreLeaves:
+    def test_term_clause_outranks_nonmatch(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta", "en"), (2, "alpha", "fr"),
+             (3, "alpha", "en"), (4, "nope", "en")],
+            "doc_id long, text string, lang string",
+        )
+        rows = run_search_body(df, {
+            "query": {"bool": {
+                "should": [
+                    {"match": {"text": "alpha"}},
+                    {"term": {"lang": "en"}},
+                ],
+            }},
+            "size": 4,
+            "_source": ["doc_id"],
+        }).collect()
+        got = [r.doc_id for r in rows]
+        # docs 1,3: match + term (BM25 + 1.0); doc 2: match only;
+        # doc 4: term only (1.0 > 0) — matched, ranked, not dropped
+        assert set(got) == {1, 2, 3, 4}
+        assert got.index(4) > got.index(1)
+        scores = {r.doc_id: r._score for r in rows}
+        assert scores[4] == 1.0
+        # doc3 = doc2's BM25 (same text) + the term's constant 1.0
+        assert abs((scores[3] - scores[2]) - 1.0) < 1e-9
+        assert scores[1] > 1.0 and scores[2] > 0
+
+    def test_explicit_boost_forms(self, spark):
+        df = spark.createDataFrame(
+            [(1, 50, "en"), (2, 500, "fr")],
+            "doc_id long, n long, lang string",
+        )
+        rows = run_search_body(df, {
+            "query": {"bool": {"should": [
+                {"term": {"lang": {"value": "en", "boost": 2.5}}},
+                {"range": {"n": {"gte": 100, "boost": 3.0}}},
+            ]}},
+            "size": 2,
+            "_source": ["doc_id"],
+        }).collect()
+        scores = {r.doc_id: r._score for r in rows}
+        assert scores[1] == 2.5 and scores[2] == 3.0
+
+    def test_nested_bool_scores_recursively(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y", "en"), (2, "x", "en")],
+            "doc_id long, text string, lang string",
+        )
+        rows = run_search_body(df, {
+            "query": {"bool": {
+                "must": [{"term": {"lang": "en"}}],
+                "should": [{"bool": {"should": [
+                    {"match": {"text": "y"}},
+                ]}}],
+            }},
+            "size": 2,
+            "_source": ["doc_id"],
+        }).collect()
+        scores = {r.doc_id: r._score for r in rows}
+        # doc1: term 1.0 + inner bool BM25(y); doc2: term 1.0 only
+        assert scores[1] > scores[2] == 1.0
