@@ -549,6 +549,53 @@ _EXPLODING = (
 # bucket kinds that narrow the frame without adding a key column
 _CONDITION = ("filter", "missing", "global", "nested")
 
+# frame-restricting buckets with window/limit lowerings (not a
+# predicate): sampler / diversified_sampler trim the doc set before
+# sub-aggs; reverse_nested climbs back to parent docs inside a nested
+# scope
+_SAMPLERS = ("sampler", "diversified_sampler")
+
+
+def _identity_candidates(frame: DataFrame) -> list[str]:
+    for cand in ("doc_id", "id", "event_id", "vec_id"):
+        if cand in frame.columns:
+            return [cand]
+    return list(frame.columns)
+
+
+def _apply_sampler(frame: DataFrame, kind: str, body: dict) -> DataFrame:
+    """``sampler`` / ``diversified_sampler``: restrict the doc set to
+    the first ``shard_size`` docs before sub-aggs run. ES samples the
+    top-scoring (or arbitrary) docs per shard; the engine's
+    DETERMINISTIC reading takes the first docs in document-identity
+    order (override with the ``sort_by`` engine extension), so the
+    sampled set — and every oracle over it — is stable across
+    partitionings. ``diversified_sampler`` additionally caps docs per
+    ``field`` value (``max_docs_per_value``, default 1) BEFORE the
+    global cut.
+
+    Scale shape: TakeOrdered(shard_size) — no full sort; the diversity
+    cap is one per-key window over the pre-cut frame."""
+    body = body or {}
+    shard_size = int(body.get("shard_size", 100))
+    order_by = body.get("sort_by")
+    order_cols = [order_by] if order_by else _identity_candidates(frame)
+    missing = [c for c in order_cols if c not in frame.columns]
+    if missing:
+        raise ValueError(f"{kind}: sort column {missing} not in frame")
+    order = [F.col(f"`{c}`").asc() for c in order_cols]
+    if kind == "diversified_sampler":
+        from pyspark.sql import Window
+
+        m = int(body.get("max_docs_per_value", 1))
+        w = Window.partitionBy(body["field"]).orderBy(*order)
+        frame = (
+            frame.withColumn("__div_rn", F.row_number().over(w))
+            .filter(F.col("__div_rn") <= m)
+            .drop("__div_rn")
+        )
+    return frame.orderBy(*order).limit(shard_size)
+
 
 def _range_label(r: dict) -> str:
     if "key" in r:
@@ -852,7 +899,8 @@ class _Level:
         return tuple(
             (s[0], s[1])
             for s in self.segments
-            if s[0] in ("explode", "cond", "global", "nested")
+            if s[0]
+            in ("explode", "cond", "global", "nested", "sample", "revnested")
         )
 
     @property
@@ -1004,6 +1052,36 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                     raise ValueError(
                         f"{kind} sub-aggs are not supported"
                     )
+            elif kind in _SAMPLERS + ("reverse_nested",):
+                if kind == "diversified_sampler" and not (
+                    isinstance(body, dict) and body.get("field")
+                ):
+                    raise ValueError(
+                        f"diversified_sampler needs a field: {body}"
+                    )
+                if kind == "reverse_nested":
+                    if not any(
+                        s[2] == "nested" for s in level.segments
+                    ):
+                        raise ValueError(
+                            "reverse_nested is only allowed under a "
+                            "nested agg"
+                        )
+                    extra = set(body or ()) - {"id_col"}
+                    if extra:
+                        raise ValueError(
+                            "reverse_nested supports only the engine's "
+                            f"id_col extension, got {sorted(extra)} "
+                            "(partial-path climbs are not lowered)"
+                        )
+                role = "revnested" if kind == "reverse_nested" else "sample"
+                child = _Level(
+                    level.path + (name,),
+                    level.segments + [(role, name, kind, body)],
+                )
+                levels.append(child)
+                if spec.get("aggs"):
+                    _walk(spec["aggs"], child)
             elif kind in _KEYED + _EXPLODING + _CONDITION:
                 if kind == "global":
                     if level.segments:
@@ -1624,12 +1702,32 @@ def apply_aggs(
         deepest = max(group, key=lambda l: len(l.segments))
         frame = base if signature and signature[0][0] == "global" else df
         key_exprs: dict[str, tuple] = {}  # name -> (kind, body)
+        nested_path: str | None = None
         for role, name, kind, body in deepest.segments:
             if role == "cond":
                 frame = frame.filter(_condition_expr(kind, body))
             elif role == "explode":
                 arr, _ = _explode_labels(kind, body)
                 frame = frame.withColumn(name, F.explode(arr))
+            elif role == "sample":
+                frame = _apply_sampler(frame, kind, body)
+            elif role == "revnested":
+                # ES reverse_nested: climb from the nested-doc scope
+                # back to ONE ROW PER PARENT doc that still has a
+                # matching nested doc — drop the element column, dedup
+                # on the parent identity (doc_id/... or the body's
+                # id_col engine extension). One exchange on the id.
+                if nested_path is not None:
+                    frame = frame.drop(nested_path)
+                idc = (body or {}).get("id_col")
+                ids = [idc] if idc else _identity_candidates(frame)
+                missing = [c for c in ids if c not in frame.columns]
+                if missing:
+                    raise ValueError(
+                        f"reverse_nested: id_col {missing} not in the "
+                        "parent columns"
+                    )
+                frame = frame.dropDuplicates(ids)
             elif role == "nested":
                 # ES nested agg: the doc set becomes the NESTED docs —
                 # the array column explodes to its elements (docs
@@ -1637,6 +1735,7 @@ def apply_aggs(
                 # address members by dotted path, which struct access
                 # resolves after the explode
                 path = body["path"]
+                nested_path = path
                 frame = frame.select(
                     *[c for c in frame.columns if c != path],
                     F.explode(F.col(f"`{path}`")).alias(path),

@@ -539,6 +539,12 @@ def compile_query(
         if not parts:
             return F.lit(True)
         return functools.reduce(_op.and_, parts)
+    if kind in _RELATION_QUERIES:
+        raise ValueError(
+            f"{kind} is a frame-level join query: supported as the "
+            "TOP-LEVEL query of run_search_body (with relations=...), "
+            "not inside compound clauses"
+        )
     raise ValueError(f"unsupported query clause {kind!r}")
 
 
@@ -1015,8 +1021,77 @@ def _doc_tiebreak(df: DataFrame, used: list[str]) -> list[Column]:
     return [F.col(c).asc() for c in _tiebreak_names(df, used)]
 
 
+_RELATION_QUERIES = ("has_child", "has_parent", "parent_id")
+
+
+def _apply_relation_query(
+    df: DataFrame, query: dict, relations: dict | None
+) -> DataFrame:
+    """Frame-level join-field queries (ES parent/child): ``has_child``
+    selects PARENT docs by a query over their children, ``has_parent``
+    selects CHILD docs by a query over their parent, ``parent_id``
+    selects the children of one parent. ``relations`` names each
+    related type: ``{type: {"df": other_frame, "local_key": join col
+    on THIS frame, "foreign_key": join col on the other frame}}``
+    (for ``parent_id`` only ``local_key`` is required — the child's
+    join column holding the parent id).
+
+    Scale shape (the agg-before-join lowering of the standalone
+    plans/esrelations.py queries): the related side collapses to a
+    key set (one partial-agg shuffle) and this frame streams through
+    ONE left-semi join — no row multiplication, no parent columns
+    carried. ES executes join fields the same way (child ordinals ->
+    parent bitset)."""
+    (kind, spec), = query.items()
+    if not isinstance(spec, dict):
+        raise ValueError(f"{kind} needs a body: {spec}")
+    tname = spec.get("type") or spec.get("parent_type")
+    if not tname:
+        raise ValueError(f"{kind} needs type/parent_type: {spec}")
+    rel = (relations or {}).get(tname)
+    if rel is None or "local_key" not in rel:
+        raise ValueError(
+            f"{kind}: unknown relation {tname!r} — pass relations="
+            "{type: {df, local_key, foreign_key}} to run_search_body"
+        )
+    local_key = rel["local_key"]
+    if kind == "parent_id":
+        if "id" not in spec:
+            raise ValueError(f"parent_id needs an id: {spec}")
+        return df.filter(F.col(local_key) == F.lit(spec["id"]))
+    other, foreign_key = rel.get("df"), rel.get("foreign_key")
+    if other is None or not foreign_key:
+        raise ValueError(
+            f"{kind}: relation {tname!r} needs df and foreign_key"
+        )
+    inner = spec.get("query", {"match_all": {}})
+    matched = other.filter(
+        compile_query(inner, id_col=_identity_col(other))
+    )
+    if kind == "has_child":
+        lo = int(spec.get("min_children", 1))
+        hi = spec.get("max_children")
+        per_parent = matched.groupBy(foreign_key).agg(
+            F.count(F.lit(1)).alias("__n_children")
+        )
+        cond = F.col("__n_children") >= F.lit(lo)
+        if hi is not None:
+            cond = cond & (F.col("__n_children") <= F.lit(int(hi)))
+        keys = per_parent.filter(cond).select(
+            F.col(foreign_key).alias(local_key)
+        )
+    else:  # has_parent: distinct parent keys matching the query
+        keys = matched.select(
+            F.col(foreign_key).alias(local_key)
+        ).distinct()
+    return df.join(keys, local_key, "left_semi")
+
+
 def run_search_body(
-    df: DataFrame, body: dict, base_df: DataFrame | None = None
+    df: DataFrame,
+    body: dict,
+    base_df: DataFrame | None = None,
+    relations: dict | None = None,
 ) -> DataFrame:
     """Execute a full ES ``_search`` request body: ``query`` +
     ``aggs`` (operators/aggsdsl.py, per-level bucket semantics) and/or
@@ -1064,6 +1139,16 @@ def run_search_body(
                 base_df, body["runtime_mappings"]
             )
     pre = base_df if base_df is not None else df
+    if (
+        isinstance(body.get("query"), dict)
+        and len(body["query"]) == 1
+        and next(iter(body["query"])) in _RELATION_QUERIES
+    ):
+        # join-field queries are FRAME-level (they join another
+        # frame), so they resolve here, before the predicate compiler;
+        # global buckets still escape to the unfiltered frame
+        df = _apply_relation_query(df, body["query"], relations)
+        body = {k: v for k, v in body.items() if k != "query"}
     if "knn" in body:
         if "aggs" in body or "suggest" in body:
             raise ValueError(

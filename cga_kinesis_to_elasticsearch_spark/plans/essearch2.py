@@ -330,3 +330,278 @@ def _es_search_analyzer_field_tokens(
         "size": 40,
         "_source": ["event_id"],
     })
+
+
+# ---------------------------------------------------------------------------
+# 5. join-field queries through the request body (has_child /
+#    has_parent / parent_id) — the standalone lowerings of
+#    plans/esrelations.py, now reachable from run_search_body via the
+#    relations map
+# ---------------------------------------------------------------------------
+
+_HAS_CHILD_BODY_ORACLE = """
+WITH hits AS (
+  SELECT l_orderkey, count(*) AS n
+  FROM lineitem
+  WHERE l_returnflag = 'R' AND l_quantity > 45
+  GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority
+FROM orders o JOIN hits h ON h.l_orderkey = o.o_orderkey
+WHERE h.n >= 2
+ORDER BY o.o_orderkey
+LIMIT 25
+"""
+
+
+@q("es_search_has_child_body", _HAS_CHILD_BODY_ORACLE)
+def _es_search_has_child_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``has_child`` sent IN a ``_search`` body: parent orders having
+    at least ``min_children: 2`` line items matching the child query,
+    via ``relations={type: {df, local_key, foreign_key}}``.
+
+    Scale shape (agg-before-join): the child query collapses to a
+    (key, count) aggregate, min/max_children filter that KB-scale
+    frame, and the parents stream through ONE left-semi join — no row
+    multiplication, parents never scanned per child."""
+    from ..operators.querydsl import run_search_body
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return run_search_body(
+        orders,
+        {
+            "query": {"has_child": {
+                "type": "lineitem",
+                "query": {"bool": {"must": [
+                    {"term": {"l_returnflag": "R"}},
+                    {"range": {"l_quantity": {"gt": 45}}},
+                ]}},
+                "min_children": 2,
+            }},
+            "sort": [{"o_orderkey": "asc"}],
+            "size": 25,
+            "_source": ["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        },
+        relations={"lineitem": {
+            "df": li, "local_key": "o_orderkey",
+            "foreign_key": "l_orderkey",
+        }},
+    )
+
+
+_HAS_PARENT_BODY_ORACLE = """
+SELECT 'by_flag' AS agg_path, l.l_returnflag AS by_flag,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey
+    AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY l.l_returnflag
+"""
+
+
+@q("es_search_has_parent_body", _HAS_PARENT_BODY_ORACLE)
+def _es_search_has_parent_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``has_parent`` in a ``_search`` body with an aggregation over
+    the matched children: line items whose parent order is 1-URGENT,
+    bucketed per returnflag. The parent predicate reduces to a
+    distinct key set and the children take one left-semi join."""
+    from ..operators.querydsl import run_search_body
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return run_search_body(
+        li,
+        {
+            "query": {"has_parent": {
+                "parent_type": "orders",
+                "query": {"term": {"o_orderpriority": "1-URGENT"}},
+            }},
+            "aggs": {"by_flag": {"terms": {"field": "l_returnflag"}}},
+        },
+        relations={"orders": {
+            "df": orders, "local_key": "l_orderkey",
+            "foreign_key": "o_orderkey",
+        }},
+    )
+
+
+_PARENT_ID_BODY_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_returnflag
+FROM lineitem
+WHERE l_orderkey = 7
+ORDER BY l_linenumber
+LIMIT 10
+"""
+
+
+@q("es_search_parent_id_body", _PARENT_ID_BODY_ORACLE)
+def _es_search_parent_id_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``parent_id`` in a ``_search`` body: the children of ONE parent
+    — a pushable equality on the child's join column, no join at
+    all."""
+    from ..operators.querydsl import run_search_body
+
+    li = _t(spark, sf_dir, "lineitem")
+    return run_search_body(
+        li,
+        {
+            "query": {"parent_id": {"type": "orders", "id": 7}},
+            "sort": [{"l_linenumber": "asc"}],
+            "size": 10,
+            "_source": ["l_orderkey", "l_linenumber", "l_returnflag"],
+        },
+        relations={"orders": {"local_key": "l_orderkey"}},
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. sampler / diversified_sampler aggregations in a request body —
+#    deterministic first-N-by-identity sampling (the engine's stable
+#    reading of ES's per-shard sample), diversity caps per value
+# ---------------------------------------------------------------------------
+
+_SAMPLER_BODY_ORACLE = """
+WITH s AS (SELECT * FROM documents ORDER BY doc_id LIMIT 200),
+d AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= 5
+  ORDER BY doc_id LIMIT 60
+)
+SELECT 'samp' AS agg_path, NULL AS by_lang,
+       (SELECT CAST(count(*) AS BIGINT) FROM s) AS doc_count,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM s) AS chars,
+       NULL AS langs
+UNION ALL
+SELECT 'samp>by_lang', lang, CAST(count(*) AS BIGINT), NULL, NULL
+FROM s GROUP BY lang
+UNION ALL
+SELECT 'div', NULL, (SELECT CAST(count(*) AS BIGINT) FROM d), NULL,
+       (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM d)
+"""
+
+
+@q("es_search_sampler_body", _SAMPLER_BODY_ORACLE)
+def _es_search_sampler_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``sampler`` and ``diversified_sampler`` aggregations in ONE
+    request body: the sampler trims the doc set to the first
+    ``shard_size`` documents in identity order (the engine's
+    DETERMINISTIC reading of ES's per-shard sample — stable across
+    partitionings, so an oracle exists) before sub-aggs; the
+    diversified variant caps ``max_docs_per_value: 5`` per source
+    first.
+
+    Scale shape: TakeOrdered(shard_size) + one per-key window for the
+    diversity cap — never a full sort, never a full-corpus agg."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(docs, {
+        "aggs": {
+            "samp": {"sampler": {"shard_size": 200}, "aggs": {
+                "by_lang": {"terms": {"field": "lang"}},
+                "chars": {"sum": {"field": "n_chars"}},
+            }},
+            "div": {"diversified_sampler": {
+                "field": "source", "max_docs_per_value": 5,
+                "shard_size": 60,
+            }, "aggs": {
+                "langs": {"cardinality": {"field": "lang"}},
+            }},
+        },
+    })
+
+
+# ---------------------------------------------------------------------------
+# 7. reverse_nested in a request body: climb from the nested scope
+#    back to parent docs
+# ---------------------------------------------------------------------------
+
+_REVNESTED_BODY_ORACLE = """
+WITH parents AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+           AS n_r
+  FROM lineitem GROUP BY 1
+),
+p2 AS (
+  SELECT *, CASE WHEN n_items >= 5 THEN 'big' ELSE 'small' END
+           AS size_class
+  FROM parents
+)
+SELECT 'it' AS agg_path, NULL AS by_class,
+       (SELECT CAST(sum(n_items) AS BIGINT) FROM parents) AS doc_count,
+       NULL AS avg_items
+UNION ALL
+SELECT 'it>returned', NULL,
+       (SELECT CAST(sum(n_r) AS BIGINT) FROM parents), NULL
+UNION ALL
+SELECT 'it>returned>parents', NULL,
+       (SELECT CAST(count(*) AS BIGINT) FROM p2 WHERE n_r > 0),
+       (SELECT round(avg(n_items), 6) FROM p2 WHERE n_r > 0)
+UNION ALL
+SELECT 'it>returned>parents>by_class', size_class,
+       CAST(count(*) AS BIGINT), NULL
+FROM p2 WHERE n_r > 0 GROUP BY size_class
+"""
+
+
+@q("es_search_reverse_nested_body", _REVNESTED_BODY_ORACLE)
+def _es_search_reverse_nested_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``reverse_nested`` in a request body: orders carry their line
+    items as an ``array<struct>`` nested field; the agg descends into
+    the nested scope, filters to returned items, then climbs BACK to
+    parent granularity (``id_col`` engine extension names the parent
+    identity) for a per-size-class breakdown and a parent-level
+    average.
+
+    Scale shape: one explode for the nested scope; the climb is one
+    dropDuplicates exchange on the parent id; everything after
+    aggregates parent-sized frames."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    li = _t(spark, sf_dir, "lineitem")
+    parents = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_returnflag").alias("flag"))
+        ).alias("items"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    ).withColumn(
+        "size_class",
+        F.when(F.col("n_items") >= 5, "big").otherwise("small"),
+    )
+    out = run_search_body(parents, {
+        "aggs": {"it": {"nested": {"path": "items"}, "aggs": {
+            "returned": {"filter": {"term": {"items.flag": "R"}},
+                         "aggs": {
+                "parents": {"reverse_nested": {"id_col": "l_orderkey"},
+                            "aggs": {
+                    "by_class": {"terms": {"field": "size_class"}},
+                    "avg_items": {"avg": {"field": "n_items"}},
+                }},
+            }},
+        }}},
+    })
+    return out.select(
+        "agg_path", "by_class", "doc_count",
+        F.round("avg_items", 6).alias("avg_items"),
+    )

@@ -1351,3 +1351,88 @@ class TestRound5AggsExtras:
         # bg rate)
         assert "crash" in got and got["crash"] == (2, 2)
         assert "spark" not in got
+
+
+class TestSamplersAndReverseNested:
+    """Round-6: sampler / diversified_sampler / reverse_nested as
+    request-body aggregations."""
+
+    def test_sampler_trims_doc_set(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}", i * 10) for i in range(10)],
+            "doc_id long, src string, n long",
+        )
+        rows = {
+            r.agg_path: r
+            for r in apply_aggs(df, {"samp": {
+                "sampler": {"shard_size": 4},
+                "aggs": {"tot": {"sum": {"field": "n"}}},
+            }}).collect()
+        }
+        # deterministic: first 4 docs by doc_id -> n = 0+10+20+30
+        assert rows["samp"].doc_count == 4
+        assert rows["samp"].tot == 60
+
+    def test_diversified_sampler_caps_per_value(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a" if i < 8 else "b") for i in range(10)],
+            "doc_id long, src string",
+        )
+        rows = {
+            r.agg_path: r
+            for r in apply_aggs(df, {"div": {
+                "diversified_sampler": {
+                    "field": "src", "max_docs_per_value": 2,
+                    "shard_size": 10,
+                },
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+            }}).collect()
+        }
+        assert rows["div"].doc_count == 4  # 2 per src value
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="field"):
+            apply_aggs(df, {"div": {"diversified_sampler": {
+                "shard_size": 5}}, })
+
+    def test_reverse_nested_counts_parents(self, spark):
+        from pyspark.sql import Row
+
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            apply_aggs,
+        )
+
+        odf = spark.createDataFrame(
+            [(1, "A", [Row(f="R"), Row(f="N")]),
+             (2, "B", [Row(f="R"), Row(f="R")]),
+             (3, "A", [Row(f="N")])],
+            "doc_id long, status string, items array<struct<f:string>>",
+        )
+        rows = {
+            r.agg_path: r
+            for r in apply_aggs(odf, {"it": {
+                "nested": {"path": "items"},
+                "aggs": {"ret": {
+                    "filter": {"term": {"items.f": "R"}},
+                    "aggs": {"par": {
+                        "reverse_nested": {},
+                        "aggs": {"by_s": {"terms": {"field": "status"}}},
+                    }},
+                }},
+            }}).collect()
+        }
+        assert rows["it"].doc_count == 5  # nested docs
+        assert rows["it>ret"].doc_count == 3  # R elements
+        assert rows["it>ret>par"].doc_count == 2  # parents with an R
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="only allowed under"):
+            apply_aggs(odf, {"par": {"reverse_nested": {}}})

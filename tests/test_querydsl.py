@@ -1111,3 +1111,80 @@ class TestBoolScoring:
             "size": 2, "_source": ["id"],
         }).collect()
         assert all(r._score == 1.0 for r in rows)
+
+
+class TestRelationQueries:
+    """Round-6: has_child / has_parent / parent_id through
+    run_search_body with a relations map."""
+
+    def _frames(self, spark):
+        parents = spark.createDataFrame(
+            [(1, "X"), (2, "Y"), (3, "Z")], "o_key long, status string"
+        )
+        children = spark.createDataFrame(
+            [(1, 50), (1, 60), (2, 5), (2, 70)], "c_key long, v long"
+        )
+        return parents, children
+
+    def test_has_child_min_max(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        parents, children = self._frames(spark)
+        rel = {"child": {"df": children, "local_key": "o_key",
+                         "foreign_key": "c_key"}}
+        rows = run_search_body(parents, {
+            "query": {"has_child": {
+                "type": "child",
+                "query": {"range": {"v": {"gte": 50}}},
+                "min_children": 2,
+            }},
+            "sort": [{"o_key": "asc"}], "size": 10,
+        }, relations=rel).collect()
+        assert [r.o_key for r in rows] == [1]
+        rows = run_search_body(parents, {
+            "query": {"has_child": {"type": "child",
+                                    "query": {"match_all": {}},
+                                    "max_children": 1}},
+            "sort": [{"o_key": "asc"}], "size": 10,
+        }, relations=rel).collect()
+        assert [r.o_key for r in rows] == []  # both parents have 2
+
+    def test_has_parent_and_parent_id(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        parents, children = self._frames(spark)
+        rel = {"parent": {"df": parents, "local_key": "c_key",
+                          "foreign_key": "o_key"}}
+        rows = run_search_body(children, {
+            "query": {"has_parent": {"parent_type": "parent",
+                                     "query": {"term": {"status": "Y"}}}},
+            "sort": [{"v": "asc"}], "size": 10,
+        }, relations=rel).collect()
+        assert [r.v for r in rows] == [5, 70]
+        rows = run_search_body(children, {
+            "query": {"parent_id": {"type": "parent", "id": 1}},
+            "sort": [{"v": "asc"}], "size": 10,
+        }, relations=rel).collect()
+        assert [r.v for r in rows] == [50, 60]
+
+    def test_plan_time_errors(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            compile_query,
+            run_search_body,
+        )
+
+        parents, _ = self._frames(spark)
+        with pytest.raises(ValueError, match="unknown relation"):
+            run_search_body(parents, {
+                "query": {"has_child": {"type": "nope",
+                                        "query": {"match_all": {}}}},
+                "size": 1,
+            })
+        with pytest.raises(ValueError, match="frame-level"):
+            compile_query({"bool": {"must": [
+                {"has_child": {"type": "x", "query": {"match_all": {}}}}
+            ]}})
