@@ -605,3 +605,68 @@ def _es_search_reverse_nested_body(
         "agg_path", "by_class", "doc_count",
         F.round("avg_items", 6).alias("avg_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. scroll / point-in-time export: disjoint, exhaustive pages that
+#    are IMMUNE to concurrent appends
+# ---------------------------------------------------------------------------
+
+_SCROLL_ORACLE = """
+SELECT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 25 + 1
+            AS BIGINT) AS page,
+       doc_id, lang
+FROM documents
+WHERE doc_id < 60
+ORDER BY doc_id
+"""
+
+
+@q("es_scroll_pit_export", _SCROLL_ORACLE)
+def _es_scroll_pit_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scroll/PIT export contract, proven under a CONCURRENT APPEND:
+    a 60-document snapshot is written to a scratch table, a
+    point-in-time view opens (pinning the file listing), the first
+    page is read, MORE documents are appended to the same path, and
+    the scroll continues — the appended rows never appear, the pages
+    are disjoint, and their union is exactly the snapshot (the
+    oracle's row_number paging over the original 60 docs).
+
+    Scale shape: each page is one filtered TakeOrdered scan (the
+    search_after cursor predicate prunes before the top-N), and the
+    driver holds one page of rows at a time — page 100 costs what
+    page 1 costs, which is why ES deprecated scroll for this exact
+    pattern."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+    from ..operators.scroll import open_pit, run_scroll
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="pit_export_") + "/docs"
+    docs.filter(F.col("doc_id") < 60).write.parquet(path)
+
+    pit = open_pit(spark, path)
+    body = {"sort": [{"doc_id": "asc"}], "_source": ["doc_id", "lang"]}
+    pages = run_scroll(pit, body, page_size=25)
+    first = next(pages)
+
+    # concurrent append AFTER the PIT opened: invisible to the scroll
+    docs.filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 80)
+    ).write.mode("append").parquet(path)
+
+    collected = [(1, first)]
+    for i, rows in enumerate(pages, start=2):
+        collected.append((i, rows))
+    out = spark.createDataFrame(
+        [
+            (page, r["doc_id"], r["lang"])
+            for page, rows in collected
+            for r in rows
+        ],
+        "page long, doc_id long, lang string",
+    )
+    return out
