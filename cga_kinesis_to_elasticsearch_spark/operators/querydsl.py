@@ -545,6 +545,12 @@ def compile_query(
             "TOP-LEVEL query of run_search_body (with relations=...), "
             "not inside compound clauses"
         )
+    if kind == "more_like_this":
+        raise ValueError(
+            "more_like_this is frame-level (term selection reads "
+            "corpus statistics): supported as the TOP-LEVEL query of "
+            "run_search_body, not inside compound clauses"
+        )
     raise ValueError(f"unsupported query clause {kind!r}")
 
 
@@ -903,6 +909,16 @@ def _score_and_filter(
             else simple_query_string_to_dsl(body)
         )
         return _score_and_filter(df, lowered, need_score)
+    if kind == "more_like_this":
+        # frame-level: term selection needs corpus statistics, so the
+        # leaf resolves here (compile_query directs compound uses to
+        # the top level). Scoring is the summed BM25 of the selected
+        # terms — ONE stats pass for selection, one for the score.
+        field, terms = _mlt_select_terms(df, body)
+        filtered = apply_query(df, _mlt_filter_dsl(field, terms, body))
+        if not need_score:
+            return filtered, None
+        return filtered, _bm25_score(df, field, " ".join(terms))
     if kind == "script_score":
         inner = body.get("query", {"match_all": {}})
         source = (body.get("script") or {}).get("source")
@@ -987,6 +1003,78 @@ def _score_and_filter(
         ) if len(fields) > 1 else _bm25_score(df, fields[0], text, analyzer)
         return apply_query(df, query), score
     return apply_query(df, query), (F.lit(1.0) if need_score else None)
+
+
+def _mlt_select_terms(df: DataFrame, spec: dict) -> tuple[str, list[str]]:
+    """ES ``more_like_this`` term selection, scan-based: the like
+    text's terms rank by tf(like) x BM25-idf against the FRAME's
+    document frequencies; out-of-vocabulary terms and terms outside
+    the min/max_doc_freq band drop; the top ``max_query_terms``
+    survive. Returns (field, selected terms).
+
+    Scale shape: ONE map-side-combined stats aggregation bounded by
+    the like text's distinct term count (a broadcast-sized row) — the
+    corpus is scanned once and never shuffled; selection itself is
+    driver-side arithmetic over that row. The index-backed variant
+    (sinks/textindex.more_like_this) reads the term dictionary
+    instead; this is the index-free form run_search_body can serve."""
+    import math
+    from collections import Counter
+
+    fields = spec.get("fields") or []
+    if len(fields) != 1:
+        raise ValueError(
+            "more_like_this here supports exactly one field "
+            f"(per-field df would need one stats pass each): {fields}"
+        )
+    field = fields[0]
+    like = spec.get("like")
+    if isinstance(like, (list, tuple)):
+        like = " ".join(str(x) for x in like)
+    if not like:
+        raise ValueError(f"more_like_this needs like text: {spec}")
+    min_tf = int(spec.get("min_term_freq", 2))
+    min_df = int(spec.get("min_doc_freq", 5))
+    max_df = spec.get("max_doc_freq")
+    max_terms = int(spec.get("max_query_terms", 25))
+    ltf = Counter(_analyze_text(like, "whitespace"))
+    cands = sorted(t for t, n in ltf.items() if n >= min_tf)
+    if not cands:
+        raise ValueError(
+            f"more_like_this: no like-term passes min_term_freq: {spec}"
+        )
+    toks = _tokens(F.col(field))
+    has = F.coalesce(F.size(toks) > 0, F.lit(False))
+    row = df.agg(
+        F.sum(has.cast("long")).alias("__n"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"__df_{i}")
+            for i, t in enumerate(cands)
+        ],
+    ).collect()[0]  # one broadcast-sized stats row
+    n_docs = int(row["__n"]) or 1
+    ranked = []
+    for i, t in enumerate(cands):
+        df_t = int(row[f"__df_{i}"] or 0)
+        if df_t < min_df or (max_df is not None and df_t > int(max_df)):
+            continue
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        ranked.append((-(ltf[t] * idf), t))
+    if not ranked:
+        raise ValueError(
+            "more_like_this: no like-term survives the doc-freq band"
+        )
+    ranked.sort()
+    return field, [t for _, t in ranked[:max_terms]]
+
+
+def _mlt_filter_dsl(field: str, terms: list[str], spec: dict) -> dict:
+    """The selected mlt terms as a should-bool (one match per term)
+    with ES's minimum_should_match default of 30%."""
+    return {"bool": {
+        "should": [{"match": {field: t}} for t in terms],
+        "minimum_should_match": spec.get("minimum_should_match", "30%"),
+    }}
 
 
 def _leaf_boost(sub: dict) -> float:

@@ -670,3 +670,108 @@ def _es_scroll_pit_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "page long, doc_id long, lang string",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# 9. more_like_this through the request body (scan-based term
+#    selection; the index-backed variant is plans/searchindex.py)
+# ---------------------------------------------------------------------------
+
+_MLT_BODY_LIKE = "merge scan vector table window merge"
+_MLT_BODY_N = 3
+
+_MLT_BODY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, unnest(tk) AS term FROM toks
+),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) FILTER (WHERE len(tk) > 0) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) FILTER (WHERE len(tk) > 0) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+lt AS (
+  SELECT term, count(*) AS ltf
+  FROM (SELECT unnest(string_split('{_MLT_BODY_LIKE}', ' ')) AS term)
+  GROUP BY term
+),
+ldf AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM tf WHERE term IN (SELECT term FROM lt) GROUP BY term
+),
+selr AS (
+  SELECT lt.term,
+         row_number() OVER (
+           ORDER BY lt.ltf * ln(1.0 + (stats.n_docs - ldf.df + 0.5)
+                                      / (ldf.df + 0.5)) DESC,
+                    lt.term ASC) AS rn
+  FROM lt JOIN ldf USING (term) CROSS JOIN stats
+),
+sel AS (SELECT term FROM selr WHERE rn <= {_MLT_BODY_N}),
+p AS (SELECT tf2.* FROM tf2 JOIN sel USING (term)),
+c AS (
+  SELECT p.doc_id,
+         ln(1.0 + (stats.n_docs - ldf.df + 0.5) / (ldf.df + 0.5))
+         * ((p.tf * (1.0 + {_K1}))
+            / (p.tf + {_K1} * (1.0 - {_B} + {_B}
+               * (dl.dl / (CAST(stats.total_len AS DOUBLE)
+                           / stats.n_docs))))) AS contrib
+  FROM p
+  JOIN ldf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+),
+d AS (
+  SELECT doc_id, round(list_sum(list(contrib ORDER BY doc_id)), 6)
+           AS score
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id, score FROM d
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
+@q("es_search_more_like_this_body", _MLT_BODY_ORACLE)
+def _es_search_more_like_this_body(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``more_like_this`` sent IN a ``_search`` body, index-free: the
+    like text's terms rank by tf(like) x BM25-idf against the frame's
+    document frequencies (duplicate like-terms boost tf), the top
+    ``max_query_terms: 3`` become the query, docs sharing at least
+    ``minimum_should_match: 60%`` (-> 1) of them match, and hits are
+    score-ordered by the summed BM25 of the selected terms. The
+    oracle replays term selection AND the ranking relationally.
+
+    Scale shape: ONE like-term-bounded stats aggregation for the
+    selection (a broadcast-sized row, corpus never shuffled), one for
+    the BM25 score, then a codegen predicate + TakeOrdered(15)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(docs, {
+        "query": {"more_like_this": {
+            "fields": ["text"],
+            "like": _MLT_BODY_LIKE,
+            "min_term_freq": 1,
+            "min_doc_freq": 1,
+            "max_query_terms": _MLT_BODY_N,
+            "minimum_should_match": "60%",
+        }},
+        "size": 15,
+        "_source": ["doc_id"],
+    })
+    return out.select("doc_id", F.round("_score", 6).alias("score"))

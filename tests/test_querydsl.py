@@ -1188,3 +1188,48 @@ class TestRelationQueries:
             compile_query({"bool": {"must": [
                 {"has_child": {"type": "x", "query": {"match_all": {}}}}
             ]}})
+
+
+class TestMoreLikeThisBody:
+    def test_mlt_selects_and_scores(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"),
+             (3, "cherry cherry"), (4, "durian")],
+            "doc_id long, text string",
+        )
+        rows = run_search_body(df, {
+            "query": {"more_like_this": {
+                "fields": ["text"],
+                "like": "apple apple banana",
+                "min_term_freq": 1, "min_doc_freq": 1,
+                "max_query_terms": 2,
+                "minimum_should_match": "50%",  # of 2 -> 1
+            }},
+            "size": 4, "_source": ["doc_id"],
+        }).collect()
+        # selected terms: apple (ltf 2) and banana; docs 1,2 match
+        assert sorted(r.doc_id for r in rows) == [1, 2]
+        scores = {r.doc_id: r._score for r in rows}
+        assert scores[1] > scores[2] > 0
+
+    def test_mlt_validation(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            compile_query,
+            run_search_body,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="exactly one field"):
+            run_search_body(df, {"query": {"more_like_this": {
+                "fields": ["a", "b"], "like": "x"}}, "size": 1})
+        with pytest.raises(ValueError, match="min_term_freq"):
+            run_search_body(df, {"query": {"more_like_this": {
+                "fields": ["text"], "like": "once each word",
+                "min_term_freq": 2}}, "size": 1})
+        with pytest.raises(ValueError, match="frame-level"):
+            compile_query({"bool": {"must": [{"more_like_this": {
+                "fields": ["text"], "like": "x"}}]}})
