@@ -68,7 +68,8 @@ Compound:
   defaulting to 1 when the bool has no must/filter context, else 0.
 - ``constant_score`` {"filter": query} — the wrapped filter
 - ``dis_max``        {"queries": [...]} — union of the branches
-  (filter context: a doc matches if any branch matches)
+  (filter context: a doc matches if any branch matches; scoring
+  context: best matching branch + ``tie_breaker`` x the others)
 - ``multi_match``    {"query": text, "fields": [...]}
   — ``match`` over each field, doc matches if any field matches
   (best_fields, ES's default type); under score order the score is
@@ -967,6 +968,7 @@ def _score_and_filter(
                     "match",
                     "multi_match",
                     "bool",
+                    "dis_max",
                     "query_string",
                     "simple_query_string",
                 ):
@@ -985,10 +987,14 @@ def _score_and_filter(
         field, value = _one_field(kind, body)
         analyzer = "whitespace"
         text = value
+        boost = 1.0
         if isinstance(value, dict):
             analyzer = _check_analyzer(value.get("analyzer", "whitespace"))
+            boost = float(value.get("boost", 1.0))
             text = value["query"]
         score = _bm25_score(df, field, str(text), analyzer)
+        if boost != 1.0:
+            score = score * F.lit(boost)
         return apply_query(df, query), score
     if kind == "multi_match" and need_score:
         # best_fields: the document's score is its BEST single-field
@@ -1001,6 +1007,30 @@ def _score_and_filter(
         score = F.greatest(
             *[_bm25_score(df, f, text, analyzer) for f in fields]
         ) if len(fields) > 1 else _bm25_score(df, fields[0], text, analyzer)
+        boost = float(body.get("boost", 1.0))
+        if boost != 1.0:
+            score = score * F.lit(boost)
+        return apply_query(df, query), score
+    if kind == "dis_max" and need_score:
+        # ES dis_max scoring: the BEST matching branch's score plus
+        # tie_breaker times every other matching branch's score
+        subs = body.get("queries") or []
+        tie = float(body.get("tie_breaker", 0.0))
+        arms = []
+        for sub in subs:
+            _, s = _score_and_filter(df, sub, True)
+            matched = F.coalesce(
+                compile_query(sub, id_col=_identity_col(df)), F.lit(False)
+            )
+            arms.append((matched, s))
+        best_args = [F.when(m, s) for m, s in arms]
+        best = best_args[0] if len(arms) == 1 else F.greatest(*best_args)
+        total = functools.reduce(
+            _op.add,
+            [F.when(m, s).otherwise(F.lit(0.0)) for m, s in arms],
+        )
+        best = F.coalesce(best, F.lit(0.0))
+        score = best + F.lit(tie) * (total - best)
         return apply_query(df, query), score
     return apply_query(df, query), (F.lit(1.0) if need_score else None)
 

@@ -775,3 +775,98 @@ def _es_search_more_like_this_body(
         "_source": ["doc_id"],
     })
     return out.select("doc_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 10. dis_max scoring with tie_breaker + query-level boost
+# ---------------------------------------------------------------------------
+
+_DISMAX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+withlen AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) FILTER (WHERE len(tk) > 0) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) FILTER (WHERE len(tk) > 0) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+dfreq AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'merge')) AS BIGINT)
+      AS df_m,
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'scan')) AS BIGINT)
+      AS df_s
+  FROM toks
+),
+scored AS (
+  SELECT w.doc_id, w.dl,
+    len(list_filter(w.tk, x -> x = 'merge')) AS tf_m,
+    len(list_filter(w.tk, x -> x = 'scan')) AS tf_s,
+    s.n_docs, s.total_len, d.df_m, d.df_s
+  FROM withlen w CROSS JOIN stats s CROSS JOIN dfreq d
+  WHERE tf_m > 0 OR tf_s > 0
+),
+arms AS (
+  SELECT doc_id,
+    CASE WHEN tf_m > 0 THEN
+      2.0 * ln(1 + (n_docs - df_m + 0.5) / (df_m + 0.5))
+      * (tf_m * (1 + {_K1}))
+      / (tf_m + {_K1} * (1 - {_B} + {_B}
+         * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+    END AS a_m,
+    CASE WHEN tf_s > 0 THEN
+      ln(1 + (n_docs - df_s + 0.5) / (df_s + 0.5))
+      * (tf_s * (1 + {_K1}))
+      / (tf_s + {_K1} * (1 - {_B} + {_B}
+         * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+    END AS a_s
+  FROM scored
+),
+f AS (
+  SELECT doc_id,
+    greatest(coalesce(a_m, 0), coalesce(a_s, 0))
+    + 0.4 * (coalesce(a_m, 0) + coalesce(a_s, 0)
+             - greatest(coalesce(a_m, 0), coalesce(a_s, 0)))
+      AS raw
+  FROM arms
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM f ORDER BY raw DESC, doc_id LIMIT 15
+"""
+
+
+@q("es_search_dis_max_scored", _DISMAX_ORACLE)
+def _es_search_dis_max_scored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dis_max`` in SCORING context: the best matching branch's
+    score plus ``tie_breaker: 0.4`` times every other matching
+    branch's — Lucene's DisjunctionMaxQuery proper, with a
+    query-level ``boost: 2`` on the first branch (query boosts
+    multiply the branch's BM25). The oracle replays both branch
+    scores, the max, and the tie-breaker blend.
+
+    Scale shape: one broadcast stats row per scoring branch, codegen
+    greatest/sum, TakeOrdered(15)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(docs, {
+        "query": {"dis_max": {
+            "queries": [
+                {"match": {"text": {"query": "merge", "boost": 2.0}}},
+                {"match": {"text": "scan"}},
+            ],
+            "tie_breaker": 0.4,
+        }},
+        "size": 15,
+        "_source": ["doc_id"],
+    })
+    return out.select("doc_id", F.round("_score", 6).alias("score"))

@@ -1233,3 +1233,40 @@ class TestMoreLikeThisBody:
         with pytest.raises(ValueError, match="frame-level"):
             compile_query({"bool": {"must": [{"more_like_this": {
                 "fields": ["text"], "like": "x"}}]}})
+
+
+class TestDisMaxScoring:
+    def test_tie_breaker_and_boost(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha"), (3, "beta"), (4, "x")],
+            "doc_id long, text string",
+        )
+        rows = run_search_body(df, {
+            "query": {"dis_max": {
+                "queries": [
+                    {"match": {"text": "alpha"}},
+                    {"match": {"text": "beta"}},
+                ],
+                "tie_breaker": 0.5,
+            }},
+            "size": 4, "_source": ["doc_id"],
+        }).collect()
+        scores = {r.doc_id: r._score for r in rows}
+        assert set(scores) == {1, 2, 3}
+        # doc1 matches both arms: best + 0.5*other > either single arm
+        assert scores[1] > max(scores[2], scores[3])
+        # boost doubles a branch's BM25
+        rows = run_search_body(df, {
+            "query": {"match": {"text": {"query": "alpha",
+                                         "boost": 2.0}}},
+            "size": 1, "_source": ["doc_id"],
+        }).collect()
+        base = run_search_body(df, {
+            "query": {"match": {"text": "alpha"}},
+            "size": 1, "_source": ["doc_id"],
+        }).collect()
+        assert abs(rows[0]._score - 2 * base[0]._score) < 1e-9
