@@ -1142,6 +1142,57 @@ def _doc_tiebreak(df: DataFrame, used: list[str]) -> list[Column]:
 _RELATION_QUERIES = ("has_child", "has_parent", "parent_id")
 
 
+def _resolve_terms_lookups(node, relations: dict | None):
+    """ES terms LOOKUP form: ``{"terms": {field: {"index": t, "id": v,
+    "path": p}}}`` fetches the term list from one document of another
+    index at PLAN time (ES does the same — the lookup is a GET, then
+    the query executes as a plain terms query). Works at ANY depth of
+    the query tree: the body is rewritten with the fetched list before
+    compilation. The fetch collects ONE row (driver-side, bounded).
+    ``relations[index]`` must name the frame and its id column:
+    ``{"df": frame, "id_col": name}`` (reuses the join-field relations
+    map; id_col defaults to the frame's document identity)."""
+    if isinstance(node, list):
+        return [_resolve_terms_lookups(x, relations) for x in node]
+    if not isinstance(node, dict):
+        return node
+    if len(node) == 1 and "terms" in node and isinstance(
+        node["terms"], dict
+    ) and len(node["terms"]) == 1:
+        (field, spec), = node["terms"].items()
+        if isinstance(spec, dict) and "index" in spec:
+            if not {"id", "path"} <= set(spec):
+                raise ValueError(
+                    f"terms lookup needs index, id and path: {spec}"
+                )
+            rel = (relations or {}).get(spec["index"])
+            if rel is None or "df" not in rel:
+                raise ValueError(
+                    f"terms lookup: unknown index {spec['index']!r} — "
+                    "pass relations={index: {df[, id_col]}}"
+                )
+            other = rel["df"]
+            id_col = rel.get("id_col") or _identity_col(other)
+            rows = other.filter(
+                F.col(id_col) == F.lit(spec["id"])
+            ).select(spec["path"]).limit(2).collect()  # one lookup doc
+            if len(rows) != 1:
+                raise ValueError(
+                    f"terms lookup: expected exactly one doc with "
+                    f"{id_col}={spec['id']!r}, found {len(rows)}"
+                )
+            vals = rows[0][0]
+            if vals is None:
+                vals = []
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
+            if not vals:
+                # ES: an empty lookup list matches nothing
+                return {"bool": {"must_not": [{"match_all": {}}]}}
+            return {"terms": {field: list(vals)}}
+    return {k: _resolve_terms_lookups(v, relations) for k, v in node.items()}
+
+
 def _apply_relation_query(
     df: DataFrame, query: dict, relations: dict | None
 ) -> DataFrame:
@@ -1257,6 +1308,10 @@ def run_search_body(
                 base_df, body["runtime_mappings"]
             )
     pre = base_df if base_df is not None else df
+    if "query" in body and relations:
+        resolved = _resolve_terms_lookups(body["query"], relations)
+        if resolved != body["query"]:
+            body = {**body, "query": resolved}
     if (
         isinstance(body.get("query"), dict)
         and len(body["query"]) == 1

@@ -870,3 +870,58 @@ def _es_search_dis_max_scored(
         "_source": ["doc_id"],
     })
     return out.select("doc_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 11. terms LOOKUP: the term list fetched from another index's doc
+# ---------------------------------------------------------------------------
+
+_TERMS_LOOKUP_ORACLE = """
+SELECT c_custkey, c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_regionkey = 2)
+  AND c_acctbal >= 9000
+ORDER BY c_custkey
+LIMIT 30
+"""
+
+
+@q("es_search_terms_lookup", _TERMS_LOOKUP_ORACLE)
+def _es_search_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``terms`` LOOKUP form: the term list lives in ONE document of
+    another index (``{"terms": {field: {index, id, path}}}``) and is
+    fetched at plan time — exactly ES's GET-then-rewrite — so the
+    query executes as a plain terms query at ANY depth of the tree
+    (here inside a bool must). The lookup doc is a region row whose
+    ``nation_ids`` array holds the region's nation keys.
+
+    Scale shape: the lookup collects one row; the rewritten terms
+    predicate is a pushable IN-list at the customer scan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    regions = (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_nationkey")).alias("nation_ids"))
+    )
+    return run_search_body(
+        cust,
+        {
+            "query": {"bool": {"must": [
+                {"terms": {"c_nationkey": {
+                    "index": "regions", "id": 2, "path": "nation_ids"}}},
+                {"range": {"c_acctbal": {"gte": 9000}}},
+            ]}},
+            "sort": [{"c_custkey": "asc"}],
+            "size": 30,
+            "_source": ["c_custkey", "c_nationkey", "bal_cents"],
+        },
+        relations={"regions": {"df": regions, "id_col": "n_regionkey"}},
+    )

@@ -1270,3 +1270,47 @@ class TestDisMaxScoring:
             "size": 1, "_source": ["doc_id"],
         }).collect()
         assert abs(rows[0]._score - 2 * base[0]._score) < 1e-9
+
+
+class TestTermsLookup:
+    def test_lookup_rewrites_anywhere_in_tree(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, k string"
+        )
+        lk = spark.createDataFrame(
+            [(10, ["a", "c"]), (11, [])],
+            "lid long, vals array<string>",
+        )
+        rel = {"lk": {"df": lk, "id_col": "lid"}}
+        rows = run_search_body(df, {
+            "query": {"bool": {"must": [
+                {"terms": {"k": {"index": "lk", "id": 10,
+                                 "path": "vals"}}},
+            ]}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+        }, relations=rel).collect()
+        assert [r.doc_id for r in rows] == [1, 3]
+        # empty lookup list matches nothing (ES)
+        rows = run_search_body(df, {
+            "query": {"terms": {"k": {"index": "lk", "id": 11,
+                                      "path": "vals"}}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+        }, relations=rel).collect()
+        assert rows == []
+        # unknown index / missing doc fail at plan time
+        with pytest.raises(ValueError, match="unknown index"):
+            run_search_body(df, {
+                "query": {"terms": {"k": {"index": "zz", "id": 1,
+                                          "path": "vals"}}},
+                "size": 1,
+            }, relations=rel)
+        with pytest.raises(ValueError, match="exactly one doc"):
+            run_search_body(df, {
+                "query": {"terms": {"k": {"index": "lk", "id": 99,
+                                          "path": "vals"}}},
+                "size": 1,
+            }, relations=rel)
