@@ -197,6 +197,60 @@ def _auto_fuzziness(term: str) -> int:
     return 0 if n < 3 else 1 if n <= 5 else 2
 
 
+import re as _re
+
+_DM_UNITS = {
+    "y": ("year", "YEAR"),
+    "M": ("month", "MONTH"),
+    "w": ("week", "WEEK"),
+    "d": ("day", "DAY"),
+    "h": ("hour", "HOUR"),
+    "H": ("hour", "HOUR"),
+    "m": ("minute", "MINUTE"),
+    "s": ("second", "SECOND"),
+}
+
+_DM_ANCHOR_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
+)
+_DM_OP_RE = _re.compile(r"([+\-]\d+[yMwdhHms]|/[yMwdhHms])")
+
+
+def _date_math_expr(s: str) -> Column | None:
+    """ES date math in range bounds — the syntax Kibana's time picker
+    sends: ``now-7d/d``, ``2024-01-15||+1M/d``. Returns a timestamp
+    Column, or None when the string is not date math (a plain literal
+    stays a plain comparison). ``now`` is Spark's query-stable
+    current_timestamp; the math lowers to INTERVAL arithmetic and
+    date_trunc — plain codegen, still pushdown-friendly because the
+    whole expression folds to a literal instant at optimization."""
+    if s.startswith("now"):
+        anchor, math = F.current_timestamp(), s[3:]
+    elif "||" in s:
+        raw, math = s.split("||", 1)
+        if not _DM_ANCHOR_RE.match(raw):
+            raise ValueError(f"date math: bad anchor {raw!r} in {s!r}")
+        anchor = F.to_timestamp(F.lit(raw.replace("T", " ")))
+    else:
+        return None
+    pos = 0
+    expr = anchor
+    for m in _DM_OP_RE.finditer(math):
+        if m.start() != pos:
+            raise ValueError(f"date math: cannot parse {s!r}")
+        pos = m.end()
+        tok = m.group(0)
+        if tok[0] == "/":
+            expr = F.date_trunc(_DM_UNITS[tok[1]][0], expr)
+        else:
+            n = int(tok[:-1])  # keeps the sign
+            unit = _DM_UNITS[tok[-1]][1]
+            expr = expr + F.expr(f"INTERVAL '{n}' {unit}")
+    if pos != len(math):
+        raise ValueError(f"date math: cannot parse {s!r}")
+    return expr
+
+
 def compile_query(
     dsl: dict, *, id_col: str = "doc_id", resolve=None
 ) -> Column:
@@ -444,7 +498,10 @@ def compile_query(
                 continue  # consumed by the scored-bool path
             if b not in _RANGE_OPS:
                 raise ValueError(f"range: unsupported bound {b!r}")
-            conjs.append(_RANGE_OPS[b](resolve(field), F.lit(v)))
+            rhs = _date_math_expr(v) if isinstance(v, str) else None
+            if rhs is None:
+                rhs = F.lit(v)
+            conjs.append(_RANGE_OPS[b](resolve(field), rhs))
         if not conjs:
             raise ValueError(f"range needs at least one bound: {body}")
         return functools.reduce(_op.and_, conjs)

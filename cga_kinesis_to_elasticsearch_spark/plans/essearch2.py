@@ -925,3 +925,43 @@ def _es_search_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         relations={"regions": {"df": regions, "id_col": "n_regionkey"}},
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. date math in range bounds (the Kibana time-picker syntax)
+# ---------------------------------------------------------------------------
+
+_DATE_MATH_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM events
+WHERE ts >= date_trunc('week', TIMESTAMP '2024-01-10 12:00:00')
+                       + INTERVAL 1 DAY
+  AND ts < date_trunc('day', TIMESTAMP '2024-01-20 07:30:00')
+GROUP BY event_type
+"""
+
+
+@q("es_search_range_date_math", _DATE_MATH_ORACLE)
+def _es_search_range_date_math(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES date math in ``range`` bounds — what Kibana's time picker
+    sends: an anchored ``||`` expression with INTERVAL steps and
+    ``/unit`` rounding (``now``-anchored math works identically but is
+    untestable against a static oracle). The whole bound folds to a
+    literal instant at optimization, so the range still pushes to the
+    scan.
+
+    Scale shape: one pushable predicate + partial-agg exchange over
+    the 5-value event_type domain."""
+    from ..operators.querydsl import run_search_body
+
+    ev = _t(spark, sf_dir, "events")
+    return run_search_body(ev, {
+        "query": {"range": {"ts": {
+            "gte": "2024-01-10 12:00:00||/w+1d",
+            "lt": "2024-01-20 07:30:00||/d",
+        }}},
+        "aggs": {"event_type": {"terms": {"field": "event_type"}}},
+    }).select("event_type", "doc_count")

@@ -1314,3 +1314,42 @@ class TestTermsLookup:
                                           "path": "vals"}}},
                 "size": 1,
             }, relations=rel)
+
+
+class TestRangeDateMath:
+    def test_anchor_math_and_rounding(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 05:00:00"), (2, "2024-01-03 00:00:00"),
+             (3, "2024-02-10 00:00:00")],
+            "id long, ts string",
+        ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+        got = sorted(r.id for r in apply_query(df, {"range": {"ts": {
+            "gte": "2024-01-01||/d",
+            "lt": "2024-01-01||/M+1M",
+        }}}).collect())
+        assert got == [1, 2]
+        # day rounding drops the 05:00 doc when anchored after it
+        got = sorted(r.id for r in apply_query(df, {"range": {"ts": {
+            "gte": "2024-01-01 23:00:00||/d+1d",
+        }}}).collect())
+        assert got == [2, 3]
+
+    def test_now_and_errors(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00")], "id long, ts string"
+        ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+        # now-anchored math executes (everything is in the past)
+        assert apply_query(
+            df, {"range": {"ts": {"lte": "now-1d/d"}}}
+        ).count() == 1
+        assert apply_query(
+            df, {"range": {"ts": {"gte": "now+1h"}}}
+        ).count() == 0
+        with pytest.raises(ValueError, match="cannot parse"):
+            compile_query({"range": {"ts": {"gte": "now-1q"}}})
+        with pytest.raises(ValueError, match="bad anchor"):
+            compile_query({"range": {"ts": {"gte": "yesterday||/d"}}})
+        # a plain string bound stays a literal comparison
+        assert apply_query(
+            df, {"range": {"ts": {"gte": "2023-12-31"}}}
+        ).count() == 1
