@@ -1396,11 +1396,15 @@ def run_search_body(
     sort = body.get("sort")
     both = "aggs" in body and "size" in body
     wants_hits = "aggs" not in body or both
-    sort_specs: list[tuple[str, str]] = []
+    # (field, order, missing) triples — missing is ES-default
+    # _last for field sorts, irrelevant for _score/script sorts
+    sort_specs: list[tuple[str, str, str]] = []
     script_sorts: list[tuple[str, Column]] = []
     for s in sort or []:
         if isinstance(s, str):
-            sort_specs.append((s, "desc" if s == "_score" else "asc"))
+            sort_specs.append(
+                (s, "desc" if s == "_score" else "asc", "_last")
+            )
         elif len(s) == 1 and next(iter(s)) == "_script":
             # ES script sort: the painless-subset expression becomes a
             # derived sort column on the hit frame (dropped from the
@@ -1412,19 +1416,32 @@ def run_search_body(
             src = ((spec or {}).get("script") or {}).get("source")
             name = f"__script_sort_{len(script_sorts)}"
             script_sorts.append((name, _compile_score_script(src)))
-            sort_specs.append((name, order))
+            sort_specs.append((name, order, "_last"))
         else:
             (field, spec), = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec
             if order not in ("asc", "desc"):
                 raise ValueError(f"sort: bad order {order!r}")
-            sort_specs.append((field, order))
+            # ES: missing values sort LAST by default (Spark's asc()
+            # would put nulls first); explicit "missing" overrides
+            missing = (
+                spec.get("missing", "_last")
+                if isinstance(spec, dict)
+                else "_last"
+            )
+            if missing not in ("_first", "_last"):
+                raise ValueError(
+                    f"sort: missing must be _first/_last: {missing!r}"
+                )
+            sort_specs.append((field, order, missing))
     # ES default when a top-N hit list is requested without sort:
     # _score desc (an unsized, unsorted body stays a plain filtered
     # frame — the analytics passthrough)
     if wants_hits and not sort_specs and "size" in body:
-        sort_specs = [("_score", "desc")]
-    need_score = wants_hits and any(f == "_score" for f, _ in sort_specs)
+        sort_specs = [("_score", "desc", "_last")]
+    need_score = wants_hits and any(
+        f == "_score" for f, _, _ in sort_specs
+    )
 
     out = df
     score: Column | None = None
@@ -1532,7 +1549,7 @@ def _run_hits(
     out: DataFrame,
     score: Column | None,
     body: dict,
-    sort_specs: list[tuple[str, str]],
+    sort_specs: list[tuple[str, str, str]],
     need_score: bool,
     with_rank: bool,
 ) -> DataFrame:
@@ -1550,10 +1567,16 @@ def _run_hits(
     if "highlight" in body:
         out = _apply_highlight(out, body)
     cols = [
-        F.col(f).desc() if order == "desc" else F.col(f).asc()
-        for f, order in sort_specs
+        (
+            (F.col(f).desc_nulls_first() if missing == "_first"
+             else F.col(f).desc_nulls_last())
+            if order == "desc"
+            else (F.col(f).asc_nulls_first() if missing == "_first"
+                  else F.col(f).asc_nulls_last())
+        )
+        for f, order, missing in sort_specs
     ]
-    tb_names = _tiebreak_names(df, [f for f, _ in sort_specs])
+    tb_names = _tiebreak_names(df, [f for f, _, _ in sort_specs])
     cols += [F.col(c).asc() for c in tb_names]
     if "search_after" in body:
         if "from" in body:
@@ -1565,17 +1588,17 @@ def _run_hits(
         # extra search_after value addresses it so documents tied on
         # the requested keys at a page boundary are neither skipped
         # nor duplicated on the next page
-        effective = list(sort_specs)
+        effective = [(f, o) for f, o, _ in sort_specs]
         if (
             len(values) == len(sort_specs) + 1
             and len(tb_names) == 1
-            and tb_names[0] not in [f for f, _ in sort_specs]
+            and tb_names[0] not in [f for f, _, _ in sort_specs]
         ):
             effective.append((tb_names[0], "asc"))
         elif not sort_specs or len(values) != len(sort_specs):
             raise ValueError(
                 "search_after needs one value per sort key "
-                f"{[f for f, _ in sort_specs]} (+ optionally one for "
+                f"{[f for f, _, _ in sort_specs]} (+ optionally one for "
                 f"the {tb_names} tie-break): {values}"
             )
         # strict-after tuple in per-key direction: scalable deep
@@ -1619,7 +1642,7 @@ def _run_hits(
         # window_size request returns the same hit count as ES. ES
         # rejects rescore under an explicit non-_score sort — so does
         # this.
-        if sort_specs != [("_score", "desc")]:
+        if [(f, o) for f, o, _ in sort_specs] != [("_score", "desc")]:
             raise ValueError(
                 "rescore requires _score-ordered hits (ES rejects an "
                 "explicit sort)"

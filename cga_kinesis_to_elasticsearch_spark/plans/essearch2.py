@@ -965,3 +965,54 @@ def _es_search_range_date_math(
         }}},
         "aggs": {"event_type": {"terms": {"field": "event_type"}}},
     }).select("event_type", "doc_count")
+
+
+# ---------------------------------------------------------------------------
+# 13. sort with missing values: ES puts them LAST (Spark's asc()
+#     default would put nulls first — the divergence this round fixed)
+# ---------------------------------------------------------------------------
+
+_SORT_MISSING_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS maybe
+  FROM documents
+  WHERE doc_id < 40
+)
+(SELECT CAST(1 AS BIGINT) AS request, doc_id, maybe FROM d
+ ORDER BY maybe ASC NULLS LAST, doc_id LIMIT 12)
+UNION ALL
+(SELECT CAST(2 AS BIGINT), doc_id, maybe FROM d
+ ORDER BY maybe ASC NULLS FIRST, doc_id LIMIT 12)
+"""
+
+
+@q("es_search_sort_missing", _SORT_MISSING_ORACLE)
+def _es_search_sort_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-missing semantics: missing values land LAST by default
+    (request 1) and ``missing: _first`` overrides (request 2) — the
+    engine previously inherited Spark's nulls-first ascending default,
+    a silent divergence on any nullable sort key.
+
+    Scale shape: two TakeOrdered branches over one shared scan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_msearch
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 != 0, F.col("n_chars")).alias(
+                "maybe"
+            ),
+        )
+    )
+    common = {"size": 12, "_source": ["doc_id", "maybe"]}
+    return run_msearch(docs, [
+        {"sort": [{"maybe": {"order": "asc"}}, {"doc_id": "asc"}],
+         **common},
+        {"sort": [{"maybe": {"order": "asc", "missing": "_first"}},
+                  {"doc_id": "asc"}], **common},
+    ])

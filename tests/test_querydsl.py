@@ -1353,3 +1353,40 @@ class TestRangeDateMath:
         assert apply_query(
             df, {"range": {"ts": {"gte": "2023-12-31"}}}
         ).count() == 1
+
+
+class TestSortMissing:
+    def test_missing_last_default_and_first_override(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 5)], "doc_id long, n long"
+        )
+        rows = run_search_body(df, {
+            "query": {"match_all": {}},
+            "sort": [{"n": {"order": "asc"}}],
+            "size": 3, "_source": ["doc_id"],
+        }).collect()
+        # ES: missing sorts LAST by default (Spark asc() would put the
+        # NULL row first)
+        assert [r.doc_id for r in rows] == [3, 1, 2]
+        rows = run_search_body(df, {
+            "query": {"match_all": {}},
+            "sort": [{"n": {"order": "asc", "missing": "_first"}}],
+            "size": 3, "_source": ["doc_id"],
+        }).collect()
+        assert [r.doc_id for r in rows] == [2, 3, 1]
+        rows = run_search_body(df, {
+            "query": {"match_all": {}},
+            "sort": [{"n": {"order": "desc"}}],
+            "size": 3, "_source": ["doc_id"],
+        }).collect()
+        assert [r.doc_id for r in rows] == [1, 3, 2]
+        with pytest.raises(ValueError, match="_first/_last"):
+            run_search_body(df, {
+                "query": {"match_all": {}},
+                "sort": [{"n": {"order": "asc", "missing": 0}}],
+                "size": 1,
+            })
