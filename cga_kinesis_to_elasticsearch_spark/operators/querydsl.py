@@ -1180,6 +1180,48 @@ def _leaf_boost(sub: dict) -> float:
     return 1.0
 
 
+def _source_columns(columns: list[str], spec) -> list[str]:
+    """ES ``_source`` filtering, all request forms: a list of names
+    (exact), a single string, ``*``-wildcard patterns, and the
+    ``{"includes": [...], "excludes": [...]}`` dict. Resolves against
+    the frame's columns in frame order (stable output schema)."""
+    import fnmatch
+
+    def _match(patterns) -> list[str]:
+        out = []
+        for c in columns:
+            for pat in patterns:
+                if c == pat or fnmatch.fnmatchcase(c, pat):
+                    out.append(c)
+                    break
+        return out
+
+    if isinstance(spec, str):
+        spec = [spec]
+    if isinstance(spec, dict):
+        extra = set(spec) - {"includes", "excludes"}
+        if extra:
+            raise ValueError(
+                f"_source dict supports includes/excludes: {sorted(extra)}"
+            )
+        inc = spec.get("includes")
+        keep = _match([inc] if isinstance(inc, str) else inc) \
+            if inc else list(columns)
+        exc = spec.get("excludes")
+        if exc:
+            drop = set(_match([exc] if isinstance(exc, str) else exc))
+            keep = [c for c in keep if c not in drop]
+        return keep
+    if not isinstance(spec, (list, tuple)):
+        raise ValueError(f"unsupported _source form: {spec!r}")
+    if any("*" in str(pat) or "?" in str(pat) for pat in spec):
+        return _match(list(spec))
+    missing = [c for c in spec if c not in columns]
+    if missing:
+        raise ValueError(f"_source names unknown columns: {missing}")
+    return list(spec)
+
+
 def _tiebreak_names(df: DataFrame, used: list[str]) -> list[str]:
     """Column names of the deterministic ``_doc`` tie-break: the
     document-identity column if one exists, else every remaining
@@ -1695,7 +1737,10 @@ def _run_hits(
         *[c for c in out.columns if c.startswith("__script_sort_")]
     )
     if "_source" in body:
-        keep = list(body["_source"])
+        keep = _source_columns(
+            [c for c in out.columns if c not in ("_score", "hit_rank")],
+            body["_source"],
+        )
         if need_score and "_score" not in keep:
             keep.append("_score")
         if "highlight" in body:
@@ -1955,7 +2000,9 @@ def _run_knn(df: DataFrame, body: dict) -> DataFrame:
     # body still returns its full top-k) trims the returned page
     out = out.orderBy(*cols).limit(min(k, int(body.get("size", k))))
     if "_source" in body:
-        keep = list(body["_source"])
+        keep = _source_columns(
+            [c for c in out.columns if c != "_score"], body["_source"]
+        )
         if "_score" not in keep:
             keep.append("_score")
         out = out.select(*keep)
@@ -2052,7 +2099,9 @@ def _run_knn_hybrid(
     cols = [F.col("_score").desc()] + _doc_tiebreak(df, ["_score"])
     out = out.orderBy(*cols).limit(size)
     if "_source" in body:
-        keep = list(body["_source"])
+        keep = _source_columns(
+            [c for c in out.columns if c != "_score"], body["_source"]
+        )
         if "_score" not in keep:
             keep.append("_score")
         out = out.select(*keep)

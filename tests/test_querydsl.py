@@ -1390,3 +1390,33 @@ class TestSortMissing:
                 "sort": [{"n": {"order": "asc", "missing": 0}}],
                 "size": 1,
             })
+
+
+class TestSourceFiltering:
+    def test_string_wildcard_and_dict_forms(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", "b", 9)],
+            "doc_id long, user_name string, user_mail string, n long",
+        )
+        base = {"query": {"match_all": {}},
+                "sort": [{"doc_id": "asc"}], "size": 1}
+        rows = run_search_body(df, {**base, "_source": "n"}).collect()
+        assert set(rows[0].asDict()) == {"n"}
+        rows = run_search_body(df, {**base, "_source": ["user_*"]}).collect()
+        assert set(rows[0].asDict()) == {"user_name", "user_mail"}
+        rows = run_search_body(df, {**base, "_source": {
+            "includes": ["user_*", "doc_id"],
+            "excludes": "user_mail"}}).collect()
+        assert set(rows[0].asDict()) == {"doc_id", "user_name"}
+        rows = run_search_body(df, {**base, "_source": {
+            "excludes": ["n"]}}).collect()
+        assert set(rows[0].asDict()) == {"doc_id", "user_name",
+                                         "user_mail"}
+        with pytest.raises(ValueError, match="unknown columns"):
+            run_search_body(df, {**base, "_source": ["zzz"]})
+        with pytest.raises(ValueError, match="includes/excludes"):
+            run_search_body(df, {**base, "_source": {"include": ["n"]}})
