@@ -110,6 +110,17 @@ HEADLINE = [
     "es_search_aggs_round5",
     "es_search_nested_agg",
     "ingest_processors_round5",
+    # round-6 additions: the Kibana search-bar Lucene syntax (parsed,
+    # lowered, scored), scored constant leaves + explicit
+    # minimum_should_match, join-field queries through the body
+    # (agg-before-join semi-joins), sampler/reverse_nested request
+    # aggs, index-free more_like_this, and the scroll/PIT export
+    "es_search_query_string",
+    "es_search_min_should_match",
+    "es_search_has_child_body",
+    "es_search_sampler_body",
+    "es_search_more_like_this_body",
+    "es_scroll_pit_export",
 ]
 
 
