@@ -130,7 +130,9 @@ def _sanitize(line: Column) -> Column:
     fallback was tried and rejected — doubling the regex tree pushed
     wide patterns (ROUTERACCESS, 22 captures) past Janino's 64 KB
     method limit and dropped the whole hot stage out of codegen."""
-    return F.regexp_replace(line, f"[{_SEP}{_SENTINEL}]", "")
+    # translate, not regexp_replace: a char-table delete costs one
+    # linear pass with no regex engine — measurable on the hot parse
+    return F.translate(line, _SEP + _SENTINEL, "")
 
 
 def grok_parse_into(
