@@ -146,6 +146,15 @@ QUERIES = [
     "es_search_post_filter",
     "es_search_geo_rings",
     "ingest_processors_round5",
+    # round-6: parsed Lucene syntax, join-field body, samplers,
+    # index-free mlt, scroll/PIT export (sequential per-page jobs —
+    # expect flat-ish absolute time, not data scaling)
+    "es_search_query_string",
+    "es_search_min_should_match",
+    "es_search_has_child_body",
+    "es_search_sampler_body",
+    "es_search_more_like_this_body",
+    "es_scroll_pit_export",
 ]
 
 
