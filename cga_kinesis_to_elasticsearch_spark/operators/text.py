@@ -25,6 +25,7 @@ __all__ = [
     "repetition_signals",
     "dup_ngram_coverage",
     "chunk_tokens",
+    "chunk_tokens_overlap",
     "cdc_chunk_tokens",
     "vocab_coverage",
     "line_boilerplate",
@@ -359,6 +360,58 @@ def chunk_tokens(
         F.col("chunk_id").cast("long"),
         F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
         F.size(F.col("__chunk")).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def chunk_tokens_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """OVERLAPPING token windows — the RAG/retrieval chunking step
+    (stride < chunk_size keeps context across boundaries; the
+    non-overlapping trainer split is :func:`chunk_tokens`). Emits
+    (id, chunk_id, start_token, chunk_text, n_chunk_tokens):
+    windows start at 0, stride, 2*stride, ... and the LAST window is
+    the first one whose end reaches the document's end (ragged tail
+    kept), so every token is covered and no fully-redundant tail
+    window is emitted. ``start_token`` is the 0-based offset for
+    provenance (span attribution back into the source document).
+
+    Scale shape: identical to chunk_tokens — tokenize once, slice per
+    window index, one posexplode; rows stay on their input partition,
+    so chunking a 100 TB corpus is shuffle-free."""
+    if not 0 < stride <= chunk_size:
+        raise ValueError(
+            f"stride must be in (0, chunk_size]: {stride} vs {chunk_size}"
+        )
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    # windows = 1 + ceil(max(n - chunk, 0) / stride)
+    extra = F.greatest(n - chunk_size, F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + stride - 1) / stride)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).alias("start"),
+            F.slice(
+                F.col("__toks"), (i * stride + 1).cast("int"), chunk_size
+            ).alias("w"),
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__c")
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long"),
+        F.col("__c.start").cast("long").alias("start_token"),
+        F.concat_ws(" ", F.col("__c.w")).alias("chunk_text"),
+        F.size(F.col("__c.w")).cast("long").alias("n_chunk_tokens"),
     )
 
 

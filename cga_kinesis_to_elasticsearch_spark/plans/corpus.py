@@ -1308,3 +1308,48 @@ def epoch_shuffle_heads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heads.select("epoch", "rank", "doc_id", "shuffle_key").orderBy(
         "epoch", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: overlapping (RAG-style) chunking with provenance offsets
+# ---------------------------------------------------------------------------
+
+_OV_CHUNK, _OV_STRIDE = 24, 16
+
+_OVERLAP_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_norm_sql('text')}, ' ') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(toks) - {_OV_CHUNK},
+                                                0) / {_OV_STRIDE}.0)
+                              AS BIGINT))) AS chunk_id
+  FROM t)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {_OV_STRIDE} AS BIGINT) AS start_token,
+       array_to_string(list_slice(toks, chunk_id * {_OV_STRIDE} + 1,
+                                  chunk_id * {_OV_STRIDE} + {_OV_CHUNK}),
+                       ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_id * {_OV_STRIDE} + 1,
+                           chunk_id * {_OV_STRIDE} + {_OV_CHUNK}))
+            AS BIGINT) AS n_chunk_tokens
+FROM e
+"""
+
+
+@q("chunk_documents_overlap", _OVERLAP_CHUNK_ORACLE)
+def _chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style OVERLAPPING chunking (text.chunk_tokens_overlap):
+    windows of {chunk} tokens every {stride} (8-token overlap keeps
+    context across boundaries), each carrying its 0-based
+    ``start_token`` offset for span provenance back into the source
+    document; the last window is the first to reach the document end.
+
+    Scale shape: tokenize once, slice per window index, one
+    posexplode — rows stay on their input partition, shuffle-free at
+    100 TB like the non-overlapping trainer split."""
+    docs = _tp(spark, sf_dir, "documents")
+    return T.chunk_tokens_overlap(
+        docs, "text", "doc_id", chunk_size=_OV_CHUNK, stride=_OV_STRIDE
+    )
