@@ -1459,6 +1459,38 @@ def run_search_body(
             name = f"__script_sort_{len(script_sorts)}"
             script_sorts.append((name, _compile_score_script(src)))
             sort_specs.append((name, order, "_last"))
+        elif len(s) == 1 and next(iter(s)) == "_geo_distance":
+            # ES geo-distance sort (Kibana maps): the sort key is the
+            # SQUARED planar distance — monotonic with distance under
+            # the repo's centi-degree convention, so the order is
+            # identical and the expression stays integer-exact; the
+            # derived column is dropped from the returned page
+            spec = s["_geo_distance"]
+            order = spec.get("order", "asc")
+            if order not in ("asc", "desc"):
+                raise ValueError(f"sort: bad order {order!r}")
+            rest = {
+                k: v
+                for k, v in spec.items()
+                if k not in ("order", "unit", "distance_type", "mode")
+            }
+            if len(rest) != 1:
+                raise ValueError(
+                    f"_geo_distance must name exactly one geo field: {s}"
+                )
+            (gfield, origin), = rest.items()
+            try:
+                olat, olon = origin["lat"], origin["lon"]
+            except (KeyError, TypeError):
+                raise ValueError(
+                    f"_geo_distance origin needs lat/lon: {origin!r}"
+                )
+            pt = F.col(gfield)
+            dlat = pt["lat"] - F.lit(olat)
+            dlon = pt["lon"] - F.lit(olon)
+            name = f"__script_sort_geo{len(script_sorts)}"
+            script_sorts.append((name, dlat * dlat + dlon * dlon))
+            sort_specs.append((name, order, "_last"))
         else:
             (field, spec), = s.items()
             order = spec.get("order", "asc") if isinstance(spec, dict) else spec

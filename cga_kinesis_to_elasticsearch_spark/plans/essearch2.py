@@ -1016,3 +1016,59 @@ def _es_search_sort_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"sort": [{"maybe": {"order": "asc", "missing": "_first"}},
                   {"doc_id": "asc"}], **common},
     ])
+
+
+# ---------------------------------------------------------------------------
+# 14. _geo_distance sort (Kibana maps: nearest-first hit lists)
+# ---------------------------------------------------------------------------
+
+_GEO_SORT_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey,
+         -6000 + (c_custkey * 7) % 12000 AS lat,
+         -18000 + (c_custkey * 13) % 36000 AS lon
+  FROM customer
+)
+SELECT c_custkey, lat, lon
+FROM pts
+ORDER BY (lat - 1500) * (lat - 1500)
+         + (lon + 2500) * (lon + 2500) ASC,
+         c_custkey ASC
+LIMIT 20
+"""
+
+
+@q("es_search_geo_sort", _GEO_SORT_ORACLE)
+def _es_search_geo_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_geo_distance`` SORT: nearest-first hit list around an origin
+    (the Kibana-maps query shape). The sort key is the squared planar
+    distance — order-identical to the distance and integer-exact under
+    the repo's centi-degree convention, so the oracle replays it
+    verbatim; the derived sort column is dropped from the page.
+
+    Scale shape: one codegen expression + TakeOrdered(20)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            (F.lit(-6000) + (F.col("c_custkey") * 7) % 12000).alias("lat"),
+            (F.lit(-18000) + (F.col("c_custkey") * 13) % 36000).alias(
+                "lon"
+            ),
+        ).alias("loc"),
+    )
+    out = run_search_body(cust, {
+        "query": {"match_all": {}},
+        "sort": [{"_geo_distance": {
+            "loc": {"lat": 1500, "lon": -2500}, "order": "asc"}}],
+        "size": 20,
+        "_source": ["c_custkey", "loc"],
+    })
+    return out.select(
+        "c_custkey",
+        F.col("loc.lat").alias("lat"),
+        F.col("loc.lon").alias("lon"),
+    )

@@ -1420,3 +1420,30 @@ class TestSourceFiltering:
             run_search_body(df, {**base, "_source": ["zzz"]})
         with pytest.raises(ValueError, match="includes/excludes"):
             run_search_body(df, {**base, "_source": {"include": ["n"]}})
+
+
+class TestGeoDistanceSort:
+    def test_nearest_first_and_validation(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, 0, 0), (2, 10, 10), (3, 3, 4)],
+            "id long, lat long, lon long",
+        ).select("id", F.struct("lat", "lon").alias("loc"))
+        rows = run_search_body(df, {
+            "query": {"match_all": {}},
+            "sort": [{"_geo_distance": {"loc": {"lat": 0, "lon": 0},
+                                        "order": "asc"}}],
+            "size": 3, "_source": ["id"],
+        }).collect()
+        assert [r.id for r in rows] == [1, 3, 2]
+        assert set(rows[0].asDict()) == {"id"}  # sort col dropped
+        with pytest.raises(ValueError, match="lat/lon"):
+            run_search_body(df, {
+                "query": {"match_all": {}},
+                "sort": [{"_geo_distance": {"loc": [0, 0]}}],
+                "size": 1,
+            })
