@@ -171,6 +171,54 @@ def _analyze_text(text, analyzer: str) -> list[str]:
     return [t for t in str(text).split() if t]
 
 
+def _phrase_slop(toks: Column, q_toks: list[str], slop: int) -> Column:
+    """``match_phrase`` with ``slop``: the query tokens must occur
+    IN ORDER with at most ``slop`` total intervening positions —
+    greedy chain over per-token position arrays (for each start
+    position of the first token, each later token takes its smallest
+    position after the previous; span - (k-1) <= slop). Documented
+    divergence: ES's slop also buys TRANSPOSITIONS (out-of-order at
+    cost 2); this lowering is strictly in-order, i.e. a subset of
+    ES's matches.
+
+    Scale shape: pure in-row HOFs (one transform + k filters per
+    candidate start) — no explode, no shuffle; cost bounded by
+    positions(t1) x k array scans per row."""
+    # closure factories, NOT default-arg lambdas: PySpark decides the
+    # (x) vs (x, i) HOF form from the lambda's PARAMETER COUNT, so a
+    # bound default would silently become the index argument
+    def _positions(t: str) -> Column:
+        return F.filter(
+            F.transform(
+                toks,
+                lambda x, i: F.when(x == F.lit(t), i).otherwise(F.lit(-1)),
+            ),
+            lambda p: p >= 0,
+        )
+
+    pos = [_positions(t) for t in q_toks]
+    k = len(q_toks)
+
+    def _next_after(arr: Column, prev: Column) -> Column:
+        return F.array_min(F.filter(arr, lambda p: p > prev))
+
+    def chain(p1: Column) -> Column:
+        acc = p1
+        for arr in pos[1:]:
+            acc = _next_after(arr, acc)
+        return acc
+
+    if k == 1:
+        return F.size(pos[0]) > 0
+    return F.coalesce(
+        F.exists(
+            pos[0],
+            lambda p1: chain(p1) - p1 - F.lit(k - 1) <= F.lit(slop),
+        ),
+        F.lit(False),
+    )
+
+
 def _wildcard_to_like(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -533,14 +581,21 @@ def compile_query(
     if kind == "match_phrase":
         field, value = _one_field(kind, body)
         analyzer = "whitespace"
+        slop = 0
         if isinstance(value, dict):
             analyzer = _check_analyzer(value.get("analyzer", "whitespace"))
+            slop = int(value.get("slop", 0))
             value = value["query"]
-        phrase = " ".join(_analyze_text(value, analyzer))
-        if not phrase:
+        q_toks = _analyze_text(value, analyzer)
+        if not q_toks:
             raise ValueError(f"match_phrase needs tokens: {body}")
-        # the phrase matches iff the normalized, delimiter-padded
-        # analyzed text contains the padded analyzed phrase
+        if slop > 0:
+            return _phrase_slop(
+                _tokens(resolve(field), analyzer), q_toks, slop
+            )
+        phrase = " ".join(q_toks)
+        # slop 0: the phrase matches iff the normalized, delimiter-
+        # padded analyzed text contains the padded analyzed phrase
         norm = F.concat(
             F.lit(" "),
             F.array_join(_tokens(resolve(field), analyzer), " "),

@@ -1072,3 +1072,50 @@ def _es_search_geo_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("loc.lat").alias("lat"),
         F.col("loc.lon").alias("lon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. match_phrase slop: in-order proximity
+# ---------------------------------------------------------------------------
+
+_SLOP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS t,
+         generate_subscripts(list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> ''), 1) AS p
+  FROM documents
+),
+hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.p > a.p
+   AND b.p - a.p - 1 <= 2
+  WHERE a.t = 'key' AND b.t = 'scan'
+)
+SELECT doc_id FROM hits ORDER BY doc_id LIMIT 30
+"""
+
+
+@q("es_search_phrase_slop", _SLOP_ORACLE)
+def _es_search_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``match_phrase`` with ``slop: 2``: the tokens must occur IN
+    ORDER within two intervening positions — a greedy position chain
+    in pure in-row HOFs (documented divergence: ES's slop also buys
+    transpositions; this is the strict in-order subset). The oracle
+    replays proximity with a position self-join.
+
+    Scale shape: no explode, no shuffle — per-row array scans bounded
+    by document length, then TakeOrdered(30)."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(docs, {
+        "query": {"match_phrase": {"text": {
+            "query": "key scan", "slop": 2}}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 30,
+        "_source": ["doc_id"],
+    })

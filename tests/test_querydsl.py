@@ -1447,3 +1447,41 @@ class TestGeoDistanceSort:
                 "sort": [{"_geo_distance": {"loc": [0, 0]}}],
                 "size": 1,
             })
+
+
+class TestMatchPhraseSlop:
+    def test_slop_in_order_proximity(self, spark):
+        df = spark.createDataFrame(
+            [(1, "quick brown fox"), (2, "quick red brown fox"),
+             (3, "quick a b brown"), (4, "brown quick"), (5, "quick")],
+            "id long, text string",
+        )
+        def ids(slop):
+            return sorted(r.id for r in apply_query(df, {
+                "match_phrase": {"text": {"query": "quick brown",
+                                          "slop": slop}}
+            }).collect())
+        assert ids(1) == [1, 2]
+        assert ids(2) == [1, 2, 3]
+        # in-order only (documented divergence: no transpositions)
+        assert 4 not in ids(3)
+        # slop 0 via dict equals the fast containment path
+        assert sorted(r.id for r in apply_query(df, {
+            "match_phrase": {"text": {"query": "quick brown",
+                                      "slop": 0}}}).collect()) == [1]
+
+    def test_three_token_chain_and_repeats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a x b x c"), (2, "a b c"), (3, "a c b"),
+             (4, "b a x x c"), (5, "a a b")],
+            "id long, text string",
+        )
+        got = sorted(r.id for r in apply_query(df, {
+            "match_phrase": {"text": {"query": "a b c", "slop": 2}}
+        }).collect())
+        assert got == [1, 2]
+        # repeated query token: 'a a' within slop
+        got = sorted(r.id for r in apply_query(df, {
+            "match_phrase": {"text": {"query": "a a", "slop": 0}}
+        }).collect())
+        assert got == [5]
