@@ -708,7 +708,9 @@ def _msm_count(msm, n_should: int) -> int:
             import math
 
             portion = int(math.floor(abs(pct) / 100.0 * n_should))
-            m = portion if pct >= 0 else n_should - portion
+            # sign from the STRING: float("-0") loses it, and "-0%"
+            # must mean "0 clauses may be missing" (= all required)
+            m = n_should - portion if s.startswith("-") else portion
         else:
             try:
                 m = int(s)
