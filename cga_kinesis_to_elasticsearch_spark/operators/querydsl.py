@@ -233,6 +233,25 @@ def _wildcard_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+def _combined_col(body: dict, resolve=None) -> Column:
+    """The synthesized single-field view of a ``combined_fields``
+    body: the fields' string values joined with spaces (missing
+    fields contribute nothing), so one tokenization covers them all
+    with summed term frequencies and a shared document length."""
+    fields = body.get("fields")
+    if not fields or "query" not in body:
+        raise ValueError(f"combined_fields needs query and fields: {body}")
+    if any("^" in f for f in fields):
+        raise ValueError(
+            "combined_fields: per-field boosts are not supported "
+            f"(equal weights only): {fields}"
+        )
+    r = resolve or F.col
+    return F.concat_ws(
+        " ", *[F.coalesce(r(f).cast("string"), F.lit("")) for f in fields]
+    )
+
+
 def _one_field(kind: str, body: dict) -> tuple[str, object]:
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"{kind} must target exactly one field: {body}")
@@ -520,6 +539,19 @@ def compile_query(
         # under the repo's centi-degree convention (plans/geo.py) —
         # the documented divergence from ES's geodesic arcs
         return (dlat * dlat + dlon * dlon) <= F.lit(dist) * F.lit(dist)
+    if kind == "combined_fields":
+        # ES combined_fields: the named fields act as ONE field — the
+        # token streams concatenate (term freqs sum, one shared
+        # length), then ordinary match semantics apply. Equal field
+        # weights only (per-field boosts are not lowered).
+        return compile_query(
+            {"match": {"__combined__": {
+                "query": body.get("query"),
+                "operator": body.get("operator", "or"),
+            }}},
+            id_col=id_col,
+            resolve=lambda _f, _b=body: _combined_col(_b, resolve),
+        )
     if kind == "match_all":
         return F.lit(True)
     if kind == "term":
@@ -750,7 +782,7 @@ _DECAY_FNS = ("gauss", "exp", "linear")
 
 def _bm25_score(
     df: DataFrame,
-    field: str,
+    field: str | Column,
     query_text: str,
     analyzer: str = "whitespace",
 ) -> Column:
@@ -769,7 +801,9 @@ def _bm25_score(
     terms = _analyze_text(query_text, analyzer)
     if not terms:
         raise ValueError(f"match scoring needs query tokens: {query_text!r}")
-    toks = _tokens(F.col(field), analyzer)
+    toks = _tokens(
+        F.col(field) if isinstance(field, str) else field, analyzer
+    )
     # Lucene field statistics: docCount / avgdl are taken over docs
     # that HAVE at least one term for the field, not the whole index
     has = F.coalesce(F.size(toks) > 0, F.lit(False))
@@ -1081,6 +1115,7 @@ def _score_and_filter(
                 if skind in (
                     "match",
                     "multi_match",
+                    "combined_fields",
                     "bool",
                     "dis_max",
                     "query_string",
@@ -1121,6 +1156,15 @@ def _score_and_filter(
         score = F.greatest(
             *[_bm25_score(df, f, text, analyzer) for f in fields]
         ) if len(fields) > 1 else _bm25_score(df, fields[0], text, analyzer)
+        boost = float(body.get("boost", 1.0))
+        if boost != 1.0:
+            score = score * F.lit(boost)
+        return apply_query(df, query), score
+    if kind == "combined_fields" and need_score:
+        # one BM25 over the synthesized combined field: summed term
+        # freqs, shared length — ES's combined_fields with equal
+        # weights (the same one-broadcast-stats-row plan as match)
+        score = _bm25_score(df, _combined_col(body), str(body["query"]))
         boost = float(body.get("boost", 1.0))
         if boost != 1.0:
             score = score * F.lit(boost)

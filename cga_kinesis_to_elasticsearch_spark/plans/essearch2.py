@@ -1119,3 +1119,89 @@ def _es_search_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size": 30,
         "_source": ["doc_id"],
     })
+
+
+# ---------------------------------------------------------------------------
+# 16. combined_fields: several fields scored as ONE (summed tf,
+#     shared length) — ES 7.13+'s principled multi-field match
+# ---------------------------------------------------------------------------
+
+_COMBINED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             concat_ws(' ', coalesce(text, ''), coalesce(lang, '')),
+             '\\s+'),
+           t -> t <> '') AS tk
+  FROM documents
+),
+withlen AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+stats AS (
+  SELECT CAST(count(*) FILTER (WHERE len(tk) > 0) AS BIGINT) AS n_docs,
+         CAST(sum(len(tk)) FILTER (WHERE len(tk) > 0) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+dfreq AS (
+  SELECT
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'fr')) AS BIGINT)
+      AS df_0,
+    CAST(count(*) FILTER (WHERE list_contains(tk, 'merge')) AS BIGINT)
+      AS df_1
+  FROM toks
+),
+scored AS (
+  SELECT w.doc_id, w.dl,
+    len(list_filter(w.tk, x -> x = 'fr')) AS tf_0,
+    len(list_filter(w.tk, x -> x = 'merge')) AS tf_1,
+    s.n_docs, s.total_len, d.df_0, d.df_1
+  FROM withlen w CROSS JOIN stats s CROSS JOIN dfreq d
+  WHERE tf_0 > 0 OR tf_1 > 0
+),
+formula AS (
+  SELECT doc_id,
+    0.0
+    + CASE WHEN tf_0 > 0 THEN
+        ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5))
+        * (tf_0 * (1 + {_K1}))
+        / (tf_0 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END
+    + CASE WHEN tf_1 > 0 THEN
+        ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5))
+        * (tf_1 * (1 + {_K1}))
+        / (tf_1 + {_K1} * (1 - {_B} + {_B}
+           * (dl / (CAST(total_len AS DOUBLE) / n_docs))))
+      ELSE 0.0 END AS raw
+  FROM scored
+)
+SELECT doc_id, round(raw, 6) AS score
+FROM formula ORDER BY raw DESC, doc_id LIMIT 15
+"""
+
+
+@q("es_search_combined_fields", _COMBINED_ORACLE)
+def _es_search_combined_fields(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``combined_fields``: text and lang act as ONE field — term
+    frequencies sum across fields and the BM25 length is the combined
+    stream's (ES 7.13+'s principled multi-field match; contrast
+    ``multi_match`` best_fields, which takes the max per-field score).
+    The oracle recomputes BM25 over the concatenated token stream.
+
+    Scale shape: exactly the match plan — one broadcast stats row
+    over the synthesized column + codegen score + TakeOrdered(15)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(docs, {
+        "query": {"combined_fields": {
+            "query": "fr merge", "fields": ["text", "lang"]}},
+        "size": 15,
+        "_source": ["doc_id"],
+    })
+    return out.select("doc_id", F.round("_score", 6).alias("score"))

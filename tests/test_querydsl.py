@@ -1485,3 +1485,46 @@ class TestMatchPhraseSlop:
             "match_phrase": {"text": {"query": "a a", "slop": 0}}
         }).collect())
         assert got == [5]
+
+
+class TestCombinedFields:
+    def test_filter_and_scoring(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta", "gamma"), (2, "alpha", None),
+             (3, "nope", "alpha alpha"), (4, "x", "y")],
+            "doc_id long, title string, body string",
+        )
+        dsl = {"combined_fields": {
+            "query": "alpha gamma", "fields": ["title", "body"]}}
+        assert _j(apply_query_ids(spark, df, dsl)) == [1, 2, 3]
+        dsl_and = {"combined_fields": {
+            "query": "alpha gamma", "fields": ["title", "body"],
+            "operator": "and"}}
+        assert _j(apply_query_ids(spark, df, dsl_and)) == [1]
+        rows = run_search_body(df, {
+            "query": {"combined_fields": {
+                "query": "alpha", "fields": ["title", "body"]}},
+            "size": 3, "_source": ["doc_id"],
+        }).collect()
+        scores = {r.doc_id: r._score for r in rows}
+        # doc3 has tf=2 in the combined stream and the shortest is...
+        # doc2 combined = 'alpha ' (dl 1 after empty coalesce join):
+        # all three positive; tf=2 doc ranks above same-length tf=1
+        assert set(scores) == {1, 2, 3}
+        assert all(v > 0 for v in scores.values())
+        assert scores[3] > scores[1]
+        with pytest.raises(ValueError, match="equal weights"):
+            apply_query(df, {"combined_fields": {
+                "query": "x", "fields": ["title^3"]}})
+
+
+def apply_query_ids(spark, df, dsl):
+    return [r.doc_id for r in apply_query(df, dsl).collect()]
+
+
+def _j(ids):
+    return sorted(ids)
