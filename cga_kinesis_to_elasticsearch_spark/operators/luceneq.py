@@ -299,8 +299,15 @@ def _term_leaf(field: str, word: str, esc: list[bool] | None) -> dict:
     if word == "*" and not esc[0]:
         return {"exists": {"field": field}}
     if has_wild:
-        # token-level multi-term query, like Lucene wildcard expansion
-        return {"_token_wildcard": {field: word}}
+        # token-level multi-term query, like Lucene wildcard
+        # expansion; ESCAPED * ? \ get their backslash back (the lexer
+        # stripped it) so _wildcard_to_like keeps them literal —
+        # foo\*bar* wildcards only on the trailing star
+        pat = "".join(
+            "\\" + ch if (e and ch in "*?\\") else ch
+            for ch, e in zip(word, esc)
+        )
+        return {"_token_wildcard": {field: pat}}
     return {"match": {field: word}}
 
 

@@ -15,7 +15,9 @@ Supported leaves:
 - ``exists``       {"field": name}           — non-null
 - ``prefix``       {field: value}            — startswith
 - ``wildcard``     {field: "a*b?c"}          — * / ? translated to a
-                   LIKE pattern (literal % _ escaped)
+                   LIKE pattern (literal % _ escaped); ``\\`` escapes
+                   the next char (Lucene WildcardQuery), so ``a\\*b``
+                   is a literal star
 - ``match``        {field: "query text"}     — analyzed OR: at least
                    one whitespace token occurs in the tokenized field
                    (``"operator": "and"`` requires all tokens)
@@ -220,8 +222,20 @@ def _phrase_slop(toks: Column, q_toks: list[str], slop: int) -> Column:
 
 
 def _wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard pattern -> SQL LIKE pattern. ``\\`` escapes the
+    next character (Lucene WildcardQuery semantics), so ``foo\\*bar*``
+    keeps the first star literal and only the trailing one is a
+    wildcard; literal ``%``/``_``/``\\`` are LIKE-escaped."""
     out = []
-    for ch in pattern:
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            out.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
+            i += 2
+            continue
         if ch == "*":
             out.append("%")
         elif ch == "?":
@@ -230,6 +244,7 @@ def _wildcard_to_like(pattern: str) -> str:
             out.append("\\" + ch)
         else:
             out.append(ch)
+        i += 1
     return "".join(out)
 
 
@@ -281,6 +296,11 @@ _DM_ANCHOR_RE = _re.compile(
     r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
 )
 _DM_OP_RE = _re.compile(r"([+\-]\d+[yMwdhHms]|/[yMwdhHms])")
+# a now-anchored bound is date math only when the WHOLE string is
+# valid date-math grammar — a plain string that merely starts with
+# "now" ("nowhere") stays a literal lexicographic comparison, like ES
+# (date math applies to date fields only)
+_DM_NOW_RE = _re.compile(r"^now([+\-]\d+[yMwdhHms]|/[yMwdhHms])*$")
 
 
 def _date_math_expr(s: str) -> Column | None:
@@ -291,7 +311,7 @@ def _date_math_expr(s: str) -> Column | None:
     current_timestamp; the math lowers to INTERVAL arithmetic and
     date_trunc — plain codegen, still pushdown-friendly because the
     whole expression folds to a literal instant at optimization."""
-    if s.startswith("now"):
+    if _DM_NOW_RE.match(s):
         anchor, math = F.current_timestamp(), s[3:]
     elif "||" in s:
         raw, math = s.split("||", 1)
@@ -1763,13 +1783,15 @@ def _run_hits(
         # extra search_after value addresses it so documents tied on
         # the requested keys at a page boundary are neither skipped
         # nor duplicated on the next page
-        effective = [(f, o) for f, o, _ in sort_specs]
+        effective = list(sort_specs)
         if (
             len(values) == len(sort_specs) + 1
             and len(tb_names) == 1
             and tb_names[0] not in [f for f, _, _ in sort_specs]
         ):
-            effective.append((tb_names[0], "asc"))
+            # the appended tie-break column sorts plain .asc() —
+            # Spark's nulls-FIRST — so its null position is _first
+            effective.append((tb_names[0], "asc", "_first"))
         elif not sort_specs or len(values) != len(sort_specs):
             raise ValueError(
                 "search_after needs one value per sort key "
@@ -1778,14 +1800,30 @@ def _run_hits(
             )
         # strict-after tuple in per-key direction: scalable deep
         # pagination — the predicate filters BEFORE the top-N, so
-        # page 100 costs the same as page 1
+        # page 100 costs the same as page 1. NULL-AWARE in both the
+        # cursor values and the document keys, consistent with each
+        # key's missing=_first/_last null position, so a scroll whose
+        # sort key has a NULL tail stays exhaustive (a NULL cursor
+        # must not three-value the predicate to false)
         cond = F.lit(False)
         eq_prefix = F.lit(True)
-        for (field, order), v in zip(effective, values):
+        for (field, order, missing), v in zip(effective, values):
             c = F.col(field)
-            beyond = c > F.lit(v) if order == "asc" else c < F.lit(v)
+            nulls_last = missing == "_last"
+            if v is None:
+                # after a NULL cursor key: under nulls-last nothing in
+                # this key sorts beyond NULL (ties break on later
+                # keys); under nulls-first every non-null doc does
+                beyond = F.lit(False) if nulls_last else c.isNotNull()
+                eq = c.isNull()
+            else:
+                base = c > F.lit(v) if order == "asc" else c < F.lit(v)
+                beyond = F.coalesce(base, F.lit(False))
+                if nulls_last:
+                    beyond = beyond | c.isNull()
+                eq = c.eqNullSafe(F.lit(v))
             cond = cond | (eq_prefix & beyond)
-            eq_prefix = eq_prefix & (c == F.lit(v))
+            eq_prefix = eq_prefix & eq
         out = out.filter(cond)
     if "collapse" in body:
         # field collapsing: the result keeps only the BEST hit per

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .querydsl import _tiebreak_names, run_search_body
+from .querydsl import _source_columns, _tiebreak_names, run_search_body
 
 __all__ = ["open_pit", "run_scroll", "run_scroll_union"]
 
@@ -42,7 +42,10 @@ def open_pit(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.parquet(path).inputFiles()
     if not files:
         raise ValueError(f"open_pit: no parquet files under {path!r}")
-    return spark.read.parquet(*files)
+    # basePath keeps hive-style directory-derived partition columns
+    # (e.g. the bulk sink's data/es_index=... layout) in the PIT view —
+    # a bare leaf-file read would silently drop them
+    return spark.read.option("basePath", path).parquet(*files)
 
 
 def run_scroll(
@@ -75,20 +78,27 @@ def run_scroll(
                 "(export paths pin a stable document order)"
             )
         names.append(field)
-    tb = _tiebreak_names(df, names)
-    if len(tb) != 1:
-        raise ValueError(
-            "run_scroll needs a document identity column "
-            "(doc_id / id / event_id / vec_id) for the _doc tie-break"
-        )
-    missing = [
-        c for c in (*names, tb[0])
-        if "_source" in body and c not in body["_source"]
-    ]
-    if missing:
-        raise ValueError(
-            f"run_scroll: _source must keep the cursor columns {missing}"
-        )
+    if any(f in ("doc_id", "id", "event_id", "vec_id") for f in names):
+        # the sort already pins document identity — every cursor tuple
+        # is unique without an appended _doc tie-break
+        tb = []
+    else:
+        tb = _tiebreak_names(df, names)
+        if len(tb) != 1:
+            raise ValueError(
+                "run_scroll needs a document identity column "
+                "(doc_id / id / event_id / vec_id) for the _doc tie-break"
+            )
+    if "_source" in body:
+        # resolve every supported _source form (list / string /
+        # wildcard patterns / includes-excludes dict) exactly the way
+        # the search path will, then check the cursor columns survive
+        kept = _source_columns(df.columns, body["_source"])
+        missing = [c for c in (*names, *tb) if c not in kept]
+        if missing:
+            raise ValueError(
+                f"run_scroll: _source must keep the cursor columns {missing}"
+            )
     cursor = None
     pages = 0
     while True:
@@ -101,7 +111,7 @@ def run_scroll(
         yield rows
         pages += 1
         last = rows[-1]
-        cursor = [last[f] for f in names] + [last[tb[0]]]
+        cursor = [last[f] for f in names] + [last[t] for t in tb]
         if len(rows) < page_size:
             return
         if max_pages is not None and pages >= max_pages:

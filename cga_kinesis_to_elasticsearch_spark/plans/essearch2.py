@@ -434,7 +434,8 @@ def _es_search_has_parent_body(
 
 
 _PARENT_ID_BODY_ORACLE = """
-SELECT l_orderkey, l_linenumber, l_returnflag
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag
 FROM lineitem
 WHERE l_orderkey = 7
 ORDER BY l_linenumber
@@ -877,7 +878,7 @@ def _es_search_dis_max_scored(
 # ---------------------------------------------------------------------------
 
 _TERMS_LOOKUP_ORACLE = """
-SELECT c_custkey, c_nationkey,
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
 FROM customer
 WHERE c_nationkey IN (SELECT n_nationkey FROM nation

@@ -32,13 +32,16 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+def compare(
+    name: str, sdf: pd.DataFrame, odf: pd.DataFrame
+) -> tuple[list[str], int]:
     problems = []
+    notes = 0
     if len(sdf) != len(odf):
         problems.append(f"row count {len(sdf)} vs {len(odf)}")
     if sorted(sdf.columns) != sorted(odf.columns):
         problems.append(f"schema {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        return problems
+        return problems, notes
     a, b = normalize(sdf), normalize(odf)
     if len(a) == len(b):
         for c in a.columns:
@@ -47,9 +50,11 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 if av.dtype.kind == bv.dtype.kind == "i":
                     # same-kind width difference (int32 vs int64): the
                     # driver's canonicalizer provably tolerates this
-                    # (round-1 hash matches on int32 outputs) — note it,
-                    # don't fail
+                    # (round-1 hash matches on int32 outputs) — but the
+                    # repo convention is width-note-free (BIGINT both
+                    # sides), so notes count toward a non-zero exit
                     print(f"note  {name}.{c}: int width {av.dtype} vs {bv.dtype}")
+                    notes += 1
                 else:
                     # int-vs-float / numeric-vs-object CAN hash-mismatch
                     problems.append(
@@ -84,7 +89,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                         )
             except Exception as exc:
                 problems.append(f"col {c}: compare error {exc}")
-    return problems
+    return problems, notes
 
 
 def main() -> int:
@@ -126,6 +131,8 @@ def main() -> int:
     qs = mod.queries()
     oracles = mod.oracle_sql()
     failures = 0
+    total_notes = 0
+    n_ok = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -160,14 +167,19 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures += 1
             continue
-        problems = compare(name, sdf, odf)
+        problems, notes = compare(name, sdf, odf)
+        total_notes += notes
         if problems:
             failures += 1
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
+            n_ok += 1
             print(f"OK    {name}: {len(sdf)} rows")
-    print(f"\n{failures} failures")
-    return 1 if failures else 0
+    # notes are non-zero-exit too: the repo convention is width-note-free
+    # (every surfaced integer BIGINT on both sides) so a note is a
+    # regression even though the driver's hash happens to tolerate it
+    print(f"\n{n_ok} OK, {failures} failures, notes={total_notes}")
+    return 1 if (failures or total_notes) else 0
 
 
 if __name__ == "__main__":
