@@ -24,7 +24,29 @@ Supported leaves:
 - ``match_phrase`` {field: "a b c"}          — consecutive tokens, via
                    delimited-substring containment over the
                    whitespace-normalized text (exact for the engine's
-                   whitespace analyzer)
+                   whitespace analyzer); with ``slop``, an in-order
+                   position chain where slop>=2 also buys adjacent
+                   TRANSPOSITIONS at cost 2 (Lucene sloppy phrase)
+- ``match_phrase_prefix`` {field: "a b c"}   — search-as-you-type:
+                   leading tokens as a phrase, the last as a prefix at
+                   the following position (``slop`` supported;
+                   ``max_expansions`` rejected at plan time — every
+                   expansion matches here)
+- ``match_bool_prefix`` {field: "a b c"}     — each token a term
+                   match, the last a prefix; ``operator`` /
+                   ``minimum_should_match`` like ES's lowered bool
+- ``intervals``    {field: {match|all_of|any_of}} — proximity rules
+                   over per-token position arrays: ``match`` with
+                   ``max_gaps``/``ordered`` (unordered to 3 tokens),
+                   ``all_of``/``any_of`` as boolean combinators;
+                   anything else rejected at plan time
+- ``rank_feature`` {field, saturation|log|sigmoid[, boost]} — matches
+                   positive-feature docs; scores saturation
+                   S/(S+pivot), log ln(a*S+1) or sigmoid
+                   S^e/(S^e+pivot^e) (explicit function required)
+- ``distance_feature`` {field, origin, pivot[, boost]} — matches
+                   docs with the field; scores boost*pivot/(pivot+
+                   |field-origin|) (numeric origin/pivot)
 - ``match_all``    {}
 - ``ids``          {"values": [...]}         — document identity; the
                    engine's ``_id`` is the frame's identity column
@@ -141,16 +163,22 @@ _RANGE_OPS = {"gte": _op.ge, "gt": _op.gt, "lte": _op.le, "lt": _op.lt}
 
 # Analyzers: the engine's default stays WHITESPACE (the documented
 # divergence from ES's standard default); per-request ``analyzer``
-# selects ``standard`` — lowercase + split on non-alphanumerics — the
-# ASCII reading of ES's standard analyzer (Unicode segmentation is out
-# of scope; non-ASCII letters are treated as separators, documented).
+# selects ``standard`` — lowercase + split on any run of characters
+# that are not Unicode letters or digits (\p{L}\p{N}), so accented /
+# non-Latin text tokenizes like ES's standard analyzer for the common
+# cases ("café au lait" -> [café, au, lait]). Identical to the old
+# ASCII reading on ASCII text. Documented divergence from full UAX#29:
+# no CJK ideogram-per-token splitting, and connector punctuation
+# (a_b) separates where ES keeps one token. The DuckDB oracle form is
+# list_filter(string_split_regex(lower(t), '[^\\p{L}\\p{N}]+'),
+# x -> x <> '') — probed identical across Java regex / RE2 / Python.
 _ANALYZERS = ("whitespace", "standard")
 
 
 def _tokens(col: Column, analyzer: str = "whitespace") -> Column:
     if analyzer == "standard":
         return F.filter(
-            F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != ""
+            F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != ""
         )
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
@@ -169,38 +197,58 @@ def _analyze_text(text, analyzer: str) -> list[str]:
     if analyzer == "standard":
         import re
 
-        return [t for t in re.split(r"[^a-z0-9]+", str(text).lower()) if t]
+        # [\W_]+ == runs of non-(letter|digit): Python's unicode \w
+        # minus the underscore — agrees with the Java/RE2
+        # [^\p{L}\p{N}]+ split (probed on accented/non-Latin text)
+        return [t for t in re.split(r"[\W_]+", str(text).lower()) if t]
     return [t for t in str(text).split() if t]
 
 
-def _phrase_slop(toks: Column, q_toks: list[str], slop: int) -> Column:
-    """``match_phrase`` with ``slop``: the query tokens must occur
-    IN ORDER with at most ``slop`` total intervening positions —
-    greedy chain over per-token position arrays (for each start
-    position of the first token, each later token takes its smallest
-    position after the previous; span - (k-1) <= slop). Documented
-    divergence: ES's slop also buys TRANSPOSITIONS (out-of-order at
-    cost 2); this lowering is strictly in-order, i.e. a subset of
-    ES's matches.
-
-    Scale shape: pure in-row HOFs (one transform + k filters per
-    candidate start) — no explode, no shuffle; cost bounded by
-    positions(t1) x k array scans per row."""
+def _eq_positions(toks: Column, t: str) -> Column:
+    """Positions (0-based) where the token array equals ``t``."""
     # closure factories, NOT default-arg lambdas: PySpark decides the
     # (x) vs (x, i) HOF form from the lambda's PARAMETER COUNT, so a
     # bound default would silently become the index argument
-    def _positions(t: str) -> Column:
-        return F.filter(
-            F.transform(
-                toks,
-                lambda x, i: F.when(x == F.lit(t), i).otherwise(F.lit(-1)),
-            ),
-            lambda p: p >= 0,
-        )
+    return F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(x == F.lit(t), i).otherwise(F.lit(-1)),
+        ),
+        lambda p: p >= 0,
+    )
 
-    pos = [_positions(t) for t in q_toks]
-    k = len(q_toks)
 
+def _prefix_positions(toks: Column, prefix: str) -> Column:
+    """Positions where a token STARTS WITH ``prefix`` (the expanded
+    multi-term terminal of phrase_prefix — Lucene expands against the
+    index terms; positions over the analyzed array are equivalent)."""
+    return F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                x.startswith(prefix), i
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda p: p >= 0,
+    )
+
+
+def _chain_cond(pos: list[Column], max_gaps: int | None) -> Column:
+    """True when the position arrays admit an IN-ORDER chain (each
+    later list takes its smallest position after the previous — greedy
+    minimizes the end, hence the gaps, for every start), with total
+    intervening positions bounded by ``max_gaps`` (None = unbounded).
+
+    Scale shape: pure in-row HOFs (one transform + k filters per
+    candidate start) — no explode, no shuffle; cost bounded by
+    positions(first) x k array scans per row."""
+    k = len(pos)
+    if k == 1:
+        return F.size(pos[0]) > 0
+
+    # closure helper, NOT a default-arg lambda: a 2-param lambda would
+    # select PySpark's (element, index) HOF form and clobber the bound
+    # accumulator with the array index
     def _next_after(arr: Column, prev: Column) -> Column:
         return F.array_min(F.filter(arr, lambda p: p > prev))
 
@@ -210,14 +258,194 @@ def _phrase_slop(toks: Column, q_toks: list[str], slop: int) -> Column:
             acc = _next_after(arr, acc)
         return acc
 
-    if k == 1:
-        return F.size(pos[0]) > 0
-    return F.coalesce(
-        F.exists(
-            pos[0],
-            lambda p1: chain(p1) - p1 - F.lit(k - 1) <= F.lit(slop),
-        ),
-        F.lit(False),
+    if max_gaps is None:
+        test = lambda p1: chain(p1).isNotNull()  # noqa: E731
+    else:
+        test = lambda p1: (  # noqa: E731
+            chain(p1) - p1 - F.lit(k - 1) <= F.lit(max_gaps)
+        )
+    return F.coalesce(F.exists(pos[0], test), F.lit(False))
+
+
+def _transposition_orders(
+    k: int, slop: int
+) -> list[tuple[tuple[int, ...], int]]:
+    """Token orderings a sloppy phrase may match in: the identity
+    order with the full slop budget, plus every set of NON-OVERLAPPING
+    adjacent transpositions, each costing 2 slop (Lucene's sloppy-
+    phrase transposition cost). Returns (index order, residual gap
+    budget) pairs; bounded by 64 variants at plan time."""
+    out: list[tuple[tuple[int, ...], int]] = [(tuple(range(k)), slop)]
+
+    def rec(cur: tuple[int, ...], start: int, rem: int) -> None:
+        for i in range(start, k - 1):
+            if rem < 2:
+                return
+            nxt = cur[:i] + (cur[i + 1], cur[i]) + cur[i + 2:]
+            out.append((nxt, rem - 2))
+            rec(nxt, i + 2, rem - 2)
+
+    rec(tuple(range(k)), 0, slop)
+    if len(out) > 64:
+        raise ValueError(
+            f"match_phrase slop: {len(out)} transposition variants "
+            f"(k={k}, slop={slop}) exceed the 64-variant plan budget"
+        )
+    return out
+
+
+def _phrase_slop(toks: Column, q_toks: list[str], slop: int) -> Column:
+    """``match_phrase`` with ``slop``: the query tokens occur with at
+    most ``slop`` total intervening positions, in order — or with
+    adjacent-token TRANSPOSITIONS, each consuming 2 of the slop budget
+    (Lucene sloppy-phrase semantics: "a b"~2 matches "b a", ~1 does
+    not). Lowered as an OR over the bounded transposition orders, each
+    an in-order greedy chain over per-token position arrays."""
+    pos = {t: _eq_positions(toks, t) for t in dict.fromkeys(q_toks)}
+    arrays = [pos[t] for t in q_toks]
+    conds = [
+        _chain_cond([arrays[i] for i in order], budget)
+        for order, budget in _transposition_orders(len(q_toks), slop)
+    ]
+    return functools.reduce(_op.or_, conds)
+
+
+_INTERVALS_RULES = ("match", "all_of", "any_of")
+
+
+def _intervals_expr(col: Column, rule: dict) -> Column:
+    """ES ``intervals`` query, minimal useful subset over the per-token
+    position arrays: the ``match`` rule (``max_gaps`` bounds the
+    intervening positions, ``ordered`` pins token order; unordered is
+    lowered as an OR over permutations, supported to 3 tokens) and the
+    ``all_of`` / ``any_of`` combinators (as boolean AND / OR of their
+    sub-rules' interval existence; ``all_of`` with its own ``ordered``
+    or ``max_gaps`` would need interval-endpoint algebra and is
+    rejected at plan time, like every unsupported rule)."""
+    if not isinstance(rule, dict) or len(rule) != 1:
+        raise ValueError(f"intervals needs exactly one rule: {rule}")
+    (rk, spec), = rule.items()
+    if rk == "match":
+        unknown = set(spec) - {"query", "max_gaps", "ordered", "analyzer"}
+        if unknown:
+            raise ValueError(
+                f"intervals match: unsupported options {sorted(unknown)}"
+            )
+        analyzer = _check_analyzer(spec.get("analyzer", "whitespace"))
+        q_toks = _analyze_text(spec.get("query", ""), analyzer)
+        if not q_toks:
+            raise ValueError(f"intervals match needs query tokens: {spec}")
+        max_gaps = int(spec.get("max_gaps", -1))
+        gaps = None if max_gaps < 0 else max_gaps
+        toks = _tokens(col, analyzer)
+        pos = {t: _eq_positions(toks, t) for t in dict.fromkeys(q_toks)}
+        if spec.get("ordered") or len(q_toks) == 1:
+            return _chain_cond([pos[t] for t in q_toks], gaps)
+        if len(q_toks) > 3:
+            raise ValueError(
+                "intervals match: unordered supports up to 3 tokens "
+                f"(permutation lowering): {q_toks}"
+            )
+        import itertools
+
+        return functools.reduce(
+            _op.or_,
+            [
+                _chain_cond([pos[t] for t in perm], gaps)
+                for perm in sorted(set(itertools.permutations(q_toks)))
+            ],
+        )
+    if rk in ("all_of", "any_of"):
+        extra = set(spec) - {"intervals"}
+        if extra:
+            raise ValueError(
+                f"intervals {rk}: only the intervals list is supported "
+                f"(sub-interval {sorted(extra)} needs endpoint algebra)"
+            )
+        subs = spec.get("intervals")
+        if not subs:
+            raise ValueError(f"intervals {rk} needs intervals: {spec}")
+        parts = [
+            F.coalesce(_intervals_expr(col, s), F.lit(False)) for s in subs
+        ]
+        return functools.reduce(
+            _op.and_ if rk == "all_of" else _op.or_, parts
+        )
+    raise ValueError(
+        f"intervals: unsupported rule {rk!r} (supported: {_INTERVALS_RULES})"
+    )
+
+
+def _rank_feature_score(body: dict) -> Column:
+    """ES ``rank_feature`` scoring: saturation ``S/(S+pivot)``, log
+    ``ln(scaling_factor*S + 1)`` or sigmoid ``S^e/(S^e + pivot^e)``
+    over the positive numeric feature column, times ``boost``. The
+    function must be EXPLICIT — ES's default saturation pivot is an
+    index statistic (approximate geometric mean) this engine does not
+    maintain, so omitting it fails at plan time."""
+    field = body.get("field")
+    if not field:
+        raise ValueError(f"rank_feature needs a field: {body}")
+    unknown = set(body) - {"field", "boost", "saturation", "log", "sigmoid"}
+    if unknown:
+        raise ValueError(
+            f"rank_feature: unsupported options {sorted(unknown)}"
+        )
+    fns = [k for k in ("saturation", "log", "sigmoid") if k in body]
+    if len(fns) != 1:
+        raise ValueError(
+            "rank_feature needs exactly one explicit function "
+            "(saturation {pivot} / log {scaling_factor} / sigmoid "
+            f"{{pivot, exponent}}): {body}"
+        )
+    s = F.col(field).cast("double")
+    if fns[0] == "saturation":
+        pivot = float(body["saturation"]["pivot"])
+        if pivot <= 0:
+            raise ValueError(f"rank_feature saturation: bad pivot {pivot}")
+        val = s / (s + F.lit(pivot))
+    elif fns[0] == "log":
+        a = float(body["log"]["scaling_factor"])
+        val = F.log(F.lit(a) * s + F.lit(1.0))
+    else:
+        pivot = float(body["sigmoid"]["pivot"])
+        e = float(body["sigmoid"]["exponent"])
+        if pivot <= 0 or e <= 0:
+            raise ValueError(f"rank_feature sigmoid: bad params {body}")
+        val = F.pow(s, F.lit(e)) / (F.pow(s, F.lit(e)) + F.lit(pivot**e))
+    return val * F.lit(float(body.get("boost", 1.0)))
+
+
+def _distance_feature_score(body: dict) -> Column:
+    """ES ``distance_feature`` scoring: ``boost * pivot / (pivot +
+    |field - origin|)`` — rank boosting by closeness to an origin.
+    Numeric origin/pivot only (dates: pass epoch numbers — the engine
+    has no field mapping to read a duration pivot against)."""
+    for key in ("field", "origin", "pivot"):
+        if key not in body:
+            raise ValueError(f"distance_feature needs {key}: {body}")
+    unknown = set(body) - {"field", "origin", "pivot", "boost"}
+    if unknown:
+        raise ValueError(
+            f"distance_feature: unsupported options {sorted(unknown)}"
+        )
+    origin, pivot = body["origin"], body["pivot"]
+    if (
+        isinstance(origin, bool)
+        or isinstance(pivot, bool)
+        or not isinstance(origin, (int, float))
+        or not isinstance(pivot, (int, float))
+        or pivot <= 0
+    ):
+        raise ValueError(
+            "distance_feature: origin and pivot must be numbers "
+            f"(pivot > 0); dates go in as epoch numbers: {body}"
+        )
+    dist = F.abs(F.col(body["field"]).cast("double") - F.lit(float(origin)))
+    return (
+        F.lit(float(body.get("boost", 1.0)))
+        * F.lit(float(pivot))
+        / (F.lit(float(pivot)) + dist)
     )
 
 
@@ -654,6 +882,86 @@ def compile_query(
             F.lit(" "),
         )
         return norm.contains(f" {phrase} ")
+    if kind == "match_phrase_prefix":
+        # search-as-you-type: the leading tokens form a phrase, the
+        # LAST token matches as a prefix at the following position —
+        # the query autocomplete clients send on every keystroke
+        field, value = _one_field(kind, body)
+        analyzer = "whitespace"
+        slop = 0
+        if isinstance(value, dict):
+            if "max_expansions" in value:
+                raise ValueError(
+                    "match_phrase_prefix: max_expansions is not "
+                    "supported — this lowering matches EVERY prefix "
+                    "expansion; an explicit cap would change results"
+                )
+            analyzer = _check_analyzer(value.get("analyzer", "whitespace"))
+            slop = int(value.get("slop", 0))
+            value = value["query"]
+        q_toks = _analyze_text(value, analyzer)
+        if not q_toks:
+            raise ValueError(f"match_phrase_prefix needs tokens: {body}")
+        toks = _tokens(resolve(field), analyzer)
+        if len(q_toks) == 1:
+            return F.coalesce(
+                F.exists(toks, lambda t: t.startswith(q_toks[0])),
+                F.lit(False),
+            )
+        pos = [_eq_positions(toks, t) for t in q_toks[:-1]]
+        pos.append(_prefix_positions(toks, q_toks[-1]))
+        return _chain_cond(pos, slop)
+    if kind == "match_bool_prefix":
+        # the term-level sibling: every token a plain term match, the
+        # last a prefix — ES lowers it to exactly this bool
+        field, value = _one_field(kind, body)
+        analyzer = "whitespace"
+        op = "or"
+        msm = None
+        if isinstance(value, dict):
+            unknown = set(value) - {
+                "query", "analyzer", "operator", "minimum_should_match",
+            }
+            if unknown:
+                raise ValueError(
+                    f"match_bool_prefix: unsupported options "
+                    f"{sorted(unknown)}"
+                )
+            analyzer = _check_analyzer(value.get("analyzer", "whitespace"))
+            op = value.get("operator", "or")
+            msm = value.get("minimum_should_match")
+            value = value["query"]
+        q_toks = _analyze_text(value, analyzer)
+        if not q_toks:
+            raise ValueError(f"match_bool_prefix needs tokens: {body}")
+        toks = _tokens(resolve(field), analyzer)
+        clauses = [F.array_contains(toks, t) for t in q_toks[:-1]]
+        clauses.append(
+            F.coalesce(
+                F.exists(toks, lambda t: t.startswith(q_toks[-1])),
+                F.lit(False),
+            )
+        )
+        if op == "and":
+            return functools.reduce(_op.and_, clauses)
+        if msm is not None:
+            m = max(_msm_count(msm, len(clauses)), 1)
+            flags = [
+                F.coalesce(c, F.lit(False)).cast("int") for c in clauses
+            ]
+            return functools.reduce(_op.add, flags) >= F.lit(m)
+        return functools.reduce(_op.or_, clauses)
+    if kind == "intervals":
+        field, rule = _one_field(kind, body)
+        return _intervals_expr(resolve(field), rule)
+    if kind == "rank_feature":
+        # matches docs that HAVE the feature: ES rank_feature fields
+        # only index positive values, so existence == positivity here
+        _rank_feature_score(body)  # plan-time validation
+        return resolve(body["field"]).cast("double") > F.lit(0.0)
+    if kind == "distance_feature":
+        _distance_feature_score(body)  # plan-time validation
+        return resolve(body["field"]).isNotNull()
     if kind == "bool":
         if not isinstance(body, dict):
             raise ValueError(f"bool needs a clause dict: {body}")
@@ -1140,6 +1448,8 @@ def _score_and_filter(
                     "dis_max",
                     "query_string",
                     "simple_query_string",
+                    "rank_feature",
+                    "distance_feature",
                 ):
                     _, sub_score = _score_and_filter(df, sub, True)
                 else:
@@ -1152,6 +1462,12 @@ def _score_and_filter(
                     F.lit(0.0)
                 )
         return filtered, (score if any_clause else F.lit(1.0))
+    if kind == "rank_feature" and need_score:
+        # a scoring-only leaf: the match set is docs with a positive
+        # feature; the score is the chosen saturation/log/sigmoid form
+        return apply_query(df, query), _rank_feature_score(body)
+    if kind == "distance_feature" and need_score:
+        return apply_query(df, query), _distance_feature_score(body)
     if kind == "match" and need_score:
         field, value = _one_field(kind, body)
         analyzer = "whitespace"

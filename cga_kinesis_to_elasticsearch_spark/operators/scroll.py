@@ -23,6 +23,12 @@ Pages are DISJOINT and EXHAUSTIVE by construction: the sort is pinned
 identity column), and each page resumes strictly after the previous
 page's last (sort keys, _doc) tuple — ties at a page boundary can
 never duplicate or skip.
+
+Sliced scroll (``slice: {id, max}`` in the body, ES's parallel-export
+form) partitions the document set by identity hash-mod-``max`` so
+``max`` independent scrolls cover the export concurrently;
+:func:`run_sliced_export` runs all slices and returns one tagged
+frame.
 """
 
 from __future__ import annotations
@@ -31,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .querydsl import _source_columns, _tiebreak_names, run_search_body
 
-__all__ = ["open_pit", "run_scroll", "run_scroll_union"]
+__all__ = [
+    "open_pit",
+    "run_scroll",
+    "run_scroll_union",
+    "run_sliced_export",
+]
 
 
 def open_pit(spark: SparkSession, path: str) -> DataFrame:
@@ -99,6 +110,19 @@ def run_scroll(
             raise ValueError(
                 f"run_scroll: _source must keep the cursor columns {missing}"
             )
+    if "slice" in body:
+        # ES sliced scroll: {"slice": {"id": i, "max": n[, "field"]}}
+        # partitions the export into n disjoint, exhaustive slices so
+        # independent clients scroll in parallel. ES hashes _id; any
+        # deterministic doc-identity partition satisfies the contract
+        # — numeric identity columns take a plain modulo (also
+        # oracle-reproducible), strings hash first.
+        id_cands = tb or [
+            f for f in names
+            if f in ("doc_id", "id", "event_id", "vec_id")
+        ]
+        df = df.filter(_slice_predicate(df, body["slice"], id_cands))
+        body = {k: v for k, v in body.items() if k != "slice"}
     cursor = None
     pages = 0
     while True:
@@ -118,15 +142,92 @@ def run_scroll(
             return
 
 
+def _slice_predicate(df: DataFrame, spec: dict, id_cands: list[str]):
+    """The slice-membership predicate of an ES sliced scroll:
+    hash-mod-``max`` (plain modulo for numeric identity columns — ES
+    hashes ``_id``, but ANY deterministic disjoint+exhaustive
+    partition by document identity satisfies the sliced-scroll
+    contract) on ``spec.field`` (default: the _doc tie-break /
+    identity column)."""
+    from pyspark.sql import functions as F, types as T
+
+    if not isinstance(spec, dict) or "id" not in spec or "max" not in spec:
+        raise ValueError(f"slice needs id and max: {spec}")
+    i, n = int(spec["id"]), int(spec["max"])
+    if n < 2 or not 0 <= i < n:
+        raise ValueError(f"slice: need max >= 2 and 0 <= id < max: {spec}")
+    field = spec.get("field")
+    if field is None:
+        if not id_cands:
+            raise ValueError(
+                "slice: no identity column to slice on — pass "
+                f"slice.field explicitly: {spec}"
+            )
+        field = id_cands[0]
+    if field not in df.columns:
+        raise ValueError(f"slice: unknown field {field!r}")
+    c = F.col(field)
+    if isinstance(
+        df.schema[field].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        key = F.pmod(c, F.lit(n))
+    else:
+        key = F.pmod(F.xxhash64(c), F.lit(n))
+    return key == F.lit(i)
+
+
+def run_sliced_export(
+    df: DataFrame,
+    body: dict,
+    page_size: int,
+    n_slices: int,
+    max_pages: int | None = None,
+) -> DataFrame:
+    """The whole export as ``n_slices`` parallel sliced scrolls, ONE
+    DataFrame tagged (``slice_id``, ``page``): each slice is an
+    independent run_scroll with ``slice: {id, max}``, so the slices
+    are disjoint, their union is exhaustive, and each is internally
+    ordered — the ES sliced-scroll bulk-export pattern, which
+    parallelizes the API path instead of paging one cursor
+    sequentially. (For raw throughput without the scroll contract,
+    sinks/sorted_export.py writes the same partitioning in one job.)"""
+    from pyspark.sql import functions as F
+
+    if "slice" in body:
+        raise ValueError("run_sliced_export drives slice itself")
+    out = None
+    for i in range(int(n_slices)):
+        part = run_scroll_union(
+            df,
+            {**body, "slice": {"id": i, "max": int(n_slices)}},
+            page_size,
+            max_pages,
+            allow_empty=True,
+        )
+        if part is None:
+            continue
+        part = part.select(
+            F.lit(i).cast("long").alias("slice_id"), "*"
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("run_sliced_export: empty result set")
+    return out
+
+
 def run_scroll_union(
     df: DataFrame,
     body: dict,
     page_size: int,
     max_pages: int | None = None,
-) -> DataFrame:
+    allow_empty: bool = False,
+) -> DataFrame | None:
     """All scroll pages as ONE DataFrame tagged with a 1-based
     ``page`` ordinal — the declarable/testable reading of the scroll
-    contract (pages disjoint, union exhaustive)."""
+    contract (pages disjoint, union exhaustive). ``allow_empty``
+    returns None instead of raising on an empty hit set (a sliced
+    export's slice may be legitimately empty)."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
@@ -142,5 +243,7 @@ def run_scroll_union(
         )
         out = page if out is None else out.unionByName(page)
     if out is None:
+        if allow_empty:
+            return None
         raise ValueError("run_scroll_union: empty result set")
     return out

@@ -45,6 +45,7 @@ _MODULES = (
     "esrelations",
     "essearch",
     "essearch2",
+    "essearch3",
     "traindata",
     "evalqa",
     "mlprims",

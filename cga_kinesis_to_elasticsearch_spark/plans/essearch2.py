@@ -1093,8 +1093,10 @@ hits AS (
   FROM tok a JOIN tok b
     ON a.doc_id = b.doc_id
    AND b.p > a.p
-   AND b.p - a.p - 1 <= 2
-  WHERE a.t = 'key' AND b.t = 'scan'
+   AND ((a.t = 'key' AND b.t = 'scan' AND b.p - a.p - 1 <= 2)
+     -- slop 2 also buys the adjacent TRANSPOSITION (cost 2, so no
+     -- residual gap budget): 'scan key' matches, 'scan x key' not
+     OR (a.t = 'scan' AND b.t = 'key' AND b.p - a.p - 1 <= 0))
 )
 SELECT doc_id FROM hits ORDER BY doc_id LIMIT 30
 """
@@ -1102,11 +1104,12 @@ SELECT doc_id FROM hits ORDER BY doc_id LIMIT 30
 
 @q("es_search_phrase_slop", _SLOP_ORACLE)
 def _es_search_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``match_phrase`` with ``slop: 2``: the tokens must occur IN
-    ORDER within two intervening positions — a greedy position chain
-    in pure in-row HOFs (documented divergence: ES's slop also buys
-    transpositions; this is the strict in-order subset). The oracle
-    replays proximity with a position self-join.
+    """``match_phrase`` with ``slop: 2``: the tokens occur in order
+    within two intervening positions, OR transposed at cost 2
+    (Lucene's sloppy-phrase semantics — the round-6 in-order-only
+    divergence is gone). A greedy position chain per token order in
+    pure in-row HOFs; the oracle replays both orders with a position
+    self-join.
 
     Scale shape: no explode, no shuffle — per-row array scans bounded
     by document length, then TakeOrdered(30)."""

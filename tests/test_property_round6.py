@@ -194,9 +194,15 @@ class TestSlopVsBruteForce:
         for i, t in enumerate(docs):
             pa = [p for p, x in enumerate(t) if x == "a"]
             pb = [p for p, x in enumerate(t) if x == "b"]
-            if any(
+            in_order = any(
                 0 < q - p <= slop + 1 for p in pa for q in pb
-            ):
+            )
+            # slop >= 2 buys the transposition: "b ... a" with the
+            # residual budget covering the gap (Lucene sloppy phrase)
+            transposed = slop >= 2 and any(
+                0 < p - q <= slop - 1 for p in pa for q in pb
+            )
+            if in_order or transposed:
                 exp.append(i)
         assert got == exp
 

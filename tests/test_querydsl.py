@@ -1345,8 +1345,12 @@ class TestRangeDateMath:
         assert apply_query(
             df, {"range": {"ts": {"gte": "now+1h"}}}
         ).count() == 0
-        with pytest.raises(ValueError, match="cannot parse"):
-            compile_query({"range": {"ts": {"gte": "now-1q"}}})
+        # a now-prefixed string that is NOT valid date-math grammar is
+        # a literal bound, not an error — 'nowhere' must stay a plain
+        # lexicographic comparison (ES applies date math to date
+        # fields only; the engine has no mapping to know)
+        compile_query({"range": {"v": {"gte": "now-1q"}}})  # no raise
+        compile_query({"range": {"v": {"gte": "nowhere"}}})  # no raise
         with pytest.raises(ValueError, match="bad anchor"):
             compile_query({"range": {"ts": {"gte": "yesterday||/d"}}})
         # a plain string bound stays a literal comparison
@@ -1462,9 +1466,10 @@ class TestMatchPhraseSlop:
                                           "slop": slop}}
             }).collect())
         assert ids(1) == [1, 2]
-        assert ids(2) == [1, 2, 3]
-        # in-order only (documented divergence: no transpositions)
-        assert 4 not in ids(3)
+        # slop 2 buys the adjacent transposition (Lucene sloppy
+        # phrase: "brown quick" matches "quick brown"~2, not ~1)
+        assert ids(2) == [1, 2, 3, 4]
+        assert 4 not in ids(1)
         # slop 0 via dict equals the fast containment path
         assert sorted(r.id for r in apply_query(df, {
             "match_phrase": {"text": {"query": "quick brown",
@@ -1479,7 +1484,12 @@ class TestMatchPhraseSlop:
         got = sorted(r.id for r in apply_query(df, {
             "match_phrase": {"text": {"query": "a b c", "slop": 2}}
         }).collect())
-        assert got == [1, 2]
+        # doc 3 "a c b": the (b,c) transposition costs the whole
+        # slop-2 budget and the swapped chain is consecutive — matches
+        assert got == [1, 2, 3]
+        # doc 4 "b a x x c": the (a,b) swap leaves no budget for the
+        # two-gap chain to c — still out at slop 2
+        assert 4 not in got
         # repeated query token: 'a a' within slop
         got = sorted(r.id for r in apply_query(df, {
             "match_phrase": {"text": {"query": "a a", "slop": 0}}

@@ -1,0 +1,308 @@
+"""Round-7 search surface: match_phrase_prefix / match_bool_prefix,
+intervals, rank_feature / distance_feature, sloppy-phrase
+transpositions, the Unicode standard analyzer, and sliced scrolls."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+    apply_query,
+    compile_query,
+    run_search_body,
+)
+from cga_kinesis_to_elasticsearch_spark.operators.scroll import (
+    run_scroll,
+    run_sliced_export,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps", 5.0, 10),
+            (2, "quick brawny fox", 0.0, 50),
+            (3, "fox quick brown", 2.0, 100),
+            (4, "the brown quick fox", None, 30),
+            (5, "quick br", 9.0, 70),
+            (6, None, 1.0, 60),
+        ],
+        "doc_id long, text string, feat double, ts long",
+    )
+
+
+def _ids(df, q):
+    return sorted(r.doc_id for r in apply_query(df, q).collect())
+
+
+class TestMatchPhrasePrefix:
+    def test_short_form(self, corpus):
+        # 'quick' then a token starting 'br' at the NEXT position
+        assert _ids(corpus, {"match_phrase_prefix": {"text": "quick br"}}) \
+            == [1, 2, 3, 5]
+
+    def test_slop(self, corpus):
+        got = _ids(corpus, {"match_phrase_prefix": {"text": {
+            "query": "quick fox", "slop": 1}}})
+        assert got == [1, 2, 4]
+
+    def test_single_term_is_prefix(self, corpus):
+        assert _ids(corpus, {"match_phrase_prefix": {"text": "bro"}}) \
+            == [1, 3, 4]
+
+    def test_max_expansions_rejected(self, corpus):
+        with pytest.raises(ValueError, match="max_expansions"):
+            compile_query({"match_phrase_prefix": {"text": {
+                "query": "quick br", "max_expansions": 50}}})
+
+    def test_empty_query_rejected(self):
+        with pytest.raises(ValueError, match="tokens"):
+            compile_query({"match_phrase_prefix": {"text": "  "}})
+
+    def test_null_field_does_not_match(self, corpus):
+        # doc 6 has NULL text: never a match, never a NULL poison
+        got = _ids(corpus, {"bool": {"must_not": [
+            {"match_phrase_prefix": {"text": "quick br"}}]}})
+        assert 6 in got
+
+
+class TestMatchBoolPrefix:
+    def test_or_default(self, corpus):
+        # any of: term 'jumps' OR prefix 'qui'
+        assert _ids(corpus, {"match_bool_prefix": {"text": "jumps qui"}}) \
+            == [1, 2, 3, 4, 5]
+
+    def test_and_operator(self, corpus):
+        got = _ids(corpus, {"match_bool_prefix": {"text": {
+            "query": "jumps qui", "operator": "and"}}})
+        assert got == [1]
+
+    def test_minimum_should_match(self, corpus):
+        got = _ids(corpus, {"match_bool_prefix": {"text": {
+            "query": "brown fox qui", "minimum_should_match": 3}}})
+        assert got == [1, 3, 4]
+
+    def test_unknown_option_rejected(self):
+        with pytest.raises(ValueError, match="unsupported options"):
+            compile_query({"match_bool_prefix": {"text": {
+                "query": "a b", "fuzziness": 1}}})
+
+
+class TestIntervals:
+    def test_ordered_max_gaps(self, corpus):
+        got = _ids(corpus, {"intervals": {"text": {"match": {
+            "query": "quick fox", "ordered": True, "max_gaps": 1}}}})
+        assert got == [1, 2, 4]
+
+    def test_ordered_unbounded_gaps(self, corpus):
+        got = _ids(corpus, {"intervals": {"text": {"match": {
+            "query": "quick fox", "ordered": True}}}})
+        assert got == [1, 2, 4]  # doc 3 has fox BEFORE quick
+
+    def test_unordered(self, corpus):
+        got = _ids(corpus, {"intervals": {"text": {"match": {
+            "query": "quick fox", "max_gaps": 0}}}})
+        assert got == [3, 4]  # adjacent in either order
+
+    def test_combinators(self, corpus):
+        got = _ids(corpus, {"intervals": {"text": {"all_of": {
+            "intervals": [
+                {"match": {"query": "quick brown", "ordered": True,
+                           "max_gaps": 0}},
+                {"any_of": {"intervals": [
+                    {"match": {"query": "jumps"}},
+                    {"match": {"query": "fox"}},
+                ]}},
+            ]}}}})
+        assert got == [1, 3]
+
+    def test_unordered_limit(self):
+        with pytest.raises(ValueError, match="up to 3 tokens"):
+            compile_query({"intervals": {"text": {"match": {
+                "query": "a b c d"}}}})
+
+    def test_unknown_rule_rejected(self):
+        with pytest.raises(ValueError, match="unsupported rule"):
+            compile_query({"intervals": {"text": {"fuzzy": {
+                "term": "x"}}}})
+
+    def test_all_of_with_ordering_rejected(self):
+        with pytest.raises(ValueError, match="endpoint algebra"):
+            compile_query({"intervals": {"text": {"all_of": {
+                "intervals": [{"match": {"query": "a"}}],
+                "ordered": True}}}})
+
+
+class TestRankFeature:
+    def test_saturation_log_sigmoid_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, 4.0), (2, 16.0)], "doc_id long, s double"
+        )
+        for body, fn in (
+            ({"field": "s", "saturation": {"pivot": 8}},
+             lambda s: s / (s + 8.0)),
+            ({"field": "s", "log": {"scaling_factor": 2}},
+             lambda s: math.log(2 * s + 1)),
+            ({"field": "s", "sigmoid": {"pivot": 8, "exponent": 2}},
+             lambda s: s**2 / (s**2 + 64.0)),
+        ):
+            out = run_search_body(df, {
+                "query": {"rank_feature": body},
+                "sort": [{"_score": "desc"}],
+                "size": 2,
+            }).collect()
+            got = {r.doc_id: r._score for r in out}
+            assert got[1] == pytest.approx(fn(4.0))
+            assert got[2] == pytest.approx(fn(16.0))
+
+    def test_explicit_function_required(self):
+        with pytest.raises(ValueError, match="explicit function"):
+            compile_query({"rank_feature": {"field": "s"}})
+
+    def test_matches_positive_only(self, corpus):
+        # feat 0.0 (doc 2) and NULL (doc 4) do not match
+        got = _ids(corpus, {"rank_feature": {
+            "field": "feat", "saturation": {"pivot": 5}}})
+        assert got == [1, 3, 5, 6]
+
+
+class TestDistanceFeature:
+    def test_formula(self, corpus):
+        out = run_search_body(corpus, {
+            "query": {"bool": {
+                "filter": [{"exists": {"field": "text"}}],
+                "should": [{"distance_feature": {
+                    "field": "ts", "origin": 60, "pivot": 20,
+                    "boost": 3}}],
+            }},
+            "sort": [{"_score": "desc"}],
+            "size": 10,
+        }).collect()
+        got = {r.doc_id: r._score for r in out}
+        assert got[5] == pytest.approx(3 * 20 / (20 + 10))  # ts 70
+        assert got[2] == pytest.approx(3 * 20 / (20 + 10))  # ts 50
+        assert got[1] == pytest.approx(3 * 20 / (20 + 50))  # ts 10
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="needs origin"):
+            compile_query({"distance_feature": {"field": "ts",
+                                                "pivot": 1}})
+        with pytest.raises(ValueError, match="numbers"):
+            compile_query({"distance_feature": {
+                "field": "ts", "origin": "2024-01-01", "pivot": "7d"}})
+
+
+class TestSlopTranspositions:
+    def test_two_token_boundaries(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "b a"), (3, "b x a"), (4, "a x x b")],
+            "doc_id long, text string",
+        )
+
+        def ids(slop):
+            return _ids(df, {"match_phrase": {"text": {
+                "query": "a b", "slop": slop}}})
+
+        assert ids(0) == [1]
+        assert ids(1) == [1]            # transposition needs 2
+        assert ids(2) == [1, 2, 4]      # swap, no residual gap
+        assert ids(3) == [1, 2, 3, 4]   # swap + 1 gap
+
+    def test_variant_budget_guard(self):
+        with pytest.raises(ValueError, match="variants"):
+            compile_query({"match_phrase": {"text": {
+                "query": "a b c d e f g h i j", "slop": 12}}})
+
+
+class TestUnicodeStandardAnalyzer:
+    def test_accented_match(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Café au lait"), (2, "cafe au lait"), (3, "CAFÉ noir")],
+            "doc_id long, text string",
+        )
+        got = _ids(df, {"match": {"text": {
+            "query": "café", "analyzer": "standard"}}})
+        assert got == [1, 3]
+
+    def test_ascii_behavior_unchanged(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Merge,SCAN"), (2, "merge")], "doc_id long, text string"
+        )
+        got = _ids(df, {"match": {"text": {
+            "query": "MERGE scan", "analyzer": "standard"}}})
+        assert got == [1, 2]
+
+    def test_underscore_separates(self, spark):
+        # documented divergence boundary: a_b tokenizes as [a, b]
+        df = spark.createDataFrame(
+            [(1, "foo_bar")], "doc_id long, text string"
+        )
+        assert _ids(df, {"match": {"text": {
+            "query": "bar", "analyzer": "standard"}}}) == [1]
+
+
+class TestSlicedScroll:
+    def _df(self, spark, n=67):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("g"), (F.col("id") % 7).cast("string"))
+            .alias("grp"),
+        )
+
+    def test_slices_disjoint_exhaustive_ordered(self, spark):
+        df = self._df(spark)
+        out = run_sliced_export(
+            df, {"sort": [{"doc_id": "asc"}]}, page_size=10, n_slices=4
+        ).collect()
+        assert sorted(r.doc_id for r in out) == list(range(67))
+        assert len({r.doc_id for r in out}) == 67
+        by_slice = {}
+        for r in out:
+            by_slice.setdefault(r.slice_id, []).append(r.doc_id)
+        assert set(by_slice) == {0, 1, 2, 3}
+        for sid, docs in by_slice.items():
+            assert all(d % 4 == sid for d in docs)  # numeric modulo
+            assert docs == sorted(docs)  # internally ordered
+
+    def test_slice_in_body_filters_run_scroll(self, spark):
+        df = self._df(spark)
+        pages = list(run_scroll(
+            df,
+            {"sort": [{"doc_id": "asc"}], "slice": {"id": 1, "max": 3}},
+            page_size=9,
+        ))
+        seen = [r.doc_id for p in pages for r in p]
+        assert seen == [d for d in range(67) if d % 3 == 1]
+
+    def test_string_field_slices_cover(self, spark):
+        df = self._df(spark)
+        out = run_sliced_export(
+            df, {"sort": [{"doc_id": "asc"}]}, page_size=25, n_slices=3
+        )
+        # explicit string field: hash-based, still disjoint+exhaustive
+        rows = []
+        for i in range(3):
+            pages = list(run_scroll(
+                df,
+                {"sort": [{"doc_id": "asc"}],
+                 "slice": {"id": i, "max": 3, "field": "grp"}},
+                page_size=25,
+            ))
+            rows += [r.doc_id for p in pages for r in p]
+        assert sorted(rows) == list(range(67))
+        assert out.count() == 67
+
+    def test_bad_slice_specs(self, spark):
+        df = self._df(spark)
+        for spec in ({"id": 3, "max": 3}, {"id": 0, "max": 1},
+                     {"id": 0}, {"max": 2}):
+            with pytest.raises(ValueError, match="slice"):
+                list(run_scroll(
+                    df,
+                    {"sort": [{"doc_id": "asc"}], "slice": spec},
+                    page_size=10,
+                ))
