@@ -1,0 +1,172 @@
+"""Small ES REST APIs around the query surface: ``_analyze`` (what
+tokens does this analyzer produce — the debugging staple behind every
+"why doesn't my match hit" ticket), ``_search/template`` (mustache-
+parameterized stored queries — what Kibana saved searches send), and
+``_validate/query`` (plan-time query validation).
+
+Reference context: the reference's indices (main.go:447) are queried
+by exactly these Kibana/ops workflows.
+
+All three are PLAN-TIME utilities: ``_analyze`` tokenizes one literal
+text on the driver (ES does the same — no index touched);
+``render_search_template`` is textual substitution + JSON parse;
+``run_validate_query`` compiles the query and reports instead of
+raising. None launches a distributed job by itself.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .querydsl import _analyze_text, _check_analyzer, compile_query
+
+__all__ = [
+    "run_analyze",
+    "render_search_template",
+    "run_search_template",
+    "run_validate_query",
+]
+
+
+def _token_spans(text: str, analyzer: str) -> list[tuple[str, int, int]]:
+    """(token, start_offset, end_offset) triples, offsets into the
+    ORIGINAL text (ES _analyze's offsets). The span regex mirrors the
+    analyzer split exactly: whitespace keeps raw tokens; standard
+    lowercases and takes letter/digit runs."""
+    if analyzer == "standard":
+        return [
+            (m.group(0).lower(), m.start(), m.end())
+            for m in re.finditer(r"[^\W_]+", text)
+        ]
+    return [
+        (m.group(0), m.start(), m.end())
+        for m in re.finditer(r"\S+", text)
+    ]
+
+
+def run_analyze(spark: SparkSession, body: dict) -> DataFrame:
+    """ES ``_analyze``: tokenize the request's literal ``text`` with
+    the named ``analyzer`` (whitespace default, like the engine's
+    match queries; ``standard`` supported) and return one row per
+    token: (text_ordinal, position, token, start_offset, end_offset).
+    ``text`` may be a string or a list of strings — positions restart
+    per text like ES (no position_increment_gap; single-field
+    semantics).
+
+    The token stream is by construction identical to what
+    query/match-side analysis produces (same ``_analyze_text``), so
+    what _analyze shows IS what the engine matches on."""
+    text = body.get("text")
+    if text is None:
+        raise ValueError(f"_analyze needs text: {body}")
+    analyzer = _check_analyzer(body.get("analyzer", "whitespace"))
+    texts = text if isinstance(text, (list, tuple)) else [text]
+    rows = []
+    for ti, t in enumerate(texts):
+        spans = _token_spans(str(t), analyzer)
+        # cross-check: the span tokens must equal the match-side
+        # analysis — one analyzer, one truth
+        assert [s[0] for s in spans] == _analyze_text(t, analyzer)
+        for pos, (tok, start, end) in enumerate(spans):
+            rows.append((ti, pos, tok, start, end))
+    return spark.createDataFrame(
+        rows,
+        "text_ordinal long, position long, token string, "
+        "start_offset long, end_offset long",
+    )
+
+
+_TOJSON_RE = re.compile(r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}")
+_VAR_RE = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+
+
+def render_search_template(source: str, params: dict | None) -> dict:
+    """ES ``_render/template``: substitute mustache params into the
+    template SOURCE (a JSON string), then parse. Supported mustache
+    subset — what search templates actually use:
+
+    - ``{{var}}``: textual substitution. Strings substitute their
+      JSON-escaped content (the template supplies the quotes, like
+      mustache); numbers/bools substitute their JSON literal.
+    - ``{{#toJson}}var{{/toJson}}``: the param as a JSON value
+      (lists/dicts — the term-list idiom).
+
+    Unknown params and unparseable results fail LOUD at plan time
+    (ES renders missing params as empty strings, which silently
+    corrupts queries — the engine refuses instead; pass explicit
+    params)."""
+    params = params or {}
+
+    def _tojson(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"search template: missing param {name!r}")
+        return json.dumps(params[name])
+
+    def _var(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(f"search template: missing param {name!r}")
+        v = params[name]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return json.dumps(v)
+        if isinstance(v, str):
+            # inner content only — the template supplies the quotes
+            return json.dumps(v)[1:-1]
+        raise ValueError(
+            f"search template: param {name!r} is {type(v).__name__}; "
+            "wrap lists/dicts in {{#toJson}}...{{/toJson}}"
+        )
+
+    rendered = _VAR_RE.sub(_var, _TOJSON_RE.sub(_tojson, source))
+    if "{{" in rendered:
+        raise ValueError(
+            f"search template: unsupported mustache left in {rendered!r}"
+        )
+    try:
+        body = json.loads(rendered)
+    except json.JSONDecodeError as exc:
+        raise ValueError(
+            f"search template: rendered source is not JSON: {exc}"
+        ) from exc
+    if not isinstance(body, dict):
+        raise ValueError("search template must render a request body")
+    return body
+
+
+def run_search_template(
+    df: DataFrame, source: str, params: dict | None, **kwargs
+) -> DataFrame:
+    """``_search/template``: render, then execute through
+    run_search_body — the rendered body costs exactly what the literal
+    body would."""
+    from .querydsl import run_search_body
+
+    return run_search_body(df, render_search_template(source, params),
+                           **kwargs)
+
+
+def run_validate_query(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``_validate/query``: compile the body's query against the
+    frame and report one row (valid, error) instead of raising —
+    what CI linting of stored queries calls. Valid means the query
+    COMPILES (ES's lightweight validation); it does not execute."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    try:
+        pred = compile_query(body.get("query", {"match_all": {}}))
+        df.select(pred.alias("__v")).schema  # analysis-checks columns
+        return spark.range(1).select(
+            F.lit(True).alias("valid"), F.lit("").alias("error")
+        )
+    except Exception as exc:  # noqa: BLE001 - the API reports, never raises
+        return spark.range(1).select(
+            F.lit(False).alias("valid"),
+            F.lit(f"{type(exc).__name__}: {exc}"[:500]).alias("error"),
+        )

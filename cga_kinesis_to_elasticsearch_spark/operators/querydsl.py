@@ -91,6 +91,18 @@ Compound:
   negative / percentage forms (``3``, ``-1``, ``"75%"``, ``"-25%"``),
   defaulting to 1 when the bool has no must/filter context, else 0.
 - ``constant_score`` {"filter": query} — the wrapped filter
+- ``boosting``       {positive, negative, negative_boost} — matches
+  positive; where negative also matches, the score multiplies by
+  negative_boost (demote, don't exclude)
+- ``pinned``         {ids, organic} — promoted ids first in list
+  order above every organic hit, then organic by its own score
+- ``span_term`` / ``span_near`` / ``span_first`` — Lucene span
+  queries over per-token positions: span_near with ``slop`` /
+  ``in_order`` (unordered to 3 clauses via permutations), span_first
+  with an ``end`` bound; span clauses must be span_terms (nested
+  span compounds rejected at plan time)
+- ``case_insensitive: true`` on term / prefix / wildcard long forms
+  (both sides lowercased)
 - ``dis_max``        {"queries": [...]} — union of the branches
   (filter context: a doc matches if any branch matches; scoring
   context: best matching branch + ``tie_breaker`` x the others)
@@ -495,6 +507,18 @@ def _combined_col(body: dict, resolve=None) -> Column:
     )
 
 
+def _span_term_of(clause: dict) -> tuple[str, str]:
+    """The (field, term) of a span clause that must be a ``span_term``
+    — nested span compounds (span_near in span_near) would need
+    interval-endpoint algebra and are rejected at plan time."""
+    if not isinstance(clause, dict) or set(clause) != {"span_term"}:
+        raise ValueError(f"span clause here must be a span_term: {clause}")
+    field, value = _one_field("span_term", clause["span_term"])
+    if isinstance(value, dict):
+        value = value["value"]
+    return field, str(value)
+
+
 def _one_field(kind: str, body: dict) -> tuple[str, object]:
     if not isinstance(body, dict) or len(body) != 1:
         raise ValueError(f"{kind} must target exactly one field: {body}")
@@ -802,13 +826,84 @@ def compile_query(
         )
     if kind == "match_all":
         return F.lit(True)
+    if kind == "boosting":
+        # filter context: boosting matches exactly what positive
+        # matches (negative only demotes the score)
+        for key in ("positive", "negative", "negative_boost"):
+            if key not in body:
+                raise ValueError(f"boosting needs {key}: {body}")
+        compile_query(body["negative"], id_col=id_col, resolve=resolve)
+        return compile_query(
+            body["positive"], id_col=id_col, resolve=resolve
+        )
+    if kind == "pinned":
+        ids = body.get("ids")
+        organic = body.get("organic")
+        if not ids or organic is None:
+            raise ValueError(f"pinned needs ids and organic: {body}")
+        return F.coalesce(
+            compile_query(organic, id_col=id_col, resolve=resolve),
+            F.lit(False),
+        ) | resolve(id_col).isin(*ids)
+    if kind == "span_term":
+        field, value = _one_field(kind, body)
+        if isinstance(value, dict):
+            value = value["value"]
+        return F.array_contains(_tokens(resolve(field)), str(value))
+    if kind == "span_first":
+        if "match" not in body or "end" not in body:
+            raise ValueError(f"span_first needs match and end: {body}")
+        field, term = _span_term_of(body["match"])
+        pos = _eq_positions(_tokens(resolve(field)), term)
+        end = int(body["end"])
+        # Lucene: the span must END at or before `end`; a span_term's
+        # end is position + 1, so position < end
+        return F.coalesce(
+            F.exists(pos, lambda p: p < F.lit(end)), F.lit(False)
+        )
+    if kind == "span_near":
+        clauses = body.get("clauses")
+        if not clauses:
+            raise ValueError(f"span_near needs clauses: {body}")
+        slop = int(body.get("slop", 0))
+        in_order = bool(body.get("in_order", False))
+        parsed = [_span_term_of(c) for c in clauses]
+        fields = {f for f, _ in parsed}
+        if len(fields) != 1:
+            raise ValueError(
+                f"span_near clauses must share one field: {sorted(fields)}"
+            )
+        toks = _tokens(resolve(parsed[0][0]))
+        terms = [t for _, t in parsed]
+        pos = {t: _eq_positions(toks, t) for t in dict.fromkeys(terms)}
+        if in_order or len(terms) == 1:
+            return _chain_cond([pos[t] for t in terms], slop)
+        if len(terms) > 3:
+            raise ValueError(
+                "span_near: unordered supports up to 3 clauses "
+                f"(permutation lowering): {terms}"
+            )
+        import itertools
+
+        return functools.reduce(
+            _op.or_,
+            [
+                _chain_cond([pos[t] for t in perm], slop)
+                for perm in sorted(set(itertools.permutations(terms)))
+            ],
+        )
     if kind == "term":
         field, value = _one_field(kind, body)
         if isinstance(value, dict):
-            # ES long form: {"term": {f: {"value": v[, "boost": b]}}}
-            # (boost is consumed by the scored-bool path)
+            # ES long form: {"term": {f: {"value": v[, "boost": b,
+            # "case_insensitive": true]}}} (boost is consumed by the
+            # scored-bool path)
             if "value" not in value:
                 raise ValueError(f"term needs a value: {body}")
+            if value.get("case_insensitive"):
+                return F.lower(resolve(field)) == F.lit(
+                    str(value["value"]).lower()
+                )
             value = value["value"]
         return resolve(field) == F.lit(value)
     if kind == "terms":
@@ -839,9 +934,29 @@ def compile_query(
         return resolve(body["field"]).isNotNull()
     if kind == "prefix":
         field, value = _one_field(kind, body)
+        if isinstance(value, dict):
+            # ES long form: {"prefix": {f: {"value": v[, "boost",
+            # "case_insensitive"]}}}
+            if "value" not in value:
+                raise ValueError(f"prefix needs a value: {body}")
+            if value.get("case_insensitive"):
+                return F.lower(resolve(field)).startswith(
+                    str(value["value"]).lower()
+                )
+            value = value["value"]
         return resolve(field).startswith(str(value))
     if kind == "wildcard":
         field, value = _one_field(kind, body)
+        if isinstance(value, dict):
+            if "value" not in value:
+                raise ValueError(f"wildcard needs a value: {body}")
+            if value.get("case_insensitive"):
+                # lowercase both sides — wildcards and LIKE escapes in
+                # the pattern are caseless, literals fold
+                return F.lower(resolve(field)).like(
+                    _wildcard_to_like(str(value["value"]).lower())
+                )
+            value = value["value"]
         return resolve(field).like(_wildcard_to_like(str(value)))
     if kind == "match":
         field, value = _one_field(kind, body)
@@ -1450,6 +1565,8 @@ def _score_and_filter(
                     "simple_query_string",
                     "rank_feature",
                     "distance_feature",
+                    "boosting",
+                    "pinned",
                 ):
                     _, sub_score = _score_and_filter(df, sub, True)
                 else:
@@ -1462,6 +1579,48 @@ def _score_and_filter(
                     F.lit(0.0)
                 )
         return filtered, (score if any_clause else F.lit(1.0))
+    if kind == "boosting":
+        # demote, don't exclude: matches = positive's matches; where
+        # negative ALSO matches, the score is multiplied by
+        # negative_boost (ES's boosting query)
+        for key in ("positive", "negative", "negative_boost"):
+            if key not in body:
+                raise ValueError(f"boosting needs {key}: {body}")
+        nb = float(body["negative_boost"])
+        filtered, pscore = _score_and_filter(
+            df, body["positive"], need_score
+        )
+        if not need_score:
+            return filtered, None
+        neg = F.coalesce(
+            compile_query(body["negative"], id_col=_identity_col(df)),
+            F.lit(False),
+        )
+        return filtered, F.when(neg, pscore * F.lit(nb)).otherwise(pscore)
+    if kind == "pinned":
+        # promoted documents first, in LIST order, above every organic
+        # hit: pinned scores are 1e12 + (n - i) — exactly-representable
+        # doubles far above any BM25/feature score (documented stand-in
+        # for ES's float-max-derived pin scores)
+        ids = body.get("ids")
+        organic = body.get("organic")
+        if not ids or organic is None:
+            raise ValueError(f"pinned needs ids and organic: {body}")
+        filtered = apply_query(df, query)
+        if not need_score:
+            return filtered, None
+        _, oscore = _score_and_filter(df, organic, True)
+        omatched = F.coalesce(
+            compile_query(organic, id_col=_identity_col(df)), F.lit(False)
+        )
+        idc = F.col(_identity_col(df))
+        score = F.when(omatched, oscore).otherwise(F.lit(0.0))
+        n = len(ids)
+        for i, pid in enumerate(ids):
+            score = F.when(
+                idc == F.lit(pid), F.lit(1e12 + float(n - i))
+            ).otherwise(score)
+        return filtered, score
     if kind == "rank_feature" and need_score:
         # a scoring-only leaf: the match set is docs with a positive
         # feature; the score is the chosen saturation/log/sigmoid form
@@ -1618,11 +1777,18 @@ def _leaf_boost(sub: dict) -> float:
 
 
 def _source_columns(columns: list[str], spec) -> list[str]:
-    """ES ``_source`` filtering, all request forms: a list of names
-    (exact), a single string, ``*``-wildcard patterns, and the
-    ``{"includes": [...], "excludes": [...]}`` dict. Resolves against
-    the frame's columns in frame order (stable output schema)."""
+    """ES ``_source`` filtering, all request forms: ``false`` (no
+    source — script/docvalue fields only), ``true`` (everything), a
+    list of names (exact), a single string, ``*``-wildcard patterns,
+    and the ``{"includes": [...], "excludes": [...]}`` dict. Resolves
+    against the frame's columns in frame order (stable output
+    schema)."""
     import fnmatch
+
+    if spec is False:
+        return []
+    if spec is True:
+        return list(columns)
 
     def _match(patterns) -> list[str]:
         out = []
@@ -2077,6 +2243,42 @@ def _run_hits(
         out = out.withColumn("_score", score)
     if "highlight" in body:
         out = _apply_highlight(out, body)
+    # ES script_fields: per-hit computed values (painless arithmetic
+    # subset) — computed BEFORE the _source projection so they may
+    # reference columns _source drops, returned alongside it
+    script_field_names: list[str] = []
+    for name, spec in (body.get("script_fields") or {}).items():
+        src = ((spec or {}).get("script") or {}).get("source")
+        if not src:
+            raise ValueError(
+                f"script_fields {name!r} needs script.source: {spec}"
+            )
+        out = out.withColumn(name, _compile_score_script(src))
+        script_field_names.append(name)
+    # ES docvalue_fields / fields: extra returned columns, optionally
+    # format-applied (dates); surfaced as <field>__dv so a formatted
+    # copy never collides with the raw _source column
+    dv_names: list[str] = []
+    for spec in list(body.get("docvalue_fields") or []) + list(
+        body.get("fields") or []
+    ):
+        if isinstance(spec, str):
+            fld, fmt = spec, None
+        elif isinstance(spec, dict) and "field" in spec:
+            fld, fmt = spec["field"], spec.get("format")
+        else:
+            raise ValueError(f"docvalue/fields entry needs a field: {spec}")
+        if fld not in out.columns:
+            raise ValueError(f"docvalue/fields: unknown field {fld!r}")
+        name = f"{fld}__dv"
+        col = F.col(fld)
+        if fmt == "epoch_millis":
+            col = F.unix_millis(col)
+        elif fmt:
+            # ES date-format pattern (java.time compatible subset)
+            col = F.date_format(col, fmt)
+        out = out.withColumn(name, col)
+        dv_names.append(name)
     cols = [
         (
             (F.col(f).desc_nulls_first() if missing == "_first"
@@ -2224,10 +2426,21 @@ def _run_hits(
         *[c for c in out.columns if c.startswith("__script_sort_")]
     )
     if "_source" in body:
+        extras = set(script_field_names) | set(dv_names)
         keep = _source_columns(
-            [c for c in out.columns if c not in ("_score", "hit_rank")],
+            [
+                c
+                for c in out.columns
+                if c not in ("_score", "hit_rank") and c not in extras
+            ],
             body["_source"],
         )
+        # script_fields / docvalue_fields are returned ALONGSIDE the
+        # _source selection (ES keeps them in separate response
+        # sections; the flat frame appends them), even under
+        # _source: false
+        keep += [c for c in (*script_field_names, *dv_names)
+                 if c not in keep]
         if need_score and "_score" not in keep:
             keep.append("_score")
         if "highlight" in body:

@@ -427,3 +427,410 @@ def _es_scroll_sliced_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_slices=3,
     )
     return out.select("slice_id", "page", "doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# 9. boosting query: demote (don't exclude) by a negative query
+# ---------------------------------------------------------------------------
+
+_BOOSTING_ORACLE = """
+SELECT doc_id,
+       round(CASE WHEN lang = 'fr'
+                  THEN 0.25 * n_chars / (n_chars + 300.0)
+                  ELSE n_chars / (n_chars + 300.0) END, 6) AS score
+FROM documents
+WHERE n_chars > 0
+ORDER BY score DESC, doc_id
+LIMIT 30
+"""
+
+
+@q("es_search_boosting", _BOOSTING_ORACLE)
+def _es_search_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``boosting`` query: positive hits keep their score, hits the
+    ``negative`` query ALSO matches are multiplied by
+    ``negative_boost`` — ES's demote-without-excluding tool. The
+    positive arm is a rank_feature saturation so the oracle is pure
+    arithmetic; French documents sink by 4x but stay in the results.
+
+    Scale shape: one codegen CASE over one scan + TakeOrdered(30)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(docs, {
+        "query": {"boosting": {
+            "positive": {"rank_feature": {
+                "field": "n_chars", "saturation": {"pivot": 300}}},
+            "negative": {"term": {"lang": "fr"}},
+            "negative_boost": 0.25,
+        }},
+        "sort": [{"_score": "desc"}],
+        "size": 30,
+        "_source": ["doc_id"],
+    })
+    return out.select("doc_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 10. pinned query: promoted documents first, in list order
+# ---------------------------------------------------------------------------
+
+_PINNED_ORACLE = """
+WITH scored AS (
+  SELECT doc_id,
+         CASE doc_id WHEN 7 THEN 1e12 + 3
+                     WHEN 3 THEN 1e12 + 2
+                     WHEN 11 THEN 1e12 + 1
+         ELSE CASE WHEN lang = 'en'
+                   THEN n_chars / (n_chars + 300.0)
+                   ELSE 0.0 END END AS s
+  FROM documents
+  WHERE lang = 'en' OR doc_id IN (7, 3, 11)
+)
+-- the pin base is normalized out of the RETURNED value: round() of a
+-- 1e12-scale double multiplies past 2^53 and differs at the last ulp
+-- between engines, so the comparison surface is (pinned?, residual)
+SELECT doc_id,
+       (s >= 1e12) AS pinned,
+       round(CASE WHEN s >= 1e12 THEN s - 1e12 ELSE s END, 6) AS score
+FROM scored
+ORDER BY s DESC, doc_id
+LIMIT 20
+"""
+
+
+@q("es_search_pinned", _PINNED_ORACLE)
+def _es_search_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pinned`` query: ids [7, 3, 11] rank first IN LIST ORDER above
+    every organic hit (scores 1e12+3/2/1 — exactly-representable
+    doubles, the engine's documented stand-in for ES's float-max pin
+    scores), then the organic rank_feature order follows. Pinned docs
+    outside the organic match set still return (doc 7/3/11 regardless
+    of language).
+
+    Scale shape: a literal id CASE over the organic score expression —
+    no joins; one scan + TakeOrdered(20)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(docs, {
+        "query": {"pinned": {
+            "ids": [7, 3, 11],
+            "organic": {"bool": {
+                "filter": [{"term": {"lang": "en"}}],
+                "should": [{"rank_feature": {
+                    "field": "n_chars", "saturation": {"pivot": 300}}}],
+            }},
+        }},
+        "sort": [{"_score": "desc"}],
+        "size": 20,
+        "_source": ["doc_id"],
+    })
+    pinned = F.col("_score") >= 1e12
+    return out.select(
+        "doc_id",
+        pinned.alias("pinned"),
+        F.round(
+            F.when(pinned, F.col("_score") - 1e12).otherwise(
+                F.col("_score")
+            ),
+            6,
+        ).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. span queries: span_near (ordered proximity) + span_first
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS t,
+         generate_subscripts(list_filter(string_split_regex(text, '\\s+'),
+                                         x -> x <> ''), 1) AS p
+  FROM documents
+),
+near_hits AS (  -- span_near [key, scan] slop 3 in_order
+  SELECT DISTINCT a.doc_id
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.p > a.p AND b.p - a.p - 1 <= 3
+  WHERE a.t = 'key' AND b.t = 'scan'
+),
+first_hits AS (  -- span_first: 'join' within the first 5 positions
+  SELECT DISTINCT doc_id FROM tok WHERE t = 'join' AND p <= 5
+)
+SELECT n.doc_id
+FROM near_hits n JOIN first_hits f ON n.doc_id = f.doc_id
+ORDER BY n.doc_id
+LIMIT 40
+"""
+
+
+@q("es_search_span_near_first", _SPAN_ORACLE)
+def _es_search_span_near_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lucene span queries through the DSL: ``span_near`` (key then
+    scan, in order, slop 3) AND ``span_first`` (``join`` ending within
+    the first 5 positions) composed in a bool — the classic legal/
+    compliance proximity queries. Span clauses are span_terms; nested
+    span compounds reject at plan time.
+
+    Scale shape: per-token position arrays + in-row chains (the same
+    machinery as slop/intervals) — no explode, no shuffle,
+    TakeOrdered(40). NOTE the oracle's 1-based positions vs the
+    engine's 0-based: p <= 5 == zero-based position < 5."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(docs, {
+        "query": {"bool": {
+            "must": [{"span_near": {
+                "clauses": [
+                    {"span_term": {"text": "key"}},
+                    {"span_term": {"text": "scan"}},
+                ],
+                "slop": 3, "in_order": True,
+            }}],
+            "filter": [{"span_first": {
+                "match": {"span_term": {"text": "join"}}, "end": 5}}],
+        }},
+        "sort": [{"doc_id": "asc"}],
+        "size": 40,
+        "_source": ["doc_id"],
+    })
+
+
+# ---------------------------------------------------------------------------
+# 12. case_insensitive term / prefix / wildcard
+# ---------------------------------------------------------------------------
+
+_CASE_INSENSITIVE_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE lower(c_mktsegment) = lower('BuIlDiNg')
+  AND lower(c_name) LIKE lower('CUSTOMER%9')
+  AND lower(c_name) LIKE lower('CuStOmEr#%')
+ORDER BY c_custkey
+LIMIT 30
+"""
+
+
+@q("es_search_case_insensitive", _CASE_INSENSITIVE_ORACLE)
+def _es_search_case_insensitive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``case_insensitive: true`` on the term / prefix / wildcard long
+    forms (ES 7.10+): both sides lowercase, so 'BuIlDiNg' hits the
+    BUILDING segment and a 'CUSTOMER*' wildcard hits the lowercase
+    names. All three leaves stay single codegen predicates; the
+    lower() wrap keeps them sargable enough for dictionary filters
+    even though verbatim pushdown is off.
+
+    Scale shape: one conjunction, one scan, TakeOrdered(30)."""
+    from ..operators.querydsl import run_search_body
+
+    cust = _t(spark, sf_dir, "customer")
+    return run_search_body(cust, {
+        "query": {"bool": {"filter": [
+            {"term": {"c_mktsegment": {
+                "value": "BuIlDiNg", "case_insensitive": True}}},
+            {"wildcard": {"c_name": {
+                "value": "CUSTOMER*9", "case_insensitive": True}}},
+            {"prefix": {"c_name": {
+                "value": "CuStOmEr#", "case_insensitive": True}}},
+        ]}},
+        "sort": [{"c_custkey": "asc"}],
+        "size": 30,
+        "_source": ["c_custkey", "c_mktsegment"],
+    })
+
+
+# ---------------------------------------------------------------------------
+# 13. script_fields + docvalue_fields + _source: false — the response
+#     shaping every reporting client uses
+# ---------------------------------------------------------------------------
+
+_SCRIPT_FIELDS_ORACLE = """
+SELECT o_orderkey,
+       round(o_totalprice * 0.1, 6) AS tenth,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate__dv
+FROM orders
+WHERE o_orderstatus = 'F'
+ORDER BY o_orderkey
+LIMIT 30
+"""
+
+
+@q("es_search_script_docvalue_fields", _SCRIPT_FIELDS_ORACLE)
+def _es_search_script_docvalue_fields(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``script_fields`` (per-hit computed values, painless arithmetic
+    subset) + ``docvalue_fields`` with a date ``format`` +
+    ``_source: ["o_orderkey"]`` — the shaped response reporting
+    clients request instead of whole documents. Script fields may
+    reference columns ``_source`` drops (o_totalprice here) because
+    they compute before the projection; the formatted docvalue column
+    surfaces as ``<field>__dv`` so it never collides with a raw
+    source column.
+
+    Scale shape: two extra codegen projections on the hit page — no
+    additional scan, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    orders = _t(spark, sf_dir, "orders")
+    out = run_search_body(orders, {
+        "query": {"term": {"o_orderstatus": "F"}},
+        "sort": [{"o_orderkey": "asc"}],
+        "size": 30,
+        "_source": ["o_orderkey"],
+        "script_fields": {"tenth": {"script": {
+            "source": "doc['o_totalprice'].value * 0.1"}}},
+        "docvalue_fields": [
+            {"field": "o_orderdate", "format": "yyyy-MM-dd"}],
+    })
+    return out.select(
+        "o_orderkey", F.round("tenth", 6).alias("tenth"),
+        "o_orderdate__dv",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 14. _analyze: the analyzer-debugging endpoint
+# ---------------------------------------------------------------------------
+
+_ANALYZE_ORACLE = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'quick',
+   CAST(0 AS BIGINT), CAST(5 AS BIGINT)),
+  (0, 1, 'brown', 6, 11),
+  (0, 2, 'fox', 12, 15),
+  (0, 3, '42', 16, 18),
+  (1, 0, 'naïve', 0, 5),
+  (1, 1, 'case', 6, 10)
+) t(text_ordinal, position, token, start_offset, end_offset)
+"""
+
+
+@q("es_analyze_text", _ANALYZE_ORACLE)
+def _es_analyze_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_analyze`` with the Unicode ``standard`` analyzer: two texts
+    tokenize to (position, token, offsets) rows — the endpoint every
+    "why doesn't my match hit" investigation starts with. The token
+    stream is asserted identical to the match-side analysis
+    (one analyzer, one truth); offsets index the ORIGINAL text
+    (``Quick,brown`` keeps its comma out of both tokens;
+    ``naïve_case`` splits on the connector underscore — the
+    documented UAX#29 divergence, visible right here).
+
+    Scale shape: plan-time tokenization of literal text on the
+    driver, exactly like ES's _analyze (no index touched)."""
+    from ..operators.esapi import run_analyze
+
+    return run_analyze(spark, {
+        "text": ["Quick,brown Fox 42", "naïve_case"],
+        "analyzer": "standard",
+    })
+
+
+# ---------------------------------------------------------------------------
+# 15. search templates: mustache-parameterized stored queries
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+  AND c_acctbal >= 4000
+  AND c_nationkey IN (1, 5, 9)
+ORDER BY c_custkey
+LIMIT 25
+"""
+
+
+@q("es_search_template_render", _TEMPLATE_ORACLE)
+def _es_search_template_render(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``_search/template``: one stored mustache template rendered
+    with a string param (``{{seg}}``), a numeric param
+    (``{{min_bal}}``) and a list param (``{{#toJson}}nations
+    {{/toJson}}`` — the term-list idiom), then executed through the
+    normal interpreter. Missing params fail LOUD at render time (ES
+    renders them as empty strings, silently corrupting the query —
+    the engine refuses instead).
+
+    Scale shape: rendering is driver-side string work; the rendered
+    body costs exactly what the literal body costs (same plan)."""
+    from ..operators.esapi import run_search_template
+
+    cust = _t(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_mktsegment", "c_nationkey"]
+    template = """
+    {
+      "query": {"bool": {"filter": [
+        {"term": {"c_mktsegment": "{{seg}}"}},
+        {"range": {"c_acctbal": {"gte": {{min_bal}}}}},
+        {"terms": {"c_nationkey": {{#toJson}}nations{{/toJson}}}}
+      ]}},
+      "sort": [{"c_custkey": "asc"}],
+      "size": 25,
+      "_source": ["c_custkey", "c_mktsegment", "c_nationkey"]
+    }
+    """
+    out = run_search_template(
+        cust, template,
+        {"seg": "BUILDING", "min_bal": 4000, "nations": [1, 5, 9]},
+    )
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# 16. _validate/query: plan-time query linting
+# ---------------------------------------------------------------------------
+
+_VALIDATE_ORACLE = """
+SELECT * FROM (VALUES
+  ('good', true, false),
+  ('bad_clause', false, true),
+  ('bad_column', false, true)
+) t(tag, valid, has_error)
+"""
+
+
+@q("es_validate_query", _VALIDATE_ORACLE)
+def _es_validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_validate/query``: the query-linting endpoint — a valid
+    body, an unsupported clause, and a reference to a missing column
+    each report (valid, has_error) instead of raising; CI pipelines
+    lint stored queries with exactly this.
+
+    Scale shape: compilation + analysis only; nothing executes."""
+    from pyspark.sql import functions as F
+
+    from ..operators.esapi import run_validate_query
+
+    cust = _t(spark, sf_dir, "customer")
+    cases = [
+        ("good", {"query": {"term": {"c_mktsegment": "BUILDING"}}}),
+        ("bad_clause", {"query": {"made_up_clause": {"x": 1}}}),
+        ("bad_column", {"query": {"term": {"no_such_col": 1}}}),
+    ]
+    out = None
+    for tag, body in cases:
+        part = run_validate_query(cust, body).select(
+            F.lit(tag).alias("tag"), "valid",
+            (F.col("error") != "").alias("has_error"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -306,3 +306,256 @@ class TestSlicedScroll:
                     {"sort": [{"doc_id": "asc"}], "slice": spec},
                     page_size=10,
                 ))
+
+
+class TestBoosting:
+    def test_demotes_not_excludes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en", 10.0), (2, "fr", 10.0), (3, "en", 5.0)],
+            "doc_id long, lang string, feat double",
+        )
+        out = run_search_body(df, {
+            "query": {"boosting": {
+                "positive": {"rank_feature": {
+                    "field": "feat", "saturation": {"pivot": 10}}},
+                "negative": {"term": {"lang": "fr"}},
+                "negative_boost": 0.5,
+            }},
+            "sort": [{"_score": "desc"}],
+            "size": 10,
+        }).collect()
+        got = {r.doc_id: r._score for r in out}
+        assert set(got) == {1, 2, 3}  # fr doc demoted, NOT excluded
+        assert got[1] == pytest.approx(0.5)
+        assert got[2] == pytest.approx(0.25)  # 0.5 * negative_boost
+        assert got[3] == pytest.approx(1 / 3)
+
+    def test_requires_all_parts(self):
+        with pytest.raises(ValueError, match="boosting needs"):
+            compile_query({"boosting": {"positive": {"match_all": {}}}})
+
+
+class TestPinned:
+    def test_list_order_above_organic(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 8)],
+            "doc_id long, feat double",
+        )
+        out = run_search_body(df, {
+            "query": {"pinned": {
+                "ids": [5, 2],
+                "organic": {"rank_feature": {
+                    "field": "feat", "saturation": {"pivot": 3}}},
+            }},
+            "sort": [{"_score": "desc"}],
+            "size": 7,
+        }).collect()
+        order = [r.doc_id for r in out]
+        assert order[:2] == [5, 2]  # pinned first, in LIST order
+        # organic tail by descending saturation (feat desc)
+        assert order[2:] == [7, 6, 4, 3, 1]
+
+    def test_pinned_outside_organic_still_returned(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "fr"), (3, "en")],
+            "doc_id long, lang string",
+        )
+        out = run_search_body(df, {
+            "query": {"pinned": {
+                "ids": [2],
+                "organic": {"term": {"lang": "en"}},
+            }},
+            "sort": [{"_score": "desc"}],
+            "size": 10,
+        }).collect()
+        assert [r.doc_id for r in out][0] == 2
+        assert {r.doc_id for r in out} == {1, 2, 3}
+
+
+class TestSpanQueries:
+    def test_span_term_and_first(self, spark):
+        df = spark.createDataFrame(
+            [(1, "join scan merge"), (2, "x y z join"), (3, "scan")],
+            "doc_id long, text string",
+        )
+        assert _ids(df, {"span_term": {"text": "join"}}) == [1, 2]
+        # join must END within the first 2 positions (0-based pos < 2)
+        assert _ids(df, {"span_first": {
+            "match": {"span_term": {"text": "join"}}, "end": 2}}) == [1]
+
+    def test_span_near_in_order_and_unordered(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a x b"), (2, "b a"), (3, "a b"), (4, "b x x a")],
+            "doc_id long, text string",
+        )
+        near = lambda slop, in_order: _ids(df, {"span_near": {
+            "clauses": [{"span_term": {"text": "a"}},
+                        {"span_term": {"text": "b"}}],
+            "slop": slop, "in_order": in_order}})
+        assert near(1, True) == [1, 3]
+        assert near(0, False) == [2, 3]   # adjacent, either order
+        assert near(2, False) == [1, 2, 3, 4]
+
+    def test_span_near_field_and_nesting_guards(self):
+        with pytest.raises(ValueError, match="share one field"):
+            compile_query({"span_near": {"clauses": [
+                {"span_term": {"a": "x"}}, {"span_term": {"b": "y"}}]}})
+        with pytest.raises(ValueError, match="span_term"):
+            compile_query({"span_near": {"clauses": [
+                {"span_near": {"clauses": []}}]}})
+
+
+class TestCaseInsensitive:
+    def test_term_prefix_wildcard(self, spark):
+        df = spark.createDataFrame(
+            [(1, "BUILDING"), (2, "building"), (3, "AUTOMOBILE")],
+            "doc_id long, seg string",
+        )
+        for q in (
+            {"term": {"seg": {"value": "BuIlDiNg",
+                              "case_insensitive": True}}},
+            {"prefix": {"seg": {"value": "BUILD",
+                                "case_insensitive": True}}},
+            {"wildcard": {"seg": {"value": "b*ing",
+                                  "case_insensitive": True}}},
+        ):
+            assert _ids(spark.createDataFrame(
+                [(1, "BUILDING"), (2, "building"), (3, "AUTOMOBILE")],
+                "doc_id long, seg string"), q) == [1, 2]
+        # sensitive by default
+        assert _ids(df, {"term": {"seg": {"value": "building"}}}) == [2]
+        assert _ids(df, {"prefix": {"seg": {"value": "BUILD"}}}) == [1]
+
+
+class TestResponseShaping:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, 10.0, "a"), (2, 20.0, "b")],
+            "doc_id long, price double, tag string",
+        )
+
+    def test_script_fields_with_source_false(self, spark):
+        out = run_search_body(self._df(spark), {
+            "query": {"match_all": {}},
+            "sort": [{"doc_id": "asc"}],
+            "size": 5,
+            "_source": False,
+            "script_fields": {"double_price": {"script": {
+                "source": "doc['price'].value * 2"}}},
+        })
+        assert out.columns == ["double_price"]
+        assert [r.double_price for r in out.collect()] == [20.0, 40.0]
+
+    def test_docvalue_fields_format(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-03-05 10:00:00")], "doc_id long, ts string"
+        ).selectExpr("doc_id", "CAST(ts AS TIMESTAMP) AS ts")
+        out = run_search_body(df, {
+            "sort": [{"doc_id": "asc"}],
+            "size": 5,
+            "_source": ["doc_id"],
+            "docvalue_fields": [{"field": "ts", "format": "yyyy-MM-dd"}],
+        }).collect()
+        assert out[0]["ts__dv"] == "2024-03-05"
+
+    def test_fields_epoch_millis(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-03-05 00:00:01")], "doc_id long, ts string"
+        ).selectExpr("doc_id", "CAST(ts AS TIMESTAMP) AS ts")
+        out = run_search_body(df, {
+            "sort": [{"doc_id": "asc"}], "size": 5,
+            "_source": ["doc_id"],
+            "fields": [{"field": "ts", "format": "epoch_millis"}],
+        }).collect()
+        assert isinstance(out[0]["ts__dv"], int)
+
+    def test_unknown_field_rejected(self, spark):
+        with pytest.raises(ValueError, match="unknown field"):
+            run_search_body(self._df(spark), {
+                "sort": [{"doc_id": "asc"}], "size": 5,
+                "docvalue_fields": ["nope"],
+            })
+
+    def test_source_true_keeps_all(self, spark):
+        out = run_search_body(self._df(spark), {
+            "sort": [{"doc_id": "asc"}], "size": 5, "_source": True,
+        })
+        assert set(out.columns) == {"doc_id", "price", "tag"}
+
+
+class TestAnalyzeApi:
+    def test_standard_tokens_offsets(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_analyze,
+        )
+
+        rows = run_analyze(spark, {
+            "text": "Quick,brown naïve_case", "analyzer": "standard",
+        }).collect()
+        toks = [(r.token, r.start_offset, r.end_offset) for r in rows]
+        assert toks == [
+            ("quick", 0, 5), ("brown", 6, 11),
+            ("naïve", 12, 17), ("case", 18, 22),
+        ]
+
+    def test_whitespace_default(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_analyze,
+        )
+
+        rows = run_analyze(spark, {"text": "A,b  C"}).collect()
+        assert [r.token for r in rows] == ["A,b", "C"]
+        assert [r.position for r in rows] == [0, 1]
+
+
+class TestSearchTemplate:
+    def test_render_types(self):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            render_search_template,
+        )
+
+        body = render_search_template(
+            '{"query": {"bool": {"filter": ['
+            '{"term": {"k": "{{v}}"}},'
+            '{"range": {"n": {"gte": {{lo}}}}},'
+            '{"terms": {"m": {{#toJson}}vals{{/toJson}}}}]}},'
+            '"size": {{sz}}}',
+            {"v": 'x"y', "lo": 3.5, "vals": [1, 2], "sz": 7},
+        )
+        assert body["size"] == 7
+        f = body["query"]["bool"]["filter"]
+        assert f[0]["term"]["k"] == 'x"y'  # escaped through render
+        assert f[1]["range"]["n"]["gte"] == 3.5
+        assert f[2]["terms"]["m"] == [1, 2]
+
+    def test_missing_param_fails_loud(self):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            render_search_template,
+        )
+
+        with pytest.raises(ValueError, match="missing param"):
+            render_search_template('{"size": {{n}}}', {})
+
+    def test_list_without_tojson_rejected(self):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            render_search_template,
+        )
+
+        with pytest.raises(ValueError, match="toJson"):
+            render_search_template('{"a": "{{v}}"}', {"v": [1]})
+
+
+class TestValidateQuery:
+    def test_valid_and_invalid(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_validate_query,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, tag string")
+        ok = run_validate_query(df, {"query": {"term": {"tag": "a"}}})
+        assert ok.first()["valid"] is True
+        bad = run_validate_query(df, {"query": {"nope": {}}})
+        row = bad.first()
+        assert row["valid"] is False and "nope" in row["error"]
+        missing = run_validate_query(df, {"query": {"term": {"zz": 1}}})
+        assert missing.first()["valid"] is False
