@@ -151,7 +151,18 @@ document's metric fields as flat ``<agg>_<field>`` columns —
 deterministic tie-break on the metric fields), and ``rate``
 {[field,] unit} inside a FIXED-length date_histogram (per-unit
 scaling of sum/doc_count; calendar month/quarter/year buckets are
-rejected at plan time).
+rejected at plan time). Round-7 additions: ``geo_bounds`` {field}
+(STRUCT top/bottom/left/right over a struct{lat,lon} geo column,
+planar), ``geo_centroid`` {field} (STRUCT lat/lon/count —
+arithmetic mean under the centi-degree convention),
+``matrix_stats`` {fields: [2..4]} (per-field count/mean/sample
+variance + pairwise sample covariance and Pearson correlation over
+docs with EVERY field, like ES; skewness/kurtosis not lowered —
+Spark's estimators are population-biased where ES's are
+sample-corrected), and the ``random_sampler`` bucket
+{probability[, seed]} (deterministic multiplicative-hash sampling
+of the doc set before sub-aggs; raw sample statistics — the caller
+scales by 1/p).
 
 Pipeline aggregations (siblings of the metrics they reference via
 ``buckets_path`` — a sibling metric name or ``_count``; the enclosing
@@ -368,6 +379,9 @@ _MULTI_METRICS = (
     "percentile_ranks",
     "weighted_avg",
     "boxplot",
+    "geo_bounds",
+    "geo_centroid",
+    "matrix_stats",
 )
 
 
@@ -409,6 +423,61 @@ def _metric_expr(kind: str, body: dict) -> Column:
         )
         return val.cast("double") * F.lit(
             _RATE_UNITS[unit] / float(interval_secs)
+        )
+    if kind == "matrix_stats":
+        # per-field count/mean/variance + pairwise covariance and
+        # Pearson correlation over docs that have EVERY field (ES
+        # matrix_stats skips docs missing any field). Sample
+        # (unbiased) variance/covariance, like ES. skewness/kurtosis
+        # are not lowered (Spark's estimators are population-biased
+        # where ES's are sample-corrected — a silent mismatch).
+        fields = body.get("fields")
+        if (
+            not isinstance(fields, (list, tuple))
+            or not 2 <= len(fields) <= 4
+        ):
+            raise ValueError(
+                f"matrix_stats needs 2..4 fields: {body}"
+            )
+        import itertools
+
+        allnn = functools.reduce(
+            _op.and_, [F.col(f).isNotNull() for f in fields]
+        )
+
+        def _gated(f: str) -> Column:
+            return F.when(allnn, F.col(f).cast("double"))
+
+        parts = []
+        for f in fields:
+            cf = _gated(f)
+            parts += [
+                F.count(cf).alias(f"{f}_count"),
+                F.avg(cf).alias(f"{f}_mean"),
+                F.var_samp(cf).alias(f"{f}_variance"),
+            ]
+        for a, b in itertools.combinations(fields, 2):
+            parts += [
+                F.covar_samp(_gated(a), _gated(b)).alias(f"cov_{a}_{b}"),
+                F.corr(_gated(a), _gated(b)).alias(f"corr_{a}_{b}"),
+            ]
+        return F.struct(*parts)
+    if kind == "geo_bounds":
+        # bounding box of a struct{lat, lon} geo column (planar,
+        # per the repo's centi-degree convention — no dateline wrap)
+        g = F.col(body["field"])
+        return F.struct(
+            F.max(g["lat"]).alias("top"),
+            F.min(g["lat"]).alias("bottom"),
+            F.min(g["lon"]).alias("left"),
+            F.max(g["lon"]).alias("right"),
+        )
+    if kind == "geo_centroid":
+        g = F.col(body["field"])
+        return F.struct(
+            F.avg(g["lat"]).alias("lat"),
+            F.avg(g["lon"]).alias("lon"),
+            F.count(g).alias("count"),
         )
     c = F.col(body["field"])
     if kind == "stats":
@@ -553,7 +622,7 @@ _CONDITION = ("filter", "missing", "global", "nested")
 # predicate): sampler / diversified_sampler trim the doc set before
 # sub-aggs; reverse_nested climbs back to parent docs inside a nested
 # scope
-_SAMPLERS = ("sampler", "diversified_sampler")
+_SAMPLERS = ("sampler", "diversified_sampler", "random_sampler")
 
 
 def _identity_candidates(frame: DataFrame) -> list[str]:
@@ -574,9 +643,41 @@ def _apply_sampler(frame: DataFrame, kind: str, body: dict) -> DataFrame:
     ``field`` value (``max_docs_per_value``, default 1) BEFORE the
     global cut.
 
+    ``random_sampler`` instead keeps each doc with ``probability`` via
+    a DETERMINISTIC multiplicative hash of the document identity (+
+    ``seed``) — reproducible across engines and partitionings, unlike
+    ES's per-shard RNG; sub-agg values are RAW sample statistics (the
+    caller scales counts by 1/p; ES's technical-preview auto-scaling
+    is a documented divergence). At 100 TB this is the cheap way to
+    estimate corpus-wide quality distributions: the predicate is one
+    codegen expression, no sort, no limit.
+
     Scale shape: TakeOrdered(shard_size) — no full sort; the diversity
     cap is one per-key window over the pre-cut frame."""
     body = body or {}
+    if kind == "random_sampler":
+        p = body.get("probability")
+        if not isinstance(p, (int, float)) or not 0 < p <= 1:
+            raise ValueError(
+                f"random_sampler needs probability in (0, 1]: {body}"
+            )
+        seed = int(body.get("seed", 0))
+        ids = _identity_candidates(frame)
+        idc = F.col(f"`{ids[0]}`")
+        from pyspark.sql import types as T
+
+        if not isinstance(
+            frame.schema[ids[0]].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            idc = F.xxhash64(idc)
+        # Knuth multiplicative hash over 2^32 — plain integer
+        # arithmetic, identical in Spark and any SQL oracle
+        h = F.pmod(
+            idc * F.lit(2654435761) + F.lit(seed * 40503),
+            F.lit(2**32),
+        )
+        return frame.filter(h < F.lit(int(float(p) * 2**32)))
     shard_size = int(body.get("shard_size", 100))
     order_by = body.get("sort_by")
     order_cols = [order_by] if order_by else _identity_candidates(frame)
@@ -1059,6 +1160,13 @@ def compile_aggs(aggs: dict) -> list[_Level]:
                     raise ValueError(
                         f"diversified_sampler needs a field: {body}"
                     )
+                if kind == "random_sampler":
+                    p = (body or {}).get("probability")
+                    if not isinstance(p, (int, float)) or not 0 < p <= 1:
+                        raise ValueError(
+                            "random_sampler needs probability in "
+                            f"(0, 1]: {body}"
+                        )
                 if kind == "reverse_nested":
                     if not any(
                         s[2] == "nested" for s in level.segments

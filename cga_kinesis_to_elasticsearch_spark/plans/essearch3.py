@@ -834,3 +834,168 @@ def _es_validate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# 17. geo_bounds + geo_centroid aggregations (Kibana maps summaries)
+# ---------------------------------------------------------------------------
+
+_GEO_AGGS_ORACLE = """
+WITH pts AS (
+  SELECT c_mktsegment,
+         -6000 + (c_custkey * 7) % 12000 AS lat,
+         -18000 + (c_custkey * 13) % 36000 AS lon
+  FROM customer
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS doc_count,
+       CAST(max(lat) AS BIGINT) AS top,
+       CAST(min(lat) AS BIGINT) AS bottom,
+       CAST(min(lon) AS BIGINT) AS left_lon,
+       CAST(max(lon) AS BIGINT) AS right_lon,
+       round(avg(lat), 6) AS centroid_lat,
+       round(avg(lon), 6) AS centroid_lon
+FROM pts
+GROUP BY c_mktsegment
+"""
+
+
+@q("es_aggs_geo_bounds_centroid", _GEO_AGGS_ORACLE)
+def _es_aggs_geo_bounds_centroid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``geo_bounds`` + ``geo_centroid`` metric aggs per terms bucket
+    — the Kibana-maps summary pair (fit-to-bounds + cluster marker)
+    over the repo's struct{lat,lon} centi-degree geo convention
+    (planar, no dateline wrap — documented).
+
+    Scale shape: plain grouped min/max/avg — one partial-agg shuffle
+    on the segment key, KB-scale state per bucket."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.struct(
+            (F.lit(-6000) + (F.col("c_custkey") * 7) % 12000).alias("lat"),
+            (F.lit(-18000) + (F.col("c_custkey") * 13) % 36000).alias(
+                "lon"
+            ),
+        ).alias("loc"),
+    )
+    out = run_search_body(cust, {
+        "aggs": {"by_seg": {"terms": {
+            "field": "c_mktsegment", "size": 10}, "aggs": {
+            "bnd": {"geo_bounds": {"field": "loc"}},
+            "ctr": {"geo_centroid": {"field": "loc"}},
+        }}},
+    })
+    return out.select(
+        F.col("by_seg").alias("segment"),
+        "doc_count",
+        F.col("bnd.top").cast("long").alias("top"),
+        F.col("bnd.bottom").cast("long").alias("bottom"),
+        F.col("bnd.left").cast("long").alias("left_lon"),
+        F.col("bnd.right").cast("long").alias("right_lon"),
+        F.round("ctr.lat", 6).alias("centroid_lat"),
+        F.round("ctr.lon", 6).alias("centroid_lon"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 18. matrix_stats: covariance / correlation across numeric fields
+# ---------------------------------------------------------------------------
+
+_MATRIX_STATS_ORACLE = """
+SELECT count(*) AS n,
+       round(avg(l_quantity), 6) AS qty_mean,
+       round(var_samp(l_quantity), 6) AS qty_variance,
+       round(avg(l_discount), 6) AS disc_mean,
+       round(covar_samp(l_quantity, l_extendedprice), 4)
+         AS cov_qty_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(corr(l_quantity, l_discount), 6) AS corr_qty_disc
+FROM lineitem
+"""
+
+
+@q("es_aggs_matrix_stats", _MATRIX_STATS_ORACLE)
+def _es_aggs_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``matrix_stats``: per-field mean/sample-variance + pairwise
+    sample covariance and Pearson correlation in ONE aggregation pass
+    — ES's multi-field statistics agg (docs missing any field are
+    skipped, vacuous on this table). skewness/kurtosis are not
+    lowered: Spark's estimators are population-biased where ES's are
+    sample-corrected, and a silently-different number is worse than a
+    plan-time absence.
+
+    Scale shape: one map-side-combined global aggregate — every
+    moment accumulates in the same partial pass, no second scan."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = run_search_body(li, {
+        "aggs": {"m": {"matrix_stats": {
+            "fields": ["l_quantity", "l_extendedprice", "l_discount"],
+        }}},
+    })
+    return out.select(
+        F.col("m.l_quantity_count").alias("n"),
+        F.round("m.l_quantity_mean", 6).alias("qty_mean"),
+        F.round("m.l_quantity_variance", 6).alias("qty_variance"),
+        F.round("m.l_discount_mean", 6).alias("disc_mean"),
+        F.round("m.cov_l_quantity_l_extendedprice", 4)
+        .alias("cov_qty_price"),
+        F.round("m.corr_l_quantity_l_extendedprice", 6)
+        .alias("corr_qty_price"),
+        F.round("m.corr_l_quantity_l_discount", 6)
+        .alias("corr_qty_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 19. random_sampler: hash-sampled sub-aggregations
+# ---------------------------------------------------------------------------
+
+_RANDOM_SAMPLER_ORACLE = """
+WITH s AS (
+  SELECT * FROM documents
+  WHERE (doc_id * 2654435761 + 7 * 40503) % 4294967296
+        < CAST(0.25 * 4294967296 AS BIGINT)
+)
+SELECT 'samp' AS agg_path, NULL AS by_lang,
+       (SELECT count(*) FROM s) AS doc_count,
+       (SELECT CAST(sum(n_chars) AS BIGINT) FROM s) AS sum_chars
+UNION ALL
+SELECT 'samp>by_lang', lang, count(*), NULL
+FROM s GROUP BY lang
+"""
+
+
+@q("es_aggs_random_sampler", _RANDOM_SAMPLER_ORACLE)
+def _es_aggs_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``random_sampler`` bucket: sub-aggs run over a ~25% sample
+    selected by a DETERMINISTIC multiplicative hash of the document
+    identity (+ seed) — reproducible across engines and
+    partitionings, unlike ES's per-shard RNG (documented divergence:
+    raw sample statistics; the caller scales counts by 1/p). At
+    100 TB this is the cheap corpus-distribution estimator: the
+    sample predicate is one codegen expression at the scan, no sort.
+
+    Scale shape: filter + grouped aggregates over ~p of the data —
+    cost scales with p, not the corpus."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(docs, {
+        "aggs": {"samp": {
+            "random_sampler": {"probability": 0.25, "seed": 7},
+            "aggs": {
+                "sum_chars": {"sum": {"field": "n_chars"}},
+                "by_lang": {"terms": {"field": "lang", "size": 10}},
+            },
+        }},
+    })

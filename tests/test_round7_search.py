@@ -559,3 +559,65 @@ class TestValidateQuery:
         assert row["valid"] is False and "nope" in row["error"]
         missing = run_validate_query(df, {"query": {"term": {"zz": 1}}})
         assert missing.first()["valid"] is False
+
+
+class TestRound7Aggs:
+    def test_geo_bounds_centroid(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, 20), (2, -5, 40), (3, 30, -10)],
+            "doc_id long, lat long, lon long",
+        ).select(
+            "doc_id",
+            F.struct(F.col("lat"), F.col("lon")).alias("loc"),
+        )
+        out = run_search_body(df, {"aggs": {
+            "b": {"geo_bounds": {"field": "loc"}},
+            "c": {"geo_centroid": {"field": "loc"}},
+        }}).first()
+        assert (out["b"]["top"], out["b"]["bottom"]) == (30, -5)
+        assert (out["b"]["left"], out["b"]["right"]) == (-10, 40)
+        assert out["c"]["lat"] == pytest.approx(35 / 3)
+        assert out["c"]["count"] == 3
+
+    def test_matrix_stats_skips_incomplete_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0, 2.0), (2, 2.0, 4.0), (3, 3.0, None), (4, 4.0, 8.0)],
+            "doc_id long, x double, y double",
+        )
+        out = run_search_body(df, {"aggs": {
+            "m": {"matrix_stats": {"fields": ["x", "y"]}},
+        }}).first()["m"]
+        # doc 3 (missing y) is excluded from EVERY statistic
+        assert out["x_count"] == 3
+        assert out["x_mean"] == pytest.approx((1 + 2 + 4) / 3)
+        assert out["corr_x_y"] == pytest.approx(1.0)  # y = 2x exactly
+
+    def test_matrix_stats_field_count_guard(self):
+        from cga_kinesis_to_elasticsearch_spark.operators.aggsdsl import (
+            _metric_expr,
+        )
+
+        with pytest.raises(ValueError, match="2..4 fields"):
+            _metric_expr("matrix_stats", {"fields": ["only_one"]})
+
+    def test_random_sampler_deterministic_subset(self, spark):
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+        )
+        body = {"aggs": {"s": {
+            "random_sampler": {"probability": 0.3, "seed": 11},
+            "aggs": {"n": {"value_count": {"field": "v"}}},
+        }}}
+        a = run_search_body(df, body).first()
+        b = run_search_body(df.repartition(13), body).first()
+        # deterministic across partitionings, roughly p of the corpus
+        assert a["doc_count"] == b["doc_count"]
+        assert 200 <= a["doc_count"] <= 400
+
+    def test_random_sampler_probability_guard(self, spark):
+        df = spark.range(5).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError, match="probability"):
+            run_search_body(df, {"aggs": {"s": {
+                "random_sampler": {"probability": 1.5},
+                "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+            }}})
