@@ -576,6 +576,7 @@ _KEYED = (
     "date_histogram",
     "histogram",
     "auto_date_histogram",
+    "categorize_text",
 )
 
 # rate-agg units (fixed-seconds; ES's month/quarter/year rates need
@@ -602,7 +603,7 @@ def _dh_fixed_secs(body: dict) -> int | None:
         )
     return None
 # bucket kinds whose ``size`` keeps the top-N by (doc_count desc, key)
-_SIZED = ("terms", "multi_terms")
+_SIZED = ("terms", "multi_terms", "categorize_text")
 
 # auto_date_histogram interval ladder (hours) — ES's rounding ladder
 # clipped to this corpus's hour..month span
@@ -727,6 +728,27 @@ def _key_expr(kind: str, body: dict) -> Column:
             notnull, F.concat_ws("|", *[c.cast("string") for c in cols])
         )
     field = body["field"]
+    if kind == "categorize_text":
+        # ES categorize_text (log-pattern clustering), the engine's
+        # DETERMINISTIC reading: the category key is the message's
+        # token sequence with every digit-bearing token dropped — the
+        # same first step ES's categorizer takes (numbers are what
+        # varies between repeats of one log pattern). ES's
+        # similarity-threshold category MERGING is not lowered; its
+        # tuning params are rejected at plan time so nobody mistakes
+        # this for it.
+        extra = set(body) - {"field", "size"}
+        if extra:
+            raise ValueError(
+                f"categorize_text: unsupported options {sorted(extra)} "
+                "(similarity-based category merging is not lowered)"
+            )
+        toks = F.filter(
+            F.split(F.col(field), r"\s+"),
+            lambda t: (t != "") & ~t.rlike("[0-9]"),
+        )
+        key = F.array_join(toks, " ")
+        return F.when(F.col(field).isNotNull() & (key != ""), key)
     if kind == "significant_terms":
         return F.col(field)
     if kind == "auto_date_histogram":

@@ -28,6 +28,7 @@ __all__ = [
     "render_search_template",
     "run_search_template",
     "run_validate_query",
+    "run_percolate",
 ]
 
 
@@ -170,3 +171,46 @@ def run_validate_query(df: DataFrame, body: dict) -> DataFrame:
             F.lit(False).alias("valid"),
             F.lit(f"{type(exc).__name__}: {exc}"[:500]).alias("error"),
         )
+
+
+def run_percolate(
+    df: DataFrame,
+    stored_queries: list[tuple[object, dict]],
+    id_col: str | None = None,
+) -> DataFrame:
+    """ES percolation: STORED queries run against INCOMING documents —
+    the alerting/saved-search primitive (`percolate` query over a
+    queries index). ``stored_queries`` is the registered
+    [(query_id, query-DSL dict), ...] list; every document of ``df``
+    is tested against every stored query and the matching
+    (query_id, doc identity) pairs return.
+
+    Scale shape: all stored predicates compile into ONE projection —
+    a per-row array of (query_id, matched) structs, exploded and
+    filtered in the same stage. One corpus scan total for N queries,
+    no shuffle, no per-query job; the stored-query list is plan-time
+    state (bounded — ES holds it in the percolator index the same
+    way). At 100 TB the cost is one pass regardless of alert count."""
+    from pyspark.sql import functions as F
+
+    from .querydsl import _identity_col, compile_query
+
+    if not stored_queries:
+        raise ValueError("run_percolate needs stored queries")
+    idc = id_col or _identity_col(df)
+    if idc not in df.columns:
+        raise ValueError(f"run_percolate: no identity column {idc!r}")
+    arms = [
+        F.struct(
+            F.lit(str(qid)).alias("query_id"),
+            F.coalesce(
+                compile_query(dsl, id_col=idc), F.lit(False)
+            ).alias("matched"),
+        )
+        for qid, dsl in stored_queries
+    ]
+    return (
+        df.select(F.col(idc), F.explode(F.array(*arms)).alias("__p"))
+        .filter(F.col("__p.matched"))
+        .select(F.col("__p.query_id").alias("query_id"), F.col(idc))
+    )

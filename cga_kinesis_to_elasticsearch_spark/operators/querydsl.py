@@ -172,6 +172,17 @@ __all__ = [
 
 _RANGE_OPS = {"gte": _op.ge, "gt": _op.gt, "lte": _op.le, "lt": _op.lt}
 
+# multi_match types -> the per-field leaf each expands to
+# (cross_fields is term-centric and handled separately)
+_MM_TYPES = {
+    "best_fields": "match",
+    "most_fields": "match",
+    "cross_fields": None,
+    "phrase": "match_phrase",
+    "phrase_prefix": "match_phrase_prefix",
+    "bool_prefix": "match_bool_prefix",
+}
+
 
 # Analyzers: the engine's default stays WHITESPACE (the documented
 # divergence from ES's standard default); per-request ``analyzer``
@@ -694,6 +705,20 @@ def compile_query(
             F.array_contains(toks, str(t)).cast("int") for t in terms
         ]
         return functools.reduce(_op.add, hits) >= m
+    if kind == "wrapper":
+        # base64-encoded query JSON — how client libraries ship opaque
+        # queries through strictly-typed APIs; decoded and compiled at
+        # plan time like any inline query
+        import base64
+        import json
+
+        if not isinstance(body, dict) or "query" not in body:
+            raise ValueError(f"wrapper needs a base64 query: {body}")
+        try:
+            inner = json.loads(base64.b64decode(str(body["query"])))
+        except Exception as exc:
+            raise ValueError(f"wrapper: cannot decode query: {exc}")
+        return compile_query(inner, id_col=id_col, resolve=resolve)
     if kind == "constant_score":
         if not isinstance(body, dict) or set(body) != {"filter"}:
             raise ValueError(f"constant_score needs a filter: {body}")
@@ -713,18 +738,50 @@ def compile_query(
         if not isinstance(body, dict) or not body.get("fields"):
             raise ValueError(f"multi_match needs query and fields: {body}")
         mm_type = body.get("type", "best_fields")
-        if mm_type != "best_fields":
-            raise ValueError(f"multi_match: unsupported type {mm_type!r}")
+        if mm_type not in _MM_TYPES:
+            raise ValueError(
+                f"multi_match: unsupported type {mm_type!r} "
+                f"(supported: {sorted(_MM_TYPES)})"
+            )
         mm_analyzer = _check_analyzer(body.get("analyzer", "whitespace"))
+        fields = body["fields"]
+        if mm_type == "cross_fields":
+            # term-centric: EACH term must occur in at least one field
+            # (under operator and; any term anywhere under or) — the
+            # "first_name/last_name" query where field-centric and
+            # would wrongly demand both terms in ONE field
+            q_toks = _analyze_text(body["query"], mm_analyzer)
+            if not q_toks:
+                raise ValueError(f"multi_match needs query tokens: {body}")
+            per_term = [
+                functools.reduce(
+                    _op.or_,
+                    [
+                        F.coalesce(
+                            F.array_contains(
+                                _tokens(resolve(f), mm_analyzer), t
+                            ),
+                            F.lit(False),
+                        )
+                        for f in fields
+                    ],
+                )
+                for t in q_toks
+            ]
+            red = _op.and_ if body.get("operator", "or") == "and" else _op.or_
+            return functools.reduce(red, per_term)
+        leaf_kind = _MM_TYPES[mm_type]
+        spec: dict = {"query": body["query"], "analyzer": mm_analyzer}
+        if mm_type in ("best_fields", "most_fields", "bool_prefix"):
+            spec["operator"] = body.get("operator", "or")
+        if mm_type in ("phrase", "phrase_prefix") and "slop" in body:
+            spec["slop"] = int(body["slop"])
         per_field = [
             compile_query(
-                {"match": {f: {"query": body["query"],
-                               "operator": body.get("operator", "or"),
-                               "analyzer": mm_analyzer}}},
-                id_col=id_col,
+                {leaf_kind: {f: dict(spec)}}, id_col=id_col,
                 resolve=resolve,
             )
-            for f in body["fields"]
+            for f in fields
         ]
         return functools.reduce(
             _op.or_,
@@ -1641,16 +1698,40 @@ def _score_and_filter(
             score = score * F.lit(boost)
         return apply_query(df, query), score
     if kind == "multi_match" and need_score:
-        # best_fields: the document's score is its BEST single-field
-        # BM25 — Lucene's DisjunctionMaxQuery with tie_breaker 0
+        # best_fields: best single-field BM25 (Lucene's
+        # DisjunctionMaxQuery, tie_breaker 0); most_fields: the SUM of
+        # per-field BM25 (each field adds evidence); cross_fields:
+        # BM25 over the fields blended as one synthesized column
+        # (summed tf, shared length — blended statistics, the spirit
+        # of ES's term-centric blended df); the phrase families score
+        # constant 1.0 (Lucene phrase-frequency scoring is not
+        # lowered — a match is a match, boost still applies)
         fields = body.get("fields") or []
         if not fields:
             raise ValueError(f"multi_match needs fields: {body}")
         text = str(body["query"])
         analyzer = _check_analyzer(body.get("analyzer", "whitespace"))
-        score = F.greatest(
-            *[_bm25_score(df, f, text, analyzer) for f in fields]
-        ) if len(fields) > 1 else _bm25_score(df, fields[0], text, analyzer)
+        mm_type = body.get("type", "best_fields")
+        if mm_type == "best_fields":
+            score = F.greatest(
+                *[_bm25_score(df, f, text, analyzer) for f in fields]
+            ) if len(fields) > 1 else _bm25_score(
+                df, fields[0], text, analyzer
+            )
+        elif mm_type == "most_fields":
+            score = functools.reduce(
+                _op.add,
+                [_bm25_score(df, f, text, analyzer) for f in fields],
+            )
+        elif mm_type == "cross_fields":
+            score = _bm25_score(
+                df,
+                _combined_col({"query": text, "fields": fields}),
+                text,
+                analyzer,
+            )
+        else:  # phrase / phrase_prefix / bool_prefix
+            score = F.lit(1.0)
         boost = float(body.get("boost", 1.0))
         if boost != 1.0:
             score = score * F.lit(boost)

@@ -999,3 +999,232 @@ def _es_aggs_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         }},
     })
+
+
+# ---------------------------------------------------------------------------
+# 20. multi_match types: most_fields / cross_fields / phrase /
+#     bool_prefix through one _msearch batch
+# ---------------------------------------------------------------------------
+
+_MM_TYPES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+)
+SELECT CAST(1 AS BIGINT) AS request, doc_id FROM toks
+WHERE list_contains(tk, 'merge') OR lang = 'merge'
+   OR list_contains(tk, 'scan') OR lang = 'scan'
+UNION ALL
+-- cross_fields operator=and: EACH term in at least one field
+SELECT 2, doc_id FROM toks
+WHERE (list_contains(tk, 'en') OR lang = 'en')
+  AND (list_contains(tk, 'merge') OR lang = 'merge')
+UNION ALL
+-- phrase: adjacent "merge scan" in either field (lang never has it)
+SELECT 3, doc_id FROM toks
+WHERE ' ' || array_to_string(tk, ' ') || ' ' LIKE '% merge scan %'
+   OR lang = 'merge scan'
+UNION ALL
+-- bool_prefix operator=and: term 'window' + prefix 'sc' per field
+SELECT 4, doc_id FROM toks
+WHERE (list_contains(tk, 'window')
+       AND len(list_filter(tk, x -> x LIKE 'sc%')) > 0)
+   OR (lang = 'window' AND lang LIKE 'sc%')
+ORDER BY request, doc_id
+"""
+
+
+@q("es_search_multi_match_types", _MM_TYPES_ORACLE)
+def _es_search_multi_match_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full ``multi_match`` type family beyond best_fields, one
+    ``_msearch`` batch: ``most_fields`` (filter = any field matches),
+    ``cross_fields`` with ``operator: and`` (TERM-centric — each term
+    in at least one field, where field-centric and would wrongly
+    demand both terms in ONE field), ``phrase`` (match_phrase per
+    field), and ``bool_prefix`` (search-as-you-type across fields).
+    Hit sets are doc_id-sorted per request; scoring dispatch
+    (sum / blended-stats BM25) is pinned by unit tests.
+
+    Scale shape: four codegen predicates over one shared scan — the
+    msearch union reads the corpus once per branch, no joins."""
+    from ..operators.querydsl import run_msearch
+
+    docs = _t(spark, sf_dir, "documents")
+    mk = lambda extra: {  # noqa: E731
+        "sort": [{"doc_id": "asc"}], "size": 10000,
+        "_source": ["doc_id"], **extra,
+    }
+    out = run_msearch(docs, [
+        mk({"query": {"multi_match": {
+            "query": "merge scan", "fields": ["text", "lang"],
+            "type": "most_fields"}}}),
+        mk({"query": {"multi_match": {
+            "query": "en merge", "fields": ["text", "lang"],
+            "type": "cross_fields", "operator": "and"}}}),
+        mk({"query": {"multi_match": {
+            "query": "merge scan", "fields": ["text", "lang"],
+            "type": "phrase"}}}),
+        mk({"query": {"multi_match": {
+            "query": "window sc", "fields": ["text", "lang"],
+            "type": "bool_prefix", "operator": "and"}}}),
+    ])
+    return out.select("request", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 21. wrapper query: base64-encoded JSON through typed clients
+# ---------------------------------------------------------------------------
+
+_WRAPPER_ORACLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+ORDER BY doc_id
+LIMIT 30
+"""
+
+
+@q("es_search_wrapper", _WRAPPER_ORACLE)
+def _es_search_wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``wrapper`` query: the inner query ships BASE64-encoded (how
+    strictly-typed client libraries smuggle raw JSON), decoded and
+    compiled at plan time — it costs exactly what the inline query
+    costs and composes inside bool like any leaf.
+
+    Scale shape: identical to the decoded query's plan (pushable
+    term+range conjuncts at the scan)."""
+    import base64
+    import json
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    inner = {"bool": {"filter": [
+        {"term": {"lang": "en"}},
+        {"range": {"n_chars": {"gte": 200}}},
+    ]}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    return run_search_body(docs, {
+        "query": {"wrapper": {"query": b64}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 30,
+        "_source": ["doc_id", "lang"],
+    })
+
+
+# ---------------------------------------------------------------------------
+# 22. percolation: stored queries against incoming documents
+# ---------------------------------------------------------------------------
+
+_PERCOLATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS tk,
+         lang, n_chars
+  FROM documents
+  WHERE doc_id < 150
+)
+SELECT 'alert_vector' AS query_id, doc_id FROM toks
+WHERE list_contains(tk, 'vector')
+UNION ALL
+SELECT 'alert_long_fr', doc_id FROM toks
+WHERE lang = 'fr' AND n_chars >= 300
+UNION ALL
+SELECT 'alert_phrase', doc_id FROM toks
+WHERE ' ' || array_to_string(tk, ' ') || ' ' LIKE '% hash join %'
+ORDER BY query_id, doc_id
+"""
+
+
+@q("es_percolate_alerts", _PERCOLATE_ORACLE)
+def _es_percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation — the alerting primitive: three STORED queries (a
+    match, a bool of term+range, a phrase) run against a batch of
+    incoming documents, returning every (stored query, document)
+    match pair. This is ES's ``percolate`` query inverted exactly the
+    way the percolator index executes it.
+
+    Scale shape: all stored predicates compile into ONE projection
+    (per-row array of (query_id, matched) structs, exploded
+    in-stage) — one corpus scan for N alerts, no shuffle, no
+    per-alert job. The 100 TB alerting bill is one pass."""
+    from pyspark.sql import functions as F
+
+    from ..operators.esapi import run_percolate
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = run_percolate(docs, [
+        ("alert_vector", {"match": {"text": "vector"}}),
+        ("alert_long_fr", {"bool": {"filter": [
+            {"term": {"lang": "fr"}},
+            {"range": {"n_chars": {"gte": 300}}},
+        ]}}),
+        ("alert_phrase", {"match_phrase": {"text": "hash join"}}),
+    ])
+    return out.orderBy("query_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 23. categorize_text: log-pattern clustering
+# ---------------------------------------------------------------------------
+
+_CATEGORIZE_ORACLE = """
+WITH msgs AS (
+  SELECT 'user ' || user_id || ' did ' || event_type || ' in '
+         || CAST(CAST(value * 100 AS BIGINT) AS VARCHAR) || ' ms'
+         AS message
+  FROM events
+),
+keyed AS (
+  SELECT array_to_string(
+           list_filter(string_split_regex(message, '\\s+'),
+                       x -> x <> '' AND NOT regexp_matches(x, '[0-9]')),
+           ' ') AS category
+  FROM msgs
+)
+SELECT category, count(*) AS doc_count
+FROM keyed
+GROUP BY category
+ORDER BY doc_count DESC, category
+LIMIT 10
+"""
+
+
+@q("es_aggs_categorize_text", _CATEGORIZE_ORACLE)
+def _es_aggs_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``categorize_text``: log messages cluster by their token
+    pattern with every digit-bearing token dropped — five synthetic
+    log shapes (one per event type) emerge from ~N distinct messages,
+    exactly the ops workflow the reference's log indices feed. The
+    engine's DETERMINISTIC reading of ES's categorizer (the
+    similarity-threshold merge pass is rejected at plan time, not
+    imitated).
+
+    Scale shape: one codegen key expression + a grouped count — the
+    same partial-agg shuffle as any terms agg; category cardinality,
+    not message cardinality, crosses the wire."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("user "), F.col("user_id"),
+            F.lit(" did "), F.col("event_type"),
+            F.lit(" in "),
+            (F.col("value") * 100).cast("long").cast("string"),
+            F.lit(" ms"),
+        ).alias("message"),
+    )
+    out = run_search_body(ev, {
+        "aggs": {"cats": {"categorize_text": {
+            "field": "message", "size": 10}}},
+    })
+    return out.select(
+        F.col("cats").alias("category"), "doc_count"
+    ).orderBy(F.desc("doc_count"), "category")

@@ -621,3 +621,121 @@ class TestRound7Aggs:
                 "random_sampler": {"probability": 1.5},
                 "aggs": {"n": {"value_count": {"field": "doc_id"}}},
             }}})
+
+
+class TestMultiMatchTypes:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha beta", "en"), (2, "beta", "alpha"),
+             (3, "gamma alpha beta", "fr"), (4, "beta alpha", "en")],
+            "doc_id long, text string, lang string",
+        )
+
+    def test_cross_fields_term_centric(self, spark):
+        df = self._df(spark)
+        # each term in at least one field: doc 2 has alpha in lang,
+        # beta in text — field-centric "and" would reject it
+        got = _ids(df, {"multi_match": {
+            "query": "alpha beta", "fields": ["text", "lang"],
+            "type": "cross_fields", "operator": "and"}})
+        assert got == [1, 2, 3, 4]
+        # best_fields "and" demands both terms in ONE field
+        got = _ids(df, {"multi_match": {
+            "query": "alpha beta", "fields": ["text", "lang"],
+            "type": "best_fields", "operator": "and"}})
+        assert got == [1, 3, 4]
+
+    def test_phrase_and_bool_prefix_types(self, spark):
+        df = self._df(spark)
+        assert _ids(df, {"multi_match": {
+            "query": "alpha beta", "fields": ["text", "lang"],
+            "type": "phrase"}}) == [1, 3]
+        assert _ids(df, {"multi_match": {
+            "query": "gamma alp", "fields": ["text", "lang"],
+            "type": "bool_prefix", "operator": "and"}}) == [3]
+
+    def test_most_fields_scores_sum(self, spark):
+        df = self._df(spark)
+        body = {"query": {"multi_match": {
+            "query": "alpha", "fields": ["text", "lang"],
+            "type": "most_fields"}},
+            "sort": [{"_score": "desc"}], "size": 10}
+        out = {r.doc_id: r._score for r in run_search_body(df, body).collect()}
+        # doc 2 hits in lang only; docs 1/3/4 in text only; the SUM
+        # dispatch means a doc hitting BOTH fields would outrank —
+        # here just assert every match scores > 0 and 2 is included
+        assert set(out) == {1, 2, 3, 4}
+        assert all(v > 0 for v in out.values())
+
+    def test_unknown_type_rejected(self):
+        with pytest.raises(ValueError, match="unsupported type"):
+            compile_query({"multi_match": {
+                "query": "x", "fields": ["a"], "type": "nope"}})
+
+
+class TestWrapperQuery:
+    def test_decodes_and_compiles(self, spark):
+        import base64
+        import json
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "fr")], "doc_id long, lang string"
+        )
+        b64 = base64.b64encode(
+            json.dumps({"term": {"lang": "fr"}}).encode()
+        ).decode()
+        assert _ids(df, {"wrapper": {"query": b64}}) == [2]
+
+    def test_bad_base64_rejected(self):
+        with pytest.raises(ValueError, match="cannot decode"):
+            compile_query({"wrapper": {"query": "!!not-base64!!"}})
+
+
+class TestPercolate:
+    def test_one_scan_match_pairs(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_percolate,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta", 10), (2, "gamma", 50), (3, "alpha", 99)],
+            "doc_id long, text string, n long",
+        )
+        out = run_percolate(df, [
+            ("q_alpha", {"match": {"text": "alpha"}}),
+            ("q_big", {"range": {"n": {"gte": 50}}}),
+        ]).collect()
+        pairs = sorted((r.query_id, r.doc_id) for r in out)
+        assert pairs == [
+            ("q_alpha", 1), ("q_alpha", 3), ("q_big", 2), ("q_big", 3),
+        ]
+
+    def test_empty_queries_rejected(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_percolate,
+        )
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="stored queries"):
+            run_percolate(df, [])
+
+
+class TestCategorizeText:
+    def test_digit_tokens_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "connect from 10.0.0.1 port 22"),
+             (2, "connect from 10.9.9.9 port 8080"),
+             (3, "disconnect idle timeout")],
+            "doc_id long, msg string",
+        )
+        out = run_search_body(df, {"aggs": {"c": {"categorize_text": {
+            "field": "msg"}}}}).collect()
+        got = {r["c"]: r["doc_count"] for r in out}
+        assert got == {"connect from port": 2,
+                       "disconnect idle timeout": 1}
+
+    def test_tuning_params_rejected(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, msg string")
+        with pytest.raises(ValueError, match="categorize_text"):
+            run_search_body(df, {"aggs": {"c": {"categorize_text": {
+                "field": "msg", "similarity_threshold": 70}}}})
