@@ -1365,17 +1365,52 @@ def _decay_score(fn: str, field: str, spec: dict) -> Column:
 import re as _re
 
 _DOC_REF_RE = _re.compile(r"doc\['([A-Za-z_][A-Za-z0-9_.]*)'\]\.value")
+_PARAM_REF_RE = _re.compile(r"params\.([A-Za-z_][A-Za-z0-9_]*)")
 _SCRIPT_SAFE_RE = _re.compile(r"^[\w\s\.\+\-\*/%\(\):><=!&|,?'\[\]]*$")
 
 
-def _compile_score_script(source: str) -> Column:
+def _compile_score_script(
+    source: str, params: dict | None = None
+) -> Column:
     """Painless arithmetic subset for ``script_score``:
-    ``doc['field'].value`` references lower to columns, the rest must
-    be plain arithmetic/comparison syntax (SQL-compatible). ``_score``
-    references are rejected — wrap with ``function_score`` or
-    ``rescore`` for primary-score composition. Fails at PLAN time on
-    anything else, like ES script compilation."""
-    if not source or not _SCRIPT_SAFE_RE.match(source):
+    ``doc['field'].value`` references lower to columns,
+    ``params.name`` references substitute the request's script params
+    (numbers / bools / strings — plan-time literals, like ES script
+    params), and the rest must be plain arithmetic/comparison syntax
+    (SQL-compatible). ``_score`` references are rejected — wrap with
+    ``function_score`` or ``rescore`` for primary-score composition.
+    Fails at PLAN time on anything else (an unreferenced param is
+    fine; an unresolved ``params.`` reference is not), like ES script
+    compilation."""
+    if not source:
+        raise ValueError(f"script_score: unsupported script {source!r}")
+    params = params or {}
+
+    def _param(m: _re.Match) -> str:
+        name = m.group(1)
+        if name not in params:
+            raise ValueError(
+                f"script_score: missing script param {name!r} in "
+                f"{source!r}"
+            )
+        v = params[name]
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        raise ValueError(
+            f"script_score: param {name!r} must be a number/bool/"
+            f"string: {type(v).__name__}"
+        )
+
+    source = _PARAM_REF_RE.sub(_param, source)
+    if "params." in source:
+        raise ValueError(
+            f"script_score: unresolved params reference in {source!r}"
+        )
+    if not _SCRIPT_SAFE_RE.match(source):
         raise ValueError(f"script_score: unsupported script {source!r}")
     if "_score" in source:
         raise ValueError(
@@ -1387,6 +1422,38 @@ def _compile_score_script(source: str) -> Column:
             f"script_score: unresolved doc[...] reference in {source!r}"
         )
     return F.expr(sql)
+
+
+def _script_col(spec: dict | None) -> Column:
+    """A ``{"script": {"source", "params"?}}`` spec -> Column."""
+    script = (spec or {}).get("script") or {}
+    return _compile_score_script(
+        script.get("source"), script.get("params")
+    )
+
+
+def _random_score(spec: dict) -> Column:
+    """ES ``random_score`` in its DETERMINISTIC form (seed AND field
+    given — ES's reproducible mode): a uniform [0, 1) value from a
+    multiplicative hash of the field (+ seed). Numeric fields use
+    plain integer arithmetic (oracle-reproducible); anything else
+    hashes through xxhash64 first. The seedless per-shard-random form
+    is not lowered — results that change per run cannot be
+    oracle-checked or replayed."""
+    if not isinstance(spec, dict) or "field" not in spec \
+            or "seed" not in spec:
+        raise ValueError(
+            "random_score here needs seed AND field (ES's "
+            f"deterministic form): {spec}"
+        )
+    seed = int(spec["seed"])
+    c = F.col(spec["field"])
+    # try_cast, not cast: ANSI mode throws on non-numeric strings
+    key = F.coalesce(c.try_cast("long"), F.xxhash64(c))
+    h = F.pmod(
+        key * F.lit(2654435761) + F.lit(seed * 40503), F.lit(2**32)
+    )
+    return h.cast("double") / F.lit(float(2**32))
 
 
 # field_value_factor modifiers (ES's exact set; log* are base-10,
@@ -1409,7 +1476,11 @@ _BOOST_MODES = ("multiply", "replace", "sum", "avg", "max", "min")
 
 # inline single-function shorthand keys ES accepts directly under
 # function_score (instead of a functions list)
-_INLINE_FN_KEYS = _DECAY_FNS + ("field_value_factor", "script_score")
+_INLINE_FN_KEYS = _DECAY_FNS + (
+    "field_value_factor",
+    "script_score",
+    "random_score",
+)
 
 
 def _field_value_factor(spec: dict) -> Column:
@@ -1476,9 +1547,9 @@ def _function_score_expr(
             elif fn == "field_value_factor":
                 val = _field_value_factor(fbody)
             elif fn == "script_score":
-                val = _compile_score_script(
-                    (fbody.get("script") or {}).get("source")
-                )
+                val = _script_col(fbody)
+            elif fn == "random_score":
+                val = _random_score(fbody)
             else:
                 raise ValueError(f"unsupported score function {fn!r}")
         else:
@@ -1570,11 +1641,11 @@ def _score_and_filter(
         return filtered, _bm25_score(df, field, " ".join(terms))
     if kind == "script_score":
         inner = body.get("query", {"match_all": {}})
-        source = (body.get("script") or {}).get("source")
         filtered = apply_query(df, inner)
         if not need_score:
+            _script_col(body)  # plan-time validation regardless
             return filtered, None
-        return filtered, _compile_score_script(source)
+        return filtered, _script_col(body)
     if kind == "function_score":
         inner = body.get("query", {"match_all": {}})
         min_score = body.get("min_score")
@@ -2139,9 +2210,8 @@ def run_search_body(
             order = spec.get("order", "asc")
             if order not in ("asc", "desc"):
                 raise ValueError(f"sort: bad order {order!r}")
-            src = ((spec or {}).get("script") or {}).get("source")
             name = f"__script_sort_{len(script_sorts)}"
-            script_sorts.append((name, _compile_score_script(src)))
+            script_sorts.append((name, _script_col(spec)))
             sort_specs.append((name, order, "_last"))
         elif len(s) == 1 and next(iter(s)) == "_geo_distance":
             # ES geo-distance sort (Kibana maps): the sort key is the
@@ -2297,7 +2367,7 @@ def _with_runtime_fields(df: DataFrame, mappings: dict) -> DataFrame:
                 f"{sorted(_RUNTIME_TYPES)} and script.source: {spec}"
             )
         df = df.withColumn(
-            name, _compile_score_script(src).cast(_RUNTIME_TYPES[rtype])
+            name, _script_col(spec).cast(_RUNTIME_TYPES[rtype])
         )
     return df
 
@@ -2329,12 +2399,11 @@ def _run_hits(
     # reference columns _source drops, returned alongside it
     script_field_names: list[str] = []
     for name, spec in (body.get("script_fields") or {}).items():
-        src = ((spec or {}).get("script") or {}).get("source")
-        if not src:
+        if not ((spec or {}).get("script") or {}).get("source"):
             raise ValueError(
                 f"script_fields {name!r} needs script.source: {spec}"
             )
-        out = out.withColumn(name, _compile_score_script(src))
+        out = out.withColumn(name, _script_col(spec))
         script_field_names.append(name)
     # ES docvalue_fields / fields: extra returned columns, optionally
     # format-applied (dates); surfaced as <field>__dv so a formatted
@@ -2770,6 +2839,15 @@ def _run_knn(df: DataFrame, body: dict) -> DataFrame:
     filtered = df
     if "filter" in knn:
         filtered = apply_query(filtered, knn["filter"])
+    if "similarity" in knn:
+        # ES knn similarity: the minimum RAW cosine a vector needs to
+        # be a hit (applied before boost) — (1+cos)/2 >= (1+sim)/2
+        sim = float(knn["similarity"])
+        if not -1.0 <= sim <= 1.0:
+            raise ValueError(f"knn similarity must be in [-1, 1]: {sim}")
+        filtered = filtered.filter(
+            _knn_score(field, qv) >= F.lit((1.0 + sim) / 2.0)
+        )
 
     if "query" in body:
         return _run_knn_hybrid(df, filtered, kscore, k, body)

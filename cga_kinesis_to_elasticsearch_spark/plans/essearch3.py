@@ -1228,3 +1228,152 @@ def _es_aggs_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("cats").alias("category"), "doc_count"
     ).orderBy(F.desc("doc_count"), "category")
+
+
+# ---------------------------------------------------------------------------
+# 24. random_score: deterministic reproducible randomness
+# ---------------------------------------------------------------------------
+
+_RANDOM_SCORE_ORACLE = """
+SELECT doc_id,
+       round(CAST((doc_id * 2654435761 + 42 * 40503) % 4294967296
+                  AS DOUBLE) / 4294967296, 6) AS score
+FROM documents
+WHERE lang = 'en'
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+@q("es_search_random_score", _RANDOM_SCORE_ORACLE)
+def _es_search_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``function_score`` with ``random_score`` in ES's DETERMINISTIC
+    form (seed + field): a reproducible uniform [0,1) score per
+    document — A/B result shuffling and sampled relevance audits that
+    must replay identically. The seedless per-shard-random form is
+    rejected at plan time (unreplayable results can't be
+    oracle-checked, or debugged).
+
+    Scale shape: one integer-hash expression in codegen — no state,
+    no shuffle; filter + TakeOrdered(20)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_search_body(docs, {
+        "query": {"function_score": {
+            "query": {"term": {"lang": "en"}},
+            "random_score": {"seed": 42, "field": "doc_id"},
+            "boost_mode": "replace",
+        }},
+        "sort": [{"_score": "desc"}],
+        "size": 20,
+        "_source": ["doc_id"],
+    })
+    return out.select("doc_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 25. script_score with params (the parameterized-script idiom)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_PARAMS_ORACLE = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       round(l_extendedprice * (1 - l_discount) * 0.07 + 5.0, 6)
+         AS score
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-11-01'
+ORDER BY score DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+@q("es_search_script_params", _SCRIPT_PARAMS_ORACLE)
+def _es_search_script_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``script_score`` with ``params``: the script references
+    ``params.rate`` / ``params.base`` and the request supplies the
+    values — ES's recommended pattern (parameterized scripts compile
+    once; inlined constants recompile per value). Params substitute
+    as plan-time literals; an unresolved ``params.`` reference fails
+    at plan time.
+
+    Scale shape: one codegen arithmetic expression; pushable date
+    filter at the scan + TakeOrdered(20)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = run_search_body(li, {
+        "query": {"script_score": {
+            "query": {"range": {"l_shipdate": {"gte": "1998-11-01"}}},
+            "script": {
+                "source": ("doc['l_extendedprice'].value * "
+                           "(1 - doc['l_discount'].value) * params.rate "
+                           "+ params.base"),
+                "params": {"rate": 0.07, "base": 5.0},
+            },
+        }},
+        "sort": [{"_score": "desc"},
+                 {"l_orderkey": "asc"}, {"l_linenumber": "asc"}],
+        "size": 20,
+        "_source": ["l_orderkey", "l_linenumber"],
+    })
+    return out.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round("_score", 6).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 26. knn with a similarity cutoff (quality floor on vector hits)
+# ---------------------------------------------------------------------------
+
+_KNN_DIM7 = 64
+_KNN_VEC7 = [round(((i * 7) % 13) / 13.0, 6) for i in range(_KNN_DIM7)]
+
+_KNN_SIMILARITY_ORACLE = f"""
+WITH q AS (SELECT [{", ".join(str(x) for x in _KNN_VEC7)}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos
+  FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round((1.0 + cos) / 2.0, 6) AS score
+FROM scored
+WHERE (1.0 + cos) / 2.0 >= (1.0 + 0.2) / 2.0
+ORDER BY score DESC, vec_id
+LIMIT 50
+"""
+
+
+@q("es_search_knn_similarity", _KNN_SIMILARITY_ORACLE)
+def _es_search_knn_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``knn`` with ``similarity``: the minimum RAW cosine a vector
+    needs to count as a hit (ES applies it before boost) — the
+    quality floor RAG retrieval uses so low-grade neighbors never
+    reach the prompt. Fewer than k hits may return; that is the
+    point.
+
+    Scale shape: the cutoff is one more codegen comparison on the
+    same zip_with dot product — no extra scan; TakeOrdered(k) over
+    the thresholded set."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = run_search_body(emb, {
+        "knn": {
+            "field": "embedding",
+            "query_vector": _KNN_VEC7,
+            "k": 50,
+            "similarity": 0.2,
+        },
+        "_source": ["vec_id"],
+    })
+    return out.select("vec_id", F.round("_score", 6).alias("score"))

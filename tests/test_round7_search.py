@@ -739,3 +739,80 @@ class TestCategorizeText:
         with pytest.raises(ValueError, match="categorize_text"):
             run_search_body(df, {"aggs": {"c": {"categorize_text": {
                 "field": "msg", "similarity_threshold": 70}}}})
+
+
+class TestRandomScoreAndScriptParams:
+    def test_random_score_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i,) for i in range(1, 6)], "doc_id long"
+        )
+        body = {"query": {"function_score": {
+            "query": {"match_all": {}},
+            "random_score": {"seed": 9, "field": "doc_id"},
+            "boost_mode": "replace",
+        }}, "sort": [{"_score": "desc"}], "size": 5}
+        a = [r.doc_id for r in run_search_body(df, body).collect()]
+        b = [r.doc_id for r in run_search_body(
+            df.repartition(3), body).collect()]
+        assert a == b  # reproducible across partitionings
+        scores = [r._score for r in run_search_body(df, body).collect()]
+        assert all(0.0 <= s < 1.0 for s in scores)
+        assert len(set(scores)) == 5  # distinct per doc
+
+    def test_random_score_needs_seed_and_field(self, spark):
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="seed AND field"):
+            run_search_body(df, {"query": {"function_score": {
+                "random_score": {}}},
+                "sort": [{"_score": "desc"}], "size": 1})
+
+    def test_script_params_substitute(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "doc_id long, v double"
+        )
+        out = run_search_body(df, {
+            "query": {"script_score": {
+                "query": {"match_all": {}},
+                "script": {
+                    "source": "doc['v'].value * params.k + params.b",
+                    "params": {"k": 3, "b": 1.5},
+                },
+            }},
+            "sort": [{"_score": "desc"}], "size": 5,
+        }).collect()
+        got = {r.doc_id: r._score for r in out}
+        assert got == {1: 31.5, 2: 61.5}
+
+    def test_missing_param_fails_at_plan_time(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "doc_id long, v double")
+        with pytest.raises(ValueError, match="missing script param"):
+            run_search_body(df, {
+                "query": {"script_score": {
+                    "query": {"match_all": {}},
+                    "script": {"source": "doc['v'].value * params.k"},
+                }},
+                "sort": [{"_score": "desc"}], "size": 1,
+            })
+
+
+class TestKnnSimilarity:
+    def test_cutoff_excludes_low_cosine(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [-1.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = run_search_body(df, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 10, "similarity": 0.5},
+        }).collect()
+        assert sorted(r.vec_id for r in out) == [1, 2]
+
+    def test_bad_similarity_rejected(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="similarity"):
+            run_search_body(df, {
+                "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                        "k": 10, "similarity": 2.0},
+            })
