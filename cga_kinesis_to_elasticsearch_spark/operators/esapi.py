@@ -29,6 +29,7 @@ __all__ = [
     "run_search_template",
     "run_validate_query",
     "run_percolate",
+    "run_field_caps",
 ]
 
 
@@ -214,3 +215,60 @@ def run_percolate(
         .filter(F.col("__p.matched"))
         .select(F.col("__p.query_id").alias("query_id"), F.col(idc))
     )
+
+
+def run_field_caps(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
+    """ES ``_field_caps``: per-field capabilities — what Kibana calls
+    before rendering any index pattern. Returns one row per (possibly
+    wildcard-filtered) column: (field, type, searchable, aggregatable)
+    with ES type names mapped from the Spark schema (long/double/
+    keyword/text-ish string, boolean, date, dense_vector for
+    array<float>, nested for array<struct>, object for struct).
+
+    Plan-time only: reads the resolved schema, launches nothing."""
+    import fnmatch
+
+    from pyspark.sql import functions as F, types as T
+
+    def _es_type(dt: T.DataType) -> tuple[str, bool]:
+        # (es type, aggregatable)
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return "long", True
+        if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return "double", True
+        if isinstance(dt, T.BooleanType):
+            return "boolean", True
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType,
+                           T.DateType)):
+            return "date", True
+        if isinstance(dt, T.StringType):
+            return "keyword", True
+        if isinstance(dt, T.BinaryType):
+            return "binary", False
+        if isinstance(dt, T.ArrayType):
+            if isinstance(dt.elementType, (T.FloatType, T.DoubleType)):
+                return "dense_vector", False
+            if isinstance(dt.elementType, T.StructType):
+                return "nested", False
+            return "keyword", False
+        if isinstance(dt, T.StructType):
+            return "object", False
+        return "unsupported", False
+
+    rows = []
+    for f in df.schema.fields:
+        if fields and not any(
+            f.name == pat or fnmatch.fnmatchcase(f.name, pat)
+            for pat in fields
+        ):
+            continue
+        es_type, agg = _es_type(f.dataType)
+        rows.append((f.name, es_type, True, agg))
+    if not rows:
+        raise ValueError(f"_field_caps: no field matches {fields!r}")
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "field string, type string, searchable boolean, "
+        "aggregatable boolean",
+    ).orderBy(F.col("field"))

@@ -1377,3 +1377,37 @@ def _es_search_knn_similarity(
         "_source": ["vec_id"],
     })
     return out.select("vec_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 27. _field_caps: the index-pattern introspection Kibana runs first
+# ---------------------------------------------------------------------------
+
+_FIELD_CAPS_ORACLE = """
+SELECT * FROM (VALUES
+  ('l_linenumber', 'long', true, true),
+  ('l_orderkey', 'long', true, true),
+  ('l_quantity', 'double', true, true),
+  ('l_returnflag', 'keyword', true, true),
+  ('l_shipdate', 'date', true, true)
+) t(field, type, searchable, aggregatable)
+ORDER BY field
+"""
+
+
+@q("es_field_caps", _FIELD_CAPS_ORACLE)
+def _es_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_field_caps`` with a wildcard field filter: per-field ES
+    capability rows (type, searchable, aggregatable) mapped from the
+    resolved Spark schema — the introspection Kibana runs before
+    rendering any index pattern. Plan-time only; nothing executes.
+
+    The expected rows are hand-written (the oracle is the ES type
+    mapping itself, independent of the implementation)."""
+    from ..operators.esapi import run_field_caps
+
+    li = _t(spark, sf_dir, "lineitem")
+    return run_field_caps(li, [
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate",
+    ])

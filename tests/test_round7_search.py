@@ -816,3 +816,69 @@ class TestKnnSimilarity:
                 "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
                         "k": 10, "similarity": 2.0},
             })
+
+
+class TestStreamingPercolate:
+    def test_alerts_over_micro_batches(self, spark, tmp_path):
+        """Percolation is a stateless projection, so the same stored
+        queries run unchanged over a Structured Streaming source —
+        the alerting deployment shape (stored alerts x incoming
+        stream, one pass per micro-batch)."""
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_percolate,
+        )
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(
+            [(1, "disk full on node7", 95),
+             (2, "all systems nominal", 10),
+             (3, "disk latency high", 80)],
+            "doc_id long, msg string, pct long",
+        ).write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, msg string, pct long"
+        ).parquet(src)
+        alerts = run_percolate(stream, [
+            ("disk_alert", {"match": {"msg": "disk"}}),
+            ("saturation", {"range": {"pct": {"gte": 90}}}),
+        ])
+        q = (
+            alerts.writeStream.format("memory")
+            .queryName("percolate_alerts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = sorted(
+            (r.query_id, r.doc_id)
+            for r in spark.sql("SELECT * FROM percolate_alerts").collect()
+        )
+        assert rows == [
+            ("disk_alert", 1), ("disk_alert", 3), ("saturation", 1),
+        ]
+
+
+class TestFieldCaps:
+    def test_type_mapping_and_wildcards(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_field_caps,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x", 1.0, True, [0.1], [{"a": 1}])],
+            "doc_id long, tag string, score double, ok boolean, "
+            "emb array<float>, items array<struct<a: long>>",
+        )
+        rows = {r.field: (r.type, r.aggregatable)
+                for r in run_field_caps(df).collect()}
+        assert rows["doc_id"] == ("long", True)
+        assert rows["tag"] == ("keyword", True)
+        assert rows["emb"] == ("dense_vector", False)
+        assert rows["items"] == ("nested", False)
+        # wildcard filter
+        got = [r.field for r in run_field_caps(df, ["doc_*"]).collect()]
+        assert got == ["doc_id"]
+        import pytest as _pt
+        with _pt.raises(ValueError, match="no field matches"):
+            run_field_caps(df, ["zzz*"])
