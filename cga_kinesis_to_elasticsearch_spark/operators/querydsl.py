@@ -2643,28 +2643,100 @@ def run_count_body(df: DataFrame, body: dict) -> DataFrame:
     return out.agg(F.count(F.lit(1)).cast("long").alias("count"))
 
 
-def _query_terms_for(query: dict, field: str) -> list[str]:
-    """Tokens a top-level match / multi_match query holds for
-    ``field`` (the terms the highlighter marks)."""
-    if not isinstance(query, dict) or len(query) != 1:
-        return []
-    kind, body = next(iter(query.items()))
-    if kind == "match":
-        f, value = _one_field(kind, body)
-        if f != field:
-            return []
-        text = value["query"] if isinstance(value, dict) else value
-        return [t for t in str(text).split() if t]
-    if kind == "multi_match" and field in (body.get("fields") or []):
-        return [t for t in str(body["query"]).split() if t]
-    return []
+def _query_terms_for(
+    query: dict, field: str
+) -> tuple[list[str], list[str]]:
+    """(exact terms, prefixes) the query holds for ``field`` — what
+    the unified highlighter marks. Recurses through bool (must /
+    filter / should — never must_not, like ES), dis_max,
+    constant_score, boosting (positive), pinned (organic) and the
+    parsed Lucene queries; collects from the match family including
+    phrase and the search-as-you-type leaves (whose terminal token is
+    a PREFIX mark)."""
+    terms: list[str] = []
+    prefixes: list[str] = []
+    wildcards: list[str] = []
+
+    def _text_of(value) -> str:
+        return str(value["query"] if isinstance(value, dict) else value)
+
+    def walk(q) -> None:
+        if not isinstance(q, dict) or len(q) != 1:
+            return
+        kind, body = next(iter(q.items()))
+        if kind in ("query_string", "simple_query_string"):
+            from .luceneq import (
+                query_string_to_dsl,
+                simple_query_string_to_dsl,
+            )
+
+            walk(
+                query_string_to_dsl(body)
+                if kind == "query_string"
+                else simple_query_string_to_dsl(body)
+            )
+        elif kind in ("match", "match_phrase"):
+            f, value = _one_field(kind, body)
+            if f == field:
+                terms.extend(t for t in _text_of(value).split() if t)
+        elif kind in ("match_phrase_prefix", "match_bool_prefix"):
+            f, value = _one_field(kind, body)
+            if f == field:
+                toks = [t for t in _text_of(value).split() if t]
+                terms.extend(toks[:-1])
+                if toks:
+                    prefixes.append(toks[-1])
+        elif kind == "_token_prefix":
+            f, value = _one_field(kind, body)
+            if f == field:
+                prefixes.append(str(value))
+        elif kind == "_token_wildcard":
+            f, value = _one_field(kind, body)
+            if f == field:
+                wildcards.append(str(value))
+        elif kind == "multi_match" and field in (body.get("fields") or []):
+            toks = [t for t in str(body["query"]).split() if t]
+            if body.get("type") in ("phrase_prefix", "bool_prefix"):
+                terms.extend(toks[:-1])
+                if toks:
+                    prefixes.append(toks[-1])
+            else:
+                terms.extend(toks)
+        elif kind == "bool":
+            # must_not terms are intentionally NOT highlighted
+            for key in ("must", "filter", "should"):
+                for sub in _as_list(body.get(key)):
+                    walk(sub)
+        elif kind == "dis_max":
+            for sub in body.get("queries") or []:
+                walk(sub)
+        elif kind == "constant_score":
+            walk(body.get("filter"))
+        elif kind == "boosting":
+            walk(body.get("positive"))
+        elif kind == "pinned":
+            walk(body.get("organic"))
+        elif kind == "function_score":
+            walk(body.get("query", {}))
+
+    walk(query)
+    # order-preserving dedup
+    return (
+        list(dict.fromkeys(terms)),
+        list(dict.fromkeys(prefixes)),
+        list(dict.fromkeys(wildcards)),
+    )
 
 
 def _apply_highlight(out: DataFrame, body: dict) -> DataFrame:
     """ES ``highlight`` for the whitespace analyzer: each requested
     field gains a ``<field>_highlight`` column — the analyzed field
     with every matched query token wrapped in ``<em>`` tags, as ONE
-    whole-field fragment (ES ``number_of_fragments: 0``). Pure
+    whole-field fragment (ES ``number_of_fragments: 0``). Terms are
+    extracted RECURSIVELY from the query like ES's unified
+    highlighter (bool / dis_max / constant_score / boosting / pinned
+    wrappers, the match family incl. phrase and the prefix leaves,
+    parsed query_string) — must_not terms never highlight. Pure
     codegen (split / transform / join), no UDFs."""
     fields = body["highlight"].get("fields")
     if not isinstance(fields, dict) or not fields:
@@ -2673,17 +2745,28 @@ def _apply_highlight(out: DataFrame, body: dict) -> DataFrame:
         )
     query = body.get("query", {})
     for field in fields:
-        terms = _query_terms_for(query, field)
-        if not terms:
+        terms, prefixes, wildcards = _query_terms_for(query, field)
+        if not terms and not prefixes and not wildcards:
             raise ValueError(
-                f"highlight field {field!r}: only top-level match/"
-                "multi_match query terms are supported"
+                f"highlight field {field!r}: the query holds no "
+                "highlightable terms for it (term extraction covers "
+                "the match family, query_string, and bool/dis_max/"
+                "constant_score/boosting/pinned wrappers)"
             )
+
+        def _hit(t: Column) -> Column:
+            cond = t.isin(*terms) if terms else F.lit(False)
+            for p in prefixes:
+                cond = cond | t.startswith(p)
+            for w in wildcards:
+                cond = cond | t.like(_wildcard_to_like(w))
+            return cond
+
         toks = _tokens(F.col(field))
         marked = F.transform(
             toks,
             lambda t: F.when(
-                t.isin(*terms), F.concat(F.lit("<em>"), t, F.lit("</em>"))
+                _hit(t), F.concat(F.lit("<em>"), t, F.lit("</em>"))
             ).otherwise(t),
         )
         out = out.withColumn(

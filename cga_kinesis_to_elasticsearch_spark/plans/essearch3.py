@@ -1411,3 +1411,59 @@ def _es_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
         "l_shipdate",
     ])
+
+
+# ---------------------------------------------------------------------------
+# 28. highlight driven by a PARSED Lucene query (the Kibana-bar case)
+# ---------------------------------------------------------------------------
+
+_HIGHLIGHT_QS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, tk FROM toks
+  WHERE (' ' || array_to_string(tk, ' ') || ' ' LIKE '% hash join %'
+         OR len(list_filter(tk, x -> x LIKE 'vect%')) > 0)
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(tk, x ->
+           CASE WHEN x IN ('hash', 'join') OR x LIKE 'vect%'
+                THEN '<em>' || x || '</em>' ELSE x END),
+         ' ') AS text_highlight
+FROM hits
+ORDER BY doc_id
+LIMIT 15
+"""
+
+
+@q("es_search_highlight_query_string", _HIGHLIGHT_QS_ORACLE)
+def _es_search_highlight_query_string(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``highlight`` driven by a PARSED ``simple_query_string`` — the
+    Kibana-bar case: the highlighter extracts terms RECURSIVELY from
+    the lowered query tree (the phrase's tokens exact, the trailing-*
+    prefix as a prefix mark), so what matched is what glows. Round-6
+    highlighting only read top-level match/multi_match; every wrapped
+    query raised.
+
+    Scale shape: one extra in-row transform on the HIT page — the
+    marking runs after the filter, never on non-hits."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(docs, {
+        "query": {"simple_query_string": {
+            "query": '"hash join" | vect*',
+            "fields": ["text"],
+        }},
+        "highlight": {"fields": {"text": {}}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 15,
+        "_source": ["doc_id"],
+    })

@@ -882,3 +882,57 @@ class TestFieldCaps:
         import pytest as _pt
         with _pt.raises(ValueError, match="no field matches"):
             run_field_caps(df, ["zzz*"])
+
+
+class TestRecursiveHighlight:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta delta"), (3, "gamma")],
+            "doc_id long, text string",
+        )
+
+    def test_bool_wrapped_terms_highlight(self, spark):
+        out = run_search_body(self._df(spark), {
+            "query": {"bool": {
+                "must": [{"match": {"text": "beta"}}],
+                "should": [{"match_phrase": {"text": "alpha beta"}}],
+                "must_not": [{"match": {"text": "zzz"}}],
+            }},
+            "highlight": {"fields": {"text": {}}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+            "_source": ["doc_id"],
+        }).collect()
+        marks = {r.doc_id: r.text_highlight for r in out}
+        assert marks[1] == "<em>alpha</em> <em>beta</em> gamma"
+        assert marks[2] == "<em>beta</em> delta"
+
+    def test_prefix_leaf_highlights_expansions(self, spark):
+        out = run_search_body(self._df(spark), {
+            "query": {"match_bool_prefix": {"text": "beta gam"}},
+            "highlight": {"fields": {"text": {}}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+            "_source": ["doc_id"],
+        }).collect()
+        marks = {r.doc_id: r.text_highlight for r in out}
+        assert marks[1] == "alpha <em>beta</em> <em>gamma</em>"
+        assert marks[3] == "<em>gamma</em>"
+
+    def test_query_string_wildcard_highlights(self, spark):
+        out = run_search_body(self._df(spark), {
+            "query": {"query_string": {
+                "query": "ga*a OR delta", "default_field": "text"}},
+            "highlight": {"fields": {"text": {}}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+            "_source": ["doc_id"],
+        }).collect()
+        marks = {r.doc_id: r.text_highlight for r in out}
+        assert marks[1].endswith("<em>gamma</em>")
+        assert marks[2] == "beta <em>delta</em>"
+
+    def test_no_highlightable_terms_still_rejected(self, spark):
+        with pytest.raises(ValueError, match="no\\s+highlightable"):
+            run_search_body(self._df(spark), {
+                "query": {"range": {"doc_id": {"gte": 1}}},
+                "highlight": {"fields": {"text": {}}},
+                "sort": [{"doc_id": "asc"}], "size": 5,
+            })
