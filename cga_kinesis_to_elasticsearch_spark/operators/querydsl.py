@@ -1117,7 +1117,11 @@ def compile_query(
         if op == "and":
             return functools.reduce(_op.and_, clauses)
         if msm is not None:
-            m = max(_msm_count(msm, len(clauses)), 1)
+            m = _msm_count(msm, len(clauses))
+            if m <= 0:
+                # ES: a should-only bool whose msm computes <= 0
+                # constrains nothing
+                return F.lit(True)
             flags = [
                 F.coalesce(c, F.lit(False)).cast("int") for c in clauses
             ]

@@ -155,6 +155,18 @@ QUERIES = [
     "es_search_sampler_body",
     "es_search_more_like_this_body",
     "es_scroll_pit_export",
+    # round-7: position-chain match family, feature scoring, sliced
+    # export, percolation (N alerts = one scan), new aggregations
+    "es_search_phrase_prefix",
+    "es_search_intervals",
+    "es_search_rank_feature",
+    "es_search_multi_match_types",
+    "es_scroll_sliced_export",
+    "es_percolate_alerts",
+    "es_aggs_matrix_stats",
+    "es_aggs_random_sampler",
+    "es_aggs_categorize_text",
+    "es_search_knn_similarity",
 ]
 
 

@@ -936,3 +936,13 @@ class TestRecursiveHighlight:
                 "highlight": {"fields": {"text": {}}},
                 "sort": [{"doc_id": "asc"}], "size": 5,
             })
+
+
+class TestBoolPrefixMsmZero:
+    def test_msm_zero_constrains_nothing(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+        )
+        got = _ids(df, {"match_bool_prefix": {"text": {
+            "query": "gamma delt", "minimum_should_match": "0%"}}})
+        assert got == [1, 2]  # msm 0: ES matches everything
