@@ -1982,11 +1982,17 @@ def _source_columns(columns: list[str], spec) -> list[str]:
 
 
 def _tiebreak_names(df: DataFrame, used: list[str]) -> list[str]:
-    """Column names of the deterministic ``_doc`` tie-break: the
-    document-identity column if one exists, else every remaining
+    """Column names of the deterministic ``_doc`` tie-break: EMPTY
+    when the requested sort already pins document identity (its keys
+    are unique — appending more would only widen the scan's
+    ReadSchema), else the identity column, else every remaining
     column."""
-    for cand in ("doc_id", "id", "event_id", "vec_id"):
-        if cand in df.columns and cand not in used:
+    cands = [c for c in ("doc_id", "id", "event_id", "vec_id")
+             if c in df.columns]
+    if any(c in used for c in cands):
+        return []
+    for cand in cands:
+        if cand not in used:
             return [cand]
     return [c for c in df.columns if c not in used]
 
