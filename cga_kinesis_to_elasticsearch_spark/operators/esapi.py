@@ -30,6 +30,7 @@ __all__ = [
     "run_validate_query",
     "run_percolate",
     "run_field_caps",
+    "run_rank_eval",
 ]
 
 
@@ -272,3 +273,101 @@ def run_field_caps(df: DataFrame, fields: list[str] | None = None) -> DataFrame:
         rows, "field string, type string, searchable boolean, "
         "aggregatable boolean",
     ).orderBy(F.col("field"))
+
+
+_RANK_EVAL_METRICS = ("precision", "recall", "mean_reciprocal_rank", "dcg")
+
+
+def run_rank_eval(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``_rank_eval``: grade a set of search requests against
+    human relevance ratings — the offline search-quality harness
+    (``requests: [{id, request, ratings: [{_id, rating}]}]`` +
+    ``metric``). Metrics: ``precision`` / ``recall`` (at k, with
+    ``relevant_rating_threshold``, default 1),
+    ``mean_reciprocal_rank`` (first relevant hit), and ``dcg``
+    (optionally ``normalize``d to nDCG against the ideal ordering of
+    the request's OWN ratings, like ES). Returns one
+    (request_id, metric_score) row per request plus the ``_overall``
+    average — ES's ``quality_level``.
+
+    Scale shape: exactly ES's execution — each request RUNS (one
+    TakeOrdered(k) plan over the corpus; k rows reach the driver),
+    the grading is k-row arithmetic per request. Requests are a
+    bounded list; the corpus is scanned once per request and never
+    collected."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .querydsl import _identity_col, run_search_body
+
+    requests = body.get("requests")
+    metric = body.get("metric")
+    if not requests or not isinstance(metric, dict) or len(metric) != 1:
+        raise ValueError(
+            f"_rank_eval needs requests and exactly one metric: {body}"
+        )
+    (mkind, mspec), = metric.items()
+    mspec = mspec or {}
+    if mkind not in _RANK_EVAL_METRICS:
+        raise ValueError(
+            f"_rank_eval: unsupported metric {mkind!r} "
+            f"(supported: {_RANK_EVAL_METRICS})"
+        )
+    k = int(mspec.get("k", 10))
+    thr = int(mspec.get("relevant_rating_threshold", 1))
+    idc = _identity_col(df)
+    rows = []
+    for req in requests:
+        rid = req.get("id")
+        request = req.get("request")
+        ratings = req.get("ratings")
+        if rid is None or not isinstance(request, dict) or ratings is None:
+            raise ValueError(
+                f"_rank_eval request needs id, request, ratings: {req}"
+            )
+        rating_by_id = {}
+        for r in ratings:
+            if "_id" not in r or "rating" not in r:
+                raise ValueError(f"rating needs _id and rating: {r}")
+            rating_by_id[r["_id"]] = int(r["rating"])
+        hits = run_search_body(
+            df, {**request, "size": k, "_source": [idc]}
+        ).select(idc).collect()  # k rows: the page being graded
+        ranked = [h[idc] for h in hits]
+        rels = [
+            1 if rating_by_id.get(h, 0) >= thr else 0 for h in ranked
+        ]
+        if mkind == "precision":
+            score = sum(rels) / k
+        elif mkind == "recall":
+            total_rel = sum(
+                1 for v in rating_by_id.values() if v >= thr
+            )
+            score = (sum(rels) / total_rel) if total_rel else 0.0
+        elif mkind == "mean_reciprocal_rank":
+            score = 0.0
+            for i, rel in enumerate(rels, start=1):
+                if rel:
+                    score = 1.0 / i
+                    break
+        else:  # dcg
+            gains = [rating_by_id.get(h, 0) for h in ranked]
+            score = sum(
+                (2**g - 1) / math.log2(i + 1)
+                for i, g in enumerate(gains, start=1)
+            )
+            if mspec.get("normalize"):
+                ideal = sorted(rating_by_id.values(), reverse=True)[:k]
+                idcg = sum(
+                    (2**g - 1) / math.log2(i + 1)
+                    for i, g in enumerate(ideal, start=1)
+                )
+                score = score / idcg if idcg else 0.0
+        rows.append((str(rid), float(score)))
+    overall = sum(s for _, s in rows) / len(rows)
+    rows.append(("_overall", float(overall)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "request_id string, metric_score double"
+    ).select("request_id", F.round("metric_score", 6).alias("metric_score"))

@@ -1467,3 +1467,128 @@ def _es_search_highlight_query_string(
         "size": 15,
         "_source": ["doc_id"],
     })
+
+
+# ---------------------------------------------------------------------------
+# 29. _rank_eval: offline search-quality grading
+# ---------------------------------------------------------------------------
+
+_RANK_EVAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+r1 AS (  -- request q_vector: first 5 docs (by id) containing 'vector'
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+  FROM toks WHERE list_contains(tk, 'vector')
+  QUALIFY rk <= 5
+),
+r2 AS (  -- request q_merge: first 5 docs containing 'merge'
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+  FROM toks WHERE list_contains(tk, 'merge')
+  QUALIFY rk <= 5
+),
+g1 AS (  -- ratings for q_vector: docs 1,2,4 relevant
+  SELECT CAST(count(*) FILTER (WHERE doc_id IN (1, 2, 4)) AS DOUBLE)
+         / 5 AS p
+  FROM r1
+),
+g2 AS (  -- ratings for q_merge: docs 0,3 relevant
+  SELECT CAST(count(*) FILTER (WHERE doc_id IN (0, 3)) AS DOUBLE)
+         / 5 AS p
+  FROM r2
+)
+SELECT 'q_vector' AS request_id, round((SELECT p FROM g1), 6)
+       AS metric_score
+UNION ALL
+SELECT 'q_merge', round((SELECT p FROM g2), 6)
+UNION ALL
+SELECT '_overall',
+       round(((SELECT p FROM g1) + (SELECT p FROM g2)) / 2, 6)
+"""
+
+
+@q("es_rank_eval_precision", _RANK_EVAL_ORACLE)
+def _es_rank_eval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_rank_eval`` with ``precision@5``: two rated search requests
+    run and grade against relevance judgments, plus ES's ``_overall``
+    quality_level (the mean) — the offline search-quality harness CI
+    uses to catch relevance regressions before they ship.
+
+    Scale shape: each request is one TakeOrdered(k) plan over the
+    corpus (k rows to the driver — the page being graded); grading is
+    k-row arithmetic. The corpus is never collected."""
+    from ..operators.esapi import run_rank_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_rank_eval(docs, {
+        "requests": [
+            {"id": "q_vector",
+             "request": {"query": {"match": {"text": "vector"}},
+                         "sort": [{"doc_id": "asc"}]},
+             "ratings": [{"_id": 1, "rating": 1}, {"_id": 2, "rating": 1},
+                         {"_id": 4, "rating": 1}]},
+            {"id": "q_merge",
+             "request": {"query": {"match": {"text": "merge"}},
+                         "sort": [{"doc_id": "asc"}]},
+             "ratings": [{"_id": 0, "rating": 1}, {"_id": 3, "rating": 1}]},
+        ],
+        "metric": {"precision": {"k": 5}},
+    })
+
+
+# ---------------------------------------------------------------------------
+# 30. filtered index aliases: one name over many (filtered) indices
+# ---------------------------------------------------------------------------
+
+_ALIAS_ORACLE = """
+SELECT event_type, count(*) AS n
+FROM events
+WHERE (event_type IN ('click', 'view') AND value >= 5.0)
+   OR event_type = 'purchase'
+GROUP BY event_type
+"""
+
+
+@q("es_alias_filtered_union", _ALIAS_ORACLE)
+def _es_alias_filtered_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered index ALIASES: two physical "indices" (activity
+    events and purchase events, written as separate parquet tables
+    the way the day-rotated reference indices are) sit behind ONE
+    alias; the activity member carries a filter (value >= 5), so a
+    read through the alias sees the filtered union — ES's
+    ``_aliases`` contract. The registry round-trips through its JSON
+    persistence before resolution, proving the on-disk form.
+
+    Scale shape: resolution is plan-time; each member's filter pushes
+    into ITS OWN scan (union of pruned scans, no copy)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.aliases import (
+        load_aliases,
+        resolve_alias,
+        save_aliases,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="alias_idx_")
+    p_act = f"{base}/activity"
+    p_pur = f"{base}/purchases"
+    ev.filter(F.col("event_type").isin("click", "view")).write.mode(
+        "overwrite"
+    ).parquet(p_act)
+    ev.filter(F.col("event_type") == "purchase").write.mode(
+        "overwrite"
+    ).parquet(p_pur)
+    registry = {"engagement": [
+        {"path": p_act, "filter": {"range": {"value": {"gte": 5.0}}}},
+        {"path": p_pur},
+    ]}
+    reg_path = f"{base}/aliases.json"
+    save_aliases(registry, reg_path)
+    frame = resolve_alias(spark, load_aliases(reg_path), "engagement")
+    return frame.groupBy("event_type").agg(F.count("*").alias("n"))

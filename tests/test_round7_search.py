@@ -946,3 +946,120 @@ class TestBoolPrefixMsmZero:
         got = _ids(df, {"match_bool_prefix": {"text": {
             "query": "gamma delt", "minimum_should_match": "0%"}}})
         assert got == [1, 2]  # msm 0: ES matches everything
+
+
+class TestRankEval:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(i, "hit" if i % 2 == 0 else "miss") for i in range(10)],
+            "doc_id long, text string",
+        )
+
+    def _body(self, metric):
+        return {
+            "requests": [{
+                "id": "q1",
+                "request": {"query": {"match": {"text": "hit"}},
+                            "sort": [{"doc_id": "asc"}]},
+                # relevant: 0 and 4 (2 of the 5 even docs at k=5...)
+                "ratings": [{"_id": 0, "rating": 2},
+                            {"_id": 4, "rating": 1},
+                            {"_id": 99, "rating": 1}],
+            }],
+            "metric": metric,
+        }
+
+    def test_precision_recall_mrr(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_rank_eval,
+        )
+
+        df = self._df(spark)
+        # hits at k=5 (doc_id order): 0, 2, 4, 6, 8
+        p = run_rank_eval(df, self._body({"precision": {"k": 5}}))
+        got = {r.request_id: r.metric_score for r in p.collect()}
+        assert got["q1"] == pytest.approx(2 / 5)
+        assert got["_overall"] == got["q1"]
+        r = run_rank_eval(df, self._body({"recall": {"k": 5}}))
+        # 3 rated-relevant overall, 2 retrieved
+        assert {x.request_id: x.metric_score for x in r.collect()}[
+            "q1"] == pytest.approx(2 / 3)
+        m = run_rank_eval(
+            df, self._body({"mean_reciprocal_rank": {"k": 5}}))
+        assert {x.request_id: x.metric_score for x in m.collect()}[
+            "q1"] == pytest.approx(1.0)  # first hit is relevant
+
+    def test_ndcg_normalized(self, spark):
+        import math
+
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_rank_eval,
+        )
+
+        df = self._df(spark)
+        out = run_rank_eval(
+            df, self._body({"dcg": {"k": 5, "normalize": True}}))
+        got = {r.request_id: r.metric_score for r in out.collect()}
+        # gains at ranks 1..5: [2,0,1,0,0]; ideal: [2,1,1]
+        dcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(4)
+        idcg = ((2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+                + (2**1 - 1) / math.log2(4))
+        assert got["q1"] == pytest.approx(round(dcg / idcg, 6))
+
+    def test_unknown_metric_rejected(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_rank_eval,
+        )
+
+        with pytest.raises(ValueError, match="unsupported metric"):
+            run_rank_eval(self._df(spark), {
+                "requests": [{"id": "x", "request": {}, "ratings": []}],
+                "metric": {"bogus": {}},
+            })
+
+
+class TestAliases:
+    def test_filtered_union_and_persistence(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.operators.aliases import (
+            cat_aliases,
+            load_aliases,
+            resolve_alias,
+            save_aliases,
+        )
+
+        a = str(tmp_path / "a")
+        b = str(tmp_path / "b")
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "x", 3)], "doc_id long, src string, v long"
+        ).write.parquet(a)
+        spark.createDataFrame(
+            [(3, "y", 99)], "doc_id long, src string, v long"
+        ).write.parquet(b)
+        reg = {"all": [
+            {"path": a, "filter": {"range": {"v": {"gte": 5}}}},
+            {"path": b},
+        ]}
+        p = str(tmp_path / "aliases.json")
+        save_aliases(reg, p)
+        frame = resolve_alias(spark, load_aliases(p), "all")
+        assert sorted(r.doc_id for r in frame.collect()) == [1, 3]
+        cat = cat_aliases(spark, reg).collect()
+        assert [(r.alias, r.filtered) for r in cat] == [
+            ("all", True), ("all", False)]
+
+    def test_unknown_alias_fails_loud(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.aliases import (
+            resolve_alias,
+        )
+
+        with pytest.raises(ValueError, match="unknown alias"):
+            resolve_alias(spark, {}, "nope")
+
+    def test_frame_member_cannot_persist(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.operators.aliases import (
+            save_aliases,
+        )
+
+        df = spark.range(1)
+        with pytest.raises(ValueError, match="frame"):
+            save_aliases({"x": [{"df": df}]}, str(tmp_path / "r.json"))
