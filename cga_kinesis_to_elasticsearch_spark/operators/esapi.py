@@ -27,6 +27,7 @@ __all__ = [
     "run_analyze",
     "render_search_template",
     "run_search_template",
+    "run_msearch_template",
     "run_validate_query",
     "run_percolate",
     "run_field_caps",
@@ -371,3 +372,34 @@ def run_rank_eval(df: DataFrame, body: dict) -> DataFrame:
     return spark.createDataFrame(
         rows, "request_id string, metric_score double"
     ).select("request_id", F.round("metric_score", 6).alias("metric_score"))
+
+
+def run_msearch_template(
+    df: DataFrame,
+    entries: list[tuple[str, dict | None]],
+    **kwargs,
+) -> DataFrame:
+    """``_msearch/template``: several (template source, params) pairs
+    against one index frame — each renders then executes, and the
+    responses union with a 1-based ``request`` ordinal exactly like
+    ``_msearch`` (same column-union contract). Render failures fail
+    the whole batch at plan time; a rendered body costs what the
+    literal body would."""
+    from pyspark.sql import functions as F
+
+    from .querydsl import run_search_body
+
+    if not entries:
+        raise ValueError("_msearch/template needs a non-empty list")
+    out = None
+    for i, (source, params) in enumerate(entries, start=1):
+        body = render_search_template(source, params)
+        part = run_search_body(df, body, **kwargs).select(
+            F.lit(i).cast("long").alias("request"), "*"
+        )
+        out = (
+            part
+            if out is None
+            else out.unionByName(part, allowMissingColumns=True)
+        )
+    return out

@@ -47,6 +47,11 @@ Supported leaves:
 - ``distance_feature`` {field, origin, pivot[, boost]} — matches
                    docs with the field; scores boost*pivot/(pivot+
                    |field-origin|) (numeric origin/pivot)
+- ``sparse_vector`` {field, query_vector: {term: weight}} — learned
+                   sparse retrieval (ELSER/SPLADE): dot product of
+                   the query expansion with the doc's
+                   map<term, weight> field; matches docs holding any
+                   query term
 - ``match_all``    {}
 - ``ids``          {"values": [...]}         — document identity; the
                    engine's ``_id`` is the frame's identity column
@@ -396,6 +401,43 @@ def _intervals_expr(col: Column, rule: dict) -> Column:
         )
     raise ValueError(
         f"intervals: unsupported rule {rk!r} (supported: {_INTERVALS_RULES})"
+    )
+
+
+def _sparse_vector_score(body: dict, resolve=None) -> Column:
+    """``sparse_vector`` scoring: the dot product of the request's
+    ``query_vector`` (term -> weight dict, what an ELSER/SPLADE-style
+    encoder emits) with the document's map<term, weight> field —
+    learned sparse retrieval as one codegen expression (try_element_at
+    per query term; absent terms contribute 0). The query vector is
+    bounded (model top-k expansions), so the expression stays small."""
+    r = resolve or F.col
+    field = body.get("field")
+    qv = body.get("query_vector")
+    if not field or not isinstance(qv, dict) or not qv:
+        raise ValueError(
+            "sparse_vector needs field and a non-empty query_vector "
+            f"dict: {body}"
+        )
+    bad = [t for t, w in qv.items() if not isinstance(w, (int, float))]
+    if bad:
+        raise ValueError(f"sparse_vector: non-numeric weights for {bad}")
+    if len(qv) > 256:
+        raise ValueError(
+            f"sparse_vector: query_vector has {len(qv)} terms (cap 256 "
+            "— pass the encoder's top expansions)"
+        )
+    m = r(field)
+    return functools.reduce(
+        _op.add,
+        [
+            F.lit(float(w))
+            * F.coalesce(
+                F.try_element_at(m, F.lit(str(t))).cast("double"),
+                F.lit(0.0),
+            )
+            for t, w in qv.items()
+        ],
     )
 
 
@@ -1130,6 +1172,21 @@ def compile_query(
     if kind == "intervals":
         field, rule = _one_field(kind, body)
         return _intervals_expr(resolve(field), rule)
+    if kind == "sparse_vector":
+        # learned sparse retrieval (ELSER/SPLADE-style): the field is
+        # a map<term, weight> of the document's non-zero expansion
+        # terms; a doc matches when ANY query term is present (its
+        # dot-product score is positive). Scoring lives in
+        # _score_and_filter.
+        _sparse_vector_score(body, resolve)  # plan-time validation
+        m = resolve(body["field"])
+        return functools.reduce(
+            _op.or_,
+            [
+                F.map_contains_key(m, F.lit(str(t)))
+                for t in body["query_vector"]
+            ],
+        )
     if kind == "rank_feature":
         # matches docs that HAVE the feature: ES rank_feature fields
         # only index positive values, so existence == positivity here
@@ -1699,6 +1756,7 @@ def _score_and_filter(
                     "distance_feature",
                     "boosting",
                     "pinned",
+                    "sparse_vector",
                 ):
                     _, sub_score = _score_and_filter(df, sub, True)
                 else:
@@ -1753,6 +1811,8 @@ def _score_and_filter(
                 idc == F.lit(pid), F.lit(1e12 + float(n - i))
             ).otherwise(score)
         return filtered, score
+    if kind == "sparse_vector" and need_score:
+        return apply_query(df, query), _sparse_vector_score(body)
     if kind == "rank_feature" and need_score:
         # a scoring-only leaf: the match set is docs with a positive
         # feature; the score is the chosen saturation/log/sigmoid form

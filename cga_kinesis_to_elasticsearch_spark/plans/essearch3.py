@@ -1592,3 +1592,122 @@ def _es_alias_filtered_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     save_aliases(registry, reg_path)
     frame = resolve_alias(spark, load_aliases(reg_path), "engagement")
     return frame.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# 31. sparse_vector: learned sparse retrieval (ELSER/SPLADE shape)
+# ---------------------------------------------------------------------------
+
+_SPARSE_VECTOR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> x = 'merge')) AS tf_merge,
+         len(list_filter(tk, x -> x = 'vector')) AS tf_vector,
+         len(list_filter(tk, x -> x = 'scan')) AS tf_scan
+  FROM toks
+)
+SELECT doc_id,
+       round(1.5 * tf_merge + 2.0 * tf_vector + 0.5 * tf_scan, 6)
+         AS score
+FROM tf
+WHERE tf_merge > 0 OR tf_vector > 0 OR tf_scan > 0
+ORDER BY score DESC, doc_id
+LIMIT 25
+"""
+
+
+@q("es_search_sparse_vector", _SPARSE_VECTOR_ORACLE)
+def _es_search_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sparse_vector`` — learned sparse retrieval, the ELSER/SPLADE
+    query shape: documents carry a map<term, weight> of their
+    NON-ZERO expansion terms (derived here as term frequencies over a
+    small vocabulary, zero entries dropped — exactly what a sparse
+    encoder emits), the request carries the query's expansion, and
+    the score is their dot product. Matches docs holding ANY query
+    term.
+
+    Scale shape: the dot product is one codegen expression of
+    try_element_at lookups — no explode of the map, no join, no
+    shuffle; TakeOrdered(25). At 100 TB this is the cheap learned-
+    retrieval path (the posting-list-backed variant would live in
+    sinks/textindex.py like BM25's)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+
+    def tf(term: str):
+        return F.size(F.filter(tk, lambda t: t == F.lit(term))).cast(
+            "double"
+        )
+
+    vocab = ["merge", "vector", "scan"]
+    sparse = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(t) for t in vocab]),
+            F.array(*[tf(t) for t in vocab]),
+        ),
+        lambda _k, v: v > 0,
+    )
+    docs = docs.withColumn("expansion", sparse)
+    out = run_search_body(docs, {
+        "query": {"sparse_vector": {
+            "field": "expansion",
+            "query_vector": {"merge": 1.5, "vector": 2.0, "scan": 0.5},
+        }},
+        "sort": [{"_score": "desc"}],
+        "size": 25,
+        "_source": ["doc_id"],
+    })
+    return out.select("doc_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 32. _msearch/template: a batch of rendered stored queries
+# ---------------------------------------------------------------------------
+
+_MSEARCH_TEMPLATE_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS request, c_custkey
+FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 9000
+UNION ALL
+SELECT 2, c_custkey
+FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 9500
+ORDER BY request, c_custkey
+"""
+
+
+@q("es_msearch_template", _MSEARCH_TEMPLATE_ORACLE)
+def _es_msearch_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_msearch/template``: one stored template rendered twice with
+    different params and executed as an msearch batch — the saved-
+    search dashboard pattern (each panel a (template, params) pair).
+
+    Scale shape: per-request plans over the shared scan, identical to
+    literal msearch."""
+    from ..operators.esapi import run_msearch_template
+
+    cust = _t(spark, sf_dir, "customer")
+    template = """
+    {
+      "query": {"bool": {"filter": [
+        {"term": {"c_mktsegment": "{{seg}}"}},
+        {"range": {"c_acctbal": {"gte": {{min_bal}}}}}
+      ]}},
+      "sort": [{"c_custkey": "asc"}],
+      "size": 10000,
+      "_source": ["c_custkey"]
+    }
+    """
+    out = run_msearch_template(cust, [
+        (template, {"seg": "BUILDING", "min_bal": 9000}),
+        (template, {"seg": "MACHINERY", "min_bal": 9500}),
+    ])
+    return out.select("request", "c_custkey")

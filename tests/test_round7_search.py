@@ -1063,3 +1063,61 @@ class TestAliases:
         df = spark.range(1)
         with pytest.raises(ValueError, match="frame"):
             save_aliases({"x": [{"df": df}]}, str(tmp_path / "r.json"))
+
+
+class TestSparseVector:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, {"cat": 2.0, "dog": 1.0}), (2, {"dog": 3.0}),
+             (3, {"fish": 1.0}), (4, None)],
+            "doc_id long, exp map<string, double>",
+        )
+
+    def test_dot_product_scoring(self, spark):
+        out = run_search_body(self._df(spark), {
+            "query": {"sparse_vector": {
+                "field": "exp", "query_vector": {"cat": 2.0, "dog": 0.5},
+            }},
+            "sort": [{"_score": "desc"}], "size": 10,
+        }).collect()
+        got = {r.doc_id: r._score for r in out}
+        assert got == {1: pytest.approx(4.5), 2: pytest.approx(1.5)}
+        assert 3 not in got and 4 not in got  # no query term / null map
+
+    def test_composes_in_scored_bool(self, spark):
+        out = run_search_body(self._df(spark), {
+            "query": {"bool": {"should": [
+                {"sparse_vector": {"field": "exp",
+                                   "query_vector": {"fish": 10.0}}},
+                {"term": {"doc_id": {"value": 2, "boost": 7.0}}},
+            ]}},
+            "sort": [{"_score": "desc"}], "size": 10,
+        }).collect()
+        got = {r.doc_id: r._score for r in out}
+        assert got[3] == pytest.approx(10.0)
+        assert got[2] == pytest.approx(7.0)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="query_vector"):
+            compile_query({"sparse_vector": {"field": "exp",
+                                             "query_vector": {}}})
+        with pytest.raises(ValueError, match="non-numeric"):
+            compile_query({"sparse_vector": {
+                "field": "exp", "query_vector": {"a": "x"}}})
+
+
+class TestMsearchTemplate:
+    def test_batch_renders_and_unions(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_msearch_template,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, tag string"
+        )
+        t = ('{"query": {"term": {"tag": "{{t}}"}}, '
+             '"sort": [{"doc_id": "asc"}], "size": 5, '
+             '"_source": ["doc_id"]}')
+        out = run_msearch_template(df, [(t, {"t": "a"}), (t, {"t": "b"})])
+        rows = sorted((r.request, r.doc_id) for r in out.collect())
+        assert rows == [(1, 1), (2, 2)]
