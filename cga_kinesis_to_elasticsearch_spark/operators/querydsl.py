@@ -1379,12 +1379,29 @@ def _bm25_score(
     row = stats.collect()[0]  # one tiny row: corpus statistics
     n_docs = int(row["__n_docs"]) or 1
     avgdl = (int(row["__total_len"] or 0) / n_docs) or 1.0
-    dl = F.size(toks).cast("double")
-    score = F.lit(0.0)
+    df_by_term = {
+        t: int(row[f"__df_{i}"] or 0) for i, t in enumerate(terms)
+    }
+    return _bm25_expr(toks, terms, n_docs, avgdl, df_by_term)
+
+
+def _bm25_expr(
+    toks: Column,
+    terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    df_by_term: dict[str, int],
+) -> Column:
+    """The BM25 scoring expression given ALREADY-COLLECTED corpus
+    statistics — lets callers that computed the stats in their own
+    pass (more_like_this term selection) score without a second
+    corpus scan."""
     import math
 
-    for i, t in enumerate(terms):
-        df_t = int(row[f"__df_{i}"] or 0)
+    dl = F.size(toks).cast("double")
+    score = F.lit(0.0)
+    for t in terms:
+        df_t = df_by_term.get(t, 0)
         idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
         tf = F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
         contrib = F.lit(idf) * (
@@ -1694,12 +1711,17 @@ def _score_and_filter(
         # frame-level: term selection needs corpus statistics, so the
         # leaf resolves here (compile_query directs compound uses to
         # the top level). Scoring is the summed BM25 of the selected
-        # terms — ONE stats pass for selection, one for the score.
-        field, terms = _mlt_select_terms(df, body)
+        # terms, reusing the SELECTION pass's statistics — one corpus
+        # scan total (the round-6 version paid a second stats scan).
+        field, terms, n_docs, avgdl, df_by_term = _mlt_select_terms(
+            df, body
+        )
         filtered = apply_query(df, _mlt_filter_dsl(field, terms, body))
         if not need_score:
             return filtered, None
-        return filtered, _bm25_score(df, field, " ".join(terms))
+        return filtered, _bm25_expr(
+            _tokens(F.col(field)), terms, n_docs, avgdl, df_by_term
+        )
     if kind == "script_score":
         inner = body.get("query", {"match_all": {}})
         filtered = apply_query(df, inner)
@@ -1904,12 +1926,16 @@ def _score_and_filter(
     return apply_query(df, query), (F.lit(1.0) if need_score else None)
 
 
-def _mlt_select_terms(df: DataFrame, spec: dict) -> tuple[str, list[str]]:
+def _mlt_select_terms(
+    df: DataFrame, spec: dict
+) -> tuple[str, list[str], int, float, dict[str, int]]:
     """ES ``more_like_this`` term selection, scan-based: the like
     text's terms rank by tf(like) x BM25-idf against the FRAME's
     document frequencies; out-of-vocabulary terms and terms outside
     the min/max_doc_freq band drop; the top ``max_query_terms``
-    survive. Returns (field, selected terms).
+    survive. Returns (field, selected terms, n_docs, avgdl,
+    df-by-term) — the same pass collects EVERYTHING the BM25 scorer
+    needs, so scoring never re-scans the corpus.
 
     Scale shape: ONE map-side-combined stats aggregation bounded by
     the like text's distinct term count (a broadcast-sized row) — the
@@ -1946,15 +1972,20 @@ def _mlt_select_terms(df: DataFrame, spec: dict) -> tuple[str, list[str]]:
     has = F.coalesce(F.size(toks) > 0, F.lit(False))
     row = df.agg(
         F.sum(has.cast("long")).alias("__n"),
+        F.sum(F.when(has, F.size(toks))).cast("long").alias("__len"),
         *[
             F.sum(F.array_contains(toks, t).cast("long")).alias(f"__df_{i}")
             for i, t in enumerate(cands)
         ],
     ).collect()[0]  # one broadcast-sized stats row
     n_docs = int(row["__n"]) or 1
+    avgdl = (int(row["__len"] or 0) / n_docs) or 1.0
+    df_by_term = {
+        t: int(row[f"__df_{i}"] or 0) for i, t in enumerate(cands)
+    }
     ranked = []
-    for i, t in enumerate(cands):
-        df_t = int(row[f"__df_{i}"] or 0)
+    for t in cands:
+        df_t = df_by_term[t]
         if df_t < min_df or (max_df is not None and df_t > int(max_df)):
             continue
         idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
@@ -1964,7 +1995,8 @@ def _mlt_select_terms(df: DataFrame, spec: dict) -> tuple[str, list[str]]:
             "more_like_this: no like-term survives the doc-freq band"
         )
     ranked.sort()
-    return field, [t for _, t in ranked[:max_terms]]
+    selected = [t for _, t in ranked[:max_terms]]
+    return field, selected, n_docs, avgdl, df_by_term
 
 
 def _mlt_filter_dsl(field: str, terms: list[str], spec: dict) -> dict:
