@@ -2846,7 +2846,16 @@ def _apply_highlight(out: DataFrame, body: dict) -> DataFrame:
             f"highlight needs a fields dict: {body['highlight']}"
         )
     query = body.get("query", {})
-    for field in fields:
+    for field, fopts in fields.items():
+        fopts = fopts or {}
+        if "fragment_size" in fopts:
+            raise ValueError(
+                "highlight: char-based fragment_size is not lowered — "
+                "use number_of_fragments with fragment_token_radius "
+                "(the engine's token-window fragments)"
+            )
+        nfrag = int(fopts.get("number_of_fragments", 0))
+        radius = int(fopts.get("fragment_token_radius", 5))
         terms, prefixes, wildcards = _query_terms_for(query, field)
         if not terms and not prefixes and not wildcards:
             raise ValueError(
@@ -2871,9 +2880,33 @@ def _apply_highlight(out: DataFrame, body: dict) -> DataFrame:
                 _hit(t), F.concat(F.lit("<em>"), t, F.lit("</em>"))
             ).otherwise(t),
         )
-        out = out.withColumn(
-            f"{field}_highlight", F.array_join(marked, " ")
-        )
+        if nfrag > 0:
+            # snippet mode: up to number_of_fragments token windows of
+            # +-fragment_token_radius around the FIRST N match
+            # positions, joined with " ... " (the engine's token-based
+            # reading of ES's char-sized fragments; windows at the
+            # text edges clamp, close matches may produce overlapping
+            # fragments — ES merges them, documented divergence)
+            mpos = F.filter(
+                F.transform(
+                    marked,
+                    lambda x, i: F.when(
+                        x.startswith("<em>"), i
+                    ).otherwise(F.lit(-1)),
+                ),
+                lambda p: p >= 0,
+            )
+            first_n = F.slice(mpos, 1, nfrag)
+
+            def _frag(p: Column) -> Column:
+                start = F.greatest(F.lit(1), p + 1 - radius)
+                length = p + 1 + radius - start + 1
+                return F.array_join(F.slice(marked, start, length), " ")
+
+            hcol = F.array_join(F.transform(first_n, _frag), " ... ")
+        else:
+            hcol = F.array_join(marked, " ")
+        out = out.withColumn(f"{field}_highlight", hcol)
     return out
 
 

@@ -1711,3 +1711,69 @@ def _es_msearch_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         (template, {"seg": "MACHINERY", "min_bal": 9500}),
     ])
     return out.select("request", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# 33. highlight fragments: snippets, not whole fields
+# ---------------------------------------------------------------------------
+
+_HIGHLIGHT_FRAGMENTS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+hits AS (SELECT doc_id, tk FROM toks WHERE list_contains(tk, 'vector')),
+marked AS (
+  SELECT doc_id,
+         list_transform(tk, x -> CASE WHEN x = 'vector'
+                                 THEN '<em>' || x || '</em>'
+                                 ELSE x END) AS mk
+  FROM hits
+),
+pos AS (
+  SELECT doc_id, mk,
+         (list_filter(list_transform(mk, (x, i) ->
+             CASE WHEN x LIKE '<em>%' THEN i ELSE -1 END),
+           p -> p >= 0))[1:2] AS ps
+  FROM marked
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(ps, p ->
+           array_to_string(mk[greatest(1, p - 2):p + 2], ' ')),
+         ' ... ') AS text_highlight
+FROM pos
+ORDER BY doc_id
+LIMIT 12
+"""
+
+
+@q("es_search_highlight_fragments", _HIGHLIGHT_FRAGMENTS_ORACLE)
+def _es_search_highlight_fragments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``highlight`` with ``number_of_fragments: 2``: SNIPPETS — token
+    windows of radius 2 around the first two match positions, joined
+    with " ... " — instead of the whole marked field (what result
+    lists actually show; a 10 KB log line must not ship to render one
+    matched word). ``fragment_token_radius`` is the engine's
+    token-based reading of ES's char-sized fragments; char-based
+    ``fragment_size`` rejects at plan time rather than approximating
+    silently.
+
+    Scale shape: the fragmenting is two more in-row HOFs on the HIT
+    page only — no extra scan, and the returned bytes shrink from
+    whole-document to 2x(2r+1) tokens."""
+    from ..operators.querydsl import run_search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_search_body(docs, {
+        "query": {"match": {"text": "vector"}},
+        "highlight": {"fields": {"text": {
+            "number_of_fragments": 2, "fragment_token_radius": 2}}},
+        "sort": [{"doc_id": "asc"}],
+        "size": 12,
+        "_source": ["doc_id"],
+    })

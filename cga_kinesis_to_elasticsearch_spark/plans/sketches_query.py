@@ -209,3 +209,62 @@ def _heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = exact_counts(ev.filter(F.col("event_id") % 2 == 0), "user_id", _HH_K)
     b = exact_counts(ev.filter(F.col("event_id") % 2 == 1), "user_id", _HH_K)
     return mg_merge(a, b, _HH_K)
+
+
+@q(
+    "cumulative_cardinality_users",
+    """
+    WITH d AS (SELECT CAST(ts AS DATE)::VARCHAR AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT days.day,
+      (SELECT count(DISTINCT user_id) FROM d WHERE d.day <= days.day)
+        AS cumulative_users,
+      (SELECT count(DISTINCT user_id) FROM d d2 WHERE d2.day = days.day
+         AND user_id NOT IN (SELECT user_id FROM d d3
+                             WHERE d3.day < days.day)) AS new_users
+    FROM days ORDER BY days.day
+    """,
+)
+def _cumulative_cardinality_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES ``cumulative_cardinality`` pipeline agg (the "total distinct
+    users to date" curve incremental dashboards plot): per-day HLL
+    sketches merged over an EXPANDING window (``hll_union_agg`` over
+    unbounded-preceding rows) give the running distinct count, and
+    ``new_users`` is its first difference — the exact question "how
+    many users were first seen today" answered without ever comparing
+    user sets.
+
+    Scale shape: one day-keyed partial-agg shuffle builds the daily
+    sketches; the window runs over the DAY-COUNT-sized sketch frame
+    (KB-scale state, like every pipeline agg), never the fact rows.
+    Oracle is the exact cumulative distinct (lgK=14 sketches are in
+    their exact coupon phase at sf0.01 cardinalities — same
+    convention as approx_distinct_users)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.withColumn(
+        "cumulative_users",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)),
+    )
+    lagw = Window.orderBy("day")
+    return (
+        cum.withColumn(
+            "new_users",
+            F.col("cumulative_users")
+            - F.coalesce(
+                F.lag("cumulative_users").over(lagw), F.lit(0)
+            ),
+        )
+        .select("day", "cumulative_users", "new_users")
+        .orderBy("day")
+    )

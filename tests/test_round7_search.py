@@ -1121,3 +1121,46 @@ class TestMsearchTemplate:
         out = run_msearch_template(df, [(t, {"t": "a"}), (t, {"t": "b"})])
         rows = sorted((r.request, r.doc_id) for r in out.collect())
         assert rows == [(1, 1), (2, 2)]
+
+
+class TestHighlightFragments:
+    def test_token_window_snippets(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c HIT d e f g HIT h"), (2, "HIT x")],
+            "doc_id long, text string",
+        )
+        out = run_search_body(df, {
+            "query": {"match": {"text": "HIT"}},
+            "highlight": {"fields": {"text": {
+                "number_of_fragments": 2, "fragment_token_radius": 1}}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+            "_source": ["doc_id"],
+        }).collect()
+        marks = {r.doc_id: r.text_highlight for r in out}
+        assert marks[1] == "c <em>HIT</em> d ... g <em>HIT</em> h"
+        assert marks[2] == "<em>HIT</em> x"  # edge clamp
+
+    def test_fragment_count_cap(self, spark):
+        df = spark.createDataFrame(
+            [(1, "HIT a HIT b HIT")], "doc_id long, text string"
+        )
+        out = run_search_body(df, {
+            "query": {"match": {"text": "HIT"}},
+            "highlight": {"fields": {"text": {
+                "number_of_fragments": 1, "fragment_token_radius": 0}}},
+            "sort": [{"doc_id": "asc"}], "size": 5,
+            "_source": ["doc_id"],
+        }).first()
+        assert out.text_highlight == "<em>HIT</em>"  # first match only
+
+    def test_fragment_size_rejected(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="fragment_size"):
+            run_search_body(df, {
+                "query": {"match": {"text": "x"}},
+                "highlight": {"fields": {"text": {
+                    "number_of_fragments": 1, "fragment_size": 100}}},
+                "sort": [{"doc_id": "asc"}], "size": 1,
+            })
