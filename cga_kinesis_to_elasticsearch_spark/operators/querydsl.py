@@ -3046,6 +3046,11 @@ def _run_knn(df: DataFrame, body: dict) -> DataFrame:
     LSH / PQ index paths of operators/similarity.py when a physical
     index exists."""
     knn = body["knn"]
+    if isinstance(knn, (list, tuple)):
+        # ES 8.7 multi-knn: several sections (different vector fields
+        # or query vectors), each retrieving its own top k; a doc's
+        # score is the SUM of the sections that retrieved it
+        return _run_knn_multi(df, body)
     try:
         field, qv, k = knn["field"], knn["query_vector"], int(knn["k"])
     except (KeyError, TypeError):
@@ -3076,6 +3081,75 @@ def _run_knn(df: DataFrame, body: dict) -> DataFrame:
     # body-level size (default 10 in ES; default k here so a bare knn
     # body still returns its full top-k) trims the returned page
     out = out.orderBy(*cols).limit(min(k, int(body.get("size", k))))
+    if "_source" in body:
+        keep = _source_columns(
+            [c for c in out.columns if c != "_score"], body["_source"]
+        )
+        if "_score" not in keep:
+            keep.append("_score")
+        out = out.select(*keep)
+    return out
+
+
+def _run_knn_multi(df: DataFrame, body: dict) -> DataFrame:
+    """ES 8.7+ multi-knn: ``knn`` is a LIST of sections — multi-field
+    vector search (e.g. a text embedding and an image embedding per
+    document). Each section runs its own exact top-k (with its own
+    filter / similarity / boost); the hit set is the union and a
+    doc's ``_score`` sums the contributions of every section that
+    retrieved it, like ES's additive combination. ``query`` does not
+    compose with the list form here (use the single-knn hybrid path).
+
+    Scale shape: one codegen dot product + TakeOrdered(k) per section
+    over the shared scan; the k-row arm frames union and
+    broadcast-join back onto the corpus — documents never shuffle."""
+    if "query" in body:
+        raise ValueError(
+            "multi-knn does not compose with query here — use a "
+            "single knn section for hybrid scoring"
+        )
+    sections = body["knn"]
+    if not sections:
+        raise ValueError("knn list must be non-empty")
+    idc = _identity_col(df)
+    if idc not in df.columns:
+        raise ValueError(
+            "multi-knn needs a document identity column "
+            f"(doc_id / id / event_id) to union the arms: {df.columns}"
+        )
+    arms = []
+    for knn in sections:
+        try:
+            field, qv, k = (
+                knn["field"], knn["query_vector"], int(knn["k"])
+            )
+        except (KeyError, TypeError):
+            raise ValueError(f"knn needs field, query_vector, k: {knn}")
+        kscore = _knn_score(field, qv) * F.lit(float(knn.get("boost", 1.0)))
+        filtered = df
+        if "filter" in knn:
+            filtered = apply_query(filtered, knn["filter"])
+        if "similarity" in knn:
+            sim = float(knn["similarity"])
+            filtered = filtered.filter(
+                _knn_score(field, qv) >= F.lit((1.0 + sim) / 2.0)
+            )
+        arms.append(
+            filtered.withColumn("__s", kscore)
+            .orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
+            .limit(k)
+            .select(idc, "__s")
+        )
+    fused = (
+        functools.reduce(lambda a, b: a.unionByName(b), arms)
+        .groupBy(idc)
+        .agg(F.sum("__s").alias("_score"))
+    )
+    out = df.join(F.broadcast(fused), idc, "inner")
+    size = int(body.get("size", max(int(s["k"]) for s in sections)))
+    out = out.orderBy(
+        F.col("_score").desc(), *_doc_tiebreak(df, ["_score"])
+    ).limit(size)
     if "_source" in body:
         keep = _source_columns(
             [c for c in out.columns if c != "_score"], body["_source"]

@@ -1777,3 +1777,122 @@ def _es_search_highlight_fragments(
         "size": 12,
         "_source": ["doc_id"],
     })
+
+
+# ---------------------------------------------------------------------------
+# 34. the retention sweep end-to-end: _cat/indices + the keep decision
+# ---------------------------------------------------------------------------
+
+_CAT_RETENTION_ORACLE = """
+SELECT 'gorouter-' || strftime(ts, '%Y-%m-%d') AS index,
+       count(*) AS doc_count,
+       (strftime(ts, '%Y-%m-%d') >= '2024-01-15') AS keep
+FROM events
+GROUP BY 1, 3
+ORDER BY index
+"""
+
+
+@q("es_cat_indices_retention", _CAT_RETENTION_ORACLE)
+def _es_cat_indices_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's retention cron, end-to-end as one frame: events
+    land through the day-partitioned bulk sink (``gorouter-YYYY-MM-DD``
+    indices, main.go:400), ``_cat/indices`` lists each index with its
+    doc count (main.go:214's listing), and the retention predicate
+    (cutoff 2024-01-15, main.go:232-239) stamps the keep/drop
+    decision — exactly what ``drop_expired`` then acts on
+    (crash-safe partition drops, covered by the sink's unit tests).
+
+    Scale shape: the listing is a grouped count on the PARTITION
+    column (directory listing + parquet footer counts — no data
+    columns read); the keep decision is one string predicate per
+    index name, catalog-sized."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..operators.retention import retention_keep
+    from ..sinks.bulk import ParquetIndexSink
+
+    ev = _t(spark, sf_dir, "events")
+    docs = ev.select(
+        F.concat(
+            F.lit("gorouter-"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("es_index"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        "event_type",
+        "value",
+    )
+    sink = ParquetIndexSink(tempfile.mkdtemp(prefix="cat_idx_"))
+    sink.write(docs)
+    cat = sink.cat_indices(spark)
+    return cat.select(
+        "index",
+        "doc_count",
+        retention_keep(F.col("index"), "2024-01-15").alias("keep"),
+    ).orderBy("index")
+
+
+# ---------------------------------------------------------------------------
+# 35. multi-knn: several vector fields in one request (ES 8.7)
+# ---------------------------------------------------------------------------
+
+_MULTI_KNN_VEC_A = [round(((i * 7) % 13) / 13.0, 6) for i in range(64)]
+_MULTI_KNN_VEC_B = [round(((i * 5) % 11) / 11.0, 6) for i in range(64)]
+
+_MULTI_KNN_ORACLE = f"""
+WITH q AS (
+  SELECT [{", ".join(str(x) for x in _MULTI_KNN_VEC_A)}]::DOUBLE[] AS qa,
+         [{", ".join(str(x) for x in _MULTI_KNN_VEC_B)}]::DOUBLE[] AS qb
+),
+s AS (
+  SELECT e.vec_id,
+         (1.0 + list_cosine_similarity(e.embedding::DOUBLE[], q.qa))
+           / 2.0 AS s1,
+         ((1.0 + list_cosine_similarity(
+             list_reverse(e.embedding)::DOUBLE[], q.qb)) / 2.0) * 2.0
+           AS s2
+  FROM embeddings e CROSS JOIN q
+),
+a1 AS (SELECT vec_id, s1 AS s FROM s ORDER BY s1 DESC, vec_id LIMIT 20),
+a2 AS (SELECT vec_id, s2 AS s FROM s ORDER BY s2 DESC, vec_id LIMIT 20),
+u AS (
+  SELECT vec_id, sum(s) AS score
+  FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+  GROUP BY vec_id
+)
+SELECT vec_id, round(score, 6) AS score
+FROM u ORDER BY score DESC, vec_id LIMIT 15
+"""
+
+
+@q("es_search_multi_knn", _MULTI_KNN_ORACLE)
+def _es_search_multi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-knn (ES 8.7): TWO vector fields in one request — the
+    multimodal pattern (a text embedding and an image embedding per
+    document; here the second field is the reversed embedding, derived
+    identically on both engines). Each section retrieves its own top
+    20 (the second boosted 2x); a doc's score sums the sections that
+    retrieved it.
+
+    Scale shape: one codegen dot product + TakeOrdered(20) per
+    section over the shared scan; the two 20-row arms union, group,
+    and broadcast-join back — documents never shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.querydsl import run_search_body
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding_rev", F.reverse(F.col("embedding"))
+    )
+    out = run_search_body(emb, {
+        "knn": [
+            {"field": "embedding", "query_vector": _MULTI_KNN_VEC_A,
+             "k": 20},
+            {"field": "embedding_rev", "query_vector": _MULTI_KNN_VEC_B,
+             "k": 20, "boost": 2.0},
+        ],
+        "size": 15,
+        "_source": ["vec_id"],
+    })
+    return out.select("vec_id", F.round("_score", 6).alias("score"))

@@ -144,6 +144,19 @@ class ParquetIndexSink:
     def read_errors(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(str(self.root / "_errors"))
 
+    def cat_indices(self, spark: SparkSession) -> DataFrame:
+        """``_cat/indices``: one (index, doc_count) row per index
+        partition — the ops listing the reference's retention cron
+        walks (main.go:214 lists indices before deciding drops).
+
+        Scale shape: a grouped count on the PARTITION column — the
+        scan prunes to directory listings + parquet footer counts, no
+        data columns read."""
+        df = spark.read.parquet(str(self.root / "data"))
+        return df.groupBy(F.col("es_index").alias("index")).agg(
+            F.count(F.lit(1)).alias("doc_count")
+        )
+
     # -- P4: retention -------------------------------------------------
     def drop_expired(self, days_to_keep: int, today=None) -> list[str]:
         """Drop index partitions older than the cutoff (main.go:216-254

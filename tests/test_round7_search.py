@@ -1164,3 +1164,56 @@ class TestHighlightFragments:
                     "number_of_fragments": 1, "fragment_size": 100}}},
                 "sort": [{"doc_id": "asc"}], "size": 1,
             })
+
+
+class TestMultiKnn:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, [1.0, 0.0], [0.0, 1.0]),
+             (2, [0.0, 1.0], [1.0, 0.0]),
+             (3, [0.7, 0.7], [0.7, 0.7])],
+            "doc_id long, v1 array<float>, v2 array<float>",
+        )
+
+    def test_sections_sum(self, spark):
+        out = run_search_body(self._df(spark), {
+            "knn": [
+                {"field": "v1", "query_vector": [1.0, 0.0], "k": 2},
+                {"field": "v2", "query_vector": [1.0, 0.0], "k": 2,
+                 "boost": 2.0},
+            ],
+            "size": 3,
+        }).collect()
+        got = {r.doc_id: r._score for r in out}
+        # v1 arm top-2: doc1 (cos 1 -> 1.0), doc3 (~0.854)
+        # v2 arm top-2 (boost 2): doc2 (2.0), doc3 (~1.707)
+        assert got[1] == pytest.approx(1.0)
+        assert got[2] == pytest.approx(2.0)
+        assert got[3] == pytest.approx(0.8535534 + 1.7071068, abs=1e-4)
+
+    def test_query_composition_rejected(self, spark):
+        with pytest.raises(ValueError, match="multi-knn"):
+            run_search_body(self._df(spark), {
+                "knn": [{"field": "v1", "query_vector": [1.0, 0.0],
+                         "k": 1}],
+                "query": {"match_all": {}},
+                "size": 1,
+            })
+
+
+class TestCatIndices:
+    def test_listing_counts(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import (
+            ParquetIndexSink,
+        )
+
+        sink = ParquetIndexSink(str(tmp_path / "lake"))
+        docs = spark.createDataFrame(
+            [("idx-2024-01-01", "a", 1), ("idx-2024-01-01", "b", 2),
+             ("idx-2024-01-02", "c", 3)],
+            "es_index string, doc_id string, v long",
+        )
+        sink.write(docs)
+        got = {r["index"]: r["doc_count"]
+               for r in sink.cat_indices(spark).collect()}
+        assert got == {"idx-2024-01-01": 2, "idx-2024-01-02": 1}
