@@ -32,6 +32,7 @@ __all__ = [
     "run_percolate",
     "run_field_caps",
     "run_rank_eval",
+    "run_terms_enum",
 ]
 
 
@@ -403,3 +404,49 @@ def run_msearch_template(
             else out.unionByName(part, allowMissingColumns=True)
         )
     return out
+
+
+def run_terms_enum(df: DataFrame, body: dict) -> DataFrame:
+    """ES ``_terms_enum``: the distinct index terms of a field that
+    start with ``string`` (case-insensitive under
+    ``case_insensitive: true``), in term order, up to ``size``
+    (default 10) — what field-value autocomplete UIs call (Kibana's
+    filter-bar value suggestions). The engine enumerates the ANALYZED
+    tokens of text fields (its index terms) or the raw values of
+    keyword fields (``analyzed: false`` engine extension).
+
+    Scale shape: one scan -> in-row token filter -> distinct on the
+    (prefix-bounded) term set -> TakeOrdered(size). The distinct
+    shuffle carries only prefix-matching terms — vocabulary-sized at
+    worst, prefix-bounded in practice."""
+    from pyspark.sql import functions as F
+
+    from .querydsl import _tokens
+
+    field = body.get("field")
+    if not field:
+        raise ValueError(f"_terms_enum needs a field: {body}")
+    prefix = str(body.get("string", ""))
+    size = int(body.get("size", 10))
+    ci = bool(body.get("case_insensitive"))
+    analyzed = body.get("analyzed", True)
+    if analyzed:
+        terms = df.select(
+            F.explode(_tokens(F.col(field))).alias("term")
+        )
+    else:
+        terms = df.select(F.col(field).cast("string").alias("term"))
+    t = F.col("term")
+    if prefix:
+        cond = (
+            F.lower(t).startswith(prefix.lower())
+            if ci
+            else t.startswith(prefix)
+        )
+        terms = terms.filter(cond)
+    return (
+        terms.filter(t.isNotNull())
+        .distinct()
+        .orderBy("term")
+        .limit(size)
+    )

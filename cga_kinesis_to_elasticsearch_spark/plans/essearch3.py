@@ -1896,3 +1896,37 @@ def _es_search_multi_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_source": ["vec_id"],
     })
     return out.select("vec_id", F.round("_score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# 36. _terms_enum: field-value autocomplete over index terms
+# ---------------------------------------------------------------------------
+
+_TERMS_ENUM_ORACLE = """
+SELECT DISTINCT t AS term
+FROM (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+)
+WHERE t LIKE 's%'
+ORDER BY term
+LIMIT 8
+"""
+
+
+@q("es_terms_enum_prefix", _TERMS_ENUM_ORACLE)
+def _es_terms_enum_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_terms_enum``: the distinct index terms starting with ``s``,
+    in term order — the API behind Kibana's filter-bar value
+    suggestions (field-value autocomplete, as opposed to
+    match_phrase_prefix's document search).
+
+    Scale shape: explode -> prefix filter -> distinct -> TakeOrdered;
+    the distinct exchange carries only prefix-matching terms."""
+    from ..operators.esapi import run_terms_enum
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_terms_enum(docs, {
+        "field": "text", "string": "s", "size": 8,
+    })

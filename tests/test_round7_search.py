@@ -1217,3 +1217,40 @@ class TestCatIndices:
         got = {r["index"]: r["doc_count"]
                for r in sink.cat_indices(spark).collect()}
         assert got == {"idx-2024-01-01": 2, "idx-2024-01-02": 1}
+
+
+class TestTermsEnum:
+    def test_prefix_case_and_keyword_modes(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_terms_enum,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Alpha beta", "X1"), (2, "alps gamma", "X2"),
+             (3, "beta", None)],
+            "doc_id long, text string, tag string",
+        )
+        # analyzed tokens, case-sensitive
+        got = [r.term for r in run_terms_enum(df, {
+            "field": "text", "string": "al"}).collect()]
+        assert got == ["alps"]
+        # case-insensitive includes 'Alpha'
+        got = [r.term for r in run_terms_enum(df, {
+            "field": "text", "string": "al",
+            "case_insensitive": True}).collect()]
+        assert got == ["Alpha", "alps"]
+        # keyword (unanalyzed) values; NULLs dropped
+        got = [r.term for r in run_terms_enum(df, {
+            "field": "tag", "string": "X", "analyzed": False}).collect()]
+        assert got == ["X1", "X2"]
+
+    def test_size_caps(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_terms_enum,
+        )
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(30)))],
+            "doc_id long, text string",
+        )
+        assert run_terms_enum(df, {"field": "text", "size": 5}).count() == 5
