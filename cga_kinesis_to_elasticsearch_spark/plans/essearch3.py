@@ -1930,3 +1930,99 @@ def _es_terms_enum_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_terms_enum(docs, {
         "field": "text", "string": "s", "size": 8,
     })
+
+
+# ---------------------------------------------------------------------------
+# 37. ES|QL: the piped query language (Kibana Discover's default bar)
+# ---------------------------------------------------------------------------
+
+_ESQL_STATS_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value * 100), 4) AS total_cents,
+       round(avg(value), 6) AS avg_value
+FROM events
+WHERE value > 4.0 AND event_type <> 'error'
+GROUP BY event_type
+ORDER BY total_cents DESC, event_type
+LIMIT 5
+"""
+
+
+@q("esql_stats_pipeline", _ESQL_STATS_ORACLE)
+def _esql_stats_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL — the piped query language Kibana Discover ships as its
+    default bar (ES 8.11+): ``FROM | WHERE | EVAL | STATS .. BY |
+    SORT | LIMIT`` executed by ``operators/esql.py``. ``==`` and
+    double-quoted strings translate; the pipe chain compiles to ONE
+    logical plan, so Catalyst pushes the WHERE through the EVAL to
+    the scan and STATS is one partial-agg shuffle — piped syntax
+    changes nothing about the physics.
+
+    Scale shape: identical to the equivalent DataFrame query (the
+    oracle's SQL): scan + one exchange + TakeOrdered."""
+    from pyspark.sql import functions as F
+
+    from ..operators.esql import run_esql
+
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | WHERE value > 4.0 AND event_type != "error"
+        | EVAL cents = value * 100
+        | STATS n = count(*), total_cents = sum(cents),
+                avg_value = avg(value) BY event_type
+        | SORT total_cents DESC, event_type ASC
+        | LIMIT 5
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        "event_type", "n",
+        F.round("total_cents", 4).alias("total_cents"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+_ESQL_GROK_ORACLE = """
+SELECT event_type AS etype,
+       count(*) AS n,
+       CAST(sum(CAST(trunc(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+ORDER BY etype
+"""
+
+
+@q("esql_grok_logs", _ESQL_GROK_ORACLE)
+def _esql_grok_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``GROK``: raw log lines parse into typed columns INSIDE
+    the pipe chain, using the SAME grok compiler the reference-parity
+    stream runs — so a Kibana ES|QL query and the ingest pipeline
+    parse one log line identically. The synthesized line round-trips
+    real event fields; the oracle re-derives them relationally, so a
+    grok miss anywhere shows as a value mismatch.
+
+    Scale shape: GROK is the packed single-pass parse (one
+    projection, no shuffle); the STATS exchange is the only wire."""
+    from pyspark.sql import functions as F
+
+    from ..operators.esql import run_esql
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit(" "),
+            F.col("event_type"), F.lit(" "),
+            (F.col("value") * 100).cast("long").cast("string"),
+        ).alias("log"),
+    )
+    return run_esql(
+        """
+        FROM logs
+        | GROK log "%{INT:uid:int} %{WORD:etype} %{INT:cents:int}"
+        | STATS n = count(*), sum_cents = sum(cents) BY etype
+        | SORT etype ASC
+        """,
+        {"logs": ev},
+    )

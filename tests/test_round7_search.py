@@ -1254,3 +1254,83 @@ class TestTermsEnum:
             "doc_id long, text string",
         )
         assert run_terms_enum(df, {"field": "text", "size": 5}).count() == 5
+
+
+class TestEsql:
+    def _ev(self, spark):
+        return spark.createDataFrame(
+            [(1, "click", 10.0), (2, "view", 3.0), (3, "click", 7.5),
+             (4, "error", 99.0)],
+            "event_id long, event_type string, value double",
+        )
+
+    def test_pipe_chain(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        out = run_esql(
+            'FROM events | WHERE value > 4 AND event_type == "click" '
+            "| EVAL cents = value * 100 "
+            "| STATS n = count(*), total = sum(cents) BY event_type "
+            "| SORT total DESC | LIMIT 5",
+            {"events": self._ev(spark)},
+        ).collect()
+        assert [r.asDict() for r in out] == [
+            {"event_type": "click", "n": 2, "total": 1750.0}]
+
+    def test_keep_drop_rename_limit(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        out = run_esql(
+            "FROM events | RENAME event_type AS et | KEEP event_id, et "
+            "| SORT event_id ASC | LIMIT 2",
+            {"events": self._ev(spark)},
+        )
+        assert out.columns == ["event_id", "et"]
+        assert out.count() == 2
+
+    def test_global_stats_and_string_pipe(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        # a | inside a string literal must not split the pipe chain
+        out = run_esql(
+            'FROM events | WHERE event_type != "a|b" '
+            "| STATS n = count(*)",
+            {"events": self._ev(spark)},
+        ).first()
+        assert out["n"] == 4
+
+    def test_grok_command(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alice GET 200")], "id long, line string"
+        )
+        out = run_esql(
+            'FROM t | GROK line "%{WORD:user} %{WORD:verb} '
+            '%{INT:code:int}" | KEEP user, verb, code',
+            {"t": df},
+        ).first()
+        assert (out.user, out.verb, out.code) == ("alice", "GET", 200)
+
+    def test_errors_fail_loud(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        ev = self._ev(spark)
+        with pytest.raises(ValueError, match="must start with FROM"):
+            run_esql("WHERE x > 1", {"events": ev})
+        with pytest.raises(ValueError, match="unknown index"):
+            run_esql("FROM nope | LIMIT 1", {"events": ev})
+        with pytest.raises(ValueError, match="unsupported command"):
+            run_esql("FROM events | ENRICH policy", {"events": ev})
+        with pytest.raises(ValueError, match="unterminated"):
+            run_esql('FROM events | WHERE x == "broken', {"events": ev})
