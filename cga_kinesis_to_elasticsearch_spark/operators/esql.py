@@ -24,6 +24,11 @@ transformation; unknown commands fail at plan time):
   ES|QL and in the stream)
 - ``DISSECT field "pattern"`` — the ingest dissect processor as a
   command
+- ``ENRICH policy ON key [WITH f1, ..]`` — lookup enrichment: the
+  policy is a dimension frame in the table map, broadcast-joined on
+  the shared key (missing keys tolerate as NULLs — the reference's
+  app-metadata join, in pipe syntax)
+- ``MV_EXPAND col`` — one row per element of a multi-value column
 
 Expression dialect: the SQL core ES|QL shares with Spark SQL —
 arithmetic, comparisons, AND/OR/NOT, IN, IS NULL, CASE, and plain
@@ -288,6 +293,45 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
             df = df.select(
                 "*", *grok_columns(g, gm.group(1), "__ESQL__")
             )
+        elif cmd == "ENRICH":
+            # ENRICH policy ON key [WITH f1, f2] — ES|QL's lookup
+            # enrichment (the reference's app-metadata join, in pipe
+            # syntax): the policy is a dimension frame in the table
+            # map, matched on the shared key column and broadcast
+            # (missing keys tolerate as NULLs, like the enrich
+            # processor). WITH narrows the added fields.
+            em = re.match(
+                r"^(\S+)\s+ON\s+(\S+)(?:\s+WITH\s+(.+))?$",
+                arg,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not em:
+                raise ValueError(
+                    f"ES|QL ENRICH needs 'policy ON key [WITH ..]': "
+                    f"{arg!r}"
+                )
+            policy, key, withs = em.group(1), em.group(2), em.group(3)
+            if policy not in tables:
+                raise ValueError(
+                    f"ES|QL ENRICH: unknown policy {policy!r} "
+                    f"(known: {sorted(tables)})"
+                )
+            dim = tables[policy]
+            if key not in dim.columns:
+                raise ValueError(
+                    f"ES|QL ENRICH: policy {policy!r} has no match "
+                    f"field {key!r}"
+                )
+            keep = (
+                _split_top_commas(withs)
+                if withs
+                else [c for c in dim.columns if c != key]
+            )
+            df = df.join(
+                F.broadcast(dim.select(key, *keep)), on=key, how="left"
+            )
+        elif cmd == "MV_EXPAND":
+            df = df.withColumn(arg.strip(), F.explode(arg.strip()))
         elif cmd == "DISSECT":
             gm = _GROK_ARG_RE.match(arg)
             if not gm:
@@ -305,6 +349,6 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
             raise ValueError(
                 f"ES|QL: unsupported command {cmd!r} (supported: FROM "
                 "WHERE EVAL STATS SORT LIMIT KEEP DROP RENAME GROK "
-                "DISSECT)"
+                "DISSECT ENRICH MV_EXPAND)"
             )
     return df

@@ -2026,3 +2026,47 @@ def _esql_grok_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"logs": ev},
     )
+
+
+_ESQL_ENRICH_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n,
+       round(sum(e.value), 4) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = (e.user_id % 1500) + 1
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@q("esql_enrich_stats", _ESQL_ENRICH_ORACLE)
+def _esql_enrich_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``ENRICH``: the reference's app-metadata lookup join in
+    pipe syntax — events gain the customer dimension's segment via a
+    broadcast join on the derived key, then aggregate by the enriched
+    field. The WITH clause narrows the added columns so the broadcast
+    carries only what the query reads.
+
+    Scale shape: one broadcast hash join (the dimension is the small
+    side, like every enrichment in this engine) + one STATS
+    partial-agg shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.esql import run_esql
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    out = run_esql(
+        """
+        FROM events
+        | EVAL c_custkey = user_id % 1500 + 1
+        | ENRICH customers ON c_custkey WITH c_mktsegment
+        | STATS n = count(*), total_value = sum(value) BY c_mktsegment
+        | RENAME c_mktsegment AS segment
+        | SORT segment ASC
+        """,
+        {"events": ev, "customers": cust},
+    )
+    return out.select(
+        "segment", "n", F.round("total_value", 4).alias("total_value")
+    )

@@ -1331,6 +1331,48 @@ class TestEsql:
         with pytest.raises(ValueError, match="unknown index"):
             run_esql("FROM nope | LIMIT 1", {"events": ev})
         with pytest.raises(ValueError, match="unsupported command"):
-            run_esql("FROM events | ENRICH policy", {"events": ev})
+            run_esql("FROM events | LOOKUP t ON k", {"events": ev})
         with pytest.raises(ValueError, match="unterminated"):
             run_esql('FROM events | WHERE x == "broken', {"events": ev})
+
+
+class TestEsqlEnrich:
+    def test_enrich_and_mv_expand(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        ev = spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 99)], "event_id long, cid long"
+        )
+        dim = spark.createDataFrame(
+            [(10, "gold", "x"), (20, "silver", "y")],
+            "cid long, tier string, junk string",
+        )
+        out = run_esql(
+            "FROM events | ENRICH dim ON cid WITH tier "
+            "| SORT event_id ASC",
+            {"events": ev, "dim": dim},
+        ).collect()
+        assert [(r.event_id, r.tier) for r in out] == [
+            (1, "gold"), (2, "silver"), (3, None)]  # missing tolerated
+        assert "junk" not in out[0].asDict()  # WITH narrows
+        mv = spark.createDataFrame(
+            [(1, ["a", "b"])], "id long, tags array<string>"
+        )
+        rows = run_esql(
+            "FROM t | MV_EXPAND tags | SORT tags ASC", {"t": mv}
+        ).collect()
+        assert [r.tags for r in rows] == ["a", "b"]
+
+    def test_enrich_errors(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        ev = spark.createDataFrame([(1, 1)], "id long, k long")
+        with pytest.raises(ValueError, match="unknown policy"):
+            run_esql("FROM e | ENRICH nope ON k", {"e": ev})
+        with pytest.raises(ValueError, match="no match"):
+            run_esql("FROM e | ENRICH e ON missing_col",
+                     {"e": ev})
