@@ -15,9 +15,18 @@ transformation; unknown commands fail at plan time):
                               omitted = global); aggs are the shared
                               SQL core (count/sum/avg/min/max/
                               count_distinct/percentile)
-- ``SORT col [ASC|DESC] [NULLS FIRST|LAST], ...``
+- ``SORT col [ASC|DESC] [NULLS FIRST|LAST], ...`` — ES|QL treats a
+  NULL as LARGER than every other value, so the defaults are
+  ``ASC NULLS LAST`` / ``DESC NULLS FIRST`` (explicit ``NULLS
+  FIRST|LAST`` overrides; a dangling ``NULLS`` is a parse error)
 - ``LIMIT n``
-- ``KEEP c1, c2`` / ``DROP c1`` / ``RENAME old AS new``
+- ``KEEP p1, p2`` / ``DROP p1`` — patterns may hold ``*`` wildcards
+  (``rtr_*``), resolved against the frame's columns with ES|QL's
+  precedence rule: an exact name beats a partial wildcard beats a
+  bare ``*``; among equal precedence the RIGHTMOST pattern wins and
+  decides the output position. A pattern matching nothing fails at
+  plan time.
+- ``RENAME old AS new``
 - ``GROK field "%{PATTERN:name} ..."`` — parse a text column with
   the engine's grok compiler (the SAME pattern library the parity
   pipeline runs, so the reference's log lines parse identically in
@@ -27,14 +36,30 @@ transformation; unknown commands fail at plan time):
 - ``ENRICH policy ON key [WITH f1, ..]`` — lookup enrichment: the
   policy is a dimension frame in the table map, broadcast-joined on
   the shared key (missing keys tolerate as NULLs — the reference's
-  app-metadata join, in pipe syntax)
-- ``MV_EXPAND col`` — one row per element of a multi-value column
+  app-metadata join, in pipe syntax). Enrich fields OVERRIDE
+  same-named stream columns (the ES enrich-processor rule), so a
+  pre-existing ``tier`` column is replaced, not ambiguous.
+- ``LOOKUP JOIN index ON key`` — ES 8.18's general join command: a
+  broadcast left join against another index in the table map,
+  keeping the lookup index's FULL column set; on a name collision
+  the lookup side wins (ES's last-write-wins rule). Multiple
+  matching lookup rows multiply the stream row, like ES.
+- ``MV_EXPAND col`` — one row per element of a multi-value column;
+  a row whose column is NULL survives with a NULL value (ES|QL
+  keeps it — ``explode_outer``, not ``explode``)
 
 Expression dialect: the SQL core ES|QL shares with Spark SQL —
 arithmetic, comparisons, AND/OR/NOT, IN, IS NULL, CASE, and plain
 function calls. ES|QL's ``==`` lowers to ``=`` and double-quoted
-string literals to single-quoted; everything else passes through
-Spark's parser, which rejects what it doesn't know at plan time.
+string literals to single-quoted; ES|QL-named functions translate
+(``BUCKET(ts, 1 hour)`` — the grouping Kibana Discover generates for
+every ES|QL date histogram — lowers to calendar ``date_trunc`` /
+epoch-aligned fixed-width bucketing / numeric floor-multiple, and
+the ``MV_*`` scalar family — MV_COUNT/MV_MIN/MV_MAX/MV_SUM/MV_AVG/
+MV_CONCAT/MV_FIRST/MV_LAST — lowers to the array built-ins);
+everything else passes through Spark's parser, which rejects what it
+doesn't know at plan time. ``STATS`` BY keys accept ``name = expr``
+assignments, so ``BY hour = BUCKET(ts, 1 hour)`` names the bucket.
 
 Scale shape: a pipe chain is ONE logical plan — Catalyst fuses the
 stages (WHERE conjuncts push to the scan through EVALs when
@@ -44,11 +69,161 @@ TakeOrdered. Piped syntax changes nothing about the physics.
 
 from __future__ import annotations
 
+import fnmatch
 import re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["run_esql"]
+
+# --- ES|QL-named functions -> Spark SQL ------------------------------------
+
+# seconds per fixed-width BUCKET unit; calendar units (week/month/
+# quarter/year — variable length) lower to date_trunc and only accept
+# a count of 1, exactly like ES calendar_interval
+_BUCKET_FIXED_SECS = {
+    "millisecond": None,  # sub-second fixed buckets are not lowered
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+}
+_BUCKET_CALENDAR = {
+    "second": "SECOND",
+    "minute": "MINUTE",
+    "hour": "HOUR",
+    "day": "DAY",
+    "week": "WEEK",
+    "month": "MONTH",
+    "quarter": "QUARTER",
+    "year": "YEAR",
+}
+_DURATION_RE = re.compile(
+    r"^(\d+)\s*([A-Za-z]+?)s?$"  # "1 hour", "3 hours", "90 minutes"
+)
+
+
+def _lower_bucket(args: list[str]) -> str:
+    """``BUCKET(expr, span)`` — the grouping Kibana Discover generates
+    for every ES|QL date histogram. A calendar span of 1 unit lowers
+    to ``date_trunc`` (ISO Monday weeks, like ES); an N-unit fixed
+    span lowers to epoch-aligned fixed-width buckets (ES
+    fixed_interval alignment); a bare number lowers to the numeric
+    floor-multiple. The 4-arg auto form (``BUCKET(f, 50, from, to)``)
+    needs ES's nice-interval heuristics and is rejected at plan time —
+    pass the interval explicitly."""
+    if len(args) != 2:
+        raise ValueError(
+            "ES|QL BUCKET: only the 2-arg form BUCKET(expr, span) is "
+            "supported (the 4-arg auto form needs ES's nice-interval "
+            f"heuristic — pass the interval explicitly): {args!r}"
+        )
+    expr, span = args[0], args[1].strip()
+    m = _DURATION_RE.match(span)
+    if m:
+        n, unit = int(m.group(1)), m.group(2).lower()
+        if unit in _BUCKET_CALENDAR and n == 1:
+            return f"date_trunc('{_BUCKET_CALENDAR[unit]}', {expr})"
+        secs = _BUCKET_FIXED_SECS.get(unit)
+        if secs is None:
+            raise ValueError(
+                f"ES|QL BUCKET: {span!r} — a multi-unit span needs a "
+                "fixed-length unit (second/minute/hour/day); calendar "
+                "units (week/month/quarter/year) only bucket by 1"
+            )
+        total = n * secs
+        return (
+            f"timestamp_seconds(floor(unix_timestamp({expr}) "
+            f"/ {total}) * {total})"
+        )
+    try:
+        width = float(span)
+    except ValueError:
+        raise ValueError(
+            f"ES|QL BUCKET: cannot parse span {span!r} (want '1 hour', "
+            "'30 minutes', or a number for numeric histograms)"
+        ) from None
+    if width <= 0:
+        raise ValueError(f"ES|QL BUCKET: span must be positive: {span!r}")
+    # CAST keeps the arithmetic in DOUBLE — a bare 2.5 literal is
+    # DECIMAL(2,1) to Spark's parser and would make the bucket a
+    # DECIMAL column
+    return (
+        f"(floor(CAST(({expr}) AS DOUBLE) / {span}) "
+        f"* CAST({span} AS DOUBLE))"
+    )
+
+
+def _mv_sum(x: str) -> str:
+    return (
+        f"CASE WHEN {x} IS NULL OR size({x}) = 0 THEN "
+        f"CAST(NULL AS DOUBLE) ELSE aggregate({x}, "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE)) END"
+    )
+
+
+# each entry: argument count (or (min, max)) and a lowering to Spark
+# SQL text. size(NULL) is -1 pre-ANSI and NULL under ANSI —
+# nullif(.., -1) makes MV_COUNT NULL-on-NULL either way (the ES|QL
+# contract: every MV_* function is NULL on a NULL input).
+_MV_FUNCS: dict[str, tuple[object, object]] = {
+    "BUCKET": ((2, 4), _lower_bucket),
+    "MV_COUNT": (1, lambda a: f"nullif(size({a[0]}), -1)"),
+    "MV_MIN": (1, lambda a: f"array_min({a[0]})"),
+    "MV_MAX": (1, lambda a: f"array_max({a[0]})"),
+    "MV_SUM": (1, lambda a: _mv_sum(a[0])),
+    "MV_AVG": (
+        1,
+        lambda a: f"({_mv_sum(a[0])}) / nullif(size({a[0]}), -1)",
+    ),
+    "MV_CONCAT": (2, lambda a: f"array_join({a[0]}, {a[1]})"),
+    "MV_FIRST": (1, lambda a: f"get({a[0]}, 0)"),
+    "MV_LAST": (1, lambda a: f"get({a[0]}, size({a[0]}) - 1)"),
+}
+
+_FUNC_NAME_RE = re.compile(
+    r"\b(" + "|".join(sorted(_MV_FUNCS)) + r")\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_funcs(expr: str) -> str:
+    """Translate ES|QL-named function calls (BUCKET, the MV_* scalar
+    family) in an already quote-normalized expression into Spark SQL,
+    recursing into nested calls. Anything not in the table passes
+    through untouched (Spark's parser is the final arbiter)."""
+    m = _FUNC_NAME_RE.search(expr)
+    if not m:
+        return expr
+    name = m.group(1).upper()
+    # balanced-paren argument extraction (strings already normalized
+    # to single quotes by _tr_expr)
+    depth, i, n = 1, m.end(), len(expr)
+    quote = False
+    while i < n and depth:
+        ch = expr[i]
+        if quote:
+            if ch == "'":
+                quote = False
+        elif ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(f"ES|QL: unbalanced parens in {expr!r}")
+    inner = expr[m.end():i - 1]
+    args = [_rewrite_funcs(a) for a in _split_top_commas(inner)]
+    arity, lower = _MV_FUNCS[name]
+    lo, hi = arity if isinstance(arity, tuple) else (arity, arity)
+    if not lo <= len(args) <= hi:
+        raise ValueError(
+            f"ES|QL {name}: expected "
+            + (f"{lo}" if lo == hi else f"{lo}..{hi}")
+            + f" args, got {len(args)}: {inner!r}"
+        )
+    return expr[:m.start()] + lower(args) + _rewrite_funcs(expr[i:])
 
 _CMD_RE = re.compile(r"^\s*([A-Za-z_]+)\s*(.*)$", re.DOTALL)
 # characters allowed in a translated expression (defense in depth on
@@ -117,7 +292,7 @@ def _tr_expr(expr: str) -> str:
             i += 1
     if not _EXPR_SAFE_RE.match("".join(skeleton)):
         raise ValueError(f"ES|QL: unsupported expression syntax: {expr!r}")
-    return "".join(out)
+    return _rewrite_funcs("".join(out))
 
 
 def _expr_col(expr: str) -> Column:
@@ -194,27 +369,55 @@ def _stats(df: DataFrame, arg: str) -> DataFrame:
         raise ValueError(f"ES|QL STATS needs at least one aggregate: {arg}")
     keys = _split_top_commas(keys_src) if keys_src.strip() else []
     if keys:
-        return df.groupBy(*[_expr_col(k) for k in keys]).agg(*aggs)
+        # BY keys accept `name = expr` assignments (ES|QL: `BY hour =
+        # BUCKET(ts, 1 hour)` names the bucket column)
+        key_cols = []
+        for k in keys:
+            km = _ASSIGN_RE.match(k)
+            if km:
+                key_cols.append(
+                    _expr_col(km.group(2)).alias(km.group(1))
+                )
+            else:
+                key_cols.append(_expr_col(k))
+        return df.groupBy(*key_cols).agg(*aggs)
     return df.agg(*aggs)
 
 
 def _sort(df: DataFrame, arg: str) -> DataFrame:
+    """ES|QL SORT: a NULL sorts as LARGER than every other value, so
+    the defaults are ASC NULLS LAST / DESC NULLS FIRST (Spark's
+    defaults are the opposite pair); explicit ``NULLS FIRST|LAST``
+    overrides. A dangling ``NULLS`` without FIRST/LAST is a parse
+    error, not a silent default."""
     cols = []
     for part in _split_top_commas(arg):
         toks = part.split()
         expr = toks[0]
         rest = [t.upper() for t in toks[1:]]
+        bad = [t for t in rest if t not in
+               ("ASC", "DESC", "NULLS", "FIRST", "LAST")]
+        if bad:
+            raise ValueError(
+                f"ES|QL SORT: unknown keyword(s) {bad} in {part!r}"
+            )
         desc = "DESC" in rest
-        c = _expr_col(expr)
-        c = c.desc() if desc else c.asc()
+        base = _expr_col(expr)
         if "NULLS" in rest:
-            last = rest[rest.index("NULLS") + 1] == "LAST" \
-                if rest.index("NULLS") + 1 < len(rest) else True
-            base = _expr_col(expr)
-            if desc:
-                c = base.desc_nulls_last() if last else base.desc_nulls_first()
-            else:
-                c = base.asc_nulls_last() if last else base.asc_nulls_first()
+            ni = rest.index("NULLS")
+            if ni + 1 >= len(rest) or rest[ni + 1] not in (
+                "FIRST", "LAST"
+            ):
+                raise ValueError(
+                    f"ES|QL SORT: NULLS needs FIRST or LAST: {part!r}"
+                )
+            last = rest[ni + 1] == "LAST"
+        else:
+            last = not desc  # ES|QL default: null is largest
+        if desc:
+            c = base.desc_nulls_last() if last else base.desc_nulls_first()
+        else:
+            c = base.asc_nulls_last() if last else base.asc_nulls_first()
         cols.append(c)
     return df.orderBy(*cols)
 
@@ -222,6 +425,61 @@ def _sort(df: DataFrame, arg: str) -> DataFrame:
 _GROK_ARG_RE = re.compile(
     r"^([A-Za-z_][A-Za-z0-9_.]*)\s+\"(.+)\"\s*$", re.DOTALL
 )
+
+
+def _pattern_matches(columns: list[str], pattern: str) -> list[str]:
+    """Columns matching one KEEP/DROP pattern, in source order; a
+    pattern with no ``*`` is an exact name."""
+    if "*" in pattern:
+        return [c for c in columns if fnmatch.fnmatchcase(c, pattern)]
+    return [pattern] if pattern in columns else []
+
+
+def _resolve_keep(columns: list[str], patterns: list[str]) -> list[str]:
+    """ES|QL KEEP projection: resolve wildcard patterns against the
+    frame's columns with ES|QL's precedence rule — an exact name
+    (precedence 2) beats a partial wildcard (``rtr_*``, precedence 1)
+    beats a bare ``*`` (precedence 0); among equal precedence the
+    RIGHTMOST pattern wins. Output order: by winning pattern, then
+    source order within a wildcard. A pattern matching nothing fails
+    at plan time (typos surface, like an unknown column would)."""
+    def prec(p: str) -> int:
+        return 2 if "*" not in p else (0 if p == "*" else 1)
+
+    win: dict[str, tuple[int, int]] = {}  # col -> (prec, pattern idx)
+    for idx, p in enumerate(patterns):
+        matched = _pattern_matches(columns, p)
+        if not matched:
+            raise ValueError(
+                f"ES|QL KEEP: no column matches {p!r} "
+                f"(columns: {columns})"
+            )
+        pr = prec(p)
+        for c in matched:
+            if c not in win or (pr, idx) >= win[c]:
+                win[c] = (pr, idx)
+    srcpos = {c: i for i, c in enumerate(columns)}
+    return sorted(win, key=lambda c: (win[c][1], srcpos[c]))
+
+
+def _resolve_drop(columns: list[str], patterns: list[str]) -> list[str]:
+    """ES|QL DROP: the union of every pattern's matches; a pattern
+    matching nothing fails at plan time; dropping every column is an
+    error (a frame needs at least one column)."""
+    dropped: list[str] = []
+    for p in patterns:
+        matched = _pattern_matches(columns, p)
+        if not matched:
+            raise ValueError(
+                f"ES|QL DROP: no column matches {p!r} "
+                f"(columns: {columns})"
+            )
+        dropped.extend(c for c in matched if c not in dropped)
+    if len(dropped) == len(columns):
+        raise ValueError(
+            f"ES|QL DROP: cannot drop every column: {patterns!r}"
+        )
+    return dropped
 
 
 def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
@@ -267,9 +525,13 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
         elif cmd == "LIMIT":
             df = df.limit(int(arg))
         elif cmd == "KEEP":
-            df = df.select(*[c for c in _split_top_commas(arg)])
+            df = df.select(
+                *_resolve_keep(df.columns, _split_top_commas(arg))
+            )
         elif cmd == "DROP":
-            df = df.drop(*[c for c in _split_top_commas(arg)])
+            df = df.drop(
+                *_resolve_drop(df.columns, _split_top_commas(arg))
+            )
         elif cmd == "RENAME":
             for part in _split_top_commas(arg):
                 rm = re.match(
@@ -327,11 +589,61 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
                 if withs
                 else [c for c in dim.columns if c != key]
             )
+            missing = [c for c in keep if c not in dim.columns]
+            if missing:
+                raise ValueError(
+                    f"ES|QL ENRICH: policy {policy!r} has no field(s) "
+                    f"{missing} (has: {dim.columns})"
+                )
+            # enrich fields OVERRIDE same-named stream columns (the
+            # ES enrich-processor rule) — drop the collisions first
+            # so the join is never ambiguous
+            collide = [c for c in keep if c in df.columns]
+            if collide:
+                df = df.drop(*collide)
             df = df.join(
                 F.broadcast(dim.select(key, *keep)), on=key, how="left"
             )
+        elif cmd == "LOOKUP":
+            # LOOKUP JOIN index ON key — ES 8.18's general join
+            # command: broadcast left join keeping the lookup index's
+            # FULL column set; same-named stream columns are
+            # overridden (ES's last-write-wins rule); multiple
+            # matching lookup rows multiply the stream row.
+            lm = re.match(
+                r"^JOIN\s+(\S+)\s+ON\s+(\S+)$", arg, re.IGNORECASE
+            )
+            if not lm:
+                raise ValueError(
+                    f"ES|QL LOOKUP needs 'JOIN index ON key': {arg!r}"
+                )
+            idx_name, key = lm.group(1), lm.group(2)
+            if idx_name not in tables:
+                raise ValueError(
+                    f"ES|QL LOOKUP JOIN: unknown index {idx_name!r} "
+                    f"(known: {sorted(tables)})"
+                )
+            lk = tables[idx_name]
+            if key not in lk.columns:
+                raise ValueError(
+                    f"ES|QL LOOKUP JOIN: index {idx_name!r} has no "
+                    f"join field {key!r} (has: {lk.columns})"
+                )
+            if key not in df.columns:
+                raise ValueError(
+                    f"ES|QL LOOKUP JOIN: stream has no join field "
+                    f"{key!r} (has: {df.columns})"
+                )
+            collide = [
+                c for c in lk.columns if c != key and c in df.columns
+            ]
+            if collide:
+                df = df.drop(*collide)
+            df = df.join(F.broadcast(lk), on=key, how="left")
         elif cmd == "MV_EXPAND":
-            df = df.withColumn(arg.strip(), F.explode(arg.strip()))
+            # explode_outer, not explode: ES|QL keeps a row whose
+            # multi-value column is NULL (the value becomes NULL)
+            df = df.withColumn(arg.strip(), F.explode_outer(arg.strip()))
         elif cmd == "DISSECT":
             gm = _GROK_ARG_RE.match(arg)
             if not gm:
@@ -349,6 +661,6 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
             raise ValueError(
                 f"ES|QL: unsupported command {cmd!r} (supported: FROM "
                 "WHERE EVAL STATS SORT LIMIT KEEP DROP RENAME GROK "
-                "DISSECT ENRICH MV_EXPAND)"
+                "DISSECT ENRICH LOOKUP JOIN MV_EXPAND)"
             )
     return df

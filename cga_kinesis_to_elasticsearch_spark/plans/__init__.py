@@ -46,6 +46,7 @@ _MODULES = (
     "essearch",
     "essearch2",
     "essearch3",
+    "esql2",
     "traindata",
     "evalqa",
     "mlprims",

@@ -1,0 +1,200 @@
+"""Round-8 ES|QL surface as declared queries: ``BUCKET()`` grouping
+(the query Kibana Discover generates for every ES|QL date
+histogram), KEEP wildcards + the MV_* scalar family, and ``LOOKUP
+JOIN`` (ES 8.18's general join command) — each a literal pipe chain
+through ``operators/esql.py``, value-checked against a hand-written
+DuckDB oracle.
+
+Reference context: the reference's gorouter/app indices
+(main.go:447) are exactly what Kibana Discover queries with ES|QL —
+a date histogram over log volume is THE first chart every ops
+dashboard draws.
+
+Scale shape: a pipe chain compiles to ONE logical plan — BUCKET is a
+codegen scalar expression (date_trunc / epoch-aligned floor), so the
+histogram is exactly the one partial-agg shuffle the hand-written
+groupBy would run; LOOKUP JOIN broadcasts the lookup index like
+every dimension join in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.esql import run_esql
+from .declared import _t, q
+
+# ---------------------------------------------------------------------------
+# 1. BUCKET(ts, 1 hour): the Kibana Discover date histogram
+# ---------------------------------------------------------------------------
+
+_ESQL_DATE_HISTOGRAM_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS h,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+WHERE event_type <> 'error'
+GROUP BY 1
+ORDER BY h
+"""
+
+
+@q("esql_date_histogram", _ESQL_DATE_HISTOGRAM_ORACLE)
+def _esql_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``BUCKET()`` — calendar form: ``STATS ... BY h =
+    BUCKET(ts, 1 hour)`` is the query Kibana Discover generates for
+    every ES|QL date histogram. A 1-unit calendar span lowers to
+    ``date_trunc``, so the histogram is the identical one-shuffle
+    plan the hand-written groupBy builds; the BY-key assignment names
+    the bucket column.
+
+    Scale shape: scan -> codegen date_trunc -> ONE partial-agg
+    shuffle -> sort; nothing about the pipe syntax changes the
+    physics."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | WHERE event_type != "error"
+        | STATS n = count(*), avg_value = avg(value)
+            BY h = BUCKET(ts, 1 hour)
+        | SORT h ASC
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm").alias("h"),
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. BUCKET fixed-width + numeric: epoch-aligned 6-hour buckets and a
+#    floor-multiple value histogram in one STATS
+# ---------------------------------------------------------------------------
+
+_ESQL_BUCKET_FIXED_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS b6h,
+       floor(value / 2.5) * 2.5 AS vb,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY b6h, vb
+"""
+
+
+@q("esql_bucket_fixed", _ESQL_BUCKET_FIXED_ORACLE)
+def _esql_bucket_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``BUCKET()`` — fixed-interval and numeric forms in one
+    STATS: ``BUCKET(ts, 6 hours)`` lowers to epoch-aligned
+    fixed-width buckets (ES fixed_interval alignment: floor of epoch
+    seconds over the span), ``BUCKET(value, 2.5)`` to the numeric
+    floor-multiple histogram. The bucket surfaces as epoch seconds so
+    both engines hash the identical integer.
+
+    Scale shape: two codegen scalar keys, ONE partial-agg shuffle —
+    a 2-D histogram costs the same wire as a 1-D one."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | STATS n = count(*)
+            BY b = BUCKET(ts, 6 hours), vb = BUCKET(value, 2.5)
+        | SORT b ASC, vb ASC
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        F.col("b").cast("long").alias("b6h"), "vb", "n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. KEEP wildcards + MV_* scalars over the documents table
+# ---------------------------------------------------------------------------
+
+_ESQL_KEEP_MV_ORACLE = """
+SELECT doc_id, n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       string_split(text, ' ')[1] AS first_w,
+       string_split(text, ' ')[len(string_split(text, ' '))] AS last_w
+FROM documents
+ORDER BY doc_id
+LIMIT 100
+"""
+
+
+@q("esql_keep_wildcard_mv", _ESQL_KEEP_MV_ORACLE)
+def _esql_keep_wildcard_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``KEEP`` wildcards + the MV_* scalar family: tokenize
+    inside the pipe, measure the multi-value column with
+    MV_COUNT/MV_FIRST/MV_LAST, then project with wildcard patterns
+    (``KEEP doc_*, n_*, ...`` — idiomatic ES|QL; resolved against the
+    frame's columns with ES|QL's precedence rule, unknown patterns
+    fail loud).
+
+    Scale shape: entirely narrow — split + array accessors are
+    codegen expressions, KEEP is a projection; the only exchange is
+    the TakeOrdered for the LIMIT."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents
+        | EVAL words = split(text, " "),
+               n_words = MV_COUNT(words),
+               first_w = MV_FIRST(words),
+               last_w = MV_LAST(words)
+        | KEEP doc_*, n_*, first_w, last_w
+        | SORT doc_id ASC
+        | LIMIT 100
+        """,
+        {"documents": docs},
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. LOOKUP JOIN: ES 8.18's general join command
+# ---------------------------------------------------------------------------
+
+_ESQL_LOOKUP_JOIN_ORACLE = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       count(*) AS n,
+       round(sum(c.c_acctbal), 2) AS total_bal
+FROM events e
+JOIN customer c ON c.c_custkey = (e.user_id % 1500) + 1
+WHERE e.event_type <> 'error'
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@q("esql_lookup_join_stats", _ESQL_LOOKUP_JOIN_ORACLE)
+def _esql_lookup_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``LOOKUP JOIN`` (ES 8.18): the general join command —
+    unlike ENRICH it keeps the lookup index's FULL column set and
+    multiple matches multiply the stream row; same-named stream
+    columns are overridden (last-write-wins). Here events join the
+    customer index on a derived key and aggregate the looked-up
+    balance per nation.
+
+    Scale shape: ONE broadcast hash join (the lookup index is the
+    small side) + ONE STATS partial-agg shuffle — identical to the
+    hand-written enrichment plan."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    out = run_esql(
+        """
+        FROM events
+        | EVAL c_custkey = user_id % 1500 + 1
+        | LOOKUP JOIN customer ON c_custkey
+        | WHERE event_type != "error"
+        | STATS n = count(*), total_bal = sum(c_acctbal)
+            BY c_nationkey
+        | SORT c_nationkey ASC
+        """,
+        {"events": ev, "customer": cust},
+    )
+    return out.select(
+        "c_nationkey", "n", F.round("total_bal", 2).alias("total_bal")
+    )

@@ -1331,6 +1331,10 @@ class TestEsql:
         with pytest.raises(ValueError, match="unknown index"):
             run_esql("FROM nope | LIMIT 1", {"events": ev})
         with pytest.raises(ValueError, match="unsupported command"):
+            run_esql("FROM events | INLINESTATS n = count(*)",
+                     {"events": ev})
+        # LOOKUP is a command now (round 8) — but only as LOOKUP JOIN
+        with pytest.raises(ValueError, match="LOOKUP needs"):
             run_esql("FROM events | LOOKUP t ON k", {"events": ev})
         with pytest.raises(ValueError, match="unterminated"):
             run_esql('FROM events | WHERE x == "broken', {"events": ev})

@@ -1,0 +1,280 @@
+"""Round-8 ES|QL surface: BUCKET() grouping (the query Kibana
+Discover generates for every ES|QL date histogram), ES|QL null-sort
+semantics (null = largest), MV_EXPAND's NULL-row retention,
+KEEP/DROP wildcards with ES|QL precedence, LOOKUP JOIN (ES 8.18),
+ENRICH's column-override rule, and the MV_* scalar family."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from cga_kinesis_to_elasticsearch_spark.operators.esql import run_esql
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10, 15), "a", 2.0, ["x", "y"]),
+            (2, dt.datetime(2024, 1, 1, 10, 45), "b", None, None),
+            (3, dt.datetime(2024, 1, 1, 11, 5), "a", 1.0, ["z"]),
+            (4, dt.datetime(2024, 1, 2, 0, 30), "c", 8.0, []),
+        ],
+        "event_id long, ts timestamp, event_type string, "
+        "value double, tags array<string>",
+    )
+
+
+class TestBucket:
+    def test_calendar_hour(self, spark):
+        out = run_esql(
+            "FROM e | STATS n = count(*) BY h = BUCKET(ts, 1 hour) "
+            "| SORT h ASC",
+            {"e": _events(spark)},
+        ).collect()
+        assert [(r.h, r.n) for r in out] == [
+            (dt.datetime(2024, 1, 1, 10), 2),
+            (dt.datetime(2024, 1, 1, 11), 1),
+            (dt.datetime(2024, 1, 2, 0), 1),
+        ]
+
+    def test_calendar_day_and_week(self, spark):
+        out = run_esql(
+            "FROM e | STATS n = count(*) BY d = BUCKET(ts, 1 day) "
+            "| SORT d ASC",
+            {"e": _events(spark)},
+        ).collect()
+        assert [r.n for r in out] == [3, 1]
+        wk = run_esql(
+            "FROM e | STATS n = count(*) BY w = BUCKET(ts, 1 week)",
+            {"e": _events(spark)},
+        ).collect()
+        assert len(wk) == 1 and wk[0].n == 4  # same ISO week
+
+    def test_fixed_multi_unit_epoch_aligned(self, spark):
+        out = run_esql(
+            "FROM e | STATS n = count(*) BY b = BUCKET(ts, 30 minutes) "
+            "| SORT b ASC",
+            {"e": _events(spark)},
+        ).collect()
+        assert [r.b.minute for r in out] == [0, 30, 0, 30]
+
+    def test_numeric_bucket(self, spark):
+        out = run_esql(
+            "FROM e | WHERE value IS NOT NULL "
+            "| STATS n = count(*) BY vb = BUCKET(value, 1.5) "
+            "| SORT vb ASC",
+            {"e": _events(spark)},
+        ).collect()
+        assert [(r.vb, r.n) for r in out] == [(0.0, 1), (1.5, 1), (7.5, 1)]
+
+    def test_bucket_errors(self, spark):
+        e = _events(spark)
+        with pytest.raises(ValueError, match="4-arg auto form"):
+            run_esql(
+                "FROM e | STATS n = count(*) BY BUCKET(ts, 50, 0, 1)",
+                {"e": e},
+            )
+        with pytest.raises(ValueError, match="only bucket by 1"):
+            run_esql(
+                "FROM e | STATS n = count(*) BY BUCKET(ts, 2 weeks)",
+                {"e": e},
+            )
+        with pytest.raises(ValueError, match="cannot parse span"):
+            run_esql(
+                "FROM e | STATS n = count(*) BY BUCKET(ts, soon)",
+                {"e": e},
+            )
+        with pytest.raises(ValueError, match="must be positive"):
+            run_esql(
+                "FROM e | STATS n = count(*) BY BUCKET(value, 0)",
+                {"e": e},
+            )
+
+
+class TestSortNulls:
+    def test_default_null_is_largest(self, spark):
+        e = _events(spark)
+        asc = run_esql(
+            "FROM e | SORT value ASC, event_id ASC | KEEP event_id",
+            {"e": e},
+        ).collect()
+        assert [r.event_id for r in asc] == [3, 1, 4, 2]  # null LAST
+        desc = run_esql(
+            "FROM e | SORT value DESC, event_id ASC | KEEP event_id",
+            {"e": e},
+        ).collect()
+        assert [r.event_id for r in desc] == [2, 4, 1, 3]  # null FIRST
+
+    def test_explicit_override(self, spark):
+        e = _events(spark)
+        out = run_esql(
+            "FROM e | SORT value ASC NULLS FIRST, event_id ASC "
+            "| KEEP event_id",
+            {"e": e},
+        ).collect()
+        assert [r.event_id for r in out] == [2, 3, 1, 4]
+
+    def test_dangling_nulls_is_error(self, spark):
+        with pytest.raises(ValueError, match="NULLS needs FIRST or LAST"):
+            run_esql("FROM e | SORT value NULLS", {"e": _events(spark)})
+        with pytest.raises(ValueError, match="unknown keyword"):
+            run_esql("FROM e | SORT value ASCENDING",
+                     {"e": _events(spark)})
+
+
+class TestMvExpand:
+    def test_null_and_empty_rows_survive(self, spark):
+        out = run_esql(
+            "FROM e | MV_EXPAND tags | KEEP event_id, tags "
+            "| SORT event_id ASC, tags ASC",
+            {"e": _events(spark)},
+        ).collect()
+        # id=2 (NULL array) and id=4 (empty array) both keep one row
+        assert [(r.event_id, r.tags) for r in out] == [
+            (1, "x"), (1, "y"), (2, None), (3, "z"), (4, None)]
+
+
+class TestKeepDropWildcards:
+    def test_keep_wildcard_order(self, spark):
+        out = run_esql(
+            "FROM e | KEEP event_*, ts", {"e": _events(spark)}
+        )
+        assert out.columns == ["event_id", "event_type", "ts"]
+
+    def test_keep_exact_beats_wildcard_position(self, spark):
+        # exact name wins over the wildcard and keeps ITS position
+        out = run_esql(
+            "FROM e | KEEP value, event_*, event_id",
+            {"e": _events(spark)},
+        )
+        assert out.columns == ["value", "event_type", "event_id"]
+
+    def test_keep_bare_star_lowest_precedence(self, spark):
+        out = run_esql(
+            "FROM e | KEEP value, *", {"e": _events(spark)}
+        )
+        assert out.columns[0] == "value"
+        assert set(out.columns) == {
+            "event_id", "ts", "event_type", "value", "tags"}
+
+    def test_drop_wildcard(self, spark):
+        out = run_esql("FROM e | DROP t*", {"e": _events(spark)})
+        assert out.columns == ["event_id", "event_type", "value"]
+
+    def test_unmatched_pattern_fails(self, spark):
+        e = _events(spark)
+        with pytest.raises(ValueError, match="KEEP: no column matches"):
+            run_esql("FROM e | KEEP nope_*", {"e": e})
+        with pytest.raises(ValueError, match="DROP: no column matches"):
+            run_esql("FROM e | DROP nope_*", {"e": e})
+        with pytest.raises(ValueError, match="cannot drop every"):
+            run_esql("FROM e | DROP *", {"e": e})
+
+
+class TestLookupJoin:
+    def test_lookup_join_overrides_and_multiplies(self, spark):
+        ev = spark.createDataFrame(
+            [(1, "a", "old1"), (2, "b", "old2"), (3, "zz", "old3")],
+            "event_id long, k string, label string",
+        )
+        lk = spark.createDataFrame(
+            [("a", "A1", 10), ("a", "A2", 20), ("b", "B", 30)],
+            "k string, label string, extra long",
+        )
+        out = run_esql(
+            "FROM e | LOOKUP JOIN lk ON k "
+            "| SORT event_id ASC, extra ASC NULLS LAST",
+            {"e": ev, "lk": lk},
+        ).collect()
+        # lookup's label overrides the stream's; unmatched key -> NULLs;
+        # two matching lookup rows multiply the stream row
+        assert [(r.event_id, r.label, r.extra) for r in out] == [
+            (1, "A1", 10), (1, "A2", 20), (2, "B", 30), (3, None, None)]
+
+    def test_lookup_join_errors(self, spark):
+        ev = spark.createDataFrame([(1, "a")], "id long, k string")
+        lk = spark.createDataFrame([("a", 1)], "k string, v long")
+        with pytest.raises(ValueError, match="unknown index"):
+            run_esql("FROM e | LOOKUP JOIN nope ON k",
+                     {"e": ev, "lk": lk})
+        with pytest.raises(ValueError, match="no join field"):
+            run_esql("FROM e | LOOKUP JOIN lk ON missing",
+                     {"e": ev, "lk": lk})
+        with pytest.raises(ValueError, match="stream has no join field"):
+            run_esql("FROM e | LOOKUP JOIN lk ON v",
+                     {"e": ev, "lk": lk})
+
+
+class TestEnrichOverride:
+    def test_enrich_overrides_existing_column(self, spark):
+        ev = spark.createDataFrame(
+            [(1, 10, "stale"), (2, 99, "stale")],
+            "event_id long, cid long, tier string",
+        )
+        dim = spark.createDataFrame(
+            [(10, "gold")], "cid long, tier string"
+        )
+        out = run_esql(
+            "FROM e | ENRICH dim ON cid WITH tier | SORT event_id ASC",
+            {"e": ev, "dim": dim},
+        ).collect()
+        # the enrich field REPLACES the stream's tier (ES rule) —
+        # including a NULL for the unmatched key, never 'stale'
+        assert [(r.event_id, r.tier) for r in out] == [
+            (1, "gold"), (2, None)]
+
+    def test_enrich_unknown_with_field_fails(self, spark):
+        ev = spark.createDataFrame([(1, 10)], "id long, cid long")
+        dim = spark.createDataFrame([(10, "g")], "cid long, tier string")
+        with pytest.raises(ValueError, match="no field"):
+            run_esql("FROM e | ENRICH dim ON cid WITH nope",
+                     {"e": ev, "dim": dim})
+
+
+class TestMvScalars:
+    def test_mv_family(self, spark):
+        out = run_esql(
+            "FROM e | EVAL n = MV_COUNT(tags), lo = MV_MIN(tags), "
+            'hi = MV_MAX(tags), j = MV_CONCAT(tags, ","), '
+            "f = MV_FIRST(tags), l = MV_LAST(tags) "
+            "| KEEP event_id, n, lo, hi, j, f, l | SORT event_id ASC",
+            {"e": _events(spark)},
+        ).collect()
+        assert [r.asDict() for r in out] == [
+            {"event_id": 1, "n": 2, "lo": "x", "hi": "y", "j": "x,y",
+             "f": "x", "l": "y"},
+            {"event_id": 2, "n": None, "lo": None, "hi": None,
+             "j": None, "f": None, "l": None},
+            {"event_id": 3, "n": 1, "lo": "z", "hi": "z", "j": "z",
+             "f": "z", "l": "z"},
+            {"event_id": 4, "n": 0, "lo": None, "hi": None, "j": "",
+             "f": None, "l": None},
+        ]
+
+    def test_mv_numeric(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, None), (3, [])],
+            "id long, xs array<double>",
+        )
+        out = run_esql(
+            "FROM t | EVAL s = MV_SUM(xs), a = MV_AVG(xs) "
+            "| KEEP id, s, a | SORT id ASC",
+            {"t": df},
+        ).collect()
+        assert [(r.id, r.s, r.a) for r in out] == [
+            (1, 6.0, 2.0), (2, None, None), (3, None, None)]
+
+    def test_nested_and_arity(self, spark):
+        df = spark.createDataFrame(
+            [(1, [[1.0, 2.0], [3.0]])],
+            "id long, xss array<array<double>>",
+        )
+        out = run_esql(
+            "FROM t | EVAL s = MV_SUM(MV_FIRST(xss)) | KEEP id, s",
+            {"t": df},
+        ).first()
+        assert out.s == 3.0
+        with pytest.raises(ValueError, match="expected 1 args"):
+            run_esql("FROM t | EVAL s = MV_SUM(xss, 2)", {"t": df})
