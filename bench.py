@@ -1,9 +1,15 @@
 #!/usr/bin/env python3
 """Headline benchmark: runs the engine's flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints the full per-query payload
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, ...}
+
+followed by a FINAL compact line (same shape minus the bulky
+per-query maps, well under 200 bytes) — the harness that records the
+bench tail-captures a bounded number of characters and parses the
+LAST line, and round 7's full line (with per-query all_runs) outgrew
+that capture. The full payload is also written to BENCH_local.json.
 
 Each query is fully evaluated through the noop sink (no driver collect,
 no pandas conversion — measures the distributed plan, not the driver).
@@ -213,7 +219,26 @@ def main() -> int:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    # full payload first (humans, logs), and to a file for diffing …
+    full = json.dumps(payload)
+    print(full)
+    try:
+        (REPO / "BENCH_local.json").write_text(full + "\n")
+    except OSError:
+        pass
+    # … then the compact line LAST: the recording harness tail-captures
+    # a bounded window and parses the final line, so this one must stay
+    # small (≤200 bytes) no matter how many queries the suite grows
+    compact = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "runs": runs,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    print(json.dumps(compact))
     return 0
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "run_field_caps",
     "run_rank_eval",
     "run_terms_enum",
+    "run_explain",
 ]
 
 
@@ -449,4 +450,126 @@ def run_terms_enum(df: DataFrame, body: dict) -> DataFrame:
         .distinct()
         .orderBy("term")
         .limit(size)
+    )
+
+
+def run_explain(
+    df: DataFrame, doc_id, body: dict, *, id_field: str | None = None
+) -> DataFrame:
+    """ES ``_explain`` endpoint form: why (and how much) ONE document
+    scores for a query — the relevance-debugging staple. Returns one
+    row per scoring clause plus a ``total`` row: ``(doc_id, clause,
+    matched, value)``. The decomposition mirrors the engine's bool
+    scoring exactly (operators/querydsl._score_and_filter): every
+    matching must/should clause adds its score (BM25 for the match
+    family, the clause ``boost`` for constant-score leaves);
+    filter/must_not clauses report their matched status with value
+    0.0 (they gate, never score); the ``total`` row is computed by
+    the SAME scoring expression ``_search`` ranks by, so explain and
+    search can never disagree. A non-bool query explains as one
+    ``query:<kind>`` clause + total. Like ES, the document's row set
+    comes back even when it does NOT match (``matched: false``
+    everywhere, value 0.0). The per-TERM breakdown inside one BM25
+    clause is ``plans/evalqa.explain_bm25_doc``.
+
+    Scale shape: scoring expressions embed broadcast corpus stats
+    (one tiny stats row per BM25 clause, same as ``_search``); the
+    document filter is an id equality that pushes to the scan, and
+    the clause rows explode from ONE matched row — no shuffle at
+    all."""
+    from pyspark.sql import functions as F
+
+    from .querydsl import (
+        _as_list,
+        _identity_col,
+        _leaf_boost,
+        _score_and_filter,
+    )
+
+    query = body.get("query")
+    if not isinstance(query, dict) or len(query) != 1:
+        raise ValueError(
+            f"_explain needs a body with exactly one query clause: {body}"
+        )
+    idc = id_field or _identity_col(df)
+    if idc not in df.columns:
+        raise ValueError(f"_explain: no identity column {idc!r}")
+    kind, qbody = next(iter(query.items()))
+
+    # clause kinds whose score is real (BM25 / feature / composed);
+    # everything else is constant-score (its boost) — the SAME split
+    # _score_and_filter's bool branch applies
+    scored_kinds = (
+        "match", "multi_match", "combined_fields", "bool", "dis_max",
+        "query_string", "simple_query_string", "rank_feature",
+        "distance_feature", "boosting", "pinned", "sparse_vector",
+        "function_score", "script_score",
+    )
+
+    def _match_form(sub: dict) -> dict:
+        # frame-level scoring wrappers match whatever their inner
+        # query matches (min_score handled below for the total row)
+        k, b = next(iter(sub.items()))
+        if k in ("function_score", "script_score"):
+            return _match_form(b.get("query", {"match_all": {}}))
+        return sub
+
+    def _matched(sub: dict):
+        return F.coalesce(
+            compile_query(_match_form(sub), id_col=idc), F.lit(False)
+        )
+
+    def _scoring_part(label: str, sub: dict):
+        skind = next(iter(sub))
+        if skind in scored_kinds:
+            _, s = _score_and_filter(df, sub, True)
+        else:
+            s = F.lit(_leaf_boost(sub))
+        m = _matched(sub)
+        return (f"{label}:{skind}", m, F.when(m, s).otherwise(F.lit(0.0)))
+
+    parts: list[tuple] = []
+    if kind == "bool":
+        for key in ("must", "should"):
+            for i, sub in enumerate(_as_list(qbody.get(key))):
+                if isinstance(sub, dict) and len(sub) == 1:
+                    parts.append(_scoring_part(f"{key}[{i}]", sub))
+        for key in ("filter", "must_not"):
+            for i, sub in enumerate(_as_list(qbody.get(key))):
+                if isinstance(sub, dict) and len(sub) == 1:
+                    m = _matched(sub)
+                    ok = m if key == "filter" else ~m
+                    parts.append(
+                        (f"{key}[{i}]:{next(iter(sub))}", ok, F.lit(0.0))
+                    )
+    else:
+        parts.append(_scoring_part("query", query))
+
+    # the total row runs the REAL search scoring path — the declared
+    # contract is: explain total == the _score _search would rank by
+    _, total_score = _score_and_filter(df, query, True)
+    overall = _matched(query)
+    if kind == "function_score" and qbody.get("min_score") is not None:
+        # min_score EXCLUDES low-scoring docs from the match set
+        overall = overall & (
+            total_score >= F.lit(float(qbody["min_score"]))
+        )
+    parts.append((
+        "total",
+        overall,
+        F.when(overall, total_score).otherwise(F.lit(0.0)),
+    ))
+
+    entries = F.array(*[
+        F.struct(
+            F.lit(label).alias("clause"),
+            m.cast("boolean").alias("matched"),
+            v.cast("double").alias("value"),
+        )
+        for label, m, v in parts
+    ])
+    one = df.filter(F.col(idc) == F.lit(doc_id))
+    return (
+        one.select(F.col(idc).alias("doc_id"), F.explode(entries).alias("e"))
+        .select("doc_id", "e.clause", "e.matched", "e.value")
     )

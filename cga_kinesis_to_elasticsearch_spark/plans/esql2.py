@@ -1,9 +1,10 @@
-"""Round-8 ES|QL surface as declared queries: ``BUCKET()`` grouping
+"""Round-8 surface as declared queries: ES|QL ``BUCKET()`` grouping
 (the query Kibana Discover generates for every ES|QL date
-histogram), KEEP wildcards + the MV_* scalar family, and ``LOOKUP
-JOIN`` (ES 8.18's general join command) — each a literal pipe chain
-through ``operators/esql.py``, value-checked against a hand-written
-DuckDB oracle.
+histogram), KEEP wildcards + the MV_* scalar family, ``LOOKUP
+JOIN`` (ES 8.18's general join command), and the ``_explain``
+endpoint (per-clause score decomposition for one document) — each a
+literal pipe chain / request body through the interpreter,
+value-checked against a hand-written DuckDB oracle.
 
 Reference context: the reference's gorouter/app indices
 (main.go:447) are exactly what Kibana Discover queries with ES|QL —
@@ -198,3 +199,107 @@ def _esql_lookup_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_nationkey", "n", F.round("total_bal", 2).alias("total_bal")
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. _explain: per-clause score decomposition for ONE document
+# ---------------------------------------------------------------------------
+
+_EXPLAIN_DOC = 7
+_EXPLAIN_BODY = {
+    "query": {
+        "bool": {
+            "must": [{"match": {"text": "scan merge"}}],
+            "should": [{"term": {"lang": {"value": "en", "boost": 2.5}}}],
+            "filter": [{"range": {"n_chars": {"gte": 0}}}],
+        }
+    }
+}
+
+# BM25 constants k1=1.2, b=0.75: (1+k1)=2.2, (1-b)=0.25. Lucene field
+# statistics (n_docs / total_len) are taken over docs with >=1 token
+# for the field, exactly like operators/querydsl._bm25_score.
+_ES_EXPLAIN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, n_chars,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN len(tk) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs,
+         CAST(sum(CASE WHEN len(tk) > 0 THEN len(tk) END) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN ('scan', 'merge')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+doc AS (
+  SELECT doc_id, lang, n_chars, CAST(len(tk) AS BIGINT) AS dl
+  FROM toks WHERE doc_id = {_EXPLAIN_DOC}
+),
+bm AS (
+  SELECT d.doc_id,
+         COALESCE(sum(
+           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75
+              * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+         ), 0.0) AS v,
+         count(t.term) > 0 AS m
+  FROM doc d
+  CROSS JOIN stats s
+  LEFT JOIN tf t ON t.doc_id = d.doc_id
+  LEFT JOIN dfreq f ON f.term = t.term
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id, 'must[0]:match' AS clause, bm.m AS matched,
+       round(bm.v, 6) AS value
+FROM doc d JOIN bm USING (doc_id)
+UNION ALL
+SELECT doc_id, 'should[0]:term', lang = 'en',
+       CASE WHEN lang = 'en' THEN 2.5 ELSE 0.0 END
+FROM doc
+UNION ALL
+SELECT doc_id, 'filter[0]:range', n_chars >= 0, 0.0 FROM doc
+UNION ALL
+SELECT d.doc_id, 'total',
+       bm.m AND d.n_chars >= 0,
+       round(CASE WHEN bm.m AND d.n_chars >= 0
+             THEN bm.v + CASE WHEN d.lang = 'en' THEN 2.5 ELSE 0.0 END
+             ELSE 0.0 END, 6)
+FROM doc d JOIN bm USING (doc_id)
+ORDER BY clause
+"""
+
+
+@q("es_explain_score", _ES_EXPLAIN_ORACLE)
+def _es_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain``: the per-clause "why does this document score
+    X" breakdown for one doc against a bool query — the BM25 must
+    clause reports its real summed-term score, the constant-score
+    should reports its boost when it matches, the filter reports
+    matched-with-value-0, and the ``total`` row is produced by the
+    SAME scoring expression ``_search`` ranks by (pinned equal in
+    tests/test_round8_explain.py). The oracle replays the Lucene
+    practical scoring function relationally and emits the identical
+    clause rows.
+
+    Scale shape: one broadcast stats row for the BM25 clause (same
+    as _search), an id-equality filter that pushes to the scan, and
+    a 4-element explode from the one matched row — no shuffle."""
+    from ..operators.esapi import run_explain
+
+    docs = _t(spark, sf_dir, "documents")
+    out = run_explain(docs, _EXPLAIN_DOC, _EXPLAIN_BODY)
+    return out.select(
+        "doc_id", "clause", "matched",
+        F.round("value", 6).alias("value"),
+    ).orderBy("clause")

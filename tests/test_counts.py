@@ -35,6 +35,19 @@ class TestDocCountsMatchRegistry:
                     "scripts/gen_coverage_appendix.py"
                 )
 
+    def test_readme_has_no_test_case_literal(self):
+        # round-5 AND round-7 verdict nit: a literal pytest-case count
+        # in README drifts every round. The claim is now banned — the
+        # suite reports its own size.
+        text = (ROOT / "README.md").read_text()
+        stale = re.findall(
+            r"[\d,]+\s+(?:pytest|test)\s+cases", text
+        )
+        assert not stale, (
+            f"README.md claims a literal test-case count {stale} — "
+            "it WILL drift; let pytest report the live number instead"
+        )
+
     def test_plans_md_header_count(self):
         n = _registry_size()
         first = (ROOT / "PLANS.md").read_text().splitlines()[0]
