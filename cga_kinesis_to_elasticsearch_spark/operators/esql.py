@@ -9,12 +9,18 @@ transformation; unknown commands fail at plan time):
 
 - ``FROM index``            — the source frame (resolved from the
                               caller's table map; comma lists union)
+- ``ROW a = 1, b = "x"``    — a literal one-row source (the ES|QL
+                              scratchpad command)
 - ``WHERE <expr>``          — filter
 - ``EVAL name = <expr>, ..``— computed columns
 - ``STATS a = agg(x), .. BY k1, k2`` — grouped aggregation (BY
                               omitted = global); aggs are the shared
                               SQL core (count/sum/avg/min/max/
                               count_distinct/percentile)
+- ``INLINESTATS a = agg(x), .. BY k`` — ES 8.16: aggregates joined
+  back onto EVERY row (no collapse): a window aggregate over the BY
+  keys; the global form reduces to one broadcast row cross-joined
+  back, never a single-partition window
 - ``SORT col [ASC|DESC] [NULLS FIRST|LAST], ...`` — ES|QL treats a
   NULL as LARGER than every other value, so the defaults are
   ``ASC NULLS LAST`` / ``DESC NULLS FIRST`` (explicit ``NULLS
@@ -51,13 +57,28 @@ transformation; unknown commands fail at plan time):
 Expression dialect: the SQL core ES|QL shares with Spark SQL —
 arithmetic, comparisons, AND/OR/NOT, IN, IS NULL, CASE, and plain
 function calls. ES|QL's ``==`` lowers to ``=`` and double-quoted
-string literals to single-quoted; ES|QL-named functions translate
-(``BUCKET(ts, 1 hour)`` — the grouping Kibana Discover generates for
-every ES|QL date histogram — lowers to calendar ``date_trunc`` /
-epoch-aligned fixed-width bucketing / numeric floor-multiple, and
-the ``MV_*`` scalar family — MV_COUNT/MV_MIN/MV_MAX/MV_SUM/MV_AVG/
-MV_CONCAT/MV_FIRST/MV_LAST — lowers to the array built-ins);
-everything else passes through Spark's parser, which rejects what it
+string literals to single-quoted; ES|QL-named functions translate:
+
+- ``BUCKET(ts, 1 hour)`` — the grouping Kibana Discover generates
+  for every ES|QL date histogram — lowers to calendar ``date_trunc``
+  / epoch-aligned fixed-width bucketing / numeric floor-multiple;
+- the ``MV_*`` scalar family (MV_COUNT/MV_MIN/MV_MAX/MV_SUM/MV_AVG/
+  MV_CONCAT/MV_FIRST/MV_LAST) lowers to the array built-ins;
+- the ``TO_*`` conversions (TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
+  TO_INTEGER/TO_DOUBLE/TO_BOOLEAN/TO_DATETIME) lower to upper/lower/
+  ``try_cast`` (ES|QL conversions are NULL-on-failure, never errors);
+- the date family: ``DATE_FORMAT(fmt, d)`` / ``DATE_PARSE(fmt, s)``
+  (format-FIRST, ES|QL order) swap into Spark's (value, fmt);
+  ``DATE_EXTRACT(chrono_field, d)`` maps java.time ChronoField names
+  to ``extract`` (DAY_OF_WEEK is ISO Monday=1 → DAYOFWEEK_ISO);
+  ``DATE_DIFF(unit, start, end)`` maps to ``timestampdiff``;
+- ``STARTS_WITH``/``ENDS_WITH`` lower to startswith/endswith;
+- ``LIKE "pat"`` uses ES|QL wildcards — ``*`` / ``?`` matching the
+  WHOLE string (NOT SQL ``%``/``_``) — lowered to an anchored RLIKE;
+  ``RLIKE`` itself is whole-string in ES|QL (like the ES regexp
+  query), so its pattern is wrapped ``^(?:pat)$``.
+
+Everything else passes through Spark's parser, which rejects what it
 doesn't know at plan time. ``STATS`` BY keys accept ``name = expr``
 assignments, so ``BY hour = BUCKET(ts, 1 hour)`` names the bucket.
 
@@ -162,11 +183,94 @@ def _mv_sum(x: str) -> str:
     )
 
 
-# each entry: argument count (or (min, max)) and a lowering to Spark
-# SQL text. size(NULL) is -1 pre-ANSI and NULL under ANSI —
+def _quoted_literal(arg: str, fn: str) -> str:
+    """The raw text of a (normalized) single-quoted literal argument —
+    DATE_EXTRACT/DATE_DIFF take their unit as a string literal."""
+    m = re.fullmatch(r"\s*'([^']*)'\s*", arg)
+    if not m:
+        raise ValueError(
+            f"ES|QL {fn}: the unit must be a quoted string literal, "
+            f"got {arg!r}"
+        )
+    return m.group(1)
+
+
+# java.time.temporal.ChronoField names (what ES|QL DATE_EXTRACT
+# takes) -> Spark extract() fields. DAY_OF_WEEK is ISO (1=Monday) in
+# ChronoField, so it maps to DAYOFWEEK_ISO, not Spark's Sunday-based
+# DAYOFWEEK.
+_CHRONO_FIELDS = {
+    "YEAR": "YEAR",
+    "MONTH_OF_YEAR": "MONTH",
+    "DAY_OF_MONTH": "DAY",
+    "DAY_OF_WEEK": "DAYOFWEEK_ISO",
+    "DAY_OF_YEAR": "DOY",
+    "HOUR_OF_DAY": "HOUR",
+    "MINUTE_OF_HOUR": "MINUTE",
+    "SECOND_OF_MINUTE": "SECOND",
+    "ALIGNED_WEEK_OF_YEAR": "WEEK",
+}
+
+
+def _lower_date_extract(args: list[str]) -> str:
+    part = _quoted_literal(args[0], "DATE_EXTRACT").upper()
+    field = _CHRONO_FIELDS.get(part)
+    if field is None:
+        raise ValueError(
+            f"ES|QL DATE_EXTRACT: unsupported ChronoField {part!r} "
+            f"(supported: {sorted(_CHRONO_FIELDS)})"
+        )
+    return f"extract({field} FROM {args[1]})"
+
+
+# ES|QL DATE_DIFF unit spellings (full/plural/abbreviated) -> Spark
+# timestampdiff units
+_DIFF_UNITS = {
+    "year": "YEAR", "years": "YEAR", "yy": "YEAR", "yyyy": "YEAR",
+    "quarter": "QUARTER", "quarters": "QUARTER", "qq": "QUARTER",
+    "month": "MONTH", "months": "MONTH", "mm": "MONTH",
+    "week": "WEEK", "weeks": "WEEK", "wk": "WEEK", "ww": "WEEK",
+    "day": "DAY", "days": "DAY", "dd": "DAY", "d": "DAY",
+    "hour": "HOUR", "hours": "HOUR", "hh": "HOUR",
+    "minute": "MINUTE", "minutes": "MINUTE", "mi": "MINUTE",
+    "n": "MINUTE",
+    "second": "SECOND", "seconds": "SECOND", "ss": "SECOND",
+    "s": "SECOND",
+    "millisecond": "MILLISECOND", "milliseconds": "MILLISECOND",
+    "ms": "MILLISECOND",
+    "microsecond": "MICROSECOND", "microseconds": "MICROSECOND",
+    "mcs": "MICROSECOND",
+}
+
+
+def _lower_date_diff(args: list[str]) -> str:
+    unit = _quoted_literal(args[0], "DATE_DIFF").lower()
+    spark_unit = _DIFF_UNITS.get(unit)
+    if spark_unit is None:
+        raise ValueError(
+            f"ES|QL DATE_DIFF: unsupported unit {unit!r} "
+            f"(supported: {sorted(set(_DIFF_UNITS))})"
+        )
+    # ES|QL: DATE_DIFF(unit, start, end) = end - start, same
+    # direction as Spark's timestampdiff(unit, start, end)
+    return f"timestampdiff({spark_unit}, {args[1]}, {args[2]})"
+
+
+# The ES|QL function table: argument count (or (min, max)) and a
+# lowering to Spark SQL text.
+#
+# MV_* notes: size(NULL) is -1 pre-ANSI and NULL under ANSI —
 # nullif(.., -1) makes MV_COUNT NULL-on-NULL either way (the ES|QL
 # contract: every MV_* function is NULL on a NULL input).
-_MV_FUNCS: dict[str, tuple[object, object]] = {
+#
+# TO_* conversions use try_cast: ES|QL conversion functions yield
+# NULL (plus a warning header) on unconvertible input, never an
+# error — ANSI CAST would throw.
+#
+# DATE_FORMAT/DATE_PARSE take the FORMAT FIRST (ES|QL argument
+# order), swapped into Spark's (value, format); the pattern dialect
+# is java.time.DateTimeFormatter on both engines.
+_ESQL_FUNCS: dict[str, tuple[object, object]] = {
     "BUCKET": ((2, 4), _lower_bucket),
     "MV_COUNT": (1, lambda a: f"nullif(size({a[0]}), -1)"),
     "MV_MIN": (1, lambda a: f"array_min({a[0]})"),
@@ -179,10 +283,25 @@ _MV_FUNCS: dict[str, tuple[object, object]] = {
     "MV_CONCAT": (2, lambda a: f"array_join({a[0]}, {a[1]})"),
     "MV_FIRST": (1, lambda a: f"get({a[0]}, 0)"),
     "MV_LAST": (1, lambda a: f"get({a[0]}, size({a[0]}) - 1)"),
+    "TO_UPPER": (1, lambda a: f"upper({a[0]})"),
+    "TO_LOWER": (1, lambda a: f"lower({a[0]})"),
+    "TO_STRING": (1, lambda a: f"CAST({a[0]} AS STRING)"),
+    "TO_LONG": (1, lambda a: f"try_cast({a[0]} AS BIGINT)"),
+    "TO_INTEGER": (1, lambda a: f"try_cast({a[0]} AS INT)"),
+    "TO_INT": (1, lambda a: f"try_cast({a[0]} AS INT)"),
+    "TO_DOUBLE": (1, lambda a: f"try_cast({a[0]} AS DOUBLE)"),
+    "TO_BOOLEAN": (1, lambda a: f"try_cast({a[0]} AS BOOLEAN)"),
+    "TO_DATETIME": (1, lambda a: f"try_cast({a[0]} AS TIMESTAMP)"),
+    "STARTS_WITH": (2, lambda a: f"startswith({a[0]}, {a[1]})"),
+    "ENDS_WITH": (2, lambda a: f"endswith({a[0]}, {a[1]})"),
+    "DATE_FORMAT": (2, lambda a: f"date_format({a[1]}, {a[0]})"),
+    "DATE_PARSE": (2, lambda a: f"to_timestamp({a[1]}, {a[0]})"),
+    "DATE_EXTRACT": (2, _lower_date_extract),
+    "DATE_DIFF": (3, _lower_date_diff),
 }
 
 _FUNC_NAME_RE = re.compile(
-    r"\b(" + "|".join(sorted(_MV_FUNCS)) + r")\s*\(", re.IGNORECASE
+    r"\b(" + "|".join(sorted(_ESQL_FUNCS)) + r")\s*\(", re.IGNORECASE
 )
 
 
@@ -190,10 +309,18 @@ def _rewrite_funcs(expr: str) -> str:
     """Translate ES|QL-named function calls (BUCKET, the MV_* scalar
     family) in an already quote-normalized expression into Spark SQL,
     recursing into nested calls. Anything not in the table passes
-    through untouched (Spark's parser is the final arbiter)."""
-    m = _FUNC_NAME_RE.search(expr)
-    if not m:
-        return expr
+    through untouched (Spark's parser is the final arbiter). A match
+    inside a string literal (odd quote parity before it — '' doubling
+    keeps parity even) is literal text and stays untouched."""
+    pos = 0
+    while True:
+        m = _FUNC_NAME_RE.search(expr, pos)
+        if not m:
+            return expr
+        if expr[:m.start()].count("'") % 2 == 1:
+            pos = m.end()
+            continue
+        break
     name = m.group(1).upper()
     # balanced-paren argument extraction (strings already normalized
     # to single quotes by _tr_expr)
@@ -215,7 +342,7 @@ def _rewrite_funcs(expr: str) -> str:
         raise ValueError(f"ES|QL: unbalanced parens in {expr!r}")
     inner = expr[m.end():i - 1]
     args = [_rewrite_funcs(a) for a in _split_top_commas(inner)]
-    arity, lower = _MV_FUNCS[name]
+    arity, lower = _ESQL_FUNCS[name]
     lo, hi = arity if isinstance(arity, tuple) else (arity, arity)
     if not lo <= len(args) <= hi:
         raise ValueError(
@@ -292,7 +419,113 @@ def _tr_expr(expr: str) -> str:
             i += 1
     if not _EXPR_SAFE_RE.match("".join(skeleton)):
         raise ValueError(f"ES|QL: unsupported expression syntax: {expr!r}")
-    return _rewrite_funcs("".join(out))
+    return _rewrite_decimals(_rewrite_funcs(_rewrite_like("".join(out))))
+
+
+# Java-regex metacharacters (Spark executors run java.util.regex);
+# '*' and '?' are handled first as ES|QL wildcards
+_RX_SPECIALS = set(".^$+()[]{}|\\")
+
+
+def _wildcard_regex(pattern: str) -> str:
+    """ES|QL LIKE pattern (``*`` = any run, ``?`` = one char) -> an
+    anchored Java regex — ES|QL LIKE matches the WHOLE string."""
+    out = ["^"]
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in _RX_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    out.append("$")
+    return "".join(out)
+
+
+def _scan_literal(expr: str, start: int) -> int:
+    """Index just past a normalized single-quoted literal starting at
+    ``start`` (handles '' doubling). Raises on unterminated."""
+    j = start + 1
+    n = len(expr)
+    while j < n:
+        if expr[j] == "'":
+            if j + 1 < n and expr[j + 1] == "'":
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    raise ValueError(f"ES|QL: unterminated string in {expr!r}")
+
+
+def _rewrite_like(expr: str) -> str:
+    """ES|QL LIKE/RLIKE semantics on a quote-normalized expression:
+
+    - ``LIKE 'pat'`` — ES|QL wildcards are ``*`` / ``?`` (NOT SQL's
+      ``%`` / ``_``) and match the whole string; lowered to an
+      anchored RLIKE (backslashes doubled for Spark's string-literal
+      unescaping). ``x NOT LIKE 'p'`` stays valid as ``x NOT RLIKE``.
+    - ``RLIKE 'pat'`` — ES|QL (like the ES regexp query) matches the
+      ENTIRE string where Spark's RLIKE is find-anywhere; the pattern
+      is wrapped ``^(?:pat)$`` with its text otherwise untouched.
+
+    The scanner skips string literals, so a LIKE inside a string
+    stays literal text."""
+    out: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = _scan_literal(expr, i)
+            out.append(expr[i:j])
+            i = j
+            continue
+        m = re.match(r"(R?LIKE)\s*", expr[i:], re.IGNORECASE)
+        if m and (i == 0 or not (expr[i - 1].isalnum()
+                                 or expr[i - 1] == "_")):
+            k = i + m.end()
+            if k < n and expr[k] == "'":
+                j = _scan_literal(expr, k)
+                inner = expr[k + 1:j - 1]  # normalized, '' kept as-is
+                if m.group(1).upper() == "LIKE":
+                    rx = _wildcard_regex(inner.replace("''", "'"))
+                    lit = rx.replace("\\", "\\\\").replace("'", "''")
+                else:
+                    lit = f"^(?:{inner})$"
+                out.append(f"RLIKE '{lit}'")
+                i = j
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_DECIMAL_RE = re.compile(r"(?<![\w.])(\d+\.\d+)(?![\w.])")
+
+
+def _rewrite_decimals(expr: str) -> str:
+    """ES|QL decimal literals are DOUBLEs; Spark's parser makes a
+    bare ``2.5`` a DECIMAL(2,1), which then propagates exact-decimal
+    arithmetic (and a pandas ``object`` dtype) through the plan. Wrap
+    every bare decimal literal OUTSIDE string literals in a DOUBLE
+    cast. Runs after the function rewrite so span literals like
+    ``BUCKET(ts, 2.5)`` are still raw when their lowerer parses
+    them."""
+    out: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        if expr[i] == "'":
+            j = _scan_literal(expr, i)
+            out.append(expr[i:j])
+            i = j
+            continue
+        j = expr.find("'", i)
+        if j == -1:
+            j = n
+        out.append(_DECIMAL_RE.sub(r"CAST(\1 AS DOUBLE)", expr[i:j]))
+        i = j
+    return "".join(out)
 
 
 def _expr_col(expr: str) -> Column:
@@ -331,10 +564,11 @@ def _split_top_commas(s: str) -> list[str]:
 _ASSIGN_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.DOTALL)
 
 
-def _stats(df: DataFrame, arg: str) -> DataFrame:
+def _split_by(arg: str) -> tuple[str, str]:
+    """Split a STATS/INLINESTATS argument at the top-level ``BY``
+    (not inside parens/strings) into (aggs_src, keys_src)."""
     upper = arg.upper()
     by_idx = None
-    # find a top-level BY (not inside parens/strings)
     depth = 0
     quote = None
     for i, ch in enumerate(arg):
@@ -354,8 +588,13 @@ def _stats(df: DataFrame, arg: str) -> DataFrame:
         ):
             by_idx = i
             break
-    aggs_src = arg[:by_idx] if by_idx is not None else arg
-    keys_src = arg[by_idx + 2:] if by_idx is not None else ""
+    if by_idx is None:
+        return arg, ""
+    return arg[:by_idx], arg[by_idx + 2:]
+
+
+def _stats(df: DataFrame, arg: str) -> DataFrame:
+    aggs_src, keys_src = _split_by(arg)
     aggs = []
     for part in _split_top_commas(aggs_src):
         m = _ASSIGN_RE.match(part)
@@ -382,6 +621,49 @@ def _stats(df: DataFrame, arg: str) -> DataFrame:
                 key_cols.append(_expr_col(k))
         return df.groupBy(*key_cols).agg(*aggs)
     return df.agg(*aggs)
+
+
+def _inlinestats(df: DataFrame, arg: str) -> DataFrame:
+    """ES|QL ``INLINESTATS`` (ES 8.16): aggregate values joined back
+    onto EVERY row — no collapse. With BY keys this is a window
+    aggregate partitioned by the keys (one exchange; NULL keys form
+    their own group, like STATS). Without BY, the global aggregates
+    reduce to ONE broadcast row cross-joined back — never a
+    single-partition window over the whole frame."""
+    from pyspark.sql import Window
+
+    aggs_src, keys_src = _split_by(arg)
+    agg_parts = []
+    for part in _split_top_commas(aggs_src):
+        am = _ASSIGN_RE.match(part)
+        if not am:
+            raise ValueError(
+                f"ES|QL INLINESTATS: each aggregate needs "
+                f"'name = agg(..)': {part!r}"
+            )
+        agg_parts.append((am.group(1), am.group(2)))
+    if not agg_parts:
+        raise ValueError(
+            f"ES|QL INLINESTATS needs at least one aggregate: {arg}"
+        )
+    keys = _split_top_commas(keys_src) if keys_src.strip() else []
+    if not keys:
+        glob = df.agg(*[
+            _expr_col(e).alias(n) for n, e in agg_parts
+        ])
+        return df.crossJoin(F.broadcast(glob))
+    key_cols = []
+    for k in keys:
+        km = _ASSIGN_RE.match(k)
+        if km:
+            df = df.withColumn(km.group(1), _expr_col(km.group(2)))
+            key_cols.append(F.col(km.group(1)))
+        else:
+            key_cols.append(_expr_col(k))
+    w = Window.partitionBy(*key_cols)
+    for n, e in agg_parts:
+        df = df.withColumn(n, _expr_col(e).over(w))
+    return df
 
 
 def _sort(df: DataFrame, arg: str) -> DataFrame:
@@ -490,19 +772,47 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     if not stages:
         raise ValueError("ES|QL: empty query")
     m = _CMD_RE.match(stages[0])
-    if not m or m.group(1).upper() != "FROM":
-        raise ValueError("ES|QL must start with FROM <index>")
+    first_cmd = m.group(1).upper() if m else ""
     df: DataFrame | None = None
-    for name in _split_top_commas(m.group(2)):
-        if name not in tables:
-            raise ValueError(
-                f"ES|QL: unknown index {name!r} "
-                f"(known: {sorted(tables)})"
-            )
-        part = tables[name]
-        df = part if df is None else df.unionByName(
-            part, allowMissingColumns=True
+    if first_cmd == "ROW":
+        # ROW a = 1, b = "x" — a literal one-row source (the ES|QL
+        # scratchpad command Kibana's docs open with)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            next(iter(tables.values())).sparkSession
+            if tables
+            else SparkSession.getActiveSession()
         )
+        if spark is None:
+            raise ValueError(
+                "ES|QL ROW needs an active SparkSession (or any "
+                "entry in the table map)"
+            )
+        cols = []
+        for part in _split_top_commas(m.group(2)):
+            am = _ASSIGN_RE.match(part)
+            if not am:
+                raise ValueError(
+                    f"ES|QL ROW needs 'name = expr': {part!r}"
+                )
+            cols.append(_expr_col(am.group(2)).alias(am.group(1)))
+        if not cols:
+            raise ValueError("ES|QL ROW needs at least one column")
+        df = spark.range(1).select(*cols)
+    elif first_cmd == "FROM":
+        for name in _split_top_commas(m.group(2)):
+            if name not in tables:
+                raise ValueError(
+                    f"ES|QL: unknown index {name!r} "
+                    f"(known: {sorted(tables)})"
+                )
+            part = tables[name]
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True
+            )
+    else:
+        raise ValueError("ES|QL must start with FROM <index> or ROW")
     for stage in stages[1:]:
         m = _CMD_RE.match(stage)
         if not m:
@@ -520,6 +830,8 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
                 df = df.withColumn(am.group(1), _expr_col(am.group(2)))
         elif cmd == "STATS":
             df = _stats(df, arg)
+        elif cmd == "INLINESTATS":
+            df = _inlinestats(df, arg)
         elif cmd == "SORT":
             df = _sort(df, arg)
         elif cmd == "LIMIT":
@@ -660,7 +972,8 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
         else:
             raise ValueError(
                 f"ES|QL: unsupported command {cmd!r} (supported: FROM "
-                "WHERE EVAL STATS SORT LIMIT KEEP DROP RENAME GROK "
-                "DISSECT ENRICH LOOKUP JOIN MV_EXPAND)"
+                "ROW WHERE EVAL STATS INLINESTATS SORT LIMIT KEEP "
+                "DROP RENAME GROK DISSECT ENRICH LOOKUP JOIN "
+                "MV_EXPAND)"
             )
     return df

@@ -303,3 +303,157 @@ def _es_explain_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "clause", "matched",
         F.round("value", 6).alias("value"),
     ).orderBy("clause")
+
+
+# ---------------------------------------------------------------------------
+# 6. The ES|QL scalar function family: TO_* conversions + dates
+# ---------------------------------------------------------------------------
+
+_ESQL_FUNCTIONS_ORACLE = """
+SELECT upper(event_type) AS etype_up,
+       strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n,
+       max(CAST(floor((epoch(ts) - epoch(TIMESTAMP '2023-12-31'))
+                      / 3600) AS BIGINT)) AS max_age_h
+FROM events
+WHERE event_type LIKE 'c%' AND extract('hour' FROM ts) >= 12
+GROUP BY 1, 2
+ORDER BY etype_up, day
+LIMIT 40
+"""
+
+
+@q("esql_functions_scalar", _ESQL_FUNCTIONS_ORACLE)
+def _esql_functions_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES|QL scalar function family in one pipe: TO_UPPER,
+    DATE_FORMAT (format-FIRST, ES|QL argument order), DATE_EXTRACT
+    (java.time ChronoField names), DATE_DIFF (complete units, like
+    ChronoUnit.between — the oracle replays it as floor(epoch-delta /
+    3600) because DuckDB's date_diff counts boundary CROSSINGS, a
+    different function), DATE_PARSE, and STARTS_WITH. Every name
+    translates at plan time into the Spark built-in; nothing leaves
+    codegen.
+
+    Scale shape: scan with both predicates pushed -> ONE partial-agg
+    shuffle -> TakeOrdered."""
+    ev = _t(spark, sf_dir, "events")
+    return run_esql(
+        """
+        FROM events
+        | EVAL etype_up = TO_UPPER(event_type),
+               day = DATE_FORMAT("yyyy-MM-dd", ts),
+               hour_of_day = DATE_EXTRACT("hour_of_day", ts),
+               age_h = DATE_DIFF("hours",
+                   DATE_PARSE("yyyy-MM-dd", "2023-12-31"), ts)
+        | WHERE STARTS_WITH(event_type, "c") AND hour_of_day >= 12
+        | STATS n = count(*), max_age_h = max(age_h) BY etype_up, day
+        | SORT etype_up ASC, day ASC
+        | LIMIT 40
+        """,
+        {"events": ev},
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. ES|QL LIKE (*/? wildcards, whole-string) and anchored RLIKE
+# ---------------------------------------------------------------------------
+
+_ESQL_LIKE_ORACLE = """
+SELECT lang, source, count(*) AS n
+FROM documents
+WHERE text LIKE '%scan%merge%' OR regexp_full_match(lang, 'e.')
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@q("esql_like_rlike", _ESQL_LIKE_ORACLE)
+def _esql_like_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``LIKE``/``RLIKE`` semantics: LIKE wildcards are ``*`` /
+    ``?`` matching the WHOLE string (lowered to an anchored RLIKE —
+    SQL's %/_ would be silently wrong), and ES|QL RLIKE itself is
+    whole-string (like the ES regexp query), so ``lang RLIKE "e."``
+    matches 'en' but NOT 'dean' — the oracle uses DuckDB's
+    regexp_full_match for exactly that contract.
+
+    Scale shape: one scan (the disjunction stays row-local), one
+    partial-agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents
+        | WHERE text LIKE "*scan*merge*" OR lang RLIKE "e."
+        | STATS n = count(*) BY lang, source
+        | SORT lang ASC, source ASC
+        """,
+        {"documents": docs},
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. INLINESTATS: per-group aggregates without collapsing
+# ---------------------------------------------------------------------------
+
+_ESQL_INLINESTATS_ORACLE = """
+WITH w AS (
+  SELECT event_type, value,
+         avg(value) OVER (PARTITION BY event_type) AS avg_v
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       round(max(value), 4) AS max_kept
+FROM w
+WHERE value >= 1.8 * avg_v
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@q("esql_inlinestats", _ESQL_INLINESTATS_ORACLE)
+def _esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``INLINESTATS`` (ES 8.16): per-group aggregates joined
+    back onto every row — here "events at least 1.8x their type's
+    average" — then a normal STATS over the survivors. Lowered to a
+    window aggregate over the BY key (NULL keys form their own
+    group, like STATS).
+
+    Scale shape: ONE window exchange on the BY key + ONE partial-agg
+    shuffle; the global (no-BY) form instead reduces to a broadcast
+    row, so no single-partition window ever appears."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | INLINESTATS avg_v = avg(value) BY event_type
+        | WHERE value >= 1.8 * avg_v
+        | STATS n = count(*), max_kept = max(value) BY event_type
+        | SORT event_type ASC
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        "event_type", "n", F.round("max_kept", 4).alias("max_kept")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. ROW: the literal one-row source
+# ---------------------------------------------------------------------------
+
+_ESQL_ROW_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS a, 'x' AS b, 2.5 AS c,
+       CAST(3 AS BIGINT) AS d
+"""
+
+
+@q("esql_row_literal", _ESQL_ROW_ORACLE)
+def _esql_row_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``ROW``: the literal one-row source (the scratchpad
+    command the ES|QL docs open with), with an EVAL over it —
+    entirely plan-time, no table scan at all."""
+    from ..session import tune_session
+
+    tune_session(spark)
+    return run_esql(
+        'ROW a = 1, b = "x", c = 2.5 | EVAL d = a + 2', {}
+    )

@@ -278,3 +278,147 @@ class TestMvScalars:
         assert out.s == 3.0
         with pytest.raises(ValueError, match="expected 1 args"):
             run_esql("FROM t | EVAL s = MV_SUM(xss, 2)", {"t": df})
+
+
+class TestEsqlFunctions:
+    def test_to_conversions_null_on_failure(self, spark):
+        df = spark.createDataFrame(
+            [(1, "42", "Hello"), (2, "oops", "WORLD")],
+            "id long, raw string, s string",
+        )
+        out = run_esql(
+            "FROM t | EVAL n = TO_LONG(raw), d = TO_DOUBLE(raw), "
+            "lo = TO_LOWER(s), up = TO_UPPER(s), st = TO_STRING(id) "
+            "| SORT id ASC",
+            {"t": df},
+        ).collect()
+        assert [(r.n, r.d) for r in out] == [(42, 42.0), (None, None)]
+        assert (out[0].lo, out[1].up) == ("hello", "WORLD")
+        assert out[0].st == "1"
+
+    def test_date_family(self, spark):
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 3, 15, 10, 15, 30))],
+            "id long, ts timestamp",
+        )
+        r = run_esql(
+            'FROM t | EVAL y = DATE_EXTRACT("year", ts), '
+            'dow = DATE_EXTRACT("day_of_week", ts), '
+            'f = DATE_FORMAT("yyyy/MM/dd", ts), '
+            'p = DATE_PARSE("yyyy-MM-dd", "2024-03-14"), '
+            'dh = DATE_DIFF("hours", DATE_PARSE("yyyy-MM-dd", '
+            '"2024-03-14"), ts)',
+            {"t": df},
+        ).first()
+        assert (r.y, r.dow, r.f) == (2024, 5, "2024/03/15")  # ISO Friday=5
+        assert r.p == dt.datetime(2024, 3, 14)
+        assert r.dh == 34  # complete hours, ChronoUnit-style
+
+    def test_date_errors(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="unsupported ChronoField"):
+            run_esql('FROM t | EVAL x = DATE_EXTRACT("nope", id)',
+                     {"t": df})
+        with pytest.raises(ValueError, match="unsupported unit"):
+            run_esql('FROM t | EVAL x = DATE_DIFF("eons", id, id)',
+                     {"t": df})
+        with pytest.raises(ValueError, match="quoted string literal"):
+            run_esql("FROM t | EVAL x = DATE_EXTRACT(id, id)",
+                     {"t": df})
+
+    def test_decimal_literals_are_double(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        out = run_esql("FROM t | EVAL x = 2.5, y = id + 0.25",
+                       {"t": df})
+        assert dict(out.dtypes)["x"] == "double"
+        assert dict(out.dtypes)["y"] == "double"
+
+
+class TestEsqlLikeRlike:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "click"), (2, "view"), (3, "clack"), (4, "lick")],
+            "id long, t string",
+        )
+
+    def test_like_star_question(self, spark):
+        df = self._df(spark)
+        ids = lambda q: [  # noqa: E731
+            r.id for r in run_esql(q, {"t": df}).collect()]
+        assert ids('FROM t | WHERE t LIKE "cl*ck" | SORT id') == [1, 3]
+        assert ids('FROM t | WHERE t LIKE "cl?ck" | SORT id') == [1, 3]
+        assert ids('FROM t | WHERE t LIKE "*ick*" | SORT id') == [1, 4]
+        # whole-string: no implicit substring match
+        assert ids('FROM t | WHERE t LIKE "lick" | SORT id') == [4]
+        # SQL % is a LITERAL percent in ES|QL, not a wildcard
+        assert ids('FROM t | WHERE t LIKE "%ick%" | SORT id') == []
+        assert ids('FROM t | WHERE t NOT LIKE "*l*" | SORT id') == [2]
+
+    def test_rlike_whole_string(self, spark):
+        df = self._df(spark)
+        ids = lambda q: [  # noqa: E731
+            r.id for r in run_esql(q, {"t": df}).collect()]
+        # 'lick' occurs INSIDE 'click' but ES|QL RLIKE is anchored
+        assert ids('FROM t | WHERE t RLIKE "lick" | SORT id') == [4]
+        assert ids('FROM t | WHERE t RLIKE "cl.ck" | SORT id') == [1, 3]
+        assert ids('FROM t | WHERE t RLIKE ".*ick" | SORT id') == [1, 4]
+
+    def test_like_in_string_literal_stays_literal(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x LIKE 'y'"), (2, "plain")], "id long, t string"
+        )
+        out = run_esql(
+            'FROM t | WHERE t == "x LIKE \'y\'"', {"t": df}
+        ).collect()
+        assert [r.id for r in out] == [1]
+
+
+class TestEsqlRow:
+    def test_row_source(self, spark):
+        r = run_esql(
+            'ROW a = 1, b = "x", c = 2.5 | EVAL d = a + c', {}
+        ).first()
+        assert (r.a, r.b, r.c, r.d) == (1, "x", 2.5, 3.5)
+
+    def test_row_errors(self, spark):
+        with pytest.raises(ValueError, match="needs 'name = expr'"):
+            run_esql("ROW 42", {})
+        with pytest.raises(ValueError, match="must start with FROM"):
+            run_esql("WHERE x > 1", {})
+
+
+class TestEsqlInlinestats:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", 4.0), (3, "b", 9.0),
+             (4, None, 1.0), (5, None, 3.0)],
+            "id long, k string, v double",
+        )
+
+    def test_by_key_with_null_group(self, spark):
+        out = run_esql(
+            "FROM t | INLINESTATS avg_v = avg(v) BY k | SORT id ASC",
+            {"t": self._df(spark)},
+        ).collect()
+        assert [r.avg_v for r in out] == [3.0, 3.0, 9.0, 2.0, 2.0]
+        assert len(out) == 5  # no collapse
+
+    def test_global_broadcast_form(self, spark):
+        df = self._df(spark)
+        out = run_esql(
+            "FROM t | INLINESTATS avg_v = avg(v), n = count(*) "
+            "| WHERE v > avg_v | SORT id ASC",
+            {"t": df},
+        ).collect()
+        assert [r.id for r in out] == [2, 3]
+        assert all(r.n == 5 for r in out)
+        # the plan must NOT contain a single-partition window
+        plan = run_esql(
+            "FROM t | INLINESTATS m = max(v)", {"t": df}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+
+    def test_errors(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="INLINESTATS: each"):
+            run_esql("FROM t | INLINESTATS avg(v)", {"t": df})
