@@ -13,10 +13,10 @@ transformation; unknown commands fail at plan time):
                               scratchpad command)
 - ``WHERE <expr>``          — filter
 - ``EVAL name = <expr>, ..``— computed columns
-- ``STATS a = agg(x), .. BY k1, k2`` — grouped aggregation (BY
-                              omitted = global); aggs are the shared
-                              SQL core (count/sum/avg/min/max/
-                              count_distinct/percentile)
+- ``STATS a = agg(x) [WHERE cond], .. BY k1, k2`` — grouped
+  aggregation (BY omitted = global); aggs are the shared SQL core
+  (count/sum/avg/min/max/count_distinct/percentile); the per-agg
+  WHERE (ES 8.16) lowers to the ANSI ``FILTER (WHERE ..)`` clause
 - ``INLINESTATS a = agg(x), .. BY k`` — ES 8.16: aggregates joined
   back onto EVERY row (no collapse): a window aggregate over the BY
   keys; the global form reduces to one broadcast row cross-joined
@@ -53,6 +53,13 @@ transformation; unknown commands fail at plan time):
 - ``MV_EXPAND col`` — one row per element of a multi-value column;
   a row whose column is NULL survives with a NULL value (ES|QL
   keeps it — ``explode_outer``, not ``explode``)
+- ``SAMPLE p [seed]`` (ES 8.19) — random per-row sampling; a seed
+  makes the run reproducible
+- ``CHANGE_POINT value ON key [AS type_col, pvalue_col]`` (ES 8.18)
+  — appends change-type/p-value columns, non-NULL on the detected
+  row; the detector is the engine's binary-segmentation level-shift
+  with a documented deterministic stand-in p-value (ES caps this
+  command at 1,000 points, so the ordered window is in-contract)
 
 Expression dialect: the SQL core ES|QL shares with Spark SQL —
 arithmetic, comparisons, AND/OR/NOT, IN, IS NULL, CASE, and plain
@@ -73,6 +80,13 @@ string literals to single-quoted; ES|QL-named functions translate:
   to ``extract`` (DAY_OF_WEEK is ISO Monday=1 → DAYOFWEEK_ISO);
   ``DATE_DIFF(unit, start, end)`` maps to ``timestampdiff``;
 - ``STARTS_WITH``/``ENDS_WITH`` lower to startswith/endswith;
+- ``CASE(c1, v1, c2, v2, .., [default])`` — ES|QL's FUNCTION-form
+  CASE (what Kibana emits) lowers to a CASE WHEN chain;
+- ``REPLACE(s, regex, new)`` is REGEX substitution in ES|QL →
+  regexp_replace; ``SPLIT(s, delim)`` takes a LITERAL delimiter →
+  split with the delimiter regex-escaped;
+- more MV_*: MV_SORT / MV_DEDUPE / MV_SLICE (0-based inclusive →
+  slice) / MV_APPEND / MV_ZIP;
 - ``LIKE "pat"`` uses ES|QL wildcards — ``*`` / ``?`` matching the
   WHOLE string (NOT SQL ``%``/``_``) — lowered to an anchored RLIKE;
   ``RLIKE`` itself is whole-string in ES|QL (like the ES regexp
@@ -243,6 +257,88 @@ _DIFF_UNITS = {
 }
 
 
+def _lower_case_fn(args: list[str]) -> str:
+    """ES|QL ``CASE(cond1, val1, cond2, val2, .., [default])`` — the
+    FUNCTION form (ES|QL has no CASE WHEN syntax; Kibana emits this
+    everywhere). Lowered to a SQL CASE WHEN chain; an odd trailing
+    argument is the default."""
+    if len(args) < 2:
+        raise ValueError(
+            f"ES|QL CASE: needs at least (condition, value): {args!r}"
+        )
+    default = args[-1] if len(args) % 2 == 1 else None
+    pairs = args[:-1] if default is not None else args
+    parts = ["CASE"]
+    for i in range(0, len(pairs), 2):
+        parts.append(f"WHEN {pairs[i]} THEN {pairs[i + 1]}")
+    if default is not None:
+        parts.append(f"ELSE {default}")
+    parts.append("END")
+    return "(" + " ".join(parts) + ")"
+
+
+def _rx_escape_literal(arg: str, fn: str) -> str:
+    """Regex-escape the content of a quoted literal argument and
+    re-quote it — ES|QL SPLIT takes a LITERAL delimiter where Spark's
+    split takes a regex. Backslashes double for Spark's
+    string-literal unescaping."""
+    m = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", arg)
+    if not m:
+        # non-literal delimiter: pass through (documented: treated as
+        # a regex, Spark semantics)
+        return arg
+    raw = m.group(1).replace("''", "'")
+    esc = "".join(
+        "\\" + c if (c in _RX_SPECIALS or c in "*?") else c
+        for c in raw
+    )
+    return "'" + esc.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _lower_mv_slice(args: list[str]) -> str:
+    """ES|QL ``MV_SLICE(x, start[, end])`` — 0-based INCLUSIVE
+    bounds, negative = from the end. Spark's slice is 1-based
+    (start, length). Bounds must be integer literals of the same
+    sign."""
+    try:
+        s = int(args[1])
+        e = int(args[2]) if len(args) == 3 else s
+    except ValueError:
+        raise ValueError(
+            f"ES|QL MV_SLICE: start/end must be integer literals: "
+            f"{args[1:]}"
+        ) from None
+    if (s < 0) != (e < 0):
+        raise ValueError(
+            f"ES|QL MV_SLICE: start and end must share a sign: {s}, {e}"
+        )
+    if e < s:
+        raise ValueError(f"ES|QL MV_SLICE: end < start: {s}, {e}")
+    length = e - s + 1
+    start = s if s < 0 else s + 1
+    return f"slice({args[0]}, {start}, {length})"
+
+
+def _lower_mv_sort(args: list[str]) -> str:
+    order = "true"
+    if len(args) == 2:
+        o = _quoted_literal(args[1], "MV_SORT").upper()
+        if o not in ("ASC", "DESC"):
+            raise ValueError(
+                f"ES|QL MV_SORT: order must be ASC or DESC: {o!r}"
+            )
+        order = "true" if o == "ASC" else "false"
+    return f"sort_array({args[0]}, {order})"
+
+
+def _lower_mv_zip(args: list[str]) -> str:
+    delim = args[2] if len(args) == 3 else "','"
+    return (
+        f"zip_with({args[0]}, {args[1]}, "
+        f"(l, r) -> concat(l, {delim}, r))"
+    )
+
+
 def _lower_date_diff(args: list[str]) -> str:
     unit = _quoted_literal(args[0], "DATE_DIFF").lower()
     spark_unit = _DIFF_UNITS.get(unit)
@@ -298,6 +394,23 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
     "DATE_PARSE": (2, lambda a: f"to_timestamp({a[1]}, {a[0]})"),
     "DATE_EXTRACT": (2, _lower_date_extract),
     "DATE_DIFF": (3, _lower_date_diff),
+    "CASE": ((2, 64), _lower_case_fn),
+    # ES|QL REPLACE is REGEX substitution (Spark's replace is literal)
+    "REPLACE": (
+        3,
+        lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    ),
+    # ES|QL SPLIT takes a LITERAL delimiter; Spark's split a regex —
+    # literal delimiters are regex-escaped, non-literals pass through
+    "SPLIT": (
+        2,
+        lambda a: f"split({a[0]}, {_rx_escape_literal(a[1], 'SPLIT')})",
+    ),
+    "MV_SORT": ((1, 2), _lower_mv_sort),
+    "MV_DEDUPE": (1, lambda a: f"array_distinct({a[0]})"),
+    "MV_SLICE": ((2, 3), _lower_mv_slice),
+    "MV_APPEND": (2, lambda a: f"concat({a[0]}, {a[1]})"),
+    "MV_ZIP": ((2, 3), _lower_mv_zip),
 }
 
 _FUNC_NAME_RE = re.compile(
@@ -564,13 +677,13 @@ def _split_top_commas(s: str) -> list[str]:
 _ASSIGN_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+)$", re.DOTALL)
 
 
-def _split_by(arg: str) -> tuple[str, str]:
-    """Split a STATS/INLINESTATS argument at the top-level ``BY``
-    (not inside parens/strings) into (aggs_src, keys_src)."""
+def _find_top_kw(arg: str, kw: str) -> int | None:
+    """Index of the first top-level (outside parens/strings)
+    occurrence of keyword ``kw``, or None."""
     upper = arg.upper()
-    by_idx = None
     depth = 0
     quote = None
+    n, ln = len(arg), len(kw)
     for i, ch in enumerate(arg):
         if quote:
             if ch == quote:
@@ -581,16 +694,38 @@ def _split_by(arg: str) -> tuple[str, str]:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and upper.startswith("BY", i) and (
-            i == 0 or not arg[i - 1].isalnum()
+        elif depth == 0 and upper.startswith(kw, i) and (
+            i == 0 or not (arg[i - 1].isalnum() or arg[i - 1] == "_")
         ) and (
-            i + 2 >= len(arg) or not arg[i + 2].isalnum()
+            i + ln >= n or not (arg[i + ln].isalnum()
+                                or arg[i + ln] == "_")
         ):
-            by_idx = i
-            break
+            return i
+    return None
+
+
+def _split_by(arg: str) -> tuple[str, str]:
+    """Split a STATS/INLINESTATS argument at the top-level ``BY``
+    (not inside parens/strings) into (aggs_src, keys_src)."""
+    by_idx = _find_top_kw(arg, "BY")
     if by_idx is None:
         return arg, ""
     return arg[:by_idx], arg[by_idx + 2:]
+
+
+def _agg_with_where(rhs: str) -> str:
+    """ES|QL's per-aggregate filter (ES 8.16): ``name = agg(x) WHERE
+    cond`` inside STATS. Lowered to the ANSI ``FILTER (WHERE ..)``
+    aggregate clause — one pass, no pre-split of the frame."""
+    wi = _find_top_kw(rhs, "WHERE")
+    if wi is None:
+        return rhs
+    cond = rhs[wi + 5:].strip()
+    if not cond:
+        raise ValueError(
+            f"ES|QL STATS: WHERE needs a condition: {rhs!r}"
+        )
+    return f"{rhs[:wi]} FILTER (WHERE {cond})"
 
 
 def _stats(df: DataFrame, arg: str) -> DataFrame:
@@ -603,7 +738,9 @@ def _stats(df: DataFrame, arg: str) -> DataFrame:
                 f"ES|QL STATS: each aggregate needs 'name = agg(..)': "
                 f"{part!r}"
             )
-        aggs.append(_expr_col(m.group(2)).alias(m.group(1)))
+        aggs.append(
+            _expr_col(_agg_with_where(m.group(2))).alias(m.group(1))
+        )
     if not aggs:
         raise ValueError(f"ES|QL STATS needs at least one aggregate: {arg}")
     keys = _split_top_commas(keys_src) if keys_src.strip() else []
@@ -664,6 +801,75 @@ def _inlinestats(df: DataFrame, arg: str) -> DataFrame:
     for n, e in agg_parts:
         df = df.withColumn(n, _expr_col(e).over(w))
     return df
+
+
+def _change_point(df: DataFrame, arg: str) -> DataFrame:
+    """ES|QL ``CHANGE_POINT value ON key [AS type_col, pvalue_col]``
+    (ES 8.18, tech preview): appends a change-type and p-value column,
+    non-NULL only on the detected change row. The detector here is
+    the engine's binary-segmentation level-shift step (the same math
+    as the ``change_point`` aggregation / change_point_daily_orders):
+    the split minimizing total within-segment SSE, labeled
+    ``step_change``, with a DOCUMENTED deterministic stand-in p-value
+    = sse_split / sse_single (0 = perfect split explains everything;
+    ES's ML p-values are model-based and not reproducible
+    relationally).
+
+    Scale note: like ES — which caps CHANGE_POINT at 1,000 points —
+    this runs the candidate scan in one ordered window, so feed it a
+    pre-aggregated series (STATS BY bucket first), not raw events."""
+    from pyspark.sql import Window
+
+    m = re.match(
+        r"^(\S+)\s+ON\s+(\S+?)(?:\s+AS\s+(\S+)\s*,\s*(\S+))?$",
+        arg,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"ES|QL CHANGE_POINT needs 'value ON key "
+            f"[AS type_col, pvalue_col]': {arg!r}"
+        )
+    val, key = m.group(1), m.group(2)
+    type_col = m.group(3) or "type"
+    pvalue_col = m.group(4) or "pvalue"
+    for c in (val, key):
+        if c not in df.columns:
+            raise ValueError(
+                f"ES|QL CHANGE_POINT: no column {c!r} "
+                f"(has: {df.columns})"
+            )
+    x = F.col(val).cast("double")
+    wc = Window.orderBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.orderBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = F.row_number().over(Window.orderBy(key))
+    cs = F.sum(x).over(wc)
+    css = F.sum(x * x).over(wc)
+    tk = F.count(F.lit(1)).over(wt)
+    ts = F.sum(x).over(wt)
+    tss = F.sum(x * x).over(wt)
+    nl = k.cast("double")
+    nr = (tk - k).cast("double")
+    sse_split = (css - cs * cs / nl) + (
+        (tss - css) - (ts - cs) * (ts - cs) / nr
+    )
+    sse_single = tss - ts * ts / tk.cast("double")
+    # candidate splits leave k rows on the left (k < tk); the winner
+    # is the (sse, k) minimum, and ES reports the change AT the first
+    # row of the NEW regime — row k+1 of the winning split
+    cand = F.when(k < tk, F.struct(sse_split.alias("s"), k.alias("k")))
+    best = F.min(cand).over(wt)
+    is_marked = k == (best.getField("k") + 1)
+    pseudo_p = F.round(best.getField("s") / sse_single, 6)
+    return df.select(
+        "*",
+        F.when(is_marked, F.lit("step_change")).alias(type_col),
+        F.when(is_marked, pseudo_p).alias(pvalue_col),
+    )
 
 
 def _sort(df: DataFrame, arg: str) -> DataFrame:
@@ -832,6 +1038,25 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
             df = _stats(df, arg)
         elif cmd == "INLINESTATS":
             df = _inlinestats(df, arg)
+        elif cmd == "SAMPLE":
+            # SAMPLE probability [seed] (ES 8.19): random per-row
+            # sampling; a seed makes the predicate reproducible
+            # across runs (rand(seed) is deterministic per row order
+            # within a given partitioning)
+            toks = arg.split()
+            if not 1 <= len(toks) <= 2:
+                raise ValueError(
+                    f"ES|QL SAMPLE needs 'probability [seed]': {arg!r}"
+                )
+            p = float(toks[0])
+            if not 0.0 < p < 1.0:
+                raise ValueError(
+                    f"ES|QL SAMPLE: probability must be in (0, 1): {p}"
+                )
+            rnd = F.rand(int(toks[1])) if len(toks) == 2 else F.rand()
+            df = df.filter(rnd < F.lit(p))
+        elif cmd == "CHANGE_POINT":
+            df = _change_point(df, arg)
         elif cmd == "SORT":
             df = _sort(df, arg)
         elif cmd == "LIMIT":
@@ -974,6 +1199,6 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
                 f"ES|QL: unsupported command {cmd!r} (supported: FROM "
                 "ROW WHERE EVAL STATS INLINESTATS SORT LIMIT KEEP "
                 "DROP RENAME GROK DISSECT ENRICH LOOKUP JOIN "
-                "MV_EXPAND)"
+                "MV_EXPAND SAMPLE CHANGE_POINT)"
             )
     return df

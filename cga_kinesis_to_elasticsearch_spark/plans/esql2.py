@@ -457,3 +457,165 @@ def _esql_row_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_esql(
         'ROW a = 1, b = "x", c = 2.5 | EVAL d = a + 2', {}
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. STATS with per-aggregate WHERE (ES 8.16)
+# ---------------------------------------------------------------------------
+
+_ESQL_STATS_WHERE_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       count(*) FILTER (WHERE value > 4.0) AS big,
+       round(COALESCE(sum(value) FILTER (WHERE value > 4.0), 0.0), 4)
+         AS big_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@q("esql_stats_where", _ESQL_STATS_WHERE_ORACLE)
+def _esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL per-aggregate filters (ES 8.16): ``STATS big = count(*)
+    WHERE value > 4.0 BY event_type`` — each aggregate carries its
+    own predicate, lowered to the ANSI ``FILTER (WHERE ..)`` clause
+    both engines implement natively.
+
+    Scale shape: STILL one partial-agg shuffle — per-agg filters are
+    row-local inside the same aggregation pass, never a pre-split of
+    the frame or a second scan."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | STATS n = count(*),
+                big = count(*) WHERE value > 4.0,
+                big_sum = sum(value) WHERE value > 4.0
+            BY event_type
+        | SORT event_type ASC
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        "event_type", "n", "big",
+        F.round(F.coalesce("big_sum", F.lit(0.0)), 4).alias("big_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. CASE() function form + regex REPLACE + literal SPLIT + MV_SLICE
+# ---------------------------------------------------------------------------
+
+_ESQL_CASE_ORACLE = """
+SELECT CASE WHEN n_chars >= 300 THEN 'long'
+            WHEN n_chars >= 120 THEN 'mid'
+            ELSE 'short' END AS band,
+       regexp_replace(lang, '[aeiou]', '?', 'g') AS cleaned,
+       count(*) AS n,
+       min(array_to_string(list_slice(string_split(text, ' '), 1, 2),
+                           '_')) AS first2
+FROM documents
+GROUP BY 1, 2
+ORDER BY band, cleaned
+"""
+
+
+@q("esql_case_replace_split", _ESQL_CASE_ORACLE)
+def _esql_case_replace_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES|QL's FUNCTION-form ``CASE(c1, v1, c2, v2, default)`` (the
+    shape Kibana emits — ES|QL has no CASE WHEN syntax), regex
+    ``REPLACE`` (ES|QL REPLACE is regex substitution, so it lowers to
+    regexp_replace, NOT Spark's literal replace), literal-delimiter
+    ``SPLIT`` and 0-based-inclusive ``MV_SLICE`` — all in one pipe
+    over the documents table.
+
+    Scale shape: every translated function is a codegen scalar; one
+    partial-agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents
+        | EVAL band = CASE(n_chars >= 300, "long",
+                           n_chars >= 120, "mid", "short"),
+               cleaned = REPLACE(lang, "[aeiou]", "?"),
+               first2 = MV_CONCAT(
+                   MV_SLICE(SPLIT(text, " "), 0, 1), "_")
+        | STATS n = count(*), first2 = min(first2) BY band, cleaned
+        | SORT band ASC, cleaned ASC
+        """,
+        {"documents": docs},
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. CHANGE_POINT over the daily order-count series
+# ---------------------------------------------------------------------------
+
+_ESQL_CHANGE_POINT_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT d, x,
+         row_number() OVER (ORDER BY d) AS k,
+         CAST(sum(x) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cs,
+         CAST(sum(x * x) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS css,
+         count(*) OVER () AS tk,
+         CAST(sum(x) OVER () AS DOUBLE) AS ts,
+         CAST(sum(x * x) OVER () AS DOUBLE) AS tss
+  FROM daily
+),
+cand AS (
+  SELECT k,
+         (css - cs * cs / CAST(k AS DOUBLE))
+         + ((tss - css) - (ts - cs) * (ts - cs)
+            / CAST(tk - k AS DOUBLE)) AS sse,
+         tss - ts * ts / CAST(tk AS DOUBLE) AS sse_single
+  FROM cum WHERE k < tk
+),
+best AS (SELECT * FROM cand ORDER BY sse, k LIMIT 1)
+SELECT strftime(c.d, '%Y-%m-%d') AS day,
+       c.x,
+       'step_change' AS cp_type,
+       round(b.sse / b.sse_single, 6) AS pvalue
+FROM cum c JOIN best b ON c.k = b.k + 1
+"""
+
+
+@q("esql_change_point", _ESQL_CHANGE_POINT_ORACLE)
+def _esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``CHANGE_POINT`` (ES 8.18): STATS builds the daily
+    order-count series, CHANGE_POINT appends type/pvalue columns
+    non-NULL on the detected change row (the first row of the new
+    regime, like ES). The detector is the engine's
+    binary-segmentation level-shift (same math as the change_point
+    aggregation) with the documented deterministic stand-in p-value
+    sse_split/sse_single; the oracle replays it relationally and
+    joins the k+1 row.
+
+    Scale shape: the data-sized work is the STATS shuffle down to
+    ~2,400 daily rows; the CHANGE_POINT window then runs on that tiny
+    frame — in-contract with ES, which caps the command at 1,000
+    points."""
+    o = _t(spark, sf_dir, "orders")
+    out = run_esql(
+        """
+        FROM orders
+        | STATS x = count(*) BY d = o_orderdate
+        | CHANGE_POINT x ON d AS cp_type, pvalue
+        | WHERE cp_type IS NOT NULL
+        """,
+        {"orders": o},
+    )
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "x", "cp_type", "pvalue",
+    )

@@ -1331,7 +1331,7 @@ class TestEsql:
         with pytest.raises(ValueError, match="unknown index"):
             run_esql("FROM nope | LIMIT 1", {"events": ev})
         with pytest.raises(ValueError, match="unsupported command"):
-            run_esql("FROM events | CHANGE_POINT value ON ts",
+            run_esql("FROM events | FORK (WHERE x > 1) (LIMIT 2)",
                      {"events": ev})
         # LOOKUP is a command now (round 8) — but only as LOOKUP JOIN
         with pytest.raises(ValueError, match="LOOKUP needs"):

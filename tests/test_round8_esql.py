@@ -422,3 +422,142 @@ class TestEsqlInlinestats:
         df = self._df(spark)
         with pytest.raises(ValueError, match="INLINESTATS: each"):
             run_esql("FROM t | INLINESTATS avg(v)", {"t": df})
+
+
+class TestStatsWhere:
+    def test_per_agg_filter(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", 5.0), (3, "b", 9.0), (4, "b", 1.0)],
+            "id long, k string, v double",
+        )
+        out = run_esql(
+            "FROM t | STATS n = count(*), big = count(*) WHERE v > 3, "
+            "s = sum(v) WHERE v > 3 BY k | SORT k ASC",
+            {"t": df},
+        ).collect()
+        assert [(r.k, r.n, r.big, r.s) for r in out] == [
+            ("a", 2, 1, 5.0), ("b", 2, 1, 9.0)]
+
+    def test_where_needs_condition(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+        with pytest.raises(ValueError, match="WHERE needs a condition"):
+            run_esql("FROM t | STATS n = count(*) WHERE", {"t": df})
+
+
+class TestCaseFunction:
+    def test_case_with_default(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 2.0), (3, 0.5)], "id long, v double"
+        )
+        out = run_esql(
+            'FROM t | EVAL lab = CASE(v > 4, "hi", v > 1, "mid", "lo") '
+            "| SORT id ASC | KEEP lab",
+            {"t": df},
+        ).collect()
+        assert [r.lab for r in out] == ["hi", "mid", "lo"]
+
+    def test_case_without_default_yields_null(self, spark):
+        df = spark.createDataFrame([(1, 0.5)], "id long, v double")
+        r = run_esql(
+            'FROM t | EVAL lab = CASE(v > 4, "hi")', {"t": df}
+        ).first()
+        assert r.lab is None
+
+    def test_case_arity_error(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="CASE: expected 2"):
+            run_esql("FROM t | EVAL x = CASE(id)", {"t": df})
+
+
+class TestReplaceSplit:
+    def test_replace_is_regex(self, spark):
+        df = spark.createDataFrame([(1, "x1y22z")], "id long, s string")
+        r = run_esql(
+            'FROM t | EVAL o = REPLACE(s, "[0-9]+", "#")', {"t": df}
+        ).first()
+        assert r.o == "x#y#z"
+
+    def test_split_delimiter_is_literal(self, spark):
+        df = spark.createDataFrame([(1, "a.b.c")], "id long, s string")
+        r = run_esql(
+            'FROM t | EVAL parts = SPLIT(s, ".")', {"t": df}
+        ).first()
+        assert r.parts == ["a", "b", "c"]  # '.' is NOT any-char
+
+
+class TestMvWave3:
+    def test_sort_dedupe_slice_append_zip(self, spark):
+        df = spark.createDataFrame(
+            [(1, [3, 1, 2, 1], ["x", "y"])],
+            "id long, xs array<int>, ys array<string>",
+        )
+        r = run_esql(
+            'FROM t | EVAL srt = MV_SORT(xs, "DESC"), '
+            "dd = MV_DEDUPE(xs), sl = MV_SLICE(xs, 1, 2), "
+            "one = MV_SLICE(xs, 0), neg = MV_SLICE(xs, -2, -1), "
+            "ap = MV_APPEND(xs, xs), "
+            'z = MV_ZIP(ys, ys, "-")',
+            {"t": df},
+        ).first()
+        assert r.srt == [3, 2, 1, 1]
+        assert sorted(r.dd) == [1, 2, 3]
+        assert r.sl == [1, 2]
+        assert r.one == [3]
+        assert r.neg == [2, 1]
+        assert r.ap == [3, 1, 2, 1, 3, 1, 2, 1]
+        assert r.z == ["x-x", "y-y"]
+
+    def test_slice_errors(self, spark):
+        df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<int>")
+        with pytest.raises(ValueError, match="share a sign"):
+            run_esql("FROM t | EVAL s = MV_SLICE(xs, -1, 1)", {"t": df})
+        with pytest.raises(ValueError, match="end < start"):
+            run_esql("FROM t | EVAL s = MV_SLICE(xs, 2, 1)", {"t": df})
+        with pytest.raises(ValueError, match="integer literals"):
+            run_esql("FROM t | EVAL s = MV_SLICE(xs, id, 1)", {"t": df})
+
+
+class TestSample:
+    def test_seeded_sample_reproducible(self, spark):
+        big = spark.range(5000)
+        a = run_esql("FROM t | SAMPLE 0.2 7", {"t": big}).count()
+        b = run_esql("FROM t | SAMPLE 0.2 7", {"t": big}).count()
+        assert a == b
+        assert 700 < a < 1300  # ~1000 expected
+
+    def test_sample_errors(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="in \\(0, 1\\)"):
+            run_esql("FROM t | SAMPLE 1.5", {"t": df})
+        with pytest.raises(ValueError, match="probability"):
+            run_esql("FROM t | SAMPLE 0.1 2 3", {"t": df})
+
+
+class TestChangePoint:
+    def test_step_marked_at_new_regime(self, spark):
+        rows = [(float(i), 1.0 if i <= 10 else 11.0) for i in range(1, 21)]
+        df = spark.createDataFrame(rows, "k double, v double")
+        out = run_esql(
+            "FROM t | CHANGE_POINT v ON k | WHERE type IS NOT NULL",
+            {"t": df},
+        ).collect()
+        assert len(out) == 1
+        assert out[0].k == 11.0  # first row of the NEW regime
+        assert out[0].type == "step_change"
+        assert out[0].pvalue < 0.01  # near-perfect split explains all
+
+    def test_rows_preserved_and_custom_names(self, spark):
+        rows = [(float(i), float(i > 5)) for i in range(1, 11)]
+        df = spark.createDataFrame(rows, "k double, v double")
+        out = run_esql(
+            "FROM t | CHANGE_POINT v ON k AS cp, pv", {"t": df}
+        )
+        assert out.count() == 10
+        assert {"cp", "pv"} <= set(out.columns)
+
+    def test_errors(self, spark):
+        df = spark.createDataFrame([(1.0, 2.0)], "k double, v double")
+        with pytest.raises(ValueError, match="no column"):
+            run_esql("FROM t | CHANGE_POINT nope ON k", {"t": df})
+        with pytest.raises(ValueError, match="CHANGE_POINT needs"):
+            run_esql("FROM t | CHANGE_POINT v", {"t": df})
