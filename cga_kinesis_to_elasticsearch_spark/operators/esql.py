@@ -55,6 +55,10 @@ transformation; unknown commands fail at plan time):
   keeps it — ``explode_outer``, not ``explode``)
 - ``SAMPLE p [seed]`` (ES 8.19) — random per-row sampling; a seed
   makes the run reproducible
+- ``FORK (branch1) (branch2) ..`` (ES 8.19) — the common prefix
+  feeds each parenthesized sub-pipeline; outputs union (missing
+  columns NULL-filled) with a ``_fork`` discriminator (``fork1``,
+  ``fork2``, .. in branch order); 2..8 branches, like ES
 - ``CHANGE_POINT value ON key [AS type_col, pvalue_col]`` (ES 8.18)
   — appends change-type/p-value columns, non-NULL on the detected
   row; the detector is the engine's binary-segmentation level-shift
@@ -472,10 +476,12 @@ _EXPR_SAFE_RE = re.compile(r"^[\w\s\.\+\-\*/%\(\)<>=!,'\"\[\]:]*$")
 
 
 def _split_pipes(query: str) -> list[str]:
-    """Split on top-level ``|`` — pipes inside string literals stay."""
+    """Split on top-level ``|`` — pipes inside string literals or
+    parentheses stay (FORK branches carry their own sub-pipelines)."""
     parts: list[str] = []
     buf: list[str] = []
     quote: str | None = None
+    depth = 0
     for ch in query:
         if quote:
             buf.append(ch)
@@ -484,7 +490,13 @@ def _split_pipes(query: str) -> list[str]:
         elif ch in ("'", '"'):
             quote = ch
             buf.append(ch)
-        elif ch == "|":
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "|" and depth == 0:
             parts.append("".join(buf))
             buf = []
         else:
@@ -1020,185 +1032,256 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     else:
         raise ValueError("ES|QL must start with FROM <index> or ROW")
     for stage in stages[1:]:
-        m = _CMD_RE.match(stage)
-        if not m:
-            raise ValueError(f"ES|QL: cannot parse stage {stage!r}")
-        cmd, arg = m.group(1).upper(), m.group(2).strip()
-        if cmd == "WHERE":
-            df = df.filter(_expr_col(arg))
-        elif cmd == "EVAL":
-            for part in _split_top_commas(arg):
-                am = _ASSIGN_RE.match(part)
-                if not am:
-                    raise ValueError(
-                        f"ES|QL EVAL needs 'name = expr': {part!r}"
-                    )
-                df = df.withColumn(am.group(1), _expr_col(am.group(2)))
-        elif cmd == "STATS":
-            df = _stats(df, arg)
-        elif cmd == "INLINESTATS":
-            df = _inlinestats(df, arg)
-        elif cmd == "SAMPLE":
-            # SAMPLE probability [seed] (ES 8.19): random per-row
-            # sampling; a seed makes the predicate reproducible
-            # across runs (rand(seed) is deterministic per row order
-            # within a given partitioning)
-            toks = arg.split()
-            if not 1 <= len(toks) <= 2:
-                raise ValueError(
-                    f"ES|QL SAMPLE needs 'probability [seed]': {arg!r}"
-                )
-            p = float(toks[0])
-            if not 0.0 < p < 1.0:
-                raise ValueError(
-                    f"ES|QL SAMPLE: probability must be in (0, 1): {p}"
-                )
-            rnd = F.rand(int(toks[1])) if len(toks) == 2 else F.rand()
-            df = df.filter(rnd < F.lit(p))
-        elif cmd == "CHANGE_POINT":
-            df = _change_point(df, arg)
-        elif cmd == "SORT":
-            df = _sort(df, arg)
-        elif cmd == "LIMIT":
-            df = df.limit(int(arg))
-        elif cmd == "KEEP":
-            df = df.select(
-                *_resolve_keep(df.columns, _split_top_commas(arg))
-            )
-        elif cmd == "DROP":
-            df = df.drop(
-                *_resolve_drop(df.columns, _split_top_commas(arg))
-            )
-        elif cmd == "RENAME":
-            for part in _split_top_commas(arg):
-                rm = re.match(
-                    r"^(\S+)\s+AS\s+(\S+)$", part, re.IGNORECASE
-                )
-                if not rm:
-                    raise ValueError(
-                        f"ES|QL RENAME needs 'old AS new': {part!r}"
-                    )
-                df = df.withColumnRenamed(rm.group(1), rm.group(2))
-        elif cmd == "GROK":
-            gm = _GROK_ARG_RE.match(arg)
-            if not gm:
-                raise ValueError(
-                    f'ES|QL GROK needs: field "pattern" — got {arg!r}'
-                )
-            from ..grok import default_grok, grok_columns
+        df = _apply_stage(df, stage, tables)
+    return df
 
-            g = default_grok()
-            g.add_pattern("__ESQL__", gm.group(2))
-            df = df.select(
-                "*", *grok_columns(g, gm.group(1), "__ESQL__")
-            )
-        elif cmd == "ENRICH":
-            # ENRICH policy ON key [WITH f1, f2] — ES|QL's lookup
-            # enrichment (the reference's app-metadata join, in pipe
-            # syntax): the policy is a dimension frame in the table
-            # map, matched on the shared key column and broadcast
-            # (missing keys tolerate as NULLs, like the enrich
-            # processor). WITH narrows the added fields.
-            em = re.match(
-                r"^(\S+)\s+ON\s+(\S+)(?:\s+WITH\s+(.+))?$",
-                arg,
-                re.IGNORECASE | re.DOTALL,
-            )
-            if not em:
-                raise ValueError(
-                    f"ES|QL ENRICH needs 'policy ON key [WITH ..]': "
-                    f"{arg!r}"
-                )
-            policy, key, withs = em.group(1), em.group(2), em.group(3)
-            if policy not in tables:
-                raise ValueError(
-                    f"ES|QL ENRICH: unknown policy {policy!r} "
-                    f"(known: {sorted(tables)})"
-                )
-            dim = tables[policy]
-            if key not in dim.columns:
-                raise ValueError(
-                    f"ES|QL ENRICH: policy {policy!r} has no match "
-                    f"field {key!r}"
-                )
-            keep = (
-                _split_top_commas(withs)
-                if withs
-                else [c for c in dim.columns if c != key]
-            )
-            missing = [c for c in keep if c not in dim.columns]
-            if missing:
-                raise ValueError(
-                    f"ES|QL ENRICH: policy {policy!r} has no field(s) "
-                    f"{missing} (has: {dim.columns})"
-                )
-            # enrich fields OVERRIDE same-named stream columns (the
-            # ES enrich-processor rule) — drop the collisions first
-            # so the join is never ambiguous
-            collide = [c for c in keep if c in df.columns]
-            if collide:
-                df = df.drop(*collide)
-            df = df.join(
-                F.broadcast(dim.select(key, *keep)), on=key, how="left"
-            )
-        elif cmd == "LOOKUP":
-            # LOOKUP JOIN index ON key — ES 8.18's general join
-            # command: broadcast left join keeping the lookup index's
-            # FULL column set; same-named stream columns are
-            # overridden (ES's last-write-wins rule); multiple
-            # matching lookup rows multiply the stream row.
-            lm = re.match(
-                r"^JOIN\s+(\S+)\s+ON\s+(\S+)$", arg, re.IGNORECASE
-            )
-            if not lm:
-                raise ValueError(
-                    f"ES|QL LOOKUP needs 'JOIN index ON key': {arg!r}"
-                )
-            idx_name, key = lm.group(1), lm.group(2)
-            if idx_name not in tables:
-                raise ValueError(
-                    f"ES|QL LOOKUP JOIN: unknown index {idx_name!r} "
-                    f"(known: {sorted(tables)})"
-                )
-            lk = tables[idx_name]
-            if key not in lk.columns:
-                raise ValueError(
-                    f"ES|QL LOOKUP JOIN: index {idx_name!r} has no "
-                    f"join field {key!r} (has: {lk.columns})"
-                )
-            if key not in df.columns:
-                raise ValueError(
-                    f"ES|QL LOOKUP JOIN: stream has no join field "
-                    f"{key!r} (has: {df.columns})"
-                )
-            collide = [
-                c for c in lk.columns if c != key and c in df.columns
-            ]
-            if collide:
-                df = df.drop(*collide)
-            df = df.join(F.broadcast(lk), on=key, how="left")
-        elif cmd == "MV_EXPAND":
-            # explode_outer, not explode: ES|QL keeps a row whose
-            # multi-value column is NULL (the value becomes NULL)
-            df = df.withColumn(arg.strip(), F.explode_outer(arg.strip()))
-        elif cmd == "DISSECT":
-            gm = _GROK_ARG_RE.match(arg)
-            if not gm:
-                raise ValueError(
-                    f'ES|QL DISSECT needs: field "pattern" — got {arg!r}'
-                )
-            from .ingest import apply_ingest_pipeline
 
-            df = apply_ingest_pipeline(
-                df,
-                [{"dissect": {"field": gm.group(1),
-                              "pattern": gm.group(2)}}],
-            )
-        else:
+def _split_paren_groups(arg: str) -> list[str]:
+    """Top-level ``( .. ) ( .. )`` groups (FORK branches); strings
+    respected."""
+    groups: list[str] = []
+    depth = 0
+    quote: str | None = None
+    start = None
+    for i, ch in enumerate(arg):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(arg[start:i])
+                start = None
+            elif depth < 0:
+                raise ValueError(f"ES|QL FORK: unbalanced parens: {arg!r}")
+        elif depth == 0 and not ch.isspace():
             raise ValueError(
-                f"ES|QL: unsupported command {cmd!r} (supported: FROM "
-                "ROW WHERE EVAL STATS INLINESTATS SORT LIMIT KEEP "
-                "DROP RENAME GROK DISSECT ENRICH LOOKUP JOIN "
-                "MV_EXPAND SAMPLE CHANGE_POINT)"
+                f"ES|QL FORK: branches must be parenthesized: {arg!r}"
             )
+    if depth != 0:
+        raise ValueError(f"ES|QL FORK: unbalanced parens: {arg!r}")
+    return groups
+
+
+def _fork(df: DataFrame, arg: str, tables: dict) -> DataFrame:
+    """ES|QL ``FORK (branch1) (branch2) ..`` (ES 8.19): the common
+    prefix feeds each parenthesized sub-pipeline; the branch outputs
+    union (missing columns NULL-filled) with a ``_fork``
+    discriminator column (``fork1``, ``fork2``, .. in branch order —
+    ES's naming). 2..8 branches, like ES.
+
+    Scale shape: each branch is its own plan over the SAME prefix
+    frame — Spark reuses the scan per branch (or the prefix can be
+    cached by the caller); the union is a no-shuffle concatenation."""
+    branches = _split_paren_groups(arg)
+    if not 2 <= len(branches) <= 8:
+        raise ValueError(
+            f"ES|QL FORK: needs 2..8 parenthesized branches, got "
+            f"{len(branches)}"
+        )
+    outs = []
+    for i, branch in enumerate(branches):
+        b = df
+        for stage in _split_pipes(branch):
+            b = _apply_stage(b, stage, tables)
+        outs.append(b.withColumn("_fork", F.lit(f"fork{i + 1}")))
+    merged = outs[0]
+    for b in outs[1:]:
+        merged = merged.unionByName(b, allowMissingColumns=True)
+    return merged
+
+
+def _apply_stage(
+    df: DataFrame, stage: str, tables: dict[str, DataFrame]
+) -> DataFrame:
+    """Execute ONE ``| cmd ..`` stage against the running frame."""
+    m = _CMD_RE.match(stage)
+    if not m:
+        raise ValueError(f"ES|QL: cannot parse stage {stage!r}")
+    cmd, arg = m.group(1).upper(), m.group(2).strip()
+    if cmd == "FORK":
+        df = _fork(df, arg, tables)
+    elif cmd == "WHERE":
+        df = df.filter(_expr_col(arg))
+    elif cmd == "EVAL":
+        for part in _split_top_commas(arg):
+            am = _ASSIGN_RE.match(part)
+            if not am:
+                raise ValueError(
+                    f"ES|QL EVAL needs 'name = expr': {part!r}"
+                )
+            df = df.withColumn(am.group(1), _expr_col(am.group(2)))
+    elif cmd == "STATS":
+        df = _stats(df, arg)
+    elif cmd == "INLINESTATS":
+        df = _inlinestats(df, arg)
+    elif cmd == "SAMPLE":
+        # SAMPLE probability [seed] (ES 8.19): random per-row
+        # sampling; a seed makes the predicate reproducible
+        # across runs (rand(seed) is deterministic per row order
+        # within a given partitioning)
+        toks = arg.split()
+        if not 1 <= len(toks) <= 2:
+            raise ValueError(
+                f"ES|QL SAMPLE needs 'probability [seed]': {arg!r}"
+            )
+        p = float(toks[0])
+        if not 0.0 < p < 1.0:
+            raise ValueError(
+                f"ES|QL SAMPLE: probability must be in (0, 1): {p}"
+            )
+        rnd = F.rand(int(toks[1])) if len(toks) == 2 else F.rand()
+        df = df.filter(rnd < F.lit(p))
+    elif cmd == "CHANGE_POINT":
+        df = _change_point(df, arg)
+    elif cmd == "SORT":
+        df = _sort(df, arg)
+    elif cmd == "LIMIT":
+        df = df.limit(int(arg))
+    elif cmd == "KEEP":
+        df = df.select(
+            *_resolve_keep(df.columns, _split_top_commas(arg))
+        )
+    elif cmd == "DROP":
+        df = df.drop(
+            *_resolve_drop(df.columns, _split_top_commas(arg))
+        )
+    elif cmd == "RENAME":
+        for part in _split_top_commas(arg):
+            rm = re.match(
+                r"^(\S+)\s+AS\s+(\S+)$", part, re.IGNORECASE
+            )
+            if not rm:
+                raise ValueError(
+                    f"ES|QL RENAME needs 'old AS new': {part!r}"
+                )
+            df = df.withColumnRenamed(rm.group(1), rm.group(2))
+    elif cmd == "GROK":
+        gm = _GROK_ARG_RE.match(arg)
+        if not gm:
+            raise ValueError(
+                f'ES|QL GROK needs: field "pattern" — got {arg!r}'
+            )
+        from ..grok import default_grok, grok_columns
+
+        g = default_grok()
+        g.add_pattern("__ESQL__", gm.group(2))
+        df = df.select(
+            "*", *grok_columns(g, gm.group(1), "__ESQL__")
+        )
+    elif cmd == "ENRICH":
+        # ENRICH policy ON key [WITH f1, f2] — ES|QL's lookup
+        # enrichment (the reference's app-metadata join, in pipe
+        # syntax): the policy is a dimension frame in the table
+        # map, matched on the shared key column and broadcast
+        # (missing keys tolerate as NULLs, like the enrich
+        # processor). WITH narrows the added fields.
+        em = re.match(
+            r"^(\S+)\s+ON\s+(\S+)(?:\s+WITH\s+(.+))?$",
+            arg,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not em:
+            raise ValueError(
+                f"ES|QL ENRICH needs 'policy ON key [WITH ..]': "
+                f"{arg!r}"
+            )
+        policy, key, withs = em.group(1), em.group(2), em.group(3)
+        if policy not in tables:
+            raise ValueError(
+                f"ES|QL ENRICH: unknown policy {policy!r} "
+                f"(known: {sorted(tables)})"
+            )
+        dim = tables[policy]
+        if key not in dim.columns:
+            raise ValueError(
+                f"ES|QL ENRICH: policy {policy!r} has no match "
+                f"field {key!r}"
+            )
+        keep = (
+            _split_top_commas(withs)
+            if withs
+            else [c for c in dim.columns if c != key]
+        )
+        missing = [c for c in keep if c not in dim.columns]
+        if missing:
+            raise ValueError(
+                f"ES|QL ENRICH: policy {policy!r} has no field(s) "
+                f"{missing} (has: {dim.columns})"
+            )
+        # enrich fields OVERRIDE same-named stream columns (the
+        # ES enrich-processor rule) — drop the collisions first
+        # so the join is never ambiguous
+        collide = [c for c in keep if c in df.columns]
+        if collide:
+            df = df.drop(*collide)
+        df = df.join(
+            F.broadcast(dim.select(key, *keep)), on=key, how="left"
+        )
+    elif cmd == "LOOKUP":
+        # LOOKUP JOIN index ON key — ES 8.18's general join
+        # command: broadcast left join keeping the lookup index's
+        # FULL column set; same-named stream columns are
+        # overridden (ES's last-write-wins rule); multiple
+        # matching lookup rows multiply the stream row.
+        lm = re.match(
+            r"^JOIN\s+(\S+)\s+ON\s+(\S+)$", arg, re.IGNORECASE
+        )
+        if not lm:
+            raise ValueError(
+                f"ES|QL LOOKUP needs 'JOIN index ON key': {arg!r}"
+            )
+        idx_name, key = lm.group(1), lm.group(2)
+        if idx_name not in tables:
+            raise ValueError(
+                f"ES|QL LOOKUP JOIN: unknown index {idx_name!r} "
+                f"(known: {sorted(tables)})"
+            )
+        lk = tables[idx_name]
+        if key not in lk.columns:
+            raise ValueError(
+                f"ES|QL LOOKUP JOIN: index {idx_name!r} has no "
+                f"join field {key!r} (has: {lk.columns})"
+            )
+        if key not in df.columns:
+            raise ValueError(
+                f"ES|QL LOOKUP JOIN: stream has no join field "
+                f"{key!r} (has: {df.columns})"
+            )
+        collide = [
+            c for c in lk.columns if c != key and c in df.columns
+        ]
+        if collide:
+            df = df.drop(*collide)
+        df = df.join(F.broadcast(lk), on=key, how="left")
+    elif cmd == "MV_EXPAND":
+        # explode_outer, not explode: ES|QL keeps a row whose
+        # multi-value column is NULL (the value becomes NULL)
+        df = df.withColumn(arg.strip(), F.explode_outer(arg.strip()))
+    elif cmd == "DISSECT":
+        gm = _GROK_ARG_RE.match(arg)
+        if not gm:
+            raise ValueError(
+                f'ES|QL DISSECT needs: field "pattern" — got {arg!r}'
+            )
+        from .ingest import apply_ingest_pipeline
+
+        df = apply_ingest_pipeline(
+            df,
+            [{"dissect": {"field": gm.group(1),
+                          "pattern": gm.group(2)}}],
+        )
+    else:
+        raise ValueError(
+            f"ES|QL: unsupported command {cmd!r} (supported: FROM "
+            "ROW WHERE EVAL STATS INLINESTATS SORT LIMIT KEEP "
+            "DROP RENAME GROK DISSECT ENRICH LOOKUP JOIN "
+            "MV_EXPAND SAMPLE CHANGE_POINT FORK)"
+        )
     return df

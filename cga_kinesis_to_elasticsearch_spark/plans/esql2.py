@@ -619,3 +619,45 @@ def _esql_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "x", "cp_type", "pvalue",
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. FORK: one prefix, several branch pipelines, unioned
+# ---------------------------------------------------------------------------
+
+_ESQL_FORK_ORACLE = """
+SELECT event_type, count(*) AS hi, 'fork1' AS _fork,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS total
+FROM events WHERE value > 4.9 GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(NULL AS BIGINT), 'fork2',
+       count(*), round(sum(value), 4)
+FROM events GROUP BY event_type
+ORDER BY _fork, event_type
+"""
+
+
+@q("esql_fork_branches", _ESQL_FORK_ORACLE)
+def _esql_fork_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``FORK`` (ES 8.19): the common prefix feeds two branch
+    pipelines — a filtered high-value count and the full per-type
+    stats — whose outputs union with the ``_fork`` discriminator
+    (missing columns NULL-filled), exactly the two-perspective query
+    shape FORK exists for.
+
+    Scale shape: each branch is one partial-agg shuffle over the
+    shared scan; the union concatenates without a shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | FORK (WHERE value > 4.9 | STATS hi = count(*) BY event_type)
+               (STATS n = count(*), total = sum(value) BY event_type)
+        | SORT _fork ASC, event_type ASC
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        "event_type", "hi", "_fork", "n",
+        F.round("total", 4).alias("total"),
+    )

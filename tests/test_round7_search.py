@@ -1331,7 +1331,8 @@ class TestEsql:
         with pytest.raises(ValueError, match="unknown index"):
             run_esql("FROM nope | LIMIT 1", {"events": ev})
         with pytest.raises(ValueError, match="unsupported command"):
-            run_esql("FROM events | FORK (WHERE x > 1) (LIMIT 2)",
+            # COMPLETION needs a live inference model — out of scope
+            run_esql('FROM events | COMPLETION "prompt" WITH m',
                      {"events": ev})
         # LOOKUP is a command now (round 8) — but only as LOOKUP JOIN
         with pytest.raises(ValueError, match="LOOKUP needs"):

@@ -561,3 +561,39 @@ class TestChangePoint:
             run_esql("FROM t | CHANGE_POINT nope ON k", {"t": df})
         with pytest.raises(ValueError, match="CHANGE_POINT needs"):
             run_esql("FROM t | CHANGE_POINT v", {"t": df})
+
+
+class TestFork:
+    def test_branches_union_with_discriminator(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", 5.0), (3, "b", 9.0)],
+            "id long, k string, v double",
+        )
+        out = run_esql(
+            'FROM t | FORK (WHERE v > 4 | EVAL tag = "big") '
+            "(STATS n = count(*) BY k) "
+            "| SORT _fork ASC, id ASC, k ASC",
+            {"t": df},
+        ).collect()
+        forks = [r._fork for r in out]
+        assert forks == ["fork1", "fork1", "fork2", "fork2"]
+        assert out[0].tag == "big" and out[0].n is None
+        assert out[2].n == 2 and out[2].tag is None  # NULL-filled
+
+    def test_fork_errors(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="2..8 parenthesized"):
+            run_esql("FROM t | FORK (LIMIT 1)", {"t": df})
+        with pytest.raises(ValueError, match="must be parenthesized"):
+            run_esql("FROM t | FORK LIMIT 1", {"t": df})
+        with pytest.raises(ValueError, match="unbalanced"):
+            run_esql("FROM t | FORK ((LIMIT 1) (LIMIT 2)", {"t": df})
+
+    def test_pipe_inside_string_inside_fork(self, spark):
+        df = spark.createDataFrame([(1, "a|b")], "id long, s string")
+        out = run_esql(
+            'FROM t | FORK (WHERE s == "a|b") (WHERE s != "a|b") '
+            "| SORT _fork ASC",
+            {"t": df},
+        ).collect()
+        assert [r._fork for r in out] == ["fork1"]
