@@ -134,6 +134,11 @@ HEADLINE = [
     "es_search_rank_feature",
     "es_search_intervals",
     "es_scroll_sliced_export",
+    # round-8 additions: the Kibana Discover ES|QL date histogram
+    # (BUCKET grouping) and the ES 8.18 LOOKUP JOIN command — the two
+    # pipe shapes a Discover user runs all day
+    "esql_date_histogram",
+    "esql_lookup_join_stats",
 ]
 
 

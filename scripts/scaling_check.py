@@ -167,6 +167,16 @@ QUERIES = [
     "es_aggs_random_sampler",
     "es_aggs_categorize_text",
     "es_search_knn_similarity",
+    # round-8: the ES|QL surface (BUCKET histogram, LOOKUP JOIN,
+    # INLINESTATS window, anchored LIKE/RLIKE scan, FORK branch
+    # union, CHANGE_POINT on the aggregated series) and _explain
+    "esql_date_histogram",
+    "esql_lookup_join_stats",
+    "esql_inlinestats",
+    "esql_like_rlike",
+    "esql_fork_branches",
+    "esql_change_point",
+    "es_explain_score",
 ]
 
 
