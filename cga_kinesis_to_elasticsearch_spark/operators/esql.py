@@ -8,7 +8,10 @@ Supported commands (each "| cmd ..." stage maps to ONE DataFrame
 transformation; unknown commands fail at plan time):
 
 - ``FROM index``            — the source frame (resolved from the
-                              caller's table map; comma lists union)
+                              caller's table map; comma lists union);
+  ``FROM idx [METADATA _index, _id]`` adds the metadata columns
+  Kibana emits: ``_index`` = each source's name (comma-list unions
+  stay attributable), ``_id`` = the identity column as string
 - ``ROW a = 1, b = "x"``    — a literal one-row source (the ES|QL
                               scratchpad command)
 - ``WHERE <expr>``          — filter
@@ -1019,13 +1022,36 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
             raise ValueError("ES|QL ROW needs at least one column")
         df = spark.range(1).select(*cols)
     elif first_cmd == "FROM":
-        for name in _split_top_commas(m.group(2)):
+        # FROM idx1, idx2 [METADATA _index, _id] — the metadata form
+        # Kibana emits; _index is each source's name (so a comma-list
+        # union stays attributable), _id the identity column as string
+        from_arg = m.group(2)
+        meta_fields: list[str] = []
+        mi = _find_top_kw(from_arg, "METADATA")
+        if mi is not None:
+            meta_fields = _split_top_commas(from_arg[mi + 8:])
+            from_arg = from_arg[:mi]
+            bad = [f for f in meta_fields if f not in ("_index", "_id")]
+            if bad:
+                raise ValueError(
+                    f"ES|QL METADATA: unsupported field(s) {bad} "
+                    "(supported: _index, _id)"
+                )
+        for name in _split_top_commas(from_arg):
             if name not in tables:
                 raise ValueError(
                     f"ES|QL: unknown index {name!r} "
                     f"(known: {sorted(tables)})"
                 )
             part = tables[name]
+            if "_index" in meta_fields:
+                part = part.withColumn("_index", F.lit(name))
+            if "_id" in meta_fields:
+                from .querydsl import _identity_col
+
+                part = part.withColumn(
+                    "_id", F.col(_identity_col(part)).cast("string")
+                )
             df = part if df is None else df.unionByName(
                 part, allowMissingColumns=True
             )

@@ -597,3 +597,19 @@ class TestFork:
             {"t": df},
         ).collect()
         assert [r._fork for r in out] == ["fork1"]
+
+
+class TestFromMetadata:
+    def test_index_and_id(self, spark):
+        a = spark.createDataFrame([(1, "x")], "doc_id long, t string")
+        b = spark.createDataFrame([(2, "y")], "doc_id long, t string")
+        out = run_esql(
+            "FROM a, b METADATA _index, _id | SORT doc_id ASC",
+            {"a": a, "b": b},
+        ).collect()
+        assert [(r._index, r._id) for r in out] == [("a", "1"), ("b", "2")]
+
+    def test_unsupported_metadata_field(self, spark):
+        a = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="unsupported field"):
+            run_esql("FROM a METADATA _version", {"a": a})
