@@ -338,6 +338,20 @@ def _lower_mv_sort(args: list[str]) -> str:
     return f"sort_array({args[0]}, {order})"
 
 
+def _lower_mv_median(args: list[str]) -> str:
+    """ES|QL MV_MEDIAN: the middle sorted value; an even count
+    averages the two middles (ES's rule for numerics)."""
+    x = args[0]
+    sa = f"sort_array({x})"
+    n = f"size({x})"
+    return (
+        f"(CASE WHEN {x} IS NULL OR {n} = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN {n} % 2 = 1 THEN CAST(get({sa}, {n} DIV 2) AS DOUBLE) "
+        f"ELSE (CAST(get({sa}, {n} DIV 2 - 1) AS DOUBLE) "
+        f"+ CAST(get({sa}, {n} DIV 2) AS DOUBLE)) / 2.0 END)"
+    )
+
+
 def _lower_mv_zip(args: list[str]) -> str:
     delim = args[2] if len(args) == 3 else "','"
     return (
@@ -413,6 +427,7 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
         2,
         lambda a: f"split({a[0]}, {_rx_escape_literal(a[1], 'SPLIT')})",
     ),
+    "MV_MEDIAN": (1, _lower_mv_median),
     "MV_SORT": ((1, 2), _lower_mv_sort),
     "MV_DEDUPE": (1, lambda a: f"array_distinct({a[0]})"),
     "MV_SLICE": ((2, 3), _lower_mv_slice),

@@ -613,3 +613,18 @@ class TestFromMetadata:
         a = spark.createDataFrame([(1,)], "doc_id long")
         with pytest.raises(ValueError, match="unsupported field"):
             run_esql("FROM a METADATA _version", {"a": a})
+
+
+class TestMvMedian:
+    def test_odd_even_null_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, [3.0, 1.0, 2.0]), (2, [4.0, 1.0, 3.0, 2.0]),
+             (3, None), (4, [])],
+            "id long, xs array<double>",
+        )
+        out = run_esql(
+            "FROM t | EVAL med = MV_MEDIAN(xs) | KEEP id, med "
+            "| SORT id ASC",
+            {"t": df},
+        ).collect()
+        assert [r.med for r in out] == [2.0, 2.5, None, None]
