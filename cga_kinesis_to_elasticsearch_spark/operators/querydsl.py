@@ -2212,6 +2212,68 @@ def _apply_relation_query(
     return df.join(keys, local_key, "left_semi")
 
 
+def _lower_retriever(body: dict) -> dict:
+    """ES 8.14+ ``retriever`` tree -> the legacy body form this
+    engine already executes. Supported retrievers:
+
+    - ``standard {query[, filter]}`` -> body ``query`` (filters fold
+      into a bool);
+    - ``knn {field, query_vector, k, ..}`` -> body ``knn``
+      (``num_candidates`` — an ANN recall/latency knob — is dropped:
+      this engine's knn section is exact, so every candidate is
+      already considered);
+    - ``rrf {retrievers: [standard, knn][, rank_window_size,
+      rank_constant]}`` -> hybrid ``query`` + ``knn`` + ``rank.rrf``
+      (the same reciprocal-rank fusion plan as ``es_search_knn_rrf``).
+
+    ``text_similarity_reranker`` needs a live inference endpoint and
+    nested rrf trees are not lowered — both fail at plan time."""
+    ret = body["retriever"]
+    rest = {k: v for k, v in body.items() if k != "retriever"}
+    if not isinstance(ret, dict) or len(ret) != 1:
+        raise ValueError(
+            f"retriever must hold exactly one retriever type: {ret}"
+        )
+    kind, spec = next(iter(ret.items()))
+    if kind == "standard":
+        q = spec.get("query")
+        if q is None:
+            raise ValueError(f"standard retriever needs a query: {spec}")
+        filt = spec.get("filter")
+        if filt is not None:
+            q = {"bool": {"must": [q], "filter": _as_list(filt)}}
+        return {**rest, "query": q}
+    if kind == "knn":
+        knn = {k: v for k, v in spec.items() if k != "num_candidates"}
+        return {**rest, "knn": knn}
+    if kind == "rrf":
+        subs = _as_list(spec.get("retrievers"))
+        std = [s for s in subs if isinstance(s, dict) and "standard" in s]
+        knn = [s for s in subs if isinstance(s, dict) and "knn" in s]
+        if len(subs) != 2 or len(std) != 1 or len(knn) != 1:
+            raise ValueError(
+                "rrf retriever: exactly two sub-retrievers, one "
+                f"standard + one knn, are lowered (got {subs})"
+            )
+        rrf: dict = {}
+        for key in ("rank_window_size", "rank_constant"):
+            if key in spec:
+                rrf[key] = spec[key]
+        lowered_std = _lower_retriever({"retriever": std[0]})
+        lowered_knn = _lower_retriever({"retriever": knn[0]})
+        return {
+            **rest,
+            "query": lowered_std["query"],
+            "knn": lowered_knn["knn"],
+            "rank": {"rrf": rrf},
+        }
+    raise ValueError(
+        f"retriever: unsupported type {kind!r} (supported: standard, "
+        "knn, rrf; text_similarity_reranker needs a live inference "
+        "endpoint)"
+    )
+
+
 def run_search_body(
     df: DataFrame,
     body: dict,
@@ -2257,6 +2319,15 @@ def run_search_body(
     scan; BM25 scoring adds one broadcast-sized stats aggregation;
     knn is a codegen dot product + TakeOrdered(k); hybrid knn
     broadcast-joins the k-row top-k frame onto the corpus scan."""
+    if "retriever" in body:
+        # ES 8.14+ retriever tree — lowered to the legacy query/knn/
+        # rank form before anything else looks at the body
+        if "query" in body or "knn" in body:
+            raise ValueError(
+                "retriever is mutually exclusive with top-level "
+                "query/knn (ES rejects the combination too)"
+            )
+        body = _lower_retriever(body)
     if "runtime_mappings" in body:
         df = _with_runtime_fields(df, body["runtime_mappings"])
         if base_df is not None:

@@ -661,3 +661,73 @@ def _esql_fork_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hi", "_fork", "n",
         F.round("total", 4).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. The ES 8.14+ retriever tree: rrf over a standard + knn pair
+# ---------------------------------------------------------------------------
+
+_RET_DIM = 64
+_RET_VEC = [round(((i * 11) % 17) / 17.0, 6) for i in range(_RET_DIM)]
+
+_RETRIEVER_RRF_ORACLE = f"""
+WITH q AS (SELECT [{", ".join(str(x) for x in _RET_VEC)}]::DOUBLE[] AS qv),
+knn_arm AS (
+  SELECT vec_id, CAST(row_number() OVER (
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+                    vec_id) AS BIGINT) AS r
+  FROM embeddings CROSS JOIN q
+  ORDER BY r LIMIT 15
+),
+q_arm AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS r
+  FROM embeddings WHERE label <= 3
+  ORDER BY r LIMIT 15
+),
+fused AS (
+  SELECT vec_id, sum(1.0 / (20 + r)) AS score
+  FROM (SELECT * FROM knn_arm UNION ALL SELECT * FROM q_arm)
+  GROUP BY vec_id
+)
+SELECT f.vec_id, CAST(e.label AS BIGINT) AS label,
+       round(f.score, 6) AS score
+FROM fused f JOIN embeddings e USING (vec_id)
+ORDER BY f.score DESC, f.vec_id LIMIT 8
+"""
+
+
+@q("es_search_retriever_rrf", _RETRIEVER_RRF_ORACLE)
+def _es_search_retriever_rrf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ES 8.14+ ``retriever`` tree — the NEW top-level search
+    syntax semantic-search clients send: an ``rrf`` retriever fusing a
+    ``standard`` retriever (query arm) with a ``knn`` retriever
+    (vector arm), lowered at plan time onto the engine's existing
+    hybrid query+knn+rank.rrf path (``num_candidates`` is dropped —
+    the knn section here is exact). Same RRF math as
+    es_search_knn_rrf, reached through the modern body shape.
+
+    Scale shape: identical to the legacy form — both arm frames are
+    window-row sized, fuse in one tiny groupBy, broadcast-join back
+    for _source."""
+    from ..operators.querydsl import run_search_body
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = run_search_body(emb, {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"range": {"label": {"lte": 3}}}}},
+                {"knn": {"field": "embedding", "query_vector": _RET_VEC,
+                         "k": 8, "num_candidates": 50}},
+            ],
+            "rank_window_size": 15,
+            "rank_constant": 20,
+        }},
+        "size": 8,
+        "_source": ["vec_id", "label"],
+    })
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.round("_score", 6).alias("score"),
+    )

@@ -110,3 +110,87 @@ class TestExplainSearchParity:
             run_explain(df, 0, {"size": 3})
         with pytest.raises(ValueError, match="no identity column"):
             run_explain(df.drop("doc_id"), 0, _BODY, id_field="doc_id")
+
+
+class TestRetrieverTree:
+    """ES 8.14+ retriever syntax lowers onto the legacy body paths."""
+
+    def _emb(self, spark):
+        return spark.createDataFrame(
+            [(i, [float(i), 1.0], i % 4) for i in range(12)],
+            "vec_id long, embedding array<float>, label long",
+        )
+
+    def test_standard_retriever_matches_query_form(self, spark):
+        df = self._emb(spark)
+        new = run_search_body(df, {
+            "retriever": {"standard": {
+                "query": {"range": {"label": {"gte": 2}}},
+                "filter": {"range": {"vec_id": {"lte": 7}}},
+            }},
+            "size": 20, "sort": [{"vec_id": "asc"}],
+        }).collect()
+        old = run_search_body(df, {
+            "query": {"bool": {
+                "must": [{"range": {"label": {"gte": 2}}}],
+                "filter": [{"range": {"vec_id": {"lte": 7}}}]}},
+            "size": 20, "sort": [{"vec_id": "asc"}],
+        }).collect()
+        assert [r.vec_id for r in new] == [r.vec_id for r in old]
+
+    def test_knn_retriever_matches_knn_form(self, spark):
+        df = self._emb(spark)
+        new = run_search_body(df, {
+            "retriever": {"knn": {
+                "field": "embedding", "query_vector": [1.0, 0.0],
+                "k": 3, "num_candidates": 99,
+            }},
+        }).collect()
+        old = run_search_body(df, {
+            "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+                    "k": 3},
+        }).collect()
+        assert [(r.vec_id, r._score) for r in new] == [
+            (r.vec_id, r._score) for r in old]
+
+    def test_rrf_retriever_matches_legacy_hybrid(self, spark):
+        df = self._emb(spark)
+        new = run_search_body(df, {
+            "retriever": {"rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"range": {"label": {"gte": 1}}}}},
+                    {"knn": {"field": "embedding",
+                             "query_vector": [0.0, 1.0], "k": 4}},
+                ],
+                "rank_window_size": 6, "rank_constant": 10,
+            }},
+            "size": 5,
+        }).collect()
+        old = run_search_body(df, {
+            "query": {"range": {"label": {"gte": 1}}},
+            "knn": {"field": "embedding", "query_vector": [0.0, 1.0],
+                    "k": 4},
+            "rank": {"rrf": {"rank_window_size": 6, "rank_constant": 10}},
+            "size": 5,
+        }).collect()
+        assert [(r.vec_id, r._score) for r in new] == [
+            (r.vec_id, r._score) for r in old]
+
+    def test_retriever_errors(self, spark):
+        df = self._emb(spark)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            run_search_body(df, {
+                "retriever": {"standard": {"query": {"match_all": {}}}},
+                "query": {"match_all": {}},
+            })
+        with pytest.raises(ValueError, match="unsupported type"):
+            run_search_body(df, {
+                "retriever": {"text_similarity_reranker": {}}})
+        with pytest.raises(ValueError, match="one standard \\+ one knn"):
+            run_search_body(df, {
+                "retriever": {"rrf": {"retrievers": [
+                    {"standard": {"query": {"match_all": {}}}},
+                    {"standard": {"query": {"match_all": {}}}},
+                ]}}})
+        with pytest.raises(ValueError, match="needs a query"):
+            run_search_body(df, {"retriever": {"standard": {}}})
