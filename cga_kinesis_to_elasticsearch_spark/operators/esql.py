@@ -87,6 +87,9 @@ string literals to single-quoted; ES|QL-named functions translate:
   to ``extract`` (DAY_OF_WEEK is ISO Monday=1 → DAYOFWEEK_ISO);
   ``DATE_DIFF(unit, start, end)`` maps to ``timestampdiff``;
 - ``STARTS_WITH``/``ENDS_WITH`` lower to startswith/endswith;
+- ``TO_IP`` validates a dotted-quad IPv4 (NULL otherwise);
+  ``CIDR_MATCH(ip, "10.0.0.0/8", ..)`` folds each literal block's
+  prefix/shift at plan time into integer codegen arithmetic;
 - ``CASE(c1, v1, c2, v2, .., [default])`` — ES|QL's FUNCTION-form
   CASE (what Kibana emits) lowers to a CASE WHEN chain;
 - ``REPLACE(s, regex, new)`` is REGEX substitution in ES|QL →
@@ -360,6 +363,58 @@ def _lower_mv_zip(args: list[str]) -> str:
     )
 
 
+# dotted-quad to integer, NULL on non-numeric pieces (try_cast) —
+# the '\\\\.' reaches Spark's string literal as '\\.', i.e. a literal
+# dot for the regex split
+_IP_INT = (
+    "aggregate(transform(split({e}, '\\\\.'), "
+    "x -> try_cast(x AS BIGINT)), CAST(0 AS BIGINT), "
+    "(a, v) -> a * 256 + v)"
+)
+_IPV4_RE_SQL = (
+    "'^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+    "(\\\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$'"
+)
+
+
+def _lower_cidr_match(args: list[str]) -> str:
+    """ES|QL ``CIDR_MATCH(ip, "10.0.0.0/8", ..)`` — true when the ip
+    falls in ANY of the literal IPv4 CIDR blocks. The block's prefix
+    integer and shift are computed at PLAN time, so the row-side work
+    is one dotted-quad fold + an integer divide per block (pure
+    codegen; a non-IP value folds to NULL and never matches, like
+    ES). IPv6 is not lowered."""
+    ip_int = _IP_INT.format(e=args[0])
+    arms = []
+    for cidr_arg in args[1:]:
+        cidr = _quoted_literal(cidr_arg, "CIDR_MATCH")
+        net, _, plen_s = cidr.partition("/")
+        parts = net.split(".")
+        try:
+            octets = [int(o) for o in parts]
+            plen = int(plen_s) if plen_s else 32
+        except ValueError:
+            raise ValueError(
+                f"ES|QL CIDR_MATCH: bad IPv4 CIDR literal {cidr!r}"
+            ) from None
+        if len(octets) != 4 or not all(0 <= o <= 255 for o in octets) \
+                or not 0 <= plen <= 32:
+            raise ValueError(
+                f"ES|QL CIDR_MATCH: bad IPv4 CIDR literal {cidr!r}"
+            )
+        net_int = 0
+        for o in octets:
+            net_int = net_int * 256 + o
+        shift = 32 - plen
+        if shift:
+            arms.append(
+                f"(({ip_int}) DIV {1 << shift} = {net_int >> shift})"
+            )
+        else:
+            arms.append(f"(({ip_int}) = {net_int})")
+    return "(" + " OR ".join(arms) + ")"
+
+
 def _lower_date_diff(args: list[str]) -> str:
     unit = _quoted_literal(args[0], "DATE_DIFF").lower()
     spark_unit = _DIFF_UNITS.get(unit)
@@ -409,6 +464,16 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
     "TO_DOUBLE": (1, lambda a: f"try_cast({a[0]} AS DOUBLE)"),
     "TO_BOOLEAN": (1, lambda a: f"try_cast({a[0]} AS BOOLEAN)"),
     "TO_DATETIME": (1, lambda a: f"try_cast({a[0]} AS TIMESTAMP)"),
+    # TO_IP keeps the string when it is a valid dotted-quad IPv4,
+    # NULL otherwise (ES|QL: conversion failure -> NULL + warning)
+    "TO_IP": (
+        1,
+        lambda a: (
+            f"(CASE WHEN {a[0]} RLIKE {_IPV4_RE_SQL} "
+            f"THEN {a[0]} END)"
+        ),
+    ),
+    "CIDR_MATCH": ((2, 16), _lower_cidr_match),
     "STARTS_WITH": (2, lambda a: f"startswith({a[0]}, {a[1]})"),
     "ENDS_WITH": (2, lambda a: f"endswith({a[0]}, {a[1]})"),
     "DATE_FORMAT": (2, lambda a: f"date_format({a[1]}, {a[0]})"),

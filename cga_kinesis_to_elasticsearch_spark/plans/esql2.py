@@ -731,3 +731,47 @@ def _es_search_retriever_rrf(
         "vec_id", F.col("label").cast("long").alias("label"),
         F.round("_score", 6).alias("score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 15. CIDR_MATCH / TO_IP: subnet filtering on a derived IPv4 column
+# ---------------------------------------------------------------------------
+
+_ESQL_CIDR_ORACLE = """
+WITH ips AS (
+  SELECT event_type,
+         (10 * 16777216 + (user_id % 256) * 65536
+          + (event_id % 256) * 256 + 1) AS ip_int
+  FROM events
+)
+SELECT event_type, count(*) AS n
+FROM ips
+WHERE ip_int // 8388608 = 21        -- 10.128.0.0/9  (shift 23)
+   OR ip_int // 16384 = 10241       -- 10.0.64.0/18  (shift 14)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@q("esql_cidr_match", _ESQL_CIDR_ORACLE)
+def _esql_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``CIDR_MATCH`` — the ops-dashboard subnet filter: an
+    IPv4 column (synthesized from event keys here) filtered against
+    two literal CIDR blocks. The block prefix/shift fold at PLAN
+    time, so each row costs one dotted-quad integer fold + an integer
+    divide per block — pure codegen, no UDF, and the oracle replays
+    the identical integer arithmetic.
+
+    Scale shape: row-local predicate + ONE partial-agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return run_esql(
+        """
+        FROM events
+        | EVAL ip = CONCAT("10.", TO_STRING(user_id % 256), ".",
+                           TO_STRING(event_id % 256), ".1")
+        | WHERE CIDR_MATCH(ip, "10.128.0.0/9", "10.0.64.0/18")
+        | STATS n = count(*) BY event_type
+        | SORT event_type ASC
+        """,
+        {"events": ev},
+    )

@@ -628,3 +628,40 @@ class TestMvMedian:
             {"t": df},
         ).collect()
         assert [r.med for r in out] == [2.0, 2.5, None, None]
+
+
+class TestIpFunctions:
+    def test_to_ip_and_cidr_match(self, spark):
+        df = spark.createDataFrame(
+            [(1, "10.128.3.7"), (2, "10.0.64.9"), (3, "10.0.0.1"),
+             (4, "192.168.1.1"), (5, "not-an-ip"), (6, "10.256.0.1")],
+            "id long, ip string",
+        )
+        out = run_esql(
+            'FROM t | EVAL v = TO_IP(ip), '
+            'm = CIDR_MATCH(ip, "10.128.0.0/9", "10.0.64.0/18") '
+            "| KEEP id, v, m | SORT id ASC",
+            {"t": df},
+        ).collect()
+        assert [(r.v, r.m) for r in out] == [
+            ("10.128.3.7", True), ("10.0.64.9", True),
+            ("10.0.0.1", False), ("192.168.1.1", False),
+            (None, None),       # non-numeric piece folds to NULL
+            (None, False),      # 256 octet: TO_IP rejects it
+        ]
+
+    def test_cidr_exact_host(self, spark):
+        df = spark.createDataFrame([(1, "1.2.3.4")], "id long, ip string")
+        assert run_esql(
+            'FROM t | WHERE CIDR_MATCH(ip, "1.2.3.4/32")', {"t": df}
+        ).count() == 1
+        assert run_esql(
+            'FROM t | WHERE CIDR_MATCH(ip, "1.2.3.5")', {"t": df}
+        ).count() == 0  # bare ip literal = /32
+
+    def test_bad_cidr_literal(self, spark):
+        df = spark.createDataFrame([(1, "1.2.3.4")], "id long, ip string")
+        for bad in ["10.0.0.0/40", "10.0.0/8", "10.0.0.999/8", "x/8"]:
+            with pytest.raises(ValueError, match="bad IPv4 CIDR"):
+                run_esql(f'FROM t | WHERE CIDR_MATCH(ip, "{bad}")',
+                         {"t": df})
