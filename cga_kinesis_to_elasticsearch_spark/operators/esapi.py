@@ -34,6 +34,7 @@ __all__ = [
     "run_rank_eval",
     "run_terms_enum",
     "run_explain",
+    "run_mget",
 ]
 
 
@@ -572,4 +573,59 @@ def run_explain(
     return (
         one.select(F.col(idc).alias("doc_id"), F.explode(entries).alias("e"))
         .select("doc_id", "e.clause", "e.matched", "e.value")
+    )
+
+
+def run_mget(
+    df: DataFrame, body: dict, *, id_field: str | None = None
+) -> DataFrame:
+    """ES ``_mget``: fetch documents by id list — one result row per
+    REQUESTED id, in REQUEST order, with a ``found`` flag (a missing
+    id still yields its row, ``found = false`` and NULL source
+    columns, exactly like ES). Accepts ``{"ids": [..]}`` or the
+    ``{"docs": [{"_id": ..}, ..]}`` long form; ``_source`` narrows
+    the returned columns.
+
+    Scale shape: the id list pushes to the scan as an IN predicate
+    (PushedFilters: In), the bounded hit set broadcasts back onto the
+    request frame — the corpus never shuffles and the join build side
+    is at most len(ids) rows."""
+    from pyspark.sql import functions as F
+
+    from .querydsl import _identity_col, _source_columns
+
+    ids = body.get("ids")
+    if ids is None and "docs" in body:
+        try:
+            ids = [d["_id"] for d in body["docs"]]
+        except (TypeError, KeyError):
+            raise ValueError(
+                f"_mget docs entries need _id: {body['docs']}"
+            ) from None
+    if not ids:
+        raise ValueError(f"_mget needs ids or docs: {body}")
+    idc = id_field or _identity_col(df)
+    if idc not in df.columns:
+        raise ValueError(f"_mget: no identity column {idc!r}")
+    hits = df.filter(F.col(idc).isin(list(ids)))
+    if "_source" in body:
+        keep = _source_columns(
+            [c for c in df.columns if c != idc], body["_source"]
+        )
+        hits = hits.select(idc, *keep)
+    req = df.sparkSession.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(ids)], ["pos", "__req_id"]
+    )
+    out = req.join(
+        F.broadcast(hits), req["__req_id"] == hits[idc], "left"
+    )
+    src_cols = [c for c in hits.columns if c != idc]
+    return (
+        out.select(
+            F.col("pos").cast("long").alias("pos"),
+            F.col("__req_id").alias(idc),
+            F.col(idc).isNotNull().alias("found"),
+            *src_cols,
+        )
+        .orderBy("pos")
     )

@@ -775,3 +775,37 @@ def _esql_cidr_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"events": ev},
     )
+
+
+# ---------------------------------------------------------------------------
+# 16. _mget: documents by id, in request order, with found flags
+# ---------------------------------------------------------------------------
+
+_MGET_ORACLE = """
+WITH req(pos, id) AS (VALUES (1, 7), (2, 99999999), (3, 3), (4, 42))
+SELECT CAST(req.pos AS BIGINT) AS pos,
+       CAST(req.id AS BIGINT) AS doc_id,
+       d.doc_id IS NOT NULL AS found,
+       d.lang, d.n_chars
+FROM req LEFT JOIN documents d ON d.doc_id = req.id
+ORDER BY pos
+"""
+
+
+@q("es_mget_docs", _MGET_ORACLE)
+def _es_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_mget``: four requested ids — one of them deliberately
+    absent — returned one row per REQUESTED id in request order with
+    the ``found`` flag (the missing id keeps its row, found=false and
+    NULL source columns, exactly like ES).
+
+    Scale shape: the id list pushes to the scan as an IN predicate;
+    the bounded hit set broadcasts onto the 4-row request frame —
+    the corpus never shuffles."""
+    from ..operators.esapi import run_mget
+
+    docs = _t(spark, sf_dir, "documents")
+    return run_mget(docs, {
+        "ids": [7, 99999999, 3, 42],
+        "_source": ["lang", "n_chars"],
+    })

@@ -194,3 +194,43 @@ class TestRetrieverTree:
                 ]}}})
         with pytest.raises(ValueError, match="needs a query"):
             run_search_body(df, {"retriever": {"standard": {}}})
+
+
+class TestMget:
+    def test_request_order_and_found(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_mget,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "doc_id long, t string, n long",
+        )
+        out = run_mget(df, {"ids": [3, 99, 1]}).collect()
+        assert [(r.pos, r.doc_id, r.found) for r in out] == [
+            (1, 3, True), (2, 99, False), (3, 1, True)]
+        assert out[0].t == "c" and out[1].t is None
+
+    def test_docs_form_and_source(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_mget,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10)], "doc_id long, t string, n long")
+        out = run_mget(df, {
+            "docs": [{"_id": 1}], "_source": ["n"],
+        }).collect()
+        assert out[0].n == 10 and "t" not in out[0].asDict()
+
+    def test_errors(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esapi import (
+            run_mget,
+        )
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        import pytest as _pt
+        with _pt.raises(ValueError, match="needs ids or docs"):
+            run_mget(df, {})
+        with _pt.raises(ValueError, match="need _id"):
+            run_mget(df, {"docs": [{"id": 1}]})
