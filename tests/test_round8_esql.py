@@ -665,3 +665,50 @@ class TestIpFunctions:
             with pytest.raises(ValueError, match="bad IPv4 CIDR"):
                 run_esql(f'FROM t | WHERE CIDR_MATCH(ip, "{bad}")',
                          {"t": df})
+
+
+class TestEsqlStreaming:
+    def test_stateless_pipe_runs_on_a_stream(self, spark, tmp_path):
+        """The stateless ES|QL commands (WHERE / EVAL / GROK / KEEP)
+        run UNCHANGED over a Structured Streaming frame — the Kibana
+        alerting shape: a live pipe filtering and parsing the stream,
+        batch-equivalent by construction."""
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(1, "alice GET 200"), (2, "bob POST 500"),
+             (3, "carol GET 404")],
+            "id long, line string",
+        ).write.parquet(str(src))
+
+        pipe = (
+            'FROM logs '
+            '| GROK line "%{WORD:user} %{WORD:verb} %{INT:code:int}" '
+            "| WHERE code >= 400 "
+            "| EVAL sev = CASE(code >= 500, \"crit\", \"warn\") "
+            "| KEEP id, user, code, sev"
+        )
+        stream = (
+            spark.readStream.schema("id long, line string")
+            .parquet(str(src))
+        )
+        out = run_esql(pipe, {"logs": stream})
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("esql_stream_t")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            spark.sql("SELECT * FROM esql_stream_t").collect(),
+            key=lambda r: r.id,
+        )
+        batch = sorted(
+            run_esql(pipe, {
+                "logs": spark.read.parquet(str(src))}).collect(),
+            key=lambda r: r.id,
+        )
+        assert [r.asDict() for r in got] == [r.asDict() for r in batch]
+        assert [(r.id, r.sev) for r in got] == [(2, "crit"), (3, "warn")]
