@@ -712,3 +712,32 @@ class TestEsqlStreaming:
         )
         assert [r.asDict() for r in got] == [r.asDict() for r in batch]
         assert [(r.id, r.sev) for r in got] == [(2, "crit"), (3, "warn")]
+
+
+class TestSharedSqlCore:
+    def test_passthrough_functions(self, spark):
+        """The ES|QL scalar names that are ALREADY Spark SQL built-ins
+        pass through the translator untouched — pin the shared core so
+        a future rename in either dialect surfaces here."""
+        df = spark.createDataFrame(
+            [(1, "  Hello World  ", -3.7, 2.0)],
+            "id long, s string, x double, y double",
+        )
+        r = run_esql(
+            "FROM t | EVAL ln = LENGTH(TRIM(s)), "
+            'sub = SUBSTRING(TRIM(s), 1, 5), '
+            'cat = CONCAT("a", "-", "b"), '
+            "ab = ABS(x), rd = ROUND(x, 1), fl = FLOOR(x), "
+            "cl = CEIL(x), pw = POW(y, 3), sq = SQRT(y * 2), "
+            "lg = LOG10(100), "
+            "co = COALESCE(NULL, id), gr = GREATEST(id, 5), "
+            "ls = LEAST(id, 5), lf = LEFT(TRIM(s), 2), "
+            "rt = RIGHT(TRIM(s), 2)",
+            {"t": df},
+        ).first()
+        assert r.ln == 11 and r.sub == "Hello"
+        assert r.cat == "a-b"
+        assert r.ab == 3.7 and r.rd == -3.7 and r.fl == -4 and r.cl == -3
+        assert r.pw == 8.0 and r.sq == 2.0 and r.lg == 2.0
+        assert r.co == 1 and r.gr == 5 and r.ls == 1
+        assert (r.lf, r.rt) == ("He", "ld")
