@@ -1371,18 +1371,25 @@ def _apply_stage(
         # multi-value column is NULL (the value becomes NULL)
         df = df.withColumn(arg.strip(), F.explode_outer(arg.strip()))
     elif cmd == "DISSECT":
-        gm = _GROK_ARG_RE.match(arg)
-        if not gm:
+        # DISSECT field "pattern" [APPEND_SEPARATOR="sep"] — the
+        # separator feeds the %{+key} append modifier
+        dm = re.match(
+            r"^([A-Za-z_][A-Za-z0-9_.]*)\s+\"(.+?)\"\s*"
+            r'(?:APPEND_SEPARATOR\s*=\s*"([^"]*)")?\s*$',
+            arg,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not dm:
             raise ValueError(
-                f'ES|QL DISSECT needs: field "pattern" — got {arg!r}'
+                f'ES|QL DISSECT needs: field "pattern" '
+                f'[APPEND_SEPARATOR="sep"] — got {arg!r}'
             )
         from .ingest import apply_ingest_pipeline
 
-        df = apply_ingest_pipeline(
-            df,
-            [{"dissect": {"field": gm.group(1),
-                          "pattern": gm.group(2)}}],
-        )
+        spec = {"field": dm.group(1), "pattern": dm.group(2)}
+        if dm.group(3) is not None:
+            spec["append_separator"] = dm.group(3)
+        df = apply_ingest_pipeline(df, [{"dissect": spec}])
     else:
         raise ValueError(
             f"ES|QL: unsupported command {cmd!r} (supported: FROM "

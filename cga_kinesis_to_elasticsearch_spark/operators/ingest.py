@@ -52,13 +52,18 @@ Supported processors (the everyday subset):
                  keys into nested objects; here the object is a
                  struct). ``{"field": "*"}`` expands every dotted
                  column, like ES's wildcard form.
-- ``dissect``    {field, pattern} — ES's fixed-delimiter splitter
-                 (%{key} captures separated by literals), lowered to
-                 ONE anchored regex with a non-greedy group per inner
-                 key (the final capture consumes the rest, dissect's
-                 semantics); %{} / %{?name} skip. A non-matching
-                 document gets NULL captures (the same match-or-empty
-                 contract as grok).
+- ``dissect``    {field, pattern[, append_separator]} — ES's
+                 fixed-delimiter splitter (%{key} captures separated
+                 by literals), lowered to ONE anchored regex with a
+                 non-greedy group per inner key (the final capture
+                 consumes the rest, dissect's semantics); %{} /
+                 %{?name} skip, %{+key} APPENDS to an earlier capture
+                 (joined by ``append_separator``, ES default empty),
+                 %{key->} skips repeated trailing delimiters (the
+                 right-padding modifier). Reference keys (%{*k}/%{&k})
+                 are rejected at plan time. A non-matching document
+                 gets NULL captures (the same match-or-empty contract
+                 as grok).
 - ``kv``         {field, field_split, value_split, include_keys
                  [, target_field]} — key-value splitting;
                  ``include_keys`` is REQUIRED (the columnar schema
@@ -276,24 +281,45 @@ def compile_pipeline(
                 )
             rx = "^"
             keys: list[str] = []
-            group_of: dict[str, int] = {}
+            groups_of: dict[str, list[int]] = {}
             gi = 0
+            pad_next = False  # a %{key->} makes the NEXT literal
+            # match one-or-more times (ES's skip-right-padding)
             for i, part in enumerate(parts):
                 if i in dict.fromkeys(cap_idx):
                     key = part[2:-1]
+                    if key.endswith("->"):
+                        key = key[:-2]
+                        pad_next = True
                     gi += 1
-                    if key and not key.startswith("?"):
-                        if key in group_of:
+                    if key.startswith(("*", "&")):
+                        raise ValueError(
+                            "dissect: reference keys (%{*k} / %{&k}) "
+                            f"are not lowered: {part!r}"
+                        )
+                    append = key.startswith("+")
+                    if append:
+                        key = key[1:]
+                        if not key:
                             raise ValueError(
-                                f"dissect: duplicate key {key!r}"
+                                f"dissect: empty append key: {part!r}"
                             )
-                        group_of[key] = gi
-                        keys.append(key)
+                    if key and not key.startswith("?"):
+                        if key in groups_of and not append:
+                            raise ValueError(
+                                f"dissect: duplicate key {key!r} "
+                                "(use %{+" + key + "} to append)"
+                            )
+                        groups_of.setdefault(key, []).append(gi)
+                        if key not in keys:
+                            keys.append(key)
                     # the FINAL capture is greedy (consumes the rest);
                     # inner captures stop at the next literal
                     rx += "(.*)" if i == cap_idx[-1] else "(.*?)"
                 else:
-                    rx += re.escape(part)
+                    lit = re.escape(part)
+                    rx += f"(?:{lit})+" if pad_next else lit
+                    pad_next = False
             rx += "$"
             if not keys:
                 raise ValueError(
@@ -301,12 +327,19 @@ def compile_pipeline(
                 )
             # non-match -> every key NULL (regexp_extract returns ''
             # on miss; dissect distinguishes empty capture via the
-            # match test)
+            # match test). %{+key} captures concatenate in pattern
+            # order joined by append_separator (ES default: empty).
+            sep = str(a.get("append_separator", ""))
             matched = src.rlike(rx)
             for key in keys:
-                cols[key] = F.when(
-                    matched, F.regexp_extract(src, rx, group_of[key])
-                )
+                gs = groups_of[key]
+                if len(gs) == 1:
+                    val = F.regexp_extract(src, rx, gs[0])
+                else:
+                    val = F.concat_ws(
+                        sep, *[F.regexp_extract(src, rx, g) for g in gs]
+                    )
+                cols[key] = F.when(matched, val)
         elif kind == "kv":
             # ES kv with include_keys (REQUIRED here: a columnar
             # schema needs plan-time keys): split pairs on

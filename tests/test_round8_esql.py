@@ -741,3 +741,61 @@ class TestSharedSqlCore:
         assert r.pw == 8.0 and r.sq == 2.0 and r.lg == 2.0
         assert r.co == 1 and r.gr == 5 and r.ls == 1
         assert (r.lf, r.rt) == ("He", "ld")
+
+
+class TestDissectModifiers:
+    def test_append_and_pad(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024 01 15   WARN disk full")],
+            "id long, line string",
+        )
+        out = run_esql(
+            'FROM t | DISSECT line '
+            '"%{+date} %{+date} %{+date->} %{level} %{msg}" '
+            'APPEND_SEPARATOR="-" | KEEP date, level, msg',
+            {"t": df},
+        ).first()
+        # three appends joined by '-'; the -> pad eats the repeated
+        # spaces before the level
+        assert out.date == "2024-01-15"
+        assert out.level == "WARN" and out.msg == "disk full"
+
+    def test_append_default_empty_separator(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame([(1, "ab cd")], "id long, s string")
+        out = apply_ingest_pipeline(df, [{"dissect": {
+            "field": "s", "pattern": "%{+w} %{+w}"}}]).first()
+        assert out.w == "abcd"
+
+    def test_reference_keys_rejected(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame([(1, "a=b")], "id long, s string")
+        with pytest.raises(ValueError, match="reference keys"):
+            apply_ingest_pipeline(df, [{"dissect": {
+                "field": "s", "pattern": "%{*k}=%{&k}"}}])
+
+    def test_duplicate_key_still_rejected(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "id long, s string")
+        with pytest.raises(ValueError, match="duplicate key"):
+            apply_ingest_pipeline(df, [{"dissect": {
+                "field": "s", "pattern": "%{k} %{k}"}}])
+
+    def test_nonmatch_still_null(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.ingest import (
+            apply_ingest_pipeline,
+        )
+
+        df = spark.createDataFrame([(1, "nodelim")], "id long, s string")
+        out = apply_ingest_pipeline(df, [{"dissect": {
+            "field": "s", "pattern": "%{+a} %{+a}"}}]).first()
+        assert out.a is None
