@@ -809,3 +809,38 @@ def _es_mget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ids": [7, 99999999, 3, 42],
         "_source": ["lang", "n_chars"],
     })
+
+
+# ---------------------------------------------------------------------------
+# 17. FROM ... METADATA: the Kibana metadata columns
+# ---------------------------------------------------------------------------
+
+_ESQL_METADATA_ORACLE = """
+SELECT 'documents' AS _index,
+       CAST(doc_id AS VARCHAR) AS _id,
+       doc_id, lang
+FROM documents
+WHERE doc_id < 20
+ORDER BY doc_id
+"""
+
+
+@q("esql_from_metadata", _ESQL_METADATA_ORACLE)
+def _esql_from_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``FROM documents METADATA _index, _id`` — the metadata
+    columns Kibana requests on every Discover query: ``_index`` is
+    the source's name (so comma-list unions stay attributable) and
+    ``_id`` the document identity as a string.
+
+    Scale shape: two literal/cast projections on the scan — zero
+    cost; the WHERE pushes to the scan as usual."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents METADATA _index, _id
+        | WHERE doc_id < 20
+        | KEEP _index, _id, doc_id, lang
+        | SORT doc_id ASC
+        """,
+        {"documents": docs},
+    )
