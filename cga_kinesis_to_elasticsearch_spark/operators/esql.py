@@ -97,6 +97,12 @@ string literals to single-quoted; ES|QL-named functions translate:
   split with the delimiter regex-escaped;
 - more MV_*: MV_SORT / MV_DEDUPE / MV_SLICE (0-based inclusive →
   slice) / MV_APPEND / MV_ZIP;
+- aggregate-context names: COUNT_DISTINCT (lowered EXACT — ES|QL's
+  HLL precision knob accepted and ignored), MEDIAN (exact
+  interpolated percentile), PERCENTILE (ES|QL's 0-100 scale divided
+  into Spark's 0-1), WEIGHTED_AVG, TOP(field, n, order) (top-N
+  multivalue), VALUES (unique values, sorted for determinism —
+  ES|QL guarantees no order);
 - ``LIKE "pat"`` uses ES|QL wildcards — ``*`` / ``?`` matching the
   WHOLE string (NOT SQL ``%``/``_``) — lowered to an anchored RLIKE;
   ``RLIKE`` itself is whole-string in ES|QL (like the ES regexp
@@ -415,6 +421,37 @@ def _lower_cidr_match(args: list[str]) -> str:
     return "(" + " OR ".join(arms) + ")"
 
 
+def _lower_top(args: list[str]) -> str:
+    """ES|QL ``TOP(field, limit, "asc"|"desc")`` aggregate: the top N
+    values as a multivalue. Limit and order must be literals (they
+    shape the plan)."""
+    try:
+        limit = int(args[1])
+    except ValueError:
+        raise ValueError(
+            f"ES|QL TOP: limit must be an integer literal: {args[1]!r}"
+        ) from None
+    if limit < 1:
+        raise ValueError(f"ES|QL TOP: limit must be >= 1: {limit}")
+    order = _quoted_literal(args[2], "TOP").upper()
+    if order not in ("ASC", "DESC"):
+        raise ValueError(
+            f"ES|QL TOP: order must be asc or desc: {order!r}"
+        )
+    asc = "true" if order == "ASC" else "false"
+    return (
+        f"slice(sort_array(collect_list({args[0]}), {asc}), 1, {limit})"
+    )
+
+
+def _lower_percentile(args: list[str]) -> str:
+    """ES|QL ``PERCENTILE(field, p)`` takes p on the 0-100 scale;
+    Spark's percentile() wants 0-1 — divide through. Exact
+    linear-interpolation percentile (ES approximates with TDigest;
+    exact is deterministic and strictly more accurate)."""
+    return f"percentile({args[0]}, ({args[1]}) / 100)"
+
+
 def _lower_date_diff(args: list[str]) -> str:
     unit = _quoted_literal(args[0], "DATE_DIFF").lower()
     spark_unit = _DIFF_UNITS.get(unit)
@@ -492,6 +529,27 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
         2,
         lambda a: f"split({a[0]}, {_rx_escape_literal(a[1], 'SPLIT')})",
     ),
+    # --- aggregate-context functions (STATS / INLINESTATS) ---
+    # COUNT_DISTINCT: ES|QL approximates with HLL (optional precision
+    # knob); lowered EXACT — deterministic and strictly more accurate,
+    # so the precision argument is accepted and ignored
+    "COUNT_DISTINCT": (
+        (1, 2),
+        lambda a: f"count(DISTINCT {a[0]})",
+    ),
+    # MEDIAN: exact interpolated percentile (ES uses TDigest)
+    "MEDIAN": (1, lambda a: f"percentile({a[0]}, 0.5)"),
+    "PERCENTILE": (2, _lower_percentile),
+    "WEIGHTED_AVG": (
+        2,
+        lambda a: (
+            f"try_divide(sum(({a[0]}) * ({a[1]})), sum({a[1]}))"
+        ),
+    ),
+    "TOP": (3, _lower_top),
+    # VALUES: ES|QL gives NO order guarantee — sorted here so results
+    # are deterministic (within the contract, stronger than ES)
+    "VALUES": (1, lambda a: f"sort_array(collect_set({a[0]}))"),
     "MV_MEDIAN": (1, _lower_mv_median),
     "MV_SORT": ((1, 2), _lower_mv_sort),
     "MV_DEDUPE": (1, lambda a: f"array_distinct({a[0]})"),

@@ -844,3 +844,64 @@ def _esql_from_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"documents": docs},
     )
+
+
+# ---------------------------------------------------------------------------
+# 18. The ES|QL aggregate-function family
+# ---------------------------------------------------------------------------
+
+_ESQL_AGG_FAMILY_ORACLE = """
+SELECT lang,
+       count(DISTINCT source) AS n_sources,
+       round(quantile_cont(n_chars, 0.5), 4) AS med,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95,
+       round(sum(n_chars * (doc_id % 5 + 1))
+             / sum(doc_id % 5 + 1), 6) AS wavg,
+       array_to_string(list_sort(list(n_chars), 'DESC')[1:3], ',')
+         AS top3,
+       array_to_string(list_sort(list(DISTINCT source)), ',') AS srcs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@q("esql_agg_family", _ESQL_AGG_FAMILY_ORACLE)
+def _esql_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ES|QL aggregate-function family in one STATS:
+    COUNT_DISTINCT (lowered EXACT — ES|QL's HLL precision knob is a
+    latency/memory trade the exact plan doesn't need), MEDIAN and
+    PERCENTILE (exact interpolated, ES|QL's 0-100 scale; Spark's
+    percentile() and DuckDB's quantile_cont share the interpolation),
+    WEIGHTED_AVG, TOP(n_chars, 3, "desc") (top-N multivalue) and
+    VALUES (unique values, sorted for determinism — ES|QL guarantees
+    no order). Multivalues surface joined as strings so both engines
+    hash identical scalars.
+
+    Scale shape: ONE partial-agg shuffle carries every aggregate;
+    TOP/VALUES state is per-group top-N / distinct-set sized."""
+    docs = _t(spark, sf_dir, "documents")
+    out = run_esql(
+        """
+        FROM documents
+        | STATS n_sources = COUNT_DISTINCT(source),
+                med = MEDIAN(n_chars),
+                p95 = PERCENTILE(n_chars, 95),
+                wavg = WEIGHTED_AVG(n_chars, doc_id % 5 + 1),
+                top3 = TOP(n_chars, 3, "desc"),
+                srcs = VALUES(source)
+            BY lang
+        | SORT lang ASC
+        """,
+        {"documents": docs},
+    )
+    return out.select(
+        "lang", "n_sources",
+        F.round("med", 4).alias("med"),
+        F.round("p95", 4).alias("p95"),
+        F.round("wavg", 6).alias("wavg"),
+        F.expr(
+            "array_join(transform(top3, v -> CAST(v AS STRING)), ',')"
+        ).alias("top3"),
+        F.array_join("srcs", ",").alias("srcs"),
+    )

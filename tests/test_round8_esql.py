@@ -799,3 +799,51 @@ class TestDissectModifiers:
         out = apply_ingest_pipeline(df, [{"dissect": {
             "field": "s", "pattern": "%{+a} %{+a}"}}]).first()
         assert out.a is None
+
+
+class TestAggFunctions:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 2.0, 1.0), (2, "a", 4.0, 3.0), (3, "a", 9.0, 1.0),
+             (4, "b", 5.0, 2.0), (5, "b", 5.0, 2.0)],
+            "id long, k string, v double, w double",
+        )
+
+    def test_agg_family(self, spark):
+        df = self._df(spark)
+        out = run_esql(
+            "FROM t | STATS cd = COUNT_DISTINCT(v), med = MEDIAN(v), "
+            "p50 = PERCENTILE(v, 50), wavg = WEIGHTED_AVG(v, w), "
+            'top2 = TOP(v, 2, "desc"), vals = VALUES(v) BY k '
+            "| SORT k ASC",
+            {"t": df},
+        ).collect()
+        a, b = out
+        assert (a.k, a.cd, a.med, a.p50) == ("a", 3, 4.0, 4.0)
+        assert a.wavg == pytest.approx((2 + 12 + 9) / 5.0)
+        assert a.top2 == [9.0, 4.0] and a.vals == [2.0, 4.0, 9.0]
+        assert (b.k, b.cd, b.med) == ("b", 1, 5.0)
+        assert b.top2 == [5.0, 5.0] and b.vals == [5.0]
+
+    def test_count_distinct_precision_ignored(self, spark):
+        r = run_esql(
+            "FROM t | STATS cd = COUNT_DISTINCT(v, 3000)",
+            {"t": self._df(spark)},
+        ).first()
+        assert r.cd == 4  # exact, precision knob irrelevant
+
+    def test_percentile_scale_is_0_to_100(self, spark):
+        r = run_esql(
+            "FROM t | STATS p100 = PERCENTILE(v, 100), "
+            "p0 = PERCENTILE(v, 0)",
+            {"t": self._df(spark)},
+        ).first()
+        assert (r.p0, r.p100) == (2.0, 9.0)
+
+    def test_top_errors(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="limit must be an integer"):
+            run_esql('FROM t | STATS x = TOP(v, v, "asc")', {"t": df})
+        with pytest.raises(ValueError, match="order must be"):
+            run_esql('FROM t | STATS x = TOP(v, 2, "sideways")',
+                     {"t": df})
