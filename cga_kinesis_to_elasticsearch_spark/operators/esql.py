@@ -105,8 +105,14 @@ string literals to single-quoted; ES|QL-named functions translate:
   ES|QL guarantees no order);
 - ``LIKE "pat"`` uses ES|QL wildcards — ``*`` / ``?`` matching the
   WHOLE string (NOT SQL ``%``/``_``) — lowered to an anchored RLIKE;
-  ``RLIKE`` itself is whole-string in ES|QL (like the ES regexp
-  query), so its pattern is wrapped ``^(?:pat)$``.
+  a backslash escapes the next pattern character to a literal
+  (``"a\\\\*b"`` matches the literal ``a*b``); ``RLIKE`` itself is
+  whole-string in ES|QL (like the ES regexp query), so its pattern
+  is wrapped ``^(?:pat)$``.
+
+String literals support the ES|QL escapes ``\\"`` ``\\\\`` ``\\n``
+``\\t`` ``\\r``; an unknown escape keeps both characters (so a
+``"\\d+"`` regex convenience survives into RLIKE patterns).
 
 Everything else passes through Spark's parser, which rejects what it
 doesn't know at plan time. ``STATS`` BY keys accept ``name = expr``
@@ -362,10 +368,16 @@ def _lower_mv_median(args: list[str]) -> str:
 
 
 def _lower_mv_zip(args: list[str]) -> str:
+    """ES|QL MV_ZIP keeps the LONGER array's trailing values as-is
+    when lengths differ (zip_with pads the short side with NULL, so
+    the unmatched tail coalesces to the surviving element instead of
+    going NULL)."""
     delim = args[2] if len(args) == 3 else "','"
     return (
         f"zip_with({args[0]}, {args[1]}, "
-        f"(l, r) -> concat(l, {delim}, r))"
+        f"(l, r) -> CASE WHEN l IS NULL THEN r "
+        f"WHEN r IS NULL THEN l "
+        f"ELSE concat(l, {delim}, r) END)"
     )
 
 
@@ -387,10 +399,15 @@ def _lower_cidr_match(args: list[str]) -> str:
     """ES|QL ``CIDR_MATCH(ip, "10.0.0.0/8", ..)`` — true when the ip
     falls in ANY of the literal IPv4 CIDR blocks. The block's prefix
     integer and shift are computed at PLAN time, so the row-side work
-    is one dotted-quad fold + an integer divide per block (pure
-    codegen; a non-IP value folds to NULL and never matches, like
-    ES). IPv6 is not lowered."""
-    ip_int = _IP_INT.format(e=args[0])
+    is one anchored-regex gate + dotted-quad fold + an integer divide
+    per block (pure codegen). The fold is gated on the SAME anchored
+    IPv4 regex TO_IP uses, so a malformed value — wrong piece count
+    ('10.1', '1.2.3.4.5') or an octet > 255 — folds to NULL and never
+    matches, like ES. IPv6 is not lowered."""
+    ip_int = (
+        f"(CASE WHEN {args[0]} RLIKE {_IPV4_RE_SQL} "
+        f"THEN {_IP_INT.format(e=args[0])} END)"
+    )
     arms = []
     for cidr_arg in args[1:]:
         cidr = _quoted_literal(cidr_arg, "CIDR_MATCH")
@@ -622,11 +639,16 @@ def _split_pipes(query: str) -> list[str]:
     parts: list[str] = []
     buf: list[str] = []
     quote: str | None = None
+    esc = False
     depth = 0
     for ch in query:
         if quote:
             buf.append(ch)
-            if ch == quote:
+            if esc:
+                esc = False
+            elif quote == '"' and ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
@@ -648,10 +670,53 @@ def _split_pipes(query: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+# ES|QL string-literal escapes (the subset that matters in practice:
+# quotes, backslash itself, and the whitespace trio); any OTHER
+# backslash sequence passes through verbatim — backslash kept — so a
+# regex convenience like "\d+" survives into RLIKE patterns instead
+# of erroring
+_ESC_MAP = {'"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _scan_dquote(expr: str, i: int) -> tuple[str, int]:
+    """Decode the double-quoted ES|QL string literal starting at
+    ``expr[i] == '\"'``: returns (raw decoded text, index past the
+    closing quote). ``\\\"`` / ``\\\\`` / ``\\n`` / ``\\t`` / ``\\r``
+    decode; an unknown escape keeps both characters."""
+    j = i + 1
+    n = len(expr)
+    out: list[str] = []
+    while j < n:
+        ch = expr[j]
+        if ch == "\\" and j + 1 < n:
+            nxt = expr[j + 1]
+            if nxt in _ESC_MAP:
+                out.append(_ESC_MAP[nxt])
+            else:
+                out.append("\\")
+                out.append(nxt)
+            j += 2
+            continue
+        if ch == '"':
+            return "".join(out), j + 1
+        out.append(ch)
+        j += 1
+    raise ValueError(f"ES|QL: unterminated string in {expr!r}")
+
+
+def _sql_str(raw: str) -> str:
+    """Raw text -> a normalized Spark single-quoted literal:
+    backslashes double (Spark's parser unescapes string literals) and
+    quotes double ('' is the quote escape this module's scanners
+    expect)."""
+    return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _tr_expr(expr: str) -> str:
     """ES|QL expression -> Spark SQL: ``==`` becomes ``=`` and
     double-quoted strings become single-quoted (identifiers in ES|QL
-    are bare or backquoted, never double-quoted)."""
+    are bare or backquoted, never double-quoted); ``\\\"`` / ``\\\\``
+    escapes inside double-quoted literals decode here."""
     out: list[str] = []
     skeleton: list[str] = []  # the expr with string CONTENTS blanked —
     # the safety check applies to syntax, not literal text
@@ -659,15 +724,10 @@ def _tr_expr(expr: str) -> str:
     while i < n:
         ch = expr[i]
         if ch == '"':
-            j = i + 1
-            while j < n and expr[j] != '"':
-                j += 1
-            if j >= n:
-                raise ValueError(f"ES|QL: unterminated string in {expr!r}")
-            inner = expr[i + 1:j].replace("'", "''")
-            out.append(f"'{inner}'")
+            raw, j = _scan_dquote(expr, i)
+            out.append(_sql_str(raw))
             skeleton.append("''")
-            i = j + 1
+            i = j
         elif ch == "'":
             j = i + 1
             while j < n and expr[j] != "'":
@@ -695,9 +755,23 @@ _RX_SPECIALS = set(".^$+()[]{}|\\")
 
 def _wildcard_regex(pattern: str) -> str:
     """ES|QL LIKE pattern (``*`` = any run, ``?`` = one char) -> an
-    anchored Java regex — ES|QL LIKE matches the WHOLE string."""
+    anchored Java regex — ES|QL LIKE matches the WHOLE string. A
+    backslash escapes the next character to a LITERAL (``\\*`` is a
+    real asterisk, ``\\\\`` a real backslash — written ``\\\\*`` /
+    ``\\\\\\\\`` in ES|QL source, since string literals consume one
+    level); a dangling trailing backslash is a parse error."""
     out = ["^"]
-    for ch in pattern:
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            if i + 1 >= n:
+                raise ValueError(
+                    f"ES|QL LIKE: dangling backslash in {pattern!r}"
+                )
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "*":
             out.append(".*")
         elif ch == "?":
@@ -706,6 +780,7 @@ def _wildcard_regex(pattern: str) -> str:
             out.append("\\" + ch)
         else:
             out.append(ch)
+        i += 1
     out.append("$")
     return "".join(out)
 
@@ -723,6 +798,27 @@ def _scan_literal(expr: str, start: int) -> int:
             return j + 1
         j += 1
     raise ValueError(f"ES|QL: unterminated string in {expr!r}")
+
+
+def _decode_normalized(inner: str) -> str:
+    """The CONTENT of a normalized single-quoted literal -> raw text:
+    ``''`` undoubles to a quote and ``\\\\`` to one backslash (what
+    ``_sql_str`` emitted); a lone backslash — possible when the caller
+    wrote a pre-normalized single-quoted literal — stays as-is."""
+    out: list[str] = []
+    i, n = 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if ch == "'" and i + 1 < n and inner[i + 1] == "'":
+            out.append("'")
+            i += 2
+        elif ch == "\\" and i + 1 < n and inner[i + 1] == "\\":
+            out.append("\\")
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _rewrite_like(expr: str) -> str:
@@ -755,7 +851,7 @@ def _rewrite_like(expr: str) -> str:
                 j = _scan_literal(expr, k)
                 inner = expr[k + 1:j - 1]  # normalized, '' kept as-is
                 if m.group(1).upper() == "LIKE":
-                    rx = _wildcard_regex(inner.replace("''", "'"))
+                    rx = _wildcard_regex(_decode_normalized(inner))
                     lit = rx.replace("\\", "\\\\").replace("'", "''")
                 else:
                     lit = f"^(?:{inner})$"
@@ -804,10 +900,15 @@ def _split_top_commas(s: str) -> list[str]:
     buf: list[str] = []
     depth = 0
     quote: str | None = None
+    esc = False
     for ch in s:
         if quote:
             buf.append(ch)
-            if ch == quote:
+            if esc:
+                esc = False
+            elif quote == '"' and ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
@@ -836,10 +937,15 @@ def _find_top_kw(arg: str, kw: str) -> int | None:
     upper = arg.upper()
     depth = 0
     quote = None
+    esc = False
     n, ln = len(arg), len(kw)
     for i, ch in enumerate(arg):
         if quote:
-            if ch == quote:
+            if esc:
+                esc = False
+            elif quote == '"' and ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
@@ -1206,10 +1312,15 @@ def _split_paren_groups(arg: str) -> list[str]:
     groups: list[str] = []
     depth = 0
     quote: str | None = None
+    esc = False
     start = None
     for i, ch in enumerate(arg):
         if quote:
-            if ch == quote:
+            if esc:
+                esc = False
+            elif quote == '"' and ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
