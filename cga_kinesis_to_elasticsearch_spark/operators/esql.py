@@ -126,6 +126,7 @@ TakeOrdered. Piped syntax changes nothing about the physics.
 
 from __future__ import annotations
 
+import contextvars
 import fnmatch
 import re
 
@@ -159,6 +160,168 @@ _DURATION_RE = re.compile(
     r"^(\d+)\s*([A-Za-z]+?)s?$"  # "1 hour", "3 hours", "90 minutes"
 )
 
+# --- NOW() + datetime arithmetic -------------------------------------------
+#
+# ``WHERE ts > NOW() - 1 hour`` is the Kibana time-picker form. NOW()
+# lowers to the run's anchor: the ``now=`` parameter of ``run_esql``
+# when given (deterministic — what oracles and replays need; ES pins
+# the same instant across a whole query), else Spark's query-stable
+# current_timestamp(). A ``<n> <unit>`` temporal literal next to +/-
+# lowers to an ANSI INTERVAL (weeks fold to days, quarters to months,
+# milliseconds to fractional seconds — Spark's ANSI interval units).
+
+_NOW_ANCHOR: contextvars.ContextVar[str | None] = contextvars.ContextVar(
+    "esql_now_anchor", default=None
+)
+
+
+def _lower_now(args: list[str]) -> str:
+    anchor = _NOW_ANCHOR.get()
+    if anchor is not None:
+        return f"TIMESTAMP '{anchor}'"
+    return "current_timestamp()"
+
+
+_DURATION_LIT_RE = re.compile(
+    r"\b(\d+)\s+(millisecond|second|minute|hour|day|week|month"
+    r"|quarter|year)s?\b",
+    re.IGNORECASE,
+)
+
+
+def _interval_sql(m: re.Match) -> str:
+    n, unit = int(m.group(1)), m.group(2).lower()
+    if unit == "week":
+        return f"INTERVAL '{n * 7}' DAY"
+    if unit == "quarter":
+        return f"INTERVAL '{n * 3}' MONTH"
+    if unit == "millisecond":
+        return f"INTERVAL '{n / 1000:.3f}' SECOND"
+    return f"INTERVAL '{n}' {unit.upper()}"
+
+
+def _rewrite_durations(expr: str) -> str:
+    """``<n> <unit>`` temporal literals OUTSIDE string literals ->
+    ANSI INTERVALs, enabling ``ts + 2 hours`` / ``NOW() - 1 day``.
+    Runs AFTER the function rewrite so BUCKET's span argument — the
+    other place a bare duration appears — is already consumed by its
+    own lowerer."""
+    out: list[str] = []
+    i, n = 0, len(expr)
+    while i < n:
+        if expr[i] == "'":
+            j = _scan_literal(expr, i)
+            out.append(expr[i:j])
+            i = j
+            continue
+        j = expr.find("'", i)
+        if j == -1:
+            j = n
+        out.append(_DURATION_LIT_RE.sub(_interval_sql, expr[i:j]))
+        i = j
+    return "".join(out)
+
+
+# the auto-BUCKET datetime ladder: fixed-width candidates in seconds
+# (epoch-aligned, like ES fixed_interval), then the variable-length
+# calendars with their bucket-count estimates. The pick is the
+# SMALLEST interval yielding <= target buckets over [from, to) — the
+# Lens/Discover auto-interval behavior (a 1-year span at target 20
+# picks 1 month, the ES docs' own example).
+_BUCKET_AUTO_FIXED = (
+    1, 5, 10, 30, 60, 300, 600, 1800,
+    3600, 3 * 3600, 12 * 3600, 86400, 7 * 86400,
+)
+_BUCKET_AUTO_CALENDAR = (
+    ("MONTH", 2_592_000),     # ~30 d estimate for counting only
+    ("QUARTER", 7_884_000),   # ~91.25 d
+    ("YEAR", 31_536_000),     # 365 d
+)
+
+
+def _bucket_literal(arg: str, what: str):
+    """A 4-arg BUCKET bound: a normalized quoted date/timestamp
+    literal -> datetime, or a bare numeric literal -> float. The
+    bounds shape the plan, so they must be literals."""
+    import datetime as _dt
+
+    m = re.fullmatch(r"\s*'([^']*)'\s*", arg)
+    if m:
+        try:
+            return _dt.datetime.fromisoformat(
+                m.group(1).replace("Z", "+00:00")
+            ).replace(tzinfo=None)
+        except ValueError:
+            raise ValueError(
+                f"ES|QL BUCKET: bad {what} bound {m.group(1)!r} "
+                "(want an ISO date/timestamp literal)"
+            ) from None
+    try:
+        return float(arg)
+    except ValueError:
+        raise ValueError(
+            f"ES|QL BUCKET: the {what} bound must be a date or "
+            f"numeric LITERAL (it shapes the plan): {arg!r}"
+        ) from None
+
+
+def _lower_bucket_auto(args: list[str]) -> str:
+    """``BUCKET(expr, target, from, to)`` — the auto form Lens uses:
+    pick a nice interval yielding at most ``target`` buckets over the
+    literal [from, to) range, then bucket exactly like the 2-arg
+    form. Datetime bounds walk the fixed-seconds ladder then the
+    calendars; numeric bounds round (to-from)/target UP to the next
+    1/2/5 x 10^k nice width. The interval folds at PLAN time — the
+    row-side work is identical to the explicit-span form."""
+    import datetime as _dt
+    import math
+
+    expr = args[0]
+    try:
+        target = int(args[1])
+    except ValueError:
+        raise ValueError(
+            "ES|QL BUCKET: the auto form's bucket count must be an "
+            f"integer literal: {args[1]!r}"
+        ) from None
+    if target < 1:
+        raise ValueError(f"ES|QL BUCKET: bucket count must be >= 1: {target}")
+    lo = _bucket_literal(args[2], "from")
+    hi = _bucket_literal(args[3], "to")
+    if isinstance(lo, _dt.datetime) != isinstance(hi, _dt.datetime):
+        raise ValueError(
+            "ES|QL BUCKET: from/to bounds must both be dates or both "
+            f"numbers: {args[2]!r}, {args[3]!r}"
+        )
+    if isinstance(lo, _dt.datetime):
+        span = (hi - lo).total_seconds()
+        if span <= 0:
+            raise ValueError("ES|QL BUCKET: to must be after from")
+        for secs in _BUCKET_AUTO_FIXED:
+            if span / secs <= target:
+                return (
+                    f"timestamp_seconds(floor(unix_timestamp({expr}) "
+                    f"/ {secs}) * {secs})"
+                )
+        for unit, est in _BUCKET_AUTO_CALENDAR:
+            if span / est <= target:
+                return f"date_trunc('{unit}', {expr})"
+        return f"date_trunc('YEAR', {expr})"
+    if hi <= lo:
+        raise ValueError("ES|QL BUCKET: to must be greater than from")
+    raw = (hi - lo) / target
+    exp = math.floor(math.log10(raw))
+    width = None
+    for mult in (1, 2, 5, 10):
+        width = mult * 10.0 ** exp
+        if width >= raw - 1e-12:
+            break
+    w = int(width) if width == int(width) else width
+    return (
+        f"(floor(CAST(({expr}) AS DOUBLE) / {w}) "
+        f"* CAST({w} AS DOUBLE))"
+    )
+
 
 def _lower_bucket(args: list[str]) -> str:
     """``BUCKET(expr, span)`` — the grouping Kibana Discover generates
@@ -167,13 +330,14 @@ def _lower_bucket(args: list[str]) -> str:
     span lowers to epoch-aligned fixed-width buckets (ES
     fixed_interval alignment); a bare number lowers to the numeric
     floor-multiple. The 4-arg auto form (``BUCKET(f, 50, from, to)``)
-    needs ES's nice-interval heuristics and is rejected at plan time —
-    pass the interval explicitly."""
+    picks a nice interval for ~50 buckets from the LITERAL bounds —
+    see ``_lower_bucket_auto``."""
+    if len(args) == 4:
+        return _lower_bucket_auto(args)
     if len(args) != 2:
         raise ValueError(
-            "ES|QL BUCKET: only the 2-arg form BUCKET(expr, span) is "
-            "supported (the 4-arg auto form needs ES's nice-interval "
-            f"heuristic — pass the interval explicitly): {args!r}"
+            "ES|QL BUCKET: expected BUCKET(expr, span) or the 4-arg "
+            f"auto form BUCKET(expr, count, from, to): {args!r}"
         )
     expr, span = args[0], args[1].strip()
     m = _DURATION_RE.match(span)
@@ -567,6 +731,7 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
     # VALUES: ES|QL gives NO order guarantee — sorted here so results
     # are deterministic (within the contract, stronger than ES)
     "VALUES": (1, lambda a: f"sort_array(collect_set({a[0]}))"),
+    "NOW": (0, _lower_now),
     "MV_MEDIAN": (1, _lower_mv_median),
     "MV_SORT": ((1, 2), _lower_mv_sort),
     "MV_DEDUPE": (1, lambda a: f"array_distinct({a[0]})"),
@@ -743,9 +908,29 @@ def _tr_expr(expr: str) -> str:
             out.append(ch)
             skeleton.append(ch)
             i += 1
-    if not _EXPR_SAFE_RE.match("".join(skeleton)):
+    sk = "".join(skeleton)
+    if not _EXPR_SAFE_RE.match(sk):
         raise ValueError(f"ES|QL: unsupported expression syntax: {expr!r}")
-    return _rewrite_decimals(_rewrite_funcs(_rewrite_like("".join(out))))
+    ft = _FT_RE.search(sk)
+    if ft:
+        # WHERE extracts these before translation — reaching here
+        # means the call sits in EVAL/STATS/SORT, where ES rejects
+        # full-text functions too
+        raise ValueError(
+            f"ES|QL: full-text function {ft.group(1).upper()}() is "
+            f"only supported in WHERE: {expr!r}"
+        )
+    ts = _TS_AGG_RE.search(sk)
+    if ts:
+        raise ValueError(
+            f"ES|QL: the TS time-series aggregate "
+            f"{ts.group(1).upper()}() is not lowered (ES 8.19 tech "
+            "preview — semantics not yet GA); aggregate with STATS "
+            f"over BUCKET() instead: {expr!r}"
+        )
+    return _rewrite_decimals(
+        _rewrite_durations(_rewrite_funcs(_rewrite_like("".join(out))))
+    )
 
 
 # Java-regex metacharacters (Spark executors run java.util.regex);
@@ -894,8 +1079,205 @@ def _expr_col(expr: str) -> Column:
     return F.expr(_tr_expr(expr))
 
 
+# --- full-text WHERE functions: MATCH / QSTR (ES 8.17) ---------------------
+#
+# Kibana 8.17+ text-filters every ES|QL data view through these — they
+# are the bridge between ES|QL and scored search. Each lowers through
+# the engine's EXISTING compilers: MATCH through the query-DSL match
+# clause (operators/querydsl.compile_query), QSTR through the Lucene
+# query_string parser (operators/luceneq) — so ES|QL and the _search
+# API can never disagree about what a text query matches. Like ES,
+# they are only legal inside WHERE (the predicate needs match
+# semantics, not a scalar value).
+
+_FT_RE = re.compile(r"\b(MATCH|QSTR|KQL)\s*\(", re.IGNORECASE)
+
+# the TS command's time-series aggregate family (ES 8.19 tech
+# preview) — rejected loudly until the GA semantics settle; a silent
+# pass-through to Spark's parser would produce a confusing
+# unknown-function error instead of naming the gap
+_TS_AGG_RE = re.compile(
+    r"\b(RATE|IRATE|IDELTA|DELTA|INCREASE"
+    r"|(?:AVG|MIN|MAX|SUM|COUNT|FIRST|LAST|COUNT_DISTINCT"
+    r"|STD_DEV|ABSENT|PRESENT)_OVER_TIME)\s*\(",
+    re.IGNORECASE,
+)
+
+_MATCH_OPT_KEYS = {"operator", "analyzer"}
+_QSTR_OPT_KEYS = {
+    "default_field", "fields", "default_operator",
+    "minimum_should_match",
+}
+
+
+def _scan_balanced(arg: str, open_idx: int) -> int:
+    """Index of the ``)`` closing the ``(`` at ``open_idx`` in RAW
+    ES|QL text (both quote kinds + escapes respected)."""
+    depth = 0
+    i, n = open_idx, len(arg)
+    while i < n:
+        ch = arg[i]
+        if ch == '"':
+            _, i = _scan_dquote(arg, i)
+            continue
+        if ch == "'":
+            j = arg.find("'", i + 1)
+            if j == -1:
+                raise ValueError(f"ES|QL: unterminated string in {arg!r}")
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError(f"ES|QL: unbalanced parens in {arg!r}")
+
+
+def _lit_str_raw(argtext: str, fn: str) -> str:
+    """Decode a RAW ES|QL string-literal argument (double- or
+    single-quoted) to its text; anything else is a plan-time error —
+    full-text query strings must be literals (they compile into the
+    plan)."""
+    s = argtext.strip()
+    if s.startswith('"'):
+        raw, j = _scan_dquote(s, 0)
+        if j != len(s):
+            raise ValueError(
+                f"ES|QL {fn}: the query must be one string literal: "
+                f"{argtext!r}"
+            )
+        return raw
+    if s.startswith("'") and s.endswith("'") and len(s) >= 2:
+        return s[1:-1]
+    raise ValueError(
+        f"ES|QL {fn}: the query must be a string literal, got "
+        f"{argtext!r}"
+    )
+
+
+def _opts_map(argtext: str, fn: str, allowed: set[str]) -> dict:
+    """Parse an ES|QL named-options map argument (``{"key": value}``
+    — JSON-shaped, like ES|QL's named parameters). Unknown keys fail
+    loud: silently ignoring an option would change results."""
+    import json
+
+    s = argtext.strip()
+    try:
+        opts = json.loads(s)
+    except ValueError:
+        raise ValueError(
+            f"ES|QL {fn}: cannot parse options map {argtext!r} "
+            "(want a JSON-shaped map literal)"
+        ) from None
+    if not isinstance(opts, dict):
+        raise ValueError(
+            f"ES|QL {fn}: options must be a map literal: {argtext!r}"
+        )
+    bad = sorted(set(opts) - allowed)
+    if bad:
+        raise ValueError(
+            f"ES|QL {fn}: unsupported option(s) {bad} "
+            f"(supported: {sorted(allowed)})"
+        )
+    return opts
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _lower_fulltext(name: str, inner: str) -> Column:
+    """One MATCH/QSTR call -> a boolean Column via the engine's
+    query-DSL compiler."""
+    from .querydsl import compile_query
+
+    args = _split_top_commas(inner)
+    if name == "KQL":
+        raise ValueError(
+            "ES|QL KQL() is not lowered — express the filter with "
+            "MATCH(field, \"terms\") or QSTR(\"lucene query\")"
+        )
+    if name == "MATCH":
+        if not 2 <= len(args) <= 3:
+            raise ValueError(
+                f"ES|QL MATCH: expected MATCH(field, \"query\" "
+                f"[, options]), got {len(args)} args: {inner!r}"
+            )
+        field = args[0].strip()
+        if not _IDENT_RE.match(field):
+            raise ValueError(
+                f"ES|QL MATCH: the first argument must be a field "
+                f"name, got {field!r}"
+            )
+        body: dict = {"query": _lit_str_raw(args[1], "MATCH")}
+        if len(args) == 3:
+            opts = _opts_map(args[2], "MATCH", _MATCH_OPT_KEYS)
+            if "operator" in opts:
+                opts["operator"] = str(opts["operator"]).lower()
+            body.update(opts)
+        return compile_query({"match": {field: body}})
+    # QSTR: full Lucene query syntax through operators/luceneq —
+    # fielded terms work bare; UNfielded terms need default_field or
+    # fields in the options map (the engine has no index mapping to
+    # infer a default * expansion from; luceneq raises the same)
+    if not 1 <= len(args) <= 2:
+        raise ValueError(
+            f"ES|QL QSTR: expected QSTR(\"query\" [, options]), got "
+            f"{len(args)} args: {inner!r}"
+        )
+    body = {"query": _lit_str_raw(args[0], "QSTR")}
+    if len(args) == 2:
+        body.update(_opts_map(args[1], "QSTR", _QSTR_OPT_KEYS))
+    return compile_query({"query_string": body})
+
+
+def _extract_fulltext(
+    arg: str,
+) -> tuple[str, list[tuple[str, Column]]]:
+    """Replace every top-level MATCH(..)/QSTR(..) call in a RAW WHERE
+    expression with a placeholder column name, compiling each call to
+    a boolean Column. The caller attaches the placeholders, filters,
+    and drops them — Catalyst collapses the projections, so the plan
+    is the same single predicate a hand-written filter builds."""
+    out: list[str] = []
+    cols: list[tuple[str, Column]] = []
+    i, n = 0, len(arg)
+    while i < n:
+        ch = arg[i]
+        if ch == '"':
+            _, j = _scan_dquote(arg, i)
+            out.append(arg[i:j])
+            i = j
+            continue
+        if ch == "'":
+            j = arg.find("'", i + 1)
+            if j == -1:
+                raise ValueError(f"ES|QL: unterminated string in {arg!r}")
+            out.append(arg[i:j + 1])
+            i = j + 1
+            continue
+        m = _FT_RE.match(arg, i)
+        if m and (i == 0 or not (arg[i - 1].isalnum()
+                                 or arg[i - 1] == "_")):
+            close = _scan_balanced(arg, m.end() - 1)
+            col = _lower_fulltext(
+                m.group(1).upper(), arg[m.end():close]
+            )
+            ph = f"__esql_ft{len(cols)}"
+            cols.append((ph, col))
+            out.append(ph)
+            i = close + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), cols
+
+
 def _split_top_commas(s: str) -> list[str]:
-    """Split on commas outside parentheses and strings."""
+    """Split on commas outside parentheses, braces (named-options
+    maps), and strings."""
     parts: list[str] = []
     buf: list[str] = []
     depth = 0
@@ -913,10 +1295,10 @@ def _split_top_commas(s: str) -> list[str]:
         elif ch in ("'", '"'):
             quote = ch
             buf.append(ch)
-        elif ch == "(":
+        elif ch in "({[":
             depth += 1
             buf.append(ch)
-        elif ch == ")":
+        elif ch in ")}]":
             depth -= 1
             buf.append(ch)
         elif ch == "," and depth == 0:
@@ -1229,10 +1611,44 @@ def _resolve_drop(columns: list[str], patterns: list[str]) -> list[str]:
     return dropped
 
 
-def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
+def run_esql(
+    query: str,
+    tables: dict[str, DataFrame],
+    *,
+    now=None,
+) -> DataFrame:
     """Execute an ES|QL query against the caller's table map (the
     engine's stand-in for the cluster's index catalog). See the module
-    docstring for the supported command set."""
+    docstring for the supported command set.
+
+    ``now`` pins the instant ``NOW()`` lowers to (a datetime or a
+    ``YYYY-MM-DD[ HH:MM:SS]`` string) — what deterministic replays
+    and cross-engine oracles need, mirroring how ES pins one instant
+    for a whole query; omitted, NOW() is Spark's query-stable
+    ``current_timestamp()``."""
+    if now is not None:
+        anchor = (
+            now.strftime("%Y-%m-%d %H:%M:%S")
+            if hasattr(now, "strftime")
+            else str(now)
+        )
+        if not re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?",
+            anchor,
+        ):
+            raise ValueError(
+                f"ES|QL: bad now anchor {anchor!r} (want a datetime "
+                "or 'YYYY-MM-DD[ HH:MM:SS]')"
+            )
+        token = _NOW_ANCHOR.set(anchor.replace("T", " "))
+        try:
+            return _run_esql(query, tables)
+        finally:
+            _NOW_ANCHOR.reset(token)
+    return _run_esql(query, tables)
+
+
+def _run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
     stages = _split_pipes(query)
     if not stages:
         raise ValueError("ES|QL: empty query")
@@ -1265,10 +1681,14 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
         if not cols:
             raise ValueError("ES|QL ROW needs at least one column")
         df = spark.range(1).select(*cols)
-    elif first_cmd == "FROM":
+    elif first_cmd in ("FROM", "TS"):
         # FROM idx1, idx2 [METADATA _index, _id] — the metadata form
         # Kibana emits; _index is each source's name (so a comma-list
-        # union stays attributable), _id the identity column as string
+        # union stays attributable), _id the identity column as string.
+        # TS (ES 8.19 tech preview) is FROM with time-series metric
+        # semantics: the source resolves identically; the rate()/
+        # *_over_time aggregate family it unlocks is rejected loudly
+        # in _tr_expr until the GA semantics settle.
         from_arg = m.group(2)
         meta_fields: list[str] = []
         mi = _find_top_kw(from_arg, "METADATA")
@@ -1300,7 +1720,7 @@ def run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
                 part, allowMissingColumns=True
             )
     else:
-        raise ValueError("ES|QL must start with FROM <index> or ROW")
+        raise ValueError("ES|QL must start with FROM <index>, TS, or ROW")
     for stage in stages[1:]:
         df = _apply_stage(df, stage, tables)
     return df
@@ -1383,7 +1803,19 @@ def _apply_stage(
     if cmd == "FORK":
         df = _fork(df, arg, tables)
     elif cmd == "WHERE":
-        df = df.filter(_expr_col(arg))
+        rewritten, fts = _extract_fulltext(arg)
+        if fts:
+            # full-text predicates attach as throwaway boolean
+            # columns so they compose with any boolean expression
+            # (NOT/AND/OR around MATCH); Catalyst collapses the
+            # projections back into one Filter
+            for ph, col in fts:
+                df = df.withColumn(ph, col)
+            df = df.filter(_expr_col(rewritten)).drop(
+                *[ph for ph, _ in fts]
+            )
+        else:
+            df = df.filter(_expr_col(arg))
     elif cmd == "EVAL":
         for part in _split_top_commas(arg):
             am = _ASSIGN_RE.match(part)

@@ -325,7 +325,9 @@ def _fan_out(fields: list[str], make_leaf) -> dict:
     }
 
 
-def _resolve_fields(body: dict, kind: str) -> list[str]:
+def _resolve_fields(
+    body: dict, kind: str, *, required: bool = True
+) -> list[str] | None:
     fields = body.get("fields")
     if fields:
         out = []
@@ -339,18 +341,29 @@ def _resolve_fields(body: dict, kind: str) -> list[str]:
     df = body.get("default_field")
     if df:
         return [df]
+    if not required:
+        # query_string: a fully-FIELDED query (every term carries its
+        # own field:) needs no default — resolution defers to the
+        # first unfielded term, which raises there
+        return None
     raise ValueError(
         f"{kind} needs default_field or fields (the engine has no "
         "index mapping to infer a default * expansion from)"
     )
 
 
-def _mk_term_dsl(tok: tuple, fields: list[str]) -> dict:
+def _mk_term_dsl(tok: tuple, fields: list[str] | None) -> dict:
     kind = tok[0]
     if kind == "term":
         _, field, word, esc = tok
         if field is not None:
             return _term_leaf(field, word, esc)
+        if fields is None:
+            raise ValueError(
+                f"query_string: unfielded term {word!r} needs "
+                "default_field or fields (the engine has no index "
+                "mapping to infer a default * expansion from)"
+            )
         # multi-field plain token: multi_match keeps BM25 best_fields
         # scoring; anything wildcard-ish fans out per field
         probe = _term_leaf(fields[0], word, esc)
@@ -359,6 +372,11 @@ def _mk_term_dsl(tok: tuple, fields: list[str]) -> dict:
         return _fan_out(fields, lambda f: _term_leaf(f, word, esc))
     if kind == "phrase":
         _, field, text = tok
+        if field is None and fields is None:
+            raise ValueError(
+                f"query_string: unfielded phrase {text!r} needs "
+                "default_field or fields"
+            )
         tgt = [field] if field is not None else fields
         return _fan_out(tgt, lambda f: {"match_phrase": {f: text}})
     if kind == "range":
@@ -521,7 +539,7 @@ def query_string_to_dsl(body: dict) -> dict:
     ValueError at plan time (ES's query_string does the same)."""
     if not isinstance(body, dict) or "query" not in body:
         raise ValueError(f"query_string needs a query: {body}")
-    fields = _resolve_fields(body, "query_string")
+    fields = _resolve_fields(body, "query_string", required=False)
     default_op = str(body.get("default_operator", "or")).lower()
     if default_op not in ("or", "and"):
         raise ValueError(

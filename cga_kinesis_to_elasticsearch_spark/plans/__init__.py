@@ -47,6 +47,7 @@ _MODULES = (
     "essearch2",
     "essearch3",
     "esql2",
+    "esql3",
     "traindata",
     "evalqa",
     "mlprims",

@@ -1,0 +1,240 @@
+"""Round-9 ES|QL surface as declared queries: the full-text WHERE
+bridge (``MATCH()`` / ``QSTR()`` — how Kibana 8.17+ text-filters
+every ES|QL data view), ``NOW()`` with a deterministic anchor plus
+datetime interval arithmetic (the Kibana time-picker form), the
+``BUCKET()`` 4-arg auto form (what Lens generates), and the ``TS``
+command scaffold (ES 8.19) — each a literal pipe chain through the
+interpreter, value-checked against a hand-written DuckDB oracle.
+
+Reference context: the reference's gorouter/app log indices
+(main.go:447) are text-searched in exactly the MATCH shape, and
+every ops dashboard's "last 15 minutes" filter is the NOW() range.
+
+Scale shape: MATCH/QSTR lower through the SAME query-DSL compiler
+``_search`` uses, producing one Catalyst predicate inline with the
+rest of the WHERE — the filter pushes to the scan, no extra stage.
+NOW() and the auto BUCKET interval fold to literals at plan time, so
+the physical plan is identical to the hand-written range/histogram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.esql import run_esql
+from .declared import _t, q
+
+# ---------------------------------------------------------------------------
+# 1. MATCH(): analyzed-text search inside an ES|QL WHERE
+# ---------------------------------------------------------------------------
+
+_ESQL_MATCH_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, n_chars,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+)
+SELECT doc_id, n_chars
+FROM tk
+WHERE list_contains(toks, 'merge') AND list_contains(toks, 'scan')
+ORDER BY doc_id
+"""
+
+
+@q("esql_match_function", _ESQL_MATCH_ORACLE)
+def _esql_match_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``MATCH(field, "query", {"operator": "AND"})`` (ES 8.17)
+    — the bridge Kibana generates for any text filter over an ES|QL
+    data view. Lowered through the engine's query-DSL match compiler
+    (operators/querydsl.compile_query), so ES|QL and the ``_search``
+    API can never disagree about what a text query matches; the
+    whitespace analyzer tokenizes both the query literal (at plan
+    time) and the document field (in codegen).
+
+    Scale shape: the match predicate is an array_contains AND over
+    the analyzed token split — pure codegen inline with the WHERE,
+    one scan, no shuffle before the sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents
+        | WHERE MATCH(text, "merge scan", {"operator": "AND"})
+        | KEEP doc_id, n_chars
+        | SORT doc_id
+        """,
+        {"documents": docs},
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. QSTR(): Lucene query syntax inside an ES|QL WHERE
+# ---------------------------------------------------------------------------
+
+_ESQL_QSTR_ORACLE = """
+WITH tk AS (
+    SELECT lang, n_chars,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM tk
+WHERE list_contains(toks, 'vector') AND NOT list_contains(toks, 'hash')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@q("esql_qstr_function", _ESQL_QSTR_ORACLE)
+def _esql_qstr_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``QSTR("text:vector AND NOT text:hash")`` (ES 8.17) —
+    full Lucene query syntax inside a pipe chain, lowered through the
+    engine's query_string parser (operators/luceneq): fielded terms
+    need no default_field, the boolean operators build the same
+    must/must_not tree the ``_search`` endpoint compiles.
+
+    Scale shape: the parsed tree folds into ONE boolean predicate at
+    plan time; STATS stays the single partial-agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents
+        | WHERE QSTR("text:vector AND NOT text:hash")
+        | STATS n = count(*), sum_chars = sum(n_chars) BY lang
+        | SORT lang
+        """,
+        {"documents": docs},
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. NOW() + interval arithmetic with a pinned anchor
+# ---------------------------------------------------------------------------
+
+_ESQL_NOW_RANGE_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+WHERE ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 14 DAY
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type <> 'error'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@q("esql_now_range", _ESQL_NOW_RANGE_ORACLE)
+def _esql_now_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``WHERE ts > NOW() - 2 weeks`` — the Kibana time-picker
+    form (the single most common WHERE in Discover). ``NOW()`` lowers
+    to the ``now=`` anchor passed to ``run_esql`` (deterministic, so
+    the oracle replays the identical instant — mirroring how ES pins
+    one instant per query); ``- 2 weeks`` folds to an ANSI INTERVAL.
+
+    Scale shape: both bounds fold to timestamp literals at plan
+    time, so the range predicate pushes to the parquet scan
+    (PushedFilters), exactly like a hand-written range filter."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | WHERE ts > NOW() - 2 weeks AND ts <= NOW()
+            AND event_type != "error"
+        | STATS n = count(*), avg_value = avg(value) BY event_type
+        | SORT event_type
+        """,
+        {"events": ev},
+        now="2024-01-20 00:00:00",
+    )
+    return out.select(
+        "event_type", "n", F.round("avg_value", 6).alias("avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. BUCKET() 4-arg auto form: Lens' target-bucket-count histogram
+# ---------------------------------------------------------------------------
+
+_ESQL_BUCKET_AUTO_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS day_b,
+       floor(value / 50) * 50 AS val_b,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+ORDER BY day_b, val_b
+"""
+
+
+@q("esql_bucket_auto", _ESQL_BUCKET_AUTO_ORACLE)
+def _esql_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``BUCKET(f, target, from, to)`` — the auto form Lens
+    emits: pick a nice interval for at most ``target`` buckets over
+    the LITERAL bounds. A 30-day span at target 40 walks the fixed
+    ladder to 1 day (12 h would give 60 buckets); a 0..500 value
+    range at target 10 rounds 50 up to the nice width 50. Both
+    intervals fold at PLAN time — the physical plan is the identical
+    one-shuffle histogram the explicit-span form builds; the bucket
+    surfaces as epoch seconds so both engines hash the same integer.
+    """
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | STATS n = count(*)
+            BY b = BUCKET(ts, 40, "2024-01-01", "2024-01-31"),
+               vb = BUCKET(value, 10, 0, 500)
+        | SORT b, vb
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        F.col("b").cast("long").alias("day_b"),
+        F.col("vb").alias("val_b"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. TS command scaffold (ES 8.19 tech preview)
+# ---------------------------------------------------------------------------
+
+_ESQL_TS_STATS_ORACLE = """
+SELECT CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT) AS h12,
+       round(max(value), 6) AS max_v,
+       count(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+ORDER BY h12
+"""
+
+
+@q("esql_ts_stats", _ESQL_TS_STATS_ORACLE)
+def _esql_ts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``TS`` (ES 8.19 tech preview) — FROM with time-series
+    metric semantics. The source resolves identically to FROM; the
+    ``rate()``/``*_over_time`` aggregate family it unlocks is
+    REJECTED loudly until the GA semantics settle (a declared gap,
+    not a silent wrong answer) — plain STATS-over-BUCKET works today.
+
+    Scale shape: same one-shuffle bucketed aggregation as FROM."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        TS events
+        | WHERE value IS NOT NULL
+        | STATS max_v = max(value), n = count(*)
+            BY h = BUCKET(ts, 12 hours)
+        | SORT h
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        F.col("h").cast("long").alias("h12"),
+        F.round("max_v", 6).alias("max_v"),
+        "n",
+    )

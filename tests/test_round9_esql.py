@@ -147,3 +147,245 @@ class TestMvZipTail:
         )
         r = run_esql("FROM t | EVAL z = MV_ZIP(x, y)", {"t": df}).first()
         assert r.z == ["a,1", "2", "3"]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "merge sort beats bubble sort"),
+            (2, "vector scan with filters"),
+            (3, "hash merge scan pipeline"),
+            (4, None),
+        ],
+        "id long, body string",
+    )
+
+
+class TestFullTextBridge:
+    def test_match_default_or(self, spark):
+        out = run_esql(
+            'FROM d | WHERE MATCH(body, "merge scan") | SORT id',
+            {"d": _docs(spark)},
+        ).collect()
+        assert [r.id for r in out] == [1, 2, 3]
+
+    def test_match_operator_and(self, spark):
+        out = run_esql(
+            'FROM d | WHERE MATCH(body, "merge scan", '
+            '{"operator": "AND"})',
+            {"d": _docs(spark)},
+        ).collect()
+        assert [r.id for r in out] == [3]
+
+    def test_match_composes_with_booleans(self, spark):
+        out = run_esql(
+            'FROM d | WHERE NOT MATCH(body, "merge") AND id < 4',
+            {"d": _docs(spark)},
+        ).collect()
+        assert [r.id for r in out] == [2]
+
+    def test_qstr_fielded_lucene(self, spark):
+        out = run_esql(
+            'FROM d | WHERE QSTR("body:merge AND body:scan")',
+            {"d": _docs(spark)},
+        ).collect()
+        assert [r.id for r in out] == [3]
+
+    def test_qstr_phrase(self, spark):
+        out = run_esql(
+            'FROM d | WHERE QSTR("body:\\"merge scan\\"")',
+            {"d": _docs(spark)},
+        ).collect()
+        assert [r.id for r in out] == [3]
+
+    def test_qstr_default_field_option(self, spark):
+        out = run_esql(
+            'FROM d | WHERE QSTR("merge scan", '
+            '{"default_field": "body", "default_operator": "and"})',
+            {"d": _docs(spark)},
+        ).collect()
+        assert [r.id for r in out] == [3]
+
+    def test_qstr_unfielded_without_default_fails(self, spark):
+        with pytest.raises(ValueError, match="default_field or fields"):
+            run_esql(
+                'FROM d | WHERE QSTR("bare terms")', {"d": _docs(spark)}
+            )
+
+    def test_kql_rejected_loud(self, spark):
+        with pytest.raises(ValueError, match="KQL"):
+            run_esql(
+                'FROM d | WHERE KQL("body:x")', {"d": _docs(spark)}
+            )
+
+    def test_match_unsupported_option_fails(self, spark):
+        with pytest.raises(ValueError, match="unsupported option"):
+            run_esql(
+                'FROM d | WHERE MATCH(body, "x", {"fuzziness": 1})',
+                {"d": _docs(spark)},
+            )
+
+    def test_match_outside_where_fails(self, spark):
+        with pytest.raises(ValueError, match="only supported in WHERE"):
+            run_esql(
+                'FROM d | EVAL m = MATCH(body, "x")', {"d": _docs(spark)}
+            )
+
+    def test_match_bad_arity(self, spark):
+        with pytest.raises(ValueError, match="MATCH"):
+            run_esql("FROM d | WHERE MATCH(body)", {"d": _docs(spark)})
+
+    def test_match_query_must_be_literal(self, spark):
+        with pytest.raises(ValueError, match="string literal"):
+            run_esql(
+                "FROM d | WHERE MATCH(body, id)", {"d": _docs(spark)}
+            )
+
+    def test_placeholders_dropped(self, spark):
+        out = run_esql(
+            'FROM d | WHERE MATCH(body, "merge") OR QSTR("body:vector")',
+            {"d": _docs(spark)},
+        )
+        assert out.columns == ["id", "body"]
+        assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+class TestNowAndIntervals:
+    def test_now_anchor_datetime(self, spark):
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10, 0)),
+             (2, dt.datetime(2024, 1, 1, 11, 30)),
+             (3, dt.datetime(2024, 1, 2, 9, 0))],
+            "id long, ts timestamp",
+        )
+        out = run_esql(
+            "FROM e | WHERE ts > NOW() - 1 hour AND ts <= NOW()",
+            {"e": df},
+            now=dt.datetime(2024, 1, 1, 12, 0),
+        ).collect()
+        assert [r.id for r in out] == [2]
+
+    def test_now_anchor_string(self, spark):
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 10, 0))], "id long, ts timestamp"
+        )
+        n = run_esql(
+            "FROM e | WHERE ts >= NOW() - 1 day | STATS n = count(*)",
+            {"e": df},
+            now="2024-01-02 09:00:00",
+        ).first()
+        assert n.n == 1
+
+    def test_interval_arithmetic_in_eval(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 0),)], "ts timestamp"
+        )
+        r = run_esql(
+            "FROM e | EVAL w = ts + 2 weeks, q = ts + 1 quarter, "
+            "ms = ts + 250 milliseconds",
+            {"e": df},
+        ).first()
+        assert r.w == dt.datetime(2024, 1, 15, 10, 0)
+        assert r.q == dt.datetime(2024, 4, 1, 10, 0)
+        assert r.ms == dt.datetime(2024, 1, 1, 10, 0, 0, 250000)
+
+    def test_duration_inside_string_untouched(self, spark):
+        df = spark.createDataFrame([("wait 1 hour",)], "s string")
+        out = run_esql(
+            'FROM e | WHERE s == "wait 1 hour"', {"e": df}
+        ).collect()
+        assert len(out) == 1
+
+    def test_bad_anchor_rejected(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="bad now anchor"):
+            run_esql("FROM e | LIMIT 1", {"e": df}, now="junk")
+
+    def test_default_now_is_current(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1),)], "ts timestamp"
+        )
+        n = run_esql(
+            "FROM e | WHERE ts < NOW() | STATS n = count(*)", {"e": df}
+        ).first()
+        assert n.n == 1
+
+
+class TestBucketAuto:
+    def _events(self, spark):
+        return spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, h), float(h)) for h in range(24)],
+            "ts timestamp, v double",
+        )
+
+    def test_year_span_target20_is_month(self, spark):
+        # the ES docs' own example: 1-year span, 20 buckets -> 1 month
+        df = spark.createDataFrame(
+            [(dt.datetime(1985, m, 15),) for m in (1, 4, 7)],
+            "ts timestamp",
+        )
+        out = run_esql(
+            'FROM e | STATS n = count(*) BY b = BUCKET(ts, 20, '
+            '"1985-01-01T00:00:00Z", "1986-01-01T00:00:00Z") | SORT b',
+            {"e": df},
+        ).collect()
+        assert [(r.b, r.n) for r in out] == [
+            (dt.datetime(1985, 1, 1), 1),
+            (dt.datetime(1985, 4, 1), 1),
+            (dt.datetime(1985, 7, 1), 1),
+        ]
+
+    def test_day_span_target24_is_hour(self, spark):
+        out = run_esql(
+            'FROM e | STATS n = count(*) BY b = BUCKET(ts, 24, '
+            '"2024-01-01", "2024-01-02")',
+            {"e": self._events(spark)},
+        ).collect()
+        assert len(out) == 24  # hourly
+
+    def test_numeric_auto_nice_width(self, spark):
+        out = run_esql(
+            "FROM e | STATS n = count(*) BY b = BUCKET(v, 5, 0, 24) "
+            "| SORT b",
+            {"e": self._events(spark)},
+        ).collect()
+        # raw 4.8 -> nice width 5
+        assert [r.b for r in out] == [0.0, 5.0, 10.0, 15.0, 20.0]
+
+    def test_three_args_rejected(self, spark):
+        with pytest.raises(ValueError, match="BUCKET"):
+            run_esql(
+                'FROM e | STATS n = count(*) BY b = BUCKET(ts, 20, "2024-01-01")',
+                {"e": self._events(spark)},
+            )
+
+    def test_non_literal_bound_rejected(self, spark):
+        with pytest.raises(ValueError, match="LITERAL"):
+            run_esql(
+                "FROM e | STATS n = count(*) BY b = BUCKET(v, 5, v, 10)",
+                {"e": self._events(spark)},
+            )
+
+
+class TestTsCommand:
+    def test_ts_resolves_like_from(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10), 1.0),
+             (dt.datetime(2024, 1, 1, 11), 3.0)],
+            "ts timestamp, v double",
+        )
+        out = run_esql(
+            "TS m | STATS avg_v = avg(v) BY h = BUCKET(ts, 1 hour) "
+            "| SORT h",
+            {"m": df},
+        ).collect()
+        assert [r.avg_v for r in out] == [1.0, 3.0]
+
+    def test_rate_family_rejected_loud(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double"
+        )
+        with pytest.raises(ValueError, match="RATE"):
+            run_esql("TS m | STATS r = RATE(v)", {"m": df})
+        with pytest.raises(ValueError, match="AVG_OVER_TIME"):
+            run_esql("TS m | STATS r = AVG_OVER_TIME(v)", {"m": df})
