@@ -467,7 +467,11 @@ def run_explain(
     filter/must_not clauses report their matched status with value
     0.0 (they gate, never score); the ``total`` row is computed by
     the SAME scoring expression ``_search`` ranks by, so explain and
-    search can never disagree. A non-bool query explains as one
+    search can never disagree. Nested bools explain RECURSIVELY with
+    dotted path labels (``must[1].should[0]:match``): the nested
+    bool's own row carries its composed score and its children
+    decompose it; descendants of filter/must_not report matched
+    status with value 0.0. A non-bool query explains as one
     ``query:<kind>`` clause + total. Like ES, the document's row set
     comes back even when it does NOT match (``matched: false``
     everywhere, value 0.0). The per-TERM breakdown inside one BM25
@@ -530,19 +534,39 @@ def run_explain(
         return (f"{label}:{skind}", m, F.when(m, s).otherwise(F.lit(0.0)))
 
     parts: list[tuple] = []
-    if kind == "bool":
-        for key in ("must", "should"):
-            for i, sub in enumerate(_as_list(qbody.get(key))):
-                if isinstance(sub, dict) and len(sub) == 1:
-                    parts.append(_scoring_part(f"{key}[{i}]", sub))
-        for key in ("filter", "must_not"):
-            for i, sub in enumerate(_as_list(qbody.get(key))):
-                if isinstance(sub, dict) and len(sub) == 1:
-                    m = _matched(sub)
-                    ok = m if key == "filter" else ~m
-                    parts.append(
-                        (f"{key}[{i}]:{next(iter(sub))}", ok, F.lit(0.0))
+
+    def _emit_bool(prefix: str, bbody: dict, scored: bool) -> None:
+        """One row per clause at every bool depth, with dotted path
+        labels (``must[1].should[0]:match``) — a Kibana-sized nested
+        query explains fully. Invariants: the depth-1 scoring rows
+        sum to the total, and a nested bool's own row equals the sum
+        of ITS scoring children (its sub-decomposition). Inside
+        filter/must_not context ``scored`` is False: every descendant
+        reports matched-status with value 0.0 (they gate, never
+        score). A sub-clause that is not a single-key dict is a
+        plan-time error — silently skipping one would let the clause
+        rows disagree with the total."""
+        for key in ("must", "should", "filter", "must_not"):
+            for i, sub in enumerate(_as_list(bbody.get(key))):
+                if not isinstance(sub, dict) or len(sub) != 1:
+                    raise ValueError(
+                        f"_explain: bool {prefix}{key}[{i}] must be a "
+                        f"single-clause dict: {sub!r}"
                     )
+                label = f"{prefix}{key}[{i}]"
+                skind = next(iter(sub))
+                child_scored = scored and key in ("must", "should")
+                if child_scored:
+                    parts.append(_scoring_part(label, sub))
+                else:
+                    m = _matched(sub)
+                    ok = ~m if key == "must_not" else m
+                    parts.append((f"{label}:{skind}", ok, F.lit(0.0)))
+                if skind == "bool":
+                    _emit_bool(label + ".", sub["bool"], child_scored)
+
+    if kind == "bool":
+        _emit_bool("", qbody, True)
     else:
         parts.append(_scoring_part("query", query))
 

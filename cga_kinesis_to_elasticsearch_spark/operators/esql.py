@@ -12,6 +12,10 @@ transformation; unknown commands fail at plan time):
   ``FROM idx [METADATA _index, _id]`` adds the metadata columns
   Kibana emits: ``_index`` = each source's name (comma-list unions
   stay attributable), ``_id`` = the identity column as string
+- ``TS index`` (ES 8.19 tech preview) — FROM with time-series metric
+  semantics; the source resolves identically, and the ``rate()`` /
+  ``*_over_time`` aggregate family it unlocks is rejected loudly
+  until the GA semantics settle
 - ``ROW a = 1, b = "x"``    — a literal one-row source (the ES|QL
                               scratchpad command)
 - ``WHERE <expr>``          — filter
@@ -76,6 +80,21 @@ string literals to single-quoted; ES|QL-named functions translate:
 - ``BUCKET(ts, 1 hour)`` — the grouping Kibana Discover generates
   for every ES|QL date histogram — lowers to calendar ``date_trunc``
   / epoch-aligned fixed-width bucketing / numeric floor-multiple;
+  the 4-arg auto form ``BUCKET(f, target, from, to)`` (what Lens
+  emits) picks a nice interval for at most ``target`` buckets from
+  the LITERAL bounds at plan time;
+- ``NOW()`` — the instant pinned by ``run_esql(now=..)`` (so
+  replays and oracles are deterministic, like ES pinning one instant
+  per query) or Spark's query-stable current_timestamp; ``ts +/-
+  <n> <unit>`` temporal literals fold to ANSI INTERVALs, enabling
+  the Kibana time-picker form ``WHERE ts > NOW() - 1 hour``;
+- full-text WHERE functions (ES 8.17): ``MATCH(field, "query"
+  [, {"operator"|"analyzer"}])`` lowers through the query-DSL match
+  compiler and ``QSTR("lucene query" [, options])`` through the
+  Lucene query_string parser — one Catalyst predicate inline with
+  the WHERE, so ES|QL and the ``_search`` endpoint can never
+  disagree about what a text query matches; ``KQL()`` and any use
+  outside WHERE fail loud;
 - the ``MV_*`` scalar family (MV_COUNT/MV_MIN/MV_MAX/MV_SUM/MV_AVG/
   MV_CONCAT/MV_FIRST/MV_LAST) lowers to the array built-ins;
 - the ``TO_*`` conversions (TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/

@@ -281,7 +281,8 @@ def compile_pipeline(
                 )
             rx = "^"
             keys: list[str] = []
-            groups_of: dict[str, list[int]] = {}
+            # key -> [(append ordinal or None, regex group index)]
+            groups_of: dict[str, list[tuple[int | None, int]]] = {}
             gi = 0
             pad_next = False  # a %{key->} makes the NEXT literal
             # match one-or-more times (ES's skip-right-padding)
@@ -304,13 +305,30 @@ def compile_pipeline(
                             raise ValueError(
                                 f"dissect: empty append key: {part!r}"
                             )
+                    # %{+key/2}: the append-order ordinal — ES sorts
+                    # the appended captures by /n, not pattern order.
+                    # Only legal on append keys; anywhere else a '/'
+                    # would silently become part of the column name,
+                    # so reject it at plan time (like reference keys).
+                    ordinal = None
+                    if "/" in key:
+                        base, _, ord_s = key.rpartition("/")
+                        if not (append and base and ord_s.isdigit()):
+                            raise ValueError(
+                                "dissect: the /n append-order "
+                                "modifier is only valid on %{+key} "
+                                f"captures: {part!r}"
+                            )
+                        key, ordinal = base, int(ord_s)
                     if key and not key.startswith("?"):
                         if key in groups_of and not append:
                             raise ValueError(
                                 f"dissect: duplicate key {key!r} "
                                 "(use %{+" + key + "} to append)"
                             )
-                        groups_of.setdefault(key, []).append(gi)
+                        groups_of.setdefault(key, []).append(
+                            (ordinal, gi)
+                        )
                         if key not in keys:
                             keys.append(key)
                     # the FINAL capture is greedy (consumes the rest);
@@ -332,7 +350,25 @@ def compile_pipeline(
             sep = str(a.get("append_separator", ""))
             matched = src.rlike(rx)
             for key in keys:
-                gs = groups_of[key]
+                entries = groups_of[key]
+                ords = [o for o, _ in entries]
+                if any(o is not None for o in ords):
+                    # /n ordinals order the append; mixing ordinal
+                    # and plain appends of one key is ambiguous and
+                    # duplicates silently reorder — both fail loud
+                    if any(o is None for o in ords):
+                        raise ValueError(
+                            f"dissect: key {key!r} mixes /n and "
+                            "plain appends — give every capture an "
+                            "ordinal or none"
+                        )
+                    if len(set(ords)) != len(ords):
+                        raise ValueError(
+                            f"dissect: key {key!r} repeats an "
+                            f"append ordinal: {sorted(ords)}"
+                        )
+                    entries = sorted(entries)
+                gs = [g for _, g in entries]
                 if len(gs) == 1:
                     val = F.regexp_extract(src, rx, gs[0])
                 else:

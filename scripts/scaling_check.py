@@ -177,6 +177,17 @@ QUERIES = [
     "esql_fork_branches",
     "esql_change_point",
     "es_explain_score",
+    # round-9: idle-machine anchors for the two most JIT-warm-up-
+    # sensitive plans (driver-bench outliers adjudicated as JVM
+    # warmth, not regressions — see BASELINE.md), plus the new ES|QL
+    # surface: the full-text WHERE bridge, the pinned-NOW range, the
+    # auto-interval histogram, and the TS scaffold
+    "hierarchy_subtree_rollup",
+    "esql_match_function",
+    "esql_qstr_function",
+    "esql_now_range",
+    "esql_bucket_auto",
+    "esql_ts_stats",
 ]
 
 
