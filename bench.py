@@ -139,6 +139,12 @@ HEADLINE = [
     # pipe shapes a Discover user runs all day
     "esql_date_histogram",
     "esql_lookup_join_stats",
+    # round-9 additions: the ES|QL full-text WHERE bridge (MATCH
+    # lowered through the query-DSL compiler — how Kibana 8.17+
+    # text-filters every ES|QL data view) and the pinned-NOW time-
+    # picker range
+    "esql_match_function",
+    "esql_now_range",
 ]
 
 

@@ -90,11 +90,12 @@ string literals to single-quoted; ES|QL-named functions translate:
   the Kibana time-picker form ``WHERE ts > NOW() - 1 hour``;
 - full-text WHERE functions (ES 8.17): ``MATCH(field, "query"
   [, {"operator"|"analyzer"}])`` lowers through the query-DSL match
-  compiler and ``QSTR("lucene query" [, options])`` through the
-  Lucene query_string parser — one Catalyst predicate inline with
-  the WHERE, so ES|QL and the ``_search`` endpoint can never
-  disagree about what a text query matches; ``KQL()`` and any use
-  outside WHERE fail loud;
+  compiler, ``QSTR("lucene query" [, options])`` through the Lucene
+  query_string parser, and ``KQL("kibana bar syntax" [, options])``
+  through the engine's KQL parser (operators/kql) — each is one
+  Catalyst predicate inline with the WHERE, so ES|QL, the Kibana
+  bar, and the ``_search`` endpoint can never disagree about what a
+  text query matches; any use outside WHERE fails loud;
 - the ``MV_*`` scalar family (MV_COUNT/MV_MIN/MV_MAX/MV_SUM/MV_AVG/
   MV_CONCAT/MV_FIRST/MV_LAST) lowers to the array built-ins;
 - the ``TO_*`` conversions (TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
@@ -1214,9 +1215,22 @@ def _lower_fulltext(name: str, inner: str) -> Column:
 
     args = _split_top_commas(inner)
     if name == "KQL":
-        raise ValueError(
-            "ES|QL KQL() is not lowered — express the filter with "
-            "MATCH(field, \"terms\") or QSTR(\"lucene query\")"
+        # the Kibana search-bar language, parsed by operators/kql
+        # onto the same DSL tree — so the bar and the pipe agree
+        from .kql import kql_to_dsl
+
+        if not 1 <= len(args) <= 2:
+            raise ValueError(
+                f"ES|QL KQL: expected KQL(\"query\" [, options]), "
+                f"got {len(args)} args: {inner!r}"
+            )
+        opts = (
+            _opts_map(args[1], "KQL", {"default_field", "fields"})
+            if len(args) == 2
+            else {}
+        )
+        return compile_query(
+            kql_to_dsl(_lit_str_raw(args[0], "KQL"), **opts)
         )
     if name == "MATCH":
         if not 2 <= len(args) <= 3:

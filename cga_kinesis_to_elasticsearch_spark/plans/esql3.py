@@ -111,6 +111,50 @@ def _esql_qstr_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2b. KQL(): the Kibana search-bar language inside an ES|QL WHERE
+# ---------------------------------------------------------------------------
+
+_ESQL_KQL_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, lang, n_chars,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS toks
+    FROM documents
+)
+SELECT doc_id, lang
+FROM tk
+WHERE (list_contains(toks, 'merge') OR list_contains(toks, 'vector'))
+  AND list_contains(toks, 'scan')
+  AND n_chars >= 120
+ORDER BY doc_id
+"""
+
+
+@q("esql_kql_function", _ESQL_KQL_ORACLE)
+def _esql_kql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``KQL("...")`` — the Kibana search-bar language (the
+    bar's DEFAULT syntax since 7.0), parsed by the engine's KQL
+    parser (operators/kql) onto the SAME query-DSL tree the
+    ``_search`` endpoint compiles: grouped field values
+    (``text:(merge or vector)``), ``and``/``or`` keywords, and range
+    operators all in one bar expression.
+
+    Scale shape: plan-time parse to ONE boolean predicate inline
+    with the WHERE — same single-scan filter as MATCH/QSTR."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents
+        | WHERE KQL("text:(merge or vector) and text:scan
+            and n_chars >= 120")
+        | KEEP doc_id, lang
+        | SORT doc_id
+        """,
+        {"documents": docs},
+    )
+
+
+# ---------------------------------------------------------------------------
 # 3. NOW() + interval arithmetic with a pinned anchor
 # ---------------------------------------------------------------------------
 

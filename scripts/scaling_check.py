@@ -188,6 +188,7 @@ QUERIES = [
     "esql_now_range",
     "esql_bucket_auto",
     "esql_ts_stats",
+    "esql_kql_function",
 ]
 
 

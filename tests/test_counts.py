@@ -68,3 +68,29 @@ class TestDocCountsMatchRegistry:
             if ln.startswith("| `")
         ]
         assert len(rows) == n
+
+    def test_plans_md_rows_equal_registry(self):
+        # round-8 verdict nit: one registered query was missing from
+        # the PLANS.md audit table (added after the last audit run).
+        # Pin the ROW SET, not just the count: the fenced block's
+        # first column must equal the registry's key set exactly.
+        from cga_kinesis_to_elasticsearch_spark.plans import (
+            QUERY_REGISTRY,
+        )
+
+        text = (ROOT / "PLANS.md").read_text()
+        blocks = re.findall(r"```\n(.*?)```", text, re.DOTALL)
+        assert blocks, "PLANS.md has no fenced audit block"
+        rows = {
+            ln.split()[0]
+            for ln in blocks[-1].splitlines()
+            if ln.strip()
+        }
+        reg = set(QUERY_REGISTRY)
+        missing = sorted(reg - rows)
+        stale = sorted(rows - reg)
+        assert not missing and not stale, (
+            f"PLANS.md audit table drift — missing rows: {missing}, "
+            f"stale rows: {stale}; rerun scripts/audit_plans.py and "
+            "refresh the fenced block"
+        )
