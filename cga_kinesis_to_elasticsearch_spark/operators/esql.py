@@ -622,6 +622,37 @@ def _lower_cidr_match(args: list[str]) -> str:
     return "(" + " OR ".join(arms) + ")"
 
 
+def _lower_ip_prefix(args: list[str]) -> str:
+    """ES|QL ``IP_PREFIX(ip, v4_len, v6_len)`` — the network address
+    at the given prefix length, as an IP string. IPv4 only (the v6
+    length is validated and accepted; a non-IPv4 value yields NULL,
+    the same gate TO_IP/CIDR_MATCH use). The mask folds at plan time;
+    the row-side work is one gated dotted-quad fold, an integer
+    divide, and byte re-assembly — pure codegen."""
+    try:
+        p4 = int(args[1])
+        int(args[2])  # v6 length: validated, v6 values never lower
+    except ValueError:
+        raise ValueError(
+            "ES|QL IP_PREFIX: prefix lengths must be integer "
+            f"literals: {args[1:]!r}"
+        ) from None
+    if not 0 <= p4 <= 32:
+        raise ValueError(
+            f"ES|QL IP_PREFIX: IPv4 prefix length must be 0..32: {p4}"
+        )
+    ip_int = _IP_INT.format(e=args[0])
+    block = 1 << (32 - p4)
+    net = f"(({ip_int}) DIV {block} * {block})" if p4 < 32 else f"({ip_int})"
+    return (
+        f"(CASE WHEN {args[0]} RLIKE {_IPV4_RE_SQL} THEN "
+        f"concat(CAST({net} DIV 16777216 AS STRING), '.', "
+        f"CAST(({net} DIV 65536) % 256 AS STRING), '.', "
+        f"CAST(({net} DIV 256) % 256 AS STRING), '.', "
+        f"CAST({net} % 256 AS STRING)) END)"
+    )
+
+
 def _lower_top(args: list[str]) -> str:
     """ES|QL ``TOP(field, limit, "asc"|"desc")`` aggregate: the top N
     values as a multivalue. Limit and order must be literals (they
@@ -752,6 +783,28 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
     # are deterministic (within the contract, stronger than ES)
     "VALUES": (1, lambda a: f"sort_array(collect_set({a[0]}))"),
     "NOW": (0, _lower_now),
+    # DATE_TRUNC takes the interval FIRST (ES|QL order) — the same
+    # lowering as 2-arg BUCKET with the arguments swapped (1-unit
+    # calendar -> date_trunc; N-unit fixed -> epoch-aligned floor)
+    "DATE_TRUNC": (2, lambda a: _lower_bucket([a[1], a[0]])),
+    # ES|QL LOCATE(string, substring[, start]); Spark locate takes
+    # (substring, string[, pos]) — swapped. Both are 1-based.
+    "LOCATE": (
+        (2, 3),
+        lambda a: (
+            f"locate({a[1]}, {a[0]}, {a[2]})"
+            if len(a) == 3
+            else f"locate({a[1]}, {a[0]})"
+        ),
+    ),
+    "IP_PREFIX": (3, lambda a: _lower_ip_prefix(a)),
+    "TAU": (0, lambda a: "(2.0 * pi())"),
+    "TO_DEGREES": (1, lambda a: f"degrees({a[0]})"),
+    "TO_RADIANS": (1, lambda a: f"radians({a[0]})"),
+    "TO_BASE64": (1, lambda a: f"base64({a[0]})"),
+    "FROM_BASE64": (1, lambda a: f"CAST(unbase64({a[0]}) AS STRING)"),
+    "BYTE_LENGTH": (1, lambda a: f"octet_length({a[0]})"),
+    "SHA256": (1, lambda a: f"sha2({a[0]}, 256)"),
     "MV_MEDIAN": (1, _lower_mv_median),
     "MV_SORT": ((1, 2), _lower_mv_sort),
     "MV_DEDUPE": (1, lambda a: f"array_distinct({a[0]})"),
@@ -1026,6 +1079,26 @@ def _decode_normalized(inner: str) -> str:
     return "".join(out)
 
 
+def _like_list_end(expr: str, k: int) -> int:
+    """Index of the ``)`` closing a LIKE/RLIKE pattern-list opening
+    at ``expr[k] == '('`` (literals skipped)."""
+    i, n = k + 1, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            i = _scan_literal(expr, i)
+            continue
+        if ch == ")":
+            return i
+        if ch == "(":
+            raise ValueError(
+                f"ES|QL LIKE: a pattern list holds only string "
+                f"literals: {expr[k:]!r}"
+            )
+        i += 1
+    raise ValueError(f"ES|QL LIKE: unterminated pattern list in {expr!r}")
+
+
 def _rewrite_like(expr: str) -> str:
     """ES|QL LIKE/RLIKE semantics on a quote-normalized expression:
 
@@ -1036,6 +1109,10 @@ def _rewrite_like(expr: str) -> str:
     - ``RLIKE 'pat'`` — ES|QL (like the ES regexp query) matches the
       ENTIRE string where Spark's RLIKE is find-anywhere; the pattern
       is wrapped ``^(?:pat)$`` with its text otherwise untouched.
+    - ``LIKE ('p1', 'p2')`` / ``RLIKE ('r1', 'r2')`` — the ES 8.16
+      pattern-LIST form (true when ANY pattern matches) lowers to ONE
+      anchored alternation regex — still a single codegen predicate,
+      not N ors.
 
     The scanner skips string literals, so a LIKE inside a string
     stays literal text."""
@@ -1051,17 +1128,54 @@ def _rewrite_like(expr: str) -> str:
         m = re.match(r"(R?LIKE)\s*", expr[i:], re.IGNORECASE)
         if m and (i == 0 or not (expr[i - 1].isalnum()
                                  or expr[i - 1] == "_")):
+            is_like = m.group(1).upper() == "LIKE"
             k = i + m.end()
             if k < n and expr[k] == "'":
                 j = _scan_literal(expr, k)
                 inner = expr[k + 1:j - 1]  # normalized, '' kept as-is
-                if m.group(1).upper() == "LIKE":
+                if is_like:
                     rx = _wildcard_regex(_decode_normalized(inner))
                     lit = rx.replace("\\", "\\\\").replace("'", "''")
                 else:
                     lit = f"^(?:{inner})$"
                 out.append(f"RLIKE '{lit}'")
                 i = j
+                continue
+            if k < n and expr[k] == "(":
+                close = _like_list_end(expr, k)
+                pats = _split_top_commas(expr[k + 1:close])
+                cores: list[str] = []
+                for p in pats:
+                    lm = re.fullmatch(r"'((?:[^']|'')*)'", p.strip())
+                    if not lm:
+                        raise ValueError(
+                            f"ES|QL {m.group(1).upper()}: pattern "
+                            f"lists hold only string literals: {p!r}"
+                        )
+                    if is_like:
+                        # strip the ^ / $ the single-pattern helper
+                        # anchors with; re-anchor around the union
+                        cores.append(
+                            _wildcard_regex(
+                                _decode_normalized(lm.group(1))
+                            )[1:-1]
+                        )
+                    else:
+                        cores.append(lm.group(1))
+                if not cores:
+                    raise ValueError(
+                        f"ES|QL {m.group(1).upper()}: empty pattern "
+                        f"list in {expr!r}"
+                    )
+                union = "|".join(f"(?:{c})" for c in cores)
+                if is_like:
+                    lit = f"^(?:{union})$".replace(
+                        "\\", "\\\\"
+                    ).replace("'", "''")
+                else:
+                    lit = f"^(?:{union})$"
+                out.append(f"RLIKE '{lit}'")
+                i = close + 1
                 continue
         out.append(ch)
         i += 1

@@ -282,3 +282,45 @@ def _esql_ts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_v", 6).alias("max_v"),
         "n",
     )
+
+# ---------------------------------------------------------------------------
+# 6. LIKE pattern lists + the round-9 scalar batch over documents
+# ---------------------------------------------------------------------------
+
+_ESQL_STRING_SCALARS_ORACLE = """
+SELECT lang,
+       count(*) AS n,
+       count(*) FILTER (WHERE strpos(text, 'scan') > 0) AS with_scan,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+FROM documents
+WHERE text LIKE '%merge%' OR text LIKE '%vector%'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@q("esql_string_scalars", _ESQL_STRING_SCALARS_ORACLE)
+def _esql_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``LIKE ("*merge*", "*vector*")`` — the 8.16 pattern-LIST
+    form, lowered to ONE anchored alternation regex (a single codegen
+    predicate, not N ors) — plus the round-9 scalar batch:
+    ``LOCATE(str, substr)`` (ES|QL argument order, swapped into
+    Spark's) and ``BYTE_LENGTH`` (octet_length), folded into a
+    per-language STATS with a per-aggregate WHERE.
+
+    Scale shape: scan -> one regex predicate -> narrow scalar
+    projection -> ONE partial-agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents
+        | WHERE text LIKE ("*merge*", "*vector*")
+        | EVAL loc = LOCATE(text, "scan"), bytes = BYTE_LENGTH(text)
+        | STATS n = count(*),
+                with_scan = count(*) WHERE loc > 0,
+                total_bytes = sum(bytes)
+            BY lang
+        | SORT lang
+        """,
+        {"documents": docs},
+    )

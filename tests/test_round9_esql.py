@@ -212,11 +212,13 @@ class TestFullTextBridge:
                 'FROM d | WHERE QSTR("bare terms")', {"d": _docs(spark)}
             )
 
-    def test_kql_rejected_loud(self, spark):
-        with pytest.raises(ValueError, match="KQL"):
-            run_esql(
-                'FROM d | WHERE KQL("body:x")', {"d": _docs(spark)}
-            )
+    def test_kql_lowers_like_match(self, spark):
+        # KQL() is now a real parser (operators/kql; tests/test_kql.py
+        # covers it) — here just pin the bridge parity with MATCH
+        out = run_esql(
+            'FROM d | WHERE KQL("body:scan")', {"d": _docs(spark)}
+        ).collect()
+        assert sorted(r.id for r in out) == [2, 3]
 
     def test_match_unsupported_option_fails(self, spark):
         with pytest.raises(ValueError, match="unsupported option"):
@@ -389,3 +391,104 @@ class TestTsCommand:
             run_esql("TS m | STATS r = RATE(v)", {"m": df})
         with pytest.raises(ValueError, match="AVG_OVER_TIME"):
             run_esql("TS m | STATS r = AVG_OVER_TIME(v)", {"m": df})
+
+
+class TestLikePatternLists:
+    def test_like_list_any_match(self, spark):
+        df = spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",)], "s string"
+        )
+        out = run_esql(
+            'FROM t | WHERE s LIKE ("al*", "b?ta")', {"t": df}
+        ).collect()
+        assert sorted(r.s for r in out) == ["alpha", "beta"]
+
+    def test_rlike_list_whole_string(self, spark):
+        df = spark.createDataFrame(
+            [("123",), ("x9",), ("no",)], "s string"
+        )
+        out = run_esql(
+            'FROM t | WHERE s RLIKE ("\\d+", "x.*")', {"t": df}
+        ).collect()
+        assert sorted(r.s for r in out) == ["123", "x9"]
+
+    def test_list_needs_literals(self, spark):
+        df = spark.createDataFrame([("a",)], "s string")
+        with pytest.raises(ValueError, match="string literals"):
+            run_esql("FROM t | WHERE s LIKE (s)", {"t": df})
+
+    def test_escaped_wildcard_inside_list(self, spark):
+        df = spark.createDataFrame([("a*b",), ("axb",)], "s string")
+        out = run_esql(
+            'FROM t | WHERE s LIKE ("a\\\\*b", "nope")', {"t": df}
+        ).collect()
+        assert [r.s for r in out] == ["a*b"]
+
+
+class TestScalarFunctionBatch:
+    def test_date_trunc_interval_first(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 47, 31),)], "ts timestamp"
+        )
+        r = run_esql(
+            "FROM t | EVAL h = DATE_TRUNC(1 hour, ts), "
+            "h3 = DATE_TRUNC(3 hours, ts), d = DATE_TRUNC(1 day, ts)",
+            {"t": df},
+        ).first()
+        assert r.h == dt.datetime(2024, 1, 1, 10)
+        assert r.h3 == dt.datetime(2024, 1, 1, 9)  # epoch-aligned
+        assert r.d == dt.datetime(2024, 1, 1)
+
+    def test_locate_arg_order(self, spark):
+        df = spark.createDataFrame([("beta",)], "s string")
+        r = run_esql(
+            'FROM t | EVAL l = LOCATE(s, "a"), '
+            'l2 = LOCATE(s, "a", 3), miss = LOCATE(s, "z")',
+            {"t": df},
+        ).first()
+        assert (r.l, r.l2, r.miss) == (4, 4, 0)
+
+    def test_ip_prefix(self, spark):
+        df = spark.createDataFrame(
+            [("10.1.2.3",), ("192.168.5.77",), ("300.1.2.3",), (None,)],
+            "ip string",
+        )
+        out = run_esql(
+            "FROM t | EVAL p24 = IP_PREFIX(ip, 24, 112), "
+            "p12 = IP_PREFIX(ip, 12, 112)",
+            {"t": df},
+        ).collect()
+        got = {r.ip: (r.p24, r.p12) for r in out}
+        assert got["10.1.2.3"] == ("10.1.2.0", "10.0.0.0")
+        assert got["192.168.5.77"] == ("192.168.5.0", "192.160.0.0")
+        assert got["300.1.2.3"] == (None, None)  # malformed -> NULL
+        assert got[None] == (None, None)
+
+    def test_ip_prefix_bad_length(self, spark):
+        df = spark.createDataFrame([("1.2.3.4",)], "ip string")
+        with pytest.raises(ValueError, match="0..32"):
+            run_esql("FROM t | EVAL p = IP_PREFIX(ip, 40, 112)", {"t": df})
+
+    def test_base64_roundtrip_and_lengths(self, spark):
+        df = spark.createDataFrame([("héllo",)], "s string")
+        r = run_esql(
+            "FROM t | EVAL b = TO_BASE64(s), back = FROM_BASE64(TO_BASE64(s)), "
+            "bytes = BYTE_LENGTH(s), chars = LENGTH(s)",
+            {"t": df},
+        ).first()
+        assert r.back == "héllo"
+        assert r.bytes == 6 and r.chars == 5  # é is 2 UTF-8 bytes
+
+    def test_math_names(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        r = run_esql(
+            "FROM t | EVAL tau = TAU(), dg = TO_DEGREES(PI()), "
+            "rad = TO_RADIANS(180.0), h = SHA256(\"x\")",
+            {"t": df},
+        ).first()
+        assert r.tau == pytest.approx(6.283185307179586)
+        assert r.dg == pytest.approx(180.0)
+        assert r.rad == pytest.approx(3.141592653589793)
+        assert r.h == (
+            "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881"
+        )
