@@ -9,9 +9,13 @@ transformation; unknown commands fail at plan time):
 
 - ``FROM index``            — the source frame (resolved from the
                               caller's table map; comma lists union);
-  ``FROM idx [METADATA _index, _id]`` adds the metadata columns
-  Kibana emits: ``_index`` = each source's name (comma-list unions
-  stay attributable), ``_id`` = the identity column as string
+  ``FROM idx [METADATA _index, _id, _score]`` adds the metadata
+  columns Kibana emits: ``_index`` = each source's name (comma-list
+  unions stay attributable), ``_id`` = the identity column as
+  string, ``_score`` = relevance (0 until a scoring full-text
+  function in a WHERE adds its BM25 contribution — the same scoring
+  expression ``_search`` ranks by, so ``SORT _score DESC`` is
+  Discover's relevance order)
 - ``TS index`` (ES 8.19 tech preview) — FROM with time-series metric
   semantics; the source resolves identically, and the ``rate()`` /
   ``*_over_time`` aggregate family it unlocks is rejected loudly
@@ -1322,9 +1326,10 @@ def _opts_map(argtext: str, fn: str, allowed: set[str]) -> dict:
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
 
 
-def _lower_fulltext(name: str, inner: str) -> Column:
-    """One MATCH/QSTR call -> a boolean Column via the engine's
-    query-DSL compiler."""
+def _lower_fulltext(name: str, inner: str) -> tuple[Column, dict]:
+    """One MATCH/QSTR/KQL call -> (boolean Column, the query-DSL dict
+    it compiled from). The dict feeds relevance scoring when the
+    frame carries ``METADATA _score``."""
     from .querydsl import compile_query
 
     args = _split_top_commas(inner)
@@ -1343,9 +1348,8 @@ def _lower_fulltext(name: str, inner: str) -> Column:
             if len(args) == 2
             else {}
         )
-        return compile_query(
-            kql_to_dsl(_lit_str_raw(args[0], "KQL"), **opts)
-        )
+        dsl = kql_to_dsl(_lit_str_raw(args[0], "KQL"), **opts)
+        return compile_query(dsl), dsl
     if name == "MATCH":
         if not 2 <= len(args) <= 3:
             raise ValueError(
@@ -1364,7 +1368,8 @@ def _lower_fulltext(name: str, inner: str) -> Column:
             if "operator" in opts:
                 opts["operator"] = str(opts["operator"]).lower()
             body.update(opts)
-        return compile_query({"match": {field: body}})
+        dsl = {"match": {field: body}}
+        return compile_query(dsl), dsl
     # QSTR: full Lucene query syntax through operators/luceneq —
     # fielded terms work bare; UNfielded terms need default_field or
     # fields in the options map (the engine has no index mapping to
@@ -1377,19 +1382,21 @@ def _lower_fulltext(name: str, inner: str) -> Column:
     body = {"query": _lit_str_raw(args[0], "QSTR")}
     if len(args) == 2:
         body.update(_opts_map(args[1], "QSTR", _QSTR_OPT_KEYS))
-    return compile_query({"query_string": body})
+    dsl = {"query_string": body}
+    return compile_query(dsl), dsl
 
 
 def _extract_fulltext(
     arg: str,
-) -> tuple[str, list[tuple[str, Column]]]:
-    """Replace every top-level MATCH(..)/QSTR(..) call in a RAW WHERE
-    expression with a placeholder column name, compiling each call to
-    a boolean Column. The caller attaches the placeholders, filters,
-    and drops them — Catalyst collapses the projections, so the plan
-    is the same single predicate a hand-written filter builds."""
+) -> tuple[str, list[tuple[str, Column, dict]]]:
+    """Replace every top-level MATCH(..)/QSTR(..)/KQL(..) call in a
+    RAW WHERE expression with a placeholder column name, compiling
+    each call to (boolean Column, source DSL). The caller attaches
+    the placeholders, filters, and drops them — Catalyst collapses
+    the projections, so the plan is the same single predicate a
+    hand-written filter builds."""
     out: list[str] = []
-    cols: list[tuple[str, Column]] = []
+    cols: list[tuple[str, Column, dict]] = []
     i, n = 0, len(arg)
     while i < n:
         ch = arg[i]
@@ -1409,11 +1416,11 @@ def _extract_fulltext(
         if m and (i == 0 or not (arg[i - 1].isalnum()
                                  or arg[i - 1] == "_")):
             close = _scan_balanced(arg, m.end() - 1)
-            col = _lower_fulltext(
+            col, dsl = _lower_fulltext(
                 m.group(1).upper(), arg[m.end():close]
             )
             ph = f"__esql_ft{len(cols)}"
-            cols.append((ph, col))
+            cols.append((ph, col, dsl))
             out.append(ph)
             i = close + 1
             continue
@@ -1842,11 +1849,14 @@ def _run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
         if mi is not None:
             meta_fields = _split_top_commas(from_arg[mi + 8:])
             from_arg = from_arg[:mi]
-            bad = [f for f in meta_fields if f not in ("_index", "_id")]
+            bad = [
+                f for f in meta_fields
+                if f not in ("_index", "_id", "_score")
+            ]
             if bad:
                 raise ValueError(
                     f"ES|QL METADATA: unsupported field(s) {bad} "
-                    "(supported: _index, _id)"
+                    "(supported: _index, _id, _score)"
                 )
         for name in _split_top_commas(from_arg):
             if name not in tables:
@@ -1862,6 +1872,13 @@ def _run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
 
                 part = part.withColumn(
                     "_id", F.col(_identity_col(part)).cast("string")
+                )
+            if "_score" in meta_fields:
+                # relevance starts at 0; every scoring full-text
+                # function a WHERE runs adds to it (ES|QL's rule:
+                # _score is only populated by scoring functions)
+                part = part.withColumn(
+                    "_score", F.lit(0.0).cast("double")
                 )
             df = part if df is None else df.unionByName(
                 part, allowMissingColumns=True
@@ -1956,10 +1973,33 @@ def _apply_stage(
             # columns so they compose with any boolean expression
             # (NOT/AND/OR around MATCH); Catalyst collapses the
             # projections back into one Filter
-            for ph, col in fts:
+            scored = "_score" in df.columns
+            for ph, col, dsl in fts:
                 df = df.withColumn(ph, col)
+                if scored:
+                    # METADATA _score: each scoring function in the
+                    # WHERE adds its relevance (BM25 for the match
+                    # family — the SAME expression _search ranks by,
+                    # stats over the pre-filter frame, like the
+                    # index); a non-matching call adds 0
+                    from .querydsl import _score_and_filter
+
+                    _, s = _score_and_filter(df, dsl, True)
+                    df = df.withColumn(
+                        "_score",
+                        F.col("_score")
+                        + F.coalesce(
+                            F.when(
+                                F.coalesce(
+                                    F.col(ph), F.lit(False)
+                                ),
+                                s,
+                            ),
+                            F.lit(0.0),
+                        ),
+                    )
             df = df.filter(_expr_col(rewritten)).drop(
-                *[ph for ph, _ in fts]
+                *[ph for ph, _, _ in fts]
             )
         else:
             df = df.filter(_expr_col(arg))

@@ -324,3 +324,80 @@ def _esql_string_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"documents": docs},
     )
+
+# ---------------------------------------------------------------------------
+# 7. METADATA _score: relevance-ranked ES|QL (Discover's sort-by-score)
+# ---------------------------------------------------------------------------
+
+# BM25 k1=1.2, b=0.75; field statistics over docs with >=1 token,
+# exactly like operators/querydsl._bm25_score (same contract as the
+# es_explain_score oracle).
+_ESQL_SCORE_SORT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN len(tk) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs,
+         CAST(sum(CASE WHEN len(tk) > 0 THEN len(tk) END) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN ('merge', 'scan')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+bm AS (
+  SELECT t.doc_id,
+         sum(
+           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75
+              * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs))))
+         ) AS v
+  FROM tf t
+  JOIN dfreq f USING (term)
+  JOIN (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks) d
+    USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, round(v, 6) AS score
+FROM bm
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+@q("esql_score_sort", _ESQL_SCORE_SORT_ORACLE)
+def _esql_score_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``FROM idx METADATA _score | WHERE MATCH(..) | SORT
+    _score DESC`` — relevance-ranked Discover. ``_score`` starts at 0
+    and every scoring full-text function in the WHERE adds its BM25
+    contribution — the SAME scoring expression ``_search`` ranks by
+    (pinned equal in tests), so the pipe, the bar, and the endpoint
+    agree on ranking. The oracle replays the Lucene practical scoring
+    function relationally.
+
+    Scale shape: one broadcast corpus-stats row (same as _search's
+    match scoring), the predicate + score are codegen expressions,
+    SORT+LIMIT a TakeOrdered — only 20 rows reach the driver."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents METADATA _score
+        | WHERE MATCH(text, "merge scan")
+        | EVAL score = ROUND(_score, 6)
+        | SORT score DESC, doc_id
+        | LIMIT 20
+        | KEEP doc_id, score
+        """,
+        {"documents": docs},
+    )

@@ -189,6 +189,8 @@ QUERIES = [
     "esql_bucket_auto",
     "esql_ts_stats",
     "esql_kql_function",
+    "esql_score_sort",
+    "esql_string_scalars",
 ]
 
 

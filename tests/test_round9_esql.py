@@ -492,3 +492,66 @@ class TestScalarFunctionBatch:
         assert r.h == (
             "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881"
         )
+
+
+class TestMetadataScore:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "merge sort beats bubble sort"),
+             (2, "vector scan with filters"),
+             (3, "hash merge scan pipeline"),
+             (4, "scan scan scan")],
+            "doc_id long, body string",
+        )
+
+    def test_score_matches_search_ranking(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        df = self._docs(spark)
+        out = run_esql(
+            'FROM d METADATA _score | WHERE MATCH(body, "merge scan") '
+            "| SORT _score DESC, doc_id | KEEP doc_id, _score",
+            {"d": df},
+        ).collect()
+        hits = run_search_body(
+            df, {"query": {"match": {"body": "merge scan"}}, "size": 10}
+        ).collect()
+        assert [r.doc_id for r in out] == [r.doc_id for r in hits]
+        for a, b in zip(out, hits):
+            assert a._score == pytest.approx(b._score, rel=1e-12)
+
+    def test_score_zero_without_scoring_function(self, spark):
+        out = run_esql(
+            "FROM d METADATA _score | WHERE doc_id <= 2 | KEEP doc_id, _score",
+            {"d": self._docs(spark)},
+        ).collect()
+        assert all(r._score == 0.0 for r in out)
+
+    def test_scores_accumulate_across_functions(self, spark):
+        df = self._docs(spark)
+        both = run_esql(
+            'FROM d METADATA _score | WHERE MATCH(body, "merge") '
+            'OR MATCH(body, "scan") | KEEP doc_id, _score',
+            {"d": df},
+        ).collect()
+        merge_only = run_esql(
+            'FROM d METADATA _score | WHERE MATCH(body, "merge") '
+            "| KEEP doc_id, _score",
+            {"d": df},
+        ).collect()
+        m = {r.doc_id: r._score for r in merge_only}
+        b = {r.doc_id: r._score for r in both}
+        # doc 3 matches both functions: its OR score strictly exceeds
+        # its merge-only score (the scan contribution added)
+        assert b[3] > m[3]
+        # doc 1 matches only merge: identical contribution
+        assert b[1] == pytest.approx(m[1], rel=1e-12)
+
+    def test_unsupported_metadata_field_still_loud(self, spark):
+        with pytest.raises(ValueError, match="unsupported field"):
+            run_esql(
+                "FROM d METADATA _version | LIMIT 1",
+                {"d": self._docs(spark)},
+            )
