@@ -1956,6 +1956,84 @@ def _fork(df: DataFrame, arg: str, tables: dict) -> DataFrame:
     return merged
 
 
+def _fuse(df: DataFrame, arg: str) -> DataFrame:
+    """ES|QL ``FUSE [rrf|linear] [rank_constant]`` (ES 8.19 tech
+    preview): merge the branches a ``FORK`` produced into one ranked
+    row set — the pure-pipe hybrid search. Rows sharing ``_id``
+    (+ ``_index`` when present) collapse to one; ``_score`` is
+    recomputed:
+
+    - ``rrf`` (default): sum over branches of 1 / (rank_constant +
+      rank), rank = the row's 1-based position within its branch by
+      ``_score`` descending (``_id`` tiebreak) — reciprocal rank
+      fusion, the same math as the engine's hybrid_rrf_search and the
+      ES retriever tree; rank_constant defaults to 60, like ES.
+    - ``linear``: sum of per-branch min-max-normalized scores (a
+      branch whose scores are all equal contributes 1 per row).
+
+    Requires ``FROM .. METADATA _id, _score`` and an upstream FORK
+    (the ``_fork`` discriminator column). Like ES — which fuses the
+    per-branch result PAGES, not whole indices — feed it LIMITed
+    branches; the per-branch rank window partitions on ``_fork``, so
+    each branch ranks in one task, sized by its LIMIT."""
+    from pyspark.sql import Window
+
+    toks = arg.split()
+    method = toks[0].lower() if toks else "rrf"
+    if method not in ("rrf", "linear"):
+        raise ValueError(
+            f"ES|QL FUSE: unknown method {method!r} (rrf or linear)"
+        )
+    if len(toks) > 2 or (len(toks) == 2 and method != "rrf"):
+        raise ValueError(
+            f"ES|QL FUSE: expected 'FUSE [rrf [rank_constant]]' or "
+            f"'FUSE linear': {arg!r}"
+        )
+    k = 60
+    if len(toks) == 2:
+        try:
+            k = int(toks[1])
+        except ValueError:
+            raise ValueError(
+                f"ES|QL FUSE: rank_constant must be an integer "
+                f"literal: {toks[1]!r}"
+            ) from None
+        if k < 1:
+            raise ValueError(f"ES|QL FUSE: rank_constant must be >= 1: {k}")
+    for c in ("_fork", "_id", "_score"):
+        if c not in df.columns:
+            raise ValueError(
+                f"ES|QL FUSE: needs the {c!r} column — run FORK over "
+                "a FROM with METADATA _id, _score "
+                f"(has: {df.columns})"
+            )
+    keys = ["_id"] + (["_index"] if "_index" in df.columns else [])
+    wb = Window.partitionBy("_fork")
+    if method == "rrf":
+        rank = F.row_number().over(
+            wb.orderBy(F.col("_score").desc(), F.col("_id"))
+        )
+        contrib = F.lit(1.0) / (F.lit(k) + rank)
+    else:
+        mn = F.min("_score").over(wb)
+        mx = F.max("_score").over(wb)
+        contrib = F.when(mx > mn, (F.col("_score") - mn) / (mx - mn)) \
+            .otherwise(F.lit(1.0))
+    scored = df.withColumn("__fuse_c", contrib)
+    others = [
+        c for c in df.columns
+        if c not in (*keys, "_score", "_fork")
+    ]
+    aggs = [F.sum("__fuse_c").alias("_score")] + [
+        F.first(c, ignorenulls=True).alias(c) for c in others
+    ]
+    out = scored.groupBy(*keys).agg(*aggs)
+    # restore the source column order (keys, payload, _score last —
+    # the shape the FORK union carried)
+    ordered = [c for c in df.columns if c != "_fork"]
+    return out.select(*ordered)
+
+
 def _apply_stage(
     df: DataFrame, stage: str, tables: dict[str, DataFrame]
 ) -> DataFrame:
@@ -1966,6 +2044,8 @@ def _apply_stage(
     cmd, arg = m.group(1).upper(), m.group(2).strip()
     if cmd == "FORK":
         df = _fork(df, arg, tables)
+    elif cmd == "FUSE":
+        df = _fuse(df, arg)
     elif cmd == "WHERE":
         rewritten, fts = _extract_fulltext(arg)
         if fts:
@@ -2181,8 +2261,8 @@ def _apply_stage(
     else:
         raise ValueError(
             f"ES|QL: unsupported command {cmd!r} (supported: FROM "
-            "ROW WHERE EVAL STATS INLINESTATS SORT LIMIT KEEP "
+            "TS ROW WHERE EVAL STATS INLINESTATS SORT LIMIT KEEP "
             "DROP RENAME GROK DISSECT ENRICH LOOKUP JOIN "
-            "MV_EXPAND SAMPLE CHANGE_POINT FORK)"
+            "MV_EXPAND SAMPLE CHANGE_POINT FORK FUSE)"
         )
     return df

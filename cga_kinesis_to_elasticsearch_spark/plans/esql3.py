@@ -401,3 +401,100 @@ def _esql_score_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"documents": docs},
     )
+
+# ---------------------------------------------------------------------------
+# 8. FORK + FUSE: hybrid search in pure pipe syntax (ES 8.19)
+# ---------------------------------------------------------------------------
+
+_ESQL_FORK_FUSE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT CAST(sum(CASE WHEN len(tk) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs,
+         CAST(sum(CASE WHEN len(tk) > 0 THEN len(tk) END) AS BIGINT)
+           AS total_len
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  WHERE term IN ('merge', 'scan', 'vector', 'filters')
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+contrib AS (
+  SELECT t.doc_id, t.term,
+         ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         * (t.tf * 2.2)
+         / (t.tf + 1.2 * (0.25 + 0.75
+            * (d.dl / (CAST(s.total_len AS DOUBLE) / s.n_docs)))) AS c
+  FROM tf t
+  JOIN dfreq f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+),
+r1 AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY v DESC, CAST(doc_id AS VARCHAR)) AS rk
+  FROM (SELECT doc_id, sum(c) AS v FROM contrib
+        WHERE term IN ('merge', 'scan') GROUP BY doc_id)
+  QUALIFY rk <= 20
+),
+r2 AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY v DESC, CAST(doc_id AS VARCHAR)) AS rk
+  FROM (SELECT doc_id, sum(c) AS v FROM contrib
+        WHERE term IN ('vector', 'filters') GROUP BY doc_id)
+  QUALIFY rk <= 20
+),
+fused AS (
+  SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + r1.rk), 0.0)
+         + COALESCE(1.0 / (60 + r2.rk), 0.0) AS f
+  FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+)
+SELECT CAST(doc_id AS VARCHAR) AS _id, round(f, 6) AS fused
+FROM fused
+ORDER BY fused DESC, CAST(doc_id AS VARCHAR)
+LIMIT 15
+"""
+
+
+@q("esql_fork_fuse_hybrid", _ESQL_FORK_FUSE_ORACLE)
+def _esql_fork_fuse_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``FORK ... | FUSE`` (ES 8.19 tech preview) — hybrid
+    search in pure pipe syntax: two scored MATCH branches, each
+    SORT+LIMITed to its top 20, merged by ``_id`` with reciprocal
+    rank fusion (1/(60+rank), the same math as hybrid_rrf_search and
+    the retriever tree). The oracle replays both BM25 rankings and
+    the RRF join relationally.
+
+    Scale shape: each branch is a TakeOrdered over the shared scan;
+    FUSE's rank window partitions per branch over the LIMITed pages
+    (like ES, which fuses result pages, not indices), then one
+    groupBy on ``_id``."""
+    docs = _t(spark, sf_dir, "documents")
+    return run_esql(
+        """
+        FROM documents METADATA _id, _score
+        | FORK (WHERE MATCH(text, "merge scan")
+                  | SORT _score DESC, _id | LIMIT 20)
+               (WHERE MATCH(text, "vector filters")
+                  | SORT _score DESC, _id | LIMIT 20)
+        | FUSE
+        | EVAL fused = ROUND(_score, 6)
+        | SORT fused DESC, _id
+        | LIMIT 15
+        | KEEP _id, fused
+        """,
+        {"documents": docs},
+    )

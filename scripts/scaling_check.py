@@ -191,6 +191,7 @@ QUERIES = [
     "esql_kql_function",
     "esql_score_sort",
     "esql_string_scalars",
+    "esql_fork_fuse_hybrid",
 ]
 
 

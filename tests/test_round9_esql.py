@@ -555,3 +555,73 @@ class TestMetadataScore:
                 "FROM d METADATA _version | LIMIT 1",
                 {"d": self._docs(spark)},
             )
+
+
+class TestFuse:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "merge sort beats bubble sort"),
+             (2, "vector scan with filters"),
+             (3, "hash merge scan pipeline"),
+             (4, "scan scan scan"),
+             (5, "vector vector hash")],
+            "doc_id long, body string",
+        )
+
+    _Q = '''
+    FROM d METADATA _id, _score
+    | FORK (WHERE MATCH(body, "merge") | SORT _score DESC, _id | LIMIT 3)
+           (WHERE MATCH(body, "vector") | SORT _score DESC, _id | LIMIT 3)
+    | FUSE
+    | SORT _score DESC, _id
+    | KEEP _id, _score
+    '''
+
+    def test_rrf_scores(self, spark):
+        out = run_esql(self._Q, {"d": self._docs(spark)}).collect()
+        got = {r._id: r._score for r in out}
+        # doc 3 ranks 1st in the merge branch, doc 5 1st in vector;
+        # docs 1 and 2 rank 2nd in theirs — classic 1/(60+rank)
+        assert got["3"] == pytest.approx(1 / 61)
+        assert got["5"] == pytest.approx(1 / 61)
+        assert got["1"] == pytest.approx(1 / 62)
+        assert got["2"] == pytest.approx(1 / 62)
+
+    def test_rank_constant_override(self, spark):
+        out = run_esql(
+            self._Q.replace("| FUSE", "| FUSE rrf 10"),
+            {"d": self._docs(spark)},
+        ).collect()
+        assert {round(r._score, 6) for r in out} == {
+            round(1 / 11, 6), round(1 / 12, 6)
+        }
+
+    def test_linear_minmax(self, spark):
+        out = run_esql(
+            self._Q.replace("| FUSE", "| FUSE linear"),
+            {"d": self._docs(spark)},
+        ).collect()
+        got = {r._id: r._score for r in out}
+        assert got["3"] == 1.0 and got["5"] == 1.0
+        assert got["1"] == 0.0 and got["2"] == 0.0
+
+    def test_fork_column_dropped_and_dedup(self, spark):
+        out = run_esql(self._Q, {"d": self._docs(spark)})
+        assert out.columns == ["_id", "_score"]
+        ids = [r._id for r in out.collect()]
+        assert len(ids) == len(set(ids))
+
+    def test_fuse_needs_metadata(self, spark):
+        with pytest.raises(ValueError, match="_id"):
+            run_esql(
+                "FROM d | FORK (WHERE doc_id > 1) (WHERE doc_id < 3) "
+                "| FUSE",
+                {"d": self._docs(spark)},
+            )
+
+    def test_fuse_bad_method(self, spark):
+        with pytest.raises(ValueError, match="rrf or linear"):
+            run_esql(
+                self._Q.replace("| FUSE", "| FUSE cosine"),
+                {"d": self._docs(spark)},
+            )
