@@ -626,6 +626,19 @@ def _lower_cidr_match(args: list[str]) -> str:
     return "(" + " OR ".join(arms) + ")"
 
 
+def _lower_categorize(f: str) -> str:
+    """The categorize_text key expression in SQL form — kept
+    textually aligned with operators/aggsdsl's Column version so the
+    ES|QL BY key and the aggregation bucket on the same category."""
+    key = (
+        f"array_join(filter(split({f}, '\\\\s+'), "
+        f"t -> t != '' AND NOT t RLIKE '[0-9]'), ' ')"
+    )
+    return (
+        f"(CASE WHEN {f} IS NOT NULL AND {key} != '' THEN {key} END)"
+    )
+
+
 def _lower_ip_prefix(args: list[str]) -> str:
     """ES|QL ``IP_PREFIX(ip, v4_len, v6_len)`` — the network address
     at the given prefix length, as an IP string. IPv4 only (the v6
@@ -787,6 +800,15 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
     # are deterministic (within the contract, stronger than ES)
     "VALUES": (1, lambda a: f"sort_array(collect_set({a[0]}))"),
     "NOW": (0, _lower_now),
+    # CATEGORIZE (ES 8.18 GA): the log-pattern grouping key Kibana's
+    # pattern analysis uses as a STATS BY function. Same deterministic
+    # reading as the engine's categorize_text aggregation: the token
+    # sequence with every digit-bearing token dropped (numbers are
+    # what varies between repeats of one log pattern); NULL/empty
+    # messages form no category. ES's similarity-threshold category
+    # MERGING is not lowered (the aggregation rejects its tuning
+    # params for the same reason).
+    "CATEGORIZE": (1, lambda a: _lower_categorize(a[0])),
     # DATE_TRUNC takes the interval FIRST (ES|QL order) — the same
     # lowering as 2-arg BUCKET with the arguments swapped (1-unit
     # calendar -> date_trunc; N-unit fixed -> epoch-aligned floor)

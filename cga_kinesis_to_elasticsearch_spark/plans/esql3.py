@@ -498,3 +498,60 @@ def _esql_fork_fuse_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         {"documents": docs},
     )
+
+# ---------------------------------------------------------------------------
+# 9. CATEGORIZE(): Kibana's log-pattern grouping as a STATS BY key
+# ---------------------------------------------------------------------------
+
+_ESQL_CATEGORIZE_ORACLE = """
+WITH lines AS (
+  SELECT event_type || ' code ' || CAST(value AS VARCHAR) AS msg,
+         value
+  FROM events
+),
+keyed AS (
+  SELECT array_to_string(
+           list_filter(string_split_regex(msg, '\\s+'),
+                       t -> t <> '' AND NOT regexp_matches(t, '[0-9]')),
+           ' ') AS cat,
+         value
+  FROM lines
+  WHERE msg IS NOT NULL
+)
+SELECT cat,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM keyed
+WHERE cat <> ''
+GROUP BY cat
+ORDER BY cat
+"""
+
+
+@q("esql_categorize", _ESQL_CATEGORIZE_ORACLE)
+def _esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``STATS .. BY CATEGORIZE(msg)`` (ES 8.18 GA) — the
+    log-pattern grouping behind Kibana's pattern analysis, as a BY
+    function. Same deterministic key as the engine's categorize_text
+    aggregation (digit-bearing tokens dropped — the varying parts of
+    a log template), so the pipe and the aggregation bucket
+    identically.
+
+    Scale shape: the category key is one codegen split/filter/join
+    expression; STATS stays the single partial-agg shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        FROM events
+        | EVAL msg = CONCAT(event_type, " code ", TO_STRING(value))
+        | WHERE msg IS NOT NULL
+        | STATS n = count(*), avg_value = avg(value)
+            BY cat = CATEGORIZE(msg)
+        | WHERE cat IS NOT NULL
+        | SORT cat
+        """,
+        {"events": ev},
+    )
+    return out.select(
+        "cat", "n", F.round("avg_value", 6).alias("avg_value")
+    )

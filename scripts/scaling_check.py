@@ -192,6 +192,7 @@ QUERIES = [
     "esql_score_sort",
     "esql_string_scalars",
     "esql_fork_fuse_hybrid",
+    "esql_categorize",
 ]
 
 

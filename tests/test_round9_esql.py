@@ -625,3 +625,30 @@ class TestFuse:
                 self._Q.replace("| FUSE", "| FUSE cosine"),
                 {"d": self._docs(spark)},
             )
+
+
+class TestCategorize:
+    def test_digit_tokens_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("GET /api/users/123 took 45ms",),
+             ("GET /api/users/999 took 7ms",),
+             ("POST /login failed for user42",),
+             (None,)],
+            "msg string",
+        )
+        out = run_esql(
+            "FROM t | STATS n = count(*) BY cat = CATEGORIZE(msg) "
+            "| SORT cat",
+            {"t": df},
+        ).collect()
+        got = {r.cat: r.n for r in out}
+        assert got["GET took"] == 2
+        assert got["POST /login failed for"] == 1
+        assert got[None] == 1  # NULL message forms the null group
+
+    def test_usable_in_eval_too(self, spark):
+        df = spark.createDataFrame([("a 1 b",)], "msg string")
+        r = run_esql(
+            "FROM t | EVAL cat = CATEGORIZE(msg)", {"t": df}
+        ).first()
+        assert r.cat == "a b"
