@@ -27,7 +27,12 @@ transformation; unknown commands fail at plan time):
 - ``STATS a = agg(x) [WHERE cond], .. BY k1, k2`` — grouped
   aggregation (BY omitted = global); aggs are the shared SQL core
   (count/sum/avg/min/max/count_distinct/percentile); the per-agg
-  WHERE (ES 8.16) lowers to the ANSI ``FILTER (WHERE ..)`` clause
+  WHERE (ES 8.16) lowers to the ANSI ``FILTER (WHERE ..)`` clause;
+  ``STATS BY k1, k2`` with NO aggregates is ES|QL's DISTINCT idiom
+- ``FUSE [rrf [rank_constant] | linear]`` (ES 8.19) — merge FORK
+  branches by ``_id`` with reciprocal-rank fusion (or min-max linear
+  sum), recomputing ``_score`` — hybrid search in pure pipe syntax;
+  needs ``METADATA _id, _score``
 - ``INLINESTATS a = agg(x), .. BY k`` — ES 8.16: aggregates joined
   back onto EVERY row (no collapse): a window aggregate over the BY
   keys; the global form reduces to one broadcast row cross-joined
@@ -141,6 +146,8 @@ String literals support the ES|QL escapes ``\\"`` ``\\\\`` ``\\n``
 Everything else passes through Spark's parser, which rejects what it
 doesn't know at plan time. ``STATS`` BY keys accept ``name = expr``
 assignments, so ``BY hour = BUCKET(ts, 1 hour)`` names the bucket.
+ES|QL multi-value LITERALS (``[1, 2, 3]``) rewrite to ``array(..)``;
+index access (``arr[0]``) passes through untouched.
 
 Scale shape: a pipe chain is ONE logical plan — Catalyst fuses the
 stages (WHERE conjuncts push to the scan through EVALs when
@@ -985,12 +992,17 @@ def _tr_expr(expr: str) -> str:
     skeleton: list[str] = []  # the expr with string CONTENTS blanked —
     # the safety check applies to syntax, not literal text
     i, n = 0, len(expr)
+    last_sig = ""  # last non-space character emitted — decides
+    # whether a '[' is an ES|QL multi-value LITERAL ([1, 2, 3] ->
+    # array(1, 2, 3)) or Spark index access (arr[0], untouched)
+    bstack: list[bool] = []  # True = bracket converted to array(
     while i < n:
         ch = expr[i]
         if ch == '"':
             raw, j = _scan_dquote(expr, i)
             out.append(_sql_str(raw))
             skeleton.append("''")
+            last_sig = "'"
             i = j
         elif ch == "'":
             j = i + 1
@@ -998,14 +1010,35 @@ def _tr_expr(expr: str) -> str:
                 j += 1
             out.append(expr[i:j + 1])
             skeleton.append("''")
+            last_sig = "'"
             i = j + 1
         elif expr.startswith("==", i):
             out.append("=")
             skeleton.append("=")
+            last_sig = "="
             i += 2
+        elif ch == "[":
+            lit = not (
+                last_sig
+                and (last_sig.isalnum() or last_sig in "_)]'")
+            )
+            bstack.append(lit)
+            tok = "array(" if lit else "["
+            out.append(tok)
+            skeleton.append(tok)
+            last_sig = "("
+            i += 1
+        elif ch == "]":
+            tok = ")" if (bstack and bstack.pop()) else "]"
+            out.append(tok)
+            skeleton.append(tok)
+            last_sig = tok
+            i += 1
         else:
             out.append(ch)
             skeleton.append(ch)
+            if not ch.isspace():
+                last_sig = ch
             i += 1
     sk = "".join(skeleton)
     if not _EXPR_SAFE_RE.match(sk):
@@ -1558,9 +1591,9 @@ def _stats(df: DataFrame, arg: str) -> DataFrame:
         aggs.append(
             _expr_col(_agg_with_where(m.group(2))).alias(m.group(1))
         )
-    if not aggs:
-        raise ValueError(f"ES|QL STATS needs at least one aggregate: {arg}")
     keys = _split_top_commas(keys_src) if keys_src.strip() else []
+    if not aggs and not keys:
+        raise ValueError(f"ES|QL STATS needs at least one aggregate: {arg}")
     if keys:
         # BY keys accept `name = expr` assignments (ES|QL: `BY hour =
         # BUCKET(ts, 1 hour)` names the bucket column)
@@ -1573,6 +1606,11 @@ def _stats(df: DataFrame, arg: str) -> DataFrame:
                 )
             else:
                 key_cols.append(_expr_col(k))
+        if not aggs:
+            # `STATS BY k1, k2` with no aggregates is ES|QL's
+            # DISTINCT idiom — one partial-agg shuffle, same plan as
+            # groupBy().agg() of nothing
+            return df.select(*key_cols).distinct()
         return df.groupBy(*key_cols).agg(*aggs)
     return df.agg(*aggs)
 

@@ -652,3 +652,48 @@ class TestCategorize:
             "FROM t | EVAL cat = CATEGORIZE(msg)", {"t": df}
         ).first()
         assert r.cat == "a b"
+
+
+class TestStatsByDistinctAndMvLiterals:
+    def test_stats_by_without_aggs_is_distinct(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "x"), (3, "b", "y")],
+            "id long, k string, g string",
+        )
+        out = run_esql(
+            "FROM t | STATS BY k, g | SORT k, g", {"t": df}
+        ).collect()
+        assert [(r.k, r.g) for r in out] == [("a", "x"), ("b", "y")]
+
+    def test_stats_no_aggs_no_keys_still_error(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError, match="at least one aggregate"):
+            run_esql("FROM t | STATS ", {"t": df})
+
+    def test_row_mv_literal(self, spark):
+        r = run_esql(
+            "ROW a = [1, 2, 3], s = MV_SUM([1.5, 2.5]), "
+            "nested = MV_COUNT([1, 2])",
+            {},
+        ).first()
+        assert r.a == [1, 2, 3]
+        assert r.s == 4.0
+        assert r.nested == 2
+
+    def test_index_access_untouched(self, spark):
+        df = spark.createDataFrame(
+            [(1, ["x", "y"]), (2, ["z"])], "id long, tags array<string>"
+        )
+        out = run_esql(
+            'FROM t | WHERE tags[0] == "x" | KEEP id', {"t": df}
+        ).collect()
+        assert [r.id for r in out] == [1]
+
+    def test_in_list_with_mv_literal(self, spark):
+        df = spark.createDataFrame(
+            [(1,), (2,), (3,)], "id long"
+        )
+        r = run_esql(
+            "FROM t | WHERE id IN (1, 3) | STATS n = count(*)", {"t": df}
+        ).first()
+        assert r.n == 2
