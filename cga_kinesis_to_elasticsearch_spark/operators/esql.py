@@ -769,7 +769,19 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
     "CIDR_MATCH": ((2, 16), _lower_cidr_match),
     "STARTS_WITH": (2, lambda a: f"startswith({a[0]}, {a[1]})"),
     "ENDS_WITH": (2, lambda a: f"endswith({a[0]}, {a[1]})"),
-    "DATE_FORMAT": (2, lambda a: f"date_format({a[1]}, {a[0]})"),
+    # 1-arg DATE_FORMAT uses ES's default (ISO-8601 with millis);
+    # 2-arg takes the FORMAT FIRST (ES|QL argument order)
+    "DATE_FORMAT": (
+        (1, 2),
+        lambda a: (
+            f"date_format({a[1]}, {a[0]})"
+            if len(a) == 2
+            else (
+                f"date_format({a[0]}, "
+                "'yyyy-MM-dd''T''HH:mm:ss.SSS''Z''')"
+            )
+        ),
+    ),
     "DATE_PARSE": (2, lambda a: f"to_timestamp({a[1]}, {a[0]})"),
     "DATE_EXTRACT": (2, _lower_date_extract),
     "DATE_DIFF": (3, _lower_date_diff),
@@ -1578,6 +1590,37 @@ def _agg_with_where(rhs: str) -> str:
     return f"{rhs[:wi]} FILTER (WHERE {cond})"
 
 
+def _agg_where_window(rhs: str) -> str:
+    """The per-aggregate WHERE in WINDOW context (INLINESTATS):
+    Spark's window aggregates reject the ANSI FILTER clause, so the
+    condition folds into the aggregate's first argument as a CASE
+    (aggregates ignore NULLs, so the semantics are identical;
+    ``count(*)`` counts a CASE 1)."""
+    wi = _find_top_kw(rhs, "WHERE")
+    if wi is None:
+        return rhs
+    cond = rhs[wi + 5:].strip()
+    head = rhs[:wi].strip()
+    if not cond:
+        raise ValueError(
+            f"ES|QL INLINESTATS: WHERE needs a condition: {rhs!r}"
+        )
+    m = re.fullmatch(
+        r"([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)", head, re.DOTALL
+    )
+    if not m:
+        raise ValueError(
+            f"ES|QL INLINESTATS: the per-aggregate WHERE applies to "
+            f"one aggregate call, got {head!r}"
+        )
+    fn, inner = m.group(1), m.group(2).strip()
+    if inner == "*":
+        return f"{fn}(CASE WHEN {cond} THEN 1 END)"
+    args = _split_top_commas(inner)
+    args[0] = f"CASE WHEN {cond} THEN {args[0]} END"
+    return f"{fn}({', '.join(args)})"
+
+
 def _stats(df: DataFrame, arg: str) -> DataFrame:
     aggs_src, keys_src = _split_by(arg)
     aggs = []
@@ -1633,7 +1676,11 @@ def _inlinestats(df: DataFrame, arg: str) -> DataFrame:
                 f"ES|QL INLINESTATS: each aggregate needs "
                 f"'name = agg(..)': {part!r}"
             )
-        agg_parts.append((am.group(1), am.group(2)))
+        # the per-aggregate WHERE (ES 8.16) works here too — but
+        # Spark rejects FILTER inside a window aggregate, so the
+        # condition lowers to a CASE-wrapped argument (equivalent:
+        # window aggregates ignore NULLs, count(*) counts a CASE 1)
+        agg_parts.append((am.group(1), _agg_where_window(am.group(2))))
     if not agg_parts:
         raise ValueError(
             f"ES|QL INLINESTATS needs at least one aggregate: {arg}"
@@ -1918,31 +1965,47 @@ def _run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
                     f"ES|QL METADATA: unsupported field(s) {bad} "
                     "(supported: _index, _id, _score)"
                 )
-        for name in _split_top_commas(from_arg):
-            if name not in tables:
+        for pattern in _split_top_commas(from_arg):
+            # index patterns, like Kibana data views: `FROM logs-*`
+            # unions every matching index in the catalog (a pattern
+            # matching nothing fails loud, like an unknown name)
+            if "*" in pattern:
+                names = sorted(
+                    t for t in tables
+                    if fnmatch.fnmatchcase(t, pattern)
+                )
+                if not names:
+                    raise ValueError(
+                        f"ES|QL: no index matches {pattern!r} "
+                        f"(known: {sorted(tables)})"
+                    )
+            elif pattern not in tables:
                 raise ValueError(
-                    f"ES|QL: unknown index {name!r} "
+                    f"ES|QL: unknown index {pattern!r} "
                     f"(known: {sorted(tables)})"
                 )
-            part = tables[name]
-            if "_index" in meta_fields:
-                part = part.withColumn("_index", F.lit(name))
-            if "_id" in meta_fields:
-                from .querydsl import _identity_col
+            else:
+                names = [pattern]
+            for name in names:
+                part = tables[name]
+                if "_index" in meta_fields:
+                    part = part.withColumn("_index", F.lit(name))
+                if "_id" in meta_fields:
+                    from .querydsl import _identity_col
 
-                part = part.withColumn(
-                    "_id", F.col(_identity_col(part)).cast("string")
+                    part = part.withColumn(
+                        "_id", F.col(_identity_col(part)).cast("string")
+                    )
+                if "_score" in meta_fields:
+                    # relevance starts at 0; every scoring full-text
+                    # function a WHERE runs adds to it (ES|QL's rule:
+                    # _score is only populated by scoring functions)
+                    part = part.withColumn(
+                        "_score", F.lit(0.0).cast("double")
+                    )
+                df = part if df is None else df.unionByName(
+                    part, allowMissingColumns=True
                 )
-            if "_score" in meta_fields:
-                # relevance starts at 0; every scoring full-text
-                # function a WHERE runs adds to it (ES|QL's rule:
-                # _score is only populated by scoring functions)
-                part = part.withColumn(
-                    "_score", F.lit(0.0).cast("double")
-                )
-            df = part if df is None else df.unionByName(
-                part, allowMissingColumns=True
-            )
     else:
         raise ValueError("ES|QL must start with FROM <index>, TS, or ROW")
     for stage in stages[1:]:

@@ -697,3 +697,47 @@ class TestStatsByDistinctAndMvLiterals:
             "FROM t | WHERE id IN (1, 3) | STATS n = count(*)", {"t": df}
         ).first()
         assert r.n == 2
+
+
+class TestFromWildcardsAndInlinestatsWhere:
+    def test_from_wildcard_unions_matching_indices(self, spark):
+        a = spark.createDataFrame([(1, "a")], "id long, src string")
+        b = spark.createDataFrame([(2, "b")], "id long, src string")
+        c = spark.createDataFrame([(3,)], "oid long")
+        t = {"logs-2024.01": a, "logs-2024.02": b, "orders": c}
+        out = run_esql("FROM logs-* | SORT id", t).collect()
+        assert [r.id for r in out] == [1, 2]
+        meta = run_esql(
+            "FROM logs-* METADATA _index | SORT id | KEEP id, _index", t
+        ).collect()
+        assert [(r.id, r._index) for r in meta] == [
+            (1, "logs-2024.01"), (2, "logs-2024.02")
+        ]
+
+    def test_from_wildcard_no_match_is_loud(self, spark):
+        t = {"orders": spark.createDataFrame([(1,)], "id long")}
+        with pytest.raises(ValueError, match="no index matches"):
+            run_esql("FROM web-* | LIMIT 1", t)
+
+    def test_inlinestats_per_agg_where(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 5.0), ("b", 2.0)], "k string, v double"
+        )
+        out = run_esql(
+            "FROM e | INLINESTATS s = sum(v) WHERE v > 1.5, "
+            "n = count(*) WHERE v > 1.5 BY k | SORT k, v",
+            {"e": df},
+        ).collect()
+        assert [(r.k, r.s, r.n) for r in out] == [
+            ("a", 5.0, 1), ("a", 5.0, 1), ("b", 2.0, 1)
+        ]
+
+    def test_date_format_default_iso(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 10, 47, 31, 123000),)],
+            "ts timestamp",
+        )
+        r = run_esql(
+            "FROM e | EVAL f = DATE_FORMAT(ts)", {"e": df}
+        ).first()
+        assert r.f == "2024-01-01T10:47:31.123Z"
