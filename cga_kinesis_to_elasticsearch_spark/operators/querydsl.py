@@ -2267,10 +2267,47 @@ def _lower_retriever(body: dict) -> dict:
             "knn": lowered_knn["knn"],
             "rank": {"rrf": rrf},
         }
+    if kind == "linear":
+        # ES 8.18 linear retriever: weighted sum of per-arm
+        # normalized scores — the explicit-weights alternative to
+        # rrf. Entries are {retriever: {...}[, weight][, normalizer]}
+        # with normalizer minmax|none; one standard + one knn arm
+        # lower (same pair rrf supports).
+        entries = _as_list(spec.get("retrievers"))
+        std_e = knn_e = None
+        for e in entries:
+            inner = e.get("retriever") if isinstance(e, dict) else None
+            if isinstance(inner, dict) and "standard" in inner:
+                std_e = e
+            elif isinstance(inner, dict) and "knn" in inner:
+                knn_e = e
+        if len(entries) != 2 or std_e is None or knn_e is None:
+            raise ValueError(
+                "linear retriever: exactly two entries, one standard "
+                f"+ one knn, are lowered (got {entries})"
+            )
+        lin: dict = {}
+        if "rank_window_size" in spec:
+            lin["rank_window_size"] = spec["rank_window_size"]
+        for label, e in (("query", std_e), ("knn", knn_e)):
+            arm = {}
+            if "weight" in e:
+                arm["weight"] = float(e["weight"])
+            if "normalizer" in e:
+                arm["normalizer"] = e["normalizer"]
+            lin[label] = arm
+        lowered_std = _lower_retriever({"retriever": std_e["retriever"]})
+        lowered_knn = _lower_retriever({"retriever": knn_e["retriever"]})
+        return {
+            **rest,
+            "query": lowered_std["query"],
+            "knn": lowered_knn["knn"],
+            "rank": {"linear": lin},
+        }
     raise ValueError(
         f"retriever: unsupported type {kind!r} (supported: standard, "
-        "knn, rrf; text_similarity_reranker needs a live inference "
-        "endpoint)"
+        "knn, rrf, linear; text_similarity_reranker needs a live "
+        "inference endpoint)"
     )
 
 
@@ -3259,54 +3296,94 @@ def _run_knn_hybrid(
 
     rank = body.get("rank")
     if rank is not None:
-        if set(rank) != {"rrf"}:
-            raise ValueError(f"rank supports only rrf: {rank}")
-        spec = rank["rrf"] or {}
-        window = int(spec.get("rank_window_size", size))
-        const = int(spec.get("rank_constant", 60))
-        if window < size:
-            raise ValueError(
-                f"rank_window_size {window} must be >= size {size} (ES)"
-            )
-        # each arm's top-window ranks: TakeOrdered(window) then a
-        # row_number over the window-bounded frame (single partition,
-        # <= window rows)
+        if not isinstance(rank, dict) or set(rank) not in (
+            {"rrf"}, {"linear"}
+        ):
+            raise ValueError(f"rank supports rrf or linear: {rank}")
         from pyspark.sql import Window
 
-        knn_arm = (
-            knn_filtered.withColumn("__s", kscore)
-            .orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
-            .limit(window)
-            .withColumn(
-                "__rank",
-                F.row_number().over(
-                    Window.orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
-                ),
+        def _arm(frame, score):
+            # one arm's top-window page: TakeOrdered(window) then
+            # rank/stats over the window-bounded frame (single
+            # partition, <= window rows — the same bounded contract
+            # ES's coordinator works on)
+            return (
+                frame.withColumn("__s", score)
+                .orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
+                .limit(window)
             )
-            .select(idc, "__rank")
-        )
-        q_arm = (
-            df.filter(matches)
-            .withColumn("__s", qscore)
-            .orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
-            .limit(window)
-            .withColumn(
-                "__rank",
-                F.row_number().over(
-                    Window.orderBy(F.col("__s").desc(), *_doc_tiebreak(df, []))
-                ),
+
+        if "rrf" in rank:
+            spec = rank["rrf"] or {}
+            window = int(spec.get("rank_window_size", size))
+            const = int(spec.get("rank_constant", 60))
+            if window < size:
+                raise ValueError(
+                    f"rank_window_size {window} must be >= size {size} (ES)"
+                )
+            w_all = Window.orderBy(
+                F.col("__s").desc(), *_doc_tiebreak(df, [])
             )
-            .select(idc, "__rank")
-        )
-        fused = (
-            knn_arm.unionByName(q_arm)
-            .groupBy(idc)
-            .agg(
-                F.sum(F.lit(1.0) / (F.lit(const) + F.col("__rank"))).alias(
-                    "_score"
+            arms = [
+                _arm(knn_filtered, kscore)
+                .withColumn("__rank", F.row_number().over(w_all))
+                .select(idc, "__rank"),
+                _arm(df.filter(matches), qscore)
+                .withColumn("__rank", F.row_number().over(w_all))
+                .select(idc, "__rank"),
+            ]
+            fused = (
+                arms[0].unionByName(arms[1])
+                .groupBy(idc)
+                .agg(
+                    F.sum(
+                        F.lit(1.0) / (F.lit(const) + F.col("__rank"))
+                    ).alias("_score")
                 )
             )
-        )
+        else:
+            # ES 8.18 linear retriever: score = sum over arms of
+            # weight * normalized(arm score over its top window);
+            # normalizer minmax maps the window page to [0, 1]
+            # (degenerate all-equal page -> 1), none keeps raw scores
+            spec = rank["linear"] or {}
+            window = int(spec.get("rank_window_size", size))
+            if window < size:
+                raise ValueError(
+                    f"rank_window_size {window} must be >= size {size} (ES)"
+                )
+
+            def _contrib(frame, score, aspec):
+                weight = float(aspec.get("weight", 1.0))
+                norm = str(aspec.get("normalizer", "none"))
+                a = _arm(frame, score)
+                if norm == "minmax":
+                    wb = Window.partitionBy()
+                    mn = F.min("__s").over(wb)
+                    mx = F.max("__s").over(wb)
+                    val = F.when(
+                        mx > mn, (F.col("__s") - mn) / (mx - mn)
+                    ).otherwise(F.lit(1.0))
+                elif norm == "none":
+                    val = F.col("__s")
+                else:
+                    raise ValueError(
+                        f"linear rank: unsupported normalizer "
+                        f"{norm!r} (minmax or none)"
+                    )
+                return a.withColumn(
+                    "__c", val * F.lit(weight)
+                ).select(idc, "__c")
+
+            arms = [
+                _contrib(knn_filtered, kscore, spec.get("knn", {})),
+                _contrib(df.filter(matches), qscore, spec.get("query", {})),
+            ]
+            fused = (
+                arms[0].unionByName(arms[1])
+                .groupBy(idc)
+                .agg(F.sum("__c").alias("_score"))
+            )
         out = df.join(F.broadcast(fused), idc, "inner")
     else:
         qs = F.when(matches, qscore).otherwise(F.lit(0.0))

@@ -555,3 +555,80 @@ def _esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cat", "n", F.round("avg_value", 6).alias("avg_value")
     )
+
+# ---------------------------------------------------------------------------
+# 10. The ES 8.18 linear retriever: weighted normalized hybrid
+# ---------------------------------------------------------------------------
+
+_LIN_DIM = 64
+_LIN_VEC = [round(((i * 7) % 19) / 19.0, 6) for i in range(_LIN_DIM)]
+
+_RETRIEVER_LINEAR_ORACLE = f"""
+WITH q AS (SELECT [{", ".join(str(x) for x in _LIN_VEC)}]::DOUBLE[] AS qv),
+kn AS (
+  SELECT vec_id,
+         (1 + list_cosine_similarity(embedding::DOUBLE[], qv)) / 2 AS s
+  FROM embeddings CROSS JOIN q
+  ORDER BY s DESC, vec_id LIMIT 15
+),
+kn_c AS (
+  SELECT vec_id,
+         CASE WHEN max(s) OVER () > min(s) OVER ()
+              THEN (s - min(s) OVER ())
+                   / (max(s) OVER () - min(s) OVER ())
+              ELSE 1.0 END * 1.5 AS c
+  FROM kn
+),
+q_c AS (
+  SELECT vec_id, 0.4 AS c
+  FROM embeddings WHERE label <= 3
+  ORDER BY vec_id LIMIT 15
+),
+fused AS (
+  SELECT vec_id, sum(c) AS score
+  FROM (SELECT * FROM kn_c UNION ALL SELECT * FROM q_c)
+  GROUP BY vec_id
+)
+SELECT f.vec_id, CAST(e.label AS BIGINT) AS label,
+       round(f.score, 6) AS score
+FROM fused f JOIN embeddings e USING (vec_id)
+ORDER BY f.score DESC, f.vec_id LIMIT 8
+"""
+
+
+@q("es_search_retriever_linear", _RETRIEVER_LINEAR_ORACLE)
+def _es_search_retriever_linear(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ES 8.18 ``linear`` retriever — the explicit-weights
+    alternative to rrf: each arm's top-window scores min-max
+    normalize to [0, 1] (a constant-score arm degenerates to 1) and
+    sum under per-arm weights. Lowered at plan time onto the same
+    hybrid query+knn path as the rrf retriever, with a
+    ``rank: {{linear: ..}}`` fusion mode. The oracle replays the
+    cosine arm, both normalizations, and the weighted join.
+
+    Scale shape: identical to rrf — window-row arm frames, one tiny
+    groupBy fusion, broadcast-join back for _source."""
+    from ..operators.querydsl import run_search_body
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = run_search_body(emb, {
+        "retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {"query": {
+                    "range": {"label": {"lte": 3}}}}},
+                 "weight": 0.4, "normalizer": "minmax"},
+                {"retriever": {"knn": {"field": "embedding",
+                    "query_vector": _LIN_VEC, "k": 8}},
+                 "weight": 1.5, "normalizer": "minmax"},
+            ],
+            "rank_window_size": 15,
+        }},
+        "size": 8,
+        "_source": ["vec_id", "label"],
+    })
+    return out.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.round("_score", 6).alias("score"),
+    )

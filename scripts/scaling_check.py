@@ -193,6 +193,7 @@ QUERIES = [
     "esql_string_scalars",
     "esql_fork_fuse_hybrid",
     "esql_categorize",
+    "es_search_retriever_linear",
 ]
 
 

@@ -146,3 +146,76 @@ class TestExplainNestedBool:
         bad = {"query": {"bool": {"must": ["match"]}}}
         with pytest.raises(ValueError, match="single-clause"):
             run_explain(_docs(spark), 0, bad)
+
+
+class TestLinearRetriever:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, "merge sort beats bubble sort", [1.0, 0.0]),
+             (2, "vector scan with filters", [0.9, 0.1]),
+             (3, "hash merge scan pipeline", [0.0, 1.0]),
+             (4, "scan scan scan", [0.5, 0.5])],
+            "doc_id long, body string, emb array<float>",
+        )
+
+    def _body(self, wq=2.0, wk=1.0, nq="minmax", nk="minmax"):
+        return {
+            "retriever": {"linear": {
+                "retrievers": [
+                    {"retriever": {"standard": {"query": {
+                        "match": {"body": "merge scan"}}}},
+                     "weight": wq, "normalizer": nq},
+                    {"retriever": {"knn": {"field": "emb",
+                        "query_vector": [1.0, 0.0], "k": 3}},
+                     "weight": wk, "normalizer": nk},
+                ],
+                "rank_window_size": 4,
+            }},
+            "size": 4,
+        }
+
+    def test_minmax_weighted_sum(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        hits = run_search_body(self._frame(spark), self._body()).collect()
+        got = {r.doc_id: r._score for r in hits}
+        # doc 3 is the best BM25 hit -> minmax 1.0 * weight 2; its
+        # knn cosine is the window minimum -> 0
+        assert got[3] == pytest.approx(2.0)
+        # every score is a weighted sum in [0, wq + wk]
+        assert all(0.0 <= s <= 3.0 + 1e-9 for s in got.values())
+
+    def test_none_normalizer_keeps_raw(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        hits = run_search_body(
+            self._frame(spark),
+            self._body(wq=0.0, wk=1.0, nq="none", nk="none"),
+        ).collect()
+        got = {r.doc_id: r._score for r in hits}
+        # knn raw score is (1 + cos)/2: the aligned vector scores 1.0
+        assert got[1] == pytest.approx(1.0)
+
+    def test_bad_normalizer_loud(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        body = self._body(nk="l2_norm")
+        with pytest.raises(ValueError, match="normalizer"):
+            run_search_body(self._frame(spark), body).collect()
+
+    def test_linear_needs_standard_and_knn(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.querydsl import (
+            run_search_body,
+        )
+
+        body = {"retriever": {"linear": {"retrievers": [
+            {"retriever": {"standard": {"query": {"match_all": {}}}}},
+        ]}}, "size": 2}
+        with pytest.raises(ValueError, match="one standard"):
+            run_search_body(self._frame(spark), body)
