@@ -17,9 +17,23 @@ transformation; unknown commands fail at plan time):
   expression ``_search`` ranks by, so ``SORT _score DESC`` is
   Discover's relevance order)
 - ``TS index`` (ES 8.19 tech preview) — FROM with time-series metric
-  semantics; the source resolves identically, and the ``rate()`` /
-  ``*_over_time`` aggregate family it unlocks is rejected loudly
-  until the GA semantics settle
+  semantics; the source resolves identically, and STATS gains the
+  two-level metric aggregate family: ``STATS outer(inner_ts(field))
+  BY keys`` computes the INNER aggregate per time series (the
+  ``ts_dimensions`` of ``run_esql`` — ES's ``_tsid``, declared as
+  ``time_series_dimension: true`` in mappings) per BY group, then
+  the OUTER aggregate across series. Inner family: ``RATE`` /
+  ``IRATE`` / ``DELTA`` / ``IDELTA`` / ``INCREASE`` (counter
+  semantics: a negative step is a reset, Prometheus-style — the
+  post-reset value counts as the whole increase) and ``AVG|MIN|MAX|
+  SUM|COUNT|COUNT_DISTINCT|STD_DEV|FIRST|LAST _OVER_TIME`` (gauge
+  semantics). Tech-preview notes pinned here for determinism:
+  RATE = reset-adjusted increase / observed span seconds (first to
+  last sample; <2 samples -> NULL); IRATE/IDELTA use the last two
+  samples; ABSENT/PRESENT_OVER_TIME stay rejected (they need a
+  scrape interval this engine does not model). Every aggregate in a
+  TS STATS must wrap exactly one inner call — a bare ``count(*)``
+  is ambiguous between docs and series and fails loud.
 - ``ROW a = 1, b = "x"``    — a literal one-row source (the ES|QL
                               scratchpad command)
 - ``WHERE <expr>``          — filter
@@ -203,6 +217,20 @@ _DURATION_RE = re.compile(
 
 _NOW_ANCHOR: contextvars.ContextVar[str | None] = contextvars.ContextVar(
     "esql_now_anchor", default=None
+)
+
+# active while a TS-sourced pipe runs: {"dims": [..] | None,
+# "time": str | None, "consumed": bool} — STATS consults it to route
+# the time-series aggregate family through the two-level lowering
+# (and to reject a second collapse once the series are gone)
+_TS_CTX: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "esql_ts_ctx", default=None
+)
+
+# run_esql's ts_dimensions / ts_time_col parameters, carried to the
+# TS source branch (which activates _TS_CTX for the pipe's stages)
+_TS_META: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "esql_ts_meta", default=None
 )
 
 
@@ -1066,11 +1094,15 @@ def _tr_expr(expr: str) -> str:
         )
     ts = _TS_AGG_RE.search(sk)
     if ts:
+        # the TS family never reaches translation on the supported
+        # path: a TS-sourced STATS extracts these calls BEFORE
+        # _expr_col (see _ts_stats). Reaching here means the call
+        # sits in a FROM-sourced query or outside STATS.
         raise ValueError(
-            f"ES|QL: the TS time-series aggregate "
-            f"{ts.group(1).upper()}() is not lowered (ES 8.19 tech "
-            "preview — semantics not yet GA); aggregate with STATS "
-            f"over BUCKET() instead: {expr!r}"
+            f"ES|QL: the time-series aggregate "
+            f"{ts.group(1).upper()}() is only supported inside "
+            "STATS of a TS-sourced query (ES 8.19 tech preview): "
+            f"{expr!r}"
         )
     return _rewrite_decimals(
         _rewrite_durations(_rewrite_funcs(_rewrite_like("".join(out))))
@@ -1298,15 +1330,29 @@ def _expr_col(expr: str) -> Column:
 _FT_RE = re.compile(r"\b(MATCH|QSTR|KQL)\s*\(", re.IGNORECASE)
 
 # the TS command's time-series aggregate family (ES 8.19 tech
-# preview) — rejected loudly until the GA semantics settle; a silent
-# pass-through to Spark's parser would produce a confusing
-# unknown-function error instead of naming the gap
+# preview) — lowered by _ts_stats on the TS path; anywhere else the
+# names fail loud (a silent pass-through to Spark's parser would
+# produce a confusing unknown-function error instead of naming the
+# constraint)
 _TS_AGG_RE = re.compile(
     r"\b(RATE|IRATE|IDELTA|DELTA|INCREASE"
     r"|(?:AVG|MIN|MAX|SUM|COUNT|FIRST|LAST|COUNT_DISTINCT"
     r"|STD_DEV|ABSENT|PRESENT)_OVER_TIME)\s*\(",
     re.IGNORECASE,
 )
+
+# inner aggregates _ts_stats lowers; ABSENT/PRESENT_OVER_TIME are in
+# _TS_AGG_RE (so they fail with the TS message, not an unknown-name
+# one) but deliberately NOT here — they reason about sample gaps,
+# which needs the scrape interval this engine does not model
+_TS_INNER_FNS = {
+    "RATE", "IRATE", "IDELTA", "DELTA", "INCREASE",
+    "AVG_OVER_TIME", "MIN_OVER_TIME", "MAX_OVER_TIME",
+    "SUM_OVER_TIME", "COUNT_OVER_TIME", "COUNT_DISTINCT_OVER_TIME",
+    "STD_DEV_OVER_TIME", "FIRST_OVER_TIME", "LAST_OVER_TIME",
+}
+# counter family — needs the lag()-window pre-pass
+_TS_COUNTER_FNS = {"RATE", "IRATE", "IDELTA", "DELTA", "INCREASE"}
 
 _MATCH_OPT_KEYS = {"operator", "analyzer"}
 _QSTR_OPT_KEYS = {
@@ -1621,7 +1667,290 @@ def _agg_where_window(rhs: str) -> str:
     return f"{fn}({', '.join(args)})"
 
 
+def _blank_strings(s: str) -> str:
+    """RAW ES|QL text with every string literal's CONTENTS replaced
+    by spaces (length-preserving, so regex match positions carry
+    over to the original) — lets command lowerers pattern-scan
+    without tripping on function-shaped text inside quotes."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == '"':
+            _, j = _scan_dquote(s, i)
+            for k in range(i + 1, j - 1):
+                out[k] = " "
+            i = j
+        elif ch == "'":
+            j = s.find("'", i + 1)
+            if j == -1:
+                raise ValueError(f"ES|QL: unterminated string in {s!r}")
+            for k in range(i + 1, j):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _extract_ts_calls(
+    rhs: str, start: int
+) -> tuple[str, list[tuple[str, str, str]]]:
+    """Replace every time-series aggregate call in a TS STATS
+    aggregate expression with a generated stage-1 column name;
+    returns (rewritten outer expression, [(alias, FN, field_src)]).
+    ``start`` offsets the generated aliases so they stay unique
+    across the whole STATS."""
+    calls: list[tuple[str, str, str]] = []
+    out = rhs
+    while True:
+        m = _TS_AGG_RE.search(_blank_strings(out))
+        if not m:
+            return out, calls
+        fn = m.group(1).upper()
+        if fn not in _TS_INNER_FNS:
+            raise ValueError(
+                f"ES|QL TS: {fn}() is not lowered — it reasons about "
+                "sample gaps, which needs a scrape interval this "
+                f"engine does not model: {rhs!r}"
+            )
+        open_idx = out.index("(", m.end() - 1)
+        close = _scan_balanced(out, open_idx)
+        inner = out[open_idx + 1:close].strip()
+        if not inner or inner == "*":
+            raise ValueError(
+                f"ES|QL TS: {fn}() needs a field argument: {rhs!r}"
+            )
+        if _TS_AGG_RE.search(_blank_strings(inner)):
+            raise ValueError(
+                f"ES|QL TS: time-series aggregates do not nest: "
+                f"{rhs!r}"
+            )
+        alias = f"__ts{start + len(calls)}"
+        calls.append((alias, fn, inner))
+        out = out[:m.start()] + alias + out[close + 1:]
+
+
+def _ts_stats(df: DataFrame, arg: str) -> DataFrame:
+    """The TS command's STATS (ES 8.19 tech preview): ``STATS
+    outer(inner_ts(field)) BY keys``. Two-level lowering —
+
+    stage 1: group by (series dimensions + BY keys) and compute each
+    inner aggregate per time series per group. The counter family
+    (RATE/IRATE/DELTA/IDELTA/INCREASE) first runs ONE lag() window
+    ordered by the time column; Spark reuses that window's hash
+    partitioning for the stage-1 partial aggregate, so the counter
+    pre-pass costs no extra exchange. Reset rule (Prometheus): a
+    negative step means the counter restarted — the post-reset value
+    IS the increase. RATE divides the reset-adjusted increase by the
+    observed span (last - first sample seconds; <2 samples -> NULL);
+    IRATE/IDELTA use only the last two samples; DELTA is last-minus-
+    first with NO reset logic (the gauge form).
+
+    stage 2: group by the BY keys alone and run the outer aggregates
+    across series — one more partial-agg shuffle on a frame already
+    collapsed to |series x groups| rows.
+
+    Scale: exactly two exchanges total, both partial-aggregated;
+    the raw frame is touched once. Dimensions come from ``run_esql
+    (ts_dimensions=..)`` — ES's ``_tsid`` fields, declared in index
+    mappings (time_series_dimension: true), which a file-backed
+    stand-in must be told. Reference context: the reference's
+    metrics envelopes (main.go:447 ValueMetric/CounterEvent) are
+    exactly the shape TS targets."""
+    from pyspark.sql import Window
+
+    ctx = _TS_CTX.get()
+    if ctx.get("consumed"):
+        raise ValueError(
+            "ES|QL TS: an earlier STATS already collapsed the time "
+            "series — time-series aggregates need the raw series rows"
+        )
+    dims = ctx.get("dims")
+    if not dims:
+        raise ValueError(
+            "ES|QL TS: time-series aggregates need the series "
+            "dimensions — pass ts_dimensions=[..] to run_esql (ES "
+            "reads these from the index mapping's "
+            "time_series_dimension fields)"
+        )
+    missing = [d for d in dims if d not in df.columns]
+    if missing:
+        raise ValueError(
+            f"ES|QL TS: dimension column(s) {missing} not in the "
+            f"frame (columns: {df.columns})"
+        )
+    time_col = ctx.get("time")
+    if time_col is None:
+        tcols = [
+            f.name for f in df.schema.fields
+            if f.dataType.typeName().startswith("timestamp")
+        ]
+        if len(tcols) != 1:
+            raise ValueError(
+                "ES|QL TS: cannot infer the time column "
+                f"(timestamp-typed candidates: {tcols}); pass "
+                "ts_time_col=.. to run_esql"
+            )
+        time_col = tcols[0]
+    elif time_col not in df.columns:
+        raise ValueError(
+            f"ES|QL TS: time column {time_col!r} not in the frame "
+            f"(columns: {df.columns})"
+        )
+
+    aggs_src, keys_src = _split_by(arg)
+    outer: list[tuple[str, str]] = []  # (name, rewritten rhs)
+    calls: list[tuple[str, str, str]] = []
+    for part in _split_top_commas(aggs_src):
+        m = _ASSIGN_RE.match(part)
+        if not m:
+            raise ValueError(
+                f"ES|QL TS STATS: each aggregate needs "
+                f"'name = outer(inner_ts(..))': {part!r}"
+            )
+        name, rhs = m.group(1), m.group(2)
+        if _find_top_kw(rhs, "WHERE") is not None:
+            raise ValueError(
+                "ES|QL TS STATS: the per-aggregate WHERE is not "
+                f"supported with time-series aggregates: {part!r}"
+            )
+        rewritten, found = _extract_ts_calls(rhs, len(calls))
+        if found and rewritten.strip() in {a for a, _, _ in found}:
+            raise ValueError(
+                "ES|QL TS STATS: a time-series aggregate needs an "
+                "outer aggregate across series, e.g. "
+                f"'sum(rate(x))': {part!r}"
+            )
+        if not found:
+            raise ValueError(
+                "ES|QL TS STATS: every aggregate must wrap a "
+                "time-series function (rate()/*_over_time()) — a "
+                f"plain aggregate is ambiguous between documents "
+                f"and series: {part!r}"
+            )
+        calls.extend(found)
+        outer.append((name, rewritten))
+    if not outer:
+        raise ValueError(
+            f"ES|QL TS STATS needs at least one aggregate: {arg!r}"
+        )
+
+    # BY keys: computed BEFORE stage 1 so buckets and dims group
+    # together; named like _stats (`BY h = BUCKET(ts, 1 hour)`)
+    key_names: list[str] = []
+    key_cols: list[Column] = []
+    for k in (_split_top_commas(keys_src) if keys_src.strip() else []):
+        km = _ASSIGN_RE.match(k)
+        if km:
+            key_names.append(km.group(1))
+            key_cols.append(_expr_col(km.group(2)).alias(km.group(1)))
+        elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", k.strip()):
+            key_names.append(k.strip())
+            key_cols.append(F.col(k.strip()))
+        else:
+            raise ValueError(
+                "ES|QL TS STATS: name computed BY keys "
+                f"('BY h = BUCKET(..)'): {k!r}"
+            )
+
+    # cast: parquet timestamps arrive TIMESTAMP_NTZ and unix_micros
+    # requires TIMESTAMP (identity under the engine's UTC sessions)
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    base = df.select(
+        *[F.col(d) for d in dims],
+        us.alias("__ts_us"),
+        *key_cols,
+        *[
+            _expr_col(src).alias(f"{alias}_v")
+            for alias, _, src in calls
+        ],
+    )
+    gcols = [*dims, *key_names]
+    if any(fn in _TS_COUNTER_FNS for _, fn, _ in calls):
+        w = Window.partitionBy(*gcols).orderBy("__ts_us")
+        for alias, fn, _ in calls:
+            if fn not in _TS_COUNTER_FNS:
+                continue
+            v = F.col(f"{alias}_v")
+            prev = F.lag(v).over(w)
+            d = v - prev
+            base = base.withColumn(f"{alias}_d", d)
+            # reset-adjusted step (counter restarted -> the
+            # post-reset value is the whole increase)
+            base = base.withColumn(
+                f"{alias}_inc", F.when(d < 0, v).otherwise(d)
+            )
+            if fn == "IRATE":
+                span = (
+                    F.col("__ts_us")
+                    - F.lag(F.col("__ts_us")).over(w)
+                ) / F.lit(1000000.0)
+                base = base.withColumn(
+                    f"{alias}_ir", F.col(f"{alias}_inc") / span
+                )
+
+    inner_aggs: list[Column] = []
+    for alias, fn, _ in calls:
+        v = F.col(f"{alias}_v")
+        if fn == "RATE":
+            span = (
+                F.max("__ts_us") - F.min("__ts_us")
+            ) / F.lit(1000000.0)
+            a = F.when(
+                span > 0, F.sum(f"{alias}_inc") / span
+            )
+        elif fn == "INCREASE":
+            a = F.sum(f"{alias}_inc")
+        elif fn == "DELTA":
+            a = F.max_by(v, F.col("__ts_us")) - F.min_by(
+                v, F.col("__ts_us")
+            )
+        elif fn == "IRATE":
+            a = F.max_by(F.col(f"{alias}_ir"), F.col("__ts_us"))
+        elif fn == "IDELTA":
+            a = F.max_by(F.col(f"{alias}_d"), F.col("__ts_us"))
+        elif fn == "AVG_OVER_TIME":
+            a = F.avg(v)
+        elif fn == "MIN_OVER_TIME":
+            a = F.min(v)
+        elif fn == "MAX_OVER_TIME":
+            a = F.max(v)
+        elif fn == "SUM_OVER_TIME":
+            a = F.sum(v)
+        elif fn == "COUNT_OVER_TIME":
+            a = F.count(v)
+        elif fn == "COUNT_DISTINCT_OVER_TIME":
+            a = F.countDistinct(v)
+        elif fn == "STD_DEV_OVER_TIME":
+            # population form, like ES's std_deviation stats
+            a = F.stddev_pop(v)
+        elif fn == "FIRST_OVER_TIME":
+            a = F.min_by(v, F.col("__ts_us"))
+        else:  # LAST_OVER_TIME
+            a = F.max_by(v, F.col("__ts_us"))
+        inner_aggs.append(a.alias(alias))
+    per_series = base.groupBy(*gcols).agg(*inner_aggs)
+
+    outer_aggs = [
+        _expr_col(rhs).alias(name) for name, rhs in outer
+    ]
+    ctx["consumed"] = True
+    if key_names:
+        return per_series.groupBy(*key_names).agg(*outer_aggs)
+    return per_series.agg(*outer_aggs)
+
+
 def _stats(df: DataFrame, arg: str) -> DataFrame:
+    ts_ctx = _TS_CTX.get()
+    if _TS_AGG_RE.search(_blank_strings(arg)):
+        if ts_ctx is None:
+            raise ValueError(
+                "ES|QL: time-series aggregates (rate()/"
+                "*_over_time()) need the TS source command, not "
+                f"FROM: {arg!r}"
+            )
+        return _ts_stats(df, arg)
     aggs_src, keys_src = _split_by(arg)
     aggs = []
     for part in _split_top_commas(aggs_src):
@@ -1877,6 +2206,8 @@ def run_esql(
     tables: dict[str, DataFrame],
     *,
     now=None,
+    ts_dimensions: list[str] | None = None,
+    ts_time_col: str | None = None,
 ) -> DataFrame:
     """Execute an ES|QL query against the caller's table map (the
     engine's stand-in for the cluster's index catalog). See the module
@@ -1886,7 +2217,31 @@ def run_esql(
     ``YYYY-MM-DD[ HH:MM:SS]`` string) — what deterministic replays
     and cross-engine oracles need, mirroring how ES pins one instant
     for a whole query; omitted, NOW() is Spark's query-stable
-    ``current_timestamp()``."""
+    ``current_timestamp()``.
+
+    ``ts_dimensions`` names the time-series dimension columns a
+    ``TS``-sourced query groups series by (ES reads these from the
+    index mapping's ``time_series_dimension: true`` fields — a
+    file-backed stand-in must be told). ``ts_time_col`` pins the
+    series time column; omitted, the single timestamp-typed column
+    is used (ambiguity fails loud). Both are ignored by FROM/ROW
+    queries."""
+    if ts_dimensions is not None or ts_time_col is not None:
+        ts_token = _TS_META.set(
+            {"dims": ts_dimensions, "time": ts_time_col}
+        )
+    else:
+        ts_token = None
+    try:
+        return _run_esql_with_now(query, tables, now)
+    finally:
+        if ts_token is not None:
+            _TS_META.reset(ts_token)
+
+
+def _run_esql_with_now(
+    query: str, tables: dict[str, DataFrame], now
+) -> DataFrame:
     if now is not None:
         anchor = (
             now.strftime("%Y-%m-%d %H:%M:%S")
@@ -1947,9 +2302,9 @@ def _run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
         # Kibana emits; _index is each source's name (so a comma-list
         # union stays attributable), _id the identity column as string.
         # TS (ES 8.19 tech preview) is FROM with time-series metric
-        # semantics: the source resolves identically; the rate()/
-        # *_over_time aggregate family it unlocks is rejected loudly
-        # in _tr_expr until the GA semantics settle.
+        # semantics: the source resolves identically; it additionally
+        # activates the rate()/*_over_time aggregate family inside
+        # STATS (see _ts_stats for the two-level lowering).
         from_arg = m.group(2)
         meta_fields: list[str] = []
         mi = _find_top_kw(from_arg, "METADATA")
@@ -2008,9 +2363,23 @@ def _run_esql(query: str, tables: dict[str, DataFrame]) -> DataFrame:
                 )
     else:
         raise ValueError("ES|QL must start with FROM <index>, TS, or ROW")
-    for stage in stages[1:]:
-        df = _apply_stage(df, stage, tables)
-    return df
+    ts_token = None
+    if first_cmd == "TS":
+        meta = _TS_META.get() or {}
+        ts_token = _TS_CTX.set(
+            {
+                "dims": meta.get("dims"),
+                "time": meta.get("time"),
+                "consumed": False,
+            }
+        )
+    try:
+        for stage in stages[1:]:
+            df = _apply_stage(df, stage, tables)
+        return df
+    finally:
+        if ts_token is not None:
+            _TS_CTX.reset(ts_token)
 
 
 def _split_paren_groups(arg: str) -> list[str]:

@@ -260,10 +260,10 @@ ORDER BY h12
 @q("esql_ts_stats", _ESQL_TS_STATS_ORACLE)
 def _esql_ts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL ``TS`` (ES 8.19 tech preview) — FROM with time-series
-    metric semantics. The source resolves identically to FROM; the
-    ``rate()``/``*_over_time`` aggregate family it unlocks is
-    REJECTED loudly until the GA semantics settle (a declared gap,
-    not a silent wrong answer) — plain STATS-over-BUCKET works today.
+    metric semantics. A plain STATS (no rate()/*_over_time calls)
+    aggregates over documents exactly like FROM; the time-series
+    aggregate family is exercised by ``esql_ts_rate`` /
+    ``esql_ts_gauge`` below.
 
     Scale shape: same one-shuffle bucketed aggregation as FROM."""
     ev = _t(spark, sf_dir, "events")
@@ -282,6 +282,142 @@ def _esql_ts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_v", 6).alias("max_v"),
         "n",
     )
+
+# ---------------------------------------------------------------------------
+# 5b. TS time-series aggregates: the counter family (RATE) and the
+#     gauge family (*_over_time / DELTA / IRATE), two-level lowering
+# ---------------------------------------------------------------------------
+
+_ESQL_TS_RATE_ORACLE = """
+WITH base AS (
+    SELECT user_id, event_type, date_trunc('day', ts) AS day,
+           epoch_us(ts) AS us, value,
+           value - lag(value) OVER w AS d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts),
+                 event_type ORDER BY epoch_us(ts))
+), per_series AS (
+    SELECT day, event_type, user_id,
+           CASE WHEN (max(us) - min(us)) / 1000000.0 > 0
+                THEN sum(CASE WHEN d < 0 THEN value ELSE d END)
+                     / ((max(us) - min(us)) / 1000000.0)
+           END AS r,
+           max(value) AS mx, count(value) AS c
+    FROM base GROUP BY 1, 2, 3
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+       round(sum(r), 4) AS total_rate,
+       round(max(mx), 4) AS peak,
+       count(c) AS n_series
+FROM per_series GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
+@q("esql_ts_rate", _ESQL_TS_RATE_ORACLE)
+def _esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``TS`` counter aggregates (ES 8.19 tech preview):
+    ``STATS SUM(RATE(v)) BY BUCKET(ts, 1 day), type`` — the metric
+    dashboard query. The two-level lowering computes RATE per time
+    series (``ts_dimensions=["user_id"]`` — ES's ``_tsid``) per
+    bucket with Prometheus reset handling (a negative step means the
+    counter restarted; the post-reset value IS the increase), then
+    SUMs across series. RATE = reset-adjusted increase / observed
+    span seconds (<2 samples -> NULL).
+
+    Scale shape: ONE lag() window whose hash partitioning the
+    stage-1 partial aggregate reuses (a single exchange on
+    dims+keys), then one more partial-agg shuffle on the collapsed
+    |series x buckets| frame — two exchanges total at any scale; the
+    raw frame is scanned once with only 4 columns read."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        TS events
+        | STATS total_rate = SUM(RATE(value)),
+                peak = MAX(MAX_OVER_TIME(value)),
+                n_series = COUNT(COUNT_OVER_TIME(value))
+            BY day = BUCKET(ts, 1 day), event_type
+        | SORT day, event_type
+        """,
+        {"events": ev},
+        ts_dimensions=["user_id"],
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round("total_rate", 4).alias("total_rate"),
+        F.round("peak", 4).alias("peak"),
+        "n_series",
+    )
+
+
+_ESQL_TS_GAUGE_ORACLE = """
+WITH base AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, value,
+           value - lag(value) OVER w AS d,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0
+               AS iv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts))
+), per_series AS (
+    SELECT event_type, user_id,
+           max_by(value, us) - min_by(value, us) AS dlt,
+           sum(CASE WHEN d < 0 THEN value ELSE d END) AS inc,
+           max_by(CASE WHEN d < 0 THEN value ELSE d END / iv, us)
+               AS ir,
+           min_by(value, us) AS fst,
+           max_by(value, us) AS lst
+    FROM base GROUP BY 1, 2
+)
+SELECT event_type,
+       round(sum(dlt), 4) AS moved,
+       round(sum(inc), 4) AS grew,
+       round(max(ir), 6) AS max_irate,
+       round(min(fst), 4) AS first_min,
+       round(avg(lst), 4) AS last_avg
+FROM per_series GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@q("esql_ts_gauge", _ESQL_TS_GAUGE_ORACLE)
+def _esql_ts_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``TS`` gauge/instant aggregates (ES 8.19 tech preview):
+    DELTA (last-minus-first, NO reset logic — the gauge form),
+    INCREASE (reset-adjusted), IRATE (last step / last interval),
+    FIRST/LAST_OVER_TIME (min_by/max_by on the sample time) — each
+    per series (user_id), then aggregated across series BY type.
+
+    Scale shape: same two-exchange plan as ``esql_ts_rate`` — the
+    window and stage-1 aggregate share one hash exchange; stage 2
+    shuffles only |series| rows."""
+    ev = _t(spark, sf_dir, "events")
+    out = run_esql(
+        """
+        TS events
+        | STATS moved = SUM(DELTA(value)),
+                grew = SUM(INCREASE(value)),
+                max_irate = MAX(IRATE(value)),
+                first_min = MIN(FIRST_OVER_TIME(value)),
+                last_avg = AVG(LAST_OVER_TIME(value))
+            BY event_type
+        | SORT event_type
+        """,
+        {"events": ev},
+        ts_dimensions=["user_id"],
+        ts_time_col="ts",
+    )
+    return out.select(
+        "event_type",
+        F.round("moved", 4).alias("moved"),
+        F.round("grew", 4).alias("grew"),
+        F.round("max_irate", 6).alias("max_irate"),
+        F.round("first_min", 4).alias("first_min"),
+        F.round("last_avg", 4).alias("last_avg"),
+    )
+
 
 # ---------------------------------------------------------------------------
 # 6. LIKE pattern lists + the round-9 scalar batch over documents

@@ -383,14 +383,208 @@ class TestTsCommand:
         ).collect()
         assert [r.avg_v for r in out] == [1.0, 3.0]
 
-    def test_rate_family_rejected_loud(self, spark):
+    def test_ts_aggs_need_dimensions(self, spark):
         df = spark.createDataFrame(
             [(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double"
         )
-        with pytest.raises(ValueError, match="RATE"):
-            run_esql("TS m | STATS r = RATE(v)", {"m": df})
-        with pytest.raises(ValueError, match="AVG_OVER_TIME"):
-            run_esql("TS m | STATS r = AVG_OVER_TIME(v)", {"m": df})
+        with pytest.raises(ValueError, match="ts_dimensions"):
+            run_esql("TS m | STATS r = sum(RATE(v))", {"m": df})
+
+    def test_ts_aggs_rejected_under_from(self, spark):
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1), 1.0)], "ts timestamp, v double"
+        )
+        with pytest.raises(ValueError, match="TS source command"):
+            run_esql("FROM m | STATS r = sum(RATE(v))", {"m": df})
+
+
+def _series(spark):
+    """Two series (h = host dimension): a counter that resets on h1
+    and a clean counter on h2, sampled at 10 s intervals."""
+    rows = [
+        # h1: 0 -> 40 -> 10 (reset) -> 30: increase 40 + 10 + 20 = 70
+        ("h1", dt.datetime(2024, 1, 1, 0, 0, 0), 0.0),
+        ("h1", dt.datetime(2024, 1, 1, 0, 0, 10), 40.0),
+        ("h1", dt.datetime(2024, 1, 1, 0, 0, 20), 10.0),
+        ("h1", dt.datetime(2024, 1, 1, 0, 0, 30), 30.0),
+        # h2: 5 -> 15 -> 45: increase 40 over 20 s
+        ("h2", dt.datetime(2024, 1, 1, 0, 0, 0), 5.0),
+        ("h2", dt.datetime(2024, 1, 1, 0, 0, 10), 15.0),
+        ("h2", dt.datetime(2024, 1, 1, 0, 0, 20), 45.0),
+    ]
+    return spark.createDataFrame(rows, "h string, ts timestamp, v double")
+
+
+class TestTsAggregates:
+    def test_rate_reset_handling(self, spark):
+        # h1: increase 70 over 30 s; h2: 40 over 20 s
+        out = run_esql(
+            "TS m | STATS r = sum(RATE(v)) BY h | SORT h",
+            {"m": _series(spark)},
+            ts_dimensions=["h"],
+        ).collect()
+        assert [(r.h, round(r.r, 6)) for r in out] == [
+            ("h1", round(70 / 30, 6)),
+            ("h2", 2.0),
+        ]
+
+    def test_increase_and_delta(self, spark):
+        out = run_esql(
+            "TS m | STATS inc = sum(INCREASE(v)), d = sum(DELTA(v)) "
+            "BY h | SORT h",
+            {"m": _series(spark)},
+            ts_dimensions=["h"],
+        ).collect()
+        # DELTA is the gauge form: last - first, NO reset logic
+        assert [(r.h, r.inc, r.d) for r in out] == [
+            ("h1", 70.0, 30.0),
+            ("h2", 40.0, 40.0),
+        ]
+
+    def test_irate_idelta_last_samples_only(self, spark):
+        out = run_esql(
+            "TS m | STATS ir = max(IRATE(v)), idl = max(IDELTA(v)) "
+            "BY h | SORT h",
+            {"m": _series(spark)},
+            ts_dimensions=["h"],
+        ).collect()
+        # h1 last step: 10 -> 30 over 10 s; h2: 15 -> 45 over 10 s
+        assert [(r.h, r.ir, r.idl) for r in out] == [
+            ("h1", 2.0, 20.0),
+            ("h2", 3.0, 30.0),
+        ]
+
+    def test_over_time_family(self, spark):
+        out = run_esql(
+            "TS m | STATS fst = min(FIRST_OVER_TIME(v)), "
+            "lst = max(LAST_OVER_TIME(v)), "
+            "n = sum(COUNT_OVER_TIME(v)), "
+            "avg_of_avgs = avg(AVG_OVER_TIME(v)) BY h | SORT h",
+            {"m": _series(spark)},
+            ts_dimensions=["h"],
+        ).collect()
+        assert [(r.h, r.fst, r.lst, r.n) for r in out] == [
+            ("h1", 0.0, 30.0, 4),
+            ("h2", 5.0, 45.0, 3),
+        ]
+        assert out[0].avg_of_avgs == 20.0  # (0+40+10+30)/4
+
+    def test_single_sample_series_rate_is_null(self, spark):
+        df = spark.createDataFrame(
+            [("h1", dt.datetime(2024, 1, 1), 7.0)],
+            "h string, ts timestamp, v double",
+        )
+        out = run_esql(
+            "TS m | STATS r = sum(RATE(v)), n = count(RATE(v))",
+            {"m": df},
+            ts_dimensions=["h"],
+        ).collect()
+        assert out[0].r is None and out[0].n == 0
+
+    def test_global_by_omitted(self, spark):
+        out = run_esql(
+            "TS m | STATS total = sum(INCREASE(v))",
+            {"m": _series(spark)},
+            ts_dimensions=["h"],
+        ).collect()
+        assert out[0].total == 110.0
+
+    def test_bare_inner_call_needs_outer(self, spark):
+        with pytest.raises(ValueError, match="outer aggregate"):
+            run_esql(
+                "TS m | STATS r = RATE(v)",
+                {"m": _series(spark)},
+                ts_dimensions=["h"],
+            )
+
+    def test_plain_agg_mixed_in_is_ambiguous(self, spark):
+        with pytest.raises(ValueError, match="ambiguous"):
+            run_esql(
+                "TS m | STATS r = sum(RATE(v)), n = count(*) BY h",
+                {"m": _series(spark)},
+                ts_dimensions=["h"],
+            )
+
+    def test_nested_ts_aggs_rejected(self, spark):
+        with pytest.raises(ValueError, match="do not nest"):
+            run_esql(
+                "TS m | STATS r = sum(RATE(MAX_OVER_TIME(v)))",
+                {"m": _series(spark)},
+                ts_dimensions=["h"],
+            )
+
+    def test_per_agg_where_rejected(self, spark):
+        with pytest.raises(ValueError, match="per-aggregate WHERE"):
+            run_esql(
+                "TS m | STATS r = sum(RATE(v)) WHERE v > 0 BY h",
+                {"m": _series(spark)},
+                ts_dimensions=["h"],
+            )
+
+    def test_absent_present_rejected(self, spark):
+        with pytest.raises(ValueError, match="scrape interval"):
+            run_esql(
+                "TS m | STATS a = max(ABSENT_OVER_TIME(v))",
+                {"m": _series(spark)},
+                ts_dimensions=["h"],
+            )
+
+    def test_second_stats_collapse_rejected(self, spark):
+        with pytest.raises(ValueError, match="already collapsed"):
+            run_esql(
+                "TS m | STATS r = sum(RATE(v)) BY h "
+                "| STATS r2 = sum(RATE(r))",
+                {"m": _series(spark)},
+                ts_dimensions=["h"],
+            )
+
+    def test_plain_stats_after_ts_stats_ok(self, spark):
+        out = run_esql(
+            "TS m | STATS r = sum(RATE(v)) BY h | STATS n = count(*)",
+            {"m": _series(spark)},
+            ts_dimensions=["h"],
+        ).collect()
+        assert out[0].n == 2
+
+    def test_ambiguous_time_col_fails(self, spark):
+        df = spark.createDataFrame(
+            [("h1", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1), 1.0)],
+            "h string, ts timestamp, ts2 timestamp, v double",
+        )
+        with pytest.raises(ValueError, match="ts_time_col"):
+            run_esql(
+                "TS m | STATS r = sum(RATE(v)) BY h",
+                {"m": df},
+                ts_dimensions=["h"],
+            )
+        out = run_esql(
+            "TS m | STATS n = sum(COUNT_OVER_TIME(v)) BY h",
+            {"m": df},
+            ts_dimensions=["h"],
+            ts_time_col="ts",
+        ).collect()
+        assert out[0].n == 1
+
+    def test_unknown_dimension_fails(self, spark):
+        with pytest.raises(ValueError, match="dimension column"):
+            run_esql(
+                "TS m | STATS r = sum(RATE(v)) BY h",
+                {"m": _series(spark)},
+                ts_dimensions=["nope"],
+            )
+
+    def test_where_and_eval_compose_before_ts_stats(self, spark):
+        # the pipe prefix runs unchanged; series split by the EVALed
+        # dimension column is the caller's responsibility
+        out = run_esql(
+            "TS m | WHERE v >= 0 | EVAL v2 = v * 2 "
+            "| STATS inc = sum(INCREASE(v2)) BY h | SORT h",
+            {"m": _series(spark)},
+            ts_dimensions=["h"],
+        ).collect()
+        assert [(r.h, r.inc) for r in out] == [
+            ("h1", 140.0), ("h2", 80.0),
+        ]
 
 
 class TestLikePatternLists:
