@@ -119,6 +119,13 @@ string literals to single-quoted; ES|QL-named functions translate:
   Catalyst predicate inline with the WHERE, so ES|QL, the Kibana
   bar, and the ``_search`` endpoint can never disagree about what a
   text query matches; any use outside WHERE fails loud;
+- ``KNN(field, [query_vector] [, k | {"k":.., "similarity":..}])``
+  (ES 8.19 tech preview) — vector retrieval inside WHERE: sibling
+  AND-conjuncts pre-filter (ES's rule), then exact cosine top-k
+  (k defaults to 10) scored with the SAME (1+cos)/2 expression the
+  ``_search`` knn section ranks by; with ``METADATA _score`` the
+  similarity adds to relevance; OR/NOT around the call fails loud
+  (ES rejects negated knn);
 - the ``MV_*`` scalar family (MV_COUNT/MV_MIN/MV_MAX/MV_SUM/MV_AVG/
   MV_CONCAT/MV_FIRST/MV_LAST) lowers to the array built-ins;
 - the ``TO_*`` conversions (TO_UPPER/TO_LOWER/TO_STRING/TO_LONG/
@@ -1092,6 +1099,13 @@ def _tr_expr(expr: str) -> str:
             f"ES|QL: full-text function {ft.group(1).upper()}() is "
             f"only supported in WHERE: {expr!r}"
         )
+    if _KNN_RE.search(sk):
+        # WHERE extracts KNN before translation — reaching here
+        # means the call sits in EVAL/STATS/SORT, where ES rejects
+        # it too (the predicate needs retrieval semantics)
+        raise ValueError(
+            f"ES|QL: KNN() is only supported in WHERE: {expr!r}"
+        )
     ts = _TS_AGG_RE.search(sk)
     if ts:
         # the TS family never reaches translation on the supported
@@ -1354,6 +1368,16 @@ _TS_INNER_FNS = {
 # counter family — needs the lag()-window pre-pass
 _TS_COUNTER_FNS = {"RATE", "IRATE", "IDELTA", "DELTA", "INCREASE"}
 
+# KNN(field, [query_vector] [, k | {"k":.., "similarity":..}]) —
+# ES 8.19 tech preview: vector search inside an ES|QL WHERE. Pins
+# for determinism: k defaults to 10 (ES's default size), scoring is
+# the dense-vector cosine scale (1+cos)/2 — the SAME expression the
+# _search knn section ranks by; sibling AND-conjuncts act as
+# PRE-filters (ES applies WHERE conjunctions as kNN prefilters);
+# OR/NOT around KNN is rejected like ES rejects negated knn.
+_KNN_RE = re.compile(r"\bKNN\s*\(", re.IGNORECASE)
+_KNN_OPT_KEYS = {"k", "similarity"}
+
 _MATCH_OPT_KEYS = {"operator", "analyzer"}
 _QSTR_OPT_KEYS = {
     "default_field", "fields", "default_operator",
@@ -1497,6 +1521,108 @@ def _lower_fulltext(name: str, inner: str) -> tuple[Column, dict]:
         body.update(_opts_map(args[1], "QSTR", _QSTR_OPT_KEYS))
     dsl = {"query_string": body}
     return compile_query(dsl), dsl
+
+
+def _extract_knn(
+    arg: str,
+) -> tuple[str | None, str, list[float], int, float | None] | None:
+    """Find the ``KNN(field, [vector] [, k|options])`` call in a RAW
+    WHERE expression (ES 8.19 tech preview). Returns None when there
+    is no call, else (rest_predicate_or_None, field, query_vector,
+    k, similarity_or_None). The call must be a top-level conjunct:
+    siblings joined by AND become the kNN PRE-filter (ES's rule);
+    OR/NOT around the call — which would need post-knn union
+    semantics — fails loud, like ES rejects negated knn."""
+    blanked = _blank_strings(arg)
+    m = _KNN_RE.search(blanked)
+    if m is None:
+        return None
+    depth = 0
+    for ch in blanked[:m.start()]:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+    if depth != 0:
+        raise ValueError(
+            "ES|QL KNN: must be a top-level conjunct of the WHERE "
+            f"(not nested in parentheses): {arg!r}"
+        )
+    open_idx = arg.index("(", m.end() - 1)
+    close = _scan_balanced(arg, open_idx)
+    if _KNN_RE.search(_blank_strings(arg[close + 1:])):
+        raise ValueError(
+            f"ES|QL KNN: one call per WHERE: {arg!r}"
+        )
+    # splice the call out as TRUE — the remainder is the pre-filter
+    rest = (arg[:m.start()] + " TRUE " + arg[close + 1:]).strip()
+    # the siblings must be pure AND-glue: any top-level OR/NOT
+    # changes the semantics from prefilter to union/negation
+    rb = _blank_strings(rest)
+    d = 0
+    for tm in re.finditer(r"\(|\)|\[|\]|\b(OR|NOT)\b", rb,
+                          re.IGNORECASE):
+        t = tm.group(0)
+        if t in "([":
+            d += 1
+        elif t in ")]":
+            d -= 1
+        elif d == 0:
+            raise ValueError(
+                "ES|QL KNN: only AND-conjuncts may surround "
+                f"KNN (they pre-filter the search): {arg!r}"
+            )
+    if rest.upper() == "TRUE":
+        rest = ""
+    args = _split_top_commas(arg[open_idx + 1:close])
+    if not 2 <= len(args) <= 3:
+        raise ValueError(
+            "ES|QL KNN: expected KNN(field, [query_vector] "
+            f"[, k | options]), got {len(args)} args: {arg!r}"
+        )
+    field = args[0].strip()
+    if not _IDENT_RE.match(field):
+        raise ValueError(
+            f"ES|QL KNN: the first argument must be a field name, "
+            f"got {field!r}"
+        )
+    vsrc = args[1].strip()
+    if not (vsrc.startswith("[") and vsrc.endswith("]")):
+        raise ValueError(
+            "ES|QL KNN: the query vector must be a bracketed "
+            f"number list, got {vsrc!r}"
+        )
+    try:
+        qv = [float(x) for x in vsrc[1:-1].split(",")]
+    except ValueError:
+        raise ValueError(
+            f"ES|QL KNN: non-numeric query vector element: {vsrc!r}"
+        )
+    if not qv:
+        raise ValueError("ES|QL KNN: empty query vector")
+    k, sim = 10, None
+    if len(args) == 3:
+        third = args[2].strip()
+        if third.startswith("{"):
+            opts = _opts_map(third, "KNN", _KNN_OPT_KEYS)
+            k = int(opts.get("k", 10))
+            if "similarity" in opts:
+                sim = float(opts["similarity"])
+        else:
+            try:
+                k = int(third)
+            except ValueError:
+                raise ValueError(
+                    "ES|QL KNN: the third argument must be an "
+                    f"integer k or an options map: {third!r}"
+                )
+    if k <= 0:
+        raise ValueError(f"ES|QL KNN: k must be positive: {k}")
+    if sim is not None and not -1.0 <= sim <= 1.0:
+        raise ValueError(
+            f"ES|QL KNN: similarity must be in [-1, 1]: {sim}"
+        )
+    return rest or None, field, qv, k, sim
 
 
 def _extract_fulltext(
@@ -2526,6 +2652,86 @@ def _fuse(df: DataFrame, arg: str) -> DataFrame:
     return out.select(*ordered)
 
 
+def _where_stage(df: DataFrame, arg: str) -> DataFrame:
+    """One ``| WHERE ..`` stage: ordinary predicates translate to a
+    single Catalyst filter; MATCH/QSTR/KQL splice in as boolean
+    columns (composable with any boolean glue); KNN (ES 8.19 tech
+    preview) turns the stage into prefilter -> exact cosine top-k.
+
+    Scale shape for KNN: sibling conjuncts filter FIRST (pushed to
+    the scan), then one codegen zip_with dot product per surviving
+    row + TakeOrdered(k) — the corpus never shuffles, only k rows
+    reach the driver's side of the plan. The scoring expression is
+    the SAME (1+cos)/2 the _search knn section ranks by, so the pipe
+    and the API can never disagree about neighbor order."""
+    knn = _extract_knn(arg)
+    if knn is not None:
+        rest, field, qv, k, sim = knn
+        if rest:
+            df = _where_stage(df, rest)
+        if field not in df.columns:
+            raise ValueError(
+                f"ES|QL KNN: unknown field {field!r} "
+                f"(columns: {df.columns})"
+            )
+        from .querydsl import _doc_tiebreak, _knn_score
+
+        score = _knn_score(field, qv)
+        if sim is not None:
+            # minimum RAW cosine to be a hit, like the knn section
+            df = df.filter(score >= F.lit((1.0 + sim) / 2.0))
+        df = df.withColumn("__esql_knn", score)
+        if "_score" in df.columns:
+            # METADATA _score: knn contributes its similarity, like
+            # every scoring function in a WHERE
+            df = df.withColumn(
+                "_score", F.col("_score") + F.col("__esql_knn")
+            )
+        return (
+            df.orderBy(
+                F.col("__esql_knn").desc(),
+                *_doc_tiebreak(df, ["_score", "__esql_knn"]),
+            )
+            .limit(k)
+            .drop("__esql_knn")
+        )
+    rewritten, fts = _extract_fulltext(arg)
+    if fts:
+        # full-text predicates attach as throwaway boolean
+        # columns so they compose with any boolean expression
+        # (NOT/AND/OR around MATCH); Catalyst collapses the
+        # projections back into one Filter
+        scored = "_score" in df.columns
+        for ph, col, dsl in fts:
+            df = df.withColumn(ph, col)
+            if scored:
+                # METADATA _score: each scoring function in the
+                # WHERE adds its relevance (BM25 for the match
+                # family — the SAME expression _search ranks by,
+                # stats over the pre-filter frame, like the
+                # index); a non-matching call adds 0
+                from .querydsl import _score_and_filter
+
+                _, s = _score_and_filter(df, dsl, True)
+                df = df.withColumn(
+                    "_score",
+                    F.col("_score")
+                    + F.coalesce(
+                        F.when(
+                            F.coalesce(
+                                F.col(ph), F.lit(False)
+                            ),
+                            s,
+                        ),
+                        F.lit(0.0),
+                    ),
+                )
+        return df.filter(_expr_col(rewritten)).drop(
+            *[ph for ph, _, _ in fts]
+        )
+    return df.filter(_expr_col(arg))
+
+
 def _apply_stage(
     df: DataFrame, stage: str, tables: dict[str, DataFrame]
 ) -> DataFrame:
@@ -2539,42 +2745,7 @@ def _apply_stage(
     elif cmd == "FUSE":
         df = _fuse(df, arg)
     elif cmd == "WHERE":
-        rewritten, fts = _extract_fulltext(arg)
-        if fts:
-            # full-text predicates attach as throwaway boolean
-            # columns so they compose with any boolean expression
-            # (NOT/AND/OR around MATCH); Catalyst collapses the
-            # projections back into one Filter
-            scored = "_score" in df.columns
-            for ph, col, dsl in fts:
-                df = df.withColumn(ph, col)
-                if scored:
-                    # METADATA _score: each scoring function in the
-                    # WHERE adds its relevance (BM25 for the match
-                    # family — the SAME expression _search ranks by,
-                    # stats over the pre-filter frame, like the
-                    # index); a non-matching call adds 0
-                    from .querydsl import _score_and_filter
-
-                    _, s = _score_and_filter(df, dsl, True)
-                    df = df.withColumn(
-                        "_score",
-                        F.col("_score")
-                        + F.coalesce(
-                            F.when(
-                                F.coalesce(
-                                    F.col(ph), F.lit(False)
-                                ),
-                                s,
-                            ),
-                            F.lit(0.0),
-                        ),
-                    )
-            df = df.filter(_expr_col(rewritten)).drop(
-                *[ph for ph, _, _ in fts]
-            )
-        else:
-            df = df.filter(_expr_col(arg))
+        df = _where_stage(df, arg)
     elif cmd == "EVAL":
         for part in _split_top_commas(arg):
             am = _ASSIGN_RE.match(part)

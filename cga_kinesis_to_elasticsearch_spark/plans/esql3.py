@@ -420,6 +420,60 @@ def _esql_ts_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 5c. KNN(): vector retrieval inside an ES|QL WHERE (ES 8.19)
+# ---------------------------------------------------------------------------
+
+# a deterministic 64-dim query vector (the embeddings tables are
+# 64-dim at every SF)
+_KNN_QV = [1.0 if i % 7 == 0 else 0.25 for i in range(64)]
+_KNN_QV_TXT = "[" + ", ".join(repr(x) for x in _KNN_QV) + "]"
+
+_ESQL_KNN_ORACLE = f"""
+WITH scored AS (
+    SELECT vec_id, label,
+           (1 + list_cosine_similarity({_KNN_QV_TXT}::DOUBLE[],
+                                       embedding::DOUBLE[])) / 2 AS s
+    FROM embeddings
+    WHERE label <> 0
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, round(s, 4) AS score
+FROM scored
+ORDER BY s DESC, vec_id
+LIMIT 7
+"""
+
+
+@q("esql_knn_function", _ESQL_KNN_ORACLE)
+def _esql_knn_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``WHERE KNN(field, [query_vector], k)`` (ES 8.19 tech
+    preview) — vector retrieval in pipe syntax, the ES|QL face of
+    the engine's similarity subsystem. The sibling conjunct
+    (``label != 0``) pre-filters BEFORE the top-k, ES's rule for
+    WHERE conjunctions around knn; with ``METADATA _score`` the
+    (1+cos)/2 similarity — the SAME expression the ``_search`` knn
+    section ranks by — lands in relevance.
+
+    Scale shape: prefilter pushes to the scan, then one codegen
+    zip_with dot product per surviving row + TakeOrdered(k); the
+    corpus never shuffles and only k rows leave the executors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = run_esql(
+        f"""
+        FROM embeddings METADATA _score
+        | WHERE KNN(embedding, {_KNN_QV_TXT}, 7) AND label != 0
+        | SORT _score DESC, vec_id
+        | KEEP vec_id, label, _score
+        """,
+        {"embeddings": emb},
+    )
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round("_score", 4).alias("score"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 6. LIKE pattern lists + the round-9 scalar batch over documents
 # ---------------------------------------------------------------------------
 

@@ -587,6 +587,110 @@ class TestTsAggregates:
         ]
 
 
+class TestKnnFunction:
+    def test_knn_where(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], "a"),
+                (2, [0.9, 0.1], "a"),
+                (3, [0.0, 1.0], "b"),
+                (4, [0.5, 0.5], "b"),
+                (5, [1.0, 0.05], "a"),
+            ],
+            "vec_id long, v array<double>, g string",
+        )
+        out = run_esql(
+            "FROM e | WHERE KNN(v, [1.0, 0.0], 2) | SORT vec_id",
+            {"e": emb},
+        ).collect()
+        assert [r.vec_id for r in out] == [1, 5]
+
+    def test_knn_prefilter_conjunct(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0], "a"),
+                (2, [0.9, 0.1], "b"),
+                (3, [0.8, 0.2], "b"),
+                (4, [0.0, 1.0], "b"),
+            ],
+            "vec_id long, v array<double>, g string",
+        )
+        # the conjunct pre-filters: top-2 among g == "b" only
+        out = run_esql(
+            'FROM e | WHERE KNN(v, [1.0, 0.0], 2) AND g == "b" '
+            "| SORT vec_id",
+            {"e": emb},
+        ).collect()
+        assert [r.vec_id for r in out] == [2, 3]
+
+    def test_knn_score_metadata(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+            "vec_id long, v array<double>",
+        )
+        out = run_esql(
+            "FROM e METADATA _score | WHERE KNN(v, [1.0, 0.0], 1)",
+            {"e": emb},
+        ).collect()
+        assert out[0].vec_id == 1 and out[0]._score == 1.0
+
+    def test_knn_default_k_and_options_map(self, spark):
+        rows = [(i, [float(i), 1.0]) for i in range(20)]
+        emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        assert (
+            run_esql(
+                "FROM e | WHERE KNN(v, [1.0, 0.0])", {"e": emb}
+            ).count()
+            == 10
+        )
+        assert (
+            run_esql(
+                'FROM e | WHERE KNN(v, [1.0, 0.0], {"k": 4})',
+                {"e": emb},
+            ).count()
+            == 4
+        )
+
+    def test_knn_similarity_floor(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.1])],
+            "vec_id long, v array<double>",
+        )
+        out = run_esql(
+            'FROM e | WHERE KNN(v, [1.0, 0.0], {"k": 10, '
+            '"similarity": 0.5}) | SORT vec_id',
+            {"e": emb},
+        ).collect()
+        # only cos >= 0.5 qualify: vec 1 (1.0) and vec 3 (~0.995)
+        assert [r.vec_id for r in out] == [1, 3]
+
+    def test_knn_rejects_or_not_and_nesting(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, v array<double>"
+        )
+        with pytest.raises(ValueError, match="AND-conjuncts"):
+            run_esql(
+                "FROM e | WHERE KNN(v, [1.0]) OR vec_id == 1",
+                {"e": emb},
+            )
+        with pytest.raises(ValueError, match="AND-conjuncts"):
+            run_esql(
+                "FROM e | WHERE NOT KNN(v, [1.0])", {"e": emb}
+            )
+        with pytest.raises(ValueError, match="top-level"):
+            run_esql(
+                "FROM e | WHERE (KNN(v, [1.0]) AND vec_id > 0)",
+                {"e": emb},
+            )
+        with pytest.raises(ValueError, match="only supported in WHERE"):
+            run_esql("FROM e | EVAL s = KNN(v, [1.0])", {"e": emb})
+        with pytest.raises(ValueError, match="one call"):
+            run_esql(
+                "FROM e | WHERE KNN(v, [1.0]) AND KNN(v, [0.5])",
+                {"e": emb},
+            )
+
+
 class TestLikePatternLists:
     def test_like_list_any_match(self, spark):
         df = spark.createDataFrame(
