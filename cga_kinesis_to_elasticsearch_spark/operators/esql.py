@@ -509,6 +509,118 @@ _DIFF_UNITS = {
 }
 
 
+def _lower_hash(args: list[str]) -> str:
+    """ES|QL ``HASH("algorithm", input)`` (ES 8.16) -> the named hex
+    digest. The algorithm must be a string LITERAL (ES requires a
+    constant too) and maps to Spark's md5/sha1/sha2 — NEVER to
+    Spark's own ``hash()``, which is murmur3 and would silently
+    disagree with every other engine."""
+    alg_src = args[0].strip()
+    if not (alg_src.startswith("'") and alg_src.endswith("'")):
+        raise ValueError(
+            "ES|QL HASH: the algorithm must be a string literal, "
+            f"got {alg_src!r}"
+        )
+    alg = alg_src[1:-1].replace("''", "'").lower()
+    if alg == "md5":
+        return f"md5({args[1]})"
+    if alg in ("sha1", "sha-1"):
+        return f"sha1({args[1]})"
+    if alg in ("sha256", "sha-256"):
+        return f"sha2({args[1]}, 256)"
+    if alg in ("sha512", "sha-512"):
+        return f"sha2({args[1]}, 512)"
+    raise ValueError(
+        f"ES|QL HASH: unsupported algorithm {alg!r} "
+        "(md5, sha1, sha256, sha512)"
+    )
+
+
+def _lower_mv_percentile(args: list[str]) -> str:
+    """ES|QL ``MV_PERCENTILE(field, p)`` — the percentile of a
+    multivalue, exact linear interpolation on the sorted values (the
+    same definition ES uses for small exact sets). Out-of-range p
+    falls out as NULL (the 0-based ``get()`` lookups miss), matching
+    ES's NULL-plus-warning behavior."""
+    x, p = args[0], args[1]
+    s = f"array_sort({x})"
+    idx = f"(CAST(size({x}) - 1 AS DOUBLE) * ({p}) / 100.0)"
+    lo = f"CAST(floor({idx}) AS INT)"
+    at_lo = f"CAST(get({s}, {lo}) AS DOUBLE)"
+    at_hi = f"CAST(get({s}, {lo} + 1) AS DOUBLE)"
+    return (
+        f"(CASE WHEN size({x}) > 0 THEN {at_lo} + "
+        f"(coalesce({at_hi}, {at_lo}) - {at_lo}) * "
+        f"({idx} - CAST({lo} AS DOUBLE)) END)"
+    )
+
+
+def _lower_round_to(args: list[str]) -> str:
+    """ES|QL ``ROUND_TO(value, p1, p2, ..)`` (ES 8.19) — rounds DOWN
+    to the largest of the fixed points <= value; values below every
+    point clamp to the smallest point (ES's histogram-lower-bound
+    behavior). Points must be numeric literals (ES requires
+    constants), so the comparison ladder folds at plan time."""
+    val = args[0]
+    pts: list[float] = []
+    for p in args[1:]:
+        try:
+            pts.append(float(p))
+        except ValueError:
+            raise ValueError(
+                "ES|QL ROUND_TO: points must be numeric literals, "
+                f"got {p!r}"
+            )
+    spts = sorted(set(args[1:]), key=lambda s: float(s))
+    whens = " ".join(
+        f"WHEN {val} >= {p} THEN {p}" for p in reversed(spts)
+    )
+    return (
+        f"(CASE WHEN {val} IS NULL THEN NULL {whens} "
+        f"ELSE {spts[0]} END)"
+    )
+
+
+# WKT point, parentheses as character classes (no regex backslashes,
+# so the pattern survives SQL string-literal escaping untouched)
+_WKT_POINT_RE_SQL = "'^POINT ?[(]([0-9.eE+-]+) ([0-9.eE+-]+)[)]$'"
+
+
+def _lower_to_geopoint(args: list[str]) -> str:
+    """ES|QL ``TO_GEOPOINT("POINT (lon lat)")`` — parse a WKT point
+    into a (lon, lat) struct; a non-WKT value folds to NULL (ES|QL:
+    conversion failure -> NULL + warning)."""
+    a = args[0]
+    lon = f"CAST(regexp_extract({a}, {_WKT_POINT_RE_SQL}, 1) AS DOUBLE)"
+    lat = f"CAST(regexp_extract({a}, {_WKT_POINT_RE_SQL}, 2) AS DOUBLE)"
+    return (
+        f"(CASE WHEN {a} RLIKE {_WKT_POINT_RE_SQL} "
+        f"THEN named_struct('lon', {lon}, 'lat', {lat}) END)"
+    )
+
+
+# Lucene's mean earth radius (SloppyMath) — the constant ES's
+# geo_distance math is built on
+_EARTH_RADIUS_M = "6371008.7714"
+
+
+def _lower_st_distance(args: list[str]) -> str:
+    """ES|QL ``ST_DISTANCE(geom1, geom2)`` over geo_points — great-
+    circle meters by the haversine formula on Lucene's mean earth
+    radius (6371008.7714 m), the constant ES's geo distance math is
+    built on. Operands are the (lon, lat) structs TO_GEOPOINT
+    produces; a NULL point propagates NULL."""
+    a, b = args[0], args[1]
+    lat1, lon1 = f"radians(({a}).lat)", f"radians(({a}).lon)"
+    lat2, lon2 = f"radians(({b}).lat)", f"radians(({b}).lon)"
+    h = (
+        f"pow(sin(({lat2} - {lat1}) / 2), 2) + "
+        f"cos({lat1}) * cos({lat2}) * "
+        f"pow(sin(({lon2} - {lon1}) / 2), 2)"
+    )
+    return f"(2 * {_EARTH_RADIUS_M} * asin(sqrt({h})))"
+
+
 def _lower_case_fn(args: list[str]) -> str:
     """ES|QL ``CASE(cond1, val1, cond2, val2, .., [default])`` — the
     FUNCTION form (ES|QL has no CASE WHEN syntax; Kibana emits this
@@ -802,6 +914,13 @@ _ESQL_FUNCS: dict[str, tuple[object, object]] = {
         ),
     ),
     "CIDR_MATCH": ((2, 16), _lower_cidr_match),
+    "HASH": (2, _lower_hash),
+    "MV_PERCENTILE": (2, _lower_mv_percentile),
+    "ROUND_TO": ((2, 64), _lower_round_to),
+    "TO_GEOPOINT": (1, _lower_to_geopoint),
+    "ST_X": (1, lambda a: f"({a[0]}).lon"),
+    "ST_Y": (1, lambda a: f"({a[0]}).lat"),
+    "ST_DISTANCE": (2, _lower_st_distance),
     "STARTS_WITH": (2, lambda a: f"startswith({a[0]}, {a[1]})"),
     "ENDS_WITH": (2, lambda a: f"endswith({a[0]}, {a[1]})"),
     # 1-arg DATE_FORMAT uses ES's default (ISO-8601 with millis);
@@ -1341,7 +1460,11 @@ def _expr_col(expr: str) -> Column:
 # they are only legal inside WHERE (the predicate needs match
 # semantics, not a scalar value).
 
-_FT_RE = re.compile(r"\b(MATCH|QSTR|KQL)\s*\(", re.IGNORECASE)
+# MATCH_PHRASE before MATCH — the alternation must not split the
+# longer name at its prefix
+_FT_RE = re.compile(
+    r"\b(MATCH_PHRASE|MATCH|QSTR|KQL|TERM)\s*\(", re.IGNORECASE
+)
 
 # the TS command's time-series aggregate family (ES 8.19 tech
 # preview) — lowered by _ts_stats on the TS path; anywhere else the
@@ -1486,6 +1609,60 @@ def _lower_fulltext(name: str, inner: str) -> tuple[Column, dict]:
             else {}
         )
         dsl = kql_to_dsl(_lit_str_raw(args[0], "KQL"), **opts)
+        return compile_query(dsl), dsl
+    if name == "MATCH_PHRASE":
+        # ES 8.19: consecutive-token phrase search in pipe syntax —
+        # lowers to the SAME match_phrase clause _search compiles
+        if not 2 <= len(args) <= 3:
+            raise ValueError(
+                f"ES|QL MATCH_PHRASE: expected MATCH_PHRASE(field, "
+                f"\"phrase\" [, options]), got {len(args)} args: "
+                f"{inner!r}"
+            )
+        field = args[0].strip()
+        if not _IDENT_RE.match(field):
+            raise ValueError(
+                f"ES|QL MATCH_PHRASE: the first argument must be a "
+                f"field name, got {field!r}"
+            )
+        body = {"query": _lit_str_raw(args[1], "MATCH_PHRASE")}
+        if len(args) == 3:
+            opts = _opts_map(
+                args[2], "MATCH_PHRASE", {"slop", "analyzer"}
+            )
+            if "slop" in opts:
+                opts["slop"] = int(opts["slop"])
+            body.update(opts)
+        dsl = {"match_phrase": {field: body}}
+        return compile_query(dsl), dsl
+    if name == "TERM":
+        # ES 8.16 tech preview: exact un-analyzed term equality —
+        # the keyword-field form (no analysis on either side)
+        if len(args) != 2:
+            raise ValueError(
+                f"ES|QL TERM: expected TERM(field, value), got "
+                f"{len(args)} args: {inner!r}"
+            )
+        field = args[0].strip()
+        if not _IDENT_RE.match(field):
+            raise ValueError(
+                f"ES|QL TERM: the first argument must be a field "
+                f"name, got {field!r}"
+            )
+        vraw = args[1].strip()
+        if vraw.startswith('"') or vraw.startswith("'"):
+            value: object = _lit_str_raw(vraw, "TERM")
+        else:
+            try:
+                value = (
+                    float(vraw) if "." in vraw else int(vraw)
+                )
+            except ValueError:
+                raise ValueError(
+                    f"ES|QL TERM: the value must be a literal, "
+                    f"got {vraw!r}"
+                )
+        dsl = {"term": {field: {"value": value}}}
         return compile_query(dsl), dsl
     if name == "MATCH":
         if not 2 <= len(args) <= 3:

@@ -474,6 +474,220 @@ def _esql_knn_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 5d. MATCH_PHRASE() / TERM(): the rest of the full-text WHERE family
+# ---------------------------------------------------------------------------
+
+_ESQL_PHRASE_TERM_ORACLE = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+WHERE (' ' || text || ' ') LIKE '% merge scan %' OR lang = 'zh'
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@q("esql_match_phrase_term", _ESQL_PHRASE_TERM_ORACLE)
+def _esql_match_phrase_term(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ES|QL ``MATCH_PHRASE()`` (ES 8.19) + ``TERM()`` (ES 8.16) —
+    the rest of the full-text WHERE family, composed under OR to pin
+    that the extracted predicates stay ordinary booleans. Both lower
+    through the SAME query-DSL compiler ``_search`` uses
+    (match_phrase's consecutive-token check, term's un-analyzed
+    equality), so the pipe and the API agree on every hit.
+
+    Scale shape: one Catalyst predicate inline with the WHERE; the
+    STATS stays the single partial-agg shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = run_esql(
+        """
+        FROM documents
+        | WHERE MATCH_PHRASE(text, "merge scan") OR TERM(lang, "zh")
+        | STATS n = count(*), chars = sum(n_chars) BY lang
+        | SORT lang
+        """,
+        {"documents": docs},
+    )
+    return out.select("lang", "n", "chars")
+
+
+# ---------------------------------------------------------------------------
+# 5e. HASH() / ROUND_TO() / MV_PERCENTILE(): round-9 scalar fill-ins
+# ---------------------------------------------------------------------------
+
+_ESQL_HASH_ROUND_TO_ORACLE = """
+SELECT CAST(CASE WHEN n_chars IS NULL THEN NULL
+            WHEN n_chars >= 800 THEN 800
+            WHEN n_chars >= 400 THEN 400
+            WHEN n_chars >= 200 THEN 200
+            WHEN n_chars >= 100 THEN 100
+            ELSE 0 END AS BIGINT) AS bucket_chars,
+       count(DISTINCT sha256(text)) AS n_fp,
+       count(DISTINCT md5(text)) AS n_md5
+FROM documents
+GROUP BY 1
+ORDER BY bucket_chars
+"""
+
+
+@q("esql_hash_round_to", _ESQL_HASH_ROUND_TO_ORACLE)
+def _esql_hash_round_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``HASH("algo", v)`` (ES 8.16) + ``ROUND_TO(v, points..)``
+    (ES 8.19): content fingerprints counted per fixed-point size
+    bucket. HASH maps to the named digest (md5/sha1/sha2) — never to
+    Spark's murmur ``hash()``, which would silently disagree with
+    every other engine; ROUND_TO's literal points fold to a
+    comparison ladder at plan time (values below every point clamp
+    to the smallest, ES's histogram-lower-bound rule).
+
+    Scale shape: codegen scalars + one partial-agg shuffle; the
+    distinct-count shuffles (hash, bucket) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    out = run_esql(
+        """
+        FROM documents
+        | EVAL bucket_chars = ROUND_TO(n_chars, 0, 100, 200, 400, 800),
+               fp = HASH("sha256", text), fp_md5 = HASH("md5", text)
+        | STATS n_fp = count_distinct(fp),
+                n_md5 = count_distinct(fp_md5)
+            BY bucket_chars
+        | SORT bucket_chars
+        """,
+        {"documents": docs},
+    )
+    return out.select(
+        F.col("bucket_chars").cast("long").alias("bucket_chars"),
+        "n_fp",
+        "n_md5",
+    )
+
+
+_ESQL_MV_PERCENTILE_ORACLE = """
+WITH s AS (
+    SELECT vec_id, label, list_sort(embedding) AS e,
+           len(embedding) AS n
+    FROM embeddings
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       round(CAST(e[32] AS DOUBLE) +
+             (CAST(e[33] AS DOUBLE) - CAST(e[32] AS DOUBLE)) *
+             ((CAST(n - 1 AS DOUBLE) * (50) / 100.0) - 31), 6)
+           AS med,
+       round(CAST(e[57] AS DOUBLE) +
+             (CAST(e[58] AS DOUBLE) - CAST(e[57] AS DOUBLE)) *
+             ((CAST(n - 1 AS DOUBLE) * (90) / 100.0) - 56), 6)
+           AS p90
+FROM s
+WHERE vec_id < 40
+ORDER BY vec_id
+"""
+
+
+@q("esql_mv_percentile", _ESQL_MV_PERCENTILE_ORACLE)
+def _esql_mv_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``MV_PERCENTILE(field, p)`` — exact linear interpolation
+    on the sorted multivalue (ES's definition for exact sets),
+    here the median and p90 of each 64-dim embedding. The oracle
+    hand-computes the same interpolation on DuckDB's list_sort, so
+    the definition — not just the code — is pinned cross-engine.
+
+    Scale shape: a pure codegen array expression; no shuffle at
+    all (narrow scan -> project -> filter)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = run_esql(
+        """
+        FROM embeddings
+        | WHERE vec_id < 40
+        | EVAL med = MV_PERCENTILE(embedding, 50),
+               p90 = MV_PERCENTILE(embedding, 90)
+        | SORT vec_id
+        """,
+        {"embeddings": emb},
+    )
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round("med", 6).alias("med"),
+        F.round("p90", 6).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5f. ST_* spatial scalars: TO_GEOPOINT / ST_X / ST_Y / ST_DISTANCE
+# ---------------------------------------------------------------------------
+
+# synthesized coordinates, same convention as plans/geo.py: integer
+# centi-degrees from c_custkey via coprime multipliers
+_ST_LATLON_SQL = (
+    "(-6000 + (c_custkey * 7) % 12000) / 100.0 AS lat, "
+    "(-18000 + (c_custkey * 13) % 36000) / 100.0 AS lon"
+)
+# the fixed query point (Sydney) and Lucene's mean earth radius —
+# the same constants the engine's ST_DISTANCE lowers to
+_ST_Q_LAT, _ST_Q_LON = -33.87, 151.21
+_ST_R = "6371008.7714"
+
+_ESQL_ST_DISTANCE_ORACLE = f"""
+WITH pts AS (SELECT c_custkey, c_nationkey, {_ST_LATLON_SQL}
+             FROM customer),
+d AS (
+    SELECT c_custkey, c_nationkey,
+           2 * {_ST_R} * asin(sqrt(
+               pow(sin((radians({_ST_Q_LAT}) - radians(lat)) / 2), 2)
+               + cos(radians(lat)) * cos(radians({_ST_Q_LAT}))
+               * pow(sin((radians({_ST_Q_LON}) - radians(lon)) / 2), 2)
+           )) AS dist
+    FROM pts
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       count(*) AS n_near,
+       round(min(dist) / 1000, 3) AS closest_km
+FROM d
+WHERE dist < 8000000
+GROUP BY 1
+ORDER BY nation
+"""
+
+
+@q("esql_st_distance", _ESQL_ST_DISTANCE_ORACLE)
+def _esql_st_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL spatial scalars (8.12+): ``TO_GEOPOINT`` parses WKT
+    points (round-tripped here through CONCAT to exercise the
+    parser), ``ST_DISTANCE`` computes great-circle meters by the
+    haversine on Lucene's mean earth radius (6371008.7714 m — the
+    constant ES's geo math is built on); the oracle replays the
+    identical formula on the raw coordinates, so the geometry — not
+    just the plumbing — is pinned.
+
+    Scale shape: codegen scalars + pushed-down radius predicate +
+    one partial-agg shuffle; nothing wide anywhere."""
+    cust = _t(spark, sf_dir, "customer")
+    out = run_esql(
+        f"""
+        FROM customer
+        | EVAL lat = (-6000 + (c_custkey * 7) % 12000) / 100.0,
+               lon = (-18000 + (c_custkey * 13) % 36000) / 100.0,
+               wkt = CONCAT("POINT (", TO_STRING(lon), " ",
+                            TO_STRING(lat), ")"),
+               p = TO_GEOPOINT(wkt),
+               dist = ST_DISTANCE(p,
+                   TO_GEOPOINT("POINT ({_ST_Q_LON} {_ST_Q_LAT})"))
+        | WHERE dist < 8000000
+        | STATS n_near = count(*), closest = min(dist)
+            BY nation = c_nationkey
+        | SORT nation
+        """,
+        {"customer": cust},
+    )
+    return out.select(
+        F.col("nation").cast("long").alias("nation"),
+        "n_near",
+        F.round(F.col("closest") / 1000, 3).alias("closest_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 6. LIKE pattern lists + the round-9 scalar batch over documents
 # ---------------------------------------------------------------------------
 

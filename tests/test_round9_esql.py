@@ -1039,3 +1039,153 @@ class TestFromWildcardsAndInlinestatsWhere:
             "FROM e | EVAL f = DATE_FORMAT(ts)", {"e": df}
         ).first()
         assert r.f == "2024-01-01T10:47:31.123Z"
+
+
+class TestFullTextPhraseAndTerm:
+    def test_match_phrase_consecutive_tokens(self, spark):
+        out = run_esql(
+            'FROM d | WHERE MATCH_PHRASE(body, "merge sort") | SORT id',
+            {"d": _docs(spark)},
+        ).collect()
+        assert [r.id for r in out] == [1]
+
+    def test_match_phrase_slop(self, spark):
+        df = spark.createDataFrame(
+            [(1, "merge sort"), (2, "sort merge"), (3, "merge a sort")],
+            "id long, body string",
+        )
+        out = run_esql(
+            'FROM d | WHERE MATCH_PHRASE(body, "merge sort", '
+            '{"slop": 2}) | SORT id',
+            {"d": df},
+        ).collect()
+        assert [r.id for r in out] == [1, 2, 3]
+
+    def test_term_exact_unanalyzed(self, spark):
+        df = spark.createDataFrame(
+            [(1, "en"), (2, "de"), (3, "EN")], "id long, lang string"
+        )
+        out = run_esql(
+            'FROM d | WHERE TERM(lang, "en")', {"d": df}
+        ).collect()
+        # no analysis on either side: "EN" does not match
+        assert [r.id for r in out] == [1]
+
+    def test_term_numeric_value(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "id long")
+        out = run_esql("FROM d | WHERE TERM(id, 2)", {"d": df}).collect()
+        assert [r.id for r in out] == [2]
+
+    def test_term_outside_where_fails(self, spark):
+        df = spark.createDataFrame([(1, "en")], "id long, lang string")
+        with pytest.raises(ValueError, match="only supported in WHERE"):
+            run_esql('FROM d | EVAL x = TERM(lang, "en")', {"d": df})
+
+    def test_match_phrase_bad_option_fails(self, spark):
+        with pytest.raises(ValueError, match="MATCH_PHRASE"):
+            run_esql(
+                'FROM d | WHERE MATCH_PHRASE(body, "a b", '
+                '{"operator": "AND"})',
+                {"d": _docs(spark)},
+            )
+
+
+class TestRound9Scalars:
+    def test_hash_named_digests(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame([("hello",)], "s string")
+        r = run_esql(
+            'FROM t | EVAL m = HASH("md5", s), s1 = HASH("sha1", s), '
+            's2 = HASH("sha256", s), s5 = HASH("SHA-512", s)',
+            {"t": df},
+        ).first()
+        assert r.m == hashlib.md5(b"hello").hexdigest()
+        assert r.s1 == hashlib.sha1(b"hello").hexdigest()
+        assert r.s2 == hashlib.sha256(b"hello").hexdigest()
+        assert r.s5 == hashlib.sha512(b"hello").hexdigest()
+
+    def test_hash_rejects_unknown_and_nonliteral(self, spark):
+        df = spark.createDataFrame([("x",)], "s string")
+        with pytest.raises(ValueError, match="unsupported algorithm"):
+            run_esql('FROM t | EVAL h = HASH("crc32", s)', {"t": df})
+        with pytest.raises(ValueError, match="string literal"):
+            run_esql("FROM t | EVAL h = HASH(s, s)", {"t": df})
+
+    def test_mv_percentile_interpolation(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 3.0, 2.0, 10.0],)], "arr array<double>"
+        )
+        r = run_esql(
+            "FROM t | EVAL p50 = MV_PERCENTILE(arr, 50), "
+            "p0 = MV_PERCENTILE(arr, 0), p100 = MV_PERCENTILE(arr, 100), "
+            "p75 = MV_PERCENTILE(arr, 75), bad = MV_PERCENTILE(arr, 150)",
+            {"t": df},
+        ).first()
+        assert (r.p50, r.p0, r.p100) == (2.5, 1.0, 10.0)
+        assert r.p75 == 3.0 + (10.0 - 3.0) * 0.25
+        assert r.bad is None  # out-of-range p -> NULL, like ES
+
+    def test_round_to_ladder(self, spark):
+        df = spark.createDataFrame(
+            [(1, 7000.0), (2, -5.0), (3, 100.0), (4, None)],
+            "id long, v double",
+        )
+        out = run_esql(
+            "FROM t | EVAL r = ROUND_TO(v, 0, 100, 5000, 10000) "
+            "| SORT id",
+            {"t": df},
+        ).collect()
+        # below every point clamps to the smallest; NULL stays NULL
+        assert [r.r for r in out] == [5000, 0, 100, None]
+
+    def test_round_to_rejects_nonliteral_points(self, spark):
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="numeric literals"):
+            run_esql("FROM t | EVAL r = ROUND_TO(v, v)", {"t": df})
+
+
+class TestSpatialScalars:
+    def test_to_geopoint_wkt_and_accessors(self, spark):
+        df = spark.createDataFrame(
+            [("POINT (151.2093 -33.8688)",), ("POINT(1 2)",),
+             ("not wkt",), (None,)],
+            "wkt string",
+        )
+        out = run_esql(
+            "FROM t | EVAL p = TO_GEOPOINT(wkt), x = ST_X(p), "
+            "y = ST_Y(p)",
+            {"t": df},
+        ).collect()
+        assert (out[0].x, out[0].y) == (151.2093, -33.8688)
+        assert (out[1].x, out[1].y) == (1.0, 2.0)
+        assert out[2].p is None and out[3].p is None
+
+    def test_st_distance_haversine(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        r = run_esql(
+            'FROM t | EVAL d = ST_DISTANCE('
+            'TO_GEOPOINT("POINT (151.2093 -33.8688)"), '
+            'TO_GEOPOINT("POINT (144.9631 -37.8136)"))',
+            {"t": df},
+        ).first()
+        # Sydney -> Melbourne is ~713.4 km
+        assert 710_000 < r.d < 717_000
+
+    def test_st_distance_null_point_propagates(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        r = run_esql(
+            'FROM t | EVAL d = ST_DISTANCE(TO_GEOPOINT("nope"), '
+            'TO_GEOPOINT("POINT (0 0)"))',
+            {"t": df},
+        ).first()
+        assert r.d is None
+
+    def test_st_distance_zero(self, spark):
+        df = spark.createDataFrame([(1,)], "id long")
+        r = run_esql(
+            'FROM t | EVAL d = ST_DISTANCE(TO_GEOPOINT("POINT (5 5)"), '
+            'TO_GEOPOINT("POINT (5 5)"))',
+            {"t": df},
+        ).first()
+        assert r.d == 0.0
