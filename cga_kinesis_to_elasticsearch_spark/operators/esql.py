@@ -2829,6 +2829,90 @@ def _fuse(df: DataFrame, arg: str) -> DataFrame:
     return out.select(*ordered)
 
 
+_RERANK_RE = re.compile(
+    r"^(?:([A-Za-z_][A-Za-z0-9_]*)\s*=\s*)?"  # optional target =
+    r"(\"(?:[^\"\\]|\\.)*\"|'[^']*')"          # the query literal
+    r"\s+ON\s+([A-Za-z_][A-Za-z0-9_.]*)"       # ON field
+    r"(?:\s+WITH\s+(.+))?$",                   # optional WITH ..
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _rerank(df: DataFrame, arg: str) -> DataFrame:
+    """ES|QL ``RERANK [target =] "query" ON field [WITH {..}]``
+    (ES 8.18 tech preview) — semantic re-scoring of the current
+    rows. ES routes this through an inference endpoint (an external
+    cross-encoder); this engine has no model to call, so the scorer
+    is a DETERMINISTIC LEXICAL STAND-IN, documented here and in the
+    README: distinct-token overlap between the query and the field
+    under the standard analyzer (matched distinct query tokens /
+    distinct query tokens; a NULL field scores 0.0). The command
+    plumbing — parse, target column, _score overwrite, re-sort — is
+    the real surface; swap the scorer when an endpoint exists.
+
+    Without a target the score OVERWRITES ``_score`` (creating it if
+    the pipe carried no METADATA) and re-sorts descending with the
+    deterministic document tie-break, like ES's rerank reorders the
+    hits; with ``target =`` the score lands in that column and the
+    row order is the caller's (ES 8.19 behavior).
+
+    Scale shape: a codegen array-intersect per row; the re-sort is
+    the only exchange and only when it reorders (no LIMIT is forced
+    — a following LIMIT turns it into TakeOrdered)."""
+    m = _RERANK_RE.match(arg.strip())
+    if not m:
+        raise ValueError(
+            "ES|QL RERANK: expected '[target =] \"query\" ON field "
+            f"[WITH options]': {arg!r}"
+        )
+    target, qsrc, field, with_src = m.groups()
+    query = _lit_str_raw(qsrc, "RERANK")
+    if field not in df.columns:
+        raise ValueError(
+            f"ES|QL RERANK: unknown field {field!r} "
+            f"(columns: {df.columns})"
+        )
+    if with_src is not None:
+        w = with_src.strip()
+        if w.startswith("{"):
+            # inference options map — id accepted (the stand-in
+            # scorer runs regardless; documented above)
+            _opts_map(w, "RERANK", {"inference_id"})
+        elif not _IDENT_RE.match(w):
+            raise ValueError(
+                f"ES|QL RERANK: WITH takes an inference id or an "
+                f"options map, got {w!r}"
+            )
+    # standard-analyzer distinct query tokens, folded at plan time
+    # (the same normalization querydsl._tokens applies executor-side)
+    qtoks = sorted({t for t in re.split(r"[\W_]+", query.lower()) if t})
+    if not qtoks:
+        raise ValueError(
+            f"ES|QL RERANK: the query has no tokens: {query!r}"
+        )
+    from .querydsl import _doc_tiebreak, _tokens
+
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(_tokens(F.col(field), "standard")),
+            F.array(*[F.lit(t) for t in qtoks]),
+        )
+    )
+    # greatest(.., 0) absorbs the legacy size(NULL) = -1 convention;
+    # coalesce the NULL of ANSI sessions — both mean "no tokens"
+    score = F.coalesce(
+        F.greatest(overlap, F.lit(0)).cast("double")
+        / F.lit(float(len(qtoks))),
+        F.lit(0.0),
+    )
+    if target:
+        return df.withColumn(target, score)
+    df = df.withColumn("_score", score)
+    return df.orderBy(
+        F.col("_score").desc(), *_doc_tiebreak(df, ["_score"])
+    )
+
+
 def _where_stage(df: DataFrame, arg: str) -> DataFrame:
     """One ``| WHERE ..`` stage: ordinary predicates translate to a
     single Catalyst filter; MATCH/QSTR/KQL splice in as boolean
@@ -2954,6 +3038,17 @@ def _apply_stage(
         df = df.filter(rnd < F.lit(p))
     elif cmd == "CHANGE_POINT":
         df = _change_point(df, arg)
+    elif cmd == "RERANK":
+        df = _rerank(df, arg)
+    elif cmd == "COMPLETION":
+        # ES 8.19 tech preview: LLM text generation through an
+        # inference endpoint — an external model this engine does
+        # not ship. Fail loud rather than fabricate text.
+        raise ValueError(
+            "ES|QL COMPLETION needs an inference endpoint (an "
+            "external LLM); this engine does not model one — a "
+            "declared gap, not a silent stub"
+        )
     elif cmd == "SORT":
         df = _sort(df, arg)
     elif cmd == "LIMIT":
@@ -3103,6 +3198,6 @@ def _apply_stage(
             f"ES|QL: unsupported command {cmd!r} (supported: FROM "
             "TS ROW WHERE EVAL STATS INLINESTATS SORT LIMIT KEEP "
             "DROP RENAME GROK DISSECT ENRICH LOOKUP JOIN "
-            "MV_EXPAND SAMPLE CHANGE_POINT FORK FUSE)"
+            "MV_EXPAND SAMPLE CHANGE_POINT FORK FUSE RERANK)"
         )
     return df

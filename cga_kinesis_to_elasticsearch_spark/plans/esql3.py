@@ -688,6 +688,64 @@ def _esql_st_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 5g. RERANK: retrieve-then-rerank in pipe syntax (ES 8.18)
+# ---------------------------------------------------------------------------
+
+_ESQL_RERANK_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS wt,
+           list_distinct(list_filter(
+               string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+               t -> t <> '')) AS st
+    FROM documents
+), cand AS (
+    SELECT doc_id, lang, st FROM tk
+    WHERE list_contains(wt, 'merge') OR list_contains(wt, 'scan')
+)
+SELECT doc_id, lang,
+       round(len(list_filter(['merge', 'scan', 'vector', 'table'],
+                             t -> list_contains(st, t))) / 4.0, 6)
+           AS score
+FROM cand
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+@q("esql_rerank", _ESQL_RERANK_ORACLE)
+def _esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ``RERANK "query" ON field`` (ES 8.18 tech preview) —
+    the retrieve-then-rerank pattern in pure pipe syntax: MATCH
+    retrieves candidates, RERANK re-scores and re-sorts them. ES
+    calls an inference endpoint here; this engine's scorer is a
+    DETERMINISTIC LEXICAL STAND-IN (distinct-token overlap under the
+    standard analyzer — documented in the command docstring), so the
+    command plumbing is real and oracle-checked while the model call
+    stays an honest external dependency.
+
+    Scale shape: candidates filter first (one predicate), the
+    stand-in score is a codegen array-intersect, and SORT+LIMIT is
+    TakeOrdered — only 20 rows leave the executors."""
+    docs = _t(spark, sf_dir, "documents")
+    out = run_esql(
+        """
+        FROM documents METADATA _score
+        | WHERE MATCH(text, "merge scan")
+        | RERANK "merge scan vector table" ON text
+        | SORT _score DESC, doc_id
+        | LIMIT 20
+        | KEEP doc_id, lang, _score
+        """,
+        {"documents": docs},
+    )
+    return out.select(
+        "doc_id", "lang", F.round("_score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 6. LIKE pattern lists + the round-9 scalar batch over documents
 # ---------------------------------------------------------------------------
 

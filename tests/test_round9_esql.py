@@ -1189,3 +1189,71 @@ class TestSpatialScalars:
             {"t": df},
         ).first()
         assert r.d == 0.0
+
+
+class TestRerankAndCompletion:
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "Merge scan vector!"),
+                (2, "merge only here"),
+                (3, "nothing relevant"),
+                (4, None),
+            ],
+            "id long, body string",
+        )
+
+    def test_rerank_overwrites_score_and_resorts(self, spark):
+        out = run_esql(
+            'FROM d | RERANK "merge scan vector" ON body '
+            "| KEEP id, _score",
+            {"d": self._frame(spark)},
+        ).collect()
+        assert [(r.id, round(r._score, 4)) for r in out] == [
+            (1, 1.0), (2, 0.3333), (3, 0.0), (4, 0.0),
+        ]
+
+    def test_rerank_target_form_keeps_order(self, spark):
+        out = run_esql(
+            'FROM d | RERANK rr = "merge scan vector" ON body '
+            "| SORT id | KEEP id, rr",
+            {"d": self._frame(spark)},
+        ).collect()
+        assert [r.id for r in out] == [1, 2, 3, 4]
+        assert out[0].rr == 1.0 and out[3].rr == 0.0
+
+    def test_rerank_after_match_overwrites_bm25(self, spark):
+        # whitespace-analyzed MATCH keeps case, so only doc 2 is a
+        # candidate; RERANK's standard-analyzer overlap rescales it
+        out = run_esql(
+            'FROM d METADATA _score | WHERE MATCH(body, "merge") '
+            '| RERANK "merge scan" ON body | KEEP id, _score',
+            {"d": self._frame(spark)},
+        ).collect()
+        assert [(r.id, r._score) for r in out] == [(2, 0.5)]
+
+    def test_rerank_with_forms_and_errors(self, spark):
+        df = self._frame(spark)
+        run_esql(
+            'FROM d | RERANK "x y" ON body WITH my_reranker', {"d": df}
+        ).collect()
+        run_esql(
+            'FROM d | RERANK "x y" ON body WITH {"inference_id": "r"}',
+            {"d": df},
+        ).collect()
+        with pytest.raises(ValueError, match="unknown field"):
+            run_esql('FROM d | RERANK "q" ON nope', {"d": df})
+        with pytest.raises(ValueError, match="no tokens"):
+            run_esql('FROM d | RERANK "!!" ON body', {"d": df})
+        with pytest.raises(ValueError, match="RERANK"):
+            run_esql(
+                'FROM d | RERANK "q" ON body WITH {"model": "x"}',
+                {"d": df},
+            )
+
+    def test_completion_fails_loud(self, spark):
+        with pytest.raises(ValueError, match="inference endpoint"):
+            run_esql(
+                'FROM d | COMPLETION "prompt" WITH model',
+                {"d": self._frame(spark)},
+            )
