@@ -145,6 +145,11 @@ HEADLINE = [
     # picker range
     "esql_match_function",
     "esql_now_range",
+    # the TS command's metric rollup (rate per series per bucket,
+    # summed across series) and KNN() vector retrieval in WHERE —
+    # the two 8.19 shapes a metrics/RAG user runs all day
+    "esql_ts_rate",
+    "esql_knn_function",
 ]
 
 

@@ -231,6 +231,7 @@ distributes. Unknown constructs fail at PLAN time (ES's validation).
 from __future__ import annotations
 
 import functools
+import math
 import operator as _op
 import re
 
@@ -577,6 +578,8 @@ _KEYED = (
     "histogram",
     "auto_date_histogram",
     "categorize_text",
+    "geotile_grid",
+    "geohash_grid",
 )
 
 # rate-agg units (fixed-seconds; ES's month/quarter/year rates need
@@ -603,7 +606,19 @@ def _dh_fixed_secs(body: dict) -> int | None:
         )
     return None
 # bucket kinds whose ``size`` keeps the top-N by (doc_count desc, key)
-_SIZED = ("terms", "multi_terms", "categorize_text")
+_SIZED = (
+    "terms",
+    "multi_terms",
+    "categorize_text",
+    "geotile_grid",
+    "geohash_grid",
+)
+# the grid aggs page much wider by default than terms (ES: 10000 vs
+# 10) — apply_es_default_sizes consults this
+_DEFAULT_SIZES = {"geotile_grid": 10000, "geohash_grid": 10000}
+
+# geohash's base32 alphabet (no a/i/l/o)
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
 # auto_date_histogram interval ladder (hours) — ES's rounding ladder
 # clipped to this corpus's hour..month span
@@ -761,6 +776,103 @@ def _key_expr(kind: str, body: dict) -> Column:
                 f"auto_date_histogram: bad buckets {buckets!r}"
             )
         return F.col(field)
+    if kind == "geotile_grid":
+        # Kibana maps' cluster layer: the "z/x/y" Web-Mercator tile
+        # key (OSM slippy-map scheme). Unlike the PLANAR centi-degree
+        # geo_distance convention, the grid aggs read the struct's
+        # lat/lon as DEGREES — the projection math needs real
+        # coordinates. Determinism note: the tile edge is an
+        # irrational mercator point, so both engines compute the
+        # identical double chain and a real coordinate cannot
+        # straddle it; latitudes clamp to the Web-Mercator bound
+        # like ES.
+        z = body.get("precision", 7)
+        if not isinstance(z, int) or not 0 <= z <= 29:
+            raise ValueError(
+                f"geotile_grid: precision must be 0..29: {z!r}"
+            )
+        pt = F.col(field)
+        n = float(1 << z)
+        latc = F.greatest(
+            F.least(pt["lat"].cast("double"), F.lit(85.05112878)),
+            F.lit(-85.05112878),
+        )
+        latr = F.radians(latc)
+        x = F.floor(
+            (pt["lon"].cast("double") + F.lit(180.0))
+            / F.lit(360.0) * F.lit(n)
+        )
+        y = F.floor(
+            (
+                F.lit(1.0)
+                - F.log(F.tan(latr) + F.lit(1.0) / F.cos(latr))
+                / F.lit(math.pi)
+            )
+            / F.lit(2.0) * F.lit(n)
+        )
+        hi = F.lit(int(n) - 1)
+        x = F.least(F.greatest(x, F.lit(0)), hi).cast("long")
+        y = F.least(F.greatest(y, F.lit(0)), hi).cast("long")
+        return F.when(
+            pt.isNotNull(),
+            F.concat_ws("/", F.lit(str(z)), x, y),
+        )
+    if kind == "geohash_grid":
+        # classic geohash cell key: quantize lon/lat, interleave the
+        # bits (lon first), base32-encode. Precision is the key
+        # LENGTH (1..12 chars = 5 bits each); all integer arithmetic
+        # after the one quantizing floor, so every engine buckets
+        # identically. Field read as DEGREES (see geotile_grid note).
+        p = body.get("precision", 5)
+        if not isinstance(p, int) or not 1 <= p <= 12:
+            raise ValueError(
+                f"geohash_grid: precision must be 1..12: {p!r}"
+            )
+        pt = F.col(field)
+        total = 5 * p
+        lon_bits = (total + 1) // 2
+        lat_bits = total // 2
+        lonq = F.least(
+            F.floor(
+                (pt["lon"].cast("double") + F.lit(180.0))
+                / F.lit(360.0) * F.lit(float(1 << lon_bits))
+            ).cast("long"),
+            F.lit((1 << lon_bits) - 1),
+        )
+        latq = F.least(
+            F.floor(
+                (pt["lat"].cast("double") + F.lit(90.0))
+                / F.lit(180.0) * F.lit(float(1 << lat_bits))
+            ).cast("long"),
+            F.lit((1 << lat_bits) - 1),
+        )
+        # interleaved code, built bit-by-bit at PLAN time (p <= 12 ->
+        # <= 60 codegen terms, still one projection)
+        code = F.lit(0).cast("long")
+        for k in range(lon_bits):
+            bit = F.shiftright(lonq, lon_bits - 1 - k).bitwiseAND(
+                F.lit(1)
+            )
+            code = code + F.shiftleft(bit, total - 1 - 2 * k)
+        for k in range(lat_bits):
+            bit = F.shiftright(latq, lat_bits - 1 - k).bitwiseAND(
+                F.lit(1)
+            )
+            code = code + F.shiftleft(bit, total - 1 - (2 * k + 1))
+        b32 = F.array(*[F.lit(c) for c in _GEOHASH_B32])
+        chars = [
+            F.element_at(
+                b32,
+                (
+                    F.shiftright(code, 5 * (p - 1 - g)).bitwiseAND(
+                        F.lit(31)
+                    )
+                    + F.lit(1)
+                ).cast("int"),
+            )
+            for g in range(p)
+        ]
+        return F.when(pt.isNotNull(), F.concat(*chars))
     if kind == "terms":
         col = F.col(field)
         if "missing" in body:
@@ -2277,7 +2389,10 @@ def apply_es_default_sizes(aggs: dict) -> dict:
                 and isinstance(spec[kind], dict)
                 and "size" not in spec[kind]
             ):
-                spec[kind] = {**spec[kind], "size": 10}
+                spec[kind] = {
+                    **spec[kind],
+                    "size": _DEFAULT_SIZES.get(kind, 10),
+                }
         if isinstance(spec.get("aggs"), dict):
             spec["aggs"] = apply_es_default_sizes(spec["aggs"])
         out[name] = spec

@@ -230,3 +230,138 @@ def _nested_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# geotile_grid / geohash_grid: Kibana maps' cluster-layer bucketing
+# ---------------------------------------------------------------------------
+
+# degrees from c_custkey via the repo's coprime-multiplier synth
+_GRID_LATLON = (
+    "(-6000 + (c_custkey * 7) % 12000) / 100.0 AS lat, "
+    "(-18000 + (c_custkey * 13) % 36000) / 100.0 AS lon"
+)
+
+_GEOTILE_ORACLE = f"""
+WITH pts AS (SELECT c_acctbal, {_GRID_LATLON} FROM customer),
+keyed AS (
+    SELECT '5/' ||
+           CAST(CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT)
+                AS VARCHAR) || '/' ||
+           CAST(CAST(floor((1.0 - ln(tan(radians(lat))
+                                     + 1.0 / cos(radians(lat))) / pi())
+                           / 2.0 * 32.0) AS BIGINT) AS VARCHAR)
+               AS tile,
+           c_acctbal
+    FROM pts
+), b AS (
+    SELECT tile, count(*) AS doc_count,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM keyed GROUP BY tile
+)
+SELECT tile, doc_count, avg_bal
+FROM b
+ORDER BY doc_count DESC, tile ASC
+LIMIT 20
+"""
+
+
+@q("es_aggs_geotile_grid", _GEOTILE_ORACLE)
+def _es_aggs_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geotile_grid`` — Kibana maps' cluster layer: the "z/x/y"
+    Web-Mercator slippy-map tile key, top-``size`` cells by
+    doc_count (tile-key tiebreak), with a sub-aggregated metric per
+    cell. The oracle recomputes the identical projection chain
+    (floor of the same ln/tan double expression), so the tile
+    geometry — not just the grouping — is pinned cross-engine; tile
+    edges are irrational mercator points, so real coordinates cannot
+    straddle an edge by rounding.
+
+    Scale shape: the tile key is one codegen projection; the grid is
+    a plain partial-agg shuffle + TakeOrdered(size) — identical
+    physics to a terms agg at any zoom."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        F.struct(
+            ((F.lit(-6000) + (F.col("c_custkey") * 7) % 12000) / 100.0)
+            .alias("lat"),
+            ((F.lit(-18000) + (F.col("c_custkey") * 13) % 36000) / 100.0)
+            .alias("lon"),
+        ).alias("loc"),
+    )
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(cust, {
+        "aggs": {"tiles": {
+            "geotile_grid": {"field": "loc", "precision": 5, "size": 20},
+            "aggs": {"bal": {"avg": {"field": "c_acctbal"}}},
+        }},
+    })
+    return out.select(
+        F.col("tiles").alias("tile"),
+        "doc_count",
+        F.round("bal", 2).alias("avg_bal"),
+    )
+
+
+_GEOHASH_ORACLE = f"""
+WITH pts AS (SELECT {_GRID_LATLON} FROM customer),
+qz AS (
+    SELECT least(CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT),
+                 255) AS lonq,
+           least(CAST(floor((lat + 90.0) / 180.0 * 128.0) AS BIGINT),
+                 127) AS latq
+    FROM pts
+), coded AS (
+    SELECT (((lonq >> 7) & 1) << 14) + (((lonq >> 6) & 1) << 12)
+         + (((lonq >> 5) & 1) << 10) + (((lonq >> 4) & 1) << 8)
+         + (((lonq >> 3) & 1) << 6) + (((lonq >> 2) & 1) << 4)
+         + (((lonq >> 1) & 1) << 2) + (((lonq >> 0) & 1) << 0)
+         + (((latq >> 6) & 1) << 13) + (((latq >> 5) & 1) << 11)
+         + (((latq >> 4) & 1) << 9) + (((latq >> 3) & 1) << 7)
+         + (((latq >> 2) & 1) << 5) + (((latq >> 1) & 1) << 3)
+         + (((latq >> 0) & 1) << 1) AS code
+    FROM qz
+), keyed AS (
+    SELECT substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((code >> 10) & 31) + 1 AS INT), 1)
+        || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((code >> 5) & 31) + 1 AS INT), 1)
+        || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+                     CAST(((code >> 0) & 31) + 1 AS INT), 1) AS cell
+    FROM coded
+), b AS (SELECT cell, count(*) AS doc_count FROM keyed GROUP BY cell)
+SELECT cell, doc_count FROM b
+ORDER BY doc_count DESC, cell ASC
+LIMIT 15
+"""
+
+
+@q("es_aggs_geohash_grid", _GEOHASH_ORACLE)
+def _es_aggs_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geohash_grid`` — the classic geohash cell bucketing
+    (precision = key length, 5 bits/char, lon-first bit
+    interleaving, base32 without a/i/l/o). After one quantizing
+    floor per axis the whole key is integer arithmetic, so every
+    engine buckets identically — the oracle replays the exact bit
+    interleave. Validated against the canonical test vector
+    (57.64911, 10.40744) -> u4pruydqqvj in tests.
+
+    Scale shape: same as geotile_grid — codegen key projection, one
+    partial-agg shuffle, TakeOrdered(size)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.struct(
+            ((F.lit(-6000) + (F.col("c_custkey") * 7) % 12000) / 100.0)
+            .alias("lat"),
+            ((F.lit(-18000) + (F.col("c_custkey") * 13) % 36000) / 100.0)
+            .alias("lon"),
+        ).alias("loc"),
+    )
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(cust, {
+        "aggs": {"cells": {
+            "geohash_grid": {"field": "loc", "precision": 3, "size": 15},
+        }},
+    })
+    return out.select(F.col("cells").alias("cell"), "doc_count")

@@ -194,6 +194,12 @@ QUERIES = [
     "esql_fork_fuse_hybrid",
     "esql_categorize",
     "es_search_retriever_linear",
+    # round-9 wave 2: TS time-series aggregates (two-level lowering),
+    # KNN() in WHERE, RERANK, and the spatial scalar chain
+    "esql_ts_rate",
+    "esql_knn_function",
+    "esql_rerank",
+    "esql_st_distance",
 ]
 
 

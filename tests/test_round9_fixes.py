@@ -219,3 +219,100 @@ class TestLinearRetriever:
         ]}}, "size": 2}
         with pytest.raises(ValueError, match="one standard"):
             run_search_body(self._frame(spark), body)
+
+
+class TestGeoGridAggs:
+    def _pts(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "id long, lat double, lon double"
+        ).select(
+            "id",
+            F.when(
+                F.col("lat").isNotNull(), F.struct("lat", "lon")
+            ).alias("loc"),
+        )
+
+    def test_geohash_canonical_vector(self, spark):
+        # the classic geohash test vector
+        df = self._pts(spark, [(1, 57.64911, 10.40744)])
+        out = run_search_body(df, {"aggs": {"gh": {
+            "geohash_grid": {"field": "loc", "precision": 11},
+        }}}).collect()
+        assert [(r.gh, r.doc_count) for r in out] == [
+            ("u4pruydqqvj", 1)
+        ]
+
+    def test_geohash_prefix_property(self, spark):
+        # coarser precision = prefix of the finer key
+        df = self._pts(spark, [(1, -33.8688, 151.2093)])
+        keys = {}
+        for p in (3, 5, 7):
+            out = run_search_body(df, {"aggs": {"gh": {
+                "geohash_grid": {"field": "loc", "precision": p},
+            }}}).collect()
+            keys[p] = out[0].gh
+        assert keys[5].startswith(keys[3])
+        assert keys[7].startswith(keys[5])
+
+    def test_geotile_zxy_key(self, spark):
+        import math
+
+        lat, lon, z = 57.64911, 10.40744, 9
+        df = self._pts(spark, [(1, lat, lon)])
+        out = run_search_body(df, {"aggs": {"gt": {
+            "geotile_grid": {"field": "loc", "precision": z},
+        }}}).collect()
+        n = 1 << z
+        x = math.floor((lon + 180) / 360 * n)
+        latr = math.radians(lat)
+        y = math.floor(
+            (1 - math.log(math.tan(latr) + 1 / math.cos(latr))
+             / math.pi) / 2 * n
+        )
+        assert [(r.gt, r.doc_count) for r in out] == [(f"{z}/{x}/{y}", 1)]
+
+    def test_geotile_lat_clamps_to_mercator_bound(self, spark):
+        df = self._pts(spark, [(1, 89.9, 0.0), (2, -89.9, 0.0)])
+        out = run_search_body(df, {"aggs": {"gt": {
+            "geotile_grid": {"field": "loc", "precision": 2},
+        }}}).collect()
+        keys = sorted(r.gt for r in out)
+        # poles clamp into the top/bottom tile row, never out of range
+        assert keys == ["2/2/0", "2/2/3"]
+
+    def test_null_location_gets_no_bucket(self, spark):
+        df = self._pts(spark, [(1, 1.0, 1.0), (2, None, None)])
+        out = run_search_body(df, {"aggs": {"gh": {
+            "geohash_grid": {"field": "loc", "precision": 4},
+        }}}).collect()
+        assert sum(r.doc_count for r in out) == 1
+
+    def test_size_cut_and_subagg(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [(i, 10.0 + (i % 3) * 20, 10.0) for i in range(9)]
+        df = spark.createDataFrame(
+            rows, "id long, lat double, lon double"
+        ).select(
+            "id", F.struct("lat", "lon").alias("loc"),
+            (F.col("id") * 1.0).alias("v"),
+        )
+        out = run_search_body(df, {"aggs": {"gt": {
+            "geotile_grid": {"field": "loc", "precision": 6, "size": 2},
+            "aggs": {"m": {"max": {"field": "v"}}},
+        }}}).collect()
+        assert len(out) == 2
+        assert all(r.doc_count == 3 for r in out)
+
+    def test_precision_validation(self, spark):
+        df = self._pts(spark, [(1, 0.0, 0.0)])
+        with pytest.raises(ValueError, match="precision"):
+            run_search_body(df, {"aggs": {"g": {
+                "geohash_grid": {"field": "loc", "precision": 13},
+            }}})
+        with pytest.raises(ValueError, match="precision"):
+            run_search_body(df, {"aggs": {"g": {
+                "geotile_grid": {"field": "loc", "precision": 30},
+            }}})
