@@ -580,6 +580,7 @@ _KEYED = (
     "categorize_text",
     "geotile_grid",
     "geohash_grid",
+    "time_series",
 )
 
 # rate-agg units (fixed-seconds; ES's month/quarter/year rates need
@@ -612,10 +613,15 @@ _SIZED = (
     "categorize_text",
     "geotile_grid",
     "geohash_grid",
+    "time_series",
 )
 # the grid aggs page much wider by default than terms (ES: 10000 vs
 # 10) — apply_es_default_sizes consults this
-_DEFAULT_SIZES = {"geotile_grid": 10000, "geohash_grid": 10000}
+_DEFAULT_SIZES = {
+    "geotile_grid": 10000,
+    "geohash_grid": 10000,
+    "time_series": 10000,
+}
 
 # geohash's base32 alphabet (no a/i/l/o)
 _GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -739,6 +745,32 @@ def _key_expr(kind: str, body: dict) -> Column:
         )
         # ES omits docs missing ANY of the fields; the bucket key is
         # the ES key_as_string reading ('|'-joined values)
+        return F.when(
+            notnull, F.concat_ws("|", *[c.cast("string") for c in cols])
+        )
+    if kind == "time_series":
+        # ES 8.7 TSDB bucket: one bucket per time series (_tsid = the
+        # dimension-field combination). ES reads the dimension set
+        # from the index mapping's time_series_dimension fields; the
+        # file-backed stand-in must be told via the body extension
+        # ``dimensions`` (same contract as run_esql's ts_dimensions).
+        # Docs missing ANY dimension have no _tsid, like TSDB.
+        dims = body.get("dimensions")
+        if not isinstance(dims, list) or not dims:
+            raise ValueError(
+                "time_series needs dimensions: [..] — ES reads these "
+                "from the index mapping's time_series_dimension "
+                "fields; a file-backed index must be told"
+            )
+        extra = set(body) - {"dimensions", "size"}
+        if extra:
+            raise ValueError(
+                f"time_series: unsupported options {sorted(extra)}"
+            )
+        cols = [F.col(d) for d in dims]
+        notnull = functools.reduce(
+            _op.and_, [c.isNotNull() for c in cols]
+        )
         return F.when(
             notnull, F.concat_ws("|", *[c.cast("string") for c in cols])
         )

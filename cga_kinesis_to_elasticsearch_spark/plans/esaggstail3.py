@@ -365,3 +365,58 @@ def _es_aggs_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         }},
     })
     return out.select(F.col("cells").alias("cell"), "doc_count")
+
+
+# ---------------------------------------------------------------------------
+# time_series: the TSDB per-series bucket (ES 8.7)
+# ---------------------------------------------------------------------------
+
+_TIME_SERIES_ORACLE = """
+WITH b AS (
+    SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS tsid,
+           count(*) AS doc_count,
+           round(avg(value), 6) AS avg_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1
+)
+SELECT tsid, doc_count, avg_value, max_value
+FROM b
+ORDER BY doc_count DESC, tsid ASC
+LIMIT 12
+"""
+
+
+@q("es_aggs_time_series", _TIME_SERIES_ORACLE)
+def _es_aggs_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``time_series`` (ES 8.7 TSDB): one bucket per time series —
+    the ``_tsid`` dimension combination — with per-series metrics;
+    the busiest 12 series here. ES reads the dimension set from the
+    mapping's ``time_series_dimension`` fields; the stand-in takes
+    the same contract as ``run_esql(ts_dimensions=..)`` via the
+    body's ``dimensions`` extension. Docs missing any dimension have
+    no _tsid, like TSDB.
+
+    Scale shape: identical physics to multi_terms — one codegen key
+    projection, one partial-agg shuffle, TakeOrdered(size)."""
+    ev = _t(spark, sf_dir, "events")
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(ev, {
+        "aggs": {"series": {
+            "time_series": {
+                "dimensions": ["user_id", "event_type"], "size": 12,
+            },
+            "aggs": {
+                "avg_value": {"avg": {"field": "value"}},
+                "max_value": {"max": {"field": "value"}},
+            },
+        }},
+    })
+    return out.select(
+        F.col("series").alias("tsid"),
+        "doc_count",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )

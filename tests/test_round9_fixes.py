@@ -316,3 +316,46 @@ class TestGeoGridAggs:
             run_search_body(df, {"aggs": {"g": {
                 "geotile_grid": {"field": "loc", "precision": 30},
             }}})
+
+
+class TestTimeSeriesBucket:
+    def test_buckets_per_tsid_with_metrics(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        df = spark.createDataFrame(
+            [
+                ("h1", "cpu", 1.0), ("h1", "cpu", 3.0),
+                ("h1", "mem", 5.0), ("h2", "cpu", 7.0),
+                (None, "cpu", 9.0),  # no dimension -> no _tsid
+            ],
+            "host string, metric string, v double",
+        )
+        out = run_search_body(df, {"aggs": {"s": {
+            "time_series": {"dimensions": ["host", "metric"]},
+            "aggs": {"m": {"max": {"field": "v"}}},
+        }}}).collect()
+        got = {r.s: (r.doc_count, r.m) for r in out}
+        assert got == {
+            "h1|cpu": (2, 3.0), "h1|mem": (1, 5.0), "h2|cpu": (1, 7.0),
+        }
+
+    def test_size_cut_busiest_first(self, spark):
+        rows = [("a", float(i)) for i in range(5)] + [
+            ("b", 1.0), ("c", 2.0)
+        ]
+        df = spark.createDataFrame(rows, "host string, v double")
+        out = run_search_body(df, {"aggs": {"s": {
+            "time_series": {"dimensions": ["host"], "size": 2},
+        }}}).collect()
+        assert [(r.s, r.doc_count) for r in out] == [
+            ("a", 5), ("b", 1)
+        ]
+
+    def test_dimensions_required_and_options_rejected(self, spark):
+        df = spark.createDataFrame([("a", 1.0)], "host string, v double")
+        with pytest.raises(ValueError, match="dimensions"):
+            run_search_body(df, {"aggs": {"s": {"time_series": {}}}})
+        with pytest.raises(ValueError, match="unsupported options"):
+            run_search_body(df, {"aggs": {"s": {
+                "time_series": {"dimensions": ["host"], "keyed": True},
+            }}})
