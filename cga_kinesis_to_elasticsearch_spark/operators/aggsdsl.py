@@ -2622,7 +2622,7 @@ def _apply_composite(df: DataFrame, name: str, spec: dict) -> DataFrame:
     """ES ``composite`` aggregation — THE scalable pagination bucket:
     multi-source keys ordered as a tuple, resumed with ``after``,
     capped by ``size``. Sources are terms / histogram /
-    date_histogram, each with an optional per-source ``order``
+    date_histogram / geotile_grid, each with an optional per-source ``order``
     (default asc); sub-aggs are metric leaves. ES requires composite
     to be the only non-metric agg in the request — enforced by the
     caller.
@@ -2653,10 +2653,15 @@ def _apply_composite(df: DataFrame, name: str, spec: dict) -> DataFrame:
                 f"composite source {sname!r} must have one type: {sspec}"
             )
         (kind, kbody), = sspec.items()
-        if kind not in ("terms", "histogram", "date_histogram"):
+        if kind not in (
+            "terms", "histogram", "date_histogram", "geotile_grid"
+        ):
             raise ValueError(
                 f"composite source {sname!r}: unsupported type {kind!r}"
             )
+        # geotile keys order LEXICOGRAPHICALLY here ("10/.." < "9/..")
+        # — deterministic and resumable, same bucket contents; ES
+        # orders by the packed tile long (documented divergence)
         order = kbody.get("order", "asc")
         if order not in ("asc", "desc"):
             raise ValueError(f"composite source {sname!r}: bad order {order}")

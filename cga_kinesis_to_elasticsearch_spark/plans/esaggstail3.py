@@ -420,3 +420,73 @@ def _es_aggs_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_value", 6).alias("avg_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# composite pagination over geotile_grid cells (the maps export shape)
+# ---------------------------------------------------------------------------
+
+_COMPOSITE_GEOTILE_ORACLE = f"""
+WITH pts AS (SELECT c_acctbal, {_GRID_LATLON} FROM customer),
+keyed AS (
+    SELECT '4/' ||
+           CAST(CAST(floor((lon + 180.0) / 360.0 * 16.0) AS BIGINT)
+                AS VARCHAR) || '/' ||
+           CAST(CAST(floor((1.0 - ln(tan(radians(lat))
+                                     + 1.0 / cos(radians(lat))) / pi())
+                           / 2.0 * 16.0) AS BIGINT) AS VARCHAR)
+               AS tile,
+           c_acctbal
+    FROM pts
+), b AS (
+    SELECT tile, count(*) AS doc_count,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM keyed GROUP BY tile
+)
+SELECT tile, doc_count, avg_bal
+FROM b
+WHERE tile > '4/3/9'
+ORDER BY tile ASC
+LIMIT 10
+"""
+
+
+@q("es_search_composite_geotile", _COMPOSITE_GEOTILE_ORACLE)
+def _es_search_composite_geotile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``composite`` pagination with a ``geotile_grid`` source — how
+    a maps backend EXPORTS every cluster cell without a giant single
+    response: resumable after-key pages over the tile keys. Tile
+    keys page lexicographically here (deterministic and resumable,
+    same bucket contents; ES pages by the packed tile long —
+    documented divergence in the source gate).
+
+    Scale shape: the after predicate applies to the key expression
+    BELOW the aggregation, so a resumed page never re-aggregates
+    earlier cells; one partial-agg shuffle + TakeOrdered(size)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_acctbal",
+        F.struct(
+            ((F.lit(-6000) + (F.col("c_custkey") * 7) % 12000) / 100.0)
+            .alias("lat"),
+            ((F.lit(-18000) + (F.col("c_custkey") * 13) % 36000) / 100.0)
+            .alias("lon"),
+        ).alias("loc"),
+    )
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(cust, {
+        "aggs": {"page": {"composite": {
+            "size": 10,
+            "sources": [
+                {"tile": {"geotile_grid": {
+                    "field": "loc", "precision": 4,
+                }}},
+            ],
+            "after": {"tile": "4/3/9"},
+        }, "aggs": {"avg_bal": {"avg": {"field": "c_acctbal"}}}}},
+    })
+    return out.select(
+        "tile", "doc_count", F.round("avg_bal", 2).alias("avg_bal")
+    )

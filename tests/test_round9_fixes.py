@@ -359,3 +359,49 @@ class TestTimeSeriesBucket:
             run_search_body(df, {"aggs": {"s": {
                 "time_series": {"dimensions": ["host"], "keyed": True},
             }}})
+
+
+class TestCompositeGeotileSource:
+    def test_pages_resume_disjoint_and_exhaustive(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [(i, float(i % 7) * 10 - 30, float(i % 11) * 30 - 150)
+                for i in range(40)]
+        df = spark.createDataFrame(
+            rows, "id long, lat double, lon double"
+        ).select("id", F.struct("lat", "lon").alias("loc"))
+
+        def page(after):
+            body = {"aggs": {"p": {"composite": {
+                "size": 5,
+                "sources": [{"tile": {"geotile_grid": {
+                    "field": "loc", "precision": 6}}}],
+                **({"after": {"tile": after}} if after else {}),
+            }}}}
+            return run_search_body(df, body).collect()
+
+        seen, after, total = [], None, 0
+        while True:
+            rows_ = page(after)
+            if not rows_:
+                break
+            keys = [r.tile for r in rows_]
+            assert keys == sorted(keys)
+            assert not set(keys) & set(seen)
+            seen += keys
+            total += sum(r.doc_count for r in rows_)
+            after = keys[-1]
+        assert total == 40
+
+    def test_unsupported_source_still_rejected(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 1.0, 1.0)],
+                                   "id long, lat double, lon double"
+                                   ).select(
+            "id", F.struct("lat", "lon").alias("loc"))
+        with pytest.raises(ValueError, match="unsupported type"):
+            run_search_body(df, {"aggs": {"p": {"composite": {
+                "sources": [{"g": {"geohash_grid": {
+                    "field": "loc", "precision": 3}}}],
+            }}}})
