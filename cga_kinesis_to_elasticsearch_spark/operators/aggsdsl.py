@@ -382,6 +382,7 @@ _MULTI_METRICS = (
     "boxplot",
     "geo_bounds",
     "geo_centroid",
+    "geo_line",
     "matrix_stats",
 )
 
@@ -479,6 +480,53 @@ def _metric_expr(kind: str, body: dict) -> Column:
             F.avg(g["lat"]).alias("lat"),
             F.avg(g["lon"]).alias("lon"),
             F.count(g).alias("count"),
+        )
+    if kind == "geo_line":
+        # ES geo_line (Kibana maps' track layer): the bucket's points
+        # as an ordered path — sorted by the ``sort`` field, capped at
+        # ``size`` (ES default 10000, max 10000). Result struct:
+        # type="LineString" + points as "lon lat" strings (the WKT
+        # coordinate reading of ES's GeoJSON output). sort_order
+        # "desc" keeps the LAST size points in reverse track order,
+        # like ES's include_sort + sort_order contract.
+        g = body["field"]
+        sort_spec = body.get("sort")
+        if not isinstance(sort_spec, dict) or "field" not in sort_spec:
+            raise ValueError(
+                f"geo_line needs sort: {{field: ..}}: {body}"
+            )
+        order = body.get("sort_order", "asc")
+        if order not in ("asc", "desc"):
+            raise ValueError(f"geo_line: bad sort_order {order!r}")
+        size = body.get("size", 10000)
+        if not isinstance(size, int) or not 1 <= size <= 10000:
+            raise ValueError(
+                f"geo_line: size must be 1..10000: {size!r}"
+            )
+        pt = F.col(g)
+        pts = F.collect_list(
+            F.when(
+                pt.isNotNull()
+                & F.col(sort_spec["field"]).isNotNull(),
+                F.struct(
+                    F.col(sort_spec["field"]).alias("s"),
+                    F.concat_ws(
+                        " ",
+                        pt["lon"].cast("string"),
+                        pt["lat"].cast("string"),
+                    ).alias("p"),
+                ),
+            )
+        )
+        # array_sort orders by the leading struct field (the sort
+        # key); collect_list order never matters
+        line = F.transform(F.array_sort(pts), lambda x: x["p"])
+        if order == "desc":
+            line = F.reverse(line)
+        line = F.slice(line, 1, size)
+        return F.struct(
+            F.lit("LineString").alias("type"),
+            line.alias("points"),
         )
     c = F.col(body["field"])
     if kind == "stats":

@@ -490,3 +490,72 @@ def _es_search_composite_geotile(
     return out.select(
         "tile", "doc_count", F.round("avg_bal", 2).alias("avg_bal")
     )
+
+
+# ---------------------------------------------------------------------------
+# geo_line: per-bucket ordered tracks (Kibana maps' path layer)
+# ---------------------------------------------------------------------------
+
+_GEO_LINE_ORACLE = """
+WITH pts AS (
+    SELECT user_id, ts,
+           CAST(-18000 + (event_id * 13) % 36000 AS BIGINT) AS lon,
+           CAST(-6000 + (event_id * 7) % 12000 AS BIGINT) AS lat
+    FROM events WHERE user_id IS NOT NULL
+), b AS (
+    SELECT user_id, count(*) AS doc_count,
+           list(CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR)
+                ORDER BY ts) AS pl
+    FROM pts GROUP BY user_id
+), cut AS (
+    SELECT user_id, doc_count, pl[1:5] AS pl5 FROM b
+)
+SELECT user_id, doc_count,
+       len(pl5) AS n_points,
+       array_to_string(pl5, ';') AS track
+FROM cut
+ORDER BY doc_count DESC, user_id ASC
+LIMIT 8
+"""
+
+
+@q("es_aggs_geo_line", _GEO_LINE_ORACLE)
+def _es_aggs_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geo_line`` (Kibana maps' track layer): each bucket's points
+    as an ordered path — here the first 5 positions of each of the 8
+    busiest users' event tracks, time-ordered. Coordinates are
+    INTEGER centi-degrees so the "lon lat" point strings are exact in
+    every engine (the repo's geo determinism rule).
+
+    Scale shape: collect_list + array_sort per bucket with the
+    ES-pinned 10000-point cap — per-group state is bounded like ES's
+    own geo_line; one partial-agg shuffle on the bucket key."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
+        "user_id", "ts",
+        F.struct(
+            (F.lit(-6000) + (F.col("event_id") * 7) % 12000)
+            .cast("long").alias("lat"),
+            (F.lit(-18000) + (F.col("event_id") * 13) % 36000)
+            .cast("long").alias("lon"),
+        ).alias("loc"),
+    )
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(ev, {
+        "aggs": {"u": {
+            "terms": {"field": "user_id", "size": 8},
+            "aggs": {"trk": {"geo_line": {
+                "field": "loc",
+                "sort": {"field": "ts"},
+                "size": 5,
+            }}},
+        }},
+    })
+    return out.select(
+        F.col("u").alias("user_id"),
+        "doc_count",
+        F.size("trk.points").alias("n_points"),
+        F.array_join("trk.points", ";").alias("track"),
+    )

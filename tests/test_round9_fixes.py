@@ -405,3 +405,72 @@ class TestCompositeGeotileSource:
                 "sources": [{"g": {"geohash_grid": {
                     "field": "loc", "precision": 3}}}],
             }}}})
+
+
+class TestGeoLine:
+    def _track(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "g string, t long, lat long, lon long"
+        ).select(
+            "g", "t",
+            F.when(
+                F.col("lat").isNotNull(), F.struct("lat", "lon")
+            ).alias("loc"),
+        )
+
+    def test_points_in_sort_order(self, spark):
+        df = self._track(spark, [
+            ("a", 3, 30, 130), ("a", 1, 10, 110), ("a", 2, 20, 120),
+        ])
+        out = run_search_body(df, {"aggs": {"grp": {
+            "terms": {"field": "g", "size": 5},
+            "aggs": {"l": {"geo_line": {
+                "field": "loc", "sort": {"field": "t"},
+            }}},
+        }}}).collect()
+        assert out[0].l.type == "LineString"
+        assert list(out[0].l.points) == ["110 10", "120 20", "130 30"]
+
+    def test_desc_keeps_latest_and_size_caps(self, spark):
+        df = self._track(spark, [
+            ("a", i, i * 10, i * 100) for i in range(1, 5)
+        ])
+        out = run_search_body(df, {"aggs": {"grp": {
+            "terms": {"field": "g", "size": 5},
+            "aggs": {"l": {"geo_line": {
+                "field": "loc", "sort": {"field": "t"},
+                "sort_order": "desc", "size": 2,
+            }}},
+        }}}).collect()
+        # latest two points, reverse track order
+        assert list(out[0].l.points) == ["400 40", "300 30"]
+
+    def test_null_point_or_sort_skipped(self, spark):
+        df = self._track(spark, [
+            ("a", 1, 10, 110), ("a", 2, None, None), ("a", None, 30, 130),
+        ])
+        out = run_search_body(df, {"aggs": {"grp": {
+            "terms": {"field": "g", "size": 5},
+            "aggs": {"l": {"geo_line": {
+                "field": "loc", "sort": {"field": "t"},
+            }}},
+        }}}).collect()
+        assert list(out[0].l.points) == ["110 10"]
+
+    def test_validation(self, spark):
+        df = self._track(spark, [("a", 1, 10, 110)])
+        with pytest.raises(ValueError, match="sort"):
+            run_search_body(df, {"aggs": {"grp": {
+                "terms": {"field": "g"},
+                "aggs": {"l": {"geo_line": {"field": "loc"}}},
+            }}})
+        with pytest.raises(ValueError, match="size"):
+            run_search_body(df, {"aggs": {"grp": {
+                "terms": {"field": "g"},
+                "aggs": {"l": {"geo_line": {
+                    "field": "loc", "sort": {"field": "t"},
+                    "size": 20000,
+                }}},
+            }}})
