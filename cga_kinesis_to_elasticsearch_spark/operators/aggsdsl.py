@@ -681,6 +681,7 @@ _ADH_LADDER_H = (1, 3, 12, 24, 168, 720)
 _EXPLODING = (
     "range",
     "date_range",
+    "ip_range",
     "geo_distance",
     "filters",
     "adjacency_matrix",
@@ -1055,6 +1056,77 @@ def _explode_labels(kind: str, body: dict) -> tuple[Column, list[str]]:
             arms.append(F.when(cond, F.lit(label)))
         if len(set(labels)) != len(labels):
             raise ValueError(f"{kind}: duplicate bucket labels {labels}")
+        return F.array_compact(F.array(*arms)), labels
+    if kind == "ip_range":
+        # IPv4 range buckets over an ip-string column — the client-IP
+        # slicing every router-log dashboard runs (the reference's
+        # gorouter access logs carry the client address). Ranges are
+        # {from, to} dotted-quads (half-open, like range) or {mask:
+        # "10.0.0.0/25"} CIDR blocks; a non-IPv4 / NULL value lands in
+        # no bucket (same malformed-value rule as TO_IP / CIDR_MATCH
+        # in the ES|QL layer). IPv6 is not lowered — fails loud.
+        ranges = body.get("ranges")
+        if not ranges:
+            raise ValueError("ip_range agg needs ranges")
+        field = body["field"]
+        ipc = F.col(field)
+        oct_ = F.split(ipc, r"\.")
+        as_long = (
+            F.element_at(oct_, 1).cast("long") * 16777216
+            + F.element_at(oct_, 2).cast("long") * 65536
+            + F.element_at(oct_, 3).cast("long") * 256
+            + F.element_at(oct_, 4).cast("long")
+        )
+        valid = ipc.rlike(
+            r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.)"
+            r"{3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+        )
+
+        def _ip_long(s: str, what: str) -> int:
+            parts = str(s).split(".")
+            if len(parts) != 4 or not all(
+                p.isdigit() and 0 <= int(p) <= 255 for p in parts
+            ):
+                raise ValueError(
+                    f"ip_range: bad IPv4 {what} {s!r} "
+                    "(IPv6 is not lowered)"
+                )
+            return (
+                int(parts[0]) * 16777216 + int(parts[1]) * 65536
+                + int(parts[2]) * 256 + int(parts[3])
+            )
+
+        arms = []
+        labels = []
+        for r in ranges:
+            if "mask" in r:
+                mask = str(r["mask"])
+                if "/" not in mask:
+                    raise ValueError(f"ip_range: bad mask {mask!r}")
+                base, bits_s = mask.rsplit("/", 1)
+                if not bits_s.isdigit() or not 0 <= int(bits_s) <= 32:
+                    raise ValueError(f"ip_range: bad mask {mask!r}")
+                bits = int(bits_s)
+                span = 1 << (32 - bits)
+                lo_l = (_ip_long(base, "mask base") // span) * span
+                hi_l = lo_l + span  # exclusive
+                label = r.get("key", mask)
+            else:
+                lo, hi = r.get("from"), r.get("to")
+                lo_l = _ip_long(lo, "from") if lo is not None else None
+                hi_l = _ip_long(hi, "to") if hi is not None else None
+                label = r.get(
+                    "key", f"{lo or '*'}-{hi or '*'}"
+                )
+            cond = F.coalesce(valid, F.lit(False))
+            if lo_l is not None:
+                cond = cond & (as_long >= F.lit(lo_l))
+            if hi_l is not None:
+                cond = cond & (as_long < F.lit(hi_l))
+            labels.append(label)
+            arms.append(F.when(cond, F.lit(label)))
+        if len(set(labels)) != len(labels):
+            raise ValueError(f"ip_range: duplicate bucket labels {labels}")
         return F.array_compact(F.array(*arms)), labels
     if kind == "geo_distance":
         # distance-banded range buckets from an origin point; the geo

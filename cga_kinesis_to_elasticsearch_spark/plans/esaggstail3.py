@@ -559,3 +559,75 @@ def _es_aggs_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("trk.points").alias("n_points"),
         F.array_join("trk.points", ";").alias("track"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ip_range: client-address slicing (the router-log dashboard cut)
+# ---------------------------------------------------------------------------
+
+_IP_RANGE_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         ((10 + user_id % 4) * 16777216 + (user_id % 200) * 65536
+          + (event_id % 250) * 256 + ((event_id // 250) % 250))
+             AS ip_long
+  FROM events
+)
+SELECT * FROM (
+  SELECT '10.0.0.0/8' AS block, count(*) AS doc_count,
+         count(DISTINCT user_id) AS users
+  FROM f WHERE ip_long >= 167772160 AND ip_long < 184549376
+  UNION ALL
+  SELECT '11.0.0.0-12.0.0.0', count(*), count(DISTINCT user_id)
+  FROM f WHERE ip_long >= 184549376 AND ip_long < 201326592
+  UNION ALL
+  SELECT '12.64.0.0/10', count(*), count(DISTINCT user_id)
+  FROM f WHERE ip_long >= 205520896 AND ip_long < 209715200
+  UNION ALL
+  SELECT '13.0.0.0-*', count(*), count(DISTINCT user_id)
+  FROM f WHERE ip_long >= 218103808
+)
+ORDER BY block
+"""
+
+
+@q("es_aggs_ip_range", _IP_RANGE_ORACLE)
+def _es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ip_range`` — client-address slicing over an ip-string
+    column, the cut every router-log dashboard runs (the reference's
+    gorouter access logs carry the client address, main.go:447).
+    Ranges as half-open dotted-quad {from, to} or CIDR {mask} blocks
+    (the mask folds to its aligned [base, base+2^(32-bits)) span at
+    plan time); a non-IPv4 value lands in no bucket — the same
+    malformed-value rule as the ES|QL TO_IP / CIDR_MATCH layer.
+
+    Scale shape: the dotted-quad -> long fold is one codegen
+    expression; range arms explode per matching block and the count
+    is one partial-agg shuffle — identical physics to a range agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.concat_ws(
+            ".",
+            (F.lit(10) + F.col("user_id") % 4).cast("string"),
+            (F.col("user_id") % 200).cast("string"),
+            (F.col("event_id") % 250).cast("string"),
+            ((F.col("event_id") / 250).cast("long") % 250)
+            .cast("string"),
+        ).alias("client_ip"),
+    )
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(ev, {
+        "aggs": {"blocks": {
+            "ip_range": {"field": "client_ip", "ranges": [
+                {"mask": "10.0.0.0/8"},
+                {"from": "11.0.0.0", "to": "12.0.0.0"},
+                {"mask": "12.64.0.0/10"},
+                {"from": "13.0.0.0"},
+            ]},
+            "aggs": {"users": {"cardinality": {"field": "user_id"}}},
+        }},
+    })
+    return out.select(
+        F.col("blocks").alias("block"), "doc_count", "users"
+    ).orderBy("block")

@@ -474,3 +474,59 @@ class TestGeoLine:
                     "size": 20000,
                 }}},
             }}})
+
+
+class TestIpRangeAgg:
+    def test_masks_froms_and_malformed(self, spark):
+        df = spark.createDataFrame(
+            [("10.0.0.5",), ("10.0.0.200",), ("10.0.1.0",),
+             ("192.168.1.1",), ("300.1.2.3",), ("10.1",), (None,)],
+            "ip string",
+        )
+        out = run_search_body(df, {"aggs": {"b": {
+            "ip_range": {"field": "ip", "ranges": [
+                {"mask": "10.0.0.0/24"},
+                {"from": "10.0.0.0", "to": "10.0.0.128"},
+                {"from": "192.0.0.0"},
+            ]},
+        }}}).collect()
+        got = {r.b: r.doc_count for r in out}
+        # overlapping ranges: a doc lands in every matching block
+        assert got == {
+            "10.0.0.0/24": 2,
+            "10.0.0.0-10.0.0.128": 1,
+            "192.0.0.0-*": 1,
+        }
+
+    def test_mask_base_aligns_down(self, spark):
+        df = spark.createDataFrame([("10.0.0.200",)], "ip string")
+        out = run_search_body(df, {"aggs": {"b": {
+            "ip_range": {"field": "ip", "ranges": [
+                # unaligned base: /25 of .129 aligns down to .128
+                {"mask": "10.0.0.129/25"},
+            ]},
+        }}}).collect()
+        assert [(r.b, r.doc_count) for r in out] == [
+            ("10.0.0.129/25", 1)
+        ]
+
+    def test_key_override_and_validation(self, spark):
+        df = spark.createDataFrame([("1.2.3.4",)], "ip string")
+        out = run_search_body(df, {"aggs": {"b": {
+            "ip_range": {"field": "ip", "ranges": [
+                {"from": "1.0.0.0", "to": "2.0.0.0", "key": "ones"},
+            ]},
+        }}}).collect()
+        assert out[0].b == "ones"
+        with pytest.raises(ValueError, match="bad IPv4"):
+            run_search_body(df, {"aggs": {"b": {
+                "ip_range": {"field": "ip", "ranges": [
+                    {"from": "::1", "to": "::2"},
+                ]},
+            }}})
+        with pytest.raises(ValueError, match="bad mask"):
+            run_search_body(df, {"aggs": {"b": {
+                "ip_range": {"field": "ip", "ranges": [
+                    {"mask": "10.0.0.0/40"},
+                ]},
+            }}})
