@@ -1988,10 +1988,23 @@ def apply_aggs(
     ):
         (name, spec), = aggs.items()
         return _apply_composite(df, name, spec)
+    if (
+        isinstance(aggs, dict)
+        and len(aggs) == 1
+        and isinstance(next(iter(aggs.values())), dict)
+        and "frequent_item_sets" in next(iter(aggs.values()))
+    ):
+        (name, spec), = aggs.items()
+        return _apply_frequent_item_sets(df, name, spec)
     for spec in aggs.values() if isinstance(aggs, dict) else []:
         if isinstance(spec, dict) and "composite" in spec:
             raise ValueError(
                 "composite must be the only top-level aggregation"
+            )
+        if isinstance(spec, dict) and "frequent_item_sets" in spec:
+            raise ValueError(
+                "frequent_item_sets must be the only top-level "
+                "aggregation"
             )
     levels = compile_aggs(aggs)
     base = base_df if base_df is not None else df
@@ -2736,6 +2749,103 @@ def _significant_terms(
             F.col("score").desc(), F.col(key).asc()
         ).limit(int(size))
     return out
+
+
+def _apply_frequent_item_sets(
+    df: DataFrame, name: str, spec: dict
+) -> DataFrame:
+    """ES ``frequent_item_sets`` (8.4, the ML co-occurrence miner) —
+    the DETERMINISTIC EXACT reading: frequent PAIRS of field values.
+    ES mines arbitrary-size sets approximately (Eclat over a doc
+    sample); this engine computes the size-2 layer exactly —
+    reproducible across engines and partitionings — and rejects
+    ``minimum_set_size > 2`` loudly (the combinatorial layers ES
+    itself only approximates are not imitated). Items are
+    ``field=value``; a doc contributes one item per non-null listed
+    field; buckets report the sorted pair key, ``doc_count`` and
+    ``support`` (doc_count / total docs), top ``size`` by doc_count
+    (pair-key tiebreak).
+
+    Scale shape: pairs are generated IN-ROW by a combination HOF
+    over the (tiny) per-doc item array — no self-join, no doc-id
+    shuffle; then explode -> ONE partial-agg shuffle on the pair key
+    + TakeOrdered(size). The total-doc count is a single broadcast
+    row."""
+    body = spec["frequent_item_sets"]
+    fields = body.get("fields")
+    if not isinstance(fields, list) or not fields or not all(
+        isinstance(f, dict) and "field" in f for f in fields
+    ):
+        raise ValueError(
+            "frequent_item_sets needs fields: [{field}, ...]: "
+            f"{body}"
+        )
+    if len(fields) < 2:
+        raise ValueError(
+            "frequent_item_sets needs >= 2 fields for a pair layer"
+        )
+    mss = body.get("minimum_set_size", 2)
+    if mss not in (1, 2):
+        raise ValueError(
+            "frequent_item_sets: only the exact size-2 (pair) layer "
+            f"is lowered; minimum_set_size {mss} is not (ES itself "
+            "approximates larger sets by sampling)"
+        )
+    support = float(body.get("minimum_support", 0.1))
+    if not 0.0 < support <= 1.0:
+        raise ValueError(
+            f"frequent_item_sets: minimum_support in (0, 1]: {support}"
+        )
+    size = int(body.get("size", 10))
+    if spec.get("aggs"):
+        raise ValueError(
+            "frequent_item_sets takes no sub-aggregations"
+        )
+    items = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(f["field"]).isNotNull(),
+                    F.concat_ws(
+                        "=",
+                        F.lit(f["field"]),
+                        F.col(f["field"]).cast("string"),
+                    ),
+                )
+                for f in fields
+            ]
+        )
+    )
+    # in-row pair combinations (i < j), key sorted for a canonical
+    # bucket identity
+    pairs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(
+                    items, i + 2, F.greatest(F.size(items), F.lit(1))
+                ),
+                lambda y: F.array_join(F.array_sort(F.array(x, y)), ","),
+            ),
+        )
+    )
+    total = df.count()  # one job; the support floor needs it
+    floor = max(1, -(-support * total // 1))  # ceil
+    out = (
+        df.select(F.explode(pairs).alias(name))
+        .groupBy(name)
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") >= F.lit(int(floor)))
+        .withColumn(
+            "support",
+            F.col("doc_count").cast("double") / F.lit(float(total)),
+        )
+        .orderBy(F.col("doc_count").desc(), F.col(name).asc())
+        .limit(size)
+    )
+    return out.select(
+        F.lit(name).alias("agg_path"), name, "doc_count", "support"
+    )
 
 
 def _apply_composite(df: DataFrame, name: str, spec: dict) -> DataFrame:

@@ -631,3 +631,82 @@ def _es_aggs_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("blocks").alias("block"), "doc_count", "users"
     ).orderBy("block")
+
+
+# ---------------------------------------------------------------------------
+# frequent_item_sets: exact pair-layer co-occurrence mining
+# ---------------------------------------------------------------------------
+
+_FIS_ORACLE = """
+WITH f AS (
+    SELECT 'type=' || event_type AS i1,
+           'band=' || CASE WHEN value >= 10 THEN 'high'
+                           WHEN value >= 3 THEN 'mid'
+                           ELSE 'low' END AS i2,
+           'cohort=' || CAST(user_id % 5 AS VARCHAR) AS i3
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL
+      AND user_id IS NOT NULL
+), n AS (SELECT count(*) AS total FROM f),
+pairs AS (
+    SELECT CASE WHEN i1 < i2 THEN i1 || ',' || i2
+                ELSE i2 || ',' || i1 END AS k FROM f
+    UNION ALL
+    SELECT CASE WHEN i1 < i3 THEN i1 || ',' || i3
+                ELSE i3 || ',' || i1 END FROM f
+    UNION ALL
+    SELECT CASE WHEN i2 < i3 THEN i2 || ',' || i3
+                ELSE i3 || ',' || i2 END FROM f
+), b AS (
+    SELECT k, count(*) AS doc_count FROM pairs GROUP BY k
+)
+SELECT k AS sets, doc_count,
+       round(doc_count / (SELECT total FROM n), 6) AS support
+FROM b
+WHERE doc_count >= ceil(0.02 * (SELECT total FROM n))
+ORDER BY doc_count DESC, sets ASC
+LIMIT 12
+"""
+
+
+@q("es_aggs_frequent_item_sets", _FIS_ORACLE)
+def _es_aggs_frequent_item_sets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``frequent_item_sets`` (ES 8.4, the ML co-occurrence miner) —
+    the engine's DETERMINISTIC EXACT reading: the frequent PAIR
+    layer (which event types co-occur with which value bands and
+    user cohorts), computed exactly and reproducibly where ES mines
+    approximately over a doc sample; set sizes ES only approximates
+    are rejected loudly, not imitated.
+
+    Scale shape: pair combinations generate IN-ROW from the tiny
+    per-doc item array (no self-join, no doc-id shuffle), then one
+    partial-agg shuffle on the pair key + TakeOrdered(size)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
+        F.col("event_type").alias("type"),
+        F.when(F.col("value") >= 10, "high")
+        .when(F.col("value") >= 3, "mid")
+        .otherwise("low")
+        .alias("band"),
+        (F.col("user_id") % 5).cast("string").alias("cohort"),
+    )
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(ev, {
+        "aggs": {"sets": {"frequent_item_sets": {
+            "fields": [
+                {"field": "type"}, {"field": "band"},
+                {"field": "cohort"},
+            ],
+            "minimum_support": 0.02,
+            "size": 12,
+        }}},
+    })
+    return out.select(
+        "sets", "doc_count", F.round("support", 6).alias("support")
+    )

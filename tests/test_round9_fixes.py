@@ -530,3 +530,44 @@ class TestIpRangeAgg:
                     {"mask": "10.0.0.0/40"},
                 ]},
             }}})
+
+
+class TestFrequentItemSets:
+    def test_exact_pair_layer(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", "p"), ("a", "x", "q"), ("a", "y", "p"),
+             ("b", "x", "p"), ("a", "x", None)],
+            "f1 string, f2 string, f3 string",
+        )
+        out = run_search_body(df, {"aggs": {"sets": {
+            "frequent_item_sets": {
+                "fields": [{"field": "f1"}, {"field": "f2"},
+                           {"field": "f3"}],
+                "minimum_support": 0.4, "size": 5,
+            },
+        }}}).collect()
+        rows = [(r.sets, r.doc_count, r.support) for r in out]
+        assert rows[0] == ("f1=a,f2=x", 3, 0.6)
+        assert ("f1=a,f3=p", 2, 0.4) in rows
+        assert ("f2=x,f3=p", 2, 0.4) in rows
+        assert len(rows) == 3  # everything else is below support
+
+    def test_rejections(self, spark):
+        df = spark.createDataFrame([("a", "x")], "f1 string, f2 string")
+        with pytest.raises(ValueError, match=">= 2 fields"):
+            run_search_body(df, {"aggs": {"s": {
+                "frequent_item_sets": {"fields": [{"field": "f1"}]},
+            }}})
+        with pytest.raises(ValueError, match="size-2"):
+            run_search_body(df, {"aggs": {"s": {
+                "frequent_item_sets": {
+                    "fields": [{"field": "f1"}, {"field": "f2"}],
+                    "minimum_set_size": 3,
+                },
+            }}})
+        with pytest.raises(ValueError, match="only top-level"):
+            run_search_body(df, {"aggs": {
+                "s": {"frequent_item_sets": {
+                    "fields": [{"field": "f1"}, {"field": "f2"}]}},
+                "other": {"terms": {"field": "f1"}},
+            }})
