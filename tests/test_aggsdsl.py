@@ -372,7 +372,9 @@ class TestAggsDsl:
 
     def test_plan_time_validation(self, spark):
         with pytest.raises(ValueError, match="unsupported bucket"):
-            compile_aggs({"x": {"geo_line": {"field": "k"}}})
+            # geo_line graduated to a real multi-metric in round 9 —
+            # keep a genuinely-unlowered kind here
+            compile_aggs({"x": {"geohex_grid": {"field": "k"}}})
         with pytest.raises(ValueError, match="cannot nest"):
             compile_aggs(
                 {"x": {"sum": {"field": "n"}, "aggs": {"y": {"max": {"field": "n"}}}}}
