@@ -1330,10 +1330,13 @@ class TestEsql:
             run_esql("WHERE x > 1", {"events": ev})
         with pytest.raises(ValueError, match="unknown index"):
             run_esql("FROM nope | LIMIT 1", {"events": ev})
-        with pytest.raises(ValueError, match="unsupported command"):
-            # COMPLETION needs a live inference model — out of scope
+        with pytest.raises(ValueError, match="inference endpoint"):
+            # COMPLETION needs a live inference model — a dedicated
+            # loud gap since round 9
             run_esql('FROM events | COMPLETION "prompt" WITH m',
                      {"events": ev})
+        with pytest.raises(ValueError, match="unsupported command"):
+            run_esql("FROM events | FROBNICATE x", {"events": ev})
         # LOOKUP is a command now (round 8) — but only as LOOKUP JOIN
         with pytest.raises(ValueError, match="LOOKUP needs"):
             run_esql("FROM events | LOOKUP t ON k", {"events": ev})
