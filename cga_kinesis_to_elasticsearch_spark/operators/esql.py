@@ -2883,28 +2883,15 @@ def _rerank(df: DataFrame, arg: str) -> DataFrame:
                 f"ES|QL RERANK: WITH takes an inference id or an "
                 f"options map, got {w!r}"
             )
-    # standard-analyzer distinct query tokens, folded at plan time
-    # (the same normalization querydsl._tokens applies executor-side)
-    qtoks = sorted({t for t in re.split(r"[\W_]+", query.lower()) if t})
-    if not qtoks:
-        raise ValueError(
-            f"ES|QL RERANK: the query has no tokens: {query!r}"
-        )
-    from .querydsl import _doc_tiebreak, _tokens
+    # the SAME stand-in scorer the text_similarity_reranker
+    # retriever executes — the pipe and the retriever tree can never
+    # rank differently
+    from .querydsl import _doc_tiebreak, lexical_overlap_score
 
-    overlap = F.size(
-        F.array_intersect(
-            F.array_distinct(_tokens(F.col(field), "standard")),
-            F.array(*[F.lit(t) for t in qtoks]),
-        )
-    )
-    # greatest(.., 0) absorbs the legacy size(NULL) = -1 convention;
-    # coalesce the NULL of ANSI sessions — both mean "no tokens"
-    score = F.coalesce(
-        F.greatest(overlap, F.lit(0)).cast("double")
-        / F.lit(float(len(qtoks))),
-        F.lit(0.0),
-    )
+    try:
+        score = lexical_overlap_score(field, query)
+    except ValueError as exc:
+        raise ValueError(f"ES|QL RERANK: {exc}") from None
     if target:
         return df.withColumn(target, score)
     df = df.withColumn("_score", score)

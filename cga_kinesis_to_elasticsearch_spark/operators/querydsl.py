@@ -2212,6 +2212,111 @@ def _apply_relation_query(
     return df.join(keys, local_key, "left_semi")
 
 
+def lexical_overlap_score(field: str, query_text: str) -> Column:
+    """The engine's DETERMINISTIC STAND-IN for inference-based text
+    similarity (ES's semantic rerankers): distinct-token overlap
+    between the query text and the field under the standard
+    analyzer — matched distinct query tokens / distinct query
+    tokens; NULL field scores 0.0. Shared by the ES|QL ``RERANK``
+    command and the ``text_similarity_reranker`` retriever so the
+    two surfaces can never rank differently. A codegen
+    array_intersect per row — no UDF, no shuffle."""
+    import re as _re
+
+    qtoks = sorted(
+        {t for t in _re.split(r"[\W_]+", query_text.lower()) if t}
+    )
+    if not qtoks:
+        raise ValueError(
+            f"text similarity: the query has no tokens: {query_text!r}"
+        )
+    overlap = F.size(
+        F.array_intersect(
+            F.array_distinct(_tokens(F.col(field), "standard")),
+            F.array(*[F.lit(t) for t in qtoks]),
+        )
+    )
+    # greatest(.., 0) absorbs the legacy size(NULL) = -1 convention
+    return F.coalesce(
+        F.greatest(overlap, F.lit(0)).cast("double")
+        / F.lit(float(len(qtoks))),
+        F.lit(0.0),
+    )
+
+
+def _run_text_similarity_reranker(
+    df: DataFrame,
+    body: dict,
+    base_df: DataFrame | None,
+    relations: dict | None,
+) -> DataFrame:
+    """ES 8.15+ ``text_similarity_reranker`` retriever — two-stage
+    retrieve-then-rerank: the inner retriever's top
+    ``rank_window_size`` hits are re-scored over ``field`` against
+    ``inference_text`` and re-ranked. ES calls an inference endpoint
+    (a cross-encoder) for the second stage; this engine scores with
+    the documented deterministic lexical stand-in
+    (``lexical_overlap_score`` — the same scorer the ES|QL RERANK
+    command uses), so the retriever plumbing is real and
+    oracle-checkable while the model stays an honest external
+    dependency. ``inference_id`` is accepted and recorded nowhere —
+    the stand-in runs regardless (documented).
+
+    Scale shape: the inner retriever already bounds the frame to
+    rank_window_size rows; the rescore is a codegen expression over
+    that page and the final cut is TakeOrdered(size)."""
+    spec = body["retriever"]["text_similarity_reranker"]
+    inner = spec.get("retriever")
+    field = spec.get("field")
+    qtext = spec.get("inference_text")
+    if not isinstance(inner, dict) or not field or not qtext:
+        raise ValueError(
+            "text_similarity_reranker needs retriever, field and "
+            f"inference_text: {spec}"
+        )
+    extra = set(spec) - {
+        "retriever", "field", "inference_text", "inference_id",
+        "rank_window_size",
+    }
+    if extra:
+        raise ValueError(
+            f"text_similarity_reranker: unsupported options "
+            f"{sorted(extra)}"
+        )
+    window = int(spec.get("rank_window_size", 10))
+    if window < 1:
+        raise ValueError(
+            f"text_similarity_reranker: bad rank_window_size {window}"
+        )
+    bad_outer = set(body) - {"retriever", "size", "_source"}
+    if bad_outer:
+        raise ValueError(
+            "text_similarity_reranker composes with size/_source "
+            f"only, got {sorted(bad_outer)}"
+        )
+    hits = run_search_body(
+        df, {"retriever": inner, "size": window}, base_df, relations
+    )
+    if field not in hits.columns:
+        raise ValueError(
+            f"text_similarity_reranker: field {field!r} not in the "
+            f"inner hits (columns: {hits.columns})"
+        )
+    score = lexical_overlap_score(field, str(qtext))
+    out = hits.withColumn("_score", score)
+    out = out.orderBy(
+        F.col("_score").desc(), *_doc_tiebreak(out, ["_score"])
+    ).limit(int(body.get("size", 10)))
+    if "_source" in body:
+        keep = _source_columns(
+            [c for c in out.columns if c != "_score"], body["_source"]
+        )
+        if "_score" not in keep:
+            keep.append("_score")
+        out = out.select(*keep)
+    return out
+
+
 def _lower_retriever(body: dict) -> dict:
     """ES 8.14+ ``retriever`` tree -> the legacy body form this
     engine already executes. Supported retrievers:
@@ -2226,8 +2331,9 @@ def _lower_retriever(body: dict) -> dict:
       rank_constant]}`` -> hybrid ``query`` + ``knn`` + ``rank.rrf``
       (the same reciprocal-rank fusion plan as ``es_search_knn_rrf``).
 
-    ``text_similarity_reranker`` needs a live inference endpoint and
-    nested rrf trees are not lowered — both fail at plan time."""
+    ``text_similarity_reranker`` is EXECUTED (two-stage), not
+    lowered — see ``_run_text_similarity_reranker``; nested rrf
+    trees are not lowered and fail at plan time."""
     ret = body["retriever"]
     rest = {k: v for k, v in body.items() if k != "retriever"}
     if not isinstance(ret, dict) or len(ret) != 1:
@@ -2306,8 +2412,7 @@ def _lower_retriever(body: dict) -> dict:
         }
     raise ValueError(
         f"retriever: unsupported type {kind!r} (supported: standard, "
-        "knn, rrf, linear; text_similarity_reranker needs a live "
-        "inference endpoint)"
+        "knn, rrf, linear, text_similarity_reranker)"
     )
 
 
@@ -2363,6 +2468,15 @@ def run_search_body(
             raise ValueError(
                 "retriever is mutually exclusive with top-level "
                 "query/knn (ES rejects the combination too)"
+            )
+        ret = body["retriever"]
+        if (
+            isinstance(ret, dict)
+            and "text_similarity_reranker" in ret
+        ):
+            # two-stage retrieve-then-rerank: executes, not lowers
+            return _run_text_similarity_reranker(
+                df, body, base_df, relations
             )
         body = _lower_retriever(body)
     if "runtime_mappings" in body:

@@ -710,3 +710,65 @@ def _es_aggs_frequent_item_sets(
     return out.select(
         "sets", "doc_count", F.round("support", 6).alias("support")
     )
+
+
+# ---------------------------------------------------------------------------
+# the TSDB rollup: time_series > date_histogram > rate
+# ---------------------------------------------------------------------------
+
+_TSDB_ROLLUP_ORACLE = """
+WITH f AS (
+    SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS tsid,
+           date_trunc('day', ts) AS d, value
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), top AS (
+    SELECT tsid, count(*) AS n FROM f GROUP BY tsid
+    ORDER BY n DESC, tsid ASC LIMIT 6
+)
+SELECT f.tsid, strftime(d, '%Y-%m-%d') AS day,
+       count(*) AS doc_count,
+       round(sum(value) * (3600.0 / 86400.0), 6) AS value_per_hour
+FROM f JOIN top USING (tsid)
+GROUP BY 1, 2
+ORDER BY tsid, day
+"""
+
+
+@q("es_aggs_tsdb_rollup", _TSDB_ROLLUP_ORACLE)
+def _es_aggs_tsdb_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TSDB metric-rollup composition on the ``_search`` side:
+    ``time_series > date_histogram > rate`` — per-series daily value
+    rates for the busiest 6 series, ES's canonical metrics-dashboard
+    shape (the aggregation face of the ES|QL ``TS`` command). Zero
+    bespoke code: the three existing aggs compose through the
+    per-level bucket framework, proving the TSDB surface is built
+    from orthogonal pieces.
+
+    Scale shape: one partial-agg shuffle per level over an
+    already-collapsing frame; the rate is a plan-time constant
+    multiplier on the bucket sum."""
+    ev = _t(spark, sf_dir, "events")
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(ev, {
+        "aggs": {"series": {
+            "time_series": {
+                "dimensions": ["user_id", "event_type"], "size": 6,
+            },
+            "aggs": {"per_day": {
+                "date_histogram": {
+                    "field": "ts", "calendar_interval": "day",
+                },
+                "aggs": {"value_per_hour": {"rate": {
+                    "field": "value", "unit": "hour",
+                }}},
+            }},
+        }},
+    })
+    return out.filter(F.col("agg_path") == "series>per_day").select(
+        F.col("series").alias("tsid"),
+        F.date_format("per_day", "yyyy-MM-dd").alias("day"),
+        "doc_count",
+        F.round("value_per_hour", 6).alias("value_per_hour"),
+    ).orderBy("tsid", "day")

@@ -746,6 +746,72 @@ def _esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 5h. text_similarity_reranker retriever (ES 8.15): the semantic
+#     two-stage pattern on the _search side
+# ---------------------------------------------------------------------------
+
+_TSR_ORACLE = """
+WITH tk AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(text, '\\s+'),
+                       t -> t <> '') AS wt,
+           list_distinct(list_filter(
+               string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+               t -> t <> '')) AS st
+    FROM documents
+), cand AS (
+    SELECT doc_id, lang, st FROM tk
+    WHERE list_contains(wt, 'merge') OR list_contains(wt, 'scan')
+)
+SELECT doc_id, lang,
+       round(len(list_filter(['merge', 'scan', 'vector', 'window'],
+                             t -> list_contains(st, t))) / 4.0, 6)
+           AS score
+FROM cand
+ORDER BY score DESC, doc_id
+LIMIT 15
+"""
+
+
+@q("es_search_retriever_reranker", _TSR_ORACLE)
+def _es_search_retriever_reranker(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ES 8.15 ``text_similarity_reranker`` retriever — the
+    semantic two-stage pattern on the ``_search`` side: an inner
+    standard retriever feeds its top ``rank_window_size`` hits to a
+    reranker that re-scores over ``field`` vs ``inference_text``. ES
+    calls an inference endpoint; the engine executes the documented
+    deterministic lexical stand-in — the SAME scorer the ES|QL
+    RERANK command uses, so the pipe and the retriever tree can
+    never rank differently (pinned in tests). The window here
+    exceeds the match count so the oracle needs no BM25 replay —
+    every inner match is reranked.
+
+    Scale shape: the inner retriever bounds the frame to the window;
+    the rescore is one codegen expression over that page and the
+    final cut is TakeOrdered(size)."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators.querydsl import run_search_body
+
+    out = run_search_body(docs, {
+        "retriever": {"text_similarity_reranker": {
+            "retriever": {"standard": {"query": {
+                "match": {"text": "merge scan"},
+            }}},
+            "field": "text",
+            "inference_text": "merge scan vector window",
+            "inference_id": "semantic-reranker-stub",
+            "rank_window_size": 10000,
+        }},
+        "size": 15,
+    })
+    return out.select(
+        "doc_id", "lang", F.round("_score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 6. LIKE pattern lists + the round-9 scalar batch over documents
 # ---------------------------------------------------------------------------
 

@@ -183,9 +183,13 @@ class TestRetrieverTree:
                 "retriever": {"standard": {"query": {"match_all": {}}}},
                 "query": {"match_all": {}},
             })
-        with pytest.raises(ValueError, match="unsupported type"):
+        # text_similarity_reranker EXECUTES since round 9 (stand-in
+        # scorer) — an empty spec fails its own validation
+        with pytest.raises(ValueError, match="needs retriever"):
             run_search_body(df, {
                 "retriever": {"text_similarity_reranker": {}}})
+        with pytest.raises(ValueError, match="unsupported type"):
+            run_search_body(df, {"retriever": {"made_up_kind": {}}})
         with pytest.raises(ValueError, match="one standard \\+ one knn"):
             run_search_body(df, {
                 "retriever": {"rrf": {"retrievers": [

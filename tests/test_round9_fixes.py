@@ -571,3 +571,103 @@ class TestFrequentItemSets:
                     "fields": [{"field": "f1"}, {"field": "f2"}]}},
                 "other": {"terms": {"field": "f1"}},
             }})
+
+
+class TestTextSimilarityReranker:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "merge scan vector pipeline"),
+                (2, "merge scan"),
+                (3, "vector table window"),
+                (4, "merge scan vector table"),
+                (5, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_two_stage_rerank(self, spark):
+        out = run_search_body(self._docs(spark), {
+            "retriever": {"text_similarity_reranker": {
+                "retriever": {"standard": {"query": {
+                    "match": {"text": "merge scan vector"},
+                }}},
+                "field": "text",
+                "inference_text": "merge scan vector table",
+                "inference_id": "stub-model",
+                "rank_window_size": 4,
+            }},
+            "size": 3,
+        }).collect()
+        assert [(r.doc_id, round(r._score, 4)) for r in out] == [
+            (4, 1.0), (1, 0.75), (2, 0.5),
+        ]
+
+    def test_parity_with_esql_rerank(self, spark):
+        from cga_kinesis_to_elasticsearch_spark.operators.esql import (
+            run_esql,
+        )
+
+        df = self._docs(spark)
+        ret = run_search_body(df, {
+            "retriever": {"text_similarity_reranker": {
+                "retriever": {"standard": {"query": {
+                    "match": {"text": "merge scan vector"},
+                }}},
+                "field": "text",
+                "inference_text": "merge scan vector table",
+                "rank_window_size": 100,
+            }},
+            "size": 5,
+        }).collect()
+        pipe = run_esql(
+            'FROM d | WHERE MATCH(text, "merge scan vector") '
+            '| RERANK "merge scan vector table" ON text '
+            "| LIMIT 5 | KEEP doc_id, _score",
+            {"d": df},
+        ).collect()
+        assert [(r.doc_id, r._score) for r in ret] == [
+            (r.doc_id, r._score) for r in pipe
+        ]
+
+    def test_validation(self, spark):
+        df = self._docs(spark)
+        with pytest.raises(ValueError, match="needs retriever"):
+            run_search_body(df, {"retriever": {
+                "text_similarity_reranker": {
+                    "field": "text", "inference_text": "x",
+                },
+            }})
+        with pytest.raises(ValueError, match="unsupported options"):
+            run_search_body(df, {"retriever": {
+                "text_similarity_reranker": {
+                    "retriever": {"standard": {"query": {
+                        "match_all": {}}}},
+                    "field": "text", "inference_text": "x",
+                    "min_score": 0.5,
+                },
+            }})
+
+
+class TestTsdbRollupComposition:
+    def test_rate_under_time_series_histogram(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("h1", dt.datetime(2024, 1, 1, h), 24.0) for h in (0, 12)
+        ] + [("h2", dt.datetime(2024, 1, 1, 6), 48.0)]
+        df = spark.createDataFrame(rows, "host string, ts timestamp, v double")
+        from pyspark.sql import functions as F
+
+        out = run_search_body(df, {"aggs": {"s": {
+            "time_series": {"dimensions": ["host"]},
+            "aggs": {"d": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"r": {"rate": {"field": "v",
+                                        "unit": "hour"}}},
+            }},
+        }}}).filter(F.col("agg_path") == "s>d").collect()
+        got = {r.s: r.r for r in out}
+        # h1: sum 48 over a day -> 2/hour; h2: 48 -> 2/hour
+        assert got == {"h1": 2.0, "h2": 2.0}
