@@ -42,6 +42,17 @@ __all__ = [
 WORD_BITS = 32
 
 
+def _words_lit(probe_words: list[int]) -> Column:
+    """Literal BIGINT array of packed filter words, built as ONE parsed
+    SQL expression. ``F.lit(list)`` constructs the array literal
+    element by element over py4j — measured ~1.7 s of pure driver time
+    for the default 2x2048-word filter (each element is a JVM
+    round-trip), vs ~1 ms to parse the equivalent ``array(...)`` SQL
+    string. Same Catalyst literal either way (constant-folded before
+    execution)."""
+    return F.expr("array(" + ",".join(f"{int(w)}L" for w in probe_words) + ")")
+
+
 def bloom_bucket(key: Column, probe: int, hex_chars: int = 4) -> Column:
     """Integer bucket of ``key`` for probe ``probe``: hex window
     ``probe`` of ONE shared md5 — md5's hex chars are uniform and
@@ -110,7 +121,7 @@ def bloom_might_contain(
     for j, probe_words in enumerate(words):
         b = bloom_bucket(key, j, hex_chars)
         w = F.element_at(
-            F.lit(probe_words), (F.floor(b / WORD_BITS) + 1).cast("int")
+            _words_lit(probe_words), (F.floor(b / WORD_BITS) + 1).cast("int")
         )
         cond = cond & (
             F.call_function("getbit", w, b.bitwiseAND(F.lit(WORD_BITS - 1))) == 1
@@ -165,7 +176,7 @@ def bloom_prefilter(
             b = F.expr(f"__bloom_h DIV {div}L")
         b = b % m
         w = F.element_at(
-            F.lit(probe_words), (F.floor(b / WORD_BITS) + 1).cast("int")
+            _words_lit(probe_words), (F.floor(b / WORD_BITS) + 1).cast("int")
         )
         cond = cond & (
             F.call_function("getbit", w, b.bitwiseAND(F.lit(WORD_BITS - 1))) == 1

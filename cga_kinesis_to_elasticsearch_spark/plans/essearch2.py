@@ -662,12 +662,18 @@ def _es_scroll_pit_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected = [(1, first)]
     for i, rows in enumerate(pages, start=2):
         collected.append((i, rows))
+    # one partition: the whole export is a few pages of driver-held
+    # rows; bare createDataFrame would parallelize them across 32
+    # near-empty Python-RDD slices (pure task-launch overhead)
     out = spark.createDataFrame(
-        [
-            (page, r["doc_id"], r["lang"])
-            for page, rows in collected
-            for r in rows
-        ],
+        spark.sparkContext.parallelize(
+            [
+                (page, r["doc_id"], r["lang"])
+                for page, rows in collected
+                for r in rows
+            ],
+            1,
+        ),
         "page long, doc_id long, lang string",
     )
     return out
