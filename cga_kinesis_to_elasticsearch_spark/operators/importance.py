@@ -14,18 +14,25 @@ High-weight documents look like the target; feeding the weights into
 completes the resampling step. This is the standard cheap alternative
 to classifier-based quality selection.
 
-Scale shape: featurization is one narrow explode -> groupBy (doc,
-bucket) with map-side combine (features per doc are bounded by its
-token count); each distribution is an ``n_buckets``-row aggregate that
-broadcasts; the weight join touches (doc, bucket) rows only — the
-corpus text is read once and never shuffled.
+Scale shape (optimization round 9 — guide §2.3/§2.4): featurization is
+IN-ROW — each document folds to one ascending-sorted
+``(bucket, cnt)`` array with no per-gram row explosion and no
+(doc, bucket) exchange; the two distributions come out of ONE tiny
+``n_buckets``-row aggregation over the feature frame; the per-document
+score is a narrow in-row fold against a broadcast 1-row
+``bucket -> log-ratio`` map. The corpus text is read once and never
+shuffled, and no per-document state ever crosses an exchange — the
+old shape shuffled (doc, bucket, cnt) rows twice (feature groupBy +
+weight groupBy with a per-doc collect_list sort).
 
 Determinism contract (same discipline as text.unigram_logprob): the
 bucket hash is the engine-wide md5 trick (hex window of md5, exact in
 any engine), probabilities are ratios of exact integers, and the
 per-document sum of float log-ratios folds in ascending-bucket order
 on BOTH engines — identical operand sequences give bit-identical
-doubles, so weights are hash-comparable after round(6).
+doubles, so weights are hash-comparable after round(6). The in-row
+feature array is sorted ascending by bucket, so the fold order is the
+same operand sequence the old (collect_list + array_sort) shape used.
 """
 
 from __future__ import annotations
@@ -48,15 +55,22 @@ def _gram_bucket(gram: Column, n_buckets: int) -> Column:
     return (h.cast("long") % n_buckets).cast("int")
 
 
-def hashed_ngram_features(
+def _inrow_features(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n_buckets: int = 1024,
+    n_buckets: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(id, bucket INT, cnt LONG)``: hashed unigram+bigram bag of the
-    normalized text. Bigrams join tokens with ``_`` (never produced by
-    normalization, so unigram/bigram namespaces cannot collide)."""
+    """``(id, *extra, fb array<struct<bucket int, cnt bigint>>)``: the
+    hashed unigram+bigram bag of each document as ONE in-row array,
+    sorted ascending by bucket — no per-gram rows, no exchange.
+    Bigrams join tokens with ``_`` (never produced by normalization,
+    so unigram/bigram namespaces cannot collide).
+
+    The counts are built by run-length-encoding the sorted per-doc
+    bucket array with higher-order functions: O(g log g) per document
+    in whole-stage codegen, where g is the gram count."""
     raw_toks = F.filter(
         F.split(normalized_text(F.col(text_col)), " "), lambda t: t != ""
     )
@@ -66,7 +80,9 @@ def hashed_ngram_features(
     # collapse), re-running the full-text regex per token — O(tokens^2)
     # per document (measured 22 s for 5k docs without the barrier)
     staged = df.select(
-        F.col(id_col), F.explode(F.array(raw_toks)).alias("__toks")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.array(raw_toks)).alias("__toks"),
     )
     toks = F.col("__toks")
     bigrams = F.when(
@@ -81,22 +97,64 @@ def hashed_ngram_features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(toks, bigrams)
-    ex = staged.select(F.col(id_col), F.explode(grams).alias("__gram"))
-    return (
-        ex.select(
-            F.col(id_col), _gram_bucket(F.col("__gram"), n_buckets).alias("bucket")
-        )
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    bs = F.array_sort(
+        F.transform(grams, lambda g: _gram_bucket(g, n_buckets))
+    )
+    st = staged.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], bs.alias("__bs")
+    ).withColumn(
+        # run starts: indices where the sorted bucket value changes
+        # (the i = 0 disjunct short-circuits before __bs[i - 1])
+        "__starts",
+        F.expr(
+            "CASE WHEN size(__bs) > 0 THEN"
+            " filter(sequence(0, size(__bs) - 1),"
+            "        i -> i = 0 OR __bs[i] != __bs[i - 1])"
+            " ELSE CAST(array() AS array<int>) END"
+        ),
+    )
+    fb = F.expr(
+        "transform(sequence(0, size(__starts) - 1), j -> struct("
+        " __bs[__starts[j]] AS bucket,"
+        " CAST((CASE WHEN j + 1 < size(__starts) THEN __starts[j + 1]"
+        "       ELSE size(__bs) END) - __starts[j] AS BIGINT) AS cnt))"
+    )
+    empty = "CAST(array() AS array<struct<bucket:int,cnt:bigint>>)"
+    return st.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.when(F.size("__starts") > 0, fb)
+        .otherwise(F.expr(empty))
+        .alias("fb"),
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """``(id, bucket INT, cnt LONG)``: hashed unigram+bigram bag of the
+    normalized text. One row per (document, bucket) — the row form of
+    ``_inrow_features``; since the in-row array is already aggregated
+    per document, this is a narrow explode with NO groupBy exchange."""
+    return _inrow_features(df, text_col, id_col, n_buckets).select(
+        F.col(id_col), F.explode("fb").alias("__f")
+    ).select(
+        F.col(id_col),
+        F.col("__f.bucket").alias("bucket"),
+        F.col("__f.cnt").alias("cnt"),
     )
 
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str,
     id_col: str,
     n_buckets: int = 1024,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Per-raw-document DSIR importance log-weight against ``target``.
 
@@ -105,59 +163,81 @@ def dsir_log_weights(
     Both distributions use Laplace smoothing — p(b) = (cnt_b + 1) /
     (total + n_buckets) — so unseen buckets stay finite and the ratio
     is well-defined everywhere.
+
+    ``target_pred``: when the target set is a SUBSET of ``raw``
+    selected by a row predicate (the common case — e.g. a source
+    allowlist), pass the predicate instead of a second frame and the
+    target distribution is derived from the raw feature pass — the
+    target text is never tokenized twice. ``target`` is ignored (may
+    be ``None``) when ``target_pred`` is given.
     """
-    # raw_f feeds BOTH the raw distribution and the per-doc contribution
-    # join — materialize once so the tokenize+hash pipeline runs once
-    raw_f = hashed_ngram_features(
-        raw, text_col, id_col, n_buckets
-    ).localCheckpoint()
-    tgt_f = hashed_ngram_features(target, text_col, id_col, n_buckets)
-    raw_b = raw_f.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
-    tgt_b = tgt_f.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
-    totals = raw_b.agg(F.sum("rc").alias("rt")).crossJoin(
-        tgt_b.agg(F.sum("tc").alias("tt"))
-    )
-    m = F.lit(float(n_buckets))
-    dist = (
-        raw_b.join(tgt_b, "bucket", "full")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log(F.coalesce("tc", F.lit(0)) + 1.0)
-                - F.log(F.col("tt") + m)
-                - F.log(F.coalesce("rc", F.lit(0)) + 1.0)
-                + F.log(F.col("rt") + m)
-            ).alias("__lr"),
+    # feats feeds the distribution aggregation AND the scoring pass —
+    # materialize once (the tokenize+hash pipeline is the expensive
+    # part; everything downstream is a 1024-row agg or narrow)
+    if target_pred is not None:
+        feats = _inrow_features(
+            raw.withColumn("__tgt", target_pred),
+            text_col,
+            id_col,
+            n_buckets,
+            ("__tgt",),
+        ).localCheckpoint()
+        ex = feats.select("__tgt", F.explode("fb").alias("__f"))
+        both = ex.groupBy(F.col("__f.bucket").alias("bucket")).agg(
+            F.sum("__f.cnt").alias("rc"),
+            F.sum(F.when(F.col("__tgt"), F.col("__f.cnt"))).alias("tc"),
         )
+    else:
+        feats = _inrow_features(
+            raw, text_col, id_col, n_buckets
+        ).localCheckpoint()
+        raw_b = (
+            feats.select(F.explode("fb").alias("__f"))
+            .groupBy(F.col("__f.bucket").alias("bucket"))
+            .agg(F.sum("__f.cnt").alias("rc"))
+        )
+        tgt_b = (
+            _inrow_features(target, text_col, id_col, n_buckets)
+            .select(F.explode("fb").alias("__f"))
+            .groupBy(F.col("__f.bucket").alias("bucket"))
+            .agg(F.sum("__f.cnt").alias("tc"))
+        )
+        # full join: a separate target corpus may populate buckets the
+        # raw corpus never touches (they still shift the target total)
+        both = raw_b.join(tgt_b, "bucket", "full")
+    m = F.lit(float(n_buckets))
+    totals = both.agg(
+        F.sum("rc").alias("rt"), F.sum("tc").alias("tt")
     )
-    contrib = raw_f.join(F.broadcast(dist), "bucket").select(
-        F.col(id_col),
-        "cnt",
-        (F.col("cnt") * F.col("__lr")).alias("__c"),
+    dist = both.crossJoin(F.broadcast(totals)).select(
         "bucket",
+        (
+            F.log(F.coalesce("tc", F.lit(0)) + 1.0)
+            - F.log(F.coalesce("tt", F.lit(0)) + m)
+            - F.log(F.coalesce("rc", F.lit(0)) + 1.0)
+            + F.log(F.coalesce("rt", F.lit(0)) + m)
+        ).alias("__lr"),
     )
-    weights = contrib.groupBy(id_col).agg(
-        F.sum("cnt").alias("n_grams"),
-        # ascending-bucket fold: the determinism contract shared with
-        # the SQL oracle (see module docstring)
+    # ONE broadcast row: the whole bucket -> log-ratio table as a map
+    # (n_buckets entries, KB-scale at any corpus size)
+    lrmap = dist.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "__lr"))
+        ).alias("__lrm")
+    )
+    # narrow in-row score: ascending-bucket fold (fb is sorted), the
+    # same operand sequence as the SQL oracle's ordered list_sum.
+    # feats holds EVERY raw document (empty docs carry fb = []), so no
+    # re-attach join is needed: empty folds give exactly (0, 0.0)
+    return feats.crossJoin(F.broadcast(lrmap)).select(
+        F.col(id_col),
+        F.expr("aggregate(fb, 0L, (a, x) -> a + x.cnt)")
+        .cast("long")
+        .alias("n_grams"),
         F.round(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("bucket"), F.col("__c")))
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x["__c"],
+            F.expr(
+                "aggregate(fb, 0.0D, (a, x) -> a + x.cnt * __lrm[x.bucket])"
             ),
             6,
         ).alias("log_weight"),
-    )
-    return (
-        raw.select(id_col)
-        .join(weights, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
-        )
     )

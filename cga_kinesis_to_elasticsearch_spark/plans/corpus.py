@@ -922,13 +922,22 @@ def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of log-ratios — the cheap distribution-matching scorer for
     training-data selection; feed into weighted_hash_sample for the
     resampling step. Value-checked: hashing, smoothing and the
-    ascending-bucket float fold replay exactly in SQL."""
+    ascending-bucket float fold replay exactly in SQL.
+
+    The target is a row predicate over the same corpus, so it goes in
+    as ``target_pred`` (opt r9, guide §2.3): the corpus is tokenized
+    ONCE and both distributions come out of one 1024-row aggregate —
+    no second featurization pass over the target subset."""
     from ..operators.importance import dsir_log_weights
 
     docs = _tp(spark, sf_dir, "documents")
-    target = docs.filter(F.col("source").isin(*_DSIR_TARGET))
     return dsir_log_weights(
-        docs, target, "text", "doc_id", n_buckets=_DSIR_BUCKETS
+        docs,
+        None,
+        "text",
+        "doc_id",
+        n_buckets=_DSIR_BUCKETS,
+        target_pred=F.col("source").isin(*_DSIR_TARGET),
     )
 
 
