@@ -79,8 +79,40 @@ class TestConnectedComponents:
         pairs = [(i, i + 1) for i in range(11)]
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(
-                _df_vertices(spark, ids), _df_edges(spark, pairs), max_iter=2
+                _df_vertices(spark, ids),
+                _df_edges(spark, pairs),
+                max_iter=2,
+                driver_threshold=0,  # force the distributed loop
             )
+
+    def test_driver_and_distributed_paths_agree(self, spark):
+        """The union-find fast path must replay the propagation
+        fixpoint exactly — same labels, same output row set."""
+        import random
+
+        rnd = random.Random(99)
+        ids = list(range(40))
+        pairs = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(30)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        fast = connected_components(
+            _df_vertices(spark, ids), _df_edges(spark, pairs)
+        ).collect()
+        slow = connected_components(
+            _df_vertices(spark, ids),
+            _df_edges(spark, pairs),
+            driver_threshold=0,
+        ).collect()
+        assert {(r.id, r.component) for r in fast} == {
+            (r.id, r.component) for r in slow
+        }
+
+    def test_driver_path_seeds_labels_from_vertices_only(self, spark):
+        """An edge endpoint outside the vertex set joins its
+        component (labelled by the minimum VERTEX id, even when the
+        outsider's id is smaller) and an all-outsider component is
+        absent — the exact distributed-fixpoint semantics."""
+        got = _result(spark, [5], [(5, 3), (100, 101)])
+        assert got == {5: 5, 3: 5}
 
 
 class TestFuzzyDedup:
