@@ -41,7 +41,7 @@ import shutil
 from dataclasses import dataclass, field
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 
 from ._swap import recover_and_sweep, swap_in
 
@@ -122,10 +122,14 @@ def apply_upserts(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    latest.write.partitionBy("bucket").parquet(str(staging))
-    stats.rows_in_touched = (
-        spark.read.parquet(str(staging)).filter(~F.col("__tomb")).count()
+    # live-row stat rides the write job as an observed metric — a
+    # separate staging re-scan would be one extra action per batch
+    obs = Observation()
+    latest = latest.observe(
+        obs, F.sum((~F.col("__tomb")).cast("long")).alias("live")
     )
+    latest.write.partitionBy("bucket").parquet(str(staging))
+    stats.rows_in_touched = int(obs.get["live"] or 0)
     for part in sorted(staging.iterdir()):
         if part.is_dir() and part.name.startswith("bucket="):
             tmp = root / f".tmp-{part.name}"

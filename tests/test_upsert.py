@@ -43,6 +43,24 @@ class TestUpsertSemantics:
             "a": (2, "a2"), "b": (1, "b1"), "c": (1, "c1"),
         }
 
+    def test_stats_live_rows_from_observed_write(self, spark, tmp_path):
+        root = tmp_path / "t"
+        stats = apply_upserts(
+            spark,
+            _b(spark, [("a", 1, "a1", False), ("b", 1, "b1", False),
+                       ("c", 1, "c1", True)]),
+            root, "k", "seq", delete_col="is_del",
+        )
+        # live rows exclude the winning tombstone, which IS stored
+        assert stats.rows_in_touched == 2
+        stats = apply_upserts(
+            spark, _b(spark, [("a", 2, "a2", True)]), root, "k", "seq",
+            delete_col="is_del",
+        )
+        # a's bucket rewritten: a now dead, whoever shares its bucket live
+        assert stats.buckets_touched == len(stats.touched)
+        assert 0 <= stats.rows_in_touched <= 2
+
     def test_out_of_order_batch_cannot_regress(self, spark, tmp_path):
         root = tmp_path / "t"
         apply_upserts(
