@@ -600,10 +600,19 @@ def span_dedup(
         raise ValueError(f"window must be >= 2 tokens: {w}")
     staged = _span_staged(df, text_col, id_col)
     grams = _span_grams(staged, id_col, w)
-    win = Window.partitionBy("__gh")
+    # the ownership exchange ships only (16-byte binary gram hash, key):
+    # id and position are recovered arithmetically from the key encoding
+    # (id * 2^31 + p), so the hex md5 / id / p columns never shuffle
+    id_type = staged.schema[id_col].dataType.simpleString()
+    win = Window.partitionBy("__ghb")
     dup_pos = (
-        grams.withColumn("__owner", F.min("__key").over(win))
+        grams.select(F.unhex("__gh").alias("__ghb"), "__key")
+        .withColumn("__owner", F.min("__key").over(win))
         .filter(F.col("__key") != F.col("__owner"))
+        .select(
+            F.expr("__key div 2147483648").cast(id_type).alias(id_col),
+            F.expr("__key % 2147483648").cast("int").alias("__p"),
+        )
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__p")).alias("__dup"))
     )

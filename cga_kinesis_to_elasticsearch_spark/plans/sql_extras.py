@@ -1014,10 +1014,7 @@ def build_bucketed_tables(
     li_df = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
     )
-    for name, df, key in (
-        (t_ord, ord_df, "o_orderkey"),
-        (t_li, li_df, "l_orderkey"),
-    ):
+    def _write(name: str, df: DataFrame, key: str) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
             df.write.format("parquet")
@@ -1027,6 +1024,19 @@ def build_bucketed_tables(
             .mode("overwrite")
             .saveAsTable(name)
         )
+
+    # the two layout writes are independent jobs on distinct tables —
+    # submit them concurrently so their (small) task waves and commit
+    # phases overlap instead of serializing
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [
+            ex.submit(_write, t_ord, ord_df, "o_orderkey"),
+            ex.submit(_write, t_li, li_df, "l_orderkey"),
+        ]
+        for f in futs:
+            f.result()
     return t_ord, t_li
 
 

@@ -100,19 +100,29 @@ class ParquetIndexSink:
             self._ensured.add(name)
 
     # -- K1: bulk write ------------------------------------------------
+    #: per-index write fan-out bound: each index's rows land in at most
+    #: this many tasks, so files-per-index-per-batch stays bounded while
+    #: a mono-index batch still writes in parallel
+    WRITE_SALT = 8
+
     def write(self, docs: DataFrame) -> None:
         # cluster by the partition column first: without it every task
         # opens a file in EVERY index it touches (tasks x indices small
         # files per batch — measured ~10x file-count blowup and a
-        # visibly slower write+read-back). REBALANCE (not
-        # repartition(col)): repartition's contract forbids splitting
-        # a hash partition, so a mono-index micro-batch — the common
-        # daily-index case — would serialize the whole write through
-        # one task; the rebalance hint clusters by es_index but lets
-        # AQE split a skewed/solitary index across tasks.
-        docs.hint("rebalance", "es_index").write.mode("append").partitionBy(
-            "es_index"
-        ).parquet(str(self.root / "data"))
+        # visibly slower write+read-back). Salted repartition (not
+        # REBALANCE): AQE's rebalance coalesces a sub-advisory-size
+        # batch into ONE post-AQE task that writes every index dir
+        # sequentially (measured 2x slower on a 30-index batch), and
+        # plain repartition(col) would serialize a mono-index batch the
+        # same way. Hashing (es_index, salt(doc_id)) bounds files per
+        # index at WRITE_SALT while task parallelism follows the
+        # cluster's defaultParallelism, independent of AQE byte
+        # thresholds.
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(self.WRITE_SALT))
+        docs.repartition(par, F.col("es_index"), salt).write.mode(
+            "append"
+        ).partitionBy("es_index").parquet(str(self.root / "data"))
 
     def write_errors(self, poison: DataFrame, batch_id: int) -> None:
         """T2: corrupt records land here with their raw bytes intact —
