@@ -139,7 +139,14 @@ def _streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = Path(tempfile.mkdtemp(prefix="cga-stream-"))
     try:
         raw_dir = work / "raw"
-        records = synthesize_envelopes(spark, sf_dir)
+        # events.parquet is one row group -> one task; spread the raw
+        # rows so envelope synthesis + to_json encode run on every core
+        # (same fix pipeline_e2e carries); write_raw_records still
+        # clusters by shard, so the per-shard-file layout (T3) is
+        # unchanged and the oracle compares sorted rows anyway
+        records = synthesize_envelopes(
+            spark, sf_dir, partitions=spark.sparkContext.defaultParallelism
+        )
         write_raw_records(records, str(raw_dir))
         dim = flatten_dimensions(*synthesize_cf_dimensions(spark))
         sink = ParquetIndexSink(work / "sink")
