@@ -321,16 +321,13 @@ def _frequent_item_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(basket_size, 2); (4) one (p1, p2) partial-agg shuffle counts
     support. Facts never self-join."""
     li = _t(spark, sf_dir, "lineitem")
-    # one (orderkey) shuffle with map-side collect_set dedup stands in
-    # for the separate DISTINCT-items exchange; the explode and the
-    # broadcast prune preserve that partitioning, so the basket
-    # re-group below needs no further exchange
-    raw_baskets = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("b0")
-    )
-    items = raw_baskets.select(
-        "l_orderkey", F.explode("b0").alias("l_partkey")
-    )
+    # NOTE (r9): a collect_set-first variant that removes the distinct
+    # exchange (baskets built once, explode+broadcast-prune preserving
+    # the orderkey partitioning) measured EQUAL-or-slower in a 5-round
+    # same-process A/B (old ~2.03 s vs 2.27 s at sf0.1): the basket
+    # ObjectHashAggregate runs once per consuming branch and costs more
+    # than the exchange it saves. Keeping the distinct shape.
+    items = li.select("l_orderkey", "l_partkey").distinct()
     freq = (
         items.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("c"))
