@@ -202,12 +202,25 @@ def _heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation; the prune threshold is a global top-(k+1)
     (TakeOrderedAndProject, no full sort) collapsed to one broadcast
     row; the merge joins two <= k-row summaries. Facts are scanned
-    once per half and never move."""
+    once per half and never move.
+
+    The two half summaries are independent and each prune runs an
+    eager checkpoint action, so they build from a 2-thread pool (the
+    bucketed-layout-write pattern) instead of serializing two driver
+    round-trips."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.heavyhitters import exact_counts, mg_merge
 
     ev = _t(spark, sf_dir, "events")
-    a = exact_counts(ev.filter(F.col("event_id") % 2 == 0), "user_id", _HH_K)
-    b = exact_counts(ev.filter(F.col("event_id") % 2 == 1), "user_id", _HH_K)
+    with ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(
+            exact_counts, ev.filter(F.col("event_id") % 2 == 0), "user_id", _HH_K
+        )
+        fb = ex.submit(
+            exact_counts, ev.filter(F.col("event_id") % 2 == 1), "user_id", _HH_K
+        )
+        a, b = fa.result(), fb.result()
     return mg_merge(a, b, _HH_K)
 
 
