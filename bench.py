@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
 """Headline benchmark: runs the engine's flagship queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints the full per-query payload
+local[$SPARK_GRAFT_CPUS] and prints one SHORT per-query line each
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, ...}
+    {"q": "<name>", "best": N, "all": [..]}
 
-followed by a FINAL compact line (same shape minus the bulky
-per-query maps, well under 200 bytes) — the harness that records the
-bench tail-captures a bounded number of characters and parses the
-LAST line, and round 7's full line (with per-query all_runs) outgrew
-that capture. The full payload is also written to BENCH_local.json.
+followed by a FINAL compact line
+
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
+
+(well under 200 bytes) — the harness that records the bench
+tail-captures a bounded number of characters and parses the LAST
+line, and round 7-9's single full-payload line outgrew that capture
+(per-query evidence arrived truncated). The full payload (the same
+{"queries": {...}, "all_runs": {...}} map as before) is written to
+BENCH_local.json (scratch) and BENCH_perquery.json (committed).
 
 Each query is fully evaluated through the noop sink (no driver collect,
 no pandas conversion — measures the distributed plan, not the driver).
@@ -235,15 +240,28 @@ def main() -> int:
     }
     if errors:
         payload["errors"] = errors
-    # full payload first (humans, logs), and to a file for diffing …
+    # Per-query results as ONE SHORT LINE EACH (not a single giant JSON
+    # line): the recording harness tail-captures a bounded character
+    # window, and round 8/9's full payload line outgrew it and arrived
+    # truncated mid-JSON — per-query evidence was lost (PERF_r09
+    # per_query came back empty). Short lines survive the tail intact.
+    for name in HEADLINE:
+        if name in timings:
+            print(json.dumps({"q": name, "best": timings[name], "all": all_runs[name]}))
+        elif name in errors:
+            print(json.dumps({"q": name, "error": errors[name]}))
+    # … and the full payload to files for diffing: BENCH_local.json
+    # (gitignored scratch, kept for compatibility) and
+    # BENCH_perquery.json (committed each round — durable
+    # round-over-round per-query evidence independent of stdout capture)
     full = json.dumps(payload)
-    print(full)
     try:
         (REPO / "BENCH_local.json").write_text(full + "\n")
+        (REPO / "BENCH_perquery.json").write_text(full + "\n")
     except OSError:
         pass
-    # … then the compact line LAST: the recording harness tail-captures
-    # a bounded window and parses the final line, so this one must stay
+    # the compact line LAST: the recording harness tail-captures a
+    # bounded window and parses the final line, so this one must stay
     # small (≤200 bytes) no matter how many queries the suite grows
     compact = {
         "metric": payload["metric"],

@@ -15,11 +15,14 @@ round loop. Rationale (optimization guide §1.2/§5): each propagation
 round costs a fixed 3-job overhead (join + agg + checkpoint) that
 dwarfs the data work on candidate graphs with a few hundred edges —
 measured 1.4 s of round overhead for a 363-edge graph at sf0.1 vs
-~50 ms for the collected union-find. The collect is BOUNDED by the
-threshold (default 100k edge rows ≈ a few MB — the same order as the
-other bounded collects in this engine), and production-scale graphs
-above it take the distributed loop unchanged, so the 100 TB posture
-is untouched. The fast path replays the propagation fixpoint exactly:
+~50 ms for the collected union-find. BOTH collects are BOUNDED by the
+threshold (default 100k rows ≈ a few MB — the same order as the other
+bounded collects in this engine): the edge count is an observed metric
+on the checkpoint, and the vertex probe collects at most threshold + 1
+ids, so a frame with few edges but billions of isolated vertices falls
+through to the distributed loop instead of OOMing the driver.
+Production-scale graphs above the threshold take the distributed loop
+unchanged, so the 100 TB posture is untouched. The fast path replays the propagation fixpoint exactly:
 labels seed from *vertices* only, flow over edges, and a node only
 appears in the output if its component contains at least one seed
 vertex (every current caller passes the edge-endpoint set as
@@ -36,7 +39,10 @@ of own + neighbor labels), so the label sum is unchanged across a
 round IFF no vertex changed — one Spark job per round instead of
 checkpoint + a join-and-count convergence job (a full extra pass over
 the label table per round). The sum is accumulated as DECIMAL(38,0) so
-the equality test stays exact at any vertex-id/corpus scale. DuckDB
+the equality test stays exact at any vertex-id/corpus scale — for
+INTEGRAL/DECIMAL ids; non-numeric id types (where the cast would yield
+NULL and NULL == NULL would fake convergence) use a set-difference
+check on the checkpointed label tables instead. DuckDB
 oracle: the same fixpoint as a recursive CTE (label flooding + min
 aggregation), so correctness is hash-checked end-to-end despite the
 iterative Spark implementation.
@@ -45,21 +51,29 @@ iterative Spark implementation.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StructField,
+    StructType,
+)
 
 __all__ = ["connected_components"]
 
 
 def _driver_components(
-    vertices: DataFrame, sym: DataFrame, id_col: str
+    vertices: DataFrame, sym: DataFrame, id_col: str, verts: list
 ) -> DataFrame:
     """Union-find over the collected edge list — the exact min-label
     fixpoint the round loop computes, for graphs small enough that
-    per-round job overhead dominates. Output rows are (vertices ∪
-    edge endpoints) restricted to components containing at least one
-    vertex; the label is the minimum *vertex* id in the component."""
+    per-round job overhead dominates. ``verts`` is the already-collected
+    (bounded) vertex id list. Output rows are (vertices ∪ edge
+    endpoints) restricted to components containing at least one vertex;
+    the label is the minimum *vertex* id in the component."""
     id_field = vertices.select(id_col).schema.fields[0]
-    verts = [r[0] for r in vertices.select(id_col).collect()]
     pairs = [(r[0], r[1]) for r in sym.collect()]
 
     parent: dict = {}
@@ -113,7 +127,12 @@ def connected_components(
     no edges form singleton components.
 
     ``driver_threshold``: symmetrized-edge row count at or below which
-    the union-find fast path runs on the driver (0 disables it).
+    the union-find fast path runs on the driver (0 disables it). The
+    fast path is additionally gated on the VERTEX count (collected
+    with a limit, so the probe itself is bounded): a frame with few
+    edges but an unbounded vertex set — isolated vertices are a
+    supported input — must take the distributed loop, not collect the
+    vertices to the driver.
     Raises if the distributed propagation has not converged after
     ``max_iter`` rounds (component min-label needs ~graph-diameter
     rounds).
@@ -121,43 +140,78 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    # edge count rides the checkpoint materialization as an observed
+    # metric — no separate count() job for the threshold probe
+    obs_sym = Observation()
+    sym = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .observe(obs_sym, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
 
-    if driver_threshold and sym.count() <= driver_threshold:
-        return _driver_components(vertices, sym, id_col)
+    if driver_threshold and (obs_sym.get["n"] or 0) <= driver_threshold:
+        # bounded vertex probe: one job collecting at most
+        # threshold + 1 ids; if the vertex frame is small too, the
+        # collected list is reused by the union-find (no second scan)
+        verts = [
+            r[0]
+            for r in vertices.select(id_col)
+            .limit(driver_threshold + 1)
+            .collect()
+        ]
+        if len(verts) <= driver_threshold:
+            return _driver_components(vertices, sym, id_col, verts)
 
-    obs0 = Observation()
-    labels = (
+    # Convergence for the distributed loop: labels are non-increasing
+    # per vertex (min of own + neighbor labels), so the label SUM is
+    # unchanged across a round IFF no vertex changed — observable on
+    # the per-round checkpoint with zero extra jobs. The DECIMAL(38,0)
+    # sum is exact only for integral/decimal ids; any other id type
+    # (string doc hashes, floats) falls back to the type-agnostic
+    # set-difference check (one extra small job per round) instead of
+    # silently "converging" on NULL == NULL after round one.
+    id_type = vertices.select(id_col).schema.fields[0].dataType
+    summable = isinstance(
+        id_type, (ByteType, ShortType, IntegerType, LongType, DecimalType)
+    )
+
+    def _observed(df: DataFrame):
+        if not summable:
+            return df.localCheckpoint(), None
+        obs = Observation()
+        ck = df.observe(
+            obs, F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint()
+        return ck, obs.get["s"]
+
+    labels, total = _observed(
         vertices.select(
             F.col(id_col).alias("id"), F.col(id_col).alias("component")
         )
-        .observe(
-            obs0,
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-        )
-        .localCheckpoint()
     )
-    total = obs0.get["s"]
 
     for _ in range(max_iter):
         msgs = (
             sym.join(labels, sym.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
-        obs = Observation()
-        new_labels = (
+        new_labels, new_total = _observed(
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .observe(
-                obs,
-                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
-            )
-            .localCheckpoint()
         )
-        new_total = obs.get["s"]
+        if summable:
+            converged = new_total == total
+        else:
+            # rows in new not in old: catches changed labels AND newly
+            # appearing edge-endpoint ids (both checkpointed, so this
+            # scans two small materialized label tables)
+            converged = (
+                new_labels.exceptAll(labels).limit(1).count() == 0
+            )
         labels = new_labels
-        if new_total == total:
+        if converged:
             return labels
         total = new_total
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -602,8 +602,19 @@ def span_dedup(
     grams = _span_grams(staged, id_col, w)
     # the ownership exchange ships only (16-byte binary gram hash, key):
     # id and position are recovered arithmetically from the key encoding
-    # (id * 2^31 + p), so the hex md5 / id / p columns never shuffle
+    # (id * 2^31 + p), so the hex md5 / id / p columns never shuffle.
+    # The decode makes the __key numeric-id constraint LOAD-BEARING for
+    # correctness (ADVICE r09): a numeric STRING id in non-canonical
+    # form ('007' -> cast 7 -> decode '7') would silently miss the
+    # final per-id join and never rewrite those docs — so non-integral
+    # id types fail loudly here instead.
     id_type = staged.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            "span_dedup requires an integral id column (non-negative,"
+            f" < 2^32) for its (id * 2^31 + pos) key encoding; got"
+            f" {id_col}: {id_type}"
+        )
     win = Window.partitionBy("__ghb")
     dup_pos = (
         grams.select(F.unhex("__gh").alias("__ghb"), "__key")

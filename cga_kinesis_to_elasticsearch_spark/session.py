@@ -71,6 +71,17 @@ def _engine_conf() -> dict[str, str]:
         # literals) to NTZ — epoch functions then fail at analysis.
         # Pin the alias back to instants; runtime-settable.
         "spark.sql.timestampType": "TIMESTAMP_LTZ",
+        # Subset co-partitioning for joins (SPARK-35703): a join may
+        # accept inputs clustered on a SUBSET of the join keys instead
+        # of re-shuffling both sides on all of them (equal subset keys
+        # still co-locate all equal full keys, so results are
+        # unchanged; this only removes redundant exchanges). Set
+        # SESSION-WIDE because the spanindex membership join relies on
+        # it and a per-action set/unset toggle would race the engine's
+        # concurrent-job submissions (scroll slices, bucketed layout
+        # writes, heavy-hitter halves) — a thread planning a query
+        # between the set and the unset would see the wrong value.
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
     }
 
 

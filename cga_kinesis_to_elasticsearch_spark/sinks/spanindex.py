@@ -158,22 +158,23 @@ def span_dedup_against_index(
             F.col("__key").alias("owner_key"),
             "bucket",
         )
-        # subset co-partitioning (SPARK-35703): lets the join accept
-        # the bucket-only clustering instead of re-shuffling both
-        # sides by (bucket, __gh); scoped to the append action and
-        # restored after
+        # subset co-partitioning (SPARK-35703) lets the membership
+        # join accept the bucket-only clustering instead of
+        # re-shuffling both sides by (bucket, __gh). The conf
+        # (spark.sql.requireAllClusterKeysForCoPartition=false) is
+        # SESSION-WIDE engine conf (session._engine_conf) — the old
+        # per-action set/UNSET toggle here raced concurrently
+        # submitted jobs (r09 verdict item 4: another thread planning
+        # a query between the set and the unset planned under the
+        # wrong value). For sessions built outside get_spark /
+        # tune_session, set it once and leave it — a monotonic set to
+        # the engine-wide value cannot race anything.
         key = "spark.sql.requireAllClusterKeysForCoPartition"
-        prev = spark.conf.get(key, None)
-        spark.conf.set(key, "false")
-        try:
-            fresh.write.mode("append").partitionBy("bucket").parquet(
-                str(root)
-            )
-        finally:
-            if prev is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prev)
+        if spark.conf.get(key, "true") != "false":
+            spark.conf.set(key, "false")
+        fresh.write.mode("append").partitionBy("bucket").parquet(
+            str(root)
+        )
     finally:
         flagged.unpersist()
     return _span_rewrite(staged.join(dup_pos, id_col, "left"), id_col, w)

@@ -123,7 +123,13 @@ def apply_upserts(
         .drop("__rn")
     )
     # live-row stat rides the write job as an observed metric — a
-    # separate staging re-scan would be one extra action per batch
+    # separate staging re-scan would be one extra action per batch.
+    # Caveat (ADVICE r09): observed metrics aggregate accumulator
+    # updates from every SUCCESSFUL task attempt, so under speculative
+    # execution / stage retries where duplicate attempts both commit
+    # their counters, the stat can over-count relative to the files
+    # actually committed. Exact in local mode (no speculation); at
+    # cluster scale treat rows_in_touched as monitoring, not ledger.
     obs = Observation()
     latest = latest.observe(
         obs, F.sum((~F.col("__tomb")).cast("long")).alias("live")

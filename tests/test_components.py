@@ -106,6 +106,39 @@ class TestConnectedComponents:
             (r.id, r.component) for r in slow
         }
 
+    def test_string_ids_take_typeagnostic_convergence(self, spark):
+        """Non-numeric ids: the decimal-sum convergence metric would
+        yield NULL == NULL after round one and silently return
+        partially-propagated labels; the fallback set-difference check
+        must propagate a min-label across the full diameter."""
+        ids = [f"doc{i:02d}" for i in range(8)]
+        pairs = [(f"doc{i:02d}", f"doc{i + 1:02d}") for i in range(7)]
+        vertices = spark.createDataFrame([(i,) for i in ids], "id string")
+        edges = spark.createDataFrame(pairs, "src string, dst string")
+        out = connected_components(
+            vertices, edges, driver_threshold=0
+        ).collect()
+        assert {r.id: r.component for r in out} == {i: "doc00" for i in ids}
+
+    def test_many_isolated_vertices_fall_through_to_distributed(self, spark):
+        """Few edges but a vertex set over the threshold: the fast path
+        must NOT collect the vertices; the distributed loop handles it
+        (ADVICE r09: edge-count-only gating would OOM the driver on a
+        billion-singleton frame)."""
+        ids = list(range(20))
+        pairs = [(0, 1)]
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                _df_vertices(spark, ids),
+                _df_edges(spark, pairs),
+                driver_threshold=5,  # edges (2 sym rows) pass, 20 vertices do not
+            ).collect()
+        }
+        expect = {i: i for i in ids}
+        expect[1] = 0
+        assert got == expect
+
     def test_driver_path_seeds_labels_from_vertices_only(self, spark):
         """An edge endpoint outside the vertex set joins its
         component (labelled by the minimum VERTEX id, even when the

@@ -101,6 +101,52 @@ class TestReplayIdempotence:
         assert read_span_index(spark, root).count() == idx_rows
 
 
+class TestConcurrentJobSafety:
+    def test_append_concurrent_with_other_jobs(self, spark, tmp_path):
+        """The spanindex append must compose with the engine's
+        concurrent-job patterns (threaded scroll slices / bucketed
+        layout writes): r09 scoped a session conf around the append
+        with a set/unset toggle, which raced any job planned on
+        another thread in that window. The conf is session-wide now —
+        run batch appends while a second thread hammers join+agg
+        queries and require both the incremental == one-shot contract
+        and the side jobs' results to hold."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        root = tmp_path / "spanidx"
+        side_df = spark.range(0, 5000).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        )
+
+        def side_jobs():
+            total = 0
+            for _ in range(6):
+                j = (
+                    side_df.alias("a")
+                    .join(side_df.alias("b"), "k")
+                    .groupBy("k")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                total += sum(r["n"] for r in j.collect())
+            return total
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(side_jobs)
+            inc = _run_batches(spark, root, [_BATCH1, _BATCH2, _BATCH3])
+            side_total = fut.result()
+
+        one = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["retained_md5"])
+            for r in span_dedup(
+                _df(spark, _BATCH1 + _BATCH2 + _BATCH3), "text", "doc_id", w=_W
+            ).collect()
+        }
+        assert inc == one
+        # 5000 ids over 7 keys -> sum of per-key squared counts, x6 runs
+        counts = [5000 // 7 + (1 if i < 5000 % 7 else 0) for i in range(7)]
+        assert side_total == 6 * sum(c * c for c in counts)
+
+
 class TestEmptyAppendRobustness:
     def test_short_doc_batch_then_real_batch(self, spark, tmp_path):
         # a batch of all-short docs registers ZERO grams (parquet dir
