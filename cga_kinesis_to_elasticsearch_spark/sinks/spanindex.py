@@ -85,21 +85,37 @@ def span_dedup_against_index(
     root = Path(index_root)
     root.mkdir(parents=True, exist_ok=True)
     staged = _span_staged(batch, text_col, id_col)
+    # the id/position recovery below (and the key ordering contract)
+    # require integral ids, same loud guard as the one-shot span_dedup
+    id_type = staged.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            "span_dedup_against_index requires an integral id column"
+            f" (non-negative, < 2^32); got {id_col}: {id_type}"
+        )
     # ONE gram-wide exchange: cluster by the hash-prefix bucket, then
-    # run the ownership window on (bucket, __gh) — equal __gh implies
-    # equal bucket, so the min is identical to a plain __gh window —
-    # and join the stored index on (bucket, __gh) too. With subset
-    # co-partitioning allowed (conf below), the bucket clustering is
+    # run the ownership window on (bucket, __ghb) — equal hash implies
+    # equal bucket, so the min is identical to a plain hash window —
+    # and join the stored index on (bucket, __ghb) too. With subset
+    # co-partitioning allowed (session conf), the bucket clustering is
     # reused by the window, the membership sort-merge join (only the
     # INDEX side shuffles, by bucket) and the partitioned append (one
     # file per touched bucket), where the old shape shuffled the gram
-    # stream twice (__gh window + pre-write cluster-by).
-    grams = _span_grams(staged, id_col, w).withColumn(
-        "bucket", F.substring("__gh", 1, bucket_width)
+    # stream twice (__gh window + pre-write cluster-by). The exchange
+    # ships only (16-byte binary hash, 8-byte key, 1-char bucket) —
+    # id and position are recovered arithmetically from the key
+    # encoding (id * 2^31 + p) after the duplicate filter, and the
+    # stored hex form is rebuilt as lower(hex(.)) for the few FRESH
+    # grams — the same §2.2 byte cut as the one-shot span_dedup
+    # (>2x fewer shuffle bytes per gram row).
+    grams = _span_grams(staged, id_col, w).select(
+        F.unhex("__gh").alias("__ghb"),
+        "__key",
+        F.substring("__gh", 1, bucket_width).alias("bucket"),
     )
     owned = grams.repartition(F.col("bucket")).withColumn(
         "__batch_owner",
-        F.min("__key").over(Window.partitionBy("bucket", "__gh")),
+        F.min("__key").over(Window.partitionBy("bucket", "__ghb")),
     )
     # on the very first append the index has no data files, so the
     # membership join is skipped outright (one fewer stage)
@@ -112,14 +128,14 @@ def span_dedup_against_index(
         idx = (
             spark.read.parquet(str(root))
             .select(
-                F.col("gram_hash").alias("__gh"),
+                F.unhex("gram_hash").alias("__ghb"),
                 "owner_key",
                 F.substring("gram_hash", 1, bucket_width).alias(
                     "bucket"
                 ),
             )
         )
-        owned = owned.join(idx, ["bucket", "__gh"], "left")
+        owned = owned.join(idx, ["bucket", "__ghb"], "left")
     else:
         owned = owned.withColumn("owner_key", F.lit(None).cast("long"))
     # The flagged frame feeds three consumers (ownership filter,
@@ -146,6 +162,10 @@ def span_dedup_against_index(
     try:
         dup_pos = (
             flagged.filter(F.col("__key") != F.col("__winner"))
+            .select(
+                F.expr("__key div 2147483648").cast(id_type).alias(id_col),
+                F.expr("__key % 2147483648").cast("int").alias("__p"),
+            )
             .groupBy(id_col)
             .agg(F.sort_array(F.collect_list("__p")).alias("__dup"))
             .localCheckpoint()
@@ -154,7 +174,10 @@ def span_dedup_against_index(
             F.col("owner_key").isNull()
             & (F.col("__key") == F.col("__batch_owner"))
         ).select(
-            F.col("__gh").alias("gram_hash"),
+            # md5 hex is lowercase; hex() emits uppercase — lower()
+            # makes the stored form byte-identical to the pre-r10
+            # index (and to what replay-idempotence requires)
+            F.lower(F.hex("__ghb")).alias("gram_hash"),
             F.col("__key").alias("owner_key"),
             "bucket",
         )

@@ -3,7 +3,7 @@
 
 Times named declared queries through the noop sink (best-of-N, warm)
 at a given SF dir and optionally dumps .explain("formatted") to
-plans/r09/<query>_<suffix>.txt.
+plans/r10/<query>_<suffix>.txt.
 
 Usage:
   python scripts/opt_bench.py [--sf DIR] [--runs N] [--explain SUFFIX] q1 q2 ...
@@ -29,7 +29,7 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--explain", default=None, help="suffix: write plans/r09/<q>_<suffix>.txt")
+    ap.add_argument("--explain", default=None, help="suffix: write plans/r10/<q>_<suffix>.txt")
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--warm-sf", default="/root/testdata/sf0.001")
     args = ap.parse_args()
@@ -81,7 +81,7 @@ def main() -> int:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 qs[n](spark, args.sf).explain("formatted")
-            p = REPO / "plans" / "r09" / f"{n}_{args.explain}.txt"
+            p = REPO / "plans" / "r10" / f"{n}_{args.explain}.txt"
             p.parent.mkdir(parents=True, exist_ok=True)
             p.write_text(buf.getvalue())
 
