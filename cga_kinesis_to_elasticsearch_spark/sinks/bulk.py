@@ -100,12 +100,18 @@ class ParquetIndexSink:
             self._ensured.add(name)
 
     # -- K1: bulk write ------------------------------------------------
-    #: per-index write fan-out bound: each index's rows land in at most
+    #: per-index write fan-out CAP: each index's rows land in at most
     #: this many tasks, so files-per-index-per-batch stays bounded while
     #: a mono-index batch still writes in parallel
     WRITE_SALT = 8
+    #: rows-per-file target that scales the salt DOWN for small batches
+    #: (guide §6: aim for few, large files — a 30-index micro-batch of
+    #: 100k rows under a fixed 8-way salt wrote ~240 files of ~400 rows
+    #: each, and the read-back paid the open/footer cost again). A
+    #: layout knob, not a semantic one: read_index output is identical.
+    TARGET_FILE_ROWS = 32768
 
-    def write(self, docs: DataFrame) -> None:
+    def write(self, docs: DataFrame, max_rows_per_index: int | None = None) -> None:
         # cluster by the partition column first: without it every task
         # opens a file in EVERY index it touches (tasks x indices small
         # files per batch — measured ~10x file-count blowup and a
@@ -115,11 +121,21 @@ class ParquetIndexSink:
         # sequentially (measured 2x slower on a 30-index batch), and
         # plain repartition(col) would serialize a mono-index batch the
         # same way. Hashing (es_index, salt(doc_id)) bounds files per
-        # index at WRITE_SALT while task parallelism follows the
-        # cluster's defaultParallelism, independent of AQE byte
-        # thresholds.
+        # index while task parallelism follows the cluster's
+        # defaultParallelism, independent of AQE byte thresholds.
+        #
+        # ``max_rows_per_index``: when the caller already knows the
+        # batch's largest per-index row count (the streaming job
+        # aggregates it anyway for the sent counter), the salt adapts:
+        # ceil(max_rows / TARGET_FILE_ROWS) ways, capped at WRITE_SALT
+        # — small batches write ONE file per index instead of 8 tiny
+        # ones, production-size batches keep the full fan-out.
         par = docs.sparkSession.sparkContext.defaultParallelism
-        salt = F.pmod(F.xxhash64("doc_id"), F.lit(self.WRITE_SALT))
+        n_salt = self.WRITE_SALT
+        if max_rows_per_index is not None:
+            need = -(-int(max_rows_per_index) // self.TARGET_FILE_ROWS)
+            n_salt = max(1, min(self.WRITE_SALT, need))
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salt))
         docs.repartition(par, F.col("es_index"), salt).write.mode(
             "append"
         ).partitionBy("es_index").parquet(str(self.root / "data"))

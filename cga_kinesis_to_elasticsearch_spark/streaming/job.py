@@ -26,6 +26,7 @@ construction.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -305,7 +306,22 @@ def run_stream(
                 )
                 touched = [r["es_index"] for r in idx_counts]
                 sink.ensure_indices(touched)
-                sink.write(docs)
+                # the poison count only reads the populated records
+                # cache — submit it concurrently so it back-fills the
+                # sink write's task tail (guide §2.6) instead of
+                # running as its own serial job afterwards
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    poison_fut = pool.submit(poison.count)
+                    # the idx_counts aggregation already knows the
+                    # batch's largest index — let the sink scale its
+                    # file fan-out to it (small batch -> 1 file/index)
+                    sink.write(
+                        docs,
+                        max_rows_per_index=max(
+                            (r["__n"] for r in idx_counts), default=0
+                        ),
+                    )
+                    n_poison = poison_fut.result()
                 m.sent_count += sum(r["__n"] for r in idx_counts)
                 if cfg.sketch_path and cfg.sketch_key_col:
                     from ..sinks.sketchmaint import refresh_day_sketches
@@ -376,7 +392,6 @@ def run_stream(
                     cfg.rollup_aggregate,
                     date_col="es_index",
                 )
-            n_poison = poison.count()
             if n_poison:
                 sink.write_errors(poison.drop("decode_error"), batch_id)
                 m.errors_count += n_poison
