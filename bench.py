@@ -212,6 +212,12 @@ def main() -> int:
     for name in HEADLINE:
         fn = qs[name]
         samples: list[float] = []
+        # job group per query: lets the executor-time attribution below
+        # (REST /jobs -> stageIds -> /stages executorRunTime) split each
+        # query's wall seconds into distributed compute vs driver/
+        # scheduling floor — the r09 verdict's "overhead-bound vs
+        # compute-bound" signal that wall time at sf0.1 cannot carry
+        spark.sparkContext.setJobGroup(f"bench:{name}", name)
         for _ in range(max(runs, 1)):
             t0 = time.perf_counter()
             try:
@@ -226,6 +232,44 @@ def main() -> int:
         if samples:
             all_runs[name] = samples
             timings[name] = min(samples)
+    spark.sparkContext.setJobGroup("bench:tail", "post-queries")
+
+    # Executor-time attribution (best-effort; the bench result never
+    # depends on it): sum executorRunTime over each query group's
+    # stages. exec_sec covers ALL `runs` timed runs of a query (the
+    # warmup ran under no group), so compare exec_sec / runs to the
+    # per-run wall seconds: a query with exec/runs << wall is driver/
+    # scheduling-floor-bound and its wall time will not improve with
+    # cores or plan work. Caveats: jobs submitted from a query's OWN
+    # driver threads (scroll slices, streaming foreachBatch, threaded
+    # layout builds) don't inherit the thread-local group and are
+    # undercounted; stages shared via exchange reuse may double-count.
+    # Diagnostic evidence, not a timing source.
+    exec_sec: dict[str, float] = {}
+    try:
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+
+        def _get(path: str):
+            with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}{path}", timeout=10) as r:
+                return json.loads(r.read().decode())
+
+        stage_ms: dict[int, int] = {}
+        for st in _get("/stages?status=complete"):
+            stage_ms[st["stageId"]] = st.get("executorRunTime", 0)
+        for job in _get("/jobs"):
+            grp = job.get("jobGroup") or ""
+            if not grp.startswith("bench:"):
+                continue
+            qname = grp[len("bench:"):]
+            if qname not in timings:
+                continue
+            ms = sum(stage_ms.get(sid, 0) for sid in job.get("stageIds", []))
+            exec_sec[qname] = round(exec_sec.get(qname, 0.0) + ms / 1000.0, 3)
+    except Exception:  # noqa: BLE001 - attribution is optional evidence
+        exec_sec = {}
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -238,6 +282,8 @@ def main() -> int:
         "best": "min-of-runs per query",
         "all_runs": all_runs,
     }
+    if exec_sec:
+        payload["exec_sec_all_runs"] = exec_sec
     if errors:
         payload["errors"] = errors
     # Per-query results as ONE SHORT LINE EACH (not a single giant JSON
