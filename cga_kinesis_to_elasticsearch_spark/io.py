@@ -41,8 +41,21 @@ TABLES = (
 def _nanos_columns(path: str) -> tuple[str, ...]:
     import pyarrow.parquet as pq
     import pyarrow as pa
+    from pathlib import Path
 
-    schema = pq.read_schema(path)
+    p = Path(path)
+    if p.is_dir():
+        # Spark-written table: a directory of part files with one
+        # shared schema — probe the first part's footer (the driver
+        # testdata is flat single files; directory layouts come from
+        # the scale-sweep generator, scripts/gen_scale_data.py)
+        part = next(
+            (q for q in sorted(p.rglob("*.parquet")) if q.is_file()), None
+        )
+        if part is None:
+            return ()
+        p = part
+    schema = pq.read_schema(p)
     out = []
     for field in schema:
         t = field.type

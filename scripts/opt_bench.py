@@ -63,7 +63,7 @@ def main() -> int:
 
     out: dict[str, object] = {}
     for n in names:
-        spark.sparkContext.setJobDescription(f"opt-bench: {n}")
+        spark.sparkContext.setJobGroup(f"opt-bench:{n}", n)
         samples = []
         err = None
         for _ in range(args.runs):
@@ -74,7 +74,7 @@ def main() -> int:
                 err = f"{type(exc).__name__}: {exc}"[:160]
                 break
             samples.append(round(time.perf_counter() - t0, 3))
-        spark.sparkContext.setJobDescription(None)
+        spark.sparkContext.setJobGroup("opt-bench:tail", "tail")
         out[n] = {"best": min(samples), "all": samples} if samples else {"error": err}
         print(json.dumps({n: out[n]}), flush=True)
         if args.explain and samples:
@@ -84,6 +84,36 @@ def main() -> int:
             p = REPO / "plans" / "r10" / f"{n}_{args.explain}.txt"
             p.parent.mkdir(parents=True, exist_ok=True)
             p.write_text(buf.getvalue())
+
+    # per-query executor-time attribution (same best-effort REST path
+    # as bench.py — exec covers all --runs runs of a query)
+    try:
+        import urllib.request
+
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+
+        def _get(path):
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}{path}", timeout=10
+            ) as r:
+                return json.loads(r.read().decode())
+
+        stage_ms = {
+            st["stageId"]: st.get("executorRunTime", 0)
+            for st in _get("/stages?status=complete")
+        }
+        exec_sec: dict[str, float] = {}
+        for job in _get("/jobs"):
+            grp = job.get("jobGroup") or ""
+            if grp.startswith("opt-bench:") and grp[10:] in out:
+                q = grp[10:]
+                ms = sum(stage_ms.get(s, 0) for s in job.get("stageIds", []))
+                exec_sec[q] = round(exec_sec.get(q, 0.0) + ms / 1000.0, 3)
+        if exec_sec:
+            print(json.dumps({"exec_sec_all_runs": exec_sec}))
+    except Exception:  # noqa: BLE001
+        pass
 
     total = sum(v["best"] for v in out.values() if isinstance(v, dict) and "best" in v)
     print(json.dumps({"total_best": round(total, 3), "n": len(out)}))
