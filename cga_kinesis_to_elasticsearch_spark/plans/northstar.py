@@ -1429,6 +1429,13 @@ def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.join(needed, "doc_id", "left_semi")
         .select("doc_id", D.tokens(F.col("text")).alias("toks"))
+        # joined twice (id_a / id_b arm) — materialize the pruned token
+        # table once, exactly as fuzzy_dedup does. AQE does NOT reuse
+        # the arm exchanges here (different join keys above the same
+        # subtree), so without the cut the tokenize + semi-join
+        # pipeline executes per arm: a wash at sf0.1 but 2.45x at the
+        # 10x scale sweep (20.1 -> 8.2 s median, SCALING_r10 data dir)
+        .localCheckpoint()
     )
     v = (
         cands.join(
