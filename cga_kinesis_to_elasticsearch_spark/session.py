@@ -37,6 +37,17 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions if shuffle_partitions else 32),
         )
+        # STATIC conf, applied only when this factory launches the JVM
+        # (getOrCreate on an existing session ignores it). The Spark
+        # default is 1g — ~30 MB of heap per concurrent task on
+        # local[32], which GC-thrashes and can fail wide in-row
+        # aggregations on 10x-scale data (guide §5: size memory to the
+        # concurrent tasks, not the default). Env-overridable so a
+        # smaller host can turn it down.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     for k, v in _engine_conf().items():
         builder = builder.config(k, v)
