@@ -104,6 +104,11 @@ def run_pipeline(
             (f"parsed_{p.lower()}", p, F.col("grok_pattern") == p)
             for p in patterns_in_use
         ],
+        # conditions are fully determined by the pattern list (already
+        # in the memo signature), so a constant key is sound: lets
+        # grok_parse_many reuse the built expression trees instead of
+        # reconstructing ~hundreds of py4j expressions per micro-batch
+        memo_condition_key="grok_pattern_eq",
     )
 
     # F3: identifiability — app_id from the envelope, else the
