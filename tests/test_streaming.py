@@ -211,6 +211,66 @@ class TestSinkLayoutAndRetention:
             assert not (sink.root / "_mappings" / f"{i}.json").exists()
 
 
+class TestAdaptiveWriteSalt:
+    """ParquetIndexSink.write sizes its per-index file fan-out from the
+    caller-supplied max per-index row count (r10: a 30-index micro-batch
+    under the fixed 8-way salt wrote ~8 tiny files per index)."""
+
+    def _docs(self, spark, n_rows, n_idx):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(n_rows)
+            .select(
+                F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+                F.concat(
+                    F.lit("logs-2030-01-"),
+                    F.lpad((F.col("id") % n_idx + 1).cast("string"), 2, "0"),
+                ).alias("es_index"),
+                F.col("id").alias("payload"),
+            )
+        )
+
+    def _files_per_index(self, root):
+        out = {}
+        for d in (root / "data").iterdir():
+            if d.is_dir() and d.name.startswith("es_index="):
+                out[d.name] = len(list(d.glob("*.parquet")))
+        return out
+
+    def test_small_batch_writes_one_file_per_index(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+
+        sink = ParquetIndexSink(tmp_path / "s1")
+        docs = self._docs(spark, 3000, 10)
+        sink.write(docs, max_rows_per_index=300)
+        fpi = self._files_per_index(tmp_path / "s1")
+        assert len(fpi) == 10
+        assert all(n == 1 for n in fpi.values()), fpi
+        # content identical to the read-back contract
+        assert sink.read_index(spark).count() == 3000
+
+    def test_large_batch_keeps_capped_fanout(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+
+        sink = ParquetIndexSink(tmp_path / "s2")
+        docs = self._docs(spark, 2000, 2)
+        # pretend the batch is production-size: cap (8) binds.
+        # Fan-out is AT MOST the salt (same-index salt groups can hash
+        # into one task and share a file) but must stay multi-file.
+        sink.write(docs, max_rows_per_index=10_000_000)
+        fpi = self._files_per_index(tmp_path / "s2")
+        assert all(1 < n <= ParquetIndexSink.WRITE_SALT for n in fpi.values()), fpi
+
+    def test_default_behavior_unchanged(self, spark, tmp_path):
+        from cga_kinesis_to_elasticsearch_spark.sinks.bulk import ParquetIndexSink
+
+        sink = ParquetIndexSink(tmp_path / "s3")
+        sink.write(self._docs(spark, 2000, 2))  # no hint -> old 8-way salt
+        fpi = self._files_per_index(tmp_path / "s3")
+        assert all(1 < n <= ParquetIndexSink.WRITE_SALT for n in fpi.values()), fpi
+
+
 class TestResumeWithNewData:
     def test_restart_processes_only_new_files(
         self, spark, dim, streamed, tmp_path
