@@ -84,15 +84,19 @@ def span_dedup_against_index(
         raise ValueError(f"bucket_width must be 1..8: {bucket_width}")
     root = Path(index_root)
     root.mkdir(parents=True, exist_ok=True)
-    staged = _span_staged(batch, text_col, id_col)
     # the id/position recovery below (and the key ordering contract)
     # require integral ids, same loud guard as the one-shot span_dedup
-    id_type = staged.schema[id_col].dataType.simpleString()
+    id_type = batch.schema[id_col].dataType.simpleString()
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
         raise TypeError(
             "span_dedup_against_index requires an integral id column"
             f" (non-negative, < 2^32); got {id_col}: {id_type}"
         )
+    # tokenize the batch ONCE: staged feeds the gram pipeline (dup_pos
+    # action) AND the final rewrite join — without the cut the rewrite
+    # action re-tokenizes the whole batch (same 1.37x-at-10x finding
+    # as the one-shot span_dedup)
+    staged = _span_staged(batch, text_col, id_col).localCheckpoint()
     # ONE gram-wide exchange: cluster by the hash-prefix bucket, then
     # run the ownership window on (bucket, __ghb) — equal hash implies
     # equal bucket, so the min is identical to a plain hash window —
