@@ -739,6 +739,17 @@ def pack_spans(
     )
 
 
+#: input-size estimate (optimizer plan stat, bytes) above which
+#: unigram_logprob materializes its shared tf table instead of relying
+#: on AQE exchange reuse — see the gate comment in the function body.
+#: NOTE the stat is the COMPRESSED source size (parquet file bytes for
+#: a scan), which under-reads the exploded token volume by ~2 orders
+#: of magnitude; 2 MiB compressed ≈ tens of MB of raw text ≈ millions
+#: of token rows — the measured crossover region (0.6 MiB input still
+#: favors lineage, 4.6 MiB clearly favors the cut).
+TF_CHECKPOINT_MIN_BYTES = 2 << 20
+
+
 def unigram_logprob(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -766,6 +777,24 @@ def unigram_logprob(
         F.col("term") != ""
     )
     tf = ex.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # The tf subtree feeds THREE consumers (tf join side, vocab,
+    # total). At small inputs AQE's runtime exchange reuse makes a
+    # lineage cut a slight net LOSS (the materialization barrier costs
+    # more than it saves — measured -4% at sf0.1, r09 and r10 agree);
+    # at 10x data the duplicate explode+agg dominates and the cut is
+    # 1.51x (5.62 -> 3.72 s median, 3/3 interleaved pairs). Gate on
+    # the input's optimizer size estimate — a driver-side plan stat,
+    # no job — so the shape adapts to scale instead of being tuned to
+    # either end (results are identical either way; the fold order is
+    # unaffected).
+    try:
+        plan_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # stats unavailable -> keep the lineage form
+        plan_bytes = 0
+    if plan_bytes >= TF_CHECKPOINT_MIN_BYTES:
+        tf = tf.localCheckpoint()
     vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.select(F.sum("cnt").alias("total_tokens"))
     contrib = (

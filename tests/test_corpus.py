@@ -351,3 +351,25 @@ class TestFertilityAndEntropy:
         # natural text should overwhelmingly pass the 3.0-bit floor
         frac_pass = sum(r["entropy_pass"] for r in rows) / len(rows)
         assert frac_pass > 0.9
+
+
+class TestUnigramTfGate:
+    """unigram_logprob's size-gated tf materialization (r10) must be
+    result-invariant: both branches produce byte-identical scores (the
+    sorted fold fixes operand order, and a checkpoint never changes
+    values)."""
+
+    def test_both_branches_equal(self, spark):
+        import cga_kinesis_to_elasticsearch_spark.operators.text as T
+
+        rows = [(i, f"alpha beta w{i % 7} gamma gamma w{i % 3}") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        old = T.TF_CHECKPOINT_MIN_BYTES
+        try:
+            T.TF_CHECKPOINT_MIN_BYTES = 1 << 60  # force lineage branch
+            a = {tuple(r) for r in T.unigram_logprob(df, "text", "doc_id").collect()}
+            T.TF_CHECKPOINT_MIN_BYTES = 0  # force checkpoint branch
+            b = {tuple(r) for r in T.unigram_logprob(df, "text", "doc_id").collect()}
+        finally:
+            T.TF_CHECKPOINT_MIN_BYTES = old
+        assert a == b and len(a) == 50
